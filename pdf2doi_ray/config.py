@@ -1,0 +1,58 @@
+"""Engine configuration.
+
+The reference keeps a process-global mutable config singleton persisted to an
+INI file (``/root/reference/pdf2doi/config.py:39-91``).  In a distributed
+engine global mutable state is a correctness hazard (every Ray worker would
+need an identical copy and any mutation would silently diverge), so the
+engine uses a frozen dataclass built once on the driver and captured by
+value in every stage closure / actor constructor.  Defaults mirror the
+reference defaults (config.py:40-49) where they are meaningful offline.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    # --- cascade semantics (reference config.py:40-49) -------------------
+    #: rewrite a found arXiv ID into a DOI.  Reference default is True; in
+    #: offline mode the reference's rewrite crashes on its bool validation
+    #: info and degrades the whole row to all-null (finders.py:665-684 +
+    #: main.py:140-142) — we reproduce that byte-for-byte when this is True.
+    replace_arxiv_by_doi: bool = True
+    #: network validation / google-search methods.  Always False here: the
+    #: engine targets offline conformance; online validators are pluggable
+    #: actor stages a user can enable out-of-band.
+    webvalidation: bool = False
+    websearch: bool = False
+    #: first-N-characters truncation for the (offline-disabled) search method.
+    n_characters: int = 1000
+    #: metadata keys scanned before all others (reference main.py:156 uses
+    #: ['/doi', '/pdf2doi_identifier'] for PDF info dicts; the HTML analogs
+    #: are the citation meta tags).
+    keys_to_check_first: tuple[str, ...] = ("citation_doi", "pdf2doi_identifier")
+    #: metadata keys never scanned — known to hold journal-level (not
+    #: article-level) DOIs (reference finders.py:715).
+    keys_blocklist: tuple[str, ...] = ("wps-journaldoi",)
+
+    # --- input handling --------------------------------------------------
+    #: parse the html binary column (actor-pool stage) instead of trusting a
+    #: pre-extracted ``text`` column.
+    use_html: bool = True
+
+    # --- physical execution knobs (per-stage; tuned for multi-MB binary
+    # rows on parse, KB rows on extract) ----------------------------------
+    parse_batch_size: int = 256
+    parse_concurrency: int | tuple[int, int] | None = None  # None = default pool
+    extract_batch_size: int = 4096
+
+    def with_(self, **kw) -> "EngineConfig":
+        return replace(self, **kw)
+
+
+DEFAULT_CONFIG = EngineConfig()
+#: config variant that keeps arXiv IDs instead of reproducing the reference's
+#: offline degrade-to-null rewrite (the reference's ``-no_arxiv2doi`` flag).
+NO_ARXIV2DOI_CONFIG = EngineConfig(replace_arxiv_by_doi=False)
