@@ -1,0 +1,214 @@
+"""Main-content extraction from raw HTML payloads (pure kernel, no Ray).
+
+This is the engine's analog of the reference's binary-payload parsers: where
+pdf2doi turns PDF bytes into page texts + an info dict + layout-derived titles
+(``/root/reference/pdf2doi/finders.py:360-518`` and
+``find_title_via_pymupdf.py:8-128``), this module turns an HTML byte payload
+into:
+
+* ``text``  — the main content: every text node inside ``<main>`` when the
+  document has one, otherwise every visible ``<body>`` text node, always
+  excluding script/style payloads and boilerplate containers
+  (``nav``/``header``/``footer``/``aside``).  Entity references are decoded.
+  The extraction contract is deterministic and byte-stable: for documents
+  produced by :mod:`pdf2doi_ray.sources.pages` the recovered text is
+  byte-identical to the original (the conformance invariant).
+* ``title`` — the ``<title>`` element text (layout-independent title source).
+* ``h1``    — the first ``<h1>`` element text (the DOM-heuristic headline,
+  analog of the reference's largest-font ``<h1>`` tag heuristic).
+* ``meta``  — ordered ``(name, content)`` pairs from ``<meta>`` elements
+  (``name`` or ``property`` attribute), the analog of the PDF info dict.
+
+Implementation: a single forward scan over one compiled tag/comment regex —
+no per-character Python loop, no external dependencies.  Designed to be held
+by a stateful actor-pool stage (:class:`pdf2doi_ray.stages.parse.HtmlParse`)
+and run per batch.
+"""
+
+from __future__ import annotations
+
+import re
+from html import unescape
+from typing import NamedTuple
+
+# One pass: comments, CDATA, doctype/PI, or a tag.  DOTALL so comments with
+# newlines are consumed whole.
+_MARKUP = re.compile(r"<!--.*?-->|<!\[CDATA\[.*?\]\]>|<[^>]*>", re.S)
+_TAG_NAME = re.compile(r"</?\s*([a-zA-Z][a-zA-Z0-9-]*)")
+_ATTR = re.compile(
+    r"""([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))"""
+)
+
+#: content of these elements is never text (raw-text elements).
+_RAW_TEXT = {"script", "style"}
+#: boilerplate containers whose text is stripped from main content.
+_BOILERPLATE = {"nav", "header", "footer", "aside"}
+#: void elements never push nesting state.
+_VOID = {"meta", "br", "hr", "img", "link", "input", "base", "col", "embed",
+         "source", "track", "wbr", "area", "param"}
+
+
+class ParsedPage(NamedTuple):
+    text: str
+    title: str | None
+    h1: str | None
+    meta_keys: list[str]
+    meta_vals: list[str]
+
+
+def _attrs(tag_src: str) -> dict[str, str]:
+    out = {}
+    for m in _ATTR.finditer(tag_src):
+        out[m.group(1).lower()] = m.group(2) or m.group(3) or m.group(4) or ""
+    return out
+
+
+def parse_page(payload: bytes | str) -> ParsedPage:
+    """Extract main text, title, first h1 and meta pairs from an HTML payload.
+
+    Tolerant by construction: unknown tags are structural no-ops, unclosed
+    raw-text elements swallow to end-of-document, attribute junk is ignored.
+    Never raises on string input — malformed markup degrades to best-effort
+    text, mirroring the reference's per-document try/except degradation
+    policy (finders.py:374-387, 465-471).
+    """
+    html = payload.decode("utf-8", errors="replace") if isinstance(payload, bytes) else payload
+    lower = html.lower()
+
+    main_parts: list[str] = []          # text inside <main>
+    body_parts: list[str] = []          # visible body text (no-<main> fallback)
+    title_parts: list[str] = []
+    h1_parts: list[str] = []
+    meta_keys: list[str] = []
+    meta_vals: list[str] = []
+
+    boiler = 0          # nesting depth of boilerplate containers
+    main_depth = 0      # nesting depth of <main>
+    saw_main = False
+    in_body = False
+    saw_body = False
+    in_title = False
+    in_h1 = False
+    h1_done = False
+
+    pos = 0
+    n = len(html)
+    while pos < n:
+        m = _MARKUP.search(html, pos)
+        if m is None:
+            chunk = html[pos:]
+            pos = n
+        else:
+            chunk = html[pos:m.start()]
+            pos = m.end()
+
+        if chunk:
+            if in_title:
+                title_parts.append(chunk)
+            elif in_h1 and not h1_done:
+                h1_parts.append(chunk)
+            elif boiler == 0:
+                if main_depth > 0:
+                    main_parts.append(chunk)
+                elif in_body or not saw_body:
+                    # before any <body> tag we are conservatively outside
+                    # (head text like <title> is captured above, not here)
+                    if in_body:
+                        body_parts.append(chunk)
+
+        if m is None:
+            break
+        tag_src = m.group(0)
+        if not tag_src.startswith("<") or tag_src.startswith("<!"):
+            continue                     # comment / CDATA / doctype
+        name_m = _TAG_NAME.match(tag_src)
+        if not name_m:
+            continue
+        name = name_m.group(1).lower()
+        closing = tag_src.startswith("</")
+        self_closing = tag_src.endswith("/>") or name in _VOID
+
+        if not closing and name in _RAW_TEXT:
+            # skip payload up to the matching close tag (or EOF)
+            end = lower.find(f"</{name}", pos)
+            if end == -1:
+                break
+            gt = html.find(">", end)
+            pos = n if gt == -1 else gt + 1
+            continue
+
+        if name == "meta" and not closing:
+            a = _attrs(tag_src)
+            key = a.get("name") or a.get("property")
+            if key is not None:
+                meta_keys.append(key)
+                meta_vals.append(unescape(a.get("content", "")))
+            continue
+
+        if name in _BOILERPLATE:
+            if closing:
+                boiler = max(0, boiler - 1)
+            elif not self_closing:
+                boiler += 1
+        elif name == "main":
+            if closing:
+                main_depth = max(0, main_depth - 1)
+            elif not self_closing:
+                main_depth += 1
+                saw_main = True
+        elif name == "body":
+            if closing:
+                in_body = False
+            else:
+                in_body = True
+                saw_body = True
+        elif name == "title":
+            in_title = not closing
+        elif name == "h1":
+            if closing:
+                if in_h1:
+                    h1_done = True
+                in_h1 = False
+            elif not h1_done and not self_closing:
+                in_h1 = True
+
+    text = "".join(main_parts) if saw_main else "".join(body_parts)
+    title = "".join(title_parts) if title_parts else None
+    h1 = "".join(h1_parts) if h1_parts else None
+    return ParsedPage(unescape(text), _clean(title), _clean(h1),
+                      meta_keys, meta_vals)
+
+
+def _clean(s: str | None) -> str | None:
+    return unescape(s) if s is not None else None
+
+
+def escape_text(s: str) -> str:
+    """Minimal entity escaping used by the page synthesizer — the exact
+    inverse of the extraction path for arbitrary text content."""
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def candidate_titles(url: str, title, h1, meta_keys, meta_vals) -> list[str]:
+    """Order-preserving deduped title candidates, mirroring the reference's
+    ``find_possible_titles`` source order and length gates
+    (finders.py:390-443): DOM headline, document title element, 'title'-ish
+    metadata values (>12 chars and >3 words), long url basename (>30 chars).
+    """
+    out: list[str] = []
+    if isinstance(h1, str) and len(h1.strip()) > 12:
+        out.append(h1.strip())
+    if isinstance(title, str) and len(title.strip()) > 12:
+        out.append(title.strip())
+    for k, v in zip(meta_keys, meta_vals):
+        if "title" in k.lower() and isinstance(v, str) \
+                and len(v.strip()) > 12 and len(v.split()) > 3:
+            out.append(v.strip())
+    base = url.rsplit("/", 1)[-1]
+    if len(base.strip()) > 30:
+        out.append(base.strip())
+    seen: list[str] = []
+    for t in out:
+        if t not in seen:
+            seen.append(t)
+    return seen

@@ -1,0 +1,111 @@
+"""Identifier-extraction stage: vectorized prefilter + exact per-row cascade.
+
+At web scale almost no page contains a DOI/arXiv pattern, so the stage first
+runs ONE vectorized RE2 kernel per column (``pyarrow.compute
+.match_substring_regex``) to find the rows that could possibly hit:
+
+* text:  must contain ``10.<4 digits>`` or ``<4 digits>.<digit>`` — every
+  grammar version requires one of these literals (proved in
+  ``tests/test_idpatterns.py``);
+* url:   same, plus ``%`` (percent-encoding can hide the separator);
+* meta:  any metadata *value* matching the text prefilter (computed over the
+  flattened list column with one kernel + an offset reduction — no per-row
+  Python until a row is a candidate).
+
+Only candidate rows pay the exact Python cascade
+(:func:`pdf2doi_ray.cascade.identify_row`); all other rows are emitted
+directly with the reference's exhausted-row shape.  The prefilter is
+conservative by construction, so results are byte-identical to running the
+cascade on every row.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..cascade import EXHAUSTED_METHOD, identify_row
+from ..config import EngineConfig
+from ..idpatterns import PREFILTER_SRC
+
+URL_PREFILTER_SRC = r"10\.|%|\d{4}\.\d"
+
+OUTPUT_FIELDS = ("identifier", "identifier_type", "method", "validation_info")
+
+
+def _one_chunk(col):
+    if isinstance(col, pa.ChunkedArray):
+        return col.combine_chunks()
+    return col
+
+
+def _mask(col, pattern: str) -> np.ndarray:
+    """Vectorized boolean mask: row value matches ``pattern`` (null → False)."""
+    m = pc.fill_null(pc.match_substring_regex(_one_chunk(col), pattern), False)
+    return np.asarray(m)
+
+
+def _list_any(col, pattern: str) -> np.ndarray:
+    """Per-row 'any list element matches pattern' over a list<string> column,
+    via one vectorized kernel on the flattened values + an offset reduction."""
+    arr = _one_chunk(col)
+    flat = arr.flatten()
+    if len(flat) == 0:
+        return np.zeros(len(arr), dtype=bool)
+    hits = np.asarray(
+        pc.fill_null(pc.match_substring_regex(flat, pattern), False)
+    ).astype(np.int64)
+    cum = np.concatenate([[0], np.cumsum(hits)])
+    offsets = np.asarray(arr.offsets).astype(np.int64)
+    return (cum[offsets[1:]] - cum[offsets[:-1]]) > 0
+
+
+def make_extract_fn(cfg: EngineConfig):
+    """Build the stateless ``map_batches`` function for this config.
+
+    The config is captured by value in the closure (no global state); the
+    compiled grammars live at module import, once per worker process.
+    """
+
+    def extract(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        has_meta = "meta_keys" in batch.column_names
+
+        text_mask = _mask(batch["text"], PREFILTER_SRC) \
+            if "text" in batch.column_names else np.zeros(n, dtype=bool)
+        url_mask = _mask(batch["url"], URL_PREFILTER_SRC)
+        meta_mask = _list_any(batch["meta_vals"], PREFILTER_SRC) \
+            if has_meta else np.zeros(n, dtype=bool)
+        candidate = text_mask | url_mask | meta_mask
+
+        identifier: list[str | None] = [None] * n
+        id_type: list[str | None] = [None] * n
+        method: list[str | None] = [EXHAUSTED_METHOD] * n
+        vinfo: list[str | None] = [None] * n
+
+        idxs = np.nonzero(candidate)[0]
+        if len(idxs):
+            take = pa.array(idxs)
+            urls = batch["url"].take(take).to_pylist()
+            texts = batch["text"].take(take).to_pylist() \
+                if "text" in batch.column_names else [None] * len(idxs)
+            if has_meta:
+                mks = batch["meta_keys"].take(take).to_pylist()
+                mvs = batch["meta_vals"].take(take).to_pylist()
+            else:
+                mks = mvs = [[]] * len(idxs)
+            for j, i in enumerate(idxs):
+                found = identify_row(urls[j], texts[j], mks[j] or [],
+                                     mvs[j] or [], cfg)
+                identifier[i] = found.identifier
+                id_type[i] = found.id_type
+                method[i] = found.method
+                vinfo[i] = found.validation_info
+
+        out = batch
+        for name, col in zip(OUTPUT_FIELDS, (identifier, id_type, method, vinfo)):
+            out = out.append_column(name, pa.array(col, type=pa.string()))
+        return out
+
+    return extract

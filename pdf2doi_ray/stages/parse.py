@@ -1,0 +1,71 @@
+"""Stateful parse stage: ``html: binary`` → text / title / h1 / metadata.
+
+The engine analog of the reference's heavyweight PDF reader stage
+(``/root/reference/pdf2doi/finders.py:360-518``): a callable class run as a
+Ray Data actor pool via ``map_batches(HtmlParse, concurrency=..., ...)`` so
+per-worker setup happens once in ``__init__`` and each ``__call__`` only does
+per-batch work.  Batches are Arrow in / Arrow out; the multi-KB ``html``
+binary column is consumed here and NOT forwarded — early projection keeps the
+downstream pipeline narrow (the 100 TB payload bytes never travel past this
+stage).
+
+Per-row failure parity: a payload the parser cannot handle degrades that one
+row to empty text / no metadata instead of failing the task, mirroring the
+reference's per-document try/except policy (main.py:132-142).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..html_extract import parse_page
+
+PARSED_FIELDS = [
+    ("text", pa.string()),
+    ("title", pa.string()),
+    ("h1", pa.string()),
+    ("meta_keys", pa.list_(pa.string())),
+    ("meta_vals", pa.list_(pa.string())),
+]
+
+
+class HtmlParse:
+    """Actor-pool batch parser.  Forwards every input column except ``html``
+    and appends the parsed columns."""
+
+    def __init__(self) -> None:
+        # Compiled scanner regexes live at module import; touching the parser
+        # here surfaces import errors at actor start rather than first batch.
+        parse_page(b"<html><body><main>warm</main></body></html>")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("html").to_pylist()
+        texts: list[str] = []
+        titles: list[str | None] = []
+        h1s: list[str | None] = []
+        mkeys: list[list[str]] = []
+        mvals: list[list[str]] = []
+        for payload in payloads:
+            try:
+                p = parse_page(payload or b"")
+                texts.append(p.text)
+                titles.append(p.title)
+                h1s.append(p.h1)
+                mkeys.append(p.meta_keys)
+                mvals.append(p.meta_vals)
+            except Exception:
+                texts.append("")
+                titles.append(None)
+                h1s.append(None)
+                mkeys.append([])
+                mvals.append([])
+
+        out = batch.drop_columns(["html"])
+        for (name, typ), col in zip(PARSED_FIELDS,
+                                    (texts, titles, h1s, mkeys, mvals)):
+            arr = pa.array(col, type=typ)
+            if name in out.column_names:
+                out = out.set_column(out.column_names.index(name), name, arr)
+            else:
+                out = out.append_column(name, arr)
+        return out
