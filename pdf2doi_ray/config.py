@@ -42,9 +42,20 @@ class EngineConfig:
     #: pre-extracted ``text`` column.
     use_html: bool = True
 
+    #: "tasks": run the fused parse+extract as stateless tasks — correct when
+    #: per-worker setup is cheap (compiled regexes import once per worker
+    #: process, giving the same amortization as an actor with none of the
+    #: actor-management cost; actor spawn is expensive on this cluster).
+    #: "actors": a real actor pool — use when the parser holds heavyweight
+    #: state (models, dictionaries) worth pinning in long-lived processes.
+    parse_mode: str = "tasks"
+
     # --- physical execution knobs (per-stage; tuned for multi-MB binary
     # rows on parse, KB rows on extract) ----------------------------------
-    parse_batch_size: int = 256
+    #: rows per parse batch.  Sized for ~KB-scale html payloads; drop this
+    #: (e.g. to 64) when payloads are multi-MB so batch × concurrency fits
+    #: worker heaps.
+    parse_batch_size: int = 4096
     parse_concurrency: int | tuple[int, int] | None = None  # None = default pool
     extract_batch_size: int = 4096
 

@@ -73,7 +73,7 @@ def parse_page(payload: bytes | str) -> ParsedPage:
     policy (finders.py:374-387, 465-471).
     """
     html = payload.decode("utf-8", errors="replace") if isinstance(payload, bytes) else payload
-    lower = html.lower()
+    lower = None        # lowercased copy built lazily (only raw-text skipping needs it)
 
     main_parts: list[str] = []          # text inside <main>
     body_parts: list[str] = []          # visible body text (no-<main> fallback)
@@ -130,6 +130,8 @@ def parse_page(payload: bytes | str) -> ParsedPage:
 
         if not closing and name in _RAW_TEXT:
             # skip payload up to the matching close tag (or EOF)
+            if lower is None:
+                lower = html.lower()
             end = lower.find(f"</{name}", pos)
             if end == -1:
                 break

@@ -30,9 +30,37 @@ def identify_pages(pages, cfg: EngineConfig = DEFAULT_CONFIG,
                    keep_columns: tuple[str, ...] = ()):
     """pages Dataset → identifiers Dataset (streaming, lazy).
 
-    ``keep_columns`` carries extra input columns (e.g. ``lang``) through to
-    the result for downstream metrics.
+    Uses the fused parse+extract actor stage (see
+    :class:`pdf2doi_ray.stages.fused.IdentifyPages`) so the wide parsed
+    intermediate never crosses the object store.  ``keep_columns`` carries
+    extra input columns (e.g. ``lang``) through for downstream metrics.
     """
+    from ..stages.fused import IdentifyPages
+
+    if cfg.parse_mode == "actors":
+        return pages.map_batches(
+            IdentifyPages,
+            fn_constructor_kwargs={"cfg": cfg,
+                                   "keep_columns": tuple(keep_columns)},
+            batch_format="pyarrow",
+            batch_size=cfg.parse_batch_size,
+            concurrency=cfg.parse_concurrency or (1, 8),
+            num_cpus=1,
+        )
+    # task mode: the fused instance is pickled to warm worker processes; its
+    # state is module-level compiled regexes, imported once per worker.
+    fused = IdentifyPages(cfg, tuple(keep_columns))
+    return pages.map_batches(
+        fused,
+        batch_format="pyarrow",
+        batch_size=cfg.parse_batch_size,
+    )
+
+
+def identify_pages_staged(pages, cfg: EngineConfig = DEFAULT_CONFIG,
+                          keep_columns: tuple[str, ...] = ()):
+    """Two-stage variant (parse actor pool → stateless extract tasks) —
+    composable when a pipeline needs the parsed text between the stages."""
     if cfg.use_html:
         parsed = pages.map_batches(
             HtmlParse,
@@ -51,9 +79,35 @@ def identify_pages(pages, cfg: EngineConfig = DEFAULT_CONFIG,
     return extracted.select_columns(RESULT_COLUMNS + list(keep_columns))
 
 
-def method_stats(identifiers):
-    """Per-method result counts — the run-metrics aggregation (a small
-    groupby over the already-narrow result stream)."""
-    from ray.data.aggregate import Count
+_NULL_KEY = "\x00null"  # sentinel: Ray's sort-based groupby can't order nulls
 
-    return identifiers.groupby("method").aggregate(Count(alias_name="n_rows"))
+
+def method_stats(identifiers):
+    """Per-method result counts — the run-metrics aggregation.
+
+    Pre-aggregates inside ``map_batches`` (combiner) so the shuffle moves one
+    row per (method, batch) instead of one per page, and maps the nullable
+    ``method`` key through a non-null sentinel because Ray Data's sort-based
+    shuffle cannot partition on null keys.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        key = pc.fill_null(t["method"], _NULL_KEY)
+        g = pa.table({"m": key}).group_by("m").aggregate([("m", "count")])
+        return g.rename_columns(["method_key", "n"])
+
+    agg = (identifiers
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("method_key")
+           .aggregate(Sum("n", alias_name="n_rows")))
+
+    def restore(t: pa.Table) -> pa.Table:
+        key = t["method_key"]
+        method = pc.if_else(pc.equal(key, _NULL_KEY),
+                            pa.scalar(None, pa.string()), key)
+        return pa.table({"method": method, "n_rows": t["n_rows"]})
+
+    return agg.map_batches(restore, batch_format="pyarrow")

@@ -140,13 +140,19 @@ def pages_dataset(sf_dir: str, replication: int = 1):
     """
     import ray.data
 
+    import pyarrow as pa
+
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text", "lang"])
-    return ds.map_batches(
-        lambda b: synthesize_pages(b, replication),
-        batch_format="pandas",
-        batch_size=1024,
-    )
+
+    def gen(b):
+        # return a metadata-free Arrow table (pandas schema metadata defeats
+        # Ray's block-schema dedup and is dead weight on every block)
+        t = pa.Table.from_pandas(synthesize_pages(b, replication),
+                                 preserve_index=False)
+        return t.replace_schema_metadata(None)
+
+    return ds.map_batches(gen, batch_format="pandas", batch_size=1024)
 
 
 # ---------------------------------------------------------------------------
