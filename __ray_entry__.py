@@ -195,6 +195,97 @@ def _q_rate_by_lang(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# Training-data operators (documents / embeddings / events tables)
+# ---------------------------------------------------------------------------
+
+def _docs(sf_dir: str, columns=("doc_id", "text", "lang")):
+    import ray.data
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=list(columns))
+
+
+def _q_token_stats(sf_dir: str):
+    from pdf2doi_ray.stages.textstats import token_stats
+    return _docs(sf_dir).map_batches(token_stats, batch_format="pyarrow")
+
+
+def _q_quality(sf_dir: str):
+    from pdf2doi_ray.stages.textstats import quality_flags
+    return _docs(sf_dir).map_batches(quality_flags, batch_format="pyarrow")
+
+
+def _q_lang_id(sf_dir: str):
+    from pdf2doi_ray.stages.textstats import lang_id
+    return _docs(sf_dir).map_batches(lang_id, batch_format="pyarrow")
+
+
+def _q_fingerprint(sf_dir: str):
+    from pdf2doi_ray.stages.textstats import fingerprint
+    return _docs(sf_dir).map_batches(fingerprint, batch_format="pyarrow")
+
+
+def _q_dedup_exact(sf_dir: str):
+    from pdf2doi_ray.stages.dedup import dedup_exact
+    return dedup_exact(_docs(sf_dir, ("doc_id", "text")))
+
+
+def _q_minhash_near_dups(sf_dir: str):
+    from pdf2doi_ray.stages.dedup import minhash_near_dups
+    return minhash_near_dups(_docs(sf_dir, ("doc_id", "text")))
+
+
+def _q_simhash(sf_dir: str):
+    from pdf2doi_ray.stages.dedup import simhash_table
+    return simhash_table(_docs(sf_dir, ("doc_id", "text")))
+
+
+def _q_knn(sf_dir: str):
+    import ray.data
+
+    from pdf2doi_ray.stages.similarity import knn_bruteforce, query_vector
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    return knn_bruteforce(emb, query_vector(sf_dir), k=10)
+
+
+def _q_knn_lsh(sf_dir: str):
+    import ray.data
+
+    from pdf2doi_ray.stages.similarity import knn_lsh, query_vector
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    return knn_lsh(emb, query_vector(sf_dir), k=10)
+
+
+def _q_tumbling(sf_dir: str):
+    import ray.data
+
+    from pdf2doi_ray.stages.windows import tumbling_counts
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value"])
+    return tumbling_counts(ev)
+
+
+def _q_sessions(sf_dir: str):
+    import ray.data
+
+    from pdf2doi_ray.stages.windows import session_counts
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "user_id"])
+    return session_counts(ev)
+
+
+def _q_image_features(sf_dir: str):
+    from pdf2doi_ray.stages.multimodal import image_features
+    return image_features(sf_dir)
+
+
+def _q_frame_sample(sf_dir: str):
+    from pdf2doi_ray.stages.multimodal import frame_sample
+    return frame_sample(sf_dir)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -208,6 +299,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "title_candidates": _q_titles,
         "method_stats": _q_method_stats,
         "extraction_rate_by_lang": _q_rate_by_lang,
+        "token_stats": _q_token_stats,
+        "quality_flags": _q_quality,
+        "lang_id": _q_lang_id,
+        "fingerprint": _q_fingerprint,
+        "dedup_exact": _q_dedup_exact,
+        "minhash_near_dups": _q_minhash_near_dups,
+        "simhash": _q_simhash,
+        "knn_bruteforce": _q_knn,
+        "knn_lsh": _q_knn_lsh,
+        "events_tumbling": _q_tumbling,
+        "events_sessions": _q_sessions,
+        "image_features": _q_image_features,
+        "frame_sample": _q_frame_sample,
     }
 
 
@@ -241,4 +345,90 @@ SELECT lang,
        COUNT(*) AS n_pages
 FROM d GROUP BY lang
 """,
+        "token_stats": """
+SELECT doc_id, length(text) AS n_chars,
+       len(string_split(text, ' ')) AS n_tokens
+FROM documents
+""",
+        "quality_flags": """
+WITH t AS (
+  SELECT doc_id, length(text) AS n_chars,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_filter(string_split(text, ' '),
+             x -> x IN ('the','and','of','to','is','it'))) AS n_stopwords,
+         length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS n_punct
+  FROM documents)
+SELECT doc_id, n_chars, n_tokens, n_stopwords, n_punct,
+       CAST(CASE WHEN n_tokens >= 20 AND n_stopwords*1000 >= 50*n_tokens
+            THEN 1 ELSE 0 END AS BIGINT) AS is_quality
+FROM t
+""",
+        "lang_id": """
+WITH c AS (
+  SELECT doc_id, lang,
+    len(list_filter(string_split(text,' '),
+        x -> x IN ('der','die','das','und','nicht','ist'))) AS c_de,
+    len(list_filter(string_split(text,' '),
+        x -> x IN ('the','and','of','to','is','it'))) AS c_en,
+    len(list_filter(string_split(text,' '),
+        x -> x IN ('el','la','los','que','y','es'))) AS c_es,
+    len(list_filter(string_split(text,' '),
+        x -> x IN ('le','la','les','et','est','que'))) AS c_fr,
+    len(list_filter(string_split(text,' '),
+        x -> x IN ('的','是','了','在','我','不'))) AS c_zh
+  FROM documents)
+SELECT doc_id, lang,
+  CASE WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de'
+       WHEN c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
+       WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es'
+       WHEN c_fr >= c_zh THEN 'fr'
+       ELSE 'zh' END AS pred_lang,
+  greatest(c_de, c_en, c_es, c_fr, c_zh) AS vote_count
+FROM c
+""",
+        "fingerprint": """
+SELECT doc_id, md5(text) AS text_hash FROM documents
+""",
+        "dedup_exact": """
+SELECT md5(text) AS text_hash, min(doc_id) AS doc_id
+FROM documents GROUP BY md5(text)
+""",
+        "knn_bruteforce": """
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+s AS (SELECT vec_id,
+             list_cosine_similarity(embedding::DOUBLE[], (SELECT qe FROM q)) AS sim
+      FROM embeddings)
+SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rank,
+       vec_id
+FROM s ORDER BY sim DESC, vec_id LIMIT 10
+""",
+        "events_tumbling": """
+SELECT event_type,
+       CAST(floor(epoch(ts)/3600) AS BIGINT) AS window,
+       count(value) AS n_events,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM events GROUP BY 1, 2
+""",
+        "events_sessions": """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events)
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(new_s) + 1 AS BIGINT) AS n_sessions
+FROM g GROUP BY user_id
+""",
+        "image_features": """
+SELECT doc_id, 8 + doc_id % 32 AS width, 8 + doc_id % 16 AS height,
+       doc_id % 251 AS mean_pixel
+FROM documents
+""",
+        "frame_sample": """
+SELECT doc_id, f AS frame_idx
+FROM documents, unnest(range(0, 8 + doc_id % 8, 4)) AS t(f)
+""",
+        # minhash_near_dups / simhash / knn_lsh: approximate or
+        # non-SQL-expressible → rows-only driver check (documented).
     }

@@ -1,0 +1,127 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+* :func:`knn_bruteforce` — exact cosine top-k: per-batch vectorized numpy
+  matmul against a broadcast query vector (``ray.put`` once, read per task),
+  per-batch top-k partials, final tiny reduce.  The pattern scales: the
+  all-pairs work stays in the map stage; only k rows per batch move.
+* :func:`knn_lsh` — random-hyperplane LSH variant: buckets by sign bits,
+  probes the query bucket plus Hamming-≤1 neighbors.  Approximate; the
+  scale path when the corpus no longer fits a full scan.
+
+Float math is float64 end-to-end so rankings agree with the DuckDB oracle
+(`list_cosine_similarity`); outputs are integer rank/vec_id columns only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+LSH_BITS = 8
+_rng = np.random.RandomState(42)
+_PLANES: np.ndarray | None = None
+
+
+def _stack(col) -> np.ndarray:
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = np.asarray(arr.flatten(), dtype=np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1)
+
+
+def _cosine(mat: np.ndarray, q: np.ndarray) -> np.ndarray:
+    qn = q / np.linalg.norm(q)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    return (mat @ qn) / norms
+
+
+def query_vector(sf_dir: str) -> np.ndarray:
+    """Deterministic query: the embedding of vec_id = 0."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    idx = t.column("vec_id").to_pylist().index(0)
+    return np.asarray(t.column("embedding")[idx].as_py(), dtype=np.float64)
+
+
+def knn_bruteforce(embeddings, query: np.ndarray, k: int = 10):
+    """Exact top-k by cosine similarity (descending, ties → vec_id asc).
+
+    Returns a small pandas frame ``(rank, vec_id)`` — integers only.
+    """
+    import ray
+
+    qref = ray.put(query)
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        q = ray.get(qref)
+        mat = _stack(t["embedding"])
+        sims = _cosine(mat, q)
+        ids = np.asarray(t["vec_id"].combine_chunks()
+                         if isinstance(t["vec_id"], pa.ChunkedArray)
+                         else t["vec_id"])
+        take = min(k, len(ids))
+        part = np.argpartition(-sims, take - 1)[:take] if take else np.array([], int)
+        return pa.table({"vec_id": pa.array(ids[part], type=pa.int64()),
+                         "sim": pa.array(sims[part], type=pa.float64())})
+
+    partials = embeddings.map_batches(partial_topk, batch_format="pyarrow") \
+                         .to_pandas()          # ≤ k rows per batch: tiny
+    partials = partials.sort_values(["sim", "vec_id"],
+                                    ascending=[False, True]).head(k)
+    return pd.DataFrame({
+        "rank": np.arange(1, len(partials) + 1, dtype=np.int64),
+        "vec_id": partials["vec_id"].to_numpy(),
+    })
+
+
+def _planes(dim: int) -> np.ndarray:
+    global _PLANES
+    if _PLANES is None or _PLANES.shape[1] != dim:
+        _PLANES = np.random.RandomState(42).standard_normal((LSH_BITS, dim))
+    return _PLANES
+
+
+def lsh_bucket(vectors: np.ndarray) -> np.ndarray:
+    """Sign-bit bucket id per vector (deterministic hyperplanes)."""
+    signs = (vectors @ _planes(vectors.shape[1]).T) > 0
+    return (signs << np.arange(LSH_BITS)).sum(axis=1).astype(np.int64)
+
+
+def knn_lsh(embeddings, query: np.ndarray, k: int = 10):
+    """Approximate top-k: scan only the query's LSH bucket and its
+    Hamming-≤1 neighbor buckets (multi-probe)."""
+    import ray
+
+    qbucket = int(lsh_bucket(query[None, :])[0])
+    probe = {qbucket} | {qbucket ^ (1 << b) for b in range(LSH_BITS)}
+    probe_arr = np.fromiter(probe, dtype=np.int64)
+    qref = ray.put(query)
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = ray.get(qref)
+        mat = _stack(t["embedding"])
+        buckets = lsh_bucket(mat)
+        mask = np.isin(buckets, probe_arr)
+        if not mask.any():
+            return pa.table({"vec_id": pa.array([], type=pa.int64()),
+                             "sim": pa.array([], type=pa.float64())})
+        ids = np.asarray(t["vec_id"].combine_chunks()
+                         if isinstance(t["vec_id"], pa.ChunkedArray)
+                         else t["vec_id"])[mask]
+        sims = _cosine(mat[mask], q)
+        take = min(k, len(ids))
+        part = np.argpartition(-sims, take - 1)[:take]
+        return pa.table({"vec_id": pa.array(ids[part], type=pa.int64()),
+                         "sim": pa.array(sims[part], type=pa.float64())})
+
+    partials = embeddings.map_batches(partial, batch_format="pyarrow") \
+                         .to_pandas()
+    partials = partials.sort_values(["sim", "vec_id"],
+                                    ascending=[False, True]).head(k)
+    return pd.DataFrame({
+        "rank": np.arange(1, len(partials) + 1, dtype=np.int64),
+        "vec_id": partials["vec_id"].to_numpy(),
+    })

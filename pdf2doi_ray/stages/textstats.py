@@ -1,0 +1,109 @@
+"""Text-analysis operators for training-data pipelines.
+
+All kernels are vectorized (pyarrow.compute / numpy) and hash-stable against
+a DuckDB oracle: outputs are integers / strings only — no accumulated floats
+whose rounding could differ between engines.
+
+Operators (each exposed as a ``queries()`` entry):
+
+* token/char counting         (``token_stats``)
+* quality scoring             (``quality_flags``: stopword / punctuation /
+                               length gates as integer counts + a 0/1 flag)
+* language identification     (``lang_id``: stopword-set voting heuristic
+                               with deterministic tie-break)
+* document fingerprinting     (``fingerprint``: md5 content hash — identical
+                               in Python hashlib and DuckDB ``md5()``)
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Stopword vote sets per language.  Tiny on purpose: the heuristic must be
+# expressible in the SQL oracle (list_filter counts), and the vote is
+# deterministic — ties break by alphabetical language order.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "nicht", "ist"),
+    "en": ("the", "and", "of", "to", "is", "it"),
+    "es": ("el", "la", "los", "que", "y", "es"),
+    "fr": ("le", "la", "les", "et", "est", "que"),
+    "zh": ("的", "是", "了", "在", "我", "不"),
+}
+_LANGS = tuple(sorted(LANG_STOPWORDS))   # alphabetical = tie-break order
+
+QUALITY_MIN_TOKENS = 20      # gates for the 0/1 quality flag
+QUALITY_STOP_PERMILLE = 50   # ≥5% stopwords
+
+
+def _tokens(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Single-space tokenization (matches SQL ``string_split(text, ' ')``)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return pc.split_pattern(arr, " ")
+
+
+def token_stats(batch: pa.Table) -> pa.Table:
+    toks = _tokens(batch["text"])
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_chars": pc.utf8_length(batch["text"]).cast(pa.int64()),
+        "n_tokens": pc.list_value_length(toks).cast(pa.int64()),
+    })
+
+
+def _count_in_set(toks: pa.Array, words: tuple[str, ...]) -> np.ndarray:
+    """Per-row count of tokens in ``words`` via one vectorized is_in over the
+    flattened token column + offset reduction."""
+    flat = toks.flatten()
+    hits = np.asarray(pc.is_in(flat, value_set=pa.array(words))).astype(np.int64)
+    cum = np.concatenate([[0], np.cumsum(hits)])
+    offsets = np.asarray(toks.offsets).astype(np.int64)
+    return cum[offsets[1:]] - cum[offsets[:-1]]
+
+
+def quality_flags(batch: pa.Table) -> pa.Table:
+    toks = _tokens(batch["text"])
+    n_tokens = pc.list_value_length(toks).cast(pa.int64())
+    n_stop = _count_in_set(toks, LANG_STOPWORDS["en"])
+    n_chars = pc.utf8_length(batch["text"]).cast(pa.int64())
+    # punctuation count, vectorized: chars remaining after dropping word
+    # characters and whitespace
+    stripped = pc.replace_substring_regex(batch["text"], r"[\w\s]", "")
+    n_punct = pc.utf8_length(stripped).cast(pa.int64())
+    nt = np.asarray(n_tokens)
+    is_quality = ((nt >= QUALITY_MIN_TOKENS)
+                  & (n_stop * 1000 >= QUALITY_STOP_PERMILLE * nt)).astype(np.int64)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "n_stopwords": pa.array(n_stop, type=pa.int64()),
+        "n_punct": n_punct,
+        "is_quality": pa.array(is_quality, type=pa.int64()),
+    })
+
+
+def lang_id(batch: pa.Table) -> pa.Table:
+    toks = _tokens(batch["text"])
+    counts = np.stack([_count_in_set(toks, LANG_STOPWORDS[lg])
+                       for lg in _LANGS])            # [lang, row]
+    best = counts.argmax(axis=0)                     # first max = alphabetical tie-break
+    pred = np.array(_LANGS, dtype=object)[best]
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "lang": batch["lang"],
+        "pred_lang": pa.array(list(pred), type=pa.string()),
+        "vote_count": pa.array(counts.max(axis=0), type=pa.int64()),
+    })
+
+
+def fingerprint(batch: pa.Table) -> pa.Table:
+    texts = batch["text"].to_pylist()
+    digests = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "text_hash": pa.array(digests, type=pa.string()),
+    })
