@@ -276,6 +276,37 @@ def _q_sessions(sf_dir: str):
     return session_counts(ev)
 
 
+def _q_resume_semi_join(sf_dir: str):
+    """Resume path: identify half the corpus, persist it, then run the full
+    corpus through the broadcast anti-join resume — the combined result must
+    be byte-identical to a from-scratch run (oracle: same SQL as
+    extract_identifiers)."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pdf2doi_ray.config import DEFAULT_CONFIG
+    from pdf2doi_ray.pipelines.identify import identify_pages
+    from pdf2doi_ray.state.checkpoint import with_previous_results
+
+    def even_half(t: pa.Table) -> pa.Table:
+        # even page keys, recovered from the deterministic warc_ts offset
+        secs = pc.divide(pc.cast(t["warc_ts"], pa.int64()), 1_000_000)
+        return t.filter(pc.equal(pc.bit_wise_and(secs, 1), 0))
+
+    prev_dir = tempfile.mkdtemp(prefix="pdf2doi_resume_prev_")
+    shutil.rmtree(prev_dir, ignore_errors=True)
+    half = _pages(sf_dir).map_batches(even_half, batch_format="pyarrow")
+    identify_pages(half, DEFAULT_CONFIG).write_parquet(prev_dir)
+
+    return with_previous_results(
+        _pages(sf_dir), prev_dir,
+        lambda remaining: identify_pages(remaining, DEFAULT_CONFIG))
+
+
 def _q_image_features(sf_dir: str):
     from pdf2doi_ray.stages.multimodal import image_features
     return image_features(sf_dir)
@@ -310,6 +341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": _q_knn_lsh,
         "events_tumbling": _q_tumbling,
         "events_sessions": _q_sessions,
+        "resume_semi_join": _q_resume_semi_join,
         "image_features": _q_image_features,
         "frame_sample": _q_frame_sample,
     }
@@ -318,6 +350,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "extract_identifiers": _identify_sql(_IDENTIFIER, _METHOD),
+        # resume must be result-transparent: combined output == from-scratch
+        "resume_semi_join": _identify_sql(_IDENTIFIER, _METHOD),
         "extract_identifiers_keep_arxiv": _identify_sql(_IDENTIFIER_KA, _METHOD_KA),
         "extract_text_parity": f"""
 WITH d AS ({_D})

@@ -1,0 +1,129 @@
+"""Job entry point: ``python -m pdf2doi_ray.run`` (``ray job submit`` target).
+
+Mirrors the reference CLI's offline-relevant flags
+(``/root/reference/pdf2doi/main.py:244-378``): the google/web flags are
+omitted because the engine targets offline extraction (web stages are
+pluggable actor pools, off by default, matching ``-nws -nwv``).
+
+Examples::
+
+    # extract identifiers from a pages parquet table, checkpointed per shard
+    python -m pdf2doi_ray.run --input /data/pages --output /out/run1
+
+    # resume after interruption: already-manifested shards are skipped
+    python -m pdf2doi_ray.run --input /data/pages --output /out/run1
+
+    # synthesize the deterministic fixture table first (testing)
+    python -m pdf2doi_ray.run --synth-sf-dir /root/testdata/sf0.001 \
+        --output /tmp/out
+
+    # ray job submit -- python -m pdf2doi_ray.run --input ... --output ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="pdf2doi_ray",
+        description="Ray-Data-native DOI/arXiv identifier extraction over "
+                    "Common-Crawl-style pages parquet")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", help="pages parquet file or directory "
+                                     "(url, warc_ts, html, text, lang)")
+    src.add_argument("--synth-sf-dir",
+                     help="synthesize the deterministic pages table from "
+                          "this testdata dir instead of reading --input")
+    p.add_argument("--output", required=True, help="output directory")
+    p.add_argument("--replication", type=int, default=1,
+                   help="pages per document when synthesizing")
+    p.add_argument("--no-arxiv2doi", action="store_true",
+                   help="keep arXiv IDs instead of the (offline-degrading) "
+                        "arXiv→DOI rewrite (reference -no_arxiv2doi)")
+    p.add_argument("--text-only", action="store_true",
+                   help="trust the pre-extracted text column; skip html parse")
+    p.add_argument("--skip-resolved-from", metavar="PREV_OUT",
+                   help="broadcast anti-join: skip urls already resolved by "
+                        "a previous run's output and union its rows in")
+    p.add_argument("--no-checkpoint", action="store_true",
+                   help="single streaming write instead of per-shard "
+                        "checkpointed partitions")
+    p.add_argument("--stats", action="store_true",
+                   help="print per-method counts after the run")
+    p.add_argument("--num-cpus", type=int, default=None,
+                   help="ray.init num_cpus (default: all)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    from .config import DEFAULT_CONFIG
+    from .pipelines.identify import identify_pages, method_stats
+    from .state.checkpoint import checkpointed_run, with_previous_results
+
+    cfg = DEFAULT_CONFIG.with_(
+        replace_arxiv_by_doi=not args.no_arxiv2doi,
+        use_html=not args.text_only,
+    )
+
+    def build(ds):
+        if args.skip_resolved_from:
+            return with_previous_results(
+                ds, args.skip_resolved_from,
+                lambda remaining: identify_pages(remaining, cfg))
+        return identify_pages(ds, cfg)
+
+    if args.synth_sf_dir:
+        from .sources.pages import pages_dataset
+
+        pages = pages_dataset(args.synth_sf_dir, replication=args.replication)
+        out = build(pages)
+        out.write_parquet(args.output)
+        summary = {"rows_out": "written", "mode": "synth-single-write"}
+    elif args.no_checkpoint:
+        import ray.data
+
+        cols = ["url", "text", "lang"] if args.text_only \
+            else ["url", "html", "lang"]
+        pages = ray.data.read_parquet(args.input, columns=cols)
+        build(pages).write_parquet(args.output)
+        summary = {"rows_out": "written", "mode": "single-write"}
+    else:
+        cols = ["url", "text", "lang"] if args.text_only \
+            else ["url", "html", "lang"]
+        summary = checkpointed_run(args.input, args.output, build,
+                                   columns=cols)
+        summary["mode"] = "checkpointed"
+
+    if args.stats:
+        import ray.data
+
+        ids = ray.data.read_parquet(args.output) \
+            if not args.synth_sf_dir else None
+        if ids is not None:
+            stats = method_stats(ids).to_pandas()
+            summary["method_stats"] = {
+                str(r["method"]): int(r["n_rows"])
+                for _, r in stats.iterrows()}
+
+    print(json.dumps(summary))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,181 @@
+"""Resumable partitioned output: shard checkpoints, lineage, resume joins.
+
+The reference's only resume mechanism is writing the found identifier back
+into each PDF's own metadata so a re-run short-circuits via method 1
+(``/root/reference/pdf2doi/finders.py:587-608``).  Mutating 100 TB of source
+data is not an option, so the engine replaces it with:
+
+* **shard checkpoints** (:func:`checkpointed_run`): the unit of work is one
+  input parquet shard; each shard's output is written to its own partition
+  directory via temp-dir + atomic rename, then a lineage record (shard →
+  partition, row counts, found count) is appended to ``manifest.jsonl``.  A
+  restart skips every shard already in the manifest — exactly-once output
+  per shard without a transactional sink.
+* **previous-output skip** (:func:`with_previous_results`): the engine-side
+  analog of the metadata memo — a broadcast anti-join on ``url`` against an
+  earlier run's results, so already-resolved pages skip the parse cascade
+  entirely and their prior rows are unioned back in.
+* **finalize dedup** (:func:`dedup_by_url`): exact first-wins dedup keyed on
+  ``url`` guarding against re-processed partitions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+
+def _manifest_path(out_dir: str) -> str:
+    # underscore prefix: parquet dataset discovery skips the file, so the
+    # output directory stays directly readable with read_parquet
+    return os.path.join(out_dir, "_manifest.jsonl")
+
+
+def read_manifest(out_dir: str) -> dict[str, dict]:
+    done = {}
+    path = _manifest_path(out_dir)
+    if os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    # torn line from a crash mid-append: the shard is simply
+                    # not done — it re-runs and its atomic part publish
+                    # overwrites any remnants
+                    continue
+                done[rec["shard"]] = rec
+    return done
+
+
+def list_shards(input_path: str) -> list[str]:
+    """Input shards = the parquet files of a dataset directory (or the one
+    file itself)."""
+    if os.path.isfile(input_path):
+        return [input_path]
+    return sorted(
+        os.path.join(input_path, f) for f in os.listdir(input_path)
+        if f.endswith(".parquet"))
+
+
+def checkpointed_run(input_path: str, out_dir: str, pipeline_builder,
+                     columns: list[str] | None = None) -> dict:
+    """Run ``pipeline_builder(shard_dataset) -> Dataset`` per input shard
+    with per-shard checkpointing and lineage.
+
+    Already-manifested shards are skipped (resume).  Each shard still runs
+    as a parallel streaming pipeline internally; at fleet scale input has
+    many shards per node so this outer loop is the partition axis, not a
+    serialization point.
+    """
+    import ray.data
+
+    os.makedirs(out_dir, exist_ok=True)
+    done = read_manifest(out_dir)
+    summary = {"shards_total": 0, "shards_skipped": 0, "shards_run": 0,
+               "rows_out": 0}
+    for shard in list_shards(input_path):
+        key = os.path.basename(shard)
+        summary["shards_total"] += 1
+        if key in done:
+            summary["shards_skipped"] += 1
+            summary["rows_out"] += done[key]["rows_out"]
+            continue
+        part_dir = os.path.join(out_dir, f"part={os.path.splitext(key)[0]}")
+        tmp_dir = os.path.join(out_dir, f"_tmp_{os.path.splitext(key)[0]}")
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        shutil.rmtree(part_dir, ignore_errors=True)
+
+        ds = ray.data.read_parquet(shard, columns=columns)
+        result = pipeline_builder(ds)
+        result.write_parquet(tmp_dir)
+
+        # lineage metrics from the written partition (cheap re-read of the
+        # small result, not the input)
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        out_ds = ray.data.read_parquet(tmp_dir)
+        rows_out = out_ds.count()
+        if "identifier" in (out_ds.schema().names or []):
+            n_found = int(ray.data.read_parquet(
+                tmp_dir, columns=["identifier"]).map_batches(
+                lambda t: pa.table({"f": pa.array(
+                    [pc.sum(pc.is_valid(t["identifier"]).cast(pa.int64()))
+                     .as_py() or 0], type=pa.int64())}),
+                batch_format="pyarrow").sum("f"))
+        else:
+            n_found = None
+
+        os.rename(tmp_dir, part_dir)          # atomic publish
+        rec = {"shard": key, "part": os.path.basename(part_dir),
+               "rows_out": rows_out, "n_found": n_found,
+               "ts": time.time()}
+        with open(_manifest_path(out_dir), "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        summary["shards_run"] += 1
+        summary["rows_out"] += rows_out
+    return summary
+
+
+def previous_result_urls(prev_dir: str):
+    """urls already resolved (identifier found) by a previous run — the
+    broadcast small side of the resume anti-join."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    prev = ray.data.read_parquet(prev_dir, columns=["url", "identifier"])
+    found = prev.map_batches(
+        lambda t: t.filter(pc.is_valid(t["identifier"])).select(["url"]),
+        batch_format="pyarrow")
+    # NOTE scale path: at fleet scale the url set becomes a Bloom filter (or
+    # a hash-bucketed anti-join) instead of an exact broadcast set; the
+    # operator shape (broadcast small side, filter inside map_batches) stays.
+    return {r["url"] for r in found.take_all()}
+
+
+def with_previous_results(pages, prev_dir: str, identify_fn):
+    """Broadcast anti-join resume: pages already resolved in ``prev_dir``
+    skip the cascade; their previous rows are unioned back in.
+
+    ``identify_fn(pages_subset) -> identifiers`` runs only on the remainder.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    resolved = previous_result_urls(prev_dir)
+    resolved_ref = ray.put(resolved)
+
+    def drop_resolved(t: pa.Table) -> pa.Table:
+        urls = t["url"].to_pylist()
+        seen = ray.get(resolved_ref)
+        mask = np.array([u not in seen for u in urls])
+        return t.filter(pa.array(mask))
+
+    remaining = pages.map_batches(drop_resolved, batch_format="pyarrow")
+    fresh = identify_fn(remaining)
+
+    import pyarrow.compute as pc2
+
+    prev = ray.data.read_parquet(prev_dir).map_batches(
+        lambda t: t.filter(pc2.is_valid(t["identifier"])),
+        batch_format="pyarrow")
+    return fresh.union(prev)
+
+
+def dedup_by_url(identifiers):
+    """Exact first-wins dedup on ``url`` (hash-partition + per-group head) —
+    guards against double-counted rows from re-processed partitions."""
+    import pandas as pd
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return identifiers.groupby("url").map_groups(first, batch_format="pandas")
