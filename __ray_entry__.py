@@ -276,6 +276,31 @@ def _q_sessions(sf_dir: str):
     return session_counts(ev)
 
 
+def _q_filename_only(sf_dir: str):
+    from pdf2doi_ray.config import DEFAULT_CONFIG
+    from pdf2doi_ray.pipelines.identify import identify_pages
+    return identify_pages(_pages(sf_dir),
+                          DEFAULT_CONFIG.with_(methods=("filename",)))
+
+
+def _q_metadata_only(sf_dir: str):
+    from pdf2doi_ray.config import DEFAULT_CONFIG
+    from pdf2doi_ray.pipelines.identify import identify_pages
+    return identify_pages(_pages(sf_dir),
+                          DEFAULT_CONFIG.with_(methods=("document_infos",)))
+
+
+def _q_ascii_first_n(sf_dir: str):
+    from pdf2doi_ray.stages.textstats import ascii_first_n
+    return _docs(sf_dir, ("doc_id", "text")).map_batches(
+        ascii_first_n, batch_format="pyarrow")
+
+
+def _q_pages_per_host(sf_dir: str):
+    from pdf2doi_ray.stages.skew import pages_per_host
+    return pages_per_host(_pages(sf_dir))
+
+
 def _q_resume_semi_join(sf_dir: str):
     """Resume path: identify half the corpus, persist it, then run the full
     corpus through the broadcast anti-join resume — the combined result must
@@ -342,6 +367,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling": _q_tumbling,
         "events_sessions": _q_sessions,
         "resume_semi_join": _q_resume_semi_join,
+        "extract_filename_only": _q_filename_only,
+        "extract_metadata_only": _q_metadata_only,
+        "ascii_first_n": _q_ascii_first_n,
+        "pages_per_host": _q_pages_per_host,
         "image_features": _q_image_features,
         "frame_sample": _q_frame_sample,
     }
@@ -378,6 +407,40 @@ SELECT lang,
        CAST(SUM(CASE WHEN {_IDENTIFIER} IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
        COUNT(*) AS n_pages
 FROM d GROUP BY lang
+""",
+        "extract_filename_only": f"""
+WITH d AS ({_D})
+SELECT {_URL} AS url,
+       CASE WHEN slot IN (3,4,13) THEN '10.' || reg || '/u' || ks || '.pdf'
+            ELSE NULL END AS identifier,
+       CASE WHEN slot IN (3,4,13) THEN 'DOI' ELSE NULL END AS identifier_type,
+       CASE WHEN slot = 5 THEN NULL ELSE 'filename' END AS method,
+       CASE WHEN slot IN (3,4,13) THEN 'True' ELSE NULL END AS validation_info
+FROM d
+""",
+        "extract_metadata_only": f"""
+WITH d AS ({_D})
+SELECT {_URL} AS url,
+       CASE WHEN slot IN (0,1) THEN '10.' || reg || '/meta.' || ks
+            WHEN slot = 12 THEN '10.' || reg || '/mc.' || ks
+            WHEN slot = 16 THEN '10.' || reg || '/ns.' || ks
+            ELSE NULL END AS identifier,
+       CASE WHEN slot IN (0,1,12,16) THEN 'DOI' ELSE NULL END AS identifier_type,
+       'document_infos' AS method,
+       CASE WHEN slot IN (0,1,12,16) THEN 'True' ELSE NULL END AS validation_info
+FROM d
+""",
+        "ascii_first_n": """
+SELECT doc_id,
+       left(replace(replace(replace(
+           regexp_replace(text, '[^\\x00-\\x7f]', ' ', 'g'),
+           chr(10), ' '), chr(13), ' '), chr(9), ' '), 1000) AS snippet
+FROM documents
+""",
+        "pages_per_host": """
+SELECT 'site' || CAST(doc_id % 50 AS VARCHAR) || '.example.org' AS host,
+       count(*) AS n_pages
+FROM documents GROUP BY 1
 """,
         "token_stats": """
 SELECT doc_id, length(text) AS n_chars,

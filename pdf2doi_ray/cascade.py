@@ -175,17 +175,22 @@ def identify_row(url: str, text: str | None, meta_keys, meta_vals,
     arXiv rewrite applied to whichever method hits.  Offline, the google
     methods contribute nothing but the last attempted method name.
     """
-    attempts = (
-        ("document_infos", lambda: search_info(meta_keys, meta_vals, cfg, validate)),
-        ("filename", lambda: search_filename(url, validate)),
-        ("document_text", lambda: search_texts([text] if text is not None else [], validate)),
-    )
-    for method, run in attempts:
-        identifier, kind, verdict = run()
+    attempts = {
+        "document_infos": lambda: search_info(meta_keys, meta_vals, cfg, validate),
+        "filename": lambda: search_filename(url, validate),
+        "document_text": lambda: search_texts([text] if text is not None else [], validate),
+    }
+    full_cascade = tuple(cfg.methods) == tuple(attempts)
+    for method in cfg.methods:
+        identifier, kind, verdict = attempts[method]()
         if identifier:
             rewritten = rewrite_arxiv(identifier, kind, verdict, method, cfg)
             if rewritten is None:
                 return DEGRADED
             identifier, kind, verdict, method = rewritten
             return Found(identifier, kind, method, _info_str(verdict))
-    return Found(None, None, EXHAUSTED_METHOD, None)
+    # the reference stamps the LAST attempted method on exhausted rows: the
+    # full cascade falls through to the (offline no-op) google methods, a
+    # single-method call stamps that method (finders.py:688-691)
+    last = EXHAUSTED_METHOD if full_cascade else cfg.methods[-1]
+    return Found(None, None, last, None)

@@ -37,6 +37,12 @@ class EngineConfig:
     #: article-level) DOIs (reference finders.py:715).
     keys_blocklist: tuple[str, ...] = ("wps-journaldoi",)
 
+    #: ordered offline finder methods to run (the reference's finder_methods
+    #: registry, finders.py:867-873, restricted to the offline ones).  A
+    #: proper subset mirrors calling find_identifier(file, method=...) with a
+    #: single method.
+    methods: tuple[str, ...] = ("document_infos", "filename", "document_text")
+
     # --- input handling --------------------------------------------------
     #: parse the html binary column (actor-pool stage) instead of trusting a
     #: pre-extracted ``text`` column.

@@ -79,6 +79,46 @@ def identify_pages_staged(pages, cfg: EngineConfig = DEFAULT_CONFIG,
     return extracted.select_columns(RESULT_COLUMNS + list(keep_columns))
 
 
+#: the reference's finder-method registry (finders.py:867-873) restricted to
+#: the offline methods: name → EngineConfig running ONLY that method.
+def finder_registry(base_cfg: EngineConfig = DEFAULT_CONFIG):
+    return {name: base_cfg.with_(methods=(name,))
+            for name in ("document_infos", "filename", "document_text")}
+
+
+def format_report_lines(identifiers):
+    """Fixed-width report rows, byte-compatible with the reference's
+    identifier-table writer (main.py:218-221): ``type id url`` columns at
+    widths 15/40/10, ``n.a.`` placeholders for unvalidated rows."""
+    import pyarrow as pa
+
+    def fmt(t: pa.Table) -> pa.Table:
+        lines = []
+        for ident, kind, vinfo, url in zip(
+                t["identifier"].to_pylist(), t["identifier_type"].to_pylist(),
+                t["validation_info"].to_pylist(), t["url"].to_pylist()):
+            if vinfo:
+                lines.append("{:<15s} {:<40s} {:<10s}".format(kind, ident, url))
+            else:
+                lines.append("{:<15s} {:<40s} {:<10s}".format("n.a.", "n.a.", url))
+        return pa.table({"line": pa.array(lines, type=pa.string())})
+
+    return identifiers.map_batches(fmt, batch_format="pyarrow")
+
+
+def write_report(identifiers, path: str) -> int:
+    """Stream the formatted report into one text file (the reference's
+    single-file CLI sink).  Returns the line count."""
+    n = 0
+    with open(path, "w", encoding="utf-8") as f:
+        for batch in format_report_lines(identifiers).iter_batches(
+                batch_size=8192, batch_format="pyarrow"):
+            for line in batch["line"].to_pylist():
+                f.write(line + "\n")
+                n += 1
+    return n
+
+
 _NULL_KEY = "\x00null"  # sentinel: Ray's sort-based groupby can't order nulls
 
 

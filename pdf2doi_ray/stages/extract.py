@@ -68,20 +68,29 @@ def make_extract_fn(cfg: EngineConfig):
     compiled grammars live at module import, once per worker process.
     """
 
+    full_cascade = tuple(cfg.methods) == ("document_infos", "filename",
+                                          "document_text")
+    exhausted = EXHAUSTED_METHOD if full_cascade else cfg.methods[-1]
+
     def extract(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         has_meta = "meta_keys" in batch.column_names
 
+        # prefilter only the columns of enabled methods — a disabled method
+        # must not mark rows as candidates (nor cost a kernel)
         text_mask = _mask(batch["text"], PREFILTER_SRC) \
-            if "text" in batch.column_names else np.zeros(n, dtype=bool)
-        url_mask = _mask(batch["url"], URL_PREFILTER_SRC)
+            if "document_text" in cfg.methods and "text" in batch.column_names \
+            else np.zeros(n, dtype=bool)
+        url_mask = _mask(batch["url"], URL_PREFILTER_SRC) \
+            if "filename" in cfg.methods else np.zeros(n, dtype=bool)
         meta_mask = _list_any(batch["meta_vals"], PREFILTER_SRC) \
-            if has_meta else np.zeros(n, dtype=bool)
+            if "document_infos" in cfg.methods and has_meta \
+            else np.zeros(n, dtype=bool)
         candidate = text_mask | url_mask | meta_mask
 
         identifier: list[str | None] = [None] * n
         id_type: list[str | None] = [None] * n
-        method: list[str | None] = [EXHAUSTED_METHOD] * n
+        method: list[str | None] = [exhausted] * n
         vinfo: list[str | None] = [None] * n
 
         idxs = np.nonzero(candidate)[0]

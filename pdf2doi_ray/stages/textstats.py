@@ -100,6 +100,18 @@ def lang_id(batch: pa.Table) -> pa.Table:
     })
 
 
+def ascii_first_n(batch: pa.Table, n: int = 1000) -> pa.Table:
+    """The reference's query-preparation scrub (finders.py:844-852):
+    non-ASCII → space, ``\\n \\r \\t`` → space, first ``n`` characters.
+    Fully vectorized (three RE2 kernels + a slice)."""
+    t = batch["text"]
+    t = pc.replace_substring_regex(t, r"[^\x00-\x7f]", " ")
+    for ch in ("\n", "\r", "\t"):
+        t = pc.replace_substring(t, ch, " ")
+    t = pc.utf8_slice_codeunits(t, 0, n)
+    return pa.table({"doc_id": batch["doc_id"], "snippet": t})
+
+
 def fingerprint(batch: pa.Table) -> pa.Table:
     texts = batch["text"].to_pylist()
     digests = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
