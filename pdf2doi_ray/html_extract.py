@@ -63,6 +63,68 @@ def _attrs(tag_src: str) -> dict[str, str]:
     return out
 
 
+_BAD_LT = re.compile(r"<(?![a-zA-Z/!])")
+_NESTED_LT = re.compile(r"<[^>]*<")
+_META_FAST = re.compile(
+    r'<meta\s+(?:name|property)="([^"]*)"\s+content="([^"]*)"\s*/?>')
+_TITLE_FAST = re.compile(r"<title>([^<]*)</title>")
+_H1_FAST = re.compile(r"<h1>([^<]*)</h1>")
+
+
+def _parse_page_fast(html: str) -> ParsedPage | None:
+    """Common-case fast path.  Returns None (→ full scan) unless the page
+    provably matches the simple shape where the fast extraction is
+    byte-identical to the full scanner:
+
+    * exactly one ``<main>`` whose content has no markup,
+    * no script/style/comment/CDATA anywhere (they could fake tags),
+    * metas in double-quoted name-then-content form, title/h1 markup-free.
+    """
+    if ("<script" in html or "<style" in html or "<!--" in html
+            or "<![CDATA[" in html):
+        return None
+    # any '<' that doesn't start a tag (stray '<', '<<', '< ') changes how
+    # the full scanner tokenizes — bail; also bail on multiple <title>
+    # elements (the full scanner concatenates their text)
+    # also: a '<' inside a tag region (`<text &<main>`) makes the tokenizer
+    # swallow the inner tag — the fast substring finds would disagree
+    if _BAD_LT.search(html) or _NESTED_LT.search(html) \
+            or html.count("<title") > 1:
+        return None
+    i = html.find("<main>")
+    if i == -1:
+        return None
+    j = html.find("</main>", i)
+    if j == -1 or html.find("<main", i + 6) != -1:
+        return None
+    inner = html[i + 6:j]
+    if "<" in inner:
+        return None
+
+    metas = _META_FAST.findall(html)
+    # every <meta ...> occurrence must have been captured in full (otherwise
+    # a single-quoted / reordered meta would silently disappear)
+    if html.count("<meta") != len(metas) + html.count("<meta charset"):
+        return None
+    # the match must be the FIRST occurrence of the tag — otherwise a
+    # markup-bearing first title/h1 would be silently skipped in favor of a
+    # later simple one (the full scanner keeps the first)
+    tm = _TITLE_FAST.search(html)
+    if (tm.start() if tm else -1) != html.find("<title"):
+        return None
+    hm = _H1_FAST.search(html)
+    if (hm.start() if hm else -1) != html.find("<h1"):
+        return None
+    if "&" in inner:
+        inner = unescape(inner)
+    # empty elements collect no text node in the full scanner → None
+    title = unescape(tm.group(1)) if tm and tm.group(1) else None
+    h1 = unescape(hm.group(1)) if hm and hm.group(1) else None
+    return ParsedPage(inner, title, h1,
+                      [k for k, _ in metas],
+                      [unescape(v) for _, v in metas])
+
+
 def parse_page(payload: bytes | str) -> ParsedPage:
     """Extract main text, title, first h1 and meta pairs from an HTML payload.
 
@@ -73,6 +135,9 @@ def parse_page(payload: bytes | str) -> ParsedPage:
     policy (finders.py:374-387, 465-471).
     """
     html = payload.decode("utf-8", errors="replace") if isinstance(payload, bytes) else payload
+    fast = _parse_page_fast(html)
+    if fast is not None:
+        return fast
     lower = None        # lowercased copy built lazily (only raw-text skipping needs it)
 
     main_parts: list[str] = []          # text inside <main>

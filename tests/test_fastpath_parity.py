@@ -1,0 +1,45 @@
+"""Differential guarantee: the parser fast path is byte-identical to the
+full scanner — on every fixture page and under markup fuzz (the fast path
+must bail to the full scan whenever its preconditions don't hold)."""
+
+import random
+
+import pyarrow.parquet as pq
+import pytest
+
+import pdf2doi_ray.html_extract as hx
+from pdf2doi_ray.sources.pages import synthesize_pages
+
+
+def full_only(payload):
+    save = hx._parse_page_fast
+    hx._parse_page_fast = lambda h: None
+    try:
+        return hx.parse_page(payload)
+    finally:
+        hx._parse_page_fast = save
+
+
+def test_fast_path_identical_on_fixture_pages():
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet") \
+        .to_pandas()
+    pages = synthesize_pages(docs, replication=1)
+    for h in pages["html"]:
+        assert hx.parse_page(h) == full_only(h)
+        # and the fast path actually engages on the fixture shape
+        assert hx._parse_page_fast(h.decode()) is not None
+
+
+FRAGS = ["<main>", "</main>", "<h1>", "</h1>", "<em>x</em>", "text ",
+         "&amp;", '<meta name="k" content="v">', "<script>s</script>",
+         "<title>t</title>", "</title>", "<nav>n</nav>", "<", ">", "&",
+         '"', "<body>", "</body>", "<title></title>", "<h1></h1>",
+         "<main></main>", "<h1>h</h1>"]
+
+
+@pytest.mark.parametrize("seed", [42, 123, 999])
+def test_fast_path_fuzz_parity(seed):
+    rng = random.Random(seed)
+    for _ in range(8000):
+        s = "".join(rng.choice(FRAGS) for _ in range(rng.randint(1, 15)))
+        assert hx.parse_page(s) == full_only(s), repr(s)
