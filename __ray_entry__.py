@@ -392,7 +392,7 @@ FROM d
         "title_candidates": f"""
 WITH d AS ({_D})
 SELECT {_URL} AS url,
-       'Study ' || ks || ' of stream processing' AS best_title,
+       'Document ' || ks || ' from site' || site || '.example.org' AS best_title,
        CAST(2 AS BIGINT) AS n_titles
 FROM d
 """,

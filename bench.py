@@ -141,6 +141,33 @@ def main() -> None:
     if not headline_only:
         queries["method_stats"] = timed(q_stats)
 
+    # exact dedup at pages scale (combiner + hash groupby — a real shuffle:
+    # replicated pages share base texts, so dup groups are large)
+    def q_dedup():
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from pdf2doi_ray.stages.dedup import dedup_exact
+
+        def prep(t):
+            k = pc.divide(pc.cast(t["warc_ts"], pa.int64()), 1_000_000)
+            return pa.table({"doc_id": k.cast(pa.int64()), "text": t["text"]})
+
+        ds = read_pages(("warc_ts", "text"), split=True) \
+            .map_batches(prep, batch_format="pyarrow")
+        dedup_exact(ds).count()
+
+    if not headline_only:
+        queries["dedup_exact_pages"] = timed(q_dedup)
+
+    # salted hot-host aggregation at pages scale (50 hosts × many pages)
+    def q_hosts():
+        from pdf2doi_ray.stages.skew import pages_per_host
+        pages_per_host(read_pages(("url",), split=True)).materialize()
+
+    if not headline_only:
+        queries["pages_per_host"] = timed(q_hosts)
+
     headline = queries["identify_full"]
     print(json.dumps({
         "metric": "identify_full seconds (pages parquet -> identifiers parquet)",

@@ -69,6 +69,44 @@ class EngineConfig:
         return replace(self, **kw)
 
 
+def from_ini(path: str) -> "EngineConfig":
+    """Load overrides from an INI file (driver-side only), with the
+    reference's string→bool/int coercion semantics
+    (config.py:76-91, 93-106): 'true'/'false' case-insensitive → bool,
+    digit strings → int, everything else stays a string."""
+    import configparser
+
+    cp = configparser.ConfigParser()
+    cp.read(path)
+    if "engine" not in cp:
+        return EngineConfig()
+    kw = {}
+    valid = EngineConfig.__dataclass_fields__
+    for key, raw in cp["engine"].items():
+        if key not in valid:
+            continue
+        low = raw.strip().lower()
+        if low in ("true", "false"):
+            kw[key] = low == "true"
+        elif raw.strip().lstrip("-").isdigit():
+            kw[key] = int(raw)
+        else:
+            kw[key] = raw
+    return EngineConfig(**kw)
+
+
+def to_ini(cfg: EngineConfig, path: str) -> None:
+    """Persist scalar params to INI (driver-side convenience)."""
+    import configparser
+    from dataclasses import fields
+
+    cp = configparser.ConfigParser()
+    cp["engine"] = {f.name: str(getattr(cfg, f.name)) for f in fields(cfg)
+                    if isinstance(getattr(cfg, f.name), (bool, int, str))}
+    with open(path, "w") as fh:
+        cp.write(fh)
+
+
 DEFAULT_CONFIG = EngineConfig()
 #: config variant that keeps arXiv IDs instead of reproducing the reference's
 #: offline degrade-to-null rewrite (the reference's ``-no_arxiv2doi`` flag).

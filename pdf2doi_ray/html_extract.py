@@ -278,4 +278,7 @@ def candidate_titles(url: str, title, h1, meta_keys, meta_vals) -> list[str]:
     for t in out:
         if t not in seen:
             seen.append(t)
+    # longest-first: the reference googles the longest candidate first
+    # (finders.py:807, stable sort keeps source order on ties)
+    seen.sort(key=len, reverse=True)
     return seen

@@ -54,6 +54,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "checkpointed partitions")
     p.add_argument("--stats", action="store_true",
                    help="print per-method counts after the run")
+    p.add_argument("--report", metavar="FILE",
+                   help="also write the reference-format fixed-width "
+                        "identifier report to FILE")
+    p.add_argument("--config-ini", metavar="INI",
+                   help="load EngineConfig overrides from an INI file "
+                        "(CLI flags still win)")
     p.add_argument("--num-cpus", type=int, default=None,
                    help="ray.init num_cpus (default: all)")
     return p
@@ -75,9 +81,14 @@ def main(argv=None) -> int:
     from .pipelines.identify import identify_pages, method_stats
     from .state.checkpoint import checkpointed_run, with_previous_results
 
-    cfg = DEFAULT_CONFIG.with_(
-        replace_arxiv_by_doi=not args.no_arxiv2doi,
-        use_html=not args.text_only,
+    base = DEFAULT_CONFIG
+    if args.config_ini:
+        from .config import from_ini
+        base = from_ini(args.config_ini)
+    cfg = base.with_(
+        replace_arxiv_by_doi=(base.replace_arxiv_by_doi
+                              and not args.no_arxiv2doi),
+        use_html=base.use_html and not args.text_only,
     )
 
     def build(ds):
@@ -119,6 +130,14 @@ def main(argv=None) -> int:
             summary["method_stats"] = {
                 str(r["method"]): int(r["n_rows"])
                 for _, r in stats.iterrows()}
+
+    if args.report:
+        import ray.data
+
+        from .pipelines.identify import write_report
+
+        ids = ray.data.read_parquet(args.output)
+        summary["report_lines"] = write_report(ids, args.report)
 
     print(json.dumps(summary))
     ray.shutdown()

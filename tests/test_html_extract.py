@@ -66,9 +66,8 @@ def test_candidate_titles_order_gates_dedup():
         ["citation_title", "dc.title", "other"],
         ["Four Words Meta Title Here", "short", "ignored"],
     )
-    assert cands[0] == "A Headline Long Enough"
-    assert cands[1] == "A Proper Document Title"
-    assert "Four Words Meta Title Here" in cands
-    assert cands[-1] == "a" * 40
+    # longest-first ordering (the reference googles longest first)
+    assert cands == ["a" * 40, "Four Words Meta Title Here",
+                     "A Proper Document Title", "A Headline Long Enough"]
     # short (<12 chars) and 'other'-key values excluded
     assert "short" not in cands and "ignored" not in cands
