@@ -128,9 +128,9 @@ def _q_text_parity(sf_dir: str):
 
     from pdf2doi_ray.stages.parse import HtmlParse
 
+    parser = HtmlParse()                      # task mode: actor spawn is slow here
     parsed = _pages(sf_dir).map_batches(
-        HtmlParse, batch_format="pyarrow", batch_size=256,
-        concurrency=(1, 4), num_cpus=1)
+        lambda t: parser(t), batch_format="pyarrow", batch_size=1024)
 
     def project(t):
         t = t.select(["url", "text"])
@@ -146,9 +146,9 @@ def _q_titles(sf_dir: str):
     from pdf2doi_ray.html_extract import candidate_titles
     from pdf2doi_ray.stages.parse import HtmlParse
 
+    parser = HtmlParse()                      # task mode: actor spawn is slow here
     parsed = _pages(sf_dir).map_batches(
-        HtmlParse, batch_format="pyarrow", batch_size=256,
-        concurrency=(1, 4), num_cpus=1)
+        lambda t: parser(t), batch_format="pyarrow", batch_size=1024)
 
     def choose(t):
         urls = t["url"].to_pylist()
@@ -240,6 +240,11 @@ def _q_simhash(sf_dir: str):
     return simhash_table(_docs(sf_dir, ("doc_id", "text")))
 
 
+def _q_wordset_jaccard(sf_dir: str):
+    from pdf2doi_ray.stages.dedup import wordset_jaccard_adjacent
+    return wordset_jaccard_adjacent(_docs(sf_dir, ("doc_id", "text")))
+
+
 def _q_knn(sf_dir: str):
     import ray.data
 
@@ -256,6 +261,15 @@ def _q_knn_lsh(sf_dir: str):
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                 columns=["vec_id", "embedding"])
     return knn_lsh(emb, query_vector(sf_dir), k=10)
+
+
+def _q_embedding_near_dups(sf_dir: str):
+    import ray.data
+
+    from pdf2doi_ray.stages.similarity import embedding_near_dups
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    return embedding_near_dups(emb, threshold=0.40)
 
 
 def _q_tumbling(sf_dir: str):
@@ -362,8 +376,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash": _q_simhash,
+        "wordset_jaccard": _q_wordset_jaccard,
         "knn_bruteforce": _q_knn,
         "knn_lsh": _q_knn_lsh,
+        "embedding_near_dups": _q_embedding_near_dups,
         "events_tumbling": _q_tumbling,
         "events_sessions": _q_sessions,
         "resume_semi_join": _q_resume_semi_join,
@@ -498,6 +514,24 @@ s AS (SELECT vec_id,
 SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rank,
        vec_id
 FROM s ORDER BY sim DESC, vec_id LIMIT 10
+""",
+        "wordset_jaccard": """
+WITH w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) ws
+           FROM documents),
+p AS (SELECT a.doc_id,
+             len(list_intersect(a.ws, b.ws)) AS i,
+             len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws)) AS u
+      FROM w a JOIN w b ON b.doc_id = a.doc_id + 1)
+SELECT doc_id,
+       CAST(CASE WHEN u = 0 THEN 1000
+            ELSE floor(1000.0 * i / u) END AS BIGINT) AS jaccard_next_permille
+FROM p
+""",
+        "embedding_near_dups": """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      >= 0.40
 """,
         "events_tumbling": """
 SELECT event_type,

@@ -186,6 +186,40 @@ def minhash_near_dups(docs, threshold_permille: int = 800, n_shingle: int = 3):
                      "jaccard_permille": pa.array(jac, type=pa.int64())})
 
 
+def wordset_jaccard_adjacent(docs):
+    """Word-set Jaccard between each doc and its successor (doc_id+1) — the
+    standalone n-gram-Jaccard scorer over a deterministic pair set.
+
+    The pair side is tiny by construction, so it rides along as a broadcast
+    dict (``ray.put``) and each batch scores its own rows — a broadcast
+    self-join, no shuffle.  Output is integer permille (floor) for
+    hash-stable oracle comparison.
+    """
+    import ray
+
+    rows = docs.select_columns(["doc_id", "text"]).take_all()
+    words = {r["doc_id"]: set(r["text"].split()) for r in rows}
+    ref = ray.put(words)
+
+    def score(t: pa.Table) -> pa.Table:
+        w = ray.get(ref)
+        ids, jac = [], []
+        for doc_id, text in zip(t["doc_id"].to_pylist(),
+                                t["text"].to_pylist()):
+            nxt = w.get(doc_id + 1)
+            if nxt is None:
+                continue
+            a = set(text.split())
+            inter = len(a & nxt)
+            union = len(a) + len(nxt) - inter
+            ids.append(doc_id)
+            jac.append((1000 * inter) // union if union else 1000)
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "jaccard_next_permille": pa.array(jac, type=pa.int64())})
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
 def simhash64(text: str) -> int:
     """63-bit simhash over whitespace tokens (deterministic, vectorized:
     one ``unpackbits`` + column sum per document)."""

@@ -77,6 +77,43 @@ def knn_bruteforce(embeddings, query: np.ndarray, k: int = 10):
     })
 
 
+def embedding_near_dups(embeddings, threshold: float = 0.40):
+    """Embedding-cosine near-duplicate pairs (``vec_a < vec_b``), exact.
+
+    Baseline shape: the (small) corpus matrix is broadcast once via
+    ``ray.put`` and every batch does one vectorized matmul against it — the
+    all-pairs work stays in the map stage, only qualifying pairs move.
+    Scale path (corpus matrix no longer broadcastable): LSH-bucket both
+    sides (:func:`lsh_bucket`) and do the pairwise step per bucket inside a
+    ``groupby(bucket).map_groups`` — approximate across bucket boundaries.
+    """
+    import ray
+
+    all_rows = embeddings.take_all()           # small side by contract
+    ids = np.array([r["vec_id"] for r in all_rows], dtype=np.int64)
+    mat = np.array([r["embedding"] for r in all_rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    ref = ray.put((ids, mat / norms[:, None]))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        a_ids_all, unit = ray.get(ref)
+        m = _stack(t["embedding"])
+        mn = np.linalg.norm(m, axis=1)
+        mn[mn == 0] = 1.0
+        sims = (m / mn[:, None]) @ unit.T            # [batch, corpus]
+        b_ids = np.asarray(t["vec_id"].combine_chunks()
+                           if isinstance(t["vec_id"], pa.ChunkedArray)
+                           else t["vec_id"])
+        ii, jj = np.nonzero(sims >= threshold)
+        va, vb = b_ids[ii], a_ids_all[jj]
+        keep = va < vb
+        return pa.table({"vec_a": pa.array(va[keep], type=pa.int64()),
+                         "vec_b": pa.array(vb[keep], type=pa.int64())})
+
+    return embeddings.map_batches(pairs, batch_format="pyarrow")
+
+
 def _planes(dim: int) -> np.ndarray:
     global _PLANES
     if _PLANES is None or _PLANES.shape[1] != dim:
