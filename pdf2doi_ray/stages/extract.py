@@ -25,13 +25,53 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..cascade import EXHAUSTED_METHOD, identify_row
+from ..cascade import DEGRADED, EXHAUSTED_METHOD, Found, identify_row, rewrite_arxiv
 from ..config import EngineConfig
-from ..idpatterns import PREFILTER_SRC
+from ..idpatterns import (
+    ARXIV2007,
+    ARXIV_REGEXP,
+    DOI_REGEXP,
+    PREFILTER_SRC,
+    standardise_doi,
+)
 
 URL_PREFILTER_SRC = r"10\.|%|\d{4}\.\d"
 
 OUTPUT_FIELDS = ("identifier", "identifier_type", "method", "validation_info")
+
+# ---------------------------------------------------------------------------
+# Vectorized text-only fast route.
+#
+# For rows where ONLY the document_text method can hit (no metadata/url
+# candidates) and the text is pure ASCII, the grammar cascade can run as a
+# chain of RE2 ``extract_regex`` kernels — one per grammar version — with
+# per-row Python reduced to validating the handful of first hits:
+#
+# * Python ``re`` and RE2 agree on these patterns over ASCII text (same
+#   leftmost-first semantics; the \s/\d class difference only exists for
+#   non-ASCII input, which is routed to the exact loop);
+# * a row whose FIRST hit of version v validates returns exactly that hit in
+#   the exact cascade too (later hits/versions are never consulted);
+# * a row whose first hit does NOT validate falls back to the exact per-row
+#   loop (the cascade would try the SECOND hit of the same version next —
+#   not expressible with a first-match kernel);
+# * a row with no RE2 match for a version has no Python match either (ASCII
+#   equivalence), so the chain may move on; exhausting all 8 versions proves
+#   the exact cascade finds nothing.
+# ---------------------------------------------------------------------------
+
+def _named(pattern: str) -> str:
+    # single anonymous capture group → named, for pc.extract_regex; Python's
+    # '$' (end-of-text OR before a final newline) becomes RE2 '\n?\z' —
+    # consuming the optional newline is harmless, only the group is read
+    return "(?i)" + pattern.replace("(10", "(?P<id>10", 1) \
+        .replace(r"(\d{4}", r"(?P<id>\d{4}", 1) \
+        .replace("$", r"\n?\z")
+
+
+_CHAIN = ([("doi", _named(p)) for p in DOI_REGEXP]
+          + [("arxiv", _named(p)) for p in ARXIV_REGEXP])
+_NON_ASCII = r"[^\x00-\x7f]"
 
 
 def _one_chunk(col):
@@ -93,7 +133,60 @@ def make_extract_fn(cfg: EngineConfig):
         method: list[str | None] = [exhausted] * n
         vinfo: list[str | None] = [None] * n
 
-        idxs = np.nonzero(candidate)[0]
+        slow = candidate.copy()
+
+        # ---- vectorized text-only fast route (see module comment) -------
+        if "document_text" in cfg.methods and text_mask.any():
+            blocked = np.zeros(n, dtype=bool)
+            if "document_infos" in cfg.methods:
+                blocked |= meta_mask
+            if "filename" in cfg.methods:
+                blocked |= url_mask
+            ascii_only = ~_mask(batch["text"], _NON_ASCII)
+            fastable = text_mask & ~blocked & ascii_only
+            positions = np.nonzero(fastable)[0]
+            if len(positions):
+                texts_sub = _one_chunk(batch["text"]).take(pa.array(positions))
+                slow[positions] = False          # decided below or exhausted
+                for kind, pattern in _CHAIN:
+                    if len(positions) == 0:
+                        break
+                    m = pc.extract_regex(texts_sub, pattern)
+                    hit = np.asarray(pc.is_valid(m))
+                    if hit.any():
+                        raws = pc.struct_field(m, "id").to_pylist()
+                        for li in np.nonzero(hit)[0]:
+                            row = positions[li]
+                            raw = raws[li]
+                            if kind == "doi":
+                                std = standardise_doi(raw)
+                                found = (Found(std, "DOI", "document_text",
+                                               "True") if std else None)
+                            else:
+                                if ARXIV2007.match(raw):
+                                    rw = rewrite_arxiv(raw, "arxiv ID", True,
+                                                       "document_text", cfg)
+                                    found = DEGRADED if rw is None else Found(
+                                        rw[0], rw[1], rw[3],
+                                        "True" if rw[2] is True else str(rw[2]))
+                                else:
+                                    found = None
+                            if found is None:
+                                # first hit invalid → the exact loop must try
+                                # the SECOND hit of this same version
+                                slow[row] = True
+                            else:
+                                identifier[row] = found.identifier
+                                id_type[row] = found.id_type
+                                method[row] = found.method
+                                vinfo[row] = found.validation_info
+                        keep = ~hit
+                        positions = positions[keep]
+                        texts_sub = texts_sub.filter(pa.array(keep))
+                # rows surviving the whole chain have no hit in any grammar:
+                # they keep the exhausted defaults (already initialized)
+
+        idxs = np.nonzero(slow)[0]
         if len(idxs):
             take = pa.array(idxs)
             urls = batch["url"].take(take).to_pylist()
