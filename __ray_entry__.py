@@ -281,6 +281,15 @@ def _q_tumbling(sf_dir: str):
     return tumbling_counts(ev)
 
 
+def _q_sliding(sf_dir: str):
+    import ray.data
+
+    from pdf2doi_ray.stages.windows import sliding_counts
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type"])
+    return sliding_counts(ev)
+
+
 def _q_sessions(sf_dir: str):
     import ray.data
 
@@ -381,6 +390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": _q_knn_lsh,
         "embedding_near_dups": _q_embedding_near_dups,
         "events_tumbling": _q_tumbling,
+        "events_sliding": _q_sliding,
         "events_sessions": _q_sessions,
         "resume_semi_join": _q_resume_semi_join,
         "extract_filename_only": _q_filename_only,
@@ -540,6 +550,14 @@ SELECT event_type,
        min(value) AS min_value,
        max(value) AS max_value
 FROM events GROUP BY 1, 2
+""",
+        "events_sliding": """
+WITH e AS (SELECT event_type, CAST(floor(epoch(ts)/900) AS BIGINT) AS base
+           FROM events)
+SELECT event_type, CAST(base - off AS BIGINT) AS window_slot,
+       count(*) AS n_events
+FROM e, unnest(range(0, 4)) AS t(off)
+GROUP BY 1, 2
 """,
         "events_sessions": """
 WITH g AS (

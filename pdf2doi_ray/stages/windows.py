@@ -46,6 +46,32 @@ def tumbling_counts(events, window_s: int = TUMBLE_SECONDS):
                        Max("vmax", alias_name="max_value")))
 
 
+def sliding_counts(events, window_s: int = TUMBLE_SECONDS, slide_s: int = 900):
+    """Sliding windows (size W, slide S, W divisible by S): each event lands
+    in W/S windows — vectorized explode per batch + combiner + small
+    composite groupby.  ``window_slot`` is the window's start in units of S.
+    """
+    assert window_s % slide_s == 0
+    k = window_s // slide_s
+    from ray.data.aggregate import Sum
+
+    def explode(t: pa.Table) -> pa.Table:
+        epoch = np.asarray(pc.divide(pc.cast(t["ts"], pa.int64()),
+                                     1_000_000)) // slide_s
+        types = np.asarray(t["event_type"])
+        slots = (epoch[:, None] - np.arange(k)[None, :]).ravel()
+        types_r = np.repeat(types, k)
+        tbl = pa.table({"event_type": pa.array(types_r),
+                        "window_slot": pa.array(slots, type=pa.int64())})
+        g = tbl.group_by(["event_type", "window_slot"]).aggregate(
+            [("window_slot", "count")])
+        return g.rename_columns(["event_type", "window_slot", "n"])
+
+    return (events.map_batches(explode, batch_format="pyarrow")
+            .groupby(["event_type", "window_slot"])
+            .aggregate(Sum("n", alias_name="n_events")))
+
+
 def session_counts(events, gap_s: int = SESSION_GAP_SECONDS):
     """Per-user session statistics (gap-based session windows).
 
