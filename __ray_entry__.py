@@ -263,6 +263,20 @@ def _q_knn_lsh(sf_dir: str):
     return knn_lsh(emb, query_vector(sf_dir), k=10)
 
 
+def _q_knn_ivf(sf_dir: str):
+    import ray.data
+
+    from pdf2doi_ray.stages.similarity import knn_ivf, query_vector
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    return knn_ivf(emb, query_vector(sf_dir), k=10)
+
+
+def _q_winnow(sf_dir: str):
+    from pdf2doi_ray.stages.textstats import winnow_table
+    return winnow_table(_docs(sf_dir, ("doc_id", "text")))
+
+
 def _q_embedding_near_dups(sf_dir: str):
     import ray.data
 
@@ -388,6 +402,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wordset_jaccard": _q_wordset_jaccard,
         "knn_bruteforce": _q_knn,
         "knn_lsh": _q_knn_lsh,
+        "knn_ivf": _q_knn_ivf,
+        "winnow_fingerprints": _q_winnow,
         "embedding_near_dups": _q_embedding_near_dups,
         "events_tumbling": _q_tumbling,
         "events_sliding": _q_sliding,
@@ -470,7 +486,9 @@ FROM documents GROUP BY 1
 """,
         "token_stats": """
 SELECT doc_id, length(text) AS n_chars,
-       len(string_split(text, ' ')) AS n_tokens
+       len(string_split(text, ' ')) AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+           AS n_bpe_tokens
 FROM documents
 """,
         "quality_flags": """

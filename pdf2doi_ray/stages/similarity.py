@@ -114,6 +114,66 @@ def embedding_near_dups(embeddings, threshold: float = 0.40):
     return embeddings.map_batches(pairs, batch_format="pyarrow")
 
 
+def _kmeans(train: np.ndarray, n_centroids: int, iters: int = 10) -> np.ndarray:
+    """Deterministic k-means (first-n init over vec_id-sorted training rows,
+    fixed iteration count, empty clusters keep their previous centroid)."""
+    cents = train[:n_centroids].copy()
+    for _ in range(iters):
+        d = ((train[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(n_centroids):
+            members = train[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def knn_ivf(embeddings, query: np.ndarray, k: int = 10,
+            n_centroids: int = 16, nprobe: int = 4,
+            train_rows: int = 2048):
+    """IVF-style ANN: k-means coarse quantizer (trained on a deterministic
+    vec_id-ordered sample), scan only the ``nprobe`` centroids nearest to
+    the query.  The scale path next to :func:`knn_lsh` — centroids broadcast,
+    assignment + pruning vectorized per batch, only per-batch top-k moves.
+    """
+    import ray
+
+    sample = embeddings.sort("vec_id").limit(train_rows).take_all()
+    train = np.array([r["embedding"] for r in sample], dtype=np.float64)
+    cents = _kmeans(train, min(n_centroids, len(train)))
+    qd = ((cents - query[None, :]) ** 2).sum(axis=1)
+    probe = np.argsort(qd, kind="stable")[:nprobe]
+    ref = ray.put((cents, probe, query))
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents_, probe_, q = ray.get(ref)
+        mat = _stack(t["embedding"])
+        d = ((mat[:, None, :] - cents_[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        mask = np.isin(assign, probe_)
+        empty = pa.table({"vec_id": pa.array([], type=pa.int64()),
+                          "sim": pa.array([], type=pa.float64())})
+        if not mask.any():
+            return empty
+        ids = np.asarray(t["vec_id"].combine_chunks()
+                         if isinstance(t["vec_id"], pa.ChunkedArray)
+                         else t["vec_id"])[mask]
+        sims = _cosine(mat[mask], q)
+        take = min(k, len(ids))
+        part = np.argpartition(-sims, take - 1)[:take]
+        return pa.table({"vec_id": pa.array(ids[part], type=pa.int64()),
+                         "sim": pa.array(sims[part], type=pa.float64())})
+
+    partials = embeddings.map_batches(partial, batch_format="pyarrow") \
+                         .to_pandas()
+    partials = partials.sort_values(["sim", "vec_id"],
+                                    ascending=[False, True]).head(k)
+    return pd.DataFrame({
+        "rank": np.arange(1, len(partials) + 1, dtype=np.int64),
+        "vec_id": partials["vec_id"].to_numpy(),
+    })
+
+
 def _planes(dim: int) -> np.ndarray:
     global _PLANES
     if _PLANES is None or _PLANES.shape[1] != dim:

@@ -45,12 +45,19 @@ def _tokens(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     return pc.split_pattern(arr, " ")
 
 
+#: BPE-ish pre-tokenizer shape (letter runs / digit runs / single symbols) —
+#: RE2-compatible so the count vectorizes in Arrow and DuckDB identically.
+BPE_TOKEN_SRC = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
 def token_stats(batch: pa.Table) -> pa.Table:
     toks = _tokens(batch["text"])
     return pa.table({
         "doc_id": batch["doc_id"],
         "n_chars": pc.utf8_length(batch["text"]).cast(pa.int64()),
         "n_tokens": pc.list_value_length(toks).cast(pa.int64()),
+        "n_bpe_tokens": pc.count_substring_regex(
+            batch["text"], BPE_TOKEN_SRC).cast(pa.int64()),
     })
 
 
@@ -119,3 +126,68 @@ def fingerprint(batch: pa.Table) -> pa.Table:
         "doc_id": batch["doc_id"],
         "text_hash": pa.array(digests, type=pa.string()),
     })
+
+
+# --- winnowing rolling-hash fingerprints ----------------------------------
+
+WINNOW_K = 5      # char k-gram size
+WINNOW_W = 8      # winnowing window
+
+_B = 257
+_M = (1 << 61) - 1
+
+
+def winnow_fingerprints(text: str, k: int = WINNOW_K,
+                        w: int = WINNOW_W) -> list[int]:
+    """Winnowing fingerprint set (Schleimer et al., SIGMOD 2003): Rabin-Karp
+    rolling hash over char k-grams, keep the minimum of each window of w
+    consecutive hashes (rightmost on ties), deduplicated in order.
+    One linear pass builds the k-gram hashes; a vectorized sliding-window
+    min (stride tricks) picks the fingerprints."""
+    data = text.encode("utf-8")
+    n = len(data)
+    if n < k:
+        return [int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(),
+                               "big") >> 1] if n else []
+    vals = np.frombuffer(data, dtype=np.uint8).astype(object)
+    # rolling polynomial hash over k-grams (python ints avoid overflow)
+    powk = pow(_B, k - 1, _M)
+    hashes = np.empty(n - k + 1, dtype=np.int64)
+    h = 0
+    for i in range(k):
+        h = (h * _B + int(vals[i])) % _M
+    hashes[0] = h
+    for i in range(1, n - k + 1):
+        h = ((h - int(vals[i - 1]) * powk) * _B + int(vals[i + k - 1])) % _M
+        hashes[i] = h
+    if len(hashes) <= w:
+        return [int(hashes.min())]
+    # sliding-window min via stride tricks
+    sw = np.lib.stride_tricks.sliding_window_view(hashes, w)
+    mins = sw.min(axis=1)
+    out: list[int] = []
+    for m in mins:
+        if not out or out[-1] != m:
+            out.append(int(m))
+    # order-preserving dedup of repeated selections
+    seen = set()
+    uniq = []
+    for m in out:
+        if m not in seen:
+            seen.add(m)
+            uniq.append(m)
+    return uniq
+
+
+def winnow_table(docs):
+    """documents → (doc_id, fingerprints list<int64>, n_fingerprints)."""
+    def per_batch(t: pa.Table) -> pa.Table:
+        fps = [winnow_fingerprints(x) for x in t["text"].to_pylist()]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "fingerprints": pa.array(fps, type=pa.list_(pa.int64())),
+            "n_fingerprints": pa.array([len(f) for f in fps],
+                                       type=pa.int64()),
+        })
+
+    return docs.map_batches(per_batch, batch_format="pyarrow")

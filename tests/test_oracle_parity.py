@@ -44,10 +44,11 @@ def test_all_queries_match_oracles():
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():
-        got = _norm(_to_df(fn(SF_DIR)))
         if name not in oracles:
-            assert len(got) >= 0
+            # rows-only check (may contain list columns → no sort)
+            assert len(_to_df(fn(SF_DIR))) >= 0
             continue
+        got = _norm(_to_df(fn(SF_DIR)))
         want = _norm(_oracle(oracles[name], SF_DIR))
         if list(got.columns) != list(want.columns):
             failures.append((name, f"columns {list(got.columns)} != {list(want.columns)}"))
