@@ -6,14 +6,16 @@ Prints ONE JSON line:
    "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
    "pages": R, "docs_per_sec": D}
 
-``--scaling`` re-runs this script in two fresh processes
-(RAY_GRAFT_CPUS=8 and 32) on the same input and reports both throughputs
-plus scaling efficiency (recorded in BASELINE.md).
+``--scaling`` re-runs this script in fresh processes at two parallelism
+levels (primary N→4N pair: 4 vs 16 CPUs, three alternated samples per level,
+per-level minimum) on the same input and reports both throughputs plus the
+scaling efficiency (recorded in BASELINE.md; the contention-bound 8→32
+single-box pair is recorded there too).
 
 Env:
   GRAFT_SF_DIR    input scale dir (default /root/testdata/sf0.1)
   RAY_GRAFT_CPUS  parallelism (default 32)
-  BENCH_REPLICATION  pages per document (default 120 → ~600k pages at sf0.1)
+  BENCH_REPLICATION  pages per document (default 240 → ~1.2M pages at sf0.1)
 """
 
 from __future__ import annotations
