@@ -191,14 +191,6 @@ def main() -> None:
 
 
 def scaling() -> None:
-    def run_repl(ncpu: int, repl: str) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   BENCH_REPLICATION=repl,
-                   BENCH_ATTEMPTS="2", BENCH_HEADLINE_ONLY="1")
-        out = subprocess.run([sys.executable, __file__], env=env,
-                             capture_output=True, text=True, check=True).stdout
-        return json.loads(out.strip().splitlines()[-1])
-
     def run(ncpu: int) -> dict:
         # the scaling criterion measures throughput ratio at N vs 4N: use a
         # larger input so fixed ramp/tail overhead amortizes (the regular

@@ -81,9 +81,14 @@ def from_ini(path: str) -> "EngineConfig":
     if "engine" not in cp:
         return EngineConfig()
     kw = {}
+    defaults = EngineConfig()
     valid = EngineConfig.__dataclass_fields__
     for key, raw in cp["engine"].items():
         if key not in valid:
+            continue
+        if isinstance(getattr(defaults, key), tuple):
+            # tuple-typed fields (methods, key lists): comma-separated
+            kw[key] = tuple(s.strip() for s in raw.split(",") if s.strip())
             continue
         low = raw.strip().lower()
         if low in ("true", "false"):
@@ -101,8 +106,12 @@ def to_ini(cfg: EngineConfig, path: str) -> None:
     from dataclasses import fields
 
     cp = configparser.ConfigParser()
-    cp["engine"] = {f.name: str(getattr(cfg, f.name)) for f in fields(cfg)
-                    if isinstance(getattr(cfg, f.name), (bool, int, str))}
+    def fmt(v):
+        return ",".join(v) if isinstance(v, tuple) else str(v)
+
+    cp["engine"] = {f.name: fmt(getattr(cfg, f.name)) for f in fields(cfg)
+                    if isinstance(getattr(cfg, f.name),
+                                  (bool, int, str, tuple))}
     with open(path, "w") as fh:
         cp.write(fh)
 

@@ -230,7 +230,10 @@ def parse_page(payload: bytes | str) -> ParsedPage:
                 in_body = True
                 saw_body = True
         elif name == "title":
-            in_title = not closing
+            if closing:
+                in_title = False
+            elif not self_closing:        # <title/> must not flip state on
+                in_title = True
         elif name == "h1":
             if closing:
                 if in_h1:

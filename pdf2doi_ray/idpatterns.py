@@ -78,8 +78,14 @@ ARXIV2007 = re.compile(ARXIV2007_SRC, re.I)
 
 # Conservative vectorized prefilter (see module docstring).  Applied with
 # pyarrow.compute.match_substring_regex (RE2) over whole batch columns.
-PREFILTER_SRC = r'10\.\d{4}|\d{4}\.\d'
-PREFILTER = re.compile(PREFILTER_SRC)
+# NB: Python's \d (used by the exact cascade, like the reference) matches
+# ANY Unicode decimal digit, while RE2's \d is ASCII-only — the RE2 pattern
+# therefore uses [0-9\p{Nd}] so e.g. Arabic-Indic digits still pass the
+# prefilter and reach the exact cascade.
+_D_RE2 = r"[0-9\p{Nd}]"
+PREFILTER_SRC = rf"10\.{_D_RE2}{{4}}|{_D_RE2}{{4}}\.{_D_RE2}"
+#: Python-side equivalent (used in tests / pure-Python callers)
+PREFILTER = re.compile(r"10\.\d{4}|\d{4}\.\d")
 
 
 def standardise_doi(candidate: str) -> str | None:

@@ -79,7 +79,13 @@ def main(argv=None) -> int:
 
     from .config import DEFAULT_CONFIG
     from .pipelines.identify import identify_pages, method_stats
-    from .state.checkpoint import checkpointed_run, with_previous_results
+    from .state.checkpoint import (
+        checkpointed_run,
+        drop_resolved_filter,
+        previous_found_rows,
+        previous_result_urls,
+        with_previous_results,
+    )
 
     base = DEFAULT_CONFIG
     if args.config_ini:
@@ -91,18 +97,32 @@ def main(argv=None) -> int:
         use_html=base.use_html and not args.text_only,
     )
 
-    def build(ds):
+    # In single-write modes the resume union happens inline; in checkpointed
+    # mode the anti-join filter runs per shard but the previous rows are
+    # written ONCE as their own partition (unioning them per shard would
+    # duplicate every resolved row once per input shard).
+    resolved_ref = None
+    if args.skip_resolved_from:
+        resolved_ref = ray.put(previous_result_urls(args.skip_resolved_from))
+
+    def build_single(ds):
         if args.skip_resolved_from:
             return with_previous_results(
                 ds, args.skip_resolved_from,
                 lambda remaining: identify_pages(remaining, cfg))
         return identify_pages(ds, cfg)
 
+    def build_shard(ds):
+        if resolved_ref is not None:
+            ds = ds.map_batches(drop_resolved_filter(resolved_ref),
+                                batch_format="pyarrow")
+        return identify_pages(ds, cfg)
+
     if args.synth_sf_dir:
         from .sources.pages import pages_dataset
 
         pages = pages_dataset(args.synth_sf_dir, replication=args.replication)
-        out = build(pages)
+        out = build_single(pages)
         out.write_parquet(args.output)
         summary = {"rows_out": "written", "mode": "synth-single-write"}
     elif args.no_checkpoint:
@@ -111,25 +131,30 @@ def main(argv=None) -> int:
         cols = ["url", "text", "lang"] if args.text_only \
             else ["url", "html", "lang"]
         pages = ray.data.read_parquet(args.input, columns=cols)
-        build(pages).write_parquet(args.output)
+        build_single(pages).write_parquet(args.output)
         summary = {"rows_out": "written", "mode": "single-write"}
     else:
         cols = ["url", "text", "lang"] if args.text_only \
             else ["url", "html", "lang"]
-        summary = checkpointed_run(args.input, args.output, build,
+        summary = checkpointed_run(args.input, args.output, build_shard,
                                    columns=cols)
         summary["mode"] = "checkpointed"
+        if args.skip_resolved_from:
+            # previous resolved rows become their own partition, exactly once
+            import os
+
+            prev_part = os.path.join(args.output, "part=__previous__")
+            if not os.path.isdir(prev_part):
+                previous_found_rows(args.skip_resolved_from) \
+                    .write_parquet(prev_part)
 
     if args.stats:
         import ray.data
 
-        ids = ray.data.read_parquet(args.output) \
-            if not args.synth_sf_dir else None
-        if ids is not None:
-            stats = method_stats(ids).to_pandas()
-            summary["method_stats"] = {
-                str(r["method"]): int(r["n_rows"])
-                for _, r in stats.iterrows()}
+        stats = method_stats(ray.data.read_parquet(args.output)).to_pandas()
+        summary["method_stats"] = {
+            str(r["method"]): int(r["n_rows"])
+            for _, r in stats.iterrows()}
 
     if args.report:
         import ray.data

@@ -35,7 +35,7 @@ from ..idpatterns import (
     standardise_doi,
 )
 
-URL_PREFILTER_SRC = r"10\.|%|\d{4}\.\d"
+URL_PREFILTER_SRC = r"10\.|%|[0-9\p{Nd}]{4}\.[0-9\p{Nd}]"
 
 OUTPUT_FIELDS = ("identifier", "identifier_type", "method", "validation_info")
 

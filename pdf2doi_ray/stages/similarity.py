@@ -37,6 +37,17 @@ def _cosine(mat: np.ndarray, q: np.ndarray) -> np.ndarray:
     return (mat @ qn) / norms
 
 
+
+def _topk_batch(ids: np.ndarray, sims: np.ndarray, k: int) -> tuple:
+    """Deterministic per-batch top-k: (sim desc, vec_id asc) — ties at the
+    k-th boundary must not be cut arbitrarily, or the global reduce can
+    disagree with the exact (ORDER BY sim DESC, vec_id) ranking."""
+    if len(ids) == 0:
+        return ids, sims
+    order = np.lexsort((ids, -sims))[:k]
+    return ids[order], sims[order]
+
+
 def query_vector(sf_dir: str) -> np.ndarray:
     """Deterministic query: the embedding of vec_id = 0."""
     import pyarrow.parquet as pq
@@ -62,10 +73,9 @@ def knn_bruteforce(embeddings, query: np.ndarray, k: int = 10):
         ids = np.asarray(t["vec_id"].combine_chunks()
                          if isinstance(t["vec_id"], pa.ChunkedArray)
                          else t["vec_id"])
-        take = min(k, len(ids))
-        part = np.argpartition(-sims, take - 1)[:take] if take else np.array([], int)
-        return pa.table({"vec_id": pa.array(ids[part], type=pa.int64()),
-                         "sim": pa.array(sims[part], type=pa.float64())})
+        ids_k, sims_k = _topk_batch(ids, sims, k)
+        return pa.table({"vec_id": pa.array(ids_k, type=pa.int64()),
+                         "sim": pa.array(sims_k, type=pa.float64())})
 
     partials = embeddings.map_batches(partial_topk, batch_format="pyarrow") \
                          .to_pandas()          # ≤ k rows per batch: tiny
@@ -159,10 +169,9 @@ def knn_ivf(embeddings, query: np.ndarray, k: int = 10,
                          if isinstance(t["vec_id"], pa.ChunkedArray)
                          else t["vec_id"])[mask]
         sims = _cosine(mat[mask], q)
-        take = min(k, len(ids))
-        part = np.argpartition(-sims, take - 1)[:take]
-        return pa.table({"vec_id": pa.array(ids[part], type=pa.int64()),
-                         "sim": pa.array(sims[part], type=pa.float64())})
+        ids_k, sims_k = _topk_batch(ids, sims, k)
+        return pa.table({"vec_id": pa.array(ids_k, type=pa.int64()),
+                         "sim": pa.array(sims_k, type=pa.float64())})
 
     partials = embeddings.map_batches(partial, batch_format="pyarrow") \
                          .to_pandas()
@@ -209,10 +218,9 @@ def knn_lsh(embeddings, query: np.ndarray, k: int = 10):
                          if isinstance(t["vec_id"], pa.ChunkedArray)
                          else t["vec_id"])[mask]
         sims = _cosine(mat[mask], q)
-        take = min(k, len(ids))
-        part = np.argpartition(-sims, take - 1)[:take]
-        return pa.table({"vec_id": pa.array(ids[part], type=pa.int64()),
-                         "sim": pa.array(sims[part], type=pa.float64())})
+        ids_k, sims_k = _topk_batch(ids, sims, k)
+        return pa.table({"vec_id": pa.array(ids_k, type=pa.int64()),
+                         "sim": pa.array(sims_k, type=pa.float64())})
 
     partials = embeddings.map_batches(partial, batch_format="pyarrow") \
                          .to_pandas()

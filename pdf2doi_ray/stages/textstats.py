@@ -165,14 +165,11 @@ def winnow_fingerprints(text: str, k: int = WINNOW_K,
     # sliding-window min via stride tricks
     sw = np.lib.stride_tricks.sliding_window_view(hashes, w)
     mins = sw.min(axis=1)
-    out: list[int] = []
+    # order-preserving value dedup of the window selections
+    seen: set[int] = set()
+    uniq: list[int] = []
     for m in mins:
-        if not out or out[-1] != m:
-            out.append(int(m))
-    # order-preserving dedup of repeated selections
-    seen = set()
-    uniq = []
-    for m in out:
+        m = int(m)
         if m not in seen:
             seen.add(m)
             uniq.append(m)

@@ -27,9 +27,13 @@ class WebValidate:
     external service (the join-like lookup of SURVEY §2.4).
 
     ``fetch(url) -> (status, body)`` is injected; without one the stage
-    raises at construction (no silent network use).  Retries 5xx up to
-    ``MAX_RETRIES`` times per row like the reference's loop
-    (finders.py:50-61); 404 → not found.
+    raises at construction (no silent network use).  The fetch MUST follow
+    redirects (doi.org answers valid DOIs with 30x → publisher page; the
+    reference's urlopen does the same) — a bare 30x reaching this stage is
+    treated as a mis-configured transport and surfaces as a loud error, not
+    a silent not-found.  Retries 5xx up to ``MAX_RETRIES`` times per row
+    like the reference's loop (finders.py:50-61); 404 → not found; any
+    2xx → validated.
     """
 
     def __init__(self, fetch: Callable[[str], tuple[int, str]] | None = None,
@@ -50,8 +54,12 @@ class WebValidate:
                 return None
             if status >= 500:
                 continue
-            if status == 200:
+            if 200 <= status < 300:
                 return body
+            if 300 <= status < 400:
+                raise RuntimeError(
+                    "WebValidate received a redirect status — the injected "
+                    "fetch must follow redirects (see class docstring)")
             return None
         return None
 

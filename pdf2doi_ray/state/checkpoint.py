@@ -139,35 +139,44 @@ def previous_result_urls(prev_dir: str):
     return {r["url"] for r in found.take_all()}
 
 
+def drop_resolved_filter(resolved_ref):
+    """Batch filter dropping rows whose url is in the broadcast resolved set
+    (the anti-join half of the resume, reusable per shard)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    def fn(t: pa.Table) -> pa.Table:
+        seen = ray.get(resolved_ref)
+        mask = np.array([u not in seen for u in t["url"].to_pylist()])
+        return t.filter(pa.array(mask))
+
+    return fn
+
+
+def previous_found_rows(prev_dir: str):
+    """Dataset of the previous run's resolved rows (identifier non-null)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    return ray.data.read_parquet(prev_dir).map_batches(
+        lambda t: t.filter(pc.is_valid(t["identifier"])),
+        batch_format="pyarrow")
+
+
 def with_previous_results(pages, prev_dir: str, identify_fn):
     """Broadcast anti-join resume: pages already resolved in ``prev_dir``
     skip the cascade; their previous rows are unioned back in.
 
     ``identify_fn(pages_subset) -> identifiers`` runs only on the remainder.
     """
-    import numpy as np
-    import pyarrow as pa
     import ray
-    import ray.data
 
-    resolved = previous_result_urls(prev_dir)
-    resolved_ref = ray.put(resolved)
-
-    def drop_resolved(t: pa.Table) -> pa.Table:
-        urls = t["url"].to_pylist()
-        seen = ray.get(resolved_ref)
-        mask = np.array([u not in seen for u in urls])
-        return t.filter(pa.array(mask))
-
-    remaining = pages.map_batches(drop_resolved, batch_format="pyarrow")
+    resolved_ref = ray.put(previous_result_urls(prev_dir))
+    remaining = pages.map_batches(drop_resolved_filter(resolved_ref),
+                                  batch_format="pyarrow")
     fresh = identify_fn(remaining)
-
-    import pyarrow.compute as pc2
-
-    prev = ray.data.read_parquet(prev_dir).map_batches(
-        lambda t: t.filter(pc2.is_valid(t["identifier"])),
-        batch_format="pyarrow")
-    return fresh.union(prev)
+    return fresh.union(previous_found_rows(prev_dir))
 
 
 def dedup_by_url(identifiers):
