@@ -184,7 +184,8 @@ def _q_rate_by_lang(sf_dir: str):
         found = pc.is_valid(t["identifier"]).cast(pa.int64())
         tbl = pa.table({"lang": t["lang"], "found": found})
         g = tbl.group_by("lang").aggregate([("found", "sum"), ("found", "count")])
-        return g.rename_columns(["lang", "n_found", "n_pages"])
+        return g.select(["lang", "found_sum", "found_count"]) \
+            .rename_columns(["lang", "n_found", "n_pages"])
 
     from ray.data.aggregate import Sum
 

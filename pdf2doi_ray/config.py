@@ -86,8 +86,18 @@ def from_ini(path: str) -> "EngineConfig":
     for key, raw in cp["engine"].items():
         if key not in valid:
             continue
+        if key == "parse_concurrency":
+            # int, "min,max" int pair, or "none"
+            parts = [s.strip() for s in raw.split(",") if s.strip()]
+            if not parts or parts[0].lower() == "none":
+                kw[key] = None
+            elif len(parts) == 1:
+                kw[key] = int(parts[0])
+            else:
+                kw[key] = tuple(int(s) for s in parts)
+            continue
         if isinstance(getattr(defaults, key), tuple):
-            # tuple-typed fields (methods, key lists): comma-separated
+            # string-tuple fields (methods, key lists): comma-separated
             kw[key] = tuple(s.strip() for s in raw.split(",") if s.strip())
             continue
         low = raw.strip().lower()
@@ -107,7 +117,7 @@ def to_ini(cfg: EngineConfig, path: str) -> None:
 
     cp = configparser.ConfigParser()
     def fmt(v):
-        return ",".join(v) if isinstance(v, tuple) else str(v)
+        return ",".join(str(x) for x in v) if isinstance(v, tuple) else str(v)
 
     cp["engine"] = {f.name: fmt(getattr(cfg, f.name)) for f in fields(cfg)
                     if isinstance(getattr(cfg, f.name),

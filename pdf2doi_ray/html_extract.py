@@ -67,6 +67,7 @@ _BAD_LT = re.compile(r"<(?![a-zA-Z/!])")
 _NESTED_LT = re.compile(r"<[^>]*<")
 _META_FAST = re.compile(
     r'<meta\s+(?:name|property)="([^"]*)"\s+content="([^"]*)"\s*/?>')
+_META_CHARSET = re.compile(r'<meta\s+charset="[^"]*"\s*/?>')
 _TITLE_FAST = re.compile(r"<title>([^<]*)</title>")
 _H1_FAST = re.compile(r"<h1>([^<]*)</h1>")
 
@@ -101,11 +102,18 @@ def _parse_page_fast(html: str) -> ParsedPage | None:
     if "<" in inner:
         return None
 
-    metas = _META_FAST.findall(html)
-    # every <meta ...> occurrence must have been captured in full (otherwise
-    # a single-quoted / reordered meta would silently disappear)
-    if html.count("<meta") != len(metas) + html.count("<meta charset"):
-        return None
+    # every '<meta' occurrence must be either a full _META_FAST match or a
+    # PURE charset meta at exactly that position — anything else (single
+    # quotes, reordered attributes, charset+name hybrids) → full scan
+    meta_matches = list(_META_FAST.finditer(html))
+    accounted = {m.start() for m in meta_matches}
+    accounted |= {m.start() for m in _META_CHARSET.finditer(html)}
+    pos = html.find("<meta")
+    while pos != -1:
+        if pos not in accounted:
+            return None
+        pos = html.find("<meta", pos + 1)
+    metas = [(m.group(1), m.group(2)) for m in meta_matches]
     # the match must be the FIRST occurrence of the tag — otherwise a
     # markup-bearing first title/h1 would be silently skipped in favor of a
     # later simple one (the full scanner keeps the first)
@@ -175,11 +183,10 @@ def parse_page(payload: bytes | str) -> ParsedPage:
             elif boiler == 0:
                 if main_depth > 0:
                     main_parts.append(chunk)
-                elif in_body or not saw_body:
-                    # before any <body> tag we are conservatively outside
-                    # (head text like <title> is captured above, not here)
-                    if in_body:
-                        body_parts.append(chunk)
+                elif in_body:
+                    # only explicit body content counts toward the fallback
+                    # text (head text like <title> is captured above)
+                    body_parts.append(chunk)
 
         if m is None:
             break

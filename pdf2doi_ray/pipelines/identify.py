@@ -137,7 +137,9 @@ def method_stats(identifiers):
     def partial(t: pa.Table) -> pa.Table:
         key = pc.fill_null(t["method"], _NULL_KEY)
         g = pa.table({"m": key}).group_by("m").aggregate([("m", "count")])
-        return g.rename_columns(["method_key", "n"])
+        # select by NAME before renaming: pyarrow's keys-first column order
+        # is version-dependent
+        return g.select(["m", "m_count"]).rename_columns(["method_key", "n"])
 
     agg = (identifiers
            .map_batches(partial, batch_format="pyarrow")

@@ -140,13 +140,19 @@ def main(argv=None) -> int:
                                    columns=cols)
         summary["mode"] = "checkpointed"
         if args.skip_resolved_from:
-            # previous resolved rows become their own partition, exactly once
+            # previous resolved rows become their own partition, exactly
+            # once, published atomically (temp dir + rename) so a crash
+            # mid-write cannot leave a partial dir that blocks the rerun
             import os
+            import shutil
 
             prev_part = os.path.join(args.output, "part=__previous__")
             if not os.path.isdir(prev_part):
+                tmp = os.path.join(args.output, "_tmp___previous__")
+                shutil.rmtree(tmp, ignore_errors=True)
                 previous_found_rows(args.skip_resolved_from) \
-                    .write_parquet(prev_part)
+                    .write_parquet(tmp)
+                os.rename(tmp, prev_part)
 
     if args.stats:
         import ray.data

@@ -147,9 +147,14 @@ def pages_dataset(sf_dir: str, replication: int = 1):
 
     def gen(b):
         # return a metadata-free Arrow table (pandas schema metadata defeats
-        # Ray's block-schema dedup and is dead weight on every block)
+        # Ray's block-schema dedup and is dead weight on every block); the
+        # warc_ts column is cast to the documented timestamp[us] (pandas
+        # hands Arrow ns-precision by default)
         t = pa.Table.from_pandas(synthesize_pages(b, replication),
                                  preserve_index=False)
+        i = t.column_names.index("warc_ts")
+        t = t.set_column(i, "warc_ts",
+                         t["warc_ts"].cast(pa.timestamp("us")))
         return t.replace_schema_metadata(None)
 
     return ds.map_batches(gen, batch_format="pandas", batch_size=1024)

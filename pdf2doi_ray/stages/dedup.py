@@ -94,7 +94,8 @@ def dedup_exact(docs):
     def partial(t: pa.Table) -> pa.Table:
         f = fingerprint(t)
         g = f.group_by("text_hash").aggregate([("doc_id", "min")])
-        return g.rename_columns(["text_hash", "doc_id"])
+        return g.select(["text_hash", "doc_id_min"]) \
+            .rename_columns(["text_hash", "doc_id"])
 
     return (docs.map_batches(partial, batch_format="pyarrow")
             .groupby("text_hash")

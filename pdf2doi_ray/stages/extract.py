@@ -74,10 +74,8 @@ _CHAIN = ([("doi", _named(p)) for p in DOI_REGEXP]
 _NON_ASCII = r"[^\x00-\x7f]"
 
 
-def _one_chunk(col):
-    if isinstance(col, pa.ChunkedArray):
-        return col.combine_chunks()
-    return col
+from ..arrowutil import one_chunk as _one_chunk
+from ..arrowutil import rowwise_flag_counts
 
 
 def _mask(col, pattern: str) -> np.ndarray:
@@ -93,12 +91,8 @@ def _list_any(col, pattern: str) -> np.ndarray:
     flat = arr.flatten()
     if len(flat) == 0:
         return np.zeros(len(arr), dtype=bool)
-    hits = np.asarray(
-        pc.fill_null(pc.match_substring_regex(flat, pattern), False)
-    ).astype(np.int64)
-    cum = np.concatenate([[0], np.cumsum(hits)])
-    offsets = np.asarray(arr.offsets).astype(np.int64)
-    return (cum[offsets[1:]] - cum[offsets[:-1]]) > 0
+    return rowwise_flag_counts(
+        arr, pc.match_substring_regex(flat, pattern)) > 0
 
 
 def make_extract_fn(cfg: EngineConfig):

@@ -38,6 +38,26 @@ def _cosine(mat: np.ndarray, q: np.ndarray) -> np.ndarray:
 
 
 
+def _ids(col) -> np.ndarray:
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return np.asarray(arr)
+
+
+def _partial_table(ids_k, sims_k) -> pa.Table:
+    return pa.table({"vec_id": pa.array(ids_k, type=pa.int64()),
+                     "sim": pa.array(sims_k, type=pa.float64())})
+
+
+def _finalize_topk(partials_ds, k: int) -> pd.DataFrame:
+    partials = partials_ds.to_pandas()          # ≤ k rows per batch: tiny
+    partials = partials.sort_values(["sim", "vec_id"],
+                                    ascending=[False, True]).head(k)
+    return pd.DataFrame({
+        "rank": np.arange(1, len(partials) + 1, dtype=np.int64),
+        "vec_id": partials["vec_id"].to_numpy(),
+    })
+
+
 def _topk_batch(ids: np.ndarray, sims: np.ndarray, k: int) -> tuple:
     """Deterministic per-batch top-k: (sim desc, vec_id asc) — ties at the
     k-th boundary must not be cut arbitrarily, or the global reduce can
@@ -70,21 +90,11 @@ def knn_bruteforce(embeddings, query: np.ndarray, k: int = 10):
         q = ray.get(qref)
         mat = _stack(t["embedding"])
         sims = _cosine(mat, q)
-        ids = np.asarray(t["vec_id"].combine_chunks()
-                         if isinstance(t["vec_id"], pa.ChunkedArray)
-                         else t["vec_id"])
-        ids_k, sims_k = _topk_batch(ids, sims, k)
-        return pa.table({"vec_id": pa.array(ids_k, type=pa.int64()),
-                         "sim": pa.array(sims_k, type=pa.float64())})
+        ids_k, sims_k = _topk_batch(_ids(t["vec_id"]), sims, k)
+        return _partial_table(ids_k, sims_k)
 
-    partials = embeddings.map_batches(partial_topk, batch_format="pyarrow") \
-                         .to_pandas()          # ≤ k rows per batch: tiny
-    partials = partials.sort_values(["sim", "vec_id"],
-                                    ascending=[False, True]).head(k)
-    return pd.DataFrame({
-        "rank": np.arange(1, len(partials) + 1, dtype=np.int64),
-        "vec_id": partials["vec_id"].to_numpy(),
-    })
+    return _finalize_topk(
+        embeddings.map_batches(partial_topk, batch_format="pyarrow"), k)
 
 
 def embedding_near_dups(embeddings, threshold: float = 0.40):
@@ -112,9 +122,7 @@ def embedding_near_dups(embeddings, threshold: float = 0.40):
         mn = np.linalg.norm(m, axis=1)
         mn[mn == 0] = 1.0
         sims = (m / mn[:, None]) @ unit.T            # [batch, corpus]
-        b_ids = np.asarray(t["vec_id"].combine_chunks()
-                           if isinstance(t["vec_id"], pa.ChunkedArray)
-                           else t["vec_id"])
+        b_ids = _ids(t["vec_id"])
         ii, jj = np.nonzero(sims >= threshold)
         va, vb = b_ids[ii], a_ids_all[jj]
         keep = va < vb
@@ -165,22 +173,13 @@ def knn_ivf(embeddings, query: np.ndarray, k: int = 10,
                           "sim": pa.array([], type=pa.float64())})
         if not mask.any():
             return empty
-        ids = np.asarray(t["vec_id"].combine_chunks()
-                         if isinstance(t["vec_id"], pa.ChunkedArray)
-                         else t["vec_id"])[mask]
+        ids = _ids(t["vec_id"])[mask]
         sims = _cosine(mat[mask], q)
         ids_k, sims_k = _topk_batch(ids, sims, k)
-        return pa.table({"vec_id": pa.array(ids_k, type=pa.int64()),
-                         "sim": pa.array(sims_k, type=pa.float64())})
+        return _partial_table(ids_k, sims_k)
 
-    partials = embeddings.map_batches(partial, batch_format="pyarrow") \
-                         .to_pandas()
-    partials = partials.sort_values(["sim", "vec_id"],
-                                    ascending=[False, True]).head(k)
-    return pd.DataFrame({
-        "rank": np.arange(1, len(partials) + 1, dtype=np.int64),
-        "vec_id": partials["vec_id"].to_numpy(),
-    })
+    return _finalize_topk(
+        embeddings.map_batches(partial, batch_format="pyarrow"), k)
 
 
 def _planes(dim: int) -> np.ndarray:
@@ -214,19 +213,10 @@ def knn_lsh(embeddings, query: np.ndarray, k: int = 10):
         if not mask.any():
             return pa.table({"vec_id": pa.array([], type=pa.int64()),
                              "sim": pa.array([], type=pa.float64())})
-        ids = np.asarray(t["vec_id"].combine_chunks()
-                         if isinstance(t["vec_id"], pa.ChunkedArray)
-                         else t["vec_id"])[mask]
+        ids = _ids(t["vec_id"])[mask]
         sims = _cosine(mat[mask], q)
         ids_k, sims_k = _topk_batch(ids, sims, k)
-        return pa.table({"vec_id": pa.array(ids_k, type=pa.int64()),
-                         "sim": pa.array(sims_k, type=pa.float64())})
+        return _partial_table(ids_k, sims_k)
 
-    partials = embeddings.map_batches(partial, batch_format="pyarrow") \
-                         .to_pandas()
-    partials = partials.sort_values(["sim", "vec_id"],
-                                    ascending=[False, True]).head(k)
-    return pd.DataFrame({
-        "rank": np.arange(1, len(partials) + 1, dtype=np.int64),
-        "vec_id": partials["vec_id"].to_numpy(),
-    })
+    return _finalize_topk(
+        embeddings.map_batches(partial, batch_format="pyarrow"), k)

@@ -49,7 +49,8 @@ def pages_per_host(pages, n_salts: int = DEFAULT_SALTS):
         tbl = pa.table({"host": hosts,
                         "salt": pa.array(salts, type=pa.int64())})
         g = tbl.group_by(["host", "salt"]).aggregate([("host", "count")])
-        return g.rename_columns(["host", "salt", "n"])
+        return g.select(["host", "salt", "host_count"]) \
+            .rename_columns(["host", "salt", "n"])
 
     phase1 = (pages.map_batches(phase1_partial, batch_format="pyarrow")
               .groupby(["host", "salt"])

@@ -64,11 +64,10 @@ def token_stats(batch: pa.Table) -> pa.Table:
 def _count_in_set(toks: pa.Array, words: tuple[str, ...]) -> np.ndarray:
     """Per-row count of tokens in ``words`` via one vectorized is_in over the
     flattened token column + offset reduction."""
+    from ..arrowutil import rowwise_flag_counts
+
     flat = toks.flatten()
-    hits = np.asarray(pc.is_in(flat, value_set=pa.array(words))).astype(np.int64)
-    cum = np.concatenate([[0], np.cumsum(hits)])
-    offsets = np.asarray(toks.offsets).astype(np.int64)
-    return cum[offsets[1:]] - cum[offsets[:-1]]
+    return rowwise_flag_counts(toks, pc.is_in(flat, value_set=pa.array(words)))
 
 
 def quality_flags(batch: pa.Table) -> pa.Table:

@@ -36,7 +36,8 @@ def tumbling_counts(events, window_s: int = TUMBLE_SECONDS):
                         "value": t["value"]})
         g = tbl.group_by(["event_type", "window"]).aggregate(
             [("value", "count"), ("value", "min"), ("value", "max")])
-        return g.rename_columns(
+        return g.select(["event_type", "window", "value_count",
+                         "value_min", "value_max"]).rename_columns(
             ["event_type", "window", "n", "vmin", "vmax"])
 
     partials = events.map_batches(assign, batch_format="pyarrow")
@@ -65,7 +66,8 @@ def sliding_counts(events, window_s: int = TUMBLE_SECONDS, slide_s: int = 900):
                         "window_slot": pa.array(slots, type=pa.int64())})
         g = tbl.group_by(["event_type", "window_slot"]).aggregate(
             [("window_slot", "count")])
-        return g.rename_columns(["event_type", "window_slot", "n"])
+        return g.select(["event_type", "window_slot", "window_slot_count"]) \
+            .rename_columns(["event_type", "window_slot", "n"])
 
     return (events.map_batches(explode, batch_format="pyarrow")
             .groupby(["event_type", "window_slot"])

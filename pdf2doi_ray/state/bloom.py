@@ -130,7 +130,7 @@ def with_previous_results_bloom(pages, prev_dir: str, identify_fn,
         def fn(t: pa.Table) -> pa.Table:
             bf = ray.get(bf_ref)
             mask = np.array([(u in bf) == flag
-                             for u in t["url"].to_pylist()])
+                             for u in t["url"].to_pylist()], dtype=bool)
             return t.filter(pa.array(mask))
         return fn
 
@@ -147,7 +147,8 @@ def with_previous_results_bloom(pages, prev_dir: str, identify_fn,
 
     def only_fp(t: pa.Table) -> pa.Table:
         wanted = ray.get(fp_ref)
-        mask = np.array([u in wanted for u in t["url"].to_pylist()])
+        mask = np.array([u in wanted for u in t["url"].to_pylist()],
+                        dtype=bool)
         return t.filter(pa.array(mask))
 
     recovered = pages.map_batches(only_fp, batch_format="pyarrow")

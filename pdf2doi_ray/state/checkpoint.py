@@ -95,22 +95,31 @@ def checkpointed_run(input_path: str, out_dir: str, pipeline_builder,
         result = pipeline_builder(ds)
         result.write_parquet(tmp_dir)
 
-        # lineage metrics from the written partition (cheap re-read of the
-        # small result, not the input)
-        import pyarrow as pa
-        import pyarrow.compute as pc
-
-        out_ds = ray.data.read_parquet(tmp_dir)
-        rows_out = out_ds.count()
-        if "identifier" in (out_ds.schema().names or []):
-            n_found = int(ray.data.read_parquet(
-                tmp_dir, columns=["identifier"]).map_batches(
-                lambda t: pa.table({"f": pa.array(
-                    [pc.sum(pc.is_valid(t["identifier"]).cast(pa.int64()))
-                     .as_py() or 0], type=pa.int64())}),
-                batch_format="pyarrow").sum("f"))
+        # an all-filtered shard writes ZERO files — write_parquet doesn't
+        # even create the directory; publish an empty partition dir so the
+        # manifest can still record the shard as done
+        if not os.path.isdir(tmp_dir):
+            os.makedirs(tmp_dir, exist_ok=True)
+            rows_out = 0
+            n_found = 0
         else:
-            n_found = None
+            # lineage metrics from the written partition (cheap re-read of
+            # the small result, not the input)
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            out_ds = ray.data.read_parquet(tmp_dir)
+            rows_out = out_ds.count()
+            schema = out_ds.schema() if rows_out else None
+            if schema is not None and "identifier" in (schema.names or []):
+                n_found = int(ray.data.read_parquet(
+                    tmp_dir, columns=["identifier"]).map_batches(
+                    lambda t: pa.table({"f": pa.array(
+                        [pc.sum(pc.is_valid(t["identifier"]).cast(pa.int64()))
+                         .as_py() or 0], type=pa.int64())}),
+                    batch_format="pyarrow").sum("f") or 0)
+            else:
+                n_found = 0 if rows_out == 0 else None
 
         os.rename(tmp_dir, part_dir)          # atomic publish
         rec = {"shard": key, "part": os.path.basename(part_dir),
@@ -148,7 +157,8 @@ def drop_resolved_filter(resolved_ref):
 
     def fn(t: pa.Table) -> pa.Table:
         seen = ray.get(resolved_ref)
-        mask = np.array([u not in seen for u in t["url"].to_pylist()])
+        mask = np.array([u not in seen for u in t["url"].to_pylist()],
+                        dtype=bool)
         return t.filter(pa.array(mask))
 
     return fn

@@ -103,3 +103,56 @@ def test_checkpointed_skip_resolved_no_duplication(tmp_path):
     urls = t.column("url").to_pylist()
     assert len(urls) == 500
     assert len(set(urls)) == 500
+
+
+def test_fast_path_charset_hybrid_meta_parity():
+    # '<meta charset=... name=... content=...>' must not be miscounted as a
+    # pure charset meta (round-2 review finding)
+    import pdf2doi_ray.html_extract as hx
+
+    h = ('<html><head><meta charset="utf-8" name="citation_doi" '
+         'content="10.1234/x"></head><body><main>M</main></body></html>')
+    save = hx._parse_page_fast
+    hx._parse_page_fast = lambda s: None
+    try:
+        full = hx.parse_page(h)
+    finally:
+        hx._parse_page_fast = save
+    assert hx.parse_page(h) == full
+    assert full.meta_keys == ["citation_doi"]
+
+
+def test_pages_warc_ts_is_microseconds(ray_session):
+    from pdf2doi_ray.sources.pages import pages_dataset
+
+    sch = pages_dataset("/root/testdata/sf0.001").schema()
+    assert str(sch.base_schema.field("warc_ts").type) == "timestamp[us]"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_checkpoint_empty_output_shard(tmp_path):
+    import ray.data
+
+    from pdf2doi_ray.sources.pages import pages_dataset
+    from pdf2doi_ray.state.checkpoint import checkpointed_run
+
+    fix = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    pages_dataset("/root/testdata/sf0.001").repartition(2).write_parquet(fix)
+
+    def drop_all(ds):
+        return ds.map_batches(lambda t: t.slice(0, 0), batch_format="pyarrow")
+
+    s = checkpointed_run(fix, out, drop_all, columns=["url", "html", "lang"])
+    assert s["shards_run"] == 2 and s["rows_out"] == 0
+    s2 = checkpointed_run(fix, out, drop_all, columns=["url", "html", "lang"])
+    assert s2["shards_skipped"] == 2
+
+
+def test_ini_parse_concurrency_round_trip(tmp_path):
+    cfg = EngineConfig(parse_concurrency=(1, 8))
+    path = str(tmp_path / "c.ini")
+    to_ini(cfg, path)
+    assert from_ini(path).parse_concurrency == (1, 8)
+    (tmp_path / "d.ini").write_text("[engine]\nparse_concurrency = 4\n")
+    assert from_ini(str(tmp_path / "d.ini")).parse_concurrency == 4
