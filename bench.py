@@ -117,7 +117,6 @@ def main() -> None:
     attempts = [timed(q_identify)
                 for _ in range(int(os.environ.get("BENCH_ATTEMPTS", "3")))]
     queries["identify_full"] = min(attempts)
-    queries["identify_attempts"] = attempts
 
     # parse-only: html → text/meta, consumed by a count of parsed chars
     def q_parse():
@@ -184,6 +183,7 @@ def main() -> None:
         "queries": queries,
         "sf": SF_DIR,
         "num_cpus": NCPU,
+        "identify_attempts": attempts,
         "pages": n_pages,
         "docs_per_sec": round(n_pages / headline, 1) if headline else None,
     }))
