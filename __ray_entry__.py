@@ -344,10 +344,10 @@ def _q_resume_semi_join(sf_dir: str):
     corpus through the broadcast anti-join resume — the combined result must
     be byte-identical to a from-scratch run (oracle: same SQL as
     extract_identifiers)."""
+    import atexit
     import shutil
     import tempfile
 
-    import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -361,7 +361,7 @@ def _q_resume_semi_join(sf_dir: str):
         return t.filter(pc.equal(pc.bit_wise_and(secs, 1), 0))
 
     prev_dir = tempfile.mkdtemp(prefix="pdf2doi_resume_prev_")
-    shutil.rmtree(prev_dir, ignore_errors=True)
+    atexit.register(shutil.rmtree, prev_dir, ignore_errors=True)
     half = _pages(sf_dir).map_batches(even_half, batch_format="pyarrow")
     identify_pages(half, DEFAULT_CONFIG).write_parquet(prev_dir)
 

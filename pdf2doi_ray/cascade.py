@@ -127,7 +127,7 @@ def search_info(meta_keys, meta_vals, cfg: EngineConfig,
     if not meta_keys:
         return None, None, None
     info = dict(zip(meta_keys, meta_vals))
-    block = set(cfg.keys_blocklist)
+    block = {b.lower() for b in cfg.keys_blocklist}
     for key in list(cfg.keys_to_check_first) + list(info.keys()):
         if key in info and key.lower() not in block:
             identifier, kind, verdict = search_texts(info[key], validate)

@@ -96,11 +96,20 @@ def _parse_page_fast(html: str) -> ParsedPage | None:
     if i == -1:
         return None
     j = html.find("</main>", i)
-    if j == -1 or html.find("<main", i + 6) != -1:
+    # exactly one <main...> in the whole document, and it is the plain one
+    # (an attribute-bearing <main id=...> BEFORE it would be the real main)
+    if j == -1 or html.find("<main") != i or html.find("<main", i + 6) != -1:
         return None
     inner = html[i + 6:j]
     if "<" in inner:
         return None
+    # <main> inside an unclosed boilerplate container is suppressed by the
+    # full scanner — require every boilerplate open before <main> to be
+    # closed before it (self-closing forms fail the count and bail)
+    head_region = html[:i]
+    for b in ("nav", "header", "footer", "aside"):
+        if head_region.count(f"<{b}") != head_region.count(f"</{b}"):
+            return None
 
     # every '<meta' occurrence must be either a full _META_FAST match or a
     # PURE charset meta at exactly that position — anything else (single

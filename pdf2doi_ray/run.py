@@ -97,12 +97,14 @@ def main(argv=None) -> int:
         use_html=base.use_html and not args.text_only,
     )
 
-    # In single-write modes the resume union happens inline; in checkpointed
-    # mode the anti-join filter runs per shard but the previous rows are
+    # In single-write modes the resume union happens inline (its helper
+    # builds its own broadcast); in checkpointed mode the anti-join filter
+    # runs per shard from ONE broadcast set, and the previous rows are
     # written ONCE as their own partition (unioning them per shard would
     # duplicate every resolved row once per input shard).
+    checkpointed = not (args.synth_sf_dir or args.no_checkpoint)
     resolved_ref = None
-    if args.skip_resolved_from:
+    if args.skip_resolved_from and checkpointed:
         resolved_ref = ray.put(previous_result_urls(args.skip_resolved_from))
 
     def build_single(ds):

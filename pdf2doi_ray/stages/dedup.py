@@ -28,10 +28,13 @@ N_HASHES = 64
 N_BANDS = 16
 ROWS_PER_BAND = N_HASHES // N_BANDS
 
-# deterministic affine coefficients for the minhash family (fixed seed)
+# deterministic affine minhash family over a 32-bit domain: coefficients are
+# bounded so a*x + b stays inside uint64 and the whole (k × |shingles|)
+# multiply-mod runs as native vectorized numpy (no Python bigints)
+_P32 = np.uint64(4294967311)          # prime > 2^32
 _rng = np.random.RandomState(42)
-_A = _rng.randint(1, _MERSENNE, size=N_HASHES, dtype=np.int64)
-_B = _rng.randint(0, _MERSENNE, size=N_HASHES, dtype=np.int64)
+_A = _rng.randint(1, 2**31 - 1, size=N_HASHES).astype(np.uint64)
+_B = _rng.randint(0, 2**31 - 1, size=N_HASHES).astype(np.uint64)
 
 
 def _stable64(token: str) -> int:
@@ -50,12 +53,15 @@ def shingles(text: str, n: int = 3) -> set[int]:
 
 
 def minhash_signature(sh: set[int]) -> np.ndarray:
-    """k minhashes of a shingle set in one (k × |sh|) matrix op."""
+    """k minhashes of a shingle set in one (k × |sh|) uint64 matrix op.
+
+    Shingle hashes are folded to 32 bits so ``a*x + b < 2^63`` — the whole
+    family evaluates vectorized in native numpy."""
     if not sh:
-        return np.full(N_HASHES, _MERSENNE, dtype=np.int64)
-    v = np.fromiter(sh, dtype=np.int64, count=len(sh))
-    # (a*x + b) mod p, per hash function; python ints avoid int64 overflow
-    m = (_A[:, None].astype(object) * v[None, :] + _B[:, None]) % _MERSENNE
+        return np.full(N_HASHES, np.iinfo(np.int64).max, dtype=np.int64)
+    v = (np.fromiter(sh, dtype=np.uint64, count=len(sh))
+         & np.uint64(0xFFFFFFFF))
+    m = (_A[:, None] * v[None, :] + _B[:, None]) % _P32
     return m.min(axis=1).astype(np.int64)
 
 
@@ -198,8 +204,10 @@ def wordset_jaccard_adjacent(docs):
     """
     import ray
 
+    # single-space split, empties kept — exactly string_split(text, ' ') in
+    # the SQL oracle (str.split() would collapse whitespace runs)
     rows = docs.select_columns(["doc_id", "text"]).take_all()
-    words = {r["doc_id"]: set(r["text"].split()) for r in rows}
+    words = {r["doc_id"]: set(r["text"].split(" ")) for r in rows}
     ref = ray.put(words)
 
     def score(t: pa.Table) -> pa.Table:
@@ -210,7 +218,7 @@ def wordset_jaccard_adjacent(docs):
             nxt = w.get(doc_id + 1)
             if nxt is None:
                 continue
-            a = set(text.split())
+            a = set(text.split(" "))
             inter = len(a & nxt)
             union = len(a) + len(nxt) - inter
             ids.append(doc_id)

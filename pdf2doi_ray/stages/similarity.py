@@ -69,12 +69,14 @@ def _topk_batch(ids: np.ndarray, sims: np.ndarray, k: int) -> tuple:
 
 
 def query_vector(sf_dir: str) -> np.ndarray:
-    """Deterministic query: the embedding of vec_id = 0."""
+    """Deterministic query: the embedding of vec_id = 0 (pushdown read —
+    only the matching row group / columns leave storage)."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    idx = t.column("vec_id").to_pylist().index(0)
-    return np.asarray(t.column("embedding")[idx].as_py(), dtype=np.float64)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "==", 0)])
+    return np.asarray(t.column("embedding")[0].as_py(), dtype=np.float64)
 
 
 def knn_bruteforce(embeddings, query: np.ndarray, k: int = 10):

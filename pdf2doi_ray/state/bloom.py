@@ -115,14 +115,13 @@ def with_previous_results_bloom(pages, prev_dir: str, identify_fn,
     recovered false positives are processed; true resolved rows come from
     the previous output.
     """
-    import pyarrow.compute as pc
     import ray
     import ray.data
 
-    prev = ray.data.read_parquet(prev_dir, columns=["url", "identifier"])
-    found_urls_ds = prev.map_batches(
-        lambda t: t.filter(pc.is_valid(t["identifier"])).select(["url"]),
-        batch_format="pyarrow")
+    from .checkpoint import previous_found_rows
+
+    found_urls_ds = previous_found_rows(prev_dir).map_batches(
+        lambda t: t.select(["url"]), batch_format="pyarrow")
     resolved = [r["url"] for r in found_urls_ds.take_all()]
     bf_ref = ray.put(BloomFilter.build(resolved, fpp=fpp))
 
@@ -154,7 +153,4 @@ def with_previous_results_bloom(pages, prev_dir: str, identify_fn,
     recovered = pages.map_batches(only_fp, batch_format="pyarrow")
 
     fresh = identify_fn(negatives.union(recovered))
-    prev_found = ray.data.read_parquet(prev_dir).map_batches(
-        lambda t: t.filter(pc.is_valid(t["identifier"])),
-        batch_format="pyarrow")
-    return fresh.union(prev_found)
+    return fresh.union(previous_found_rows(prev_dir))

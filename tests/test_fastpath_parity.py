@@ -34,7 +34,11 @@ FRAGS = ["<main>", "</main>", "<h1>", "</h1>", "<em>x</em>", "text ",
          "&amp;", '<meta name="k" content="v">', "<script>s</script>",
          "<title>t</title>", "</title>", "<nav>n</nav>", "<", ">", "&",
          '"', "<body>", "</body>", "<title></title>", "<h1></h1>",
-         "<main></main>", "<h1>h</h1>"]
+         "<main></main>", "<h1>h</h1>",
+         # split boilerplate/attr fragments: catch unclosed-container and
+         # attribute-bearing-main divergences (round-3 review findings)
+         "<nav>", "</nav>", "<header>", "</header>", "<aside>", "</aside>",
+         '<main id="x">', "<nav/>"]
 
 
 @pytest.mark.parametrize("seed", [42, 123, 999])
