@@ -117,6 +117,16 @@ def _q_extract(sf_dir: str):
     return identify_pages(_pages(sf_dir), DEFAULT_CONFIG)
 
 
+def _q_extract_segmented(sf_dir: str):
+    """PyPdf-analog segmented reader: per-text-unit first-wins scanning.
+    The fixture's main content is a single text node, so the result is
+    byte-identical to the whole-document reader — same oracle."""
+    from pdf2doi_ray.config import DEFAULT_CONFIG
+    from pdf2doi_ray.pipelines.identify import identify_pages
+    return identify_pages(_pages(sf_dir),
+                          DEFAULT_CONFIG.with_(reader="segmented"))
+
+
 def _q_extract_keep_arxiv(sf_dir: str):
     from pdf2doi_ray.config import NO_ARXIV2DOI_CONFIG
     from pdf2doi_ray.pipelines.identify import identify_pages
@@ -388,6 +398,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_identifiers": _q_extract,
+        "extract_identifiers_segmented": _q_extract_segmented,
         "extract_identifiers_keep_arxiv": _q_extract_keep_arxiv,
         "extract_text_parity": _q_text_parity,
         "title_candidates": _q_titles,
@@ -424,6 +435,8 @@ def oracle_sql() -> dict[str, str]:
         "extract_identifiers": _identify_sql(_IDENTIFIER, _METHOD),
         # resume must be result-transparent: combined output == from-scratch
         "resume_semi_join": _identify_sql(_IDENTIFIER, _METHOD),
+        # fixture main content is one text unit → segmented ≡ whole reader
+        "extract_identifiers_segmented": _identify_sql(_IDENTIFIER, _METHOD),
         "extract_identifiers_keep_arxiv": _identify_sql(_IDENTIFIER_KA, _METHOD_KA),
         "extract_text_parity": f"""
 WITH d AS ({_D})

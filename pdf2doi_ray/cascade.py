@@ -175,10 +175,14 @@ def identify_row(url: str, text: str | None, meta_keys, meta_vals,
     arXiv rewrite applied to whichever method hits.  Offline, the google
     methods contribute nothing but the last attempted method name.
     """
+    if isinstance(text, (list, tuple)):
+        units = list(text)                 # segmented reader: per-unit scan
+    else:
+        units = [text] if text is not None else []
     attempts = {
         "document_infos": lambda: search_info(meta_keys, meta_vals, cfg, validate),
         "filename": lambda: search_filename(url, validate),
-        "document_text": lambda: search_texts([text] if text is not None else [], validate),
+        "document_text": lambda: search_texts(units, validate),
     }
     full_cascade = tuple(cfg.methods) == tuple(attempts)
     for method in cfg.methods:

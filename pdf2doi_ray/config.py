@@ -43,6 +43,14 @@ class EngineConfig:
     #: single method.
     methods: tuple[str, ...] = ("document_infos", "filename", "document_text")
 
+    #: document_text scanning granularity — the reader_libraries analog
+    #: (__init__.py:18-23): "whole" scans the concatenated main text (the
+    #: pdfminer-style whole-document reader); "segmented" scans text units
+    #: in document order with first-unit-wins (the PyPdf-style per-page
+    #: reader, finders.py:488-502 + 294-357).  The two can disagree when an
+    #: earlier unit matches only a looser grammar than a later unit.
+    reader: str = "whole"
+
     # --- input handling --------------------------------------------------
     #: parse the html binary column (actor-pool stage) instead of trusting a
     #: pre-extracted ``text`` column.

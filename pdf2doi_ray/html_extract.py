@@ -54,6 +54,10 @@ class ParsedPage(NamedTuple):
     h1: str | None
     meta_keys: list[str]
     meta_vals: list[str]
+    #: main-content text units in document order — one entry per text node
+    #: (tag boundaries split units).  The analog of the reference's per-page
+    #: ``texts`` list (finders.py:488-502); ``text`` is their concatenation.
+    segments: tuple[str, ...] = ()
 
 
 def _attrs(tag_src: str) -> dict[str, str]:
@@ -137,9 +141,11 @@ def _parse_page_fast(html: str) -> ParsedPage | None:
     # empty elements collect no text node in the full scanner → None
     title = unescape(tm.group(1)) if tm and tm.group(1) else None
     h1 = unescape(hm.group(1)) if hm and hm.group(1) else None
+    segments = (inner,) if inner else ()      # inner is already unescaped
     return ParsedPage(inner, title, h1,
                       [k for k, _ in metas],
-                      [unescape(v) for _, v in metas])
+                      [unescape(v) for _, v in metas],
+                      segments)
 
 
 def parse_page(payload: bytes | str) -> ParsedPage:
@@ -258,11 +264,15 @@ def parse_page(payload: bytes | str) -> ParsedPage:
             elif not h1_done and not self_closing:
                 in_h1 = True
 
-    text = "".join(main_parts) if saw_main else "".join(body_parts)
+    parts = main_parts if saw_main else body_parts
+    text = "".join(parts)
     title = "".join(title_parts) if title_parts else None
     h1 = "".join(h1_parts) if h1_parts else None
+    # entities never span text nodes, so per-part unescape concatenates to
+    # the same string as unescape of the concatenation
     return ParsedPage(unescape(text), _clean(title), _clean(h1),
-                      meta_keys, meta_vals)
+                      meta_keys, meta_vals,
+                      tuple(unescape(p) for p in parts))
 
 
 def _clean(s: str | None) -> str | None:

@@ -130,7 +130,10 @@ def make_extract_fn(cfg: EngineConfig):
         slow = candidate.copy()
 
         # ---- vectorized text-only fast route (see module comment) -------
-        if "document_text" in cfg.methods and text_mask.any():
+        # whole-document reader only: per-unit scanning has different
+        # version-priority interleaving than a whole-text regex chain
+        if cfg.reader == "whole" and "document_text" in cfg.methods \
+                and text_mask.any():
             blocked = np.zeros(n, dtype=bool)
             if "document_infos" in cfg.methods:
                 blocked |= meta_mask
@@ -184,8 +187,12 @@ def make_extract_fn(cfg: EngineConfig):
         if len(idxs):
             take = pa.array(idxs)
             urls = batch["url"].take(take).to_pylist()
-            texts = batch["text"].take(take).to_pylist() \
-                if "text" in batch.column_names else [None] * len(idxs)
+            if cfg.reader == "segmented" and "segments" in batch.column_names:
+                texts = batch["segments"].take(take).to_pylist()
+            elif "text" in batch.column_names:
+                texts = batch["text"].take(take).to_pylist()
+            else:
+                texts = [None] * len(idxs)
             if has_meta:
                 mks = batch["meta_keys"].take(take).to_pylist()
                 mvs = batch["meta_vals"].take(take).to_pylist()

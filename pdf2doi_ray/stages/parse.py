@@ -26,6 +26,7 @@ PARSED_FIELDS = [
     ("h1", pa.string()),
     ("meta_keys", pa.list_(pa.string())),
     ("meta_vals", pa.list_(pa.string())),
+    ("segments", pa.list_(pa.string())),
 ]
 
 
@@ -45,6 +46,7 @@ class HtmlParse:
         h1s: list[str | None] = []
         mkeys: list[list[str]] = []
         mvals: list[list[str]] = []
+        segs: list[list[str]] = []
         for payload in payloads:
             try:
                 p = parse_page(payload or b"")
@@ -53,16 +55,18 @@ class HtmlParse:
                 h1s.append(p.h1)
                 mkeys.append(p.meta_keys)
                 mvals.append(p.meta_vals)
+                segs.append(list(p.segments))
             except Exception:
                 texts.append("")
                 titles.append(None)
                 h1s.append(None)
                 mkeys.append([])
                 mvals.append([])
+                segs.append([])
 
         out = batch.drop_columns(["html"])
         for (name, typ), col in zip(PARSED_FIELDS,
-                                    (texts, titles, h1s, mkeys, mvals)):
+                                    (texts, titles, h1s, mkeys, mvals, segs)):
             arr = pa.array(col, type=typ)
             if name in out.column_names:
                 out = out.set_column(out.column_names.index(name), name, arr)
