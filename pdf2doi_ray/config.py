@@ -73,6 +73,14 @@ class EngineConfig:
     parse_concurrency: int | tuple[int, int] | None = None  # None = default pool
     extract_batch_size: int = 4096
 
+    def __post_init__(self) -> None:
+        if self.reader not in ("whole", "segmented"):
+            raise ValueError(
+                f"reader must be 'whole' or 'segmented', got {self.reader!r}")
+        if self.parse_mode not in ("tasks", "actors"):
+            raise ValueError(
+                f"parse_mode must be 'tasks' or 'actors', got {self.parse_mode!r}")
+
     def with_(self, **kw) -> "EngineConfig":
         return replace(self, **kw)
 

@@ -69,6 +69,7 @@ def _attrs(tag_src: str) -> dict[str, str]:
 
 _BAD_LT = re.compile(r"<(?![a-zA-Z/!])")
 _NESTED_LT = re.compile(r"<[^>]*<")
+_BOILER_TAG = re.compile(r"</?(?:nav|header|footer|aside)\b")
 _META_FAST = re.compile(
     r'<meta\s+(?:name|property)="([^"]*)"\s+content="([^"]*)"\s*/?>')
 _META_CHARSET = re.compile(r'<meta\s+charset="[^"]*"\s*/?>')
@@ -108,12 +109,17 @@ def _parse_page_fast(html: str) -> ParsedPage | None:
     if "<" in inner:
         return None
     # <main> inside an unclosed boilerplate container is suppressed by the
-    # full scanner — require every boilerplate open before <main> to be
-    # closed before it (self-closing forms fail the count and bail)
-    head_region = html[:i]
-    for b in ("nav", "header", "footer", "aside"):
-        if head_region.count(f"<{b}") != head_region.count(f"</{b}"):
-            return None
+    # full scanner — replay its clamped depth walk over the prefix (a bare
+    # count is ordering-blind: '</nav><nav>' would balance yet leave the
+    # scanner at depth 1 because stray closes clamp at zero)
+    boiler_depth = 0
+    for m in _BOILER_TAG.finditer(html, 0, i):
+        if m.group(0)[1] == "/":
+            boiler_depth = max(0, boiler_depth - 1)
+        else:
+            boiler_depth += 1
+    if boiler_depth:
+        return None
 
     # every '<meta' occurrence must be either a full _META_FAST match or a
     # PURE charset meta at exactly that position — anything else (single
@@ -268,8 +274,10 @@ def parse_page(payload: bytes | str) -> ParsedPage:
     text = "".join(parts)
     title = "".join(title_parts) if title_parts else None
     h1 = "".join(h1_parts) if h1_parts else None
-    # entities never span text nodes, so per-part unescape concatenates to
-    # the same string as unescape of the concatenation
+    # segments are unescaped per text node; `text` stays unescape(concat) —
+    # for a pathological UNTERMINATED entity at a node boundary (e.g. '&'
+    # ending one node, '#123' starting the next) the two can differ, which
+    # is why segmented-mode consumers must not derive matches from `text`
     return ParsedPage(unescape(text), _clean(title), _clean(h1),
                       meta_keys, meta_vals,
                       tuple(unescape(p) for p in parts))

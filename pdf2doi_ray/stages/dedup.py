@@ -23,7 +23,6 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-_MERSENNE = (1 << 61) - 1
 N_HASHES = 64
 N_BANDS = 16
 ROWS_PER_BAND = N_HASHES // N_BANDS

@@ -112,9 +112,22 @@ def make_extract_fn(cfg: EngineConfig):
 
         # prefilter only the columns of enabled methods — a disabled method
         # must not mark rows as candidates (nor cost a kernel)
-        text_mask = _mask(batch["text"], PREFILTER_SRC) \
-            if "document_text" in cfg.methods and "text" in batch.column_names \
-            else np.zeros(n, dtype=bool)
+        if "document_text" not in cfg.methods:
+            text_mask = np.zeros(n, dtype=bool)
+        elif cfg.reader == "segmented":
+            # per-segment matching: the concatenated text column is NOT a
+            # superset (an unterminated entity at a node boundary decodes
+            # differently in the concatenation) — prefilter the segments
+            if "segments" not in batch.column_names:
+                raise ValueError(
+                    "reader='segmented' needs a 'segments' column "
+                    "(parse the html payload; pre-extracted text has no "
+                    "unit boundaries)")
+            text_mask = _list_any(batch["segments"], PREFILTER_SRC)
+        elif "text" in batch.column_names:
+            text_mask = _mask(batch["text"], PREFILTER_SRC)
+        else:
+            text_mask = np.zeros(n, dtype=bool)
         url_mask = _mask(batch["url"], URL_PREFILTER_SRC) \
             if "filename" in cfg.methods else np.zeros(n, dtype=bool)
         meta_mask = _list_any(batch["meta_vals"], PREFILTER_SRC) \
@@ -187,7 +200,7 @@ def make_extract_fn(cfg: EngineConfig):
         if len(idxs):
             take = pa.array(idxs)
             urls = batch["url"].take(take).to_pylist()
-            if cfg.reader == "segmented" and "segments" in batch.column_names:
+            if cfg.reader == "segmented":
                 texts = batch["segments"].take(take).to_pylist()
             elif "text" in batch.column_names:
                 texts = batch["text"].take(take).to_pylist()

@@ -27,7 +27,7 @@ class IdentifyPages:
 
     def __init__(self, cfg: EngineConfig = DEFAULT_CONFIG,
                  keep_columns: tuple[str, ...] = ()) -> None:
-        self._parse = HtmlParse()
+        self._parse = HtmlParse(emit_segments=(cfg.reader == "segmented"))
         self._extract = make_extract_fn(cfg)
         self._cfg = cfg
         self._keep = ("url", *keep_columns)

@@ -32,12 +32,17 @@ PARSED_FIELDS = [
 
 class HtmlParse:
     """Actor-pool batch parser.  Forwards every input column except ``html``
-    and appends the parsed columns."""
+    and appends the parsed columns.
 
-    def __init__(self) -> None:
+    ``emit_segments=False`` skips the per-unit text column (a full duplicate
+    of main text) — the whole-document reader never consumes it, so the
+    flagship path avoids doubling the parsed intermediate."""
+
+    def __init__(self, emit_segments: bool = True) -> None:
         # Compiled scanner regexes live at module import; touching the parser
         # here surfaces import errors at actor start rather than first batch.
         parse_page(b"<html><body><main>warm</main></body></html>")
+        self._emit_segments = emit_segments
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("html").to_pylist()
@@ -65,8 +70,10 @@ class HtmlParse:
                 segs.append([])
 
         out = batch.drop_columns(["html"])
-        for (name, typ), col in zip(PARSED_FIELDS,
-                                    (texts, titles, h1s, mkeys, mvals, segs)):
+        fields = list(zip(PARSED_FIELDS, (texts, titles, h1s, mkeys, mvals, segs)))
+        if not self._emit_segments:
+            fields = [f for f in fields if f[0][0] != "segments"]
+        for (name, typ), col in fields:
             arr = pa.array(col, type=typ)
             if name in out.column_names:
                 out = out.set_column(out.column_names.index(name), name, arr)

@@ -120,7 +120,8 @@ def with_previous_results_bloom(pages, prev_dir: str, identify_fn,
 
     from .checkpoint import previous_found_rows
 
-    found_urls_ds = previous_found_rows(prev_dir).map_batches(
+    found_urls_ds = previous_found_rows(
+        prev_dir, columns=["url", "identifier"]).map_batches(
         lambda t: t.select(["url"]), batch_format="pyarrow")
     resolved = [r["url"] for r in found_urls_ds.take_all()]
     bf_ref = ray.put(BloomFilter.build(resolved, fpp=fpp))

@@ -164,12 +164,13 @@ def drop_resolved_filter(resolved_ref):
     return fn
 
 
-def previous_found_rows(prev_dir: str):
-    """Dataset of the previous run's resolved rows (identifier non-null)."""
+def previous_found_rows(prev_dir: str, columns: list[str] | None = None):
+    """Dataset of the previous run's resolved rows (identifier non-null).
+    Pass ``columns`` to push the projection into the parquet read."""
     import pyarrow.compute as pc
     import ray.data
 
-    return ray.data.read_parquet(prev_dir).map_batches(
+    return ray.data.read_parquet(prev_dir, columns=columns).map_batches(
         lambda t: t.filter(pc.is_valid(t["identifier"])),
         batch_format="pyarrow")
 

@@ -56,3 +56,38 @@ def test_segmented_equals_whole_on_single_segment():
     b = _extract(batch, "segmented")
     assert a["identifier"][0].as_py() == b["identifier"][0].as_py() \
         == "10.1234/abc.5"
+
+
+def test_segmented_prefilter_entity_span_boundary():
+    """An unterminated entity at a text-node boundary decodes differently in
+    the concatenated text — segmented mode must prefilter the segments, not
+    the text column (round-4 review finding)."""
+    from pdf2doi_ray.html_extract import parse_page
+
+    p = parse_page("<body><main>see &<b></b>#1234.56789.pdf ok</main></body>")
+    assert p.segments == ("see &", "#1234.56789.pdf ok")
+    batch = pa.table({
+        "url": ["https://h.org/p.html"], "text": [p.text],
+        "meta_keys": pa.array([[]], type=pa.list_(pa.string())),
+        "meta_vals": pa.array([[]], type=pa.list_(pa.string())),
+        "segments": pa.array([list(p.segments)], type=pa.list_(pa.string())),
+    })
+    out = _extract(batch, "segmented")
+    # arXiv hit in segment 2 → default-config degrade: method must be null
+    # (an exhausted stamp would mean the row never reached the cascade)
+    assert out["method"][0].as_py() is None
+
+
+def test_segmented_without_segments_column_is_loud():
+    batch = pa.table({
+        "url": ["https://h.org/p.html"], "text": ["doi: 10.1234/x.1 t"],
+        "meta_keys": pa.array([[]], type=pa.list_(pa.string())),
+        "meta_vals": pa.array([[]], type=pa.list_(pa.string())),
+    })
+    with pytest.raises(ValueError, match="segments"):
+        _extract(batch, "segmented")
+
+
+def test_reader_config_validated():
+    with pytest.raises(ValueError, match="reader"):
+        DEFAULT_CONFIG.with_(reader="Segmented")
