@@ -284,8 +284,27 @@ def _q_knn_ivf(sf_dir: str):
 
 
 def _q_winnow(sf_dir: str):
+    import hashlib
+
+    import pyarrow as pa
+
     from pdf2doi_ray.stages.textstats import winnow_table
-    return winnow_table(_docs(sf_dir, ("doc_id", "text")))
+
+    # scalar columns only (list columns can trip result normalizers):
+    # fingerprint count + a stable digest of the fingerprint sequence
+    def scalarize(t: pa.Table) -> pa.Table:
+        digests = [hashlib.blake2b(
+            b"".join(int(x).to_bytes(8, "big") for x in fps),
+            digest_size=8).hexdigest()
+            for fps in t["fingerprints"].to_pylist()]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_fingerprints": t["n_fingerprints"],
+            "fp_digest": pa.array(digests, type=pa.string()),
+        })
+
+    return winnow_table(_docs(sf_dir, ("doc_id", "text"))).map_batches(
+        scalarize, batch_format="pyarrow")
 
 
 def _q_embedding_near_dups(sf_dir: str):
