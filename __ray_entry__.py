@@ -316,6 +316,19 @@ def _q_embedding_near_dups(sf_dir: str):
     return embedding_near_dups(emb, threshold=0.40)
 
 
+def _q_embedding_near_dups_lsh(sf_dir: str):
+    """Approximate (LSH-bucketed) variant of embedding_near_dups — the scale
+    path when the corpus matrix can't be broadcast.  No SQL oracle (bucket
+    membership isn't SQL-expressible); precision/recall vs the exact pairs
+    are asserted in tests/test_golden_digests.py (floor 0.9, measured 1.0)."""
+    import ray.data
+
+    from pdf2doi_ray.stages.similarity import embedding_near_dups_lsh
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    return embedding_near_dups_lsh(emb, threshold=0.40)
+
+
 def _q_tumbling(sf_dir: str):
     import ray.data
 
@@ -436,6 +449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": _q_knn_ivf,
         "winnow_fingerprints": _q_winnow,
         "embedding_near_dups": _q_embedding_near_dups,
+        "embedding_near_dups_lsh": _q_embedding_near_dups_lsh,
         "events_tumbling": _q_tumbling,
         "events_sliding": _q_sliding,
         "events_sessions": _q_sessions,

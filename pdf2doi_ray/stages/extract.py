@@ -152,6 +152,10 @@ def make_extract_fn(cfg: EngineConfig):
                 blocked |= meta_mask
             if "filename" in cfg.methods:
                 blocked |= url_mask
+                # a NULL url makes the filename method raise, degrading the
+                # whole row (per-row failure parity) — the text-only fast
+                # route would wrongly return the text hit instead
+                blocked |= np.asarray(pc.is_null(_one_chunk(batch["url"])))
             ascii_only = ~_mask(batch["text"], _NON_ASCII)
             fastable = text_mask & ~blocked & ascii_only
             positions = np.nonzero(fastable)[0]
@@ -212,8 +216,15 @@ def make_extract_fn(cfg: EngineConfig):
             else:
                 mks = mvs = [[]] * len(idxs)
             for j, i in enumerate(idxs):
-                found = identify_row(urls[j], texts[j], mks[j] or [],
-                                     mvs[j] or [], cfg)
+                try:
+                    found = identify_row(urls[j], texts[j], mks[j] or [],
+                                         mvs[j] or [], cfg)
+                except Exception:
+                    # per-row failure parity (reference main.py:132-142): an
+                    # exception anywhere in one file's cascade is swallowed
+                    # and that row alone degrades to the all-null shape —
+                    # e.g. a null url reaching the filename method
+                    found = DEGRADED
                 identifier[i] = found.identifier
                 id_type[i] = found.id_type
                 method[i] = found.method

@@ -14,8 +14,6 @@ the phase-1 shuffle moves one row per (host, salt) per batch, never pages.
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -43,9 +41,13 @@ def pages_per_host(pages, n_salts: int = DEFAULT_SALTS):
         urls = t["url"].combine_chunks() if isinstance(t["url"], pa.ChunkedArray) \
             else t["url"]
         hosts = _hosts_vec(urls)
-        salts = np.fromiter(
-            (zlib.crc32(u.encode()) % n_salts for u in urls.to_pylist()),
-            dtype=np.int64, count=len(urls))
+        # salt choice is arbitrary (any deterministic spread): pandas'
+        # C string-hash kernel replaces the per-row Python crc32 loop
+        import pandas as pd
+
+        salts = (pd.util.hash_array(
+            np.asarray(urls.to_pylist(), dtype=object)) % n_salts) \
+            .astype(np.int64)
         tbl = pa.table({"host": hosts,
                         "salt": pa.array(salts, type=pa.int64())})
         g = tbl.group_by(["host", "salt"]).aggregate([("host", "count")])

@@ -133,46 +133,43 @@ WINNOW_K = 5      # char k-gram size
 WINNOW_W = 8      # winnowing window
 
 _B = 257
-_M = (1 << 61) - 1
+
+
+def _kgram_hashes(data: bytes, k: int) -> np.ndarray:
+    """Base-257 polynomial value of every byte k-gram, fully vectorized:
+    k shifted multiply-adds over the byte array (no per-character Python).
+    For k ≤ 7 the value fits int64 without modular reduction and is
+    INJECTIVE (base > max byte), so 'hash' equality is k-gram equality."""
+    if k > 7:
+        raise ValueError("vectorized k-gram hash supports k <= 7")
+    vals = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    m = len(data) - k + 1
+    out = np.zeros(m, dtype=np.uint64)
+    for i in range(k):
+        out += vals[i:i + m] * (np.uint64(_B) ** np.uint64(k - 1 - i))
+    return out.astype(np.int64)
 
 
 def winnow_fingerprints(text: str, k: int = WINNOW_K,
                         w: int = WINNOW_W) -> list[int]:
-    """Winnowing fingerprint set (Schleimer et al., SIGMOD 2003): Rabin-Karp
-    rolling hash over char k-grams, keep the minimum of each window of w
-    consecutive hashes (rightmost on ties), deduplicated in order.
-    One linear pass builds the k-gram hashes; a vectorized sliding-window
-    min (stride tricks) picks the fingerprints."""
+    """Winnowing fingerprint set (Schleimer et al., SIGMOD 2003): polynomial
+    k-gram hashes, keep the minimum of each window of w consecutive hashes,
+    deduplicated in first-occurrence order.  Every step is a numpy kernel:
+    k-gram hashing (:func:`_kgram_hashes`), sliding-window min (stride
+    tricks), order-preserving dedup (unique + first-index sort).  Locked by
+    the independent golden implementation in ``tests/golden_impl.py``."""
     data = text.encode("utf-8")
     n = len(data)
     if n < k:
         return [int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(),
                                "big") >> 1] if n else []
-    vals = np.frombuffer(data, dtype=np.uint8).astype(object)
-    # rolling polynomial hash over k-grams (python ints avoid overflow)
-    powk = pow(_B, k - 1, _M)
-    hashes = np.empty(n - k + 1, dtype=np.int64)
-    h = 0
-    for i in range(k):
-        h = (h * _B + int(vals[i])) % _M
-    hashes[0] = h
-    for i in range(1, n - k + 1):
-        h = ((h - int(vals[i - 1]) * powk) * _B + int(vals[i + k - 1])) % _M
-        hashes[i] = h
+    hashes = _kgram_hashes(data, k)
     if len(hashes) <= w:
         return [int(hashes.min())]
-    # sliding-window min via stride tricks
     sw = np.lib.stride_tricks.sliding_window_view(hashes, w)
     mins = sw.min(axis=1)
-    # order-preserving value dedup of the window selections
-    seen: set[int] = set()
-    uniq: list[int] = []
-    for m in mins:
-        m = int(m)
-        if m not in seen:
-            seen.add(m)
-            uniq.append(m)
-    return uniq
+    _, first_idx = np.unique(mins, return_index=True)
+    return mins[np.sort(first_idx)].tolist()
 
 
 def winnow_table(docs):

@@ -29,9 +29,12 @@ def tumbling_counts(events, window_s: int = TUMBLE_SECONDS):
     from ray.data.aggregate import Count, Max, Min, Sum
 
     def assign(t: pa.Table) -> pa.Table:
-        epoch = pc.divide(pc.cast(t["ts"], pa.int64()), 1_000_000)
-        window = pc.floor(pc.divide(pc.cast(epoch, pa.float64()), window_s)) \
-            .cast(pa.int64())
+        # floor division on the raw microsecond value: pc.divide truncates
+        # toward zero, which mis-assigns pre-1970 (negative-epoch) events;
+        # floor(floor(us/1e6)/W) == floor(us/(W*1e6)) for positive divisors,
+        # so this matches the oracle's floor(epoch(ts)/W) exactly
+        us = np.asarray(pc.cast(t["ts"], pa.int64()))
+        window = pa.array(us // (window_s * 1_000_000), type=pa.int64())
         tbl = pa.table({"event_type": t["event_type"], "window": window,
                         "value": t["value"]})
         g = tbl.group_by(["event_type", "window"]).aggregate(
@@ -57,8 +60,9 @@ def sliding_counts(events, window_s: int = TUMBLE_SECONDS, slide_s: int = 900):
     from ray.data.aggregate import Sum
 
     def explode(t: pa.Table) -> pa.Table:
-        epoch = np.asarray(pc.divide(pc.cast(t["ts"], pa.int64()),
-                                     1_000_000)) // slide_s
+        # single int floor division (see tumbling_counts: truncation-safe
+        # for negative epochs)
+        epoch = np.asarray(pc.cast(t["ts"], pa.int64())) // (slide_s * 1_000_000)
         types = np.asarray(t["event_type"])
         slots = (epoch[:, None] - np.arange(k)[None, :]).ravel()
         types_r = np.repeat(types, k)

@@ -72,6 +72,58 @@ class BloomFilter:
             bf.add(it)
         return bf
 
+    def set_positions(self, pos: np.ndarray) -> None:
+        """OR a batch of bit positions (uint64) into the bitmap."""
+        pos = pos.astype(np.uint64, copy=False)
+        np.bitwise_or.at(self.bits, pos >> np.uint64(3),
+                         np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
+
+
+def _positions_for(items, n_bits: int, n_hashes: int) -> np.ndarray:
+    """Bit positions for many items under the (n_bits, n_hashes) geometry —
+    identical arithmetic to :meth:`BloomFilter._positions`."""
+    ks = np.arange(n_hashes, dtype=np.uint64)
+    nb = np.uint64(n_bits)
+    out = np.empty(len(items) * n_hashes, dtype=np.uint64)
+    for i, it in enumerate(items):
+        h1, h2 = BloomFilter._hash_pair(it)
+        out[i * n_hashes:(i + 1) * n_hashes] = \
+            (np.uint64(h1) + ks * np.uint64(h2)) % nb
+    return out
+
+
+def build_bloom_distributed(ds, column: str = "url",
+                            fpp: float = 0.01,
+                            n_items: int | None = None) -> BloomFilter:
+    """Build a Bloom filter over ``ds[column]`` WITHOUT materializing the
+    strings on the driver: each batch hashes its own values inside
+    ``map_batches`` and ships only deduplicated bit POSITIONS (8 bytes per
+    hash — comparable to the strings themselves and independent of bitmap
+    size); the driver ORs position blocks into the single bitmap.
+
+    Fleet-scale note: when even position streams are too much for one
+    driver, shard the filter by ``hash(url) % P`` into P independent blooms
+    built by the reducers that own each shard (same per-batch kernel,
+    plus one small groupby) and broadcast the list of bitmaps; the operator
+    shape here is the P=1 case.
+    """
+    if n_items is None:
+        ds = ds.materialize()            # url column only — distributed,
+        n_items = ds.count()             # never on the driver
+    bf = BloomFilter(n_items, fpp)
+    n_bits, n_hashes = bf.n_bits, bf.n_hashes
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals = t[column].to_pylist()
+        pos = np.unique(_positions_for(vals, n_bits, n_hashes))
+        return pa.table({"pos": pa.array([pos.astype(np.int64).tobytes()],
+                                         type=pa.binary())})
+
+    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        bf.set_positions(np.frombuffer(row["pos"], dtype=np.int64)
+                         .astype(np.uint64))
+    return bf
+
 
 def bucketed_anti_join_urls(left, right, n_buckets: int = 64):
     """Distributed exact anti-join on a ``url`` column: rows of ``left``
@@ -122,9 +174,10 @@ def with_previous_results_bloom(pages, prev_dir: str, identify_fn,
 
     found_urls_ds = previous_found_rows(
         prev_dir, columns=["url", "identifier"]).map_batches(
-        lambda t: t.select(["url"]), batch_format="pyarrow")
-    resolved = [r["url"] for r in found_urls_ds.take_all()]
-    bf_ref = ray.put(BloomFilter.build(resolved, fpp=fpp))
+        lambda t: t.select(["url"]), batch_format="pyarrow").materialize()
+    # distributed build: workers hash, the driver only ORs bitmaps —
+    # url strings never reach the driver
+    bf_ref = ray.put(build_bloom_distributed(found_urls_ds, "url", fpp=fpp))
 
     def split(flag: bool):
         def fn(t: pa.Table) -> pa.Table:

@@ -191,11 +191,30 @@ def with_previous_results(pages, prev_dir: str, identify_fn):
 
 
 def dedup_by_url(identifiers):
-    """Exact first-wins dedup on ``url`` (hash-partition + per-group head) —
-    guards against double-counted rows from re-processed partitions."""
-    import pandas as pd
+    """Exact dedup on ``url`` — guards against double-counted rows from
+    re-processed partitions (whose duplicates are identical full rows, so
+    any representative is correct).
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    Two-phase: a vectorized per-batch Arrow combiner (first row per url via
+    group_by-min over a row index) shrinks each batch to one row per url
+    BEFORE the shuffle; the final per-group head is a zero-copy pyarrow
+    slice — no per-group pandas DataFrame construction on the reducers.
+    """
+    import numpy as np
+    import pyarrow as pa
 
-    return identifiers.groupby("url").map_groups(first, batch_format="pandas")
+    def batch_dedup(t: pa.Table) -> pa.Table:
+        if t.num_rows <= 1:
+            return t
+        t2 = t.append_column("_ri", pa.array(np.arange(t.num_rows),
+                                             type=pa.int64()))
+        g = t2.select(["url", "_ri"]).group_by("url") \
+            .aggregate([("_ri", "min")])
+        keep = np.sort(np.asarray(g["_ri_min"]))
+        return t.take(pa.array(keep))
+
+    def head1(g: pa.Table) -> pa.Table:
+        return g.slice(0, 1)
+
+    return (identifiers.map_batches(batch_dedup, batch_format="pyarrow")
+            .groupby("url").map_groups(head1, batch_format="pyarrow"))

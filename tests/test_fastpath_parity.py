@@ -38,7 +38,14 @@ FRAGS = ["<main>", "</main>", "<h1>", "</h1>", "<em>x</em>", "text ",
          # split boilerplate/attr fragments: catch unclosed-container and
          # attribute-bearing-main divergences (round-3 review findings)
          "<nav>", "</nav>", "<header>", "</header>", "<aside>", "</aside>",
-         '<main id="x">', "<nav/>"]
+         '<main id="x">', "<nav/>",
+         # mixed-case tag names: the full scanner lowercases names, the fast
+         # guards are case-sensitive — these must force a bail (round-2
+         # ADVICE finding: all-lowercase fuzz never exercised this)
+         '<META NAME="citation_doi" CONTENT="10.1234/x">', "<TITLE>up</TITLE>",
+         "<NAV>menu</NAV>", "<Main>", "</MAIN>", "<H1>big</H1>",
+         "<SCRIPT>s</SCRIPT>", "<StYlE>.x{}</StYlE>", "<BODY>", "</BODY>",
+         '<meta NAME="k" content="v">']
 
 
 @pytest.mark.parametrize("seed", [42, 123, 999])

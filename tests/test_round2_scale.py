@@ -1,0 +1,132 @@
+"""Round-2 scale-path tests: the driver-side materializations named in
+VERDICT round 1 are gone and the distributed replacements are byte-equal.
+
+* wordset_jaccard_adjacent: boundary-exchange shift-join == brute force,
+  regardless of how the input is split into blocks/batches;
+* minhash candidate generation: hot buckets (> MAX_ALL_PAIRS_BUCKET docs)
+  emit star pairs, never O(n²);
+* distributed Bloom build: identical bitmap to the in-memory build;
+* dedup_by_url: arrow combiner + pyarrow head keeps exactly one row per url.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import golden_impl as G
+
+
+def _brute_adjacent(ids, texts):
+    by_id = dict(zip(ids, texts))
+    out = {}
+    for i in ids:
+        if i + 1 in by_id:
+            a = set(by_id[i].split(" "))
+            b = set(by_id[i + 1].split(" "))
+            inter = len(a & b)
+            union = len(a) + len(b) - inter
+            out[i] = (1000 * inter) // union if union else 1000
+    return out
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("n_blocks", [1, 3, 7])
+def test_wordset_jaccard_boundary_exchange(n_blocks):
+    import ray.data
+
+    from pdf2doi_ray.stages.dedup import wordset_jaccard_adjacent
+
+    ids = list(range(40))
+    texts = [f"w{i} w{i+1} common a b" for i in ids]
+    t = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                  "text": pa.array(texts)})
+    # repartition creates real block boundaries → cross-batch pairs must
+    # come from the boundary-exchange stitch
+    docs = ray.data.from_arrow(t).repartition(n_blocks)
+    out = wordset_jaccard_adjacent(docs).to_pandas()
+    got = dict(zip(out["doc_id"].astype(int),
+                   out["jaccard_next_permille"].astype(int)))
+    assert got == _brute_adjacent(ids, texts)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_wordset_jaccard_rejects_unsorted():
+    import ray.data
+
+    from pdf2doi_ray.stages.dedup import wordset_jaccard_adjacent
+
+    t = pa.table({"doc_id": pa.array([3, 1, 2], type=pa.int64()),
+                  "text": pa.array(["a", "b", "c"])})
+    with pytest.raises(Exception):
+        wordset_jaccard_adjacent(ray.data.from_arrow(t)).to_pandas()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_hot_bucket_emits_star_pairs():
+    import ray.data
+
+    from pdf2doi_ray.stages.dedup import (
+        MAX_ALL_PAIRS_BUCKET,
+        minhash_candidate_pairs,
+    )
+
+    n = MAX_ALL_PAIRS_BUCKET + 16          # identical docs → one hot bucket
+    t = pa.table({"doc_id": pa.array(list(range(n)), type=pa.int64()),
+                  "text": pa.array(["same text for every document here"] * n)})
+    out = minhash_candidate_pairs(ray.data.from_arrow(t)).to_pandas()
+    pairs = set(zip(out["doc_a"].astype(int), out["doc_b"].astype(int)))
+    # star from the minimum id — n-1 pairs, NOT n*(n-1)/2
+    assert pairs == {(0, i) for i in range(1, n)}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_near_dups_matches_golden_on_synthetic():
+    import ray.data
+
+    from pdf2doi_ray.stages.dedup import minhash_near_dups
+
+    texts = {}
+    base = " ".join(f"tok{i}" for i in range(120))
+    for i in range(10):
+        texts[i] = base + (f" extra{i}" if i % 2 else "")
+    for i in range(10, 20):
+        texts[i] = " ".join(f"u{i}w{j}" for j in range(120))
+    t = pa.table({"doc_id": pa.array(sorted(texts), type=pa.int64()),
+                  "text": pa.array([texts[i] for i in sorted(texts)])})
+    out = minhash_near_dups(ray.data.from_arrow(t).repartition(3)).to_pandas()
+    engine = set(zip(out["doc_a"].astype(int), out["doc_b"].astype(int),
+                     out["jaccard_permille"].astype(int)))
+    assert engine == G.near_dup_pairs(texts)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_distributed_bloom_build_matches_inmemory():
+    import ray.data
+
+    from pdf2doi_ray.state.bloom import BloomFilter, build_bloom_distributed
+
+    urls = [f"https://h{i % 7}.org/p{i}" for i in range(500)]
+    ds = ray.data.from_arrow(pa.table({"url": pa.array(urls)})).repartition(5)
+    dist = build_bloom_distributed(ds, "url", fpp=0.01)
+    mem = BloomFilter.build(urls, fpp=0.01)
+    assert dist.n_bits == mem.n_bits and dist.n_hashes == mem.n_hashes
+    assert np.array_equal(dist.bits, mem.bits)
+    assert all(u in dist for u in urls[:50])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_by_url_one_row_per_url():
+    import ray.data
+
+    from pdf2doi_ray.state.checkpoint import dedup_by_url
+
+    t = pa.table({
+        "url": pa.array([f"u{i % 20}" for i in range(200)]),
+        "identifier": pa.array([f"id{i % 20}" for i in range(200)]),
+    })
+    out = dedup_by_url(ray.data.from_arrow(t).repartition(4)).to_pandas()
+    assert len(out) == 20
+    assert sorted(out["url"]) == sorted(f"u{i}" for i in range(20))
+    # representative row is intact (duplicates are identical by contract)
+    got = dict(zip(out["url"], out["identifier"]))
+    assert all(got[f"u{i}"] == f"id{i}" for i in range(20))

@@ -50,8 +50,8 @@ def test_minhash_lsh_finds_planted_near_dup():
         "doc_id": pa.array([1, 2, 3], type=pa.int64()),
         "text": [base, base + " tail", " ".join(f"x{i}" for i in range(200))],
     }))
-    out = minhash_near_dups(docs, threshold_permille=800)
-    pairs = set(zip(out["doc_a"].to_pylist(), out["doc_b"].to_pylist()))
+    out = minhash_near_dups(docs, threshold_permille=800).to_pandas()
+    pairs = set(zip(out["doc_a"], out["doc_b"]))
     assert (1, 2) in pairs
     assert all(p[0] != 3 and p[1] != 3 for p in pairs)
 
