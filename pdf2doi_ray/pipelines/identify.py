@@ -79,11 +79,55 @@ def identify_pages_staged(pages, cfg: EngineConfig = DEFAULT_CONFIG,
     return extracted.select_columns(RESULT_COLUMNS + list(keep_columns))
 
 
-#: the reference's finder-method registry (finders.py:867-873) restricted to
-#: the offline methods: name → EngineConfig running ONLY that method.
+#: the reference's full 5-method finder registry (finders.py:867-873).
 def finder_registry(base_cfg: EngineConfig = DEFAULT_CONFIG):
-    return {name: base_cfg.with_(methods=(name,))
-            for name in ("document_infos", "filename", "document_text")}
+    """Offline methods map to an EngineConfig running ONLY that method
+    (mirrors ``find_identifier(file, method=...)``); the two websearch
+    methods map to the transport-injected stage factory
+    (:func:`pdf2doi_ray.stages.google.attach_google_search`) — like the
+    reference, they are inert unless a search transport is supplied
+    (``websearch=True`` analog)."""
+    from ..stages.google import attach_google_search
+
+    reg = {name: base_cfg.with_(methods=(name,))
+           for name in ("document_infos", "filename", "document_text")}
+    reg["title_google"] = attach_google_search
+    reg["first_N_characters_google"] = attach_google_search
+    return reg
+
+
+def identify_pages_websearch(pages, search, fetch,
+                             cfg: EngineConfig = DEFAULT_CONFIG,
+                             keep_columns: tuple[str, ...] = (),
+                             numb_results: int = 6,
+                             web_concurrency=(1, 4)):
+    """Full 5-method cascade: parse → offline extract (methods 1–3) →
+    websearch actor pool re-attempting exhausted rows (methods 4–5 of the
+    reference registry, finders.py:792-861).  The parsed columns
+    (title/h1/meta/text) stay alive through the web stage and are dropped at
+    the end."""
+    from ..stages.google import attach_google_search
+
+    if cfg.use_html:
+        if cfg.parse_mode == "actors":
+            parsed = pages.map_batches(
+                HtmlParse, batch_format="pyarrow",
+                batch_size=cfg.parse_batch_size,
+                concurrency=cfg.parse_concurrency or (1, 8), num_cpus=1)
+        else:
+            parser = HtmlParse()
+            parsed = pages.map_batches(
+                parser, batch_format="pyarrow",
+                batch_size=cfg.parse_batch_size)
+    else:
+        parsed = pages
+    extracted = parsed.map_batches(
+        make_extract_fn(cfg), batch_format="pyarrow",
+        batch_size=cfg.extract_batch_size)
+    webbed = attach_google_search(extracted, search, fetch, cfg,
+                                  numb_results=numb_results,
+                                  concurrency=web_concurrency)
+    return webbed.select_columns(RESULT_COLUMNS + list(keep_columns))
 
 
 def format_report_lines(identifiers):
