@@ -302,7 +302,82 @@ def escape_text(s: str) -> str:
     return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
 
-def candidate_titles(url: str, title, h1, meta_keys, meta_vals) -> list[str]:
+_STYLE_SIZE = re.compile(r"font-size\s*:\s*(\d+(?:\.\d+)?)\s*(?:px|pt)", re.I)
+
+
+def title_by_font_histogram(html: str) -> str | None:
+    """HTML analog of the reference's pymupdf font-size histogram title
+    (``find_title_via_pymupdf.py:8-128``): every text node votes with its
+    effective inline ``font-size`` (nearest styled ancestor); the most
+    frequent size is the paragraph size; the LARGEST size above it is the
+    ``<h1>`` tag of the reference's size→tag map, and the first consecutive
+    run of text at that size is the title.  Returns None when no styled
+    text exists or nothing is larger than the paragraph size — mirroring
+    the reference's bare-except fallthrough in ``find_possible_titles``.
+    """
+    stack: list[float | None] = []          # size pushed per open tag
+    spans: list[tuple[float, str]] = []
+
+    def current_size() -> float | None:
+        for s in reversed(stack):
+            if s is not None:
+                return s
+        return None
+
+    pos = 0
+    for m in _MARKUP.finditer(html):
+        chunk = html[pos:m.start()]
+        pos = m.end()
+        size = current_size()
+        if chunk.strip() and size is not None:
+            spans.append((size, unescape(chunk).strip()))
+        tag = m.group(0)
+        if not tag.startswith("<") or tag.startswith("<!"):
+            continue
+        nm = _TAG_NAME.match(tag)
+        if not nm:
+            continue
+        name = nm.group(1).lower()
+        if tag.startswith("</"):
+            if stack:
+                stack.pop()
+            continue
+        if tag.endswith("/>") or name in _VOID:
+            continue
+        sz = None
+        style = _attrs(tag).get("style")
+        if style:
+            sm = _STYLE_SIZE.search(style)
+            if sm:
+                sz = float(sm.group(1))
+        stack.append(sz)
+    tail = html[pos:]
+    if tail.strip() and current_size() is not None:
+        spans.append((current_size(), unescape(tail).strip()))
+
+    if not spans:
+        return None
+    counts: dict[float, int] = {}
+    for s, _ in spans:
+        counts[s] = counts.get(s, 0) + 1
+    # paragraph = most frequent size (tie → larger, like the reference's
+    # stable count-desc sort over insertion order of first occurrence)
+    p_size = max(counts, key=lambda s: (counts[s], s))
+    h1_size = max(counts)
+    if h1_size <= p_size:
+        return None
+    parts: list[str] = []
+    for s, t in spans:
+        if s == h1_size:
+            parts.append(t)
+        elif parts:
+            break
+    title = " ".join(parts).strip()
+    return title or None
+
+
+def candidate_titles(url: str, title, h1, meta_keys, meta_vals,
+                     font_title: str | None = None) -> list[str]:
     """Order-preserving deduped title candidates, mirroring the reference's
     ``find_possible_titles`` source order and length gates
     (finders.py:390-443): DOM headline, document title element, 'title'-ish
@@ -311,6 +386,10 @@ def candidate_titles(url: str, title, h1, meta_keys, meta_vals) -> list[str]:
     out: list[str] = []
     if isinstance(h1, str) and len(h1.strip()) > 12:
         out.append(h1.strip())
+    # source #2 of the reference (find_title_via_pymupdf): the font-size
+    # histogram headline, when the caller computed one from the raw html
+    if isinstance(font_title, str) and len(font_title.strip()) > 12:
+        out.append(font_title.strip())
     if isinstance(title, str) and len(title.strip()) > 12:
         out.append(title.strip())
     for k, v in zip(meta_keys, meta_vals):

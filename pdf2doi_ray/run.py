@@ -32,12 +32,17 @@ def build_parser() -> argparse.ArgumentParser:
         prog="pdf2doi_ray",
         description="Ray-Data-native DOI/arXiv identifier extraction over "
                     "Common-Crawl-style pages parquet")
-    src = p.add_mutually_exclusive_group(required=True)
+    src = p.add_mutually_exclusive_group(required=False)
     src.add_argument("--input", help="pages parquet file or directory "
                                      "(url, warc_ts, html, text, lang)")
     src.add_argument("--synth-sf-dir",
                      help="synthesize the deterministic pages table from "
                           "this testdata dir instead of reading --input")
+    src.add_argument("--set-id", nargs=2, metavar=("URL", "IDENTIFIER"),
+                     help="manually pre-seed one url's identifier into the "
+                          "output (the reference's -id metadata write, "
+                          "main.py:340-353); an empty IDENTIFIER resets. "
+                          "Nothing else runs.")
     p.add_argument("--output", required=True, help="output directory")
     p.add_argument("--replication", type=int, default=1,
                    help="pages per document when synthesizing")
@@ -66,7 +71,19 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if not (args.input or args.synth_sf_dir or args.set_id):
+        parser.error("one of --input / --synth-sf-dir / --set-id is required")
+
+    if args.set_id:
+        # driver-side single-row write; no Ray session needed (reference
+        # parity: '-id' writes the metadata and exits, main.py:347-352)
+        from .state.checkpoint import seed_identifier
+
+        url, identifier = args.set_id
+        print(json.dumps(seed_identifier(args.output, url, identifier)))
+        return 0
 
     import ray
 

@@ -190,6 +190,45 @@ def with_previous_results(pages, prev_dir: str, identify_fn):
     return fresh.union(previous_found_rows(prev_dir))
 
 
+def seed_identifier(out_dir: str, url: str, identifier: str,
+                    cfg=None) -> dict:
+    """Engine analog of the reference's manual ``-id`` metadata write
+    (``main.py:340-353`` → ``finders.py:587-608``): instead of mutating the
+    source document, append a pre-seeded result row under ``out_dir``; a
+    later run with ``--skip-resolved-from out_dir`` short-circuits this url
+    exactly as the reference's method-1 metadata lookup would.
+
+    Fidelity: the seeded value is scanned through the SAME cascade a re-run
+    would apply to the stored ``pdf2doi_identifier`` metadata key, so the
+    stored row is byte-identical to what that re-run would compute —
+    including the empty-string case (the reference's 'reset' idiom), which
+    stores a null identifier that the resume anti-join will NOT skip.
+    """
+    import zlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..cascade import identify_row
+    from ..config import DEFAULT_CONFIG
+
+    cfg = (cfg or DEFAULT_CONFIG).with_(methods=("document_infos",))
+    found = identify_row(url, None, ["pdf2doi_identifier"], [identifier], cfg)
+    row = pa.table({
+        "url": pa.array([url], type=pa.string()),
+        "identifier": pa.array([found.identifier], type=pa.string()),
+        "identifier_type": pa.array([found.id_type], type=pa.string()),
+        "method": pa.array([found.method], type=pa.string()),
+        "validation_info": pa.array([found.validation_info], type=pa.string()),
+    })
+    part = os.path.join(out_dir, "part=__seed__")
+    os.makedirs(part, exist_ok=True)
+    path = os.path.join(part, f"seed-{zlib.crc32(url.encode()):08x}.parquet")
+    pq.write_table(row, path)
+    return {"mode": "seed", "url": url,
+            "identifier": found.identifier, "path": path}
+
+
 def dedup_by_url(identifiers):
     """Exact dedup on ``url`` — guards against double-counted rows from
     re-processed partitions (whose duplicates are identical full rows, so
