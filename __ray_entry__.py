@@ -329,6 +329,20 @@ def _q_embedding_near_dups_lsh(sf_dir: str):
     return embedding_near_dups_lsh(emb, threshold=0.40)
 
 
+def _q_embedding_dup_components(sf_dir: str):
+    """Fuzzy-dedup clustering: connected components (distributed label
+    propagation) over the exact embedding near-dup pairs; component id =
+    min vec_id of the cluster (the canonical-survivor rule)."""
+    from pdf2doi_ray.stages.graph import connected_components
+    pairs = _q_embedding_near_dups(sf_dir)
+    return connected_components(pairs, col_a="vec_a", col_b="vec_b")
+
+
+def _q_top_docs_by_tokens(sf_dir: str):
+    from pdf2doi_ray.stages.textstats import top_docs_by_tokens
+    return top_docs_by_tokens(_docs(sf_dir, ("doc_id", "text")), k=20)
+
+
 def _q_tumbling(sf_dir: str):
     import ray.data
 
@@ -450,6 +464,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprints": _q_winnow,
         "embedding_near_dups": _q_embedding_near_dups,
         "embedding_near_dups_lsh": _q_embedding_near_dups_lsh,
+        "embedding_dup_components": _q_embedding_dup_components,
+        "top_docs_by_tokens": _q_top_docs_by_tokens,
         "events_tumbling": _q_tumbling,
         "events_sliding": _q_sliding,
         "events_sessions": _q_sessions,
@@ -607,6 +623,28 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
       >= 0.40
+""",
+        "embedding_dup_components": """
+WITH RECURSIVE p AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        >= 0.40),
+e AS (SELECT va AS a, vb AS b FROM p UNION SELECT vb, va FROM p),
+reach(node, r) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT e.a, reach.r FROM e JOIN reach ON reach.node = e.b)
+SELECT node, min(r) AS component FROM reach GROUP BY node
+""",
+        "top_docs_by_tokens": """
+SELECT CAST(row_number() OVER (ORDER BY len(string_split(text, ' ')) DESC,
+                               doc_id) AS BIGINT) AS rank,
+       doc_id,
+       len(string_split(text, ' ')) AS n_tokens
+FROM documents
+ORDER BY n_tokens DESC, doc_id
+LIMIT 20
 """,
         "events_tumbling": """
 SELECT event_type,

@@ -175,6 +175,50 @@ def main() -> None:
     if not headline_only:
         queries["pages_per_host"] = timed(q_hosts)
 
+    def pages_as_docs(columns=("warc_ts", "text")):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def prep(t):
+            k = pc.divide(pc.cast(t["warc_ts"], pa.int64()), 1_000_000)
+            return pa.table({"doc_id": k.cast(pa.int64()), "text": t["text"]})
+
+        return read_pages(columns, split=True).map_batches(
+            prep, batch_format="pyarrow")
+
+    # vectorized simhash at pages scale (batch factorize + unique-token hash)
+    def q_simhash():
+        from pdf2doi_ray.stages.dedup import simhash_table
+        simhash_table(pages_as_docs()).map_batches(
+            lambda t: t.select(["doc_id"]), batch_format="pyarrow").count()
+
+    if not headline_only:
+        queries["simhash_pages"] = timed(q_simhash)
+
+    # vectorized winnowing fingerprints at pages scale
+    def q_winnow():
+        from pdf2doi_ray.stages.textstats import winnow_table
+        winnow_table(pages_as_docs()).map_batches(
+            lambda t: t.select(["n_fingerprints"]),
+            batch_format="pyarrow").count()
+
+    if not headline_only:
+        queries["winnow_pages"] = timed(q_winnow)
+
+    # distributed MinHash near-dup (bucket groupby + distributed verify) over
+    # the documents table — the op's real shape: 3 small shuffles, no
+    # driver-side texts
+    def q_minhash():
+        from pdf2doi_ray.stages.dedup import minhash_near_dups
+        docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet",
+                                     columns=["doc_id", "text"])
+        out = minhash_near_dups(docs)
+        if hasattr(out, "count"):
+            out.count()
+
+    if not headline_only:
+        queries["minhash_near_dups_docs"] = timed(q_minhash)
+
     headline = queries["identify_full"]
     print(json.dumps({
         "metric": "identify_full seconds (pages parquet -> identifiers parquet)",

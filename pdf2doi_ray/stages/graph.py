@@ -1,0 +1,121 @@
+"""Distributed connected components — dedup clustering over near-dup pairs.
+
+A fuzzy-dedup pipeline needs more than pairs: documents form clusters
+(A≈B, B≈C ⇒ {A,B,C}) and one canonical survivor per cluster must be chosen.
+Ray Data has no graph primitive, so this implements min-label propagation as
+iterated keyed aggregations (ray_guide: express iteration as materialized
+Dataset rounds):
+
+* every node starts labeled ``min(self, neighbors)``;
+* each round, every node's current label is pushed along its edges and every
+  node keeps the minimum it has seen — two shuffles per round, both over
+  (int64, int64) rows only (edges and labels; documents never move);
+* labels decrease monotonically, so the global label SUM is a fixpoint
+  detector costing one cheap aggregate per round — no expensive old-vs-new
+  join;
+* rounds needed = graph diameter (near-dup clusters are small and dense, so
+  a handful; ``max_iters`` bounds pathological chains and raises rather than
+  returning silently-unconverged labels).
+
+Output: ``(node, component)`` with ``component = min node id of the
+cluster`` — the canonical-survivor rule of :func:`dedup_exact`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _sym_edges(pairs, col_a: str, col_b: str):
+    """(a,b) pairs → both-direction (node, peer) edge rows."""
+    def sym(t: pa.Table) -> pa.Table:
+        a = t[col_a].combine_chunks() if isinstance(t[col_a], pa.ChunkedArray) else t[col_a]
+        b = t[col_b].combine_chunks() if isinstance(t[col_b], pa.ChunkedArray) else t[col_b]
+        return pa.table({
+            "node": pa.concat_arrays([a.cast(pa.int64()), b.cast(pa.int64())]),
+            "peer": pa.concat_arrays([b.cast(pa.int64()), a.cast(pa.int64())]),
+        })
+
+    return pairs.map_batches(sym, batch_format="pyarrow")
+
+
+def connected_components(pairs, col_a: str = "doc_a", col_b: str = "doc_b",
+                         max_iters: int = 100):
+    """Label-propagation connected components over an undirected pair list.
+
+    Returns a Dataset ``(node, component)`` covering every node that appears
+    in at least one pair.  Deterministic: component ids are the minimum
+    node id of each cluster.
+    """
+    from ray.data.aggregate import Min
+
+    edges = _sym_edges(pairs, col_a, col_b).materialize()
+
+    # initial label: min(self, direct neighbors)
+    def with_self(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": pa.concat_arrays([t["node"].combine_chunks(),
+                                      t["node"].combine_chunks()]),
+            "cand": pa.concat_arrays([t["peer"].combine_chunks(),
+                                      t["node"].combine_chunks()]),
+        })
+
+    labels = (edges.map_batches(with_self, batch_format="pyarrow")
+              .groupby("node").aggregate(Min("cand", alias_name="label"))
+              .materialize())
+    prev_sum = labels.sum("label")
+
+    for _ in range(max_iters):
+        # push labels along edges: union(edge rows, label rows) keyed by
+        # node; each group emits (peer, label) for every edge plus the
+        # node's own (node, label)
+        def edge_rows(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return pa.table({
+                "key": t["node"],
+                "peer": t["peer"],
+                "label": pa.array([None] * n, type=pa.int64()),
+            })
+
+        def label_rows(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return pa.table({
+                "key": t["node"],
+                "peer": pa.array([None] * n, type=pa.int64()),
+                "label": t["label"],
+            })
+
+        def propagate(g: pa.Table) -> pa.Table:
+            lbl = g["label"].combine_chunks() if isinstance(g["label"], pa.ChunkedArray) else g["label"]
+            valid = np.asarray(lbl.is_valid())
+            rows = np.nonzero(valid)[0]
+            if len(rows) == 0:        # node with edges but no label: impossible
+                return pa.table({"node": pa.array([], type=pa.int64()),
+                                 "cand": pa.array([], type=pa.int64())})
+            label = lbl[int(rows[0])].as_py()
+            peers = g.filter(pa.array(~valid))["peer"]
+            key = g["key"][0].as_py()
+            n = len(peers)
+            return pa.table({
+                "node": pa.concat_arrays([
+                    peers.combine_chunks() if isinstance(peers, pa.ChunkedArray) else peers,
+                    pa.array([key], type=pa.int64())]),
+                "cand": pa.array([label] * (n + 1), type=pa.int64()),
+            })
+
+        msgs = (edges.map_batches(edge_rows, batch_format="pyarrow")
+                .union(labels.map_batches(label_rows, batch_format="pyarrow"))
+                .groupby("key").map_groups(propagate, batch_format="pyarrow"))
+        labels = (msgs.groupby("node")
+                  .aggregate(Min("cand", alias_name="label")).materialize())
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:       # labels only decrease → fixpoint
+            return labels.map_batches(
+                lambda t: pa.table({"node": t["node"],
+                                    "component": t["label"]}),
+                batch_format="pyarrow")
+        prev_sum = cur_sum
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds "
+        "(graph diameter exceeds the bound)")

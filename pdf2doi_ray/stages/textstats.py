@@ -127,6 +127,36 @@ def fingerprint(batch: pa.Table) -> pa.Table:
     })
 
 
+def top_docs_by_tokens(docs, k: int = 20):
+    """Global top-k documents by (n_tokens desc, doc_id asc) WITHOUT a
+    global sort: each batch emits only its own deterministic top-k (ties at
+    the k-th boundary kept by the lexsort), and the tiny ≤k-per-batch
+    partials reduce on the driver — the bounded-result pattern that replaces
+    ``Dataset.sort(...).limit(k)`` (an all-to-all shuffle) at any corpus
+    size.  Returns a small pandas frame (rank, doc_id, n_tokens).
+    """
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = _tokens(t["text"])
+        n = np.asarray(pc.list_value_length(toks).cast(pa.int64()))
+        ids = np.asarray(t["doc_id"].combine_chunks()
+                         if isinstance(t["doc_id"], pa.ChunkedArray)
+                         else t["doc_id"])
+        order = np.lexsort((ids, -n))[:k]
+        return pa.table({"doc_id": pa.array(ids[order], type=pa.int64()),
+                         "n_tokens": pa.array(n[order], type=pa.int64())})
+
+    parts = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["n_tokens", "doc_id"],
+                              ascending=[False, True]).head(k)
+    return pd.DataFrame({
+        "rank": np.arange(1, len(parts) + 1, dtype=np.int64),
+        "doc_id": parts["doc_id"].to_numpy(),
+        "n_tokens": parts["n_tokens"].to_numpy(),
+    })
+
+
 # --- winnowing rolling-hash fingerprints ----------------------------------
 
 WINNOW_K = 5      # char k-gram size
