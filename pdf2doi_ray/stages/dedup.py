@@ -136,6 +136,19 @@ def _empty_pair_table() -> pa.Table:
                      "doc_b": pa.array([], type=pa.int64())})
 
 
+def _pairs_for_bucket(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Capped pair emission for one bucket's (possibly unsorted) ids."""
+    ids = np.sort(np.unique(ids))
+    k = len(ids)
+    if k < 2:
+        z = np.empty(0, dtype=np.int64)
+        return z, z
+    if k <= MAX_ALL_PAIRS_BUCKET:
+        ii, jj = np.triu_indices(k, 1)
+        return ids[ii], ids[jj]
+    return np.full(k - 1, ids[0], dtype=np.int64), ids[1:]
+
+
 def minhash_candidate_pairs(docs, n_shingle: int = 3):
     """Near-duplicate candidate pairs from LSH buckets (doc_a < doc_b),
     deduplicated across bands.
@@ -144,29 +157,110 @@ def minhash_candidate_pairs(docs, n_shingle: int = 3):
     distinct docs emits star pairs from its minimum doc_id instead of the
     O(n²) all-pairs set (documented contract, mirrored by the independent
     golden implementation in ``tests/golden_impl.py``).
+
+    Pair generation is VECTORIZED over sorted blocks instead of a per-bucket
+    ``map_groups`` (whose per-group Python overhead scales with bucket count
+    = 16 × corpus): bucket rows sort on one composite key; each sorted block
+    detects its group boundaries with one numpy comparison and emits pairs
+    for every bucket fully inside it; only the (≤2 per block) edge buckets
+    are re-emitted as (key, id) rows and stitched in a single block — the
+    boundary-exchange shape of :func:`wordset_jaccard_adjacent`.  A bucket
+    interior to a sorted block is provably complete (sorted keys are
+    globally contiguous), so no pair is lost or duplicated.
     """
     import pyarrow.compute as pc
 
     buckets = minhash_bucket_rows(docs, n_shingle)
 
-    def pairs(group: pa.Table) -> pa.Table:
-        ids = np.sort(np.asarray(pc.unique(
-            group["doc_id"].combine_chunks()
-            if isinstance(group["doc_id"], pa.ChunkedArray)
-            else group["doc_id"])))
-        k = len(ids)
-        if k < 2:
-            return _empty_pair_table()
-        if k <= MAX_ALL_PAIRS_BUCKET:
-            ii, jj = np.triu_indices(k, 1)
-            a, b = ids[ii], ids[jj]
-        else:
-            a, b = np.full(k - 1, ids[0], dtype=np.int64), ids[1:]
-        return pa.table({"doc_a": pa.array(a, type=pa.int64()),
-                         "doc_b": pa.array(b, type=pa.int64())})
+    def add_key(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(t["band"], pa.string()), t["digest"], ":")
+        return pa.table({"key": key, "doc_id": t["doc_id"]})
 
-    cand = buckets.groupby(["band", "digest"]).map_groups(
-        pairs, batch_format="pyarrow")
+    srt = buckets.map_batches(add_key, batch_format="pyarrow").sort("key")
+
+    def block_pairs(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"doc_a": pa.array([], type=pa.int64()),
+                             "doc_b": pa.array([], type=pa.int64()),
+                             "bkey": pa.array([], type=pa.string()),
+                             "bid": pa.array([], type=pa.int64())})
+        keys = np.asarray(t["key"].to_pylist(), dtype=object)
+        ids = np.asarray(t["doc_id"].combine_chunks()
+                         if isinstance(t["doc_id"], pa.ChunkedArray)
+                         else t["doc_id"])
+        change = np.nonzero(keys[1:] != keys[:-1])[0] + 1
+        starts = np.concatenate([[0], change]).astype(np.int64)
+        ends = np.concatenate([change, [n]]).astype(np.int64)
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        bkeys: list[str] = []
+        bids: list[int] = []
+        last = len(starts) - 1
+        for gi in range(len(starts)):
+            s, e = starts[gi], ends[gi]
+            if gi == 0 or gi == last:
+                # edge bucket: may continue in a neighboring block
+                bkeys.extend([keys[s]] * (e - s))
+                bids.extend(int(x) for x in ids[s:e])
+                continue
+            if e - s < 2:        # singleton bucket (the common case): no pairs
+                continue
+            a, b = _pairs_for_bucket(ids[s:e])
+            if len(a):
+                out_a.append(a)
+                out_b.append(b)
+        pa_a = np.concatenate(out_a) if out_a else np.empty(0, dtype=np.int64)
+        pa_b = np.concatenate(out_b) if out_b else np.empty(0, dtype=np.int64)
+        n_pairs, n_bound = len(pa_a), len(bids)
+        return pa.table({
+            "doc_a": pa.array(np.concatenate(
+                [pa_a, np.full(n_bound, -1, dtype=np.int64)])),
+            "doc_b": pa.array(np.concatenate(
+                [pa_b, np.full(n_bound, -1, dtype=np.int64)])),
+            "bkey": pa.array([None] * n_pairs + bkeys, type=pa.string()),
+            "bid": pa.array(
+                np.concatenate([np.full(n_pairs, -1, dtype=np.int64),
+                                np.asarray(bids, dtype=np.int64)])),
+        })
+
+    # materialized once: consumed twice below (pair slice + boundary slice);
+    # int64/key rows only — the corpus never enters this stage
+    mixed = srt.map_batches(block_pairs, batch_format="pyarrow",
+                            batch_size=None).materialize()
+
+    def only_pairs(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.is_null(t["bkey"]))
+        return keep.select(["doc_a", "doc_b"])
+
+    def only_boundary(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.is_valid(t["bkey"]))
+        return keep.select(["bkey", "bid"])
+
+    def stitch(t: pa.Table) -> pa.Table:
+        by_key: dict[str, list[int]] = {}
+        for k_, i_ in zip(t["bkey"].to_pylist(), t["bid"].to_pylist()):
+            by_key.setdefault(k_, []).append(i_)
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for ids_ in by_key.values():
+            a, b = _pairs_for_bucket(np.asarray(ids_, dtype=np.int64))
+            if len(a):
+                out_a.append(a)
+                out_b.append(b)
+        return pa.table({
+            "doc_a": pa.array(np.concatenate(out_a)
+                              if out_a else np.empty(0, dtype=np.int64)),
+            "doc_b": pa.array(np.concatenate(out_b)
+                              if out_b else np.empty(0, dtype=np.int64)),
+        })
+
+    cand = mixed.map_batches(only_pairs, batch_format="pyarrow").union(
+        mixed.map_batches(only_boundary, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(stitch, batch_format="pyarrow", batch_size=None))
+
     # same pair can surface from several bands — dedup on the pair key
     from ray.data.aggregate import Count
 
