@@ -436,6 +436,21 @@ def _q_frame_sample(sf_dir: str):
     return frame_sample(sf_dir)
 
 
+def _q_image_resize(sf_dir: str):
+    from pdf2doi_ray.stages.multimodal import image_resize
+    return image_resize(sf_dir)
+
+
+def _q_audio_features(sf_dir: str):
+    from pdf2doi_ray.stages.multimodal import audio_features
+    return audio_features(sf_dir)
+
+
+def _q_token_quantiles(sf_dir: str):
+    from pdf2doi_ray.stages.textstats import token_count_quantiles
+    return token_count_quantiles(_docs(sf_dir, ("doc_id", "text")))
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -476,6 +491,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_per_host": _q_pages_per_host,
         "image_features": _q_image_features,
         "frame_sample": _q_frame_sample,
+        "image_resize": _q_image_resize,
+        "audio_features": _q_audio_features,
+        "token_count_quantiles": _q_token_quantiles,
     }
 
 
@@ -680,6 +698,32 @@ FROM documents
         "frame_sample": """
 SELECT doc_id, f AS frame_idx
 FROM documents, unnest(range(0, 8 + doc_id % 8, 4)) AS t(f)
+""",
+        # uniform-fill payload resized nearest-neighbor stays uniform, so
+        # the metadata oracle is pure arithmetic (the resize KERNEL is
+        # exercised on non-uniform arrays in tests/test_multimodal_ext.py)
+        "image_resize": """
+SELECT doc_id, 16 AS width, 16 AS height, doc_id % 251 AS mean_pixel
+FROM documents
+""",
+        "audio_features": """
+WITH s AS (SELECT doc_id, 1000 + doc_id % 500 AS n FROM documents),
+v AS (SELECT doc_id, n, ((doc_id*31 + i*7) % 997) - 498 AS x
+      FROM s, unnest(range(0, n)) AS t(i))
+SELECT doc_id, count(*) AS n_samples,
+       max(abs(x)) AS peak,
+       sum(x*x) // count(*) AS energy_mean
+FROM v GROUP BY doc_id, n
+""",
+        "token_count_quantiles": """
+WITH c AS (SELECT len(string_split(text, ' ')) AS v FROM documents),
+r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM c),
+n AS (SELECT count(*) AS total FROM c),
+q AS (SELECT unnest([250, 500, 750, 900]) AS q_permille)
+SELECT q.q_permille,
+       (SELECT min(v) FROM r, n
+        WHERE rn >= ceil(q.q_permille * n.total / 1000.0)) AS value
+FROM q
 """,
         # minhash_near_dups / simhash / knn_lsh: approximate or
         # non-SQL-expressible → rows-only driver check (documented).

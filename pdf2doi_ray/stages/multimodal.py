@@ -103,6 +103,146 @@ def image_features(sf_dir: str, batch_size: int = 256):
     return feats
 
 
+def resize_nearest(pix: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """REAL nearest-neighbor resize kernel (vectorized index gather) — this
+    math is what production uses; only the codec around it is stubbed."""
+    h, w = pix.shape
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return pix[ys[:, None], xs[None, :]]
+
+
+class ImageResize:
+    """Actor-pool stage: binary image column → resized binary image column.
+
+    Same shape as a production thumbnailing stage: decode (stubbed codec),
+    resize (real vectorized kernel), re-encode, with per-row failure
+    degradation and early projection of the input payload."""
+
+    def __init__(self, out_w: int = 16, out_h: int = 16) -> None:
+        self._w, self._h = out_w, out_h
+        decode_image(synth_image(0))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads, widths, heights, means = [], [], [], []
+        for payload in batch["image"].to_pylist():
+            try:
+                _, _, pix = decode_image(payload)
+                small = resize_nearest(pix, self._w, self._h)
+                body = small.astype(np.uint8).tobytes()
+                # re-encode only uniform images losslessly in IMG1 (fill
+                # byte); non-uniform thumbnails keep raw bytes after header
+                payloads.append(_HEADER.pack(MAGIC, self._w, self._h,
+                                             int(small.flat[0])) + body)
+                widths.append(self._w)
+                heights.append(self._h)
+                means.append(int(small.mean()))
+            except Exception:
+                payloads.append(None)
+                widths.append(None)
+                heights.append(None)
+                means.append(None)
+        out = batch.drop_columns(["image"])
+        out = out.append_column("thumb", pa.array(payloads, type=pa.binary()))
+        out = out.append_column("width", pa.array(widths, type=pa.int64()))
+        out = out.append_column("height", pa.array(heights, type=pa.int64()))
+        out = out.append_column("mean_pixel", pa.array(means, type=pa.int64()))
+        return out
+
+
+def image_resize(sf_dir: str, out_w: int = 16, out_h: int = 16,
+                 batch_size: int = 256):
+    """Thumbnail pipeline: synth payloads → resize actor pool → metadata
+    columns (payload dropped for the metadata query; thumbnails would
+    normally stream to a sink)."""
+    imgs = images_dataset(sf_dir)
+    feats = imgs.map_batches(
+        ImageResize, fn_constructor_kwargs={"out_w": out_w, "out_h": out_h},
+        batch_format="pyarrow", batch_size=batch_size, concurrency=(1, 4),
+        num_cpus=1)
+    return feats.map_batches(lambda t: t.drop_columns(["thumb"]),
+                             batch_format="pyarrow")
+
+
+# --- audio column plumbing -------------------------------------------------
+
+AUDIO_MAGIC = b"AUD1"
+_AHEADER = struct.Struct(">4sI")
+
+
+def synth_audio(doc_id: int) -> bytes:
+    """Deterministic fake waveform (arithmetic — SQL-reproducible):
+    n = 1000 + doc_id%500 samples of x[i] = (doc_id*31 + i*7) % 997 - 498."""
+    n = 1000 + doc_id % 500
+    i = np.arange(n, dtype=np.int64)
+    x = ((doc_id * 31 + i * 7) % 997 - 498).astype(np.int16)
+    return _AHEADER.pack(AUDIO_MAGIC, n) + x.tobytes()
+
+
+def decode_audio(payload: bytes) -> np.ndarray:
+    """STUB DECODER for the fake format (production: soundfile/ffmpeg)."""
+    if len(payload) < _AHEADER.size or payload[:4] != AUDIO_MAGIC:
+        raise ValueError("not an AUD1 payload")
+    _, n = _AHEADER.unpack(payload[:_AHEADER.size])
+    x = np.frombuffer(payload[_AHEADER.size:_AHEADER.size + 2 * n],
+                      dtype=np.int16)
+    if len(x) != n:
+        raise ValueError("truncated payload")
+    return x
+
+
+class AudioFeatures:
+    """Actor-pool stage: binary audio column → integer feature columns
+    (n_samples, peak = max |x|, energy_mean = Σx² // n — integer-exact so
+    the SQL oracle matches bit-for-bit)."""
+
+    def __init__(self) -> None:
+        decode_audio(synth_audio(0))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ns, peaks, energies = [], [], []
+        for payload in batch["audio"].to_pylist():
+            try:
+                x = decode_audio(payload).astype(np.int64)
+                ns.append(len(x))
+                peaks.append(int(np.abs(x).max()) if len(x) else 0)
+                energies.append(int((x * x).sum() // len(x)) if len(x) else 0)
+            except Exception:
+                ns.append(None)
+                peaks.append(None)
+                energies.append(None)
+        out = batch.drop_columns(["audio"])
+        out = out.append_column("n_samples", pa.array(ns, type=pa.int64()))
+        out = out.append_column("peak", pa.array(peaks, type=pa.int64()))
+        out = out.append_column("energy_mean",
+                                pa.array(energies, type=pa.int64()))
+        return out
+
+
+def audio_dataset(sf_dir: str):
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+
+    def gen(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "audio": pa.array([synth_audio(i) for i in ids],
+                              type=pa.binary()),
+        })
+
+    return ds.map_batches(gen, batch_format="pyarrow")
+
+
+def audio_features(sf_dir: str, batch_size: int = 256):
+    """Audio pipeline: synth payloads → decode/feature actor pool."""
+    return audio_dataset(sf_dir).map_batches(
+        AudioFeatures, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=(1, 4), num_cpus=1)
+
+
 def frame_sample(sf_dir: str, every: int = 4):
     """'Video' frame-sampling plumbing demo: treat each doc's payload as a
     frame sequence and keep every ``every``-th frame index (pure plumbing —

@@ -157,6 +157,44 @@ def top_docs_by_tokens(docs, k: int = 20):
     })
 
 
+def token_count_quantiles(docs, quantiles_permille=(250, 500, 750, 900)):
+    """EXACT distributed quantiles of the per-doc token count WITHOUT a
+    global sort: per-batch value→count histogram partials (one arrow
+    group_by per batch), a small ``groupby(value)`` merge (distinct token
+    counts ≪ corpus size), then a driver-side cumulative walk over the tiny
+    histogram.  Quantile definition (explicit, mirrored verbatim by the SQL
+    oracle): the value at 1-based rank ``ceil(q/1000 · n)`` of the ascending
+    sort.  Works for any bounded-cardinality integer statistic — the exact
+    alternative to t-digest sketches when values are discrete.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = _tokens(t["text"])
+        n = pc.list_value_length(toks).cast(pa.int64())
+        g = pa.table({"value": n}).group_by("value") \
+            .aggregate([("value", "count")])
+        return g.select(["value", "value_count"]) \
+            .rename_columns(["value", "n"])
+
+    hist = (docs.map_batches(partial, batch_format="pyarrow")
+            .groupby("value").aggregate(Sum("n", alias_name="n"))
+            .to_pandas())
+    hist = hist.sort_values("value").reset_index(drop=True)
+    cum = hist["n"].cumsum().to_numpy()
+    total = int(cum[-1]) if len(cum) else 0
+    values = hist["value"].to_numpy()
+    out_q, out_v = [], []
+    for q in quantiles_permille:
+        rank = -(-q * total // 1000)            # ceil without floats
+        idx = int(np.searchsorted(cum, rank, side="left"))
+        out_q.append(int(q))
+        out_v.append(int(values[idx]) if total else None)
+    return pd.DataFrame({"q_permille": pd.Series(out_q, dtype="int64"),
+                         "value": pd.Series(out_v, dtype="int64")})
+
+
 # --- winnowing rolling-hash fingerprints ----------------------------------
 
 WINNOW_K = 5      # char k-gram size
