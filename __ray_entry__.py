@@ -703,7 +703,8 @@ FROM documents, unnest(range(0, 8 + doc_id % 8, 4)) AS t(f)
         # the metadata oracle is pure arithmetic (the resize KERNEL is
         # exercised on non-uniform arrays in tests/test_multimodal_ext.py)
         "image_resize": """
-SELECT doc_id, 16 AS width, 16 AS height, doc_id % 251 AS mean_pixel
+SELECT doc_id, CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+       doc_id % 251 AS mean_pixel
 FROM documents
 """,
         "audio_features": """
@@ -712,14 +713,14 @@ v AS (SELECT doc_id, n, ((doc_id*31 + i*7) % 997) - 498 AS x
       FROM s, unnest(range(0, n)) AS t(i))
 SELECT doc_id, count(*) AS n_samples,
        max(abs(x)) AS peak,
-       sum(x*x) // count(*) AS energy_mean
+       CAST(sum(x*x) // count(*) AS BIGINT) AS energy_mean
 FROM v GROUP BY doc_id, n
 """,
         "token_count_quantiles": """
 WITH c AS (SELECT len(string_split(text, ' ')) AS v FROM documents),
 r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM c),
 n AS (SELECT count(*) AS total FROM c),
-q AS (SELECT unnest([250, 500, 750, 900]) AS q_permille)
+q AS (SELECT CAST(unnest([250, 500, 750, 900]) AS BIGINT) AS q_permille)
 SELECT q.q_permille,
        (SELECT min(v) FROM r, n
         WHERE rn >= ceil(q.q_permille * n.total / 1000.0)) AS value
