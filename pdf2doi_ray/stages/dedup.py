@@ -406,16 +406,19 @@ def wordset_jaccard_adjacent(docs):
     * **partitioning assumption (checked, not assumed)**: input rows are
       doc_id-ascending in storage order — true for any doc_id-sorted parquet
       (the testdata tables are); each batch raises if the invariant fails.
-    * pass 1 (distributed, no shuffle): each batch scores the adjacent
-      pairs fully inside it;
-    * pass 2: each batch emits only its FIRST and LAST row (2 rows per
-      batch, tagged with the batch's first doc_id as a batch key); that tiny
-      dataset is coalesced to one block and the cross-batch pairs — a last
-      row of one batch followed by the first row of another — are scored
-      there.  The driver never holds texts; nothing is broadcast.
+    * ONE pass over the input (no second read): each batch scores the
+      adjacent pairs fully inside it AND emits its FIRST and LAST row
+      (tagged with the batch's first doc_id as a batch key) as boundary
+      rows in the same output, distinguished by a marker column;
+    * the mixed output (tiny: int scores + 2 text rows per batch) is
+      materialized once and split; the boundary slice is coalesced to one
+      block where the cross-batch pairs — a last row of one batch followed
+      by the first row of another — are scored.  The driver never holds
+      texts; nothing is broadcast.
 
     Output is integer permille (floor) for hash-stable oracle comparison.
     """
+    import pyarrow.compute as pc
 
     def _score_adjacent(ids, texts, out_ids, out_jac):
         for i in range(len(ids) - 1):
@@ -428,35 +431,39 @@ def wordset_jaccard_adjacent(docs):
             raise ValueError(
                 "wordset_jaccard_adjacent requires doc_id-ascending input")
 
-    def internal(t: pa.Table) -> pa.Table:
+    def one_pass(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "doc_id": pa.array([], type=pa.int64()),
+            "jaccard_next_permille": pa.array([], type=pa.int64()),
+            "text": pa.array([], type=pa.string()),
+            "batch_key": pa.array([], type=pa.int64()),
+            "is_first": pa.array([], type=pa.bool_()),
+            "is_last": pa.array([], type=pa.bool_())})
+        if t.num_rows == 0:
+            return empty
         ids = np.asarray(t["doc_id"].combine_chunks()
                          if isinstance(t["doc_id"], pa.ChunkedArray)
                          else t["doc_id"])
         _check_sorted(ids)
+        texts = t["text"].to_pylist()
         out_ids: list[int] = []
         out_jac: list[int] = []
-        _score_adjacent(ids, t["text"].to_pylist(), out_ids, out_jac)
+        _score_adjacent(ids, texts, out_ids, out_jac)
+        n_s = len(out_ids)
+        b_idx = [0] if t.num_rows == 1 else [0, t.num_rows - 1]
+        n_b = len(b_idx)
+        key = int(ids[0])
         return pa.table({
-            "doc_id": pa.array(out_ids, type=pa.int64()),
-            "jaccard_next_permille": pa.array(out_jac, type=pa.int64())})
-
-    def boundary(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({"doc_id": pa.array([], type=pa.int64()),
-                             "text": pa.array([], type=pa.string()),
-                             "batch_key": pa.array([], type=pa.int64()),
-                             "is_first": pa.array([], type=pa.bool_()),
-                             "is_last": pa.array([], type=pa.bool_())})
-        idx = [0] if t.num_rows == 1 else [0, t.num_rows - 1]
-        sub = t.take(pa.array(idx))
-        n = sub.num_rows
-        key = int(t["doc_id"][0].as_py())
-        return pa.table({
-            "doc_id": sub["doc_id"],
-            "text": sub["text"],
-            "batch_key": pa.array([key] * n, type=pa.int64()),
-            "is_first": pa.array([True] + [False] * (n - 1)),
-            "is_last": pa.array([False] * (n - 1) + [True]),
+            "doc_id": pa.array(out_ids + [int(ids[i]) for i in b_idx],
+                               type=pa.int64()),
+            "jaccard_next_permille": pa.array(
+                out_jac + [None] * n_b, type=pa.int64()),
+            "text": pa.array([None] * n_s + [texts[i] for i in b_idx],
+                             type=pa.string()),
+            "batch_key": pa.array([None] * n_s + [key] * n_b,
+                                  type=pa.int64()),
+            "is_first": pa.array([None] * n_s + [True] + [False] * (n_b - 1)),
+            "is_last": pa.array([None] * n_s + [False] * (n_b - 1) + [True]),
         })
 
     def stitch(t: pa.Table) -> pa.Table:
@@ -480,11 +487,18 @@ def wordset_jaccard_adjacent(docs):
             "doc_id": pa.array(out_ids, type=pa.int64()),
             "jaccard_next_permille": pa.array(out_jac, type=pa.int64())})
 
-    internal_ds = docs.map_batches(internal, batch_format="pyarrow")
-    cross_ds = (docs.map_batches(boundary, batch_format="pyarrow")
-                .repartition(1)
-                .map_batches(stitch, batch_format="pyarrow",
-                             batch_size=None))
+    # one read of the input; the tiny mixed output is materialized and split
+    mixed = docs.map_batches(one_pass, batch_format="pyarrow").materialize()
+    internal_ds = mixed.map_batches(
+        lambda t: t.filter(pc.is_null(t["batch_key"]))
+        .select(["doc_id", "jaccard_next_permille"]),
+        batch_format="pyarrow")
+    cross_ds = (mixed.map_batches(
+        lambda t: t.filter(pc.is_valid(t["batch_key"]))
+        .select(["doc_id", "text", "batch_key", "is_first", "is_last"]),
+        batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(stitch, batch_format="pyarrow", batch_size=None))
     return internal_ds.union(cross_ds)
 
 
