@@ -16,7 +16,6 @@ hash-identical to the SQL oracle — no float accumulation.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -33,7 +32,8 @@ def tumbling_counts(events, window_s: int = TUMBLE_SECONDS):
         # toward zero, which mis-assigns pre-1970 (negative-epoch) events;
         # floor(floor(us/1e6)/W) == floor(us/(W*1e6)) for positive divisors,
         # so this matches the oracle's floor(epoch(ts)/W) exactly
-        us = np.asarray(pc.cast(t["ts"], pa.int64()))
+        us = np.asarray(pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                                pa.int64()))
         window = pa.array(us // (window_s * 1_000_000), type=pa.int64())
         tbl = pa.table({"event_type": t["event_type"], "window": window,
                         "value": t["value"]})
@@ -62,7 +62,8 @@ def sliding_counts(events, window_s: int = TUMBLE_SECONDS, slide_s: int = 900):
     def explode(t: pa.Table) -> pa.Table:
         # single int floor division (see tumbling_counts: truncation-safe
         # for negative epochs)
-        epoch = np.asarray(pc.cast(t["ts"], pa.int64())) // (slide_s * 1_000_000)
+        epoch = np.asarray(pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                                   pa.int64())) // (slide_s * 1_000_000)
         types = np.asarray(t["event_type"])
         slots = (epoch[:, None] - np.arange(k)[None, :]).ravel()
         types_r = np.repeat(types, k)
@@ -81,18 +82,102 @@ def sliding_counts(events, window_s: int = TUMBLE_SECONDS, slide_s: int = 900):
 def session_counts(events, gap_s: int = SESSION_GAP_SECONDS):
     """Per-user session statistics (gap-based session windows).
 
-    One group = one user's full event history, sorted by ts inside the
-    group; a gap > ``gap_s`` starts a new session.
+    Vectorized sorted-block sessionization (round 2; replaces a per-user
+    pandas ``map_groups`` whose per-group overhead scales with user count):
+    events sort on ``(user_id, ts)``; each sorted block detects its user
+    boundaries with one numpy comparison and computes ``n_events`` /
+    ``n_sessions`` for every user fully interior to the block via a cumsum
+    over gap flags — users interior to a sorted block are provably complete
+    (sorted keys are globally contiguous).  Only the (≤2 per block) edge
+    users' event rows are re-emitted and stitched in a single block.  The
+    partitioning assumption is the sort itself; a single pathological user
+    bounds the stitch block (pre-split such users by day upstream).
     """
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        ts = np.sort(g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64))
-        gaps = np.diff(ts) > gap_s * 1_000_000
-        n_sessions = int(gaps.sum()) + 1
-        return pd.DataFrame({
-            "user_id": [int(g["user_id"].iloc[0])],
-            "n_events": [len(g)],
-            "n_sessions": [n_sessions],
+    gap_us = gap_s * 1_000_000
+
+    def _per_group(us, ts, starts, ends):
+        """(user, n_events, n_sessions) arrays for the given group slices."""
+        flags = ((ts[1:] - ts[:-1]) > gap_us) & (us[1:] == us[:-1])
+        cf = np.concatenate([[0], np.cumsum(flags)])
+        ne = ends - starts
+        nsess = 1 + cf[ends - 1] - cf[starts]
+        return us[starts], ne.astype(np.int64), nsess.astype(np.int64)
+
+    def block_sessions(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "user_id": pa.array([], type=pa.int64()),
+            "n_events": pa.array([], type=pa.int64()),
+            "n_sessions": pa.array([], type=pa.int64()),
+            "ts": pa.array([], type=pa.int64()),
+            "boundary": pa.array([], type=pa.bool_())})
+        n = t.num_rows
+        if n == 0:
+            return empty
+        us = np.asarray(t["user_id"].combine_chunks()
+                        if isinstance(t["user_id"], pa.ChunkedArray)
+                        else t["user_id"]).astype(np.int64)
+        # normalize to MICROseconds first: pandas-sourced datasets carry
+        # ns-precision timestamps and a bare int64 cast would inflate gaps
+        ts_col = t["ts"].combine_chunks() if isinstance(t["ts"], pa.ChunkedArray) \
+            else t["ts"]
+        ts = np.asarray(pc.cast(pc.cast(ts_col, pa.timestamp("us")),
+                                pa.int64()))
+        change = np.nonzero(us[1:] != us[:-1])[0] + 1
+        starts = np.concatenate([[0], change]).astype(np.int64)
+        ends = np.concatenate([change, [n]]).astype(np.int64)
+        last = len(starts) - 1
+        interior = np.arange(1, last) if last >= 1 else np.empty(0, dtype=int)
+        iu, ine, insess = _per_group(us, ts, starts[interior], ends[interior]) \
+            if len(interior) else (np.empty(0, np.int64),) * 3
+        # edge users: re-emit raw event rows for the stitch
+        edge_idx = np.concatenate(
+            [np.arange(starts[0], ends[0]),
+             np.arange(starts[last], ends[last])]) if last >= 1 \
+            else np.arange(starts[0], ends[0])
+        edge_idx = np.unique(edge_idx)
+        n_i, n_b = len(iu), len(edge_idx)
+        return pa.table({
+            "user_id": pa.array(np.concatenate([iu, us[edge_idx]])),
+            "n_events": pa.array(
+                np.concatenate([ine, np.full(n_b, -1, np.int64)])),
+            "n_sessions": pa.array(
+                np.concatenate([insess, np.full(n_b, -1, np.int64)])),
+            "ts": pa.array(
+                np.concatenate([np.full(n_i, -1, np.int64), ts[edge_idx]])),
+            "boundary": pa.array([False] * n_i + [True] * n_b),
         })
 
-    return events.groupby("user_id").map_groups(per_user,
-                                                batch_format="pandas")
+    def stitch(t: pa.Table) -> pa.Table:
+        us = np.asarray(t["user_id"].combine_chunks()
+                        if isinstance(t["user_id"], pa.ChunkedArray)
+                        else t["user_id"])
+        ts = np.asarray(t["ts"].combine_chunks()
+                        if isinstance(t["ts"], pa.ChunkedArray)
+                        else t["ts"])
+        if len(us) == 0:
+            return pa.table({"user_id": pa.array([], type=pa.int64()),
+                             "n_events": pa.array([], type=pa.int64()),
+                             "n_sessions": pa.array([], type=pa.int64())})
+        order = np.lexsort((ts, us))
+        us, ts = us[order], ts[order]
+        change = np.nonzero(us[1:] != us[:-1])[0] + 1
+        starts = np.concatenate([[0], change]).astype(np.int64)
+        ends = np.concatenate([change, [len(us)]]).astype(np.int64)
+        u, ne, nsess = _per_group(us, ts, starts, ends)
+        return pa.table({"user_id": pa.array(u),
+                         "n_events": pa.array(ne),
+                         "n_sessions": pa.array(nsess)})
+
+    srt = events.sort(["user_id", "ts"])
+    mixed = srt.map_batches(block_sessions, batch_format="pyarrow",
+                            batch_size=None).materialize()
+    interior = mixed.map_batches(
+        lambda t: t.filter(pc.equal(t["boundary"], False))
+        .select(["user_id", "n_events", "n_sessions"]),
+        batch_format="pyarrow")
+    cross = (mixed.map_batches(
+        lambda t: t.filter(t["boundary"]).select(["user_id", "ts"]),
+        batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(stitch, batch_format="pyarrow", batch_size=None))
+    return interior.union(cross)

@@ -130,3 +130,33 @@ def test_dedup_by_url_one_row_per_url():
     # representative row is intact (duplicates are identical by contract)
     got = dict(zip(out["url"], out["identifier"]))
     assert all(got[f"u{i}"] == f"id{i}" for i in range(20))
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("n_blocks", [1, 4])
+def test_session_counts_vectorized_parity(n_blocks):
+    import pandas as pd
+    import ray.data
+
+    from pdf2doi_ray.stages.windows import session_counts
+
+    rng = np.random.RandomState(9)
+    users = rng.randint(0, 12, size=400)
+    base = np.int64(1_600_000_000_000_000)
+    ts = base + rng.randint(0, 3_600_000_000 * 24, size=400)
+    t = pa.table({
+        "user_id": pa.array(users, type=pa.int64()),
+        "ts": pa.array(ts.astype("datetime64[us]")),
+    })
+    got = (session_counts(ray.data.from_arrow(t).repartition(n_blocks))
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    # brute force
+    rows = []
+    for u in sorted(set(users)):
+        tsu = np.sort(ts[users == u])
+        nsess = int((np.diff(tsu) > 1800 * 1_000_000).sum()) + 1
+        rows.append((u, len(tsu), nsess))
+    want = pd.DataFrame(rows, columns=["user_id", "n_events", "n_sessions"])
+    assert got["user_id"].tolist() == want["user_id"].tolist()
+    assert got["n_events"].tolist() == want["n_events"].tolist()
+    assert got["n_sessions"].tolist() == want["n_sessions"].tolist()
