@@ -446,6 +446,28 @@ def _q_audio_features(sf_dir: str):
     return audio_features(sf_dir)
 
 
+def _q_approx_ndv_hosts(sf_dir: str):
+    """Approximate distinct host count via a mergeable HyperLogLog sketch
+    (deterministic blake2b hashing — the estimate is run-stable).  No SQL
+    oracle (approximate by design); exact-merge and accuracy properties are
+    locked in tests/test_sketch.py.  Fixture has 50 hosts → linear-counting
+    range → estimate within ±5% (deterministically 48 on this hash)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from pdf2doi_ray.stages.sketch import approx_ndv
+    from pdf2doi_ray.stages.skew import _hosts_vec
+
+    def hosts(t: pa.Table) -> pa.Table:
+        col = t["url"].combine_chunks() if isinstance(t["url"], pa.ChunkedArray) \
+            else t["url"]
+        return pa.table({"host": _hosts_vec(col)})
+
+    ds = _pages(sf_dir).map_batches(hosts, batch_format="pyarrow")
+    return pd.DataFrame({"ndv_estimate": pd.Series([approx_ndv(ds, "host")],
+                                                   dtype="int64")})
+
+
 def _q_token_quantiles(sf_dir: str):
     from pdf2doi_ray.stages.textstats import token_count_quantiles
     return token_count_quantiles(_docs(sf_dir, ("doc_id", "text")))
@@ -494,6 +516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_resize": _q_image_resize,
         "audio_features": _q_audio_features,
         "token_count_quantiles": _q_token_quantiles,
+        "approx_ndv_hosts": _q_approx_ndv_hosts,
     }
 
 

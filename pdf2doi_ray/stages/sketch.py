@@ -1,0 +1,97 @@
+"""Mergeable cardinality sketch: HyperLogLog distinct-count over a column.
+
+The distributed-sketch pattern (Flajolet et al., AofA 2007): every batch
+builds a fixed-size register array (2^P bytes) from deterministic 64-bit
+hashes; register arrays merge by element-wise max — associative and
+commutative, so partials combine in any order and the driver only ever
+holds registers, never values.  Deterministic end-to-end (blake2b hash, no
+process salt): every run and every worker produces the identical sketch,
+which is what lets ``tests/golden_impl.py`` lock the estimate exactly.
+
+Standard bias corrections: linear counting below 2.5·m, the 2^64
+large-range correction above 2^63/30.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+HLL_P = 12                      # 4096 registers → ~1.6% standard error
+HLL_M = 1 << HLL_P
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def hash64(value: str) -> int:
+    return int.from_bytes(hashlib.blake2b(value.encode("utf-8"),
+                                          digest_size=8).digest(), "big")
+
+
+def registers_for(values) -> np.ndarray:
+    """HLL register array for an iterable of strings (vectorized rank
+    computation; only the hashing itself is a per-value C call)."""
+    regs = np.zeros(HLL_M, dtype=np.uint8)
+    if not values:
+        return regs
+    hs = np.fromiter((hash64(v) for v in values), dtype=np.uint64,
+                     count=len(values))
+    idx = (hs >> np.uint64(64 - HLL_P)).astype(np.int64)
+    rest = (hs << np.uint64(HLL_P)) | np.uint64((1 << HLL_P) - 1)
+    # rank = leading zeros of the remaining 64-P bits, + 1
+    shifted = rest
+    rank = np.ones(len(hs), dtype=np.uint8)
+    mask = np.uint64(1) << np.uint64(63)
+    live = (shifted & mask) == 0
+    while live.any():
+        rank[live] += 1
+        shifted = shifted << np.uint64(1)
+        live = live & ((shifted & mask) == 0)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def merge_registers(parts: list[np.ndarray]) -> np.ndarray:
+    regs = np.zeros(HLL_M, dtype=np.uint8)
+    for p in parts:
+        np.maximum(regs, p, out=regs)
+    return regs
+
+
+def estimate(regs: np.ndarray) -> int:
+    m = len(regs)
+    inv = np.power(2.0, -regs.astype(np.float64)).sum()
+    e = _alpha(m) * m * m / inv
+    if e <= 2.5 * m:
+        zeros = int((regs == 0).sum())
+        if zeros:
+            e = m * np.log(m / zeros)
+    elif e > (1 << 63) / 30.0:
+        e = -(2.0 ** 64) * np.log(1 - e / 2.0 ** 64)
+    return int(round(e))
+
+
+def approx_ndv(ds, column: str) -> int:
+    """Distributed approximate distinct count of ``ds[column]``: per-batch
+    register partials (one 4 KiB row per batch), max-merged on the driver.
+    Values never leave their batch; the shuffle-free alternative to
+    ``Dataset.unique`` when an estimate suffices."""
+    def partial(t: pa.Table) -> pa.Table:
+        regs = registers_for(t[column].to_pylist())
+        return pa.table({"regs": pa.array([regs.tobytes()],
+                                          type=pa.binary())})
+
+    parts = [np.frombuffer(r["regs"], dtype=np.uint8)
+             for r in ds.map_batches(partial, batch_format="pyarrow")
+             .take_all()]
+    return estimate(merge_registers(parts))
