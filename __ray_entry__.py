@@ -162,10 +162,13 @@ def _q_titles(sf_dir: str):
 
     def choose(t):
         urls = t["url"].to_pylist()
-        cands = [candidate_titles(u, ti, h, mk or [], mv or [])
-                 for u, ti, h, mk, mv in zip(
+        fts = t["font_title"].to_pylist() if "font_title" in t.column_names \
+            else [None] * len(urls)
+        cands = [candidate_titles(u, ti, h, mk or [], mv or [], font_title=ft)
+                 for u, ti, h, mk, mv, ft in zip(
                      urls, t["title"].to_pylist(), t["h1"].to_pylist(),
-                     t["meta_keys"].to_pylist(), t["meta_vals"].to_pylist())]
+                     t["meta_keys"].to_pylist(), t["meta_vals"].to_pylist(),
+                     fts)]
         return pa.table({
             "url": t["url"],
             "best_title": pa.array([c[0] if c else None for c in cands]),

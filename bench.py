@@ -212,9 +212,7 @@ def main() -> None:
         from pdf2doi_ray.stages.dedup import minhash_near_dups
         docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet",
                                      columns=["doc_id", "text"])
-        out = minhash_near_dups(docs)
-        if hasattr(out, "count"):
-            out.count()
+        minhash_near_dups(docs).count()
 
     if not headline_only:
         queries["minhash_near_dups_docs"] = timed(q_minhash)

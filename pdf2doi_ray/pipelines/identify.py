@@ -57,26 +57,38 @@ def identify_pages(pages, cfg: EngineConfig = DEFAULT_CONFIG,
     )
 
 
-def identify_pages_staged(pages, cfg: EngineConfig = DEFAULT_CONFIG,
-                          keep_columns: tuple[str, ...] = ()):
-    """Two-stage variant (parse actor pool → stateless extract tasks) —
-    composable when a pipeline needs the parsed text between the stages."""
+def _parse_then_extract(pages, cfg: EngineConfig):
+    """Shared parse→extract prefix (parsed columns still attached), honoring
+    ``cfg.parse_mode`` the same way everywhere."""
     if cfg.use_html:
-        parsed = pages.map_batches(
-            HtmlParse,
-            batch_format="pyarrow",
-            batch_size=cfg.parse_batch_size,
-            concurrency=cfg.parse_concurrency or (1, 8),
-            num_cpus=1,
-        )
+        if cfg.parse_mode == "actors":
+            parsed = pages.map_batches(
+                HtmlParse,
+                batch_format="pyarrow",
+                batch_size=cfg.parse_batch_size,
+                concurrency=cfg.parse_concurrency or (1, 8),
+                num_cpus=1,
+            )
+        else:
+            parser = HtmlParse()
+            parsed = pages.map_batches(
+                parser, batch_format="pyarrow",
+                batch_size=cfg.parse_batch_size)
     else:
         parsed = pages
-    extracted = parsed.map_batches(
+    return parsed.map_batches(
         make_extract_fn(cfg),
         batch_format="pyarrow",
         batch_size=cfg.extract_batch_size,
     )
-    return extracted.select_columns(RESULT_COLUMNS + list(keep_columns))
+
+
+def identify_pages_staged(pages, cfg: EngineConfig = DEFAULT_CONFIG,
+                          keep_columns: tuple[str, ...] = ()):
+    """Two-stage variant (parse stage → stateless extract tasks) —
+    composable when a pipeline needs the parsed text between the stages."""
+    return _parse_then_extract(pages, cfg).select_columns(
+        RESULT_COLUMNS + list(keep_columns))
 
 
 #: the reference's full 5-method finder registry (finders.py:867-873).
@@ -108,22 +120,7 @@ def identify_pages_websearch(pages, search, fetch,
     the end."""
     from ..stages.google import attach_google_search
 
-    if cfg.use_html:
-        if cfg.parse_mode == "actors":
-            parsed = pages.map_batches(
-                HtmlParse, batch_format="pyarrow",
-                batch_size=cfg.parse_batch_size,
-                concurrency=cfg.parse_concurrency or (1, 8), num_cpus=1)
-        else:
-            parser = HtmlParse()
-            parsed = pages.map_batches(
-                parser, batch_format="pyarrow",
-                batch_size=cfg.parse_batch_size)
-    else:
-        parsed = pages
-    extracted = parsed.map_batches(
-        make_extract_fn(cfg), batch_format="pyarrow",
-        batch_size=cfg.extract_batch_size)
+    extracted = _parse_then_extract(pages, cfg)
     webbed = attach_google_search(extracted, search, fetch, cfg,
                                   numb_results=numb_results,
                                   concurrency=web_concurrency)

@@ -467,6 +467,24 @@ def wordset_jaccard_adjacent(docs):
         })
 
     def stitch(t: pa.Table) -> pa.Table:
+        # the per-batch ascending check is necessary but NOT sufficient:
+        # interleaved storage (odd/even ids in two files) passes it while
+        # the shift-join silently drops every pair.  The boundary rows give
+        # each batch's [first, last] id range — enforce the true invariant
+        # here: batch ranges, sorted by start, must not overlap.
+        ranges: dict[int, list[int]] = {}
+        for k_, i_ in zip(t["batch_key"].to_pylist(),
+                          t["doc_id"].to_pylist()):
+            r = ranges.setdefault(int(k_), [int(i_), int(i_)])
+            r[0] = min(r[0], int(i_))
+            r[1] = max(r[1], int(i_))
+        spans = sorted(ranges.values())
+        for prev, nxt in zip(spans, spans[1:]):
+            if nxt[0] <= prev[1]:
+                raise ValueError(
+                    "wordset_jaccard_adjacent requires globally contiguous "
+                    f"doc_id storage order; batch ranges {prev} and {nxt} "
+                    "overlap (interleaved input)")
         order = np.argsort(np.asarray(t["doc_id"].combine_chunks()
                                       if isinstance(t["doc_id"], pa.ChunkedArray)
                                       else t["doc_id"]), kind="stable")

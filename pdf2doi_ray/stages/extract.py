@@ -134,6 +134,13 @@ def make_extract_fn(cfg: EngineConfig):
             if "document_infos" in cfg.methods and has_meta \
             else np.zeros(n, dtype=bool)
         candidate = text_mask | url_mask | meta_mask
+        if "filename" in cfg.methods:
+            # a NULL url cannot be shortcut to the exhausted shape: the
+            # exact cascade RAISES in the filename method and degrades the
+            # row to all-null (reference main.py:132-142) — route every
+            # null-url row through the slow path so the try/except there
+            # reproduces that, whether or not any prefilter matched
+            candidate |= np.asarray(pc.is_null(_one_chunk(batch["url"])))
 
         identifier: list[str | None] = [None] * n
         id_type: list[str | None] = [None] * n

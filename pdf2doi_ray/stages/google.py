@@ -94,10 +94,12 @@ class GoogleSearchFinder:
             pass
         return None, None, None
 
-    def _find_row(self, url, title, h1, meta_keys, meta_vals, text) -> Found | None:
+    def _find_row(self, url, title, h1, meta_keys, meta_vals, text,
+                  font_title=None) -> Found | None:
         # method 4: title_google
         for t in candidate_titles(url or "", title, h1,
-                                  meta_keys or [], meta_vals or []):
+                                  meta_keys or [], meta_vals or [],
+                                  font_title=font_title):
             ident, kind, verdict = self._try_query(t)
             if ident:
                 return self._finish(ident, kind, verdict, "title_google")
@@ -138,6 +140,8 @@ class GoogleSearchFinder:
                 batch["meta_keys"][i].as_py() if has_meta else [],
                 batch["meta_vals"][i].as_py() if has_meta else [],
                 batch["text"][i].as_py() if "text" in batch.column_names else None,
+                font_title=batch["font_title"][i].as_py()
+                if "font_title" in batch.column_names else None,
             )
             if found is not None:
                 idents[i] = found.identifier

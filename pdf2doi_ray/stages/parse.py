@@ -18,12 +18,13 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-from ..html_extract import parse_page
+from ..html_extract import parse_page, title_by_font_histogram
 
 PARSED_FIELDS = [
     ("text", pa.string()),
     ("title", pa.string()),
     ("h1", pa.string()),
+    ("font_title", pa.string()),
     ("meta_keys", pa.list_(pa.string())),
     ("meta_vals", pa.list_(pa.string())),
     ("segments", pa.list_(pa.string())),
@@ -49,6 +50,7 @@ class HtmlParse:
         texts: list[str] = []
         titles: list[str | None] = []
         h1s: list[str | None] = []
+        ftitles: list[str | None] = []
         mkeys: list[list[str]] = []
         mvals: list[list[str]] = []
         segs: list[list[str]] = []
@@ -61,16 +63,25 @@ class HtmlParse:
                 mkeys.append(p.meta_keys)
                 mvals.append(p.meta_vals)
                 segs.append(list(p.segments))
+                # font-histogram headline (reference title source 2):
+                # gated on a substring probe so styleless pages (the common
+                # case) skip the second markup scan entirely
+                html_s = (payload or b"").decode("utf-8", errors="replace") \
+                    if isinstance(payload, bytes) else (payload or "")
+                ftitles.append(title_by_font_histogram(html_s)
+                               if "font-size" in html_s else None)
             except Exception:
                 texts.append("")
                 titles.append(None)
                 h1s.append(None)
+                ftitles.append(None)
                 mkeys.append([])
                 mvals.append([])
                 segs.append([])
 
         out = batch.drop_columns(["html"])
-        fields = list(zip(PARSED_FIELDS, (texts, titles, h1s, mkeys, mvals, segs)))
+        fields = list(zip(PARSED_FIELDS,
+                          (texts, titles, h1s, ftitles, mkeys, mvals, segs)))
         if not self._emit_segments:
             fields = [f for f in fields if f[0][0] != "segments"]
         for (name, typ), col in fields:

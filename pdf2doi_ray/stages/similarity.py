@@ -246,14 +246,28 @@ def knn_ivf(embeddings, query: np.ndarray, k: int = 10,
     # deterministic training sample WITHOUT a global sort: a streaming
     # predicate filter (vec_id < train_rows) keeps at most train_rows rows,
     # sorted on the driver (tiny).  Identical to sort+limit when vec_ids are
-    # dense from 0 (the fixture contract); for sparse ids it is "the rows
-    # with vec_id < train_rows" — still deterministic, no shuffle.
+    # dense from 0 (the fixture contract).  For id distributions where that
+    # filter keeps nothing (ids offset past train_rows), fall back to
+    # per-batch bottom-k partials — the smallest train_rows ids overall,
+    # matching sort+limit semantics for ANY distribution at the cost of
+    # ≤ train_rows rows per batch reaching the driver.
     import pyarrow.compute as pc
 
     sample = embeddings.map_batches(
         lambda t: t.filter(pc.less(t["vec_id"], train_rows)),
         batch_format="pyarrow").take_all()
+    if not sample:
+        def bottom_k(t: pa.Table) -> pa.Table:
+            ids = _ids(t["vec_id"])
+            keep = np.sort(np.argsort(ids, kind="stable")[:train_rows])
+            return t.take(pa.array(keep))
+
+        sample = embeddings.map_batches(
+            bottom_k, batch_format="pyarrow").take_all()
     sample.sort(key=lambda r: r["vec_id"])
+    sample = sample[:train_rows]
+    if not sample:
+        raise ValueError("knn_ivf: empty embeddings dataset")
     train = np.array([r["embedding"] for r in sample], dtype=np.float64)
     cents = _kmeans(train, min(n_centroids, len(train)))
     qd = ((cents - query[None, :]) ** 2).sum(axis=1)

@@ -181,18 +181,28 @@ def token_count_quantiles(docs, quantiles_permille=(250, 500, 750, 900)):
     hist = (docs.map_batches(partial, batch_format="pyarrow")
             .groupby("value").aggregate(Sum("n", alias_name="n"))
             .to_pandas())
-    hist = hist.sort_values("value").reset_index(drop=True)
-    cum = hist["n"].cumsum().to_numpy()
-    total = int(cum[-1]) if len(cum) else 0
-    values = hist["value"].to_numpy()
+    if len(hist) == 0 or "value" not in hist.columns:
+        # an empty dataset aggregates to a schemaless empty frame
+        cum = np.empty(0, dtype=np.int64)
+        values = np.empty(0, dtype=np.int64)
+        total = 0
+    else:
+        hist = hist.sort_values("value").reset_index(drop=True)
+        cum = hist["n"].cumsum().to_numpy()
+        total = int(cum[-1]) if len(cum) else 0
+        values = hist["value"].to_numpy()
     out_q, out_v = [], []
     for q in quantiles_permille:
         rank = -(-q * total // 1000)            # ceil without floats
         idx = int(np.searchsorted(cum, rank, side="left"))
         out_q.append(int(q))
         out_v.append(int(values[idx]) if total else None)
+    # empty input yields NULL quantile values (matching the SQL oracle) via
+    # the nullable dtype; the non-empty path keeps plain int64 so dtypes
+    # line up with the DuckDB result frame
+    vdtype = "int64" if all(v is not None for v in out_v) else "Int64"
     return pd.DataFrame({"q_permille": pd.Series(out_q, dtype="int64"),
-                         "value": pd.Series(out_v, dtype="int64")})
+                         "value": pd.Series(out_v, dtype=vdtype)})
 
 
 # --- winnowing rolling-hash fingerprints ----------------------------------

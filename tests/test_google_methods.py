@@ -186,3 +186,51 @@ def test_websearch_pipeline_end_to_end():
     assert len(out) == 1
     assert out["identifier"][0] == "10.7777/via.search"
     assert out["method"][0] == "title_google"
+
+
+def test_font_title_used_as_google_query():
+    queries = []
+
+    def search(q, stop):
+        queries.append(q)
+        return ["https://doi.org/10.8888/font.hit"] \
+            if q == "The Large Font Headline Title" else []
+
+    def fetch(url):
+        return 200, ""
+
+    finder = GoogleSearchFinder(search=search, fetch=fetch)
+    batch = _batch([{
+        "url": "https://x.org/p.html",
+        "title": None, "h1": None,
+        "text": None,
+        "method": EXHAUSTED_METHOD,
+    }]).append_column("font_title",
+                      pa.array(["The Large Font Headline Title"]))
+    out = finder(batch)
+    assert out["identifier"][0].as_py() == "10.8888/font.hit"
+    assert out["method"][0].as_py() == "title_google"
+    assert queries[0] == "The Large Font Headline Title"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_parser_emits_font_title_column():
+    import ray.data
+
+    from pdf2doi_ray.stages.parse import HtmlParse
+
+    html = (b'<html><body><div style="font-size:24px">The Styled Headline '
+            b"Title Words</div>"
+            b'<p style="font-size:12px">a</p><p style="font-size:12px">b</p>'
+            b'<p style="font-size:12px">c</p>'
+            b"<main>body</main></body></html>")
+    plain = b"<html><body><main>no styles at all</main></body></html>"
+    pages = ray.data.from_arrow(pa.table({
+        "url": pa.array(["https://x.org/a", "https://x.org/b"]),
+        "html": pa.array([html, plain], type=pa.binary()),
+    }))
+    parser = HtmlParse()
+    out = pages.map_batches(lambda t: parser(t),
+                            batch_format="pyarrow").to_pandas()
+    assert out["font_title"][0] == "The Styled Headline Title Words"
+    assert out["font_title"][1] is None

@@ -75,3 +75,16 @@ def test_token_count_quantiles_matches_explicit_rank():
     for q, v in zip(out["q_permille"], out["value"]):
         rank = -(-int(q) * len(srt) // 1000)
         assert int(v) == int(srt[rank - 1]), q
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_token_count_quantiles_empty_input():
+    import ray.data
+
+    from pdf2doi_ray.stages.textstats import token_count_quantiles
+
+    t = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                  "text": pa.array([], type=pa.string())})
+    out = token_count_quantiles(ray.data.from_arrow(t))
+    assert len(out) == 4
+    assert out["value"].isna().all()

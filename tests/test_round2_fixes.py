@@ -44,9 +44,10 @@ def test_null_url_degrades_single_row():
 
     fn = make_extract_fn(DEFAULT_CONFIG)
     batch = pa.table({
-        "url": pa.array([None, "https://x.org/10.1234%2Fok.pdf"],
+        "url": pa.array([None, "https://x.org/10.1234%2Fok.pdf", None],
                         type=pa.string()),
-        "text": pa.array(["see doi: 10.1234/intext end", "plain"],
+        "text": pa.array(["see doi: 10.1234/intext end", "plain",
+                          "no identifier patterns at all"],
                          type=pa.string()),
     })
     out = fn(batch)
@@ -55,6 +56,10 @@ def test_null_url_degrades_single_row():
     assert out["method"][0].as_py() is None
     # row 1 unaffected
     assert out["identifier"][1].as_py() == "10.1234/ok.pdf"
+    # row 2: null url on a NON-candidate row (no prefilter hit) must degrade
+    # identically, not keep the exhausted stamp (round-2 review finding)
+    assert out["identifier"][2].as_py() is None
+    assert out["method"][2].as_py() is None
 
 
 @pytest.mark.usefixtures("ray_session")

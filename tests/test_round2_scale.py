@@ -160,3 +160,22 @@ def test_session_counts_vectorized_parity(n_blocks):
     assert got["user_id"].tolist() == want["user_id"].tolist()
     assert got["n_events"].tolist() == want["n_events"].tolist()
     assert got["n_sessions"].tolist() == want["n_sessions"].tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_wordset_jaccard_rejects_interleaved_blocks():
+    import ray.data
+
+    from pdf2doi_ray.stages.dedup import wordset_jaccard_adjacent
+
+    # odd/even interleaving: every block is ascending (per-batch check
+    # passes) but no block holds consecutive ids — the stitch must detect
+    # the overlapping batch ranges and raise instead of silently dropping
+    # all 99 pairs (round-2 review finding)
+    even = pa.table({"doc_id": pa.array(list(range(0, 40, 2)), type=pa.int64()),
+                     "text": pa.array(["a b"] * 20)})
+    odd = pa.table({"doc_id": pa.array(list(range(1, 40, 2)), type=pa.int64()),
+                    "text": pa.array(["a b"] * 20)})
+    docs = ray.data.from_arrow([even, odd])
+    with pytest.raises(Exception, match="contiguous|overlap"):
+        wordset_jaccard_adjacent(docs).to_pandas()
