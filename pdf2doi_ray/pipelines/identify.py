@@ -86,7 +86,11 @@ def _parse_then_extract(pages, cfg: EngineConfig):
 def identify_pages_staged(pages, cfg: EngineConfig = DEFAULT_CONFIG,
                           keep_columns: tuple[str, ...] = ()):
     """Two-stage variant (parse stage → stateless extract tasks) —
-    composable when a pipeline needs the parsed text between the stages."""
+    composable when a pipeline needs the parsed text between the stages.
+
+    Since round 2 this honors ``cfg.parse_mode`` like every other pipeline
+    (default "tasks"); pass ``cfg.with_(parse_mode="actors")`` to get the
+    actor-pool parse this function used unconditionally in round 1."""
     return _parse_then_extract(pages, cfg).select_columns(
         RESULT_COLUMNS + list(keep_columns))
 

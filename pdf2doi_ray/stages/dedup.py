@@ -472,9 +472,20 @@ def wordset_jaccard_adjacent(docs):
         # the shift-join silently drops every pair.  The boundary rows give
         # each batch's [first, last] id range — enforce the true invariant
         # here: batch ranges, sorted by start, must not overlap.
+        # boundary rows are each batch's first/last row (distinct within a
+        # batch by the strict-ascending check; one row for a single-row
+        # batch) — a repeated id can ONLY mean globally duplicated doc_ids,
+        # which both break the pair key and collapse two batches into one
+        # range below (batch_key = first doc_id), hiding interleaving
         ranges: dict[int, list[int]] = {}
+        seen_ids: set[int] = set()
         for k_, i_ in zip(t["batch_key"].to_pylist(),
                           t["doc_id"].to_pylist()):
+            if int(i_) in seen_ids:
+                raise ValueError(
+                    "wordset_jaccard_adjacent requires globally unique "
+                    f"doc_id values; {i_} appears in multiple batches")
+            seen_ids.add(int(i_))
             r = ranges.setdefault(int(k_), [int(i_), int(i_)])
             r[0] = min(r[0], int(i_))
             r[1] = max(r[1], int(i_))

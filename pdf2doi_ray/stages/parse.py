@@ -18,7 +18,15 @@ from __future__ import annotations
 
 import pyarrow as pa
 
+import re
+
 from ..html_extract import parse_page, title_by_font_histogram
+
+#: case-insensitive byte/str probes for the font-title gate — one C pass
+#: over the RAW payload, no decode unless it hits (the style kernel's
+#: regex is IGNORECASE, so the gate must be too)
+_FONT_PROBE_B = re.compile(rb"font-size", re.I)
+_FONT_PROBE_S = re.compile(r"font-size", re.I)
 
 PARSED_FIELDS = [
     ("text", pa.string()),
@@ -55,22 +63,30 @@ class HtmlParse:
         mvals: list[list[str]] = []
         segs: list[list[str]] = []
         for payload in payloads:
+            # compute first, append exactly once after: a partial-append on
+            # exception would desync the column lengths
             try:
                 p = parse_page(payload or b"")
-                texts.append(p.text)
-                titles.append(p.title)
-                h1s.append(p.h1)
-                mkeys.append(p.meta_keys)
-                mvals.append(p.meta_vals)
-                segs.append(list(p.segments))
-                # font-histogram headline (reference title source 2):
-                # gated on a substring probe so styleless pages (the common
-                # case) skip the second markup scan entirely
-                html_s = (payload or b"").decode("utf-8", errors="replace") \
-                    if isinstance(payload, bytes) else (payload or "")
-                ftitles.append(title_by_font_histogram(html_s)
-                               if "font-size" in html_s else None)
             except Exception:
+                p = None
+            # font-histogram headline (reference title source 2): the
+            # case-insensitive probe runs on the RAW payload (one C pass,
+            # no decode); styleless pages (the common case) skip the second
+            # markup scan entirely.  Its own except: a font-step failure
+            # must not degrade the successfully parsed row.
+            ft = None
+            if p is not None:
+                try:
+                    raw = payload or b""
+                    hit = _FONT_PROBE_B.search(raw) if isinstance(raw, bytes) \
+                        else _FONT_PROBE_S.search(raw)
+                    if hit:
+                        html_s = raw.decode("utf-8", errors="replace") \
+                            if isinstance(raw, bytes) else raw
+                        ft = title_by_font_histogram(html_s)
+                except Exception:
+                    ft = None
+            if p is None:
                 texts.append("")
                 titles.append(None)
                 h1s.append(None)
@@ -78,6 +94,14 @@ class HtmlParse:
                 mkeys.append([])
                 mvals.append([])
                 segs.append([])
+            else:
+                texts.append(p.text)
+                titles.append(p.title)
+                h1s.append(p.h1)
+                ftitles.append(ft)
+                mkeys.append(p.meta_keys)
+                mvals.append(p.meta_vals)
+                segs.append(list(p.segments))
 
         out = batch.drop_columns(["html"])
         fields = list(zip(PARSED_FIELDS,

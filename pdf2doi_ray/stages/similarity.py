@@ -256,7 +256,10 @@ def knn_ivf(embeddings, query: np.ndarray, k: int = 10,
     sample = embeddings.map_batches(
         lambda t: t.filter(pc.less(t["vec_id"], train_rows)),
         batch_format="pyarrow").take_all()
-    if not sample:
+    if len(sample) < train_rows:
+        # the filter undershot (sparse/offset ids, or a corpus smaller than
+        # train_rows — the latter re-collects the same rows, cheap by
+        # definition): take the true bottom-k ids via per-batch partials
         def bottom_k(t: pa.Table) -> pa.Table:
             ids = _ids(t["vec_id"])
             keep = np.sort(np.argsort(ids, kind="stable")[:train_rows])

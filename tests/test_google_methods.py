@@ -234,3 +234,25 @@ def test_parser_emits_font_title_column():
                             batch_format="pyarrow").to_pandas()
     assert out["font_title"][0] == "The Styled Headline Title Words"
     assert out["font_title"][1] is None
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_parser_font_probe_case_insensitive_and_fault_isolated():
+    import ray.data
+
+    from pdf2doi_ray.stages.parse import HtmlParse
+
+    upper = (b'<html><body><div style="FONT-SIZE:24px">The Upper Styled '
+             b"Headline Title</div>"
+             b'<p style="font-size:12px">a</p><p style="font-size:12px">b</p>'
+             b'<p style="font-size:12px">c</p><main>m</main></body></html>')
+    pages = ray.data.from_arrow(pa.table({
+        "url": pa.array(["https://x.org/u"]),
+        "html": pa.array([upper], type=pa.binary()),
+    }))
+    parser = HtmlParse()
+    out = pages.map_batches(lambda t: parser(t),
+                            batch_format="pyarrow").to_pandas()
+    # FONT-SIZE (uppercase) must pass the gate — the style regex is
+    # IGNORECASE, so the probe must be too (2nd-review finding)
+    assert out["font_title"][0] == "The Upper Styled Headline Title"

@@ -179,3 +179,41 @@ def test_wordset_jaccard_rejects_interleaved_blocks():
     docs = ray.data.from_arrow([even, odd])
     with pytest.raises(Exception, match="contiguous|overlap"):
         wordset_jaccard_adjacent(docs).to_pandas()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_wordset_jaccard_rejects_duplicate_ids_across_batches():
+    import ray.data
+
+    from pdf2doi_ray.stages.dedup import wordset_jaccard_adjacent
+
+    # duplicate leading id 5 in both batches: batch ranges collapse under
+    # the batch_key and the overlap check alone would miss it (2nd-review
+    # finding) — the duplicate-id check must raise
+    a = pa.table({"doc_id": pa.array([5, 6, 10], type=pa.int64()),
+                  "text": pa.array(["a"] * 3)})
+    b = pa.table({"doc_id": pa.array([5, 7, 9], type=pa.int64()),
+                  "text": pa.array(["a"] * 3)})
+    with pytest.raises(Exception, match="unique|overlap|contiguous"):
+        wordset_jaccard_adjacent(ray.data.from_arrow([a, b])).to_pandas()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_knn_ivf_sparse_offset_ids_use_bottom_k_fallback():
+    import ray.data
+
+    from pdf2doi_ray.stages.similarity import knn_ivf
+
+    rng = np.random.RandomState(5)
+    vecs = rng.standard_normal((300, 16))
+    ids = np.concatenate([[3], np.arange(10000, 10299)])
+    emb = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(ids, type=pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              type=pa.list_(pa.float64())),
+    }))
+    # pre-fix this crashed (0-row k-means sample) or trained on 1 row;
+    # the bottom-k fallback must supply the 256 smallest ids
+    out = knn_ivf(emb, vecs[0], k=5, train_rows=256)
+    assert len(out) == 5
+    assert out["rank"].tolist() == [1, 2, 3, 4, 5]
