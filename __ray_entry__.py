@@ -449,6 +449,18 @@ def _q_audio_features(sf_dir: str):
     return audio_features(sf_dir)
 
 
+def _q_events_asof_join(sf_dir: str):
+    """As-of join: every purchase matched to the user's latest click at or
+    before it (DuckDB ASOF JOIN oracle)."""
+    import ray.data
+
+    from pdf2doi_ray.stages.asof import asof_join_latest
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id",
+                                        "event_type"])
+    return asof_join_latest(ev, left_type="purchase", right_type="click")
+
+
 def _q_approx_ndv_hosts(sf_dir: str):
     """Approximate distinct host count via a mergeable HyperLogLog sketch
     (deterministic blake2b hashing — the estimate is run-stable).  No SQL
@@ -520,6 +532,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": _q_audio_features,
         "token_count_quantiles": _q_token_quantiles,
         "approx_ndv_hosts": _q_approx_ndv_hosts,
+        "events_asof_join": _q_events_asof_join,
     }
 
 
@@ -689,6 +702,13 @@ SELECT CAST(row_number() OVER (ORDER BY len(string_split(text, ' ')) DESC,
 FROM documents
 ORDER BY n_tokens DESC, doc_id
 LIMIT 20
+""",
+        "events_asof_join": """
+SELECT a.event_id, a.user_id,
+       CAST(epoch_us(b.ts) AS BIGINT) AS matched_ts_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
+  ON a.user_id = b.user_id AND a.ts >= b.ts
 """,
         "events_tumbling": """
 SELECT event_type,

@@ -1,0 +1,70 @@
+"""As-of join: brute-force parity across block layouts, inclusive-equality
+semantics, cross-block carry resolution."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _events_table(rows):
+    return pa.table({
+        "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array(np.array([r[1] for r in rows],
+                                dtype="datetime64[us]")),
+        "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], type=pa.string()),
+    })
+
+
+def _brute(rows, left="purchase", right="click"):
+    out = {}
+    for eid, ts, uid, et in rows:
+        if et != left:
+            continue
+        cands = [t2 for _, t2, u2, e2 in rows
+                 if e2 == right and u2 == uid and t2 <= ts]
+        out[eid] = max(cands) if cands else None
+    return out
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("n_blocks", [1, 3, 8])
+def test_asof_matches_brute_force(n_blocks):
+    import ray.data
+
+    from pdf2doi_ray.stages.asof import asof_join_latest
+
+    rng = np.random.RandomState(21)
+    rows = []
+    for i in range(300):
+        rows.append((i, int(rng.randint(0, 10_000_000)),
+                     int(rng.randint(0, 9)),
+                     rng.choice(["purchase", "click", "view"])))
+    ds = ray.data.from_arrow(_events_table(rows)).repartition(n_blocks)
+    got = asof_join_latest(ds, "purchase", "click").to_pandas()
+    want = _brute(rows)
+    got_map = {int(e): (None if pd.isna(m) else int(m))
+               for e, m in zip(got["event_id"], got["matched_ts_us"])}
+    assert got_map == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_asof_inclusive_equal_ts_and_carry():
+    import ray.data
+
+    from pdf2doi_ray.stages.asof import asof_join_latest
+
+    rows = [
+        (0, 100, 1, "click"),
+        (1, 100, 1, "purchase"),      # equal ts → inclusive match at 100
+        (2, 50, 2, "click"),
+        (3, 200, 2, "purchase"),      # match 50 (possibly cross-block)
+        (4, 10, 3, "purchase"),       # no earlier click → null
+    ]
+    for n_blocks in (1, 5):
+        ds = ray.data.from_arrow(_events_table(rows)).repartition(n_blocks)
+        got = asof_join_latest(ds, "purchase", "click").to_pandas()
+        m = {int(e): (None if pd.isna(v) else int(v))
+             for e, v in zip(got["event_id"], got["matched_ts_us"])}
+        assert m == {1: 100, 3: 50, 4: None}, n_blocks
