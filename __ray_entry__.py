@@ -461,6 +461,18 @@ def _q_events_asof_join(sf_dir: str):
     return asof_join_latest(ev, left_type="purchase", right_type="click")
 
 
+def _q_events_range_join(sf_dir: str):
+    """Time-band range join: (error, signup) pairs of the same user within
+    30 minutes of each other (bucket-replication interval join)."""
+    import ray.data
+
+    from pdf2doi_ray.stages.rangejoin import time_band_join
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id",
+                                        "event_type"])
+    return time_band_join(ev, type_a="error", type_b="signup", band_s=1800)
+
+
 def _q_approx_ndv_hosts(sf_dir: str):
     """Approximate distinct host count via a mergeable HyperLogLog sketch
     (deterministic blake2b hashing — the estimate is run-stable).  No SQL
@@ -533,6 +545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_quantiles": _q_token_quantiles,
         "approx_ndv_hosts": _q_approx_ndv_hosts,
         "events_asof_join": _q_events_asof_join,
+        "events_range_join": _q_events_range_join,
     }
 
 
@@ -702,6 +715,13 @@ SELECT CAST(row_number() OVER (ORDER BY len(string_split(text, ' ')) DESC,
 FROM documents
 ORDER BY n_tokens DESC, doc_id
 LIMIT 20
+""",
+        "events_range_join": """
+SELECT a.event_id AS a_event_id, b.event_id AS b_event_id
+FROM (SELECT * FROM events WHERE event_type = 'error') a
+JOIN (SELECT * FROM events WHERE event_type = 'signup') b
+  ON a.user_id = b.user_id
+ AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 1800 * 1000000
 """,
         "events_asof_join": """
 SELECT a.event_id, a.user_id,

@@ -68,3 +68,56 @@ def test_asof_inclusive_equal_ts_and_carry():
         m = {int(e): (None if pd.isna(v) else int(v))
              for e, v in zip(got["event_id"], got["matched_ts_us"])}
         assert m == {1: 100, 3: 50, 4: None}, n_blocks
+
+
+def _brute_band(rows, type_a="error", type_b="signup", band=1800_000_000):
+    out = set()
+    for ea, ta, ua, eta in rows:
+        if eta != type_a:
+            continue
+        for eb, tb, ub, etb in rows:
+            if etb == type_b and ub == ua and abs(ta - tb) <= band:
+                out.add((ea, eb))
+    return out
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("n_blocks", [1, 4])
+def test_time_band_join_matches_brute_force(n_blocks):
+    import ray.data
+
+    from pdf2doi_ray.stages.rangejoin import time_band_join
+
+    rng = np.random.RandomState(13)
+    rows = []
+    for i in range(250):
+        rows.append((i, int(rng.randint(0, 20_000_000_000)),
+                     int(rng.randint(0, 6)),
+                     rng.choice(["error", "signup", "view"])))
+    ds = ray.data.from_arrow(_events_table(rows)).repartition(n_blocks)
+    got = time_band_join(ds, "error", "signup", band_s=1800).to_pandas()
+    pairs = set(zip(got["a_event_id"].astype(int),
+                    got["b_event_id"].astype(int)))
+    assert pairs == _brute_band(rows)
+    assert len(pairs) == len(got)          # no duplicate pair rows
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_time_band_join_boundary_exact():
+    import ray.data
+
+    from pdf2doi_ray.stages.rangejoin import time_band_join
+
+    B = 1800 * 1_000_000
+    rows = [
+        (0, 0, 1, "error"),
+        (1, B, 1, "signup"),          # exactly at the band edge → included
+        (2, 2 * B, 1, "signup"),      # band-edge to error 3, 2B to error 0
+        (3, 3 * B, 1, "error"),
+        (4, B + 1, 2, "signup"),      # other user: never pairs
+    ]
+    got = time_band_join(ray.data.from_arrow(_events_table(rows)),
+                         "error", "signup", band_s=1800).to_pandas()
+    pairs = set(zip(got["a_event_id"].astype(int),
+                    got["b_event_id"].astype(int)))
+    assert pairs == {(0, 1), (3, 2)}
