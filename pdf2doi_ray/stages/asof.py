@@ -21,9 +21,13 @@ boundary-carry pattern:
 
 Correctness leans on sorted-block contiguity (a user's rows occupy
 consecutive blocks; any right row in an earlier block is ≤ every later left
-row of that user in sort order).  Worst case for the stitch is a block with
-no right rows at all for its users (all its left rows carry) — bounded by
-block size, and typical carries are a handful of rows per block.
+row of that user in sort order).  Carry volume: typical inputs send a
+handful of rows per block to the stitch, but carries ACCUMULATE across all
+blocks into the single stitch task — a right-sparse input (many keys with
+no right events at all) funnels every such left row there.  When right
+events can be rare for many keys, pre-filter left rows whose key has zero
+rights (a broadcast anti-join on the distinct right-key set) or shard the
+stitch by key range; the operator keeps the simple single-stitch shape.
 """
 
 from __future__ import annotations
@@ -32,14 +36,11 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..arrowutil import one_chunk
+
 
 def _np(col):
-    return np.asarray(col.combine_chunks()
-                      if isinstance(col, pa.ChunkedArray) else col)
-
-
-_OUT_FIELDS = [("event_id", pa.int64()), ("user_id", pa.int64()),
-               ("matched_ts_us", pa.int64())]
+    return np.asarray(one_chunk(col))
 
 
 def _out_table(eid, uid, mts):
@@ -73,7 +74,6 @@ def asof_join_latest(events, left_type: str, right_type: str):
             "event_id": pa.array([], type=pa.int64()),
             "user_id": pa.array([], type=pa.int64()),
             "matched_ts_us": pa.array([], type=pa.int64()),
-            "ts_us": pa.array([], type=pa.int64()),
             "kind": pa.array([], type=pa.string()),
             "k_user": pa.array([], type=pa.int64()),
             "k_ts": pa.array([], type=pa.int64()),
@@ -106,6 +106,14 @@ def asof_join_latest(events, left_type: str, right_type: str):
                 sum_ts.append(int(ts[lr]))
         k_user, k_ts, k_side = int(us[0]), int(ts[0]), int(side[0])
         n_r, n_u, n_s = len(res_i), len(un_i), len(sum_u)
+        # vectorized matched column: resolved values gathered in C, the
+        # unresolved slice nulled via a mask (no per-row Python on the hot
+        # resolved path)
+        matched = np.concatenate(
+            [ts[last_r[res_i]], np.zeros(n_u, np.int64),
+             np.asarray(sum_ts, np.int64)])
+        matched_mask = np.concatenate(
+            [np.zeros(n_r, bool), np.ones(n_u, bool), np.zeros(n_s, bool)])
         return pa.table({
             "event_id": pa.array(np.concatenate(
                 [eid[res_i], eid[un_i],
@@ -113,13 +121,8 @@ def asof_join_latest(events, left_type: str, right_type: str):
             "user_id": pa.array(np.concatenate(
                 [us[res_i], us[un_i],
                  np.asarray(sum_u, np.int64)]), type=pa.int64()),
-            "matched_ts_us": pa.array(
-                [int(ts[last_r[i]]) for i in res_i]
-                + [None] * n_u
-                + [int(x) for x in sum_ts], type=pa.int64()),
-            "ts_us": pa.array(np.concatenate(
-                [ts[res_i], ts[un_i],
-                 np.full(n_s, -1, np.int64)]), type=pa.int64()),
+            "matched_ts_us": pa.array(matched, type=pa.int64(),
+                                      mask=matched_mask),
             "kind": pa.array(["res"] * n_r + ["un"] * n_u + ["sum"] * n_s),
             "k_user": pa.array([k_user] * (n_r + n_u + n_s), type=pa.int64()),
             "k_ts": pa.array([k_ts] * (n_r + n_u + n_s), type=pa.int64()),

@@ -19,6 +19,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..arrowutil import one_chunk
+
 
 def time_band_join(events, type_a: str, type_b: str, band_s: int = 1800):
     """(a_event_id, b_event_id) for every pair of a ``type_a`` and a
@@ -40,12 +42,8 @@ def time_band_join(events, type_a: str, type_b: str, band_s: int = 1800):
         ts = np.asarray(pc.cast(pc.cast(sub["ts"], pa.timestamp("us")),
                                 pa.int64()))
         side = np.asarray(pc.equal(sub["event_type"], type_b)).astype(np.int64)
-        uid = np.asarray(sub["user_id"].combine_chunks()
-                         if isinstance(sub["user_id"], pa.ChunkedArray)
-                         else sub["user_id"]).astype(np.int64)
-        eid = np.asarray(sub["event_id"].combine_chunks()
-                         if isinstance(sub["event_id"], pa.ChunkedArray)
-                         else sub["event_id"]).astype(np.int64)
+        uid = np.asarray(one_chunk(sub["user_id"])).astype(np.int64)
+        eid = np.asarray(one_chunk(sub["event_id"])).astype(np.int64)
         base = ts // bucket_us
         a_mask = side == 0
         b_mask = ~a_mask
@@ -67,15 +65,9 @@ def time_band_join(events, type_a: str, type_b: str, band_s: int = 1800):
                          "ts_us": pa.array(r_ts)})
 
     def join_group(g: pa.Table) -> pa.Table:
-        side = np.asarray(g["side"].combine_chunks()
-                          if isinstance(g["side"], pa.ChunkedArray)
-                          else g["side"])
-        eid = np.asarray(g["event_id"].combine_chunks()
-                         if isinstance(g["event_id"], pa.ChunkedArray)
-                         else g["event_id"])
-        ts = np.asarray(g["ts_us"].combine_chunks()
-                        if isinstance(g["ts_us"], pa.ChunkedArray)
-                        else g["ts_us"])
+        side = np.asarray(one_chunk(g["side"]))
+        eid = np.asarray(one_chunk(g["event_id"]))
+        ts = np.asarray(one_chunk(g["ts_us"]))
         a = side == 0
         b = ~a
         if not a.any() or not b.any():
