@@ -121,3 +121,47 @@ def test_time_band_join_boundary_exact():
     pairs = set(zip(got["a_event_id"].astype(int),
                     got["b_event_id"].astype(int)))
     assert pairs == {(0, 1), (3, 2)}
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("seed", [1, 7, 42])
+def test_joins_differential_vs_duckdb(seed):
+    import duckdb
+    import ray.data
+
+    from pdf2doi_ray.stages.asof import asof_join_latest
+    from pdf2doi_ray.stages.rangejoin import time_band_join
+
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(400):
+        rows.append((i, int(rng.randint(0, 40_000_000_000)),
+                     int(rng.randint(0, 7)),
+                     rng.choice(["purchase", "click", "error", "signup"])))
+    tbl = _events_table(rows)
+    con = duckdb.connect()
+    con.register("events", tbl)
+
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    got = asof_join_latest(ds, "purchase", "click").to_pandas()
+    want = con.execute("""
+        SELECT a.event_id, CAST(epoch_us(b.ts) AS BIGINT) AS m
+        FROM (SELECT * FROM events WHERE event_type='purchase') a
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='click') b
+          ON a.user_id = b.user_id AND a.ts >= b.ts""").df()
+    gmap = {int(e): (None if pd.isna(v) else int(v))
+            for e, v in zip(got["event_id"], got["matched_ts_us"])}
+    wmap = {int(e): (None if pd.isna(v) else int(v))
+            for e, v in zip(want["event_id"], want["m"])}
+    assert gmap == wmap
+
+    got2 = time_band_join(ds, "error", "signup", band_s=600).to_pandas()
+    want2 = con.execute("""
+        SELECT a.event_id a_id, b.event_id b_id
+        FROM (SELECT * FROM events WHERE event_type='error') a
+        JOIN (SELECT * FROM events WHERE event_type='signup') b
+          ON a.user_id = b.user_id
+         AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 600 * 1000000""").df()
+    assert set(zip(got2["a_event_id"].astype(int),
+                   got2["b_event_id"].astype(int))) \
+        == set(zip(want2["a_id"].astype(int), want2["b_id"].astype(int)))
