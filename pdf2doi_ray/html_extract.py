@@ -358,11 +358,14 @@ def title_by_font_histogram(html: str) -> str | None:
     if not spans:
         return None
     counts: dict[float, int] = {}
-    for s, _ in spans:
+    first_seen: dict[float, int] = {}
+    for idx, (s, _) in enumerate(spans):
         counts[s] = counts.get(s, 0) + 1
-    # paragraph = most frequent size (tie → larger, like the reference's
-    # stable count-desc sort over insertion order of first occurrence)
-    p_size = max(counts, key=lambda s: (counts[s], s))
+        first_seen.setdefault(s, idx)
+    # paragraph = most frequent size; count ties keep the FIRST-SEEN size,
+    # matching the reference's stable count-desc sort over dict insertion
+    # order (find_title_via_pymupdf.py:27)
+    p_size = max(counts, key=lambda s: (counts[s], -first_seen[s]))
     h1_size = max(counts)
     if h1_size <= p_size:
         return None

@@ -77,7 +77,13 @@ def estimate(regs: np.ndarray) -> int:
         if zeros:
             e = m * np.log(m / zeros)
     elif e > (1 << 63) / 30.0:
-        e = -(2.0 ** 64) * np.log(1 - e / 2.0 ** 64)
+        # near-saturated registers can push raw e past 2^64 (max ~2.7e19 at
+        # P=12), where the correction's log argument goes non-positive — cap
+        # at the 2^64 domain size instead of returning NaN
+        if e < 2.0 ** 64:
+            e = -(2.0 ** 64) * np.log(1 - e / 2.0 ** 64)
+        else:
+            e = 2.0 ** 64
     return int(round(e))
 
 

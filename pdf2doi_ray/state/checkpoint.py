@@ -204,7 +204,7 @@ def seed_identifier(out_dir: str, url: str, identifier: str,
     including the empty-string case (the reference's 'reset' idiom), which
     stores a null identifier that the resume anti-join will NOT skip.
     """
-    import zlib
+    import hashlib
 
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -223,7 +223,10 @@ def seed_identifier(out_dir: str, url: str, identifier: str,
     })
     part = os.path.join(out_dir, "part=__seed__")
     os.makedirs(part, exist_ok=True)
-    path = os.path.join(part, f"seed-{zlib.crc32(url.encode()):08x}.parquet")
+    # collision-resistant file name: two urls sharing a crc32 would silently
+    # overwrite each other's seed row (round-2 advice) — 64-bit blake2b
+    digest = hashlib.blake2b(url.encode(), digest_size=8).hexdigest()
+    path = os.path.join(part, f"seed-{digest}.parquet")
     pq.write_table(row, path)
     return {"mode": "seed", "url": url,
             "identifier": found.identifier, "path": path}
