@@ -23,11 +23,12 @@ Correctness leans on sorted-block contiguity (a user's rows occupy
 consecutive blocks; any right row in an earlier block is ≤ every later left
 row of that user in sort order).  Carry volume: typical inputs send a
 handful of rows per block to the stitch, but carries ACCUMULATE across all
-blocks into the single stitch task — a right-sparse input (many keys with
-no right events at all) funnels every such left row there.  When right
-events can be rare for many keys, pre-filter left rows whose key has zero
-rights (a broadcast anti-join on the distinct right-key set) or shard the
-stitch by key range; the operator keeps the simple single-stitch shape.
+blocks — a right-sparse input (many keys with no right events at all)
+re-emits every such left row.  The stitch is therefore SHARDED by
+``user_id % P`` (round 3; replaces the round-2 ``repartition(1)`` funnel):
+every carry row of a user lands in the same shard, so per-shard resolution
+is exact, and the worst case bounds one shard at 1/P of the carries instead
+of one task at all of them.
 """
 
 from __future__ import annotations
@@ -37,6 +38,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..arrowutil import one_chunk
+from .stitch import DEFAULT_STITCH_SHARDS, sharded_stitch
 
 
 def _np(col):
@@ -49,7 +51,8 @@ def _out_table(eid, uid, mts):
                      "matched_ts_us": pa.array(mts, type=pa.int64())})
 
 
-def asof_join_latest(events, left_type: str, right_type: str):
+def asof_join_latest(events, left_type: str, right_type: str,
+                     stitch_shards: int = DEFAULT_STITCH_SHARDS):
     """events → (event_id, user_id, matched_ts_us) for every ``left_type``
     event; ``matched_ts_us`` is the microsecond timestamp of the latest
     ``right_type`` event of the same user with ts ≤ the left event's ts
@@ -167,10 +170,12 @@ def asof_join_latest(events, left_type: str, right_type: str):
             out_m.append(best)
         return _out_table(out_e, out_u, out_m)
 
-    carried = (mixed.map_batches(
+    # all carries of a user (its "un" rows and "sum" summaries) share its
+    # user_id, so the user-sharded stitch resolves each user exactly
+    carries = mixed.map_batches(
         lambda t: t.filter(pc.invert(pc.equal(t["kind"], "res"))),
         batch_format="pyarrow")
-        .repartition(1)
-        .map_batches(stitch, batch_format="pyarrow", batch_size=None))
+    carried = sharded_stitch(carries, lambda t: _np(t["user_id"]),
+                             stitch, num_shards=stitch_shards)
 
     return resolved.union(carried)

@@ -23,6 +23,8 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
+from .stitch import DEFAULT_STITCH_SHARDS, hash_shard_str, sharded_stitch
+
 N_HASHES = 64
 N_BANDS = 16
 ROWS_PER_BAND = N_HASHES // N_BANDS
@@ -149,7 +151,8 @@ def _pairs_for_bucket(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return np.full(k - 1, ids[0], dtype=np.int64), ids[1:]
 
 
-def minhash_candidate_pairs(docs, n_shingle: int = 3):
+def minhash_candidate_pairs(docs, n_shingle: int = 3,
+                            stitch_shards: int = DEFAULT_STITCH_SHARDS):
     """Near-duplicate candidate pairs from LSH buckets (doc_a < doc_b),
     deduplicated across bands.
 
@@ -163,10 +166,11 @@ def minhash_candidate_pairs(docs, n_shingle: int = 3):
     = 16 × corpus): bucket rows sort on one composite key; each sorted block
     detects its group boundaries with one numpy comparison and emits pairs
     for every bucket fully inside it; only the (≤2 per block) edge buckets
-    are re-emitted as (key, id) rows and stitched in a single block — the
-    boundary-exchange shape of :func:`wordset_jaccard_adjacent`.  A bucket
-    interior to a sorted block is provably complete (sorted keys are
-    globally contiguous), so no pair is lost or duplicated.
+    are re-emitted as (key, id) rows and stitched, sharded by the bucket
+    key's hash (round 3; an edge bucket's rows all carry the same key, so
+    they co-locate in one shard).  A bucket interior to a sorted block is
+    provably complete (sorted keys are globally contiguous), so no pair is
+    lost or duplicated.
     """
     import pyarrow.compute as pc
 
@@ -256,10 +260,10 @@ def minhash_candidate_pairs(docs, n_shingle: int = 3):
                               if out_b else np.empty(0, dtype=np.int64)),
         })
 
+    boundary = mixed.map_batches(only_boundary, batch_format="pyarrow")
     cand = mixed.map_batches(only_pairs, batch_format="pyarrow").union(
-        mixed.map_batches(only_boundary, batch_format="pyarrow")
-        .repartition(1)
-        .map_batches(stitch, batch_format="pyarrow", batch_size=None))
+        sharded_stitch(boundary, lambda t: hash_shard_str(t["bkey"]),
+                       stitch, num_shards=stitch_shards))
 
     # same pair can surface from several bands — dedup on the pair key
     from ray.data.aggregate import Count
@@ -396,7 +400,7 @@ def _wordset_score(a_text: str, b_text: str) -> int:
     return (1000 * inter) // union if union else 1000
 
 
-def wordset_jaccard_adjacent(docs):
+def wordset_jaccard_adjacent(docs, stitch_shards: int = DEFAULT_STITCH_SHARDS):
     """Word-set Jaccard between each doc and its successor (doc_id+1) — the
     standalone n-gram-Jaccard scorer over a deterministic pair set.
 
@@ -407,14 +411,20 @@ def wordset_jaccard_adjacent(docs):
       doc_id-ascending in storage order — true for any doc_id-sorted parquet
       (the testdata tables are); each batch raises if the invariant fails.
     * ONE pass over the input (no second read): each batch scores the
-      adjacent pairs fully inside it AND emits its FIRST and LAST row
-      (tagged with the batch's first doc_id as a batch key) as boundary
-      rows in the same output, distinguished by a marker column;
+      adjacent pairs fully inside it AND emits its FIRST row (as the
+      potential right half of the pair ``(id-1, id)``, pair key ``id-1``)
+      and its LAST row (the left half of ``(id, id+1)``, pair key ``id``)
+      as boundary rows in the same output, distinguished by a role column;
     * the mixed output (tiny: int scores + 2 text rows per batch) is
-      materialized once and split; the boundary slice is coalesced to one
-      block where the cross-batch pairs — a last row of one batch followed
-      by the first row of another — are scored.  The driver never holds
-      texts; nothing is broadcast.
+      materialized once and split THREE ways: the in-batch scores pass
+      through; the boundary rows stitch SHARDED BY PAIR KEY (round 3 —
+      the two halves of a cross-batch pair carry the same key ``x`` for
+      the pair ``(x, x+1)``, so they co-locate; no single-task funnel);
+      and the global storage-order invariants (non-overlapping batch
+      ranges, globally unique ids) are enforced in a separate single task
+      over the ID-ONLY boundary projection — 2 int rows per batch, which
+      stays tiny at any corpus size.  The driver never holds texts;
+      nothing is broadcast.
 
     Output is integer permille (floor) for hash-stable oracle comparison.
     """
@@ -437,8 +447,8 @@ def wordset_jaccard_adjacent(docs):
             "jaccard_next_permille": pa.array([], type=pa.int64()),
             "text": pa.array([], type=pa.string()),
             "batch_key": pa.array([], type=pa.int64()),
-            "is_first": pa.array([], type=pa.bool_()),
-            "is_last": pa.array([], type=pa.bool_())})
+            "role": pa.array([], type=pa.string()),
+            "pair_key": pa.array([], type=pa.int64())})
         if t.num_rows == 0:
             return empty
         ids = np.asarray(t["doc_id"].combine_chunks()
@@ -450,45 +460,57 @@ def wordset_jaccard_adjacent(docs):
         out_jac: list[int] = []
         _score_adjacent(ids, texts, out_ids, out_jac)
         n_s = len(out_ids)
-        b_idx = [0] if t.num_rows == 1 else [0, t.num_rows - 1]
-        n_b = len(b_idx)
+        # boundary rows: the batch's first row may be the RIGHT half of the
+        # cross-batch pair (first-1, first); its last row the LEFT half of
+        # (last, last+1).  A single-row batch emits the same row in both
+        # roles (they carry different pair keys, so they shard apart).
         key = int(ids[0])
         return pa.table({
-            "doc_id": pa.array(out_ids + [int(ids[i]) for i in b_idx],
+            "doc_id": pa.array(out_ids + [int(ids[0]), int(ids[-1])],
                                type=pa.int64()),
             "jaccard_next_permille": pa.array(
-                out_jac + [None] * n_b, type=pa.int64()),
-            "text": pa.array([None] * n_s + [texts[i] for i in b_idx],
+                out_jac + [None, None], type=pa.int64()),
+            "text": pa.array([None] * n_s + [texts[0], texts[-1]],
                              type=pa.string()),
-            "batch_key": pa.array([None] * n_s + [key] * n_b,
+            "batch_key": pa.array([None] * n_s + [key, key],
                                   type=pa.int64()),
-            "is_first": pa.array([None] * n_s + [True] + [False] * (n_b - 1)),
-            "is_last": pa.array([None] * n_s + [False] * (n_b - 1) + [True]),
+            "role": pa.array([None] * n_s + ["first", "last"],
+                             type=pa.string()),
+            "pair_key": pa.array(
+                [None] * n_s + [int(ids[0]) - 1, int(ids[-1])],
+                type=pa.int64()),
         })
 
-    def stitch(t: pa.Table) -> pa.Table:
+    def check_invariants(t: pa.Table) -> pa.Table:
         # the per-batch ascending check is necessary but NOT sufficient:
         # interleaved storage (odd/even ids in two files) passes it while
-        # the shift-join silently drops every pair.  The boundary rows give
-        # each batch's [first, last] id range — enforce the true invariant
-        # here: batch ranges, sorted by start, must not overlap.
-        # boundary rows are each batch's first/last row (distinct within a
-        # batch by the strict-ascending check; one row for a single-row
-        # batch) — a repeated id can ONLY mean globally duplicated doc_ids,
-        # which both break the pair key and collapse two batches into one
-        # range below (batch_key = first doc_id), hiding interleaving
-        ranges: dict[int, list[int]] = {}
-        seen_ids: set[int] = set()
-        for k_, i_ in zip(t["batch_key"].to_pylist(),
-                          t["doc_id"].to_pylist()):
-            if int(i_) in seen_ids:
+        # the shift-join silently drops every pair; duplicated doc_ids
+        # break the pair key.  Enforce the TRUE invariants over the id-only
+        # boundary projection (2 int rows per batch — tiny at any corpus
+        # size): batch ranges must not overlap, and no doc_id may appear in
+        # more than one batch.
+        empty_out = pa.table({
+            "doc_id": pa.array([], type=pa.int64()),
+            "jaccard_next_permille": pa.array([], type=pa.int64())})
+        ranges: dict[int, list[int | None]] = {}
+        owner: dict[int, int] = {}
+        for k_, i_, r_ in zip(t["batch_key"].to_pylist(),
+                              t["doc_id"].to_pylist(),
+                              t["role"].to_pylist()):
+            k_, i_ = int(k_), int(i_)
+            if owner.setdefault(i_, k_) != k_:
                 raise ValueError(
                     "wordset_jaccard_adjacent requires globally unique "
                     f"doc_id values; {i_} appears in multiple batches")
-            seen_ids.add(int(i_))
-            r = ranges.setdefault(int(k_), [int(i_), int(i_)])
-            r[0] = min(r[0], int(i_))
-            r[1] = max(r[1], int(i_))
+            rng = ranges.setdefault(k_, [None, None])
+            slot = 0 if r_ == "first" else 1
+            if rng[slot] is not None:
+                # two batches share a batch_key (= their first doc_id):
+                # only possible with globally duplicated doc_ids
+                raise ValueError(
+                    "wordset_jaccard_adjacent requires globally unique "
+                    f"doc_id values; batch key {k_} appears twice")
+            rng[slot] = i_
         spans = sorted(ranges.values())
         for prev, nxt in zip(spans, spans[1:]):
             if nxt[0] <= prev[1]:
@@ -496,22 +518,29 @@ def wordset_jaccard_adjacent(docs):
                     "wordset_jaccard_adjacent requires globally contiguous "
                     f"doc_id storage order; batch ranges {prev} and {nxt} "
                     "overlap (interleaved input)")
-        order = np.argsort(np.asarray(t["doc_id"].combine_chunks()
-                                      if isinstance(t["doc_id"], pa.ChunkedArray)
-                                      else t["doc_id"]), kind="stable")
-        t = t.take(pa.array(order))
-        ids = t["doc_id"].to_pylist()
-        texts = t["text"].to_pylist()
-        keys = t["batch_key"].to_pylist()
-        lasts = t["is_last"].to_pylist()
-        firsts = t["is_first"].to_pylist()
+        return empty_out
+
+    def stitch_pairs(t: pa.Table) -> pa.Table:
+        # one shard's boundary rows: group by pair_key; a key holding a
+        # "last" row (id == key) and a "first" row (id == key+1) from
+        # different batches is exactly one cross-batch adjacent pair
+        halves: dict[int, dict[str, tuple[int, str, int]]] = {}
+        for pk, r_, i_, tx, k_ in zip(t["pair_key"].to_pylist(),
+                                      t["role"].to_pylist(),
+                                      t["doc_id"].to_pylist(),
+                                      t["text"].to_pylist(),
+                                      t["batch_key"].to_pylist()):
+            halves.setdefault(int(pk), {})[r_] = (int(i_), tx, int(k_))
         out_ids: list[int] = []
         out_jac: list[int] = []
-        for i in range(len(ids) - 1):
-            if (lasts[i] and firsts[i + 1] and ids[i + 1] == ids[i] + 1
-                    and keys[i] != keys[i + 1]):
-                out_ids.append(int(ids[i]))
-                out_jac.append(_wordset_score(texts[i], texts[i + 1]))
+        for pk, d in halves.items():
+            if "last" not in d or "first" not in d:
+                continue
+            lid, ltext, lkey = d["last"]
+            fid, ftext, fkey = d["first"]
+            if fid == lid + 1 and lkey != fkey:
+                out_ids.append(lid)
+                out_jac.append(_wordset_score(ltext, ftext))
         return pa.table({
             "doc_id": pa.array(out_ids, type=pa.int64()),
             "jaccard_next_permille": pa.array(out_jac, type=pa.int64())})
@@ -522,13 +551,25 @@ def wordset_jaccard_adjacent(docs):
         lambda t: t.filter(pc.is_null(t["batch_key"]))
         .select(["doc_id", "jaccard_next_permille"]),
         batch_format="pyarrow")
-    cross_ds = (mixed.map_batches(
+    boundary = mixed.map_batches(
         lambda t: t.filter(pc.is_valid(t["batch_key"]))
-        .select(["doc_id", "text", "batch_key", "is_first", "is_last"]),
+        .select(["doc_id", "text", "batch_key", "role", "pair_key"]),
+        batch_format="pyarrow")
+    cross_ds = sharded_stitch(
+        boundary,
+        lambda t: np.asarray(t["pair_key"].combine_chunks()
+                             if isinstance(t["pair_key"], pa.ChunkedArray)
+                             else t["pair_key"]),
+        stitch_pairs, num_shards=stitch_shards)
+    # id-only global invariant check (0 output rows; unioned in so any
+    # consumer of the result forces it to run and surfaces its raise)
+    check_ds = (boundary.map_batches(
+        lambda t: t.select(["doc_id", "batch_key", "role"]),
         batch_format="pyarrow")
         .repartition(1)
-        .map_batches(stitch, batch_format="pyarrow", batch_size=None))
-    return internal_ds.union(cross_ds)
+        .map_batches(check_invariants, batch_format="pyarrow",
+                     batch_size=None))
+    return internal_ds.union(cross_ds).union(check_ds)
 
 
 def simhash64(text: str) -> int:

@@ -19,6 +19,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .stitch import DEFAULT_STITCH_SHARDS, sharded_stitch
+
 TUMBLE_SECONDS = 3600
 SESSION_GAP_SECONDS = 1800
 
@@ -79,7 +81,8 @@ def sliding_counts(events, window_s: int = TUMBLE_SECONDS, slide_s: int = 900):
             .aggregate(Sum("n", alias_name="n_events")))
 
 
-def session_counts(events, gap_s: int = SESSION_GAP_SECONDS):
+def session_counts(events, gap_s: int = SESSION_GAP_SECONDS,
+                   stitch_shards: int = DEFAULT_STITCH_SHARDS):
     """Per-user session statistics (gap-based session windows).
 
     Vectorized sorted-block sessionization (round 2; replaces a per-user
@@ -89,9 +92,10 @@ def session_counts(events, gap_s: int = SESSION_GAP_SECONDS):
     ``n_sessions`` for every user fully interior to the block via a cumsum
     over gap flags — users interior to a sorted block are provably complete
     (sorted keys are globally contiguous).  Only the (≤2 per block) edge
-    users' event rows are re-emitted and stitched in a single block.  The
-    partitioning assumption is the sort itself; a single pathological user
-    bounds the stitch block (pre-split such users by day upstream).
+    users' event rows are re-emitted and stitched, sharded by
+    ``user_id % P`` (round 3; every edge row of a user co-locates, so the
+    per-shard lexsort+cumsum is exact).  A single pathological user still
+    bounds one shard (pre-split such users by day upstream).
     """
     gap_us = gap_s * 1_000_000
 
@@ -175,9 +179,13 @@ def session_counts(events, gap_s: int = SESSION_GAP_SECONDS):
         lambda t: t.filter(pc.equal(t["boundary"], False))
         .select(["user_id", "n_events", "n_sessions"]),
         batch_format="pyarrow")
-    cross = (mixed.map_batches(
+    carries = mixed.map_batches(
         lambda t: t.filter(t["boundary"]).select(["user_id", "ts"]),
         batch_format="pyarrow")
-        .repartition(1)
-        .map_batches(stitch, batch_format="pyarrow", batch_size=None))
+    cross = sharded_stitch(
+        carries,
+        lambda t: np.asarray(t["user_id"].combine_chunks()
+                             if isinstance(t["user_id"], pa.ChunkedArray)
+                             else t["user_id"]),
+        stitch, num_shards=stitch_shards)
     return interior.union(cross)

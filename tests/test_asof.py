@@ -29,8 +29,9 @@ def _brute(rows, left="purchase", right="click"):
 
 
 @pytest.mark.usefixtures("ray_session")
-@pytest.mark.parametrize("n_blocks", [1, 3, 8])
-def test_asof_matches_brute_force(n_blocks):
+@pytest.mark.parametrize("n_blocks,stitch_shards",
+                         [(1, 1), (3, 1), (3, 5), (8, 32)])
+def test_asof_matches_brute_force(n_blocks, stitch_shards):
     import ray.data
 
     from pdf2doi_ray.stages.asof import asof_join_latest
@@ -42,11 +43,37 @@ def test_asof_matches_brute_force(n_blocks):
                      int(rng.randint(0, 9)),
                      rng.choice(["purchase", "click", "view"])))
     ds = ray.data.from_arrow(_events_table(rows)).repartition(n_blocks)
-    got = asof_join_latest(ds, "purchase", "click").to_pandas()
+    got = asof_join_latest(ds, "purchase", "click",
+                           stitch_shards=stitch_shards).to_pandas()
     want = _brute(rows)
     got_map = {int(e): (None if pd.isna(m) else int(m))
                for e, m in zip(got["event_id"], got["matched_ts_us"])}
     assert got_map == want
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("stitch_shards", [1, 7])
+def test_asof_right_sparse_many_unmatched_users(stitch_shards):
+    # the round-2 verdict's named worst case: many users with ZERO right
+    # events — every left row funnels to the stitch; the sharded stitch
+    # must spread them by user and still emit null matches for all
+    import ray.data
+
+    from pdf2doi_ray.stages.asof import asof_join_latest
+
+    rows = []
+    for u in range(60):                       # 60 users, no clicks at all
+        rows.append((u, 1000 + u, u, "purchase"))
+    rows.append((100, 500, 999, "click"))     # one unrelated user with right
+    rows.append((101, 600, 999, "purchase"))
+    ds = ray.data.from_arrow(_events_table(rows)).repartition(6)
+    got = asof_join_latest(ds, "purchase", "click",
+                           stitch_shards=stitch_shards).to_pandas()
+    m = {int(e): (None if pd.isna(v) else int(v))
+         for e, v in zip(got["event_id"], got["matched_ts_us"])}
+    want = {u: None for u in range(60)}
+    want[101] = 500
+    assert m == want
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -143,7 +170,8 @@ def test_joins_differential_vs_duckdb(seed):
     con.register("events", tbl)
 
     ds = ray.data.from_arrow(tbl).repartition(3)
-    got = asof_join_latest(ds, "purchase", "click").to_pandas()
+    got = asof_join_latest(ds, "purchase", "click",
+                           stitch_shards=4).to_pandas()
     want = con.execute("""
         SELECT a.event_id, CAST(epoch_us(b.ts) AS BIGINT) AS m
         FROM (SELECT * FROM events WHERE event_type='purchase') a

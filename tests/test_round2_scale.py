@@ -30,8 +30,9 @@ def _brute_adjacent(ids, texts):
 
 
 @pytest.mark.usefixtures("ray_session")
-@pytest.mark.parametrize("n_blocks", [1, 3, 7])
-def test_wordset_jaccard_boundary_exchange(n_blocks):
+@pytest.mark.parametrize("n_blocks,stitch_shards",
+                         [(1, 1), (3, 1), (3, 4), (7, 32)])
+def test_wordset_jaccard_boundary_exchange(n_blocks, stitch_shards):
     import ray.data
 
     from pdf2doi_ray.stages.dedup import wordset_jaccard_adjacent
@@ -43,7 +44,8 @@ def test_wordset_jaccard_boundary_exchange(n_blocks):
     # repartition creates real block boundaries → cross-batch pairs must
     # come from the boundary-exchange stitch
     docs = ray.data.from_arrow(t).repartition(n_blocks)
-    out = wordset_jaccard_adjacent(docs).to_pandas()
+    out = wordset_jaccard_adjacent(docs,
+                                   stitch_shards=stitch_shards).to_pandas()
     got = dict(zip(out["doc_id"].astype(int),
                    out["jaccard_next_permille"].astype(int)))
     assert got == _brute_adjacent(ids, texts)
@@ -133,8 +135,8 @@ def test_dedup_by_url_one_row_per_url():
 
 
 @pytest.mark.usefixtures("ray_session")
-@pytest.mark.parametrize("n_blocks", [1, 4])
-def test_session_counts_vectorized_parity(n_blocks):
+@pytest.mark.parametrize("n_blocks,stitch_shards", [(1, 1), (4, 1), (4, 5)])
+def test_session_counts_vectorized_parity(n_blocks, stitch_shards):
     import pandas as pd
     import ray.data
 
@@ -148,7 +150,8 @@ def test_session_counts_vectorized_parity(n_blocks):
         "user_id": pa.array(users, type=pa.int64()),
         "ts": pa.array(ts.astype("datetime64[us]")),
     })
-    got = (session_counts(ray.data.from_arrow(t).repartition(n_blocks))
+    got = (session_counts(ray.data.from_arrow(t).repartition(n_blocks),
+                          stitch_shards=stitch_shards)
            .to_pandas().sort_values("user_id").reset_index(drop=True))
     # brute force
     rows = []
