@@ -278,18 +278,27 @@ def _empty_verified_table() -> pa.Table:
                      "jaccard_permille": pa.array([], type=pa.int64())})
 
 
-def minhash_near_dups(docs, threshold_permille: int = 800, n_shingle: int = 3):
+def minhash_near_dups(docs, threshold_permille: int = 800, n_shingle: int = 3,
+                      stitch_shards: int = DEFAULT_STITCH_SHARDS,
+                      id_filter_fpp: float = 0.01):
     """Verified near-duplicate pairs: candidates whose EXACT n-gram Jaccard
     (recomputed on the real shingle sets) clears ``threshold_permille``.
 
-    Fully distributed verification (no driver-side texts or per-pair loop):
+    Fully distributed verification (no driver-side texts, ids, or per-pair
+    loop):
 
     1. candidate pairs from the banded LSH buckets (small; materialized once
        so the lineage isn't re-executed);
-    2. the DISTINCT candidate doc ids — int64 ids only, never texts — are
-       broadcast (``ray.put``) as the small side of a semi-join; each doc
-       batch keeps only candidate docs and computes their shingle sets once,
-       emitted as sorted ``list<int64>`` rows;
+    2. candidate-doc membership is a Bloom filter over the candidate ids
+       (round 3; replaces a driver-side collection of the distinct id set,
+       which grew O(corpus) under web-typical duplication).  The filter is
+       built DISTRIBUTED (workers hash ids vectorized, the driver only ORs
+       bit positions — :func:`~pdf2doi_ray.state.bloom
+       .build_int_bloom_distributed`) and broadcast once via ``ray.put``;
+       each doc batch keeps Bloom-positive docs and computes their shingle
+       sets once, emitted as sorted ``list<int64>`` rows.  False positives
+       only add shingle rows with no matching need-row — the attach step
+       drops them — so output is byte-identical at ANY fpp;
     3. candidate pairs explode to two need-rows keyed by member doc_id; a
        ``groupby(doc_id)`` attaches the doc's shingle list to each need-row;
     4. a ``groupby(pair)`` sees exactly two shingle lists per group and
@@ -297,27 +306,32 @@ def minhash_near_dups(docs, threshold_permille: int = 800, n_shingle: int = 3):
        leave.
 
     Shuffle volume: one shingle list per (candidate doc × pair membership) —
-    the corpus itself never moves.  At fleet scale where even the id set
-    outgrows a broadcast, swap step 2's ``np.isin`` for a Bloom filter over
-    ids (same operator shape; false positives only add unused shingle rows).
+    the corpus itself never moves, and the driver only ever holds the Bloom
+    bitmap (~1.2 GB per 10^9 candidate ids at 1% fpp).
     Output is integer-only (jaccard in permille) for hash-stable comparison.
     """
     import pyarrow.compute as pc
     import ray
     import ray.data
 
-    cand = minhash_candidate_pairs(docs, n_shingle).materialize()
-    if cand.count() == 0:
+    from ..state.bloom import build_int_bloom_distributed
+
+    cand = minhash_candidate_pairs(docs, n_shingle,
+                                   stitch_shards=stitch_shards).materialize()
+    n_pairs = cand.count()
+    if n_pairs == 0:
         return ray.data.from_arrow(_empty_verified_table())
 
-    # distinct candidate ids → driver (ids only), via per-batch unique partials
-    id_parts = cand.map_batches(
+    # candidate-id Bloom filter, built distributed over the pair members
+    # (≤ 2·n_pairs distinct ids — the sizing bound; ids never reach the
+    # driver, only deduplicated bit positions do)
+    member_ids = cand.map_batches(
         lambda t: pa.table({"doc_id": pc.unique(pa.concat_arrays([
             t["doc_a"].combine_chunks(), t["doc_b"].combine_chunks()]))}),
-        batch_format="pyarrow").take_all()
-    needed = np.unique(np.fromiter((r["doc_id"] for r in id_parts),
-                                   dtype=np.int64, count=len(id_parts)))
-    needed_ref = ray.put(needed)
+        batch_format="pyarrow")
+    bf = build_int_bloom_distributed(member_ids, "doc_id",
+                                     n_items=2 * n_pairs, fpp=id_filter_fpp)
+    bf_ref = ray.put(bf)
 
     sh_type = pa.list_(pa.int64())
 
@@ -325,7 +339,7 @@ def minhash_near_dups(docs, threshold_permille: int = 800, n_shingle: int = 3):
         ids = np.asarray(t["doc_id"].combine_chunks()
                          if isinstance(t["doc_id"], pa.ChunkedArray)
                          else t["doc_id"])
-        mask = np.isin(ids, ray.get(needed_ref))
+        mask = ray.get(bf_ref).contains_many(ids)
         sub = t.filter(pa.array(mask))
         shs = [sorted(shingles(x, n_shingle))
                for x in sub["text"].to_pylist()]
