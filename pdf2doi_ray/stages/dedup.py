@@ -23,7 +23,7 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-from .stitch import DEFAULT_STITCH_SHARDS, hash_shard_str, sharded_stitch
+from .stitch import DEFAULT_STITCH_SHARDS, sharded_stitch
 
 N_HASHES = 64
 N_BANDS = 16
@@ -151,8 +151,32 @@ def _pairs_for_bucket(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return np.full(k - 1, ids[0], dtype=np.int64), ids[1:]
 
 
-def minhash_candidate_pairs(docs, n_shingle: int = 3,
-                            stitch_shards: int = DEFAULT_STITCH_SHARDS):
+def _ranges_disjoint_check(op_name: str, lo_cols: list[str],
+                           hi_cols: list[str], empty_out: pa.Table):
+    """Single-task guard over per-block [lo, hi] sort-key ranges: RAISES if
+    any two block ranges overlap or share an endpoint — i.e. if Ray's sort
+    ever split one key's rows across blocks (block-local group processing
+    would then silently lose results).  The marker rows are one per block,
+    so this stays tiny at any corpus size.  Returns ``empty_out`` (a 0-row
+    table in the consumer's schema) so the check unions into the result and
+    is forced to execute with it."""
+    def check(t: pa.Table) -> pa.Table:
+        if t.num_rows:
+            los = list(zip(*[t[c].to_pylist() for c in lo_cols]))
+            his = list(zip(*[t[c].to_pylist() for c in hi_cols]))
+            spans = sorted(zip(los, his))
+            for (_plo, phi), (nlo, _nhi) in zip(spans, spans[1:]):
+                if nlo <= phi:
+                    raise RuntimeError(
+                        f"{op_name}: sorted block key ranges overlap "
+                        f"({nlo!r} <= {phi!r}) — the sort split a key group "
+                        "across blocks; results would be incomplete")
+        return empty_out
+    check.__name__ = f"check_{op_name}"
+    return check
+
+
+def minhash_candidate_pairs(docs, n_shingle: int = 3):
     """Near-duplicate candidate pairs from LSH buckets (doc_a < doc_b),
     deduplicated across bands.
 
@@ -165,12 +189,15 @@ def minhash_candidate_pairs(docs, n_shingle: int = 3,
     ``map_groups`` (whose per-group Python overhead scales with bucket count
     = 16 × corpus): bucket rows sort on one composite key; each sorted block
     detects its group boundaries with one numpy comparison and emits pairs
-    for every bucket fully inside it; only the (≤2 per block) edge buckets
-    are re-emitted as (key, id) rows and stitched, sharded by the bucket
-    key's hash (round 3; an edge bucket's rows all carry the same key, so
-    they co-locate in one shard).  A bucket interior to a sorted block is
-    provably complete (sorted keys are globally contiguous), so no pair is
-    lost or duplicated.
+    for EVERY bucket in the block.  Completeness leans on the range-
+    partitioning contract of Ray's sort — a partition is a function of the
+    key VALUE, so equal keys never straddle blocks (the same contract Ray's
+    own ``map_groups`` is built on, and what makes ``batch_size=None``
+    blocks group-complete).  Because a silent violation would lose pairs,
+    each block also emits its [first, last] key range and a tiny single-task
+    branch RAISES if any two block ranges overlap (round 3; replaces the
+    round-2 boundary re-emission + stitch, whose extra shuffle dominated
+    the stage at toy scale).
     """
     import pyarrow.compute as pc
 
@@ -188,8 +215,8 @@ def minhash_candidate_pairs(docs, n_shingle: int = 3,
         if n == 0:
             return pa.table({"doc_a": pa.array([], type=pa.int64()),
                              "doc_b": pa.array([], type=pa.int64()),
-                             "bkey": pa.array([], type=pa.string()),
-                             "bid": pa.array([], type=pa.int64())})
+                             "klo": pa.array([], type=pa.string()),
+                             "khi": pa.array([], type=pa.string())})
         keys = np.asarray(t["key"].to_pylist(), dtype=object)
         ids = np.asarray(t["doc_id"].combine_chunks()
                          if isinstance(t["doc_id"], pa.ChunkedArray)
@@ -199,16 +226,7 @@ def minhash_candidate_pairs(docs, n_shingle: int = 3,
         ends = np.concatenate([change, [n]]).astype(np.int64)
         out_a: list[np.ndarray] = []
         out_b: list[np.ndarray] = []
-        bkeys: list[str] = []
-        bids: list[int] = []
-        last = len(starts) - 1
-        for gi in range(len(starts)):
-            s, e = starts[gi], ends[gi]
-            if gi == 0 or gi == last:
-                # edge bucket: may continue in a neighboring block
-                bkeys.extend([keys[s]] * (e - s))
-                bids.extend(int(x) for x in ids[s:e])
-                continue
+        for s, e in zip(starts, ends):
             if e - s < 2:        # singleton bucket (the common case): no pairs
                 continue
             a, b = _pairs_for_bucket(ids[s:e])
@@ -217,53 +235,37 @@ def minhash_candidate_pairs(docs, n_shingle: int = 3,
                 out_b.append(b)
         pa_a = np.concatenate(out_a) if out_a else np.empty(0, dtype=np.int64)
         pa_b = np.concatenate(out_b) if out_b else np.empty(0, dtype=np.int64)
-        n_pairs, n_bound = len(pa_a), len(bids)
+        n_pairs = len(pa_a)
+        # one marker row carrying the block's key range for the check branch
         return pa.table({
             "doc_a": pa.array(np.concatenate(
-                [pa_a, np.full(n_bound, -1, dtype=np.int64)])),
+                [pa_a, np.full(1, -1, dtype=np.int64)])),
             "doc_b": pa.array(np.concatenate(
-                [pa_b, np.full(n_bound, -1, dtype=np.int64)])),
-            "bkey": pa.array([None] * n_pairs + bkeys, type=pa.string()),
-            "bid": pa.array(
-                np.concatenate([np.full(n_pairs, -1, dtype=np.int64),
-                                np.asarray(bids, dtype=np.int64)])),
+                [pa_b, np.full(1, -1, dtype=np.int64)])),
+            "klo": pa.array([None] * n_pairs + [keys[0]], type=pa.string()),
+            "khi": pa.array([None] * n_pairs + [keys[-1]], type=pa.string()),
         })
 
-    # materialized once: consumed twice below (pair slice + boundary slice);
+    # materialized once: consumed twice below (pair slice + check slice);
     # int64/key rows only — the corpus never enters this stage
     mixed = srt.map_batches(block_pairs, batch_format="pyarrow",
                             batch_size=None).materialize()
 
     def only_pairs(t: pa.Table) -> pa.Table:
-        keep = t.filter(pc.is_null(t["bkey"]))
+        keep = t.filter(pc.is_null(t["klo"]))
         return keep.select(["doc_a", "doc_b"])
 
-    def only_boundary(t: pa.Table) -> pa.Table:
-        keep = t.filter(pc.is_valid(t["bkey"]))
-        return keep.select(["bkey", "bid"])
+    check_ds = (mixed.map_batches(
+        lambda t: t.filter(pc.is_valid(t["klo"])).select(["klo", "khi"]),
+        batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(_ranges_disjoint_check(
+            "minhash_candidate_pairs", ["klo"], ["khi"],
+            _empty_pair_table()),
+            batch_format="pyarrow", batch_size=None))
 
-    def stitch(t: pa.Table) -> pa.Table:
-        by_key: dict[str, list[int]] = {}
-        for k_, i_ in zip(t["bkey"].to_pylist(), t["bid"].to_pylist()):
-            by_key.setdefault(k_, []).append(i_)
-        out_a: list[np.ndarray] = []
-        out_b: list[np.ndarray] = []
-        for ids_ in by_key.values():
-            a, b = _pairs_for_bucket(np.asarray(ids_, dtype=np.int64))
-            if len(a):
-                out_a.append(a)
-                out_b.append(b)
-        return pa.table({
-            "doc_a": pa.array(np.concatenate(out_a)
-                              if out_a else np.empty(0, dtype=np.int64)),
-            "doc_b": pa.array(np.concatenate(out_b)
-                              if out_b else np.empty(0, dtype=np.int64)),
-        })
-
-    boundary = mixed.map_batches(only_boundary, batch_format="pyarrow")
-    cand = mixed.map_batches(only_pairs, batch_format="pyarrow").union(
-        sharded_stitch(boundary, lambda t: hash_shard_str(t["bkey"]),
-                       stitch, num_shards=stitch_shards))
+    cand = mixed.map_batches(only_pairs, batch_format="pyarrow") \
+        .union(check_ds)
 
     # same pair can surface from several bands — dedup on the pair key
     from ray.data.aggregate import Count
@@ -279,7 +281,6 @@ def _empty_verified_table() -> pa.Table:
 
 
 def minhash_near_dups(docs, threshold_permille: int = 800, n_shingle: int = 3,
-                      stitch_shards: int = DEFAULT_STITCH_SHARDS,
                       id_filter_fpp: float = 0.01):
     """Verified near-duplicate pairs: candidates whose EXACT n-gram Jaccard
     (recomputed on the real shingle sets) clears ``threshold_permille``.
@@ -300,10 +301,19 @@ def minhash_near_dups(docs, threshold_permille: int = 800, n_shingle: int = 3,
        only add shingle rows with no matching need-row — the attach step
        drops them — so output is byte-identical at ANY fpp;
     3. candidate pairs explode to two need-rows keyed by member doc_id; a
-       ``groupby(doc_id)`` attaches the doc's shingle list to each need-row;
-    4. a ``groupby(pair)`` sees exactly two shingle lists per group and
-       verifies the exact Jaccard inside the reducer.  Only verified pairs
-       leave.
+       sort on doc_id co-locates each doc's shingle list with its need-rows
+       and a VECTORIZED whole-block gather attaches it (round 3; replaces a
+       per-doc ``map_groups`` whose ~65 µs/group Python overhead dominated
+       at ≥10⁵ pairs — measurements in BASELINE.md).  Blocks are group-
+       complete by the sort's range-partitioning contract (a partition is a
+       function of the key value — the same contract Ray's ``map_groups``
+       builds on); a tiny single-task branch raises if any block key ranges
+       ever overlap, so a contract violation fails loudly instead of losing
+       pairs;
+    4. a sort on the pair key sees exactly two shingle lists per pair and a
+       single lexsort+bincount kernel computes every in-block pair's exact
+       Jaccard at once, guarded by the same range check.  Only verified
+       pairs leave.
 
     Shuffle volume: one shingle list per (candidate doc × pair membership) —
     the corpus itself never moves, and the driver only ever holds the Bloom
@@ -316,11 +326,16 @@ def minhash_near_dups(docs, threshold_permille: int = 800, n_shingle: int = 3,
 
     from ..state.bloom import build_int_bloom_distributed
 
-    cand = minhash_candidate_pairs(docs, n_shingle,
-                                   stitch_shards=stitch_shards).materialize()
+    cand = minhash_candidate_pairs(docs, n_shingle).materialize()
     n_pairs = cand.count()
     if n_pairs == 0:
         return ray.data.from_arrow(_empty_verified_table())
+    # compact the candidate set: its lineage (sort/union/aggregate) leaves
+    # many near-empty blocks, and every downstream stage (need-row explode,
+    # attach sort, verify sort) inherits the block count — re-block to
+    # ~64k pairs per block so per-block fixed costs stay amortized at any
+    # scale (adaptive: 10^9 pairs → ~15k blocks)
+    cand = cand.repartition(n_pairs // 65536 + 1).materialize()
 
     # candidate-id Bloom filter, built distributed over the pair members
     # (≤ 2·n_pairs distinct ids — the sizing bound; ids never reach the
@@ -367,41 +382,181 @@ def minhash_near_dups(docs, threshold_permille: int = 800, n_shingle: int = 3,
     joined = (docs.map_batches(shingle_rows, batch_format="pyarrow")
               .union(cand.map_batches(need_rows, batch_format="pyarrow")))
 
-    def attach(g: pa.Table) -> pa.Table:
-        sh_valid = np.asarray(pc.is_valid(g["sh"].combine_chunks()
-                                          if isinstance(g["sh"], pa.ChunkedArray)
-                                          else g["sh"]))
-        doc_rows = np.nonzero(sh_valid)[0]
-        need = g.filter(pa.array(~sh_valid))
-        if len(doc_rows) == 0 or need.num_rows == 0:
-            return pa.table({"pair_a": pa.array([], type=pa.int64()),
-                             "pair_b": pa.array([], type=pa.int64()),
-                             "sh": pa.array([], type=sh_type)})
-        sh_val = g["sh"][int(doc_rows[0])]
+    def _one(col):
+        return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+    def _attach_complete(t: pa.Table) -> pa.Table:
+        """Attach each doc's shingle list to its need-rows — every doc_id
+        group in ``t`` complete.  One argsort + one Arrow gather; a group
+        with no sh row (a Bloom false positive has the reverse: sh row, no
+        need rows) contributes nothing."""
+        empty = pa.table({"pair_a": pa.array([], type=pa.int64()),
+                          "pair_b": pa.array([], type=pa.int64()),
+                          "sh": pa.array([], type=sh_type)})
+        if t.num_rows == 0:
+            return empty
+        ids = np.asarray(_one(t["doc_id"]))
+        order = np.argsort(ids, kind="stable")
+        t = t.take(pa.array(order))
+        ids = ids[order]
+        change = np.nonzero(ids[1:] != ids[:-1])[0] + 1
+        starts = np.concatenate([[0], change]).astype(np.int64)
+        lens = np.diff(np.concatenate([starts, [len(ids)]]))
+        gidx = np.repeat(np.arange(len(starts)), lens)
+        sh_col = _one(t["sh"])
+        valid = np.asarray(pc.is_valid(sh_col))
+        sh_row = np.full(len(starts), -1, dtype=np.int64)
+        vrows = np.nonzero(valid)[0]
+        sh_row[gidx[vrows]] = vrows           # ≤1 sh row per doc (unique ids)
+        need_idx = np.nonzero(~valid)[0]
+        take_from = sh_row[gidx[need_idx]]
+        keep = take_from >= 0
+        need_idx, take_from = need_idx[keep], take_from[keep]
+        if len(need_idx) == 0:
+            return empty
         return pa.table({
-            "pair_a": need["pair_a"],
-            "pair_b": need["pair_b"],
-            "sh": pa.array([sh_val.as_py()] * need.num_rows, type=sh_type),
+            "pair_a": _one(t["pair_a"]).take(pa.array(need_idx)),
+            "pair_b": _one(t["pair_b"]).take(pa.array(need_idx)),
+            "sh": sh_col.take(pa.array(take_from)),
         })
 
-    pair_sides = joined.groupby("doc_id").map_groups(
-        attach, batch_format="pyarrow")
-
-    def verify(g: pa.Table) -> pa.Table:
-        shs = g["sh"].to_pylist()
-        if len(shs) < 2:              # unmatched pair row — cannot happen
-            return _empty_verified_table()
-        jp = int(round(jaccard(set(shs[0]), set(shs[1])) * 1000))
-        if jp < threshold_permille:
-            return _empty_verified_table()
+    def block_attach(t: pa.Table) -> pa.Table:
+        """Sorted block → attached rows for ALL groups (group-complete by
+        the sort's range-partitioning contract) + one key-range marker row
+        for the disjointness check."""
+        n = t.num_rows
+        if n == 0:
+            return pa.table({
+                "pair_a": pa.array([], type=pa.int64()),
+                "pair_b": pa.array([], type=pa.int64()),
+                "sh": pa.array([], type=sh_type),
+                "klo": pa.array([], type=pa.int64()),
+                "khi": pa.array([], type=pa.int64())})
+        ids = np.asarray(_one(t["doc_id"]))
+        att = _attach_complete(t)
+        n_a = att.num_rows
         return pa.table({
-            "doc_a": pa.array([g["pair_a"][0].as_py()], type=pa.int64()),
-            "doc_b": pa.array([g["pair_b"][0].as_py()], type=pa.int64()),
-            "jaccard_permille": pa.array([jp], type=pa.int64()),
+            "pair_a": pa.concat_arrays([_one(att["pair_a"]),
+                                        pa.nulls(1, pa.int64())]),
+            "pair_b": pa.concat_arrays([_one(att["pair_b"]),
+                                        pa.nulls(1, pa.int64())]),
+            "sh": pa.concat_arrays([_one(att["sh"]), pa.nulls(1, sh_type)]),
+            "klo": pa.array([None] * n_a + [int(ids[0])], type=pa.int64()),
+            "khi": pa.array([None] * n_a + [int(ids[-1])], type=pa.int64()),
         })
 
-    return pair_sides.groupby(["pair_a", "pair_b"]).map_groups(
-        verify, batch_format="pyarrow")
+    mixed_att = (joined.sort("doc_id")
+                 .map_batches(block_attach, batch_format="pyarrow",
+                              batch_size=None).materialize())
+    att_check = (mixed_att.map_batches(
+        lambda t: t.filter(pc.is_valid(t["klo"])).select(["klo", "khi"]),
+        batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(_ranges_disjoint_check(
+            "minhash_attach", ["klo"], ["khi"],
+            pa.table({"pair_a": pa.array([], type=pa.int64()),
+                      "pair_b": pa.array([], type=pa.int64()),
+                      "sh": pa.array([], type=sh_type)})),
+            batch_format="pyarrow", batch_size=None))
+    pair_sides = mixed_att.map_batches(
+        lambda t: t.filter(pc.is_null(t["klo"]))
+        .select(["pair_a", "pair_b", "sh"]),
+        batch_format="pyarrow").union(att_check)
+
+    def _verify_complete(t: pa.Table) -> pa.Table:
+        """Exact Jaccard for complete pair groups (two sorted-unique shingle
+        lists each), all pairs at once: one lexsort over the pair-tagged
+        values counts the per-pair intersections (both lists are duplicate-
+        free, so a duplicated (pair, value) is exactly one overlap)."""
+        if t.num_rows == 0:
+            return _empty_verified_table()
+        a = np.asarray(_one(t["pair_a"]))
+        b = np.asarray(_one(t["pair_b"]))
+        order = np.lexsort((b, a))
+        t = t.take(pa.array(order))
+        a, b = a[order], b[order]
+        change = np.nonzero((a[1:] != a[:-1]) | (b[1:] != b[:-1]))[0] + 1
+        starts = np.concatenate([[0], change]).astype(np.int64)
+        ends = np.concatenate([change, [len(a)]]).astype(np.int64)
+        gs = starts[(ends - starts) == 2]     # rows gs, gs+1 form the pair
+        if len(gs) == 0:
+            return _empty_verified_table()
+        sh = _one(t["sh"])
+        lengths = np.asarray(pc.list_value_length(sh)).astype(np.int64)
+        offs = np.concatenate([[0], np.cumsum(lengths)])
+        vals = np.asarray(sh.flatten())
+        len_a, len_b = lengths[gs], lengths[gs + 1]
+        tot = len_a + len_b
+        # the two rows of a pair are adjacent, so each pair's combined
+        # values are one contiguous slice — gather them all with one
+        # repeat/cumsum index construction
+        base = offs[gs]
+        idx = (np.repeat(base - np.concatenate([[0], np.cumsum(tot)[:-1]]),
+                         tot) + np.arange(int(tot.sum())))
+        vv = vals[idx]
+        pidx = np.repeat(np.arange(len(gs)), tot)
+        o2 = np.lexsort((vv, pidx))
+        sv, sp = vv[o2], pidx[o2]
+        dup = (sp[1:] == sp[:-1]) & (sv[1:] == sv[:-1])
+        inter = np.bincount(sp[:-1][dup], minlength=len(gs)).astype(np.int64)
+        union = len_a + len_b - inter
+        # same float ops as the scalar path: round-half-even of j*1000
+        jp = np.where(union > 0,
+                      np.rint((inter / np.maximum(union, 1)) * 1000.0),
+                      1000.0).astype(np.int64)
+        keep = jp >= threshold_permille
+        return pa.table({
+            "doc_a": pa.array(a[gs][keep], type=pa.int64()),
+            "doc_b": pa.array(b[gs][keep], type=pa.int64()),
+            "jaccard_permille": pa.array(jp[keep], type=pa.int64()),
+        })
+
+    def block_verify(t: pa.Table) -> pa.Table:
+        """Sorted block → verified pairs for ALL groups (group-complete by
+        the sort contract) + one composite-key-range marker row."""
+        n = t.num_rows
+        if n == 0:
+            return pa.table({
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+                "jaccard_permille": pa.array([], type=pa.int64()),
+                "alo": pa.array([], type=pa.int64()),
+                "blo": pa.array([], type=pa.int64()),
+                "ahi": pa.array([], type=pa.int64()),
+                "bhi": pa.array([], type=pa.int64())})
+        a = np.asarray(_one(t["pair_a"]))
+        b = np.asarray(_one(t["pair_b"]))
+        ver = _verify_complete(t)
+        n_v = ver.num_rows
+        return pa.table({
+            "doc_a": pa.concat_arrays([_one(ver["doc_a"]),
+                                       pa.nulls(1, pa.int64())]),
+            "doc_b": pa.concat_arrays([_one(ver["doc_b"]),
+                                       pa.nulls(1, pa.int64())]),
+            "jaccard_permille": pa.concat_arrays(
+                [_one(ver["jaccard_permille"]), pa.nulls(1, pa.int64())]),
+            "alo": pa.array([None] * n_v + [int(a[0])], type=pa.int64()),
+            "blo": pa.array([None] * n_v + [int(b[0])], type=pa.int64()),
+            "ahi": pa.array([None] * n_v + [int(a[-1])], type=pa.int64()),
+            "bhi": pa.array([None] * n_v + [int(b[-1])], type=pa.int64()),
+        })
+
+    mixed_ver = (pair_sides.sort(["pair_a", "pair_b"])
+                 .map_batches(block_verify, batch_format="pyarrow",
+                              batch_size=None).materialize())
+    ver_check = (mixed_ver.map_batches(
+        lambda t: t.filter(pc.is_valid(t["alo"]))
+        .select(["alo", "blo", "ahi", "bhi"]),
+        batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(_ranges_disjoint_check(
+            "minhash_verify", ["alo", "blo"], ["ahi", "bhi"],
+            _empty_verified_table()),
+            batch_format="pyarrow", batch_size=None))
+    return mixed_ver.map_batches(
+        lambda t: t.filter(pc.is_null(t["alo"]))
+        .select(["doc_a", "doc_b", "jaccard_permille"]),
+        batch_format="pyarrow").union(ver_check)
 
 
 def _wordset_score(a_text: str, b_text: str) -> int:
