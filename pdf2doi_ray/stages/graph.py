@@ -13,9 +13,14 @@ Dataset rounds):
 * labels decrease monotonically, so the global label SUM is a fixpoint
   detector costing one cheap aggregate per round — no expensive old-vs-new
   join;
-* rounds needed = graph diameter (near-dup clusters are small and dense, so
-  a handful; ``max_iters`` bounds pathological chains and raises rather than
-  returning silently-unconverged labels).
+* each round ALSO shortcuts ``label(n) ← label(label(n))`` (pointer
+  jumping, round 3): every node asks its current label-node for THAT
+  node's label, folded into the same per-round groupby as extra
+  ``(key=label, asker=node)`` rows.  The known distance to the component
+  minimum roughly doubles per round, so rounds needed = O(log diameter)
+  instead of O(diameter) — chain-shaped duplicate runs (scrolled/paginated
+  boilerplate) converge in a handful of rounds; ``max_iters`` still bounds
+  pathology and raises rather than returning silently-unconverged labels.
 
 Output: ``(node, component)`` with ``component = min node id of the
 cluster`` — the canonical-survivor rule of :func:`dedup_exact`.
@@ -27,9 +32,8 @@ REJECTED for this operator: it swaps per-group cost for two extra
 sorts + materializations per round, and with rounds = graph diameter the
 multiplied fixed stage cost loses badly at every realistic cluster size
 (near-dup components are small and dense, so groups are few and rounds
-fewer).  If a corpus ever produces huge diameter-heavy components, the
-right move is an algorithm change (hash-to-min / pointer jumping halves
-the rounds), not kernel tuning.
+fewer).  The diameter-heavy case is instead handled by the algorithm:
+the pointer-jumping shortcut above makes rounds logarithmic in diameter.
 """
 
 from __future__ import annotations
@@ -78,15 +82,18 @@ def connected_components(pairs, col_a: str = "doc_a", col_b: str = "doc_b",
     prev_sum = labels.sum("label")
 
     for _ in range(max_iters):
-        # push labels along edges: union(edge rows, label rows) keyed by
-        # node; each group emits (peer, label) for every edge plus the
-        # node's own (node, label)
+        # push labels along edges AND shortcut pointers: union(edge rows,
+        # label rows, jump-query rows) keyed by node; the group for node k
+        # knows label(k), its peers, and every node currently labeled k —
+        # it emits (peer, label(k)) per edge, the node's own (k, label(k)),
+        # and (asker, label(k)) per jump query (= label(label(asker)))
         def edge_rows(t: pa.Table) -> pa.Table:
             n = t.num_rows
             return pa.table({
                 "key": t["node"],
                 "peer": t["peer"],
                 "label": pa.array([None] * n, type=pa.int64()),
+                "asker": pa.array([None] * n, type=pa.int64()),
             })
 
         def label_rows(t: pa.Table) -> pa.Table:
@@ -95,6 +102,20 @@ def connected_components(pairs, col_a: str = "doc_a", col_b: str = "doc_b",
                 "key": t["node"],
                 "peer": pa.array([None] * n, type=pa.int64()),
                 "label": t["label"],
+                "asker": pa.array([None] * n, type=pa.int64()),
+            })
+
+        def jump_rows(t: pa.Table) -> pa.Table:
+            # node n asks its label-node for that node's label; self-rooted
+            # nodes (label == node) would ask themselves — skip them
+            import pyarrow.compute as pc
+            t = t.filter(pc.not_equal(t["label"], t["node"]))
+            n = t.num_rows
+            return pa.table({
+                "key": t["label"],
+                "peer": pa.array([None] * n, type=pa.int64()),
+                "label": pa.array([None] * n, type=pa.int64()),
+                "asker": t["node"],
             })
 
         def propagate(g: pa.Table) -> pa.Table:
@@ -105,18 +126,21 @@ def connected_components(pairs, col_a: str = "doc_a", col_b: str = "doc_b",
                 return pa.table({"node": pa.array([], type=pa.int64()),
                                  "cand": pa.array([], type=pa.int64())})
             label = lbl[int(rows[0])].as_py()
-            peers = g.filter(pa.array(~valid))["peer"]
-            key = g["key"][0].as_py()
-            n = len(peers)
+            peer_col = g["peer"].combine_chunks() if isinstance(g["peer"], pa.ChunkedArray) else g["peer"]
+            asker_col = g["asker"].combine_chunks() if isinstance(g["asker"], pa.ChunkedArray) else g["asker"]
+            targets = pa.concat_arrays([
+                peer_col.drop_null(),
+                asker_col.drop_null(),
+                pa.array([g["key"][0].as_py()], type=pa.int64()),
+            ])
             return pa.table({
-                "node": pa.concat_arrays([
-                    peers.combine_chunks() if isinstance(peers, pa.ChunkedArray) else peers,
-                    pa.array([key], type=pa.int64())]),
-                "cand": pa.array([label] * (n + 1), type=pa.int64()),
+                "node": targets,
+                "cand": pa.array([label] * len(targets), type=pa.int64()),
             })
 
         msgs = (edges.map_batches(edge_rows, batch_format="pyarrow")
                 .union(labels.map_batches(label_rows, batch_format="pyarrow"))
+                .union(labels.map_batches(jump_rows, batch_format="pyarrow"))
                 .groupby("key").map_groups(propagate, batch_format="pyarrow"))
         labels = (msgs.groupby("node")
                   .aggregate(Min("cand", alias_name="label")).materialize())

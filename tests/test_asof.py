@@ -130,6 +130,41 @@ def test_time_band_join_matches_brute_force(n_blocks):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_time_band_join_hot_user_salted_exact():
+    """A single hot user-hour exceeding hot_rows_per_group must be split
+    across salt sub-groups without changing the result (round-3 skew path:
+    left events move to event_id % n_salts, right events replicate)."""
+    import ray.data
+
+    from pdf2doi_ray.stages.rangejoin import time_band_join
+
+    rng = np.random.RandomState(99)
+    rows = []
+    # hot user 7: 120 errors + 80 signups inside ~one band width
+    for i in range(200):
+        rows.append((i, int(rng.randint(0, 1800_000_000)), 7,
+                     "error" if i < 120 else "signup"))
+    # background users: sparse, spread over many buckets
+    for i in range(200, 260):
+        rows.append((i, int(rng.randint(0, 40_000_000_000)),
+                     int(rng.randint(0, 4)),
+                     rng.choice(["error", "signup", "view"])))
+    ds = ray.data.from_arrow(_events_table(rows)).repartition(4)
+    expected = _brute_band(rows)
+    got = time_band_join(ds, "error", "signup", band_s=1800,
+                         n_salts=4, hot_rows_per_group=32).to_pandas()
+    pairs = set(zip(got["a_event_id"].astype(int),
+                    got["b_event_id"].astype(int)))
+    assert pairs == expected
+    assert len(pairs) == len(got)          # salting must not duplicate pairs
+    # and the unsalted path agrees
+    got1 = time_band_join(ds, "error", "signup", band_s=1800,
+                          n_salts=1).to_pandas()
+    assert set(zip(got1["a_event_id"].astype(int),
+                   got1["b_event_id"].astype(int))) == expected
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_time_band_join_boundary_exact():
     import ray.data
 

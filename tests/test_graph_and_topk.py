@@ -40,6 +40,26 @@ def test_connected_components_long_chain_converges():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_connected_components_chain_converges_in_log_rounds():
+    import ray.data
+
+    from pdf2doi_ray.stages.graph import connected_components
+
+    # 64-node path, diameter 63: plain min-label propagation needs ~62
+    # rounds; pointer jumping doubles the known distance each round, so
+    # log2(64)=6 rounds reach the minimum and one more detects the
+    # fixpoint.  max_iters=7 would RAISE without the jump shortcut.
+    a = list(range(0, 63))
+    b = [x + 1 for x in a]
+    pairs = pa.table({"doc_a": pa.array(a, type=pa.int64()),
+                      "doc_b": pa.array(b, type=pa.int64())})
+    out = connected_components(ray.data.from_arrow(pairs).repartition(4),
+                               max_iters=7).to_pandas()
+    assert len(out) == 64
+    assert set(out["component"].astype(int)) == {0}
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_connected_components_raises_past_iteration_bound():
     import ray.data
 
