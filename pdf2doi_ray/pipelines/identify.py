@@ -131,6 +131,28 @@ def identify_pages_websearch(pages, search, fetch,
     return webbed.select_columns(RESULT_COLUMNS + list(keep_columns))
 
 
+def identify_pages_online(pages, cfg: EngineConfig,
+                          splices: dict[str, object],
+                          keep_columns: tuple[str, ...] = ()):
+    """Full cascade with production online stages attached (round 3).
+
+    ``splices`` is ``dict(transports.online_splices(cfg))`` — constructed on
+    the driver so a missing HTTP library fails at startup, not in a worker.
+    ``websearch`` needs the parsed columns still attached, so it splices
+    between extract and the column drop; ``webvalidation`` runs over the
+    final identifier stream.
+    """
+    if "websearch" in splices:
+        extracted = _parse_then_extract(pages, cfg)
+        out = splices["websearch"](extracted) \
+            .select_columns(RESULT_COLUMNS + list(keep_columns))
+    else:
+        out = identify_pages(pages, cfg, keep_columns=keep_columns)
+    if "webvalidation" in splices:
+        out = splices["webvalidation"](out)
+    return out
+
+
 def format_report_lines(identifiers):
     """Fixed-width report rows, byte-compatible with the reference's
     identifier-table writer (main.py:218-221): ``type id url`` columns at

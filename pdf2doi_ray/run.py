@@ -62,12 +62,39 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--report", metavar="FILE",
                    help="also write the reference-format fixed-width "
                         "identifier report to FILE")
+    p.add_argument("--online", action="store_true",
+                   help="enable BOTH online stages (websearch methods 4-5 "
+                        "and dx.doi.org-style validation) with real "
+                        "requests/googlesearch transports constructed at "
+                        "startup; equivalent to --websearch --webvalidation")
+    p.add_argument("--websearch", action="store_true",
+                   help="enable the google-search finder methods (reference "
+                        "default; our offline default mirrors -nws)")
+    p.add_argument("--webvalidation", action="store_true",
+                   help="enable web validation of extracted identifiers "
+                        "(reference default; our offline default mirrors "
+                        "-nwv)")
     p.add_argument("--config-ini", metavar="INI",
                    help="load EngineConfig overrides from an INI file "
                         "(CLI flags still win)")
     p.add_argument("--num-cpus", type=int, default=None,
                    help="ray.init num_cpus (default: all)")
     return p
+
+
+def resolve_config(base, args):
+    """CLI flags → EngineConfig (pure; the flag→config seam tests hook).
+    ``--online`` is shorthand for both online stages; INI-enabled online
+    flags survive (CLI can only turn them ON, mirroring how the reference's
+    -nwv/-nws only turn them OFF)."""
+    return base.with_(
+        replace_arxiv_by_doi=(base.replace_arxiv_by_doi
+                              and not args.no_arxiv2doi),
+        use_html=base.use_html and not args.text_only,
+        websearch=base.websearch or args.online or args.websearch,
+        webvalidation=(base.webvalidation or args.online
+                       or args.webvalidation),
+    )
 
 
 def main(argv=None) -> int:
@@ -108,11 +135,14 @@ def main(argv=None) -> int:
     if args.config_ini:
         from .config import from_ini
         base = from_ini(args.config_ini)
-    cfg = base.with_(
-        replace_arxiv_by_doi=(base.replace_arxiv_by_doi
-                              and not args.no_arxiv2doi),
-        use_html=base.use_html and not args.text_only,
-    )
+    cfg = resolve_config(base, args)
+
+    # flag → constructed transports, eagerly on the driver: a missing HTTP
+    # library fails here, not inside a worker actor mid-run
+    online = {}
+    if cfg.websearch or cfg.webvalidation:
+        from .transports import online_splices
+        online = dict(online_splices(cfg))
 
     # In single-write modes the resume union happens inline (its helper
     # builds its own broadcast); in checkpointed mode the anti-join filter
@@ -124,18 +154,23 @@ def main(argv=None) -> int:
     if args.skip_resolved_from and checkpointed:
         resolved_ref = ray.put(previous_result_urls(args.skip_resolved_from))
 
+    def identify(ds):
+        if online:
+            from .pipelines.identify import identify_pages_online
+            return identify_pages_online(ds, cfg, online)
+        return identify_pages(ds, cfg)
+
     def build_single(ds):
         if args.skip_resolved_from:
             return with_previous_results(
-                ds, args.skip_resolved_from,
-                lambda remaining: identify_pages(remaining, cfg))
-        return identify_pages(ds, cfg)
+                ds, args.skip_resolved_from, identify)
+        return identify(ds)
 
     def build_shard(ds):
         if resolved_ref is not None:
             ds = ds.map_batches(drop_resolved_filter(resolved_ref),
                                 batch_format="pyarrow")
-        return identify_pages(ds, cfg)
+        return identify(ds)
 
     if args.synth_sf_dir:
         from .sources.pages import pages_dataset
