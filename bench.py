@@ -217,6 +217,90 @@ def main() -> None:
     if not headline_only:
         queries["minhash_near_dups_docs"] = timed(q_minhash)
 
+    # ---- round-3 scaled rows: the distributed paths at sizes where their
+    # work dominates Ray's fixed stage overhead, so regressions are visible
+    # above the ±40% neighbor noise (VERDICT r2 #8) ----
+
+    # minhash at ~90k candidate pairs (20k docs in near-identical clusters
+    # of 10): exercises candidate generation, the Bloom id filter, and the
+    # vectorized attach/verify well past their fixed-cost floor
+    def q_minhash_large():
+        import numpy as np
+        import pyarrow as pa
+
+        from pdf2doi_ray.stages.dedup import minhash_near_dups
+        rng = np.random.RandomState(7)
+        vocab = np.array([f"w{i}" for i in range(5000)], dtype=object)
+        ids, texts = [], []
+        for c in range(2000):
+            base = vocab[rng.randint(0, 5000, size=80)]
+            for m in range(10):
+                doc = base.copy()
+                if m:
+                    doc[rng.randint(80)] = vocab[rng.randint(5000)]
+                ids.append(c * 10 + m)
+                texts.append(" ".join(doc))
+        t = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                      "text": pa.array(texts)})
+        ds = ray.data.from_arrow(t).repartition(NCPU).materialize()
+        n = minhash_near_dups(ds).count()
+        assert n == 90000, n                  # regression = wrongness too
+
+    if not headline_only:
+        queries["minhash_near_dups_90k_pairs"] = timed(q_minhash_large)
+
+    # as-of join at 1M events: sf0.1 events replicated 10x with offset user
+    # ids (deterministic), so the sorted-block resolve + sharded stitch do
+    # real per-block work
+    def q_asof_large():
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from pdf2doi_ray.stages.asof import asof_join_latest
+
+        def replicate(t: pa.Table) -> pa.Table:
+            parts = []
+            for k in range(10):
+                parts.append(pa.table({
+                    "event_id": pc.add(t["event_id"], k * 10_000_000),
+                    "ts": t["ts"],
+                    "user_id": pc.add(t["user_id"], k * 1_000_000),
+                    "event_type": t["event_type"],
+                }))
+            return pa.concat_tables(parts)
+
+        ev = ray.data.read_parquet(
+            f"{SF_DIR}/events.parquet",
+            columns=["event_id", "ts", "user_id", "event_type"]) \
+            .map_batches(replicate, batch_format="pyarrow")
+        asof_join_latest(ev, left_type="purchase",
+                         right_type="click").count()
+
+    if not headline_only:
+        queries["events_asof_join_1m"] = timed(q_asof_large)
+
+    # connected components at ~150k edges / 30k clusters (star-ish, so round
+    # count stays small and the row measures the per-round shuffles, not the
+    # iteration count)
+    def q_components_large():
+        import numpy as np
+        import pyarrow as pa
+
+        from pdf2doi_ray.stages.graph import connected_components
+        rng = np.random.RandomState(11)
+        sizes = rng.randint(2, 10, size=30000)
+        roots = np.repeat(np.arange(30000, dtype=np.int64) * 16, sizes - 1)
+        members = roots + np.concatenate(
+            [np.arange(1, s, dtype=np.int64) for s in sizes])
+        pairs = pa.table({"doc_a": pa.array(roots),
+                          "doc_b": pa.array(members)})
+        ds = ray.data.from_arrow(pairs).repartition(NCPU).materialize()
+        n = connected_components(ds).count()
+        assert n == int(sizes.sum()), n
+
+    if not headline_only:
+        queries["connected_components_150k_edges"] = timed(q_components_large)
+
     headline = queries["identify_full"]
     print(json.dumps({
         "metric": "identify_full seconds (pages parquet -> identifiers parquet)",
