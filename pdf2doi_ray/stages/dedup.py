@@ -23,6 +23,7 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
+from ..arrowutil import one_chunk
 from .stitch import DEFAULT_STITCH_SHARDS, sharded_stitch
 
 N_HASHES = 64
@@ -159,7 +160,16 @@ def _ranges_disjoint_check(op_name: str, lo_cols: list[str],
     would then silently lose results).  The marker rows are one per block,
     so this stays tiny at any corpus size.  Returns ``empty_out`` (a 0-row
     table in the consumer's schema) so the check unions into the result and
-    is forced to execute with it."""
+    is forced to execute with it.
+
+    PINNED-VERSION ASSUMPTION: the contract (one merged output block per
+    sort reducer, partition = function of the key value) was verified on
+    Ray 2.49 source and empirically with a 200k-row hot key — it is what
+    Ray's own ``map_groups`` builds on, but it is an implementation detail,
+    not documented API.  A future Ray that splits oversized reducer outputs
+    would trip this check LOUDLY (never silently) on valid input; the
+    fallback is to reinstate the round-2 boundary re-emission + sharded
+    stitch (git ba6360a) for the affected call site."""
     def check(t: pa.Table) -> pa.Table:
         if t.num_rows:
             los = list(zip(*[t[c].to_pylist() for c in lo_cols]))
@@ -382,9 +392,6 @@ def minhash_near_dups(docs, threshold_permille: int = 800, n_shingle: int = 3,
     joined = (docs.map_batches(shingle_rows, batch_format="pyarrow")
               .union(cand.map_batches(need_rows, batch_format="pyarrow")))
 
-    def _one(col):
-        return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-
     def _attach_complete(t: pa.Table) -> pa.Table:
         """Attach each doc's shingle list to its need-rows — every doc_id
         group in ``t`` complete.  One argsort + one Arrow gather; a group
@@ -395,7 +402,7 @@ def minhash_near_dups(docs, threshold_permille: int = 800, n_shingle: int = 3,
                           "sh": pa.array([], type=sh_type)})
         if t.num_rows == 0:
             return empty
-        ids = np.asarray(_one(t["doc_id"]))
+        ids = np.asarray(one_chunk(t["doc_id"]))
         order = np.argsort(ids, kind="stable")
         t = t.take(pa.array(order))
         ids = ids[order]
@@ -403,7 +410,7 @@ def minhash_near_dups(docs, threshold_permille: int = 800, n_shingle: int = 3,
         starts = np.concatenate([[0], change]).astype(np.int64)
         lens = np.diff(np.concatenate([starts, [len(ids)]]))
         gidx = np.repeat(np.arange(len(starts)), lens)
-        sh_col = _one(t["sh"])
+        sh_col = one_chunk(t["sh"])
         valid = np.asarray(pc.is_valid(sh_col))
         sh_row = np.full(len(starts), -1, dtype=np.int64)
         vrows = np.nonzero(valid)[0]
@@ -415,8 +422,8 @@ def minhash_near_dups(docs, threshold_permille: int = 800, n_shingle: int = 3,
         if len(need_idx) == 0:
             return empty
         return pa.table({
-            "pair_a": _one(t["pair_a"]).take(pa.array(need_idx)),
-            "pair_b": _one(t["pair_b"]).take(pa.array(need_idx)),
+            "pair_a": one_chunk(t["pair_a"]).take(pa.array(need_idx)),
+            "pair_b": one_chunk(t["pair_b"]).take(pa.array(need_idx)),
             "sh": sh_col.take(pa.array(take_from)),
         })
 
@@ -432,15 +439,15 @@ def minhash_near_dups(docs, threshold_permille: int = 800, n_shingle: int = 3,
                 "sh": pa.array([], type=sh_type),
                 "klo": pa.array([], type=pa.int64()),
                 "khi": pa.array([], type=pa.int64())})
-        ids = np.asarray(_one(t["doc_id"]))
+        ids = np.asarray(one_chunk(t["doc_id"]))
         att = _attach_complete(t)
         n_a = att.num_rows
         return pa.table({
-            "pair_a": pa.concat_arrays([_one(att["pair_a"]),
+            "pair_a": pa.concat_arrays([one_chunk(att["pair_a"]),
                                         pa.nulls(1, pa.int64())]),
-            "pair_b": pa.concat_arrays([_one(att["pair_b"]),
+            "pair_b": pa.concat_arrays([one_chunk(att["pair_b"]),
                                         pa.nulls(1, pa.int64())]),
-            "sh": pa.concat_arrays([_one(att["sh"]), pa.nulls(1, sh_type)]),
+            "sh": pa.concat_arrays([one_chunk(att["sh"]), pa.nulls(1, sh_type)]),
             "klo": pa.array([None] * n_a + [int(ids[0])], type=pa.int64()),
             "khi": pa.array([None] * n_a + [int(ids[-1])], type=pa.int64()),
         })
@@ -470,8 +477,8 @@ def minhash_near_dups(docs, threshold_permille: int = 800, n_shingle: int = 3,
         free, so a duplicated (pair, value) is exactly one overlap)."""
         if t.num_rows == 0:
             return _empty_verified_table()
-        a = np.asarray(_one(t["pair_a"]))
-        b = np.asarray(_one(t["pair_b"]))
+        a = np.asarray(one_chunk(t["pair_a"]))
+        b = np.asarray(one_chunk(t["pair_b"]))
         order = np.lexsort((b, a))
         t = t.take(pa.array(order))
         a, b = a[order], b[order]
@@ -481,7 +488,7 @@ def minhash_near_dups(docs, threshold_permille: int = 800, n_shingle: int = 3,
         gs = starts[(ends - starts) == 2]     # rows gs, gs+1 form the pair
         if len(gs) == 0:
             return _empty_verified_table()
-        sh = _one(t["sh"])
+        sh = one_chunk(t["sh"])
         lengths = np.asarray(pc.list_value_length(sh)).astype(np.int64)
         offs = np.concatenate([[0], np.cumsum(lengths)])
         vals = np.asarray(sh.flatten())
@@ -524,17 +531,17 @@ def minhash_near_dups(docs, threshold_permille: int = 800, n_shingle: int = 3,
                 "blo": pa.array([], type=pa.int64()),
                 "ahi": pa.array([], type=pa.int64()),
                 "bhi": pa.array([], type=pa.int64())})
-        a = np.asarray(_one(t["pair_a"]))
-        b = np.asarray(_one(t["pair_b"]))
+        a = np.asarray(one_chunk(t["pair_a"]))
+        b = np.asarray(one_chunk(t["pair_b"]))
         ver = _verify_complete(t)
         n_v = ver.num_rows
         return pa.table({
-            "doc_a": pa.concat_arrays([_one(ver["doc_a"]),
+            "doc_a": pa.concat_arrays([one_chunk(ver["doc_a"]),
                                        pa.nulls(1, pa.int64())]),
-            "doc_b": pa.concat_arrays([_one(ver["doc_b"]),
+            "doc_b": pa.concat_arrays([one_chunk(ver["doc_b"]),
                                        pa.nulls(1, pa.int64())]),
             "jaccard_permille": pa.concat_arrays(
-                [_one(ver["jaccard_permille"]), pa.nulls(1, pa.int64())]),
+                [one_chunk(ver["jaccard_permille"]), pa.nulls(1, pa.int64())]),
             "alo": pa.array([None] * n_v + [int(a[0])], type=pa.int64()),
             "blo": pa.array([None] * n_v + [int(b[0])], type=pa.int64()),
             "ahi": pa.array([None] * n_v + [int(a[-1])], type=pa.int64()),

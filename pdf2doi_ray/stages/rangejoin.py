@@ -126,7 +126,10 @@ def time_band_join(events, type_a: str, type_b: str, band_s: int = 1800,
     hot_tbl = (bucketed.map_batches(count_partial, batch_format="pyarrow")
                .groupby(["user_id", "bucket"])
                .aggregate(Sum("n", alias_name="n"))
-               .filter(lambda r: r["n"] > hot_rows_per_group)
+               .map_batches(
+                   lambda t: t.filter(
+                       pc.greater(t["n"], hot_rows_per_group)),
+                   batch_format="pyarrow")
                .take_all())
     hot_mix = _mix_keys(
         np.asarray([r["user_id"] for r in hot_tbl], dtype=np.int64),
@@ -143,10 +146,10 @@ def time_band_join(events, type_a: str, type_b: str, band_s: int = 1800,
         side = np.asarray(one_chunk(t["side"]))
         eid = np.asarray(one_chunk(t["event_id"]))
         ts = np.asarray(one_chunk(t["ts_us"]))
-        pos = np.searchsorted(hot_mix, _mix_keys(uid, bucket))
+        mix = _mix_keys(uid, bucket)
+        pos = np.searchsorted(hot_mix, mix)
         is_hot = (pos < len(hot_mix)) & \
-            (hot_mix[np.minimum(pos, len(hot_mix) - 1)]
-             == _mix_keys(uid, bucket))
+            (hot_mix[np.minimum(pos, len(hot_mix) - 1)] == mix)
         salt = np.where(is_hot & (side == 0), eid % n_salts, 0)
         hot_b = is_hot & (side == 1)
         k = int(hot_b.sum())

@@ -79,9 +79,12 @@ def estimate(regs: np.ndarray) -> int:
     elif e > (1 << 63) / 30.0:
         # near-saturated registers can push raw e past 2^64 (max ~2.7e19 at
         # P=12), where the correction's log argument goes non-positive — cap
-        # at the 2^64 domain size instead of returning NaN
+        # at the 2^64 domain size instead of returning NaN.  The corrected
+        # value itself is also clamped: just below the cap the correction
+        # blows up (−2^64·ln(1−e/2^64) → ~37×2^64), which would make the
+        # estimator non-monotone across the cap boundary.
         if e < 2.0 ** 64:
-            e = -(2.0 ** 64) * np.log(1 - e / 2.0 ** 64)
+            e = min(-(2.0 ** 64) * np.log(1 - e / 2.0 ** 64), 2.0 ** 64)
         else:
             e = 2.0 ** 64
     return int(round(e))

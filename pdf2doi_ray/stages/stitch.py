@@ -31,12 +31,16 @@ DEFAULT_STITCH_SHARDS = 32
 
 
 def hash_shard_str(arr) -> np.ndarray:
-    """Deterministic int64 shard ids for a string Arrow array (pandas'
-    C string-hash kernel — no per-row Python hashing)."""
+    """Deterministic int64 shard ids for a string Arrow array.  Pandas'
+    khash kernel hashes the strings in one C loop — no Python-level
+    per-row bytecode, though the strings do materialize as objects first
+    (unavoidable: string hashing has no zero-copy Arrow kernel here)."""
     import pandas as pd
 
-    vals = arr.to_pylist()
-    return pd.util.hash_array(np.asarray(vals, dtype=object)) \
+    from ..arrowutil import one_chunk
+
+    vals = one_chunk(arr).to_numpy(zero_copy_only=False)
+    return pd.util.hash_array(vals) \
         .astype(np.int64) & np.int64(0x7FFFFFFFFFFFFFFF)
 
 

@@ -43,6 +43,14 @@ def test_hll_estimate_saturated_registers_capped():
     est = estimate(regs2)
     assert 0 < est <= 2 ** 64
 
+    # the corrected value is clamped too: without it regs=52 exceeds 2^64
+    # (~1.28x) and the estimator goes non-monotone across the cap boundary
+    prev = 0
+    for rank in (50, 51, 52, 53, 70):
+        cur = estimate(np.full(HLL_M, rank, dtype=np.uint8))
+        assert prev <= cur <= 2 ** 64, rank
+        prev = cur
+
 
 def test_seed_files_are_collision_resistant(tmp_path):
     import hashlib
