@@ -96,26 +96,28 @@ def connected_components(pairs, col_a: str = "doc_a", col_b: str = "doc_b",
                 "asker": pa.array([None] * n, type=pa.int64()),
             })
 
-        def label_rows(t: pa.Table) -> pa.Table:
-            n = t.num_rows
-            return pa.table({
-                "key": t["node"],
-                "peer": pa.array([None] * n, type=pa.int64()),
-                "label": t["label"],
-                "asker": pa.array([None] * n, type=pa.int64()),
-            })
-
-        def jump_rows(t: pa.Table) -> pa.Table:
-            # node n asks its label-node for that node's label; self-rooted
-            # nodes (label == node) would ask themselves — skip them
+        def label_and_jump_rows(t: pa.Table) -> pa.Table:
+            # One pass over the label table emits BOTH row kinds (one fewer
+            # stage + union per round; per-round fixed stage cost dominates
+            # small/medium graphs):
+            # * label rows: (key=node, label) — the group's label source;
+            # * jump rows: node n asks its label-node for THAT node's label
+            #   (key=label(n), asker=n); self-rooted nodes (label == node)
+            #   would ask themselves — skip them.
             import pyarrow.compute as pc
-            t = t.filter(pc.not_equal(t["label"], t["node"]))
             n = t.num_rows
+            j = t.filter(pc.not_equal(t["label"], t["node"]))
+            m = j.num_rows
             return pa.table({
-                "key": t["label"],
-                "peer": pa.array([None] * n, type=pa.int64()),
-                "label": pa.array([None] * n, type=pa.int64()),
-                "asker": t["node"],
+                "key": pa.concat_arrays(
+                    [t["node"].combine_chunks(), j["label"].combine_chunks()]),
+                "peer": pa.array([None] * (n + m), type=pa.int64()),
+                "label": pa.concat_arrays(
+                    [t["label"].combine_chunks(),
+                     pa.array([None] * m, type=pa.int64())]),
+                "asker": pa.concat_arrays(
+                    [pa.array([None] * n, type=pa.int64()),
+                     j["node"].combine_chunks()]),
             })
 
         def propagate(g: pa.Table) -> pa.Table:
@@ -139,8 +141,8 @@ def connected_components(pairs, col_a: str = "doc_a", col_b: str = "doc_b",
             })
 
         msgs = (edges.map_batches(edge_rows, batch_format="pyarrow")
-                .union(labels.map_batches(label_rows, batch_format="pyarrow"))
-                .union(labels.map_batches(jump_rows, batch_format="pyarrow"))
+                .union(labels.map_batches(label_and_jump_rows,
+                                          batch_format="pyarrow"))
                 .groupby("key").map_groups(propagate, batch_format="pyarrow"))
         labels = (msgs.groupby("node")
                   .aggregate(Min("cand", alias_name="label")).materialize())
