@@ -495,6 +495,31 @@ def _q_approx_ndv_hosts(sf_dir: str):
                                                    dtype="int64")})
 
 
+def _q_hash_sample(sf_dir: str):
+    from pdf2doi_ray.stages.corpus import hash_sample
+    return hash_sample(_docs(sf_dir, ("doc_id",)))
+
+
+def _q_train_test_split(sf_dir: str):
+    from pdf2doi_ray.stages.corpus import train_test_split_stats
+    return train_test_split_stats(_docs(sf_dir, ("doc_id", "lang")))
+
+
+def _q_dedup_keep_best(sf_dir: str):
+    from pdf2doi_ray.stages.corpus import dedup_keep_best
+    return dedup_keep_best(_docs(sf_dir, ("doc_id", "text", "n_chars")))
+
+
+def _q_top_bigrams(sf_dir: str):
+    from pdf2doi_ray.stages.corpus import top_bigrams
+    return top_bigrams(_docs(sf_dir, ("doc_id", "text")))
+
+
+def _q_tfidf_top_terms(sf_dir: str):
+    from pdf2doi_ray.stages.corpus import tfidf_top_terms
+    return tfidf_top_terms(_docs(sf_dir, ("doc_id", "text")))
+
+
 def _q_token_quantiles(sf_dir: str):
     from pdf2doi_ray.stages.textstats import token_count_quantiles
     return token_count_quantiles(_docs(sf_dir, ("doc_id", "text")))
@@ -546,6 +571,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_ndv_hosts": _q_approx_ndv_hosts,
         "events_asof_join": _q_events_asof_join,
         "events_range_join": _q_events_range_join,
+        "hash_sample": _q_hash_sample,
+        "train_test_split": _q_train_test_split,
+        "dedup_keep_best": _q_dedup_keep_best,
+        "top_bigrams": _q_top_bigrams,
+        "tfidf_top_terms": _q_tfidf_top_terms,
     }
 
 
@@ -791,6 +821,61 @@ SELECT q.q_permille,
        (SELECT min(v) FROM r, n
         WHERE rn >= ceil(q.q_permille * n.total / 1000.0)) AS value
 FROM q
+""",
+        # deterministic Knuth-hash bucket, identical arithmetic to
+        # corpus.hash_bucket (HUGEINT keeps the product exact, matching
+        # numpy uint64 — both below 2^64 after the mod-2^32 pre-fold)
+        "hash_sample": """
+SELECT doc_id,
+       CAST((CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761)
+            % 4294967296 % 1000 AS BIGINT) AS bucket
+FROM documents
+WHERE (CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761)
+      % 4294967296 % 1000 < 125
+""",
+        "train_test_split": """
+SELECT lang,
+       CASE WHEN (CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761)
+                 % 4294967296 % 1000 < 900
+            THEN 'train' ELSE 'test' END AS split,
+       count(*) AS n_docs
+FROM documents GROUP BY 1, 2
+""",
+        "dedup_keep_best": """
+SELECT text_hash, doc_id, n_chars FROM (
+  SELECT md5(text) AS text_hash, doc_id, n_chars,
+         row_number() OVER (PARTITION BY md5(text)
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents) WHERE rn = 1
+""",
+        "top_bigrams": """
+WITH l AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+bg AS (SELECT unnest(list_transform(range(1, len(toks)),
+                                    i -> toks[i] || ' ' || toks[i+1]))
+           AS bigram
+       FROM l WHERE len(toks) >= 2)
+SELECT CAST(row_number() OVER (ORDER BY count(*) DESC, bigram) AS BIGINT)
+           AS rank,
+       bigram, count(*) AS n_occurrences
+FROM bg GROUP BY bigram ORDER BY n_occurrences DESC, bigram LIMIT 20
+""",
+        # integer tf*1e6//df score — same floor division both engines, so
+        # the ranking (and hash) is exact; ties break by term ascending
+        "tfidf_top_terms": """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+s AS (SELECT tf.doc_id, tf.term,
+             CAST((tf.tf * 1000000) // df.df AS BIGINT) AS score_scaled,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY (tf.tf * 1000000) // df.df DESC,
+                                         tf.term) AS rn
+      FROM tf JOIN df USING (term))
+SELECT doc_id, term, score_scaled FROM s WHERE rn <= 3
 """,
         # minhash_near_dups / simhash / knn_lsh: approximate or
         # non-SQL-expressible → rows-only driver check (documented).

@@ -301,6 +301,29 @@ def main() -> None:
     if not headline_only:
         queries["connected_components_150k_edges"] = timed(q_components_large)
 
+    # corpus ops over the documents table: TF-IDF (2 sorts over (term,
+    # doc, tf) rows) and corpus top-k bigrams (combiner + one groupby +
+    # bounded partials)
+    def q_tfidf():
+        from pdf2doi_ray.stages.corpus import tfidf_top_terms
+        docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet",
+                                     columns=["doc_id", "text"])
+        n = tfidf_top_terms(docs).count()
+        assert n > 0, n
+
+    if not headline_only:
+        queries["tfidf_top_terms_docs"] = timed(q_tfidf)
+
+    def q_bigrams():
+        from pdf2doi_ray.stages.corpus import top_bigrams
+        docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet",
+                                     columns=["doc_id", "text"])
+        out = top_bigrams(docs)
+        assert len(out) == 20, len(out)
+
+    if not headline_only:
+        queries["top_bigrams_docs"] = timed(q_bigrams)
+
     headline = queries["identify_full"]
     print(json.dumps({
         "metric": "identify_full seconds (pages parquet -> identifiers parquet)",

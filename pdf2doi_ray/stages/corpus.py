@@ -1,0 +1,359 @@
+"""Corpus-level training-data operators: deterministic sampling, train/test
+splitting, keep-best exact dedup, corpus top-k n-grams, and TF-IDF term
+scoring.
+
+Everything here follows the repo's scale rules:
+
+* per-batch kernels are vectorized (pyarrow.compute / numpy) — the only
+  per-row Python is md5 hashing (same as :mod:`.textstats.fingerprint`);
+* wide steps pre-aggregate inside ``map_batches`` before any shuffle, so a
+  ``groupby`` only ever sees combiner output (one row per distinct key per
+  batch), never raw corpus rows;
+* global top-k uses the bounded-partial pattern (≤k rows per block to the
+  driver) instead of a global sort;
+* argmax-per-group runs as a plain ``Min``/``Max`` aggregate over an
+  order-preserving encoded key — no per-group Python reducers;
+* integer-only outputs (counts, permille buckets, scaled scores) so the
+  DuckDB oracles hash-match exactly — no accumulated floats.
+
+Tokenization matches the repo-wide SQL convention: single-space
+``string_split`` with empty tokens dropped
+(``list_filter(string_split(text, ' '), x -> x <> '')``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Knuth multiplicative hash constant (2^32 / phi).  The bucket is a pure
+# function of doc_id, so the same sampling/split decision is reproducible
+# across runs, engines, and the SQL oracle:
+#   bucket = ((doc_id mod 2^32) * 2654435761 mod 2^32) mod buckets
+# The mod-2^32 pre-fold keeps the product below 2^64 (uint64-exact in numpy;
+# HUGEINT in the oracle), so there is no wraparound disagreement at any id.
+HASH_MULT = 2654435761
+HASH_BUCKETS = 1000
+
+
+def hash_bucket(ids, buckets: int = HASH_BUCKETS) -> np.ndarray:
+    """Vectorized deterministic permille bucket of an int64 id column."""
+    arr = np.asarray(ids.combine_chunks() if isinstance(ids, pa.ChunkedArray)
+                     else ids).astype(np.uint64)
+    h = ((arr % np.uint64(2**32)) * np.uint64(HASH_MULT)) % np.uint64(2**32)
+    return (h % np.uint64(buckets)).astype(np.int64)
+
+
+def hash_sample(docs, keep_permille: int = 125):
+    """Deterministic corpus sample: keep rows whose hash bucket falls below
+    ``keep_permille``.  A pure filter — streams, never shuffles, and the
+    same rows survive on every run at any parallelism (unlike
+    ``Dataset.random_sample``).  Returns (doc_id, bucket)."""
+    def pick(t: pa.Table) -> pa.Table:
+        b = hash_bucket(t["doc_id"])
+        mask = b < keep_permille
+        return pa.table({
+            "doc_id": t["doc_id"].filter(pa.array(mask)),
+            "bucket": pa.array(b[mask], type=pa.int64()),
+        })
+
+    return docs.map_batches(pick, batch_format="pyarrow")
+
+
+def train_test_split_stats(docs, train_permille: int = 900):
+    """Deterministic hash split into train/test plus per-(lang, split)
+    counts.  Per-batch combiner (one arrow group_by per batch) then a
+    ``groupby`` over ≤ 2·|langs| combiner rows per batch — the shuffle
+    volume is independent of corpus size.  Returns (lang, split, n_docs)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        b = hash_bucket(t["doc_id"])
+        split = np.where(b < train_permille, "train", "test")
+        g = pa.table({
+            "lang": t["lang"],
+            "split": pa.array(split, type=pa.string()),
+        }).group_by(["lang", "split"]).aggregate([([], "count_all")])
+        return pa.table({
+            "lang": g["lang"],
+            "split": g["split"],
+            "n_partial": g["count_all"].cast(pa.int64()),
+        })
+
+    return (docs.map_batches(partial, batch_format="pyarrow")
+            .groupby(["lang", "split"])
+            .aggregate(Sum("n_partial", alias_name="n_docs")))
+
+
+# keep-best encoding widths: n_chars zero-padded to 12 digits, doc_id stored
+# as a 16-digit zero-padded complement (10^15 - doc_id) so that the
+# lexicographic MAX of the encoded string is (max n_chars, then MIN doc_id)
+# — argmax-per-group as a plain string Max aggregate, no per-group Python.
+_KB_NCHARS_W = 12
+_KB_ID_BASE = 10**15
+_KB_ID_W = 16
+
+
+def _keep_best_encode(n_chars, doc_id) -> pa.Array:
+    nc = pc.ascii_lpad(pc.cast(n_chars, pa.string()), _KB_NCHARS_W, "0")
+    comp = pc.subtract(pa.scalar(_KB_ID_BASE, type=pa.int64()),
+                       pc.cast(doc_id, pa.int64()))
+    cid = pc.ascii_lpad(pc.cast(comp, pa.string()), _KB_ID_W, "0")
+    return pc.binary_join_element_wise(nc, cid, "")
+
+
+def dedup_keep_best(docs):
+    """Exact dedup that keeps the BEST copy per content hash — max
+    ``n_chars``, ties to the smallest ``doc_id`` — instead of
+    :func:`.dedup.dedup_exact`'s first-id rule (a training pipeline usually
+    wants the longest/cleanest duplicate, not an arbitrary one).
+
+    Per-batch combiner picks one candidate per hash per batch, so the
+    shuffle carries ≤ one row per distinct hash per batch; the global argmax
+    is a plain ``Max`` over an order-preserving string encoding (widths
+    documented above: n_chars < 10^12, doc_id < 10^15 — both far beyond any
+    real corpus row).  Returns (text_hash, doc_id, n_chars)."""
+    from ray.data.aggregate import Max
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        digests = np.array([hashlib.md5(s.encode("utf-8")).hexdigest()
+                            for s in texts], dtype=object)
+        enc = np.asarray(_keep_best_encode(t["n_chars"], t["doc_id"])
+                         .to_pylist(), dtype=object)
+        # best-per-hash within the batch: sort by encoded key descending,
+        # keep the first occurrence of each hash
+        order = np.argsort(enc, kind="stable")[::-1]
+        _, first = np.unique(digests[order], return_index=True)
+        keep = order[np.sort(first)]
+        return pa.table({
+            "text_hash": pa.array(digests[keep], type=pa.string()),
+            "enc": pa.array(enc[keep], type=pa.string()),
+        })
+
+    def decode(t: pa.Table) -> pa.Table:
+        nc = pc.cast(pc.utf8_slice_codeunits(t["enc"], 0, _KB_NCHARS_W),
+                     pa.int64())
+        comp = pc.cast(pc.utf8_slice_codeunits(
+            t["enc"], _KB_NCHARS_W, _KB_NCHARS_W + _KB_ID_W), pa.int64())
+        doc_id = pc.subtract(pa.scalar(_KB_ID_BASE, type=pa.int64()), comp)
+        return pa.table({"text_hash": t["text_hash"], "doc_id": doc_id,
+                         "n_chars": nc})
+
+    return (docs.map_batches(partial, batch_format="pyarrow")
+            .groupby("text_hash").aggregate(Max("enc", alias_name="enc"))
+            .map_batches(decode, batch_format="pyarrow"))
+
+
+def _tokens_nonempty(t: pa.Table):
+    """Flattened nonempty tokens + their row index (doc position in batch).
+
+    Returns (flat_tokens: pa.Array, row_idx: np.ndarray)."""
+    toks = pc.split_pattern(
+        t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray)
+        else t["text"], " ")
+    flat = toks.flatten()
+    lengths = np.asarray(pc.list_value_length(toks).fill_null(0))
+    row_idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), lengths)
+    mask = np.asarray(pc.not_equal(flat, ""))
+    keep = pa.array(mask)
+    return flat.filter(keep), row_idx[mask]
+
+
+def top_bigrams(docs, k: int = 20):
+    """Corpus-level top-k adjacent-token bigrams, (count desc, bigram asc).
+
+    Bigram emission is fully vectorized: tokens flatten once, empty tokens
+    drop with a boolean mask, and a bigram exists at every flat position
+    whose neighbor belongs to the same document (one numpy comparison + one
+    Arrow element-wise string join over zero-copy slices).  A per-batch
+    arrow group_by combines duplicates before the shuffle, the global
+    ``groupby(bigram)`` sums combiner rows, and the final top-k uses the
+    bounded-partial pattern (≤k rows per block to the driver) — no global
+    sort at any corpus size.  Returns pandas (rank, bigram, n_occurrences).
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, row_idx = _tokens_nonempty(t)
+        if len(flat) < 2:
+            return pa.table({"bigram": pa.array([], type=pa.string()),
+                             "n_partial": pa.array([], type=pa.int64())})
+        same_doc = row_idx[1:] == row_idx[:-1]
+        joined = pc.binary_join_element_wise(
+            flat.slice(0, len(flat) - 1), flat.slice(1), " ")
+        bigrams = joined.filter(pa.array(same_doc))
+        g = pa.table({"bigram": bigrams}).group_by("bigram").aggregate(
+            [([], "count_all")])
+        return pa.table({"bigram": g["bigram"],
+                         "n_partial": g["count_all"].cast(pa.int64())})
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.sort_values(["n_occurrences", "bigram"],
+                            ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = (docs.map_batches(partial, batch_format="pyarrow")
+             .groupby("bigram").aggregate(Sum("n_partial",
+                                              alias_name="n_occurrences"))
+             .map_batches(block_topk, batch_format="pyarrow",
+                          batch_size=None)
+             .to_pandas())
+    parts = parts.sort_values(["n_occurrences", "bigram"],
+                              ascending=[False, True]).head(k)
+    return pd.DataFrame({
+        "rank": np.arange(1, len(parts) + 1, dtype=np.int64),
+        "bigram": parts["bigram"].to_numpy(),
+        "n_occurrences": parts["n_occurrences"].to_numpy(),
+    })
+
+
+def tfidf_top_terms(docs, k: int = 3, scale: int = 1_000_000):
+    """Per-document top-k terms by a rationalized tf-idf.
+
+    Score: ``score_scaled = tf · scale // df`` — integer, exact, and
+    monotone in tf/df, so the ranking is engine-independent (no
+    transcendental idf whose last-bit rounding could differ from the SQL
+    oracle).  Ties break by term ascending.
+
+    Plan (2 shuffles, no joins — Ray Data has no join primitive and none is
+    needed):
+
+    1. per-batch vectorized term counting: tokens flatten once, one arrow
+       ``group_by([doc, term])`` per batch emits (term, doc_id, tf) — exact
+       because a document is one row and never straddles batches;
+    2. ``sort("term")`` + per-block group kernel attaches df (= group size,
+       since each doc contributes a term once) and scores every row — the
+       sort-contract pattern of :func:`.dedup.minhash_candidate_pairs`,
+       guarded by the same range-disjointness check;
+    3. ``sort("doc_id")`` + per-block top-k kernel (one lexsort per block)
+       keeps k terms per document, same guard.
+
+    For a bounded vocabulary the df table could instead broadcast via
+    ``ray.put`` and kill shuffle #2; web-scale vocabularies (urls, typos,
+    numbers) are unbounded, so the sort path is the default.
+    Returns (doc_id, term, score_scaled).
+    """
+    from .dedup import _ranges_disjoint_check
+
+    def term_counts(t: pa.Table) -> pa.Table:
+        flat, row_idx = _tokens_nonempty(t)
+        ids = np.asarray(t["doc_id"].combine_chunks()
+                         if isinstance(t["doc_id"], pa.ChunkedArray)
+                         else t["doc_id"])
+        g = pa.table({
+            "term": flat,
+            "doc_id": pa.array(ids[row_idx], type=pa.int64()),
+        }).group_by(["term", "doc_id"]).aggregate([([], "count_all")])
+        return pa.table({"term": g["term"], "doc_id": g["doc_id"],
+                         "tf": g["count_all"].cast(pa.int64())})
+
+    def _marker_cols(n_rows: int, lo, hi, typ) -> tuple[pa.Array, pa.Array]:
+        return (pa.array([None] * n_rows + [lo], type=typ),
+                pa.array([None] * n_rows + [hi], type=typ))
+
+    def attach_df(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "term": pa.array([], type=pa.string()),
+                             "score_scaled": pa.array([], type=pa.int64()),
+                             "tlo": pa.array([], type=pa.string()),
+                             "thi": pa.array([], type=pa.string())})
+        terms = np.asarray(t["term"].to_pylist(), dtype=object)
+        tf = np.asarray(t["tf"].combine_chunks()
+                        if isinstance(t["tf"], pa.ChunkedArray) else t["tf"])
+        change = np.nonzero(terms[1:] != terms[:-1])[0] + 1
+        starts = np.concatenate([[0], change]).astype(np.int64)
+        ends = np.concatenate([change, [n]]).astype(np.int64)
+        df = np.repeat(ends - starts, ends - starts)
+        score = tf * scale // df
+        tlo, thi = _marker_cols(n, terms[0], terms[-1], pa.string())
+        return pa.table({
+            "doc_id": pa.concat_arrays([
+                t["doc_id"].combine_chunks()
+                if isinstance(t["doc_id"], pa.ChunkedArray) else t["doc_id"],
+                pa.array([-1], type=pa.int64())]),
+            "term": pa.array(list(terms) + [None], type=pa.string()),
+            "score_scaled": pa.array(np.concatenate([score, [-1]]),
+                                     type=pa.int64()),
+            "tlo": tlo,
+            "thi": thi,
+        })
+
+    def doc_topk(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "term": pa.array([], type=pa.string()),
+                             "score_scaled": pa.array([], type=pa.int64()),
+                             "dlo": pa.array([], type=pa.int64()),
+                             "dhi": pa.array([], type=pa.int64())})
+        ids = np.asarray(t["doc_id"].combine_chunks()
+                         if isinstance(t["doc_id"], pa.ChunkedArray)
+                         else t["doc_id"])
+        terms = np.asarray(t["term"].to_pylist(), dtype=object)
+        score = np.asarray(t["score_scaled"].combine_chunks()
+                           if isinstance(t["score_scaled"], pa.ChunkedArray)
+                           else t["score_scaled"])
+        order = np.lexsort((terms, -score, ids))   # doc asc, score desc, term asc
+        sid = ids[order]
+        change = np.nonzero(sid[1:] != sid[:-1])[0] + 1
+        starts = np.concatenate([[0], change]).astype(np.int64)
+        rank = np.arange(n, dtype=np.int64) - np.repeat(
+            starts, np.diff(np.concatenate([starts, [n]])))
+        keep = order[rank < k]
+        keep.sort()
+        m = len(keep)
+        dlo, dhi = _marker_cols(m, int(ids.min()), int(ids.max()),
+                                pa.int64())
+        return pa.table({
+            "doc_id": pa.array(np.concatenate([ids[keep], [-1]]),
+                               type=pa.int64()),
+            "term": pa.array(list(terms[keep]) + [None], type=pa.string()),
+            "score_scaled": pa.array(np.concatenate([score[keep], [-1]]),
+                                     type=pa.int64()),
+            "dlo": dlo,
+            "dhi": dhi,
+        })
+
+    empty_out = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                          "term": pa.array([], type=pa.string()),
+                          "score_scaled": pa.array([], type=pa.int64())})
+
+    def _split(ds, lo_col: str, hi_col: str, check_name: str):
+        """Vectorized marker/data split (no per-row ``Dataset.filter``)."""
+        def data_rows(t: pa.Table) -> pa.Table:
+            keep = t.filter(pc.is_null(t[lo_col]))
+            return keep.select(["doc_id", "term", "score_scaled"])
+
+        def marker_rows(t: pa.Table) -> pa.Table:
+            keep = t.filter(pc.is_valid(t[lo_col]))
+            return keep.select([lo_col, hi_col])
+
+        rows = ds.map_batches(data_rows, batch_format="pyarrow")
+        check = (ds.map_batches(marker_rows, batch_format="pyarrow")
+                 .map_batches(_ranges_disjoint_check(
+                     check_name, [lo_col], [hi_col], empty_out),
+                     batch_format="pyarrow", batch_size=None))
+        return rows, check
+
+    scored = (docs.map_batches(term_counts, batch_format="pyarrow")
+              .sort("term")
+              .map_batches(attach_df, batch_format="pyarrow",
+                           batch_size=None)
+              .materialize())
+    score_rows, t_check = _split(scored, "tlo", "thi", "tfidf_top_terms/df")
+
+    picked = (score_rows.sort("doc_id")
+              .map_batches(doc_topk, batch_format="pyarrow",
+                           batch_size=None)
+              .materialize())
+    out_rows, d_check = _split(picked, "dlo", "dhi", "tfidf_top_terms/topk")
+
+    return out_rows.union(t_check).union(d_check)

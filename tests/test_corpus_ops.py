@@ -1,0 +1,146 @@
+"""Unit tests for the corpus-level operators (stages/corpus.py) beyond the
+oracle-parity sweep: multi-block invariance, degenerate text shapes, and the
+keep-best ordering encoding."""
+
+import collections
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _docs_table(texts, n_chars=None, langs=None):
+    ids = sorted(texts)
+    return pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "text": pa.array([texts[i] for i in ids], type=pa.string()),
+        "lang": pa.array(langs or ["en"] * len(ids), type=pa.string()),
+        "n_chars": pa.array(
+            n_chars or [len(texts[i]) for i in ids], type=pa.int64()),
+    })
+
+
+DEGENERATE = {
+    0: "",                       # empty → no tokens, no bigrams, no terms
+    1: "solo",                   # one token → no bigrams
+    2: "  ",                     # only empty tokens after split
+    3: "a b a b a",              # repeated bigrams within one doc
+    4: "a b",                    # shared vocabulary with doc 3
+    5: "x  y",                   # double space: empties dropped, "x y" bigram
+}
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("n_blocks", [1, 3])
+def test_top_bigrams_degenerate_and_blocks(n_blocks):
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import top_bigrams
+
+    ds = ray.data.from_arrow(_docs_table(DEGENERATE)).repartition(n_blocks)
+    out = top_bigrams(ds, k=3)
+    bc = collections.Counter()
+    for t in DEGENERATE.values():
+        toks = [x for x in t.split(" ") if x]
+        bc.update(a + " " + b for a, b in zip(toks, toks[1:]))
+    exp = sorted(bc.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    got = list(zip(out["bigram"], out["n_occurrences"].astype(int)))
+    assert got == exp
+    assert list(out["rank"]) == [1, 2, 3]
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("n_blocks", [1, 4])
+def test_tfidf_degenerate_and_blocks(n_blocks):
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import tfidf_top_terms
+
+    ds = ray.data.from_arrow(_docs_table(DEGENERATE)).repartition(n_blocks)
+    out = tfidf_top_terms(ds, k=2).to_pandas()
+    tfc, dfc = {}, collections.Counter()
+    for d, t in DEGENERATE.items():
+        cnt = collections.Counter(x for x in t.split(" ") if x)
+        if cnt:
+            tfc[d] = cnt
+            dfc.update(cnt.keys())
+    exp = set()
+    for d, cnt in tfc.items():
+        ranked = sorted(((tm, tf * 1_000_000 // dfc[tm])
+                         for tm, tf in cnt.items()),
+                        key=lambda kv: (-kv[1], kv[0]))[:2]
+        exp.update((d, tm, s) for tm, s in ranked)
+    got = set(zip(out["doc_id"].astype(int), out["term"],
+                  out["score_scaled"].astype(int)))
+    assert got == exp
+    # docs 0 and 2 have no tokens at all → absent from the output
+    assert not set(out["doc_id"]) & {0, 2}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_keep_best_ordering():
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import dedup_keep_best
+
+    # same content hash, different n_chars / doc_id: max n_chars wins,
+    # then min doc_id among ties (n_chars is a column here, deliberately
+    # decoupled from len(text) to prove the op uses the column)
+    texts = {10: "dup", 11: "dup", 12: "dup", 20: "uniq"}
+    t = _docs_table(texts, n_chars=[5, 9, 9, 1])
+    out = dedup_keep_best(
+        ray.data.from_arrow(t).repartition(3)).to_pandas()
+    h = hashlib.md5(b"dup").hexdigest()
+    picked = {r.text_hash: (r.doc_id, r.n_chars)
+              for r in out.itertuples()}
+    assert picked[h] == (11, 9)          # 9 beats 5; 11 beats 12 on ties
+    assert picked[hashlib.md5(b"uniq").hexdigest()] == (20, 1)
+    assert len(out) == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hash_sample_and_split_deterministic():
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import (hash_bucket, hash_sample,
+                                           train_test_split_stats)
+
+    texts = {i: f"doc {i}" for i in range(200)}
+    langs = [("en", "fr")[i % 2] for i in range(200)]
+    t = _docs_table(texts, langs=langs)
+    ds = ray.data.from_arrow(t).repartition(4)
+
+    out = hash_sample(ds, keep_permille=250).to_pandas()
+    buckets = hash_bucket(t["doc_id"])
+    exp_ids = {i for i in range(200) if buckets[i] < 250}
+    assert set(out["doc_id"]) == exp_ids
+    assert (out["bucket"] < 250).all()
+
+    # same rows survive at a different parallelism (determinism, the reason
+    # this exists instead of Dataset.random_sample)
+    out2 = hash_sample(ds.repartition(1), keep_permille=250).to_pandas()
+    assert set(out2["doc_id"]) == exp_ids
+
+    stats = train_test_split_stats(ds).to_pandas()
+    c = collections.Counter()
+    for i in range(200):
+        c[(langs[i], "train" if buckets[i] < 900 else "test")] += 1
+    got = {(r.lang, r.split): r.n_docs for r in stats.itertuples()}
+    assert got == dict(c)
+    assert stats["n_docs"].sum() == 200
+
+
+def test_keep_best_encoding_is_order_preserving():
+    from pdf2doi_ray.stages.corpus import _keep_best_encode
+
+    cases = [(0, 0), (0, 10**14), (1, 0), (999, 3), (999, 4),
+             (10**11, 10**14), (5, 5)]
+    enc = _keep_best_encode(
+        pa.array([c[0] for c in cases], type=pa.int64()),
+        pa.array([c[1] for c in cases], type=pa.int64())).to_pylist()
+    # lexicographic order of the encoding == (n_chars asc, doc_id desc),
+    # so MAX(enc) == (max n_chars, min doc_id)
+    want = sorted(range(len(cases)),
+                  key=lambda i: (cases[i][0], -cases[i][1]))
+    assert sorted(range(len(cases)), key=lambda i: enc[i]) == want
