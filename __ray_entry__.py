@@ -259,6 +259,11 @@ def _q_wordset_jaccard(sf_dir: str):
     return wordset_jaccard_adjacent(_docs(sf_dir, ("doc_id", "text")))
 
 
+def _q_ngram_jaccard(sf_dir: str):
+    from pdf2doi_ray.stages.dedup import ngram_jaccard_adjacent
+    return ngram_jaccard_adjacent(_docs(sf_dir, ("doc_id", "text")))
+
+
 def _q_knn(sf_dir: str):
     import ray.data
 
@@ -547,6 +552,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash": _q_simhash,
         "wordset_jaccard": _q_wordset_jaccard,
+        "ngram_jaccard": _q_ngram_jaccard,
         "knn_bruteforce": _q_knn,
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
@@ -705,6 +711,25 @@ s AS (SELECT vec_id,
 SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rank,
        vec_id
 FROM s ORDER BY sim DESC, vec_id LIMIT 10
+""",
+        # contiguous 3-token shingles over the same single-space split as
+        # wordset_jaccard (empties kept); <3 tokens -> empty set, u=0 -> 1000
+        "ngram_jaccard": """
+WITH w AS (SELECT doc_id,
+                  list_distinct(list_transform(
+                      range(1, len(string_split(text, ' ')) - 1),
+                      i -> string_split(text, ' ')[i] || ' ' ||
+                           string_split(text, ' ')[i+1] || ' ' ||
+                           string_split(text, ' ')[i+2])) AS sh
+           FROM documents),
+p AS (SELECT a.doc_id,
+             len(list_intersect(a.sh, b.sh)) AS i,
+             len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS u
+      FROM w a JOIN w b ON b.doc_id = a.doc_id + 1)
+SELECT doc_id,
+       CAST(CASE WHEN u = 0 THEN 1000
+            ELSE floor(1000.0 * i / u) END AS BIGINT) AS jaccard_next_permille
+FROM p
 """,
         "wordset_jaccard": """
 WITH w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) ws

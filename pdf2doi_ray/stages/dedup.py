@@ -566,17 +566,44 @@ def minhash_near_dups(docs, threshold_permille: int = 800, n_shingle: int = 3,
         batch_format="pyarrow").union(ver_check)
 
 
-def _wordset_score(a_text: str, b_text: str) -> int:
-    # single-space split, empties kept — exactly string_split(text, ' ') in
-    # the SQL oracle (str.split() would collapse whitespace runs)
-    a = set(a_text.split(" "))
-    b = set(b_text.split(" "))
+def _set_jaccard_permille(a: set, b: set) -> int:
     inter = len(a & b)
     union = len(a) + len(b) - inter
     return (1000 * inter) // union if union else 1000
 
 
-def wordset_jaccard_adjacent(docs, stitch_shards: int = DEFAULT_STITCH_SHARDS):
+def _wordset_score(a_text: str, b_text: str) -> int:
+    # single-space split, empties kept — exactly string_split(text, ' ') in
+    # the SQL oracle (str.split() would collapse whitespace runs)
+    return _set_jaccard_permille(set(a_text.split(" ")),
+                                 set(b_text.split(" ")))
+
+
+def _ngram_shingles(text: str, n: int) -> set[str]:
+    toks = text.split(" ")          # empties kept, same split as the oracle
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _ngram_score_fn(n: int):
+    def score(a_text: str, b_text: str) -> int:
+        return _set_jaccard_permille(_ngram_shingles(a_text, n),
+                                     _ngram_shingles(b_text, n))
+    return score
+
+
+def ngram_jaccard_adjacent(docs, n: int = 3,
+                           stitch_shards: int = DEFAULT_STITCH_SHARDS):
+    """n-gram (token-shingle) Jaccard between each doc and its successor —
+    :func:`wordset_jaccard_adjacent` with contiguous n-token shingles as
+    the compared sets (order-sensitive near-dup signal: texts with the same
+    vocabulary but different token order now score low).  Same shift-join
+    machinery, partitioning assumptions, and invariant checks."""
+    return wordset_jaccard_adjacent(docs, stitch_shards=stitch_shards,
+                                    score_fn=_ngram_score_fn(n))
+
+
+def wordset_jaccard_adjacent(docs, stitch_shards: int = DEFAULT_STITCH_SHARDS,
+                             score_fn=None):
     """Word-set Jaccard between each doc and its successor (doc_id+1) — the
     standalone n-gram-Jaccard scorer over a deterministic pair set.
 
@@ -603,14 +630,18 @@ def wordset_jaccard_adjacent(docs, stitch_shards: int = DEFAULT_STITCH_SHARDS):
       nothing is broadcast.
 
     Output is integer permille (floor) for hash-stable oracle comparison.
+    ``score_fn(a_text, b_text) -> int`` swaps the pair scorer (default:
+    word-set Jaccard; see :func:`ngram_jaccard_adjacent`).
     """
     import pyarrow.compute as pc
+
+    score = score_fn or _wordset_score
 
     def _score_adjacent(ids, texts, out_ids, out_jac):
         for i in range(len(ids) - 1):
             if ids[i + 1] == ids[i] + 1:
                 out_ids.append(int(ids[i]))
-                out_jac.append(_wordset_score(texts[i], texts[i + 1]))
+                out_jac.append(score(texts[i], texts[i + 1]))
 
     def _check_sorted(ids: np.ndarray) -> None:
         if len(ids) > 1 and not (np.diff(ids) > 0).all():
@@ -716,7 +747,7 @@ def wordset_jaccard_adjacent(docs, stitch_shards: int = DEFAULT_STITCH_SHARDS):
             fid, ftext, fkey = d["first"]
             if fid == lid + 1 and lkey != fkey:
                 out_ids.append(lid)
-                out_jac.append(_wordset_score(ltext, ftext))
+                out_jac.append(score(ltext, ftext))
         return pa.table({
             "doc_id": pa.array(out_ids, type=pa.int64()),
             "jaccard_next_permille": pa.array(out_jac, type=pa.int64())})

@@ -104,3 +104,47 @@ def test_bucketed_anti_join_vectorized_distinct_output():
     out = bucketed_anti_join_urls(left, right).to_pandas()
     assert sorted(out["url"]) == sorted(f"u{i}" for i in range(1, 30, 2))
     assert len(out) == 15                          # deduplicated survivors
+
+
+def _brute_ngram_adjacent(ids, texts, n=3):
+    def sh(t):
+        toks = t.split(" ")
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+    by_id = dict(zip(ids, texts))
+    out = {}
+    for i in ids:
+        if i + 1 in by_id:
+            a, b = sh(by_id[i]), sh(by_id[i + 1])
+            inter = len(a & b)
+            union = len(a) + len(b) - inter
+            out[i] = (1000 * inter) // union if union else 1000
+    return out
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("n_blocks,stitch_shards", [(1, 1), (3, 4), (7, 32)])
+def test_ngram_jaccard_boundary_exchange(n_blocks, stitch_shards):
+    import ray.data
+
+    from pdf2doi_ray.stages.dedup import ngram_jaccard_adjacent
+
+    ids = list(range(40))
+    # mix degenerate shapes: empty, <n tokens, double-space empties kept
+    texts = []
+    for i in ids:
+        if i % 9 == 0:
+            texts.append("")
+        elif i % 9 == 1:
+            texts.append("one two")
+        elif i % 9 == 2:
+            texts.append("x  y z")
+        else:
+            texts.append(f"w{i} w{i+1} common shared tail a b")
+    t = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                  "text": pa.array(texts)})
+    docs = ray.data.from_arrow(t).repartition(n_blocks)
+    out = ngram_jaccard_adjacent(docs,
+                                 stitch_shards=stitch_shards).to_pandas()
+    got = dict(zip(out["doc_id"].astype(int),
+                   out["jaccard_next_permille"].astype(int)))
+    assert got == _brute_ngram_adjacent(ids, texts)
