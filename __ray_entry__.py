@@ -530,6 +530,53 @@ def _q_token_quantiles(sf_dir: str):
     return token_count_quantiles(_docs(sf_dir, ("doc_id", "text")))
 
 
+def _q_orders_customer_join(sf_dir: str):
+    import ray.data
+
+    from pdf2doi_ray.stages.joins import broadcast_hash_join
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderstatus"])
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_mktsegment"])
+    return broadcast_hash_join(
+        orders, cust, on=["o_custkey"], right_on=["c_custkey"],
+        project=["o_orderkey", "o_custkey", "c_name", "c_mktsegment"])
+
+
+def _q_lineitem_orders_join(sf_dir: str):
+    import ray.data
+
+    from pdf2doi_ray.stages.joins import shuffle_hash_join
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderstatus"])
+    return shuffle_hash_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey",
+        num_partitions=8,
+        project=["l_orderkey", "l_linenumber", "o_custkey", "o_orderstatus"])
+
+
+def _q_top_docs_per_lang(sf_dir: str):
+    from pdf2doi_ray.stages.windowfns import grouped_top_k
+    return grouped_top_k(_docs(sf_dir, ("doc_id", "lang", "n_chars")),
+                         "lang", "n_chars", "doc_id", k=3)
+
+
+def _q_rolling_user_sum(sf_dir: str):
+    import ray.data
+
+    from pdf2doi_ray.stages.windowfns import rolling_user_sum
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"])
+    return rolling_user_sum(ev, w=3)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -582,6 +629,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_best": _q_dedup_keep_best,
         "top_bigrams": _q_top_bigrams,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "orders_customer_join": _q_orders_customer_join,
+        "lineitem_orders_join": _q_lineitem_orders_join,
+        "top_docs_per_lang": _q_top_docs_per_lang,
+        "rolling_user_sum": _q_rolling_user_sum,
     }
 
 
@@ -901,6 +952,32 @@ s AS (SELECT tf.doc_id, tf.term,
                                          tf.term) AS rn
       FROM tf JOIN df USING (term))
 SELECT doc_id, term, score_scaled FROM s WHERE rn <= 3
+""",
+        "orders_customer_join": """
+SELECT o_orderkey, o_custkey, c_name, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+""",
+        "lineitem_orders_join": """
+SELECT l_orderkey, l_linenumber, o_custkey, o_orderstatus
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+""",
+        "top_docs_per_lang": """
+WITH r AS (SELECT lang, doc_id, n_chars,
+                  row_number() OVER (PARTITION BY lang
+                      ORDER BY n_chars DESC, doc_id) AS rank
+           FROM documents)
+SELECT lang, CAST(rank AS BIGINT) AS rank, n_chars, doc_id
+FROM r WHERE rank <= 3
+""",
+        # integer milli-scaled value (one IEEE multiply + floor on both
+        # sides) so the window sum is exact and order-independent
+        "rolling_user_sum": """
+WITH e AS (SELECT event_id, user_id, ts,
+                  CAST(floor(value * 1000) AS BIGINT) AS vm FROM events)
+SELECT event_id, user_id,
+       CAST(SUM(vm) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_sum
+FROM e
 """,
         # minhash_near_dups / simhash / knn_lsh: approximate or
         # non-SQL-expressible → rows-only driver check (documented).

@@ -324,6 +324,77 @@ def main() -> None:
     if not headline_only:
         queries["top_bigrams_docs"] = timed(q_bigrams)
 
+    # large x large hash join (lineitem x orders at this sf): the native
+    # hash-partitioned exchange — both sides shuffle, nothing broadcasts
+    def q_shuffle_join():
+        from pdf2doi_ray.stages.joins import shuffle_hash_join
+        li = ray.data.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                                   columns=["l_orderkey", "l_linenumber"])
+        orders = ray.data.read_parquet(
+            f"{SF_DIR}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderstatus"])
+        n = shuffle_hash_join(li, orders, on="l_orderkey",
+                              right_on="o_orderkey",
+                              num_partitions=NCPU).count()
+        assert n > 0, n
+
+    if not headline_only:
+        queries["lineitem_orders_join"] = timed(q_shuffle_join)
+
+    # per-user rolling window sums at 1M events (10x replicated, offset
+    # user ids): sort + in-block cumsum + sharded boundary stitch
+    def q_rolling_large():
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from pdf2doi_ray.stages.windowfns import rolling_user_sum
+
+        def replicate(t: pa.Table) -> pa.Table:
+            parts = []
+            for k in range(10):
+                parts.append(pa.table({
+                    "event_id": pc.add(t["event_id"], k * 10_000_000),
+                    "ts": t["ts"],
+                    "user_id": pc.add(t["user_id"], k * 1_000_000),
+                    "value": t["value"],
+                }))
+            return pa.concat_tables(parts)
+
+        ev = ray.data.read_parquet(
+            f"{SF_DIR}/events.parquet",
+            columns=["event_id", "ts", "user_id", "value"]) \
+            .map_batches(replicate, batch_format="pyarrow")
+        rolling_user_sum(ev, w=3).count()
+
+    if not headline_only:
+        queries["rolling_user_sum_1m"] = timed(q_rolling_large)
+
+    # per-host top-k over all pages: combiner bounds the shuffle to <= k
+    # rows per host per batch despite zipfian host skew
+    def q_top_pages():
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from pdf2doi_ray.stages.skew import _hosts_vec
+        from pdf2doi_ray.stages.windowfns import grouped_top_k
+
+        def prep(t: pa.Table) -> pa.Table:
+            urls = t["url"].combine_chunks() \
+                if isinstance(t["url"], pa.ChunkedArray) else t["url"]
+            return pa.table({
+                "host": _hosts_vec(urls),
+                "ts": pc.cast(pc.cast(t["warc_ts"], pa.timestamp("us")),
+                              pa.int64()),
+                "url": urls})
+
+        ds = read_pages(("url", "warc_ts"), split=True) \
+            .map_batches(prep, batch_format="pyarrow")
+        n = grouped_top_k(ds, "host", "ts", "url", k=5).count()
+        assert n > 0, n
+
+    if not headline_only:
+        queries["top_pages_per_host"] = timed(q_top_pages)
+
     headline = queries["identify_full"]
     print(json.dumps({
         "metric": "identify_full seconds (pages parquet -> identifiers parquet)",

@@ -1,0 +1,197 @@
+"""SQL-window-function analogs: per-group top-k (``row_number() <= k``) and
+per-key rolling frame aggregates (``ROWS BETWEEN w-1 PRECEDING AND CURRENT``).
+
+Ray Data has neither; both decompose into the repo's two standard scalable
+shapes:
+
+* top-k: a per-batch COMBINER first (each batch keeps at most k rows per
+  group — pandas C sort + ``groupby.head``), so the shuffle moves ≤ k rows
+  per group per batch regardless of group skew; the final merge groups by a
+  HASH BUCKET of the key (bounded task count, vectorized inside) instead of
+  per-group ``map_groups`` (per-group scheduling overhead scales with group
+  count — same rejection as ``graph.py``'s note).
+* rolling: the sort-contract pattern shared with ``windows.session_counts``
+  / ``asof.py`` — global sort on (key, ts, id), every row interior to a
+  block (its w-1 predecessors are in-block) resolves vectorized via one
+  cumsum; only the ≤ w-1 leading rows of each block's FIRST key segment plus
+  the trailing w-1 rows of its LAST segment re-emit to the sharded stitch
+  (``stitch.sharded_stitch``, keyed by the group key, so cross-block windows
+  co-locate).
+
+Rolling sums aggregate an INTEGER milli-scaled value (``floor(value*1000)``
+— one IEEE multiply + floor, bit-identical in numpy and the SQL oracle), so
+results are exact and hash-stable: float window sums would depend on
+accumulation order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..arrowutil import one_chunk
+from .stitch import DEFAULT_STITCH_SHARDS, sharded_stitch
+
+TOPK_BUCKETS = 32
+
+
+def grouped_top_k(ds, group_col: str, order_col: str, tie_col: str,
+                  k: int, n_buckets: int = TOPK_BUCKETS):
+    """Top ``k`` rows per ``group_col`` by ``order_col`` DESC, ties broken by
+    ``tie_col`` ASC — i.e. ``row_number() OVER (PARTITION BY group ORDER BY
+    order DESC, tie ASC) <= k``.  Output: group, rank (1-based), order, tie.
+
+    (tie_col must be unique within a group for a deterministic result.)
+    """
+    import pandas as pd
+
+    cols = [group_col, order_col, tie_col]
+
+    def _keep_k(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([group_col, order_col, tie_col],
+                            ascending=[True, False, True], kind="mergesort")
+        return df.groupby(group_col, sort=False).head(k)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return _keep_k(df[cols])
+
+    def bucket_of(t: pa.Table) -> np.ndarray:
+        import pandas as pd
+
+        col = one_chunk(t[group_col])
+        if pa.types.is_integer(col.type):
+            return np.asarray(col).astype(np.int64)
+        return pd.util.hash_array(
+            col.to_numpy(zero_copy_only=False)).astype(np.int64) \
+            & np.int64(0x7FFFFFFFFFFFFFFF)
+
+    def merge_bucket(t: pa.Table) -> pa.Table:
+        df = _keep_k(t.to_pandas())
+        df["rank"] = df.groupby(group_col, sort=False).cumcount() + 1
+        return pa.Table.from_pandas(df[[group_col, "rank", order_col,
+                                        tie_col]], preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    # ≤ k rows per group per batch survive; the bucketed merge is the same
+    # sharded-stitch machinery the sorted-block operators use
+    return sharded_stitch(partials, bucket_of, merge_bucket,
+                          num_shards=n_buckets)
+
+
+def _milli(vals) -> np.ndarray:
+    # floor(value * 1000) as int64: multiply and floor are single IEEE-754
+    # ops, so numpy and DuckDB produce the same integer for every double
+    return np.floor(np.asarray(vals, dtype=np.float64) * 1000.0) \
+        .astype(np.int64)
+
+
+def _rolling_for_segments(vm: np.ndarray, starts: np.ndarray,
+                          ends: np.ndarray, w: int) -> np.ndarray:
+    """Rolling w-row sums over concatenated segments [starts[j], ends[j])."""
+    n = len(vm)
+    cc = np.concatenate([[0], np.cumsum(vm)])
+    seg_start = np.repeat(starts, ends - starts)   # per-row segment start
+    i = np.arange(n)
+    lo = np.maximum(i - (w - 1), seg_start)
+    return cc[i + 1] - cc[lo]
+
+
+def rolling_user_sum(events, w: int = 3,
+                     stitch_shards: int = DEFAULT_STITCH_SHARDS):
+    """Per-user rolling sum of ``floor(value*1000)`` over the last ``w``
+    events ordered by (ts, event_id) — ``SUM(vm) OVER (PARTITION BY user_id
+    ORDER BY ts, event_id ROWS BETWEEN w-1 PRECEDING AND CURRENT ROW)``.
+
+    Sorted-block plan: sort (user_id, ts, event_id); rows of users fully
+    interior to a block resolve with one cumsum; each block's edge segments
+    (first and last user) re-emit raw (user_id, ts, event_id, vm) rows to the
+    per-user sharded stitch, which lexsorts and reruns the same kernel.
+    Output: event_id, user_id, roll_sum (int64).
+    """
+    def block_roll(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        empty = pa.table({
+            "event_id": pa.array([], type=pa.int64()),
+            "user_id": pa.array([], type=pa.int64()),
+            "roll_sum": pa.array([], type=pa.int64()),
+            "ts_us": pa.array([], type=pa.int64()),
+            "vm": pa.array([], type=pa.int64()),
+            "boundary": pa.array([], type=pa.bool_())})
+        if n == 0:
+            return empty
+        us = np.asarray(one_chunk(t["user_id"])).astype(np.int64)
+        eid = np.asarray(one_chunk(t["event_id"])).astype(np.int64)
+        ts = np.asarray(pc.cast(pc.cast(one_chunk(t["ts"]),
+                                        pa.timestamp("us")), pa.int64()))
+        vm = _milli(one_chunk(t["value"]))
+        change = np.nonzero(us[1:] != us[:-1])[0] + 1
+        starts = np.concatenate([[0], change]).astype(np.int64)
+        ends = np.concatenate([change, [n]]).astype(np.int64)
+        last = len(starts) - 1
+        interior = np.arange(1, last) if last >= 1 else np.empty(0, dtype=int)
+        if len(interior):
+            i_starts, i_ends = starts[interior], ends[interior]
+            idx = np.concatenate(
+                [np.arange(s, e) for s, e in zip(i_starts, i_ends)])
+            # recompute local offsets for the concatenated interior slice
+            lens = i_ends - i_starts
+            loc_starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            loc_ends = loc_starts + lens
+            roll = _rolling_for_segments(vm[idx], loc_starts, loc_ends, w)
+        else:
+            idx = np.empty(0, dtype=np.int64)
+            roll = np.empty(0, dtype=np.int64)
+        edge_idx = np.concatenate(
+            [np.arange(starts[0], ends[0]),
+             np.arange(starts[last], ends[last])]) if last >= 1 \
+            else np.arange(starts[0], ends[0])
+        edge_idx = np.unique(edge_idx)
+        n_i, n_b = len(idx), len(edge_idx)
+        return pa.table({
+            "event_id": pa.array(np.concatenate([eid[idx], eid[edge_idx]])),
+            "user_id": pa.array(np.concatenate([us[idx], us[edge_idx]])),
+            "roll_sum": pa.array(
+                np.concatenate([roll, np.full(n_b, -1, np.int64)])),
+            "ts_us": pa.array(
+                np.concatenate([np.full(n_i, -1, np.int64), ts[edge_idx]])),
+            "vm": pa.array(
+                np.concatenate([np.full(n_i, 0, np.int64), vm[edge_idx]])),
+            "boundary": pa.array([False] * n_i + [True] * n_b),
+        })
+
+    def stitch(t: pa.Table) -> pa.Table:
+        us = np.asarray(one_chunk(t["user_id"])).astype(np.int64)
+        if len(us) == 0:
+            return pa.table({"event_id": pa.array([], type=pa.int64()),
+                             "user_id": pa.array([], type=pa.int64()),
+                             "roll_sum": pa.array([], type=pa.int64())})
+        eid = np.asarray(one_chunk(t["event_id"])).astype(np.int64)
+        ts = np.asarray(one_chunk(t["ts_us"])).astype(np.int64)
+        vm = np.asarray(one_chunk(t["vm"])).astype(np.int64)
+        order = np.lexsort((eid, ts, us))
+        us, eid, vm = us[order], eid[order], vm[order]
+        change = np.nonzero(us[1:] != us[:-1])[0] + 1
+        starts = np.concatenate([[0], change]).astype(np.int64)
+        ends = np.concatenate([change, [len(us)]]).astype(np.int64)
+        roll = _rolling_for_segments(vm, starts, ends, w)
+        return pa.table({"event_id": pa.array(eid),
+                         "user_id": pa.array(us),
+                         "roll_sum": pa.array(roll)})
+
+    srt = events.sort(["user_id", "ts", "event_id"])
+    mixed = srt.map_batches(block_roll, batch_format="pyarrow",
+                            batch_size=None).materialize()
+    interior = mixed.map_batches(
+        lambda t: t.filter(pc.equal(t["boundary"], False))
+        .select(["event_id", "user_id", "roll_sum"]),
+        batch_format="pyarrow")
+    carries = mixed.map_batches(
+        lambda t: t.filter(t["boundary"])
+        .select(["event_id", "user_id", "ts_us", "vm"]),
+        batch_format="pyarrow")
+    cross = sharded_stitch(
+        carries,
+        lambda t: np.asarray(one_chunk(t["user_id"])).astype(np.int64),
+        stitch, num_shards=stitch_shards)
+    return interior.union(cross)

@@ -1,0 +1,137 @@
+"""Unit tests for the relational join stages (stages/joins.py) and the
+window-function analogs (stages/windowfns.py) beyond the oracle-parity
+sweep: multi-block invariance, unmatched keys, join-type variants, skewed
+groups, and cross-block rolling windows."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _ds(table, n_blocks):
+    import ray.data
+
+    return ray.data.from_arrow(table).repartition(n_blocks)
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("n_blocks", [1, 4])
+def test_broadcast_join_inner_and_unmatched(n_blocks):
+    from pdf2doi_ray.stages.joins import broadcast_hash_join
+
+    big = pa.table({"k": pa.array([1, 2, 2, 3, 9], type=pa.int64()),
+                    "a": pa.array(list("vwxyz"))})
+    small = pa.table({"rk": pa.array([1, 2, 3, 4], type=pa.int64()),
+                      "b": pa.array([10, 20, 30, 40], type=pa.int64())})
+    out = broadcast_hash_join(_ds(big, n_blocks), _ds(small, 1),
+                              on=["k"], right_on=["rk"]).to_pandas()
+    want = big.to_pandas().merge(
+        small.to_pandas(), left_on="k", right_on="rk").drop(columns=["rk"])
+    cols = sorted(out.columns)
+    assert sorted(want.columns) == cols
+    got = out[cols].sort_values(cols).reset_index(drop=True)
+    exp = want[cols].sort_values(cols).reset_index(drop=True)
+    assert got.equals(exp)
+    assert 9 not in set(got["k"])          # unmatched big-side key dropped
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_broadcast_join_semi_anti():
+    from pdf2doi_ray.stages.joins import broadcast_hash_join
+
+    big = pa.table({"k": pa.array([1, 2, 3, 4], type=pa.int64())})
+    small = pa.table({"k": pa.array([2, 4], type=pa.int64()),
+                      "b": pa.array([1, 1], type=pa.int64())})
+    semi = broadcast_hash_join(_ds(big, 2), _ds(small, 1), on=["k"],
+                               join_type="left semi").to_pandas()
+    anti = broadcast_hash_join(_ds(big, 2), _ds(small, 1), on=["k"],
+                               join_type="left anti").to_pandas()
+    assert sorted(semi["k"]) == [2, 4]
+    assert sorted(anti["k"]) == [1, 3]
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("num_partitions", [2, 8])
+def test_shuffle_join_matches_merge(num_partitions):
+    from pdf2doi_ray.stages.joins import shuffle_hash_join
+
+    rng = np.random.RandomState(5)
+    lk = rng.randint(0, 40, size=300).astype(np.int64)
+    left = pa.table({"k": lk, "la": np.arange(300, dtype=np.int64)})
+    rk = np.arange(0, 50, dtype=np.int64)
+    right = pa.table({"rk": rk, "rb": (rk * 7).astype(np.int64)})
+    out = shuffle_hash_join(_ds(left, 4), _ds(right, 2), on="k",
+                            right_on="rk",
+                            num_partitions=num_partitions).to_pandas()
+    want = left.to_pandas().merge(right.to_pandas(),
+                                  left_on="k", right_on="rk")
+    cols = sorted(set(out.columns) & set(want.columns))
+    got = out[cols].sort_values(cols).reset_index(drop=True)
+    exp = want[cols].sort_values(cols).reset_index(drop=True)
+    assert len(out) == len(want) and got.equals(exp)
+
+
+def _brute_topk(df, group, order, tie, k):
+    df = df.sort_values([group, order, tie], ascending=[True, False, True])
+    df = df.groupby(group, sort=False).head(k).copy()
+    df["rank"] = df.groupby(group, sort=False).cumcount() + 1
+    return df[[group, "rank", order, tie]]
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("n_blocks,k", [(1, 2), (4, 2), (4, 5)])
+def test_grouped_top_k_blocks_skew_ties(n_blocks, k):
+    from pdf2doi_ray.stages.windowfns import grouped_top_k
+
+    rng = np.random.RandomState(11)
+    # skew: group "hot" holds half the rows; scores collide to test ties
+    groups = np.where(rng.rand(200) < 0.5, "hot",
+                      rng.choice(list("abcdefg"), size=200))
+    t = pa.table({"g": pa.array(groups),
+                  "score": pa.array(rng.randint(0, 10, 200),
+                                    type=pa.int64()),
+                  "id": pa.array(np.arange(200), type=pa.int64())})
+    out = grouped_top_k(_ds(t, n_blocks), "g", "score", "id",
+                        k=k).to_pandas()
+    want = _brute_topk(t.to_pandas(), "g", "score", "id", k)
+    cols = sorted(out.columns)
+    got = out[cols].sort_values(cols).reset_index(drop=True)
+    exp = want[cols].sort_values(cols).reset_index(drop=True)
+    assert got.equals(exp.astype(got.dtypes.to_dict()))
+
+
+def _brute_rolling(df, w):
+    df = df.copy()
+    df["vm"] = np.floor(df["value"].to_numpy() * 1000.0).astype(np.int64)
+    df = df.sort_values(["user_id", "ts", "event_id"])
+    df["roll_sum"] = (df.groupby("user_id", sort=False)["vm"]
+                      .rolling(w, min_periods=1).sum()
+                      .reset_index(level=0, drop=True)).astype(np.int64)
+    return df[["event_id", "user_id", "roll_sum"]]
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("n_blocks,w,shards", [(1, 3, 1), (5, 3, 4),
+                                               (5, 1, 4), (7, 6, 32)])
+def test_rolling_user_sum_cross_block(n_blocks, w, shards):
+    import ray.data
+
+    from pdf2doi_ray.stages.windowfns import rolling_user_sum
+
+    rng = np.random.RandomState(3)
+    n = 240
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), type=pa.int64()),
+        "user_id": pa.array(np.sort(rng.randint(0, 6, n)), type=pa.int64()),
+        "ts": pa.array(
+            pd.to_datetime(rng.randint(0, 10**6, n), unit="s")),
+        "value": pa.array(rng.randn(n) * 50),
+    })
+    out = rolling_user_sum(ray.data.from_arrow(t).repartition(n_blocks),
+                           w=w, stitch_shards=shards).to_pandas()
+    want = _brute_rolling(t.to_pandas(), w)
+    cols = sorted(out.columns)
+    got = out[cols].sort_values(cols).reset_index(drop=True)
+    exp = want[cols].sort_values(cols).reset_index(drop=True)
+    assert len(got) == n and got.equals(exp)
