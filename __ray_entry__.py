@@ -577,6 +577,31 @@ def _q_rolling_user_sum(sf_dir: str):
     return rolling_user_sum(ev, w=3)
 
 
+def _q_running_user_sum(sf_dir: str):
+    import ray.data
+
+    from pdf2doi_ray.stages.windowfns import running_user_sum
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"])
+    return running_user_sum(ev)
+
+
+def _q_distinct_users_per_type(sf_dir: str):
+    import ray.data
+
+    from pdf2doi_ray.stages.sketch import exact_ndv_by_group
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id"])
+    return exact_ndv_by_group(ev, "event_type", "user_id")
+
+
+def _q_token_quantiles_by_lang(sf_dir: str):
+    from pdf2doi_ray.stages.textstats import token_count_quantiles_by_group
+    return token_count_quantiles_by_group(
+        _docs(sf_dir, ("doc_id", "text", "lang")), group_col="lang")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -633,6 +658,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_orders_join": _q_lineitem_orders_join,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "rolling_user_sum": _q_rolling_user_sum,
+        "running_user_sum": _q_running_user_sum,
+        "distinct_users_per_type": _q_distinct_users_per_type,
+        "token_quantiles_by_lang": _q_token_quantiles_by_lang,
     }
 
 
@@ -978,6 +1006,30 @@ SELECT event_id, user_id,
        CAST(SUM(vm) OVER (PARTITION BY user_id ORDER BY ts, event_id
             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_sum
 FROM e
+""",
+        "running_user_sum": """
+WITH e AS (SELECT event_id, user_id, ts,
+                  CAST(floor(value * 1000) AS BIGINT) AS vm FROM events)
+SELECT event_id, user_id,
+       CAST(SUM(vm) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS roll_sum
+FROM e
+""",
+        "distinct_users_per_type": """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS ndv
+FROM events GROUP BY 1
+""",
+        # same rank rule as token_count_quantiles, partitioned by lang
+        "token_quantiles_by_lang": """
+WITH c AS (SELECT lang, len(string_split(text, ' ')) AS v FROM documents),
+r AS (SELECT lang, v, row_number() OVER (PARTITION BY lang ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY lang) AS total
+      FROM c),
+q AS (SELECT CAST(unnest([250, 500, 750, 900]) AS BIGINT) AS q_permille)
+SELECT r.lang, q.q_permille, min(r.v) AS value
+FROM r CROSS JOIN q
+WHERE r.rn >= ceil(q.q_permille * r.total / 1000.0)
+GROUP BY r.lang, q.q_permille
 """,
         # minhash_near_dups / simhash / knn_lsh: approximate or
         # non-SQL-expressible → rows-only driver check (documented).

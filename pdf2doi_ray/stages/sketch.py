@@ -104,3 +104,41 @@ def approx_ndv(ds, column: str) -> int:
              for r in ds.map_batches(partial, batch_format="pyarrow")
              .take_all()]
     return estimate(merge_registers(parts))
+
+
+def exact_ndv_by_group(ds, group_col: str, value_col: str,
+                       alias: str = "ndv"):
+    """EXACT distinct count of ``value_col`` per ``group_col`` — the exact
+    counterpart to :func:`approx_ndv` when per-group cardinalities must be
+    right, not estimated.
+
+    Two-phase plan, both phases combiner-first so the exchanges carry
+    deduplicated rows only:
+
+    1. per-batch distinct (group, value) pairs (one Arrow ``group_by`` per
+       batch) → global ``groupby([group, value])`` — shuffle volume is the
+       number of DISTINCT pairs per batch, not input rows;
+    2. per-batch counts per group over the now-unique pairs → tiny
+       ``groupby(group)`` sum.
+
+    A zipfian group with many distinct values spreads over phase-1 reducers
+    by the (group, value) composite key; only its per-batch partial COUNTS
+    meet in phase 2 (one row per group per batch).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        return pa.table({group_col: t[group_col], value_col: t[value_col]}) \
+            .group_by([group_col, value_col]).aggregate([])
+
+    uniq = (ds.map_batches(pair_partial, batch_format="pyarrow")
+            .groupby([group_col, value_col])
+            .aggregate(Count(alias_name="_dup")))
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = pa.table({group_col: t[group_col]}).group_by(group_col) \
+            .aggregate([(group_col, "count")])
+        return g.rename_columns([group_col, "c"])
+
+    return (uniq.map_batches(count_partial, batch_format="pyarrow")
+            .groupby(group_col).aggregate(Sum("c", alias_name=alias)))

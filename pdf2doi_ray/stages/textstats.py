@@ -262,3 +262,45 @@ def winnow_table(docs):
         })
 
     return docs.map_batches(per_batch, batch_format="pyarrow")
+
+
+def token_count_quantiles_by_group(docs, group_col: str = "lang",
+                                   quantiles_permille=(250, 500, 750, 900)):
+    """:func:`token_count_quantiles` partitioned by ``group_col`` — exact
+    per-group quantiles from keyed (group, value)→count histogram partials.
+    The merged histogram holds |groups| × |distinct counts| rows (tiny for
+    bounded-cardinality statistics), walked per group on the driver.  Same
+    rank rule, mirrored by the SQL oracle: value at 1-based ascending rank
+    ``ceil(q/1000 · n_group)``.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = _tokens(t["text"])
+        n = pc.list_value_length(toks).cast(pa.int64())
+        g = pa.table({group_col: t[group_col], "value": n}) \
+            .group_by([group_col, "value"]) \
+            .aggregate([("value", "count")])
+        return g.select([group_col, "value", "value_count"]) \
+            .rename_columns([group_col, "value", "n"])
+
+    hist = (docs.map_batches(partial, batch_format="pyarrow")
+            .groupby([group_col, "value"]).aggregate(Sum("n", alias_name="n"))
+            .to_pandas())
+    out_g, out_q, out_v = [], [], []
+    if len(hist) and group_col in hist.columns:
+        for gval, sub in hist.groupby(group_col, sort=True):
+            sub = sub.sort_values("value").reset_index(drop=True)
+            cum = sub["n"].cumsum().to_numpy()
+            total = int(cum[-1])
+            values = sub["value"].to_numpy()
+            for q in quantiles_permille:
+                rank = -(-q * total // 1000)
+                idx = int(np.searchsorted(cum, rank, side="left"))
+                out_g.append(gval)
+                out_q.append(int(q))
+                out_v.append(int(values[idx]))
+    return pd.DataFrame({group_col: pd.Series(out_g, dtype="object"),
+                         "q_permille": pd.Series(out_q, dtype="int64"),
+                         "value": pd.Series(out_v, dtype="int64")})

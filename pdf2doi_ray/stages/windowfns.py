@@ -87,21 +87,31 @@ def _milli(vals) -> np.ndarray:
 
 
 def _rolling_for_segments(vm: np.ndarray, starts: np.ndarray,
-                          ends: np.ndarray, w: int) -> np.ndarray:
-    """Rolling w-row sums over concatenated segments [starts[j], ends[j])."""
+                          ends: np.ndarray, w) -> np.ndarray:
+    """Rolling w-row sums over concatenated segments [starts[j], ends[j]);
+    ``w=None`` = unbounded preceding (running / prefix sums)."""
     n = len(vm)
     cc = np.concatenate([[0], np.cumsum(vm)])
     seg_start = np.repeat(starts, ends - starts)   # per-row segment start
     i = np.arange(n)
-    lo = np.maximum(i - (w - 1), seg_start)
+    lo = seg_start if w is None else np.maximum(i - (w - 1), seg_start)
     return cc[i + 1] - cc[lo]
 
 
-def rolling_user_sum(events, w: int = 3,
+def running_user_sum(events, stitch_shards: int = DEFAULT_STITCH_SHARDS):
+    """Per-user running (prefix) sum — ``ROWS UNBOUNDED PRECEDING``.  Same
+    sorted-block plan as :func:`rolling_user_sum` with an unbounded frame;
+    the edge-segment re-emission already carries each boundary user's full
+    event set, so the stitch is exact for any frame length."""
+    return rolling_user_sum(events, w=None, stitch_shards=stitch_shards)
+
+
+def rolling_user_sum(events, w=3,
                      stitch_shards: int = DEFAULT_STITCH_SHARDS):
     """Per-user rolling sum of ``floor(value*1000)`` over the last ``w``
-    events ordered by (ts, event_id) — ``SUM(vm) OVER (PARTITION BY user_id
-    ORDER BY ts, event_id ROWS BETWEEN w-1 PRECEDING AND CURRENT ROW)``.
+    events (``w=None`` = all preceding) ordered by (ts, event_id) —
+    ``SUM(vm) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN w-1 PRECEDING AND CURRENT ROW)``.
 
     Sorted-block plan: sort (user_id, ts, event_id); rows of users fully
     interior to a block resolve with one cumsum; each block's edge segments

@@ -135,3 +135,70 @@ def test_rolling_user_sum_cross_block(n_blocks, w, shards):
     got = out[cols].sort_values(cols).reset_index(drop=True)
     exp = want[cols].sort_values(cols).reset_index(drop=True)
     assert len(got) == n and got.equals(exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("n_blocks", [1, 5])
+def test_running_user_sum_cross_block(n_blocks):
+    import ray.data
+
+    from pdf2doi_ray.stages.windowfns import running_user_sum
+
+    rng = np.random.RandomState(9)
+    n = 120
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), type=pa.int64()),
+        "user_id": pa.array(np.sort(rng.randint(0, 4, n)), type=pa.int64()),
+        "ts": pa.array(pd.to_datetime(rng.randint(0, 10**6, n), unit="s")),
+        "value": pa.array(rng.randn(n) * 50),
+    })
+    out = running_user_sum(
+        ray.data.from_arrow(t).repartition(n_blocks)).to_pandas()
+    df = t.to_pandas()
+    df["vm"] = np.floor(df["value"].to_numpy() * 1000.0).astype(np.int64)
+    df = df.sort_values(["user_id", "ts", "event_id"])
+    df["roll_sum"] = df.groupby("user_id", sort=False)["vm"].cumsum()
+    want = df[["event_id", "user_id", "roll_sum"]]
+    cols = sorted(out.columns)
+    got = out[cols].sort_values(cols).reset_index(drop=True)
+    exp = want[cols].sort_values(cols).reset_index(drop=True)
+    assert len(got) == n and got.equals(exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("n_blocks", [1, 6])
+def test_exact_ndv_by_group_blocks(n_blocks):
+    from pdf2doi_ray.stages.sketch import exact_ndv_by_group
+
+    rng = np.random.RandomState(2)
+    g = rng.choice(list("abc"), size=500)
+    v = rng.randint(0, 40, size=500).astype(np.int64)
+    t = pa.table({"g": pa.array(g), "v": pa.array(v)})
+    out = exact_ndv_by_group(_ds(t, n_blocks), "g", "v") \
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    want = (pd.DataFrame({"g": g, "v": v}).groupby("g")["v"].nunique()
+            .rename("ndv").reset_index())
+    assert out.equals(want.astype(out.dtypes.to_dict()))
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("n_blocks", [1, 4])
+def test_token_quantiles_by_group_blocks(n_blocks):
+    from pdf2doi_ray.stages.textstats import token_count_quantiles_by_group
+
+    rng = np.random.RandomState(6)
+    langs = rng.choice(["en", "fr"], size=200)
+    texts = [" ".join(["w"] * rng.randint(1, 30)) for _ in range(200)]
+    t = pa.table({"doc_id": pa.array(np.arange(200), type=pa.int64()),
+                  "text": pa.array(texts), "lang": pa.array(langs)})
+    out = token_count_quantiles_by_group(_ds(t, n_blocks), "lang")
+    # brute: value at 1-based rank ceil(q/1000 * n) of the ascending sort
+    for lang in ("en", "fr"):
+        counts = np.sort([len(tx.split(" ")) for tx, lg
+                          in zip(texts, langs) if lg == lang])
+        for q in (250, 500, 750, 900):
+            rank = -(-q * len(counts) // 1000)
+            exp = counts[rank - 1]
+            got = out[(out["lang"] == lang)
+                      & (out["q_permille"] == q)]["value"].iloc[0]
+            assert got == exp, (lang, q, got, exp)
