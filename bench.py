@@ -333,9 +333,13 @@ def main() -> None:
         orders = ray.data.read_parquet(
             f"{SF_DIR}/orders.parquet",
             columns=["o_orderkey", "o_custkey", "o_orderstatus"])
+        # num_partitions sizes to DATA (memory per aggregator), not CPUs:
+        # each partition spawns an aggregator actor (~10 s spawn in this
+        # sandbox), so P=32 on a 600k-row join measures actor startup, not
+        # the exchange (A/B: P=32 10.0 s / P=8 4.2 s / P=4 3.7 s)
         n = shuffle_hash_join(li, orders, on="l_orderkey",
                               right_on="o_orderkey",
-                              num_partitions=NCPU).count()
+                              num_partitions=8).count()
         assert n > 0, n
 
     if not headline_only:

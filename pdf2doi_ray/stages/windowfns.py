@@ -141,14 +141,11 @@ def rolling_user_sum(events, w=3,
         last = len(starts) - 1
         interior = np.arange(1, last) if last >= 1 else np.empty(0, dtype=int)
         if len(interior):
+            # interior segments are contiguous in a sorted block: one slice
             i_starts, i_ends = starts[interior], ends[interior]
-            idx = np.concatenate(
-                [np.arange(s, e) for s, e in zip(i_starts, i_ends)])
-            # recompute local offsets for the concatenated interior slice
-            lens = i_ends - i_starts
-            loc_starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
-            loc_ends = loc_starts + lens
-            roll = _rolling_for_segments(vm[idx], loc_starts, loc_ends, w)
+            idx = np.arange(ends[0], starts[last])
+            roll = _rolling_for_segments(vm[idx], i_starts - ends[0],
+                                         i_ends - ends[0], w)
         else:
             idx = np.empty(0, dtype=np.int64)
             roll = np.empty(0, dtype=np.int64)
