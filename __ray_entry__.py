@@ -602,6 +602,33 @@ def _q_token_quantiles_by_lang(sf_dir: str):
         _docs(sf_dir, ("doc_id", "text", "lang")), group_col="lang")
 
 
+EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+def _q_events_pivot(sf_dir: str):
+    import ray.data
+
+    from pdf2doi_ray.stages.pivot import pivot_counts
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+    return pivot_counts(ev, "user_id", "event_type", EVENT_TYPES)
+
+
+def _q_customer_orders_left_join(sf_dir: str):
+    import ray.data
+
+    from pdf2doi_ray.stages.joins import shuffle_hash_join
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_name"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderstatus"])
+    return shuffle_hash_join(
+        cust, orders, on="c_custkey", right_on="o_custkey",
+        join_type="left_outer", num_partitions=8,
+        project=["c_custkey", "c_name", "o_orderkey", "o_orderstatus"])
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -661,6 +688,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_user_sum": _q_running_user_sum,
         "distinct_users_per_type": _q_distinct_users_per_type,
         "token_quantiles_by_lang": _q_token_quantiles_by_lang,
+        "events_pivot": _q_events_pivot,
+        "customer_orders_left_join": _q_customer_orders_left_join,
     }
 
 
@@ -1030,6 +1059,19 @@ SELECT r.lang, q.q_permille, min(r.v) AS value
 FROM r CROSS JOIN q
 WHERE r.rn >= ceil(q.q_permille * r.total / 1000.0)
 GROUP BY r.lang, q.q_permille
+""",
+        "events_pivot": """
+SELECT user_id,
+       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view,
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error
+FROM events GROUP BY user_id
+""",
+        "customer_orders_left_join": """
+SELECT c_custkey, c_name, o_orderkey, o_orderstatus
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
 """,
         # minhash_near_dups / simhash / knn_lsh: approximate or
         # non-SQL-expressible → rows-only driver check (documented).

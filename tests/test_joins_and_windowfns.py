@@ -202,3 +202,69 @@ def test_token_quantiles_by_group_blocks(n_blocks):
             got = out[(out["lang"] == lang)
                       & (out["q_permille"] == q)]["value"].iloc[0]
             assert got == exp, (lang, q, got, exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_shuffle_join_left_outer_nulls():
+    from pdf2doi_ray.stages.joins import shuffle_hash_join
+
+    left = pa.table({"k": pa.array([1, 2, 3, 9], type=pa.int64()),
+                     "a": pa.array(list("wxyz"))})
+    right = pa.table({"rk": pa.array([2, 3, 3], type=pa.int64()),
+                      "b": pa.array([20, 30, 31], type=pa.int64())})
+    out = shuffle_hash_join(_ds(left, 2), _ds(right, 2), on="k",
+                            right_on="rk", join_type="left_outer",
+                            num_partitions=2).to_pandas()
+    want = left.to_pandas().merge(right.to_pandas(), how="left",
+                                  left_on="k", right_on="rk")
+    cols = sorted(set(out.columns) & set(want.columns))
+    got = out[cols].sort_values(cols).reset_index(drop=True)
+    exp = want[cols].sort_values(cols).reset_index(drop=True)
+    assert len(got) == 5                       # 1 + 1 + 2 + unmatched(9)
+    assert got["b"].isna().sum() == 2          # keys 1 and 9 unmatched
+    assert got.fillna(-1).equals(exp.fillna(-1).astype(got.dtypes.to_dict()))
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("seed", [0, 1])
+def test_join_differential_fuzz(seed):
+    """Random keys with unmatched rows on BOTH sides, broadcast vs native
+    shuffle vs pandas merge — all three must agree exactly."""
+    from pdf2doi_ray.stages.joins import broadcast_hash_join, shuffle_hash_join
+
+    rng = np.random.RandomState(seed)
+    lk = rng.randint(0, 30, size=rng.randint(50, 150)).astype(np.int64)
+    rk = rng.randint(15, 45, size=rng.randint(20, 60)).astype(np.int64)
+    left = pa.table({"k": lk, "la": np.arange(len(lk), dtype=np.int64)})
+    right = pa.table({"k": rk, "rb": np.arange(len(rk), dtype=np.int64)})
+    want = left.to_pandas().merge(right.to_pandas(), on="k")
+
+    def norm(df):
+        cols = sorted(df.columns)
+        return df[cols].sort_values(cols).reset_index(drop=True)
+
+    b = broadcast_hash_join(_ds(left, 3), _ds(right, 2), on=["k"]).to_pandas()
+    s = shuffle_hash_join(_ds(left, 3), _ds(right, 2), on="k",
+                          num_partitions=4).to_pandas()
+    assert norm(b).equals(norm(want))
+    assert norm(s).equals(norm(want))
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("n_blocks", [1, 5])
+def test_pivot_counts_blocks_and_unlisted(n_blocks):
+    from pdf2doi_ray.stages.pivot import pivot_counts
+
+    rng = np.random.RandomState(4)
+    keys = rng.randint(0, 8, size=300).astype(np.int64)
+    cats = rng.choice(["a", "b", "zz_unlisted"], size=300)
+    t = pa.table({"u": keys, "c": pa.array(cats)})
+    out = pivot_counts(_ds(t, n_blocks), "u", "c", ["a", "b"]) \
+        .to_pandas().sort_values("u").reset_index(drop=True)
+    df = pd.DataFrame({"u": keys, "c": cats})
+    want = pd.DataFrame({
+        "u": np.arange(8, dtype=np.int64),
+        "n_a": [((df.u == u) & (df.c == "a")).sum() for u in range(8)],
+        "n_b": [((df.u == u) & (df.c == "b")).sum() for u in range(8)],
+    })
+    assert out.equals(want.astype(out.dtypes.to_dict()))
