@@ -605,6 +605,111 @@ def _q_token_quantiles_by_lang(sf_dir: str):
 EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
 
 
+def _q_normalize_text(sf_dir: str):
+    from pdf2doi_ray.stages.textnorm import normalize_text
+    return normalize_text(_docs(sf_dir, ("doc_id", "text")))
+
+
+def _messy_urls(sf_dir: str):
+    """(doc_id, url) with deterministically MESSY urls from doc_id (mixed
+    case, default and non-default ports, fragments, bare trailing slash) —
+    the same expression is built in the SQL oracles, which then mirror the
+    canonicalization regex chain step for step."""
+    import numpy as np
+    import pyarrow as pa
+
+    def mess(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].combine_chunks()
+                         if isinstance(t["doc_id"], pa.ChunkedArray)
+                         else t["doc_id"])
+        site = np.char.add("Site", (ids % 50).astype(str))
+        d = ids.astype(str)
+        variants = np.stack([
+            np.char.add(np.char.add(np.char.add(
+                "HTTP://", site), ".Example.ORG:80/p/"),
+                np.char.add(d, "#frag")),
+            np.char.add(np.char.add("https://", site), ".example.org:443/"),
+            np.char.add(np.char.add(np.char.add(
+                "http://", site), ".example.org/A/B?q="),
+                np.char.add(d, "#x")),
+            np.char.add(np.char.add(np.char.add(
+                "https://", site), ".example.org:8443/path/"), d),
+        ])
+        urls = variants[ids % 4, np.arange(len(ids))]
+        return pa.table({"doc_id": t["doc_id"],
+                         "url": pa.array(urls.tolist(), type=pa.string())})
+
+    return _docs(sf_dir, ("doc_id",)).map_batches(mess,
+                                                  batch_format="pyarrow")
+
+
+def _q_canonical_urls(sf_dir: str):
+    from pdf2doi_ray.stages.textnorm import canonicalize_urls
+    return canonicalize_urls(_messy_urls(sf_dir).drop_columns(["doc_id"]))
+
+
+def _q_dedup_canonical_urls(sf_dir: str):
+    # the %4==1 variant canonicalizes to a per-site root url (no doc id in
+    # the path), so whole-site duplicate groups genuinely collapse here
+    from pdf2doi_ray.stages.dedup import first_per_key
+    from pdf2doi_ray.stages.textnorm import canonicalize_urls
+
+    canon = canonicalize_urls(_messy_urls(sf_dir), keep=("doc_id",))
+    return first_per_key(canon.drop_columns(["url"]),
+                         key_col="canonical_url", id_col="doc_id")
+
+
+def _q_inverted_index_stats(sf_dir: str):
+    from pdf2doi_ray.stages.corpus import inverted_index_stats
+    return inverted_index_stats(_docs(sf_dir, ("doc_id", "text")))
+
+
+def _q_long_docs_above_p90(sf_dir: str):
+    from pdf2doi_ray.stages.textstats import filter_above_quantile
+    return filter_above_quantile(_docs(sf_dir, ("doc_id", "text")),
+                                 q_permille=900)
+
+
+def _q_events_sorted_head(sf_dir: str):
+    # Ray Data's distributed sample-based range sort (§2.6 surface): fully
+    # ordered output + limit; (ts, event_id) is a unique key so the head is
+    # deterministic
+    import ray.data
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"])
+    return ev.sort(["ts", "event_id"]).limit(1000)
+
+
+def _q_curate_corpus(sf_dir: str):
+    from pdf2doi_ray.pipelines.curate import curate_quality_dedup
+    return curate_quality_dedup(_docs(sf_dir, ("doc_id", "text")))
+
+
+def _q_events_type_summary(sf_dir: str):
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import grouped_summary
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+    return grouped_summary(ev, "event_type", "value")
+
+
+def _q_new_docs_anti_join(sf_dir: str):
+    # cross-crawl dedup shape: drop every doc already present in the
+    # "previous crawl" (simulated by the deterministic hash sample) via a
+    # broadcast LEFT ANTI join — the big side never shuffles
+    from pdf2doi_ray.stages.corpus import hash_sample
+    from pdf2doi_ray.stages.joins import broadcast_hash_join
+
+    docs = _docs(sf_dir, ("doc_id", "lang"))
+    prev = hash_sample(_docs(sf_dir, ("doc_id",)))
+    return broadcast_hash_join(docs, prev, on="doc_id",
+                               join_type="left anti",
+                               project=["doc_id", "lang"])
+
+
 def _q_events_pivot(sf_dir: str):
     import ray.data
 
@@ -690,6 +795,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_quantiles_by_lang": _q_token_quantiles_by_lang,
         "events_pivot": _q_events_pivot,
         "customer_orders_left_join": _q_customer_orders_left_join,
+        "normalize_text": _q_normalize_text,
+        "canonical_urls": _q_canonical_urls,
+        "dedup_canonical_urls": _q_dedup_canonical_urls,
+        "new_docs_anti_join": _q_new_docs_anti_join,
+        "inverted_index_stats": _q_inverted_index_stats,
+        "long_docs_above_p90": _q_long_docs_above_p90,
+        "events_sorted_head": _q_events_sorted_head,
+        "events_type_summary": _q_events_type_summary,
+        "curate_corpus": _q_curate_corpus,
     }
 
 
@@ -1072,6 +1186,136 @@ FROM events GROUP BY user_id
         "customer_orders_left_join": """
 SELECT c_custkey, c_name, o_orderkey, o_orderstatus
 FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+""",
+        # both sides run Unicode NFC + RE2 — byte-identical by construction
+        "normalize_text": """
+WITH n AS (SELECT doc_id,
+       regexp_replace(regexp_replace(lower(nfc_normalize(text)),
+                                     '\\s+', ' ', 'g'),
+                      '^ | $', '', 'g') AS norm_text
+FROM documents)
+SELECT doc_id, norm_text, CAST(length(norm_text) AS BIGINT) AS n_chars_norm
+FROM n
+""",
+        # input construction and regex chain both mirror the Ray side
+        "canonical_urls": """
+WITH u AS (
+  SELECT CASE doc_id % 4
+    WHEN 0 THEN 'HTTP://Site' || CAST(doc_id % 50 AS VARCHAR)
+                || '.Example.ORG:80/p/' || CAST(doc_id AS VARCHAR) || '#frag'
+    WHEN 1 THEN 'https://Site' || CAST(doc_id % 50 AS VARCHAR)
+                || '.example.org:443/'
+    WHEN 2 THEN 'http://Site' || CAST(doc_id % 50 AS VARCHAR)
+                || '.example.org/A/B?q=' || CAST(doc_id AS VARCHAR) || '#x'
+    ELSE 'https://Site' || CAST(doc_id % 50 AS VARCHAR)
+                || '.example.org:8443/path/' || CAST(doc_id AS VARCHAR)
+  END AS url
+  FROM documents),
+s AS (SELECT url, regexp_replace(url, '(?s)#.*$', '') AS nofrag FROM u),
+p AS (SELECT url,
+             regexp_replace(regexp_replace(
+                 lower(regexp_replace(nofrag,
+                     '(?s)^([^/]*://[^/]*).*$', '\\1')),
+                 '^(http://[^/:]*):80$', '\\1'),
+                 '^(https://[^/:]*):443$', '\\1') AS prefix,
+             regexp_replace(nofrag, '^[^/]*://[^/]*', '') AS suffix
+      FROM s)
+SELECT url,
+       regexp_replace(prefix || suffix, '(?s)^([^/]*://[^/]*)/$', '\\1')
+           AS canonical_url
+FROM p
+""",
+        # same url construction + canonicalization chain, then keyed dedup
+        "dedup_canonical_urls": """
+WITH u AS (
+  SELECT doc_id, CASE doc_id % 4
+    WHEN 0 THEN 'HTTP://Site' || CAST(doc_id % 50 AS VARCHAR)
+                || '.Example.ORG:80/p/' || CAST(doc_id AS VARCHAR) || '#frag'
+    WHEN 1 THEN 'https://Site' || CAST(doc_id % 50 AS VARCHAR)
+                || '.example.org:443/'
+    WHEN 2 THEN 'http://Site' || CAST(doc_id % 50 AS VARCHAR)
+                || '.example.org/A/B?q=' || CAST(doc_id AS VARCHAR) || '#x'
+    ELSE 'https://Site' || CAST(doc_id % 50 AS VARCHAR)
+                || '.example.org:8443/path/' || CAST(doc_id AS VARCHAR)
+  END AS url
+  FROM documents),
+s AS (SELECT doc_id, regexp_replace(url, '(?s)#.*$', '') AS nofrag FROM u),
+p AS (SELECT doc_id,
+             regexp_replace(regexp_replace(
+                 lower(regexp_replace(nofrag,
+                     '(?s)^([^/]*://[^/]*).*$', '\\1')),
+                 '^(http://[^/:]*):80$', '\\1'),
+                 '^(https://[^/:]*):443$', '\\1') AS prefix,
+             regexp_replace(nofrag, '^[^/]*://[^/]*', '') AS suffix
+      FROM s),
+c AS (SELECT doc_id,
+             regexp_replace(prefix || suffix, '(?s)^([^/]*://[^/]*)/$',
+                            '\\1') AS canonical_url
+      FROM p)
+SELECT canonical_url, min(doc_id) AS doc_id
+FROM c GROUP BY canonical_url
+""",
+        # complement of the hash_sample bucket predicate (same HUGEINT
+        # arithmetic) — rows NOT in the simulated previous crawl
+        "new_docs_anti_join": """
+SELECT doc_id, lang FROM documents
+WHERE (CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761)
+      % 4294967296 % 1000 >= 125
+""",
+        # nonempty-token convention (matches tfidf/top_bigrams oracles)
+        "inverted_index_stats": """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2)
+SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM tf GROUP BY term
+""",
+        # same count + quantile definitions as token_count_quantiles
+        "long_docs_above_p90": """
+WITH c AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+           FROM documents),
+r AS (SELECT n_tokens AS v, row_number() OVER (ORDER BY n_tokens) AS rn
+      FROM c),
+n AS (SELECT count(*) AS total FROM c),
+t AS (SELECT min(v) AS thr FROM r, n
+      WHERE rn >= ceil(900 * n.total / 1000.0))
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM c, t WHERE n_tokens > t.thr
+""",
+        "events_sorted_head": """
+SELECT event_id, ts, user_id, event_type
+FROM events ORDER BY ts, event_id LIMIT 1000
+""",
+        # quality predicate verbatim from the quality_flags oracle, then
+        # exact-dedup survivors among the kept rows (n_tokens via Min over
+        # the dup group — equal texts ⇒ equal counts)
+        "curate_corpus": """
+WITH t AS (
+  SELECT doc_id, text,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_filter(string_split(text, ' '),
+             x -> x IN ('the','and','of','to','is','it'))) AS n_stopwords
+  FROM documents),
+q AS (SELECT * FROM t
+      WHERE n_tokens >= 20 AND n_stopwords*1000 >= 50*n_tokens)
+SELECT md5(text) AS text_hash, min(doc_id) AS doc_id,
+       CAST(min(n_tokens) AS BIGINT) AS n_tokens
+FROM q GROUP BY md5(text)
+""",
+        # milli-scaled integer statistics (repo floor(value*1000)
+        # convention); integer // mean — sums are non-negative here so
+        # DuckDB truncation == numpy floor
+        "events_type_summary": """
+WITH e AS (SELECT event_type,
+                  CAST(floor(value * 1000) AS BIGINT) AS vm FROM events)
+SELECT event_type, count(*) AS n,
+       CAST(sum(vm) AS BIGINT) AS sum_milli,
+       min(vm) AS min_milli, max(vm) AS max_milli,
+       CAST(sum(vm) // count(*) AS BIGINT) AS avg_milli
+FROM e GROUP BY event_type
 """,
         # minhash_near_dups / simhash / knn_lsh: approximate or
         # non-SQL-expressible → rows-only driver check (documented).

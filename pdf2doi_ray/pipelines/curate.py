@@ -1,0 +1,63 @@
+"""Corpus curation: the canonical training-data front door as ONE streaming
+composition — quality gate → exact dedup survivors.
+
+This is the pipeline a 100 TB crawl actually runs before any model sees a
+token: score each document (vectorized, per-batch, shuffle-free), keep only
+quality rows, then collapse exact duplicates keeping the smallest doc id.
+Everything reuses the repo's audited kernels:
+
+* quality gate: :func:`..stages.textstats.quality_flags` (token count ≥ 20
+  and ≥ 5% English stopwords — the same flags the ``quality_flags`` query
+  oracles);
+* content hash: md5 of the raw text (same as ``fingerprint`` /
+  ``dedup_exact``);
+* dedup: combiner-first min-per-hash (the :func:`..stages.dedup.
+  first_per_key` shape) — the quality gate runs BEFORE the exchange, so
+  the only shuffle carries ≤ one row per distinct hash per batch of the
+  already-filtered stream.  ``n_tokens`` rides through the aggregate as a
+  second ``Min``: equal texts have equal token counts, so the group Min IS
+  the survivor's value — no join back.
+
+Reference: pdf2doi has no corpus curation (one-file-at-a-time tool); this
+is the corpus-scale composition the engine exists for.  The SQL oracle
+recomposes the same predicate + groupby over the raw table.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..stages.textstats import quality_flags
+
+
+def curate_quality_dedup(docs):
+    """documents(doc_id, text) → (text_hash, doc_id, n_tokens): exact-dedup
+    survivors (min doc id) among quality documents.  One shuffle total."""
+    from ray.data.aggregate import Min
+
+    def gate(t: pa.Table) -> pa.Table:
+        q = quality_flags(t)
+        keep = pc.equal(q["is_quality"], 1)
+        kept = t.filter(keep)
+        digests = [hashlib.md5(s.encode("utf-8")).hexdigest()
+                   for s in kept["text"].to_pylist()]
+        g = pa.table({
+            "text_hash": pa.array(digests, type=pa.string()),
+            "doc_id": kept["doc_id"],
+            "n_tokens": q["n_tokens"].filter(keep),
+        }).group_by("text_hash").aggregate([
+            ("doc_id", "min"), ("n_tokens", "min"),
+        ])
+        return pa.table({
+            "text_hash": g["text_hash"],
+            "doc_id": g["doc_id_min"],
+            "n_tokens": g["n_tokens_min"],
+        })
+
+    return (docs.map_batches(gate, batch_format="pyarrow")
+            .groupby("text_hash")
+            .aggregate(Min("doc_id", alias_name="doc_id"),
+                       Min("n_tokens", alias_name="n_tokens")))

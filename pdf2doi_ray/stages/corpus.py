@@ -213,6 +213,55 @@ def top_bigrams(docs, k: int = 20):
     })
 
 
+def inverted_index_stats(docs):
+    """Postings-list statistics per term: (term, df, cf, min_doc, max_doc).
+
+    The aggregate skeleton of an inverted-index build: ``df`` = number of
+    documents containing the term, ``cf`` = total occurrences, min/max doc
+    id bound the postings range.  Exact with ONE shuffle: a document is one
+    row and lives in exactly one batch, so the per-batch combiner (arrow
+    ``group_by([term, doc])`` → ``group_by(term)``) emits one row per
+    distinct term per batch with df/cf partials that a global
+    ``groupby(term)`` just sums — raw token rows never enter the exchange.
+    Full postings lists would stream out of the same combiner as
+    (term, doc_id, tf) rows partitioned by term hash; the stats variant
+    keeps the driver-checkable exact surface.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, row_idx = _tokens_nonempty(t)
+        ids = np.asarray(t["doc_id"].combine_chunks()
+                         if isinstance(t["doc_id"], pa.ChunkedArray)
+                         else t["doc_id"])
+        tf = pa.table({
+            "term": flat,
+            "doc_id": pa.array(ids[row_idx], type=pa.int64()),
+        }).group_by(["term", "doc_id"]).aggregate([([], "count_all")])
+        g = pa.table({
+            "term": tf["term"],
+            "doc_id": tf["doc_id"],
+            "tf": tf["count_all"].cast(pa.int64()),
+        }).group_by("term").aggregate([
+            ("doc_id", "count"), ("tf", "sum"),
+            ("doc_id", "min"), ("doc_id", "max"),
+        ])
+        return pa.table({
+            "term": g["term"],
+            "df_p": g["doc_id_count"].cast(pa.int64()),
+            "cf_p": g["tf_sum"].cast(pa.int64()),
+            "mn_p": g["doc_id_min"],
+            "mx_p": g["doc_id_max"],
+        })
+
+    return (docs.map_batches(partial, batch_format="pyarrow")
+            .groupby("term")
+            .aggregate(Sum("df_p", alias_name="df"),
+                       Sum("cf_p", alias_name="cf"),
+                       Min("mn_p", alias_name="min_doc"),
+                       Max("mx_p", alias_name="max_doc")))
+
+
 def tfidf_top_terms(docs, k: int = 3, scale: int = 1_000_000):
     """Per-document top-k terms by a rationalized tf-idf.
 

@@ -88,6 +88,29 @@ def jaccard(a: set[int], b: set[int]) -> float:
 # Dataset-level operators
 # ---------------------------------------------------------------------------
 
+def first_per_key(ds, key_col: str, id_col: str):
+    """Generic keyed dedup: min ``id_col`` per distinct ``key_col``.
+
+    The combiner-first shape of :func:`dedup_exact` for an arbitrary
+    already-present key (e.g. a canonical url): per-batch arrow group_by
+    takes the min id per key inside ``map_batches``, so the shuffle carries
+    at most one row per distinct key per batch — duplicate-heavy corpora
+    (the web-crawl norm) collapse before the exchange.  Returns
+    (key_col, id_col).
+    """
+    from ray.data.aggregate import Min
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select([key_col, id_col]).group_by(key_col) \
+            .aggregate([(id_col, "min")])
+        return g.select([key_col, f"{id_col}_min"]) \
+            .rename_columns([key_col, id_col])
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(key_col)
+            .aggregate(Min(id_col, alias_name=id_col)))
+
+
 def dedup_exact(docs):
     """Exact dedup survivors: min ``doc_id`` per content hash.
 

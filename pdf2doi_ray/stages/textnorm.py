@@ -1,0 +1,104 @@
+"""Webtext normalization: Unicode text normalization and URL
+canonicalization as pure vectorized map stages (no shuffle, no state).
+
+Every step is an Arrow compute kernel whose semantics are mirrored exactly
+by the SQL oracle — both sides run RE2 regexes and Unicode NFC, so results
+hash-match byte-for-byte:
+
+* :func:`normalize_text`: NFC → lowercase → collapse ``\\s+`` runs → strip
+  leading/trailing whitespace.  The canonical pre-dedup text form (exact
+  dedup after normalization catches case/whitespace-only near-dups for
+  free, before any MinHash machinery runs).
+* :func:`canonicalize_urls`: strip ``#fragment`` → lowercase
+  ``scheme://host[:port]`` (path/query case preserved — path case is
+  significant on most servers) → drop default ports (``http…:80``,
+  ``https…:443``) → drop a bare trailing ``/``.  The canonical key for
+  cross-crawl page dedup and per-host statistics.
+
+Reference: pdf2doi normalizes candidate identifiers, not documents
+(``finders.py`` standardise path); document/url normalization is the
+corpus-scale analog a crawl pipeline needs before any dedup pass.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..arrowutil import one_chunk
+
+
+def _nfc_kernel(col: pa.Array) -> pa.Array:
+    """NFC-normalize a string array.
+
+    This sandbox's pyarrow (16.1.0) ships a broken ``utf8_normalize``: it
+    DECOMPOSES a composed ``é`` under form="NFC" (verified — NFC and NFD
+    return identical codepoints), which would silently diverge from every
+    other NFC implementation (DuckDB's ``nfc_normalize``, Python's
+    ``unicodedata``).  Instead: ASCII is NFC-invariant, so a vectorized
+    ``string_is_ascii`` gate passes the common web-crawl case through
+    zero-copy, and only the non-ASCII minority is normalized row-wise with
+    ``unicodedata.normalize`` and scattered back via ``replace_with_mask``.
+    """
+    mask = pc.fill_null(pc.invert(pc.string_is_ascii(col)), False)
+    if not pc.any(mask).as_py():
+        return col
+    taken = pc.take(col, pc.indices_nonzero(mask)).to_pylist()
+    fixed = pa.array([unicodedata.normalize("NFC", s) for s in taken],
+                     type=pa.string())
+    return pc.replace_with_mask(col, mask, fixed)
+
+
+def _norm_text_kernel(col: pa.Array) -> pa.Array:
+    s = _nfc_kernel(col)
+    s = pc.utf8_lower(s)
+    s = pc.replace_substring_regex(s, r"\s+", " ")
+    return pc.replace_substring_regex(s, r"^ | $", "")
+
+
+def normalize_text(docs):
+    """(doc_id, text) → (doc_id, norm_text, n_chars_norm)."""
+    def fn(t: pa.Table) -> pa.Table:
+        norm = _norm_text_kernel(one_chunk(t["text"]))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "norm_text": norm,
+            "n_chars_norm": pc.utf8_length(norm).cast(pa.int64()),
+        })
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def _canon_url_kernel(col: pa.Array) -> pa.Array:
+    u = pc.replace_substring_regex(col, r"(?s)#.*$", "")
+    # scheme://host[:port] prefix lowercases; path/query suffix unchanged.
+    # Without a scheme neither regex matches and both halves would echo the
+    # whole string — mask the suffix to "" so such values pass through once.
+    has_scheme = pc.match_substring_regex(u, r"^[^/]*://")
+    prefix = pc.utf8_lower(
+        pc.replace_substring_regex(u, r"(?s)^([^/]*://[^/]*).*$", r"\1"))
+    suffix = pc.if_else(
+        has_scheme, pc.replace_substring_regex(u, r"^[^/]*://[^/]*", ""), "")
+    prefix = pc.replace_substring_regex(prefix, r"^(http://[^/:]*):80$",
+                                        r"\1")
+    prefix = pc.replace_substring_regex(prefix, r"^(https://[^/:]*):443$",
+                                        r"\1")
+    full = pc.binary_join_element_wise(prefix, suffix, "")
+    return pc.replace_substring_regex(full, r"(?s)^([^/]*://[^/]*)/$", r"\1")
+
+
+def canonicalize_urls(pages, keep=()):
+    """(url, ...) → (url, canonical_url[, *keep]).  Urls without ``://``
+    pass through the host step once (never duplicated) — synthetic and
+    crawl urls always carry a scheme.  ``keep`` names extra input columns
+    to carry through (e.g. ``doc_id`` for a downstream keyed dedup)."""
+    def fn(t: pa.Table) -> pa.Table:
+        urls = one_chunk(t["url"])
+        cols = {"url": urls, "canonical_url": _canon_url_kernel(urls)}
+        for c in keep:
+            cols[c] = t[c]
+        return pa.table(cols)
+
+    return pages.map_batches(fn, batch_format="pyarrow")

@@ -205,6 +205,36 @@ def token_count_quantiles(docs, quantiles_permille=(250, 500, 750, 900)):
                          "value": pd.Series(out_v, dtype=vdtype)})
 
 
+def filter_above_quantile(docs, q_permille: int = 900):
+    """Docs whose token count exceeds the corpus's exact ``q_permille``
+    quantile (e.g. the longest decile for a long-context training mix).
+
+    Two-phase broadcast-scalar pattern: phase 1 computes the EXACT quantile
+    with :func:`token_count_quantiles` (value→count histogram partials — the
+    driver only ever sees the tiny distinct-value histogram, never rows);
+    phase 2 re-streams the corpus through a pure vectorized filter with the
+    threshold captured in the closure (a scalar broadcast, not a join).
+    Same token-count and quantile definitions as the quantile operator, so
+    the SQL oracle mirrors both verbatim.  Returns (doc_id, n_tokens).
+    """
+    import pandas as pd
+
+    q = token_count_quantiles(docs, (q_permille,))
+    thr = q["value"][0]
+    # empty corpus → NULL quantile (pd.NA / None) → empty output
+    thr = np.iinfo(np.int64).max if pd.isna(thr) else int(thr)
+
+    def pick(t: pa.Table) -> pa.Table:
+        n = pc.list_value_length(_tokens(t["text"])).cast(pa.int64())
+        keep = pc.greater(n, thr)
+        return pa.table({
+            "doc_id": t["doc_id"].filter(keep),
+            "n_tokens": n.filter(keep),
+        })
+
+    return docs.map_batches(pick, batch_format="pyarrow")
+
+
 # --- winnowing rolling-hash fingerprints ----------------------------------
 
 WINNOW_K = 5      # char k-gram size

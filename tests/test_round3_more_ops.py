@@ -1,0 +1,150 @@
+"""Round-3 widening ops: keyed dedup, inverted-index stats, quantile
+filter, sorted head."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _ds(tbl: pa.Table, n_blocks: int):
+    import ray.data
+    return ray.data.from_arrow(tbl).repartition(n_blocks)
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("n_blocks", [1, 3])
+def test_first_per_key(n_blocks):
+    from pdf2doi_ray.stages.dedup import first_per_key
+
+    t = pa.table({
+        "k": pa.array([f"k{i % 5}" for i in range(40)]),
+        "doc_id": pa.array(list(range(100, 140))[::-1], type=pa.int64()),
+    })
+    out = first_per_key(_ds(t, n_blocks), "k", "doc_id").to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    # ids are descending, so min id per key k_j is 100 + (39 - j') where
+    # j' is the LAST index with i%5==j → brute-force instead:
+    want = {}
+    for i in range(40):
+        k = f"k{i % 5}"
+        want[k] = min(want.get(k, 10**9), 139 - i)
+    assert dict(zip(out["k"], out["doc_id"])) == want
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("n_blocks", [1, 4])
+def test_inverted_index_stats_brute(n_blocks):
+    from pdf2doi_ray.stages.corpus import inverted_index_stats
+
+    texts = ["a b a", "b  c", "a", "", "c c c b"]
+    t = pa.table({
+        "doc_id": pa.array(list(range(10, 15)), type=pa.int64()),
+        "text": pa.array(texts),
+    })
+    out = inverted_index_stats(_ds(t, n_blocks)).to_pandas() \
+        .sort_values("term").reset_index(drop=True)
+
+    brute = {}
+    for did, tx in zip(range(10, 15), texts):
+        toks = [x for x in tx.split(" ") if x]
+        for term in set(toks):
+            d = brute.setdefault(term, [0, 0, 10**9, -1])
+            d[0] += 1
+            d[2] = min(d[2], did)
+            d[3] = max(d[3], did)
+        for term in toks:
+            brute[term][1] += 1
+    got = {r.term: [r.df, r.cf, r.min_doc, r.max_doc]
+           for r in out.itertuples()}
+    assert got == brute
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_filter_above_quantile_brute():
+    from pdf2doi_ray.stages.textstats import filter_above_quantile
+
+    rng = np.random.default_rng(7)
+    counts = rng.integers(1, 30, size=60)
+    texts = [" ".join(["w"] * int(c)) for c in counts]
+    t = pa.table({"doc_id": pa.array(list(range(60)), type=pa.int64()),
+                  "text": pa.array(texts)})
+    out = filter_above_quantile(_ds(t, 3), q_permille=750).to_pandas()
+    # oracle definition: value at 1-based rank ceil(q*n/1000) ascending
+    split_counts = np.array([len(tx.split(" ")) for tx in texts])
+    thr = np.sort(split_counts)[int(-(-750 * 60 // 1000)) - 1]
+    want = {i for i, c in enumerate(split_counts) if c > thr}
+    assert set(out["doc_id"]) == want
+    assert (out["n_tokens"] > thr).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_filter_above_quantile_empty():
+    from pdf2doi_ray.stages.textstats import filter_above_quantile
+
+    t = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                  "text": pa.array([], type=pa.string())})
+    out = filter_above_quantile(_ds(t, 1)).to_pandas()
+    assert len(out) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_canonicalize_keep_columns():
+    from pdf2doi_ray.stages.textnorm import canonicalize_urls
+
+    t = pa.table({
+        "url": pa.array(["HTTP://A.org:80/x#f", "https://b.org/"]),
+        "doc_id": pa.array([7, 8], type=pa.int64()),
+    })
+    out = canonicalize_urls(_ds(t, 1), keep=("doc_id",)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(out.columns) == ["url", "canonical_url", "doc_id"]
+    assert list(out["canonical_url"]) == ["http://a.org/x", "https://b.org"]
+    assert list(out["doc_id"]) == [7, 8]
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("n_blocks", [1, 4])
+def test_grouped_summary_brute(n_blocks):
+    from pdf2doi_ray.stages.aggs import grouped_summary
+
+    rng = np.random.default_rng(11)
+    keys = [f"t{i % 3}" for i in range(50)]
+    vals = rng.uniform(0, 10, size=50)
+    t = pa.table({"k": pa.array(keys), "v": pa.array(vals)})
+    out = grouped_summary(_ds(t, n_blocks), "k", "v").to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+
+    vm = np.floor(vals * 1000.0).astype(np.int64)
+    for _, r in out.iterrows():
+        sel = vm[np.array(keys) == r["k"]]
+        assert r["n"] == len(sel)
+        assert r["sum_milli"] == sel.sum()
+        assert r["min_milli"] == sel.min()
+        assert r["max_milli"] == sel.max()
+        assert r["avg_milli"] == sel.sum() // len(sel)
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("n_blocks", [1, 3])
+def test_curate_quality_dedup_brute(n_blocks):
+    import hashlib
+
+    from pdf2doi_ray.pipelines.curate import curate_quality_dedup
+
+    good = "the and of to is it " * 5            # 30 tokens, all stopwords
+    short = "the and of"                          # < 20 tokens -> dropped
+    nostop = "xx yy zz " * 10                     # no stopwords -> dropped
+    texts = [good, good, short, nostop, good + "tail", short]
+    t = pa.table({"doc_id": pa.array(list(range(6)), type=pa.int64()),
+                  "text": pa.array(texts)})
+    out = curate_quality_dedup(_ds(t, n_blocks)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # survivors: doc 0 (dups 0,1 collapse; 2,3,5 fail the gate), doc 4
+    assert list(out["doc_id"]) == [0, 4]
+    assert list(out["text_hash"]) == [
+        hashlib.md5(good.encode()).hexdigest(),
+        hashlib.md5((good + "tail").encode()).hexdigest()]
+    # trailing-space split yields an empty final token counted by the
+    # SQL convention len(string_split(...)); parity with that is what the
+    # oracle checks — here just assert both rows kept a positive count
+    assert (out["n_tokens"] > 20).all()
