@@ -682,6 +682,20 @@ def _q_events_sorted_head(sf_dir: str):
     return ev.sort(["ts", "event_id"]).limit(1000)
 
 
+def _q_event_value_quantiles(sf_dir: str):
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import value_quantiles_milli
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["value"])
+    return value_quantiles_milli(ev, "value")
+
+
+def _q_uniform_sample(sf_dir: str):
+    from pdf2doi_ray.stages.corpus import uniform_sample_k
+    return uniform_sample_k(_docs(sf_dir, ("doc_id",)), k=25)
+
+
 def _q_curate_corpus(sf_dir: str):
     from pdf2doi_ray.pipelines.curate import curate_quality_dedup
     return curate_quality_dedup(_docs(sf_dir, ("doc_id", "text")))
@@ -804,6 +818,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sorted_head": _q_events_sorted_head,
         "events_type_summary": _q_events_type_summary,
         "curate_corpus": _q_curate_corpus,
+        "event_value_quantiles": _q_event_value_quantiles,
+        "uniform_sample": _q_uniform_sample,
     }
 
 
@@ -1304,6 +1320,30 @@ q AS (SELECT * FROM t
 SELECT md5(text) AS text_hash, min(doc_id) AS doc_id,
        CAST(min(n_tokens) AS BIGINT) AS n_tokens
 FROM q GROUP BY md5(text)
+""",
+        # milli-quantized exact histogram quantiles: same quantile
+        # definition as token_count_quantiles over floor(value*1000)
+        "event_value_quantiles": """
+WITH c AS (SELECT CAST(floor(value * 1000) AS BIGINT) AS v FROM events),
+r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM c),
+n AS (SELECT count(*) AS total FROM c),
+q AS (SELECT CAST(unnest([250, 500, 750, 900]) AS BIGINT) AS q_permille)
+SELECT q.q_permille,
+       (SELECT min(v) FROM r, n
+        WHERE rn >= ceil(q.q_permille * n.total / 1000.0)) AS value
+FROM q
+""",
+        # exactly-k smallest Knuth-hash priorities (same HUGEINT
+        # arithmetic as hash_sample), ties by doc_id
+        "uniform_sample": """
+WITH h AS (SELECT doc_id,
+       CAST((CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761)
+            % 4294967296 AS BIGINT) AS priority
+FROM documents)
+SELECT CAST(row_number() OVER (ORDER BY priority, doc_id) AS BIGINT)
+           AS rank,
+       doc_id, priority
+FROM h ORDER BY priority, doc_id LIMIT 25
 """,
         # milli-scaled integer statistics (repo floor(value*1000)
         # convention); integer // mean — sums are non-negative here so

@@ -399,6 +399,29 @@ def main() -> None:
     if not headline_only:
         queries["top_pages_per_host"] = timed(q_top_pages)
 
+    # inverted-index stats over the documents table: a vocabulary-wide
+    # groupby fed by per-batch (term, doc, tf) combiner partials
+    def q_inverted_index():
+        from pdf2doi_ray.stages.corpus import inverted_index_stats
+        docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet",
+                                     columns=["doc_id", "text"])
+        n = inverted_index_stats(docs).count()
+        assert n > 0, n
+
+    if not headline_only:
+        queries["inverted_index_docs"] = timed(q_inverted_index)
+
+    # curation composition at pages scale: vectorized quality gate BEFORE
+    # the exchange, then min-per-hash dedup (replicated pages share base
+    # texts, so dup groups are large and the combiner earns its keep)
+    def q_curate():
+        from pdf2doi_ray.pipelines.curate import curate_quality_dedup
+        n = curate_quality_dedup(pages_as_docs()).count()
+        assert n > 0, n
+
+    if not headline_only:
+        queries["curate_pages"] = timed(q_curate)
+
     headline = queries["identify_full"]
     print(json.dumps({
         "metric": "identify_full seconds (pages parquet -> identifiers parquet)",

@@ -62,3 +62,35 @@ def grouped_summary(ds, key_col: str, value_col: str):
                        Min("min_p", alias_name="min_milli"),
                        Max("max_p", alias_name="max_milli"))
             .map_batches(finalize, batch_format="pyarrow"))
+
+
+def value_quantiles_milli(ds, value_col: str,
+                          quantiles_permille=(250, 500, 750, 900)):
+    """EXACT quantiles of a continuous float column, milli-quantized.
+
+    ``floor(value*1000)`` bounds the distinct-value cardinality (a t-digest
+    -class problem becomes an exact histogram: for web metrics the milli
+    grid is a few 10^5 distinct values regardless of corpus size), then the
+    repo's histogram-quantile machinery runs unchanged — per-batch
+    value→count partials, a tiny ``groupby(value)`` merge, and the shared
+    driver walk.  Quantile definition identical to
+    :func:`.textstats.token_count_quantiles` (value at 1-based rank
+    ``ceil(q/1000 · n)`` ascending), mirrored by the SQL oracle over the
+    same quantized values.  Returns (q_permille, value) with ``value`` in
+    milli units.
+    """
+    from ray.data.aggregate import Sum
+
+    from .textstats import quantiles_from_histogram
+
+    def partial(t: pa.Table) -> pa.Table:
+        vm = _milli(one_chunk(t[value_col]))
+        g = pa.table({"value": pa.array(vm, type=pa.int64())}) \
+            .group_by("value").aggregate([("value", "count")])
+        return g.select(["value", "value_count"]) \
+            .rename_columns(["value", "n"])
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("value").aggregate(Sum("n", alias_name="n"))
+            .to_pandas())
+    return quantiles_from_histogram(hist, quantiles_permille)

@@ -213,6 +213,40 @@ def top_bigrams(docs, k: int = 20):
     })
 
 
+def uniform_sample_k(docs, k: int = 25):
+    """Exactly-k deterministic uniform sample: the k rows with the smallest
+    Knuth hash of ``doc_id`` (ties broken by id).
+
+    The bounded-partial top-k pattern of
+    :func:`.textstats.top_docs_by_tokens` applied to a hash priority —
+    equivalent to a uniform sample without replacement, but reproducible
+    across runs, engines, and the SQL oracle, and computed without a
+    shuffle: each batch forwards only its own ≤k smallest-priority rows and
+    the driver merges the tiny partials.  (Contrast
+    :func:`hash_sample`, which keeps a *fraction*; this keeps a *count*.)
+    Returns (rank, doc_id, priority)."""
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].combine_chunks()
+                         if isinstance(t["doc_id"], pa.ChunkedArray)
+                         else t["doc_id"])
+        h = ((ids.astype(np.uint64) % np.uint64(2**32))
+             * np.uint64(HASH_MULT)) % np.uint64(2**32)
+        h = h.astype(np.int64)
+        order = np.lexsort((ids, h))[:k]
+        return pa.table({"doc_id": pa.array(ids[order], type=pa.int64()),
+                         "priority": pa.array(h[order], type=pa.int64())})
+
+    parts = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["priority", "doc_id"]).head(k)
+    return pd.DataFrame({
+        "rank": np.arange(1, len(parts) + 1, dtype=np.int64),
+        "doc_id": parts["doc_id"].to_numpy(),
+        "priority": parts["priority"].to_numpy(),
+    })
+
+
 def inverted_index_stats(docs):
     """Postings-list statistics per term: (term, df, cf, min_doc, max_doc).
 

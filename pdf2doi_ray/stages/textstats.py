@@ -181,6 +181,15 @@ def token_count_quantiles(docs, quantiles_permille=(250, 500, 750, 900)):
     hist = (docs.map_batches(partial, batch_format="pyarrow")
             .groupby("value").aggregate(Sum("n", alias_name="n"))
             .to_pandas())
+    return quantiles_from_histogram(hist, quantiles_permille)
+
+
+def quantiles_from_histogram(hist, quantiles_permille):
+    """Driver-side walk over a tiny (value, n) histogram frame → the exact
+    quantile table (value at 1-based rank ``ceil(q/1000 · n)`` ascending).
+    Shared by every exact-quantile operator in the repo."""
+    import pandas as pd
+
     if len(hist) == 0 or "value" not in hist.columns:
         # an empty dataset aggregates to a schemaless empty frame
         cum = np.empty(0, dtype=np.int64)

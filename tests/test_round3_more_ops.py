@@ -148,3 +148,35 @@ def test_curate_quality_dedup_brute(n_blocks):
     # SQL convention len(string_split(...)); parity with that is what the
     # oracle checks — here just assert both rows kept a positive count
     assert (out["n_tokens"] > 20).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("n_blocks", [1, 4])
+def test_value_quantiles_milli_brute(n_blocks):
+    from pdf2doi_ray.stages.aggs import value_quantiles_milli
+
+    rng = np.random.default_rng(3)
+    vals = rng.uniform(0, 5, size=200)
+    t = pa.table({"v": pa.array(vals)})
+    out = value_quantiles_milli(_ds(t, n_blocks), "v")
+    vm = np.sort(np.floor(vals * 1000.0).astype(np.int64))
+    for q, got in zip(out["q_permille"], out["value"]):
+        rank = -(-q * 200 // 1000)
+        assert got == vm[rank - 1]
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("n_blocks", [1, 5])
+def test_uniform_sample_k_brute(n_blocks):
+    from pdf2doi_ray.stages.corpus import HASH_MULT, uniform_sample_k
+
+    ids = np.arange(300, dtype=np.int64)
+    t = pa.table({"doc_id": pa.array(ids)})
+    out = uniform_sample_k(_ds(t, n_blocks), k=10)
+    h = ((ids.astype(np.uint64) % np.uint64(2**32))
+         * np.uint64(HASH_MULT)) % np.uint64(2**32)
+    order = np.lexsort((ids, h.astype(np.int64)))[:10]
+    assert list(out["doc_id"]) == list(ids[order])
+    assert list(out["rank"]) == list(range(1, 11))
+    # exactly-k even when k > block count x per-block survivors would allow
+    assert len(out) == 10
