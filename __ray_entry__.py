@@ -682,6 +682,45 @@ def _q_events_sorted_head(sf_dir: str):
     return ev.sort(["ts", "event_id"]).limit(1000)
 
 
+def _q_rate_by_host(sf_dir: str):
+    # end-to-end crawl-health metric: the full identify cascade, then
+    # per-host found/total via the same combiner-first shape as
+    # extraction_rate_by_lang — the shuffle carries one row per
+    # (host, batch), never pages
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pdf2doi_ray.pipelines.identify import identify_pages
+    from pdf2doi_ray.stages.skew import _hosts_vec
+
+    ids = identify_pages(_pages(sf_dir))   # url is already in the output
+
+    def partial(t):
+        urls = (t["url"].combine_chunks()
+                if isinstance(t["url"], pa.ChunkedArray) else t["url"])
+        found = pc.is_valid(t["identifier"]).cast(pa.int64())
+        tbl = pa.table({"host": _hosts_vec(urls), "found": found})
+        g = tbl.group_by("host").aggregate([("found", "sum"),
+                                            ("found", "count")])
+        return g.select(["host", "found_sum", "found_count"]) \
+            .rename_columns(["host", "n_found", "n_pages"])
+
+    from ray.data.aggregate import Sum
+
+    return (ids.map_batches(partial, batch_format="pyarrow")
+            .groupby("host").aggregate(Sum("n_found", alias_name="n_found"),
+                                       Sum("n_pages", alias_name="n_pages")))
+
+
+def _q_embedding_centroids(sf_dir: str):
+    import ray.data
+
+    from pdf2doi_ray.stages.similarity import embedding_centroids
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["label", "embedding"])
+    return embedding_centroids(emb)
+
+
 def _q_event_value_quantiles(sf_dir: str):
     import ray.data
 
@@ -820,6 +859,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus": _q_curate_corpus,
         "event_value_quantiles": _q_event_value_quantiles,
         "uniform_sample": _q_uniform_sample,
+        "extraction_rate_by_host": _q_rate_by_host,
+        "embedding_centroids": _q_embedding_centroids,
     }
 
 
@@ -856,6 +897,13 @@ SELECT lang,
        CAST(SUM(CASE WHEN {_IDENTIFIER} IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
        COUNT(*) AS n_pages
 FROM d GROUP BY lang
+""",
+        "extraction_rate_by_host": f"""
+WITH d AS ({_D})
+SELECT 'site' || site || '.example.org' AS host,
+       CAST(SUM(CASE WHEN {_IDENTIFIER} IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+       COUNT(*) AS n_pages
+FROM d GROUP BY 1
 """,
         "extract_filename_only": f"""
 WITH d AS ({_D})
@@ -1320,6 +1368,21 @@ q AS (SELECT * FROM t
 SELECT md5(text) AS text_hash, min(doc_id) AS doc_id,
        CAST(min(n_tokens) AS BIGINT) AS n_tokens
 FROM q GROUP BY md5(text)
+""",
+        # micro-scaled integer vector mean; sign-correct floor division
+        # spelled out (numpy // floors, DuckDB // truncates)
+        "embedding_centroids": """
+WITH u AS (
+  SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS dim,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS vm
+  FROM embeddings, range(1, 65) t(i)),
+g AS (SELECT label, dim, CAST(sum(vm) AS BIGINT) AS s, count(*) AS n
+      FROM u GROUP BY label, dim)
+SELECT label, dim,
+       CAST(CASE WHEN s >= 0 THEN s // n
+                 ELSE -(((-s) + n - 1) // n) END AS BIGINT) AS centroid_micro,
+       n
+FROM g
 """,
         # milli-quantized exact histogram quantiles: same quantile
         # definition as token_count_quantiles over floor(value*1000)

@@ -358,3 +358,67 @@ def knn_lsh(embeddings, query: np.ndarray, k: int = 10,
 
     return _finalize_topk(
         embeddings.map_batches(partial, batch_format="pyarrow"), k)
+
+
+def embedding_centroids(embeddings, scale: int = 1_000_000):
+    """Per-label centroid of an embedding column, exact and integer.
+
+    The vector aggregation a clustering / class-prototype pipeline needs:
+    per-batch numpy scatter-add folds every vector into per-(label, dim)
+    micro-scaled integer partial sums (``floor(v * scale)`` per component —
+    float32→float64 conversion and the product are bit-deterministic), so
+    the shuffle carries |labels|·dim combiner rows per batch, never
+    vectors.  The mean uses sign-correct integer floor division (numpy
+    ``//``; the SQL oracle spells out the same floor for negative sums).
+    Returns (label, dim, centroid_micro, n).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        arr = (t["embedding"].combine_chunks()
+               if isinstance(t["embedding"], pa.ChunkedArray)
+               else t["embedding"])
+        n = len(arr)
+        if n == 0:
+            return pa.table({"label": pa.array([], type=pa.int64()),
+                             "dim": pa.array([], type=pa.int64()),
+                             "s_p": pa.array([], type=pa.int64()),
+                             "n_p": pa.array([], type=pa.int64())})
+        flat = np.asarray(arr.flatten(), dtype=np.float64)
+        vecs = np.floor(flat * scale).astype(np.int64).reshape(n, -1)
+        d = vecs.shape[1]
+        labels = np.asarray(
+            t["label"].combine_chunks()
+            if isinstance(t["label"], pa.ChunkedArray) else t["label"]
+        ).astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), d), dtype=np.int64)
+        np.add.at(sums, inv, vecs)
+        counts = np.bincount(inv).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, d), type=pa.int64()),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), len(uniq)),
+                            type=pa.int64()),
+            "s_p": pa.array(sums.ravel(), type=pa.int64()),
+            "n_p": pa.array(np.repeat(counts, d), type=pa.int64()),
+        })
+
+    def finalize(t: pa.Table) -> pa.Table:
+        s = np.asarray(t["sum_micro"].combine_chunks()
+                       if isinstance(t["sum_micro"], pa.ChunkedArray)
+                       else t["sum_micro"])
+        n = np.asarray(t["n"].combine_chunks()
+                       if isinstance(t["n"], pa.ChunkedArray) else t["n"])
+        cent = s // np.maximum(n, 1)              # numpy // floors (signed)
+        return pa.table({
+            "label": t["label"],
+            "dim": t["dim"],
+            "centroid_micro": pa.array(cent, type=pa.int64()),
+            "n": t["n"],
+        })
+
+    return (embeddings.map_batches(partial, batch_format="pyarrow")
+            .groupby(["label", "dim"])
+            .aggregate(Sum("s_p", alias_name="sum_micro"),
+                       Sum("n_p", alias_name="n"))
+            .map_batches(finalize, batch_format="pyarrow"))

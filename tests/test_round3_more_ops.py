@@ -180,3 +180,61 @@ def test_uniform_sample_k_brute(n_blocks):
     assert list(out["rank"]) == list(range(1, 11))
     # exactly-k even when k > block count x per-block survivors would allow
     assert len(out) == 10
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("n_blocks", [1, 4])
+def test_embedding_centroids_brute(n_blocks):
+    from pdf2doi_ray.stages.similarity import embedding_centroids
+
+    rng = np.random.default_rng(5)
+    n, d = 30, 8
+    vecs = rng.uniform(-1, 1, size=(n, d)).astype(np.float32)
+    labels = (np.arange(n) % 3).astype(np.int32)
+    t = pa.table({
+        "label": pa.array(labels, type=pa.int32()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              type=pa.list_(pa.float32())),
+    })
+    out = embedding_centroids(_ds(t, n_blocks)).to_pandas() \
+        .sort_values(["label", "dim"]).reset_index(drop=True)
+    vm = np.floor(vecs.astype(np.float64) * 1_000_000).astype(np.int64)
+    assert len(out) == 3 * d
+    for lb in range(3):
+        sel = vm[labels == lb]
+        want = sel.sum(axis=0) // len(sel)       # numpy // floors (signed)
+        got = out[out["label"] == lb].sort_values("dim")
+        assert list(got["centroid_micro"]) == list(want)
+        assert (got["n"] == len(sel)).all()
+
+
+def test_canon_url_fuzz_vs_duckdb():
+    """Differential fuzz: the Ray kernel and the oracle regex chain must
+    agree byte-for-byte on randomized messy urls (RE2 both sides)."""
+    import duckdb
+
+    from pdf2doi_ray.stages.textnorm import _canon_url_kernel
+
+    rng = np.random.default_rng(17)
+    schemes = ["http://", "https://", "HTTP://", "HtTpS://"]
+    hosts = ["A.Example.ORG", "b.example.org", "WWW.x.Y"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "/P/q", "/a/", "/a?Q=V", "/%2F.pdf"]
+    frags = ["", "#f", "#a/b#c"]
+    urls = ["".join([schemes[rng.integers(4)], hosts[rng.integers(3)],
+                     ports[rng.integers(4)], paths[rng.integers(6)],
+                     frags[rng.integers(3)]]) for _ in range(300)]
+    got = _canon_url_kernel(pa.array(urls, type=pa.string())).to_pylist()
+    con = duckdb.connect()
+    sql = """
+    WITH s AS (SELECT regexp_replace(?, '(?s)#.*$', '') AS nofrag),
+    p AS (SELECT regexp_replace(regexp_replace(
+              lower(regexp_replace(nofrag, '(?s)^([^/]*://[^/]*).*$', '\\1')),
+              '^(http://[^/:]*):80$', '\\1'),
+              '^(https://[^/:]*):443$', '\\1') AS prefix,
+          regexp_replace(nofrag, '^[^/]*://[^/]*', '') AS suffix
+          FROM s)
+    SELECT regexp_replace(prefix || suffix, '(?s)^([^/]*://[^/]*)/$', '\\1')
+    FROM p"""
+    want = [con.execute(sql, [u]).fetchone()[0] for u in urls]
+    assert got == want
