@@ -712,6 +712,25 @@ def _q_rate_by_host(sf_dir: str):
                                        Sum("n_pages", alias_name="n_pages")))
 
 
+def _q_heavy_hitter_tokens(sf_dir: str):
+    # the fixture vocabulary (31 terms) is far below m=256, so the
+    # Misra-Gries summary is provably EXACT here (err_bound 0) and the SQL
+    # oracle is a plain top-20 count; the compression regime (m < distinct)
+    # is locked by the invariant property tests instead
+    import pyarrow as pa
+
+    from pdf2doi_ray.stages.corpus import _tokens_nonempty
+    from pdf2doi_ray.stages.sketch import heavy_hitters
+
+    def flat(t: pa.Table) -> pa.Table:
+        toks, _ = _tokens_nonempty(t)
+        return pa.table({"token": toks})
+
+    ds = _docs(sf_dir, ("doc_id", "text")).map_batches(
+        flat, batch_format="pyarrow")
+    return heavy_hitters(ds, "token", m=256, k=20)
+
+
 def _q_embedding_centroids(sf_dir: str):
     import ray.data
 
@@ -861,6 +880,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "uniform_sample": _q_uniform_sample,
         "extraction_rate_by_host": _q_rate_by_host,
         "embedding_centroids": _q_embedding_centroids,
+        "heavy_hitter_tokens": _q_heavy_hitter_tokens,
     }
 
 
@@ -1368,6 +1388,18 @@ q AS (SELECT * FROM t
 SELECT md5(text) AS text_hash, min(doc_id) AS doc_id,
        CAST(min(n_tokens) AS BIGINT) AS n_tokens
 FROM q GROUP BY md5(text)
+""",
+        # exact in this regime (m=256 ≥ 31-term vocabulary ⇒ Misra-Gries
+        # never compresses ⇒ err_bound 0); ties break (count desc, token asc)
+        "heavy_hitter_tokens": """
+WITH tok AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+  FROM documents),
+c AS (SELECT token, count(*) AS est_count FROM tok GROUP BY token)
+SELECT CAST(row_number() OVER (ORDER BY est_count DESC, token) AS BIGINT)
+           AS rank,
+       token AS value, est_count, CAST(0 AS BIGINT) AS err_bound
+FROM c ORDER BY est_count DESC, token LIMIT 20
 """,
         # micro-scaled integer vector mean; sign-correct floor division
         # spelled out (numpy // floors, DuckDB // truncates)

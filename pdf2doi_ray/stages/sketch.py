@@ -142,3 +142,76 @@ def exact_ndv_by_group(ds, group_col: str, value_col: str,
 
     return (uniq.map_batches(count_partial, batch_format="pyarrow")
             .groupby(group_col).aggregate(Sum("c", alias_name=alias)))
+
+
+# --- Misra-Gries / mergeable heavy-hitters summary -------------------------
+
+def _mg_compress(keys: np.ndarray, counts: np.ndarray, m: int):
+    """Compress exact (key, count) pairs to a Misra-Gries summary of ≤ m
+    entries.  Returns (keys, counts, err): counts are lowered by the
+    (m+1)-th largest value, so every kept estimate UNDER-counts by ≤ err
+    and dropped keys had true count ≤ err (Agarwal et al., "Mergeable
+    Summaries", PODS 2012 merge rule)."""
+    if len(keys) <= m:
+        return keys, counts, 0
+    order = np.argsort(-counts, kind="stable")
+    cut = int(counts[order[m]])
+    keep = order[:m]
+    new_counts = counts[keep] - cut
+    live = new_counts > 0
+    return keys[keep][live], new_counts[live], cut
+
+
+def heavy_hitters(ds, column: str, m: int = 256, k: int = 20):
+    """Approximate top-k heavy hitters of ``ds[column]`` without a
+    vocabulary-wide shuffle.
+
+    Per-block: exact Arrow counts compressed to a Misra-Gries summary of
+    ≤ ``m`` entries (plus its subtraction error).  Driver: key-wise sum of
+    the small summaries, one final compress, errors add.  Guarantees (the
+    mergeable-summaries invariants, property-tested):
+
+    * every reported ``est_count`` UNDER-estimates: est ≤ true;
+    * true − est ≤ ``err_bound`` (the summed subtractions);
+    * any key with true count > err_bound survives somewhere in the merged
+      summary — so with m sized to n/φ, no φ-heavy hitter is ever lost;
+    * with m ≥ total distinct keys the result is EXACT (err_bound 0).
+
+    The driver holds B·m summary rows (B = block count).  At fleet scale
+    merge the summaries in a tree instead (groupby(hash(key) % P) over
+    summary rows, compress per shard, then one driver pass); the summary
+    merge is associative, so the tree is semantics-preserving.
+    Returns pandas (rank, value, est_count, err_bound).
+    """
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"v": t[column]}).group_by("v") \
+            .aggregate([([], "count_all")])
+        keys = np.asarray(g["v"].to_pylist(), dtype=object)
+        counts = np.asarray(g["count_all"].combine_chunks()
+                            if isinstance(g["count_all"], pa.ChunkedArray)
+                            else g["count_all"]).astype(np.int64)
+        keys, counts, err = _mg_compress(keys, counts, m)
+        return pa.table({
+            "v": pa.array(list(keys) + [None], type=pa.string()),
+            "c": pa.array(np.concatenate([counts, [-1]]), type=pa.int64()),
+            "err": pa.array([0] * len(keys) + [err], type=pa.int64()),
+        })
+
+    rows = ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=None).to_pandas()
+    err_total = int(rows.loc[rows["v"].isna(), "err"].sum())
+    data = rows[rows["v"].notna()]
+    merged = data.groupby("v", sort=False)["c"].sum()
+    keys = merged.index.to_numpy(dtype=object)
+    counts = merged.to_numpy(dtype=np.int64)
+    keys, counts, cut = _mg_compress(keys, counts, m)
+    err_total += int(cut)
+    order = np.lexsort((keys, -counts))[:k]
+    return pd.DataFrame({
+        "rank": np.arange(1, len(order) + 1, dtype=np.int64),
+        "value": keys[order],
+        "est_count": counts[order],
+        "err_bound": np.full(len(order), err_total, dtype=np.int64),
+    })

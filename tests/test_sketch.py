@@ -63,3 +63,59 @@ def test_distributed_partials_equal_global_sketch():
     est = approx_ndv(ds, "host")
     assert est == estimate(registers_for(vals))
     assert abs(est - 3000) <= 0.05 * 3000
+
+
+# --- Misra-Gries heavy hitters --------------------------------------------
+
+def _zipf_tokens(rng, n=4000, vocab=400):
+    # zipf-ish: token j has weight ~ 1/(j+1)
+    w = 1.0 / np.arange(1, vocab + 1)
+    return rng.choice([f"t{j}" for j in range(vocab)], size=n, p=w / w.sum())
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("n_blocks", [1, 4])
+def test_heavy_hitters_invariants_under_compression(n_blocks):
+    import collections
+
+    import ray.data
+
+    from pdf2doi_ray.stages.sketch import heavy_hitters
+
+    rng = np.random.default_rng(23)
+    toks = _zipf_tokens(rng)
+    true = collections.Counter(toks)
+    t = pa.table({"token": pa.array(list(toks))})
+    ds = ray.data.from_arrow(t).repartition(n_blocks)
+    out = heavy_hitters(ds, "token", m=32, k=15)
+    err = int(out["err_bound"].iloc[0]) if len(out) else 0
+    # mergeable-summaries invariants
+    for _, r in out.iterrows():
+        assert r["est_count"] <= true[r["value"]]              # under-count
+        assert true[r["value"]] - r["est_count"] <= err        # bounded
+    # no phi-heavy hitter lost: any key with true > err must be reported
+    # among the top-k if its lower bound beats the k-th estimate
+    reported = set(out["value"])
+    kth = out["est_count"].min() if len(out) else 0
+    for key, c in true.items():
+        if c - err > kth:
+            assert key in reported, (key, c, err, kth)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_heavy_hitters_exact_when_capacity_sufficient():
+    import collections
+
+    import ray.data
+
+    from pdf2doi_ray.stages.sketch import heavy_hitters
+
+    rng = np.random.default_rng(29)
+    toks = _zipf_tokens(rng, n=2000, vocab=50)
+    true = collections.Counter(toks)
+    ds = ray.data.from_arrow(
+        pa.table({"token": pa.array(list(toks))})).repartition(3)
+    out = heavy_hitters(ds, "token", m=256, k=10)
+    assert (out["err_bound"] == 0).all()
+    want = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(zip(out["value"], out["est_count"])) == want
