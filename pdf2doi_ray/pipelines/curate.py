@@ -35,8 +35,15 @@ from ..stages.textstats import quality_flags
 
 def curate_quality_dedup(docs):
     """documents(doc_id, text) → (text_hash, doc_id, n_tokens): exact-dedup
-    survivors (min doc id) among quality documents.  One shuffle total."""
-    from ray.data.aggregate import Min
+    survivors (min doc id) among quality documents.
+
+    The dedup reduce is :func:`..stages.dedup.first_per_key_sorted`
+    (per-batch combiner → sort → vectorized per-block min): at the bench's
+    143k distinct hashes it times the same as ``groupby().aggregate(Min)``
+    (A/B in BASELINE.md — both dominated by the gate + exchange), but its
+    reducer cost is a numpy kernel instead of per-row Python, which is the
+    difference that matters at 10^9+ distinct hashes per fleet reducer."""
+    from ..stages.dedup import first_per_key_sorted
 
     def gate(t: pa.Table) -> pa.Table:
         q = quality_flags(t)
@@ -44,20 +51,12 @@ def curate_quality_dedup(docs):
         kept = t.filter(keep)
         digests = [hashlib.md5(s.encode("utf-8")).hexdigest()
                    for s in kept["text"].to_pylist()]
-        g = pa.table({
+        return pa.table({
             "text_hash": pa.array(digests, type=pa.string()),
             "doc_id": kept["doc_id"],
             "n_tokens": q["n_tokens"].filter(keep),
-        }).group_by("text_hash").aggregate([
-            ("doc_id", "min"), ("n_tokens", "min"),
-        ])
-        return pa.table({
-            "text_hash": g["text_hash"],
-            "doc_id": g["doc_id_min"],
-            "n_tokens": g["n_tokens_min"],
         })
 
-    return (docs.map_batches(gate, batch_format="pyarrow")
-            .groupby("text_hash")
-            .aggregate(Min("doc_id", alias_name="doc_id"),
-                       Min("n_tokens", alias_name="n_tokens")))
+    gated = docs.map_batches(gate, batch_format="pyarrow")
+    return first_per_key_sorted(gated, "text_hash",
+                                ["doc_id", "n_tokens"])

@@ -111,6 +111,89 @@ def first_per_key(ds, key_col: str, id_col: str):
             .aggregate(Min(id_col, alias_name=id_col)))
 
 
+def first_per_key_sorted(ds, key_col: str, min_cols):
+    """Min of each ``min_cols`` (int64) per distinct string ``key_col`` —
+    the sorted-block variant of :func:`first_per_key` for HIGH-cardinality
+    keys.
+
+    Ray 2.49's sort-based ``aggregate`` accumulates row-wise in Python at
+    the reducers; this variant replaces that with the repo's sorted-block
+    pattern — per-batch combiner → ``sort(key)`` → one vectorized
+    ``minimum.reduceat`` per block — so reducer cost is a numpy kernel
+    regardless of rows-per-reducer.  Group completeness leans on the same
+    range-partitioning contract as :func:`minhash_candidate_pairs` (a
+    partition is a function of the key value, verified on Ray 2.49) and is
+    guarded by the same RAISING range-disjointness check, unioned into the
+    result so it cannot be skipped.
+
+    Measured honestly (BASELINE.md round-3 second wave): at the bench's
+    143k distinct keys both paths time the SAME (8–13 s, dominated by the
+    shared gate + exchange; the aggregate's per-row Python spreads across
+    reducers and stays sub-second).  The variant exists for the regime
+    where rows-per-reducer grows into the millions (10^9+ distinct keys on
+    a fleet): there the aggregate's reducer Python becomes minutes per
+    partition while ``reduceat`` stays milliseconds — same structural
+    argument as the graph.py round-count note, recorded instead of guessed.
+    """
+    import pyarrow.compute as pc
+
+    min_cols = list(min_cols)
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.select([key_col] + min_cols).group_by(key_col) \
+            .aggregate([(c, "min") for c in min_cols])
+        return g.select([key_col] + [f"{c}_min" for c in min_cols]) \
+            .rename_columns([key_col] + min_cols)
+
+    def block_min(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {key_col: pa.array([], type=pa.string()),
+                 **{c: pa.array([], type=pa.int64()) for c in min_cols},
+                 "klo": pa.array([], type=pa.string()),
+                 "khi": pa.array([], type=pa.string())})
+        keys = np.asarray(t[key_col].to_pylist(), dtype=object)
+        change = np.nonzero(keys[1:] != keys[:-1])[0] + 1
+        starts = np.concatenate([[0], change]).astype(np.int64)
+        cols = {key_col: pa.array(list(keys[starts]) + [None],
+                                  type=pa.string())}
+        for c in min_cols:
+            vals = np.asarray(t[c].combine_chunks()
+                              if isinstance(t[c], pa.ChunkedArray)
+                              else t[c])
+            mins = np.minimum.reduceat(vals, starts)
+            cols[c] = pa.array(np.concatenate([mins, [-1]]),
+                               type=pa.int64())
+        m = len(starts)
+        cols["klo"] = pa.array([None] * m + [keys[0]], type=pa.string())
+        cols["khi"] = pa.array([None] * m + [keys[-1]], type=pa.string())
+        return pa.table(cols)
+
+    empty_out = pa.table(
+        {key_col: pa.array([], type=pa.string()),
+         **{c: pa.array([], type=pa.int64()) for c in min_cols}})
+
+    mixed = (ds.map_batches(combine, batch_format="pyarrow")
+             .sort(key_col)
+             .map_batches(block_min, batch_format="pyarrow",
+                          batch_size=None)
+             .materialize())
+
+    def data_rows(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.is_null(t["klo"]))
+        return keep.select([key_col] + min_cols)
+
+    def marker_rows(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t["klo"])).select(["klo", "khi"])
+
+    check = (mixed.map_batches(marker_rows, batch_format="pyarrow")
+             .map_batches(_ranges_disjoint_check(
+                 f"first_per_key_sorted/{key_col}", ["klo"], ["khi"],
+                 empty_out),
+                 batch_format="pyarrow", batch_size=None))
+    return mixed.map_batches(data_rows, batch_format="pyarrow").union(check)
+
+
 def dedup_exact(docs):
     """Exact dedup survivors: min ``doc_id`` per content hash.
 

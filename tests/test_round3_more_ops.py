@@ -238,3 +238,39 @@ def test_canon_url_fuzz_vs_duckdb():
     FROM p"""
     want = [con.execute(sql, [u]).fetchone()[0] for u in urls]
     assert got == want
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("n_blocks", [1, 4])
+def test_first_per_key_sorted_matches_aggregate(n_blocks):
+    from pdf2doi_ray.stages.dedup import first_per_key, first_per_key_sorted
+
+    rng = np.random.default_rng(13)
+    keys = [f"h{rng.integers(60):03d}" for _ in range(500)]
+    ids = rng.permutation(500).astype(np.int64)
+    extra = rng.integers(0, 1000, size=500).astype(np.int64)
+    t = pa.table({"k": pa.array(keys), "doc_id": pa.array(ids),
+                  "x": pa.array(extra)})
+
+    agg = first_per_key(_ds(t, n_blocks), "k", "doc_id").to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    srt = first_per_key_sorted(_ds(t, n_blocks), "k", ["doc_id", "x"]) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    assert list(srt["k"]) == list(agg["k"])
+    assert list(srt["doc_id"]) == list(agg["doc_id"])
+    # independent brute-force for the second min column
+    import collections
+    want = collections.defaultdict(lambda: 10**9)
+    for k, x in zip(keys, extra):
+        want[k] = min(want[k], int(x))
+    assert {k: int(x) for k, x in zip(srt["k"], srt["x"])} == dict(want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_first_per_key_sorted_empty():
+    from pdf2doi_ray.stages.dedup import first_per_key_sorted
+
+    t = pa.table({"k": pa.array([], type=pa.string()),
+                  "doc_id": pa.array([], type=pa.int64())})
+    out = first_per_key_sorted(_ds(t, 1), "k", ["doc_id"]).to_pandas()
+    assert len(out) == 0
