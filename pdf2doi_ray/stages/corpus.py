@@ -204,6 +204,9 @@ def top_bigrams(docs, k: int = 20):
              .map_batches(block_topk, batch_format="pyarrow",
                           batch_size=None)
              .to_pandas())
+    if "bigram" not in parts.columns:    # fully-empty input -> schemaless
+        parts = pd.DataFrame({"bigram": pd.Series(dtype=object),
+                              "n_occurrences": pd.Series(dtype="int64")})
     parts = parts.sort_values(["n_occurrences", "bigram"],
                               ascending=[False, True]).head(k)
     return pd.DataFrame({
@@ -238,7 +241,12 @@ def uniform_sample_k(docs, k: int = 25):
         return pa.table({"doc_id": pa.array(ids[order], type=pa.int64()),
                          "priority": pa.array(h[order], type=pa.int64())})
 
+    import pandas as pd
+
     parts = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if "doc_id" not in parts.columns:    # fully-empty input -> schemaless
+        parts = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                              "priority": pd.Series(dtype="int64")})
     parts = parts.sort_values(["priority", "doc_id"]).head(k)
     return pd.DataFrame({
         "rank": np.arange(1, len(parts) + 1, dtype=np.int64),

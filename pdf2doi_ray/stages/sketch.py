@@ -201,6 +201,11 @@ def heavy_hitters(ds, column: str, m: int = 256, k: int = 20):
 
     rows = ds.map_batches(partial, batch_format="pyarrow",
                           batch_size=None).to_pandas()
+    if "v" not in rows.columns:          # fully-empty input -> schemaless
+        return pd.DataFrame({"rank": pd.Series(dtype="int64"),
+                             "value": pd.Series(dtype=object),
+                             "est_count": pd.Series(dtype="int64"),
+                             "err_bound": pd.Series(dtype="int64")})
     err_total = int(rows.loc[rows["v"].isna(), "err"].sum())
     data = rows[rows["v"].notna()]
     merged = data.groupby("v", sort=False)["c"].sum()

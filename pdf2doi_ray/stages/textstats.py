@@ -148,6 +148,9 @@ def top_docs_by_tokens(docs, k: int = 20):
                          "n_tokens": pa.array(n[order], type=pa.int64())})
 
     parts = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if "doc_id" not in parts.columns:    # fully-empty input -> schemaless
+        parts = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                              "n_tokens": pd.Series(dtype="int64")})
     parts = parts.sort_values(["n_tokens", "doc_id"],
                               ascending=[False, True]).head(k)
     return pd.DataFrame({

@@ -274,3 +274,24 @@ def test_first_per_key_sorted_empty():
                   "doc_id": pa.array([], type=pa.int64())})
     out = first_per_key_sorted(_ds(t, 1), "k", ["doc_id"]).to_pandas()
     assert len(out) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_driver_merge_ops_tolerate_empty_input():
+    """Fully-empty datasets yield SCHEMALESS frames from to_pandas(); every
+    driver-merge operator must return an empty result, not KeyError."""
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import top_bigrams, uniform_sample_k
+    from pdf2doi_ray.stages.sketch import heavy_hitters
+    from pdf2doi_ray.stages.textstats import top_docs_by_tokens
+
+    e = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        "text": pa.array([], type=pa.string())}))
+    assert len(top_docs_by_tokens(e, k=5)) == 0
+    assert len(top_bigrams(e, k=5)) == 0
+    assert len(uniform_sample_k(e, k=5)) == 0
+    tok = ray.data.from_arrow(pa.table({
+        "token": pa.array([], type=pa.string())}))
+    assert len(heavy_hitters(tok, "token")) == 0
