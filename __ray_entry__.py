@@ -712,6 +712,33 @@ def _q_rate_by_host(sf_dir: str):
                                        Sum("n_pages", alias_name="n_pages")))
 
 
+def _q_stratified_sample_by_lang(sf_dir: str):
+    # exactly-k-per-group deterministic sample: grouped top-k over the
+    # NEGATED Knuth-hash priority (grouped_top_k orders DESC; negating
+    # turns it into smallest-priority-first), ties by doc_id
+    import numpy as np
+    import pyarrow as pa
+
+    from pdf2doi_ray.stages.corpus import HASH_MULT
+    from pdf2doi_ray.stages.windowfns import grouped_top_k
+
+    def prio(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].combine_chunks()
+                         if isinstance(t["doc_id"], pa.ChunkedArray)
+                         else t["doc_id"]).astype(np.uint64)
+        h = ((ids % np.uint64(2**32)) * np.uint64(HASH_MULT)) \
+            % np.uint64(2**32)
+        return pa.table({
+            "lang": t["lang"],
+            "doc_id": t["doc_id"],
+            "neg_priority": pa.array(-h.astype(np.int64), type=pa.int64()),
+        })
+
+    ds = _docs(sf_dir, ("doc_id", "lang")).map_batches(
+        prio, batch_format="pyarrow")
+    return grouped_top_k(ds, "lang", "neg_priority", "doc_id", k=20)
+
+
 def _q_heavy_hitter_tokens(sf_dir: str):
     # the fixture vocabulary (31 terms) is far below m=256, so the
     # Misra-Gries summary is provably EXACT here (err_bound 0) and the SQL
@@ -881,6 +908,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extraction_rate_by_host": _q_rate_by_host,
         "embedding_centroids": _q_embedding_centroids,
         "heavy_hitter_tokens": _q_heavy_hitter_tokens,
+        "stratified_sample_by_lang": _q_stratified_sample_by_lang,
     }
 
 
@@ -1388,6 +1416,20 @@ q AS (SELECT * FROM t
 SELECT md5(text) AS text_hash, min(doc_id) AS doc_id,
        CAST(min(n_tokens) AS BIGINT) AS n_tokens
 FROM q GROUP BY md5(text)
+""",
+        # same Knuth-hash arithmetic as hash_sample/uniform_sample, negated
+        # because the engine's grouped top-k orders DESC
+        "stratified_sample_by_lang": """
+WITH h AS (SELECT lang, doc_id,
+       -CAST((CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761)
+             % 4294967296 AS BIGINT) AS neg_priority
+FROM documents),
+r AS (SELECT lang, doc_id, neg_priority,
+             row_number() OVER (PARTITION BY lang
+                 ORDER BY neg_priority DESC, doc_id) AS rank
+      FROM h)
+SELECT lang, CAST(rank AS BIGINT) AS rank, neg_priority, doc_id
+FROM r WHERE rank <= 20
 """,
         # exact in this regime (m=256 ≥ 31-term vocabulary ⇒ Misra-Gries
         # never compresses ⇒ err_bound 0); ties break (count desc, token asc)
