@@ -69,3 +69,33 @@ def test_norm_text_nonascii_matches_duckdb():
         for v in vals
     ]
     assert got == want
+
+
+def test_norm_text_unicode_fuzz_vs_duckdb():
+    """Randomized differential fuzz of the full normalize kernel vs the
+    oracle SQL chain over an adversarial alphabet: combining marks,
+    precomposed accents, compatibility chars, CJK, emoji, mixed
+    whitespace.  Locks the NFC hybrid byte-for-byte against DuckDB."""
+    import random
+
+    import duckdb
+
+    alphabet = (
+        list("abcXYZ09 .?!") + ["\t", "\n", "  "]
+        + [chr(0x301), chr(0x308)]              # combining acute/diaeresis
+        + [chr(0xE9), chr(0xC5), chr(0x212B)]   # é, Å, Angstrom sign
+        + [chr(0xDF), chr(0x130)]               # ß, İ (dotted capital I)
+        + [chr(0x4E2D), chr(0x6587)]            # CJK
+        + ["\U0001F600"]                        # emoji
+    )
+    rng = random.Random(31)
+    vals = ["".join(rng.choice(alphabet)
+                    for _ in range(rng.randrange(0, 30)))
+            for _ in range(400)]
+    got = _run(_norm_text_kernel, vals)
+    con = duckdb.connect()
+    sql = ("SELECT regexp_replace(regexp_replace(lower(nfc_normalize(?)),"
+           " '\\s+', ' ', 'g'), '^ | $', '', 'g')")
+    want = [con.execute(sql, [v]).fetchone()[0] for v in vals]
+    mismatches = [(v, g, w) for v, g, w in zip(vals, got, want) if g != w]
+    assert not mismatches, mismatches[:3]
