@@ -719,15 +719,11 @@ def _q_stratified_sample_by_lang(sf_dir: str):
     import numpy as np
     import pyarrow as pa
 
-    from pdf2doi_ray.stages.corpus import HASH_MULT
+    from pdf2doi_ray.stages.corpus import knuth_hash32
     from pdf2doi_ray.stages.windowfns import grouped_top_k
 
     def prio(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t["doc_id"].combine_chunks()
-                         if isinstance(t["doc_id"], pa.ChunkedArray)
-                         else t["doc_id"]).astype(np.uint64)
-        h = ((ids % np.uint64(2**32)) * np.uint64(HASH_MULT)) \
-            % np.uint64(2**32)
+        h = knuth_hash32(t["doc_id"])
         return pa.table({
             "lang": t["lang"],
             "doc_id": t["doc_id"],
@@ -1330,7 +1326,9 @@ p AS (SELECT url,
                      '(?s)^([^/]*://[^/]*).*$', '\\1')),
                  '^(http://[^/:]*):80$', '\\1'),
                  '^(https://[^/:]*):443$', '\\1') AS prefix,
-             regexp_replace(nofrag, '^[^/]*://[^/]*', '') AS suffix
+             CASE WHEN regexp_matches(nofrag, '^[^/]*://')
+                  THEN regexp_replace(nofrag, '^[^/]*://[^/]*', '')
+                  ELSE '' END AS suffix
       FROM s)
 SELECT url,
        regexp_replace(prefix || suffix, '(?s)^([^/]*://[^/]*)/$', '\\1')
@@ -1358,7 +1356,9 @@ p AS (SELECT doc_id,
                      '(?s)^([^/]*://[^/]*).*$', '\\1')),
                  '^(http://[^/:]*):80$', '\\1'),
                  '^(https://[^/:]*):443$', '\\1') AS prefix,
-             regexp_replace(nofrag, '^[^/]*://[^/]*', '') AS suffix
+             CASE WHEN regexp_matches(nofrag, '^[^/]*://')
+                  THEN regexp_replace(nofrag, '^[^/]*://[^/]*', '')
+                  ELSE '' END AS suffix
       FROM s),
 c AS (SELECT doc_id,
              regexp_replace(prefix || suffix, '(?s)^([^/]*://[^/]*)/$',

@@ -39,12 +39,20 @@ HASH_MULT = 2654435761
 HASH_BUCKETS = 1000
 
 
-def hash_bucket(ids, buckets: int = HASH_BUCKETS) -> np.ndarray:
-    """Vectorized deterministic permille bucket of an int64 id column."""
+def knuth_hash32(ids) -> np.ndarray:
+    """The shared Knuth fold: ((id mod 2^32) · HASH_MULT) mod 2^32 as
+    uint64.  Every deterministic sampling/sharding decision in the repo
+    (and its SQL mirrors) derives from THIS arithmetic — change it here
+    and in the oracles together, nowhere else."""
     arr = np.asarray(ids.combine_chunks() if isinstance(ids, pa.ChunkedArray)
                      else ids).astype(np.uint64)
-    h = ((arr % np.uint64(2**32)) * np.uint64(HASH_MULT)) % np.uint64(2**32)
-    return (h % np.uint64(buckets)).astype(np.int64)
+    return ((arr % np.uint64(2**32)) * np.uint64(HASH_MULT)) \
+        % np.uint64(2**32)
+
+
+def hash_bucket(ids, buckets: int = HASH_BUCKETS) -> np.ndarray:
+    """Vectorized deterministic permille bucket of an int64 id column."""
+    return (knuth_hash32(ids) % np.uint64(buckets)).astype(np.int64)
 
 
 def hash_sample(docs, keep_permille: int = 125):
@@ -234,14 +242,10 @@ def uniform_sample_k(docs, k: int = 25):
         ids = np.asarray(t["doc_id"].combine_chunks()
                          if isinstance(t["doc_id"], pa.ChunkedArray)
                          else t["doc_id"])
-        h = ((ids.astype(np.uint64) % np.uint64(2**32))
-             * np.uint64(HASH_MULT)) % np.uint64(2**32)
-        h = h.astype(np.int64)
+        h = knuth_hash32(t["doc_id"]).astype(np.int64)
         order = np.lexsort((ids, h))[:k]
         return pa.table({"doc_id": pa.array(ids[order], type=pa.int64()),
                          "priority": pa.array(h[order], type=pa.int64())})
-
-    import pandas as pd
 
     parts = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
     if "doc_id" not in parts.columns:    # fully-empty input -> schemaless
@@ -428,7 +432,10 @@ def tfidf_top_terms(docs, k: int = 3, scale: int = 1_000_000):
             return keep.select([lo_col, hi_col])
 
         rows = ds.map_batches(data_rows, batch_format="pyarrow")
+        # repartition(1) is load-bearing: the check compares ADJACENT block
+        # ranges, so all marker rows (one per block) must meet in one task
         check = (ds.map_batches(marker_rows, batch_format="pyarrow")
+                 .repartition(1)
                  .map_batches(_ranges_disjoint_check(
                      check_name, [lo_col], [hi_col], empty_out),
                      batch_format="pyarrow", batch_size=None))

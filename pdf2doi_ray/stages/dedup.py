@@ -187,6 +187,7 @@ def first_per_key_sorted(ds, key_col: str, min_cols):
         return t.filter(pc.is_valid(t["klo"])).select(["klo", "khi"])
 
     check = (mixed.map_batches(marker_rows, batch_format="pyarrow")
+             .repartition(1)
              .map_batches(_ranges_disjoint_check(
                  f"first_per_key_sorted/{key_col}", ["klo"], ["khi"],
                  empty_out),

@@ -186,7 +186,12 @@ def heavy_hitters(ds, column: str, m: int = 256, k: int = 20):
     import pandas as pd
 
     def partial(t: pa.Table) -> pa.Table:
-        g = pa.table({"v": t[column]}).group_by("v") \
+        # nulls are excluded (count-of-value semantics, like SQL count(col));
+        # they must not collide with the null-keyed block-marker sentinel.
+        # Contract: string column (the sentinel schema is pa.string()).
+        col = t[column].combine_chunks() \
+            if isinstance(t[column], pa.ChunkedArray) else t[column]
+        g = pa.table({"v": col.drop_null()}).group_by("v") \
             .aggregate([([], "count_all")])
         keys = np.asarray(g["v"].to_pylist(), dtype=object)
         counts = np.asarray(g["count_all"].combine_chunks()

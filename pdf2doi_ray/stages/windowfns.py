@@ -81,9 +81,16 @@ def grouped_top_k(ds, group_col: str, order_col: str, tie_col: str,
 
 def _milli(vals) -> np.ndarray:
     # floor(value * 1000) as int64: multiply and floor are single IEEE-754
-    # ops, so numpy and DuckDB produce the same integer for every double
-    return np.floor(np.asarray(vals, dtype=np.float64) * 1000.0) \
-        .astype(np.int64)
+    # ops, so numpy and DuckDB produce the same integer for every double.
+    # Nulls/NaNs are rejected LOUDLY: floor(NaN).astype(int64) silently
+    # yields INT64_MIN and corrupts every downstream sum — callers must
+    # filter or fill first (SQL aggregates skip NULLs; a silent skip here
+    # would diverge from count(*), so the contract is explicit instead).
+    arr = np.asarray(vals, dtype=np.float64)
+    if np.isnan(arr).any():
+        raise ValueError("_milli: null/NaN values in input — filter or "
+                         "fill the value column before milli-scaling")
+    return np.floor(arr * 1000.0).astype(np.int64)
 
 
 def _rolling_for_segments(vm: np.ndarray, starts: np.ndarray,

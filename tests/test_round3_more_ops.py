@@ -216,7 +216,7 @@ def test_canon_url_fuzz_vs_duckdb():
     from pdf2doi_ray.stages.textnorm import _canon_url_kernel
 
     rng = np.random.default_rng(17)
-    schemes = ["http://", "https://", "HTTP://", "HtTpS://"]
+    schemes = ["http://", "https://", "HTTP://", "HtTpS://", ""]
     hosts = ["A.Example.ORG", "b.example.org", "WWW.x.Y"]
     ports = ["", ":80", ":443", ":8080"]
     paths = ["", "/", "/P/q", "/a/", "/a?Q=V", "/%2F.pdf"]
@@ -232,7 +232,9 @@ def test_canon_url_fuzz_vs_duckdb():
               lower(regexp_replace(nofrag, '(?s)^([^/]*://[^/]*).*$', '\\1')),
               '^(http://[^/:]*):80$', '\\1'),
               '^(https://[^/:]*):443$', '\\1') AS prefix,
-          regexp_replace(nofrag, '^[^/]*://[^/]*', '') AS suffix
+          CASE WHEN regexp_matches(nofrag, '^[^/]*://')
+               THEN regexp_replace(nofrag, '^[^/]*://[^/]*', '')
+               ELSE '' END AS suffix
           FROM s)
     SELECT regexp_replace(prefix || suffix, '(?s)^([^/]*://[^/]*)/$', '\\1')
     FROM p"""
@@ -295,3 +297,25 @@ def test_driver_merge_ops_tolerate_empty_input():
     tok = ray.data.from_arrow(pa.table({
         "token": pa.array([], type=pa.string())}))
     assert len(heavy_hitters(tok, "token")) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_heavy_hitters_excludes_nulls_from_data_and_marker():
+    import ray.data
+
+    from pdf2doi_ray.stages.sketch import heavy_hitters
+
+    t = pa.table({"token": pa.array(["a", None, "a", "b", None, None])})
+    out = heavy_hitters(ray.data.from_arrow(t).repartition(2), "token",
+                        m=8, k=5)
+    # nulls are excluded (count-of-value semantics) and never conflated
+    # with the block-marker sentinel rows
+    assert dict(zip(out["value"], out["est_count"])) == {"a": 2, "b": 1}
+    assert (out["err_bound"] == 0).all()
+
+
+def test_milli_rejects_nulls_loudly():
+    from pdf2doi_ray.stages.windowfns import _milli
+
+    with pytest.raises(ValueError, match="null/NaN"):
+        _milli(pa.array([1.0, None, 2.0], type=pa.float64()))
