@@ -712,6 +712,25 @@ def _q_rate_by_host(sf_dir: str):
                                        Sum("n_pages", alias_name="n_pages")))
 
 
+def _q_docs_rollup(sf_dir: str):
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import rollup_counts
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id"])
+    import pyarrow as pa
+
+    def prep(t: pa.Table) -> pa.Table:
+        # second rollup level: user-id parity bucket (string, like the SQL)
+        import pyarrow.compute as pc
+        par = pc.if_else(
+            pc.equal(pc.bit_wise_and(t["user_id"], 1), 1), "odd", "even")
+        return pa.table({"event_type": t["event_type"], "parity": par})
+
+    return rollup_counts(ev.map_batches(prep, batch_format="pyarrow"),
+                         "event_type", "parity")
+
+
 def _q_stratified_sample_by_lang(sf_dir: str):
     # exactly-k-per-group deterministic sample: grouped top-k over the
     # NEGATED Knuth-hash priority (grouped_top_k orders DESC; negating
@@ -905,6 +924,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroids": _q_embedding_centroids,
         "heavy_hitter_tokens": _q_heavy_hitter_tokens,
         "stratified_sample_by_lang": _q_stratified_sample_by_lang,
+        "events_rollup": _q_docs_rollup,
     }
 
 
@@ -1416,6 +1436,16 @@ q AS (SELECT * FROM t
 SELECT md5(text) AS text_hash, min(doc_id) AS doc_id,
        CAST(min(n_tokens) AS BIGINT) AS n_tokens
 FROM q GROUP BY md5(text)
+""",
+        # one-pass multi-level aggregate; NULLs mark subtotal / grand-total
+        # rows exactly like SQL ROLLUP
+        "events_rollup": """
+WITH e AS (SELECT event_type,
+                  CASE WHEN user_id % 2 = 1 THEN 'odd' ELSE 'even' END
+                      AS parity
+           FROM events)
+SELECT event_type, parity, count(*) AS n
+FROM e GROUP BY ROLLUP(event_type, parity)
 """,
         # same Knuth-hash arithmetic as hash_sample/uniform_sample, negated
         # because the engine's grouped top-k orders DESC

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .windowfns import _milli
 from ..arrowutil import one_chunk
@@ -61,6 +62,65 @@ def grouped_summary(ds, key_col: str, value_col: str):
                        Sum("sum_p", alias_name="sum_milli"),
                        Min("min_p", alias_name="min_milli"),
                        Max("max_p", alias_name="max_milli"))
+            .map_batches(finalize, batch_format="pyarrow"))
+
+
+#: sentinel standing in for NULL at rolled-up levels while the rows are in
+#: flight — Ray's sort-based groupby cannot partition null keys (documented
+#: sandbox quirk), so the ROLLUP carries this and converts back at the end.
+_ROLLUP_ALL = "\x00__ALL__"
+
+
+def rollup_counts(ds, col_a: str, col_b: str):
+    """``GROUP BY ROLLUP(a, b)`` counts in ONE pass and ONE shuffle.
+
+    Each batch emits partial counts at all three grouping levels —
+    (a, b), (a, ·), (·, ·) — from a single Arrow ``group_by`` (the coarser
+    levels are vectorized re-aggregations of the finest partial, so the
+    input is scanned once).  Rolled-up positions travel as a non-null
+    sentinel because Ray's sort shuffle cannot partition null keys, and
+    the final projection converts them back to real NULLs to match the
+    SQL ``ROLLUP`` output.  Shuffle volume: ≤ (|a×b| + |a| + 1) combiner
+    rows per batch.  Returns (col_a, col_b, n) with NULLs marking
+    subtotal/grand-total rows.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        fine = t.select([col_a, col_b]).group_by([col_a, col_b]) \
+            .aggregate([([], "count_all")])
+        a = fine[col_a]
+        b = fine[col_b]
+        n = fine["count_all"].cast(pa.int64())
+        mid = pa.table({col_a: a, "n": n}).group_by(col_a) \
+            .aggregate([("n", "sum")])
+        total = int(pc.sum(n).as_py() or 0)
+        parts = [
+            pa.table({col_a: a, col_b: b, "n_p": n}),
+            pa.table({col_a: mid[col_a],
+                      col_b: pa.array([_ROLLUP_ALL] * mid.num_rows,
+                                      type=pa.string()),
+                      "n_p": mid["n_sum"].cast(pa.int64())}),
+        ]
+        if total:
+            parts.append(pa.table({
+                col_a: pa.array([_ROLLUP_ALL], type=pa.string()),
+                col_b: pa.array([_ROLLUP_ALL], type=pa.string()),
+                "n_p": pa.array([total], type=pa.int64())}))
+        return pa.concat_tables(parts)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        def denull(col):
+            arr = t[col].combine_chunks() \
+                if isinstance(t[col], pa.ChunkedArray) else t[col]
+            mask = pc.equal(arr, _ROLLUP_ALL)
+            return pc.if_else(mask, pa.scalar(None, type=pa.string()), arr)
+        return pa.table({col_a: denull(col_a), col_b: denull(col_b),
+                         "n": t["n"]})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby([col_a, col_b])
+            .aggregate(Sum("n_p", alias_name="n"))
             .map_batches(finalize, batch_format="pyarrow"))
 
 

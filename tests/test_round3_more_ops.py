@@ -319,3 +319,27 @@ def test_milli_rejects_nulls_loudly():
 
     with pytest.raises(ValueError, match="null/NaN"):
         _milli(pa.array([1.0, None, 2.0], type=pa.float64()))
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("n_blocks", [1, 4])
+def test_rollup_counts_brute(n_blocks):
+    import collections
+
+    from pdf2doi_ray.stages.aggs import rollup_counts
+
+    rng = np.random.default_rng(41)
+    a = [f"a{rng.integers(3)}" for _ in range(80)]
+    b = [f"b{rng.integers(2)}" for _ in range(80)]
+    t = pa.table({"x": pa.array(a), "y": pa.array(b)})
+    out = rollup_counts(_ds(t, n_blocks), "x", "y").to_pandas()
+
+    fine = collections.Counter(zip(a, b))
+    mid = collections.Counter(a)
+    got = {(r.x if isinstance(r.x, str) else None,
+            r.y if isinstance(r.y, str) else None): r.n
+           for r in out.itertuples()}
+    want = {(k[0], k[1]): v for k, v in fine.items()}
+    want.update({(k, None): v for k, v in mid.items()})
+    want[(None, None)] = 80
+    assert got == want
