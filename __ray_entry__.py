@@ -712,6 +712,16 @@ def _q_rate_by_host(sf_dir: str):
                                        Sum("n_pages", alias_name="n_pages")))
 
 
+def _q_lag_user_value(sf_dir: str):
+    import ray.data
+
+    from pdf2doi_ray.stages.windowfns import lag_user_value
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"])
+    return lag_user_value(ev)
+
+
 def _q_docs_rollup(sf_dir: str):
     import ray.data
 
@@ -925,6 +935,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_tokens": _q_heavy_hitter_tokens,
         "stratified_sample_by_lang": _q_stratified_sample_by_lang,
         "events_rollup": _q_docs_rollup,
+        "lag_user_value": _q_lag_user_value,
     }
 
 
@@ -1436,6 +1447,14 @@ q AS (SELECT * FROM t
 SELECT md5(text) AS text_hash, min(doc_id) AS doc_id,
        CAST(min(n_tokens) AS BIGINT) AS n_tokens
 FROM q GROUP BY md5(text)
+""",
+        # LAG over the milli-scaled value; NULL for each user's first event
+        "lag_user_value": """
+WITH e AS (SELECT event_id, user_id, ts,
+                  CAST(floor(value * 1000) AS BIGINT) AS vm FROM events)
+SELECT event_id, user_id,
+       LAG(vm) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lag_vm
+FROM e
 """,
         # one-pass multi-level aggregate; NULLs mark subtotal / grand-total
         # rows exactly like SQL ROLLUP

@@ -119,19 +119,48 @@ def rolling_user_sum(events, w=3,
     events (``w=None`` = all preceding) ordered by (ts, event_id) —
     ``SUM(vm) OVER (PARTITION BY user_id ORDER BY ts, event_id
     ROWS BETWEEN w-1 PRECEDING AND CURRENT ROW)``.
+    Output: event_id, user_id, roll_sum (int64).
+    """
+    def kernel(vm, starts, ends):
+        return _rolling_for_segments(vm, starts, ends, w), None
+
+    return _windowed_user_op(events, kernel, "roll_sum", stitch_shards)
+
+
+def lag_user_value(events, stitch_shards: int = DEFAULT_STITCH_SHARDS):
+    """``LAG(vm) OVER (PARTITION BY user_id ORDER BY ts, event_id)`` over
+    the milli-scaled value — NULL for each user's first event, exactly the
+    SQL window function.  Same sorted-block + sharded-stitch plan as the
+    rolling sums.  Output: event_id, user_id, lag_vm (nullable int64)."""
+    def kernel(vm, starts, ends):
+        out = np.zeros(len(vm), dtype=np.int64)
+        if len(vm) > 1:
+            out[1:] = vm[:-1]
+        valid = np.ones(len(vm), dtype=bool)
+        valid[starts] = False                  # first row of each segment
+        return out, valid
+
+    return _windowed_user_op(events, kernel, "lag_vm", stitch_shards)
+
+
+def _windowed_user_op(events, kernel, out_col: str,
+                      stitch_shards: int = DEFAULT_STITCH_SHARDS):
+    """Shared engine of the per-user ordered window functions.
 
     Sorted-block plan: sort (user_id, ts, event_id); rows of users fully
-    interior to a block resolve with one cumsum; each block's edge segments
-    (first and last user) re-emit raw (user_id, ts, event_id, vm) rows to the
-    per-user sharded stitch, which lexsorts and reruns the same kernel.
-    Output: event_id, user_id, roll_sum (int64).
+    interior to a block resolve with one vectorized ``kernel(vm, starts,
+    ends) -> (values, valid_mask_or_None)`` call; each block's edge
+    segments (first and last user) re-emit raw (user_id, ts, event_id, vm)
+    rows to the per-user sharded stitch, which lexsorts and reruns the
+    SAME kernel — so any per-segment window function gets the distributed
+    plan for free.
     """
     def block_roll(t: pa.Table) -> pa.Table:
         n = t.num_rows
         empty = pa.table({
             "event_id": pa.array([], type=pa.int64()),
             "user_id": pa.array([], type=pa.int64()),
-            "roll_sum": pa.array([], type=pa.int64()),
+            out_col: pa.array([], type=pa.int64()),
             "ts_us": pa.array([], type=pa.int64()),
             "vm": pa.array([], type=pa.int64()),
             "boundary": pa.array([], type=pa.bool_())})
@@ -151,22 +180,27 @@ def rolling_user_sum(events, w=3,
             # interior segments are contiguous in a sorted block: one slice
             i_starts, i_ends = starts[interior], ends[interior]
             idx = np.arange(ends[0], starts[last])
-            roll = _rolling_for_segments(vm[idx], i_starts - ends[0],
-                                         i_ends - ends[0], w)
+            roll, valid = kernel(vm[idx], i_starts - ends[0],
+                                 i_ends - ends[0])
         else:
             idx = np.empty(0, dtype=np.int64)
             roll = np.empty(0, dtype=np.int64)
+            valid = None
         edge_idx = np.concatenate(
             [np.arange(starts[0], ends[0]),
              np.arange(starts[last], ends[last])]) if last >= 1 \
             else np.arange(starts[0], ends[0])
         edge_idx = np.unique(edge_idx)
         n_i, n_b = len(idx), len(edge_idx)
+        out_valid = None
+        if valid is not None:
+            out_valid = np.concatenate([valid, np.ones(n_b, dtype=bool)])
         return pa.table({
             "event_id": pa.array(np.concatenate([eid[idx], eid[edge_idx]])),
             "user_id": pa.array(np.concatenate([us[idx], us[edge_idx]])),
-            "roll_sum": pa.array(
-                np.concatenate([roll, np.full(n_b, -1, np.int64)])),
+            out_col: pa.array(
+                np.concatenate([roll, np.full(n_b, -1, np.int64)]),
+                mask=(None if out_valid is None else ~out_valid)),
             "ts_us": pa.array(
                 np.concatenate([np.full(n_i, -1, np.int64), ts[edge_idx]])),
             "vm": pa.array(
@@ -179,7 +213,7 @@ def rolling_user_sum(events, w=3,
         if len(us) == 0:
             return pa.table({"event_id": pa.array([], type=pa.int64()),
                              "user_id": pa.array([], type=pa.int64()),
-                             "roll_sum": pa.array([], type=pa.int64())})
+                             out_col: pa.array([], type=pa.int64())})
         eid = np.asarray(one_chunk(t["event_id"])).astype(np.int64)
         ts = np.asarray(one_chunk(t["ts_us"])).astype(np.int64)
         vm = np.asarray(one_chunk(t["vm"])).astype(np.int64)
@@ -188,17 +222,19 @@ def rolling_user_sum(events, w=3,
         change = np.nonzero(us[1:] != us[:-1])[0] + 1
         starts = np.concatenate([[0], change]).astype(np.int64)
         ends = np.concatenate([change, [len(us)]]).astype(np.int64)
-        roll = _rolling_for_segments(vm, starts, ends, w)
+        roll, valid = kernel(vm, starts, ends)
         return pa.table({"event_id": pa.array(eid),
                          "user_id": pa.array(us),
-                         "roll_sum": pa.array(roll)})
+                         out_col: pa.array(
+                             roll,
+                             mask=(None if valid is None else ~valid))})
 
     srt = events.sort(["user_id", "ts", "event_id"])
     mixed = srt.map_batches(block_roll, batch_format="pyarrow",
                             batch_size=None).materialize()
     interior = mixed.map_batches(
         lambda t: t.filter(pc.equal(t["boundary"], False))
-        .select(["event_id", "user_id", "roll_sum"]),
+        .select(["event_id", "user_id", out_col]),
         batch_format="pyarrow")
     carries = mixed.map_batches(
         lambda t: t.filter(t["boundary"])
