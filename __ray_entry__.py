@@ -722,6 +722,16 @@ def _q_lag_user_value(sf_dir: str):
     return lag_user_value(ev)
 
 
+def _q_lead_user_value(sf_dir: str):
+    import ray.data
+
+    from pdf2doi_ray.stages.windowfns import lead_user_value
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"])
+    return lead_user_value(ev)
+
+
 def _q_docs_rollup(sf_dir: str):
     import ray.data
 
@@ -936,6 +946,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_by_lang": _q_stratified_sample_by_lang,
         "events_rollup": _q_docs_rollup,
         "lag_user_value": _q_lag_user_value,
+        "lead_user_value": _q_lead_user_value,
     }
 
 
@@ -1447,6 +1458,15 @@ q AS (SELECT * FROM t
 SELECT md5(text) AS text_hash, min(doc_id) AS doc_id,
        CAST(min(n_tokens) AS BIGINT) AS n_tokens
 FROM q GROUP BY md5(text)
+""",
+        # LEAD over the milli-scaled value; NULL for each user's last event
+        "lead_user_value": """
+WITH e AS (SELECT event_id, user_id, ts,
+                  CAST(floor(value * 1000) AS BIGINT) AS vm FROM events)
+SELECT event_id, user_id,
+       LEAD(vm) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS lead_vm
+FROM e
 """,
         # LAG over the milli-scaled value; NULL for each user's first event
         "lag_user_value": """

@@ -143,6 +143,22 @@ def lag_user_value(events, stitch_shards: int = DEFAULT_STITCH_SHARDS):
     return _windowed_user_op(events, kernel, "lag_vm", stitch_shards)
 
 
+def lead_user_value(events, stitch_shards: int = DEFAULT_STITCH_SHARDS):
+    """``LEAD(vm) OVER (PARTITION BY user_id ORDER BY ts, event_id)`` —
+    NULL for each user's LAST event.  Same engine as :func:`lag_user_value`
+    with the shift reversed.  Output: event_id, user_id, lead_vm
+    (nullable int64)."""
+    def kernel(vm, starts, ends):
+        out = np.zeros(len(vm), dtype=np.int64)
+        if len(vm) > 1:
+            out[:-1] = vm[1:]
+        valid = np.ones(len(vm), dtype=bool)
+        valid[np.asarray(ends) - 1] = False    # last row of each segment
+        return out, valid
+
+    return _windowed_user_op(events, kernel, "lead_vm", stitch_shards)
+
+
 def _windowed_user_op(events, kernel, out_col: str,
                       stitch_shards: int = DEFAULT_STITCH_SHARDS):
     """Shared engine of the per-user ordered window functions.

@@ -299,3 +299,33 @@ def test_lag_user_value_blocks(n_blocks):
     a = out["lag_vm"].fillna(-1).to_numpy()
     b = want["want"].fillna(-1).to_numpy()
     assert (a == b).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("n_blocks", [1, 5])
+def test_lead_user_value_blocks(n_blocks):
+    import pandas as pd
+
+    from pdf2doi_ray.stages.windowfns import lead_user_value
+
+    rng = np.random.default_rng(43)
+    n = 90
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(
+            pd.to_datetime(rng.integers(0, 10**6, size=n), unit="s")
+            .astype("datetime64[us]")),
+        "user_id": pa.array(rng.integers(0, 7, size=n).astype(np.int64)),
+        "value": pa.array(rng.uniform(0, 5, size=n)),
+    })
+    out = lead_user_value(_ds(t, n_blocks)).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+
+    df = t.to_pandas()
+    df["vm"] = np.floor(df["value"] * 1000.0).astype(np.int64)
+    df = df.sort_values(["user_id", "ts", "event_id"])
+    df["want"] = df.groupby("user_id")["vm"].shift(-1)
+    want = df.sort_values("event_id").reset_index(drop=True)
+    a = out["lead_vm"].fillna(-1).to_numpy()
+    b = want["want"].fillna(-1).to_numpy()
+    assert len(out) == n and (a == b).all()
