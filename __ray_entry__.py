@@ -722,6 +722,24 @@ def _q_lag_user_value(sf_dir: str):
     return lag_user_value(ev)
 
 
+def _q_events_cube(sf_dir: str):
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import cube_counts
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id"])
+    import pyarrow as pa
+
+    def prep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        par = pc.if_else(
+            pc.equal(pc.bit_wise_and(t["user_id"], 1), 1), "odd", "even")
+        return pa.table({"event_type": t["event_type"], "parity": par})
+
+    return cube_counts(ev.map_batches(prep, batch_format="pyarrow"),
+                       "event_type", "parity")
+
+
 def _q_lead_user_value(sf_dir: str):
     import ray.data
 
@@ -947,6 +965,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup": _q_docs_rollup,
         "lag_user_value": _q_lag_user_value,
         "lead_user_value": _q_lead_user_value,
+        "events_cube": _q_events_cube,
     }
 
 
@@ -1458,6 +1477,15 @@ q AS (SELECT * FROM t
 SELECT md5(text) AS text_hash, min(doc_id) AS doc_id,
        CAST(min(n_tokens) AS BIGINT) AS n_tokens
 FROM q GROUP BY md5(text)
+""",
+        # CUBE adds the (., parity) cross-slice to the ROLLUP levels
+        "events_cube": """
+WITH e AS (SELECT event_type,
+                  CASE WHEN user_id % 2 = 1 THEN 'odd' ELSE 'even' END
+                      AS parity
+           FROM events)
+SELECT event_type, parity, count(*) AS n
+FROM e GROUP BY CUBE(event_type, parity)
 """,
         # LEAD over the milli-scaled value; NULL for each user's last event
         "lead_user_value": """

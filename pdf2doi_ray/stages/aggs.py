@@ -71,7 +71,15 @@ def grouped_summary(ds, key_col: str, value_col: str):
 _ROLLUP_ALL = "\x00__ALL__"
 
 
-def rollup_counts(ds, col_a: str, col_b: str):
+def cube_counts(ds, col_a: str, col_b: str):
+    """``GROUP BY CUBE(a, b)`` counts — ROLLUP's three levels plus the
+    (·, b) cross-slice, still ONE pass and ONE shuffle (the extra level is
+    one more vectorized re-aggregation of the same per-batch fine
+    partial)."""
+    return rollup_counts(ds, col_a, col_b, _cube=True)
+
+
+def rollup_counts(ds, col_a: str, col_b: str, _cube: bool = False):
     """``GROUP BY ROLLUP(a, b)`` counts in ONE pass and ONE shuffle.
 
     Each batch emits partial counts at all three grouping levels —
@@ -102,6 +110,14 @@ def rollup_counts(ds, col_a: str, col_b: str):
                                       type=pa.string()),
                       "n_p": mid["n_sum"].cast(pa.int64())}),
         ]
+        if _cube:
+            midb = pa.table({col_b: b, "n": n}).group_by(col_b) \
+                .aggregate([("n", "sum")])
+            parts.append(pa.table({
+                col_a: pa.array([_ROLLUP_ALL] * midb.num_rows,
+                                type=pa.string()),
+                col_b: midb[col_b],
+                "n_p": midb["n_sum"].cast(pa.int64())}))
         if total:
             parts.append(pa.table({
                 col_a: pa.array([_ROLLUP_ALL], type=pa.string()),

@@ -343,3 +343,24 @@ def test_rollup_counts_brute(n_blocks):
     want.update({(k, None): v for k, v in mid.items()})
     want[(None, None)] = 80
     assert got == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cube_counts_brute():
+    import collections
+
+    from pdf2doi_ray.stages.aggs import cube_counts
+
+    rng = np.random.default_rng(47)
+    a = [f"a{rng.integers(3)}" for _ in range(60)]
+    b = [f"b{rng.integers(2)}" for _ in range(60)]
+    t = pa.table({"x": pa.array(a), "y": pa.array(b)})
+    out = cube_counts(_ds(t, 3), "x", "y").to_pandas()
+    got = {(r.x if isinstance(r.x, str) else None,
+            r.y if isinstance(r.y, str) else None): r.n
+           for r in out.itertuples()}
+    want = dict(collections.Counter(zip(a, b)))
+    want.update({(k, None): v for k, v in collections.Counter(a).items()})
+    want.update({(None, k): v for k, v in collections.Counter(b).items()})
+    want[(None, None)] = 60
+    assert got == want
