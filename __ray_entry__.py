@@ -829,6 +829,11 @@ def _q_event_value_quantiles(sf_dir: str):
     return value_quantiles_milli(ev, "value")
 
 
+def _q_weighted_sample(sf_dir: str):
+    from pdf2doi_ray.stages.corpus import weighted_sample
+    return weighted_sample(_docs(sf_dir, ("doc_id", "text")))
+
+
 def _q_uniform_sample(sf_dir: str):
     from pdf2doi_ray.stages.corpus import uniform_sample_k
     return uniform_sample_k(_docs(sf_dir, ("doc_id",)), k=25)
@@ -958,6 +963,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus": _q_curate_corpus,
         "event_value_quantiles": _q_event_value_quantiles,
         "uniform_sample": _q_uniform_sample,
+        "weighted_sample": _q_weighted_sample,
         "extraction_rate_by_host": _q_rate_by_host,
         "embedding_centroids": _q_embedding_centroids,
         "heavy_hitter_tokens": _q_heavy_hitter_tokens,
@@ -1566,6 +1572,19 @@ SELECT q.q_permille,
        (SELECT min(v) FROM r, n
         WHERE rn >= ceil(q.q_permille * n.total / 1000.0)) AS value
 FROM q
+""",
+        # deterministic Bernoulli keep with p = min(n_tokens, 200)/200,
+        # drawn from the same Knuth-hash arithmetic — no RNG on either side
+        "weighted_sample": """
+WITH c AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+           FROM documents),
+h AS (SELECT doc_id, n_tokens,
+             CAST(least(n_tokens, 200) AS BIGINT) AS weight,
+             CAST((CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761)
+                  % 4294967296 AS BIGINT) AS hv
+      FROM c)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, weight
+FROM h WHERE hv % 200 < weight
 """,
         # exactly-k smallest Knuth-hash priorities (same HUGEINT
         # arithmetic as hash_sample), ties by doc_id

@@ -224,6 +224,38 @@ def top_bigrams(docs, k: int = 20):
     })
 
 
+def weighted_sample(docs, weight_cap: int = 200):
+    """Deterministic importance sampling: keep each document with
+    probability ``min(n_tokens, weight_cap) / weight_cap`` — longer
+    documents survive proportionally more often (the usual quality-biased
+    mix for a training corpus), yet the decision is a pure function of
+    ``doc_id`` so every run, engine, and the SQL oracle keep the SAME
+    rows.
+
+    Bernoulli draw without an RNG: the Knuth hash of ``doc_id`` is
+    uniform on [0, 2^32); keep when ``hash % weight_cap < min(n_tokens,
+    weight_cap)`` (hash mod is uniform because 2^32 mod weight_cap bias is
+    < 2^-24 for small caps — and irrelevant here since both engines
+    compute the identical expression).  A pure streaming filter: no
+    shuffle, no state.  Returns (doc_id, n_tokens, weight).
+    """
+    def pick(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(
+            t["text"].combine_chunks()
+            if isinstance(t["text"], pa.ChunkedArray) else t["text"], " ")
+        n_tok = np.asarray(pc.list_value_length(toks).cast(pa.int64()))
+        w = np.minimum(n_tok, weight_cap)
+        h = knuth_hash32(t["doc_id"]).astype(np.int64)
+        keep = (h % weight_cap) < w
+        return pa.table({
+            "doc_id": t["doc_id"].filter(pa.array(keep)),
+            "n_tokens": pa.array(n_tok[keep], type=pa.int64()),
+            "weight": pa.array(w[keep], type=pa.int64()),
+        })
+
+    return docs.map_batches(pick, batch_format="pyarrow")
+
+
 def uniform_sample_k(docs, k: int = 25):
     """Exactly-k deterministic uniform sample: the k rows with the smallest
     Knuth hash of ``doc_id`` (ties broken by id).

@@ -364,3 +364,26 @@ def test_cube_counts_brute():
     want.update({(None, k): v for k, v in collections.Counter(b).items()})
     want[(None, None)] = 60
     assert got == want
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("n_blocks", [1, 4])
+def test_weighted_sample_brute(n_blocks):
+    from pdf2doi_ray.stages.corpus import knuth_hash32, weighted_sample
+
+    rng = np.random.default_rng(53)
+    counts = rng.integers(1, 400, size=200)
+    texts = [" ".join(["w"] * int(c)) for c in counts]
+    ids = np.arange(200, dtype=np.int64)
+    t = pa.table({"doc_id": pa.array(ids), "text": pa.array(texts)})
+    out = weighted_sample(_ds(t, n_blocks), weight_cap=200).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    n_tok = np.array([len(tx.split(" ")) for tx in texts])
+    w = np.minimum(n_tok, 200)
+    h = knuth_hash32(pa.array(ids)).astype(np.int64)
+    keep = (h % 200) < w
+    assert list(out["doc_id"]) == list(ids[keep])
+    assert list(out["weight"]) == list(w[keep])
+    # docs at/above the cap always survive (p = 1)
+    assert set(ids[n_tok >= 200]) <= set(out["doc_id"])
