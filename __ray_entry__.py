@@ -722,6 +722,15 @@ def _q_lag_user_value(sf_dir: str):
     return lag_user_value(ev)
 
 
+def _q_value_quantiles_by_type(sf_dir: str):
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import value_quantiles_milli_by_group
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+    return value_quantiles_milli_by_group(ev, "event_type", "value")
+
+
 def _q_events_cube(sf_dir: str):
     import ray.data
 
@@ -972,6 +981,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lag_user_value": _q_lag_user_value,
         "lead_user_value": _q_lead_user_value,
         "events_cube": _q_events_cube,
+        "value_quantiles_by_type": _q_value_quantiles_by_type,
     }
 
 
@@ -1483,6 +1493,22 @@ q AS (SELECT * FROM t
 SELECT md5(text) AS text_hash, min(doc_id) AS doc_id,
        CAST(min(n_tokens) AS BIGINT) AS n_tokens
 FROM q GROUP BY md5(text)
+""",
+        # grouped exact quantiles over the milli grid; same rank
+        # definition as the global quantile oracles
+        "value_quantiles_by_type": """
+WITH c AS (SELECT event_type,
+                  CAST(floor(value * 1000) AS BIGINT) AS v FROM events),
+r AS (SELECT event_type, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn
+      FROM c),
+n AS (SELECT event_type, count(*) AS total FROM c GROUP BY event_type),
+q AS (SELECT CAST(unnest([500, 900]) AS BIGINT) AS q_permille)
+SELECT n.event_type, q.q_permille,
+       (SELECT min(v) FROM r
+        WHERE r.event_type = n.event_type
+          AND rn >= ceil(q.q_permille * n.total / 1000.0)) AS value
+FROM n, q
 """,
         # CUBE adds the (., parity) cross-slice to the ROLLUP levels
         "events_cube": """

@@ -99,6 +99,11 @@ def rollup_counts(ds, col_a: str, col_b: str, _cube: bool = False):
             .aggregate([([], "count_all")])
         a = fine[col_a]
         b = fine[col_b]
+        for col in (a, b):
+            if pc.any(pc.equal(col, _ROLLUP_ALL)).as_py():
+                raise ValueError(
+                    "rollup_counts: input value collides with the internal "
+                    f"rolled-up sentinel {_ROLLUP_ALL!r}")
         n = fine["count_all"].cast(pa.int64())
         mid = pa.table({col_a: a, "n": n}).group_by(col_a) \
             .aggregate([("n", "sum")])
@@ -170,3 +175,48 @@ def value_quantiles_milli(ds, value_col: str,
             .groupby("value").aggregate(Sum("n", alias_name="n"))
             .to_pandas())
     return quantiles_from_histogram(hist, quantiles_permille)
+
+
+def value_quantiles_milli_by_group(ds, group_col: str, value_col: str,
+                                   quantiles_permille=(500, 900)):
+    """Exact milli-quantized quantiles of a float column PER GROUP — the
+    grouped counterpart of :func:`value_quantiles_milli` (e.g. p50/p90
+    event value per event type).
+
+    Keyed histogram partials: per-batch arrow ``group_by([group, value])``
+    → global merge → driver walk per group over the tiny (group, value, n)
+    frame.  Driver memory is |groups|·|distinct milli values| rows — the
+    same bound (and the same tree-merge escape past ~10⁷ rows) as
+    ``token_count_quantiles_by_group``.  Returns
+    (group_col, q_permille, value).
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from .textstats import quantiles_from_histogram
+
+    def partial(t: pa.Table) -> pa.Table:
+        vm = _milli(one_chunk(t[value_col]))
+        g = pa.table({
+            group_col: t[group_col],
+            "value": pa.array(vm, type=pa.int64()),
+        }).group_by([group_col, "value"]).aggregate([([], "count_all")])
+        return pa.table({group_col: g[group_col], "value": g["value"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby([group_col, "value"])
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas())
+    out = []
+    if group_col in hist.columns:
+        for key, sub in hist.groupby(group_col, sort=True):
+            q = quantiles_from_histogram(sub[["value", "n"]],
+                                         quantiles_permille)
+            q.insert(0, group_col, key)
+            out.append(q)
+    if not out:
+        return pd.DataFrame({group_col: pd.Series(dtype=object),
+                             "q_permille": pd.Series(dtype="int64"),
+                             "value": pd.Series(dtype="int64")})
+    return pd.concat(out, ignore_index=True)

@@ -387,3 +387,35 @@ def test_weighted_sample_brute(n_blocks):
     assert list(out["weight"]) == list(w[keep])
     # docs at/above the cap always survive (p = 1)
     assert set(ids[n_tok >= 200]) <= set(out["doc_id"])
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("n_blocks", [1, 4])
+def test_value_quantiles_by_group_brute(n_blocks):
+    from pdf2doi_ray.stages.aggs import value_quantiles_milli_by_group
+
+    rng = np.random.default_rng(59)
+    keys = [f"g{i % 3}" for i in range(90)]
+    vals = rng.uniform(0, 8, size=90)
+    t = pa.table({"k": pa.array(keys), "v": pa.array(vals)})
+    out = value_quantiles_milli_by_group(_ds(t, n_blocks), "k", "v",
+                                         quantiles_permille=(500, 900))
+    vm = np.floor(vals * 1000.0).astype(np.int64)
+    karr = np.array(keys)
+    for _, r in out.iterrows():
+        sel = np.sort(vm[karr == r["k"]])
+        rank = -(-r["q_permille"] * len(sel) // 1000)
+        assert r["value"] == sel[rank - 1]
+    assert len(out) == 6
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rollup_sentinel_collision_raises():
+    import pytest as _pytest
+
+    from pdf2doi_ray.stages.aggs import _ROLLUP_ALL, rollup_counts
+
+    t = pa.table({"x": pa.array(["ok", _ROLLUP_ALL]),
+                  "y": pa.array(["a", "b"])})
+    with _pytest.raises(Exception, match="sentinel"):
+        rollup_counts(_ds(t, 1), "x", "y").to_pandas()
