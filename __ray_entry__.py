@@ -346,6 +346,34 @@ def _q_embedding_dup_components(sf_dir: str):
     return connected_components(pairs, col_a="vec_a", col_b="vec_b")
 
 
+def _q_pagerank(sf_dir: str):
+    """Fixed-iteration (3 rounds) EXACT-integer PageRank over the symmetric
+    embedding near-dup graph — the canonical iterative-graph benchmark.
+    Default broadcast mode: one map stage per round over index-encoded
+    edge blocks, zero shuffles.  Scaled-integer arithmetic (milli-mass,
+    floor division on non-negative operands) makes the result
+    bit-identical to the unrolled SQL oracle in either mode."""
+    import pyarrow as pa
+    import ray.data
+
+    from pdf2doi_ray.stages.graph import pagerank_fixed
+
+    pairs = _q_embedding_near_dups(sf_dir)
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t["vec_a"].combine_chunks().cast(pa.int64())
+        b = t["vec_b"].combine_chunks().cast(pa.int64())
+        return pa.table({"src": pa.concat_arrays([a, b]),
+                         "dst": pa.concat_arrays([b, a])})
+
+    edges = pairs.map_batches(sym, batch_format="pyarrow")
+    nodes = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id"]).map_batches(
+        lambda t: pa.table({"node": t["vec_id"].cast(pa.int64())}),
+        batch_format="pyarrow")
+    return pagerank_fixed(edges, nodes, n_iters=3)
+
+
 def _q_top_docs_by_tokens(sf_dir: str):
     from pdf2doi_ray.stages.textstats import top_docs_by_tokens
     return top_docs_by_tokens(_docs(sf_dir, ("doc_id", "text")), k=20)
@@ -930,6 +958,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "embedding_near_dups_lsh": _q_embedding_near_dups_lsh,
         "embedding_dup_components": _q_embedding_dup_components,
+        "pagerank": _q_pagerank,
         "top_docs_by_tokens": _q_top_docs_by_tokens,
         "events_tumbling": _q_tumbling,
         "events_sliding": _q_sliding,
@@ -1168,6 +1197,37 @@ reach(node, r) AS (
   UNION
   SELECT e.a, reach.r FROM e JOIN reach ON reach.node = e.b)
 SELECT node, min(r) AS component FROM reach GROUP BY node
+""",
+        "pagerank": """
+WITH p AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        >= 0.40),
+e AS (SELECT va AS src, vb AS dst FROM p
+      UNION ALL SELECT vb AS src, va AS dst FROM p),
+n AS (SELECT vec_id AS node FROM embeddings),
+d AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM n),
+s1 AS (SELECT e.dst AS node,
+              CAST(sum((r0.r * 85) // (100 * d.outdeg)) AS BIGINT) AS s
+       FROM e JOIN d ON d.src = e.src JOIN r0 ON r0.node = e.src
+       GROUP BY e.dst),
+r1 AS (SELECT n.node, CAST(150000 + COALESCE(s1.s, 0) AS BIGINT) AS r
+       FROM n LEFT JOIN s1 ON s1.node = n.node),
+s2 AS (SELECT e.dst AS node,
+              CAST(sum((r1.r * 85) // (100 * d.outdeg)) AS BIGINT) AS s
+       FROM e JOIN d ON d.src = e.src JOIN r1 ON r1.node = e.src
+       GROUP BY e.dst),
+r2 AS (SELECT n.node, CAST(150000 + COALESCE(s2.s, 0) AS BIGINT) AS r
+       FROM n LEFT JOIN s2 ON s2.node = n.node),
+s3 AS (SELECT e.dst AS node,
+              CAST(sum((r2.r * 85) // (100 * d.outdeg)) AS BIGINT) AS s
+       FROM e JOIN d ON d.src = e.src JOIN r2 ON r2.node = e.src
+       GROUP BY e.dst),
+r3 AS (SELECT n.node, CAST(150000 + COALESCE(s3.s, 0) AS BIGINT) AS r
+       FROM n LEFT JOIN s3 ON s3.node = n.node)
+SELECT node, r AS rank_micro FROM r3
 """,
         "top_docs_by_tokens": """
 SELECT CAST(row_number() OVER (ORDER BY len(string_split(text, ' ')) DESC,

@@ -301,6 +301,43 @@ def main() -> None:
     if not headline_only:
         queries["connected_components_150k_edges"] = timed(q_components_large)
 
+    # 3-round exact-integer PageRank at ~200k edges / 50k nodes, both
+    # modes: broadcast (dense rank vector, one map stage/round) and
+    # shuffle (join + groupby Sum/round — the huge-node-count path)
+    def _pagerank_input():
+        import numpy as np
+        import pyarrow as pa
+
+        n_nodes = 50_000
+        i = np.arange(n_nodes, dtype=np.int64)
+        src = np.concatenate([i, i, i, i])
+        dst = np.concatenate([(i * 7 + 1) % n_nodes, (i * 13 + 5) % n_nodes,
+                              (i * 31 + 11) % n_nodes, (i + 1) % n_nodes])
+        keep = src != dst
+        edges = ray.data.from_arrow(pa.table({
+            "src": pa.array(src[keep]), "dst": pa.array(dst[keep])
+        })).repartition(NCPU).materialize()
+        nodes = ray.data.from_arrow(pa.table({"node": pa.array(i)}))
+        return edges, nodes, n_nodes
+
+    def q_pagerank_broadcast():
+        from pdf2doi_ray.stages.graph import pagerank_fixed
+        edges, nodes, n_nodes = _pagerank_input()
+        out = pagerank_fixed(edges, nodes, n_iters=3,
+                             mode="broadcast").count()
+        assert out == n_nodes, out
+
+    def q_pagerank_shuffle():
+        from pdf2doi_ray.stages.graph import pagerank_fixed
+        edges, nodes, n_nodes = _pagerank_input()
+        out = pagerank_fixed(edges, nodes, n_iters=3,
+                             mode="shuffle").count()
+        assert out == n_nodes, out
+
+    if not headline_only:
+        queries["pagerank_200k_edges"] = timed(q_pagerank_broadcast)
+        queries["pagerank_200k_edges_shuffle"] = timed(q_pagerank_shuffle)
+
     # corpus ops over the documents table: TF-IDF (2 sorts over (term,
     # doc, tf) rows) and corpus top-k bigrams (combiner + one groupby +
     # bounded partials)

@@ -156,3 +156,199 @@ def connected_components(pairs, col_a: str = "doc_a", col_b: str = "doc_b",
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} rounds "
         "(graph diameter exceeds the bound)")
+
+
+def pagerank_fixed(edges, nodes, n_iters: int = 3, damping_pct: int = 85,
+                   scale: int = 1_000_000, mode: str = "broadcast"):
+    """Fixed-iteration PageRank with EXACT integer arithmetic.
+
+    The canonical iterative-graph benchmark, with every numeric step in
+    scaled integers so the result is bit-identical to the SQL oracle's
+    unrolled iterations (and identical across both execution modes):
+
+    * ``r0 = scale`` for every node (unnormalized total mass n·scale);
+    * per round: ``contrib(e) = (r[src] · damping_pct) // (100 ·
+      outdeg[src])`` — non-negative integers, so numpy floor division and
+      DuckDB ``//`` truncation agree; ``r' = (scale · (100-damping_pct))
+      // 100 + Σ contribs into the node``.  Dangling mass (if any) drops,
+      identically on both sides.  Integer sums are order-independent, so
+      block scheduling cannot perturb the result.
+
+    Two execution modes, same contract split as embedding_near_dups
+    (exact broadcast baseline + shuffle scale path):
+
+    * ``mode="broadcast"`` (default): node ids are dense-indexed once
+      (sorted-unique + ``searchsorted``); the rank vector is one int64
+      per node, broadcast per round via ``ray.put`` — the same
+      dimension-side contract as :func:`..stages.similarity.
+      knn_bruteforce`'s query matrix.  Each round is then ONE map stage
+      over the index-encoded edge blocks emitting a per-block partial
+      contribution vector (``np.add.at`` — exact int64), plus a tiny
+      driver reduce over ≤#blocks vectors.  Zero shuffles, zero joins.
+      Scale bound: 8 B × |nodes| must fit the driver/object store
+      (~1.25e8 nodes per GiB); edge blocks stream and never move.
+    * ``mode="shuffle"``: no broadcast assumption — per round, ranks
+      join to edges via :func:`..stages.joins.broadcast_hash_join` on
+      ``src`` (swap to ``shuffle_hash_join`` past broadcast size), one
+      ``groupby(dst)`` Sum over contrib rows, one broadcast left-outer
+      back onto the node list.  This is the web-scale path where the
+      rank vector itself is too large to broadcast; it pays two
+      exchanges per round for it.
+
+    Returns a Dataset of ``(node, rank_micro)`` after ``n_iters``.
+    """
+    if mode == "broadcast":
+        return _pagerank_broadcast(edges, nodes, n_iters, damping_pct,
+                                   scale)
+    if mode != "shuffle":
+        raise ValueError(f"unknown mode {mode!r}")
+    from ray.data.aggregate import Sum
+    from .joins import broadcast_hash_join
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        g = t.select(["src"]).group_by("src").aggregate([([], "count_all")])
+        return pa.table({"src": g["src"],
+                         "d_p": g["count_all"].cast(pa.int64())})
+
+    outdeg = (edges.map_batches(deg_partial, batch_format="pyarrow")
+              .groupby("src").aggregate(Sum("d_p", alias_name="outdeg")))
+    edges_d = broadcast_hash_join(
+        edges, outdeg, on="src",
+        project=["src", "dst", "outdeg"]).materialize()
+
+    base = (scale * (100 - damping_pct)) // 100
+
+    def init_ranks(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t["node"],
+            "r": pa.array(np.full(t.num_rows, scale, dtype=np.int64)),
+        })
+
+    nodes = nodes.materialize()
+    ranks = nodes.map_batches(init_ranks,
+                              batch_format="pyarrow").materialize()
+
+    def emit(t: pa.Table) -> pa.Table:
+        r = np.asarray(t["r"].combine_chunks()
+                       if isinstance(t["r"], pa.ChunkedArray) else t["r"])
+        od = np.asarray(t["outdeg"].combine_chunks()
+                        if isinstance(t["outdeg"], pa.ChunkedArray)
+                        else t["outdeg"])
+        c = (r * damping_pct) // (100 * od)
+        return pa.table({"node": t["dst"], "c": pa.array(c)})
+
+    def fold(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        s = pc.fill_null(t["s"], 0)
+        return pa.table({
+            "node": t["node"],
+            "r": pc.add(pa.scalar(base, type=pa.int64()),
+                        s.cast(pa.int64()) if hasattr(s, "cast") else s),
+        })
+
+    for _ in range(n_iters):
+        sums = (broadcast_hash_join(edges_d, ranks, on="src",
+                                    right_on="node",
+                                    project=["dst", "outdeg", "r"])
+                .map_batches(emit, batch_format="pyarrow")
+                .groupby("node").aggregate(Sum("c", alias_name="s")))
+        ranks = (broadcast_hash_join(nodes, sums, on="node",
+                                     join_type="left outer",
+                                     project=["node", "s"])
+                 .map_batches(fold, batch_format="pyarrow")
+                 .materialize())
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["node"], "rank_micro": t["r"]})
+
+    return ranks.map_batches(rename, batch_format="pyarrow")
+
+
+def _pagerank_broadcast(edges, nodes, n_iters: int, damping_pct: int,
+                        scale: int):
+    """Broadcast-mode PageRank rounds (see :func:`pagerank_fixed`).
+
+    One dense int64 vector per node state (ranks, out-degrees) lives on
+    the driver and is broadcast per round; edge blocks are index-encoded
+    once and never move.  ``np.add.at`` keeps the scatter-sum exact in
+    int64 (``np.bincount`` weights would detour through float64).
+    """
+    import ray
+    import ray.data
+
+    node_tbl = pa.concat_tables(ray.get(nodes.to_arrow_refs()),
+                                promote_options="default")
+    if node_tbl.num_rows == 0:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], type=pa.int64()),
+            "rank_micro": pa.array([], type=pa.int64())}))
+    raw_ids = np.asarray(node_tbl["node"].combine_chunks().cast(pa.int64()))
+    node_ids = np.unique(raw_ids)
+    if len(node_ids) != len(raw_ids):
+        raise ValueError("duplicate node ids in pagerank node list")
+    n = len(node_ids)
+    ids_ref = ray.put(node_ids)
+
+    def encode(t: pa.Table) -> pa.Table:
+        ids = ray.get(ids_ref)
+        out = {}
+        for col, name in (("src", "si"), ("dst", "di")):
+            v = np.asarray(t[col].combine_chunks().cast(pa.int64()))
+            idx = np.searchsorted(ids, v)
+            idx_c = np.clip(idx, 0, n - 1)
+            if not np.array_equal(ids[idx_c], v):
+                raise ValueError(
+                    f"pagerank edge column {col!r} references ids absent "
+                    "from the node list")
+            out[name] = pa.array(idx_c, type=pa.int64())
+        return pa.table(out)
+
+    enc = edges.map_batches(encode, batch_format="pyarrow").materialize()
+
+    def _vec_sum(parts, default_len):
+        acc = np.zeros(default_len, dtype=np.int64)
+        for p in parts:
+            acc += np.frombuffer(p["part"], dtype=np.int64)
+        return acc
+
+    def deg_part(t: pa.Table) -> pa.Table:
+        si = np.asarray(t["si"].combine_chunks())
+        return pa.table({"part": pa.array(
+            [np.bincount(si, minlength=n).astype(np.int64).tobytes()],
+            type=pa.binary())})
+
+    outdeg = _vec_sum(
+        enc.map_batches(deg_part, batch_size=None,
+                        batch_format="pyarrow").take_all(), n)
+    od_ref = ray.put(outdeg)
+
+    base = (scale * (100 - damping_pct)) // 100
+    r = np.full(n, scale, dtype=np.int64)
+    for _ in range(n_iters):
+        r_ref = ray.put(r)
+
+        def round_part(t: pa.Table, _r=r_ref) -> pa.Table:
+            si = np.asarray(t["si"].combine_chunks())
+            di = np.asarray(t["di"].combine_chunks())
+            rv, od = ray.get(_r), ray.get(od_ref)
+            contrib = (rv[si] * damping_pct) // (100 * od[si])
+            acc = np.zeros(n, dtype=np.int64)
+            np.add.at(acc, di, contrib)
+            return pa.table({"part": pa.array([acc.tobytes()],
+                                              type=pa.binary())})
+
+        r = base + _vec_sum(
+            enc.map_batches(round_part, batch_size=None,
+                            batch_format="pyarrow").take_all(), n)
+
+    final_ref = ray.put(r)
+
+    def emit_ranks(t: pa.Table) -> pa.Table:
+        ids, rv = ray.get(ids_ref), ray.get(final_ref)
+        v = np.asarray(t["node"].combine_chunks().cast(pa.int64()))
+        return pa.table({
+            "node": pa.array(v),
+            "rank_micro": pa.array(rv[np.searchsorted(ids, v)]),
+        })
+
+    return nodes.map_batches(emit_ranks, batch_format="pyarrow")

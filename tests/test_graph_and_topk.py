@@ -89,3 +89,89 @@ def test_top_docs_by_tokens_matches_sorted():
     assert out["doc_id"].tolist() == list(order)
     assert out["n_tokens"].tolist() == n[order].tolist()
     assert out["rank"].tolist() == list(range(1, 11))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pagerank_fixed_matches_numpy_golden():
+    import ray.data
+
+    from pdf2doi_ray.stages.graph import pagerank_fixed
+
+    # deterministic 12-node directed graph, self-loops removed; multi-block
+    # edges exercise the per-batch degree partials + groupby merge
+    n = 12
+    src = np.repeat(np.arange(n), 2)
+    dst = np.concatenate([[(i * 5 + 1) % n, (i * 3 + 2) % n]
+                          for i in range(n)])
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array(src, type=pa.int64()),
+        "dst": pa.array(dst, type=pa.int64())})).repartition(3)
+    nodes = ray.data.from_arrow(pa.table({
+        "node": pa.array(np.arange(n), type=pa.int64())})).repartition(2)
+
+    # independent golden: same exact-integer recurrence in pure numpy
+    scale, damp = 1_000_000, 85
+    base = (scale * (100 - damp)) // 100
+    outdeg = np.bincount(src, minlength=n)
+    r = np.full(n, scale, dtype=np.int64)
+    for _ in range(3):
+        contrib = (r[src] * damp) // (100 * outdeg[src])
+        s = np.zeros(n, dtype=np.int64)
+        np.add.at(s, dst, contrib)
+        r = base + s
+
+    # both execution modes must agree bit-for-bit with the golden
+    for mode in ("broadcast", "shuffle"):
+        out = pagerank_fixed(edges, nodes, n_iters=3, mode=mode).to_pandas()
+        out = out.sort_values("node").reset_index(drop=True)
+        assert (out["node"].to_numpy() == np.arange(n)).all(), mode
+        assert (out["rank_micro"].to_numpy() == r).all(), mode
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pagerank_dangling_and_isolated_nodes():
+    import ray.data
+
+    from pdf2doi_ray.stages.graph import pagerank_fixed
+
+    # 1 -> 2 -> 3 (3 is dangling: its mass drops); 4 is isolated (base only)
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array([1, 2], type=pa.int64()),
+        "dst": pa.array([2, 3], type=pa.int64())}))
+    nodes = ray.data.from_arrow(pa.table({
+        "node": pa.array([1, 2, 3, 4], type=pa.int64())}))
+
+    for mode in ("broadcast", "shuffle"):
+        out = pagerank_fixed(edges, nodes, n_iters=2, mode=mode).to_pandas()
+        got = dict(zip(out["node"].astype(int),
+                       out["rank_micro"].astype(int)))
+        # round 1: r=[150000, 150000+850000, 150000+850000, 150000]
+        # round 2: contrib(1->2)=127500, contrib(2->3)=850000
+        assert got == {1: 150_000, 2: 277_500, 3: 1_000_000,
+                       4: 150_000}, mode
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pagerank_rejects_bad_inputs():
+    import ray.data
+
+    from pdf2doi_ray.stages.graph import pagerank_fixed
+
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array([1], type=pa.int64()),
+        "dst": pa.array([99], type=pa.int64())}))  # 99 not a node
+    nodes = ray.data.from_arrow(pa.table({
+        "node": pa.array([1, 2], type=pa.int64())}))
+    with pytest.raises(Exception, match="absent from the node list"):
+        pagerank_fixed(edges, nodes, n_iters=1).to_pandas()
+
+    dup_nodes = ray.data.from_arrow(pa.table({
+        "node": pa.array([1, 1, 2], type=pa.int64())}))
+    ok_edges = ray.data.from_arrow(pa.table({
+        "src": pa.array([1], type=pa.int64()),
+        "dst": pa.array([2], type=pa.int64())}))
+    with pytest.raises(ValueError, match="duplicate node ids"):
+        pagerank_fixed(ok_edges, dup_nodes, n_iters=1)
