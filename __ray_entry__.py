@@ -876,6 +876,21 @@ def _q_uniform_sample(sf_dir: str):
     return uniform_sample_k(_docs(sf_dir, ("doc_id",)), k=25)
 
 
+def _q_repetition_filter(sf_dir: str):
+    """Gopher-style repetition quality filter: per-doc top-bigram fraction
+    (permille) + keep flag.  Pure map-side — zero shuffles."""
+    from pdf2doi_ray.stages.corpus import top_bigram_repetition
+    return top_bigram_repetition(_docs(sf_dir, ("doc_id", "text")))
+
+
+def _q_contamination(sf_dir: str):
+    """Benchmark decontamination: flag corpus docs sharing any 8-token
+    shingle with the deterministic benchmark slice (doc_id % 97 == 0);
+    benchmark grams broadcast once, corpus streams — zero shuffles."""
+    from pdf2doi_ray.stages.corpus import contamination_flags
+    return contamination_flags(_docs(sf_dir, ("doc_id", "text")))
+
+
 def _q_curate_corpus(sf_dir: str):
     from pdf2doi_ray.pipelines.curate import curate_quality_dedup
     return curate_quality_dedup(_docs(sf_dir, ("doc_id", "text")))
@@ -1002,6 +1017,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_quantiles": _q_event_value_quantiles,
         "uniform_sample": _q_uniform_sample,
         "weighted_sample": _q_weighted_sample,
+        "repetition_filter": _q_repetition_filter,
+        "contamination": _q_contamination,
         "extraction_rate_by_host": _q_rate_by_host,
         "embedding_centroids": _q_embedding_centroids,
         "heavy_hitter_tokens": _q_heavy_hitter_tokens,
@@ -1683,6 +1700,40 @@ SELECT CAST(row_number() OVER (ORDER BY priority, doc_id) AS BIGINT)
            AS rank,
        doc_id, priority
 FROM h ORDER BY priority, doc_id LIMIT 25
+""",
+        "repetition_filter": """
+WITH t AS (SELECT doc_id,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+g AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bigram
+      FROM t, UNNEST(range(1, len(toks))) AS r(i)),
+c AS (SELECT doc_id, bigram, count(*) AS cnt FROM g GROUP BY doc_id, bigram),
+m AS (SELECT doc_id, CAST(max(cnt) AS BIGINT) AS top_cnt,
+             CAST(sum(cnt) AS BIGINT) AS n_bi
+      FROM c GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(m.n_bi, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(m.top_cnt, 0) AS BIGINT) AS top_bigram_count,
+       CAST(COALESCE((1000 * m.top_cnt) // m.n_bi, 0) AS BIGINT)
+           AS top_bigram_permille,
+       COALESCE((1000 * m.top_cnt) // m.n_bi, 0) < 180 AS keep
+FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id
+""",
+        "contamination": """
+WITH t AS (SELECT doc_id,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+g AS (SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS gram
+      FROM t, UNNEST(range(1, len(toks) - 6)) AS r(i)),
+b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+h AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n
+      FROM g JOIN b USING (gram)
+      WHERE g.doc_id % 97 <> 0 GROUP BY g.doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_contaminated_grams,
+       COALESCE(h.n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id
+WHERE d.doc_id % 97 <> 0
 """,
         # milli-scaled integer statistics (repo floor(value*1000)
         # convention); integer // mean — sums are non-negative here so

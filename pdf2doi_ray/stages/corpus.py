@@ -487,3 +487,129 @@ def tfidf_top_terms(docs, k: int = 3, scale: int = 1_000_000):
     out_rows, d_check = _split(picked, "dlo", "dhi", "tfidf_top_terms/topk")
 
     return out_rows.union(t_check).union(d_check)
+
+
+def _bigrams_with_rows(t: pa.Table):
+    """Adjacent-token bigrams + their batch row index (vectorized; see
+    :func:`top_bigrams` for the slice-and-mask construction)."""
+    flat, row_idx = _tokens_nonempty(t)
+    if len(flat) < 2:
+        return (pa.array([], type=pa.string()),
+                np.empty(0, dtype=np.int64))
+    same_doc = row_idx[1:] == row_idx[:-1]
+    joined = pc.binary_join_element_wise(
+        flat.slice(0, len(flat) - 1), flat.slice(1), " ")
+    return joined.filter(pa.array(same_doc)), row_idx[:-1][same_doc]
+
+
+def top_bigram_repetition(docs, keep_below_permille: int = 180):
+    """Gopher-style repetition quality filter: fraction of a document's
+    adjacent-token bigrams taken by its single most frequent bigram
+    (documents dominated by one repeated phrase are boilerplate/spam).
+
+    Pure map-side — a document is one row in one batch, so both group-bys
+    (per-(doc, bigram) count, then per-doc max) run inside the batch in
+    Arrow C++; NO shuffle at any corpus size.  Integer permille
+    (``1000·top//total``) keeps the SQL oracle hash-exact.  Documents with
+    fewer than two tokens have no bigrams: permille 0, keep=true (too
+    short to convict), same convention as the oracle.
+
+    Returns (doc_id, n_bigrams, top_bigram_count, top_bigram_permille,
+    keep).
+    """
+    def score(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].combine_chunks()
+                         if isinstance(t["doc_id"], pa.ChunkedArray)
+                         else t["doc_id"])
+        bigrams, brow = _bigrams_with_rows(t)
+        n_bi = np.bincount(brow, minlength=t.num_rows).astype(np.int64)
+        top = np.zeros(t.num_rows, dtype=np.int64)
+        if len(bigrams):
+            c = pa.table({
+                "r": pa.array(brow), "g": bigrams,
+            }).group_by(["r", "g"]).aggregate([([], "count_all")])
+            m = pa.table({
+                "r": c["r"], "cnt": c["count_all"].cast(pa.int64()),
+            }).group_by("r").aggregate([("cnt", "max")])
+            top[np.asarray(m["r"].combine_chunks())] = \
+                np.asarray(m["cnt_max"].combine_chunks())
+        permille = np.where(n_bi > 0, 1000 * top // np.maximum(n_bi, 1), 0)
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "n_bigrams": pa.array(n_bi),
+            "top_bigram_count": pa.array(top),
+            "top_bigram_permille": pa.array(permille),
+            "keep": pa.array(permille < keep_below_permille),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+def contamination_flags(docs, gram_len: int = 8, benchmark_mod: int = 97):
+    """Benchmark decontamination: flag corpus documents that share any
+    ``gram_len``-token shingle with the held-out benchmark slice
+    (``doc_id % benchmark_mod == 0`` — the deterministic stand-in for an
+    eval set).  The standard pre-training leakage check.
+
+    Plan: one filtered pass collects the benchmark documents' distinct
+    grams (the benchmark side is SMALL by contract — eval sets are
+    thousands of docs, not corpora) and broadcasts them once via
+    ``ray.put``; the corpus pass then streams, building each batch's grams
+    vectorized (``gram_len``-way Arrow element-wise join over zero-copy
+    slices) and testing membership against a pandas C hash index — no
+    shuffle, documents never move.  Exact string membership (no hashing),
+    so the SQL oracle matches bit-for-bit.
+
+    Returns (doc_id, n_contaminated_grams, contaminated) for NON-benchmark
+    documents only.
+    """
+    import pandas as pd
+    import ray
+
+    def _grams_with_rows(t: pa.Table):
+        flat, row_idx = _tokens_nonempty(t)
+        if len(flat) < gram_len:
+            return (pa.array([], type=pa.string()),
+                    np.empty(0, dtype=np.int64))
+        n = len(flat) - gram_len + 1
+        same_doc = row_idx[:n] == row_idx[gram_len - 1:]
+        parts = [flat.slice(i, n) for i in range(gram_len)]
+        joined = pc.binary_join_element_wise(*parts, " ")
+        return joined.filter(pa.array(same_doc)), row_idx[:n][same_doc]
+
+    def bench_grams(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].combine_chunks()
+                         if isinstance(t["doc_id"], pa.ChunkedArray)
+                         else t["doc_id"])
+        keep = pa.array(ids % benchmark_mod == 0)
+        sub = t.filter(keep)
+        grams, _ = _grams_with_rows(sub)
+        return pa.table({"gram": pc.unique(grams)})
+
+    bench = pa.concat_tables(
+        ray.get(docs.map_batches(bench_grams, batch_format="pyarrow")
+                .to_arrow_refs()), promote_options="default")
+    bench_idx = pd.Index(pc.unique(
+        bench["gram"].combine_chunks()).to_pandas())
+    bench_ref = ray.put(bench_idx)
+
+    def flag(t: pa.Table) -> pa.Table:
+        idx = ray.get(bench_ref)
+        ids = np.asarray(t["doc_id"].combine_chunks()
+                         if isinstance(t["doc_id"], pa.ChunkedArray)
+                         else t["doc_id"])
+        keep = pa.array(ids % benchmark_mod != 0)
+        sub = t.filter(keep)
+        sub_ids = ids[np.asarray(keep)]
+        grams, grow = _grams_with_rows(sub)
+        n_hits = np.zeros(len(sub_ids), dtype=np.int64)
+        if len(grams):
+            hit = idx.get_indexer(grams.to_pandas()) >= 0
+            np.add.at(n_hits, grow[hit], 1)
+        return pa.table({
+            "doc_id": pa.array(sub_ids),
+            "n_contaminated_grams": pa.array(n_hits),
+            "contaminated": pa.array(n_hits > 0),
+        })
+
+    return docs.map_batches(flag, batch_format="pyarrow")

@@ -419,3 +419,68 @@ def test_rollup_sentinel_collision_raises():
                   "y": pa.array(["a", "b"])})
     with _pytest.raises(Exception, match="sentinel"):
         rollup_counts(_ds(t, 1), "x", "y").to_pandas()
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("n_blocks", [1, 3])
+def test_top_bigram_repetition(n_blocks):
+    from pdf2doi_ray.stages.corpus import top_bigram_repetition
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array([
+            "buy now buy now buy now buy now",   # "buy now" 4x, "now buy" 3x
+            "the quick brown fox jumps",          # all bigrams distinct
+            "one",                                # no bigrams
+            "",                                   # empty
+        ]),
+    })
+    out = top_bigram_repetition(_ds(t, n_blocks)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # doc 1: 7 bigrams, top=4 -> 571 permille -> filtered
+    assert out["n_bigrams"].tolist() == [7, 4, 0, 0]
+    assert out["top_bigram_count"].tolist() == [4, 1, 0, 0]
+    assert out["top_bigram_permille"].tolist() == [571, 250, 0, 0]
+    assert out["keep"].tolist() == [False, False, True, True]
+    # custom threshold flips doc 2
+    out2 = top_bigram_repetition(_ds(t, n_blocks),
+                                 keep_below_permille=600).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out2["keep"].tolist() == [True, True, True, True]
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("n_blocks", [1, 4])
+def test_contamination_flags(n_blocks):
+    from pdf2doi_ray.stages.corpus import contamination_flags
+
+    bench_text = "a b c d e f g h i j"           # grams: a..h, b..i, c..j
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 97], type=pa.int64()),
+        "text": pa.array([
+            bench_text,                           # benchmark doc (0 % 97)
+            "x a b c d e f g h y b c d e f g h i z",  # hits a..h and b..i
+            "totally clean text with no overlap at all here",
+            "q r s t u v w x y z",                # benchmark doc (97 % 97)
+        ]),
+    })
+    out = contamination_flags(_ds(t, n_blocks)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # benchmark docs 0 and 97 are excluded from the output
+    assert out["doc_id"].tolist() == [1, 2]
+    assert out["n_contaminated_grams"].tolist() == [2, 0]
+    assert out["contaminated"].tolist() == [True, False]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_contamination_short_and_empty_benchmark():
+    from pdf2doi_ray.stages.corpus import contamination_flags
+
+    # no doc_id % 97 == 0 rows at all -> nothing can be contaminated
+    t = pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": pa.array(["a b c d e f g h i", "short one"]),
+    })
+    out = contamination_flags(_ds(t, 1)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["contaminated"].tolist() == [False, False]
