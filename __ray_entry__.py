@@ -876,6 +876,27 @@ def _q_uniform_sample(sf_dir: str):
     return uniform_sample_k(_docs(sf_dir, ("doc_id",)), k=25)
 
 
+def _q_sample_intersect(sf_dir: str):
+    """Distinct doc_ids kept by BOTH deterministic samplers (uniform hash
+    sample ∩ quality-weighted sample) — SQL INTERSECT as a combiner-first
+    single-shuffle membership aggregate."""
+    from pdf2doi_ray.stages.corpus import hash_sample, weighted_sample
+    from pdf2doi_ray.stages.setops import distinct_intersect
+    a = hash_sample(_docs(sf_dir, ("doc_id",)))
+    b = weighted_sample(_docs(sf_dir, ("doc_id", "text")))
+    return distinct_intersect(a, b, "doc_id")
+
+
+def _q_sample_except(sf_dir: str):
+    """Distinct doc_ids kept by the uniform hash sample but NOT the
+    quality-weighted sample — SQL EXCEPT, same membership engine."""
+    from pdf2doi_ray.stages.corpus import hash_sample, weighted_sample
+    from pdf2doi_ray.stages.setops import distinct_except
+    a = hash_sample(_docs(sf_dir, ("doc_id",)))
+    b = weighted_sample(_docs(sf_dir, ("doc_id", "text")))
+    return distinct_except(a, b, "doc_id")
+
+
 def _q_repetition_filter(sf_dir: str):
     """Gopher-style repetition quality filter: per-doc top-bigram fraction
     (permille) + keep flag.  Pure map-side — zero shuffles."""
@@ -1019,6 +1040,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": _q_weighted_sample,
         "repetition_filter": _q_repetition_filter,
         "contamination": _q_contamination,
+        "sample_intersect": _q_sample_intersect,
+        "sample_except": _q_sample_except,
         "extraction_rate_by_host": _q_rate_by_host,
         "embedding_centroids": _q_embedding_centroids,
         "heavy_hitter_tokens": _q_heavy_hitter_tokens,
@@ -1700,6 +1723,26 @@ SELECT CAST(row_number() OVER (ORDER BY priority, doc_id) AS BIGINT)
            AS rank,
        doc_id, priority
 FROM h ORDER BY priority, doc_id LIMIT 25
+""",
+        "sample_intersect": """
+WITH a AS (SELECT doc_id FROM documents
+           WHERE (CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761)
+                 % 4294967296 % 1000 < 125),
+b AS (SELECT doc_id FROM documents
+      WHERE (CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761)
+            % 4294967296 % 200
+            < least(len(string_split(text, ' ')), 200))
+SELECT doc_id FROM a INTERSECT SELECT doc_id FROM b
+""",
+        "sample_except": """
+WITH a AS (SELECT doc_id FROM documents
+           WHERE (CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761)
+                 % 4294967296 % 1000 < 125),
+b AS (SELECT doc_id FROM documents
+      WHERE (CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761)
+            % 4294967296 % 200
+            < least(len(string_split(text, ' ')), 200))
+SELECT doc_id FROM a EXCEPT SELECT doc_id FROM b
 """,
         "repetition_filter": """
 WITH t AS (SELECT doc_id,

@@ -484,3 +484,32 @@ def test_contamination_short_and_empty_benchmark():
     out = contamination_flags(_ds(t, 1)).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     assert out["contaminated"].tolist() == [False, False]
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("n_blocks", [1, 3])
+def test_distinct_setops(n_blocks):
+    from pdf2doi_ray.stages.setops import distinct_except, distinct_intersect
+
+    a = pa.table({"k": pa.array([1, 1, 2, 3, 5, 5, 7], type=pa.int64())})
+    b = pa.table({"k": pa.array([2, 3, 3, 4, 9], type=pa.int64())})
+    inter = sorted(distinct_intersect(_ds(a, n_blocks), _ds(b, n_blocks),
+                                      "k").to_pandas()["k"].tolist())
+    exc = sorted(distinct_except(_ds(a, n_blocks), _ds(b, n_blocks),
+                                 "k").to_pandas()["k"].tolist())
+    assert inter == [2, 3]
+    assert exc == [1, 5, 7]
+    # EXCEPT is asymmetric
+    exc_ba = sorted(distinct_except(_ds(b, n_blocks), _ds(a, n_blocks),
+                                    "k").to_pandas()["k"].tolist())
+    assert exc_ba == [4, 9]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_distinct_setops_null_key_raises():
+    from pdf2doi_ray.stages.setops import distinct_intersect
+
+    a = pa.table({"k": pa.array([1, None], type=pa.int64())})
+    b = pa.table({"k": pa.array([1], type=pa.int64())})
+    with pytest.raises(Exception, match="contains nulls"):
+        distinct_intersect(_ds(a, 1), _ds(b, 1), "k").to_pandas()
