@@ -740,6 +740,38 @@ def _q_rate_by_host(sf_dir: str):
                                        Sum("n_pages", alias_name="n_pages")))
 
 
+def _q_rank_user_value(sf_dir: str):
+    """RANK() per user over the mod-100 milli value (tie-rich ordering);
+    same sorted-block + sharded-stitch engine as the rolling sums."""
+    import ray.data
+
+    from pdf2doi_ray.stages.windowfns import rank_user_value
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"])
+    return rank_user_value(ev)
+
+
+def _q_dense_rank_user_value(sf_dir: str):
+    import ray.data
+
+    from pdf2doi_ray.stages.windowfns import dense_rank_user_value
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"])
+    return dense_rank_user_value(ev)
+
+
+def _q_row_number_user(sf_dir: str):
+    import ray.data
+
+    from pdf2doi_ray.stages.windowfns import row_number_user
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"])
+    return row_number_user(ev)
+
+
 def _q_lag_user_value(sf_dir: str):
     import ray.data
 
@@ -1049,6 +1081,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup": _q_docs_rollup,
         "lag_user_value": _q_lag_user_value,
         "lead_user_value": _q_lead_user_value,
+        "rank_user_value": _q_rank_user_value,
+        "dense_rank_user_value": _q_dense_rank_user_value,
+        "row_number_user": _q_row_number_user,
         "events_cube": _q_events_cube,
         "value_quantiles_by_type": _q_value_quantiles_by_type,
     }
@@ -1635,6 +1670,29 @@ WITH e AS (SELECT event_id, user_id, ts,
 SELECT event_id, user_id,
        LAG(vm) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lag_vm
 FROM e
+""",
+        "rank_user_value": """
+WITH e AS (SELECT event_id, user_id,
+                  CAST(floor(value * 1000) AS BIGINT) % 100 AS k
+           FROM events)
+SELECT event_id, user_id,
+       CAST(RANK() OVER (PARTITION BY user_id ORDER BY k) AS BIGINT) AS rnk
+FROM e
+""",
+        "dense_rank_user_value": """
+WITH e AS (SELECT event_id, user_id,
+                  CAST(floor(value * 1000) AS BIGINT) % 100 AS k
+           FROM events)
+SELECT event_id, user_id,
+       CAST(DENSE_RANK() OVER (PARTITION BY user_id ORDER BY k) AS BIGINT)
+           AS drnk
+FROM e
+""",
+        "row_number_user": """
+SELECT event_id, user_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS BIGINT) AS rn
+FROM events
 """,
         # one-pass multi-level aggregate; NULLs mark subtotal / grand-total
         # rows exactly like SQL ROLLUP

@@ -159,6 +159,78 @@ def lead_user_value(events, stitch_shards: int = DEFAULT_STITCH_SHARDS):
     return _windowed_user_op(events, kernel, "lead_vm", stitch_shards)
 
 
+def _rank_kernel(dense: bool, mod):
+    """Vectorized RANK / DENSE_RANK over concatenated segments, ordered by
+    ``vm`` (or ``vm % mod``).  No per-segment Python: one global lexsort
+    with segment id as the primary key keeps segments contiguous, tie runs
+    resolve with a max-accumulated anchor (RANK) or a cumulative
+    new-value count rebased per segment (DENSE_RANK), and results scatter
+    back to row order.  Row order within a segment is irrelevant to a
+    value-ordered rank, so the boundary stitch (which re-sorts by ts) is
+    automatically consistent."""
+    def kernel(vm, starts, ends):
+        if mod is not None:
+            if len(vm) and vm.min() < 0:
+                raise ValueError(
+                    "rank modulo ordering requires non-negative milli "
+                    "values (numpy and SQL disagree on negative %)")
+            key = vm % mod
+        else:
+            key = vm
+        n = len(key)
+        seg_id = np.repeat(np.arange(len(starts)), ends - starts)
+        order = np.lexsort((key, seg_id))
+        ks, ss = key[order], seg_id[order]
+        idx = np.arange(n)
+        new = np.ones(n, dtype=bool)
+        if n > 1:
+            new[1:] = (ks[1:] != ks[:-1]) | (ss[1:] != ss[:-1])
+        if dense:
+            newcount = np.cumsum(new)
+            base = np.repeat(newcount[starts] - 1, ends - starts)
+            r_sorted = (newcount - base).astype(np.int64)
+        else:
+            anchor = np.maximum.accumulate(np.where(new, idx, 0))
+            seg_start = np.repeat(starts, ends - starts)
+            r_sorted = (anchor - seg_start + 1).astype(np.int64)
+        out = np.empty(n, dtype=np.int64)
+        out[order] = r_sorted
+        return out, None
+
+    return kernel
+
+
+def rank_user_value(events, mod=100,
+                    stitch_shards: int = DEFAULT_STITCH_SHARDS):
+    """``RANK() OVER (PARTITION BY user_id ORDER BY vm % mod)`` — ties
+    share a rank, the next distinct value skips past them.  ``mod``
+    coarsens the milli value so tie runs actually occur (``None`` ranks
+    the exact milli value).  Output: event_id, user_id, rnk."""
+    return _windowed_user_op(events, _rank_kernel(False, mod), "rnk",
+                             stitch_shards)
+
+
+def dense_rank_user_value(events, mod=100,
+                          stitch_shards: int = DEFAULT_STITCH_SHARDS):
+    """``DENSE_RANK()`` twin of :func:`rank_user_value` — no gaps after
+    tie runs.  Output: event_id, user_id, drnk."""
+    return _windowed_user_op(events, _rank_kernel(True, mod), "drnk",
+                             stitch_shards)
+
+
+def row_number_user(events, stitch_shards: int = DEFAULT_STITCH_SHARDS):
+    """``ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)``
+    — unique 1..n position per user.  The kernel is position-in-segment;
+    (ts, event_id) uniqueness makes it deterministic.  Output: event_id,
+    user_id, rn."""
+    def kernel(vm, starts, ends):
+        idx = np.arange(len(vm))
+        seg_start = np.repeat(starts, ends - starts)
+        return (idx - seg_start + 1).astype(np.int64), None
+
+    return _windowed_user_op(events, kernel, "rn", stitch_shards)
+
+
 def _windowed_user_op(events, kernel, out_col: str,
                       stitch_shards: int = DEFAULT_STITCH_SHARDS):
     """Shared engine of the per-user ordered window functions.

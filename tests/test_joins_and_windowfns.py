@@ -329,3 +329,59 @@ def test_lead_user_value_blocks(n_blocks):
     a = out["lead_vm"].fillna(-1).to_numpy()
     b = want["want"].fillna(-1).to_numpy()
     assert len(out) == n and (a == b).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("n_blocks", [1, 5])
+def test_rank_window_functions_blocks(n_blocks):
+    from pdf2doi_ray.stages.windowfns import (dense_rank_user_value,
+                                              rank_user_value,
+                                              row_number_user)
+
+    rng = np.random.default_rng(23)
+    n = 150
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(
+            pd.to_datetime(rng.integers(0, 10**6, size=n), unit="s")
+            .astype("datetime64[us]")),
+        "user_id": pa.array(rng.integers(0, 7, size=n).astype(np.int64)),
+        # values land on a coarse grid so vm % 100 produces real tie runs
+        # (vm in {0,25,..,175} -> k in {0,25,50,75}, ~5 ties per key/user)
+        "value": pa.array(rng.integers(0, 8, size=n) * 0.025),
+    })
+    df = t.to_pandas()
+    df["k"] = (np.floor(df["value"] * 1000.0).astype(np.int64)) % 100
+    want_rank = df.groupby("user_id")["k"].rank(method="min").astype(int)
+    want_dense = df.groupby("user_id")["k"].rank(method="dense").astype(int)
+    df2 = df.sort_values(["user_id", "ts", "event_id"])
+    df2["rn"] = df2.groupby("user_id").cumcount() + 1
+    want_rn = df2.sort_values("event_id")["rn"].to_numpy()
+
+    got_rank = rank_user_value(_ds(t, n_blocks)).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    got_dense = dense_rank_user_value(_ds(t, n_blocks)).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    got_rn = row_number_user(_ds(t, n_blocks)).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+
+    assert (got_rank["rnk"].to_numpy() == want_rank.to_numpy()).all()
+    assert (got_dense["drnk"].to_numpy() == want_dense.to_numpy()).all()
+    assert (got_rn["rn"].to_numpy() == want_rn).all()
+    # with ties, rank must gap past tie runs while dense rank stays compact
+    assert got_rank["rnk"].max() > got_dense["drnk"].max()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rank_rejects_negative_values_under_mod():
+    from pdf2doi_ray.stages.windowfns import rank_user_value
+
+    t = pa.table({
+        "event_id": pa.array([1, 2], type=pa.int64()),
+        "ts": pa.array(pd.to_datetime([1, 2], unit="s")
+                       .astype("datetime64[us]")),
+        "user_id": pa.array([1, 1], type=pa.int64()),
+        "value": pa.array([-1.5, 2.0]),
+    })
+    with pytest.raises(Exception, match="non-negative"):
+        rank_user_value(_ds(t, 1)).to_pandas()
