@@ -740,6 +740,29 @@ def _q_rate_by_host(sf_dir: str):
                                        Sum("n_pages", alias_name="n_pages")))
 
 
+def _q_user_event_paths(sf_dir: str):
+    """Ordered per-user event-type path (SQL string_agg ... ORDER BY ts) —
+    sorted-block segment join in Arrow C++ + per-user sharded stitch."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import grouped_string_agg
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"])
+    return grouped_string_agg(ev)
+
+
+def _q_user_mode_event_type(sf_dir: str):
+    """Statistical mode per user: most frequent event_type, ties to the
+    lexicographically smallest — combiner counts + grouped top-1."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import grouped_mode
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+    return grouped_mode(ev, "user_id", "event_type")
+
+
 def _q_rank_user_value(sf_dir: str):
     """RANK() per user over the mod-100 milli value (tie-rich ordering);
     same sorted-block + sharded-stitch engine as the rolling sums."""
@@ -1084,6 +1107,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_user_value": _q_rank_user_value,
         "dense_rank_user_value": _q_dense_rank_user_value,
         "row_number_user": _q_row_number_user,
+        "user_mode_event_type": _q_user_mode_event_type,
+        "user_event_paths": _q_user_event_paths,
         "events_cube": _q_events_cube,
         "value_quantiles_by_type": _q_value_quantiles_by_type,
     }
@@ -1670,6 +1695,20 @@ WITH e AS (SELECT event_id, user_id, ts,
 SELECT event_id, user_id,
        LAG(vm) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lag_vm
 FROM e
+""",
+        "user_event_paths": """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       string_agg(event_type, ',' ORDER BY ts, event_id) AS path
+FROM events GROUP BY user_id
+""",
+        "user_mode_event_type": """
+WITH c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY user_id, event_type),
+r AS (SELECT user_id, event_type, n,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY n DESC, event_type) AS rk
+      FROM c)
+SELECT user_id, event_type, n AS n_events FROM r WHERE rk = 1
 """,
         "rank_user_value": """
 WITH e AS (SELECT event_id, user_id,

@@ -220,3 +220,154 @@ def value_quantiles_milli_by_group(ds, group_col: str, value_col: str,
                              "q_permille": pd.Series(dtype="int64"),
                              "value": pd.Series(dtype="int64")})
     return pd.concat(out, ignore_index=True)
+
+
+def grouped_mode(ds, group_col: str, value_col: str):
+    """Statistical mode per group: the most frequent ``value_col`` for each
+    ``group_col``, ties broken by the lexicographically smallest value —
+    ``row_number() OVER (PARTITION BY group ORDER BY count DESC, value
+    ASC) = 1``.
+
+    Two combiner-first exchanges: a per-batch Arrow ``group_by`` collapses
+    raw rows to (group, value) count partials, the global ``groupby``
+    merges them into exact counts, and :func:`.windowfns.grouped_top_k`
+    with k=1 picks the winner per group (≤1 surviving row per group per
+    batch enters its bucketed stitch).  Returns (group, value,
+    n_events)."""
+    from ray.data.aggregate import Sum
+
+    from .windowfns import grouped_top_k
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select([group_col, value_col]) \
+            .group_by([group_col, value_col]).aggregate([([], "count_all")])
+        return pa.table({
+            group_col: g[group_col],
+            value_col: g[value_col],
+            "n_p": g["count_all"].cast(pa.int64()),
+        })
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby([group_col, value_col])
+              .aggregate(Sum("n_p", alias_name="n_events")))
+    top = grouped_top_k(counts, group_col, "n_events", value_col, k=1)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            group_col: t[group_col],
+            value_col: t[value_col],
+            "n_events": t["n_events"],
+        })
+
+    return top.map_batches(project, batch_format="pyarrow")
+
+
+def grouped_string_agg(events, group_col: str = "user_id",
+                       value_col: str = "event_type", sep: str = ",",
+                       stitch_shards=None):
+    """Ordered per-group string aggregation —
+    ``string_agg(value, sep ORDER BY ts, event_id) GROUP BY group``.
+
+    Sorted-block plan (the sessions/windowfns pattern): sort (group, ts,
+    event_id); inside each block every segment's values join in ONE Arrow
+    C++ call (``ListArray`` over the segment offsets → ``pc.binary_join``)
+    — no per-group Python.  Interior segments are final; each block's
+    first/last segment re-emits its PARTIAL path (plus its first (ts,
+    event_id) for ordering) to the per-group sharded stitch, which joins
+    the partials in block order — concatenation with a separator is
+    associative, so the merged path is exact.
+
+    Scale bound: one group's full path must fit in a stitch shard's heap
+    (paths are O(events-per-group)); a hot group bounds at its own path
+    length, not the corpus.  Returns (group, n_events, path).
+    """
+    from .stitch import DEFAULT_STITCH_SHARDS, sharded_stitch
+    if stitch_shards is None:
+        stitch_shards = DEFAULT_STITCH_SHARDS
+
+    out_empty = pa.table({
+        group_col: pa.array([], type=pa.int64()),
+        "n_events": pa.array([], type=pa.int64()),
+        "path": pa.array([], type=pa.string()),
+    })
+
+    def _join_segments(vals: pa.Array, starts: np.ndarray,
+                       ends: np.ndarray):
+        offsets = np.concatenate([starts, [ends[-1]]]).astype(np.int32)
+        lists = pa.ListArray.from_arrays(pa.array(offsets,
+                                                  type=pa.int32()), vals)
+        return pc.binary_join(lists, sep)
+
+    def block_agg(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        empty = pa.table({
+            group_col: pa.array([], type=pa.int64()),
+            "n_p": pa.array([], type=pa.int64()),
+            "path_p": pa.array([], type=pa.string()),
+            "ts_first": pa.array([], type=pa.int64()),
+            "eid_first": pa.array([], type=pa.int64()),
+            "boundary": pa.array([], type=pa.bool_()),
+        })
+        if n == 0:
+            return empty
+        us = np.asarray(one_chunk(t[group_col])).astype(np.int64)
+        eid = np.asarray(one_chunk(t["event_id"])).astype(np.int64)
+        ts = np.asarray(pc.cast(pc.cast(one_chunk(t["ts"]),
+                                        pa.timestamp("us")), pa.int64()))
+        vals = one_chunk(t[value_col])
+        change = np.nonzero(us[1:] != us[:-1])[0] + 1
+        starts = np.concatenate([[0], change]).astype(np.int64)
+        ends = np.concatenate([change, [n]]).astype(np.int64)
+        paths = _join_segments(vals, starts, ends)
+        k = len(starts)
+        boundary = np.zeros(k, dtype=bool)
+        boundary[0] = boundary[-1] = True
+        return pa.table({
+            group_col: pa.array(us[starts]),
+            "n_p": pa.array(ends - starts),
+            "path_p": paths,
+            "ts_first": pa.array(ts[starts]),
+            "eid_first": pa.array(eid[starts]),
+            "boundary": pa.array(boundary),
+        })
+
+    def stitch(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_empty
+        us = np.asarray(one_chunk(t[group_col])).astype(np.int64)
+        tsf = np.asarray(one_chunk(t["ts_first"])).astype(np.int64)
+        eidf = np.asarray(one_chunk(t["eid_first"])).astype(np.int64)
+        n_p = np.asarray(one_chunk(t["n_p"])).astype(np.int64)
+        order = np.lexsort((eidf, tsf, us))
+        us, n_p = us[order], n_p[order]
+        vals = one_chunk(t["path_p"]).take(pa.array(order))
+        change = np.nonzero(us[1:] != us[:-1])[0] + 1
+        starts = np.concatenate([[0], change]).astype(np.int64)
+        ends = np.concatenate([change, [len(us)]]).astype(np.int64)
+        paths = _join_segments(vals, starts, ends)
+        sums = np.add.reduceat(n_p, starts)
+        return pa.table({
+            group_col: pa.array(us[starts]),
+            "n_events": pa.array(sums),
+            "path": paths,
+        })
+
+    srt = events.sort([group_col, "ts", "event_id"])
+    mixed = srt.map_batches(block_agg, batch_format="pyarrow",
+                            batch_size=None).materialize()
+    interior = mixed.map_batches(
+        lambda t: pa.table({
+            group_col: t.filter(pc.equal(t["boundary"], False))[group_col],
+            "n_events": t.filter(pc.equal(t["boundary"], False))["n_p"],
+            "path": t.filter(pc.equal(t["boundary"], False))["path_p"],
+        }),
+        batch_format="pyarrow")
+    carries = mixed.map_batches(
+        lambda t: t.filter(t["boundary"])
+        .select([group_col, "n_p", "path_p", "ts_first", "eid_first"]),
+        batch_format="pyarrow")
+    cross = sharded_stitch(
+        carries,
+        lambda t: np.asarray(one_chunk(t[group_col])).astype(np.int64),
+        stitch, num_shards=stitch_shards)
+    return interior.union(cross)

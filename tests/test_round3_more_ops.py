@@ -513,3 +513,52 @@ def test_distinct_setops_null_key_raises():
     b = pa.table({"k": pa.array([1], type=pa.int64())})
     with pytest.raises(Exception, match="contains nulls"):
         distinct_intersect(_ds(a, 1), _ds(b, 1), "k").to_pandas()
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("n_blocks", [1, 4])
+def test_grouped_mode_with_ties(n_blocks):
+    from pdf2doi_ray.stages.aggs import grouped_mode
+
+    t = pa.table({
+        "user_id": pa.array([1]*5 + [2]*4 + [3]*1, type=pa.int64()),
+        "event_type": pa.array(
+            ["click", "click", "view", "view", "buy",    # tie click/view x2
+             "view", "view", "view", "click",            # clear winner view
+             "zzz"]),                                    # singleton group
+    })
+    out = grouped_mode(_ds(t, n_blocks), "user_id", "event_type") \
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    # user 1: click=2, view=2 tie -> lexicographically smallest "click"
+    assert out["user_id"].tolist() == [1, 2, 3]
+    assert out["event_type"].tolist() == ["click", "view", "zzz"]
+    assert out["n_events"].tolist() == [2, 3, 1]
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("n_blocks,shards", [(1, 1), (4, 1), (4, 8)])
+def test_grouped_string_agg_blocks(n_blocks, shards):
+    import pandas as pd
+
+    from pdf2doi_ray.stages.aggs import grouped_string_agg
+
+    rng = np.random.default_rng(31)
+    n = 200
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(pd.to_datetime(rng.integers(0, 10**6, size=n),
+                                      unit="s").astype("datetime64[us]")),
+        "user_id": pa.array(rng.integers(0, 6, size=n).astype(np.int64)),
+        "event_type": pa.array(
+            np.array(["click", "view", "buy"])[rng.integers(0, 3, size=n)]),
+    })
+    out = grouped_string_agg(_ds(t, n_blocks), stitch_shards=shards) \
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+
+    df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    want = df.groupby("user_id").agg(
+        n_events=("event_type", "size"),
+        path=("event_type", ",".join)).reset_index()
+    assert out["user_id"].tolist() == want["user_id"].tolist()
+    assert out["n_events"].tolist() == want["n_events"].tolist()
+    assert out["path"].tolist() == want["path"].tolist()
