@@ -374,6 +374,21 @@ def _q_pagerank(sf_dir: str):
     return pagerank_fixed(edges, nodes, n_iters=3)
 
 
+def _q_near_dup_triangles(sf_dir: str):
+    """Exact triangle count of the embedding near-dup graph (looser 0.30
+    threshold so triangles exist at test scale): two hash-partitioned
+    joins — wedges on the middle vertex, closed by the (a, c) edge —
+    then a streaming count."""
+    import ray.data
+
+    from pdf2doi_ray.stages.graph import triangle_count
+    from pdf2doi_ray.stages.similarity import embedding_near_dups
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    pairs = embedding_near_dups(emb, threshold=0.30)
+    return triangle_count(pairs)
+
+
 def _q_top_docs_by_tokens(sf_dir: str):
     from pdf2doi_ray.stages.textstats import top_docs_by_tokens
     return top_docs_by_tokens(_docs(sf_dir, ("doc_id", "text")), k=20)
@@ -1050,6 +1065,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups_lsh": _q_embedding_near_dups_lsh,
         "embedding_dup_components": _q_embedding_dup_components,
         "pagerank": _q_pagerank,
+        "near_dup_triangles": _q_near_dup_triangles,
         "top_docs_by_tokens": _q_top_docs_by_tokens,
         "events_tumbling": _q_tumbling,
         "events_sliding": _q_sliding,
@@ -1328,6 +1344,16 @@ s3 AS (SELECT e.dst AS node,
 r3 AS (SELECT n.node, CAST(150000 + COALESCE(s3.s, 0) AS BIGINT) AS r
        FROM n LEFT JOIN s3 ON s3.node = n.node)
 SELECT node, r AS rank_micro FROM r3
+""",
+        "near_dup_triangles": """
+WITH p AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        >= 0.30)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM p e1 JOIN p e2 ON e1.vb = e2.va
+JOIN p e3 ON e3.va = e1.va AND e3.vb = e2.vb
 """,
         "top_docs_by_tokens": """
 SELECT CAST(row_number() OVER (ORDER BY len(string_split(text, ' ')) DESC,

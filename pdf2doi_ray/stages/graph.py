@@ -352,3 +352,56 @@ def _pagerank_broadcast(edges, nodes, n_iters: int, damping_pct: int,
         })
 
     return nodes.map_batches(emit_ranks, batch_format="pyarrow")
+
+
+def triangle_count(pairs, col_a: str = "vec_a", col_b: str = "vec_b",
+                   num_partitions: int = 8):
+    """Exact triangle count of an undirected graph given as oriented
+    (a < b) edge pairs — the standard graph-health/clustering metric.
+
+    Compact-forward algorithm as two hash-partitioned joins (no per-node
+    state, no iteration): wedges a<b<c form by joining edges on the middle
+    vertex (e1.b = e2.a), and a second join against the edge set on
+    (a, c) keeps exactly the closed wedges.  Each triangle a<b<c is
+    counted once (its unique orientation).  The count reduces with the
+    streaming ``Dataset.count`` — no materialized triangle list.
+
+    Scale note: wedge volume is Σ_v outdeg(v)² — a skewed hub vertex
+    inflates its join partition; pre-split hub vertices (the
+    ``stages/skew.py`` salting) or cap degree upstream when the graph has
+    web-hub skew.  Both joins stream in ONE executor DAG, so their
+    aggregator actor pools coexist: keep 2×``num_partitions`` ≲ cluster
+    CPUs (32 partitions on an 8-CPU box stalled in an actor-spawn storm;
+    8 runs clean).  Returns a one-row pandas frame (n_triangles).
+    """
+    import pandas as pd
+
+    from .joins import shuffle_hash_join
+
+    def ab(t: pa.Table) -> pa.Table:
+        a = np.asarray(t[col_a].combine_chunks().cast(pa.int64()))
+        b = np.asarray(t[col_b].combine_chunks().cast(pa.int64()))
+        if len(a) and not (a < b).all():
+            raise ValueError(
+                "triangle_count requires oriented edges with "
+                f"{col_a} < {col_b} in every row")
+        return pa.table({"a": pa.array(a), "b": pa.array(b)})
+
+    e = pairs.map_batches(ab, batch_format="pyarrow").materialize()
+    if e.count() == 0:
+        # an edge-free graph has no triangles; the hash join would also
+        # lose the (empty) key schema and raise, so short-circuit
+        return pd.DataFrame({"n_triangles": pd.array([0], dtype="int64")})
+    mid = e.map_batches(
+        lambda t: pa.table({"b": t["a"], "c": t["b"]}),
+        batch_format="pyarrow")
+    wedges = shuffle_hash_join(e, mid, on="b",
+                               num_partitions=num_partitions,
+                               project=["a", "c"])
+    closing = e.map_batches(
+        lambda t: pa.table({"a": t["a"], "c": t["b"]}),
+        batch_format="pyarrow")
+    tri = shuffle_hash_join(wedges, closing, on=("a", "c"),
+                            num_partitions=num_partitions)
+    return pd.DataFrame({"n_triangles": pd.array([tri.count()],
+                                                 dtype="int64")})

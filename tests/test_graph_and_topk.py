@@ -175,3 +175,55 @@ def test_pagerank_rejects_bad_inputs():
         "dst": pa.array([2], type=pa.int64())}))
     with pytest.raises(ValueError, match="duplicate node ids"):
         pagerank_fixed(ok_edges, dup_nodes, n_iters=1)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_triangle_count_known_graph():
+    """K4 on {1,2,3,4} has C(4,3)=4 triangles; adding a pendant edge
+    (4,5) and an open wedge (5,6) adds none."""
+    import ray.data
+
+    from pdf2doi_ray.stages.graph import triangle_count
+
+    pairs = pa.table({
+        "vec_a": pa.array([1, 1, 1, 2, 2, 3, 4, 5], type=pa.int64()),
+        "vec_b": pa.array([2, 3, 4, 3, 4, 4, 5, 6], type=pa.int64()),
+    })
+    out = triangle_count(ray.data.from_arrow(pairs).repartition(3),
+                         num_partitions=2)
+    assert out["n_triangles"].tolist() == [4]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_triangle_count_rejects_unoriented_edges():
+    import ray.data
+
+    from pdf2doi_ray.stages.graph import triangle_count
+
+    pairs = pa.table({
+        "vec_a": pa.array([2], type=pa.int64()),
+        "vec_b": pa.array([1], type=pa.int64()),
+    })
+    with pytest.raises(Exception, match="oriented"):
+        triangle_count(ray.data.from_arrow(pairs), num_partitions=2)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_triangle_count_empty_and_triangle_free():
+    import ray.data
+
+    from pdf2doi_ray.stages.graph import triangle_count
+
+    empty = pa.table({
+        "vec_a": pa.array([], type=pa.int64()),
+        "vec_b": pa.array([], type=pa.int64()),
+    })
+    assert triangle_count(ray.data.from_arrow(empty),
+                          num_partitions=2)["n_triangles"].tolist() == [0]
+
+    path = pa.table({  # 1-2-3-4 path: wedges exist, no closure
+        "vec_a": pa.array([1, 2, 3], type=pa.int64()),
+        "vec_b": pa.array([2, 3, 4], type=pa.int64()),
+    })
+    assert triangle_count(ray.data.from_arrow(path),
+                          num_partitions=2)["n_triangles"].tolist() == [0]
