@@ -982,6 +982,18 @@ def _q_contamination(sf_dir: str):
     return contamination_flags(_docs(sf_dir, ("doc_id", "text")))
 
 
+def _q_remove_boilerplate_lines(sf_dir: str):
+    """CCNet-style common-line removal: chunk each doc into deterministic
+    16-token lines, count distinct-doc occurrences per line (combiner →
+    one small groupby), broadcast the common set once, and stream docs
+    through a vectorized membership scrub.  Documents never shuffle."""
+    from pdf2doi_ray.stages.corpus import (chunk_tokens_to_lines,
+                                           remove_common_lines)
+    lined = chunk_tokens_to_lines(_docs(sf_dir, ("doc_id", "text")),
+                                  every=16)
+    return remove_common_lines(lined, min_docs=2)
+
+
 def _q_curate_corpus(sf_dir: str):
     from pdf2doi_ray.pipelines.curate import curate_quality_dedup
     return curate_quality_dedup(_docs(sf_dir, ("doc_id", "text")))
@@ -1111,6 +1123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": _q_weighted_sample,
         "repetition_filter": _q_repetition_filter,
         "contamination": _q_contamination,
+        "remove_boilerplate_lines": _q_remove_boilerplate_lines,
         "sample_intersect": _q_sample_intersect,
         "sample_except": _q_sample_except,
         "extraction_rate_by_host": _q_rate_by_host,
@@ -1900,6 +1913,26 @@ SELECT d.doc_id,
        COALESCE(h.n, 0) > 0 AS contaminated
 FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id
 WHERE d.doc_id % 97 <> 0
+""",
+        "remove_boilerplate_lines": """
+WITH toks AS (SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS ts
+              FROM documents),
+chunks AS (SELECT doc_id, g AS chunk_idx,
+                  array_to_string(ts[(g*16+1):(g*16+16)], ' ') AS line
+           FROM toks,
+                UNNEST(range(CAST(ceil(len(ts) / 16.0) AS BIGINT))) AS t(g)),
+common AS (SELECT line FROM chunks
+           GROUP BY line HAVING count(DISTINCT doc_id) >= 2),
+kept AS (SELECT c.doc_id, c.chunk_idx, c.line,
+                c.line IN (SELECT line FROM common) AS is_common
+         FROM chunks c)
+SELECT t.doc_id,
+       COALESCE(string_agg(k.line, chr(10) ORDER BY k.chunk_idx)
+                FILTER (WHERE NOT k.is_common), '') AS text,
+       CAST(count(*) FILTER (WHERE k.is_common) AS BIGINT) AS n_removed
+FROM toks t LEFT JOIN kept k ON k.doc_id = t.doc_id
+GROUP BY t.doc_id
 """,
         # milli-scaled integer statistics (repo floor(value*1000)
         # convention); integer // mean — sums are non-negative here so

@@ -613,3 +613,136 @@ def contamination_flags(docs, gram_len: int = 8, benchmark_mod: int = 97):
         })
 
     return docs.map_batches(flag, batch_format="pyarrow")
+
+
+def _join_by_row(flat, row_idx: np.ndarray, n_rows: int,
+                 sep: str) -> pa.Array:
+    """Join flat strings back into one string per row (``""`` for rows
+    with no strings).  ``row_idx`` must be non-decreasing (flat order =
+    row order), which every flatten-with-offsets producer here
+    guarantees."""
+    counts = np.bincount(row_idx, minlength=n_rows).astype(np.int64)
+    offsets = np.concatenate(([0], np.cumsum(counts)))
+    lst = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()),
+                                   flat.combine_chunks()
+                                   if isinstance(flat, pa.ChunkedArray)
+                                   else flat)
+    return pc.binary_join(lst, sep)
+
+
+def chunk_tokens_to_lines(docs, every: int = 16):
+    """Deterministic "line" structure for single-line web text: split into
+    nonempty tokens and re-join every ``every`` consecutive tokens with a
+    space, chunks joined by ``\\n``.  A pure vectorized map (two
+    ListArray-offset joins per batch, no shuffle) that gives line-level
+    operators (:func:`remove_common_lines`) a well-defined unit on corpora
+    whose extraction collapsed newlines.  SQL mirror: list slicing
+    ``ts[(g*every+1):(g*every+every)]`` over the token array."""
+    def chunk(t: pa.Table) -> pa.Table:
+        flat, row_idx = _tokens_nonempty(t)
+        # token position within its row -> chunk ordinal
+        starts = np.zeros(t.num_rows + 1, dtype=np.int64)
+        np.add.at(starts, row_idx + 1, 1)
+        first = np.cumsum(starts)[:-1]      # first flat idx of each row
+        pos = np.arange(len(row_idx), dtype=np.int64) - first[row_idx]
+        chunk_of = pos // every
+        # join tokens within (row, chunk): line_id is dense & sorted
+        # because (row_idx, chunk_of) is lexicographically non-decreasing
+        new_line = np.ones(len(row_idx), dtype=bool)
+        if len(row_idx):
+            new_line[1:] = ((row_idx[1:] != row_idx[:-1])
+                            | (chunk_of[1:] != chunk_of[:-1]))
+        line_id = np.cumsum(new_line) - 1 if len(row_idx) else new_line[:0]
+        n_lines = int(line_id[-1]) + 1 if len(row_idx) else 0
+        lines = _join_by_row(flat, line_id.astype(np.int64), n_lines, " ")
+        line_row = row_idx[new_line] if len(row_idx) else row_idx[:0]
+        text = _join_by_row(lines, line_row, t.num_rows, "\n")
+        out = {n: t[n] for n in t.column_names if n != "text"}
+        out["text"] = text
+        return pa.table(out)
+
+    return docs.map_batches(chunk, batch_format="pyarrow")
+
+
+def remove_common_lines(docs, min_docs: int = 2, id_col: str = "doc_id",
+                        text_col: str = "text", sep: str = "\n"):
+    """CCNet-style boilerplate removal: drop every line that occurs in at
+    least ``min_docs`` distinct documents (nav bars, cookie banners,
+    footers — the lines that repeat across a crawl).
+
+    Plan (two streaming passes + one small exchange):
+
+    1. combiner pass — per batch, split each doc into lines, dedup lines
+       WITHIN each doc (a doc is one row, so within-row dedup is exact
+       distinct-doc counting), emit (line, partial_count);
+    2. ``groupby(line)`` Sum over combiner rows only (≤ distinct lines
+       per batch enter the shuffle, never raw corpus rows), filter
+       ``n_docs >= min_docs``;
+    3. the surviving COMMON lines are broadcast once via ``ray.put`` and
+       each doc streams through a membership filter (pandas C hash
+       index), rebuilding its text from the kept lines in order.
+
+    The broadcast assumes the common-line set fits a worker heap — true
+    by construction for boilerplate (few distinct lines, each with a
+    huge count).  If ``min_docs`` is set so low that the set approaches
+    corpus size, the scale path is to keep lines keyed and reassemble
+    docs with the ordered ``aggs.grouped_string_agg`` machinery instead
+    of broadcasting; a Bloom filter is NOT an exact substitute here
+    (false positives would silently delete innocent lines).
+
+    Exact string matching throughout (no hashing), so a SQL oracle
+    reproduces the output bit-for-bit.  Returns the input columns with
+    ``text_col`` rewritten (``""`` when every line was removed) plus
+    ``n_removed`` (occurrences dropped, within-doc repeats counted).
+    """
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    def _lines_with_rows(t: pa.Table):
+        col = (t[text_col].combine_chunks()
+               if isinstance(t[text_col], pa.ChunkedArray) else t[text_col])
+        lst = pc.split_pattern(col.fill_null(""), sep)
+        flat = lst.flatten()
+        lengths = np.asarray(pc.list_value_length(lst).fill_null(0))
+        row_idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), lengths)
+        mask = np.asarray(pc.not_equal(flat, ""))
+        keep = pa.array(mask)
+        return flat.filter(keep), row_idx[mask]
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        flat, row_idx = _lines_with_rows(t)
+        df = pd.DataFrame({"r": row_idx, "line": flat.to_pandas()})
+        per_doc = df.drop_duplicates()          # one (doc, line) each
+        counts = per_doc["line"].value_counts(sort=False)
+        return pa.table({
+            "line": pa.array(counts.index.to_numpy(dtype=object),
+                             type=pa.string()),
+            "partial": pa.array(counts.to_numpy(), type=pa.int64()),
+        })
+
+    totals = (docs.map_batches(count_partial, batch_format="pyarrow")
+              .groupby("line").aggregate(Sum("partial",
+                                             alias_name="n_docs")))
+    common = totals.filter(lambda r: r["n_docs"] >= min_docs)
+    tabs = ray.get(common.to_arrow_refs())
+    merged = pa.concat_tables(tabs, promote_options="default")
+    common_idx = pd.Index(merged["line"].to_pandas()
+                          if merged.num_rows else pd.Series([], dtype=object))
+    common_ref = ray.put(common_idx)
+
+    def scrub(t: pa.Table) -> pa.Table:
+        idx = ray.get(common_ref)
+        flat, row_idx = _lines_with_rows(t)
+        removed = np.zeros(t.num_rows, dtype=np.int64)
+        if len(flat) and len(idx):
+            hit = idx.get_indexer(flat.to_pandas()) >= 0
+            np.add.at(removed, row_idx[hit], 1)
+            flat, row_idx = flat.filter(pa.array(~hit)), row_idx[~hit]
+        text = _join_by_row(flat, row_idx, t.num_rows, sep)
+        out = {n: t[n] for n in t.column_names if n != text_col}
+        out[text_col] = text
+        out["n_removed"] = pa.array(removed)
+        return pa.table(out)
+
+    return docs.map_batches(scrub, batch_format="pyarrow")

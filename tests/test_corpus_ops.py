@@ -144,3 +144,66 @@ def test_keep_best_encoding_is_order_preserving():
     want = sorted(range(len(cases)),
                   key=lambda i: (cases[i][0], -cases[i][1]))
     assert sorted(range(len(cases)), key=lambda i: enc[i]) == want
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("n_blocks", [1, 3])
+def test_remove_common_lines_ccnet(n_blocks):
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import remove_common_lines
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array([
+            "COOKIE BANNER\nreal content one\nFOOTER",
+            "COOKIE BANNER\nother real text\nFOOTER",
+            "unique only\nCOOKIE BANNER",
+            "COOKIE BANNER\nCOOKIE BANNER\nkeep me",  # within-doc repeat:
+        ]),                                           # counts ONE doc but
+    })).repartition(n_blocks)                         # removes BOTH copies
+    out = (remove_common_lines(docs, min_docs=2).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["text"].tolist() == [
+        "real content one", "other real text", "unique only", "keep me"]
+    assert out["n_removed"].tolist() == [2, 2, 1, 2]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_remove_common_lines_threshold_and_empty():
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import remove_common_lines
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array(["shared\nown a", "shared\nown b", ""]),
+    }))
+    # min_docs=3: "shared" only hits 2 docs -> nothing removed
+    out3 = (remove_common_lines(docs, min_docs=3).to_pandas()
+            .sort_values("doc_id"))
+    assert out3["n_removed"].tolist() == [0, 0, 0]
+    assert out3["text"].tolist() == ["shared\nown a", "shared\nown b", ""]
+    # min_docs=2: doc fully scrubbed of its only common line
+    only = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": pa.array(["shared", "shared"]),
+    }))
+    out2 = remove_common_lines(only, min_docs=2).to_pandas()
+    assert out2["text"].tolist() == ["", ""]
+    assert out2["n_removed"].tolist() == [1, 1]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_chunk_tokens_to_lines():
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import chunk_tokens_to_lines
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array(["a b c d e", "", "x  y"]),  # double space drops
+    }))
+    out = (chunk_tokens_to_lines(docs, every=2).to_pandas()
+           .sort_values("doc_id"))
+    assert out["text"].tolist() == ["a b\nc d\ne", "", "x y"]
