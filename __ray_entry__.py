@@ -254,6 +254,16 @@ def _q_simhash(sf_dir: str):
     return simhash_table(_docs(sf_dir, ("doc_id", "text")))
 
 
+def _q_simhash_near_dups(sf_dir: str):
+    """Banded SimHash near-dup pairs (hamming <= 3): recall 1.0 by
+    pigeonhole over max_hamming+1 bands, one self-join on (band, value),
+    XOR-popcount verify before the final pair-dedup groupby.  No SQL
+    oracle (simhash is not SQL-expressible); locked by the brute-force
+    golden test in tests/test_golden_digests.py."""
+    from pdf2doi_ray.stages.dedup import simhash_near_dups
+    return simhash_near_dups(_docs(sf_dir, ("doc_id", "text")))
+
+
 def _q_wordset_jaccard(sf_dir: str):
     from pdf2doi_ray.stages.dedup import wordset_jaccard_adjacent
     return wordset_jaccard_adjacent(_docs(sf_dir, ("doc_id", "text")))
@@ -1067,6 +1077,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash": _q_simhash,
+        "simhash_near_dups": _q_simhash_near_dups,
         "wordset_jaccard": _q_wordset_jaccard,
         "ngram_jaccard": _q_ngram_jaccard,
         "knn_bruteforce": _q_knn,

@@ -936,3 +936,81 @@ def simhash_table(docs):
                          "simhash": pa.array(vals, type=pa.int64())})
 
     return docs.map_batches(per_batch, batch_format="pyarrow")
+
+
+def simhash_near_dups(docs, max_hamming: int = 3, num_partitions: int = 8):
+    """SimHash near-duplicate pairs: every unordered doc pair whose 63-bit
+    simhashes differ in at most ``max_hamming`` bits.
+
+    Banded exact plan (recall 1.0 by pigeonhole): the 63 bits split into
+    ``max_hamming + 1`` bands, so two hashes within the radius MUST agree
+    on at least one whole band.  Each doc emits one (band, band_value) key
+    per band; a single hash-partitioned self-join on that key yields the
+    candidates, a vectorized XOR-popcount filter keeps true near-dups
+    BEFORE any shuffle sees them, and a two-column groupby Min collapses
+    pairs found via several bands.  Only verified near-dup pairs (a
+    near-exact-duplicate-sized set) enter the final exchange; documents
+    and raw candidates never do.
+
+    Scale note: a band value shared by s docs contributes s² join rows —
+    mass-duplicated boilerplate makes hot buckets exactly as in MinHash
+    LSH.  Run exact dedup first (identical docs collapse to one id), and
+    past that apply the ``MAX_ALL_PAIRS_BUCKET`` star-cap / salting
+    treatment used by :func:`minhash_near_dups`'s bucket stage.
+
+    Returns (pair_a, pair_b, hamming), pair_a < pair_b, all int64.
+    """
+    from ray.data.aggregate import Min
+
+    from .joins import shuffle_hash_join
+
+    n_bands = max_hamming + 1
+    base = 63 // n_bands
+    widths = [base + (1 if i < 63 % n_bands else 0) for i in range(n_bands)]
+    shifts = np.cumsum([0] + widths[:-1]).astype(np.uint64)
+    masks = (np.left_shift(np.uint64(1), np.array(widths, dtype=np.uint64))
+             - np.uint64(1))
+
+    sh = simhash_table(docs)
+
+    def bands(ida: str, sha: str):
+        def emit(t: pa.Table) -> pa.Table:
+            ids = np.asarray(one_chunk(t["doc_id"])).astype(np.int64)
+            vals = np.asarray(one_chunk(t["simhash"])).astype(np.uint64)
+            n = len(ids)
+            band = np.repeat(np.arange(n_bands, dtype=np.int64), n)
+            bv = np.concatenate([
+                ((vals >> shifts[i]) & masks[i]).astype(np.int64)
+                for i in range(n_bands)])
+            return pa.table({
+                "band": pa.array(band),
+                "bv": pa.array(bv),
+                ida: pa.array(np.tile(ids, n_bands)),
+                sha: pa.array(np.tile(vals.astype(np.int64), n_bands)),
+            })
+        return emit
+
+    left = sh.map_batches(bands("pair_a", "sh_a"), batch_format="pyarrow")
+    right = sh.map_batches(bands("pair_b", "sh_b"), batch_format="pyarrow")
+    cand = shuffle_hash_join(left, right, on=("band", "bv"),
+                             num_partitions=num_partitions)
+
+    def verify(t: pa.Table) -> pa.Table:
+        a = np.asarray(one_chunk(t["pair_a"]))
+        b = np.asarray(one_chunk(t["pair_b"]))
+        xa = np.asarray(one_chunk(t["sh_a"])).astype(np.uint64)
+        xb = np.asarray(one_chunk(t["sh_b"])).astype(np.uint64)
+        x = (xa ^ xb)[a < b]
+        ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8),
+                            axis=1).sum(axis=1).astype(np.int64) \
+            if len(x) else np.empty(0, dtype=np.int64)
+        keep = ham <= max_hamming
+        return pa.table({
+            "pair_a": pa.array(a[a < b][keep]),
+            "pair_b": pa.array(b[a < b][keep]),
+            "hamming": pa.array(ham[keep]),
+        })
+
+    return (cand.map_batches(verify, batch_format="pyarrow")
+            .groupby(["pair_a", "pair_b"])
+            .aggregate(Min("hamming", alias_name="hamming")))

@@ -111,3 +111,30 @@ def test_embedding_near_dups_lsh_recall():
     assert got <= exact                       # precision 1.0: exact verify
     # stated floor ≥ 0.9 (12×3-bit config measures 1.0 on the fixture)
     assert len(got & exact) / max(1, len(exact)) >= 0.9
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_simhash_near_dups_matches_brute_force():
+    """Banded LSH must find EXACTLY the brute-force hamming<=k pairs:
+    recall 1.0 is guaranteed by pigeonhole (k+1 bands), precision by the
+    popcount verify, so the sets are equal — not just overlapping."""
+    import numpy as np
+
+    import __ray_entry__ as e
+
+    out = e.queries()["simhash_near_dups"](SF).to_pandas()
+    docs = _docs_dict()
+    ids = sorted(docs)
+    sh = np.array([G.simhash(docs[i]) for i in ids], dtype=np.uint64)
+    brute = set()
+    for i in range(len(ids)):
+        x = sh[i] ^ sh[i + 1:]
+        ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8),
+                            axis=1).sum(axis=1)
+        for j, h in zip(range(i + 1, len(ids)), ham):
+            if h <= 3:
+                brute.add((ids[i], ids[j], int(h)))
+    engine = set(zip(out["pair_a"].astype(int), out["pair_b"].astype(int),
+                     out["hamming"].astype(int)))
+    assert engine == brute
+    assert len(out) == len(engine)           # no duplicate pair rows
