@@ -356,6 +356,20 @@ def _q_embedding_dup_components(sf_dir: str):
     return connected_components(pairs, col_a="vec_a", col_b="vec_b")
 
 
+def _q_embedding_dedup_prune(sf_dir: str):
+    """End-to-end fuzzy dedup: near-dup pairs → connected components →
+    keep the min-id representative per cluster, drop the rest.  The drop
+    list (O(duplicates), not O(corpus)) broadcasts once; the id stream
+    anti-joins against it without shuffling."""
+    import ray.data
+
+    from pdf2doi_ray.stages.graph import prune_near_dups
+    ids = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id"])
+    pairs = _q_embedding_near_dups(sf_dir)
+    return prune_near_dups(ids, pairs)
+
+
 def _q_pagerank(sf_dir: str):
     """Fixed-iteration (3 rounds) EXACT-integer PageRank over the symmetric
     embedding near-dup graph — the canonical iterative-graph benchmark.
@@ -1087,6 +1101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "embedding_near_dups_lsh": _q_embedding_near_dups_lsh,
         "embedding_dup_components": _q_embedding_dup_components,
+        "embedding_dedup_prune": _q_embedding_dedup_prune,
         "pagerank": _q_pagerank,
         "near_dup_triangles": _q_near_dup_triangles,
         "top_docs_by_tokens": _q_top_docs_by_tokens,
@@ -1337,6 +1352,22 @@ reach(node, r) AS (
   UNION
   SELECT e.a, reach.r FROM e JOIN reach ON reach.node = e.b)
 SELECT node, min(r) AS component FROM reach GROUP BY node
+""",
+        "embedding_dedup_prune": """
+WITH RECURSIVE p AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        >= 0.40),
+e AS (SELECT va AS a, vb AS b FROM p UNION SELECT vb, va FROM p),
+reach(node, r) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT e.a, reach.r FROM e JOIN reach ON reach.node = e.b),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+SELECT v.vec_id FROM embeddings v
+LEFT JOIN comp c ON c.node = v.vec_id
+WHERE c.node IS NULL OR c.component = v.vec_id
 """,
         "pagerank": """
 WITH p AS (

@@ -405,3 +405,35 @@ def triangle_count(pairs, col_a: str = "vec_a", col_b: str = "vec_b",
                             num_partitions=num_partitions)
     return pd.DataFrame({"n_triangles": pd.array([tri.count()],
                                                  dtype="int64")})
+
+
+def prune_near_dups(items, pairs, id_col: str = "vec_id",
+                    col_a: str = "vec_a", col_b: str = "vec_b"):
+    """Fuzzy-dedup pruning — the step after pair finding and clustering
+    that a curation pipeline actually ships: keep exactly ONE
+    representative (the min id, the repo-wide canonical-survivor rule)
+    per near-duplicate component and drop the rest.
+
+    Plan: :func:`connected_components` labels the duplicate-cluster
+    members (that set is O(duplicates), not O(corpus)); the non-
+    representative members (node != component) become the drop list,
+    broadcast once; ``items`` streams through a pyarrow C++ anti-join —
+    the corpus side never shuffles.  If the duplicate population is too
+    large to broadcast (pathologically duplicated crawls), swap the
+    anti-join for the hash-partitioned ``shuffle_hash_join`` with
+    ``join_type="left_anti"`` — same semantics, one exchange.
+
+    Returns ``items``' rows whose ``id_col`` survives.
+    """
+    from .joins import broadcast_hash_join
+
+    comp = connected_components(pairs, col_a=col_a, col_b=col_b)
+
+    def drops(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keep = pc.not_equal(t["node"], t["component"])
+        return pa.table({id_col: t.filter(keep)["node"]})
+
+    drop_ids = comp.map_batches(drops, batch_format="pyarrow")
+    return broadcast_hash_join(items, drop_ids, on=id_col,
+                               join_type="left anti")

@@ -227,3 +227,24 @@ def test_triangle_count_empty_and_triangle_free():
     })
     assert triangle_count(ray.data.from_arrow(path),
                           num_partitions=2)["n_triangles"].tolist() == [0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_prune_near_dups_keeps_one_per_component():
+    import ray.data
+
+    from pdf2doi_ray.stages.graph import prune_near_dups
+
+    # components: {1,2,3} (chain), {7,9}; 5 and 8 untouched
+    pairs = pa.table({
+        "vec_a": pa.array([1, 2, 7], type=pa.int64()),
+        "vec_b": pa.array([2, 3, 9], type=pa.int64()),
+    })
+    items = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array([1, 2, 3, 5, 7, 8, 9], type=pa.int64()),
+        "payload": pa.array(list("abcdefg")),
+    })).repartition(3)
+    out = (prune_near_dups(items, ray.data.from_arrow(pairs)).to_pandas()
+           .sort_values("vec_id"))
+    assert out["vec_id"].tolist() == [1, 5, 7, 8]
+    assert out["payload"].tolist() == ["a", "d", "e", "f"]
