@@ -844,6 +844,36 @@ def _q_lag_user_value(sf_dir: str):
     return lag_user_value(ev)
 
 
+def _q_ntile_user(sf_dir: str):
+    import ray.data
+
+    from pdf2doi_ray.stages.windowfns import ntile_user
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"])
+    return ntile_user(ev, n=4)
+
+
+def _q_first_value_user(sf_dir: str):
+    import ray.data
+
+    from pdf2doi_ray.stages.windowfns import first_value_user
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"])
+    return first_value_user(ev)
+
+
+def _q_last_value_user(sf_dir: str):
+    import ray.data
+
+    from pdf2doi_ray.stages.windowfns import last_value_user
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"])
+    return last_value_user(ev)
+
+
 def _q_value_quantiles_by_type(sf_dir: str):
     import ray.data
 
@@ -1158,6 +1188,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_by_lang": _q_stratified_sample_by_lang,
         "events_rollup": _q_docs_rollup,
         "lag_user_value": _q_lag_user_value,
+        "ntile_user": _q_ntile_user,
+        "first_value_user": _q_first_value_user,
+        "last_value_user": _q_last_value_user,
         "lead_user_value": _q_lead_user_value,
         "rank_user_value": _q_rank_user_value,
         "dense_rank_user_value": _q_dense_rank_user_value,
@@ -1775,6 +1808,30 @@ WITH e AS (SELECT event_id, user_id, ts,
                   CAST(floor(value * 1000) AS BIGINT) AS vm FROM events)
 SELECT event_id, user_id,
        LAG(vm) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lag_vm
+FROM e
+""",
+        "ntile_user": """
+WITH e AS (SELECT event_id, user_id, ts FROM events)
+SELECT event_id, user_id,
+       CAST(NTILE(4) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS BIGINT) AS tile
+FROM e
+""",
+        "first_value_user": """
+WITH e AS (SELECT event_id, user_id, ts,
+                  CAST(floor(value * 1000) AS BIGINT) AS vm FROM events)
+SELECT event_id, user_id,
+       FIRST_VALUE(vm) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS first_vm
+FROM e
+""",
+        "last_value_user": """
+WITH e AS (SELECT event_id, user_id, ts,
+                  CAST(floor(value * 1000) AS BIGINT) AS vm FROM events)
+SELECT event_id, user_id,
+       LAST_VALUE(vm) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS last_vm
 FROM e
 """,
         "user_event_paths": """

@@ -333,3 +333,51 @@ def _windowed_user_op(events, kernel, out_col: str,
         lambda t: np.asarray(one_chunk(t["user_id"])).astype(np.int64),
         stitch, num_shards=stitch_shards)
     return interior.union(cross)
+
+
+def ntile_user(events, n: int = 4,
+               stitch_shards: int = DEFAULT_STITCH_SHARDS):
+    """``NTILE(n) OVER (PARTITION BY user_id ORDER BY ts, event_id)`` —
+    rows split into ``n`` buckets as evenly as possible, the first
+    ``len % n`` buckets one row larger (the SQL distribution rule, which
+    differs from the naive ``i*n//len`` even spread).  Same sorted-block
+    engine as the other window functions.  Output: event_id, user_id,
+    tile (int64)."""
+    def kernel(vm, starts, ends):
+        lens = ends - starts
+        pos = np.arange(len(vm)) - np.repeat(starts, lens)  # 0-based
+        L = np.repeat(lens, lens)
+        q, r = L // n, L % n
+        big = r * (q + 1)                   # rows in the enlarged tiles
+        in_big = pos < big
+        tile = np.where(
+            in_big,
+            pos // np.maximum(q + 1, 1),
+            r + np.where(q > 0, (pos - big) // np.maximum(q, 1), 0),
+        ) + 1
+        return tile.astype(np.int64), None
+
+    return _windowed_user_op(events, kernel, "tile", stitch_shards)
+
+
+def first_value_user(events, stitch_shards: int = DEFAULT_STITCH_SHARDS):
+    """``FIRST_VALUE(vm) OVER (PARTITION BY user_id ORDER BY ts,
+    event_id)`` — every row carries its user's earliest milli value.
+    Kernel: one gather of ``vm[starts]`` repeated across each segment.
+    Output: event_id, user_id, first_vm (int64)."""
+    def kernel(vm, starts, ends):
+        return np.repeat(vm[starts], ends - starts), None
+
+    return _windowed_user_op(events, kernel, "first_vm", stitch_shards)
+
+
+def last_value_user(events, stitch_shards: int = DEFAULT_STITCH_SHARDS):
+    """``LAST_VALUE(vm) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)`` — the SQL
+    default frame stops at CURRENT ROW, so the oracle must widen it; this
+    returns each user's final milli value on every row.  Output:
+    event_id, user_id, last_vm (int64)."""
+    def kernel(vm, starts, ends):
+        return np.repeat(vm[np.asarray(ends) - 1], ends - starts), None
+
+    return _windowed_user_op(events, kernel, "last_vm", stitch_shards)

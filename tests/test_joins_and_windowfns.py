@@ -385,3 +385,65 @@ def test_rank_rejects_negative_values_under_mod():
     })
     with pytest.raises(Exception, match="non-negative"):
         rank_user_value(_ds(t, 1)).to_pandas()
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("n_blocks", [1, 4])
+def test_ntile_first_last_value_blocks(n_blocks):
+    import pandas as pd
+
+    from pdf2doi_ray.stages.windowfns import (first_value_user,
+                                              last_value_user, ntile_user)
+
+    rng = np.random.default_rng(23)
+    n = 130
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(
+            pd.to_datetime(rng.integers(0, 10**6, size=n), unit="s")
+            .astype("datetime64[us]")),
+        "user_id": pa.array(rng.integers(0, 9, size=n).astype(np.int64)),
+        "value": pa.array(rng.uniform(0, 5, size=n)),
+    })
+    df = t.to_pandas()
+    df["vm"] = np.floor(df["value"] * 1000.0).astype(np.int64)
+    df = df.sort_values(["user_id", "ts", "event_id"])
+    g = df.groupby("user_id")
+    df["first_want"] = g["vm"].transform("first")
+    df["last_want"] = g["vm"].transform("last")
+    # SQL NTILE: first len%n tiles get one extra row
+    pos = g.cumcount().to_numpy()
+    L = g["vm"].transform("size").to_numpy()
+    q, r = L // 4, L % 4
+    big = r * (q + 1)
+    df["tile_want"] = np.where(
+        pos < big, pos // np.maximum(q + 1, 1),
+        r + np.where(q > 0, (pos - big) // np.maximum(q, 1), 0)) + 1
+    want = df.sort_values("event_id").reset_index(drop=True)
+
+    for fn, col, wcol in ((ntile_user, "tile", "tile_want"),
+                          (first_value_user, "first_vm", "first_want"),
+                          (last_value_user, "last_vm", "last_want")):
+        out = fn(_ds(t, n_blocks)).to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        assert len(out) == n
+        assert (out[col].to_numpy() == want[wcol].to_numpy()).all(), col
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ntile_uneven_distribution_exact():
+    """7 rows into NTILE(4) must split 2,2,2,1 (SQL rule), not 2,2,1,2."""
+    import pandas as pd
+
+    from pdf2doi_ray.stages.windowfns import ntile_user
+
+    n = 7
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(pd.to_datetime(np.arange(n), unit="s")
+                       .astype("datetime64[us]")),
+        "user_id": pa.array(np.zeros(n, dtype=np.int64)),
+        "value": pa.array(np.linspace(0, 1, n)),
+    })
+    out = ntile_user(_ds(t, 2), n=4).to_pandas().sort_values("event_id")
+    assert out["tile"].tolist() == [1, 1, 2, 2, 3, 3, 4]
