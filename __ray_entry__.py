@@ -883,6 +883,19 @@ def _q_value_quantiles_by_type(sf_dir: str):
     return value_quantiles_milli_by_group(ev, "event_type", "value")
 
 
+def _q_events_pivot(sf_dir: str):
+    """PIVOT: per-user event counts widened to one column per event type
+    (static category list, SQL PIVOT ... IN semantics).  One combiner-
+    first shuffle over wide partial rows."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import pivot_counts
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+    return pivot_counts(ev, "user_id", "event_type",
+                        ["click", "view", "purchase", "signup", "error"])
+
+
 def _q_events_cube(sf_dir: str):
     import ray.data
 
@@ -1198,6 +1211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_mode_event_type": _q_user_mode_event_type,
         "user_event_paths": _q_user_event_paths,
         "events_cube": _q_events_cube,
+        "events_pivot": _q_events_pivot,
         "value_quantiles_by_type": _q_value_quantiles_by_type,
     }
 
@@ -1785,6 +1799,20 @@ SELECT n.event_type, q.q_permille,
 FROM n, q
 """,
         # CUBE adds the (., parity) cross-slice to the ROLLUP levels
+        "events_pivot": """
+SELECT user_id,
+       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+           AS n_click,
+       CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT)
+           AS n_view,
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+           AS n_purchase,
+       CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT)
+           AS n_signup,
+       CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+           AS n_error
+FROM events GROUP BY user_id
+""",
         "events_cube": """
 WITH e AS (SELECT event_type,
                   CASE WHEN user_id % 2 = 1 THEN 'odd' ELSE 'even' END

@@ -410,6 +410,47 @@ def main() -> None:
     if not headline_only:
         queries["rolling_user_sum_1m"] = timed(q_rolling_large)
 
+    # CCNet common-line removal at pages scale: with 240x replication every
+    # base line is common, so the row stresses the full path — line-count
+    # combiner, groupby over combiner rows, common-set broadcast, and the
+    # vectorized scrub + text rebuild over 1.2M docs
+    def q_boilerplate():
+        from pdf2doi_ray.stages.corpus import (chunk_tokens_to_lines,
+                                               remove_common_lines)
+        lined = chunk_tokens_to_lines(pages_as_docs(), every=16)
+        remove_common_lines(lined, min_docs=100).map_batches(
+            lambda t: t.select(["n_removed"]), batch_format="pyarrow").count()
+
+    if not headline_only:
+        queries["boilerplate_removal_pages"] = timed(q_boilerplate)
+
+    # banded SimHash near-dup pairs at 90k verified pairs (2k clusters of
+    # 10 identical docs): digest + 4-band self-join + popcount verify +
+    # pair-dedup groupby all above their fixed-cost floor; count asserted
+    # (identical docs ⇒ hamming 0 ⇒ exactly C(10,2) per cluster, and the
+    # seeded random vocab produces zero cross-cluster pairs at radius 3)
+    def q_simhash_pairs():
+        import numpy as np
+        import pyarrow as pa
+
+        from pdf2doi_ray.stages.dedup import simhash_near_dups
+        rng = np.random.RandomState(7)
+        vocab = np.array([f"w{i}" for i in range(5000)], dtype=object)
+        ids, texts = [], []
+        for c in range(2000):
+            base = " ".join(vocab[rng.randint(0, 5000, size=80)])
+            for m in range(10):
+                ids.append(c * 10 + m)
+                texts.append(base)
+        t = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                      "text": pa.array(texts)})
+        ds = ray.data.from_arrow(t).repartition(NCPU).materialize()
+        n = simhash_near_dups(ds, max_hamming=3).count()
+        assert n == 90000, n
+
+    if not headline_only:
+        queries["simhash_near_dups_90k_pairs"] = timed(q_simhash_pairs)
+
     # per-host top-k over all pages: combiner bounds the shuffle to <= k
     # rows per host per batch despite zipfian host skew
     def q_top_pages():

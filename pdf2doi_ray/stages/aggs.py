@@ -371,3 +371,45 @@ def grouped_string_agg(events, group_col: str = "user_id",
         lambda t: np.asarray(one_chunk(t[group_col])).astype(np.int64),
         stitch, num_shards=stitch_shards)
     return interior.union(cross)
+
+
+def pivot_counts(ds, row_col: str, cat_col: str, categories):
+    """PIVOT/crosstab: one output row per ``row_col`` value with a count
+    column per listed category — ``SQL PIVOT ... IN (categories)``
+    semantics, so values outside the list are dropped (an explicit list
+    is what keeps the output schema static and the plan one-pass).
+
+    Per-batch combiner: factorize the row key (pandas C kernel), map
+    categories to column slots, one 2-D ``np.add.at`` scatter — each
+    batch emits at most |distinct rows in batch| wide partial rows.  The
+    single ``groupby`` then Sums each count column over combiner rows
+    only; no second exchange and no per-group Python.  Scale knob: the
+    category list is the output width — hundreds are fine, unbounded
+    vocabularies belong in (group, value) long form (`grouped_mode` /
+    `inverted_index_stats`), not a pivot.
+
+    Returns (row_col, n_<cat> ... ) with int64 counts.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    cats = list(categories)
+    cat_idx = pd.Index(cats)
+    cols = [f"n_{c}" for c in cats]
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = np.asarray(one_chunk(t[row_col]))
+        codes, uniques = pd.factorize(keys)
+        slot = cat_idx.get_indexer(
+            one_chunk(t[cat_col]).to_pandas().to_numpy(dtype=object))
+        counts = np.zeros((len(uniques), len(cats)), dtype=np.int64)
+        ok = slot >= 0
+        np.add.at(counts, (codes[ok], slot[ok]), 1)
+        out = {row_col: pa.array(uniques)}
+        for j, c in enumerate(cols):
+            out[c] = pa.array(counts[:, j])
+        return pa.table(out)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(row_col)
+            .aggregate(*[Sum(c, alias_name=c) for c in cols]))

@@ -562,3 +562,34 @@ def test_grouped_string_agg_blocks(n_blocks, shards):
     assert out["user_id"].tolist() == want["user_id"].tolist()
     assert out["n_events"].tolist() == want["n_events"].tolist()
     assert out["path"].tolist() == want["path"].tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("n_blocks", [1, 4])
+def test_pivot_counts(n_blocks):
+    import pandas as pd
+
+    from pdf2doi_ray.stages.aggs import pivot_counts
+
+    rng = np.random.default_rng(31)
+    n = 200
+    cats = ["a", "b", "c"]
+    t = pa.table({
+        "g": pa.array(rng.integers(0, 7, size=n).astype(np.int64)),
+        "cat": pa.array(
+            [["a", "b", "c", "zz"][i] for i in rng.integers(0, 4, size=n)]),
+    })
+    out = (pivot_counts(_ds(t, n_blocks), "g", "cat", cats).to_pandas()
+           .sort_values("g").reset_index(drop=True))
+    df = t.to_pandas()
+    want = (df[df["cat"].isin(cats)]
+            .pivot_table(index="g", columns="cat", aggfunc="size",
+                         fill_value=0)
+            .reindex(columns=cats, fill_value=0)
+            .reindex(sorted(df["g"].unique()), fill_value=0))
+    assert out["g"].tolist() == list(want.index)
+    for c in cats:
+        assert out[f"n_{c}"].tolist() == want[c].tolist(), c
+    # 'zz' never appears as a column; groups with only 'zz' rows still
+    # appear (they were seen), with all-zero counts
+    assert set(out.columns) == {"g", "n_a", "n_b", "n_c"}
