@@ -398,7 +398,15 @@ def pivot_counts(ds, row_col: str, cat_col: str, categories):
     cols = [f"n_{c}" for c in cats]
 
     def partial(t: pa.Table) -> pa.Table:
-        keys = np.asarray(one_chunk(t[row_col]))
+        key_col = one_chunk(t[row_col])
+        if key_col.null_count:
+            # loud, like _milli: a null key would factorize to code -1 and
+            # np.add.at(counts, -1, ...) silently credits the LAST group
+            # (and Ray's shuffle cannot partition null keys anyway)
+            raise ValueError(
+                f"pivot_counts: null values in row key column "
+                f"'{row_col}' — filter or fill them first")
+        keys = np.asarray(key_col)
         codes, uniques = pd.factorize(keys)
         slot = cat_idx.get_indexer(
             one_chunk(t[cat_col]).to_pandas().to_numpy(dtype=object))

@@ -664,7 +664,7 @@ def chunk_tokens_to_lines(docs, every: int = 16):
     return docs.map_batches(chunk, batch_format="pyarrow")
 
 
-def remove_common_lines(docs, min_docs: int = 2, id_col: str = "doc_id",
+def remove_common_lines(docs, min_docs: int = 2,
                         text_col: str = "text", sep: str = "\n"):
     """CCNet-style boilerplate removal: drop every line that occurs in at
     least ``min_docs`` distinct documents (nav bars, cookie banners,
@@ -691,27 +691,32 @@ def remove_common_lines(docs, min_docs: int = 2, id_col: str = "doc_id",
     (false positives would silently delete innocent lines).
 
     Exact string matching throughout (no hashing), so a SQL oracle
-    reproduces the output bit-for-bit.  Returns the input columns with
-    ``text_col`` rewritten (``""`` when every line was removed) plus
-    ``n_removed`` (occurrences dropped, within-doc repeats counted).
+    reproduces the output bit-for-bit.  Blank lines are STRUCTURE, not
+    content: they are never counted, never removed, and survive the
+    rebuild (paragraph breaks stay intact).  Returns the input columns
+    with ``text_col`` rewritten (``""`` when every line was removed)
+    plus ``n_removed`` (occurrences dropped, within-doc repeats
+    counted).  Distinct-doc counting is row-based: one input row = one
+    document.
     """
     import pandas as pd
     import ray
     from ray.data.aggregate import Sum
 
-    def _lines_with_rows(t: pa.Table):
+    def _lines_with_rows(t: pa.Table, keep_blank: bool):
         col = (t[text_col].combine_chunks()
                if isinstance(t[text_col], pa.ChunkedArray) else t[text_col])
         lst = pc.split_pattern(col.fill_null(""), sep)
         flat = lst.flatten()
         lengths = np.asarray(pc.list_value_length(lst).fill_null(0))
         row_idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), lengths)
+        if keep_blank:
+            return flat, row_idx
         mask = np.asarray(pc.not_equal(flat, ""))
-        keep = pa.array(mask)
-        return flat.filter(keep), row_idx[mask]
+        return flat.filter(pa.array(mask)), row_idx[mask]
 
     def count_partial(t: pa.Table) -> pa.Table:
-        flat, row_idx = _lines_with_rows(t)
+        flat, row_idx = _lines_with_rows(t, keep_blank=False)
         # ONE string-hash pass (factorize), then integer-only dedup:
         # (row, line) pairs collapse via a composite int64 key — ~2x the
         # combiner throughput of hashing the strings again in
@@ -732,7 +737,9 @@ def remove_common_lines(docs, min_docs: int = 2, id_col: str = "doc_id",
     totals = (docs.map_batches(count_partial, batch_format="pyarrow")
               .groupby("line").aggregate(Sum("partial",
                                              alias_name="n_docs")))
-    common = totals.filter(lambda r: r["n_docs"] >= min_docs)
+    common = totals.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_docs"], min_docs)),
+        batch_format="pyarrow")
     tabs = ray.get(common.to_arrow_refs())
     merged = pa.concat_tables(tabs, promote_options="default")
     common_idx = pd.Index(merged["line"].to_pandas()
@@ -741,7 +748,7 @@ def remove_common_lines(docs, min_docs: int = 2, id_col: str = "doc_id",
 
     def scrub(t: pa.Table) -> pa.Table:
         idx = ray.get(common_ref)
-        flat, row_idx = _lines_with_rows(t)
+        flat, row_idx = _lines_with_rows(t, keep_blank=True)
         removed = np.zeros(t.num_rows, dtype=np.int64)
         if len(flat) and len(idx):
             hit = idx.get_indexer(flat.to_pandas()) >= 0

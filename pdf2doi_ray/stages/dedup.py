@@ -971,7 +971,10 @@ def simhash_near_dups(docs, max_hamming: int = 3, num_partitions: int = 8):
     masks = (np.left_shift(np.uint64(1), np.array(widths, dtype=np.uint64))
              - np.uint64(1))
 
-    sh = simhash_table(docs)
+    # materialize the digests: both band expansions consume this, and
+    # without the pin the dominant cost (full doc scan + per-unique-token
+    # blake2b) would execute twice.  (doc_id, simhash) is 16 B/doc.
+    sh = simhash_table(docs).materialize()
 
     def bands(ida: str, sha: str):
         def emit(t: pa.Table) -> pa.Table:

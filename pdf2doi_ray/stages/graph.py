@@ -369,10 +369,15 @@ def triangle_count(pairs, col_a: str = "vec_a", col_b: str = "vec_b",
     Scale note: wedge volume is Σ_v outdeg(v)² — a skewed hub vertex
     inflates its join partition; pre-split hub vertices (the
     ``stages/skew.py`` salting) or cap degree upstream when the graph has
-    web-hub skew.  Both joins stream in ONE executor DAG, so their
-    aggregator actor pools coexist: keep 2×``num_partitions`` ≲ cluster
-    CPUs (32 partitions on an 8-CPU box stalled in an actor-spawn storm;
-    8 runs clean).  Returns a one-row pandas frame (n_triangles).
+    web-hub skew.  The wedge set is materialized between the joins: (a)
+    Ray's hash join drops the key schema on an empty input, so a
+    wedge-free graph (e.g. a perfect matching) needs the count guard,
+    and (b) it serializes the two joins, so their aggregator actor pools
+    never coexist (chaining both in one DAG at ``num_partitions=32`` on
+    an 8-CPU box stalled in an actor-spawn storm).  The join's own
+    aggregators buffer the same wedge volume either way; the object
+    store copy is spillable.  Returns a one-row pandas frame
+    (n_triangles).
     """
     import pandas as pd
 
@@ -397,7 +402,9 @@ def triangle_count(pairs, col_a: str = "vec_a", col_b: str = "vec_b",
         batch_format="pyarrow")
     wedges = shuffle_hash_join(e, mid, on="b",
                                num_partitions=num_partitions,
-                               project=["a", "c"])
+                               project=["a", "c"]).materialize()
+    if wedges.count() == 0:      # e.g. a perfect matching: edges, no wedges
+        return pd.DataFrame({"n_triangles": pd.array([0], dtype="int64")})
     closing = e.map_batches(
         lambda t: pa.table({"a": t["a"], "c": t["b"]}),
         batch_format="pyarrow")
@@ -425,7 +432,17 @@ def prune_near_dups(items, pairs, id_col: str = "vec_id",
 
     Returns ``items``' rows whose ``id_col`` survives.
     """
+    import ray
+
     from .joins import broadcast_hash_join
+
+    # a corpus with NO near-dups is an ordinary input: the pair set is
+    # tiny by contract (it feeds a driver-side components loop), so
+    # materialize once — empty pairs mean nothing to drop, and the
+    # schema-less empty Datasets would crash components/the join anyway
+    pairs = pairs.materialize()
+    if pairs.count() == 0:
+        return items
 
     comp = connected_components(pairs, col_a=col_a, col_b=col_b)
 

@@ -207,3 +207,22 @@ def test_chunk_tokens_to_lines():
     out = (chunk_tokens_to_lines(docs, every=2).to_pandas()
            .sort_values("doc_id"))
     assert out["text"].tolist() == ["a b\nc d\ne", "", "x y"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_remove_common_lines_preserves_blank_lines():
+    """Blank lines are structure: never counted, never removed — the
+    rebuild keeps paragraph breaks intact."""
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import remove_common_lines
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": pa.array(["para one\n\npara two\nSHARED",
+                          "other\n\nSHARED"]),
+    }))
+    out = (remove_common_lines(docs, min_docs=2).to_pandas()
+           .sort_values("doc_id"))
+    assert out["text"].tolist() == ["para one\n\npara two", "other\n"]
+    assert out["n_removed"].tolist() == [1, 1]

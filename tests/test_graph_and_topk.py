@@ -248,3 +248,38 @@ def test_prune_near_dups_keeps_one_per_component():
            .sort_values("vec_id"))
     assert out["vec_id"].tolist() == [1, 5, 7, 8]
     assert out["payload"].tolist() == ["a", "d", "e", "f"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_triangle_count_edges_but_no_wedges():
+    """A perfect matching has edges but zero wedges: the first join's
+    empty output must short-circuit, not crash the second join."""
+    import ray.data
+
+    from pdf2doi_ray.stages.graph import triangle_count
+
+    pairs = pa.table({
+        "vec_a": pa.array([1, 3], type=pa.int64()),
+        "vec_b": pa.array([2, 4], type=pa.int64()),
+    })
+    out = triangle_count(ray.data.from_arrow(pairs), num_partitions=2)
+    assert out["n_triangles"].tolist() == [0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_prune_near_dups_no_duplicates():
+    """A corpus with zero near-dup pairs is ordinary input: everything
+    survives."""
+    import ray.data
+
+    from pdf2doi_ray.stages.graph import prune_near_dups
+
+    empty = pa.table({
+        "vec_a": pa.array([], type=pa.int64()),
+        "vec_b": pa.array([], type=pa.int64()),
+    })
+    items = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array([1, 2, 3], type=pa.int64()),
+    }))
+    out = prune_near_dups(items, ray.data.from_arrow(empty)).to_pandas()
+    assert sorted(out["vec_id"]) == [1, 2, 3]

@@ -593,3 +593,15 @@ def test_pivot_counts(n_blocks):
     # 'zz' never appears as a column; groups with only 'zz' rows still
     # appear (they were seen), with all-zero counts
     assert set(out.columns) == {"g", "n_a", "n_b", "n_c"}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pivot_counts_null_key_raises():
+    from pdf2doi_ray.stages.aggs import pivot_counts
+
+    t = pa.table({
+        "g": pa.array([1, None], type=pa.int64()),
+        "cat": pa.array(["a", "a"]),
+    })
+    with pytest.raises(Exception, match="null"):
+        pivot_counts(_ds(t, 1), "g", "cat", ["a"]).to_pandas()
