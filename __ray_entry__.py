@@ -883,17 +883,17 @@ def _q_value_quantiles_by_type(sf_dir: str):
     return value_quantiles_milli_by_group(ev, "event_type", "value")
 
 
-def _q_events_pivot(sf_dir: str):
-    """PIVOT: per-user event counts widened to one column per event type
-    (static category list, SQL PIVOT ... IN semantics).  One combiner-
-    first shuffle over wide partial rows."""
+def _q_event_value_histogram(sf_dir: str):
+    """Fixed 20-bin histogram of events.value over [0, 100) with explicit
+    under/overflow bins — exact integer binning (piecewise, no negative
+    division), combiner partials of n_bins+2 rows per batch."""
     import ray.data
 
-    from pdf2doi_ray.stages.aggs import pivot_counts
+    from pdf2doi_ray.stages.aggs import value_histogram_milli
     ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=["user_id", "event_type"])
-    return pivot_counts(ev, "user_id", "event_type",
-                        ["click", "view", "purchase", "signup", "error"])
+                               columns=["value"])
+    return value_histogram_milli(ev, "value", lo_milli=0, hi_milli=100_000,
+                                 n_bins=20)
 
 
 def _q_events_cube(sf_dir: str):
@@ -1177,6 +1177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_per_type": _q_distinct_users_per_type,
         "token_quantiles_by_lang": _q_token_quantiles_by_lang,
         "events_pivot": _q_events_pivot,
+        "event_value_histogram": _q_event_value_histogram,
         "customer_orders_left_join": _q_customer_orders_left_join,
         "normalize_text": _q_normalize_text,
         "canonical_urls": _q_canonical_urls,
@@ -1211,7 +1212,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_mode_event_type": _q_user_mode_event_type,
         "user_event_paths": _q_user_event_paths,
         "events_cube": _q_events_cube,
-        "events_pivot": _q_events_pivot,
         "value_quantiles_by_type": _q_value_quantiles_by_type,
     }
 
@@ -1647,6 +1647,24 @@ FROM r CROSS JOIN q
 WHERE r.rn >= ceil(q.q_permille * r.total / 1000.0)
 GROUP BY r.lang, q.q_permille
 """,
+        "event_value_histogram": """
+WITH e AS (SELECT CAST(floor(value * 1000) AS BIGINT) AS vm FROM events),
+b AS (SELECT CASE WHEN vm < 0 THEN -1
+                  WHEN vm >= 100000 THEN 20
+                  ELSE vm * 20 // 100000 END AS bin FROM e),
+bins AS (SELECT CAST(g AS BIGINT) - 1 AS bin
+         FROM UNNEST(range(22)) AS t(g)),
+cnt AS (SELECT bin, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY bin)
+SELECT bins.bin,
+       CAST(CASE WHEN bins.bin < 0 THEN NULL
+                 ELSE bins.bin * 100000 // 20 END AS BIGINT)
+           AS bin_lo_milli,
+       CAST(CASE WHEN bins.bin >= 20 THEN NULL
+                 ELSE (bins.bin + 1) * 100000 // 20 END AS BIGINT)
+           AS bin_hi_milli,
+       CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n
+FROM bins LEFT JOIN cnt USING (bin)
+""",
         "events_pivot": """
 SELECT user_id,
        CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
@@ -1799,20 +1817,6 @@ SELECT n.event_type, q.q_permille,
 FROM n, q
 """,
         # CUBE adds the (., parity) cross-slice to the ROLLUP levels
-        "events_pivot": """
-SELECT user_id,
-       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT)
-           AS n_click,
-       CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT)
-           AS n_view,
-       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
-           AS n_purchase,
-       CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT)
-           AS n_signup,
-       CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT)
-           AS n_error
-FROM events GROUP BY user_id
-""",
         "events_cube": """
 WITH e AS (SELECT event_type,
                   CASE WHEN user_id % 2 = 1 THEN 'odd' ELSE 'even' END

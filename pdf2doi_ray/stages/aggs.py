@@ -373,51 +373,51 @@ def grouped_string_agg(events, group_col: str = "user_id",
     return interior.union(cross)
 
 
-def pivot_counts(ds, row_col: str, cat_col: str, categories):
-    """PIVOT/crosstab: one output row per ``row_col`` value with a count
-    column per listed category — ``SQL PIVOT ... IN (categories)``
-    semantics, so values outside the list are dropped (an explicit list
-    is what keeps the output schema static and the plan one-pass).
+def value_histogram_milli(ds, value_col: str, lo_milli: int, hi_milli: int,
+                          n_bins: int = 20):
+    """Fixed-width histogram of a continuous column over ``[lo, hi)`` in
+    milli units — the analytics primitive behind every distribution
+    panel.  Exact and combiner-first: per batch, ``floor(value*1000)``
+    buckets via integer arithmetic (``(vm - lo) * n_bins // (hi - lo)``,
+    a single expression the SQL oracle reproduces bit-for-bit — no float
+    bin edges to disagree on) into one ``np.bincount`` partial of
+    ``n_bins + 2`` rows (underflow bin -1, overflow bin ``n_bins``);
+    the ``groupby(bin)`` merge only ever sees those partials.
 
-    Per-batch combiner: factorize the row key (pandas C kernel), map
-    categories to column slots, one 2-D ``np.add.at`` scatter — each
-    batch emits at most |distinct rows in batch| wide partial rows.  The
-    single ``groupby`` then Sums each count column over combiner rows
-    only; no second exchange and no per-group Python.  Scale knob: the
-    category list is the output width — hundreds are fine, unbounded
-    vocabularies belong in (group, value) long form (`grouped_mode` /
-    `inverted_index_stats`), not a pivot.
-
-    Returns (row_col, n_<cat> ... ) with int64 counts.
+    Every bin appears in the output even when empty (the panel contract),
+    with its [lo, hi) edges in milli units; under/overflow carry null
+    edges on the open side.  Returns (bin, bin_lo_milli, bin_hi_milli,
+    n), bin ∈ [-1, n_bins].
     """
-    import pandas as pd
     from ray.data.aggregate import Sum
 
-    cats = list(categories)
-    cat_idx = pd.Index(cats)
-    cols = [f"n_{c}" for c in cats]
+    if hi_milli <= lo_milli:
+        raise ValueError("value_histogram_milli: hi must exceed lo")
+    width = hi_milli - lo_milli
 
     def partial(t: pa.Table) -> pa.Table:
-        key_col = one_chunk(t[row_col])
-        if key_col.null_count:
-            # loud, like _milli: a null key would factorize to code -1 and
-            # np.add.at(counts, -1, ...) silently credits the LAST group
-            # (and Ray's shuffle cannot partition null keys anyway)
-            raise ValueError(
-                f"pivot_counts: null values in row key column "
-                f"'{row_col}' — filter or fill them first")
-        keys = np.asarray(key_col)
-        codes, uniques = pd.factorize(keys)
-        slot = cat_idx.get_indexer(
-            one_chunk(t[cat_col]).to_pandas().to_numpy(dtype=object))
-        counts = np.zeros((len(uniques), len(cats)), dtype=np.int64)
-        ok = slot >= 0
-        np.add.at(counts, (codes[ok], slot[ok]), 1)
-        out = {row_col: pa.array(uniques)}
-        for j, c in enumerate(cols):
-            out[c] = pa.array(counts[:, j])
-        return pa.table(out)
+        vm = _milli(one_chunk(t[value_col]))
+        # piecewise, never dividing a negative: numpy // floors while SQL
+        # // truncates, so an underflow value must route to bin -1 by
+        # comparison, not by division
+        b = np.full(len(vm), -1, dtype=np.int64)
+        inside = (vm >= lo_milli) & (vm < hi_milli)
+        b[inside] = (vm[inside] - lo_milli) * n_bins // width
+        b[vm >= hi_milli] = n_bins
+        cnt = np.bincount(b + 1, minlength=n_bins + 2)
+        return pa.table({
+            "bin": pa.array(np.arange(-1, n_bins + 1, dtype=np.int64)),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
 
-    return (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby(row_col)
-            .aggregate(*[Sum(c, alias_name=c) for c in cols]))
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("bin").aggregate(Sum("n", alias_name="n"))
+              .to_pandas().sort_values("bin").reset_index(drop=True))
+    bins = merged["bin"].to_numpy()
+    lo = lo_milli + bins * width // n_bins
+    hi = lo_milli + (bins + 1) * width // n_bins
+    merged["bin_lo_milli"] = np.where(bins < 0, None, lo)
+    merged["bin_hi_milli"] = np.where(bins >= n_bins, None, hi)
+    merged["bin_lo_milli"] = merged["bin_lo_milli"].astype("Int64")
+    merged["bin_hi_milli"] = merged["bin_hi_milli"].astype("Int64")
+    return merged[["bin", "bin_lo_milli", "bin_hi_milli", "n"]]

@@ -569,7 +569,7 @@ def test_grouped_string_agg_blocks(n_blocks, shards):
 def test_pivot_counts(n_blocks):
     import pandas as pd
 
-    from pdf2doi_ray.stages.aggs import pivot_counts
+    from pdf2doi_ray.stages.pivot import pivot_counts
 
     rng = np.random.default_rng(31)
     n = 200
@@ -597,7 +597,7 @@ def test_pivot_counts(n_blocks):
 
 @pytest.mark.usefixtures("ray_session")
 def test_pivot_counts_null_key_raises():
-    from pdf2doi_ray.stages.aggs import pivot_counts
+    from pdf2doi_ray.stages.pivot import pivot_counts
 
     t = pa.table({
         "g": pa.array([1, None], type=pa.int64()),
@@ -605,3 +605,25 @@ def test_pivot_counts_null_key_raises():
     })
     with pytest.raises(Exception, match="null"):
         pivot_counts(_ds(t, 1), "g", "cat", ["a"]).to_pandas()
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("n_blocks", [1, 4])
+def test_value_histogram_milli(n_blocks):
+    from pdf2doi_ray.stages.aggs import value_histogram_milli
+
+    vals = np.array([-0.5, 0.0, 0.049, 0.05, 0.75, 0.999, 1.0, 2.5])
+    t = pa.table({"v": pa.array(vals)})
+    out = value_histogram_milli(_ds(t, n_blocks), "v",
+                                lo_milli=0, hi_milli=1000, n_bins=10)
+    got = dict(zip(out["bin"], out["n"]))
+    # -0.5 underflows; 0.0/0.049 -> bin 0; 0.05 -> bin 0? floor(50*10/1000)=0
+    # (0.05*1000=50, 50*10//1000=0); 0.75 -> 7; 0.999 -> 9; 1.0, 2.5 overflow
+    assert got[-1] == 1 and got[0] == 3 and got[7] == 1 and got[9] == 1
+    assert got[10] == 2
+    assert sum(got.values()) == len(vals)
+    assert len(out) == 12                       # every bin present
+    row0 = out[out["bin"] == 0].iloc[0]
+    assert row0["bin_lo_milli"] == 0 and row0["bin_hi_milli"] == 100
+    assert out[out["bin"] == -1]["bin_lo_milli"].isna().all()
+    assert out[out["bin"] == 10]["bin_hi_milli"].isna().all()
