@@ -874,6 +874,26 @@ def _q_last_value_user(sf_dir: str):
     return last_value_user(ev)
 
 
+def _q_percent_rank_user_value(sf_dir: str):
+    import ray.data
+
+    from pdf2doi_ray.stages.windowfns import percent_rank_user_value
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"])
+    return percent_rank_user_value(ev)
+
+
+def _q_cume_dist_user_value(sf_dir: str):
+    import ray.data
+
+    from pdf2doi_ray.stages.windowfns import cume_dist_user_value
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"])
+    return cume_dist_user_value(ev)
+
+
 def _q_value_quantiles_by_type(sf_dir: str):
     import ray.data
 
@@ -881,6 +901,18 @@ def _q_value_quantiles_by_type(sf_dir: str):
     ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["event_type", "value"])
     return value_quantiles_milli_by_group(ev, "event_type", "value")
+
+
+def _q_funnel_conversion(sf_dir: str):
+    """click→purchase funnel: earliest purchase at/after each user's
+    first click.  Two combiner-first Min passes with a broadcast of the
+    per-user entry table between them."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import funnel_conversion
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type", "ts"])
+    return funnel_conversion(ev, "click", "purchase")
 
 
 def _q_event_value_histogram(sf_dir: str):
@@ -1178,6 +1210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_quantiles_by_lang": _q_token_quantiles_by_lang,
         "events_pivot": _q_events_pivot,
         "event_value_histogram": _q_event_value_histogram,
+        "funnel_conversion": _q_funnel_conversion,
         "customer_orders_left_join": _q_customer_orders_left_join,
         "normalize_text": _q_normalize_text,
         "canonical_urls": _q_canonical_urls,
@@ -1203,6 +1236,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup": _q_docs_rollup,
         "lag_user_value": _q_lag_user_value,
         "ntile_user": _q_ntile_user,
+        "percent_rank_user_value": _q_percent_rank_user_value,
+        "cume_dist_user_value": _q_cume_dist_user_value,
         "first_value_user": _q_first_value_user,
         "last_value_user": _q_last_value_user,
         "lead_user_value": _q_lead_user_value,
@@ -1647,6 +1682,19 @@ FROM r CROSS JOIN q
 WHERE r.rn >= ceil(q.q_permille * r.total / 1000.0)
 GROUP BY r.lang, q.q_permille
 """,
+        "funnel_conversion": """
+WITH f AS (SELECT user_id, min(ts) AS first_ts
+           FROM events WHERE event_type = 'click' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS conv_ts
+      FROM events e JOIN f ON f.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= f.first_ts
+      GROUP BY e.user_id)
+SELECT f.user_id,
+       CAST(epoch_us(f.first_ts) AS BIGINT) AS first_ts_us,
+       CAST(epoch_us(c.conv_ts) AS BIGINT) AS conv_ts_us,
+       c.user_id IS NOT NULL AS converted
+FROM f LEFT JOIN c ON c.user_id = f.user_id
+""",
         "event_value_histogram": """
 WITH e AS (SELECT CAST(floor(value * 1000) AS BIGINT) AS vm FROM events),
 b AS (SELECT CASE WHEN vm < 0 THEN -1
@@ -1840,6 +1888,27 @@ WITH e AS (SELECT event_id, user_id, ts,
                   CAST(floor(value * 1000) AS BIGINT) AS vm FROM events)
 SELECT event_id, user_id,
        LAG(vm) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lag_vm
+FROM e
+""",
+        "percent_rank_user_value": """
+WITH e AS (SELECT event_id, user_id, ts,
+                  CAST(floor(value * 1000) AS BIGINT) % 100 AS k
+           FROM events)
+SELECT event_id, user_id,
+       CAST(((RANK() OVER (PARTITION BY user_id ORDER BY k)) - 1) * 1000
+            // GREATEST(COUNT(*) OVER (PARTITION BY user_id) - 1, 1)
+            AS BIGINT) AS pr_permille
+FROM e
+""",
+        "cume_dist_user_value": """
+WITH e AS (SELECT event_id, user_id, ts,
+                  CAST(floor(value * 1000) AS BIGINT) % 100 AS k
+           FROM events)
+SELECT event_id, user_id,
+       CAST(1000 * COUNT(*) OVER (PARTITION BY user_id ORDER BY k
+                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            // COUNT(*) OVER (PARTITION BY user_id) AS BIGINT)
+           AS cume_permille
 FROM e
 """,
         "ntile_user": """

@@ -421,3 +421,93 @@ def value_histogram_milli(ds, value_col: str, lo_milli: int, hi_milli: int,
     merged["bin_lo_milli"] = merged["bin_lo_milli"].astype("Int64")
     merged["bin_hi_milli"] = merged["bin_hi_milli"].astype("Int64")
     return merged[["bin", "bin_lo_milli", "bin_hi_milli", "n"]]
+
+
+def funnel_conversion(events, first_type: str, then_type: str,
+                      type_col: str = "event_type",
+                      user_col: str = "user_id", ts_col: str = "ts"):
+    """Two-step funnel: for every user who ever emitted ``first_type``,
+    the earliest ``then_type`` event AT OR AFTER their first
+    ``first_type`` — the click→purchase conversion query of product
+    analytics.
+
+    Plan: pass 1 is a combiner-first Min aggregate (per-batch per-user
+    min entry ts; the groupby sees one row per user per batch).  The
+    resulting (user, first_ts) table — one row per ENTERED user — is
+    broadcast once, and pass 2 streams the corpus again, keeping only
+    ``then_type`` rows at/after their user's entry before the same
+    combiner-first Min.  The final left join of two per-user tables runs
+    broadcast too.  For user populations past broadcast size, swap both
+    broadcasts for ``shuffle_hash_join`` — the pass structure is
+    unchanged.
+
+    Returns (user_id, first_ts_us, conv_ts_us nullable, converted bool);
+    timestamps in epoch microseconds.
+    """
+    from ray.data.aggregate import Min
+
+    from .joins import broadcast_hash_join
+
+    def _entry(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t[type_col], first_type)
+        sub = t.filter(keep)
+        ts_us = pc.cast(pc.cast(sub[ts_col], pa.timestamp("us")), pa.int64())
+        g = pa.table({user_col: sub[user_col], "ts_us": ts_us}) \
+            .group_by(user_col).aggregate([("ts_us", "min")])
+        return g.rename_columns([user_col, "ts_p"])
+
+    entered = (events.map_batches(_entry, batch_format="pyarrow")
+               .groupby(user_col)
+               .aggregate(Min("ts_p", alias_name="first_ts_us"))
+               .materialize())
+
+    if entered.count() == 0:                  # nobody entered the funnel
+        import ray.data
+        return ray.data.from_arrow(pa.table({
+            user_col: pa.array([], type=pa.int64()),
+            "first_ts_us": pa.array([], type=pa.int64()),
+            "conv_ts_us": pa.array([], type=pa.int64()),
+            "converted": pa.array([], type=pa.bool_()),
+        }))
+
+    def _conv(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t[type_col], then_type)
+        sub = t.filter(keep)
+        ts_us = pc.cast(pc.cast(sub[ts_col], pa.timestamp("us")), pa.int64())
+        sub = pa.table({user_col: sub[user_col], "ts_us": ts_us})
+        # inner join against the broadcast entry table attaches first_ts
+        return sub
+
+    conv_rows = (events.map_batches(_conv, batch_format="pyarrow"))
+    joined = broadcast_hash_join(conv_rows, entered, on=user_col)
+
+    def _after(t: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(t["ts_us"], t["first_ts_us"])
+        sub = t.filter(keep)
+        g = pa.table({user_col: sub[user_col], "ts_us": sub["ts_us"]}) \
+            .group_by(user_col).aggregate([("ts_us", "min")])
+        return g.rename_columns([user_col, "conv_p"])
+
+    conv = (joined.map_batches(_after, batch_format="pyarrow")
+            .groupby(user_col)
+            .aggregate(Min("conv_p", alias_name="conv_ts_us"))
+            .materialize())                   # per-user rows: small by contract
+
+    if conv.count() == 0:
+        # zero conversions anywhere: the empty per-user table would lose
+        # its schema through the broadcast join, and the answer is known
+        def _none(t: pa.Table) -> pa.Table:
+            return (t.append_column("conv_ts_us",
+                                    pa.nulls(t.num_rows, pa.int64()))
+                    .append_column("converted",
+                                   pa.array([False] * t.num_rows)))
+        return entered.map_batches(_none, batch_format="pyarrow")
+
+    out = broadcast_hash_join(entered, conv, on=user_col,
+                              join_type="left outer")
+
+    def _flag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "converted", pc.is_valid(t["conv_ts_us"]))
+
+    return out.map_batches(_flag, batch_format="pyarrow")

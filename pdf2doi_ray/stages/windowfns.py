@@ -381,3 +381,70 @@ def last_value_user(events, stitch_shards: int = DEFAULT_STITCH_SHARDS):
         return np.repeat(vm[np.asarray(ends) - 1], ends - starts), None
 
     return _windowed_user_op(events, kernel, "last_vm", stitch_shards)
+
+
+def _value_order_stats_kernel(mod, stat: str):
+    """Shared kernel for PERCENT_RANK / CUME_DIST over concatenated
+    segments ordered by ``vm % mod`` — same lexsort + tie-run machinery
+    as :func:`_rank_kernel`, emitting integer permille so the SQL oracle
+    ((rank-1)*1000 // max(n-1,1), resp. 1000*count_le // n) matches
+    bit-for-bit with no float quantile in sight."""
+    def kernel(vm, starts, ends):
+        if mod is not None:
+            if len(vm) and vm.min() < 0:
+                raise ValueError(
+                    "permille order stats modulo ordering requires "
+                    "non-negative milli values (numpy and SQL disagree "
+                    "on negative %)")
+            key = vm % mod
+        else:
+            key = vm
+        n = len(key)
+        if n == 0:
+            return np.empty(0, dtype=np.int64), None
+        lens = ends - starts
+        seg_id = np.repeat(np.arange(len(starts)), lens)
+        L = np.repeat(lens, lens)
+        order = np.lexsort((key, seg_id))
+        ks, ss = key[order], seg_id[order]
+        idx = np.arange(n)
+        new = np.ones(n, dtype=bool)
+        if n > 1:
+            new[1:] = (ks[1:] != ks[:-1]) | (ss[1:] != ss[:-1])
+        seg_start = np.repeat(starts, lens)
+        if stat == "percent_rank":
+            anchor = np.maximum.accumulate(np.where(new, idx, 0))
+            rank = (anchor - seg_start + 1).astype(np.int64)
+            val_sorted = (rank - 1) * 1000 // np.maximum(L - 1, 1)
+        else:                                   # cume_dist
+            run_id = np.cumsum(new) - 1
+            run_first = np.nonzero(new)[0]
+            run_last = np.concatenate([run_first[1:] - 1, [n - 1]])
+            cnt_le = (run_last[run_id] - seg_start + 1).astype(np.int64)
+            val_sorted = cnt_le * 1000 // L
+        out = np.empty(n, dtype=np.int64)
+        out[order] = val_sorted
+        return out, None
+
+    return kernel
+
+
+def percent_rank_user_value(events, mod=100,
+                            stitch_shards: int = DEFAULT_STITCH_SHARDS):
+    """``PERCENT_RANK() OVER (PARTITION BY user_id ORDER BY vm % mod)``
+    as exact integer permille: (rank-1)·1000 // max(n-1, 1) — 0 for
+    single-row partitions, 1000 for the top of every larger one.
+    Output: event_id, user_id, pr_permille."""
+    return _windowed_user_op(events,
+                             _value_order_stats_kernel(mod, "percent_rank"),
+                             "pr_permille", stitch_shards)
+
+
+def cume_dist_user_value(events, mod=100,
+                         stitch_shards: int = DEFAULT_STITCH_SHARDS):
+    """``CUME_DIST()`` twin: 1000·|rows with key ≤ mine| // n, ties
+    counted through their whole run (SQL RANGE-frame semantics).
+    Output: event_id, user_id, cume_permille."""
+    return _windowed_user_op(events,
+                             _value_order_stats_kernel(mod, "cume_dist"),
+                             "cume_permille", stitch_shards)

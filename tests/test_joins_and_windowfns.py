@@ -447,3 +447,57 @@ def test_ntile_uneven_distribution_exact():
     })
     out = ntile_user(_ds(t, 2), n=4).to_pandas().sort_values("event_id")
     assert out["tile"].tolist() == [1, 1, 2, 2, 3, 3, 4]
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("n_blocks", [1, 4])
+def test_percent_rank_cume_dist_blocks(n_blocks):
+    import pandas as pd
+
+    from pdf2doi_ray.stages.windowfns import (cume_dist_user_value,
+                                              percent_rank_user_value)
+
+    rng = np.random.default_rng(29)
+    n = 140
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(
+            pd.to_datetime(rng.integers(0, 10**6, size=n), unit="s")
+            .astype("datetime64[us]")),
+        "user_id": pa.array(rng.integers(0, 9, size=n).astype(np.int64)),
+        "value": pa.array(rng.uniform(0, 5, size=n)),
+    })
+    df = t.to_pandas()
+    df["k"] = (np.floor(df["value"] * 1000.0).astype(np.int64)) % 100
+    g = df.groupby("user_id")["k"]
+    rank = g.rank(method="min").astype(np.int64)
+    cnt = g.transform("size").to_numpy()
+    df["pr_want"] = (rank - 1) * 1000 // np.maximum(cnt - 1, 1)
+    cume = g.rank(method="max").astype(np.int64)       # = |rows <= mine|
+    df["cd_want"] = cume * 1000 // cnt
+    want = df.sort_values("event_id").reset_index(drop=True)
+
+    for fn, col, wcol in (
+            (percent_rank_user_value, "pr_permille", "pr_want"),
+            (cume_dist_user_value, "cume_permille", "cd_want")):
+        out = fn(_ds(t, n_blocks)).to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        assert len(out) == n
+        assert (out[col].to_numpy() == want[wcol].to_numpy()).all(), col
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_percent_rank_single_row_partition_is_zero():
+    import pandas as pd
+
+    from pdf2doi_ray.stages.windowfns import percent_rank_user_value
+
+    t = pa.table({
+        "event_id": pa.array([1], type=pa.int64()),
+        "ts": pa.array(pd.to_datetime([0], unit="s")
+                       .astype("datetime64[us]")),
+        "user_id": pa.array([7], type=pa.int64()),
+        "value": pa.array([1.5]),
+    })
+    out = percent_rank_user_value(_ds(t, 1)).to_pandas()
+    assert out["pr_permille"].tolist() == [0]

@@ -627,3 +627,53 @@ def test_value_histogram_milli(n_blocks):
     assert row0["bin_lo_milli"] == 0 and row0["bin_hi_milli"] == 100
     assert out[out["bin"] == -1]["bin_lo_milli"].isna().all()
     assert out[out["bin"] == 10]["bin_hi_milli"].isna().all()
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("n_blocks", [1, 3])
+def test_funnel_conversion(n_blocks):
+    import pandas as pd
+
+    from pdf2doi_ray.stages.aggs import funnel_conversion
+
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 2, 3, 4], type=pa.int64()),
+        "event_type": pa.array(["click", "purchase", "purchase",
+                                "purchase", "click", "click", "view"]),
+        "ts": pa.array(pd.to_datetime([10, 5, 20, 1, 8, 30, 2], unit="s")
+                       .astype("datetime64[us]")),
+    })
+    out = (funnel_conversion(_ds(t, n_blocks), "click", "purchase")
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    # user 1: purchase@5 is BEFORE the click@10 — only @20 converts;
+    # user 2's only purchase precedes the click; user 4 never entered
+    assert out["user_id"].tolist() == [1, 2, 3]
+    assert out["first_ts_us"].tolist() == [10_000_000, 8_000_000,
+                                           30_000_000]
+    assert out["converted"].tolist() == [True, False, False]
+    assert out["conv_ts_us"].tolist()[0] == 20_000_000
+    assert out["conv_ts_us"].isna().tolist() == [False, True, True]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_funnel_conversion_degenerate_inputs():
+    import pandas as pd
+
+    from pdf2doi_ray.stages.aggs import funnel_conversion
+
+    clicks_only = pa.table({
+        "user_id": pa.array([1], type=pa.int64()),
+        "event_type": pa.array(["click"]),
+        "ts": pa.array(pd.to_datetime([1], unit="s")
+                       .astype("datetime64[us]")),
+    })
+    out = funnel_conversion(_ds(clicks_only, 1), "click",
+                            "purchase").to_pandas()
+    assert out["converted"].tolist() == [False]
+
+    no_entry = clicks_only.set_column(1, "event_type", pa.array(["view"]))
+    out2 = funnel_conversion(_ds(no_entry, 1), "click",
+                             "purchase").to_pandas()
+    assert len(out2) == 0
+    # (Ray's to_pandas drops columns on a fully-empty dataset; the arrow
+    # schema the operator builds is asserted via the non-empty cases)
