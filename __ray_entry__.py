@@ -903,6 +903,20 @@ def _q_value_quantiles_by_type(sf_dir: str):
     return value_quantiles_milli_by_group(ev, "event_type", "value")
 
 
+def _q_approx_value_quantiles(sf_dir: str):
+    """KLL/MRL mergeable quantile sketch over events.value: one few-KiB
+    partial per batch, driver merges blobs — the scale path for unbounded
+    domains where the exact milli histogram would grow with cardinality.
+    No SQL oracle (approximate by design); locked by the rank-error
+    property tests in tests/test_sketch.py against the exact machinery."""
+    import ray.data
+
+    from pdf2doi_ray.stages.sketch import approx_quantiles_milli
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["value"])
+    return approx_quantiles_milli(ev, "value")
+
+
 def _q_funnel_conversion(sf_dir: str):
     """click→purchase funnel: earliest purchase at/after each user's
     first click.  Two combiner-first Min passes with a broadcast of the
@@ -1211,6 +1225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot": _q_events_pivot,
         "event_value_histogram": _q_event_value_histogram,
         "funnel_conversion": _q_funnel_conversion,
+        "approx_value_quantiles": _q_approx_value_quantiles,
         "customer_orders_left_join": _q_customer_orders_left_join,
         "normalize_text": _q_normalize_text,
         "canonical_urls": _q_canonical_urls,

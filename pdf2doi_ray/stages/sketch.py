@@ -225,3 +225,158 @@ def heavy_hitters(ds, column: str, m: int = 256, k: int = 20):
         "est_count": counts[order],
         "err_bound": np.full(len(order), err_total, dtype=np.int64),
     })
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch (MRL/KLL-style compactor hierarchy)
+#
+# Completes the sketch trio (HLL cardinality, Misra-Gries heavy hitters,
+# quantiles).  The EXACT quantile path in this repo milli-quantizes and
+# histograms (stages/aggs.value_quantiles_milli) — that is the right answer
+# while the quantized domain stays bounded.  This sketch is the scale path
+# for genuinely unbounded domains: per-batch state is O(k·log(n/k)) values
+# regardless of cardinality, partials merge associatively, and the driver
+# never sees raw values.
+#
+# Simple fixed-capacity variant (Manku-Rajagopalan-Lindsay): every level
+# holds up to 2k values; a full level sorts and promotes every other value
+# (weight doubles per level), with the survivor offset alternating per
+# compaction so the bias cancels in expectation.  Rank error is
+# O(log(n/k) / k)·n; the property tests assert a conservative 3% at
+# k=512 / n=1e5.  Deterministic for a fixed add/merge order; merge order
+# may shift an estimate within the same bound (tested both ways).
+# ---------------------------------------------------------------------------
+
+KLL_K = 512
+
+
+def kll_new() -> dict:
+    return {"levels": [np.empty(0, dtype=np.int64)], "n": 0, "flips": 0}
+
+
+def _kll_compact(sk: dict, k: int) -> None:
+    levels = sk["levels"]
+    i = 0
+    while i < len(levels):
+        if len(levels[i]) >= 2 * k:
+            v = np.sort(levels[i])
+            # an odd count cannot halve weight-preservingly: hold the
+            # largest value back at this level (deterministic) and
+            # compact the even remainder — Σ 2^level·|level| stays n
+            keep = v[-1:] if len(v) & 1 else v[:0]
+            v = v[:len(v) - (len(v) & 1)]
+            off = sk["flips"] & 1
+            sk["flips"] += 1
+            if i + 1 == len(levels):
+                levels.append(np.empty(0, dtype=np.int64))
+            levels[i + 1] = np.concatenate([levels[i + 1], v[off::2]])
+            levels[i] = keep
+        i += 1
+
+
+def kll_add(sk: dict, values: np.ndarray, k: int = KLL_K) -> None:
+    """Add a batch of int64 values (chunked so level 0 never skips its
+    capacity check)."""
+    vals = np.asarray(values, dtype=np.int64)
+    sk["n"] += len(vals)
+    for lo in range(0, len(vals), k):
+        sk["levels"][0] = np.concatenate([sk["levels"][0],
+                                          vals[lo:lo + k]])
+        _kll_compact(sk, k)
+
+
+def kll_merge(a: dict, b: dict, k: int = KLL_K) -> dict:
+    """Merge two sketches (associative up to the stated error bound)."""
+    out = kll_new()
+    out["n"] = a["n"] + b["n"]
+    out["flips"] = a["flips"] + b["flips"]
+    depth = max(len(a["levels"]), len(b["levels"]))
+    out["levels"] = [
+        np.concatenate([
+            a["levels"][i] if i < len(a["levels"])
+            else np.empty(0, dtype=np.int64),
+            b["levels"][i] if i < len(b["levels"])
+            else np.empty(0, dtype=np.int64),
+        ]) for i in range(depth)]
+    _kll_compact(out, k)
+    return out
+
+
+def kll_total_weight(sk: dict) -> int:
+    """Σ 2^level · |level| — MUST equal n exactly (compaction preserves
+    total weight); the structural invariant the tests pin."""
+    return int(sum((1 << i) * len(v) for i, v in enumerate(sk["levels"])))
+
+
+def kll_quantiles(sk: dict, quantiles_permille) -> list[tuple[int, int]]:
+    """(q_permille, value) at 1-based weighted rank ceil(q/1000 · n) —
+    the same rank definition as the exact histogram walk."""
+    vals = np.concatenate(sk["levels"]) if sk["n"] else np.empty(0, np.int64)
+    wts = np.concatenate([
+        np.full(len(v), 1 << i, dtype=np.int64)
+        for i, v in enumerate(sk["levels"])]) if sk["n"] else vals
+    order = np.argsort(vals, kind="stable")
+    vals, wts = vals[order], wts[order]
+    cum = np.cumsum(wts)
+    out = []
+    for q in quantiles_permille:
+        target = -(-q * sk["n"] // 1000)          # ceil
+        j = int(np.searchsorted(cum, max(target, 1)))
+        j = min(j, len(vals) - 1)
+        out.append((int(q), int(vals[j]) if len(vals) else 0))
+    return out
+
+
+def kll_serialize(sk: dict) -> bytes:
+    import struct
+    parts = [struct.pack("<qqq", sk["n"], sk["flips"], len(sk["levels"]))]
+    for v in sk["levels"]:
+        parts.append(struct.pack("<q", len(v)))
+        parts.append(np.ascontiguousarray(v).tobytes())
+    return b"".join(parts)
+
+
+def kll_deserialize(blob: bytes) -> dict:
+    import struct
+    n, flips, depth = struct.unpack_from("<qqq", blob, 0)
+    off = 24
+    levels = []
+    for _ in range(depth):
+        (ln,) = struct.unpack_from("<q", blob, off)
+        off += 8
+        levels.append(np.frombuffer(blob, dtype=np.int64,
+                                    count=ln, offset=off).copy())
+        off += 8 * ln
+    return {"levels": levels, "n": n, "flips": flips}
+
+
+def approx_quantiles_milli(ds, value_col: str,
+                           quantiles_permille=(250, 500, 750, 900),
+                           k: int = KLL_K):
+    """Distributed approximate quantiles of a float column on the milli
+    grid: each batch folds into one KLL partial (a few KiB regardless of
+    batch size), the driver merges blobs — values never shuffle, the
+    driver never holds raw data.  Error: rank within O(log(n/k)/k)·n of
+    exact; use :func:`.aggs.value_quantiles_milli` when the quantized
+    domain is bounded and exactness is required.  Returns a pandas frame
+    (q_permille, value) in milli units."""
+    import pandas as pd
+
+    from .windowfns import _milli
+    from ..arrowutil import one_chunk
+
+    def partial(t: pa.Table) -> pa.Table:
+        sk = kll_new()
+        kll_add(sk, _milli(one_chunk(t[value_col])), k)
+        return pa.table({"blob": pa.array([kll_serialize(sk)],
+                                          type=pa.binary())})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    merged = kll_new()
+    for r in rows:
+        merged = kll_merge(merged, kll_deserialize(r["blob"]), k)
+    qs = kll_quantiles(merged, quantiles_permille)
+    return pd.DataFrame({
+        "q_permille": pd.array([q for q, _ in qs], dtype="int64"),
+        "value": pd.array([v for _, v in qs], dtype="int64"),
+    })

@@ -119,3 +119,85 @@ def test_heavy_hitters_exact_when_capacity_sufficient():
     assert (out["err_bound"] == 0).all()
     want = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert list(zip(out["value"], out["est_count"])) == want
+
+
+# ---- KLL/MRL quantile sketch ----
+
+def test_kll_weight_invariant_and_roundtrip():
+    import numpy as np
+
+    from pdf2doi_ray.stages.sketch import (kll_add, kll_deserialize,
+                                           kll_merge, kll_new,
+                                           kll_quantiles, kll_serialize,
+                                           kll_total_weight)
+
+    rng = np.random.default_rng(5)
+    for gen in (rng.integers(0, 10**6, 50_000).astype(np.int64),
+                np.sort(rng.integers(0, 10**6, 50_000)).astype(np.int64),
+                rng.zipf(1.3, 50_000).astype(np.int64)):
+        sk = kll_new()
+        kll_add(sk, gen)
+        assert kll_total_weight(sk) == len(gen)
+        rt = kll_deserialize(kll_serialize(sk))
+        assert kll_total_weight(rt) == len(gen)
+        assert kll_quantiles(rt, (500,)) == kll_quantiles(sk, (500,))
+
+    a, b = kll_new(), kll_new()
+    kll_add(a, rng.integers(0, 100, 7_777).astype(np.int64))
+    kll_add(b, rng.integers(50, 200, 3_333).astype(np.int64))
+    m = kll_merge(a, b)
+    assert kll_total_weight(m) == 7_777 + 3_333
+
+
+def test_kll_rank_error_bound_single_and_merged():
+    import numpy as np
+
+    from pdf2doi_ray.stages.sketch import (kll_add, kll_merge, kll_new,
+                                           kll_quantiles)
+
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 10**6, 100_000).astype(np.int64)
+    sv = np.sort(vals)
+
+    single = kll_new()
+    kll_add(single, vals)
+    merged = kll_new()
+    for chunk in np.array_split(vals, 41):
+        p = kll_new()
+        kll_add(p, chunk)
+        merged = kll_merge(merged, p)
+
+    for sk in (single, merged):
+        for q, est in kll_quantiles(sk, (100, 250, 500, 750, 900, 990)):
+            true_rank = np.searchsorted(sv, est, side="right")
+            err = abs(true_rank - q * len(vals) // 1000) / len(vals)
+            assert err < 0.03, (q, err)     # k=512 bound with margin
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_approx_quantiles_tracks_exact():
+    """The distributed sketch must agree with the exact milli-histogram
+    quantiles to within the rank bound on the shared events fixture."""
+    import numpy as np
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import value_quantiles_milli
+    from pdf2doi_ray.stages.sketch import approx_quantiles_milli
+
+    ev = ray.data.read_parquet("/root/testdata/sf0.01/events.parquet",
+                               columns=["value"])
+    approx = approx_quantiles_milli(ev, "value")
+    exact = value_quantiles_milli(
+        ray.data.read_parquet("/root/testdata/sf0.01/events.parquet",
+                              columns=["value"]), "value")
+    vals = np.sort(np.floor(
+        ray.data.read_parquet("/root/testdata/sf0.01/events.parquet",
+                              columns=["value"])
+        .to_pandas()["value"].to_numpy() * 1000).astype(np.int64))
+    n = len(vals)
+    ex = dict(zip(exact["q_permille"], exact["value"])) \
+        if "q_permille" in getattr(exact, "columns", []) else None
+    for _, row in approx.iterrows():
+        q, est = int(row["q_permille"]), int(row["value"])
+        true_rank = np.searchsorted(vals, est, side="right")
+        assert abs(true_rank - q * n // 1000) <= max(0.03 * n, 2), (q, est)
