@@ -1095,6 +1095,15 @@ def _q_contamination(sf_dir: str):
     return contamination_flags(_docs(sf_dir, ("doc_id", "text")))
 
 
+def _q_oov_rate(sf_dir: str):
+    """Per-doc out-of-vocabulary permille vs the corpus top-50 token
+    vocabulary — the cheap LM-perplexity stand-in for quality filtering.
+    Vocab pass is combiner-first + bounded-partial top-k; the 50-string
+    vocab broadcasts once and docs stream."""
+    from pdf2doi_ray.stages.corpus import oov_rate
+    return oov_rate(_docs(sf_dir, ("doc_id", "text")), vocab_size=50)
+
+
 def _q_remove_boilerplate_lines(sf_dir: str):
     """CCNet-style common-line removal: chunk each doc into deterministic
     16-token lines, count distinct-doc occurrences per line (combiner →
@@ -1242,6 +1251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_filter": _q_repetition_filter,
         "contamination": _q_contamination,
         "remove_boilerplate_lines": _q_remove_boilerplate_lines,
+        "oov_rate": _q_oov_rate,
         "sample_intersect": _q_sample_intersect,
         "sample_except": _q_sample_except,
         "extraction_rate_by_host": _q_rate_by_host,
@@ -2128,6 +2138,26 @@ SELECT d.doc_id,
        COALESCE(h.n, 0) > 0 AS contaminated
 FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id
 WHERE d.doc_id % 97 <> 0
+""",
+        "oov_rate": """
+WITH toks AS (SELECT doc_id,
+                     unnest(list_filter(string_split(text, ' '),
+                                        x -> x <> '')) AS token
+              FROM documents),
+v AS (SELECT token FROM (
+        SELECT token, count(*) AS n FROM toks GROUP BY token
+        ORDER BY n DESC, token ASC LIMIT 50)),
+per AS (SELECT t.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(count(*) FILTER (
+                    WHERE t.token NOT IN (SELECT token FROM v))
+                    AS BIGINT) AS oov
+        FROM toks t GROUP BY t.doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(1000 * per.oov // per.n_tokens, 0) AS BIGINT)
+           AS oov_permille
+FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
 """,
         "remove_boilerplate_lines": """
 WITH toks AS (SELECT doc_id,

@@ -761,3 +761,70 @@ def remove_common_lines(docs, min_docs: int = 2,
         return pa.table(out)
 
     return docs.map_batches(scrub, batch_format="pyarrow")
+
+
+def oov_rate(docs, vocab_size: int = 50):
+    """Out-of-vocabulary rate per document: the permille of a doc's tokens
+    absent from the corpus-wide top-``vocab_size`` token vocabulary — the
+    cheap stand-in for LM-perplexity quality filtering (CCNet-style): high
+    OOV flags gibberish, boilerplate-stripped residue, and wrong-language
+    docs relative to the corpus's own register.
+
+    Two passes, both shuffle-light: (1) vocabulary = global token counts
+    (per-batch Arrow ``group_by`` combiner → one ``groupby`` over combiner
+    rows) reduced to top-``vocab_size`` with the bounded-partial pattern
+    (count desc, token asc — the deterministic tie-break the SQL oracle
+    mirrors); (2) the vocab broadcasts once via ``ray.put`` (it is
+    ``vocab_size`` strings — schema-sized, not corpus-sized) and every doc
+    streams through one pandas-C membership gather.
+
+    Integer permille (1000·oov // n_tokens), empty docs → 0.  Returns
+    (doc_id, n_tokens, oov_permille).
+    """
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    def counts(t: pa.Table) -> pa.Table:
+        flat, _ = _tokens_nonempty(t)
+        g = pa.table({"token": flat}).group_by("token").aggregate(
+            [([], "count_all")])
+        return pa.table({"token": g["token"],
+                         "n_partial": g["count_all"].cast(pa.int64())})
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["n", "token"],
+                                       ascending=[False, True]) \
+            .head(vocab_size)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    vocab_df = (docs.map_batches(counts, batch_format="pyarrow")
+                .groupby("token").aggregate(Sum("n_partial", alias_name="n"))
+                .map_batches(block_topk, batch_format="pyarrow",
+                             batch_size=None)
+                .to_pandas())
+    if "token" not in vocab_df.columns:
+        vocab_df = pd.DataFrame({"token": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype="int64")})
+    vocab_df = vocab_df.sort_values(["n", "token"],
+                                    ascending=[False, True]).head(vocab_size)
+    vocab_ref = ray.put(pd.Index(vocab_df["token"].to_numpy(dtype=object)))
+
+    def score(t: pa.Table) -> pa.Table:
+        idx = ray.get(vocab_ref)
+        flat, row_idx = _tokens_nonempty(t)
+        n_tok = np.zeros(t.num_rows, dtype=np.int64)
+        oov = np.zeros(t.num_rows, dtype=np.int64)
+        if len(flat):
+            np.add.at(n_tok, row_idx, 1)
+            miss = idx.get_indexer(flat.to_pandas()) < 0 if len(idx) \
+                else np.ones(len(flat), dtype=bool)
+            np.add.at(oov, row_idx[miss], 1)
+        permille = np.where(n_tok > 0, 1000 * oov // np.maximum(n_tok, 1), 0)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pa.array(n_tok),
+            "oov_permille": pa.array(permille.astype(np.int64)),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow")

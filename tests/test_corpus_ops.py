@@ -226,3 +226,40 @@ def test_remove_common_lines_preserves_blank_lines():
            .sort_values("doc_id"))
     assert out["text"].tolist() == ["para one\n\npara two", "other\n"]
     assert out["n_removed"].tolist() == [1, 1]
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("n_blocks", [1, 3])
+def test_oov_rate(n_blocks):
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import oov_rate
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        # corpus counts: the=4, cat=3, dog=2, xyzzy=1, qwerty=1
+        "text": pa.array(["the cat the dog",
+                          "the cat xyzzy",
+                          "the cat dog qwerty"]),
+    })).repartition(n_blocks)
+    out = (oov_rate(docs, vocab_size=3).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # vocab = {the, cat, dog}; doc2 has 1/3 OOV, doc3 1/4
+    assert out["n_tokens"].tolist() == [4, 3, 4]
+    assert out["oov_permille"].tolist() == [0, 333, 250]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_oov_rate_tie_break_and_empty_doc():
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import oov_rate
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": pa.array(["bb aa bb aa", ""]),   # tie at count 2: aa wins
+    }))
+    out = (oov_rate(docs, vocab_size=1).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["oov_permille"].tolist() == [500, 0]   # bb is OOV
+    assert out["n_tokens"].tolist() == [4, 0]
