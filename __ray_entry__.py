@@ -1095,6 +1095,14 @@ def _q_contamination(sf_dir: str):
     return contamination_flags(_docs(sf_dir, ("doc_id", "text")))
 
 
+def _q_passage_windows(sf_dir: str):
+    """Retrieval passage windowing: one row per 32-token window every 16
+    tokens (overlapping) — pure vectorized flat-map, no shuffle."""
+    from pdf2doi_ray.stages.corpus import explode_token_windows
+    return explode_token_windows(_docs(sf_dir, ("doc_id", "text")),
+                                 size=32, stride=16)
+
+
 def _q_oov_rate(sf_dir: str):
     """Per-doc out-of-vocabulary permille vs the corpus top-50 token
     vocabulary — the cheap LM-perplexity stand-in for quality filtering.
@@ -1252,6 +1260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination": _q_contamination,
         "remove_boilerplate_lines": _q_remove_boilerplate_lines,
         "oov_rate": _q_oov_rate,
+        "passage_windows": _q_passage_windows,
         "sample_intersect": _q_sample_intersect,
         "sample_except": _q_sample_except,
         "extraction_rate_by_host": _q_rate_by_host,
@@ -2138,6 +2147,18 @@ SELECT d.doc_id,
        COALESCE(h.n, 0) > 0 AS contaminated
 FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id
 WHERE d.doc_id % 97 <> 0
+""",
+        "passage_windows": """
+WITH toks AS (SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS ts
+              FROM documents)
+SELECT doc_id, CAST(g AS BIGINT) AS window_idx,
+       CAST(g * 16 AS BIGINT) AS window_start,
+       array_to_string(ts[(g*16+1):(g*16+32)], ' ') AS passage
+FROM toks,
+     UNNEST(range(CASE WHEN len(ts) = 0 THEN 0
+                       ELSE (GREATEST(len(ts) - 32, 0) + 15) // 16 + 1
+                  END)) AS t(g)
 """,
         "oov_rate": """
 WITH toks AS (SELECT doc_id,

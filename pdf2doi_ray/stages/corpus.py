@@ -828,3 +828,60 @@ def oov_rate(docs, vocab_size: int = 50):
         })
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+def explode_token_windows(docs, size: int = 32, stride: int = 16):
+    """Passage windowing for retrieval/embedding pipelines: one output row
+    per token window of ``size`` tokens every ``stride`` tokens (stride ==
+    size gives disjoint chunks; stride < size overlapping passages).  A
+    document with t tokens yields ceil(max(t - size, 0) / stride) + 1
+    windows (always ≥ 1 for non-empty docs: the final, possibly short,
+    tail window starts at the last stride boundary); empty docs yield no
+    rows.
+
+    Pure vectorized flat-map — per batch, one token flatten, one window
+    enumeration (numpy repeat/arange arithmetic), one ListArray-offset
+    ``binary_join`` rebuild; no shuffle, no per-row Python.  The fan-out
+    multiplies row count by ~t/stride: budget downstream ``batch_size``
+    for passage rows, not document rows.  Returns (doc_id, window_idx,
+    window_start, passage) with start in token units.
+    """
+    if size < 1 or stride < 1:
+        raise ValueError("explode_token_windows: size and stride must "
+                         "be >= 1")
+
+    def windows(t: pa.Table) -> pa.Table:
+        from ..arrowutil import one_chunk
+        flat, row_idx = _tokens_nonempty(t)
+        ids = np.asarray(one_chunk(t["doc_id"]))
+        n_tok = np.zeros(t.num_rows, dtype=np.int64)
+        if len(row_idx):
+            np.add.at(n_tok, row_idx, 1)
+        n_win = np.where(n_tok > 0,
+                         (np.maximum(n_tok - size, 0) + stride - 1)
+                         // stride + 1, 0)
+        # per-window doc + index
+        win_doc = np.repeat(np.arange(t.num_rows), n_win)
+        first = np.concatenate([[0], np.cumsum(n_win)])[:-1]
+        win_idx = np.arange(int(n_win.sum()), dtype=np.int64) \
+            - first[win_doc]
+        win_start = win_idx * stride
+        win_len = np.minimum(win_start + size, n_tok[win_doc]) - win_start
+        # gather token positions for every window, then one offsets join
+        tok_first = np.concatenate([[0], np.cumsum(n_tok)])[:-1]
+        rep = np.repeat(np.arange(len(win_doc)), win_len) \
+            if len(win_doc) else np.empty(0, dtype=np.int64)
+        inner = np.arange(int(win_len.sum()), dtype=np.int64) \
+            - np.concatenate([[0], np.cumsum(win_len)])[:-1][rep] \
+            if len(win_doc) else np.empty(0, dtype=np.int64)
+        gather = tok_first[win_doc[rep]] + win_start[rep] + inner
+        toks = flat.take(pa.array(gather, type=pa.int64()))
+        passage = _join_by_row(toks, rep, len(win_doc), " ")
+        return pa.table({
+            "doc_id": pa.array(ids[win_doc]),
+            "window_idx": pa.array(win_idx),
+            "window_start": pa.array(win_start.astype(np.int64)),
+            "passage": passage,
+        })
+
+    return docs.map_batches(windows, batch_format="pyarrow")

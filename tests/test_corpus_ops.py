@@ -263,3 +263,32 @@ def test_oov_rate_tie_break_and_empty_doc():
            .sort_values("doc_id").reset_index(drop=True))
     assert out["oov_permille"].tolist() == [500, 0]   # bb is OOV
     assert out["n_tokens"].tolist() == [4, 0]
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("n_blocks", [1, 3])
+def test_explode_token_windows(n_blocks):
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import explode_token_windows
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array(["a b c d e f g", "x", ""]),
+    })).repartition(n_blocks)
+    out = (explode_token_windows(docs, size=4, stride=2).to_pandas()
+           .sort_values(["doc_id", "window_idx"]).reset_index(drop=True))
+    assert out["passage"].tolist() == ["a b c d", "c d e f", "e f g", "x"]
+    assert out["window_start"].tolist() == [0, 2, 4, 0]
+    assert out["doc_id"].tolist() == [1, 1, 1, 2]   # empty doc: no rows
+
+    # disjoint chunks when stride == size; exact-boundary doc
+    exact = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([9], type=pa.int64()),
+        "text": pa.array(["a b c d"]),
+    }))
+    out2 = explode_token_windows(exact, size=2, stride=2).to_pandas()
+    assert out2["passage"].tolist() == ["a b", "c d"]
+
+    with pytest.raises(ValueError, match="size and stride"):
+        explode_token_windows(docs, size=0)
