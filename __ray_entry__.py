@@ -677,6 +677,44 @@ def _q_normalize_text(sf_dir: str):
     return normalize_text(_docs(sf_dir, ("doc_id", "text")))
 
 
+def _pii_docs(sf_dir: str):
+    """(doc_id, text) with deterministic PII appended from doc_id (one
+    email, one phone, one IPv4 per document) — the synthetic corpus text
+    contains none, so the redaction query would otherwise be a no-op; the
+    SQL oracle builds the identical string with || / lpad and then mirrors
+    the redaction regex chain step for step."""
+    import numpy as np
+    import pyarrow as pa
+
+    def inject(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].combine_chunks()
+                         if isinstance(t["doc_id"], pa.ChunkedArray)
+                         else t["doc_id"])
+        d = ids.astype(str)
+        pii = np.char.add(np.char.add(np.char.add(np.char.add(
+            np.char.add(np.char.add(" contact user", d), "@mail"),
+            (ids % 7).astype(str)), ".example.com or +1-555-"),
+            np.char.add(np.char.zfill((ids % 10000).astype(str), 4),
+                        "-99 from ")),
+            np.char.add((ids % 256).astype(str), ".10.0.1"))
+        txt = np.char.add(np.asarray(t["text"].combine_chunks()
+                                     if isinstance(t["text"],
+                                                   pa.ChunkedArray)
+                                     else t["text"]).astype(str), pii)
+        return pa.table({"doc_id": t["doc_id"],
+                         "text": pa.array(txt.tolist(), type=pa.string())})
+
+    return _docs(sf_dir, ("doc_id", "text")).map_batches(
+        inject, batch_format="pyarrow")
+
+
+def _q_pii_redaction(sf_dir: str):
+    """PII scrubbing: redact emails/phones/IPv4s to placeholder tokens and
+    count each kind — pure vectorized RE2 map, zero shuffles."""
+    from pdf2doi_ray.stages.textnorm import redact_pii
+    return redact_pii(_pii_docs(sf_dir))
+
+
 def _messy_urls(sf_dir: str):
     """(doc_id, url) with deterministically MESSY urls from doc_id (mixed
     case, default and non-default ports, fragments, bare trailing slash) —
@@ -1245,6 +1283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_value_quantiles": _q_approx_value_quantiles,
         "customer_orders_left_join": _q_customer_orders_left_join,
         "normalize_text": _q_normalize_text,
+        "pii_redaction": _q_pii_redaction,
         "canonical_urls": _q_canonical_urls,
         "dedup_canonical_urls": _q_dedup_canonical_urls,
         "new_docs_anti_join": _q_new_docs_anti_join,
@@ -1769,6 +1808,33 @@ WITH n AS (SELECT doc_id,
 FROM documents)
 SELECT doc_id, norm_text, CAST(length(norm_text) AS BIGINT) AS n_chars_norm
 FROM n
+""",
+        # PII injection expression and redaction regex chain both mirror
+        # the Ray side (_pii_docs / stages/textnorm.redact_pii); DuckDB and
+        # pyarrow both run RE2, so replacement is byte-identical
+        "pii_redaction": """
+WITH p AS (SELECT doc_id,
+       text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail'
+            || CAST(doc_id % 7 AS VARCHAR) || '.example.com or +1-555-'
+            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '-99 from '
+            || CAST(doc_id % 256 AS VARCHAR) || '.10.0.1' AS t
+       FROM documents)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(t,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+           '<EMAIL>', 'g'),
+           '\\+\\d[\\d-]{7,14}\\d', '<PHONE>', 'g'),
+           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+           '<IP>', 'g') AS clean_text,
+       CAST(len(regexp_extract_all(t,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+           AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '\\+\\d[\\d-]{7,14}\\d'))
+           AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(t,
+           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+           AS BIGINT) AS n_ips
+FROM p
 """,
         # input construction and regex chain both mirror the Ray side
         "canonical_urls": """

@@ -71,6 +71,59 @@ def normalize_text(docs):
     return docs.map_batches(fn, batch_format="pyarrow")
 
 
+# PII patterns chosen for exact RE2 parity between pyarrow's
+# replace_substring_regex and DuckDB's regexp_replace (both RE2): no
+# lookaround, no backreferences, \b anchors only around digits.  Verified
+# byte-identical on adversarial fixtures in tests/test_corpus_ops.py.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+\d[\d-]{7,14}\d"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+# Application order matters: the email pattern can consume digits a phone
+# or IP pattern would otherwise claim (user name parts), and the phone
+# pattern's leading "+" disambiguates it from dotted IPs — email, then
+# phone, then IP, mirrored verbatim by the SQL oracle's nesting order.
+_PII_STEPS = ((PII_EMAIL, "<EMAIL>"), (PII_PHONE, "<PHONE>"),
+              (PII_IPV4, "<IP>"))
+
+
+def _redact_kernel(col: pa.Array) -> pa.Array:
+    out = col
+    for pat, repl in _PII_STEPS:
+        out = pc.replace_substring_regex(out, pattern=pat, replacement=repl)
+    return out
+
+
+def redact_pii(docs, text_col: str = "text"):
+    """PII scrubbing — the standard pre-release pass over web-crawl text
+    (emails, phone numbers, IPv4 addresses → typed placeholder tokens).
+
+    (doc_id, text) → (doc_id, clean_text, n_emails, n_phones, n_ips).
+
+    Pure vectorized map: three RE2 ``replace_substring_regex`` kernels and
+    three ``count_substring_regex`` kernels per batch, no shuffle, no
+    state, documents never move.  Counts are taken on the ORIGINAL text
+    (before any placeholder insertion) so they are independent of
+    replacement order.  Reference: pdf2doi has no corpus-release path;
+    this is the crawl-pipeline analog of its per-field scrubbing
+    (``finders.py`` strips URL-encodings before matching).
+    """
+    def fn(t: pa.Table) -> pa.Table:
+        txt = one_chunk(t[text_col])
+        counts = {
+            name: pc.count_substring_regex(txt, pattern=pat).cast(pa.int64())
+            for name, (pat, _) in zip(("n_emails", "n_phones", "n_ips"),
+                                      _PII_STEPS)
+        }
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "clean_text": _redact_kernel(txt),
+            **counts,
+        })
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
 def _canon_url_kernel(col: pa.Array) -> pa.Array:
     u = pc.replace_substring_regex(col, r"(?s)#.*$", "")
     # scheme://host[:port] prefix lowercases; path/query suffix unchanged.

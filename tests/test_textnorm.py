@@ -99,3 +99,69 @@ def test_norm_text_unicode_fuzz_vs_duckdb():
     want = [con.execute(sql, [v]).fetchone()[0] for v in vals]
     mismatches = [(v, g, w) for v, g, w in zip(vals, got, want) if g != w]
     assert not mismatches, mismatches[:3]
+
+
+def test_redact_pii_adversarial_vs_duckdb():
+    """Differential check of the PII redaction kernel + counts against the
+    oracle's DuckDB regexp chain on adversarial fixtures: overlapping
+    candidates, boundary-adjacent dotted quads, over-long octet runs,
+    emails at string edges, '+' runs too short/long for the phone rule."""
+    import duckdb
+
+    from pdf2doi_ray.stages.textnorm import (_PII_STEPS, _redact_kernel)
+
+    vals = [
+        "mail john.doe+spam@example.co.uk or admin@sub.domain.org now",
+        "server 192.168.0.1 and 8.8.8.8, not 999.999.999.9999x",
+        "call +1-555-123-4567 or +44-20-7946-0958 today",
+        "a@b.io. trailing ip 10.0.0.255.",
+        "ambiguous +12345678 vs +1234567 (too short) vs 1.2.3.4@x.yz",
+        "version 1.2.3.4.5 dotted deeper than a quad",
+        "+1-2-3-4-5-6-7-8-9-0-1-2-3-4-5 over-long phone run",
+        "",
+        "no pii at all",
+    ]
+    arr = pa.array(vals, type=pa.string())
+    got = _redact_kernel(arr).to_pylist()
+    import pyarrow.compute as pc
+    got_counts = [
+        pc.count_substring_regex(arr, pattern=pat).to_pylist()
+        for pat, _ in _PII_STEPS
+    ]
+
+    con = duckdb.connect()
+    email_p, phone_p, ip_p = (p for p, _ in _PII_STEPS)
+    sql = ("SELECT regexp_replace(regexp_replace(regexp_replace(?,"
+           " ?, '<EMAIL>', 'g'), ?, '<PHONE>', 'g'), ?, '<IP>', 'g'),"
+           " len(regexp_extract_all(?, ?)),"
+           " len(regexp_extract_all(?, ?)),"
+           " len(regexp_extract_all(?, ?))")
+    for i, v in enumerate(vals):
+        want = con.execute(sql, [v, email_p, phone_p, ip_p,
+                                 v, email_p, v, phone_p, v, ip_p]).fetchone()
+        assert got[i] == want[0], (v, got[i], want[0])
+        assert (got_counts[0][i], got_counts[1][i], got_counts[2][i]) == (
+            want[1], want[2], want[3]), v
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_redact_pii_dataset():
+    import ray.data
+
+    from pdf2doi_ray.stages.textnorm import redact_pii
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array([
+            "reach me at a@b.org or c@d.io from 10.0.0.1",
+            "clean",
+            "+1-555-123-4567",
+        ], type=pa.string()),
+    })
+    out = redact_pii(ray.data.from_arrow(t).repartition(2)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(out["clean_text"]) == [
+        "reach me at <EMAIL> or <EMAIL> from <IP>", "clean", "<PHONE>"]
+    assert list(out["n_emails"]) == [2, 0, 0]
+    assert list(out["n_ips"]) == [1, 0, 0]
+    assert list(out["n_phones"]) == [0, 0, 1]
