@@ -708,6 +708,44 @@ def _pii_docs(sf_dir: str):
         inject, batch_format="pyarrow")
 
 
+_BANNER = ("breaking news subscribe now cookie policy accept all "
+           "terms of service follow us on social media")  # exactly 16 tokens
+
+
+def _banner_docs(sf_dir: str):
+    """(doc_id, text) with a shared 16-token boilerplate banner prepended
+    to every third document — the synthetic corpus has essentially no
+    cross-document duplicate lines, so the keep-first line dedup would
+    otherwise be a no-op; 16 tokens = exactly one chunk, so the rest of
+    each doc chunks identically to the uninjected text.  The SQL oracle
+    builds the identical CASE expression."""
+    import numpy as np
+    import pyarrow as pa
+
+    def inject(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].combine_chunks()
+                         if isinstance(t["doc_id"], pa.ChunkedArray)
+                         else t["doc_id"])
+        txt = np.asarray(t["text"].combine_chunks()
+                         if isinstance(t["text"], pa.ChunkedArray)
+                         else t["text"]).astype(object)
+        hit = ids % 3 == 0
+        txt[hit] = [_BANNER + " " + s for s in txt[hit]]
+        return pa.table({"doc_id": t["doc_id"],
+                         "text": pa.array(txt.tolist(), type=pa.string())})
+
+    return _docs(sf_dir, ("doc_id", "text")).map_batches(
+        inject, batch_format="pyarrow")
+
+
+def _q_line_dedup_keep_first(sf_dir: str):
+    """RefinedWeb-style corpus-wide exact line dedup (keep first
+    occurrence): explode 16-token lines → combiner → one groupby Min →
+    ordered string-agg rebuild; documents never shuffle."""
+    from pdf2doi_ray.stages.corpus import dedup_lines_keep_first
+    return dedup_lines_keep_first(_banner_docs(sf_dir))
+
+
 def _q_pii_redaction(sf_dir: str):
     """PII scrubbing: redact emails/phones/IPv4s to placeholder tokens and
     count each kind — pure vectorized RE2 map, zero shuffles."""
@@ -1284,6 +1322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_orders_left_join": _q_customer_orders_left_join,
         "normalize_text": _q_normalize_text,
         "pii_redaction": _q_pii_redaction,
+        "line_dedup_keep_first": _q_line_dedup_keep_first,
         "canonical_urls": _q_canonical_urls,
         "dedup_canonical_urls": _q_dedup_canonical_urls,
         "new_docs_anti_join": _q_new_docs_anti_join,
@@ -1808,6 +1847,33 @@ WITH n AS (SELECT doc_id,
 FROM documents)
 SELECT doc_id, norm_text, CAST(length(norm_text) AS BIGINT) AS n_chars_norm
 FROM n
+""",
+        # banner injection, 16-token chunking, and keep-first rule all
+        # mirror the Ray side (_banner_docs / corpus.dedup_lines_keep_first)
+        "line_dedup_keep_first": """
+WITH src AS (SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0
+            THEN 'breaking news subscribe now cookie policy accept all terms of service follow us on social media' || ' ' || text
+            ELSE text END AS text
+       FROM documents),
+toks AS (SELECT doc_id,
+                list_filter(string_split(text, ' '), x -> x <> '') AS ts
+         FROM src),
+chunks AS (SELECT doc_id, g AS pos,
+                  array_to_string(ts[(g*16+1):(g*16+16)], ' ') AS line
+           FROM toks,
+                UNNEST(range(CAST(ceil(len(ts) / 16.0) AS BIGINT))) AS t(g)),
+firsts AS (SELECT doc_id, pos, line,
+                  row_number() OVER (PARTITION BY line
+                                     ORDER BY doc_id, pos) AS rn
+           FROM chunks),
+agg AS (SELECT doc_id,
+               string_agg(line, chr(10) ORDER BY pos) AS text,
+               CAST(count(*) AS BIGINT) AS n_lines_kept
+        FROM firsts WHERE rn = 1 GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(a.text, '') AS text,
+       CAST(COALESCE(a.n_lines_kept, 0) AS BIGINT) AS n_lines_kept
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
 """,
         # PII injection expression and redaction regex chain both mirror
         # the Ray side (_pii_docs / stages/textnorm.redact_pii); DuckDB and

@@ -664,6 +664,116 @@ def chunk_tokens_to_lines(docs, every: int = 16):
     return docs.map_batches(chunk, batch_format="pyarrow")
 
 
+def _chunk_lines_with_pos(t: pa.Table, every: int):
+    """Chunk each doc's nonempty tokens into ``every``-token lines (the
+    :func:`chunk_tokens_to_lines` unit) and return them EXPLODED:
+    (lines: pa.Array, line_row: np.ndarray batch-row index,
+    line_pos: np.ndarray chunk ordinal within its doc)."""
+    flat, row_idx = _tokens_nonempty(t)
+    if not len(row_idx):
+        z = np.empty(0, dtype=np.int64)
+        return pa.array([], type=pa.string()), z, z
+    starts = np.zeros(t.num_rows + 1, dtype=np.int64)
+    np.add.at(starts, row_idx + 1, 1)
+    first = np.cumsum(starts)[:-1]
+    pos = np.arange(len(row_idx), dtype=np.int64) - first[row_idx]
+    chunk_of = pos // every
+    new_line = np.ones(len(row_idx), dtype=bool)
+    new_line[1:] = ((row_idx[1:] != row_idx[:-1])
+                    | (chunk_of[1:] != chunk_of[:-1]))
+    line_id = np.cumsum(new_line) - 1
+    lines = _join_by_row(flat, line_id.astype(np.int64),
+                         int(line_id[-1]) + 1, " ")
+    return lines, row_idx[new_line], chunk_of[new_line]
+
+
+_LDF_POS_BITS = 20   # < 2^20 lines per doc; doc_id < 2^43 (~8.8e12 docs)
+
+
+def dedup_lines_keep_first(docs, every: int = 16, stitch_shards=None):
+    """Corpus-wide EXACT line dedup, keep-first-occurrence: every line
+    (16-token chunk, the :func:`chunk_tokens_to_lines` unit) appears in the
+    output exactly once, at its globally first (doc_id, position); all
+    later copies — across documents AND within one — are dropped and each
+    doc's text is rebuilt from its surviving lines.  The RefinedWeb-style
+    exact paragraph-dedup pass (Penedo et al. 2023), one granularity below
+    :func:`.dedup.dedup_exact` (whole doc) and complementary to
+    :func:`remove_common_lines` (which drops COMMON lines everywhere,
+    keeping none).
+
+    Plan — no document ever shuffles, no driver-side state:
+
+    1. explode lines per batch, encode occurrence as one int64
+       ``doc_id << 20 | pos`` (guarded; raises past 2^20 lines/doc or
+       2^43 docs), batch combiner keeps min-enc per distinct line →
+       the exchange carries ≤ one row per distinct line per batch;
+    2. ``groupby(line).Min(enc)`` → the global first occurrence, decoded
+       back to (doc_id, pos, line) — winners ARE the surviving rows, so
+       no join back against the corpus is needed;
+    3. rebuild text per doc with the sorted-block ordered string
+       aggregation (:func:`.aggs.grouped_string_agg`, sep="\\n");
+    4. docs whose every line lost (or with no tokens) re-enter with
+       ``("", 0)`` via a one-row-per-doc union + Max coalesce (any real
+       text/count sorts above the empty sentinel).
+    """
+    from ray.data.aggregate import Max, Min
+
+    from .aggs import grouped_string_agg
+
+    mask = (1 << _LDF_POS_BITS) - 1
+
+    def lines_partial(t: pa.Table) -> pa.Table:
+        lines, line_row, line_pos = _chunk_lines_with_pos(t, every)
+        ids_all = np.asarray(t["doc_id"].combine_chunks()
+                             if isinstance(t["doc_id"], pa.ChunkedArray)
+                             else t["doc_id"]).astype(np.int64)
+        ids = ids_all[line_row]
+        if len(line_pos) and (int(line_pos.max()) > mask
+                              or int(ids.max()) >= (1 << (63 - _LDF_POS_BITS))):
+            raise ValueError("dedup_lines_keep_first: doc_id/pos exceeds "
+                             "the 43+20-bit occurrence encoding")
+        enc = (ids << _LDF_POS_BITS) | line_pos
+        # batch combiner: min-enc per distinct line within this batch
+        order = np.argsort(enc, kind="stable")
+        lines_np = np.asarray(lines, dtype=object)[order]
+        _, first = np.unique(lines_np, return_index=True)
+        return pa.table({
+            "line": pa.array(lines_np[first], type=pa.string()),
+            "enc": pa.array(enc[order][first]),
+        })
+
+    def decode(t: pa.Table) -> pa.Table:
+        from ..arrowutil import one_chunk
+        enc = one_chunk(t["enc"])
+        pos = pc.bit_wise_and(enc, mask)
+        return pa.table({
+            "doc_id": pc.shift_right(enc, _LDF_POS_BITS),
+            "ts": pos, "event_id": pos,
+            "line": t["line"],
+        })
+
+    winners = (docs.map_batches(lines_partial, batch_format="pyarrow")
+               .groupby("line").aggregate(Min("enc", alias_name="enc"))
+               .map_batches(decode, batch_format="pyarrow"))
+    agg = grouped_string_agg(winners, group_col="doc_id",
+                             value_col="line", sep="\n",
+                             stitch_shards=stitch_shards)
+    agg = agg.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"], "text": t["path"],
+                            "n_lines_kept": t["n_events"]}),
+        batch_format="pyarrow")
+    base = docs.map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "text": pa.array([""] * t.num_rows, type=pa.string()),
+            "n_lines_kept": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+        }),
+        batch_format="pyarrow")
+    return (agg.union(base).groupby("doc_id")
+            .aggregate(Max("text", alias_name="text"),
+                       Max("n_lines_kept", alias_name="n_lines_kept")))
+
+
 def remove_common_lines(docs, min_docs: int = 2,
                         text_col: str = "text", sep: str = "\n"):
     """CCNet-style boilerplate removal: drop every line that occurs in at

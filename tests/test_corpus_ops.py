@@ -292,3 +292,54 @@ def test_explode_token_windows(n_blocks):
 
     with pytest.raises(ValueError, match="size and stride"):
         explode_token_windows(docs, size=0)
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("n_blocks", [1, 3, 7])
+def test_dedup_lines_keep_first(n_blocks):
+    """Keep-first exact line dedup: duplicates drop across AND within
+    docs, survivors keep document order, fully-deduped and token-free docs
+    coalesce to ("", 0) — invariant under block count."""
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import dedup_lines_keep_first
+
+    texts = {
+        0: "a b c d",        # lines "a b", "c d" — both first occurrences
+        1: "a b x y",        # "a b" dropped, "x y" kept
+        2: "c d c d",        # both copies lose to doc 0
+        3: "",               # no tokens
+        4: "x y a b q",      # two dropped, odd tail "q" kept
+        5: "q q",            # distinct line "q q" (tail "q" != "q q")
+    }
+    t = pa.table({
+        "doc_id": pa.array(sorted(texts), type=pa.int64()),
+        "text": pa.array([texts[i] for i in sorted(texts)],
+                         type=pa.string()),
+    })
+    out = dedup_lines_keep_first(
+        ray.data.from_arrow(t).repartition(n_blocks), every=2) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out.to_dict("records") == [
+        {"doc_id": 0, "text": "a b\nc d", "n_lines_kept": 2},
+        {"doc_id": 1, "text": "x y", "n_lines_kept": 1},
+        {"doc_id": 2, "text": "", "n_lines_kept": 0},
+        {"doc_id": 3, "text": "", "n_lines_kept": 0},
+        {"doc_id": 4, "text": "q", "n_lines_kept": 1},
+        {"doc_id": 5, "text": "q q", "n_lines_kept": 1},
+    ]
+
+
+def test_dedup_lines_encoding_guard():
+    """doc_id past the 43-bit budget must raise, not silently corrupt the
+    occurrence encoding."""
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import dedup_lines_keep_first
+
+    t = pa.table({
+        "doc_id": pa.array([1 << 43], type=pa.int64()),
+        "text": pa.array(["a b"], type=pa.string()),
+    })
+    with pytest.raises(Exception, match="43"):
+        dedup_lines_keep_first(ray.data.from_arrow(t), every=2).to_pandas()
