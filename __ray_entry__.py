@@ -1171,6 +1171,15 @@ def _q_contamination(sf_dir: str):
     return contamination_flags(_docs(sf_dir, ("doc_id", "text")))
 
 
+def _q_contamination_distributed(sf_dir: str):
+    """Corpus-scale decontamination (no benchmark broadcast): combiner
+    (gram, doc, n) pairs → one hash-partitioned join on gram → per-doc
+    Sum — exact same output as `contamination`, for benchmark sides too
+    large for the object store."""
+    from pdf2doi_ray.stages.corpus import contamination_flags_distributed
+    return contamination_flags_distributed(_docs(sf_dir, ("doc_id", "text")))
+
+
 def _q_passage_windows(sf_dir: str):
     """Retrieval passage windowing: one row per 32-token window every 16
     tokens (overlapping) — pure vectorized flat-map, no shuffle."""
@@ -1336,6 +1345,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": _q_weighted_sample,
         "repetition_filter": _q_repetition_filter,
         "contamination": _q_contamination,
+        "contamination_distributed": _q_contamination_distributed,
         "remove_boilerplate_lines": _q_remove_boilerplate_lines,
         "oov_rate": _q_oov_rate,
         "passage_windows": _q_passage_windows,
@@ -1364,7 +1374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    sql = {
         "extract_identifiers": _identify_sql(_IDENTIFIER, _METHOD),
         # resume must be result-transparent: combined output == from-scratch
         "resume_semi_join": _identify_sql(_IDENTIFIER, _METHOD),
@@ -2347,3 +2357,7 @@ FROM e GROUP BY event_type
         # minhash_near_dups / simhash / knn_lsh: approximate or
         # non-SQL-expressible → rows-only driver check (documented).
     }
+    # the distributed decontamination variant computes the SAME result as
+    # the broadcast one by a different physical plan — one shared oracle
+    sql["contamination_distributed"] = sql["contamination"]
+    return sql

@@ -545,6 +545,22 @@ def top_bigram_repetition(docs, keep_below_permille: int = 180):
     return docs.map_batches(score, batch_format="pyarrow")
 
 
+def _token_grams_with_rows(t: pa.Table, gram_len: int):
+    """All ``gram_len``-token shingles of each row's nonempty tokens,
+    joined with a space, plus their batch-row index — the shared kernel of
+    both decontamination variants (one zero-copy slice per gram position,
+    one element-wise join)."""
+    flat, row_idx = _tokens_nonempty(t)
+    if len(flat) < gram_len:
+        return (pa.array([], type=pa.string()),
+                np.empty(0, dtype=np.int64))
+    n = len(flat) - gram_len + 1
+    same_doc = row_idx[:n] == row_idx[gram_len - 1:]
+    parts = [flat.slice(i, n) for i in range(gram_len)]
+    joined = pc.binary_join_element_wise(*parts, " ")
+    return joined.filter(pa.array(same_doc)), row_idx[:n][same_doc]
+
+
 def contamination_flags(docs, gram_len: int = 8, benchmark_mod: int = 97):
     """Benchmark decontamination: flag corpus documents that share any
     ``gram_len``-token shingle with the held-out benchmark slice
@@ -567,15 +583,7 @@ def contamination_flags(docs, gram_len: int = 8, benchmark_mod: int = 97):
     import ray
 
     def _grams_with_rows(t: pa.Table):
-        flat, row_idx = _tokens_nonempty(t)
-        if len(flat) < gram_len:
-            return (pa.array([], type=pa.string()),
-                    np.empty(0, dtype=np.int64))
-        n = len(flat) - gram_len + 1
-        same_doc = row_idx[:n] == row_idx[gram_len - 1:]
-        parts = [flat.slice(i, n) for i in range(gram_len)]
-        joined = pc.binary_join_element_wise(*parts, " ")
-        return joined.filter(pa.array(same_doc)), row_idx[:n][same_doc]
+        return _token_grams_with_rows(t, gram_len)
 
     def bench_grams(t: pa.Table) -> pa.Table:
         ids = np.asarray(t["doc_id"].combine_chunks()
@@ -613,6 +621,100 @@ def contamination_flags(docs, gram_len: int = 8, benchmark_mod: int = 97):
         })
 
     return docs.map_batches(flag, batch_format="pyarrow")
+
+
+def contamination_flags_distributed(docs, gram_len: int = 8,
+                                    benchmark_mod: int = 97,
+                                    num_partitions: int = 8):
+    """Corpus-scale variant of :func:`contamination_flags` — the
+    documented escape hatch for when the benchmark gram set outgrows a
+    driver broadcast (a corpus-sized "benchmark", cross-split leakage
+    checks).  Exact same output, no broadcast, no driver-side state:
+
+    1. corpus pass: per-batch (gram, doc_id, n_occ) COMBINER rows —
+       duplicate grams within a (batch, doc) collapse into a count via
+       one pandas-C factorize + integer composite-key ``np.unique``, so
+       the join exchange carries distinct pairs, not occurrences;
+    2. benchmark pass: per-batch distinct grams → one ``groupby(gram)``
+       for the global distinct set;
+    3. ONE hash-partitioned inner join on gram (``num_partitions`` is the
+       (|corpus grams|+|bench grams|)/P memory knob; 2×P ≲ cluster CPUs
+       per the triangle-count sizing rule);
+    4. per-doc totals: hits union one (doc_id, 0) row per non-benchmark
+       doc → combiner-friendly ``groupby(doc_id).Sum`` → flag.
+
+    Versus the broadcast variant: documents still never shuffle, but
+    every distinct (gram, doc) pair does — that is the price of a
+    benchmark side with no small-side contract, and it is bounded by the
+    corpus token count, not squared.  Prefer :func:`contamination_flags`
+    whenever the eval set fits the object store.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from .joins import shuffle_hash_join
+
+    def _ids(t: pa.Table) -> np.ndarray:
+        return np.asarray(t["doc_id"].combine_chunks()
+                          if isinstance(t["doc_id"], pa.ChunkedArray)
+                          else t["doc_id"])
+
+    def corpus_pairs(t: pa.Table) -> pa.Table:
+        ids = _ids(t)
+        sub = t.filter(pa.array(ids % benchmark_mod != 0))
+        grams, grow = _token_grams_with_rows(sub, gram_len)
+        sub_ids = _ids(sub)
+        if not len(grams):
+            return pa.table({"gram": pa.array([], type=pa.string()),
+                             "doc_id": pa.array([], type=pa.int64()),
+                             "n_occ": pa.array([], type=pa.int64())})
+        import pandas as pd
+        codes, uniques = pd.factorize(grams.to_pandas())
+        key = codes.astype(np.int64) * sub.num_rows + grow
+        uk, counts = np.unique(key, return_counts=True)
+        return pa.table({
+            "gram": pa.array(uniques[uk // sub.num_rows], type=pa.string()),
+            "doc_id": pa.array(sub_ids[uk % sub.num_rows]),
+            "n_occ": pa.array(counts.astype(np.int64)),
+        })
+
+    def bench_grams(t: pa.Table) -> pa.Table:
+        ids = _ids(t)
+        sub = t.filter(pa.array(ids % benchmark_mod == 0))
+        grams, _ = _token_grams_with_rows(sub, gram_len)
+        # every batch also emits one sentinel row ("" can never equal a
+        # gram_len-token space-join): a corpus with no benchmark rows would
+        # otherwise leave every bench batch empty and the aggregated right
+        # side schemaless, which the hash-partitioned join rejects.
+        return pa.table({"gram": pa.concat_arrays(
+            [pc.unique(grams), pa.array([""], type=pa.string())])})
+
+    bench = (docs.map_batches(bench_grams, batch_format="pyarrow")
+             .groupby("gram").aggregate(Count())
+             .select_columns(["gram"]))
+    pairs = docs.map_batches(corpus_pairs, batch_format="pyarrow")
+    hits = shuffle_hash_join(pairs, bench, on="gram",
+                             num_partitions=num_partitions,
+                             project=("doc_id", "n_occ"))
+    def base_rows(t: pa.Table) -> pa.Table:
+        keep = _ids(t)[_ids(t) % benchmark_mod != 0]
+        return pa.table({
+            "doc_id": pa.array(keep),
+            "n_occ": pa.array(np.zeros(len(keep), dtype=np.int64)),
+        })
+
+    base = docs.map_batches(base_rows, batch_format="pyarrow")
+    totals = (hits.union(base).groupby("doc_id")
+              .aggregate(Sum("n_occ", alias_name="n_contaminated_grams")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["n_contaminated_grams"], pa.int64())
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_contaminated_grams": n,
+            "contaminated": pc.greater(n, 0),
+        })
+
+    return totals.map_batches(finalize, batch_format="pyarrow")
 
 
 def _join_by_row(flat, row_idx: np.ndarray, n_rows: int,

@@ -677,3 +677,51 @@ def test_funnel_conversion_degenerate_inputs():
     assert len(out2) == 0
     # (Ray's to_pandas drops columns on a fully-empty dataset; the arrow
     # schema the operator builds is asserted via the non-empty cases)
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("n_blocks", [1, 4])
+def test_contamination_distributed_matches_broadcast(n_blocks):
+    """The no-broadcast (hash-join) decontamination variant is exact: same
+    output as the broadcast variant on a fixture with multi-hit docs,
+    duplicate grams within one doc (counted per occurrence), clean docs,
+    and a benchmark-only doc — invariant under block count."""
+    from pdf2doi_ray.stages.corpus import (contamination_flags,
+                                           contamination_flags_distributed)
+
+    bench_text = "a b c d e f g h i j"
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 97], type=pa.int64()),
+        "text": pa.array([
+            bench_text,
+            "x a b c d e f g h y b c d e f g h i z",   # two distinct hits
+            "a b c d e f g h a b c d e f g h w q a b c d e f g h",
+            "totally clean text with no overlap at all here",
+            "q r s t u v w x y z",
+        ]),
+    })
+    got = contamination_flags_distributed(_ds(t, n_blocks),
+                                          num_partitions=2).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    want = contamination_flags(_ds(t, n_blocks)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got.to_dict("records") == want.to_dict("records")
+    assert got["doc_id"].tolist() == [1, 2, 3]
+    # doc 2 repeats gram "a b c d e f g h" three times -> three occurrences
+    assert got["n_contaminated_grams"].tolist() == [2, 3, 0]
+    assert got["contaminated"].tolist() == [True, True, False]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_contamination_distributed_empty_benchmark():
+    from pdf2doi_ray.stages.corpus import contamination_flags_distributed
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": pa.array(["a b c d e f g h i", "short one"]),
+    })
+    out = contamination_flags_distributed(_ds(t, 1),
+                                          num_partitions=2).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [1, 2]
+    assert out["contaminated"].tolist() == [False, False]
