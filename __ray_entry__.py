@@ -741,7 +741,8 @@ def _banner_docs(sf_dir: str):
 def _q_line_dedup_keep_first(sf_dir: str):
     """RefinedWeb-style corpus-wide exact line dedup (keep first
     occurrence): explode 16-token lines → combiner → one groupby Min →
-    ordered string-agg rebuild; documents never shuffle."""
+    ordered string-agg rebuild; documents never shuffle; fully-deduped
+    docs are dropped (the curation contract)."""
     from pdf2doi_ray.stages.corpus import dedup_lines_keep_first
     return dedup_lines_keep_first(_banner_docs(sf_dir))
 
@@ -1209,6 +1210,18 @@ def _q_remove_boilerplate_lines(sf_dir: str):
     return remove_common_lines(lined, min_docs=2)
 
 
+def _q_boilerplate_distributed(sf_dir: str):
+    """CCNet common-line removal, scale path: no common-set broadcast —
+    left-outer hash join of line occurrences against the common table,
+    ordered string-agg rebuild; exact same output as the broadcast
+    variant (shared oracle)."""
+    from pdf2doi_ray.stages.corpus import (chunk_tokens_to_lines,
+                                           remove_common_lines_distributed)
+    lined = chunk_tokens_to_lines(_docs(sf_dir, ("doc_id", "text")),
+                                  every=16)
+    return remove_common_lines_distributed(lined, min_docs=2)
+
+
 def _q_curate_corpus(sf_dir: str):
     from pdf2doi_ray.pipelines.curate import curate_quality_dedup
     return curate_quality_dedup(_docs(sf_dir, ("doc_id", "text")))
@@ -1347,6 +1360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination": _q_contamination,
         "contamination_distributed": _q_contamination_distributed,
         "remove_boilerplate_lines": _q_remove_boilerplate_lines,
+        "remove_boilerplate_distributed": _q_boilerplate_distributed,
         "oov_rate": _q_oov_rate,
         "passage_windows": _q_passage_windows,
         "sample_intersect": _q_sample_intersect,
@@ -1876,14 +1890,11 @@ chunks AS (SELECT doc_id, g AS pos,
 firsts AS (SELECT doc_id, pos, line,
                   row_number() OVER (PARTITION BY line
                                      ORDER BY doc_id, pos) AS rn
-           FROM chunks),
-agg AS (SELECT doc_id,
-               string_agg(line, chr(10) ORDER BY pos) AS text,
-               CAST(count(*) AS BIGINT) AS n_lines_kept
-        FROM firsts WHERE rn = 1 GROUP BY doc_id)
-SELECT d.doc_id, COALESCE(a.text, '') AS text,
-       CAST(COALESCE(a.n_lines_kept, 0) AS BIGINT) AS n_lines_kept
-FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+           FROM chunks)
+SELECT doc_id,
+       string_agg(line, chr(10) ORDER BY pos) AS text,
+       CAST(count(*) AS BIGINT) AS n_lines_kept
+FROM firsts WHERE rn = 1 GROUP BY doc_id
 """,
         # PII injection expression and redaction regex chain both mirror
         # the Ray side (_pii_docs / stages/textnorm.redact_pii); DuckDB and
@@ -2360,4 +2371,6 @@ FROM e GROUP BY event_type
     # the distributed decontamination variant computes the SAME result as
     # the broadcast one by a different physical plan — one shared oracle
     sql["contamination_distributed"] = sql["contamination"]
+    # same rule, no-broadcast physical plan — one shared oracle
+    sql["remove_boilerplate_distributed"] = sql["remove_boilerplate_lines"]
     return sql

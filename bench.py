@@ -451,6 +451,44 @@ def main() -> None:
     if not headline_only:
         queries["simhash_near_dups_90k_pairs"] = timed(q_simhash_pairs)
 
+    # PII redaction at pages scale: three RE2 replace + three count kernels
+    # scan every text byte even when nothing matches — the honest no-hit
+    # cost of the pre-release scrub over 1.2M pages
+    def q_pii():
+        from pdf2doi_ray.stages.textnorm import redact_pii
+        redact_pii(pages_as_docs()).map_batches(
+            lambda t: t.select(["n_emails"]), batch_format="pyarrow").count()
+
+    if not headline_only:
+        queries["pii_redaction_pages"] = timed(q_pii)
+
+    # keep-first exact line dedup at pages scale: with 240x replication a
+    # base page's shared lines survive only in one replica; replicas whose
+    # unique DOI-suffix line is their only survivor stay, suffix-free ones
+    # drop — stresses the per-batch min-enc combiner, the groupby(line)
+    # Min, and the ordered rebuild.  doc ids come from a 42-bit url hash
+    # (inside the 43-bit encoding budget).
+    def q_line_dedup():
+        import pandas as pd
+        import pyarrow as pa
+
+        from pdf2doi_ray.stages.corpus import dedup_lines_keep_first
+
+        def prep(t: pa.Table) -> pa.Table:
+            ids = pd.util.hash_array(
+                t["url"].combine_chunks().to_numpy(zero_copy_only=False)
+            ).astype("int64") & ((1 << 42) - 1)
+            return pa.table({"doc_id": pa.array(ids), "text": t["text"]})
+
+        docs = read_pages(("url", "text"), split=True).map_batches(
+            prep, batch_format="pyarrow")
+        n_out = dedup_lines_keep_first(docs).count()
+        # replication guarantees real dedup: strictly fewer docs than pages
+        assert 0 < n_out < n_pages, (n_out, n_pages)
+
+    if not headline_only:
+        queries["line_dedup_pages"] = timed(q_line_dedup)
+
     # per-host top-k over all pages: combiner bounds the shuffle to <= k
     # rows per host per batch despite zipfian host skew
     def q_top_pages():

@@ -792,7 +792,8 @@ def _chunk_lines_with_pos(t: pa.Table, every: int):
 _LDF_POS_BITS = 20   # < 2^20 lines per doc; doc_id < 2^43 (~8.8e12 docs)
 
 
-def dedup_lines_keep_first(docs, every: int = 16, stitch_shards=None):
+def dedup_lines_keep_first(docs, every: int = 16, stitch_shards=None,
+                           include_empty_docs: bool = False):
     """Corpus-wide EXACT line dedup, keep-first-occurrence: every line
     (16-token chunk, the :func:`chunk_tokens_to_lines` unit) appears in the
     output exactly once, at its globally first (doc_id, position); all
@@ -814,9 +815,13 @@ def dedup_lines_keep_first(docs, every: int = 16, stitch_shards=None):
        no join back against the corpus is needed;
     3. rebuild text per doc with the sorted-block ordered string
        aggregation (:func:`.aggs.grouped_string_agg`, sep="\\n");
-    4. docs whose every line lost (or with no tokens) re-enter with
-       ``("", 0)`` via a one-row-per-doc union + Max coalesce (any real
-       text/count sorts above the empty sentinel).
+    4. docs whose every line lost (or with no tokens) are DROPPED by
+       default — the usual curation contract, and it keeps the rebuilt
+       text to one exchange.  ``include_empty_docs=True`` re-enters them
+       as ``("", 0)`` via a one-row-per-doc union + Max coalesce (any
+       real text/count sorts above the empty sentinel) — that coalesce
+       ships the rebuilt corpus text through a SECOND exchange, so
+       prefer the default at fleet scale.
     """
     from ray.data.aggregate import Max, Min
 
@@ -864,6 +869,8 @@ def dedup_lines_keep_first(docs, every: int = 16, stitch_shards=None):
         lambda t: pa.table({"doc_id": t["doc_id"], "text": t["path"],
                             "n_lines_kept": t["n_events"]}),
         batch_format="pyarrow")
+    if not include_empty_docs:
+        return agg
     base = docs.map_batches(
         lambda t: pa.table({
             "doc_id": t["doc_id"],
@@ -874,6 +881,52 @@ def dedup_lines_keep_first(docs, every: int = 16, stitch_shards=None):
     return (agg.union(base).groupby("doc_id")
             .aggregate(Max("text", alias_name="text"),
                        Max("n_lines_kept", alias_name="n_lines_kept")))
+
+
+def _split_lines_with_rows(t: pa.Table, text_col: str, sep: str,
+                           keep_blank: bool):
+    """Flattened ``sep``-split lines of each row plus their batch-row
+    index (and, with ``keep_blank``, blank lines kept as structure)."""
+    col = (t[text_col].combine_chunks()
+           if isinstance(t[text_col], pa.ChunkedArray) else t[text_col])
+    lst = pc.split_pattern(col.fill_null(""), sep)
+    flat = lst.flatten()
+    lengths = np.asarray(pc.list_value_length(lst).fill_null(0))
+    row_idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), lengths)
+    if keep_blank:
+        return flat, row_idx
+    mask = np.asarray(pc.not_equal(flat, ""))
+    return flat.filter(pa.array(mask)), row_idx[mask]
+
+
+def _line_count_partial(t: pa.Table, text_col: str, sep: str,
+                        sentinel: str | None = None) -> pa.Table:
+    """Per-batch distinct-doc line-count combiner: one string-hash pass
+    (factorize), then integer-only (row, line) dedup via a composite int64
+    key — ~2x the combiner throughput of hashing the strings again in
+    drop_duplicates + value_counts.  ``sentinel`` (a string no real line
+    can equal) is appended with partial=0 so the aggregated totals are
+    never schemaless even on an empty corpus."""
+    import pandas as pd
+
+    flat, row_idx = _split_lines_with_rows(t, text_col, sep,
+                                           keep_blank=False)
+    codes, uniques = pd.factorize(flat.to_pandas(), sort=False)
+    if not len(codes):
+        lines, cnt = [], np.empty(0, dtype=np.int64)
+    else:
+        width = np.int64(len(uniques))
+        per_doc = np.unique(row_idx * width + codes)   # one (doc,line) each
+        cnt = np.bincount((per_doc % width).astype(np.int64),
+                          minlength=len(uniques)).astype(np.int64)
+        lines = list(uniques)
+    if sentinel is not None:
+        lines = list(lines) + [sentinel]
+        cnt = np.concatenate([cnt, [0]])
+    return pa.table({
+        "line": pa.array(lines, type=pa.string()),
+        "partial": pa.array(cnt),
+    })
 
 
 def remove_common_lines(docs, min_docs: int = 2,
@@ -916,35 +969,10 @@ def remove_common_lines(docs, min_docs: int = 2,
     from ray.data.aggregate import Sum
 
     def _lines_with_rows(t: pa.Table, keep_blank: bool):
-        col = (t[text_col].combine_chunks()
-               if isinstance(t[text_col], pa.ChunkedArray) else t[text_col])
-        lst = pc.split_pattern(col.fill_null(""), sep)
-        flat = lst.flatten()
-        lengths = np.asarray(pc.list_value_length(lst).fill_null(0))
-        row_idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), lengths)
-        if keep_blank:
-            return flat, row_idx
-        mask = np.asarray(pc.not_equal(flat, ""))
-        return flat.filter(pa.array(mask)), row_idx[mask]
+        return _split_lines_with_rows(t, text_col, sep, keep_blank)
 
     def count_partial(t: pa.Table) -> pa.Table:
-        flat, row_idx = _lines_with_rows(t, keep_blank=False)
-        # ONE string-hash pass (factorize), then integer-only dedup:
-        # (row, line) pairs collapse via a composite int64 key — ~2x the
-        # combiner throughput of hashing the strings again in
-        # drop_duplicates + value_counts
-        codes, uniques = pd.factorize(flat.to_pandas(), sort=False)
-        if not len(codes):
-            return pa.table({"line": pa.array([], type=pa.string()),
-                             "partial": pa.array([], type=pa.int64())})
-        width = np.int64(len(uniques))
-        per_doc = np.unique(row_idx * width + codes)    # one (doc,line) each
-        cnt = np.bincount((per_doc % width).astype(np.int64),
-                          minlength=len(uniques))
-        return pa.table({
-            "line": pa.array(uniques, type=pa.string()),
-            "partial": pa.array(cnt.astype(np.int64)),
-        })
+        return _line_count_partial(t, text_col, sep)
 
     totals = (docs.map_batches(count_partial, batch_format="pyarrow")
               .groupby("line").aggregate(Sum("partial",
@@ -973,6 +1001,136 @@ def remove_common_lines(docs, min_docs: int = 2,
         return pa.table(out)
 
     return docs.map_batches(scrub, batch_format="pyarrow")
+
+
+# no real line can equal this: lines come from splitting text on "\n"
+_RCL_SENTINEL = "\n"
+
+
+def remove_common_lines_distributed(docs, min_docs: int = 2,
+                                    text_col: str = "text", sep: str = "\n",
+                                    num_partitions: int = 8,
+                                    stitch_shards=None):
+    """Scale-path variant of :func:`remove_common_lines` for when the
+    common-line set outgrows a driver broadcast (``min_docs`` set low on a
+    template-heavy crawl, cross-corpus line tables).  Same decision rule
+    and the same (doc_id, text, n_removed) output — a Bloom filter is NOT
+    used because its false positives would silently delete innocent lines.
+
+    Plan — exact, no broadcast, no driver-side state:
+
+    1. the shared distinct-doc line-count combiner → ``groupby(line)``
+       Sum → common = lines with ``n_docs >= min_docs`` (a sentinel row
+       no real line can equal keeps the join side schema-typed when
+       nothing is common);
+    2. every line OCCURRENCE (blank lines included — they are structure
+       and never common) explodes with an int64 ``doc_id<<20|pos``
+       encoding and LEFT-OUTER hash-joins against the common set: match
+       ⇒ dropped occurrence, no match ⇒ kept;
+    3. kept occurrences rebuild each doc's text with the sorted-block
+       ordered string aggregation; dropped occurrences reduce to per-doc
+       counts through the combiner-first path;
+    4. one final ``groupby(doc_id)`` coalesces text (Max over the empty
+       sentinel), n_removed (Sum), and re-enters untouched docs.
+
+    Four exchanges total versus the broadcast variant's one — the cost of
+    dropping the small-side contract; the occurrence join is the big one
+    and carries (line, enc) pairs, bounded by corpus line count.
+    """
+    from ray.data.aggregate import Max, Sum
+
+    from .aggs import grouped_string_agg
+    from .joins import shuffle_hash_join
+
+    mask = (1 << _LDF_POS_BITS) - 1
+
+    totals = (docs.map_batches(
+        lambda t: _line_count_partial(t, text_col, sep,
+                                      sentinel=_RCL_SENTINEL),
+        batch_format="pyarrow")
+        .groupby("line").aggregate(Sum("partial", alias_name="n_docs")))
+    common = totals.map_batches(
+        lambda t: pa.table({
+            "line": t.filter(pc.or_(
+                pc.greater_equal(t["n_docs"], min_docs),
+                pc.equal(t["line"], _RCL_SENTINEL)))["line"],
+        }),
+        batch_format="pyarrow")
+
+    def occurrences(t: pa.Table) -> pa.Table:
+        flat, row_idx = _split_lines_with_rows(t, text_col, sep,
+                                               keep_blank=True)
+        ids_all = np.asarray(t["doc_id"].combine_chunks()
+                             if isinstance(t["doc_id"], pa.ChunkedArray)
+                             else t["doc_id"]).astype(np.int64)
+        ids = ids_all[row_idx]
+        starts = np.zeros(t.num_rows + 1, dtype=np.int64)
+        np.add.at(starts, row_idx + 1, 1)
+        first = np.cumsum(starts)[:-1]
+        pos = np.arange(len(row_idx), dtype=np.int64) - first[row_idx]
+        if len(pos) and (int(pos.max()) > mask
+                         or int(ids.max()) >= (1 << (63 - _LDF_POS_BITS))):
+            raise ValueError("remove_common_lines_distributed: doc_id/pos "
+                             "exceeds the 43+20-bit occurrence encoding")
+        return pa.table({
+            "line": flat,
+            "enc": pa.array((ids << _LDF_POS_BITS) | pos),
+        })
+
+    occ = docs.map_batches(occurrences, batch_format="pyarrow")
+    joined = shuffle_hash_join(
+        occ, common.map_batches(
+            lambda t: pa.table({"line": t["line"],
+                                "common": pa.array(
+                                    np.ones(t.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow"),
+        on="line", join_type="left_outer", num_partitions=num_partitions)
+
+    def kept_rows(t: pa.Table) -> pa.Table:
+        from ..arrowutil import one_chunk
+        sub = t.filter(pc.is_null(t["common"]))
+        enc = one_chunk(sub["enc"])
+        pos = pc.bit_wise_and(enc, mask)
+        return pa.table({
+            "doc_id": pc.shift_right(enc, _LDF_POS_BITS),
+            "ts": pos, "event_id": pos,
+            "line": sub["line"],
+        })
+
+    def dropped_partial(t: pa.Table) -> pa.Table:
+        from ..arrowutil import one_chunk
+        sub = t.filter(pc.is_valid(t["common"]))
+        ids = np.asarray(pc.shift_right(one_chunk(sub["enc"]),
+                                        _LDF_POS_BITS))
+        uids, cnt = np.unique(ids, return_counts=True)
+        return pa.table({
+            "doc_id": pa.array(uids),
+            text_col: pa.array([""] * len(uids), type=pa.string()),
+            "n_removed": pa.array(cnt.astype(np.int64)),
+        })
+
+    agg = grouped_string_agg(joined.map_batches(kept_rows,
+                                                batch_format="pyarrow"),
+                             group_col="doc_id", value_col="line", sep=sep,
+                             stitch_shards=stitch_shards)
+    agg = agg.map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            text_col: t["path"],
+            "n_removed": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+        }),
+        batch_format="pyarrow")
+    dropped = joined.map_batches(dropped_partial, batch_format="pyarrow")
+    base = docs.map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            text_col: pa.array([""] * t.num_rows, type=pa.string()),
+            "n_removed": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+        }),
+        batch_format="pyarrow")
+    return (agg.union(dropped, base).groupby("doc_id")
+            .aggregate(Max(text_col, alias_name=text_col),
+                       Sum("n_removed", alias_name="n_removed")))
 
 
 def oov_rate(docs, vocab_size: int = 50):

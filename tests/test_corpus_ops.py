@@ -296,10 +296,12 @@ def test_explode_token_windows(n_blocks):
 
 @pytest.mark.usefixtures("ray_session")
 @pytest.mark.parametrize("n_blocks", [1, 3, 7])
-def test_dedup_lines_keep_first(n_blocks):
+@pytest.mark.parametrize("include_empty", [False, True])
+def test_dedup_lines_keep_first(n_blocks, include_empty):
     """Keep-first exact line dedup: duplicates drop across AND within
-    docs, survivors keep document order, fully-deduped and token-free docs
-    coalesce to ("", 0) — invariant under block count."""
+    docs, survivors keep document order; fully-deduped and token-free docs
+    are dropped by default or coalesce to ("", 0) with
+    include_empty_docs=True — invariant under block count."""
     import ray.data
 
     from pdf2doi_ray.stages.corpus import dedup_lines_keep_first
@@ -318,16 +320,22 @@ def test_dedup_lines_keep_first(n_blocks):
                          type=pa.string()),
     })
     out = dedup_lines_keep_first(
-        ray.data.from_arrow(t).repartition(n_blocks), every=2) \
+        ray.data.from_arrow(t).repartition(n_blocks), every=2,
+        include_empty_docs=include_empty) \
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
-    assert out.to_dict("records") == [
+    survivors = [
         {"doc_id": 0, "text": "a b\nc d", "n_lines_kept": 2},
         {"doc_id": 1, "text": "x y", "n_lines_kept": 1},
-        {"doc_id": 2, "text": "", "n_lines_kept": 0},
-        {"doc_id": 3, "text": "", "n_lines_kept": 0},
         {"doc_id": 4, "text": "q", "n_lines_kept": 1},
         {"doc_id": 5, "text": "q q", "n_lines_kept": 1},
     ]
+    empties = [
+        {"doc_id": 2, "text": "", "n_lines_kept": 0},
+        {"doc_id": 3, "text": "", "n_lines_kept": 0},
+    ]
+    want = sorted(survivors + empties, key=lambda r: r["doc_id"]) \
+        if include_empty else survivors
+    assert out.to_dict("records") == want
 
 
 def test_dedup_lines_encoding_guard():
@@ -343,3 +351,61 @@ def test_dedup_lines_encoding_guard():
     })
     with pytest.raises(Exception, match="43"):
         dedup_lines_keep_first(ray.data.from_arrow(t), every=2).to_pandas()
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("n_blocks", [1, 3])
+def test_remove_common_lines_distributed_matches_broadcast(n_blocks):
+    """The no-broadcast CCNet variant is exact: same (doc_id, text,
+    n_removed) as the broadcast scrub on a fixture with blank-line
+    structure, within-doc repeats of a common line (both occurrences
+    removed, counted once for the distinct-doc threshold), all-common
+    docs, and a token-free doc."""
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import (remove_common_lines,
+                                           remove_common_lines_distributed)
+
+    texts = {
+        0: "nav bar\ncontent zero\n\nfooter",
+        1: "nav bar\ncontent one\nfooter",
+        2: "unique doc\n\n",
+        3: "",
+        4: "nav bar\nnav bar\ncontent four",
+        5: "nav bar\nfooter",                 # every line common -> ""
+    }
+    t = pa.table({
+        "doc_id": pa.array(sorted(texts), type=pa.int64()),
+        "text": pa.array([texts[i] for i in sorted(texts)],
+                         type=pa.string()),
+    })
+    ds = ray.data.from_arrow(t).repartition(n_blocks)
+    cols = ["doc_id", "text", "n_removed"]
+    want = remove_common_lines(ds, min_docs=2).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)[cols]
+    got = remove_common_lines_distributed(ds, min_docs=2,
+                                          num_partitions=2).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)[cols]
+    assert got.to_dict("records") == want.to_dict("records")
+    row5 = got[got.doc_id == 5].iloc[0]
+    assert row5["text"] == "" and row5["n_removed"] == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_remove_common_lines_distributed_nothing_common():
+    """min_docs above every count: no line is common, every doc passes
+    through rebuilt byte-identically (the sentinel keeps the empty common
+    side schema-typed)."""
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import remove_common_lines_distributed
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "text": pa.array(["a\n\nb", "c d\ne"], type=pa.string()),
+    })
+    out = remove_common_lines_distributed(
+        ray.data.from_arrow(t), min_docs=99, num_partitions=2) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["text"].tolist() == ["a\n\nb", "c d\ne"]
+    assert out["n_removed"].tolist() == [0, 0]
