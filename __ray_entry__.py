@@ -370,6 +370,19 @@ def _q_embedding_dedup_prune(sf_dir: str):
     return prune_near_dups(ids, pairs)
 
 
+def _q_embedding_dedup_prune_distributed(sf_dir: str):
+    """Fuzzy-dedup pruning, scale path: drop ids anti-join through one
+    hash-partitioned left-outer exchange instead of a broadcast — exact
+    same survivors (shared oracle)."""
+    import ray.data
+
+    from pdf2doi_ray.stages.graph import prune_near_dups_distributed
+    ids = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id"])
+    pairs = _q_embedding_near_dups(sf_dir)
+    return prune_near_dups_distributed(ids, pairs, num_partitions=4)
+
+
 def _q_pagerank(sf_dir: str):
     """Fixed-iteration (3 rounds) EXACT-integer PageRank over the symmetric
     embedding near-dup graph — the canonical iterative-graph benchmark.
@@ -1306,6 +1319,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups_lsh": _q_embedding_near_dups_lsh,
         "embedding_dup_components": _q_embedding_dup_components,
         "embedding_dedup_prune": _q_embedding_dedup_prune,
+        "embedding_dedup_prune_distributed":
+            _q_embedding_dedup_prune_distributed,
         "pagerank": _q_pagerank,
         "near_dup_triangles": _q_near_dup_triangles,
         "top_docs_by_tokens": _q_top_docs_by_tokens,
@@ -2373,4 +2388,5 @@ FROM e GROUP BY event_type
     sql["contamination_distributed"] = sql["contamination"]
     # same rule, no-broadcast physical plan — one shared oracle
     sql["remove_boilerplate_distributed"] = sql["remove_boilerplate_lines"]
+    sql["embedding_dedup_prune_distributed"] = sql["embedding_dedup_prune"]
     return sql

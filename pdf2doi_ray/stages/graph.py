@@ -454,3 +454,44 @@ def prune_near_dups(items, pairs, id_col: str = "vec_id",
     drop_ids = comp.map_batches(drops, batch_format="pyarrow")
     return broadcast_hash_join(items, drop_ids, on=id_col,
                                join_type="left anti")
+
+
+def prune_near_dups_distributed(items, pairs, id_col: str = "vec_id",
+                                col_a: str = "vec_a", col_b: str = "vec_b",
+                                num_partitions: int = 8):
+    """Scale-path variant of :func:`prune_near_dups` for pathologically
+    duplicated crawls where the drop list (O(duplicates)) outgrows a
+    driver broadcast: same component labeling, but the corpus anti-joins
+    against the drop ids through ONE hash-partitioned exchange instead of
+    a broadcast.  Ray's native join has no anti type, so this is a
+    left-outer join against marker rows followed by a null filter — the
+    standard exact reduction.  Returns the same surviving rows.
+    """
+    import numpy as np
+
+    from .joins import shuffle_hash_join
+
+    pairs = pairs.materialize()
+    if pairs.count() == 0:
+        return items
+
+    comp = connected_components(pairs, col_a=col_a, col_b=col_b)
+
+    def drops(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keep = pc.not_equal(t["node"], t["component"])
+        n = int(pc.sum(pc.cast(keep, pa.int8())).as_py() or 0)
+        return pa.table({
+            id_col: t.filter(keep)["node"],
+            "_drop": pa.array(np.ones(n, dtype=np.int64)),
+        })
+
+    joined = shuffle_hash_join(items, comp.map_batches(
+        drops, batch_format="pyarrow"), on=id_col,
+        num_partitions=num_partitions, join_type="left_outer")
+
+    def survivors(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.is_null(t["_drop"])).drop_columns(["_drop"])
+
+    return joined.map_batches(survivors, batch_format="pyarrow")

@@ -80,9 +80,20 @@ def shuffle_hash_join(left, right, on, right_on=None, join_type="inner",
     on = (on,) if isinstance(on, str) else tuple(on)
     right_on = ((right_on,) if isinstance(right_on, str)
                 else tuple(right_on)) if right_on is not None else None
-    out = left.join(right, join_type=join_type,
-                    num_partitions=num_partitions,
-                    on=on, right_on=right_on)
+    # this Ray build's hash join crashes ("No match ... for key field
+    # reference") when ANY input block is empty, even schema-typed ones
+    # (verified on a minimal [empty, full] from_arrow_refs fixture); a
+    # no-op re-batch folds empty blocks away without a shuffle.  A fully
+    # EMPTY side still needs a producer-level sentinel row — see
+    # corpus.contamination_flags_distributed.bench_grams.
+    def _no_empty_blocks(ds):
+        return ds.map_batches(lambda t: t, batch_format="pyarrow",
+                              batch_size=8192)
+
+    out = _no_empty_blocks(left).join(
+        _no_empty_blocks(right), join_type=join_type,
+        num_partitions=num_partitions,
+        on=on, right_on=right_on)
     if project is not None:
         out = out.select_columns(list(project))
     return out

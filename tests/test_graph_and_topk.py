@@ -283,3 +283,46 @@ def test_prune_near_dups_no_duplicates():
     }))
     out = prune_near_dups(items, ray.data.from_arrow(empty)).to_pandas()
     assert sorted(out["vec_id"]) == [1, 2, 3]
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("n_blocks", [1, 3])
+def test_prune_near_dups_distributed_matches_broadcast(n_blocks):
+    """The hash-join anti variant keeps exactly the broadcast variant's
+    survivors: min-id representative per component, untouched singletons,
+    and extra payload columns carried through the join."""
+    import ray.data
+
+    from pdf2doi_ray.stages.graph import (prune_near_dups,
+                                          prune_near_dups_distributed)
+
+    items = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(list(range(10)), type=pa.int64()),
+        "payload": pa.array([f"p{i}" for i in range(10)]),
+    })).repartition(n_blocks)
+    pairs = ray.data.from_arrow(pa.table({
+        "vec_a": pa.array([0, 1, 5, 6], type=pa.int64()),
+        "vec_b": pa.array([1, 2, 6, 5], type=pa.int64()),
+    }))
+    want = prune_near_dups(items, pairs).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    got = prune_near_dups_distributed(items, pairs, num_partitions=2) \
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    assert got[["vec_id", "payload"]].to_dict("records") == \
+        want[["vec_id", "payload"]].to_dict("records")
+    assert got["vec_id"].tolist() == [0, 3, 4, 5, 7, 8, 9]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_prune_near_dups_distributed_no_pairs():
+    import ray.data
+
+    from pdf2doi_ray.stages.graph import prune_near_dups_distributed
+
+    items = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array([1, 2], type=pa.int64())}))
+    pairs = ray.data.from_arrow(pa.table({
+        "vec_a": pa.array([], type=pa.int64()),
+        "vec_b": pa.array([], type=pa.int64())}))
+    out = prune_near_dups_distributed(items, pairs).to_pandas()
+    assert sorted(out["vec_id"]) == [1, 2]
