@@ -1185,6 +1185,16 @@ def _q_contamination(sf_dir: str):
     return contamination_flags(_docs(sf_dir, ("doc_id", "text")))
 
 
+def _q_host_quality_filter(sf_dir: str):
+    """Domain-level curation: drop every doc whose source group's mean
+    n_chars (exact integer milli) is below 300000 — per-group combiner →
+    one small groupby → good-set broadcast → streaming gate; docs never
+    shuffle."""
+    from pdf2doi_ray.stages.corpus import filter_by_group_quality
+    return filter_by_group_quality(
+        _docs(sf_dir, ("doc_id", "source", "n_chars")))
+
+
 def _q_contamination_distributed(sf_dir: str):
     """Corpus-scale decontamination (no benchmark broadcast): combiner
     (gram, doc, n) pairs → one hash-partitioned join on gram → per-doc
@@ -1374,6 +1384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_filter": _q_repetition_filter,
         "contamination": _q_contamination,
         "contamination_distributed": _q_contamination_distributed,
+        "host_quality_filter": _q_host_quality_filter,
         "remove_boilerplate_lines": _q_remove_boilerplate_lines,
         "remove_boilerplate_distributed": _q_boilerplate_distributed,
         "oov_rate": _q_oov_rate,
@@ -1886,6 +1897,17 @@ WITH n AS (SELECT doc_id,
 FROM documents)
 SELECT doc_id, norm_text, CAST(length(norm_text) AS BIGINT) AS n_chars_norm
 FROM n
+""",
+        # integer-milli mean with floor division on both sides (sums are
+        # non-negative, so DuckDB // == pyarrow truncating divide)
+        "host_quality_filter": """
+WITH s AS (SELECT source,
+                  CAST(sum(n_chars) * 1000 // count(*) AS BIGINT)
+                  AS avg_milli
+           FROM documents GROUP BY source)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d JOIN s ON s.source = d.source
+WHERE s.avg_milli >= 300000
 """,
         # banner injection, 16-token chunking, and keep-first rule all
         # mirror the Ray side (_banner_docs / corpus.dedup_lines_keep_first)

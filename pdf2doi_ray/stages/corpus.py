@@ -1133,6 +1133,74 @@ def remove_common_lines_distributed(docs, min_docs: int = 2,
                        Sum("n_removed", alias_name="n_removed")))
 
 
+def filter_by_group_quality(docs, group_col: str = "source",
+                            value_col: str = "n_chars",
+                            min_avg_milli: int = 300_000):
+    """Domain-level quality gate — the UT1/RefinedWeb-style curation step
+    that drops every document from a LOW-QUALITY GROUP (host, domain,
+    source feed) rather than judging docs one by one: groups whose mean
+    ``value_col`` (exact integer milli, ``sum*1000 // n`` — floor division
+    matches SQL ``//`` because the sums are non-negative) falls below
+    ``min_avg_milli`` are removed wholesale.
+
+    Plan: per-batch (group, sum, n) combiner → one small ``groupby(group)``
+    → the GOOD-group set collects and broadcasts once (group cardinality
+    ≪ corpus by web contract: ~10⁷ hosts vs 10¹² pages) → docs stream
+    through a pandas-C membership filter.  Documents never shuffle.  If
+    the group key's cardinality ever approaches corpus size, gate with a
+    :func:`.joins.shuffle_hash_join` inner join instead (the group table
+    is exact, so unlike Bloom gating no recovery pass is needed).
+
+    Returns the input columns of surviving docs unchanged.
+    """
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        g = (t[group_col].combine_chunks()
+             if isinstance(t[group_col], pa.ChunkedArray) else t[group_col])
+        v = np.asarray(t[value_col].combine_chunks()
+                       if isinstance(t[value_col], pa.ChunkedArray)
+                       else t[value_col]).astype(np.int64)
+        codes, uniques = pd.factorize(g.to_pandas(), sort=False)
+        return pa.table({
+            group_col: pa.array(uniques, type=pa.string()),
+            "s": pa.array(np.bincount(codes, weights=v,
+                                      minlength=len(uniques))
+                          .astype(np.int64)),
+            "n": pa.array(np.bincount(codes, minlength=len(uniques))
+                          .astype(np.int64)),
+        })
+
+    totals = (docs.map_batches(partial, batch_format="pyarrow")
+              .groupby(group_col).aggregate(Sum("s", alias_name="s"),
+                                            Sum("n", alias_name="n")))
+
+    def good(t: pa.Table) -> pa.Table:
+        avg = pc.divide(pc.multiply(t["s"], 1000), t["n"])
+        return pa.table({group_col:
+                         t.filter(pc.greater_equal(avg,
+                                                   min_avg_milli))[group_col]})
+
+    tabs = ray.get(totals.map_batches(good, batch_format="pyarrow")
+                   .to_arrow_refs())
+    merged = pa.concat_tables(tabs, promote_options="default")
+    good_idx = pd.Index(merged[group_col].to_pandas()
+                        if merged.num_rows else pd.Series([], dtype=object))
+    good_ref = ray.put(good_idx)
+
+    def gate(t: pa.Table) -> pa.Table:
+        idx = ray.get(good_ref)
+        g = (t[group_col].combine_chunks()
+             if isinstance(t[group_col], pa.ChunkedArray) else t[group_col])
+        keep = idx.get_indexer(g.to_pandas()) >= 0
+        return t.filter(pa.array(keep))
+
+    return docs.map_batches(gate, batch_format="pyarrow")
+
+
 def oov_rate(docs, vocab_size: int = 50):
     """Out-of-vocabulary rate per document: the permille of a doc's tokens
     absent from the corpus-wide top-``vocab_size`` token vocabulary — the

@@ -409,3 +409,35 @@ def test_remove_common_lines_distributed_nothing_common():
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert out["text"].tolist() == ["a\n\nb", "c d\ne"]
     assert out["n_removed"].tolist() == [0, 0]
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("n_blocks", [1, 3])
+def test_filter_by_group_quality(n_blocks):
+    """Group-mean gate: a group's mean decides for ALL its docs; floor
+    division on the milli mean matches SQL semantics at the boundary
+    (mean exactly at the threshold is kept)."""
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import filter_by_group_quality
+
+    t = pa.table({
+        "doc_id": pa.array(list(range(7)), type=pa.int64()),
+        "source": pa.array(["a", "a", "b", "b", "c", "c", "c"]),
+        "n_chars": pa.array([10, 20, 1, 2, 3, 3, 3], type=pa.int64()),
+    })
+    # means: a=15 (15000 milli), b=1.5 (1500), c=3 (3000)
+    out = filter_by_group_quality(
+        ray.data.from_arrow(t).repartition(n_blocks),
+        min_avg_milli=3000).to_pandas().sort_values("doc_id")
+    assert out["doc_id"].tolist() == [0, 1, 4, 5, 6]   # a and c survive
+    # boundary: raise past c's mean -> only a
+    out2 = filter_by_group_quality(
+        ray.data.from_arrow(t).repartition(n_blocks),
+        min_avg_milli=3001).to_pandas().sort_values("doc_id")
+    assert out2["doc_id"].tolist() == [0, 1]
+    # gate everything -> typed empty result
+    out3 = filter_by_group_quality(
+        ray.data.from_arrow(t).repartition(n_blocks),
+        min_avg_milli=10**9).to_pandas()
+    assert len(out3) == 0
