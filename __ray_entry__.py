@@ -229,6 +229,15 @@ def _q_quality(sf_dir: str):
     return _docs(sf_dir).map_batches(quality_flags, batch_format="pyarrow")
 
 
+def _q_gopher_quality(sf_dir: str):
+    """Full Gopher rule set (word-count / word-length bands, symbol,
+    bullet/ellipsis line rates, alpha-word rate, stopword floor) as exact
+    integer permilles — pure vectorized map, zero shuffles."""
+    from pdf2doi_ray.stages.textstats import gopher_quality
+    return _docs(sf_dir, ("doc_id", "text")).map_batches(
+        gopher_quality, batch_format="pyarrow")
+
+
 def _q_lang_id(sf_dir: str):
     from pdf2doi_ray.stages.textstats import lang_id
     return _docs(sf_dir).map_batches(lang_id, batch_format="pyarrow")
@@ -1385,6 +1394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination": _q_contamination,
         "contamination_distributed": _q_contamination_distributed,
         "host_quality_filter": _q_host_quality_filter,
+        "gopher_quality": _q_gopher_quality,
         "remove_boilerplate_lines": _q_remove_boilerplate_lines,
         "remove_boilerplate_distributed": _q_boilerplate_distributed,
         "oov_rate": _q_oov_rate,
@@ -1897,6 +1907,67 @@ WITH n AS (SELECT doc_id,
 FROM documents)
 SELECT doc_id, norm_text, CAST(length(norm_text) AS BIGINT) AS n_chars_norm
 FROM n
+""",
+        # every rate is an exact integer permille with floor division over
+        # non-negative ints on both sides; '...' counts are non-overlapping
+        # left-to-right in replace() and count_substring alike
+        "gopher_quality": """
+WITH t AS (SELECT doc_id, text,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS ws,
+                  string_split(text, chr(10)) AS ls
+           FROM documents),
+m AS (SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             CAST(COALESCE(list_sum(list_transform(ws, x -> length(x))), 0)
+                  AS BIGINT) AS sum_len,
+             CAST(len(list_filter(ws,
+                  x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+             CAST(len(list_filter(ws, x -> x IN ('the','be','to','of','and',
+                  'that','have','with'))) AS BIGINT) AS n_stop,
+             CAST(length(text) - length(replace(text, '#', ''))
+                  AS BIGINT) AS n_hash,
+             CAST((length(text) - length(replace(text, '...', ''))) // 3
+                  AS BIGINT) AS n_ell,
+             CAST(len(ls) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(ls,
+                  x -> regexp_matches(x, '^[-*•]'))) AS BIGINT) AS n_bullet,
+             CAST(len(list_filter(ls,
+                  x -> regexp_matches(x, '\\.\\.\\.$')))
+                  AS BIGINT) AS n_ell_line
+      FROM t),
+p AS (SELECT doc_id, n_words,
+             CASE WHEN n_words > 0
+                  THEN sum_len * 1000 // n_words ELSE 0 END
+                  AS mean_word_len_milli,
+             CASE WHEN n_words > 0
+                  THEN (n_hash + n_ell) * 1000 // n_words ELSE 0 END
+                  AS symbol_permille,
+             CASE WHEN n_words > 0
+                  THEN n_alpha * 1000 // n_words ELSE 0 END
+                  AS alpha_word_permille,
+             CASE WHEN n_lines > 0
+                  THEN n_bullet * 1000 // n_lines ELSE 0 END
+                  AS bullet_line_permille,
+             CASE WHEN n_lines > 0
+                  THEN n_ell_line * 1000 // n_lines ELSE 0 END
+                  AS ellipsis_line_permille,
+             n_stop AS n_stop_hits
+      FROM m)
+SELECT doc_id, n_words,
+       CAST(mean_word_len_milli AS BIGINT) AS mean_word_len_milli,
+       CAST(symbol_permille AS BIGINT) AS symbol_permille,
+       CAST(alpha_word_permille AS BIGINT) AS alpha_word_permille,
+       CAST(bullet_line_permille AS BIGINT) AS bullet_line_permille,
+       CAST(ellipsis_line_permille AS BIGINT) AS ellipsis_line_permille,
+       n_stop_hits,
+       (n_words BETWEEN 50 AND 100000
+        AND mean_word_len_milli BETWEEN 3000 AND 10000
+        AND symbol_permille <= 100
+        AND bullet_line_permille <= 100
+        AND ellipsis_line_permille <= 300
+        AND alpha_word_permille >= 800
+        AND n_stop_hits >= 2) AS keep
+FROM p
 """,
         # integer-milli mean with floor division on both sides (sums are
         # non-negative, so DuckDB // == pyarrow truncating divide)

@@ -19,6 +19,16 @@ def one_chunk(col):
     return col
 
 
+def rowwise_sums(list_arr: pa.Array, flat_values) -> np.ndarray:
+    """Per-row sum of int64 values aligned with ``list_arr.flatten()`` —
+    the weighted generalization of :func:`rowwise_flag_counts` (same
+    cumsum/offset reduction, no per-row Python)."""
+    vals = np.asarray(flat_values).astype(np.int64)
+    cum = np.concatenate([[0], np.cumsum(vals)])
+    offsets = np.asarray(list_arr.offsets).astype(np.int64)
+    return cum[offsets[1:]] - cum[offsets[:-1]]
+
+
 def rowwise_flag_counts(list_arr: pa.Array, flat_flags) -> np.ndarray:
     """Per-row count of True flags, where ``flat_flags`` is a boolean array
     aligned with ``list_arr.flatten()`` (may contain nulls → False)."""

@@ -92,6 +92,82 @@ def quality_flags(batch: pa.Table) -> pa.Table:
     })
 
 
+# Gopher (Rae et al. 2021, Table A1) repetition-independent quality rules.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_WORDLEN_MILLI, GOPHER_MAX_WORDLEN_MILLI = 3_000, 10_000
+GOPHER_MAX_SYMBOL_PERMILLE = 100       # (# + …)/words < 0.1
+GOPHER_MAX_BULLET_PERMILLE = 100       # ≥90% of lines not bullet-led
+GOPHER_MAX_ELLIPSIS_PERMILLE = 300     # ≤30% of lines ellipsis-ended
+GOPHER_MIN_ALPHA_PERMILLE = 800        # ≥80% of words contain a letter
+GOPHER_MIN_STOP_HITS = 2
+
+
+def gopher_quality(batch: pa.Table) -> pa.Table:
+    """The full Gopher document-quality rule set (word-count band, mean
+    word length band, symbol-to-word ratio, bullet / ellipsis line rates,
+    alphabetic-word rate, stopword floor) as exact integer permilles —
+    every division is a floor over non-negative integers, so a SQL oracle
+    matches bit-for-bit.  Words are NONEMPTY space-split tokens; lines are
+    ``\\n``-split (blank lines count toward the line denominators, as in
+    the paper's per-line rates).  Zero denominators yield 0 permilles and
+    ``keep=false``.  Complements :func:`quality_flags` (the cheap gate)
+    and ``corpus.top_bigram_repetition`` (the repetition rules).
+    """
+    from ..arrowutil import one_chunk, rowwise_flag_counts, rowwise_sums
+
+    text = one_chunk(batch["text"])
+    toks = pc.split_pattern(text, " ")
+    flat = toks.flatten()
+    nonempty = pc.not_equal(flat, "")
+    n_words = rowwise_flag_counts(toks, nonempty)
+    sum_len = rowwise_sums(toks, pc.utf8_length(flat).fill_null(0))
+    n_alpha = rowwise_flag_counts(
+        toks, pc.match_substring_regex(flat, "[A-Za-z]"))
+    n_stop = rowwise_flag_counts(
+        toks, pc.is_in(flat, value_set=pa.array(GOPHER_STOPWORDS)))
+    n_hash = np.asarray(pc.count_substring(text, "#").cast(pa.int64()))
+    n_ell = np.asarray(pc.count_substring(text, "...").cast(pa.int64()))
+
+    lines = pc.split_pattern(text, "\n")
+    lflat = lines.flatten()
+    n_lines = np.asarray(pc.list_value_length(lines)
+                         .fill_null(0)).astype(np.int64)
+    n_bullet = rowwise_flag_counts(
+        lines, pc.match_substring_regex(lflat, r"^[-*•]"))
+    n_ell_line = rowwise_flag_counts(
+        lines, pc.match_substring_regex(lflat, r"\.\.\.$"))
+
+    def permille(num, den):
+        return np.where(den > 0, num * 1000 // np.maximum(den, 1), 0)
+
+    mean_len = permille(sum_len, n_words)
+    symbol_pm = permille(n_hash + n_ell, n_words)
+    alpha_pm = permille(n_alpha, n_words)
+    bullet_pm = permille(n_bullet, n_lines)
+    ell_pm = permille(n_ell_line, n_lines)
+    keep = ((n_words >= GOPHER_MIN_WORDS)
+            & (n_words <= GOPHER_MAX_WORDS)
+            & (mean_len >= GOPHER_MIN_WORDLEN_MILLI)
+            & (mean_len <= GOPHER_MAX_WORDLEN_MILLI)
+            & (symbol_pm <= GOPHER_MAX_SYMBOL_PERMILLE)
+            & (bullet_pm <= GOPHER_MAX_BULLET_PERMILLE)
+            & (ell_pm <= GOPHER_MAX_ELLIPSIS_PERMILLE)
+            & (alpha_pm >= GOPHER_MIN_ALPHA_PERMILLE)
+            & (n_stop >= GOPHER_MIN_STOP_HITS))
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_words": pa.array(n_words),
+        "mean_word_len_milli": pa.array(mean_len.astype(np.int64)),
+        "symbol_permille": pa.array(symbol_pm.astype(np.int64)),
+        "alpha_word_permille": pa.array(alpha_pm.astype(np.int64)),
+        "bullet_line_permille": pa.array(bullet_pm.astype(np.int64)),
+        "ellipsis_line_permille": pa.array(ell_pm.astype(np.int64)),
+        "n_stop_hits": pa.array(n_stop),
+        "keep": pa.array(keep),
+    })
+
+
 def lang_id(batch: pa.Table) -> pa.Table:
     toks = _tokens(batch["text"])
     counts = np.stack([_count_in_set(toks, LANG_STOPWORDS[lg])

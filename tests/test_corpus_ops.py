@@ -441,3 +441,47 @@ def test_filter_by_group_quality(n_blocks):
         ray.data.from_arrow(t).repartition(n_blocks),
         min_avg_milli=10**9).to_pandas()
     assert len(out3) == 0
+
+
+def test_gopher_quality_rules():
+    """Each Gopher rule trips independently on a crafted doc; a healthy
+    doc passes all of them; permilles are exact integers with zero-safe
+    denominators (differentially checked against DuckDB by the oracle
+    sweep — this pins the rule semantics on adversarial shapes)."""
+    from pdf2doi_ray.stages.textstats import gopher_quality
+
+    healthy = ("the quick brown fox jumps over the lazy dog and then "
+               "sits down with that other fox to have some rest ") * 3
+    docs = {
+        0: healthy,                                 # passes everything
+        1: "the of and that",                       # too few words
+        2: healthy + " ##### ##### ##### ##### ##### ##### #####",
+        3: "\n".join(["- bullet point here"] * 8
+                     + ["the content with that and have to be of"] * 2),
+        4: healthy + " " + " ".join(["..."] * 8),   # ellipsis tokens
+        5: "the " + " ".join(["12345"] * 80),       # digits: alpha rate low
+        6: " ".join(["verylongpseudotokenxxxxxxxxxxxx"] * 60
+                    + ["the of"]),                  # mean word len > 10
+        7: "",                                      # empty: zero-safe
+    }
+    t = pa.table({
+        "doc_id": pa.array(sorted(docs), type=pa.int64()),
+        "text": pa.array([docs[i] for i in sorted(docs)],
+                         type=pa.string()),
+    })
+    out = gopher_quality(t).to_pandas().set_index("doc_id")
+    assert bool(out.loc[0, "keep"])
+    assert not out.loc[1, "keep"] and out.loc[1, "n_words"] == 4
+    assert not out.loc[2, "keep"] \
+        and out.loc[2, "symbol_permille"] > 100
+    assert not out.loc[3, "keep"] \
+        and out.loc[3, "bullet_line_permille"] == 800
+    assert not out.loc[4, "keep"]          # symbol rule: '...' per fox
+    assert not out.loc[5, "keep"] \
+        and out.loc[5, "alpha_word_permille"] < 800
+    assert not out.loc[6, "keep"] \
+        and out.loc[6, "mean_word_len_milli"] > 10000
+    assert not out.loc[7, "keep"]
+    assert (out.loc[7, ["n_words", "mean_word_len_milli",
+                        "symbol_permille", "alpha_word_permille"]]
+            == 0).all()
