@@ -1016,6 +1016,20 @@ def _q_approx_value_quantiles(sf_dir: str):
     return approx_quantiles_milli(ev, "value")
 
 
+def _q_approx_value_quantiles_by_type(sf_dir: str):
+    """Per-group KLL quantiles over events (group = event_type): one blob
+    per (group, batch), one groupby over blob rows, per-group merge in
+    the reducer — the scale escape when a group's value domain is
+    unbounded.  No SQL oracle (approximate by design); locked by the
+    per-group rank-error property test in tests/test_sketch.py."""
+    import ray.data
+
+    from pdf2doi_ray.stages.sketch import approx_quantiles_milli_by_group
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+    return approx_quantiles_milli_by_group(ev, "event_type", "value")
+
+
 def _q_funnel_conversion(sf_dir: str):
     """click→purchase funnel: earliest purchase at/after each user's
     first click.  Two combiner-first Min passes with a broadcast of the
@@ -1375,6 +1389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_histogram": _q_event_value_histogram,
         "funnel_conversion": _q_funnel_conversion,
         "approx_value_quantiles": _q_approx_value_quantiles,
+        "approx_value_quantiles_by_type": _q_approx_value_quantiles_by_type,
         "customer_orders_left_join": _q_customer_orders_left_join,
         "normalize_text": _q_normalize_text,
         "pii_redaction": _q_pii_redaction,

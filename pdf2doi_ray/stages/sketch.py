@@ -380,3 +380,64 @@ def approx_quantiles_milli(ds, value_col: str,
         "q_permille": pd.array([q for q, _ in qs], dtype="int64"),
         "value": pd.array([v for _, v in qs], dtype="int64"),
     })
+
+
+def approx_quantiles_milli_by_group(ds, group_col: str, value_col: str,
+                                    quantiles_permille=(250, 500, 750, 900),
+                                    k: int = KLL_K):
+    """Per-group distributed approximate quantiles — the documented
+    escape for :func:`.textstats.token_count_quantiles_by_group` /
+    :func:`.aggs.value_quantiles_milli_by_group` when a group's quantized
+    value domain is unbounded (the keyed histogram would outgrow its
+    reducer): one KLL partial per (group, batch) (a few KiB each,
+    regardless of rows), ONE ``groupby(group)`` over blob rows, per-group
+    blob merge + quantile walk in the reducer.  Values never shuffle and
+    no driver-side state exists — the reducer sees #batches blobs per
+    group, not rows.  The per-group Python loop in the combiner is
+    bounded by the batch's group cardinality (blob construction is
+    per-group by definition); rank error matches the global sketch.
+
+    Returns a Dataset of (group, q_permille, value) in milli units.
+    """
+    import pandas as pd
+
+    from ..arrowutil import one_chunk
+    from .windowfns import _milli
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = one_chunk(t[group_col]).to_pandas()
+        v = _milli(one_chunk(t[value_col]))
+        codes, uniques = pd.factorize(g, sort=False)
+        order = np.argsort(codes, kind="stable")
+        sorted_codes = codes[order]
+        bounds = np.concatenate(
+            [[0], np.nonzero(sorted_codes[1:] != sorted_codes[:-1])[0] + 1,
+             [len(sorted_codes)]])
+        groups, blobs = [], []
+        for i in range(len(bounds) - 1):
+            lo, hi = bounds[i], bounds[i + 1]
+            sk = kll_new()
+            kll_add(sk, v[order[lo:hi]], k)
+            groups.append(uniques[sorted_codes[lo]])
+            blobs.append(kll_serialize(sk))
+        return pa.table({
+            group_col: pa.array(groups, type=pa.string()),
+            "blob": pa.array(blobs, type=pa.binary()),
+        })
+
+    def reduce_group(t: pa.Table) -> pa.Table:
+        merged = kll_new()
+        for blob in t["blob"].to_pylist():
+            merged = kll_merge(merged, kll_deserialize(blob), k)
+        qs = kll_quantiles(merged, quantiles_permille)
+        n = len(qs)
+        return pa.table({
+            group_col: pa.array([t[group_col][0].as_py()] * n,
+                                type=pa.string()),
+            "q_permille": pa.array([q for q, _ in qs], type=pa.int64()),
+            "value": pa.array([val for _, val in qs], type=pa.int64()),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(group_col)
+            .map_groups(reduce_group, batch_format="pyarrow"))

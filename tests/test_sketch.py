@@ -201,3 +201,42 @@ def test_approx_quantiles_tracks_exact():
         q, est = int(row["q_permille"]), int(row["value"])
         true_rank = np.searchsorted(vals, est, side="right")
         assert abs(true_rank - q * n // 1000) <= max(0.03 * n, 2), (q, est)
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("n_blocks", [1, 5])
+def test_kll_by_group_rank_error_vs_exact(n_blocks):
+    """Per-group KLL quantiles stay within the asserted rank-error bound
+    of the EXACT per-group quantiles on skewed per-group distributions,
+    and the distributed (multi-blob) merge equals single-group accuracy —
+    invariant under block count."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from pdf2doi_ray.stages.sketch import approx_quantiles_milli_by_group
+
+    rng = np.random.RandomState(11)
+    groups, vals = [], []
+    dists = {"a": rng.exponential(5.0, 40_000),
+             "b": rng.normal(100.0, 3.0, 25_000),
+             "c": rng.uniform(-50.0, 50.0, 10_000)}
+    for g, v in dists.items():
+        groups += [g] * len(v)
+        vals.append(v)
+    vals = np.concatenate(vals)
+    t = pa.table({"g": pa.array(groups, type=pa.string()),
+                  "value": pa.array(vals, type=pa.float64())})
+    out = approx_quantiles_milli_by_group(
+        ray.data.from_arrow(t).repartition(n_blocks), "g", "value") \
+        .to_pandas()
+    assert len(out) == 3 * 4
+    for g, v in dists.items():
+        milli = np.floor(np.asarray(v) * 1000.0).astype(np.int64)
+        milli.sort()
+        n = len(milli)
+        sub = out[out.g == g].set_index("q_permille")["value"]
+        for q in (250, 500, 750, 900):
+            got = int(sub.loc[q])
+            rank = np.searchsorted(milli, got, side="right")
+            assert abs(rank - q * n // 1000) <= max(0.03 * n, 1), (g, q)
