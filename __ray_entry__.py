@@ -1208,6 +1208,43 @@ def _q_contamination(sf_dir: str):
     return contamination_flags(_docs(sf_dir, ("doc_id", "text")))
 
 
+def _q_crawl_diff(sf_dir: str):
+    """Crawl snapshot diff: the previous snapshot is derived
+    deterministically from documents (doc_id%7==0 rows absent → added,
+    doc_id%5==0 rows carry older text → changed, ghost rows at
+    doc_id+1000000 for doc_id%11==0 → removed); per-batch md5 reduction
+    on both sides, ONE full-outer hash join, vectorized classification.
+    The SQL oracle builds the identical previous snapshot."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pdf2doi_ray.stages.corpus import crawl_diff
+
+    def mk_prev(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].combine_chunks()
+                         if isinstance(t["doc_id"], pa.ChunkedArray)
+                         else t["doc_id"])
+        txt = np.asarray(t["text"].combine_chunks()
+                         if isinstance(t["text"], pa.ChunkedArray)
+                         else t["text"]).astype(object)
+        keep = ids % 7 != 0
+        kept_txt = txt[keep].copy()
+        old = ids[keep] % 5 == 0
+        kept_txt[old] = [s + " old" for s in kept_txt[old]]
+        ghost = ids % 11 == 0
+        return pa.table({
+            "doc_id": pa.array(np.concatenate([ids[keep],
+                                               ids[ghost] + 1_000_000])),
+            "text": pa.array(list(kept_txt) + list(txt[ghost]),
+                             type=pa.string()),
+        })
+
+    curr = _docs(sf_dir, ("doc_id", "text"))
+    prev = _docs(sf_dir, ("doc_id", "text")).map_batches(
+        mk_prev, batch_format="pyarrow")
+    return crawl_diff(curr, prev)
+
+
 def _q_host_quality_filter(sf_dir: str):
     """Domain-level curation: drop every doc whose source group's mean
     n_chars (exact integer milli) is below 300000 — per-group combiner →
@@ -1410,6 +1447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_distributed": _q_contamination_distributed,
         "host_quality_filter": _q_host_quality_filter,
         "gopher_quality": _q_gopher_quality,
+        "crawl_diff": _q_crawl_diff,
         "remove_boilerplate_lines": _q_remove_boilerplate_lines,
         "remove_boilerplate_distributed": _q_boilerplate_distributed,
         "oov_rate": _q_oov_rate,
@@ -1922,6 +1960,24 @@ WITH n AS (SELECT doc_id,
 FROM documents)
 SELECT doc_id, norm_text, CAST(length(norm_text) AS BIGINT) AS n_chars_norm
 FROM n
+""",
+        # the previous-snapshot construction mirrors _q_crawl_diff.mk_prev
+        "crawl_diff": """
+WITH prev AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' old' ELSE text END AS text
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 11 = 0
+),
+c AS (SELECT doc_id, md5(text) AS h FROM documents),
+p AS (SELECT doc_id, md5(text) AS h FROM prev)
+SELECT COALESCE(c.doc_id, p.doc_id) AS doc_id,
+       CASE WHEN p.doc_id IS NULL THEN 'added'
+            WHEN c.doc_id IS NULL THEN 'removed'
+            WHEN c.h = p.h THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM c FULL OUTER JOIN p ON c.doc_id = p.doc_id
 """,
         # every rate is an exact integer permille with floor division over
         # non-negative ints on both sides; '...' counts are non-overlapping

@@ -1133,6 +1133,53 @@ def remove_common_lines_distributed(docs, min_docs: int = 2,
                        Sum("n_removed", alias_name="n_removed")))
 
 
+def crawl_diff(curr, prev, key_col: str = "doc_id",
+               text_col: str = "text", num_partitions: int = 8):
+    """Crawl snapshot diff — classify every key across two crawls as
+    ``added`` (current only), ``removed`` (previous only), ``changed``
+    (both, different content hash) or ``unchanged``: the incremental-
+    processing primitive that lets a recurring pipeline re-extract only
+    the added/changed slice instead of the full crawl.
+
+    Plan: each side reduces per batch to (key, md5(text)) — ~50 B/row, the
+    texts never leave their batch — then ONE hash-partitioned FULL OUTER
+    join on the key; the status is a vectorized null/equality case over
+    the joined hashes.  Exact string hashing (md5 matches DuckDB's
+    ``md5()``), so the SQL oracle reproduces the classification
+    bit-for-bit.  Returns (key, status).
+    """
+    from .joins import shuffle_hash_join
+
+    def digests(t: pa.Table, col: str) -> pa.Table:
+        texts = (t[text_col].combine_chunks()
+                 if isinstance(t[text_col], pa.ChunkedArray)
+                 else t[text_col]).to_pylist()
+        return pa.table({
+            key_col: t[key_col],
+            col: pa.array([hashlib.md5(s.encode("utf-8")).hexdigest()
+                           for s in texts], type=pa.string()),
+        })
+
+    c = curr.map_batches(lambda t: digests(t, "h_curr"),
+                         batch_format="pyarrow")
+    p = prev.map_batches(lambda t: digests(t, "h_prev"),
+                         batch_format="pyarrow")
+    joined = shuffle_hash_join(c, p, on=key_col,
+                               num_partitions=num_partitions,
+                               join_type="full_outer")
+
+    def classify(t: pa.Table) -> pa.Table:
+        hc, hp = t["h_curr"], t["h_prev"]
+        status = pc.if_else(
+            pc.is_null(hp), "added",
+            pc.if_else(pc.is_null(hc), "removed",
+                       pc.if_else(pc.equal(hc, hp),
+                                  "unchanged", "changed")))
+        return pa.table({key_col: t[key_col], "status": status})
+
+    return joined.map_batches(classify, batch_format="pyarrow")
+
+
 def filter_by_group_quality(docs, group_col: str = "source",
                             value_col: str = "n_chars",
                             min_avg_milli: int = 300_000):

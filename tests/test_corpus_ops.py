@@ -485,3 +485,31 @@ def test_gopher_quality_rules():
     assert (out.loc[7, ["n_words", "mean_word_len_milli",
                         "symbol_permille", "alpha_word_permille"]]
             == 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("n_blocks", [1, 3])
+def test_crawl_diff(n_blocks):
+    """Snapshot diff classifies all four states and the full-outer join
+    coalesces keys from either side — invariant under block count."""
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import crawl_diff
+
+    curr = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array(["a", "b", "c", ""]),
+    })).repartition(n_blocks)
+    prev = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([2, 3, 4, 9], type=pa.int64()),
+        "text": pa.array(["b", "CHANGED", "", "gone"]),
+    })).repartition(n_blocks)
+    out = crawl_diff(curr, prev, num_partitions=2).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out.to_dict("records") == [
+        {"doc_id": 1, "status": "added"},
+        {"doc_id": 2, "status": "unchanged"},
+        {"doc_id": 3, "status": "changed"},
+        {"doc_id": 4, "status": "unchanged"},   # both empty: same hash
+        {"doc_id": 9, "status": "removed"},
+    ]
