@@ -74,7 +74,7 @@ def normalize_text(docs):
 # PII patterns chosen for exact RE2 parity between pyarrow's
 # replace_substring_regex and DuckDB's regexp_replace (both RE2): no
 # lookaround, no backreferences, \b anchors only around digits.  Verified
-# byte-identical on adversarial fixtures in tests/test_corpus_ops.py.
+# byte-identical on adversarial fixtures in tests/test_textnorm.py.
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_PHONE = r"\+\d[\d-]{7,14}\d"
 PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
