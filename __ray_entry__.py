@@ -1208,6 +1208,14 @@ def _q_contamination(sf_dir: str):
     return contamination_flags(_docs(sf_dir, ("doc_id", "text")))
 
 
+def _q_curate_v2(sf_dir: str):
+    """Curation v2 flagship composition: full Gopher gate → corpus-wide
+    keep-first line dedup (subsumes exact doc dedup) in one streaming
+    pipeline over banner-injected docs; one line groupby + one sort."""
+    from pdf2doi_ray.pipelines.curate import curate_gopher_linededup
+    return curate_gopher_linededup(_banner_docs(sf_dir))
+
+
 def _q_crawl_diff(sf_dir: str):
     """Crawl snapshot diff: the previous snapshot is derived
     deterministically from documents (doc_id%7==0 rows absent → added,
@@ -1448,6 +1456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_quality_filter": _q_host_quality_filter,
         "gopher_quality": _q_gopher_quality,
         "crawl_diff": _q_crawl_diff,
+        "curate_v2": _q_curate_v2,
         "remove_boilerplate_lines": _q_remove_boilerplate_lines,
         "remove_boilerplate_distributed": _q_boilerplate_distributed,
         "oov_rate": _q_oov_rate,
@@ -1960,6 +1969,68 @@ WITH n AS (SELECT doc_id,
 FROM documents)
 SELECT doc_id, norm_text, CAST(length(norm_text) AS BIGINT) AS n_chars_norm
 FROM n
+""",
+        # banner injection + the gopher_quality rule CTEs + the keep-first
+        # line-dedup CTEs, chained: the gate filters src before chunking
+        "curate_v2": """
+WITH src AS (SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0
+            THEN 'breaking news subscribe now cookie policy accept all terms of service follow us on social media' || ' ' || text
+            ELSE text END AS text
+       FROM documents),
+t AS (SELECT doc_id, text,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws,
+             string_split(text, chr(10)) AS ls
+      FROM src),
+m AS (SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             CAST(COALESCE(list_sum(list_transform(ws, x -> length(x))), 0)
+                  AS BIGINT) AS sum_len,
+             CAST(len(list_filter(ws,
+                  x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+             CAST(len(list_filter(ws, x -> x IN ('the','be','to','of','and',
+                  'that','have','with'))) AS BIGINT) AS n_stop,
+             CAST(length(text) - length(replace(text, '#', ''))
+                  AS BIGINT) AS n_hash,
+             CAST((length(text) - length(replace(text, '...', ''))) // 3
+                  AS BIGINT) AS n_ell,
+             CAST(len(ls) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(ls,
+                  x -> regexp_matches(x, '^[-*•]'))) AS BIGINT) AS n_bullet,
+             CAST(len(list_filter(ls,
+                  x -> regexp_matches(x, '\\.\\.\\.$')))
+                  AS BIGINT) AS n_ell_line
+      FROM t),
+keepers AS (
+  SELECT doc_id FROM m
+  WHERE n_words BETWEEN 50 AND 100000
+    AND (CASE WHEN n_words > 0
+              THEN sum_len * 1000 // n_words ELSE 0 END)
+        BETWEEN 3000 AND 10000
+    AND (CASE WHEN n_words > 0
+              THEN (n_hash + n_ell) * 1000 // n_words ELSE 0 END) <= 100
+    AND (CASE WHEN n_lines > 0
+              THEN n_bullet * 1000 // n_lines ELSE 0 END) <= 100
+    AND (CASE WHEN n_lines > 0
+              THEN n_ell_line * 1000 // n_lines ELSE 0 END) <= 300
+    AND (CASE WHEN n_words > 0
+              THEN n_alpha * 1000 // n_words ELSE 0 END) >= 800
+    AND n_stop >= 2),
+ktoks AS (SELECT s.doc_id,
+                 list_filter(string_split(s.text, ' '), x -> x <> '') AS ts
+          FROM src s JOIN keepers k ON k.doc_id = s.doc_id),
+chunks AS (SELECT doc_id, g AS pos,
+                  array_to_string(ts[(g*16+1):(g*16+16)], ' ') AS line
+           FROM ktoks,
+                UNNEST(range(CAST(ceil(len(ts) / 16.0) AS BIGINT))) AS t(g)),
+firsts AS (SELECT doc_id, pos, line,
+                  row_number() OVER (PARTITION BY line
+                                     ORDER BY doc_id, pos) AS rn
+           FROM chunks)
+SELECT doc_id,
+       string_agg(line, chr(10) ORDER BY pos) AS text,
+       CAST(count(*) AS BIGINT) AS n_lines_kept
+FROM firsts WHERE rn = 1 GROUP BY doc_id
 """,
         # the previous-snapshot construction mirrors _q_crawl_diff.mk_prev
         "crawl_diff": """

@@ -489,6 +489,29 @@ def main() -> None:
     if not headline_only:
         queries["line_dedup_pages"] = timed(q_line_dedup)
 
+    # curation v2 composition at pages scale: full Gopher gate (per-batch,
+    # free) then keep-first line dedup over the survivors — the gate
+    # shrinks the dedup exchange before it happens
+    def q_curate_v2():
+        import pandas as pd
+        import pyarrow as pa
+
+        from pdf2doi_ray.pipelines.curate import curate_gopher_linededup
+
+        def prep(t: pa.Table) -> pa.Table:
+            ids = pd.util.hash_array(
+                t["url"].combine_chunks().to_numpy(zero_copy_only=False)
+            ).astype("int64") & ((1 << 42) - 1)
+            return pa.table({"doc_id": pa.array(ids), "text": t["text"]})
+
+        docs = read_pages(("url", "text"), split=True).map_batches(
+            prep, batch_format="pyarrow")
+        n_out = curate_gopher_linededup(docs).count()
+        assert 0 < n_out < n_pages, (n_out, n_pages)
+
+    if not headline_only:
+        queries["curate_v2_pages"] = timed(q_curate_v2)
+
     # per-host top-k over all pages: combiner bounds the shuffle to <= k
     # rows per host per batch despite zipfian host skew
     def q_top_pages():

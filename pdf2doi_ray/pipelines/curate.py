@@ -60,3 +60,30 @@ def curate_quality_dedup(docs):
     gated = docs.map_batches(gate, batch_format="pyarrow")
     return first_per_key_sorted(gated, "text_hash",
                                 ["doc_id", "n_tokens"])
+
+
+def curate_gopher_linededup(docs, every: int = 16, stitch_shards=None):
+    """Curation v2 — the full-strength front door as ONE streaming
+    composition: the complete Gopher rule gate (word/char bands, symbol,
+    bullet/ellipsis, alpha-rate, stopword floor), then corpus-wide
+    keep-first line dedup over the survivors.
+
+    The line dedup SUBSUMES exact document dedup by construction: a
+    byte-identical copy loses every one of its lines to the first
+    occurrence and drops out entirely (default drop-empty contract), so
+    no separate hash pass is needed.  Shuffle budget: the gate is
+    per-batch and free; the dedup costs one ``groupby(line)`` over
+    combiner rows plus one sort of the winner lines.
+
+    documents(doc_id, text) → (doc_id, text, n_lines_kept) survivors.
+    """
+    from ..stages.corpus import dedup_lines_keep_first
+    from ..stages.textstats import gopher_quality
+
+    def gate(t: pa.Table) -> pa.Table:
+        q = gopher_quality(t)
+        return t.select(["doc_id", "text"]).filter(q["keep"])
+
+    gated = docs.map_batches(gate, batch_format="pyarrow")
+    return dedup_lines_keep_first(gated, every=every,
+                                  stitch_shards=stitch_shards)

@@ -513,3 +513,28 @@ def test_crawl_diff(n_blocks):
         {"doc_id": 4, "status": "unchanged"},   # both empty: same hash
         {"doc_id": 9, "status": "removed"},
     ]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_curate_v2_gate_then_dedup():
+    """Gopher-failing docs never reach the dedup (their lines stay
+    available for no one); a byte-copy of a passing doc is subsumed by
+    the line dedup with no separate hash pass."""
+    import ray.data
+
+    from pdf2doi_ray.pipelines.curate import curate_gopher_linededup
+
+    healthy = ("the quick brown fox jumps over the lazy dog and then "
+               "sits down with that other fox to have some rest ") * 3
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array([
+            healthy,            # passes the gate, first occurrence
+            healthy,            # byte-copy: loses every line -> dropped
+            "too short",        # fails the gate
+        ], type=pa.string()),
+    })
+    out = curate_gopher_linededup(
+        ray.data.from_arrow(t).repartition(2)).to_pandas()
+    assert out["doc_id"].tolist() == [1]
+    assert out["text"].iloc[0].replace("\n", " ") == healthy.strip()
