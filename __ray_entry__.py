@@ -1208,6 +1208,43 @@ def _q_contamination(sf_dir: str):
     return contamination_flags(_docs(sf_dir, ("doc_id", "text")))
 
 
+def _q_extract_links(sf_dir: str):
+    """Outlink extraction over docs with deterministic anchors appended
+    from doc_id (one per doc, a second hub link for every fourth) — the
+    synthetic corpus text has none; vectorized split + RE2 explode, no
+    shuffle.  SQL mirrors the injection and scans the same grammar with
+    regexp_extract_all."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pdf2doi_ray.stages.corpus import extract_links
+
+    def inject(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].combine_chunks()
+                         if isinstance(t["doc_id"], pa.ChunkedArray)
+                         else t["doc_id"])
+        d = ids.astype(str)
+        links = np.char.add(np.char.add(np.char.add(np.char.add(
+            ' <a href="https://s', (ids % 5).astype(str)),
+            ".example.org/p/"), d), '">doc')
+        links = np.char.add(np.char.add(links, d), "</a>")
+        hub = np.where(
+            ids % 4 == 0,
+            np.char.add(np.char.add(' <a href="https://hub.example.org/',
+                                    (ids % 7).astype(str)), '">hub</a>'),
+            "")
+        txt = np.char.add(np.char.add(np.asarray(
+            t["text"].combine_chunks()
+            if isinstance(t["text"], pa.ChunkedArray)
+            else t["text"]).astype(str), links), hub)
+        return pa.table({"doc_id": t["doc_id"],
+                         "text": pa.array(txt.tolist(), type=pa.string())})
+
+    docs = _docs(sf_dir, ("doc_id", "text")).map_batches(
+        inject, batch_format="pyarrow")
+    return extract_links(docs)
+
+
 def _q_curate_v2(sf_dir: str):
     """Curation v2 flagship composition: full Gopher gate → corpus-wide
     keep-first line dedup (subsumes exact doc dedup) in one streaming
@@ -1457,6 +1494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": _q_gopher_quality,
         "crawl_diff": _q_crawl_diff,
         "curate_v2": _q_curate_v2,
+        "extract_links": _q_extract_links,
         "remove_boilerplate_lines": _q_remove_boilerplate_lines,
         "remove_boilerplate_distributed": _q_boilerplate_distributed,
         "oov_rate": _q_oov_rate,
@@ -1969,6 +2007,28 @@ WITH n AS (SELECT doc_id,
 FROM documents)
 SELECT doc_id, norm_text, CAST(length(norm_text) AS BIGINT) AS n_chars_norm
 FROM n
+""",
+        # link injection mirrors _q_extract_links.inject; the grammar is
+        # the provably split-equivalent one in corpus.LINK_OPEN/LINK_BODY
+        "extract_links": """
+WITH src AS (SELECT doc_id,
+       text || ' <a href="https://s' || CAST(doc_id % 5 AS VARCHAR)
+            || '.example.org/p/' || CAST(doc_id AS VARCHAR) || '">doc'
+            || CAST(doc_id AS VARCHAR) || '</a>'
+            || CASE WHEN doc_id % 4 = 0
+                    THEN ' <a href="https://hub.example.org/'
+                         || CAST(doc_id % 7 AS VARCHAR) || '">hub</a>'
+                    ELSE '' END AS text
+       FROM documents),
+l AS (SELECT doc_id,
+             regexp_extract_all(text,
+                 '<a href="([^"]*)">([^<]*)', 1) AS hs,
+             regexp_extract_all(text,
+                 '<a href="([^"]*)">([^<]*)', 2) AS an
+      FROM src)
+SELECT doc_id, CAST(g AS BIGINT) AS link_pos,
+       hs[g + 1] AS href, an[g + 1] AS anchor
+FROM l, UNNEST(range(len(hs))) AS t(g)
 """,
         # banner injection + the gopher_quality rule CTEs + the keep-first
         # line-dedup CTEs, chained: the gate filters src before chunking

@@ -1133,6 +1133,68 @@ def remove_common_lines_distributed(docs, min_docs: int = 2,
                        Sum("n_removed", alias_name="n_removed")))
 
 
+#: The link grammar: literal '<a href="' + unquoted url + '">' + text up
+#: to the next tag.  Chosen so that SPLIT-based extraction is PROVABLY
+#: equivalent to a non-overlapping regex scan: the href group ([^"]*)
+#: cannot contain '"' and the anchor group ([^<]*) cannot contain '<',
+#: so neither can contain the split literal — every literal occurrence
+#: starts a match, exactly like regexp_extract_all.
+LINK_OPEN = '<a href="'
+LINK_BODY = r'^(?P<href>[^"]*)">(?P<anchor>[^<]*)'
+
+
+def extract_links(docs, text_col: str = "text"):
+    """Outlink extraction — (doc_id, link_pos, href, anchor) rows for
+    every ``<a href="URL">TEXT`` occurrence: the crawl-graph builder
+    feeding :func:`.graph.pagerank_fixed` / host statistics.  Messier
+    anchor markup (extra attributes, nested tags) is expected to be
+    normalized upstream by the parse stage; the grammar here is the
+    exact one the SQL oracle scans, see :data:`LINK_OPEN`.
+
+    Vectorized explode: one ``split_pattern`` on the literal open tag,
+    per-fragment RE2 ``extract_regex`` for the two groups, offsets
+    arithmetic for per-doc positions — no shuffle, no per-row Python.
+    """
+    def fn(t: pa.Table) -> pa.Table:
+        from ..arrowutil import one_chunk
+
+        txt = one_chunk(t[text_col])
+        lst = pc.split_pattern(txt, LINK_OPEN)
+        flat = lst.flatten()
+        lengths = np.asarray(pc.list_value_length(lst).fill_null(0))
+        row_idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), lengths)
+        starts = np.zeros(t.num_rows + 1, dtype=np.int64)
+        np.add.at(starts, row_idx + 1, 1)
+        first = np.cumsum(starts)[:-1]
+        frag_pos = np.arange(len(row_idx), dtype=np.int64) - first[row_idx]
+        # fragment 0 is the preamble before any link; fragments k>=1 start
+        # right after the k-th open literal
+        cand = frag_pos > 0
+        groups = pc.extract_regex(flat.filter(pa.array(cand)), LINK_BODY)
+        ok = pc.is_valid(groups)
+        hit = pa.array(ok)
+        sub = groups.filter(hit)
+        ids_all = np.asarray(one_chunk(t["doc_id"])).astype(np.int64)
+        rows = row_idx[cand][np.asarray(ok)]
+        # per-doc 0-based link ordinal among MATCHING fragments
+        pos = np.zeros(len(rows), dtype=np.int64)
+        if len(rows):
+            new_doc = np.ones(len(rows), dtype=bool)
+            new_doc[1:] = rows[1:] != rows[:-1]
+            seg_start = np.nonzero(new_doc)[0]
+            offs = np.repeat(seg_start, np.diff(
+                np.concatenate([seg_start, [len(rows)]])))
+            pos = np.arange(len(rows), dtype=np.int64) - offs
+        return pa.table({
+            "doc_id": pa.array(ids_all[rows]),
+            "link_pos": pa.array(pos),
+            "href": pc.struct_field(sub, "href"),
+            "anchor": pc.struct_field(sub, "anchor"),
+        })
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
 def crawl_diff(curr, prev, key_col: str = "doc_id",
                text_col: str = "text", num_partitions: int = 8):
     """Crawl snapshot diff — classify every key across two crawls as

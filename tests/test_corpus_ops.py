@@ -538,3 +538,45 @@ def test_curate_v2_gate_then_dedup():
         ray.data.from_arrow(t).repartition(2)).to_pandas()
     assert out["doc_id"].tolist() == [1]
     assert out["text"].iloc[0].replace("\n", " ") == healthy.strip()
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("n_blocks", [1, 3])
+def test_extract_links(n_blocks):
+    """Split-based extraction == non-overlapping regex scan on the link
+    grammar: multi-link docs keep order, malformed anchors (extra attrs)
+    are skipped without consuming the next link, link-free docs emit
+    nothing — invariant under block count, differential vs DuckDB."""
+    import duckdb
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import extract_links
+
+    texts = {
+        1: 'pre <a href="u1">one</a> mid <a href="u2">two</a> post',
+        2: "no links here",
+        3: '<a href="x">starts</a>',
+        4: 'bad <a href="y" attr>skip</a> then <a href="z">ok</a>',
+        5: '<a href="">empty href</a><a href="q"></a>',
+        6: "",
+    }
+    t = pa.table({
+        "doc_id": pa.array(sorted(texts), type=pa.int64()),
+        "text": pa.array([texts[i] for i in sorted(texts)],
+                         type=pa.string()),
+    })
+    out = extract_links(ray.data.from_arrow(t).repartition(n_blocks)) \
+        .to_pandas().sort_values(["doc_id", "link_pos"]) \
+        .reset_index(drop=True)
+    con = duckdb.connect()
+    want = []
+    for i in sorted(texts):
+        hs = con.execute(
+            "SELECT regexp_extract_all(?, '<a href=\"([^\"]*)\">([^<]*)', 1),"
+            " regexp_extract_all(?, '<a href=\"([^\"]*)\">([^<]*)', 2)",
+            [texts[i], texts[i]]).fetchone()
+        for g, (h, a) in enumerate(zip(*hs)):
+            want.append({"doc_id": i, "link_pos": g, "href": h,
+                         "anchor": a})
+    assert out.to_dict("records") == want
+    assert out[out.doc_id == 4]["href"].tolist() == ["z"]
