@@ -1245,6 +1245,45 @@ def _q_extract_links(sf_dir: str):
     return extract_links(docs)
 
 
+def _q_host_link_graph(sf_dir: str):
+    """Host-level link graph over the link-injected docs (src url also
+    synthesized from doc_id): combiner-first (src, dst) edge counts, one
+    groupby Sum."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pdf2doi_ray.stages.corpus import host_link_graph
+
+    def inject(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].combine_chunks()
+                         if isinstance(t["doc_id"], pa.ChunkedArray)
+                         else t["doc_id"])
+        d = ids.astype(str)
+        url = np.char.add(np.char.add(np.char.add(
+            "https://s", (ids % 5).astype(str)), ".example.org/d/"), d)
+        links = np.char.add(np.char.add(np.char.add(np.char.add(
+            ' <a href="https://s', (ids % 3).astype(str)),
+            ".example.org/p/"), d), '">doc</a>')
+        hub = np.where(
+            ids % 4 == 0,
+            np.char.add(np.char.add(' <a href="https://hub.example.org/',
+                                    (ids % 7).astype(str)), '">hub</a>'),
+            "")
+        txt = np.char.add(np.char.add(np.asarray(
+            t["text"].combine_chunks()
+            if isinstance(t["text"], pa.ChunkedArray)
+            else t["text"]).astype(str), links), hub)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "url": pa.array(url.tolist(), type=pa.string()),
+            "text": pa.array(txt.tolist(), type=pa.string()),
+        })
+
+    pages = _docs(sf_dir, ("doc_id", "text")).map_batches(
+        inject, batch_format="pyarrow")
+    return host_link_graph(pages)
+
+
 def _q_curate_v2(sf_dir: str):
     """Curation v2 flagship composition: full Gopher gate → corpus-wide
     keep-first line dedup (subsumes exact doc dedup) in one streaming
@@ -1495,6 +1534,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_diff": _q_crawl_diff,
         "curate_v2": _q_curate_v2,
         "extract_links": _q_extract_links,
+        "host_link_graph": _q_host_link_graph,
         "remove_boilerplate_lines": _q_remove_boilerplate_lines,
         "remove_boilerplate_distributed": _q_boilerplate_distributed,
         "oov_rate": _q_oov_rate,
@@ -2007,6 +2047,31 @@ WITH n AS (SELECT doc_id,
 FROM documents)
 SELECT doc_id, norm_text, CAST(length(norm_text) AS BIGINT) AS n_chars_norm
 FROM n
+""",
+        # src-url + link injection mirrors _q_host_link_graph.inject; host
+        # extraction mirrors skew._hosts_vec's two regex kernels
+        "host_link_graph": """
+WITH src AS (SELECT doc_id,
+       'https://s' || CAST(doc_id % 5 AS VARCHAR) || '.example.org/d/'
+                   || CAST(doc_id AS VARCHAR) AS url,
+       text || ' <a href="https://s' || CAST(doc_id % 3 AS VARCHAR)
+            || '.example.org/p/' || CAST(doc_id AS VARCHAR) || '">doc</a>'
+            || CASE WHEN doc_id % 4 = 0
+                    THEN ' <a href="https://hub.example.org/'
+                         || CAST(doc_id % 7 AS VARCHAR) || '">hub</a>'
+                    ELSE '' END AS text
+       FROM documents),
+l AS (SELECT url,
+             UNNEST(regexp_extract_all(text,
+                 '<a href="([^"]*)">([^<]*)', 1)) AS href
+      FROM src),
+e AS (SELECT regexp_replace(regexp_replace(url,
+                 '^[a-z][a-z0-9+.-]*://', ''), '/.*$', '') AS src_host,
+             regexp_replace(regexp_replace(href,
+                 '^[a-z][a-z0-9+.-]*://', ''), '/.*$', '') AS dst_host
+      FROM l)
+SELECT src_host, dst_host, count(*) AS n_links
+FROM e GROUP BY src_host, dst_host
 """,
         # link injection mirrors _q_extract_links.inject; the grammar is
         # the provably split-equivalent one in corpus.LINK_OPEN/LINK_BODY

@@ -1158,33 +1158,8 @@ def extract_links(docs, text_col: str = "text"):
     def fn(t: pa.Table) -> pa.Table:
         from ..arrowutil import one_chunk
 
-        txt = one_chunk(t[text_col])
-        lst = pc.split_pattern(txt, LINK_OPEN)
-        flat = lst.flatten()
-        lengths = np.asarray(pc.list_value_length(lst).fill_null(0))
-        row_idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), lengths)
-        starts = np.zeros(t.num_rows + 1, dtype=np.int64)
-        np.add.at(starts, row_idx + 1, 1)
-        first = np.cumsum(starts)[:-1]
-        frag_pos = np.arange(len(row_idx), dtype=np.int64) - first[row_idx]
-        # fragment 0 is the preamble before any link; fragments k>=1 start
-        # right after the k-th open literal
-        cand = frag_pos > 0
-        groups = pc.extract_regex(flat.filter(pa.array(cand)), LINK_BODY)
-        ok = pc.is_valid(groups)
-        hit = pa.array(ok)
-        sub = groups.filter(hit)
+        rows, pos, sub = _explode_links(one_chunk(t[text_col]), t.num_rows)
         ids_all = np.asarray(one_chunk(t["doc_id"])).astype(np.int64)
-        rows = row_idx[cand][np.asarray(ok)]
-        # per-doc 0-based link ordinal among MATCHING fragments
-        pos = np.zeros(len(rows), dtype=np.int64)
-        if len(rows):
-            new_doc = np.ones(len(rows), dtype=bool)
-            new_doc[1:] = rows[1:] != rows[:-1]
-            seg_start = np.nonzero(new_doc)[0]
-            offs = np.repeat(seg_start, np.diff(
-                np.concatenate([seg_start, [len(rows)]])))
-            pos = np.arange(len(rows), dtype=np.int64) - offs
         return pa.table({
             "doc_id": pa.array(ids_all[rows]),
             "link_pos": pa.array(pos),
@@ -1193,6 +1168,80 @@ def extract_links(docs, text_col: str = "text"):
         })
 
     return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def _explode_links(txt: pa.Array, n_rows: int):
+    """Shared link-explode kernel: returns (row indices, per-row 0-based
+    link ordinals, struct array of href/anchor groups) for every grammar
+    match in each row."""
+    lst = pc.split_pattern(txt, LINK_OPEN)
+    flat = lst.flatten()
+    lengths = np.asarray(pc.list_value_length(lst).fill_null(0))
+    row_idx = np.repeat(np.arange(n_rows, dtype=np.int64), lengths)
+    starts = np.zeros(n_rows + 1, dtype=np.int64)
+    np.add.at(starts, row_idx + 1, 1)
+    first = np.cumsum(starts)[:-1]
+    frag_pos = np.arange(len(row_idx), dtype=np.int64) - first[row_idx]
+    # fragment 0 is the preamble before any link; fragments k>=1 start
+    # right after the k-th open literal
+    cand = frag_pos > 0
+    groups = pc.extract_regex(flat.filter(pa.array(cand)), LINK_BODY)
+    ok = pc.is_valid(groups)
+    sub = groups.filter(pa.array(ok))
+    rows = row_idx[cand][np.asarray(ok)]
+    # per-doc 0-based link ordinal among MATCHING fragments
+    pos = np.zeros(len(rows), dtype=np.int64)
+    if len(rows):
+        new_doc = np.ones(len(rows), dtype=bool)
+        new_doc[1:] = rows[1:] != rows[:-1]
+        seg_start = np.nonzero(new_doc)[0]
+        offs = np.repeat(seg_start, np.diff(
+            np.concatenate([seg_start, [len(rows)]])))
+        pos = np.arange(len(rows), dtype=np.int64) - offs
+    return rows, pos, sub
+
+
+def host_link_graph(pages, url_col: str = "url", text_col: str = "text"):
+    """Host-level link graph — (src_host, dst_host, n_links) edges from
+    every grammar link in every page: the crawl-graph aggregation behind
+    domain-authority ranking (feed the edges to
+    :func:`.graph.pagerank_fixed` after an id encoding of the hosts).
+
+    Per batch: the shared link explode, host extraction on both ends
+    (the :func:`.skew._hosts_vec` kernels), then a factorize +
+    composite-int ``np.bincount`` combiner so the exchange carries one
+    row per distinct (src, dst) pair per batch — zipfian hub hosts cost
+    combiner rows, not occurrence rows.  One ``groupby`` Sum.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from ..arrowutil import one_chunk
+    from .skew import _hosts_vec
+
+    def partial(t: pa.Table) -> pa.Table:
+        rows, _, sub = _explode_links(one_chunk(t[text_col]), t.num_rows)
+        if not len(rows):
+            return pa.table({
+                "src_host": pa.array([], type=pa.string()),
+                "dst_host": pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64()),
+            })
+        src = _hosts_vec(one_chunk(t[url_col])).take(pa.array(rows))
+        dst = _hosts_vec(pc.struct_field(sub, "href"))
+        sc, su = pd.factorize(src.to_pandas(), sort=False)
+        dc, du = pd.factorize(dst.to_pandas(), sort=False)
+        key = sc.astype(np.int64) * len(du) + dc
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "src_host": pa.array(su[uk // len(du)], type=pa.string()),
+            "dst_host": pa.array(du[uk % len(du)], type=pa.string()),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    return (pages.map_batches(partial, batch_format="pyarrow")
+            .groupby(["src_host", "dst_host"])
+            .aggregate(Sum("n", alias_name="n_links")))
 
 
 def crawl_diff(curr, prev, key_col: str = "doc_id",

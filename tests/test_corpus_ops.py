@@ -580,3 +580,31 @@ def test_extract_links(n_blocks):
                          "anchor": a})
     assert out.to_dict("records") == want
     assert out[out.doc_id == 4]["href"].tolist() == ["z"]
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("n_blocks", [1, 3])
+def test_host_link_graph(n_blocks):
+    """Edge counts aggregate per (src_host, dst_host) across docs and
+    batches; schemeless hrefs take the whole prefix as host (the
+    _hosts_vec contract); link-free pages contribute nothing."""
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import host_link_graph
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "url": pa.array(["https://a.org/x", "https://a.org/y",
+                         "https://b.org/"]),
+        "text": pa.array([
+            '<a href="https://b.org/1">z</a><a href="https://b.org/2">w</a>',
+            '<a href="https://b.org/3">q</a> none',
+            'plain',
+        ]),
+    })
+    out = host_link_graph(ray.data.from_arrow(t).repartition(n_blocks)) \
+        .to_pandas().sort_values(["src_host", "dst_host"]) \
+        .reset_index(drop=True)
+    assert out.to_dict("records") == [
+        {"src_host": "a.org", "dst_host": "b.org", "n_links": 3},
+    ]
