@@ -654,9 +654,8 @@ def contamination_flags_distributed(docs, gram_len: int = 8,
     from .joins import shuffle_hash_join
 
     def _ids(t: pa.Table) -> np.ndarray:
-        return np.asarray(t["doc_id"].combine_chunks()
-                          if isinstance(t["doc_id"], pa.ChunkedArray)
-                          else t["doc_id"])
+        from ..arrowutil import one_chunk
+        return np.asarray(one_chunk(t["doc_id"]))
 
     def corpus_pairs(t: pa.Table) -> pa.Table:
         ids = _ids(t)
@@ -681,17 +680,27 @@ def contamination_flags_distributed(docs, gram_len: int = 8,
         ids = _ids(t)
         sub = t.filter(pa.array(ids % benchmark_mod == 0))
         grams, _ = _token_grams_with_rows(sub, gram_len)
-        # every batch also emits one sentinel row ("" can never equal a
-        # gram_len-token space-join): a corpus with no benchmark rows would
-        # otherwise leave every bench batch empty and the aggregated right
-        # side schemaless, which the hash-partitioned join rejects.
-        return pa.table({"gram": pa.concat_arrays(
-            [pc.unique(grams), pa.array([""], type=pa.string())])})
+        return pa.table({"gram": pc.unique(grams)})
 
+    # sentinel rows no real gram can equal keep BOTH join sides non-empty
+    # (this Ray build's hash join crashes on a fully empty side, and Ray
+    # never invokes a map UDF on an empty block, so per-batch sentinels
+    # cannot cover a fully empty input): "" vs "\n" can never match each
+    # other nor any gram_len-token space-join, and the inner join drops
+    # them.  Empty blocks elsewhere are folded by shuffle_hash_join.
+    import ray.data as rd
+    bench_sentinel = rd.from_arrow(pa.table({
+        "gram": pa.array([""], type=pa.string())}))
+    pairs_sentinel = rd.from_arrow(pa.table({
+        "gram": pa.array(["\n"], type=pa.string()),
+        "doc_id": pa.array([-1], type=pa.int64()),
+        "n_occ": pa.array([0], type=pa.int64())}))
     bench = (docs.map_batches(bench_grams, batch_format="pyarrow")
+             .union(bench_sentinel)
              .groupby("gram").aggregate(Count())
              .select_columns(["gram"]))
-    pairs = docs.map_batches(corpus_pairs, batch_format="pyarrow")
+    pairs = docs.map_batches(corpus_pairs,
+                             batch_format="pyarrow").union(pairs_sentinel)
     hits = shuffle_hash_join(pairs, bench, on="gram",
                              num_partitions=num_partitions,
                              project=("doc_id", "n_occ"))
@@ -831,9 +840,8 @@ def dedup_lines_keep_first(docs, every: int = 16, stitch_shards=None,
 
     def lines_partial(t: pa.Table) -> pa.Table:
         lines, line_row, line_pos = _chunk_lines_with_pos(t, every)
-        ids_all = np.asarray(t["doc_id"].combine_chunks()
-                             if isinstance(t["doc_id"], pa.ChunkedArray)
-                             else t["doc_id"]).astype(np.int64)
+        from ..arrowutil import one_chunk
+        ids_all = np.asarray(one_chunk(t["doc_id"])).astype(np.int64)
         ids = ids_all[line_row]
         if len(line_pos) and (int(line_pos.max()) > mask
                               or int(ids.max()) >= (1 << (63 - _LDF_POS_BITS))):
@@ -887,8 +895,8 @@ def _split_lines_with_rows(t: pa.Table, text_col: str, sep: str,
                            keep_blank: bool):
     """Flattened ``sep``-split lines of each row plus their batch-row
     index (and, with ``keep_blank``, blank lines kept as structure)."""
-    col = (t[text_col].combine_chunks()
-           if isinstance(t[text_col], pa.ChunkedArray) else t[text_col])
+    from ..arrowutil import one_chunk
+    col = one_chunk(t[text_col])
     lst = pc.split_pattern(col.fill_null(""), sep)
     flat = lst.flatten()
     lengths = np.asarray(pc.list_value_length(lst).fill_null(0))
@@ -1060,9 +1068,8 @@ def remove_common_lines_distributed(docs, min_docs: int = 2,
     def occurrences(t: pa.Table) -> pa.Table:
         flat, row_idx = _split_lines_with_rows(t, text_col, sep,
                                                keep_blank=True)
-        ids_all = np.asarray(t["doc_id"].combine_chunks()
-                             if isinstance(t["doc_id"], pa.ChunkedArray)
-                             else t["doc_id"]).astype(np.int64)
+        from ..arrowutil import one_chunk
+        ids_all = np.asarray(one_chunk(t["doc_id"])).astype(np.int64)
         ids = ids_all[row_idx]
         starts = np.zeros(t.num_rows + 1, dtype=np.int64)
         np.add.at(starts, row_idx + 1, 1)
@@ -1258,28 +1265,46 @@ def crawl_diff(curr, prev, key_col: str = "doc_id",
     the joined hashes.  Exact string hashing (md5 matches DuckDB's
     ``md5()``), so the SQL oracle reproduces the classification
     bit-for-bit.  Returns (key, status).
+
+    Keys must be NON-NULL: each side is unioned with a one-row null-key
+    sentinel dataset (null keys join nothing under SQL semantics, and
+    this Ray build's hash join crashes on a fully empty side — a
+    per-batch sentinel cannot help because Ray never invokes the UDF on
+    an empty block, so an EMPTY previous snapshot, i.e. the first-ever
+    run, would produce no rows at all); the classifier drops the
+    unmatched sentinels, and would drop genuine null-key rows with them.
     """
+    import ray.data as rd
+
+    from ..arrowutil import one_chunk
     from .joins import shuffle_hash_join
 
     def digests(t: pa.Table, col: str) -> pa.Table:
-        texts = (t[text_col].combine_chunks()
-                 if isinstance(t[text_col], pa.ChunkedArray)
-                 else t[text_col]).to_pylist()
+        texts = one_chunk(t[text_col]).to_pylist()
         return pa.table({
             key_col: t[key_col],
             col: pa.array([hashlib.md5(s.encode("utf-8")).hexdigest()
                            for s in texts], type=pa.string()),
         })
 
+    key_type = pa.int64()
+
+    def sentinel(col: str):
+        return rd.from_arrow(pa.table({
+            key_col: pa.array([None], type=key_type),
+            col: pa.array([""], type=pa.string()),
+        }))
+
     c = curr.map_batches(lambda t: digests(t, "h_curr"),
-                         batch_format="pyarrow")
+                         batch_format="pyarrow").union(sentinel("h_curr"))
     p = prev.map_batches(lambda t: digests(t, "h_prev"),
-                         batch_format="pyarrow")
+                         batch_format="pyarrow").union(sentinel("h_prev"))
     joined = shuffle_hash_join(c, p, on=key_col,
                                num_partitions=num_partitions,
                                join_type="full_outer")
 
     def classify(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[key_col]))     # drop the sentinels
         hc, hp = t["h_curr"], t["h_prev"]
         status = pc.if_else(
             pc.is_null(hp), "added",
@@ -1317,11 +1342,9 @@ def filter_by_group_quality(docs, group_col: str = "source",
 
     def partial(t: pa.Table) -> pa.Table:
         import pandas as pd
-        g = (t[group_col].combine_chunks()
-             if isinstance(t[group_col], pa.ChunkedArray) else t[group_col])
-        v = np.asarray(t[value_col].combine_chunks()
-                       if isinstance(t[value_col], pa.ChunkedArray)
-                       else t[value_col]).astype(np.int64)
+        from ..arrowutil import one_chunk
+        g = one_chunk(t[group_col])
+        v = np.asarray(one_chunk(t[value_col])).astype(np.int64)
         codes, uniques = pd.factorize(g.to_pandas(), sort=False)
         return pa.table({
             group_col: pa.array(uniques, type=pa.string()),
@@ -1350,10 +1373,9 @@ def filter_by_group_quality(docs, group_col: str = "source",
     good_ref = ray.put(good_idx)
 
     def gate(t: pa.Table) -> pa.Table:
+        from ..arrowutil import one_chunk
         idx = ray.get(good_ref)
-        g = (t[group_col].combine_chunks()
-             if isinstance(t[group_col], pa.ChunkedArray) else t[group_col])
-        keep = idx.get_indexer(g.to_pandas()) >= 0
+        keep = idx.get_indexer(one_chunk(t[group_col]).to_pandas()) >= 0
         return t.filter(pa.array(keep))
 
     return docs.map_batches(gate, batch_format="pyarrow")

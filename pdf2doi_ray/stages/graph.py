@@ -486,9 +486,16 @@ def prune_near_dups_distributed(items, pairs, id_col: str = "vec_id",
             "_drop": pa.array(np.ones(n, dtype=np.int64)),
         })
 
-    joined = shuffle_hash_join(items, comp.map_batches(
-        drops, batch_format="pyarrow"), on=id_col,
-        num_partitions=num_partitions, join_type="left_outer")
+    # pairs can label every node as its own representative (degenerate
+    # self-pairs) — an empty drop side would hit the empty-side join
+    # crash; the drop list is O(duplicates) and already bounded by the
+    # pairs contract, so one materialize+count here is cheap
+    drop_ids = comp.map_batches(drops, batch_format="pyarrow").materialize()
+    if drop_ids.count() == 0:
+        return items
+    joined = shuffle_hash_join(items, drop_ids, on=id_col,
+                               num_partitions=num_partitions,
+                               join_type="left_outer")
 
     def survivors(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

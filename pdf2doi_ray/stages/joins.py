@@ -67,7 +67,8 @@ def broadcast_hash_join(big, small, on, right_on=None, join_type="inner",
 
 
 def shuffle_hash_join(left, right, on, right_on=None, join_type="inner",
-                      num_partitions=32, project=None):
+                      num_partitions=32, project=None,
+                      fold_empty_blocks=True):
     """Large×large equi-join via Ray Data's native hash-partitioned join.
 
     Thin, documented wrapper: both inputs are hash-partitioned on the key
@@ -83,10 +84,16 @@ def shuffle_hash_join(left, right, on, right_on=None, join_type="inner",
     # this Ray build's hash join crashes ("No match ... for key field
     # reference") when ANY input block is empty, even schema-typed ones
     # (verified on a minimal [empty, full] from_arrow_refs fixture); a
-    # no-op re-batch folds empty blocks away without a shuffle.  A fully
-    # EMPTY side still needs a producer-level sentinel row — see
-    # corpus.contamination_flags_distributed.bench_grams.
+    # no-op re-batch folds empty blocks away without a shuffle.  The
+    # re-batch is a streaming copy pass over both inputs — callers whose
+    # producers PROVABLY never emit an empty block may pass
+    # fold_empty_blocks=False to skip it.  A fully EMPTY side still needs
+    # a producer-level sentinel row — see
+    # corpus.contamination_flags_distributed.bench_grams (inner, "" vs
+    # "\n" sentinels) and corpus.crawl_diff (outer, null-key sentinels).
     def _no_empty_blocks(ds):
+        if not fold_empty_blocks:
+            return ds
         return ds.map_batches(lambda t: t, batch_format="pyarrow",
                               batch_size=8192)
 

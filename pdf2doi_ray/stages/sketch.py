@@ -405,9 +405,19 @@ def approx_quantiles_milli_by_group(ds, group_col: str, value_col: str,
     from .windowfns import _milli
 
     def partial(t: pa.Table) -> pa.Table:
-        g = one_chunk(t[group_col]).to_pandas()
+        g_arr = one_chunk(t[group_col])
+        codes, uniques = pd.factorize(g_arr.to_pandas(), sort=False)
+        if (codes < 0).any():
+            # a null group factorizes to -1 and would silently attach its
+            # values to the LAST group's sketch via uniques[-1]
+            raise ValueError("approx_quantiles_milli_by_group: null group "
+                             "values — filter or fill the group column")
+        if not len(codes):
+            return pa.table({
+                group_col: pa.array([], type=g_arr.type),
+                "blob": pa.array([], type=pa.binary()),
+            })
         v = _milli(one_chunk(t[value_col]))
-        codes, uniques = pd.factorize(g, sort=False)
         order = np.argsort(codes, kind="stable")
         sorted_codes = codes[order]
         bounds = np.concatenate(
@@ -421,7 +431,7 @@ def approx_quantiles_milli_by_group(ds, group_col: str, value_col: str,
             groups.append(uniques[sorted_codes[lo]])
             blobs.append(kll_serialize(sk))
         return pa.table({
-            group_col: pa.array(groups, type=pa.string()),
+            group_col: pa.array(groups, type=g_arr.type),
             "blob": pa.array(blobs, type=pa.binary()),
         })
 
@@ -431,9 +441,9 @@ def approx_quantiles_milli_by_group(ds, group_col: str, value_col: str,
             merged = kll_merge(merged, kll_deserialize(blob), k)
         qs = kll_quantiles(merged, quantiles_permille)
         n = len(qs)
+        g_arr = one_chunk(t[group_col])
         return pa.table({
-            group_col: pa.array([t[group_col][0].as_py()] * n,
-                                type=pa.string()),
+            group_col: pa.array([g_arr[0].as_py()] * n, type=g_arr.type),
             "q_permille": pa.array([q for q, _ in qs], type=pa.int64()),
             "value": pa.array([val for _, val in qs], type=pa.int64()),
         })

@@ -608,3 +608,70 @@ def test_host_link_graph(n_blocks):
     assert out.to_dict("records") == [
         {"src_host": "a.org", "dst_host": "b.org", "n_links": 3},
     ]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_review_fixes_empty_side_joins():
+    """Review regressions: empty previous snapshot (first crawl) means
+    everything is 'added'; a short-doc corpus with no benchmark grams
+    flags nothing instead of crashing; self-pair-only near-dup input
+    prunes nothing."""
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import (contamination_flags_distributed,
+                                           crawl_diff)
+    from pdf2doi_ray.stages.graph import prune_near_dups_distributed
+
+    curr = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": pa.array(["a", "b"])}))
+    prev = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        "text": pa.array([], type=pa.string())}))
+    out = crawl_diff(curr, prev, num_partitions=2).to_pandas() \
+        .sort_values("doc_id")
+    assert out["status"].tolist() == ["added", "added"]
+
+    short = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": pa.array(["too short", "also short"])}))
+    c = contamination_flags_distributed(short, num_partitions=2) \
+        .to_pandas().sort_values("doc_id")
+    assert c["doc_id"].tolist() == [1, 2]
+    assert c["contaminated"].tolist() == [False, False]
+
+    items = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array([5, 6], type=pa.int64())}))
+    pairs = ray.data.from_arrow(pa.table({
+        "vec_a": pa.array([5], type=pa.int64()),
+        "vec_b": pa.array([5], type=pa.int64())}))
+    kept = prune_near_dups_distributed(items, pairs).to_pandas()
+    assert sorted(kept["vec_id"]) == [5, 6]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kll_by_group_int_key_and_empty_block():
+    """Review regressions: integer group keys keep their type; an empty
+    block in the stream is a no-op; null groups raise loudly."""
+    import ray.data
+
+    from pdf2doi_ray.stages.sketch import approx_quantiles_milli_by_group
+
+    t = pa.table({
+        "g": pa.array([1, 1, 2, 2], type=pa.int64()),
+        "value": pa.array([1.0, 2.0, 10.0, 20.0], type=pa.float64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(5)   # forces empty blocks
+    out = approx_quantiles_milli_by_group(ds, "g", "value",
+                                          quantiles_permille=(500,)) \
+        .to_pandas().sort_values("g")
+    assert out["g"].tolist() == [1, 2]
+    assert out["g"].dtype.kind == "i"
+
+    bad = pa.table({
+        "g": pa.array(["a", None], type=pa.string()),
+        "value": pa.array([1.0, 2.0], type=pa.float64()),
+    })
+    with pytest.raises(Exception, match="null group"):
+        approx_quantiles_milli_by_group(
+            ray.data.from_arrow(bad), "g", "value").to_pandas()
