@@ -1030,6 +1030,23 @@ def _q_approx_value_quantiles_by_type(sf_dir: str):
     return approx_quantiles_milli_by_group(ev, "event_type", "value")
 
 
+def _q_event_type_freqs_cm(sf_dir: str):
+    """Count-Min point-frequency estimates over events.event_type: one
+    (4x1024) int64 table per batch, lossless element-wise driver merge,
+    probe answers without any shuffle.  No SQL oracle (over-estimate
+    within e/width*N by design); locked by the mergeable-invariant
+    property tests in tests/test_sketch.py."""
+    import ray.data
+
+    from pdf2doi_ray.stages.sketch import count_min_frequencies
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type"])
+    return count_min_frequencies(
+        ev, "event_type",
+        probes=("click", "view", "purchase", "signup", "error",
+                "never-seen-type"))
+
+
 def _q_funnel_conversion(sf_dir: str):
     """click→purchase funnel: earliest purchase at/after each user's
     first click.  Two combiner-first Min passes with a broadcast of the
@@ -1511,6 +1528,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_conversion": _q_funnel_conversion,
         "approx_value_quantiles": _q_approx_value_quantiles,
         "approx_value_quantiles_by_type": _q_approx_value_quantiles_by_type,
+        "event_type_freqs_cm": _q_event_type_freqs_cm,
         "customer_orders_left_join": _q_customer_orders_left_join,
         "normalize_text": _q_normalize_text,
         "pii_redaction": _q_pii_redaction,

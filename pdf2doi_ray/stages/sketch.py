@@ -451,3 +451,87 @@ def approx_quantiles_milli_by_group(ds, group_col: str, value_col: str,
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby(group_col)
             .map_groups(reduce_group, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: point-frequency estimates with an additive eps*N bound.
+# Completes the mergeable-summary family: HLL (distinct counts), Misra-Gries
+# (heavy hitters, under-estimates), KLL (quantiles) — CM gives OVER-estimates
+# for arbitrary point queries, including keys never seen (Cormode &
+# Muthukrishnan 2005).  Element-wise SUM of CM tables == CM of the
+# concatenated stream, exactly — the distributed merge is lossless.
+
+CM_DEPTH = 4
+CM_WIDTH = 1024
+
+
+def _cm_positions(values, depth: int = CM_DEPTH,
+                  width: int = CM_WIDTH) -> np.ndarray:
+    """(depth, n) bucket positions; row j uses blake2b salted with j —
+    deterministic across processes (no PYTHONHASHSEED dependence)."""
+    pos = np.empty((depth, len(values)), dtype=np.int64)
+    for i, v in enumerate(values):
+        b = v.encode("utf-8")
+        for j in range(depth):
+            h = hashlib.blake2b(b, digest_size=8,
+                                salt=bytes([j]) * 8).digest()
+            pos[j, i] = int.from_bytes(h, "little") % width
+    return pos
+
+
+def cm_from_counts(keys, counts, depth: int = CM_DEPTH,
+                   width: int = CM_WIDTH) -> np.ndarray:
+    """Build a (depth, width) CM table from exact (key, count) pairs —
+    the per-batch combiner runs ONE exact Arrow group-by first, so the
+    Python hash loop is bounded by the batch's NDV, not its rows."""
+    table = np.zeros((depth, width), dtype=np.int64)
+    if len(keys):
+        pos = _cm_positions(keys, depth, width)
+        for j in range(depth):
+            np.add.at(table[j], pos[j], counts)
+    return table
+
+
+def cm_estimate(table: np.ndarray, values,
+                depth: int = CM_DEPTH, width: int = CM_WIDTH) -> np.ndarray:
+    """Point estimates: min over rows.  est >= true always; with prob
+    1 - 2^-depth, est <= true + (e / width) * N."""
+    if not len(values):
+        return np.empty(0, dtype=np.int64)
+    pos = _cm_positions(values, depth, width)
+    return np.stack([table[j, pos[j]] for j in range(depth)]).min(axis=0)
+
+
+def count_min_frequencies(ds, column: str, probes,
+                          depth: int = CM_DEPTH, width: int = CM_WIDTH):
+    """Distributed point-frequency estimates: each batch reduces to ONE
+    (depth x width) int64 CM table (a few KiB regardless of rows), the
+    driver element-wise sums the tables (lossless merge) and answers the
+    probe queries — values never shuffle, the driver never holds keys.
+    Returns pandas (value, est_count), rows-only by design (est is an
+    upper bound within e/width*N, not an exact value)."""
+    import pandas as pd
+
+    from ..arrowutil import one_chunk
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = one_chunk(t[column])
+        g = pa.table({"v": col.drop_null()}).group_by("v") \
+            .aggregate([([], "count_all")])
+        keys = np.asarray(g["v"].to_pylist(), dtype=object)
+        counts = np.asarray(one_chunk(g["count_all"])).astype(np.int64)
+        table = cm_from_counts(keys, counts, depth, width)
+        return pa.table({"blob": pa.array([table.tobytes()],
+                                          type=pa.binary())})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    merged = np.zeros((depth, width), dtype=np.int64)
+    for r in rows:
+        merged += np.frombuffer(r["blob"],
+                                dtype=np.int64).reshape(depth, width)
+    probes = list(probes)
+    est = cm_estimate(merged, probes, depth, width)
+    return pd.DataFrame({
+        "value": pd.array(probes, dtype="object"),
+        "est_count": pd.array(est, dtype="int64"),
+    })

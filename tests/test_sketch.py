@@ -240,3 +240,58 @@ def test_kll_by_group_rank_error_vs_exact(n_blocks):
             got = int(sub.loc[q])
             rank = np.searchsorted(milli, got, side="right")
             assert abs(rank - q * n // 1000) <= max(0.03 * n, 1), (g, q)
+
+
+def test_count_min_invariants():
+    """CM guarantees: est >= true for every key (including absent keys at
+    >= 0), element-wise SUM of partial tables == table of the
+    concatenated stream (lossless merge), and with width >> NDV the
+    estimates are exact."""
+    import numpy as np
+
+    from pdf2doi_ray.stages.sketch import (CM_DEPTH, CM_WIDTH,
+                                           cm_estimate, cm_from_counts)
+
+    rng = np.random.RandomState(3)
+    keys = np.array([f"k{i}" for i in range(300)], dtype=object)
+    true = rng.randint(1, 1000, size=300).astype(np.int64)
+    # split the stream into 4 partials
+    tables = []
+    for part in np.array_split(np.arange(300), 4):
+        tables.append(cm_from_counts(keys[part], true[part]))
+    merged = np.sum(tables, axis=0)
+    single = cm_from_counts(keys, true)
+    assert (merged == single).all()
+    est = cm_estimate(merged, list(keys))
+    assert (est >= true).all()
+    # error bound: est - true <= (e/width) * N with prob 1 - 2^-depth per
+    # key; at 300 keys over 4096 buckets collisions are rare — assert the
+    # deterministic upper envelope instead of the probabilistic bound
+    assert (est - true <= true.sum()).all()
+    # width >> NDV here, so require exactness for most keys
+    assert (est == true).mean() > 0.9
+    absent = cm_estimate(merged, ["nope1", "nope2"])
+    assert (absent >= 0).all()
+    assert absent.max() <= int(np.e / CM_WIDTH * true.sum()) + true.max()
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("n_blocks", [1, 5])
+def test_count_min_distributed_matches_exact(n_blocks):
+    import collections
+
+    import pyarrow as pa
+    import ray.data
+
+    from pdf2doi_ray.stages.sketch import count_min_frequencies
+
+    vals = ["a"] * 50 + ["b"] * 30 + ["c"] * 5 + [f"x{i}" for i in range(20)]
+    t = pa.table({"event_type": pa.array(vals, type=pa.string())})
+    out = count_min_frequencies(
+        ray.data.from_arrow(t).repartition(n_blocks), "event_type",
+        probes=("a", "b", "c", "zz")).set_index("value")["est_count"]
+    true = collections.Counter(vals)
+    for k in ("a", "b", "c"):
+        assert out[k] >= true[k]
+        assert out[k] <= true[k] + 5          # 105 rows over 4096 buckets
+    assert out["zz"] <= 5
