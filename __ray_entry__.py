@@ -1161,6 +1161,25 @@ def _q_heavy_hitter_tokens(sf_dir: str):
     return heavy_hitters(ds, "token", m=256, k=20)
 
 
+def _q_heavy_hitter_tokens_tree(sf_dir: str):
+    """Tree-merged Misra-Gries: summary rows hash-partition by key, each
+    shard compresses, the driver sees <= shards*m rows — the fleet-scale
+    escape for the flat variant's B*m driver rows.  Same m >= vocabulary
+    regime as the flat query, so the same exact SQL oracle applies."""
+    import pyarrow as pa
+
+    from pdf2doi_ray.stages.corpus import _tokens_nonempty
+    from pdf2doi_ray.stages.sketch import heavy_hitters_tree
+
+    def flat(t: pa.Table) -> pa.Table:
+        toks, _ = _tokens_nonempty(t)
+        return pa.table({"token": toks})
+
+    ds = _docs(sf_dir, ("doc_id", "text")).map_batches(
+        flat, batch_format="pyarrow")
+    return heavy_hitters_tree(ds, "token", m=256, k=20, num_shards=4)
+
+
 def _q_embedding_centroids(sf_dir: str):
     import ray.data
 
@@ -1562,6 +1581,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extraction_rate_by_host": _q_rate_by_host,
         "embedding_centroids": _q_embedding_centroids,
         "heavy_hitter_tokens": _q_heavy_hitter_tokens,
+        "heavy_hitter_tokens_tree": _q_heavy_hitter_tokens_tree,
         "stratified_sample_by_lang": _q_stratified_sample_by_lang,
         "events_rollup": _q_docs_rollup,
         "lag_user_value": _q_lag_user_value,
@@ -2767,4 +2787,6 @@ FROM e GROUP BY event_type
     # same rule, no-broadcast physical plan — one shared oracle
     sql["remove_boilerplate_distributed"] = sql["remove_boilerplate_lines"]
     sql["embedding_dedup_prune_distributed"] = sql["embedding_dedup_prune"]
+    # same m >= vocabulary exact regime, tree-merged physical plan
+    sql["heavy_hitter_tokens_tree"] = sql["heavy_hitter_tokens"]
     return sql

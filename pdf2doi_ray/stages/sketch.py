@@ -162,6 +162,28 @@ def _mg_compress(keys: np.ndarray, counts: np.ndarray, m: int):
     return keys[keep][live], new_counts[live], cut
 
 
+def _hh_partial(t: pa.Table, column: str, m: int) -> pa.Table:
+    """Per-block Misra-Gries summary rows (v, c) plus one null-keyed
+    block-marker row carrying the block's subtraction error.  Nulls in the
+    data are excluded (count-of-value semantics, like SQL count(col)) so
+    they cannot collide with the marker.  Contract: string column (the
+    marker schema is pa.string())."""
+    col = t[column].combine_chunks() \
+        if isinstance(t[column], pa.ChunkedArray) else t[column]
+    g = pa.table({"v": col.drop_null()}).group_by("v") \
+        .aggregate([([], "count_all")])
+    keys = np.asarray(g["v"].to_pylist(), dtype=object)
+    counts = np.asarray(g["count_all"].combine_chunks()
+                        if isinstance(g["count_all"], pa.ChunkedArray)
+                        else g["count_all"]).astype(np.int64)
+    keys, counts, err = _mg_compress(keys, counts, m)
+    return pa.table({
+        "v": pa.array(list(keys) + [None], type=pa.string()),
+        "c": pa.array(np.concatenate([counts, [-1]]), type=pa.int64()),
+        "err": pa.array([0] * len(keys) + [err], type=pa.int64()),
+    })
+
+
 def heavy_hitters(ds, column: str, m: int = 256, k: int = 20):
     """Approximate top-k heavy hitters of ``ds[column]`` without a
     vocabulary-wide shuffle.
@@ -185,26 +207,8 @@ def heavy_hitters(ds, column: str, m: int = 256, k: int = 20):
     """
     import pandas as pd
 
-    def partial(t: pa.Table) -> pa.Table:
-        # nulls are excluded (count-of-value semantics, like SQL count(col));
-        # they must not collide with the null-keyed block-marker sentinel.
-        # Contract: string column (the sentinel schema is pa.string()).
-        col = t[column].combine_chunks() \
-            if isinstance(t[column], pa.ChunkedArray) else t[column]
-        g = pa.table({"v": col.drop_null()}).group_by("v") \
-            .aggregate([([], "count_all")])
-        keys = np.asarray(g["v"].to_pylist(), dtype=object)
-        counts = np.asarray(g["count_all"].combine_chunks()
-                            if isinstance(g["count_all"], pa.ChunkedArray)
-                            else g["count_all"]).astype(np.int64)
-        keys, counts, err = _mg_compress(keys, counts, m)
-        return pa.table({
-            "v": pa.array(list(keys) + [None], type=pa.string()),
-            "c": pa.array(np.concatenate([counts, [-1]]), type=pa.int64()),
-            "err": pa.array([0] * len(keys) + [err], type=pa.int64()),
-        })
-
-    rows = ds.map_batches(partial, batch_format="pyarrow",
+    rows = ds.map_batches(lambda t: _hh_partial(t, column, m),
+                          batch_format="pyarrow",
                           batch_size=None).to_pandas()
     if "v" not in rows.columns:          # fully-empty input -> schemaless
         return pd.DataFrame({"rank": pd.Series(dtype="int64"),
@@ -534,4 +538,85 @@ def count_min_frequencies(ds, column: str, probes,
     return pd.DataFrame({
         "value": pd.array(probes, dtype="object"),
         "est_count": pd.array(est, dtype="int64"),
+    })
+
+
+def heavy_hitters_tree(ds, column: str, m: int = 256, k: int = 20,
+                       num_shards: int = 16):
+    """Tree-merged variant of :func:`heavy_hitters` — the documented
+    escape for fleet scale, where the driver's B·m summary rows (B =
+    block count) outgrow one process: summary DATA rows hash-partition by
+    key into ``num_shards`` groups (a key lives in exactly ONE shard, so
+    per-shard keywise sums are the global sums), each shard compresses to
+    ≤ m entries with its own cut, and the driver sees ≤ num_shards·m rows
+    plus the marker rows.
+
+    Error accounting: a key's under-count is ≤ Σ block errs (any block
+    may have dropped any key) + its OWN shard's cut + the final driver
+    cut; the reported ``err_bound`` uses max(shard cuts), a uniform bound
+    ≥ every per-key bound.  With m ≥ total distinct keys every cut is 0
+    and the result is EXACT — asserted equal to the flat variant.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..arrowutil import one_chunk
+
+    summaries = ds.map_batches(lambda t: _hh_partial(t, column, m),
+                               batch_format="pyarrow", batch_size=None)
+
+    def shard_of(t: pa.Table) -> pa.Table:
+        v = one_chunk(t["v"])
+        # markers (null v) collect in shard -1; data shards by key hash
+        shard = pd.util.hash_array(
+            np.asarray(v.to_pylist(), dtype=object)).astype("int64") \
+            % num_shards
+        shard[np.asarray(pc.is_null(v))] = -1
+        return t.append_column("shard", pa.array(shard))
+
+    def per_shard(t: pa.Table) -> pa.Table:
+        sh = int(t["shard"][0].as_py())
+        if sh == -1:     # marker shard: fold the block errs into one row
+            err = int(np.asarray(one_chunk(t["err"])).sum())
+            return pa.table({
+                "v": pa.array([None], type=pa.string()),
+                "c": pa.array([-1], type=pa.int64()),
+                "err": pa.array([err], type=pa.int64()),
+            })
+        df = t.select(["v", "c"]).to_pandas()
+        merged = df.groupby("v", sort=False)["c"].sum()
+        keys = merged.index.to_numpy(dtype=object)
+        counts = merged.to_numpy(dtype=np.int64)
+        keys, counts, cut = _mg_compress(keys, counts, m)
+        return pa.table({
+            "v": pa.array(list(keys) + [None], type=pa.string()),
+            "c": pa.array(np.concatenate([counts, [-2]]), type=pa.int64()),
+            "err": pa.array([0] * len(keys) + [cut], type=pa.int64()),
+        })
+
+    rows = (summaries.map_batches(shard_of, batch_format="pyarrow")
+            .groupby("shard").map_groups(per_shard, batch_format="pyarrow")
+            .to_pandas())
+    if "v" not in rows.columns:
+        return pd.DataFrame({"rank": pd.Series(dtype="int64"),
+                             "value": pd.Series(dtype=object),
+                             "est_count": pd.Series(dtype="int64"),
+                             "err_bound": pd.Series(dtype="int64")})
+    marks = rows[rows["v"].isna()]
+    block_err = int(marks.loc[marks["c"] == -1, "err"].sum())
+    shard_cuts = marks.loc[marks["c"] == -2, "err"]
+    err_total = block_err + (int(shard_cuts.max()) if len(shard_cuts)
+                             else 0)
+    data = rows[rows["v"].notna()]
+    # keys are disjoint across shards: no cross-shard sums remain
+    keys = data["v"].to_numpy(dtype=object)
+    counts = data["c"].to_numpy(dtype=np.int64)
+    keys, counts, cut = _mg_compress(keys, counts, m)
+    err_total += int(cut)
+    order = np.lexsort((keys, -counts))[:k]
+    return pd.DataFrame({
+        "rank": np.arange(1, len(order) + 1, dtype=np.int64),
+        "value": keys[order],
+        "est_count": counts[order],
+        "err_bound": np.full(len(order), err_total, dtype=np.int64),
     })

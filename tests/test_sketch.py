@@ -295,3 +295,37 @@ def test_count_min_distributed_matches_exact(n_blocks):
         assert out[k] >= true[k]
         assert out[k] <= true[k] + 5          # 105 rows over 4096 buckets
     assert out["zz"] <= 5
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("n_blocks", [1, 4])
+def test_heavy_hitters_tree_matches_flat(n_blocks):
+    """The tree-merged variant is exact (equal to the flat driver merge)
+    when m >= NDV, and in the compressed regime still satisfies the MG
+    invariants: est <= true, true - est <= err_bound, and no heavy key
+    lost."""
+    import collections
+
+    import pyarrow as pa
+    import ray.data
+
+    from pdf2doi_ray.stages.sketch import heavy_hitters, heavy_hitters_tree
+
+    vals = (["a"] * 500 + ["b"] * 300 + ["c"] * 120
+            + [f"x{i}" for i in range(60) for _ in range(3)])
+    t = pa.table({"v": pa.array(vals, type=pa.string())})
+    ds = ray.data.from_arrow(t).repartition(n_blocks)
+
+    # exact regime: m >= NDV on both paths -> identical frames
+    flat = heavy_hitters(ds, "v", m=256, k=10)
+    tree = heavy_hitters_tree(ds, "v", m=256, k=10, num_shards=4)
+    assert tree.to_dict("records") == flat.to_dict("records")
+    assert (tree["err_bound"] == 0).all()
+
+    # compressed regime: invariants hold
+    true = collections.Counter(vals)
+    small = heavy_hitters_tree(ds, "v", m=8, k=5, num_shards=4)
+    for r in small.itertuples():
+        assert r.est_count <= true[r.value]
+        assert true[r.value] - r.est_count <= r.err_bound
+    assert small.iloc[0]["value"] == "a"      # the 500-count key survives
