@@ -392,6 +392,21 @@ def _q_embedding_dedup_prune_distributed(sf_dir: str):
     return prune_near_dups_distributed(ids, pairs, num_partitions=4)
 
 
+def _q_kmeans_clusters(sf_dir: str):
+    """Fixed-iteration Lloyd's k-means over the embeddings table
+    (pagerank-broadcast pattern: k x dim driver state re-broadcast per
+    round, one few-KiB partial per batch, vectors never shuffle).  No SQL
+    oracle (iterative float algorithm); locked by the separated-cluster
+    recovery + inertia-monotonicity property tests in
+    tests/test_training_ops.py."""
+    import ray.data
+
+    from pdf2doi_ray.stages.similarity import kmeans_fixed
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    return kmeans_fixed(emb, k=8, iters=3)
+
+
 def _q_pagerank(sf_dir: str):
     """Fixed-iteration (3 rounds) EXACT-integer PageRank over the symmetric
     embedding near-dup graph — the canonical iterative-graph benchmark.
@@ -1548,6 +1563,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_value_quantiles": _q_approx_value_quantiles,
         "approx_value_quantiles_by_type": _q_approx_value_quantiles_by_type,
         "event_type_freqs_cm": _q_event_type_freqs_cm,
+        "kmeans_clusters": _q_kmeans_clusters,
         "customer_orders_left_join": _q_customer_orders_left_join,
         "normalize_text": _q_normalize_text,
         "pii_redaction": _q_pii_redaction,

@@ -422,3 +422,99 @@ def embedding_centroids(embeddings, scale: int = 1_000_000):
             .aggregate(Sum("s_p", alias_name="sum_micro"),
                        Sum("n_p", alias_name="n"))
             .map_batches(finalize, batch_format="pyarrow"))
+
+
+def kmeans_fixed(embeddings, k: int = 8, iters: int = 5,
+                 return_history: bool = False):
+    """Lloyd's k-means with FIXED iterations — the clustering primitive
+    between :func:`knn_bruteforce` (given a query) and
+    :func:`embedding_centroids` (given labels): it PRODUCES the labels.
+    The IVF coarse quantizer (`knn_ivf`) is the downstream consumer shape.
+
+    Deterministic plan (the pagerank-broadcast pattern — per-round driver
+    state is k×dim floats, re-broadcast each round; vectors never
+    shuffle):
+
+    * seeds: the embeddings of ``vec_id < k`` (the synthesizer's ids are
+      dense from 0; pass explicit seed vectors for other corpora via the
+      ``seeds`` attribute it returns);
+    * each iteration: centroids broadcast once via ``ray.put``; each
+      batch assigns by squared-euclidean argmin (ties → lowest cluster
+      id) and emits ONE partial row — k×dim float64 sums + k counts +
+      the batch's inertia, a few KiB regardless of rows;
+    * driver: sum partials, recompute centroids (an emptied cluster
+      keeps its previous centroid), repeat;
+    * final pass: (vec_id, cluster) assignment Dataset.
+
+    Floating-point caveat (documented, property-tested rather than
+    golden-locked): partial sums are added in block order, so centroid
+    bits can differ across block layouts; assignments are stable for
+    separated clusters, and inertia is non-increasing per Lloyd's
+    guarantee — both asserted in tests/test_training_ops.py.
+    """
+    import ray
+
+    def _seed_centroids() -> np.ndarray:
+        import pyarrow.compute as pc
+        t = pa.concat_tables(ray.get(
+            embeddings.map_batches(
+                lambda t: t.select(["vec_id", "embedding"])
+                .filter(pc.less(t["vec_id"], k)),
+                batch_format="pyarrow").to_arrow_refs()),
+            promote_options="default")
+        order = np.argsort(np.asarray(t["vec_id"]))
+        mat = _stack(t["embedding"])[order]
+        if len(mat) < k:
+            raise ValueError(f"kmeans_fixed: need vec_id 0..{k-1} as seeds,"
+                             f" found {len(mat)} rows")
+        return mat.astype(np.float64)
+
+    cents = _seed_centroids()
+    dim = cents.shape[1]
+    history = []
+
+    for _ in range(iters):
+        cref = ray.put(cents)
+
+        def partial(t: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            mat = _stack(t["embedding"]).astype(np.float64)
+            # squared euclid via the expansion; argmin ties -> lowest id
+            d2 = ((mat * mat).sum(1)[:, None] - 2.0 * mat @ c.T
+                  + (c * c).sum(1)[None, :])
+            lab = d2.argmin(1)
+            sums = np.zeros((k, dim), dtype=np.float64)
+            np.add.at(sums, lab, mat)
+            counts = np.bincount(lab, minlength=k).astype(np.float64)
+            inertia = float(d2[np.arange(len(lab)), lab].sum())
+            blob = np.concatenate([sums.ravel(), counts,
+                                   [inertia]]).tobytes()
+            return pa.table({"blob": pa.array([blob], type=pa.binary())})
+
+        acc = np.zeros(k * dim + k + 1, dtype=np.float64)
+        for r in embeddings.map_batches(partial,
+                                        batch_format="pyarrow").take_all():
+            acc += np.frombuffer(r["blob"], dtype=np.float64)
+        sums = acc[:k * dim].reshape(k, dim)
+        counts = acc[k * dim:k * dim + k]
+        history.append(float(acc[-1]))
+        live = counts > 0
+        cents = cents.copy()
+        cents[live] = sums[live] / counts[live, None]
+
+    cref = ray.put(cents)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        mat = _stack(t["embedding"]).astype(np.float64)
+        d2 = ((mat * mat).sum(1)[:, None] - 2.0 * mat @ c.T
+              + (c * c).sum(1)[None, :])
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "cluster": pa.array(d2.argmin(1).astype(np.int64)),
+        })
+
+    out = embeddings.map_batches(assign, batch_format="pyarrow")
+    if return_history:
+        return out, cents, history
+    return out

@@ -98,3 +98,69 @@ def test_session_counts_gap_rule():
     out = session_counts(ev).to_pandas()
     assert out.iloc[0]["n_sessions"] == 2
     assert out.iloc[0]["n_events"] == 4
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("n_blocks", [1, 4])
+def test_kmeans_recovers_separated_clusters(n_blocks):
+    """Lloyd's invariants on well-separated blobs: ground-truth partition
+    recovered exactly, inertia non-increasing per iteration, partition
+    invariant under block layout (float-sum order shifts centroid bits
+    but not assignments here)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from pdf2doi_ray.stages.similarity import kmeans_fixed
+
+    rng = np.random.RandomState(5)
+    centers = np.array([[0.0, 0.0, 0.0], [50.0, 0.0, 0.0],
+                        [0.0, 50.0, 0.0]])
+    truth, vecs = [], []
+    for g, c in enumerate(centers):
+        pts = c + rng.randn(40, 3)
+        vecs.append(pts)
+        truth += [g] * 40
+    vecs = np.concatenate(vecs)
+    # seeds are vec_id < k: interleave so the three seeds come from three
+    # DIFFERENT true blobs (ids 0,1,2 -> blob 0,1,2)
+    order = np.argsort(np.tile(np.arange(40), 3), kind="stable")
+    vecs, truth = vecs[order], np.asarray(truth)[order]
+    t = pa.table({
+        "vec_id": pa.array(np.arange(120), type=pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              type=pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(t).repartition(n_blocks)
+    out, cents, hist = kmeans_fixed(ds, k=3, iters=4, return_history=True)
+    df = out.to_pandas().sort_values("vec_id")
+    got = df["cluster"].to_numpy()
+    # exact partition match up to label permutation
+    mapping = {}
+    for g, c in zip(truth, got):
+        mapping.setdefault(g, c)
+        assert mapping[g] == c
+    assert len(set(mapping.values())) == 3
+    # Lloyd's: inertia never increases
+    assert all(a >= b - 1e-6 for a, b in zip(hist, hist[1:]))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kmeans_seed_guard_and_empty_cluster():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from pdf2doi_ray.stages.similarity import kmeans_fixed
+
+    t = pa.table({
+        "vec_id": pa.array([0, 1], type=pa.int64()),
+        "embedding": pa.array([[0.0, 0.0], [1.0, 1.0]],
+                              type=pa.list_(pa.float32())),
+    })
+    with pytest.raises(ValueError, match="seeds"):
+        kmeans_fixed(ray.data.from_arrow(t), k=5, iters=1).to_pandas()
+    # k=2 on 2 points: both clusters singleton; an emptied cluster would
+    # keep its previous centroid rather than divide by zero
+    out = kmeans_fixed(ray.data.from_arrow(t), k=2, iters=3).to_pandas()
+    assert sorted(out["cluster"]) == [0, 1]
