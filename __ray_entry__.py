@@ -538,6 +538,59 @@ def _q_resume_semi_join(sf_dir: str):
         lambda remaining: identify_pages(remaining, DEFAULT_CONFIG))
 
 
+def _q_identify_incremental(sf_dir: str):
+    """Record-level incremental extraction transparency proof: a previous
+    crawl is synthesized (every 7th page missing → added, every 5th page
+    carrying different html → changed, ghost urls → removed), its
+    identifiers persisted, then identify_incremental over the CURRENT
+    crawl must be byte-identical to a from-scratch run (oracle: same SQL
+    as extract_identifiers)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pdf2doi_ray.config import DEFAULT_CONFIG
+    from pdf2doi_ray.pipelines.identify import (identify_incremental,
+                                                identify_pages)
+
+    def mk_prev(t: pa.Table) -> pa.Table:
+        secs = np.asarray(pc.divide(pc.cast(t["warc_ts"], pa.int64()),
+                                    1_000_000))
+        keep = secs % 7 != 0
+        sub = t.filter(pa.array(keep))
+        sub_secs = secs[keep]
+        html = np.asarray(sub["html"].to_pylist(), dtype=object)
+        html[sub_secs % 5 == 0] = b"<html><body>old content</body></html>"
+        ghosts = t.filter(pa.array(secs % 11 == 0))
+        out = {}
+        for name in t.column_names:
+            if name == "url":
+                out[name] = pa.array(
+                    sub["url"].to_pylist()
+                    + [u + "-old" for u in ghosts["url"].to_pylist()],
+                    type=pa.string())
+            elif name == "html":
+                out[name] = pa.array(
+                    list(html) + ghosts["html"].to_pylist(),
+                    type=pa.binary())
+            else:
+                out[name] = pa.concat_arrays([
+                    sub[name].combine_chunks(),
+                    ghosts[name].combine_chunks()])
+        return pa.table(out)
+
+    prev = _pages(sf_dir).map_batches(mk_prev, batch_format="pyarrow")
+    prev_dir = tempfile.mkdtemp(prefix="pdf2doi_incr_results_")
+    atexit.register(shutil.rmtree, prev_dir, ignore_errors=True)
+    identify_pages(prev, DEFAULT_CONFIG).write_parquet(prev_dir)
+    return identify_incremental(_pages(sf_dir), prev, prev_dir,
+                                DEFAULT_CONFIG)
+
+
 def _q_image_features(sf_dir: str):
     from pdf2doi_ray.stages.multimodal import image_features
     return image_features(sf_dir)
@@ -1533,6 +1586,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": _q_sliding,
         "events_sessions": _q_sessions,
         "resume_semi_join": _q_resume_semi_join,
+        "identify_incremental": _q_identify_incremental,
         "extract_filename_only": _q_filename_only,
         "extract_metadata_only": _q_metadata_only,
         "ascii_first_n": _q_ascii_first_n,
@@ -1622,6 +1676,8 @@ def oracle_sql() -> dict[str, str]:
         "extract_identifiers": _identify_sql(_IDENTIFIER, _METHOD),
         # resume must be result-transparent: combined output == from-scratch
         "resume_semi_join": _identify_sql(_IDENTIFIER, _METHOD),
+        # incremental run must be byte-transparent to a from-scratch run
+        "identify_incremental": _identify_sql(_IDENTIFIER, _METHOD),
         # fixture main content is one text unit → segmented ≡ whole reader
         "extract_identifiers_segmented": _identify_sql(_IDENTIFIER, _METHOD),
         "extract_identifiers_keep_arxiv": _identify_sql(_IDENTIFIER_KA, _METHOD_KA),

@@ -220,3 +220,78 @@ def method_stats(identifiers):
         return pa.table({"method": method, "n_rows": t["n_rows"]})
 
     return agg.map_batches(restore, batch_format="pyarrow")
+
+
+def identify_incremental(curr_pages, prev_pages, prev_results_dir: str,
+                         cfg: EngineConfig = DEFAULT_CONFIG,
+                         num_partitions: int = 8):
+    """Record-level incremental extraction: run the cascade ONLY on pages
+    whose payload is new or changed since the previous crawl, reuse the
+    previous run's identifier rows for unchanged pages, and drop rows for
+    removed pages — byte-identical to ``identify_pages(curr_pages)`` by
+    construction (the driver oracle proves it with the full-crawl SQL,
+    like the shard-level ``resume_semi_join`` transparency proof).
+
+    Plan (record-level incrementality on top of the shard-level resume
+    machinery):
+
+    1. page diff: per-batch (url, md5(html)) reductions on both crawls —
+       ~50 B/row, payloads never leave their batch — through ONE
+       full-outer hash join (:func:`..stages.corpus.crawl_diff`);
+    2. previous results filtered to UNCHANGED urls by one inner hash
+       join of identifier rows (~90 B/row) — results for changed urls
+       are stale and recomputed, rows for removed urls never re-enter;
+    3. the existing broadcast resume anti-join
+       (:func:`..state.checkpoint.with_previous_results`) runs the
+       cascade only on the uncovered (added + changed) slice and unions
+       the reused rows back.
+
+    The current crawl streams twice (once hashed for the diff, once
+    through the cascade's anti-join) — inherent to diffing; the heavy
+    html column crosses no exchange in either pass.
+    """
+    import atexit
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from ..arrowutil import one_chunk
+    from ..stages.corpus import crawl_diff
+    from ..stages.joins import shuffle_hash_join
+    from ..state.checkpoint import with_previous_results
+
+    def url_html(t: pa.Table) -> pa.Table:
+        return t.select(["url", "html"])
+
+    statuses = crawl_diff(
+        curr_pages.map_batches(url_html, batch_format="pyarrow"),
+        prev_pages.map_batches(url_html, batch_format="pyarrow"),
+        key_col="url", text_col="html", num_partitions=num_partitions,
+        key_type=pa.string())
+
+    def unchanged_urls(t: pa.Table) -> pa.Table:
+        keep = pc.equal(one_chunk(t["status"]), "unchanged")
+        return pa.table({"url": t.filter(keep)["url"]})
+
+    # a first-ever run has NO unchanged urls: the null-url sentinel keeps
+    # the inner-join side non-empty (null keys match nothing) so every
+    # page flows to the cascade
+    sentinel = rd.from_arrow(pa.table({
+        "url": pa.array([None], type=pa.string())}))
+    unchanged = statuses.map_batches(
+        unchanged_urls, batch_format="pyarrow").union(sentinel)
+    prev_ids = rd.read_parquet(prev_results_dir)
+    valid_prev = shuffle_hash_join(prev_ids, unchanged, on="url",
+                                   num_partitions=num_partitions
+                                   ).materialize()
+    if valid_prev.count() == 0:
+        return identify_pages(curr_pages, cfg)
+    valid_dir = tempfile.mkdtemp(prefix="pdf2doi_incr_prev_")
+    atexit.register(shutil.rmtree, valid_dir, ignore_errors=True)
+    valid_prev.write_parquet(valid_dir)
+    return with_previous_results(
+        curr_pages, valid_dir, lambda rem: identify_pages(rem, cfg))

@@ -1252,7 +1252,8 @@ def host_link_graph(pages, url_col: str = "url", text_col: str = "text"):
 
 
 def crawl_diff(curr, prev, key_col: str = "doc_id",
-               text_col: str = "text", num_partitions: int = 8):
+               text_col: str = "text", num_partitions: int = 8,
+               key_type: pa.DataType | None = None):
     """Crawl snapshot diff — classify every key across two crawls as
     ``added`` (current only), ``removed`` (previous only), ``changed``
     (both, different content hash) or ``unchanged``: the incremental-
@@ -1283,11 +1284,12 @@ def crawl_diff(curr, prev, key_col: str = "doc_id",
         texts = one_chunk(t[text_col]).to_pylist()
         return pa.table({
             key_col: t[key_col],
-            col: pa.array([hashlib.md5(s.encode("utf-8")).hexdigest()
-                           for s in texts], type=pa.string()),
+            col: pa.array([hashlib.md5(
+                s if isinstance(s, bytes) else s.encode("utf-8")
+            ).hexdigest() for s in texts], type=pa.string()),
         })
 
-    key_type = pa.int64()
+    key_type = key_type if key_type is not None else pa.int64()
 
     def sentinel(col: str):
         return rd.from_arrow(pa.table({

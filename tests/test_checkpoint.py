@@ -108,3 +108,89 @@ def test_dedup_by_url(ray_session):
     }))
     out = dedup_by_url(ids).to_pandas()
     assert sorted(out["url"]) == ["a", "b", "c"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_identify_incremental_reuses_and_recomputes():
+    """Reuse proof: a poisoned previous row for an UNCHANGED page
+    surfaces verbatim in the incremental output (the cascade never ran
+    on it), while a poisoned row for a CHANGED page is recomputed and a
+    REMOVED page's row never re-enters."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from pdf2doi_ray.config import DEFAULT_CONFIG
+    from pdf2doi_ray.pipelines.identify import (identify_incremental,
+                                                identify_pages)
+    from pdf2doi_ray.sources.pages import pages_dataset
+
+    curr = pages_dataset("/root/testdata/sf0.001").limit(60).materialize()
+
+    def mk_prev(t: pa.Table) -> pa.Table:
+        secs = np.asarray(pc.divide(pc.cast(t["warc_ts"], pa.int64()),
+                                    1_000_000))
+        keep = secs % 7 != 0
+        sub = t.filter(pa.array(keep))
+        html = np.asarray(sub["html"].to_pylist(), dtype=object)
+        html[np.asarray(pc.divide(pc.cast(sub["warc_ts"], pa.int64()),
+                                  1_000_000)) % 5 == 0] = b"<html>old</html>"
+        ghost = t.filter(pa.array(secs % 11 == 0))
+        cols = {}
+        for n in t.column_names:
+            if n == "url":
+                cols[n] = pa.array(sub["url"].to_pylist()
+                                   + [u + "-old" for u in
+                                      ghost["url"].to_pylist()],
+                                   type=pa.string())
+            elif n == "html":
+                cols[n] = pa.array(list(html) + ghost["html"].to_pylist(),
+                                   type=pa.binary())
+            else:
+                cols[n] = pa.concat_arrays([sub[n].combine_chunks(),
+                                            ghost[n].combine_chunks()])
+        return pa.table(cols)
+
+    prev = curr.map_batches(mk_prev, batch_format="pyarrow").materialize()
+    prev_dir = tempfile.mkdtemp(prefix="incr_test_prev_")
+    try:
+        identify_pages(prev, DEFAULT_CONFIG).write_parquet(prev_dir)
+        # poison one unchanged and one changed url's stored identifier
+        stored = pq.read_table(prev_dir).to_pandas()
+        curr_urls = set(u for u in curr.to_pandas()["url"])
+        secs_of = {r["url"]: r["warc_ts"].timestamp()
+                   for r in curr.to_pandas().to_dict("records")}
+        unchanged = [u for u in stored["url"]
+                     if u in curr_urls and int(secs_of[u]) % 5 != 0]
+        changed = [u for u in stored["url"]
+                   if u in curr_urls and int(secs_of[u]) % 5 == 0]
+        assert unchanged and changed
+        u0, c0 = unchanged[0], changed[0]
+        stored.loc[stored.url == u0, "identifier"] = "10.9999/poison-keep"
+        stored.loc[stored.url == c0, "identifier"] = "10.9999/poison-lose"
+        shutil.rmtree(prev_dir)
+        import os
+        os.makedirs(prev_dir)
+        pq.write_table(pa.Table.from_pandas(stored, preserve_index=False),
+                       f"{prev_dir}/part.parquet")
+
+        out = identify_incremental(curr, prev, prev_dir,
+                                   DEFAULT_CONFIG).to_pandas()
+        fresh = identify_pages(curr, DEFAULT_CONFIG).to_pandas()
+        by_url = out.set_index("url")["identifier"]
+        assert by_url[u0] == "10.9999/poison-keep"        # reused
+        assert by_url[c0] == fresh.set_index("url")["identifier"][c0]
+        assert by_url[c0] != "10.9999/poison-lose"        # recomputed
+        assert not any(u.endswith("-old") for u in out["url"])  # removed
+        # everything except the poisoned unchanged row matches a full run
+        rest = out[out.url != u0].sort_values("url").reset_index(drop=True)
+        frest = fresh[fresh.url != u0].sort_values("url") \
+            .reset_index(drop=True)
+        assert rest.to_dict("records") == frest.to_dict("records")
+    finally:
+        shutil.rmtree(prev_dir, ignore_errors=True)
