@@ -512,6 +512,58 @@ def main() -> None:
     if not headline_only:
         queries["curate_v2_pages"] = timed(q_curate_v2)
 
+    # record-level incremental extraction at pages scale: ~31% churn
+    # (1/7 added + 1/5 changed); setup (previous crawl + its identifiers)
+    # is untimed — the timed slice is diff + reuse join + cascade on the
+    # churn.  At this scale the cascade is cheap, so the row mostly
+    # measures the diff/join overhead the incremental path ADDS; the win
+    # appears when per-page work dominates (real parse costs).
+    def _incr_setup():
+        import atexit
+        import shutil
+        import tempfile
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from pdf2doi_ray.pipelines.identify import identify_pages
+
+        def mk_prev(t: pa.Table) -> pa.Table:
+            secs = np.asarray(pc.divide(pc.cast(t["warc_ts"], pa.int64()),
+                                        1_000_000))
+            keep = secs % 7 != 0
+            sub = t.filter(pa.array(keep))
+            html = np.asarray(sub["html"].to_pylist(), dtype=object)
+            sec_sub = np.asarray(pc.divide(pc.cast(sub["warc_ts"],
+                                                   pa.int64()), 1_000_000))
+            html[sec_sub % 5 == 0] = b"<html><body>old</body></html>"
+            cols = {n: sub[n] for n in t.column_names if n != "html"}
+            cols["html"] = pa.array(list(html), type=pa.binary())
+            return pa.table(cols)
+
+        prev = read_pages(("url", "warc_ts", "html", "text", "lang"),
+                          split=True).map_batches(mk_prev,
+                                                  batch_format="pyarrow")
+        prev_dir = tempfile.mkdtemp(prefix="bench_incr_prev_")
+        atexit.register(shutil.rmtree, prev_dir, ignore_errors=True)
+        identify_pages(prev, cfg).write_parquet(prev_dir)
+        return prev, prev_dir
+
+    if not headline_only:
+        incr_prev, incr_dir = _incr_setup()
+
+        def q_identify_incremental():
+            from pdf2doi_ray.pipelines.identify import identify_incremental
+            n = identify_incremental(
+                read_pages(("url", "warc_ts", "html", "text", "lang"),
+                           split=True),
+                incr_prev, incr_dir, cfg).map_batches(
+                lambda t: t.select(["url"]), batch_format="pyarrow").count()
+            assert n == n_pages, (n, n_pages)
+
+        queries["identify_incremental_pages"] = timed(q_identify_incremental)
+
     # per-host top-k over all pages: combiner bounds the shuffle to <= k
     # rows per host per batch despite zipfian host skew
     def q_top_pages():
