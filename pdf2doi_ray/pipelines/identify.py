@@ -248,7 +248,12 @@ def identify_incremental(curr_pages, prev_pages, prev_results_dir: str,
 
     The current crawl streams twice (once hashed for the diff, once
     through the cascade's anti-join) — inherent to diffing; the heavy
-    html column crosses no exchange in either pass.
+    html column crosses no exchange in either pass.  Crossover: the path
+    adds two ~40–90 B/row hash joins and saves the cascade on the
+    unchanged fraction — it wins once per-page work exceeds roughly the
+    join cost divided by (1 − churn), i.e. immediately for real parse /
+    model-scoring workloads, while for this engine's vectorized cascade
+    at bench scale the full run is cheaper (measured in BASELINE.md).
     """
     import atexit
     import shutil
