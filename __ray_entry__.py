@@ -1396,6 +1396,14 @@ def _q_curate_v2(sf_dir: str):
     return curate_gopher_linededup(_banner_docs(sf_dir))
 
 
+def _q_dsir_scores(sf_dir: str):
+    """DSIR-style importance score vs the doc_id%9==0 target slice:
+    combiner token counts → one groupby → vocab-diff broadcast →
+    streaming per-doc score; documents never shuffle."""
+    from pdf2doi_ray.stages.corpus import dsir_scores
+    return dsir_scores(_docs(sf_dir, ("doc_id", "text")))
+
+
 def _q_crawl_diff(sf_dir: str):
     """Crawl snapshot diff: the previous snapshot is derived
     deterministically from documents (doc_id%7==0 rows absent → added,
@@ -1640,6 +1648,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": _q_gopher_quality,
         "crawl_diff": _q_crawl_diff,
         "curate_v2": _q_curate_v2,
+        "dsir_scores": _q_dsir_scores,
         "extract_links": _q_extract_links,
         "host_link_graph": _q_host_link_graph,
         "remove_boilerplate_lines": _q_remove_boilerplate_lines,
@@ -2266,6 +2275,35 @@ SELECT doc_id,
        string_agg(line, chr(10) ORDER BY pos) AS text,
        CAST(count(*) AS BIGINT) AS n_lines_kept
 FROM firsts WHERE rn = 1 GROUP BY doc_id
+""",
+        # vocab = top-100 target tokens (n_tgt desc, token asc tie-break);
+        # permilles are floor divisions over non-negative sums; the per-doc
+        # sum never divides, so negative scores are exact on both sides
+        "dsir_scores": """
+WITH tok AS (SELECT doc_id, t.x AS token
+             FROM documents,
+                  UNNEST(list_filter(string_split(text, ' '),
+                                     x -> x <> '')) AS t(x)),
+cnt AS (SELECT token,
+               CAST(count(*) AS BIGINT) AS n_all,
+               CAST(count(*) FILTER (WHERE doc_id % 9 = 0) AS BIGINT)
+                   AS n_tgt
+        FROM tok GROUP BY token),
+tot AS (SELECT CAST(sum(n_all) AS BIGINT) AS ta,
+               CAST(sum(n_tgt) AS BIGINT) AS tt FROM cnt),
+voc AS (SELECT token,
+               (n_tgt * 1000 // GREATEST(tt, 1))
+               - (n_all * 1000 // GREATEST(ta, 1)) AS diff
+        FROM cnt, tot
+        QUALIFY row_number() OVER (ORDER BY n_tgt DESC, token) <= 100),
+per AS (SELECT tok.doc_id, CAST(SUM(COALESCE(voc.diff, 0)) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS nt
+        FROM tok LEFT JOIN voc ON voc.token = tok.token
+        GROUP BY tok.doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(per.nt, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(per.s, 0) AS BIGINT) AS dsir_score
+FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
 """,
         # the previous-snapshot construction mirrors _q_crawl_diff.mk_prev
         "crawl_diff": """

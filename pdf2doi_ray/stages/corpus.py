@@ -1505,3 +1505,101 @@ def explode_token_windows(docs, size: int = 32, stride: int = 16):
         })
 
     return docs.map_batches(windows, batch_format="pyarrow")
+
+
+def dsir_scores(docs, target_mod: int = 9, vocab_size: int = 100):
+    """DSIR-style importance score for data selection (Xie et al. 2023,
+    hashed-ngram importance resampling, integer-exact variant): score
+    each document by how much its token mix resembles a TARGET domain
+    (the deterministic ``doc_id % target_mod == 0`` slice stands in for
+    "quality" target data) versus the raw corpus.
+
+    score = Σ_{token occurrences in doc ∩ vocab} (f_target − f_raw),
+    where f_* are integer permilles of each top-``vocab_size`` target
+    token in the target slice / whole corpus (floor division over
+    non-negative sums — SQL-exact); positive scores mean
+    target-like.  No per-doc division, so negatives stay exact.
+
+    Plan: per-batch factorize+bincount combiner emits (token, n_all,
+    n_target) rows → ONE ``groupby(token)`` (shuffle bounded by distinct
+    tokens per batch, the inverted-index shape) → totals via distributed
+    sums over the materialized counts, vocab via the bounded-partial
+    top-k (n_target desc, token asc — the oracle's tie-break) → the
+    vocab diff table broadcasts once (vocab_size rows) → docs stream
+    through one membership gather.  Documents never shuffle.
+
+    Returns (doc_id, n_tokens, dsir_score).
+    """
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..arrowutil import one_chunk
+
+    def counts(t: pa.Table) -> pa.Table:
+        flat, row_idx = _tokens_nonempty(t)
+        if not len(row_idx):
+            return pa.table({"token": pa.array([], type=pa.string()),
+                             "n_all_p": pa.array([], type=pa.int64()),
+                             "n_tgt_p": pa.array([], type=pa.int64())})
+        ids = np.asarray(one_chunk(t["doc_id"]))
+        is_tgt = (ids[row_idx] % target_mod == 0).astype(np.int64)
+        codes, uniques = pd.factorize(flat.to_pandas(), sort=False)
+        return pa.table({
+            "token": pa.array(uniques, type=pa.string()),
+            "n_all_p": pa.array(np.bincount(codes,
+                                            minlength=len(uniques))
+                                .astype(np.int64)),
+            "n_tgt_p": pa.array(np.bincount(codes, weights=is_tgt,
+                                            minlength=len(uniques))
+                                .astype(np.int64)),
+        })
+
+    agg = (docs.map_batches(counts, batch_format="pyarrow")
+           .groupby("token").aggregate(Sum("n_all_p", alias_name="n_all"),
+                                       Sum("n_tgt_p", alias_name="n_tgt"))
+           ).materialize()
+    total_all = int(agg.sum("n_all") or 0)
+    total_tgt = int(agg.sum("n_tgt") or 0)
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["n_tgt", "token"],
+                                       ascending=[False, True]) \
+            .head(vocab_size)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    vocab_df = agg.map_batches(block_topk, batch_format="pyarrow",
+                               batch_size=None).to_pandas()
+    if "token" not in vocab_df.columns:
+        vocab_df = pd.DataFrame({"token": pd.Series(dtype=object),
+                                 "n_all": pd.Series(dtype="int64"),
+                                 "n_tgt": pd.Series(dtype="int64")})
+    vocab_df = vocab_df.sort_values(["n_tgt", "token"],
+                                    ascending=[False, True]) \
+        .head(vocab_size)
+    f_t = (vocab_df["n_tgt"].to_numpy(dtype=np.int64) * 1000
+           // max(total_tgt, 1))
+    f_r = (vocab_df["n_all"].to_numpy(dtype=np.int64) * 1000
+           // max(total_all, 1))
+    diff_ref = ray.put((
+        pd.Index(vocab_df["token"].to_numpy(dtype=object)),
+        (f_t - f_r).astype(np.int64)))
+
+    def score(t: pa.Table) -> pa.Table:
+        idx, diffs = ray.get(diff_ref)
+        flat, row_idx = _tokens_nonempty(t)
+        n_tok = np.zeros(t.num_rows, dtype=np.int64)
+        sc = np.zeros(t.num_rows, dtype=np.int64)
+        if len(flat):
+            np.add.at(n_tok, row_idx, 1)
+            if len(idx):
+                pos = idx.get_indexer(flat.to_pandas())
+                hit = pos >= 0
+                np.add.at(sc, row_idx[hit], diffs[pos[hit]])
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pa.array(n_tok),
+            "dsir_score": pa.array(sc),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow")

@@ -675,3 +675,49 @@ def test_kll_by_group_int_key_and_empty_block():
     with pytest.raises(Exception, match="null group"):
         approx_quantiles_milli_by_group(
             ray.data.from_arrow(bad), "g", "value").to_pandas()
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("n_blocks", [1, 3])
+def test_dsir_scores(n_blocks):
+    """Importance score separates target-like from off-domain docs: a doc
+    made of target-slice tokens scores positive, a doc of corpus-only
+    tokens scores negative, an empty doc scores (0, 0) — invariant under
+    block count."""
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import dsir_scores
+
+    texts = {
+        0: "alpha beta alpha beta gamma",      # TARGET doc (0 % 3 == 0)
+        1: "alpha beta gamma target like",     # target-like raw doc
+        2: "zeta eta theta zeta eta theta",    # off-domain raw doc
+        3: "zeta zeta zeta zeta",              # TARGET? 3%3==0 -> target
+        4: "",                                  # empty
+    }
+    t = pa.table({
+        "doc_id": pa.array(sorted(texts), type=pa.int64()),
+        "text": pa.array([texts[i] for i in sorted(texts)],
+                         type=pa.string()),
+    })
+    out = dsir_scores(ray.data.from_arrow(t).repartition(n_blocks),
+                      target_mod=3, vocab_size=50).to_pandas() \
+        .set_index("doc_id")
+    # brute-force reference
+    import collections
+    all_c, tgt_c = collections.Counter(), collections.Counter()
+    for d, s in texts.items():
+        toks = [x for x in s.split(" ") if x]
+        all_c.update(toks)
+        if d % 3 == 0:
+            tgt_c.update(toks)
+    ta, tt = sum(all_c.values()), sum(tgt_c.values())
+    vocab = sorted(all_c, key=lambda k: (-tgt_c[k], k))[:50]
+    diff = {k: tgt_c[k] * 1000 // tt - all_c[k] * 1000 // ta
+            for k in vocab}
+    for d, s in texts.items():
+        toks = [x for x in s.split(" ") if x]
+        want = sum(diff.get(x, 0) for x in toks)
+        assert out.loc[d, "dsir_score"] == want, d
+        assert out.loc[d, "n_tokens"] == len(toks)
+    assert out.loc[4, "dsir_score"] == 0 and out.loc[4, "n_tokens"] == 0
