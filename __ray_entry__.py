@@ -1396,6 +1396,14 @@ def _q_curate_v2(sf_dir: str):
     return curate_gopher_linededup(_banner_docs(sf_dir))
 
 
+def _q_pack_sequences(sf_dir: str):
+    """Training-sequence packing: 32-token sequences spanning doc
+    boundaries in doc_id order — count-row sort + per-block carry bases
+    (one driver row per BLOCK), one text join, one ordered rebuild."""
+    from pdf2doi_ray.stages.corpus import pack_sequences
+    return pack_sequences(_docs(sf_dir, ("doc_id", "text")), seq_len=32)
+
+
 def _q_dsir_scores(sf_dir: str):
     """DSIR-style importance score vs the doc_id%9==0 target slice:
     combiner token counts → one groupby → vocab-diff broadcast →
@@ -1649,6 +1657,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_diff": _q_crawl_diff,
         "curate_v2": _q_curate_v2,
         "dsir_scores": _q_dsir_scores,
+        "pack_sequences": _q_pack_sequences,
         "extract_links": _q_extract_links,
         "host_link_graph": _q_host_link_graph,
         "remove_boilerplate_lines": _q_remove_boilerplate_lines,
@@ -2275,6 +2284,23 @@ SELECT doc_id,
        string_agg(line, chr(10) ORDER BY pos) AS text,
        CAST(count(*) AS BIGINT) AS n_lines_kept
 FROM firsts WHERE rn = 1 GROUP BY doc_id
+""",
+        # global token positions via a cumulative window over doc_id order
+        "pack_sequences": """
+WITH toks AS (SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS ts
+              FROM documents),
+starts AS (SELECT doc_id, ts,
+                  COALESCE(SUM(len(ts)) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS start
+           FROM toks),
+tok AS (SELECT start + g AS pos, ts[g + 1] AS token
+        FROM starts, UNNEST(range(len(ts))) AS t(g))
+SELECT CAST(pos // 32 AS BIGINT) AS seq_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       string_agg(token, ' ' ORDER BY pos) AS text
+FROM tok GROUP BY 1
 """,
         # vocab = top-100 target tokens (n_tgt desc, token asc tie-break);
         # permilles are floor divisions over non-negative sums; the per-doc

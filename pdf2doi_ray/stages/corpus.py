@@ -1603,3 +1603,125 @@ def dsir_scores(docs, target_mod: int = 9, vocab_size: int = 100):
         })
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+def pack_sequences(docs, seq_len: int = 64, stitch_shards=None,
+                   num_partitions: int = 8):
+    """Training-sequence packing: concatenate every document's tokens in
+    doc_id order and cut the stream into fixed ``seq_len``-token
+    sequences that SPAN document boundaries (the standard pre-training
+    packing step; the last sequence may be short).  Returns
+    (seq_id, n_tokens, text).
+
+    Packing is inherently a full-corpus rewrite — every token moves
+    once — but nothing ever concentrates on the driver:
+
+    1. per-doc token counts (vectorized) → ``sort(doc_id)`` over the
+       COUNT rows (~16 B each, not texts) → each sorted block emits its
+       rows tagged with the block's min doc id plus ONE carry row
+       (min doc id, block token total); the driver cumsums the ≤
+       #blocks carries into per-block base offsets and broadcasts the
+       tiny dict — one row per BLOCK, never per doc;
+    2. one hash join attaches each doc's global start offset to its
+       text (the single text exchange);
+    3. tokens explode with global positions; the ordered string
+       aggregation rebuilds each ``pos // seq_len`` sequence (the
+       second and last exchange: the sort inside
+       :func:`.aggs.grouped_string_agg`).
+    """
+    import ray
+    from ray.data.aggregate import Min
+
+    from ..arrowutil import one_chunk
+    from .aggs import grouped_string_agg
+    from .joins import shuffle_hash_join
+
+    def counts(t: pa.Table) -> pa.Table:
+        flat, row_idx = _tokens_nonempty(t)
+        n = np.zeros(t.num_rows, dtype=np.int64)
+        if len(row_idx):
+            np.add.at(n, row_idx, 1)
+        return pa.table({"doc_id": t["doc_id"], "n_tok": pa.array(n)})
+
+    def block_local(t: pa.Table) -> pa.Table:
+        ids = np.asarray(one_chunk(t["doc_id"]))
+        n = np.asarray(one_chunk(t["n_tok"]))
+        if not len(ids):
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "block_min": pa.array([], type=pa.int64()),
+                             "local_start": pa.array([], type=pa.int64()),
+                             "is_carry": pa.array([], type=pa.bool_())})
+        local = np.concatenate([[0], np.cumsum(n)[:-1]])
+        bm = int(ids.min())
+        return pa.table({
+            "doc_id": pa.array(np.concatenate([ids, [bm]])),
+            "block_min": pa.array(np.full(len(ids) + 1, bm,
+                                          dtype=np.int64)),
+            "local_start": pa.array(np.concatenate(
+                [local, [int(n.sum())]])),
+            "is_carry": pa.array([False] * len(ids) + [True]),
+        })
+
+    tagged = (docs.map_batches(counts, batch_format="pyarrow")
+              .sort("doc_id")
+              .map_batches(block_local, batch_format="pyarrow",
+                           batch_size=None)).materialize()
+    carries = sorted(
+        ((r["block_min"], r["local_start"])
+         for r in tagged.map_batches(
+             lambda t: t.filter(one_chunk(t["is_carry"])),
+             batch_format="pyarrow").take_all()),
+        key=lambda p: p[0])
+    bases, acc = {}, 0
+    for bm, total in carries:
+        bases[bm] = acc
+        acc += total
+    bases_ref = ray.put(bases)
+
+    def add_base(t: pa.Table) -> pa.Table:
+        b = ray.get(bases_ref)
+        sub = t.filter(pc.invert(one_chunk(t["is_carry"])))
+        bm = np.asarray(one_chunk(sub["block_min"]))
+        start = np.asarray(one_chunk(sub["local_start"]))
+        # a block's rows share one block_min: resolve per unique value
+        uniq, inv = np.unique(bm, return_inverse=True)
+        base = np.array([b[int(x)] for x in uniq],
+                        dtype=np.int64)[inv] if len(uniq) \
+            else np.empty(0, dtype=np.int64)
+        return pa.table({"doc_id": sub["doc_id"],
+                         "start": pa.array(start + base)})
+
+    offsets = tagged.map_batches(add_base, batch_format="pyarrow")
+    # 2 x num_partitions aggregator actors coexist with the rest of the
+    # DAG: keep P small relative to cluster CPUs (the triangle-count
+    # sizing rule in graph.py)
+    joined = shuffle_hash_join(docs, offsets, on="doc_id",
+                               num_partitions=num_partitions)
+
+    def explode(t: pa.Table) -> pa.Table:
+        flat, row_idx = _tokens_nonempty(t)
+        starts = np.asarray(one_chunk(t["start"]))
+        if not len(row_idx):
+            z = pa.array([], type=pa.int64())
+            return pa.table({"seq_id": z, "ts": z, "event_id": z,
+                             "line": pa.array([], type=pa.string())})
+        first = np.zeros(t.num_rows + 1, dtype=np.int64)
+        np.add.at(first, row_idx + 1, 1)
+        base_of = np.cumsum(first)[:-1]
+        local = np.arange(len(row_idx), dtype=np.int64) - base_of[row_idx]
+        pos = starts[row_idx] + local
+        return pa.table({
+            "seq_id": pa.array(pos // seq_len),
+            "ts": pa.array(pos), "event_id": pa.array(pos),
+            "line": flat,
+        })
+
+    agg = grouped_string_agg(
+        joined.map_batches(explode, batch_format="pyarrow"),
+        group_col="seq_id", value_col="line", sep=" ",
+        stitch_shards=stitch_shards)
+    return agg.map_batches(
+        lambda t: pa.table({"seq_id": t["seq_id"],
+                            "n_tokens": t["n_events"],
+                            "text": t["path"]}),
+        batch_format="pyarrow")

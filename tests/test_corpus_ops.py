@@ -721,3 +721,29 @@ def test_dsir_scores(n_blocks):
         assert out.loc[d, "dsir_score"] == want, d
         assert out.loc[d, "n_tokens"] == len(toks)
     assert out.loc[4, "dsir_score"] == 0 and out.loc[4, "n_tokens"] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("n_blocks", [1, 3, 5])
+def test_pack_sequences(n_blocks):
+    """Packing: sequences cut the doc_id-ordered token stream every
+    seq_len tokens, spanning doc boundaries, last sequence short, empty
+    docs contribute nothing — invariant under block count."""
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import pack_sequences
+
+    texts = {0: "a b c", 1: "", 2: "d e", 3: "f g h i j", 4: "k"}
+    t = pa.table({
+        "doc_id": pa.array(sorted(texts), type=pa.int64()),
+        "text": pa.array([texts[i] for i in sorted(texts)],
+                         type=pa.string()),
+    })
+    out = pack_sequences(ray.data.from_arrow(t).repartition(n_blocks),
+                         seq_len=4, num_partitions=2) \
+        .to_pandas().sort_values("seq_id").reset_index(drop=True)
+    stream = " ".join(texts[i] for i in sorted(texts)).split()
+    want = [" ".join(stream[i:i + 4]) for i in range(0, len(stream), 4)]
+    assert out["text"].tolist() == want
+    assert out["n_tokens"].tolist() == [4, 4, 3]
+    assert out["seq_id"].tolist() == [0, 1, 2]
