@@ -512,6 +512,29 @@ def main() -> None:
     if not headline_only:
         queries["curate_v2_pages"] = timed(q_curate_v2)
 
+    # training-sequence packing at 200k pages (~11M tokens -> ~5.5k
+    # 2048-token sequences): the full-rewrite op — count-row sort, text
+    # join, token explode through the ordered rebuild
+    def q_pack():
+        import pandas as pd
+        import pyarrow as pa
+
+        from pdf2doi_ray.stages.corpus import pack_sequences
+
+        def prep(t: pa.Table) -> pa.Table:
+            ids = pd.util.hash_array(
+                t["url"].combine_chunks().to_numpy(zero_copy_only=False)
+            ).astype("int64") & ((1 << 42) - 1)
+            return pa.table({"doc_id": pa.array(ids), "text": t["text"]})
+
+        docs = read_pages(("url", "text"), split=True).limit(200_000) \
+            .map_batches(prep, batch_format="pyarrow")
+        n = pack_sequences(docs, seq_len=2048, num_partitions=8).count()
+        assert n > 0, n
+
+    if not headline_only:
+        queries["pack_sequences_200k_pages"] = timed(q_pack)
+
     # record-level incremental extraction at pages scale: ~31% churn
     # (1/7 added + 1/5 changed); setup (previous crawl + its identifiers)
     # is untimed — the timed slice is diff + reuse join + cascade on the
