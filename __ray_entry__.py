@@ -549,41 +549,13 @@ def _q_identify_incremental(sf_dir: str):
     import shutil
     import tempfile
 
-    import numpy as np
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
     from pdf2doi_ray.config import DEFAULT_CONFIG
     from pdf2doi_ray.pipelines.identify import (identify_incremental,
                                                 identify_pages)
+    from pdf2doi_ray.sources.pages import previous_crawl_batch
 
-    def mk_prev(t: pa.Table) -> pa.Table:
-        secs = np.asarray(pc.divide(pc.cast(t["warc_ts"], pa.int64()),
-                                    1_000_000))
-        keep = secs % 7 != 0
-        sub = t.filter(pa.array(keep))
-        sub_secs = secs[keep]
-        html = np.asarray(sub["html"].to_pylist(), dtype=object)
-        html[sub_secs % 5 == 0] = b"<html><body>old content</body></html>"
-        ghosts = t.filter(pa.array(secs % 11 == 0))
-        out = {}
-        for name in t.column_names:
-            if name == "url":
-                out[name] = pa.array(
-                    sub["url"].to_pylist()
-                    + [u + "-old" for u in ghosts["url"].to_pylist()],
-                    type=pa.string())
-            elif name == "html":
-                out[name] = pa.array(
-                    list(html) + ghosts["html"].to_pylist(),
-                    type=pa.binary())
-            else:
-                out[name] = pa.concat_arrays([
-                    sub[name].combine_chunks(),
-                    ghosts[name].combine_chunks()])
-        return pa.table(out)
-
-    prev = _pages(sf_dir).map_batches(mk_prev, batch_format="pyarrow")
+    prev = _pages(sf_dir).map_batches(previous_crawl_batch,
+                                      batch_format="pyarrow")
     prev_dir = tempfile.mkdtemp(prefix="pdf2doi_incr_results_")
     atexit.register(shutil.rmtree, prev_dir, ignore_errors=True)
     identify_pages(prev, DEFAULT_CONFIG).write_parquet(prev_dir)

@@ -522,9 +522,12 @@ def main() -> None:
         from pdf2doi_ray.stages.corpus import pack_sequences
 
         def prep(t: pa.Table) -> pa.Table:
+            # packing has no bit-budget encoding, and its uniqueness guard
+            # RAISES on a collision — use the full 62-bit hash space
+            # (expected collisions ~5e-9 at 200k docs)
             ids = pd.util.hash_array(
                 t["url"].combine_chunks().to_numpy(zero_copy_only=False)
-            ).astype("int64") & ((1 << 42) - 1)
+            ).astype("int64") & ((1 << 62) - 1)
             return pa.table({"doc_id": pa.array(ids), "text": t["text"]})
 
         docs = read_pages(("url", "text"), split=True).limit(200_000) \
@@ -546,27 +549,11 @@ def main() -> None:
         import shutil
         import tempfile
 
-        import numpy as np
-        import pyarrow as pa
-        import pyarrow.compute as pc
-
         from pdf2doi_ray.pipelines.identify import identify_pages
-
-        def mk_prev(t: pa.Table) -> pa.Table:
-            secs = np.asarray(pc.divide(pc.cast(t["warc_ts"], pa.int64()),
-                                        1_000_000))
-            keep = secs % 7 != 0
-            sub = t.filter(pa.array(keep))
-            html = np.asarray(sub["html"].to_pylist(), dtype=object)
-            sec_sub = np.asarray(pc.divide(pc.cast(sub["warc_ts"],
-                                                   pa.int64()), 1_000_000))
-            html[sec_sub % 5 == 0] = b"<html><body>old</body></html>"
-            cols = {n: sub[n] for n in t.column_names if n != "html"}
-            cols["html"] = pa.array(list(html), type=pa.binary())
-            return pa.table(cols)
+        from pdf2doi_ray.sources.pages import previous_crawl_batch
 
         prev = read_pages(("url", "warc_ts", "html", "text", "lang"),
-                          split=True).map_batches(mk_prev,
+                          split=True).map_batches(previous_crawl_batch,
                                                   batch_format="pyarrow")
         prev_dir = tempfile.mkdtemp(prefix="bench_incr_prev_")
         atexit.register(shutil.rmtree, prev_dir, ignore_errors=True)

@@ -255,27 +255,38 @@ def identify_incremental(curr_pages, prev_pages, prev_results_dir: str,
     model-scoring workloads, while for this engine's vectorized cascade
     at bench scale the full run is cheaper (measured in BASELINE.md).
     """
-    import atexit
-    import shutil
-    import tempfile
-
     import pyarrow as pa
     import pyarrow.compute as pc
-    import ray
     import ray.data as rd
 
     from ..arrowutil import one_chunk
     from ..stages.corpus import crawl_diff
     from ..stages.joins import shuffle_hash_join
-    from ..state.checkpoint import with_previous_results
+    from ..state.checkpoint import with_previous_results_dataset
 
-    def url_html(t: pa.Table) -> pa.Table:
-        return t.select(["url", "html"])
+    # hash EVERY payload column the cascade can consume (html when
+    # cfg.use_html, plus the pre-extracted text either way): a page whose
+    # html is unchanged but whose text column changed must classify as
+    # changed, or the reuse would violate the transparency contract
+    payload_cols = (["html", "text"] if cfg.use_html else ["text"])
+
+    def url_payload(t: pa.Table) -> pa.Table:
+        parts = []
+        for c in payload_cols:
+            col = t[c].to_pylist()
+            parts.append([s if isinstance(s, bytes)
+                          else ("" if s is None else s).encode("utf-8")
+                          for s in col])
+        return pa.table({
+            "url": t["url"],
+            "payload": pa.array([b"\x00".join(row) for row in zip(*parts)],
+                                type=pa.binary()),
+        })
 
     statuses = crawl_diff(
-        curr_pages.map_batches(url_html, batch_format="pyarrow"),
-        prev_pages.map_batches(url_html, batch_format="pyarrow"),
-        key_col="url", text_col="html", num_partitions=num_partitions,
+        curr_pages.map_batches(url_payload, batch_format="pyarrow"),
+        prev_pages.map_batches(url_payload, batch_format="pyarrow"),
+        key_col="url", text_col="payload", num_partitions=num_partitions,
         key_type=pa.string())
 
     def unchanged_urls(t: pa.Table) -> pa.Table:
@@ -295,8 +306,5 @@ def identify_incremental(curr_pages, prev_pages, prev_results_dir: str,
                                    ).materialize()
     if valid_prev.count() == 0:
         return identify_pages(curr_pages, cfg)
-    valid_dir = tempfile.mkdtemp(prefix="pdf2doi_incr_prev_")
-    atexit.register(shutil.rmtree, valid_dir, ignore_errors=True)
-    valid_prev.write_parquet(valid_dir)
-    return with_previous_results(
-        curr_pages, valid_dir, lambda rem: identify_pages(rem, cfg))
+    return with_previous_results_dataset(
+        curr_pages, valid_prev, lambda rem: identify_pages(rem, cfg))

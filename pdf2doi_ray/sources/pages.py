@@ -203,3 +203,41 @@ def expected_for_key(k: int, replace_arxiv_by_doi: bool = True):
     if slot == 17:
         return (f"10.{reg}/td.{k}", "DOI", "document_text")
     return exhausted
+
+
+def previous_crawl_batch(t, drop_mod: int = 7, change_mod: int = 5,
+                         ghost_mod: int = 11):
+    """Deterministic PREVIOUS-crawl synthesis from a current-crawl batch,
+    shared by the incremental-extraction oracle query, its bench row, and
+    the reuse-proof test (one recipe, no drift): pages whose second-
+    resolution warc_ts key is ≡0 mod ``drop_mod`` are ABSENT (→ added in
+    the current crawl), ≡0 mod ``change_mod`` carry different html
+    (→ changed), and ghost urls suffixed ``-old`` for keys ≡0 mod
+    ``ghost_mod`` exist only here (→ removed)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    secs = np.asarray(pc.divide(pc.cast(t["warc_ts"], pa.int64()),
+                                1_000_000))
+    keep = secs % drop_mod != 0
+    sub = t.filter(pa.array(keep))
+    html = np.asarray(sub["html"].to_pylist(), dtype=object)
+    html[secs[keep] % change_mod == 0] = \
+        b"<html><body>old content</body></html>"
+    ghosts = t.filter(pa.array(secs % ghost_mod == 0))
+    cols = {}
+    for name in t.column_names:
+        if name == "url":
+            cols[name] = pa.array(
+                sub["url"].to_pylist()
+                + [u + "-old" for u in ghosts["url"].to_pylist()],
+                type=pa.string())
+        elif name == "html":
+            cols[name] = pa.array(list(html) + ghosts["html"].to_pylist(),
+                                  type=pa.binary())
+        else:
+            cols[name] = pa.concat_arrays([
+                sub[name].combine_chunks(),
+                ghosts[name].combine_chunks()])
+    return pa.table(cols)

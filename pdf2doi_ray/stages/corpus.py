@@ -1649,13 +1649,23 @@ def pack_sequences(docs, seq_len: int = 64, stitch_shards=None,
         if not len(ids):
             return pa.table({"doc_id": pa.array([], type=pa.int64()),
                              "block_min": pa.array([], type=pa.int64()),
+                             "block_max": pa.array([], type=pa.int64()),
                              "local_start": pa.array([], type=pa.int64()),
                              "is_carry": pa.array([], type=pa.bool_())})
+        # duplicate doc_ids would scramble the global offsets silently
+        # (bases key by block_min, and the offset join would fan out):
+        # in-block dups raise here, cross-block dups raise at the driver
+        # via the carry ranges' disjointness check
+        if len(np.unique(ids)) != len(ids):
+            raise ValueError("pack_sequences: doc_id values must be "
+                             "unique (duplicate within a sorted block)")
         local = np.concatenate([[0], np.cumsum(n)[:-1]])
-        bm = int(ids.min())
+        bm, bx = int(ids.min()), int(ids.max())
         return pa.table({
             "doc_id": pa.array(np.concatenate([ids, [bm]])),
             "block_min": pa.array(np.full(len(ids) + 1, bm,
+                                          dtype=np.int64)),
+            "block_max": pa.array(np.full(len(ids) + 1, bx,
                                           dtype=np.int64)),
             "local_start": pa.array(np.concatenate(
                 [local, [int(n.sum())]])),
@@ -1667,13 +1677,17 @@ def pack_sequences(docs, seq_len: int = 64, stitch_shards=None,
               .map_batches(block_local, batch_format="pyarrow",
                            batch_size=None)).materialize()
     carries = sorted(
-        ((r["block_min"], r["local_start"])
+        ((r["block_min"], r["block_max"], r["local_start"])
          for r in tagged.map_batches(
              lambda t: t.filter(one_chunk(t["is_carry"])),
              batch_format="pyarrow").take_all()),
         key=lambda p: p[0])
-    bases, acc = {}, 0
-    for bm, total in carries:
+    bases, acc, prev_max = {}, 0, None
+    for bm, bx, total in carries:
+        if prev_max is not None and bm <= prev_max:
+            raise ValueError("pack_sequences: doc_id values must be "
+                             "unique (duplicate across sorted blocks)")
+        prev_max = bx
         bases[bm] = acc
         acc += total
     bases_ref = ray.put(bases)

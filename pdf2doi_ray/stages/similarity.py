@@ -454,20 +454,29 @@ def kmeans_fixed(embeddings, k: int = 8, iters: int = 5,
     """
     import ray
 
+    # iterate over a materialized dataset: the seed pass, every round's
+    # partial pass and the final assign would otherwise re-execute the
+    # whole upstream pipeline (the graph.py "express iteration as
+    # materialized" rule)
+    embeddings = embeddings.materialize()
+
     def _seed_centroids() -> np.ndarray:
         import pyarrow.compute as pc
-        t = pa.concat_tables(ray.get(
+        tabs = ray.get(
             embeddings.map_batches(
                 lambda t: t.select(["vec_id", "embedding"])
                 .filter(pc.less(t["vec_id"], k)),
-                batch_format="pyarrow").to_arrow_refs()),
-            promote_options="default")
-        order = np.argsort(np.asarray(t["vec_id"]))
-        mat = _stack(t["embedding"])[order]
-        if len(mat) < k:
-            raise ValueError(f"kmeans_fixed: need vec_id 0..{k-1} as seeds,"
-                             f" found {len(mat)} rows")
-        return mat.astype(np.float64)
+                batch_format="pyarrow").to_arrow_refs())
+        t = pa.concat_tables(tabs, promote_options="default") if tabs             else pa.table({"vec_id": pa.array([], type=pa.int64()),
+                           "embedding": pa.array([], type=pa.list_(
+                               pa.float32()))})
+        ids = np.asarray(t["vec_id"])
+        if sorted(ids.tolist()) != list(range(k)):
+            raise ValueError(f"kmeans_fixed: seeds must be exactly the "
+                             f"unique vec_id 0..{k-1} rows, found ids "
+                             f"{sorted(ids.tolist())[:k+2]}")
+        order = np.argsort(ids)
+        return _stack(t["embedding"])[order].astype(np.float64)
 
     cents = _seed_centroids()
     dim = cents.shape[1]

@@ -181,13 +181,31 @@ def with_previous_results(pages, prev_dir: str, identify_fn):
 
     ``identify_fn(pages_subset) -> identifiers`` runs only on the remainder.
     """
+    import ray.data
+
+    return with_previous_results_dataset(
+        pages, ray.data.read_parquet(prev_dir), identify_fn)
+
+
+def with_previous_results_dataset(pages, prev_results, identify_fn):
+    """:func:`with_previous_results` over an in-memory identifiers
+    Dataset — the zero-round-trip variant for callers that just computed
+    the previous rows (``identify_incremental``); the dir-based entry is
+    a thin parquet-read wrapper over this."""
+    import pyarrow.compute as pc
     import ray
 
-    resolved_ref = ray.put(previous_result_urls(prev_dir))
+    prev_results = prev_results.materialize()
+    found = prev_results.map_batches(
+        lambda t: t.filter(pc.is_valid(t["identifier"])),
+        batch_format="pyarrow")
+    resolved = {r["url"] for r in found.map_batches(
+        lambda t: t.select(["url"]), batch_format="pyarrow").take_all()}
+    resolved_ref = ray.put(resolved)
     remaining = pages.map_batches(drop_resolved_filter(resolved_ref),
                                   batch_format="pyarrow")
     fresh = identify_fn(remaining)
-    return fresh.union(previous_found_rows(prev_dir))
+    return fresh.union(found)
 
 
 def seed_identifier(out_dir: str, url: str, identifier: str,

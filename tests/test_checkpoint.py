@@ -132,31 +132,10 @@ def test_identify_incremental_reuses_and_recomputes():
 
     curr = pages_dataset("/root/testdata/sf0.001").limit(60).materialize()
 
-    def mk_prev(t: pa.Table) -> pa.Table:
-        secs = np.asarray(pc.divide(pc.cast(t["warc_ts"], pa.int64()),
-                                    1_000_000))
-        keep = secs % 7 != 0
-        sub = t.filter(pa.array(keep))
-        html = np.asarray(sub["html"].to_pylist(), dtype=object)
-        html[np.asarray(pc.divide(pc.cast(sub["warc_ts"], pa.int64()),
-                                  1_000_000)) % 5 == 0] = b"<html>old</html>"
-        ghost = t.filter(pa.array(secs % 11 == 0))
-        cols = {}
-        for n in t.column_names:
-            if n == "url":
-                cols[n] = pa.array(sub["url"].to_pylist()
-                                   + [u + "-old" for u in
-                                      ghost["url"].to_pylist()],
-                                   type=pa.string())
-            elif n == "html":
-                cols[n] = pa.array(list(html) + ghost["html"].to_pylist(),
-                                   type=pa.binary())
-            else:
-                cols[n] = pa.concat_arrays([sub[n].combine_chunks(),
-                                            ghost[n].combine_chunks()])
-        return pa.table(cols)
+    from pdf2doi_ray.sources.pages import previous_crawl_batch
 
-    prev = curr.map_batches(mk_prev, batch_format="pyarrow").materialize()
+    prev = curr.map_batches(previous_crawl_batch,
+                            batch_format="pyarrow").materialize()
     prev_dir = tempfile.mkdtemp(prefix="incr_test_prev_")
     try:
         identify_pages(prev, DEFAULT_CONFIG).write_parquet(prev_dir)
@@ -194,3 +173,70 @@ def test_identify_incremental_reuses_and_recomputes():
         assert rest.to_dict("records") == frest.to_dict("records")
     finally:
         shutil.rmtree(prev_dir, ignore_errors=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_identify_incremental_detects_text_only_change():
+    """The diff hashes every payload column the cascade consumes: a page
+    whose html is byte-identical but whose text column changed must be
+    recomputed (with use_html=True AND with the text-only config), not
+    reused stale."""
+    import tempfile
+
+    import pyarrow as pa
+    import ray.data
+
+    from pdf2doi_ray.config import DEFAULT_CONFIG
+    from pdf2doi_ray.pipelines.identify import (identify_incremental,
+                                                identify_pages)
+
+    import shutil
+
+    same_html = b"<html><body>no ids here</body></html>"
+    curr = ray.data.from_arrow(pa.table({
+        "url": pa.array(["https://a/x", "https://a/y"]),
+        "warc_ts": pa.array([1, 2], type=pa.timestamp("us")),
+        "html": pa.array([same_html, same_html], type=pa.binary()),
+        "text": pa.array(["doi: 10.1234/tx.1 end", "plain"]),
+        "lang": pa.array(["en", "en"]),
+    }))
+    prev = ray.data.from_arrow(pa.table({
+        "url": pa.array(["https://a/x", "https://a/y"]),
+        "warc_ts": pa.array([1, 2], type=pa.timestamp("us")),
+        "html": pa.array([same_html, same_html], type=pa.binary()),
+        "text": pa.array(["plain old", "plain"]),   # x's text changed
+        "lang": pa.array(["en", "en"]),
+    }))
+    for cfg in (DEFAULT_CONFIG, DEFAULT_CONFIG.with_(use_html=False)):
+        prev_dir = tempfile.mkdtemp(prefix="incr_txt_")
+        try:
+            identify_pages(prev, cfg).write_parquet(prev_dir)
+            out = identify_incremental(curr, prev, prev_dir, cfg,
+                                       num_partitions=2).to_pandas()
+            fresh = identify_pages(curr, cfg).to_pandas()
+            assert out.sort_values("url").reset_index(drop=True) \
+                .to_dict("records") == fresh.sort_values("url") \
+                .reset_index(drop=True).to_dict("records")
+            if not cfg.use_html:
+                # text-only cascade: the recomputed row must carry the
+                # CURRENT text's doi, not the stale None from prev
+                got = out.set_index("url")["identifier"]["https://a/x"]
+                assert got == "10.1234/tx.1"
+        finally:
+            shutil.rmtree(prev_dir, ignore_errors=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pack_sequences_duplicate_ids_raise():
+    import pyarrow as pa
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import pack_sequences
+
+    t = pa.table({
+        "doc_id": pa.array([1, 1, 2], type=pa.int64()),
+        "text": pa.array(["a b", "c d", "e"]),
+    })
+    with pytest.raises(Exception, match="unique"):
+        pack_sequences(ray.data.from_arrow(t), seq_len=2,
+                       num_partitions=2).to_pandas()

@@ -265,7 +265,7 @@ def test_count_min_invariants():
     est = cm_estimate(merged, list(keys))
     assert (est >= true).all()
     # error bound: est - true <= (e/width) * N with prob 1 - 2^-depth per
-    # key; at 300 keys over 4096 buckets collisions are rare — assert the
+    # key; at 300 keys over 1024 buckets collisions are rare — assert the
     # deterministic upper envelope instead of the probabilistic bound
     assert (est - true <= true.sum()).all()
     # width >> NDV here, so require exactness for most keys
@@ -293,7 +293,7 @@ def test_count_min_distributed_matches_exact(n_blocks):
     true = collections.Counter(vals)
     for k in ("a", "b", "c"):
         assert out[k] >= true[k]
-        assert out[k] <= true[k] + 5          # 105 rows over 4096 buckets
+        assert out[k] <= true[k] + 5          # 105 rows over 1024 buckets
     assert out["zz"] <= 5
 
 
