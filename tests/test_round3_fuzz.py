@@ -137,3 +137,48 @@ def test_connected_components_fuzz_vs_union_find():
         ray.data.from_arrow(pairs).repartition(3)).to_pandas()
     got = dict(zip(out["node"].astype(int), out["component"].astype(int)))
     assert got == _union_find_components(edges)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fuzz_dedup_lines_keep_first_vs_bruteforce():
+    """Randomized differential fuzz of the distributed keep-first line
+    dedup against a 12-line brute-force reference over adversarial tiny
+    corpora (tiny alphabet → heavy cross-doc collisions, empty docs,
+    within-doc repeats), across block layouts."""
+    import random
+
+    import pyarrow as pa
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import dedup_lines_keep_first
+
+    rng = random.Random(77)
+    words = ["a", "b", "c"]
+    for trial in range(12):
+        n_docs = rng.randrange(1, 9)
+        texts = {i: " ".join(rng.choice(words)
+                             for _ in range(rng.randrange(0, 9)))
+                 for i in range(n_docs)}
+        every = rng.choice([1, 2, 3])
+        # brute force: global keep-first over (doc, pos) ordered lines
+        seen, want = set(), {}
+        for d in sorted(texts):
+            toks = [x for x in texts[d].split(" ") if x]
+            kept = []
+            for p in range(0, len(toks), every):
+                line = " ".join(toks[p:p + every])
+                if line not in seen:
+                    seen.add(line)
+                    kept.append(line)
+            if kept:
+                want[d] = ("\n".join(kept), len(kept))
+        t = pa.table({
+            "doc_id": pa.array(sorted(texts), type=pa.int64()),
+            "text": pa.array([texts[i] for i in sorted(texts)],
+                             type=pa.string()),
+        })
+        ds = ray.data.from_arrow(t).repartition(rng.choice([1, 2, 4]))
+        out = dedup_lines_keep_first(ds, every=every).to_pandas()
+        got = {int(r.doc_id): (r.text, int(r.n_lines_kept))
+               for r in out.itertuples()}
+        assert got == want, (trial, texts, every, got, want)
