@@ -105,6 +105,30 @@ def main() -> None:
     out_dir = f"{SCRATCH}/pdf2doi_bench_out"
 
     queries = {}
+    errors = {}
+
+    def bench_query(name, fn, best_of=1):
+        # One bad query must never zero the round's bench artifact: a
+        # failure records an error row and the run continues (VERDICT r3 #1)
+        vals = []
+        for _ in range(best_of):
+            try:
+                vals.append(timed(fn))
+            except Exception as e:  # noqa: BLE001 — isolation is the point
+                errors[name] = f"{type(e).__name__}: {e}"[:500]
+                return
+        queries[name] = min(vals)
+
+    def ts_doc_ids(t):
+        """Unique int64 doc ids from ``warc_ts`` (EPOCH + k seconds with k
+        unique by construction, ``sources/pages.py``).  urls are NOT unique
+        at bench replication (slot-5 basenames collide past 90k pages — an
+        intentional hot-key regime, see ``sources/pages.py``), so any bench
+        row that needs a true per-page key derives it from the timestamp."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        return pc.divide(pc.cast(t["warc_ts"], pa.int64()),
+                         1_000_000).cast(pa.int64())
 
     # headline: full identify pipeline parquet → parquet (task-fused stage
     # needs read-block parallelism, hence split=True); best of 2 runs to
@@ -114,9 +138,13 @@ def main() -> None:
         shutil.rmtree(out_dir, ignore_errors=True)
         identify_pages(read_pages(split=True), cfg).write_parquet(out_dir)
 
-    attempts = [timed(q_identify)
-                for _ in range(int(os.environ.get("BENCH_ATTEMPTS", "3")))]
-    queries["identify_full"] = min(attempts)
+    attempts = []
+    try:
+        for _ in range(int(os.environ.get("BENCH_ATTEMPTS", "3"))):
+            attempts.append(timed(q_identify))
+        queries["identify_full"] = min(attempts)
+    except Exception as e:  # noqa: BLE001
+        errors["identify_full"] = f"{type(e).__name__}: {e}"[:500]
 
     # parse-only: html → text/meta, consumed by a count of parsed chars
     def q_parse():
@@ -127,7 +155,7 @@ def main() -> None:
         ds.count()
 
     if not headline_only:
-        queries["parse_only"] = min(timed(q_parse), timed(q_parse))
+        bench_query("parse_only", q_parse, best_of=2)
 
     # extract-only over the pre-extracted text column (no html parse)
     def q_extract_text():
@@ -139,14 +167,14 @@ def main() -> None:
                        batch_format="pyarrow").count()
 
     if not headline_only:
-        queries["extract_text_only"] = timed(q_extract_text)
+        bench_query("extract_text_only", q_extract_text)
 
     # small-shuffle metrics aggregate on top of the full pipeline
     def q_stats():
         method_stats(identify_pages(read_pages(split=True), cfg)).materialize()
 
     if not headline_only:
-        queries["method_stats"] = timed(q_stats)
+        bench_query("method_stats", q_stats)
 
     # exact dedup at pages scale (combiner + hash groupby — a real shuffle:
     # replicated pages share base texts, so dup groups are large)
@@ -165,7 +193,7 @@ def main() -> None:
         dedup_exact(ds).count()
 
     if not headline_only:
-        queries["dedup_exact_pages"] = timed(q_dedup)
+        bench_query("dedup_exact_pages", q_dedup)
 
     # salted hot-host aggregation at pages scale (50 hosts × many pages)
     def q_hosts():
@@ -173,7 +201,7 @@ def main() -> None:
         pages_per_host(read_pages(("url",), split=True)).materialize()
 
     if not headline_only:
-        queries["pages_per_host"] = timed(q_hosts)
+        bench_query("pages_per_host", q_hosts)
 
     def pages_as_docs(columns=("warc_ts", "text")):
         import pyarrow as pa
@@ -193,7 +221,7 @@ def main() -> None:
             lambda t: t.select(["doc_id"]), batch_format="pyarrow").count()
 
     if not headline_only:
-        queries["simhash_pages"] = timed(q_simhash)
+        bench_query("simhash_pages", q_simhash)
 
     # vectorized winnowing fingerprints at pages scale
     def q_winnow():
@@ -203,7 +231,7 @@ def main() -> None:
             batch_format="pyarrow").count()
 
     if not headline_only:
-        queries["winnow_pages"] = timed(q_winnow)
+        bench_query("winnow_pages", q_winnow)
 
     # distributed MinHash near-dup (bucket groupby + distributed verify) over
     # the documents table — the op's real shape: 3 small shuffles, no
@@ -215,7 +243,7 @@ def main() -> None:
         minhash_near_dups(docs).count()
 
     if not headline_only:
-        queries["minhash_near_dups_docs"] = timed(q_minhash)
+        bench_query("minhash_near_dups_docs", q_minhash)
 
     # ---- round-3 scaled rows: the distributed paths at sizes where their
     # work dominates Ray's fixed stage overhead, so regressions are visible
@@ -247,7 +275,7 @@ def main() -> None:
         assert n == 90000, n                  # regression = wrongness too
 
     if not headline_only:
-        queries["minhash_near_dups_90k_pairs"] = timed(q_minhash_large)
+        bench_query("minhash_near_dups_90k_pairs", q_minhash_large)
 
     # as-of join at 1M events: sf0.1 events replicated 10x with offset user
     # ids (deterministic), so the sorted-block resolve + sharded stitch do
@@ -277,7 +305,7 @@ def main() -> None:
                          right_type="click").count()
 
     if not headline_only:
-        queries["events_asof_join_1m"] = timed(q_asof_large)
+        bench_query("events_asof_join_1m", q_asof_large)
 
     # connected components at ~150k edges / 30k clusters (star-ish, so round
     # count stays small and the row measures the per-round shuffles, not the
@@ -299,7 +327,7 @@ def main() -> None:
         assert n == int(sizes.sum()), n
 
     if not headline_only:
-        queries["connected_components_150k_edges"] = timed(q_components_large)
+        bench_query("connected_components_150k_edges", q_components_large)
 
     # 3-round exact-integer PageRank at ~200k edges / 50k nodes, both
     # modes: broadcast (dense rank vector, one map stage/round) and
@@ -335,8 +363,8 @@ def main() -> None:
         assert out == n_nodes, out
 
     if not headline_only:
-        queries["pagerank_200k_edges"] = timed(q_pagerank_broadcast)
-        queries["pagerank_200k_edges_shuffle"] = timed(q_pagerank_shuffle)
+        bench_query("pagerank_200k_edges", q_pagerank_broadcast)
+        bench_query("pagerank_200k_edges_shuffle", q_pagerank_shuffle)
 
     # corpus ops over the documents table: TF-IDF (2 sorts over (term,
     # doc, tf) rows) and corpus top-k bigrams (combiner + one groupby +
@@ -349,7 +377,7 @@ def main() -> None:
         assert n > 0, n
 
     if not headline_only:
-        queries["tfidf_top_terms_docs"] = timed(q_tfidf)
+        bench_query("tfidf_top_terms_docs", q_tfidf)
 
     def q_bigrams():
         from pdf2doi_ray.stages.corpus import top_bigrams
@@ -359,7 +387,7 @@ def main() -> None:
         assert len(out) == 20, len(out)
 
     if not headline_only:
-        queries["top_bigrams_docs"] = timed(q_bigrams)
+        bench_query("top_bigrams_docs", q_bigrams)
 
     # large x large hash join (lineitem x orders at this sf): the native
     # hash-partitioned exchange — both sides shuffle, nothing broadcasts
@@ -380,7 +408,7 @@ def main() -> None:
         assert n > 0, n
 
     if not headline_only:
-        queries["lineitem_orders_join"] = timed(q_shuffle_join)
+        bench_query("lineitem_orders_join", q_shuffle_join)
 
     # per-user rolling window sums at 1M events (10x replicated, offset
     # user ids): sort + in-block cumsum + sharded boundary stitch
@@ -408,7 +436,7 @@ def main() -> None:
         rolling_user_sum(ev, w=3).count()
 
     if not headline_only:
-        queries["rolling_user_sum_1m"] = timed(q_rolling_large)
+        bench_query("rolling_user_sum_1m", q_rolling_large)
 
     # CCNet common-line removal at pages scale: with 240x replication every
     # base line is common, so the row stresses the full path — line-count
@@ -422,7 +450,7 @@ def main() -> None:
             lambda t: t.select(["n_removed"]), batch_format="pyarrow").count()
 
     if not headline_only:
-        queries["boilerplate_removal_pages"] = timed(q_boilerplate)
+        bench_query("boilerplate_removal_pages", q_boilerplate)
 
     # banded SimHash near-dup pairs at 90k verified pairs (2k clusters of
     # 10 identical docs): digest + 4-band self-join + popcount verify +
@@ -449,7 +477,7 @@ def main() -> None:
         assert n == 90000, n
 
     if not headline_only:
-        queries["simhash_near_dups_90k_pairs"] = timed(q_simhash_pairs)
+        bench_query("simhash_near_dups_90k_pairs", q_simhash_pairs)
 
     # PII redaction at pages scale: three RE2 replace + three count kernels
     # scan every text byte even when nothing matches — the honest no-hit
@@ -460,83 +488,73 @@ def main() -> None:
             lambda t: t.select(["n_emails"]), batch_format="pyarrow").count()
 
     if not headline_only:
-        queries["pii_redaction_pages"] = timed(q_pii)
+        bench_query("pii_redaction_pages", q_pii)
 
     # keep-first exact line dedup at pages scale: with 240x replication a
     # base page's shared lines survive only in one replica; replicas whose
     # unique DOI-suffix line is their only survivor stay, suffix-free ones
     # drop — stresses the per-batch min-enc combiner, the groupby(line)
-    # Min, and the ordered rebuild.  doc ids come from a 42-bit url hash
-    # (inside the 43-bit encoding budget).
+    # Min, and the ordered rebuild.  doc ids come from warc_ts (unique by
+    # construction and ~2^31 < the 43-bit encoding budget; urls are not
+    # unique at this replication).
     def q_line_dedup():
-        import pandas as pd
         import pyarrow as pa
 
         from pdf2doi_ray.stages.corpus import dedup_lines_keep_first
 
         def prep(t: pa.Table) -> pa.Table:
-            ids = pd.util.hash_array(
-                t["url"].combine_chunks().to_numpy(zero_copy_only=False)
-            ).astype("int64") & ((1 << 42) - 1)
-            return pa.table({"doc_id": pa.array(ids), "text": t["text"]})
+            return pa.table({"doc_id": ts_doc_ids(t), "text": t["text"]})
 
-        docs = read_pages(("url", "text"), split=True).map_batches(
+        docs = read_pages(("warc_ts", "text"), split=True).map_batches(
             prep, batch_format="pyarrow")
         n_out = dedup_lines_keep_first(docs).count()
         # replication guarantees real dedup: strictly fewer docs than pages
         assert 0 < n_out < n_pages, (n_out, n_pages)
 
     if not headline_only:
-        queries["line_dedup_pages"] = timed(q_line_dedup)
+        bench_query("line_dedup_pages", q_line_dedup)
 
     # curation v2 composition at pages scale: full Gopher gate (per-batch,
     # free) then keep-first line dedup over the survivors — the gate
     # shrinks the dedup exchange before it happens
     def q_curate_v2():
-        import pandas as pd
         import pyarrow as pa
 
         from pdf2doi_ray.pipelines.curate import curate_gopher_linededup
 
         def prep(t: pa.Table) -> pa.Table:
-            ids = pd.util.hash_array(
-                t["url"].combine_chunks().to_numpy(zero_copy_only=False)
-            ).astype("int64") & ((1 << 42) - 1)
-            return pa.table({"doc_id": pa.array(ids), "text": t["text"]})
+            return pa.table({"doc_id": ts_doc_ids(t), "text": t["text"]})
 
-        docs = read_pages(("url", "text"), split=True).map_batches(
+        docs = read_pages(("warc_ts", "text"), split=True).map_batches(
             prep, batch_format="pyarrow")
         n_out = curate_gopher_linededup(docs).count()
         assert 0 < n_out < n_pages, (n_out, n_pages)
 
     if not headline_only:
-        queries["curate_v2_pages"] = timed(q_curate_v2)
+        bench_query("curate_v2_pages", q_curate_v2)
 
     # training-sequence packing at 200k pages (~11M tokens -> ~5.5k
     # 2048-token sequences): the full-rewrite op — count-row sort, text
     # join, token explode through the ordered rebuild
     def q_pack():
-        import pandas as pd
         import pyarrow as pa
 
         from pdf2doi_ray.stages.corpus import pack_sequences
 
         def prep(t: pa.Table) -> pa.Table:
-            # packing has no bit-budget encoding, and its uniqueness guard
-            # RAISES on a collision — use the full 62-bit hash space
-            # (expected collisions ~5e-9 at 200k docs)
-            ids = pd.util.hash_array(
-                t["url"].combine_chunks().to_numpy(zero_copy_only=False)
-            ).astype("int64") & ((1 << 62) - 1)
-            return pa.table({"doc_id": pa.array(ids), "text": t["text"]})
+            # packing's uniqueness guard RAISES on a collision, and bench
+            # urls are NOT unique (slot-5 basenames collide past 90k pages
+            # — crashed the round-3 bench).  warc_ts seconds are unique by
+            # construction (sources/pages.py: EPOCH + k, k unique).
+            return pa.table({"doc_id": ts_doc_ids(t), "text": t["text"]})
 
-        docs = read_pages(("url", "text"), split=True).limit(200_000) \
+        docs = read_pages(("warc_ts", "text"), split=True).limit(200_000) \
             .map_batches(prep, batch_format="pyarrow")
         n = pack_sequences(docs, seq_len=2048, num_partitions=8).count()
         assert n > 0, n
 
     if not headline_only:
-        queries["pack_sequences_200k_pages"] = timed(q_pack)
+        bench_query("pack_sequences_200k_pages", q_pack)
 
     # record-level incremental extraction at pages scale: ~31% churn
     # (1/7 added + 1/5 changed); setup (previous crawl + its identifiers)
@@ -560,8 +578,13 @@ def main() -> None:
         identify_pages(prev, cfg).write_parquet(prev_dir)
         return prev, prev_dir
 
+    incr_prev = incr_dir = None
     if not headline_only:
-        incr_prev, incr_dir = _incr_setup()
+        try:
+            incr_prev, incr_dir = _incr_setup()
+        except Exception as e:  # noqa: BLE001 — setup failure isolates too
+            errors["identify_incremental_pages"] = \
+                f"setup: {type(e).__name__}: {e}"[:500]
 
         def q_identify_incremental():
             from pdf2doi_ray.pipelines.identify import identify_incremental
@@ -572,7 +595,8 @@ def main() -> None:
                 lambda t: t.select(["url"]), batch_format="pyarrow").count()
             assert n == n_pages, (n, n_pages)
 
-        queries["identify_incremental_pages"] = timed(q_identify_incremental)
+        if incr_dir is not None:
+            bench_query("identify_incremental_pages", q_identify_incremental)
 
     # per-host top-k over all pages: combiner bounds the shuffle to <= k
     # rows per host per batch despite zipfian host skew
@@ -598,7 +622,7 @@ def main() -> None:
         assert n > 0, n
 
     if not headline_only:
-        queries["top_pages_per_host"] = timed(q_top_pages)
+        bench_query("top_pages_per_host", q_top_pages)
 
     # inverted-index stats over the documents table: a vocabulary-wide
     # groupby fed by per-batch (term, doc, tf) combiner partials
@@ -610,7 +634,7 @@ def main() -> None:
         assert n > 0, n
 
     if not headline_only:
-        queries["inverted_index_docs"] = timed(q_inverted_index)
+        bench_query("inverted_index_docs", q_inverted_index)
 
     # curation composition at pages scale: vectorized quality gate BEFORE
     # the exchange, then min-per-hash dedup (replicated pages share base
@@ -621,14 +645,15 @@ def main() -> None:
         assert n > 0, n
 
     if not headline_only:
-        queries["curate_pages"] = timed(q_curate)
+        bench_query("curate_pages", q_curate)
 
-    headline = queries["identify_full"]
+    headline = queries.get("identify_full")
     print(json.dumps({
         "metric": "identify_full seconds (pages parquet -> identifiers parquet)",
         "value": headline,
         "unit": "sec",
         "queries": queries,
+        "errors": errors,
         "sf": SF_DIR,
         "num_cpus": NCPU,
         "identify_attempts": attempts,
