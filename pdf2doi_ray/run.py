@@ -62,6 +62,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--report", metavar="FILE",
                    help="also write the reference-format fixed-width "
                         "identifier report to FILE")
+    p.add_argument("--clip", metavar="FILE", nargs="?", const="-",
+                   help="reference -clip parity: newline-join the VALIDATED "
+                        "identifiers (url order) to the system clipboard if "
+                        "pyperclip is available, plus FILE (or stdout)")
     p.add_argument("--online", action="store_true",
                    help="enable BOTH online stages (websearch methods 4-5 "
                         "and dx.doi.org-style validation) with real "
@@ -223,6 +227,17 @@ def main(argv=None) -> int:
 
         ids = ray.data.read_parquet(args.output)
         summary["report_lines"] = write_report(ids, args.report)
+
+    if args.clip:
+        import ray.data
+
+        from .pipelines.identify import clip_sink
+
+        ids = ray.data.read_parquet(args.output)
+        text = clip_sink(ids, None if args.clip == "-" else args.clip)
+        if args.clip == "-":
+            sys.stdout.write(text)
+        summary["clip_identifiers"] = text.count("\n")
 
     print(json.dumps(summary))
     ray.shutdown()

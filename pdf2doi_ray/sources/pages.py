@@ -101,7 +101,17 @@ def synthesize_pages(batch: pd.DataFrame, replication: int = 1) -> pd.DataFrame:
         [np.isin(slot, (3, 4, 13)), slot == 5],
         ["10." + reg + "%2Fu" + K + ".pdf", ym + "." + n5 + ".pdf"],
         default="page-" + K + ".html"))
-    url = "https://" + site + "/docs/" + basename
+    # urls must be a KEY per crawl (the contract every url-keyed operator —
+    # dedup-by-url, resume, crawl diff — relies on).  Every basename embeds
+    # the unique k except slot 5, whose arXiv-shaped name ym.n5.pdf is
+    # periodic in k (period 90 000) BY DESIGN: the filename finder must see
+    # exactly that shape.  At replication>1 (bench scale, where k crosses
+    # the period) slot-5 urls are uniquified through a path segment instead,
+    # which the basename-only filename finder never reads; at the oracle's
+    # replication=1 scale nothing changes, so the SQL url arithmetic holds.
+    seg = pd.Series(np.where(slot == 5, "p" + K + "/", "")) if R > 1 \
+        else ""
+    url = "https://" + site + "/docs/" + seg + basename
 
     bk, bv = BENIGN_META
     benign = f'<meta name="{bk}" content="{bv}">'

@@ -888,12 +888,17 @@ def wordset_jaccard_adjacent(docs, stitch_shards: int = DEFAULT_STITCH_SHARDS,
 
 def simhash64(text: str) -> int:
     """63-bit simhash over whitespace tokens (deterministic, vectorized:
-    one ``unpackbits`` + column sum per document)."""
+    one ``unpackbits`` + column sum per document).
+
+    Token hash: first 8 bytes of md5, big-endian — chosen over blake2b so
+    an independent SQL engine can recompute the value exactly
+    (``('0x' || substr(md5(tok), 1, 16))::UBIGINT`` in DuckDB), making the
+    whole simhash driver-verifiable, not just golden-locked."""
     toks = text.split()
     if not toks:
         return 0
-    digest = b"".join(hashlib.blake2b(tok.encode("utf-8"),
-                                      digest_size=8).digest() for tok in toks)
+    digest = b"".join(hashlib.md5(tok.encode("utf-8")).digest()[:8]
+                      for tok in toks)
     bits = np.unpackbits(np.frombuffer(digest, dtype=np.uint8))
     acc = (2 * bits.reshape(len(toks), 64).astype(np.int64) - 1).sum(axis=0)
     weights = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
@@ -903,10 +908,12 @@ def simhash64(text: str) -> int:
 
 def simhash_table(docs):
     """Per-doc simhash, batch-vectorized: tokens of the WHOLE batch are
-    factorized once (pandas C kernel) so blake2b runs once per UNIQUE token
+    factorized once (pandas C kernel) so md5 runs once per UNIQUE token
     — on natural text a ~10× cut vs hashing every occurrence — then each
     doc's bit-vote sum is one numpy gather+sum.  Values are byte-identical
-    to the scalar :func:`simhash64` (locked by ``tests/golden_impl.py``)."""
+    to the scalar :func:`simhash64` (locked by ``tests/golden_impl.py``)
+    and to the driver's DuckDB oracle (md5 token hash, see
+    :func:`simhash64`)."""
     import pandas as pd
 
     weights = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
@@ -918,8 +925,7 @@ def simhash_table(docs):
         vals = np.zeros(len(texts), dtype=np.int64)
         if flat:
             codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
-            dig = b"".join(hashlib.blake2b(u.encode("utf-8"),
-                                           digest_size=8).digest()
+            dig = b"".join(hashlib.md5(u.encode("utf-8")).digest()[:8]
                            for u in uniques)
             bits = np.unpackbits(np.frombuffer(dig, dtype=np.uint8))
             pm = 2 * bits.reshape(len(uniques), 64).astype(np.int64) - 1

@@ -272,6 +272,14 @@ def _pagerank_broadcast(edges, nodes, n_iters: int, damping_pct: int,
     the driver and is broadcast per round; edge blocks are index-encoded
     once and never move.  ``np.add.at`` keeps the scatter-sum exact in
     int64 (``np.bincount`` weights would detour through float64).
+
+    Memory bounds: the rank vector costs n×8 B on the driver and per
+    broadcast copy; the per-block dense partials are TREE-REDUCED inside
+    the cluster (fan-in 16, two levels), so the driver receives exactly
+    ONE n×8 B row per round regardless of block count and no single
+    reduce task holds more than ceil(blocks/16)+1 partials.  Past driver
+    RAM (n ≳ 10^9) use ``mode="shuffle"`` — sparse (node, contrib) rows
+    through the groupby exchange, no dense vector anywhere.
     """
     import ray
     import ray.data
@@ -305,11 +313,25 @@ def _pagerank_broadcast(edges, nodes, n_iters: int, damping_pct: int,
 
     enc = edges.map_batches(encode, batch_format="pyarrow").materialize()
 
-    def _vec_sum(parts, default_len):
-        acc = np.zeros(default_len, dtype=np.int64)
-        for p in parts:
-            acc += np.frombuffer(p["part"], dtype=np.int64)
-        return acc
+    def _combine_parts(t: pa.Table) -> pa.Table:
+        acc = np.zeros(n, dtype=np.int64)
+        for buf in t["part"].to_pylist():
+            acc += np.frombuffer(buf, dtype=np.int64)
+        return pa.table({"part": pa.array([acc.tobytes()],
+                                          type=pa.binary())})
+
+    def _vec_sum(parts_ds, fanin: int = 16):
+        # tree-reduce the dense partials IN the cluster: the driver pulls
+        # exactly one n×8 B row however many blocks emitted partials
+        if enc.num_blocks() > fanin:
+            parts_ds = parts_ds.repartition(fanin).map_batches(
+                _combine_parts, batch_size=None, batch_format="pyarrow")
+        rows = parts_ds.repartition(1).map_batches(
+            _combine_parts, batch_size=None,
+            batch_format="pyarrow").take_all()
+        if not rows:                       # edge-less graph: no partials
+            return np.zeros(n, dtype=np.int64)
+        return np.frombuffer(rows[0]["part"], dtype=np.int64)
 
     def deg_part(t: pa.Table) -> pa.Table:
         si = np.asarray(t["si"].combine_chunks())
@@ -317,9 +339,8 @@ def _pagerank_broadcast(edges, nodes, n_iters: int, damping_pct: int,
             [np.bincount(si, minlength=n).astype(np.int64).tobytes()],
             type=pa.binary())})
 
-    outdeg = _vec_sum(
-        enc.map_batches(deg_part, batch_size=None,
-                        batch_format="pyarrow").take_all(), n)
+    outdeg = _vec_sum(enc.map_batches(deg_part, batch_size=None,
+                                      batch_format="pyarrow"))
     od_ref = ray.put(outdeg)
 
     base = (scale * (100 - damping_pct)) // 100
@@ -339,7 +360,7 @@ def _pagerank_broadcast(edges, nodes, n_iters: int, damping_pct: int,
 
         r = base + _vec_sum(
             enc.map_batches(round_part, batch_size=None,
-                            batch_format="pyarrow").take_all(), n)
+                            batch_format="pyarrow"))
 
     final_ref = ray.put(r)
 

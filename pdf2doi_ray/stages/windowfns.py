@@ -44,17 +44,27 @@ def grouped_top_k(ds, group_col: str, order_col: str, tie_col: str,
 
     (tie_col must be unique within a group for a deterministic result.)
     """
-    import pandas as pd
-
     cols = [group_col, order_col, tie_col]
 
-    def _keep_k(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values([group_col, order_col, tie_col],
-                            ascending=[True, False, True], kind="mergesort")
-        return df.groupby(group_col, sort=False).head(k)
+    def _sorted_with_pos(t: pa.Table):
+        """Arrow C sort on (group ASC, order DESC, tie ASC) + vectorized
+        position-within-group (boundary mask → segment-start accumulate)."""
+        st = t.sort_by([(group_col, "ascending"), (order_col, "descending"),
+                        (tie_col, "ascending")])
+        g = one_chunk(st[group_col])
+        m = len(g)
+        new_grp = np.ones(m, dtype=bool)
+        if m > 1:
+            ne = pc.fill_null(pc.not_equal(g.slice(1), g.slice(0, m - 1)),
+                              True)
+            new_grp[1:] = np.asarray(ne, dtype=bool)
+        idx = np.arange(m, dtype=np.int64)
+        seg_start = np.maximum.accumulate(np.where(new_grp, idx, 0))
+        return st, idx - seg_start
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return _keep_k(df[cols])
+    def partial(t: pa.Table) -> pa.Table:
+        st, pos = _sorted_with_pos(t.select(cols))
+        return st.filter(pa.array(pos < k))
 
     def bucket_of(t: pa.Table) -> np.ndarray:
         import pandas as pd
@@ -67,12 +77,14 @@ def grouped_top_k(ds, group_col: str, order_col: str, tie_col: str,
             & np.int64(0x7FFFFFFFFFFFFFFF)
 
     def merge_bucket(t: pa.Table) -> pa.Table:
-        df = _keep_k(t.to_pandas())
-        df["rank"] = df.groupby(group_col, sort=False).cumcount() + 1
-        return pa.Table.from_pandas(df[[group_col, "rank", order_col,
-                                        tie_col]], preserve_index=False)
+        st, pos = _sorted_with_pos(t)
+        keep = pos < k
+        st = st.filter(pa.array(keep))
+        return st.append_column(
+            "rank", pa.array(pos[keep] + 1, type=pa.int64())) \
+            .select([group_col, "rank", order_col, tie_col])
 
-    partials = ds.map_batches(partial, batch_format="pandas")
+    partials = ds.map_batches(partial, batch_format="pyarrow")
     # ≤ k rows per group per batch survive; the bucketed merge is the same
     # sharded-stitch machinery the sorted-block operators use
     return sharded_stitch(partials, bucket_of, merge_bucket,

@@ -9,7 +9,7 @@ rows-check (VERDICT round 1, next-round item 3)."""
 from __future__ import annotations
 
 import struct
-from hashlib import blake2b
+from hashlib import blake2b, md5
 
 import numpy as np
 
@@ -98,7 +98,7 @@ def simhash(text: str) -> int:
         return 0
     acc = [0] * 64
     for tok in toks:
-        d = blake2b(tok.encode("utf-8"), digest_size=8).digest()
+        d = md5(tok.encode("utf-8")).digest()[:8]
         bits = int.from_bytes(d, "big")
         for j in range(64):
             # bit order of np.unpackbits: MSB-first within each byte,

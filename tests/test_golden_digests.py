@@ -51,15 +51,16 @@ def test_winnow_matches_independent_impl():
 
     out = e.queries()["winnow_fingerprints"](SF).to_pandas()
     docs = _docs_dict()
-    assert len(out) == len(docs)
-    for doc_id, nfp, dig in zip(out["doc_id"], out["n_fingerprints"],
-                                out["fp_digest"]):
-        fps = G.winnow(docs[int(doc_id)])
-        assert int(nfp) == len(fps), doc_id
-        want = hashlib.blake2b(
-            b"".join(int(x).to_bytes(8, "big") for x in fps),
-            digest_size=8).hexdigest()
-        assert dig == want, doc_id
+    got = {}
+    for doc_id, seq, fp in zip(out["doc_id"], out["seq"],
+                               out["fingerprint"]):
+        got.setdefault(int(doc_id), {})[int(seq)] = int(fp)
+    assert set(got) == set(docs)
+    for doc_id, text in docs.items():
+        fps = G.winnow(text)
+        seqs = got[doc_id]
+        assert sorted(seqs) == list(range(len(fps))), doc_id
+        assert [seqs[i] for i in range(len(fps))] == fps, doc_id
 
 
 def _exact_topk(k=10):

@@ -36,6 +36,19 @@ def _to_df(res) -> pd.DataFrame:
     return pd.DataFrame(res)
 
 
+def test_documents_text_is_ascii():
+    # the winnow_fingerprints SQL oracle uses ascii(substr(text, i, 1)) as
+    # the BYTE at position i — exact only while the synthetic documents
+    # texts are pure ASCII (they are; this pins the assumption)
+    con = duckdb.connect()
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        ok, min_len = con.execute(
+            "SELECT bool_and(text = encode(text)::VARCHAR), min(len(text)) "
+            f"FROM read_parquet('{sf}/documents.parquet')").fetchone()
+        assert ok, f"non-ASCII document text in {sf}"
+        assert min_len >= 5, "sub-k-gram text would hit the non-SQL path"
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_all_queries_match_oracles():
     import __ray_entry__ as entrymod

@@ -1,0 +1,122 @@
+"""Round-4 fixes (VERDICT r3): clipboard-sink byte parity with the
+reference's -clip loop, slot-5 url uniqueness under replication, and the
+documented semantics of url-keyed operators when keys DO duplicate."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _reference_clip_loop(results) -> str:
+    # reference/pdf2doi/main.py:229-241, verbatim logic: concatenate
+    # identifier + '\n' for truthy validation_info, in iteration order
+    text = ""
+    for result in results:
+        if result["validation_info"]:
+            text = text + result["identifier"] + "\n"
+    return text
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_clip_text_matches_reference_loop():
+    import ray.data
+
+    from pdf2doi_ray.pipelines.identify import clip_text
+
+    rows = [
+        {"url": "https://a/3.pdf", "identifier": "10.1/c",
+         "validation_info": "True"},
+        {"url": "https://a/1.pdf", "identifier": "10.1/a",
+         "validation_info": "True"},
+        {"url": "https://a/2.pdf", "identifier": None,
+         "validation_info": None},          # unvalidated: skipped entirely
+        {"url": "https://a/0.pdf", "identifier": "10.1/z",
+         "validation_info": ""},            # falsy string: skipped (ref: if)
+        {"url": "https://a/4.pdf", "identifier": "2201.00001",
+         "validation_info": "True"},
+    ]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(3)
+    got = clip_text(ds)
+    want = _reference_clip_loop(sorted(rows, key=lambda r: r["url"]))
+    assert got == want
+    assert got == "10.1/a\n10.1/c\n2201.00001\n"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_clip_text_empty_and_all_invalid():
+    import ray.data
+
+    from pdf2doi_ray.pipelines.identify import clip_text
+
+    ds = ray.data.from_arrow(pa.Table.from_pylist(
+        [{"url": "u", "identifier": None, "validation_info": None}]))
+    assert clip_text(ds) == ""
+
+
+def test_slot5_urls_unique_under_replication():
+    from pdf2doi_ray.sources.pages import synthesize_pages
+
+    # k = doc_id*R + r; k=45 and k=90045 are both slot 5 and collide in
+    # every basename component (period 90 000): ym, n5, site all match
+    batch = pd.DataFrame({
+        "doc_id": [22, 45022],
+        "text": ["alpha beta", "gamma delta"],
+        "lang": ["en", "en"],
+    })
+    out = synthesize_pages(batch, replication=2)
+    assert len(out) == 4
+    assert out["url"].nunique() == 4, out["url"].tolist()
+    k45 = out.loc[out.index[1], "url"]        # doc 22, r=1 -> k=45, slot 5
+    assert "/docs/p45/" in k45
+    assert k45.endswith(".pdf")
+    # basename unchanged: the filename finder still sees the arXiv shape
+    assert k45.rsplit("/", 1)[1] == "1045.10585.pdf"
+
+
+def test_replication1_urls_unchanged():
+    from pdf2doi_ray.sources.pages import synthesize_pages
+
+    batch = pd.DataFrame({"doc_id": [45], "text": ["t"], "lang": ["en"]})
+    out = synthesize_pages(batch, replication=1)
+    # exactly the SQL oracle's arithmetic — no uniquifying segment at R=1
+    assert out.loc[0, "url"] == \
+        "https://site45.example.org/docs/1045.10585.pdf"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_crawl_diff_duplicate_keys_pairing_semantics():
+    """crawl_diff is a full-outer join on the key: a key occurring m times
+    in the current crawl and n times in the previous yields m*n rows, one
+    per pairing — the documented behavior when callers violate the
+    keys-are-unique-per-crawl contract (sources/pages.py)."""
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import crawl_diff
+
+    curr = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(["u", "u", "v"], type=pa.string()),
+        "text": ["A", "B", "C"],
+    }))
+    prev = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(["u"], type=pa.string()),
+        "text": ["A"],
+    }))
+    out = crawl_diff(curr, prev, key_col="doc_id", num_partitions=2,
+                     key_type=pa.string()).to_pandas()
+    got = sorted(map(tuple, out[["doc_id", "status"]].values.tolist()))
+    assert got == [("u", "changed"), ("u", "unchanged"), ("v", "added")]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_by_url_collapses_duplicates():
+    import ray.data
+
+    from pdf2doi_ray.state.checkpoint import dedup_by_url
+
+    t = pa.table({
+        "url": ["a", "a", "a", "b"],
+        "identifier": ["1", "1", "1", "2"],
+    })
+    out = dedup_by_url(ray.data.from_arrow(t).repartition(2)).to_pandas()
+    assert sorted(out["url"]) == ["a", "b"]
