@@ -1549,6 +1549,30 @@ def _q_customer_orders_left_join(sf_dir: str):
         project=["c_custkey", "c_name", "o_orderkey", "o_orderstatus"])
 
 
+def _q_dup_ngram_spans(sf_dir: str):
+    """Exact duplicated-span detection (word 5-grams, Lee et al. 2021
+    style): first corpus-wide occurrence of each gram keeps, repeats
+    flag for removal."""
+    from pdf2doi_ray.stages.corpus import dup_ngram_spans
+    return dup_ngram_spans(_docs(sf_dir, ("doc_id", "text")),
+                           num_partitions=4)
+
+
+_BLOCKED_SITES = ("7", "19", "23", "41")     # deterministic curated list
+
+
+def _q_host_blocklist(sf_dir: str):
+    from pdf2doi_ray.stages.skew import filter_blocked_hosts
+    blocked = [f"site{s}.example.org" for s in _BLOCKED_SITES]
+    return filter_blocked_hosts(_pages(sf_dir), blocked,
+                                keep_cols=("url", "lang"))
+
+
+def _q_shard_assignment(sf_dir: str):
+    from pdf2doi_ray.stages.export import shard_assignment
+    return shard_assignment(_docs(sf_dir, ("doc_id",)), n_shards=16)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -1611,6 +1635,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "oov_rate": _q_oov_rate,
         "passage_windows": _q_passage_windows,
         # --- round-5 rotation candidates (never driver-checked) ---
+        "dup_ngram_spans": _q_dup_ngram_spans,
+        "host_blocklist_filter": _q_host_blocklist,
+        "shard_assignment": _q_shard_assignment,
         "sample_intersect": _q_sample_intersect,
         "sample_except": _q_sample_except,
         "extraction_rate_by_host": _q_rate_by_host,
@@ -2120,6 +2147,46 @@ FROM firsts
 UNION ALL
 SELECT doc_id, CAST(0 AS BIGINT) AS seq, MIN(hv) AS fingerprint
 FROM h WHERE m <= 8 GROUP BY doc_id
+""",
+        # word 5-grams, md5 63-bit hash, first occurrence by (doc, pos)
+        # encoding wins — DuckDB list slice is 1-based inclusive
+        "dup_ngram_spans": """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents
+),
+g AS (
+  SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
+         array_to_string(tk[CAST(t.i+1 AS INT):CAST(t.i+5 AS INT)],
+                         ' ') AS gram
+  FROM toks, unnest(range(0, len(tk) - 4)) AS t(i)
+),
+h AS (
+  SELECT doc_id, pos,
+         CAST((('0x' || substr(md5(gram), 1, 16))::UBIGINT >> 1)
+              AS BIGINT) AS gram_hash,
+         doc_id * 1048576 + pos AS enc
+  FROM g
+)
+SELECT doc_id, pos, gram_hash,
+       enc = MIN(enc) OVER (PARTITION BY gram_hash) AS keep
+FROM h
+""",
+        "host_blocklist_filter": f"""
+WITH d AS ({_D})
+SELECT {_URL} AS url, lang,
+       'site' || site || '.example.org' AS host
+FROM d WHERE site NOT IN ('7', '19', '23', '41')
+""",
+        "shard_assignment": """
+WITH h AS (
+  SELECT doc_id,
+         CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+               ::UBIGINT >> 1) AS BIGINT) AS shard_hash
+  FROM documents
+)
+SELECT doc_id, shard_hash % 16 AS shard, shard_hash FROM h
 """,
         "tfidf_top_terms": """
 WITH tok AS (

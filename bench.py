@@ -29,9 +29,14 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 REPL = int(os.environ.get("BENCH_REPLICATION", "240"))
-# RAM-backed scratch: bench I/O must not measure the sandbox disk
+# RAM-backed scratch: bench I/O must not measure the sandbox disk.
+# FIXTURE_V keys the cache to the synthesizer version: bump it whenever
+# sources/pages.py changes the page recipe (v2 = unique slot-5 urls under
+# replication), or a stale cache silently benches the old fixture.
 SCRATCH = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
-PAGES_DIR = f"{SCRATCH}/pdf2doi_bench_pages_{SF_DIR.strip('/').replace('/', '_')}_r{REPL}"
+FIXTURE_V = "v2"
+PAGES_DIR = (f"{SCRATCH}/pdf2doi_bench_pages_{FIXTURE_V}_"
+             f"{SF_DIR.strip('/').replace('/', '_')}_r{REPL}")
 
 
 def ensure_pages(ray):
@@ -388,6 +393,33 @@ def main() -> None:
 
     if not headline_only:
         bench_query("top_bigrams_docs", q_bigrams)
+
+    # exact duplicated-span detection over the documents table: token-level
+    # gram explode (~2.5M grams at sf0.1) -> combiner -> groupby Min ->
+    # hash join back; the gram stream deliberately re-executes for its two
+    # consumers instead of materializing (see the op docstring)
+    def q_dup_spans():
+        from pdf2doi_ray.stages.corpus import dup_ngram_spans
+        docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet",
+                                     columns=["doc_id", "text"])
+        n = dup_ngram_spans(docs, num_partitions=8).count()
+        assert n > 0, n
+
+    if not headline_only:
+        bench_query("dup_ngram_spans_docs", q_dup_spans)
+
+    # deterministic hash-shard export of all pages: one streaming
+    # partitioned write (the resumable-output story at its real width)
+    def q_export_shards():
+        import shutil
+
+        from pdf2doi_ray.stages.export import export_training_shards
+        d = f"{SCRATCH}/pdf2doi_bench_shards"
+        shutil.rmtree(d, ignore_errors=True)
+        export_training_shards(pages_as_docs(), d, n_shards=32)
+
+    if not headline_only:
+        bench_query("export_shards_pages", q_export_shards)
 
     # large x large hash join (lineitem x orders at this sf): the native
     # hash-partitioned exchange — both sides shuffle, nothing broadcasts

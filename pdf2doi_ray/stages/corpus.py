@@ -1739,3 +1739,104 @@ def pack_sequences(docs, seq_len: int = 64, stitch_shards=None,
                             "n_tokens": t["n_events"],
                             "text": t["path"]}),
         batch_format="pyarrow")
+
+
+# --- exact duplicated-span detection (word n-grams) ------------------------
+
+NGRAM_SPAN_N = 5
+_SPAN_POS_BITS = 20          # ≤ ~1M tokens per document
+_SPAN_DOC_BITS = 42
+
+
+def dup_ngram_spans(docs, n: int = NGRAM_SPAN_N, num_partitions: int = 8):
+    """Exact duplicated-span detection — the word-n-gram variant of the
+    suffix-array pass in Lee et al., *Deduplicating Training Data Makes
+    Language Models Better* (2021): every corpus-wide occurrence of a word
+    n-gram is flagged ``keep = this is the first occurrence`` by
+    (doc_id, pos) order, so a downstream rewrite can drop every repeated
+    span while provably retaining one copy.
+
+    Plan (the line-dedup shape at token granularity):
+
+    1. explode each doc into (gram_hash, doc_id, pos) rows — grams are
+       md5-hashed once per UNIQUE gram per batch (same factorize trick as
+       ``dedup.simhash_table``; md5 so DuckDB recomputes the hash exactly);
+    2. per-batch combiner: min encoded (doc, pos) per hash, one row per
+       distinct gram per batch into
+    3. ONE ``groupby(gram_hash).Min`` — the winner per gram; then
+    4. ONE hash join of the gram stream against the winners; keep is a
+       vectorized equality.
+
+    The gram stream feeds two consumers (the combiner and the join) and is
+    deliberately NOT materialized: at corpus scale the token-level stream
+    dwarfs the object store, so it re-executes once instead (one extra CPU
+    pass over cached input blocks — the standard recompute-vs-pin call).
+
+    Encodings: doc_id < 2^42, pos < 2^20, both RAISING guards.  Returns
+    (doc_id, pos, gram_hash, keep).
+    """
+    import pandas as pd
+    from ray.data.aggregate import Min
+
+    from ..arrowutil import one_chunk
+    from .joins import shuffle_hash_join
+
+    def explode(t: pa.Table) -> pa.Table:
+        doc_ids = np.asarray(one_chunk(t["doc_id"]), dtype=np.int64)
+        texts = one_chunk(t["text"]).to_pylist()
+        out_doc, out_pos, grams = [], [], []
+        for d, s in zip(doc_ids, texts):
+            toks = (s or "").split()
+            m = len(toks) - n + 1
+            if m >= (1 << _SPAN_POS_BITS):
+                raise ValueError("dup_ngram_spans: document exceeds the "
+                                 f"2^{_SPAN_POS_BITS} token-position budget")
+            for i in range(max(m, 0)):
+                out_doc.append(d)
+                out_pos.append(i)
+                grams.append(" ".join(toks[i:i + n]))
+        if (doc_ids >= (1 << _SPAN_DOC_BITS)).any() or (doc_ids < 0).any():
+            raise ValueError("dup_ngram_spans: doc_id outside the "
+                             f"[0, 2^{_SPAN_DOC_BITS}) encoding budget")
+        doc = np.asarray(out_doc, dtype=np.int64)
+        pos = np.asarray(out_pos, dtype=np.int64)
+        if len(grams):
+            codes, uniq = pd.factorize(np.asarray(grams, dtype=object))
+            hv = np.fromiter(
+                (int.from_bytes(hashlib.md5(u.encode("utf-8")).digest()[:8],
+                                "big") >> 1 for u in uniq),
+                dtype=np.int64, count=len(uniq))
+            h = hv[codes]
+        else:
+            h = np.empty(0, dtype=np.int64)
+        return pa.table({
+            "gram_hash": pa.array(h),
+            "doc_id": pa.array(doc),
+            "pos": pa.array(pos),
+            "enc": pa.array(doc * (1 << _SPAN_POS_BITS) + pos),
+        })
+
+    grams = docs.map_batches(explode, batch_format="pyarrow")
+
+    def combiner(t: pa.Table) -> pa.Table:
+        g = t.select(["gram_hash", "enc"]).group_by("gram_hash") \
+            .aggregate([("enc", "min")])
+        return g.select(["gram_hash", "enc_min"]) \
+            .rename_columns(["gram_hash", "enc_b"])
+
+    winners = (grams.map_batches(combiner, batch_format="pyarrow")
+               .groupby("gram_hash")
+               .aggregate(Min("enc_b", alias_name="enc_min")))
+
+    joined = shuffle_hash_join(grams, winners, on="gram_hash",
+                               num_partitions=num_partitions)
+
+    def flag(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "pos": t["pos"],
+            "gram_hash": t["gram_hash"],
+            "keep": pc.equal(t["enc"], t["enc_min"]),
+        })
+
+    return joined.map_batches(flag, batch_format="pyarrow")

@@ -1,0 +1,105 @@
+"""Deterministic training-data export: hash-shard assignment + per-shard
+partitioned Parquet.
+
+The last mile of a curation pipeline is a REPRODUCIBLE shard layout: the
+same corpus must land in the same shard files on every run (so a failed
+export resumes by skipping finished shards, and a training job can address
+shard i without a manifest).  ``ray.data.random_shuffle`` is neither
+deterministic across runs nor cheap (full all-to-all over the payload);
+hash sharding gets the same statistical de-clustering — any key locality is
+destroyed by the hash — with ONE exchange keyed by a 64-bit md5 of the
+doc id, and md5 keeps the assignment recomputable by any engine (the
+driver's DuckDB oracle included).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+
+
+def _shard_hash_vec(doc_ids: np.ndarray) -> np.ndarray:
+    """63-bit md5 hash of the DECIMAL doc-id string (factorize-free: ids
+    are already unique, one md5 per row is the floor).  Matches DuckDB's
+    ``('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT >> 1``
+    exactly."""
+    return np.fromiter(
+        (int.from_bytes(hashlib.md5(str(int(d)).encode()).digest()[:8],
+                        "big") >> 1 for d in doc_ids),
+        dtype=np.int64, count=len(doc_ids))
+
+
+def shard_assignment(docs, n_shards: int = 64):
+    """(doc_id, …) → (doc_id, shard, shard_hash): the pure assignment
+    table.  ``shard = md5_63(doc_id) % n_shards``; ``shard_hash`` is kept
+    so consumers can order WITHIN a shard deterministically (the
+    hash-order is the reproducible stand-in for a random permutation)."""
+    from ..arrowutil import one_chunk
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = np.asarray(one_chunk(t["doc_id"]), dtype=np.int64)
+        h = _shard_hash_vec(ids)
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "shard": pa.array(h % n_shards),
+            "shard_hash": pa.array(h),
+        })
+
+    return docs.map_batches(assign, batch_format="pyarrow")
+
+
+def export_training_shards(docs, out_dir: str, n_shards: int = 64,
+                           columns=("doc_id", "text"), resume: bool = False):
+    """Write ``docs`` as hive-partitioned ``out_dir/shard=N/*.parquet`` —
+    one directory per hash shard (never one giant file).
+
+    Two modes, same deterministic layout:
+
+    * ``resume=False`` (default, the scale path): ONE streaming
+      ``write_parquet(partition_cols=["shard"])`` pass — nothing
+      materializes, blocks flow straight from the tag stage to the
+      per-partition writers.  Row order within a shard is block-arrival
+      order; the ``shard_hash`` column is kept in the files so any reader
+      recovers the canonical order with a per-shard (small) sort.
+    * ``resume=True``: per-shard loop that skips every directory already
+      stamped ``_SHARD_DONE`` — a crashed export re-runs only the missing
+      shards (the assignment is deterministic, so a finished shard is
+      finished forever).  Costs one materialize of the tagged stream;
+      meant for re-entry, not the first pass.
+
+    Returns the list of shard ids written this run.
+    """
+    from ..arrowutil import one_chunk
+
+    cols = list(columns)
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = np.asarray(one_chunk(t["doc_id"]), dtype=np.int64)
+        h = _shard_hash_vec(ids)
+        return t.select(cols) \
+            .append_column("shard", pa.array(h % n_shards)) \
+            .append_column("shard_hash", pa.array(h))
+
+    tagged = docs.map_batches(tag, batch_format="pyarrow")
+    if not resume:
+        tagged.write_parquet(out_dir, partition_cols=["shard"])
+        return list(range(n_shards))
+
+    tagged = tagged.materialize()
+    written = []
+    for s in range(n_shards):
+        sdir = os.path.join(out_dir, f"shard={s}")
+        if os.path.exists(os.path.join(sdir, "_SHARD_DONE")):
+            continue
+        part = tagged.filter(expr=f"shard == {s}").sort("shard_hash") \
+            .drop_columns(["shard"])         # the hive dir carries shard=
+        os.makedirs(sdir, exist_ok=True)
+        if part.count() > 0:
+            part.write_parquet(sdir)
+        with open(os.path.join(sdir, "_SHARD_DONE"), "w") as f:
+            f.write("ok")
+        written.append(s)
+    return written

@@ -60,3 +60,31 @@ def pages_per_host(pages, n_salts: int = DEFAULT_SALTS):
     # phase 2: merge the ≤ n_salts partials per host (tiny)
     return (phase1.groupby("host")
             .aggregate(Sum("n", alias_name="n_pages")))
+
+
+def filter_blocked_hosts(pages, blocked_hosts, keep_cols=("url", "lang")):
+    """C4-style domain blocklist filter: drop every page whose host is in
+    ``blocked_hosts`` (the reference-scale analog of the "bad domains"
+    list every web-corpus curation run applies first).
+
+    The blocklist is a SMALL side by definition (a curated list, not
+    data-derived): it broadcasts once via ``ray.put`` and every task reads
+    the shared copy — never re-shipped per batch, never a shuffle join.
+    The membership test is one vectorized ``pc.is_in`` over the
+    batch-extracted hosts.  Returns the kept pages projected to
+    ``keep_cols`` + ``host``.
+    """
+    import ray
+
+    bl_ref = ray.put(pa.array(sorted(set(blocked_hosts)), type=pa.string()))
+    cols = list(keep_cols)
+
+    def keep(t: pa.Table) -> pa.Table:
+        urls = t["url"].combine_chunks() \
+            if isinstance(t["url"], pa.ChunkedArray) else t["url"]
+        hosts = _hosts_vec(urls)
+        mask = pc.invert(pc.is_in(hosts, value_set=ray.get(bl_ref)))
+        out = t.select(cols).append_column("host", hosts)
+        return out.filter(mask)
+
+    return pages.map_batches(keep, batch_format="pyarrow")

@@ -1,0 +1,127 @@
+"""Round-4 new operators: exact duplicated-span detection, host blocklist
+filter, deterministic shard export (their SQL oracles are exercised by
+test_oracle_parity.py; these tests pin semantics the SQL cannot —
+brute-force span parity, writer layout, resume skip)."""
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _brute_dup_spans(texts_by_id: dict[int, str], n: int = 5):
+    """Independent reference: first (doc,pos) occurrence of each gram."""
+    occ = {}
+    rows = []
+    for d in sorted(texts_by_id):
+        toks = texts_by_id[d].split()
+        for i in range(max(len(toks) - n + 1, 0)):
+            g = " ".join(toks[i:i + n])
+            h = int.from_bytes(
+                hashlib.md5(g.encode()).digest()[:8], "big") >> 1
+            first = occ.setdefault(h, (d, i))
+            rows.append((d, i, h, first == (d, i)))
+    return sorted(rows)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dup_ngram_spans_matches_brute_force():
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import dup_ngram_spans
+
+    texts = {
+        0: "a b c d e f g h",               # grams at pos 0..3
+        1: "x a b c d e f y",               # shares 'a b c d e' & 'b c d e f'
+        2: "a b c d e f g h",               # full duplicate of doc 0
+        3: "q r s",                          # too short: no grams
+    }
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(sorted(texts), type=pa.int64()),
+        "text": [texts[k] for k in sorted(texts)],
+    })).repartition(3)
+    out = dup_ngram_spans(ds, num_partitions=2).to_pandas()
+    got = sorted(map(tuple, out[["doc_id", "pos", "gram_hash",
+                                 "keep"]].values.tolist()))
+    assert got == _brute_dup_spans(texts)
+    # the duplicate doc keeps NOTHING (every gram first occurred in doc 0)
+    assert not out[out["doc_id"] == 2]["keep"].any()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dup_ngram_spans_budget_guards():
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import dup_ngram_spans
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1 << 42], type=pa.int64()),
+        "text": ["a b c d e f"],
+    }))
+    with pytest.raises(Exception, match="encoding budget"):
+        dup_ngram_spans(ds).materialize()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_filter_blocked_hosts():
+    import ray.data
+
+    from pdf2doi_ray.stages.skew import filter_blocked_hosts
+
+    urls = [f"https://site{i}.example.org/docs/p{i}.html" for i in range(6)]
+    ds = ray.data.from_arrow(pa.table({
+        "url": urls, "lang": ["en"] * 6}))
+    out = filter_blocked_hosts(
+        ds, ["site1.example.org", "site4.example.org"]).to_pandas()
+    assert sorted(out["host"]) == [f"site{i}.example.org"
+                                   for i in (0, 2, 3, 5)]
+    assert list(out.columns) == ["url", "lang", "host"]
+    # everything blocked -> empty result, no crash
+    empty = filter_blocked_hosts(
+        ds, [f"site{i}.example.org" for i in range(6)]).count()
+    assert empty == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_export_training_shards_stream_layout(tmp_path):
+    import ray.data
+
+    from pdf2doi_ray.stages.export import (_shard_hash_vec,
+                                           export_training_shards)
+
+    ids = np.arange(200, dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids),
+        "text": [f"doc {i}" for i in ids],
+    })).repartition(4)
+    out = str(tmp_path / "shards")
+    export_training_shards(ds, out, n_shards=8)
+    back = ray.data.read_parquet(out).to_pandas()
+    assert len(back) == 200
+    assert sorted(back["doc_id"]) == list(ids)
+    # hive partitioning: shard recovered from the path must equal the hash
+    h = _shard_hash_vec(back["doc_id"].to_numpy())
+    assert (back["shard"].astype(np.int64) == h % 8).all()
+    assert sorted(os.listdir(out)) == sorted(
+        f"shard={s}" for s in set(h % 8))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_export_training_shards_resume_skips_done(tmp_path):
+    import ray.data
+
+    from pdf2doi_ray.stages.export import export_training_shards
+
+    ids = np.arange(40, dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids), "text": [f"d{i}" for i in ids]}))
+    out = str(tmp_path / "resume")
+    first = export_training_shards(ds, out, n_shards=4, resume=True)
+    assert first == [0, 1, 2, 3]
+    again = export_training_shards(ds, out, n_shards=4, resume=True)
+    assert again == []                       # every shard already stamped
+    back = ray.data.read_parquet(
+        out, file_extensions=["parquet"]).to_pandas()
+    assert sorted(back["doc_id"]) == list(ids)
