@@ -1573,6 +1573,18 @@ def _q_shard_assignment(sf_dir: str):
     return shard_assignment(_docs(sf_dir, ("doc_id",)), n_shards=16)
 
 
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup (cluster -> within-cluster cosine pairs -> prune): no SQL
+    oracle (k-means); locked by the planted-cluster golden test in
+    tests/test_round4_ops.py."""
+    import ray.data
+
+    from pdf2doi_ray.stages.similarity import semantic_dedup
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    return semantic_dedup(emb, k=8, iters=5, threshold=0.95)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -1638,6 +1650,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngram_spans": _q_dup_ngram_spans,
         "host_blocklist_filter": _q_host_blocklist,
         "shard_assignment": _q_shard_assignment,
+        "semantic_dedup": _q_semantic_dedup,
         "sample_intersect": _q_sample_intersect,
         "sample_except": _q_sample_except,
         "extraction_rate_by_host": _q_rate_by_host,

@@ -527,3 +527,79 @@ def kmeans_fixed(embeddings, k: int = 8, iters: int = 5,
     if return_history:
         return out, cents, history
     return out
+
+
+def semantic_dedup(embeddings, k: int = 8, iters: int = 5,
+                   threshold: float = 0.95, max_cluster: int = 100_000):
+    """SemDeDup (Abbas et al., 2023, arXiv:2303.09540): k-means the
+    embedding space, find cosine-similar pairs WITHIN each cluster only,
+    connected-component the pairs, keep the min ``vec_id`` per component.
+    The cluster partition bounds pairwise work to Σ|cluster|² instead of
+    n² — ``k`` is the paper's cost/recall knob (cross-cluster duplicates
+    are missed BY DESIGN; that approximation is the algorithm).
+
+    Plan (no joins until the final prune):
+
+    * :func:`kmeans_fixed` broadcast rounds produce the centroids
+      (deterministic seeds, fixed iterations);
+    * ONE more broadcast pass labels each batch with vectors attached,
+      so the per-cluster stage needs no vec_id join;
+    * ``groupby(cluster).map_groups``: one numpy normalized-matmul per
+      cluster (RAISES above ``max_cluster`` — past that size pairwise is
+      the wrong tool: raise ``k``);
+    * :func:`..stages.graph.prune_near_dups` drops non-representatives
+      via the broadcast anti-join — the corpus side never shuffles.
+
+    Returns the surviving (vec_id) rows.
+    """
+    import ray
+
+    from .graph import prune_near_dups
+
+    # consumed by kmeans (itself materializing), the assign pass and the
+    # final prune — pin once instead of re-executing upstream three times
+    embeddings = embeddings.materialize()
+    _, cents, _ = kmeans_fixed(embeddings, k=k, iters=iters,
+                               return_history=True)
+    cref = ray.put(cents)
+
+    def assign_with_vec(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        mat = _stack(t["embedding"]).astype(np.float64)
+        d2 = ((mat * mat).sum(1)[:, None] - 2.0 * mat @ c.T
+              + (c * c).sum(1)[None, :])
+        return t.select(["vec_id", "embedding"]).append_column(
+            "cluster", pa.array(d2.argmin(1).astype(np.int64)))
+
+    labeled = embeddings.map_batches(assign_with_vec,
+                                     batch_format="pyarrow")
+
+    def pairs_of(g: pa.Table) -> pa.Table:
+        ids = _ids(g["vec_id"])
+        if len(ids) > max_cluster:
+            raise ValueError(
+                f"semantic_dedup: cluster of {len(ids)} rows exceeds "
+                f"max_cluster={max_cluster}; raise k (pairwise inside a "
+                "cluster is quadratic by design)")
+        mat = _stack(g["embedding"]).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0.0] = 1.0            # zero vectors: cosine 0
+        nm = mat / norms[:, None]
+        sims = nm @ nm.T
+        a, b = np.triu_indices(len(ids), 1)
+        hit = sims[a, b] >= threshold
+        ia, ib = ids[a[hit]], ids[b[hit]]
+        return pa.table({
+            "vec_a": pa.array(np.minimum(ia, ib), type=pa.int64()),
+            "vec_b": pa.array(np.maximum(ia, ib), type=pa.int64()),
+        })
+
+    pairs = labeled.groupby("cluster").map_groups(
+        pairs_of, batch_format="pyarrow")
+
+    # prune the id PROJECTION: the anti-join must not carry the vector
+    # payload (Acero rejects list columns in join inputs, and the ids are
+    # all a downstream rewrite needs to filter the corpus)
+    ids_only = embeddings.map_batches(lambda t: t.select(["vec_id"]),
+                                      batch_format="pyarrow")
+    return prune_near_dups(ids_only, pairs)

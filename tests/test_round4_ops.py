@@ -125,3 +125,67 @@ def test_export_training_shards_resume_skips_done(tmp_path):
     back = ray.data.read_parquet(
         out, file_extensions=["parquet"]).to_pandas()
     assert sorted(back["doc_id"]) == list(ids)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_semantic_dedup_planted_clusters():
+    """SemDeDup end-to-end on unambiguous geometry: 4 well-separated
+    centers; within each, near-identical members must collapse to the min
+    vec_id while a distinct member survives."""
+    import ray.data
+
+    from pdf2doi_ray.stages.similarity import semantic_dedup
+
+    rng = np.random.RandomState(3)
+    centers = np.eye(4, 8) * 10.0            # far apart in 8-d
+    ids, vecs = [], []
+    expect_survivors = set()
+    vid = 0
+    for c in range(4):
+        base = centers[c] + rng.normal(0, 0.01, 8)
+        group = []
+        for m in range(3):                    # 3 near-identical copies
+            vecs.append(base + rng.normal(0, 1e-4, 8))
+            group.append(vid)
+            ids.append(vid)
+            vid += 1
+        expect_survivors.add(min(group))
+        # one genuinely different member of the same k-means cluster
+        # (same center, orthogonal-ish offset -> cosine far below 0.95)
+        other = centers[c] + rng.normal(0, 0.01, 8)
+        other[(c + 5) % 8] += 9.0
+        vecs.append(other)
+        expect_survivors.add(vid)
+        ids.append(vid)
+        vid += 1
+    # seeds: kmeans_fixed requires vec_id 0..k-1 -> k=4 seeds are the
+    # first four rows (one per planted cluster is NOT needed; Lloyd's
+    # iterations separate them from any start given the 10x gaps)
+    t = pa.table({
+        "vec_id": pa.array(ids, type=pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              type=pa.list_(pa.float32())),
+    })
+    out = semantic_dedup(ray.data.from_arrow(t).repartition(3),
+                         k=4, iters=8, threshold=0.95)
+    got = set(out.to_pandas()["vec_id"])
+    assert got == expect_survivors, (sorted(got),
+                                     sorted(expect_survivors))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_semantic_dedup_no_dups_is_identity():
+    import ray.data
+
+    from pdf2doi_ray.stages.similarity import semantic_dedup
+
+    rng = np.random.RandomState(9)
+    vecs = rng.normal(0, 1, (12, 6))          # random: no cosine >= 0.95
+    t = pa.table({
+        "vec_id": pa.array(np.arange(12), type=pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              type=pa.list_(pa.float32())),
+    })
+    out = semantic_dedup(ray.data.from_arrow(t), k=3, iters=4,
+                         threshold=0.95).to_pandas()
+    assert sorted(out["vec_id"]) == list(range(12))
