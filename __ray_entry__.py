@@ -1558,6 +1558,14 @@ def _q_dup_ngram_spans(sf_dir: str):
                            num_partitions=4)
 
 
+def _q_remove_dup_spans(sf_dir: str):
+    """Full Lee-et-al. rewrite: repeated word-5-gram spans removed, first
+    occurrence kept."""
+    from pdf2doi_ray.stages.corpus import remove_dup_spans
+    return remove_dup_spans(_docs(sf_dir, ("doc_id", "text")),
+                            num_partitions=4)
+
+
 _BLOCKED_SITES = ("7", "19", "23", "41")     # deterministic curated list
 
 
@@ -1648,6 +1656,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "passage_windows": _q_passage_windows,
         # --- round-5 rotation candidates (never driver-checked) ---
         "dup_ngram_spans": _q_dup_ngram_spans,
+        "remove_dup_spans": _q_remove_dup_spans,
         "host_blocklist_filter": _q_host_blocklist,
         "shard_assignment": _q_shard_assignment,
         "semantic_dedup": _q_semantic_dedup,
@@ -2185,6 +2194,46 @@ h AS (
 SELECT doc_id, pos, gram_hash,
        enc = MIN(enc) OVER (PARTITION BY gram_hash) AS keep
 FROM h
+""",
+        # the rewrite over the span flags: token j is removed iff some
+        # non-first gram occurrence [i, i+5) covers it
+        "remove_dup_spans": """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents
+),
+g AS (
+  SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
+         array_to_string(tk[CAST(t.i+1 AS INT):CAST(t.i+5 AS INT)],
+                         ' ') AS gram
+  FROM toks, unnest(range(0, len(tk) - 4)) AS t(i)
+),
+h AS (
+  SELECT doc_id, pos,
+         ('0x' || substr(md5(gram), 1, 16))::UBIGINT AS gh,
+         doc_id * 1048576 + pos AS enc
+  FROM g
+),
+flags AS (
+  SELECT doc_id, pos,
+         (enc = MIN(enc) OVER (PARTITION BY gh)) AS keep FROM h
+),
+tokrows AS (
+  SELECT doc_id, CAST(t.j AS BIGINT) AS j, tk[CAST(t.j+1 AS INT)] AS tok
+  FROM toks, unnest(range(0, len(tk))) AS t(j)
+),
+marked AS (
+  SELECT tr.doc_id, tr.j, tr.tok,
+         COALESCE(BOOL_OR(NOT f.keep), FALSE) AS dup
+  FROM tokrows tr LEFT JOIN flags f
+    ON f.doc_id = tr.doc_id AND f.pos BETWEEN tr.j - 4 AND tr.j
+  GROUP BY tr.doc_id, tr.j, tr.tok
+)
+SELECT doc_id,
+       COALESCE(string_agg(tok, ' ' ORDER BY j) FILTER (WHERE NOT dup),
+                '') AS text_deduped,
+       CAST(COUNT(*) FILTER (WHERE dup) AS BIGINT) AS n_removed
+FROM marked GROUP BY doc_id
 """,
         "host_blocklist_filter": f"""
 WITH d AS ({_D})

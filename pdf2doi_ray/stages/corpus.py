@@ -1840,3 +1840,79 @@ def dup_ngram_spans(docs, n: int = NGRAM_SPAN_N, num_partitions: int = 8):
         })
 
     return joined.map_batches(flag, batch_format="pyarrow")
+
+
+def remove_dup_spans(docs, n: int = NGRAM_SPAN_N, num_partitions: int = 8):
+    """The full Lee-et-al. rewrite on top of :func:`dup_ngram_spans`:
+    drop every token covered by a NON-FIRST occurrence of a word n-gram
+    (the repeated span), keeping the corpus-wide first occurrence intact.
+    Returns (doc_id, text_deduped, n_removed).
+
+    Plan: the span flags reduce to the DUPLICATED gram starts only (a
+    near-duplicate-sized set, not the corpus) — ``groupby(doc_id)`` packs
+    each doc's bad starts into ONE binary blob row (int64 LE; Acero joins
+    reject list columns, binary passes through), a left-outer hash join
+    attaches blobs to docs (null blob = clean doc), and the rewrite is a
+    per-row numpy range-mark: scatter +1/-1 deltas at span edges, cumsum,
+    mask-join the kept tokens.  The docs stream is read twice by
+    dup_ngram_spans and once here (3 passes total) — recompute over
+    pinning the token-level stream, as documented on the span op.
+    """
+    import ray.data as rd
+
+    from ..arrowutil import one_chunk
+    from .joins import shuffle_hash_join
+
+    spans = dup_ngram_spans(docs, n=n, num_partitions=num_partitions)
+
+    def bad_only(t: pa.Table) -> pa.Table:
+        keep = one_chunk(t["keep"])
+        bad = t.filter(pc.invert(keep))
+        return pa.table({"doc_id": bad["doc_id"], "pos": bad["pos"]})
+
+    def to_blob(g: pa.Table) -> pa.Table:
+        starts = np.sort(np.asarray(one_chunk(g["pos"]), dtype=np.int64))
+        return pa.table({
+            "doc_id": pa.array([g["doc_id"][0].as_py()], type=pa.int64()),
+            "bad_blob": pa.array([starts.tobytes()], type=pa.binary()),
+        })
+
+    bad = (spans.map_batches(bad_only, batch_format="pyarrow")
+           .groupby("doc_id").map_groups(to_blob, batch_format="pyarrow"))
+    # a fully-clean corpus leaves `bad` EMPTY, which this Ray build's hash
+    # join cannot take: a null-key sentinel row keeps the side non-empty
+    # and joins nothing (crawl_diff's idiom)
+    sentinel = rd.from_arrow(pa.table({
+        "doc_id": pa.array([None], type=pa.int64()),
+        "bad_blob": pa.array([b""], type=pa.binary()),
+    }))
+
+    joined = shuffle_hash_join(docs, bad.union(sentinel), on="doc_id",
+                               join_type="left_outer",
+                               num_partitions=num_partitions)
+
+    def rebuild(t: pa.Table) -> pa.Table:
+        texts = one_chunk(t["text"]).to_pylist()
+        blobs = one_chunk(t["bad_blob"]).to_pylist()
+        out, removed = [], []
+        for s, blob in zip(texts, blobs):
+            toks = (s or "").split()
+            if not blob:
+                out.append(" ".join(toks))
+                removed.append(0)
+                continue
+            starts = np.frombuffer(blob, dtype=np.int64)
+            delta = np.zeros(len(toks) + 1, dtype=np.int64)
+            np.add.at(delta, starts, 1)
+            np.add.at(delta, np.minimum(starts + n, len(toks)), -1)
+            covered = np.cumsum(delta[:-1]) > 0
+            kept = np.asarray(toks, dtype=object)[~covered]
+            out.append(" ".join(kept))
+            removed.append(int(covered.sum()))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "text_deduped": pa.array(out, type=pa.string()),
+            "n_removed": pa.array(removed, type=pa.int64()),
+        })
+
+    return joined.map_batches(rebuild, batch_format="pyarrow")

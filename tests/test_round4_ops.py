@@ -189,3 +189,46 @@ def test_semantic_dedup_no_dups_is_identity():
     out = semantic_dedup(ray.data.from_arrow(t), k=3, iters=4,
                          threshold=0.95).to_pandas()
     assert sorted(out["vec_id"]) == list(range(12))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_remove_dup_spans_rewrite():
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import remove_dup_spans
+
+    texts = {
+        0: "a b c d e f g h",
+        1: "x a b c d e f y",               # middle 7 tokens covered
+        2: "a b c d e f g h",               # full duplicate -> empty
+        3: "q r s",                          # short: untouched
+    }
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(sorted(texts), type=pa.int64()),
+        "text": [texts[k] for k in sorted(texts)],
+    })).repartition(2)
+    out = remove_dup_spans(ds, num_partitions=2).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert out.loc[0, "text_deduped"] == "a b c d e f g h"
+    assert out.loc[0, "n_removed"] == 0
+    assert out.loc[1, "text_deduped"] == "x y"
+    assert out.loc[1, "n_removed"] == 6
+    assert out.loc[2, "text_deduped"] == ""
+    assert out.loc[2, "n_removed"] == 8
+    assert out.loc[3, "text_deduped"] == "q r s"
+    assert out.loc[3, "n_removed"] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_remove_dup_spans_clean_corpus_identity():
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import remove_dup_spans
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "text": ["p q r s t u", "u t s r q p"],   # no shared 5-gram
+    }))
+    out = remove_dup_spans(ds).to_pandas().set_index("doc_id").sort_index()
+    assert (out["n_removed"] == 0).all()
+    assert out.loc[0, "text_deduped"] == "p q r s t u"
