@@ -281,7 +281,8 @@ def method_stats(identifiers):
 
 def identify_incremental(curr_pages, prev_pages, prev_results_dir: str,
                          cfg: EngineConfig = DEFAULT_CONFIG,
-                         num_partitions: int = 8):
+                         num_partitions: int = 8,
+                         reuse_join: str = "shuffle"):
     """Record-level incremental extraction: run the cascade ONLY on pages
     whose payload is new or changed since the previous crawl, reuse the
     previous run's identifier rows for unchanged pages, and drop rows for
@@ -318,7 +319,7 @@ def identify_incremental(curr_pages, prev_pages, prev_results_dir: str,
 
     from ..arrowutil import one_chunk
     from ..stages.corpus import crawl_diff
-    from ..stages.joins import shuffle_hash_join
+    from ..stages.joins import broadcast_hash_join, shuffle_hash_join
     from ..state.checkpoint import with_previous_results_dataset
 
     # hash EVERY payload column the cascade can consume (html when
@@ -353,16 +354,30 @@ def identify_incremental(curr_pages, prev_pages, prev_results_dir: str,
         return pa.table({"url": t.filter(keep)["url"]})
 
     # a first-ever run has NO unchanged urls: the null-url sentinel keeps
-    # the inner-join side non-empty (null keys match nothing) so every
-    # page flows to the cascade
+    # the join side non-empty (null keys match nothing) so every page
+    # flows to the cascade
     sentinel = rd.from_arrow(pa.table({
         "url": pa.array([None], type=pa.string())}))
     unchanged = statuses.map_batches(
         unchanged_urls, batch_format="pyarrow").union(sentinel)
     prev_ids = rd.read_parquet(prev_results_dir)
-    valid_prev = shuffle_hash_join(prev_ids, unchanged, on="url",
-                                   num_partitions=num_partitions
-                                   ).materialize()
+    # reuse filter: LEFT SEMI against the unchanged-url set.  SHUFFLE by
+    # default — the broadcast variant was A/B'd at bench scale and LOST
+    # (33.8 s shuffle vs 50–62 s broadcast: a stateless broadcast join
+    # rebuilds the ~unchanged-sized Acero hash table per BATCH, while the
+    # hash-partitioned join builds each partition's table once; the
+    # aggregator-actor spawn it saves does not pay for that).  Broadcast
+    # stays available for genuinely small unchanged sets (high-churn
+    # crawls), where the per-batch build is cheap.  Both modes are proven
+    # byte-identical by tests/test_round4_fixes.py.
+    if reuse_join == "broadcast":
+        valid_prev = broadcast_hash_join(prev_ids, unchanged, on="url",
+                                         join_type="left semi").materialize()
+    else:
+        valid_prev = shuffle_hash_join(prev_ids, unchanged, on="url",
+                                       join_type="left_semi",
+                                       num_partitions=num_partitions
+                                       ).materialize()
     if valid_prev.count() == 0:
         return identify_pages(curr_pages, cfg)
     return with_previous_results_dataset(

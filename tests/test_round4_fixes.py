@@ -120,3 +120,33 @@ def test_dedup_by_url_collapses_duplicates():
     })
     out = dedup_by_url(ray.data.from_arrow(t).repartition(2)).to_pandas()
     assert sorted(out["url"]) == ["a", "b"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_incremental_reuse_join_modes_equivalent():
+    """The broadcast (default) and shuffle reuse filters must produce the
+    same byte-identical incremental output."""
+    import tempfile
+
+    import ray.data
+
+    from pdf2doi_ray.config import DEFAULT_CONFIG
+    from pdf2doi_ray.pipelines.identify import (identify_incremental,
+                                                identify_pages)
+    from pdf2doi_ray.sources.pages import pages_dataset, previous_crawl_batch
+
+    sf = "/root/testdata/sf0.001"
+    curr = pages_dataset(sf)
+    prev = pages_dataset(sf).map_batches(previous_crawl_batch,
+                                         batch_format="pyarrow")
+    pdir = tempfile.mkdtemp(prefix="incr_modes_")
+    identify_pages(prev, DEFAULT_CONFIG).write_parquet(pdir)
+
+    def run(mode):
+        out = identify_incremental(pages_dataset(sf), prev, pdir,
+                                   DEFAULT_CONFIG, num_partitions=2,
+                                   reuse_join=mode).to_pandas()
+        return out.sort_values("url").reset_index(drop=True)
+
+    a, b = run("broadcast"), run("shuffle")
+    pd.testing.assert_frame_equal(a, b)
