@@ -232,3 +232,50 @@ def test_remove_dup_spans_clean_corpus_identity():
     out = remove_dup_spans(ds).to_pandas().set_index("doc_id").sort_index()
     assert (out["n_removed"] == 0).all()
     assert out.loc[0, "text_deduped"] == "p q r s t u"
+
+
+def _brute_remove_spans(texts_by_id: dict[int, str], n: int = 5):
+    occ = {}
+    for d in sorted(texts_by_id):
+        toks = texts_by_id[d].split()
+        for i in range(max(len(toks) - n + 1, 0)):
+            occ.setdefault(" ".join(toks[i:i + n]), (d, i))
+    out = {}
+    for d in sorted(texts_by_id):
+        toks = texts_by_id[d].split()
+        covered = [False] * len(toks)
+        for i in range(max(len(toks) - n + 1, 0)):
+            if occ[" ".join(toks[i:i + n])] != (d, i):
+                for j in range(i, i + n):
+                    covered[j] = True
+        out[d] = (" ".join(t for t, c in zip(toks, covered) if not c),
+                  sum(covered))
+    return out
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_remove_dup_spans_fuzz_vs_brute_force():
+    """Seeded differential fuzz: tiny vocab + short docs force heavy
+    cross-document gram collisions, overlapping spans and whole-doc
+    wipeouts; engine must match the naive reference on every doc."""
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import remove_dup_spans
+
+    rng = np.random.RandomState(1234)
+    vocab = [f"w{i}" for i in range(7)]      # tiny: collisions guaranteed
+    texts = {}
+    for d in range(60):
+        m = rng.randint(3, 18)
+        texts[d] = " ".join(vocab[rng.randint(7)] for _ in range(m))
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(sorted(texts), type=pa.int64()),
+        "text": [texts[k] for k in sorted(texts)],
+    })).repartition(5)
+    out = remove_dup_spans(ds, num_partitions=2).to_pandas() \
+        .set_index("doc_id").sort_index()
+    want = _brute_remove_spans(texts)
+    assert len(out) == len(texts)
+    for d, (wt, wr) in want.items():
+        assert out.loc[d, "text_deduped"] == wt, d
+        assert out.loc[d, "n_removed"] == wr, d
