@@ -1581,6 +1581,13 @@ def _q_shard_assignment(sf_dir: str):
     return shard_assignment(_docs(sf_dir, ("doc_id",)), n_shards=16)
 
 
+def _q_quality_model(sf_dir: str):
+    """Hashed-bag-of-tokens integer linear quality classifier (the model-
+    inference plumbing stage; weights load once per worker)."""
+    from pdf2doi_ray.stages.inference import score_quality_model
+    return score_quality_model(_docs(sf_dir, ("doc_id", "text")))
+
+
 def _q_semantic_dedup(sf_dir: str):
     """SemDeDup (cluster -> within-cluster cosine pairs -> prune): no SQL
     oracle (k-means); locked by the planted-cluster golden test in
@@ -1659,6 +1666,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "remove_dup_spans": _q_remove_dup_spans,
         "host_blocklist_filter": _q_host_blocklist,
         "shard_assignment": _q_shard_assignment,
+        "quality_model_scores": _q_quality_model,
         "semantic_dedup": _q_semantic_dedup,
         "sample_intersect": _q_sample_intersect,
         "sample_except": _q_sample_except,
@@ -2240,6 +2248,25 @@ WITH d AS ({_D})
 SELECT {_URL} AS url, lang,
        'site' || site || '.example.org' AS host
 FROM d WHERE site NOT IN ('7', '19', '23', '41')
+""",
+        # integer linear model over hashed token buckets — bit-exact
+        "quality_model_scores": """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+  FROM documents
+),
+b AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 16))::UBIGINT % 64
+              AS BIGINT) AS bucket
+  FROM toks
+),
+s AS (SELECT doc_id, SUM((bucket * 37 + 11) % 64 - 32) AS score
+      FROM b GROUP BY doc_id)
+SELECT d.doc_id, CAST(COALESCE(s.score, 0) AS BIGINT) AS score,
+       COALESCE(s.score, 0) > 0 AS keep
+FROM documents d LEFT JOIN s USING (doc_id)
 """,
         "shard_assignment": """
 WITH h AS (

@@ -279,3 +279,30 @@ def test_remove_dup_spans_fuzz_vs_brute_force():
     for d, (wt, wr) in want.items():
         assert out.loc[d, "text_deduped"] == wt, d
         assert out.loc[d, "n_removed"] == wr, d
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_quality_model_scorer_task_and_actor_paths_agree():
+    import ray.data
+
+    from pdf2doi_ray.stages.inference import (N_BUCKETS, QualityModelScorer,
+                                              score_quality_model, _weights)
+
+    texts = ["good tokens here", "bad", "", "x y z good good"]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(4), type=pa.int64()), "text": texts}))
+    task_out = score_quality_model(ds).to_pandas() \
+        .set_index("doc_id").sort_index()
+    actor_out = score_quality_model(ds, concurrency=1).to_pandas() \
+        .set_index("doc_id").sort_index()
+    pd_testing_cols = ["score", "keep"]
+    assert (task_out[pd_testing_cols] == actor_out[pd_testing_cols]) \
+        .all().all()
+    # independent scalar recompute
+    w = _weights()
+    for d, s in enumerate(texts):
+        want = sum(int(w[int.from_bytes(
+            hashlib.md5(tok.encode()).digest()[:8], "big") % N_BUCKETS])
+            for tok in s.split())
+        assert task_out.loc[d, "score"] == want, d
+        assert bool(task_out.loc[d, "keep"]) == (want > 0), d
