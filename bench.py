@@ -408,6 +408,17 @@ def main() -> None:
     if not headline_only:
         bench_query("dup_ngram_spans_docs", q_dup_spans)
 
+    # batched model-inference at pages scale: md5-per-unique-token hashed
+    # features + integer matvec over 1.2M docs (weights built once per
+    # worker, never per batch)
+    def q_quality_model():
+        from pdf2doi_ray.stages.inference import score_quality_model
+        score_quality_model(pages_as_docs()).map_batches(
+            lambda t: t.select(["score"]), batch_format="pyarrow").count()
+
+    if not headline_only:
+        bench_query("quality_model_pages", q_quality_model)
+
     # deterministic hash-shard export of all pages: one streaming
     # partitioned write (the resumable-output story at its real width)
     def q_export_shards():
