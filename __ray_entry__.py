@@ -267,6 +267,22 @@ def _q_minhash_near_dups(sf_dir: str):
     return minhash_near_dups(_docs(sf_dir, ("doc_id", "text")))
 
 
+def _q_minhash_dedup_prune(sf_dir: str):
+    """End-to-end TEXT fuzzy dedup (the RefinedWeb / Lee-et-al. shape):
+    md5-minhash LSH verified pairs → connected components → keep the
+    min-id representative per cluster, stream the id column through a
+    broadcast anti-join.  Every stage is deterministic and
+    SQL-recomputable, so the whole composition carries an exact DuckDB
+    oracle (round 4)."""
+    from pdf2doi_ray.stages.dedup import minhash_near_dups
+    from pdf2doi_ray.stages.graph import prune_near_dups
+
+    pairs = minhash_near_dups(_docs(sf_dir, ("doc_id", "text")))
+    ids = _docs(sf_dir, ("doc_id",))
+    return prune_near_dups(ids, pairs, id_col="doc_id",
+                           col_a="doc_a", col_b="doc_b")
+
+
 def _q_simhash(sf_dir: str):
     from pdf2doi_ray.stages.dedup import simhash_table
     return simhash_table(_docs(sf_dir, ("doc_id", "text")))
@@ -625,10 +641,12 @@ def _q_events_range_join(sf_dir: str):
 
 def _q_approx_ndv_hosts(sf_dir: str):
     """Approximate distinct host count via a mergeable HyperLogLog sketch
-    (deterministic blake2b hashing — the estimate is run-stable).  No SQL
-    oracle (approximate by design); exact-merge and accuracy properties are
-    locked in tests/test_sketch.py.  Fixture has 50 hosts → linear-counting
-    range → estimate within ±5% (deterministically 48 on this hash)."""
+    (deterministic md5-derived hashing — the estimate is run-stable).  No
+    SQL oracle on the ESTIMATE (float log in linear counting); the full
+    register STATE is exactly SQL-oracled by ``hll_registers_hosts``, and
+    exact-merge/accuracy properties are locked in tests/test_sketch.py.
+    Fixture has 50 hosts → linear-counting range → estimate within ±5%
+    (deterministically 50 on the md5 hash)."""
     import pandas as pd
     import pyarrow as pa
 
@@ -645,9 +663,65 @@ def _q_approx_ndv_hosts(sf_dir: str):
                                                    dtype="int64")})
 
 
+def _q_hll_registers(sf_dir: str):
+    """The HLL sketch's full register state over page hosts as
+    (bucket, register) rows — EXACTLY SQL-recomputable (md5 hash, rank via
+    bit-length, max-merge), so the driver value-hashes the sketch machinery
+    itself rather than rows-only-checking an estimate (round 4)."""
+    import pyarrow as pa
+
+    from pdf2doi_ray.stages.sketch import hll_register_rows
+    from pdf2doi_ray.stages.skew import _hosts_vec
+
+    def hosts(t: pa.Table) -> pa.Table:
+        col = t["url"].combine_chunks() if isinstance(t["url"], pa.ChunkedArray) \
+            else t["url"]
+        return pa.table({"host": _hosts_vec(col)})
+
+    return hll_register_rows(
+        _pages(sf_dir).map_batches(hosts, batch_format="pyarrow"), "host")
+
+
 def _q_hash_sample(sf_dir: str):
     from pdf2doi_ray.stages.corpus import hash_sample
     return hash_sample(_docs(sf_dir, ("doc_id",)))
+
+
+def _fmt_scratch(sf_dir: str, fmt: str) -> str:
+    import os
+    base = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return f"/tmp/graft_fmt/{fmt}_{base}"
+
+
+def _q_jsonl_roundtrip(sf_dir: str):
+    """documents → line-delimited-JSON shards under /tmp → read back.
+    The identity oracle (same columns straight off the view) proves the
+    interchange sink/source pair loses no row, value, or type — the
+    ingest-format story for WET/WAT-style crawl exports (round 4)."""
+    import shutil
+
+    from pdf2doi_ray.sources.formats import export_jsonl, read_jsonl
+
+    out = _fmt_scratch(sf_dir, "jsonl")
+    shutil.rmtree(out, ignore_errors=True)
+    export_jsonl(_docs(sf_dir, ("doc_id", "text", "lang", "n_chars")), out)
+    return read_jsonl(out).select_columns(
+        ["doc_id", "text", "lang", "n_chars"])
+
+
+def _q_csv_roundtrip(sf_dir: str):
+    """documents → CSV shards under /tmp → read back (same identity-oracle
+    contract as ``jsonl_roundtrip``; Arrow quoting must survive embedded
+    separators)."""
+    import shutil
+
+    from pdf2doi_ray.sources.formats import export_csv, read_csv_dir
+
+    out = _fmt_scratch(sf_dir, "csv")
+    shutil.rmtree(out, ignore_errors=True)
+    export_csv(_docs(sf_dir, ("doc_id", "text", "lang", "n_chars")), out)
+    return read_csv_dir(out).select_columns(
+        ["doc_id", "text", "lang", "n_chars"])
 
 
 def _q_train_test_split(sf_dir: str):
@@ -1737,6 +1811,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_test_split": _q_train_test_split,
         "dedup_keep_best": _q_dedup_keep_best,
         "top_bigrams": _q_top_bigrams,
+        "minhash_dedup_prune": _q_minhash_dedup_prune,
+        "hll_registers_hosts": _q_hll_registers,
+        "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "csv_roundtrip": _q_csv_roundtrip,
     }
 
 
@@ -3134,7 +3212,7 @@ SELECT event_type, count(*) AS n,
        CAST(sum(vm) // count(*) AS BIGINT) AS avg_milli
 FROM e GROUP BY event_type
 """,
-        # minhash_near_dups / simhash / knn_lsh: approximate or
+        # knn_lsh / knn_ivf / kmeans / KLL / CM / SemDeDup: approximate or
         # non-SQL-expressible → rows-only driver check (documented).
     }
     # the distributed decontamination variant computes the SAME result as
@@ -3145,4 +3223,126 @@ FROM e GROUP BY event_type
     sql["embedding_dedup_prune_distributed"] = sql["embedding_dedup_prune"]
     # same m >= vocabulary exact regime, tree-merged physical plan
     sql["heavy_hitter_tokens_tree"] = sql["heavy_hitter_tokens"]
+    # round 4: the md5 minhash family is SQL-recomputable END-TO-END —
+    # 63-bit md5 shingle hash, 64 affine signatures over the 32-bit fold,
+    # md5 band digests, star-capped candidate pairs, and the exact
+    # floor-permille Jaccard verify all mirror in DuckDB.  The (a, b)
+    # coefficients below are the engine's published family constants
+    # (RandomState(42); tests/golden_impl.py carries the same spec).
+    from pdf2doi_ray.stages.dedup import _A, _B, MAX_ALL_PAIRS_BUCKET
+    perm_rows = ",".join(f"({k},{int(a)},{int(b)})"
+                         for k, (a, b) in enumerate(zip(_A, _B)))
+    sql["minhash_near_dups"] = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents
+),
+sh0 AS (
+  SELECT doc_id,
+         array_to_string(tk[CAST(t.i+1 AS INT):CAST(t.i+3 AS INT)],
+                         ' ') AS g
+  FROM toks, unnest(range(0, len(tk) - 2)) AS t(i)
+  UNION ALL
+  SELECT doc_id, array_to_string(tk, ' ') AS g
+  FROM toks WHERE len(tk) BETWEEN 1 AND 2
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         CAST((('0x' || substr(md5(g), 1, 16))::UBIGINT >> 1)
+              AS BIGINT) AS h
+  FROM sh0
+),
+perm AS (SELECT * FROM (VALUES {perm_rows}) AS p(k, a, b)),
+sig AS (
+  SELECT d.doc_id, p.k,
+         CAST(COALESCE(MIN((CAST(p.a AS UBIGINT)
+                            * CAST(s.h & 4294967295 AS UBIGINT)
+                            + CAST(p.b AS UBIGINT))
+                           % CAST(4294967311 AS UBIGINT)),
+                       9223372036854775807) AS BIGINT) AS s
+  FROM documents d CROSS JOIN perm p LEFT JOIN sh s ON s.doc_id = d.doc_id
+  GROUP BY d.doc_id, p.k
+),
+band AS (
+  SELECT doc_id, CAST(k // 4 AS BIGINT) AS band,
+         substr(md5(string_agg(s::VARCHAR, ':' ORDER BY k)), 1, 16)
+           AS digest
+  FROM sig GROUP BY doc_id, k // 4
+),
+bsize AS (
+  SELECT band, digest, COUNT(*) AS n, MIN(doc_id) AS mn
+  FROM band GROUP BY band, digest
+),
+cand AS (
+  SELECT DISTINCT doc_a, doc_b FROM (
+    SELECT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+    FROM band b1
+    JOIN band b2 ON b1.band = b2.band AND b1.digest = b2.digest
+               AND b1.doc_id < b2.doc_id
+    JOIN bsize z ON z.band = b1.band AND z.digest = b1.digest
+    WHERE z.n <= {MAX_ALL_PAIRS_BUCKET}
+    UNION ALL
+    SELECT z.mn AS doc_a, b.doc_id AS doc_b
+    FROM band b JOIN bsize z ON z.band = b.band AND z.digest = b.digest
+    WHERE z.n > {MAX_ALL_PAIRS_BUCKET} AND b.doc_id > z.mn
+  )
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+ix AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
+  GROUP BY c.doc_a, c.doc_b
+),
+scored AS (
+  SELECT c.doc_a, c.doc_b, COALESCE(i.i, 0) AS i,
+         COALESCE(ca.n, 0) + COALESCE(cb.n, 0) - COALESCE(i.i, 0) AS u
+  FROM cand c
+  LEFT JOIN ix i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  LEFT JOIN cnt ca ON ca.doc_id = c.doc_a
+  LEFT JOIN cnt cb ON cb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b,
+       CAST(CASE WHEN u > 0 THEN (1000 * i) // u ELSE 1000 END
+            AS BIGINT) AS jaccard_permille
+FROM scored
+WHERE (CASE WHEN u > 0 THEN (1000 * i) // u ELSE 1000 END) >= 800
+"""
+    # end-to-end composition over the SAME SQL pair set: components by
+    # recursive reachability, keep the min-id representative per cluster
+    sql["minhash_dedup_prune"] = f"""
+WITH RECURSIVE pairs AS ({sql["minhash_near_dups"]}),
+e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+reach(node, r) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT e.a, reach.r FROM e JOIN reach ON reach.node = e.b),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+SELECT d.doc_id FROM documents d
+LEFT JOIN comp c ON c.node = d.doc_id
+WHERE c.node IS NULL OR c.component = d.doc_id
+"""
+    # HLL register state: bucket = top 12 bits of the md5-64 hash, rank =
+    # 1 + leading zeros of the remaining 52 bits (tail padded with ones so
+    # rank caps at 53); (hv % 2^52) * 4096 + 4095 == (hv << 12) | 0xFFF
+    # without the shift-overflow, and bit-length via bin() stays integer
+    sql["hll_registers_hosts"] = f"""
+WITH d AS ({_D}),
+hosts AS (SELECT DISTINCT 'site' || site || '.example.org' AS host FROM d),
+h AS (SELECT ('0x' || substr(md5(host), 1, 16))::UBIGINT AS hv FROM hosts),
+r AS (SELECT CAST(hv >> 52 AS BIGINT) AS bucket,
+             (hv % 4503599627370496) * 4096 + 4095 AS rest FROM h)
+SELECT bucket,
+       CAST(MAX(65 - length(ltrim(bin(rest), '0'))) AS BIGINT) AS register
+FROM r GROUP BY bucket
+"""
+    # interchange-format round trips: the oracle is the IDENTITY — the
+    # engine result must equal the source rows exactly, proving the
+    # JSONL/CSV sink+source pair is lossless
+    sql["jsonl_roundtrip"] = \
+        "SELECT doc_id, text, lang, n_chars FROM documents"
+    sql["csv_roundtrip"] = \
+        "SELECT doc_id, text, lang, n_chars FROM documents"
     return sql

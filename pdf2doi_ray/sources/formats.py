@@ -1,0 +1,49 @@
+"""Interchange source/sink formats beyond Parquet: JSONL and CSV.
+
+Web-crawl corpora overwhelmingly arrive as line-delimited JSON (WET/WAT
+exports, API dumps) or CSV; at 100 TB these are *ingest* formats — read
+once, file-parallel, and streamed straight into Parquet — not working
+formats.  Both readers are Ray Data native (``read_json`` / ``read_csv``):
+one task per file, columnar Arrow blocks out, so a directory of N shards
+parallelizes N-wide with no driver involvement.  Neither format carries
+row-group statistics or column projection, which is exactly why the
+engine's working format stays Parquet (``read_parquet(columns=...)``
+prunes at the read); the wrappers here exist so a reference user's
+non-Parquet inputs enter the same pipelines without a pre-conversion step.
+
+Round-trip contract (locked by the ``jsonl_roundtrip`` / ``csv_roundtrip``
+identity oracles): ``read(write(t)) == t`` for int64 / string columns —
+no value, type, row, or encoding detail may be lost in either direction.
+"""
+
+from __future__ import annotations
+
+import ray.data
+
+
+def export_jsonl(ds, path: str) -> str:
+    """Streaming line-delimited-JSON sink: one ``.json`` file per block
+    under ``path`` (created if missing).  Block-parallel, no driver
+    materialization; pair with :func:`read_jsonl`."""
+    ds.write_json(path)
+    return path
+
+
+def read_jsonl(path: str):
+    """Line-delimited-JSON source: one read task per file, Arrow blocks
+    out (types inferred per file — ints stay int64, strings stay utf8)."""
+    return ray.data.read_json(path)
+
+
+def export_csv(ds, path: str) -> str:
+    """Streaming CSV sink: one ``.csv`` file per block under ``path``
+    (headers per file; Arrow-standard quoting, so embedded commas/quotes
+    survive).  Pair with :func:`read_csv_dir`."""
+    ds.write_csv(path)
+    return path
+
+
+def read_csv_dir(path: str):
+    """CSV source: one read task per file, header-driven schema
+    inference per file."""
+    return ray.data.read_csv(path)

@@ -12,8 +12,11 @@ Designed for the 100 TB shape:
 * **simhash**: 64-bit simhash per document from token hashes (vectorized).
 
 All hashing is deterministic (no process-salted ``hash()``): token/shingle
-hashes use blake2b-derived 64-bit integers, so every run and every worker
-produces identical output.
+hashes are md5-derived 64-bit integers (first 8 bytes, big-endian — the
+same convention as :func:`simhash64`), so every run and every worker
+produces identical output AND a SQL oracle can recompute the whole
+minhash → band → candidate → verify chain exactly (DuckDB:
+``('0x' || substr(md5(g), 1, 16))::UBIGINT``).
 """
 
 from __future__ import annotations
@@ -40,9 +43,13 @@ _B = _rng.randint(0, 2**31 - 1, size=N_HASHES).astype(np.uint64)
 
 
 def _stable64(token: str) -> int:
-    """Deterministic 63-bit token hash (blake2b truncation)."""
-    return int.from_bytes(hashlib.blake2b(token.encode("utf-8"),
-                                          digest_size=8).digest(), "big") >> 1
+    """Deterministic 63-bit shingle hash: first 8 bytes of md5, big-endian,
+    shifted into the non-negative int64 range.  md5 (not blake2b) so the
+    SQL oracle recomputes it:
+    ``('0x' || substr(md5(g), 1, 16))::UBIGINT >> 1`` (round 4; same
+    convention as :func:`simhash64` and the dup_ngram_spans gram hash)."""
+    return int.from_bytes(hashlib.md5(token.encode("utf-8")).digest()[:8],
+                          "big") >> 1
 
 
 def shingles(text: str, n: int = 3) -> set[int]:
@@ -68,11 +75,16 @@ def minhash_signature(sh: set[int]) -> np.ndarray:
 
 
 def band_rows(doc_id: int, sig: np.ndarray):
-    """LSH bucket rows: one (band, digest-of-band) pair per band."""
+    """LSH bucket rows: one (band, digest-of-band) pair per band.
+
+    The digest is md5 over the ':'-joined decimal signature values of the
+    band's segment, truncated to 16 hex chars — SQL-recomputable as
+    ``substr(md5(string_agg(s::VARCHAR, ':' ORDER BY k)), 1, 16)``."""
     out = []
     for b in range(N_BANDS):
         seg = sig[b * ROWS_PER_BAND:(b + 1) * ROWS_PER_BAND]
-        digest = hashlib.blake2b(seg.tobytes(), digest_size=8).hexdigest()
+        digest = hashlib.md5(
+            ":".join(str(int(s)) for s in seg).encode()).hexdigest()[:16]
         out.append((doc_id, b, digest))
     return out
 
@@ -614,10 +626,12 @@ def minhash_near_dups(docs, threshold_permille: int = 800, n_shingle: int = 3,
         dup = (sp[1:] == sp[:-1]) & (sv[1:] == sv[:-1])
         inter = np.bincount(sp[:-1][dup], minlength=len(gs)).astype(np.int64)
         union = len_a + len_b - inter
-        # same float ops as the scalar path: round-half-even of j*1000
+        # integer-floor permille, same as _set_jaccard_permille — exact in
+        # SQL as (1000*inter) // union (round 4: was float round-half-even,
+        # which DuckDB's round() can't mirror at .5 boundaries)
         jp = np.where(union > 0,
-                      np.rint((inter / np.maximum(union, 1)) * 1000.0),
-                      1000.0).astype(np.int64)
+                      (1000 * inter) // np.maximum(union, 1),
+                      1000).astype(np.int64)
         keep = jp >= threshold_permille
         return pa.table({
             "doc_a": pa.array(a[gs][keep], type=pa.int64()),

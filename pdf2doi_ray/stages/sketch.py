@@ -4,9 +4,10 @@ The distributed-sketch pattern (Flajolet et al., AofA 2007): every batch
 builds a fixed-size register array (2^P bytes) from deterministic 64-bit
 hashes; register arrays merge by element-wise max — associative and
 commutative, so partials combine in any order and the driver only ever
-holds registers, never values.  Deterministic end-to-end (blake2b hash, no
-process salt): every run and every worker produces the identical sketch,
-which is what lets ``tests/golden_impl.py`` lock the estimate exactly.
+holds registers, never values.  Deterministic end-to-end (md5-derived
+64-bit hash, no process salt): every run and every worker produces the
+identical sketch, and a SQL oracle can recompute the full register state
+(see :func:`hll_register_rows`).
 
 Standard bias corrections: linear counting below 2.5·m, the 2^64
 large-range correction above 2^63/30.
@@ -34,8 +35,11 @@ def _alpha(m: int) -> float:
 
 
 def hash64(value: str) -> int:
-    return int.from_bytes(hashlib.blake2b(value.encode("utf-8"),
-                                          digest_size=8).digest(), "big")
+    """First 8 bytes of md5, big-endian (round 4; was blake2b) — the repo's
+    SQL-recomputable hash convention:
+    ``('0x' || substr(md5(v), 1, 16))::UBIGINT`` in DuckDB."""
+    return int.from_bytes(hashlib.md5(value.encode("utf-8")).digest()[:8],
+                          "big")
 
 
 def registers_for(values) -> np.ndarray:
@@ -104,6 +108,34 @@ def approx_ndv(ds, column: str) -> int:
              for r in ds.map_batches(partial, batch_format="pyarrow")
              .take_all()]
     return estimate(merge_registers(parts))
+
+
+def hll_register_rows(ds, column: str):
+    """The HLL sketch's FULL register state as (bucket, register) rows —
+    nonzero registers only, max-merged through one ``groupby(bucket)``.
+
+    This is the driver-checkable face of the sketch: the register state is
+    deterministic (md5 hash, max-merge is order-free), so a SQL oracle
+    recomputes it exactly — ``bucket = hv >> 52``, ``rank = 65 -
+    length(ltrim(bin((hv % 2^52) * 4096 + 4095), '0'))`` — turning the
+    approximate-op check from rows-only into value-hash-exact.  The
+    shuffle carries at most 2^P rows per batch (the register array's
+    nonzero support), never values; :func:`estimate` over the merged rows
+    equals :func:`approx_ndv` by construction (same registers).
+    """
+    from ray.data.aggregate import Max
+
+    def partial(t: pa.Table) -> pa.Table:
+        regs = registers_for(t[column].to_pylist())
+        nz = np.nonzero(regs)[0]
+        return pa.table({
+            "bucket": pa.array(nz.astype(np.int64)),
+            "register": pa.array(regs[nz].astype(np.int64)),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .aggregate(Max("register", alias_name="register")))
 
 
 def exact_ndv_by_group(ds, group_col: str, value_col: str,

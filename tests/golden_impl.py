@@ -8,7 +8,6 @@ rows-check (VERDICT round 1, next-round item 3)."""
 
 from __future__ import annotations
 
-import struct
 from hashlib import blake2b, md5
 
 import numpy as np
@@ -26,8 +25,10 @@ WINNOW_K, WINNOW_W = 5, 8
 
 
 def tok_hash(token: str) -> int:
-    return int.from_bytes(blake2b(token.encode("utf-8"),
-                                  digest_size=8).digest(), "big") >> 1
+    # round 4: md5 first-8-bytes big-endian (was blake2b) — the published
+    # spec changed so a SQL oracle can recompute the shingle hash
+    return int.from_bytes(md5(token.encode("utf-8")).digest()[:8],
+                          "big") >> 1
 
 
 def shingle_set(text: str, n: int = 3) -> set[int]:
@@ -52,9 +53,10 @@ def band_digests(sig: list[int]) -> list[str]:
     out = []
     for b in range(N_BANDS):
         seg = sig[b * ROWS_PER_BAND:(b + 1) * ROWS_PER_BAND]
-        # little-endian int64 encoding, as documented for the band digest
-        out.append(blake2b(struct.pack(f"<{ROWS_PER_BAND}q", *seg),
-                           digest_size=8).hexdigest())
+        # md5 of the ':'-joined decimal values, first 16 hex chars (round 4
+        # spec — SQL-recomputable band digest)
+        out.append(md5(":".join(str(s) for s in seg).encode())
+                   .hexdigest()[:16])
     return out
 
 
@@ -86,7 +88,10 @@ def near_dup_pairs(texts_by_id: dict[int, str], threshold_permille: int = 800,
             cand.update((ids[0], o) for o in ids[1:])
     out = set()
     for a, b in cand:
-        jp = int(round(jaccard(shs[a], shs[b]) * 1000))
+        inter = len(shs[a] & shs[b])
+        union = len(shs[a]) + len(shs[b]) - inter
+        # integer-floor permille (round 4 spec, matches the SQL oracle)
+        jp = (1000 * inter) // union if union else 1000
         if jp >= threshold_permille:
             out.add((a, b, jp))
     return out
