@@ -687,6 +687,35 @@ def _q_hash_sample(sf_dir: str):
     return hash_sample(_docs(sf_dir, ("doc_id",)))
 
 
+def _q_event_value_variance(sf_dir: str):
+    """Exact per-type population variance of event values on the milli
+    grid (combiner-first; the n·Σvm² product runs in Python ints at the
+    one-row-per-key finalize — int64 would overflow it at corpus scale)."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import grouped_var_stats
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+    return grouped_var_stats(ev, "event_type", "value")
+
+
+def _q_chars_tokens_moments(sf_dir: str):
+    """Exact integer covariance/correlation numerators of (n_chars,
+    n_tokens) across documents: one combiner row per batch, a scalar
+    driver aggregate, zero shuffles — division/√ left to the consumer so
+    the op stays bit-exact."""
+    import pyarrow as pa
+
+    from pdf2doi_ray.stages.aggs import paired_moments
+    from pdf2doi_ray.stages.textstats import token_stats
+
+    ds = _docs(sf_dir, ("doc_id", "text")) \
+        .map_batches(token_stats, batch_format="pyarrow") \
+        .map_batches(lambda t: t.select(["n_chars", "n_tokens"]),
+                     batch_format="pyarrow")
+    return paired_moments(ds, "n_chars", "n_tokens")
+
+
 def _fmt_scratch(sf_dir: str, fmt: str) -> str:
     import os
     base = os.path.basename(os.path.normpath(sf_dir)) or "sf"
@@ -1815,6 +1844,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_registers_hosts": _q_hll_registers,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "csv_roundtrip": _q_csv_roundtrip,
+        "event_value_variance": _q_event_value_variance,
+        "chars_tokens_moments": _q_chars_tokens_moments,
     }
 
 
@@ -3345,4 +3376,40 @@ FROM r GROUP BY bucket
         "SELECT doc_id, text, lang, n_chars FROM documents"
     sql["csv_roundtrip"] = \
         "SELECT doc_id, text, lang, n_chars FROM documents"
+    # exact integer moment statistics: the variance division runs through
+    # HUGEINT (the n·Σvm² product outgrows BIGINT exactly where the engine
+    # switches to Python ints); covariance emits NUMERATORS only, so no
+    # division/rounding exists to mismatch
+    sql["event_value_variance"] = """
+WITH e AS (SELECT event_type,
+                  CAST(floor(value * 1000) AS BIGINT) AS vm FROM events),
+g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(vm) AS BIGINT) AS sum_milli,
+             CAST(SUM(vm * vm) AS BIGINT) AS sumsq_millisq
+      FROM e GROUP BY event_type)
+SELECT event_type, n, sum_milli, sumsq_millisq,
+       CAST((n::HUGEINT * sumsq_millisq::HUGEINT
+             - sum_milli::HUGEINT * sum_milli::HUGEINT)
+            // (n::HUGEINT * n::HUGEINT) AS BIGINT) AS var_microsq
+FROM g
+"""
+    sql["chars_tokens_moments"] = """
+WITH t AS (SELECT length(text) AS x,
+                  len(string_split(text, ' ')) AS y FROM documents),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sum_x,
+             CAST(SUM(y) AS BIGINT) AS sum_y,
+             CAST(SUM(x * y) AS BIGINT) AS sum_xy,
+             CAST(SUM(x * x) AS BIGINT) AS sum_xx,
+             CAST(SUM(y * y) AS BIGINT) AS sum_yy
+      FROM t)
+SELECT n, sum_x, sum_y, sum_xy, sum_xx, sum_yy,
+       CAST(n::HUGEINT * sum_xy::HUGEINT
+            - sum_x::HUGEINT * sum_y::HUGEINT AS BIGINT) AS cov_num,
+       CAST(n::HUGEINT * sum_xx::HUGEINT
+            - sum_x::HUGEINT * sum_x::HUGEINT AS BIGINT) AS varx_num,
+       CAST(n::HUGEINT * sum_yy::HUGEINT
+            - sum_y::HUGEINT * sum_y::HUGEINT AS BIGINT) AS vary_num
+FROM m
+"""
     return sql

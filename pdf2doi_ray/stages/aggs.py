@@ -65,6 +65,109 @@ def grouped_summary(ds, key_col: str, value_col: str):
             .map_batches(finalize, batch_format="pyarrow"))
 
 
+def grouped_var_stats(ds, key_col: str, value_col: str):
+    """Exact per-key population variance on the milli grid:
+    ``(key, n, sum_milli, sumsq_millisq, var_microsq)``.
+
+    Combiner-first like :func:`grouped_summary`: each batch emits one
+    ``(n, Σvm, Σvm²)`` row per key from a single Arrow ``group_by``; ONE
+    ``groupby(key)`` Sum merges them; the finalize projection computes
+    ``var = (n·Σvm² − (Σvm)²) // n²`` per OUTPUT row in Python ints —
+    the ``n·Σvm²`` product overflows int64 once ``n ≳ 10⁶`` rows per key
+    at milli values ~10⁶, and the output is one row per key, so
+    arbitrary-precision there is free (the SQL mirror casts through
+    HUGEINT the same way).  The numerator is non-negative
+    (Cauchy–Schwarz) and the variance itself is bounded by the squared
+    value range, so the int64 OUTPUT column and DuckDB's truncating
+    division are both exact.  Partial sums Σvm² are int64-bounded until
+    ``n·vm² ≈ 2⁶³`` per key (~10⁶ rows at vm = 10⁶; raise the milli
+    scale down if a value domain breaks this).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        vm = _milli(one_chunk(t[value_col]))
+        g = pa.table({
+            key_col: t[key_col],
+            "vm": pa.array(vm, type=pa.int64()),
+            "sq": pa.array(vm * vm, type=pa.int64()),
+        }).group_by(key_col).aggregate([
+            ("vm", "count"), ("vm", "sum"), ("sq", "sum"),
+        ])
+        return pa.table({
+            key_col: g[key_col],
+            "n_p": g["vm_count"].cast(pa.int64()),
+            "sum_p": g["vm_sum"].cast(pa.int64()),
+            "sq_p": g["sq_sum"].cast(pa.int64()),
+        })
+
+    def finalize(t: pa.Table) -> pa.Table:
+        ns = t["n"].to_pylist()
+        ss = t["sum_milli"].to_pylist()
+        qs = t["sumsq_millisq"].to_pylist()
+        var = [(n * q - s * s) // (n * n) if n else 0
+               for n, s, q in zip(ns, ss, qs)]
+        return t.append_column("var_microsq",
+                               pa.array(var, type=pa.int64()))
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(key_col)
+            .aggregate(Sum("n_p", alias_name="n"),
+                       Sum("sum_p", alias_name="sum_milli"),
+                       Sum("sq_p", alias_name="sumsq_millisq"))
+            .map_batches(finalize, batch_format="pyarrow"))
+
+
+def paired_moments(ds, x_col: str, y_col: str):
+    """Exact integer paired moments of two int columns, ONE output row:
+    ``(n, sum_x, sum_y, sum_xy, sum_xx, sum_yy, cov_num, varx_num,
+    vary_num)`` with ``cov_num = n·Σxy − Σx·Σy`` (covariance·n²) and the
+    matching variance numerators — the integer core of
+    covariance/correlation.  The only inexact steps (divide by n²; √ for
+    correlation) are left to the consumer, so the op itself is bit-exact
+    and SQL-mirrorable (HUGEINT numerators, truncation-safe because no
+    division happens at all).
+
+    Plan: one (n, Σx, Σy, Σxy, Σx², Σy²) combiner row per batch —
+    six int64s, regardless of batch width — merged by a driver-side
+    ``Dataset.aggregate`` Sum (scalar result, no shuffle); numerators in
+    Python ints, output int64 (bound: |cov_num| < 2⁶³ — past that,
+    consume the raw sums instead).  Returns a one-row pandas DataFrame.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = np.asarray(one_chunk(t[x_col]), dtype=np.int64)
+        y = np.asarray(one_chunk(t[y_col]), dtype=np.int64)
+        return pa.table({
+            "n_p": pa.array([len(x)], type=pa.int64()),
+            "sx": pa.array([int(x.sum())], type=pa.int64()),
+            "sy": pa.array([int(y.sum())], type=pa.int64()),
+            "sxy": pa.array([int((x * y).sum())], type=pa.int64()),
+            "sxx": pa.array([int((x * x).sum())], type=pa.int64()),
+            "syy": pa.array([int((y * y).sum())], type=pa.int64()),
+        })
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("n_p", alias_name="n"), Sum("sx", alias_name="sum_x"),
+        Sum("sy", alias_name="sum_y"), Sum("sxy", alias_name="sum_xy"),
+        Sum("sxx", alias_name="sum_xx"), Sum("syy", alias_name="sum_yy"))
+    n = int(agg["n"] or 0)
+    sx, sy = int(agg["sum_x"] or 0), int(agg["sum_y"] or 0)
+    sxy = int(agg["sum_xy"] or 0)
+    sxx, syy = int(agg["sum_xx"] or 0), int(agg["sum_yy"] or 0)
+    out = {
+        "n": n, "sum_x": sx, "sum_y": sy, "sum_xy": sxy,
+        "sum_xx": sxx, "sum_yy": syy,
+        "cov_num": n * sxy - sx * sy,
+        "varx_num": n * sxx - sx * sx,
+        "vary_num": n * syy - sy * sy,
+    }
+    return pd.DataFrame({k: pd.Series([v], dtype="int64")
+                         for k, v in out.items()})
+
+
 #: sentinel standing in for NULL at rolled-up levels while the rows are in
 #: flight — Ray's sort-based groupby cannot partition null keys (documented
 #: sandbox quirk), so the ROLLUP carries this and converts back at the end.
