@@ -291,9 +291,10 @@ def _q_simhash(sf_dir: str):
 def _q_simhash_near_dups(sf_dir: str):
     """Banded SimHash near-dup pairs (hamming <= 3): recall 1.0 by
     pigeonhole over max_hamming+1 bands, one self-join on (band, value),
-    XOR-popcount verify before the final pair-dedup groupby.  No SQL
-    oracle (simhash is not SQL-expressible); locked by the brute-force
-    golden test in tests/test_golden_digests.py."""
+    XOR-popcount verify before the final pair-dedup groupby.  EXACT SQL
+    oracle since round 4 (md5 simhash + DuckDB xor/bit_count); the
+    brute-force golden test in tests/test_golden_digests.py stays as the
+    independent-implementation lock."""
     from pdf2doi_ray.stages.dedup import simhash_near_dups
     return simhash_near_dups(_docs(sf_dir, ("doc_id", "text")))
 
@@ -697,6 +698,32 @@ def _q_event_value_variance(sf_dir: str):
     ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["event_type", "value"])
     return grouped_var_stats(ev, "event_type", "value")
+
+
+def _q_cohort_retention(sf_dir: str):
+    """Cohort retention matrix over events: first-active-week cohorts ×
+    week offsets → active-user counts.  Four combiner-bounded exchanges
+    (distinct activity, per-user min, one hash join, final counts) — see
+    ``stages/aggs.cohort_retention``."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import cohort_retention
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+    return cohort_retention(ev, num_partitions=4)
+
+
+def _q_winsorize_event_values(sf_dir: str):
+    """Winsorized event values: exact p5/p95 milli quantiles broadcast as
+    two closure scalars, then one vectorized clamp pass — outlier clipping
+    for long-tailed web metrics with no join and no second exchange."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import winsorize_values_milli
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "value"])
+    return winsorize_values_milli(ev, "value", 50, 950,
+                                  carry_cols=("user_id",))
 
 
 def _q_chars_tokens_moments(sf_dir: str):
@@ -1846,6 +1873,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "csv_roundtrip": _q_csv_roundtrip,
         "event_value_variance": _q_event_value_variance,
         "chars_tokens_moments": _q_chars_tokens_moments,
+        "winsorize_event_values": _q_winsorize_event_values,
+        "cohort_retention": _q_cohort_retention,
     }
 
 
@@ -3411,5 +3440,62 @@ SELECT n, sum_x, sum_y, sum_xy, sum_xx, sum_yy,
        CAST(n::HUGEINT * sum_yy::HUGEINT
             - sum_y::HUGEINT * sum_y::HUGEINT AS BIGINT) AS vary_num
 FROM m
+"""
+    # simhash near-dups: fully SQL-expressible now the simhash itself is
+    # (md5 token hashes) — band slices by shift/mask (same width split as
+    # stages/dedup.simhash_near_dups), candidates by a banded self-join,
+    # verify by DuckDB-native xor + bit_count, pair-dedup by DISTINCT
+    n_bands, total_bits, max_ham = 4, 63, 3        # max_hamming=3 default
+    base_w = total_bits // n_bands
+    widths = [base_w + (1 if i < total_bits % n_bands else 0)
+              for i in range(n_bands)]
+    shifts = [sum(widths[:i]) for i in range(n_bands)]
+    band_case = " ".join(
+        f"WHEN {i} THEN (simhash >> {shifts[i]}) & {(1 << widths[i]) - 1}"
+        for i in range(n_bands))
+    sql["simhash_near_dups"] = f"""
+WITH s AS ({sql["simhash"]}),
+b AS (
+  SELECT doc_id, simhash, g.band,
+         CASE g.band {band_case} END AS bv
+  FROM s, (SELECT unnest(range({n_bands})) AS band) g
+),
+cand AS (
+  SELECT DISTINCT b1.doc_id AS pair_a, b2.doc_id AS pair_b,
+         b1.simhash AS sa, b2.simhash AS sb
+  FROM b b1 JOIN b b2 ON b1.band = b2.band AND b1.bv = b2.bv
+            AND b1.doc_id < b2.doc_id
+)
+SELECT pair_a, pair_b,
+       CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {max_ham}
+"""
+    # winsorize: the same 1-based ceil-rank quantile rule as
+    # event_value_quantiles, applied twice, then a scalar clamp
+    sql["winsorize_event_values"] = """
+WITH c AS (SELECT user_id,
+                  CAST(floor(value * 1000) AS BIGINT) AS vm FROM events),
+r AS (SELECT vm, row_number() OVER (ORDER BY vm) AS rn FROM c),
+n AS (SELECT count(*) AS total FROM c),
+lo AS (SELECT min(vm) AS v FROM r, n
+       WHERE rn >= ceil(50 * n.total / 1000.0)),
+hi AS (SELECT min(vm) AS v FROM r, n
+       WHERE rn >= ceil(950 * n.total / 1000.0))
+SELECT c.user_id, c.vm AS value_milli,
+       least(greatest(c.vm, lo.v), hi.v) AS value_winsorized_milli
+FROM c, lo, hi
+"""
+    # cohort retention: epoch-µs week buckets (non-negative → truncation
+    # == floor), distinct activity, min week per user, join, count
+    sql["cohort_retention"] = """
+WITH a AS (SELECT DISTINCT user_id,
+                  CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS week
+           FROM events),
+f AS (SELECT user_id, MIN(week) AS cohort FROM a GROUP BY user_id)
+SELECT f.cohort AS cohort_week,
+       a.week - f.cohort AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM a JOIN f USING (user_id)
+GROUP BY 1, 2
 """
     return sql

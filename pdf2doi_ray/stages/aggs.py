@@ -280,6 +280,123 @@ def value_quantiles_milli(ds, value_col: str,
     return quantiles_from_histogram(hist, quantiles_permille)
 
 
+#: one week in microseconds — the cohort bucket width
+WEEK_US = 7 * 86400 * 1_000_000
+
+
+def cohort_retention(events, ts_col: str = "ts", user_col: str = "user_id",
+                     num_partitions: int = 4):
+    """Cohort retention matrix: ``(cohort_week, week_offset, n_users)`` —
+    users bucketed by their FIRST active epoch-week; for each later week,
+    how many of that cohort were active.
+
+    Every exchange is combiner-bounded:
+
+    1. per-batch DISTINCT (user, week) via one Arrow ``group_by`` → ONE
+       ``groupby([user, week])`` global-distinct — the activity table A
+       (shuffle carries distinct pairs per batch, not events);
+    2. first week per user from A's per-batch min combiner → one
+       ``groupby(user)`` Min — the cohort table F (one row per user);
+    3. A ⋈ F on user (hash-partitioned — F is O(users), too big to
+       broadcast at corpus scale; ``num_partitions`` sized by the 2·P ≲
+       CPUs actor-pool rule);
+    4. per-batch (cohort, offset) count combiner → one small groupby Sum.
+
+    Timestamps cast to µs first (pandas-sourced Datasets carry ns — the
+    documented sandbox quirk); epoch weeks are non-negative, so truncating
+    division == floor on both sides of the oracle.
+    """
+    from ray.data.aggregate import Min, Sum
+
+    from .joins import shuffle_hash_join
+
+    def activity(t: pa.Table) -> pa.Table:
+        ts = one_chunk(t[ts_col])
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(ts, pa.timestamp("us"))
+        wk = pc.divide(pc.cast(ts, pa.int64()), WEEK_US)
+        g = pa.table({user_col: t[user_col], "week": wk}) \
+            .group_by([user_col, "week"]).aggregate([([], "count_all")])
+        return g.select([user_col, "week"])
+
+    a = (events.map_batches(activity, batch_format="pyarrow")
+         .groupby([user_col, "week"])
+         .aggregate(Min("week", alias_name="_w"))
+         .map_batches(lambda t: t.select([user_col, "week"]),
+                      batch_format="pyarrow"))
+    # A feeds BOTH the cohort derivation and the join; without this,
+    # Ray re-executes the distinct-activity exchange once per consumer.
+    # A is combiner-bounded (distinct user-weeks, O(users·active_weeks)
+    # — not events), so pinning it in the object store is the cheap side
+    # of the diamond; spill handles the rest.
+    a = a.materialize()
+
+    def first_partial(t: pa.Table) -> pa.Table:
+        # select by NAME: pa group_by column order is version-dependent
+        g = t.group_by(user_col).aggregate([("week", "min")])
+        return pa.table({user_col: g[user_col], "cohort": g["week_min"]})
+
+    f = (a.map_batches(first_partial, batch_format="pyarrow")
+         .groupby(user_col).aggregate(Min("cohort", alias_name="cohort")))
+
+    joined = shuffle_hash_join(a, f, on=(user_col,),
+                               num_partitions=num_partitions)
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        off = pc.subtract(t["week"], t["cohort"])
+        g = pa.table({"cohort_week": t["cohort"], "week_offset": off}) \
+            .group_by(["cohort_week", "week_offset"]) \
+            .aggregate([([], "count_all")])
+        return pa.table({"cohort_week": g["cohort_week"],
+                         "week_offset": g["week_offset"],
+                         "n_p": g["count_all"].cast(pa.int64())})
+
+    return (joined.map_batches(count_partial, batch_format="pyarrow")
+            .groupby(["cohort_week", "week_offset"])
+            .aggregate(Sum("n_p", alias_name="n_users"))
+            .map_batches(lambda t: t.select(
+                ["cohort_week", "week_offset", "n_users"]),
+                batch_format="pyarrow"))
+
+
+def winsorize_values_milli(ds, value_col: str, lo_permille: int = 50,
+                           hi_permille: int = 950,
+                           carry_cols: tuple = ()):
+    """Outlier clipping (winsorization) on the milli grid: values below
+    the EXACT ``lo_permille`` quantile clamp up to it, above
+    ``hi_permille`` clamp down — the standard pre-normalization step for
+    long-tailed web metrics before any mean/variance-sensitive stage.
+
+    Two-phase broadcast-scalar like
+    :func:`~pdf2doi_ray.stages.textstats.filter_above_quantile`: phase 1
+    computes both exact histogram quantiles (the driver only ever sees
+    the distinct-milli-value histogram), phase 2 re-streams the input
+    through a pure vectorized clamp with the two scalars captured in the
+    closure — no join, no second exchange.  Quantile definition shared
+    with :func:`value_quantiles_milli` (value at 1-based rank
+    ``ceil(q/1000 · n)``), so the SQL oracle mirrors both phases
+    verbatim.  Returns ``carry_cols + (value_milli,
+    value_winsorized_milli)``; empty input passes through empty.
+    """
+    import pandas as pd
+
+    q = value_quantiles_milli(ds, value_col, (lo_permille, hi_permille))
+    by_q = dict(zip(q["q_permille"], q["value"]))
+    lo_v, hi_v = by_q.get(lo_permille), by_q.get(hi_permille)
+    lo_v = np.iinfo(np.int64).min if pd.isna(lo_v) else int(lo_v)
+    hi_v = np.iinfo(np.int64).max if pd.isna(hi_v) else int(hi_v)
+
+    def clip(t: pa.Table) -> pa.Table:
+        vm = _milli(one_chunk(t[value_col]))
+        w = np.minimum(np.maximum(vm, lo_v), hi_v)
+        cols = {c: t[c] for c in carry_cols}
+        cols["value_milli"] = pa.array(vm, type=pa.int64())
+        cols["value_winsorized_milli"] = pa.array(w, type=pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(clip, batch_format="pyarrow")
+
+
 def value_quantiles_milli_by_group(ds, group_col: str, value_col: str,
                                    quantiles_permille=(500, 900)):
     """Exact milli-quantized quantiles of a float column PER GROUP — the

@@ -144,3 +144,63 @@ def test_jsonl_and_csv_roundtrip_tricky_strings(tmp_path):
         df = back.select_columns(["doc_id", "text"]).to_pandas() \
             .sort_values("doc_id").reset_index(drop=True)
         pd.testing.assert_frame_equal(df, t.to_pandas())
+
+
+# --- winsorization + cohort retention ---------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_winsorize_clamps_to_exact_milli_quantiles():
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import winsorize_values_milli
+
+    # 100 values 0.001..0.100 → milli grid 1..100; p5/p95 by the 1-based
+    # ceil-rank rule land on 5 and 95 exactly
+    vals = [i / 1000 for i in range(1, 101)]
+    ds = ray.data.from_arrow(pa.table({
+        "user_id": pa.array(range(100), type=pa.int64()),
+        "value": pa.array(vals, type=pa.float64()),
+    })).repartition(4)
+    out = winsorize_values_milli(ds, "value", 50, 950,
+                                 carry_cols=("user_id",)).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    assert out["value_milli"].tolist() == list(range(1, 101))
+    w = out["value_winsorized_milli"]
+    assert w.min() == 5 and w.max() == 95
+    assert (w == np.clip(np.arange(1, 101), 5, 95)).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_winsorize_empty_input_passes_through():
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import winsorize_values_milli
+
+    t = pa.table({"user_id": pa.array([], type=pa.int64()),
+                  "value": pa.array([], type=pa.float64())})
+    out = winsorize_values_milli(ray.data.from_arrow(t), "value",
+                                 carry_cols=("user_id",))
+    assert out.count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cohort_retention_tiny_handcomputed():
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import WEEK_US, cohort_retention
+
+    # user 1 active weeks {0, 1, 3}; user 2 weeks {1, 1, 2} (dup activity
+    # in week 1 must count once); user 3 week {3} only
+    rows = [(1, 0), (1, 1), (1, 3), (2, 1), (2, 1), (2, 2), (3, 3)]
+    t = pa.table({
+        "user_id": pa.array([u for u, _ in rows], type=pa.int64()),
+        "ts": pa.array([w * WEEK_US + 12345 for _, w in rows],
+                       type=pa.timestamp("us")),
+    })
+    out = cohort_retention(ray.data.from_arrow(t).repartition(3),
+                           num_partitions=2).to_pandas()
+    got = {(r.cohort_week, r.week_offset): r.n_users
+           for r in out.itertuples()}
+    assert got == {(0, 0): 1, (0, 1): 1, (0, 3): 1,   # user 1
+                   (1, 0): 1, (1, 1): 1,              # user 2 (dup folded)
+                   (3, 0): 1}                         # user 3
