@@ -726,6 +726,36 @@ def _q_winsorize_event_values(sf_dir: str):
                                   carry_cols=("user_id",))
 
 
+def _q_mad_event_values(sf_dir: str):
+    """Exact median absolute deviation of event values on the milli grid:
+    two combiner-bounded histogram passes, broadcast-scalar median — the
+    robust spread statistic for heavy-tailed web metrics."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import mad_values_milli
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["value"])
+    return mad_values_milli(ev, "value")
+
+
+def _q_vocab_top_tokens(sf_dir: str):
+    """Vocabulary construction: top-100 corpus tokens with contiguous ids
+    by (count desc, token asc) — combiner-first counts, bounded-partial
+    top-k, driver-side id assignment over the schema-sized result."""
+    from pdf2doi_ray.stages.corpus import build_vocab
+    return build_vocab(_docs(sf_dir, ("doc_id", "text")), vocab_size=100)
+
+
+def _q_lang_balanced_sample(sf_dir: str):
+    """Language-balanced corpus sample: per-lang keep rates (en 250‰,
+    fr 500‰, rest full) applied as a pure deterministic hash filter —
+    the training-mix downsampling step, zero shuffles."""
+    from pdf2doi_ray.stages.corpus import balanced_sample
+    return balanced_sample(_docs(sf_dir, ("doc_id", "lang")),
+                           group_col="lang",
+                           rates_permille={"en": 250, "fr": 500})
+
+
 def _q_chars_tokens_moments(sf_dir: str):
     """Exact integer covariance/correlation numerators of (n_chars,
     n_tokens) across documents: one combiner row per batch, a scalar
@@ -1875,6 +1905,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chars_tokens_moments": _q_chars_tokens_moments,
         "winsorize_event_values": _q_winsorize_event_values,
         "cohort_retention": _q_cohort_retention,
+        "mad_event_values": _q_mad_event_values,
+        "vocab_top_tokens": _q_vocab_top_tokens,
+        "lang_balanced_sample": _q_lang_balanced_sample,
     }
 
 
@@ -2502,10 +2535,10 @@ bins AS (SELECT CAST(g AS BIGINT) - 1 AS bin
          FROM UNNEST(range(22)) AS t(g)),
 cnt AS (SELECT bin, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY bin)
 SELECT bins.bin,
-       CAST(CASE WHEN bins.bin < 0 THEN NULL
+       CAST(CASE WHEN bins.bin < 0 THEN -9223372036854775808
                  ELSE bins.bin * 100000 // 20 END AS BIGINT)
            AS bin_lo_milli,
-       CAST(CASE WHEN bins.bin >= 20 THEN NULL
+       CAST(CASE WHEN bins.bin >= 20 THEN 9223372036854775807
                  ELSE (bins.bin + 1) * 100000 // 20 END AS BIGINT)
            AS bin_hi_milli,
        CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n
@@ -3497,5 +3530,42 @@ SELECT f.cohort AS cohort_week,
        CAST(COUNT(*) AS BIGINT) AS n_users
 FROM a JOIN f USING (user_id)
 GROUP BY 1, 2
+"""
+    # MAD: the same ceil-rank median rule applied twice — once on vm,
+    # once on |vm − median|
+    sql["mad_event_values"] = """
+WITH c AS (SELECT CAST(floor(value * 1000) AS BIGINT) AS vm FROM events),
+n AS (SELECT count(*) AS total FROM c),
+r AS (SELECT vm, row_number() OVER (ORDER BY vm) AS rn FROM c),
+med AS (SELECT min(vm) AS v FROM r, n
+        WHERE rn >= ceil(500 * n.total / 1000.0)),
+d AS (SELECT abs(c.vm - med.v) AS dv FROM c, med),
+rd AS (SELECT dv, row_number() OVER (ORDER BY dv) AS rn FROM d),
+mad AS (SELECT min(dv) AS v FROM rd, n
+        WHERE rn >= ceil(500 * n.total / 1000.0))
+SELECT med.v AS median_milli, mad.v AS mad_milli FROM med, mad
+"""
+    # vocabulary: whitespace tokens, (count desc, token asc) rank − 1
+    sql["vocab_top_tokens"] = """
+WITH tok AS (SELECT unnest(list_filter(string_split(text, ' '),
+                                       x -> x <> '')) AS token
+             FROM documents),
+cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM tok GROUP BY token)
+SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, token) - 1
+            AS BIGINT) AS token_id,
+       token, n_occurrences
+FROM cnt ORDER BY token_id LIMIT 100
+"""
+    # balanced sample: the shared Knuth-bucket arithmetic with a
+    # per-group threshold
+    sql["lang_balanced_sample"] = """
+SELECT doc_id, lang AS "group",
+       CAST((CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761)
+            % 4294967296 % 1000 AS BIGINT) AS bucket
+FROM documents
+WHERE (CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761)
+      % 4294967296 % 1000
+      < CASE lang WHEN 'en' THEN 250 WHEN 'fr' THEN 500 ELSE 1000 END
 """
     return sql

@@ -280,6 +280,48 @@ def value_quantiles_milli(ds, value_col: str,
     return quantiles_from_histogram(hist, quantiles_permille)
 
 
+def mad_values_milli(ds, value_col: str):
+    """EXACT median absolute deviation on the milli grid — the robust
+    spread statistic quality pipelines use where stddev is poisoned by
+    heavy tails: ``median(|vm − median(vm)|)``.
+
+    Two combiner-bounded histogram passes (the shuffle carries distinct
+    milli values per batch, never rows): pass 1 is the shared exact-median
+    machinery of :func:`value_quantiles_milli`; pass 2 re-streams the
+    input through ``|vm − med|`` with the median captured in the closure
+    — a broadcast scalar, no join.  Quantile rule (value at 1-based rank
+    ``ceil(q/1000·n)``) is shared with every quantile op in the repo, so
+    the SQL oracle mirrors both passes verbatim.  Returns ONE row
+    ``(median_milli, mad_milli)``; empty input returns zero rows.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from .textstats import quantiles_from_histogram
+
+    med_df = value_quantiles_milli(ds, value_col, (500,))
+    med = med_df["value"].iloc[0]
+    if pd.isna(med):
+        return pd.DataFrame({"median_milli": pd.Series(dtype="int64"),
+                             "mad_milli": pd.Series(dtype="int64")})
+    med = int(med)
+
+    def dev_partial(t: pa.Table) -> pa.Table:
+        vm = _milli(one_chunk(t[value_col]))
+        dev = np.abs(vm - med)
+        g = pa.table({"value": pa.array(dev, type=pa.int64())}) \
+            .group_by("value").aggregate([("value", "count")])
+        return g.select(["value", "value_count"]) \
+            .rename_columns(["value", "n"])
+
+    hist = (ds.map_batches(dev_partial, batch_format="pyarrow")
+            .groupby("value").aggregate(Sum("n", alias_name="n"))
+            .to_pandas())
+    mad = int(quantiles_from_histogram(hist, (500,))["value"].iloc[0])
+    return pd.DataFrame({"median_milli": pd.Series([med], dtype="int64"),
+                         "mad_milli": pd.Series([mad], dtype="int64")})
+
+
 #: one week in microseconds — the cohort bucket width
 WEEK_US = 7 * 86400 * 1_000_000
 
@@ -605,9 +647,12 @@ def value_histogram_milli(ds, value_col: str, lo_milli: int, hi_milli: int,
     the ``groupby(bin)`` merge only ever sees those partials.
 
     Every bin appears in the output even when empty (the panel contract),
-    with its [lo, hi) edges in milli units; under/overflow carry null
-    edges on the open side.  Returns (bin, bin_lo_milli, bin_hi_milli,
-    n), bin ∈ [-1, n_bins].
+    with its [lo, hi) edges in milli units; under/overflow encode their
+    open side as the int64 extreme (INT64_MIN / INT64_MAX) rather than
+    NULL, so the output dtype is plain int64 end to end — a NULL edge
+    would force pandas nullable Int64 here while the SQL side decays to
+    float64, and the two frames would never schema-match.  Returns
+    (bin, bin_lo_milli, bin_hi_milli, n), bin ∈ [-1, n_bins].
     """
     from ray.data.aggregate import Sum
 
@@ -636,10 +681,10 @@ def value_histogram_milli(ds, value_col: str, lo_milli: int, hi_milli: int,
     bins = merged["bin"].to_numpy()
     lo = lo_milli + bins * width // n_bins
     hi = lo_milli + (bins + 1) * width // n_bins
-    merged["bin_lo_milli"] = np.where(bins < 0, None, lo)
-    merged["bin_hi_milli"] = np.where(bins >= n_bins, None, hi)
-    merged["bin_lo_milli"] = merged["bin_lo_milli"].astype("Int64")
-    merged["bin_hi_milli"] = merged["bin_hi_milli"].astype("Int64")
+    i64 = np.iinfo(np.int64)
+    merged["bin_lo_milli"] = np.where(bins < 0, i64.min, lo).astype(np.int64)
+    merged["bin_hi_milli"] = np.where(bins >= n_bins, i64.max, hi) \
+        .astype(np.int64)
     return merged[["bin", "bin_lo_milli", "bin_hi_milli", "n"]]
 
 

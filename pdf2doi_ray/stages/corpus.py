@@ -1383,26 +1383,15 @@ def filter_by_group_quality(docs, group_col: str = "source",
     return docs.map_batches(gate, batch_format="pyarrow")
 
 
-def oov_rate(docs, vocab_size: int = 50):
-    """Out-of-vocabulary rate per document: the permille of a doc's tokens
-    absent from the corpus-wide top-``vocab_size`` token vocabulary — the
-    cheap stand-in for LM-perplexity quality filtering (CCNet-style): high
-    OOV flags gibberish, boilerplate-stripped residue, and wrong-language
-    docs relative to the corpus's own register.
-
-    Two passes, both shuffle-light: (1) vocabulary = global token counts
-    (per-batch Arrow ``group_by`` combiner → one ``groupby`` over combiner
-    rows) reduced to top-``vocab_size`` with the bounded-partial pattern
-    (count desc, token asc — the deterministic tie-break the SQL oracle
-    mirrors); (2) the vocab broadcasts once via ``ray.put`` (it is
-    ``vocab_size`` strings — schema-sized, not corpus-sized) and every doc
-    streams through one pandas-C membership gather.
-
-    Integer permille (1000·oov // n_tokens), empty docs → 0.  Returns
-    (doc_id, n_tokens, oov_permille).
+def top_token_counts(docs, vocab_size: int):
+    """Global top-``vocab_size`` token counts, (count desc, token asc) —
+    the shared vocabulary phase behind :func:`oov_rate` and
+    :func:`build_vocab`.  Per-batch Arrow ``group_by`` combiner → one
+    ``groupby(token)`` over combiner rows → bounded-partial top-k (≤
+    ``vocab_size`` rows per block reach the driver, no global sort).
+    Returns a pandas frame (token, n) sorted by the vocabulary order.
     """
     import pandas as pd
-    import ray
     from ray.data.aggregate import Sum
 
     def counts(t: pa.Table) -> pa.Table:
@@ -1426,8 +1415,95 @@ def oov_rate(docs, vocab_size: int = 50):
     if "token" not in vocab_df.columns:
         vocab_df = pd.DataFrame({"token": pd.Series(dtype=object),
                                  "n": pd.Series(dtype="int64")})
-    vocab_df = vocab_df.sort_values(["n", "token"],
-                                    ascending=[False, True]).head(vocab_size)
+    return vocab_df.sort_values(["n", "token"],
+                                ascending=[False, True]) \
+        .head(vocab_size).reset_index(drop=True)
+
+
+def build_vocab(docs, vocab_size: int = 100):
+    """Vocabulary construction: the corpus's top-``vocab_size`` tokens
+    with contiguous ids assigned by (count desc, token asc) rank — the
+    tokenizer-training precursor (a unigram vocab is the degenerate BPE
+    seed).  The distributed work is the combiner-first count of
+    :func:`top_token_counts`; id assignment happens driver-side over the
+    vocab_size-row result — schema-sized, never corpus-sized.  Returns
+    (token_id, token, n_occurrences), token_id starting at 0.
+    """
+    import pandas as pd
+
+    v = top_token_counts(docs, vocab_size)
+    return pd.DataFrame({
+        "token_id": np.arange(len(v), dtype=np.int64),
+        "token": v["token"].to_numpy(dtype=object),
+        "n_occurrences": v["n"].to_numpy().astype(np.int64),
+    })
+
+
+def balanced_sample(docs, group_col: str = "lang",
+                    rates_permille: dict | None = None,
+                    default_permille: int = 1000):
+    """Language/domain-balanced corpus sampling: keep each row with a
+    per-group deterministic probability (permille) — the mixing step that
+    downsamples over-represented languages or sources before training
+    (the fixed-rate cousin of temperature sampling; the caller computes
+    the rates, this op applies them at corpus scale).
+
+    A pure filter over the stream: the group's rate looks up from a
+    schema-sized dict captured in the closure, the keep decision is the
+    repo's shared Knuth hash bucket of ``doc_id`` — deterministic across
+    runs and parallelism, identical arithmetic to :func:`hash_sample`
+    and its SQL mirror.  No shuffle, no state.  Returns
+    (doc_id, group, bucket).
+    """
+    rates = dict(rates_permille or {})
+
+    def pick(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        from ..arrowutil import one_chunk
+
+        b = hash_bucket(t["doc_id"])
+        grp = one_chunk(t[group_col])
+        if rates:
+            # vectorized dict lookup: pandas map is a C hash-table probe,
+            # not a per-row Python loop
+            thr = pd.Series(grp.to_numpy(zero_copy_only=False)) \
+                .map(rates).fillna(default_permille) \
+                .to_numpy(dtype=np.int64)
+        else:
+            thr = np.full(len(b), default_permille, np.int64)
+        mask = b < thr
+        return pa.table({
+            "doc_id": t["doc_id"].filter(pa.array(mask)),
+            "group": grp.filter(pa.array(mask)),
+            "bucket": pa.array(b[mask], type=pa.int64()),
+        })
+
+    return docs.map_batches(pick, batch_format="pyarrow")
+
+
+def oov_rate(docs, vocab_size: int = 50):
+    """Out-of-vocabulary rate per document: the permille of a doc's tokens
+    absent from the corpus-wide top-``vocab_size`` token vocabulary — the
+    cheap stand-in for LM-perplexity quality filtering (CCNet-style): high
+    OOV flags gibberish, boilerplate-stripped residue, and wrong-language
+    docs relative to the corpus's own register.
+
+    Two passes, both shuffle-light: (1) vocabulary = global token counts
+    (per-batch Arrow ``group_by`` combiner → one ``groupby`` over combiner
+    rows) reduced to top-``vocab_size`` with the bounded-partial pattern
+    (count desc, token asc — the deterministic tie-break the SQL oracle
+    mirrors); (2) the vocab broadcasts once via ``ray.put`` (it is
+    ``vocab_size`` strings — schema-sized, not corpus-sized) and every doc
+    streams through one pandas-C membership gather.
+
+    Integer permille (1000·oov // n_tokens), empty docs → 0.  Returns
+    (doc_id, n_tokens, oov_permille).
+    """
+    import pandas as pd
+    import ray
+
+    vocab_df = top_token_counts(docs, vocab_size)
     vocab_ref = ray.put(pd.Index(vocab_df["token"].to_numpy(dtype=object)))
 
     def score(t: pa.Table) -> pa.Table:

@@ -625,8 +625,14 @@ def test_value_histogram_milli(n_blocks):
     assert len(out) == 12                       # every bin present
     row0 = out[out["bin"] == 0].iloc[0]
     assert row0["bin_lo_milli"] == 0 and row0["bin_hi_milli"] == 100
-    assert out[out["bin"] == -1]["bin_lo_milli"].isna().all()
-    assert out[out["bin"] == 10]["bin_hi_milli"].isna().all()
+    # open tail edges encode as int64 extremes (plain-int64 contract —
+    # NULL edges would desync the frame dtype from the float64-decayed
+    # SQL side); dtype itself pinned to non-nullable int64
+    i64 = np.iinfo(np.int64)
+    assert (out[out["bin"] == -1]["bin_lo_milli"] == i64.min).all()
+    assert (out[out["bin"] == 10]["bin_hi_milli"] == i64.max).all()
+    assert str(out["bin_lo_milli"].dtype) == "int64"
+    assert str(out["bin_hi_milli"].dtype) == "int64"
 
 
 @pytest.mark.usefixtures("ray_session")

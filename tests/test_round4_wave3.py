@@ -1,0 +1,94 @@
+"""Round-4 third wave: exact MAD, vocabulary construction, balanced
+sampling."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_mad_event_values_handcomputed():
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import mad_values_milli
+
+    # milli grid: [1, 2, 3, 10, 100]; median (ceil-rank, 1-based rank 3)
+    # = 3; |dev| = [2, 1, 0, 7, 97] → sorted [0, 1, 2, 7, 97], rank 3 = 2
+    vals = [0.001, 0.002, 0.003, 0.010, 0.100]
+    ds = ray.data.from_arrow(pa.table({
+        "value": pa.array(vals, type=pa.float64())})).repartition(3)
+    out = mad_values_milli(ds, "value")
+    assert out["median_milli"].tolist() == [3]
+    assert out["mad_milli"].tolist() == [2]
+    assert str(out["median_milli"].dtype) == "int64"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_mad_empty_input_zero_rows():
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import mad_values_milli
+
+    t = pa.table({"value": pa.array([], type=pa.float64())})
+    out = mad_values_milli(ray.data.from_arrow(t), "value")
+    assert len(out) == 0
+    assert list(out.columns) == ["median_milli", "mad_milli"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_build_vocab_rank_and_tiebreak():
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import build_vocab
+
+    # counts: "b"=3, "a"=3, "c"=2, "d"=1 → ids by (count desc, token asc):
+    # a=0, b=1, c=2, d=3
+    texts = ["a b c", "b a", "a b c d", ""]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(4), type=pa.int64()),
+        "text": pa.array(texts)})).repartition(2)
+    out = build_vocab(ds, vocab_size=3)
+    assert out["token"].tolist() == ["a", "b", "c"]
+    assert out["token_id"].tolist() == [0, 1, 2]
+    assert out["n_occurrences"].tolist() == [3, 3, 2]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_balanced_sample_deterministic_and_rate_bounded():
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import balanced_sample
+
+    n = 4000
+    langs = np.where(np.arange(n) % 2 == 0, "en", "fr").astype(object)
+    t = pa.table({"doc_id": pa.array(range(n), type=pa.int64()),
+                  "lang": pa.array(list(langs))})
+    ds = ray.data.from_arrow(t).repartition(5)
+    out = balanced_sample(ds, group_col="lang",
+                          rates_permille={"en": 100, "fr": 1000}) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # all fr rows kept (rate 1000‰); en rows thinned to roughly 10%
+    n_fr = (out["group"] == "fr").sum()
+    n_en = (out["group"] == "en").sum()
+    assert n_fr == n // 2
+    assert 0.05 * n / 2 < n_en < 0.2 * n / 2
+    # the kept set is exactly {bucket < rate} — rerun must agree row-for-row
+    out2 = balanced_sample(ds, group_col="lang",
+                           rates_permille={"en": 100, "fr": 1000}) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out.equals(out2)
+    assert (out["bucket"] <
+            np.where(out["group"] == "en", 100, 1000)).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_balanced_sample_default_rate_keeps_unlisted_groups():
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import balanced_sample
+
+    t = pa.table({"doc_id": pa.array(range(100), type=pa.int64()),
+                  "lang": pa.array(["de"] * 100)})
+    out = balanced_sample(ray.data.from_arrow(t),
+                          rates_permille={"en": 1}).to_pandas()
+    assert len(out) == 100  # default 1000‰ = keep everything
