@@ -1249,9 +1249,11 @@ def _q_approx_value_quantiles_by_type(sf_dir: str):
 def _q_event_type_freqs_cm(sf_dir: str):
     """Count-Min point-frequency estimates over events.event_type: one
     (4x1024) int64 table per batch, lossless element-wise driver merge,
-    probe answers without any shuffle.  No SQL oracle (over-estimate
-    within e/width*N by design); locked by the mergeable-invariant
-    property tests in tests/test_sketch.py."""
+    probe answers without any shuffle.  The md5 bucket map makes the
+    sketch SQL-recomputable, so the oracle rebuilds every (row, bucket)
+    register sum and takes the same min — the driver check is exact,
+    over-estimates included; the e/width*N error-bound property is
+    locked separately in tests/test_sketch.py."""
     import ray.data
 
     from pdf2doi_ray.stages.sketch import count_min_frequencies
@@ -3567,5 +3569,30 @@ FROM documents
 WHERE (CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761)
       % 4294967296 % 1000
       < CASE lang WHEN 'en' THEN 250 WHEN 'fr' THEN 500 ELSE 1000 END
+"""
+    # Count-Min, recomputed register-for-register: row j buckets a value
+    # at md5('cm'||j||':'||v) first-8-bytes-BE % 1024; a register's sum is
+    # the exact total count of every value hashing there, and the point
+    # estimate is the min over the 4 rows — including the sketch's
+    # over-estimates, which the oracle reproduces bit-for-bit
+    sql["event_type_freqs_cm"] = """
+WITH cnt AS (SELECT event_type AS v, count(*) AS c
+             FROM events GROUP BY event_type),
+j AS (SELECT CAST(g AS INT) AS j FROM UNNEST(range(4)) t(g)),
+reg AS (SELECT j.j,
+               ('0x' || substr(md5('cm' || j.j || ':' || cnt.v), 1, 16))
+                   ::UBIGINT % 1024 AS b,
+               SUM(cnt.c) AS s
+        FROM cnt, j GROUP BY j.j, b),
+probes AS (SELECT * FROM (VALUES ('click'), ('view'), ('purchase'),
+                                 ('signup'), ('error'),
+                                 ('never-seen-type')) p(v)),
+pb AS (SELECT p.v, j.j,
+              ('0x' || substr(md5('cm' || j.j || ':' || p.v), 1, 16))
+                  ::UBIGINT % 1024 AS b
+       FROM probes p, j)
+SELECT pb.v AS value, CAST(MIN(COALESCE(reg.s, 0)) AS BIGINT) AS est_count
+FROM pb LEFT JOIN reg ON pb.j = reg.j AND pb.b = reg.b
+GROUP BY pb.v
 """
     return sql

@@ -503,15 +503,17 @@ CM_WIDTH = 1024
 
 def _cm_positions(values, depth: int = CM_DEPTH,
                   width: int = CM_WIDTH) -> np.ndarray:
-    """(depth, n) bucket positions; row j uses blake2b salted with j —
-    deterministic across processes (no PYTHONHASHSEED dependence)."""
+    """(depth, n) bucket positions; row j hashes ``"cm{j}:" + value`` with
+    the repo's SQL-recomputable md5 convention (first 8 bytes, big-endian
+    — :func:`hash64`), so a DuckDB oracle can rebuild the full sketch:
+    ``('0x' || substr(md5('cm' || j || ':' || v), 1, 16))::UBIGINT %
+    width``.  Deterministic across processes (no PYTHONHASHSEED
+    dependence); was salted blake2b before round 4."""
     pos = np.empty((depth, len(values)), dtype=np.int64)
     for i, v in enumerate(values):
-        b = v.encode("utf-8")
         for j in range(depth):
-            h = hashlib.blake2b(b, digest_size=8,
-                                salt=bytes([j]) * 8).digest()
-            pos[j, i] = int.from_bytes(h, "little") % width
+            h = hashlib.md5(f"cm{j}:{v}".encode("utf-8")).digest()[:8]
+            pos[j, i] = int.from_bytes(h, "big") % width
     return pos
 
 
@@ -544,8 +546,11 @@ def count_min_frequencies(ds, column: str, probes,
     (depth x width) int64 CM table (a few KiB regardless of rows), the
     driver element-wise sums the tables (lossless merge) and answers the
     probe queries — values never shuffle, the driver never holds keys.
-    Returns pandas (value, est_count), rows-only by design (est is an
-    upper bound within e/width*N, not an exact value)."""
+    Returns pandas (value, est_count).  The estimate is an upper bound
+    within e/width*N of the truth, but it is DETERMINISTIC given the
+    data: the md5 bucket map means a SQL oracle can recompute every
+    register (sum counts per (row, bucket)) and take the same min —
+    over-estimates and all — so the driver check is exact."""
     import pandas as pd
 
     from ..arrowutil import one_chunk
