@@ -594,9 +594,9 @@ def contamination_flags(docs, gram_len: int = 8, benchmark_mod: int = 97):
         grams, _ = _grams_with_rows(sub)
         return pa.table({"gram": pc.unique(grams)})
 
-    bench = pa.concat_tables(
-        ray.get(docs.map_batches(bench_grams, batch_format="pyarrow")
-                .to_arrow_refs()), promote_options="default")
+    from ..arrowutil import collect_tables
+    bench = collect_tables(docs.map_batches(bench_grams,
+                                            batch_format="pyarrow"))
     bench_idx = pd.Index(pc.unique(
         bench["gram"].combine_chunks()).to_pandas())
     bench_ref = ray.put(bench_idx)
@@ -988,8 +988,8 @@ def remove_common_lines(docs, min_docs: int = 2,
     common = totals.map_batches(
         lambda t: t.filter(pc.greater_equal(t["n_docs"], min_docs)),
         batch_format="pyarrow")
-    tabs = ray.get(common.to_arrow_refs())
-    merged = pa.concat_tables(tabs, promote_options="default")
+    from ..arrowutil import collect_tables
+    merged = collect_tables(common)
     common_idx = pd.Index(merged["line"].to_pandas()
                           if merged.num_rows else pd.Series([], dtype=object))
     common_ref = ray.put(common_idx)
@@ -1367,9 +1367,9 @@ def filter_by_group_quality(docs, group_col: str = "source",
                          t.filter(pc.greater_equal(avg,
                                                    min_avg_milli))[group_col]})
 
-    tabs = ray.get(totals.map_batches(good, batch_format="pyarrow")
-                   .to_arrow_refs())
-    merged = pa.concat_tables(tabs, promote_options="default")
+    from ..arrowutil import collect_tables
+    merged = collect_tables(totals.map_batches(good,
+                                               batch_format="pyarrow"))
     good_idx = pd.Index(merged[group_col].to_pandas()
                         if merged.num_rows else pd.Series([], dtype=object))
     good_ref = ray.put(good_idx)

@@ -284,8 +284,8 @@ def _pagerank_broadcast(edges, nodes, n_iters: int, damping_pct: int,
     import ray
     import ray.data
 
-    node_tbl = pa.concat_tables(ray.get(nodes.to_arrow_refs()),
-                                promote_options="default")
+    from ..arrowutil import collect_tables
+    node_tbl = collect_tables(nodes)
     if node_tbl.num_rows == 0:
         return ray.data.from_arrow(pa.table({
             "node": pa.array([], type=pa.int64()),

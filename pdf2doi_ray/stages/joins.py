@@ -49,8 +49,8 @@ def broadcast_hash_join(big, small, on, right_on=None, join_type="inner",
     right_keys = (list(right_on) if not isinstance(right_on, str)
                   else [right_on]) if right_on is not None else on
 
-    small_tbl = pa.concat_tables(
-        ray.get(small.to_arrow_refs()), promote_options="default")
+    from ..arrowutil import collect_tables
+    small_tbl = collect_tables(small)
     small_ref = ray.put(small_tbl)
 
     def join_batch(t: pa.Table) -> pa.Table:

@@ -462,14 +462,16 @@ def kmeans_fixed(embeddings, k: int = 8, iters: int = 5,
 
     def _seed_centroids() -> np.ndarray:
         import pyarrow.compute as pc
-        tabs = ray.get(
+        from ..arrowutil import collect_tables
+        t = collect_tables(
             embeddings.map_batches(
                 lambda t: t.select(["vec_id", "embedding"])
                 .filter(pc.less(t["vec_id"], k)),
-                batch_format="pyarrow").to_arrow_refs())
-        t = pa.concat_tables(tabs, promote_options="default") if tabs             else pa.table({"vec_id": pa.array([], type=pa.int64()),
-                           "embedding": pa.array([], type=pa.list_(
-                               pa.float32()))})
+                batch_format="pyarrow"))
+        if t.num_columns == 0:
+            t = pa.table({"vec_id": pa.array([], type=pa.int64()),
+                          "embedding": pa.array([], type=pa.list_(
+                              pa.float32()))})
         ids = np.asarray(t["vec_id"])
         if sorted(ids.tolist()) != list(range(k)):
             raise ValueError(f"kmeans_fixed: seeds must be exactly the "
