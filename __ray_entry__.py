@@ -756,6 +756,28 @@ def _q_lang_balanced_sample(sf_dir: str):
                            rates_permille={"en": 250, "fr": 500})
 
 
+def _q_melt_doc_stats(sf_dir: str):
+    """Wide→long melt (UNPIVOT): each document emits one (doc_id, stat,
+    value) row per numeric stat — stored n_chars plus derived
+    n_text_chars (utf8 length) — as a pure vectorized map, zero
+    shuffles."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pdf2doi_ray.stages.aggs import melt_columns
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_chars": t["n_chars"],
+            "n_text_chars": pc.utf8_length(t["text"]).cast(pa.int64()),
+        })
+
+    ds = _docs(sf_dir, ("doc_id", "text", "n_chars")) \
+        .map_batches(prep, batch_format="pyarrow")
+    return melt_columns(ds, "doc_id", ["n_chars", "n_text_chars"])
+
+
 def _q_chars_tokens_moments(sf_dir: str):
     """Exact integer covariance/correlation numerators of (n_chars,
     n_tokens) across documents: one combiner row per batch, a scalar
@@ -1910,6 +1932,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_event_values": _q_mad_event_values,
         "vocab_top_tokens": _q_vocab_top_tokens,
         "lang_balanced_sample": _q_lang_balanced_sample,
+        "melt_doc_stats": _q_melt_doc_stats,
     }
 
 
@@ -3594,5 +3617,13 @@ pb AS (SELECT p.v, j.j,
 SELECT pb.v AS value, CAST(MIN(COALESCE(reg.s, 0)) AS BIGINT) AS est_count
 FROM pb LEFT JOIN reg ON pb.j = reg.j AND pb.b = reg.b
 GROUP BY pb.v
+"""
+    # wide→long melt; DuckDB length() counts code points = Arrow
+    # utf8_length
+    sql["melt_doc_stats"] = """
+SELECT doc_id, 'n_chars' AS stat, n_chars AS value FROM documents
+UNION ALL
+SELECT doc_id, 'n_text_chars' AS stat,
+       CAST(length(text) AS BIGINT) AS value FROM documents
 """
     return sql

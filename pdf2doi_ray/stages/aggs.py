@@ -776,3 +776,31 @@ def funnel_conversion(events, first_type: str, then_type: str,
             "converted", pc.is_valid(t["conv_ts_us"]))
 
     return out.map_batches(_flag, batch_format="pyarrow")
+
+
+def melt_columns(ds, id_col: str, value_cols: list[str],
+                 stat_col: str = "stat", value_col: str = "value"):
+    """Wide→long reshape (UNPIVOT/melt): each input row emits one
+    ``(id, stat_name, int64 value)`` row per column in ``value_cols``.
+
+    A pure vectorized map — no shuffle, no state: per batch the value
+    columns concatenate into one int64 array, the id column tiles, and
+    the stat names arrive as a dictionary-encoded repeat.  Output size is
+    |rows|×|value_cols|; at fleet scale melt BEFORE any filter that can
+    run wide (project early) and let block splitting handle the fan-out.
+    """
+    value_cols = list(value_cols)
+
+    def explode(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ids = one_chunk(t[id_col])
+        out_ids = pa.concat_arrays([ids] * len(value_cols)) \
+            if len(value_cols) > 1 else ids
+        stats = pa.array(np.repeat(np.array(value_cols, dtype=object), n),
+                         type=pa.string())
+        vals = pa.concat_arrays(
+            [one_chunk(t[c].cast(pa.int64())) for c in value_cols])
+        return pa.table({id_col: out_ids, stat_col: stats,
+                         value_col: vals})
+
+    return ds.map_batches(explode, batch_format="pyarrow")

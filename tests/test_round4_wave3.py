@@ -92,3 +92,28 @@ def test_balanced_sample_default_rate_keeps_unlisted_groups():
     out = balanced_sample(ray.data.from_arrow(t),
                           rates_permille={"en": 1}).to_pandas()
     assert len(out) == 100  # default 1000‰ = keep everything
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_melt_columns_roundtrip():
+    """melt emits exactly one (id, stat, value) row per id per column,
+    preserving values; single-column melt degenerates to a rename."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import melt_columns
+
+    t = pa.table({"doc_id": pa.array([10, 11], type=pa.int64()),
+                  "x": pa.array([1, 2], type=pa.int64()),
+                  "y": pa.array([3, 4], type=pa.int64())})
+    out = (melt_columns(ray.data.from_arrow(t), "doc_id", ["x", "y"])
+           .to_pandas().sort_values(["doc_id", "stat"])
+           .reset_index(drop=True))
+    assert len(out) == 4
+    assert out.loc[(out.doc_id == 10) & (out.stat == "x"),
+                   "value"].item() == 1
+    assert out.loc[(out.doc_id == 11) & (out.stat == "y"),
+                   "value"].item() == 4
+    single = (melt_columns(ray.data.from_arrow(t), "doc_id", ["y"])
+              .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert list(single["value"]) == [3, 4]
+    assert set(single["stat"]) == {"y"}
