@@ -756,6 +756,16 @@ def _q_lang_balanced_sample(sf_dir: str):
                            rates_permille={"en": 250, "fr": 500})
 
 
+def _q_weighted_sample_k(sf_dir: str):
+    """Deterministic weighted bottom-k sample: the 25 documents with the
+    smallest knuth-hash-priority // n_chars — quality/length-weighted
+    selection, bounded ≤k-per-batch partials, no shuffle.  Distinct from
+    ``weighted_sample`` (Bernoulli keep): this one is exactly-k."""
+    from pdf2doi_ray.stages.corpus import weighted_sample_k
+    return weighted_sample_k(_docs(sf_dir, ("doc_id", "n_chars")),
+                             weight_col="n_chars", k=25)
+
+
 def _q_melt_doc_stats(sf_dir: str):
     """Wide→long melt (UNPIVOT): each document emits one (doc_id, stat,
     value) row per numeric stat — stored n_chars plus derived
@@ -1933,6 +1943,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_top_tokens": _q_vocab_top_tokens,
         "lang_balanced_sample": _q_lang_balanced_sample,
         "melt_doc_stats": _q_melt_doc_stats,
+        "weighted_sample_k": _q_weighted_sample_k,
     }
 
 
@@ -3625,5 +3636,17 @@ SELECT doc_id, 'n_chars' AS stat, n_chars AS value FROM documents
 UNION ALL
 SELECT doc_id, 'n_text_chars' AS stat,
        CAST(length(text) AS BIGINT) AS value FROM documents
+"""
+    # weighted bottom-k sample: the shared Knuth fold scaled by weight;
+    # HUGEINT keeps h*1000 exact, // truncates = floors (non-negative)
+    sql["weighted_sample_k"] = """
+WITH h AS (SELECT doc_id, n_chars AS weight,
+       CAST((CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761)
+            % 4294967296 * 1000 // n_chars AS BIGINT) AS priority
+FROM documents WHERE n_chars > 0)
+SELECT CAST(row_number() OVER (ORDER BY priority, doc_id) AS BIGINT)
+           AS rank,
+       doc_id, weight, priority
+FROM h ORDER BY priority, doc_id LIMIT 25
 """
     return sql

@@ -291,6 +291,55 @@ def uniform_sample_k(docs, k: int = 25):
     })
 
 
+def weighted_sample_k(docs, weight_col: str, k: int = 25):
+    """Exactly-k deterministic WEIGHTED sample: the k rows with the
+    smallest ``hash_priority // weight`` (ties broken by id) — heavier
+    rows draw smaller priorities and enter the sample more often, the
+    quality-weighted data-selection step of a training-mix pipeline.
+
+    Priority arithmetic (int64-exact, SQL-mirrorable): ``pri =
+    (knuth32(doc_id) * 1000) // max(weight, 1)`` with non-positive-weight
+    rows excluded — a bottom-k on U/w priorities (Efraimidis–Spirakis
+    STYLE: inclusion probability is monotone in weight and the scheme is
+    reproducible across runs/engines, but priorities are uniform rather
+    than exponential, so it is NOT distributionally identical to A-ES
+    u^(1/w) sampling; callers needing exact A-ES inclusion probabilities
+    accept floats and lose the oracle).  Same bounded-partial plan as
+    :func:`uniform_sample_k`: each batch forwards its ≤k best rows, the
+    driver merges tiny partials, no shuffle.  Returns
+    (rank, doc_id, weight, priority).
+    """
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].combine_chunks()
+                         if isinstance(t["doc_id"], pa.ChunkedArray)
+                         else t["doc_id"])
+        w = np.asarray(t[weight_col].combine_chunks()
+                       if isinstance(t[weight_col], pa.ChunkedArray)
+                       else t[weight_col]).astype(np.int64)
+        keep = w > 0
+        ids, w = ids[keep], w[keep]
+        h = knuth_hash32(pa.array(ids, type=pa.int64())).astype(np.int64)
+        pri = (h * 1000) // w          # h < 2^32 ⇒ h·1000 < 2^42: exact
+        order = np.lexsort((ids, pri))[:k]
+        return pa.table({"doc_id": pa.array(ids[order], type=pa.int64()),
+                         "weight": pa.array(w[order], type=pa.int64()),
+                         "priority": pa.array(pri[order], type=pa.int64())})
+
+    parts = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if "doc_id" not in parts.columns:    # fully-empty input -> schemaless
+        parts = pd.DataFrame({c: pd.Series(dtype="int64")
+                              for c in ("doc_id", "weight", "priority")})
+    parts = parts.sort_values(["priority", "doc_id"]).head(k)
+    return pd.DataFrame({
+        "rank": np.arange(1, len(parts) + 1, dtype=np.int64),
+        "doc_id": parts["doc_id"].to_numpy(),
+        "weight": parts["weight"].to_numpy(),
+        "priority": parts["priority"].to_numpy(),
+    })
+
+
 def inverted_index_stats(docs):
     """Postings-list statistics per term: (term, df, cf, min_doc, max_doc).
 

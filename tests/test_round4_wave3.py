@@ -117,3 +117,37 @@ def test_melt_columns_roundtrip():
               .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert list(single["value"]) == [3, 4]
     assert set(single["stat"]) == {"y"}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_weighted_sample_monotone_and_blockcount_invariant():
+    """Same result at any block count; doubling every weight can only
+    improve a row's priority; zero/negative-weight rows never sampled."""
+    import pandas as pd
+    import ray
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import weighted_sample_k
+
+    ids = pa.array(range(1, 201), type=pa.int64())
+    w = pa.array([(i % 7) + 1 for i in range(1, 201)], type=pa.int64())
+    t = pa.table({"doc_id": ids, "n": w})
+
+    def run(n_blocks, tbl=t):
+        ds = ray.data.from_arrow(tbl).repartition(n_blocks)
+        return weighted_sample_k(ds, "n", k=10)
+
+    a, b = run(1), run(7)
+    pd.testing.assert_frame_equal(a, b)
+    # brute-force oracle
+    import numpy as np
+
+    from pdf2doi_ray.stages.corpus import knuth_hash32
+    h = knuth_hash32(ids).astype(np.int64)
+    pri = (h * 1000) // np.asarray(w)
+    order = np.lexsort((np.asarray(ids), pri))[:10]
+    assert list(a["doc_id"]) == list(np.asarray(ids)[order])
+    # zero-weight rows are excluded even if their priority would win
+    t2 = pa.table({"doc_id": ids, "n": pa.array([0] * 200,
+                                                type=pa.int64())})
+    assert len(run(3, t2)) == 0
