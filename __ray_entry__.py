@@ -766,6 +766,79 @@ def _q_weighted_sample_k(sf_dir: str):
                              weight_col="n_chars", k=25)
 
 
+def _q_lexical_diversity(sf_dir: str):
+    """Type-token ratio per document (distinct-token permille): the
+    lexical-diversity quality signal, pure map-side, zero shuffles."""
+    from pdf2doi_ray.stages.corpus import lexical_diversity
+    return lexical_diversity(_docs(sf_dir, ("doc_id", "text")))
+
+
+def _q_anchor_text_index(sf_dir: str):
+    """Anchor-text index over link-injected docs (multi-word anchors
+    synthesized from doc_id): per-target-host top-8 anchor terms,
+    combiner-first counts → one groupby Sum → bucketed top-k merge."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pdf2doi_ray.stages.corpus import anchor_text_index
+
+    def inject(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].combine_chunks()
+                         if isinstance(t["doc_id"], pa.ChunkedArray)
+                         else t["doc_id"])
+        d = ids.astype(str)
+        links = np.char.add(np.char.add(np.char.add(np.char.add(
+            ' <a href="https://s', (ids % 5).astype(str)),
+            ".example.org/p/"), d), '">guide topic')
+        links = np.char.add(np.char.add(np.char.add(
+            links, (ids % 13).astype(str)), " part"),
+            (ids % 3).astype(str))
+        links = np.char.add(links, "</a>")
+        hub = np.where(
+            ids % 4 == 0,
+            np.char.add(np.char.add(np.char.add(
+                ' <a href="https://hub.example.org/',
+                (ids % 7).astype(str)), '">hub home page'),
+                np.char.add((ids % 2).astype(str), "</a>")),
+            "")
+        txt = np.char.add(np.char.add(np.asarray(
+            t["text"].combine_chunks()
+            if isinstance(t["text"], pa.ChunkedArray)
+            else t["text"]).astype(str), links), hub)
+        return pa.table({"doc_id": t["doc_id"],
+                         "text": pa.array(txt.tolist(), type=pa.string())})
+
+    docs = _docs(sf_dir, ("doc_id", "text")).map_batches(
+        inject, batch_format="pyarrow")
+    return anchor_text_index(docs, k=8)
+
+
+def _q_shipping_priority(sf_dir: str):
+    """TPC-H-Q3-style 3-table join: BUILDING-segment customers, orders
+    before / line items shipped after 1998-06-15, top-10 orders by exact
+    milli-integer revenue.  Broadcast semi-join + one shuffle join +
+    groupby Sum + bounded global top-k."""
+    import datetime
+
+    import ray.data
+
+    from pdf2doi_ray.stages.joins import shipping_priority
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"])
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"])
+    cutoff = datetime.datetime(1998, 6, 15)
+    return shipping_priority(cust, orders, li, segment="BUILDING",
+                             cutoff_us=cutoff, k=10)
+
+
 def _q_melt_doc_stats(sf_dir: str):
     """Wide→long melt (UNPIVOT): each document emits one (doc_id, stat,
     value) row per numeric stat — stored n_chars plus derived
@@ -1944,6 +2017,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_balanced_sample": _q_lang_balanced_sample,
         "melt_doc_stats": _q_melt_doc_stats,
         "weighted_sample_k": _q_weighted_sample_k,
+        "lexical_diversity": _q_lexical_diversity,
+        "anchor_text_index": _q_anchor_text_index,
+        "shipping_priority": _q_shipping_priority,
     }
 
 
@@ -3648,5 +3724,79 @@ SELECT CAST(row_number() OVER (ORDER BY priority, doc_id) AS BIGINT)
            AS rank,
        doc_id, weight, priority
 FROM h ORDER BY priority, doc_id LIMIT 25
+"""
+    # per-doc type-token ratio; // on BIGINT floors like numpy's //
+    sql["lexical_diversity"] = """
+WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tk
+             FROM documents),
+c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(count(DISTINCT tk) AS BIGINT) AS n_types
+      FROM tok WHERE tk <> '' GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(c.n_tokens, 0) AS n_tokens,
+       coalesce(c.n_types, 0) AS n_types,
+       CASE WHEN coalesce(c.n_tokens, 0) > 0
+            THEN 1000 * c.n_types // c.n_tokens ELSE 0 END AS ttr_permille
+FROM documents d LEFT JOIN c USING (doc_id)
+"""
+    # link injection mirrors _q_anchor_text_index.inject; grammar +
+    # host extraction are the proven extract_links/host_link_graph CTEs
+    sql["anchor_text_index"] = """
+WITH src AS (SELECT doc_id,
+       text || ' <a href="https://s' || CAST(doc_id % 5 AS VARCHAR)
+            || '.example.org/p/' || CAST(doc_id AS VARCHAR)
+            || '">guide topic' || CAST(doc_id % 13 AS VARCHAR)
+            || ' part' || CAST(doc_id % 3 AS VARCHAR) || '</a>'
+            || CASE WHEN doc_id % 4 = 0
+                    THEN ' <a href="https://hub.example.org/'
+                         || CAST(doc_id % 7 AS VARCHAR)
+                         || '">hub home page'
+                         || CAST(doc_id % 2 AS VARCHAR) || '</a>'
+                    ELSE '' END AS text
+       FROM documents),
+l AS (SELECT regexp_extract_all(text,
+                 '<a href="([^"]*)">([^<]*)', 1) AS hs,
+             regexp_extract_all(text,
+                 '<a href="([^"]*)">([^<]*)', 2) AS an
+      FROM src),
+p AS (SELECT hs[g + 1] AS href, an[g + 1] AS anchor
+      FROM l, UNNEST(range(len(hs))) AS t(g)),
+e AS (SELECT regexp_replace(regexp_replace(href,
+                 '^[a-z][a-z0-9+.-]*://', ''), '/.*$', '') AS dst_host,
+             UNNEST(string_split(anchor, ' ')) AS term
+      FROM p),
+c AS (SELECT dst_host, term, CAST(count(*) AS BIGINT) AS n_mentions
+      FROM e WHERE term <> '' GROUP BY dst_host, term),
+r AS (SELECT dst_host, term, n_mentions,
+             row_number() OVER (PARTITION BY dst_host
+                 ORDER BY n_mentions DESC, term) AS rk
+      FROM c)
+SELECT dst_host, CAST(rk AS BIGINT) AS rank, n_mentions, term
+FROM r WHERE rk <= 8
+"""
+    # Q3-style: revenue as floor(price*(1-disc)*1000) — the same two IEEE
+    # double multiplies + floor the numpy kernel runs, so the int64 sum is
+    # bit-exact on both sides
+    sql["shipping_priority"] = """
+WITH li AS (SELECT l_orderkey,
+       CAST(floor(l_extendedprice * (1.0 - l_discount) * 1000.0)
+            AS BIGINT) AS rev
+      FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-06-15'),
+o AS (SELECT o_orderkey,
+             CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+                 AS o_date_days,
+             o_orderpriority
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '1998-06-15'
+        AND o_custkey IN (SELECT c_custkey FROM customer
+                          WHERE c_mktsegment = 'BUILDING')),
+g AS (SELECT o_orderkey, o_date_days, o_orderpriority,
+             CAST(sum(rev) AS BIGINT) AS revenue_milli
+      FROM li JOIN o ON l_orderkey = o_orderkey
+      GROUP BY o_orderkey, o_date_days, o_orderpriority)
+SELECT CAST(row_number() OVER (ORDER BY revenue_milli DESC, o_orderkey)
+            AS BIGINT) AS rank,
+       o_orderkey, revenue_milli, o_date_days, o_orderpriority
+FROM g ORDER BY revenue_milli DESC, o_orderkey LIMIT 10
 """
     return sql

@@ -594,6 +594,45 @@ def top_bigram_repetition(docs, keep_below_permille: int = 180):
     return docs.map_batches(score, batch_format="pyarrow")
 
 
+def lexical_diversity(docs):
+    """Type-token ratio per document: ``1000·distinct_tokens // n_tokens``
+    — the lexical-diversity quality signal (machine-generated / keyword-
+    stuffed pages repeat a tiny vocabulary; natural prose doesn't).
+
+    Pure map-side like :func:`top_bigram_repetition`: a document is one
+    row in one batch, so the distinct count runs inside the batch (one
+    pandas C factorize + composite-int ``np.unique``); NO shuffle at any
+    corpus size.  Integer permille keeps the SQL oracle hash-exact.
+    Documents with zero nonempty tokens report 0/0/0.
+
+    Returns (doc_id, n_tokens, n_types, ttr_permille).
+    """
+    import pandas as pd
+
+    def score(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].combine_chunks()
+                         if isinstance(t["doc_id"], pa.ChunkedArray)
+                         else t["doc_id"]).astype(np.int64)
+        flat, row_idx = _tokens_nonempty(t)
+        n_tok = np.bincount(row_idx, minlength=t.num_rows).astype(np.int64)
+        n_types = np.zeros(t.num_rows, dtype=np.int64)
+        if len(flat):
+            tc, tu = pd.factorize(flat.to_pandas(), sort=False)
+            key = row_idx * np.int64(len(tu)) + tc.astype(np.int64)
+            uniq_rows = np.unique(key) // np.int64(len(tu))
+            np.add.at(n_types, uniq_rows, 1)
+        permille = np.where(n_tok > 0,
+                            1000 * n_types // np.maximum(n_tok, 1), 0)
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "n_tokens": pa.array(n_tok),
+            "n_types": pa.array(n_types),
+            "ttr_permille": pa.array(permille.astype(np.int64)),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
 def _token_grams_with_rows(t: pa.Table, gram_len: int):
     """All ``gram_len``-token shingles of each row's nonempty tokens,
     joined with a space, plus their batch-row index — the shared kernel of
@@ -1298,6 +1337,65 @@ def host_link_graph(pages, url_col: str = "url", text_col: str = "text"):
     return (pages.map_batches(partial, batch_format="pyarrow")
             .groupby(["src_host", "dst_host"])
             .aggregate(Sum("n", alias_name="n_links")))
+
+
+def anchor_text_index(pages, text_col: str = "text", k: int = 8):
+    """Anchor-text index: for every link-TARGET host, the top-``k``
+    anchor terms by total inbound-mention count — the web-corpus anchor
+    aggregation (anchor text describes the target page better than the
+    target's own text; classic search/training-signal construction).
+
+    Per batch: the shared link explode (:func:`_explode_links`), target-
+    host extraction (``skew._hosts_vec``), whitespace term split of each
+    anchor (empty terms dropped), then the factorize + composite-int
+    ``np.unique`` combiner so the first exchange carries one
+    (host, term, n) row per batch — zipfian hub hosts cost combiner rows,
+    not occurrence rows.  One ``groupby`` Sum totals the counts; the rank
+    pass reuses :func:`.windowfns.grouped_top_k`'s bucketed
+    ≤k-per-group merge (term is unique per host post-aggregate, so the
+    tie-break is deterministic).  Returns (dst_host, rank, n_mentions,
+    term).
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from ..arrowutil import one_chunk
+    from .skew import _hosts_vec
+    from .windowfns import grouped_top_k
+
+    def _empty() -> pa.Table:
+        return pa.table({"dst_host": pa.array([], type=pa.string()),
+                         "term": pa.array([], type=pa.string()),
+                         "n": pa.array([], type=pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        rows, _, sub = _explode_links(one_chunk(t[text_col]), t.num_rows)
+        if not len(rows):
+            return _empty()
+        dst = _hosts_vec(pc.struct_field(sub, "href"))
+        terms = pc.split_pattern(pc.struct_field(sub, "anchor"), " ")
+        flat = terms.flatten()
+        lengths = np.asarray(pc.list_value_length(terms).fill_null(0))
+        link_idx = np.repeat(np.arange(len(dst), dtype=np.int64), lengths)
+        mask = np.asarray(pc.not_equal(flat, ""))
+        flat, link_idx = flat.filter(pa.array(mask)), link_idx[mask]
+        if not len(link_idx):
+            return _empty()
+        hosts = dst.take(pa.array(link_idx))
+        hc, hu = pd.factorize(hosts.to_pandas(), sort=False)
+        tc, tu = pd.factorize(flat.to_pandas(), sort=False)
+        key = hc.astype(np.int64) * np.int64(len(tu)) + tc.astype(np.int64)
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "dst_host": pa.array(hu[uk // len(tu)], type=pa.string()),
+            "term": pa.array(tu[uk % len(tu)], type=pa.string()),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    agg = (pages.map_batches(partial, batch_format="pyarrow")
+           .groupby(["dst_host", "term"])
+           .aggregate(Sum("n", alias_name="n_mentions")))
+    return grouped_top_k(agg, "dst_host", "n_mentions", "term", k)
 
 
 def crawl_diff(curr, prev, key_col: str = "doc_id",

@@ -104,3 +104,112 @@ def shuffle_hash_join(left, right, on, right_on=None, join_type="inner",
     if project is not None:
         out = out.select_columns(list(project))
     return out
+
+
+def shipping_priority(customer, orders, lineitem, segment="BUILDING",
+                      cutoff_us=None, k=10, num_partitions=8):
+    """TPC-H-Q3-style shipping priority: the ``k`` highest-revenue orders
+    of one market segment where the order predates the cutoff but at
+    least one line item shipped after it (open revenue in flight) — the
+    canonical selective 3-table join + aggregate + global top-k.
+
+    Plan (all filters BEFORE any exchange, all payloads pruned at the
+    read by the caller):
+
+    1. customer filtered to the segment → key-only Dataset, broadcast
+       left-SEMI join into the date-filtered orders (dimension side never
+       shuffles);
+    2. lineitem date-filtered and reduced per row to
+       ``revenue_milli = floor(l_extendedprice·(1−l_discount)·1000)`` —
+       two IEEE doubles ops + floor, bit-identical in numpy and the SQL
+       oracle, so the int64 Sum is exact and hash-stable;
+    3. ONE shuffle hash join on the orderkey, groupby Sum, then a
+       bounded global top-k: each batch forwards its ≤k best rows
+       (revenue desc, orderkey asc) and the driver merges tiny partials —
+       at any corpus size the driver sees ≤ k × blocks rows.
+
+    Returns pandas (rank, o_orderkey, revenue_milli, o_date_days,
+    o_orderpriority).
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    cutoff = pa.scalar(cutoff_us, type=pa.timestamp("us"))
+
+    def filter_cust(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.equal(t["c_mktsegment"], segment)) \
+                .select(["c_custkey"])
+
+    def filter_orders(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = t.filter(pc.less(t["o_orderdate"], cutoff))
+        days = pc.divide(t["o_orderdate"].cast(pa.int64()),
+                         86_400_000_000)
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_custkey": t["o_custkey"],
+            "o_date_days": days,
+            "o_orderpriority": t["o_orderpriority"],
+        })
+
+    def reduce_lineitem(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = t.filter(pc.greater(t["l_shipdate"], cutoff))
+        price = np.asarray(t["l_extendedprice"].combine_chunks()
+                           if isinstance(t["l_extendedprice"],
+                                         pa.ChunkedArray)
+                           else t["l_extendedprice"], dtype=np.float64)
+        disc = np.asarray(t["l_discount"].combine_chunks()
+                          if isinstance(t["l_discount"], pa.ChunkedArray)
+                          else t["l_discount"], dtype=np.float64)
+        rev = np.floor((price * (1.0 - disc)) * 1000.0).astype(np.int64)
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "rev": pa.array(rev)})
+
+    open_orders = broadcast_hash_join(
+        orders.map_batches(filter_orders, batch_format="pyarrow"),
+        customer.map_batches(filter_cust, batch_format="pyarrow"),
+        on=["o_custkey"], right_on=["c_custkey"], join_type="left semi",
+        project=["o_orderkey", "o_date_days", "o_orderpriority"])
+
+    joined = shuffle_hash_join(
+        lineitem.map_batches(reduce_lineitem, batch_format="pyarrow"),
+        open_orders, on="l_orderkey", right_on="o_orderkey",
+        num_partitions=num_partitions,
+        project=["l_orderkey", "rev", "o_date_days", "o_orderpriority"])
+
+    grouped = joined.groupby(
+        ["l_orderkey", "o_date_days", "o_orderpriority"]) \
+        .aggregate(Sum("rev", alias_name="revenue_milli"))
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        rev = np.asarray(t["revenue_milli"].combine_chunks()
+                         if isinstance(t["revenue_milli"], pa.ChunkedArray)
+                         else t["revenue_milli"]).astype(np.int64)
+        keys = np.asarray(t["l_orderkey"].combine_chunks()
+                          if isinstance(t["l_orderkey"], pa.ChunkedArray)
+                          else t["l_orderkey"]).astype(np.int64)
+        order = np.lexsort((keys, -rev))[:k]
+        return t.take(pa.array(order, type=pa.int64()))
+
+    parts = grouped.map_batches(block_topk,
+                                batch_format="pyarrow").to_pandas()
+    if "l_orderkey" not in parts.columns:      # fully-empty input
+        parts = pd.DataFrame({
+            "l_orderkey": pd.Series(dtype="int64"),
+            "o_date_days": pd.Series(dtype="int64"),
+            "o_orderpriority": pd.Series(dtype="object"),
+            "revenue_milli": pd.Series(dtype="int64"),
+        })
+    parts = parts.sort_values(
+        ["revenue_milli", "l_orderkey"],
+        ascending=[False, True]).head(k)
+    return pd.DataFrame({
+        "rank": np.arange(1, len(parts) + 1, dtype=np.int64),
+        "o_orderkey": parts["l_orderkey"].to_numpy(),
+        "revenue_milli": parts["revenue_milli"].to_numpy(),
+        "o_date_days": parts["o_date_days"].to_numpy(),
+        "o_orderpriority": parts["o_orderpriority"].to_numpy(),
+    })

@@ -1,0 +1,145 @@
+"""Round-4 wave-4 operators: lexical diversity (TTR), anchor-text index,
+and the Q3-style shipping-priority 3-table join."""
+
+import datetime
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lexical_diversity_handcomputed():
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import lexical_diversity
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array([
+            "a b a b a",          # 5 tokens, 2 types -> 400
+            "x  y",               # double space: 2 tokens, 2 types -> 1000
+            "",                   # no tokens -> 0/0/0
+            "w w w w",            # 4 tokens, 1 type -> 250
+        ]),
+    })
+    out = (lexical_diversity(ray.data.from_arrow(t).repartition(3))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert list(out["n_tokens"]) == [5, 2, 0, 4]
+    assert list(out["n_types"]) == [2, 2, 0, 1]
+    assert list(out["ttr_permille"]) == [400, 1000, 0, 250]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_anchor_text_index_bruteforce():
+    """Counts and per-host top-k agree with a Python brute force; the
+    result is invariant to block count (combiner + groupby + stitch)."""
+    import collections
+
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import anchor_text_index
+
+    rows = []
+    truth = collections.Counter()
+    for i in range(60):
+        h1 = f"h{i % 3}.example.org"
+        a1 = f"guide part{i % 2}"
+        h2 = "hub.example.org"
+        a2 = f"hub page{i % 5}"
+        rows.append(
+            f'pad <a href="https://{h1}/p/{i}">{a1}</a> mid '
+            f'<a href="https://{h2}/{i}">{a2}</a>')
+        for t in a1.split():
+            truth[(h1, t)] += 1
+        for t in a2.split():
+            truth[(h2, t)] += 1
+    tbl = pa.table({"doc_id": pa.array(range(60), type=pa.int64()),
+                    "text": pa.array(rows)})
+
+    def run(n_blocks):
+        ds = ray.data.from_arrow(tbl).repartition(n_blocks)
+        return (anchor_text_index(ds, k=2).to_pandas()
+                .sort_values(["dst_host", "rank"]).reset_index(drop=True))
+
+    a, b = run(1), run(5)
+    import pandas as pd
+    pd.testing.assert_frame_equal(a, b)
+    # brute-force top-2 per host: count desc, term asc
+    for host in {h for h, _ in truth}:
+        want = sorted(((t, c) for (h, t), c in truth.items() if h == host),
+                      key=lambda tc: (-tc[1], tc[0]))[:2]
+        got = a[a["dst_host"] == host]
+        assert list(got["term"]) == [t for t, _ in want]
+        assert list(got["n_mentions"]) == [c for _, c in want]
+        assert list(got["rank"]) == list(range(1, len(want) + 1))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_shipping_priority_bruteforce():
+    """Synthetic 3-table fixture vs a pandas brute force; exactly-k and
+    deterministic ordering under ties."""
+    import pandas as pd
+    import ray.data
+
+    from pdf2doi_ray.stages.joins import shipping_priority
+
+    n_cust, n_ord, n_li = 20, 50, 200
+    cust = pa.table({
+        "c_custkey": pa.array(range(n_cust), type=pa.int64()),
+        "c_mktsegment": pa.array(
+            ["BUILDING" if i % 2 == 0 else "MACHINERY"
+             for i in range(n_cust)]),
+    })
+    base = datetime.datetime(1998, 1, 1)
+    cutoff = datetime.datetime(1998, 6, 15)
+    orders = pa.table({
+        "o_orderkey": pa.array(range(n_ord), type=pa.int64()),
+        "o_custkey": pa.array([i % n_cust for i in range(n_ord)],
+                              type=pa.int64()),
+        "o_orderdate": pa.array(
+            [base + datetime.timedelta(days=7 * i) for i in range(n_ord)],
+            type=pa.timestamp("us")),
+        "o_orderpriority": pa.array([f"{i % 3}-P" for i in range(n_ord)]),
+    })
+    li = pa.table({
+        "l_orderkey": pa.array([i % n_ord for i in range(n_li)],
+                               type=pa.int64()),
+        "l_extendedprice": pa.array(
+            [100.0 + 3.7 * i for i in range(n_li)], type=pa.float64()),
+        "l_discount": pa.array(
+            [(i % 10) / 100.0 for i in range(n_li)], type=pa.float64()),
+        "l_shipdate": pa.array(
+            [base + datetime.timedelta(days=4 * i) for i in range(n_li)],
+            type=pa.timestamp("us")),
+    })
+
+    out = shipping_priority(
+        ray.data.from_arrow(cust).repartition(2),
+        ray.data.from_arrow(orders).repartition(3),
+        ray.data.from_arrow(li).repartition(4),
+        segment="BUILDING", cutoff_us=cutoff, k=5)
+
+    # pandas brute force with the same milli-integer revenue
+    c = cust.to_pandas()
+    o = orders.to_pandas()
+    l = li.to_pandas()
+    keep_c = set(c[c["c_mktsegment"] == "BUILDING"]["c_custkey"])
+    o = o[(o["o_orderdate"] < cutoff) & o["o_custkey"].isin(keep_c)]
+    l = l[l["l_shipdate"] > cutoff].copy()
+    l["rev"] = np.floor(
+        (l["l_extendedprice"].to_numpy()
+         * (1.0 - l["l_discount"].to_numpy())) * 1000.0).astype(np.int64)
+    j = l.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    g = (j.groupby(["o_orderkey", "o_orderdate", "o_orderpriority"],
+                   as_index=False)["rev"].sum()
+         .sort_values(["rev", "o_orderkey"], ascending=[False, True])
+         .head(5).reset_index(drop=True))
+    assert len(out) == min(5, len(g))
+    assert list(out["o_orderkey"]) == list(g["o_orderkey"])
+    assert list(out["revenue_milli"]) == list(g["rev"])
+    assert list(out["rank"]) == list(range(1, len(g) + 1))
+    days = (g["o_orderdate"].astype("datetime64[us]").astype("int64")
+            // 86_400_000_000).to_numpy()
+    assert list(out["o_date_days"]) == list(days)
+    assert list(out["o_orderpriority"]) == list(g["o_orderpriority"])
