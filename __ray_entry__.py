@@ -309,6 +309,13 @@ def _q_ngram_jaccard(sf_dir: str):
     return ngram_jaccard_adjacent(_docs(sf_dir, ("doc_id", "text")))
 
 
+def _q_edit_distance_adjacent(sf_dir: str):
+    """Character-level Levenshtein between successive docs — the
+    near-dup verifier; same shift-join plan as the jaccard scorers."""
+    from pdf2doi_ray.stages.dedup import edit_distance_adjacent
+    return edit_distance_adjacent(_docs(sf_dir, ("doc_id", "text")))
+
+
 def _q_knn(sf_dir: str):
     import ray.data
 
@@ -2020,6 +2027,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lexical_diversity": _q_lexical_diversity,
         "anchor_text_index": _q_anchor_text_index,
         "shipping_priority": _q_shipping_priority,
+        "edit_distance_adjacent": _q_edit_distance_adjacent,
     }
 
 
@@ -3798,5 +3806,12 @@ SELECT CAST(row_number() OVER (ORDER BY revenue_milli DESC, o_orderkey)
             AS BIGINT) AS rank,
        o_orderkey, revenue_milli, o_date_days, o_orderpriority
 FROM g ORDER BY revenue_milli DESC, o_orderkey LIMIT 10
+"""
+    # unit-cost edit distance; DuckDB's levenshtein is the same DP the
+    # numpy kernel runs (dedup._levenshtein)
+    sql["edit_distance_adjacent"] = """
+SELECT a.doc_id,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_next
+FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
 """
     return sql

@@ -723,6 +723,48 @@ def ngram_jaccard_adjacent(docs, n: int = 3,
                                     score_fn=_ngram_score_fn(n))
 
 
+def _levenshtein(a: str, b: str) -> int:
+    """Unit-cost edit distance, numpy row-DP: the inner column loop is one
+    vectorized compare + two element-wise mins, and the insertion chain
+    ``cur[j] = min(cur[j], cur[j-1]+1)`` resolves in one
+    ``np.minimum.accumulate`` via the standard offset trick
+    (``min_{j'<=j}(cur[j'] + j - j') = j + accmin(cur[j'] - j')``) —
+    no per-cell Python.  Matches DuckDB's ``levenshtein`` exactly."""
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    bv = np.array(list(b))
+    prev = np.arange(len(b) + 1, dtype=np.int64)
+    for i, ca in enumerate(a, 1):
+        sub = prev[:-1] + (bv != ca)
+        cur = np.concatenate(
+            ([i], np.minimum(prev[1:] + 1, sub)))
+        idx = np.arange(len(cur), dtype=np.int64)
+        prev = np.minimum.accumulate(cur - idx) + idx
+    return int(prev[-1])
+
+
+def edit_distance_adjacent(docs, stitch_shards: int = DEFAULT_STITCH_SHARDS):
+    """Unit-cost Levenshtein distance between each doc and its successor
+    (doc_id+1) — the character-level near-dup verifier (catches template
+    pages that shingle/word-set scores miss: tiny absolute edit distance
+    on long texts ⇒ near-identical bytes).  Reuses the shift-join
+    machinery of :func:`wordset_jaccard_adjacent` — same one-pass plan,
+    partitioning assumptions, and storage-order invariant checks; only
+    the pair scorer differs.  Returns (doc_id, edit_next).
+    """
+    scored = wordset_jaccard_adjacent(docs, stitch_shards=stitch_shards,
+                                      score_fn=_levenshtein)
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["doc_id", "edit_next"])
+
+    return scored.map_batches(rename, batch_format="pyarrow")
+
+
 def wordset_jaccard_adjacent(docs, stitch_shards: int = DEFAULT_STITCH_SHARDS,
                              score_fn=None):
     """Word-set Jaccard between each doc and its successor (doc_id+1) — the

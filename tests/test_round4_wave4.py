@@ -143,3 +143,51 @@ def test_shipping_priority_bruteforce():
             // 86_400_000_000).to_numpy()
     assert list(out["o_date_days"]) == list(days)
     assert list(out["o_orderpriority"]) == list(g["o_orderpriority"])
+
+
+def test_levenshtein_dp_fuzz():
+    """numpy row-DP vs a plain O(nm) reference on random short strings."""
+    import random
+
+    from pdf2doi_ray.stages.dedup import _levenshtein
+
+    def ref(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rng = random.Random(42)
+    alpha = "abc "
+    for _ in range(300):
+        a = "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 12)))
+        b = "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 12)))
+        assert _levenshtein(a, b) == ref(a, b), (a, b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_edit_distance_adjacent_blockcount_invariant():
+    import pandas as pd
+    import ray.data
+
+    from pdf2doi_ray.stages.dedup import _levenshtein, edit_distance_adjacent
+
+    texts = ["the quick brown fox", "the quick brown fix",
+             "a completely different text", "a completely different text!",
+             "short", "shirt"]
+    t = pa.table({"doc_id": pa.array(range(6), type=pa.int64()),
+                  "text": pa.array(texts)})
+
+    def run(n_blocks):
+        ds = ray.data.from_arrow(t).repartition(n_blocks)
+        return (edit_distance_adjacent(ds).to_pandas()
+                .sort_values("doc_id").reset_index(drop=True))
+
+    a, b = run(1), run(3)
+    pd.testing.assert_frame_equal(a, b)
+    assert list(a["edit_next"]) == [
+        _levenshtein(texts[i], texts[i + 1]) for i in range(5)]
