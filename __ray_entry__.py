@@ -846,6 +846,64 @@ def _q_shipping_priority(sf_dir: str):
                              cutoff_us=cutoff, k=10)
 
 
+def _q_local_supplier_revenue(sf_dir: str):
+    """TPC-H-Q5-style 6-table star join: per-nation 1996 revenue of ASIA
+    customers counting only same-nation suppliers.  Region/nation/
+    customer/supplier dimension chains collapse via broadcast hash joins;
+    the single shuffle is the lineitem-orders fact join."""
+    import datetime
+
+    import ray.data
+
+    from pdf2doi_ray.stages.joins import local_supplier_revenue
+    region = ray.data.read_parquet(f"{sf_dir}/region.parquet")
+    nation = ray.data.read_parquet(f"{sf_dir}/nation.parquet")
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"])
+    return local_supplier_revenue(
+        region, nation, cust, supp, orders, li, region_name="ASIA",
+        start_us=datetime.datetime(1996, 1, 1),
+        end_us=datetime.datetime(1997, 1, 1))
+
+
+def _q_revenue_by_part_type(sf_dir: str):
+    """TPC-H-Q14-flavored part-type revenue mix over one ship-date
+    month: broadcast part dimension into date-filtered lineitem batches,
+    per-batch ≤|types|-row combiner, one tiny groupby."""
+    import datetime
+
+    import ray.data
+
+    from pdf2doi_ray.stages.joins import revenue_by_part_type
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"])
+    return revenue_by_part_type(
+        part, li,
+        start_us=datetime.datetime(1996, 3, 1),
+        end_us=datetime.datetime(1996, 4, 1))
+
+
+def _q_seeded_shuffle(sf_dir: str):
+    """Deterministic seeded global corpus permutation (the pre-packing
+    shuffle): position = dense rank in md5('s42:' || doc_id) order.
+    Narrow 16 B/row sort + block-carry rank bases — payloads never move."""
+    from pdf2doi_ray.stages.export import seeded_shuffle
+    return seeded_shuffle(_docs(sf_dir, ("doc_id",)), seed="s42")
+
+
 def _q_melt_doc_stats(sf_dir: str):
     """Wide→long melt (UNPIVOT): each document emits one (doc_id, stat,
     value) row per numeric stat — stored n_chars plus derived
@@ -2028,6 +2086,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_text_index": _q_anchor_text_index,
         "shipping_priority": _q_shipping_priority,
         "edit_distance_adjacent": _q_edit_distance_adjacent,
+        "local_supplier_revenue": _q_local_supplier_revenue,
+        "seeded_shuffle": _q_seeded_shuffle,
+        "revenue_by_part_type": _q_revenue_by_part_type,
     }
 
 
@@ -3813,5 +3874,47 @@ FROM g ORDER BY revenue_milli DESC, o_orderkey LIMIT 10
 SELECT a.doc_id,
        CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_next
 FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+"""
+    # same floor(price·(1−disc)·1000) int64 revenue kernel as
+    # shipping_priority — bit-identical IEEE ops in numpy and DuckDB
+    sql["local_supplier_revenue"] = """
+WITH li AS (SELECT l_orderkey, l_suppkey,
+       CAST(floor(l_extendedprice * (1.0 - l_discount) * 1000.0)
+            AS BIGINT) AS rev
+      FROM lineitem)
+SELECT n_name, CAST(sum(rev) AS BIGINT) AS revenue_milli
+FROM li
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = c_nationkey
+JOIN region   ON r_regionkey = n_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue_milli DESC, n_name
+"""
+    # 63-bit md5 key convention shared with shard_assignment / the
+    # minhash family; doc_id tie-break makes the permutation total
+    sql["seeded_shuffle"] = """
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY
+            ('0x' || substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 16))
+                ::UBIGINT >> 1,
+            doc_id) - 1 AS BIGINT) AS position
+FROM documents
+"""
+    sql["revenue_by_part_type"] = """
+SELECT p_type,
+       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1000.0)
+                     AS BIGINT)) AS BIGINT) AS revenue_milli,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate <  TIMESTAMP '1996-04-01'
+GROUP BY p_type
+ORDER BY revenue_milli DESC, p_type
 """
     return sql

@@ -51,6 +51,100 @@ def shard_assignment(docs, n_shards: int = 64):
     return docs.map_batches(assign, batch_format="pyarrow")
 
 
+def seeded_shuffle(docs, seed: str = "s42"):
+    """Deterministic seeded GLOBAL permutation: assign every document its
+    position in the md5-order ``md5(seed ':' doc_id)`` — the reproducible
+    corpus shuffle that precedes sequence packing (same permutation on
+    every run and every engine; change ``seed`` for a fresh epoch order).
+    Returns (doc_id, position), position ∈ [0, N) dense.
+
+    ``ray.data.random_shuffle`` is non-deterministic and moves payloads;
+    this op moves only 16-byte (doc_id, skey) rows:
+
+    1. per-row 63-bit key ``md5_63(seed ':' doc_id)`` (one md5 per DOC —
+       the shingle family pays one per token-gram, so this is far off the
+       hot path), SQL-exact as
+       ``('0x' || substr(md5(seed || ':' || doc_id), 1, 16))::UBIGINT >> 1``;
+    2. ``sort(skey, doc_id)`` over the narrow key rows;
+    3. each sorted block emits its rows with LOCAL ranks plus ONE carry
+       row (block-min key, row count); the driver cumsums the ≤ #blocks
+       carries into per-block base offsets and broadcasts the tiny dict —
+       the pack_sequences block-carry pattern (`corpus.py:1869`), one row
+       per BLOCK at the driver, never per doc.
+
+    The doc_id tie-break makes the order total even under an md5 collision;
+    carry bases additionally key on the block-min (skey, doc_id) PAIR, so
+    a boundary-straddling duplicate key cannot alias two blocks' bases.
+    """
+    import ray
+
+    from ..arrowutil import one_chunk
+
+    def key_rows(t: pa.Table) -> pa.Table:
+        ids = np.asarray(one_chunk(t["doc_id"]), dtype=np.int64)
+        ks = np.fromiter(
+            (int.from_bytes(
+                hashlib.md5(f"{seed}:{int(d)}".encode()).digest()[:8],
+                "big") >> 1 for d in ids),
+            dtype=np.int64, count=len(ids))
+        return pa.table({"doc_id": pa.array(ids), "skey": pa.array(ks)})
+
+    def block_local(t: pa.Table) -> pa.Table:
+        ids = np.asarray(one_chunk(t["doc_id"]), dtype=np.int64)
+        n = len(ids)
+        if not n:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"doc_id": z, "bkey": z, "bdoc": z,
+                             "local": z,
+                             "is_carry": pa.array([], type=pa.bool_())})
+        ks = np.asarray(one_chunk(t["skey"]), dtype=np.int64)
+        bkey, bdoc = int(ks[0]), int(ids[0])   # block min under the sort
+        return pa.table({
+            "doc_id": pa.array(np.concatenate([ids, [bdoc]])),
+            "bkey": pa.array(np.full(n + 1, bkey, dtype=np.int64)),
+            "bdoc": pa.array(np.full(n + 1, bdoc, dtype=np.int64)),
+            "local": pa.array(np.concatenate(
+                [np.arange(n, dtype=np.int64), [n]])),
+            "is_carry": pa.array([False] * n + [True]),
+        })
+
+    tagged = (docs.select_columns(["doc_id"])
+              .map_batches(key_rows, batch_format="pyarrow")
+              .sort(["skey", "doc_id"])
+              .map_batches(block_local, batch_format="pyarrow",
+                           batch_size=None)).materialize()
+    carries = sorted(
+        ((r["bkey"], r["bdoc"], r["local"])
+         for r in tagged.map_batches(
+             lambda t: t.filter(one_chunk(t["is_carry"])),
+             batch_format="pyarrow").take_all()))
+    bases, acc = {}, 0
+    for bk, bd, cnt in carries:
+        bases[(bk, bd)] = acc
+        acc += cnt
+    bases_ref = ray.put(bases)
+
+    def add_base(t: pa.Table) -> pa.Table:
+        b = ray.get(bases_ref)
+        import pyarrow.compute as pc
+        sub = t.filter(pc.invert(one_chunk(t["is_carry"])))
+        if sub.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"doc_id": z, "position": z})
+        bk = np.asarray(one_chunk(sub["bkey"]), dtype=np.int64)
+        bd = np.asarray(one_chunk(sub["bdoc"]), dtype=np.int64)
+        local = np.asarray(one_chunk(sub["local"]), dtype=np.int64)
+        # one block per batch by construction, but stay general
+        pairs = np.stack([bk, bd], axis=1)
+        uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
+        base = np.array([b[(int(x), int(y))] for x, y in uniq],
+                        dtype=np.int64)[inv]
+        return pa.table({"doc_id": sub["doc_id"],
+                         "position": pa.array(local + base)})
+
+    return tagged.map_batches(add_base, batch_format="pyarrow")
+
+
 def export_training_shards(docs, out_dir: str, n_shards: int = 64,
                            columns=("doc_id", "text"), resume: bool = False):
     """Write ``docs`` as hive-partitioned ``out_dir/shard=N/*.parquet`` —

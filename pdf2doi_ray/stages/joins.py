@@ -106,6 +106,208 @@ def shuffle_hash_join(left, right, on, right_on=None, join_type="inner",
     return out
 
 
+def local_supplier_revenue(region, nation, customer, supplier, orders,
+                           lineitem, region_name="ASIA",
+                           start_us=None, end_us=None, num_partitions=8):
+    """TPC-H-Q5-style local-supplier revenue: per-nation revenue of one
+    region's customers over a date window, counting only line items whose
+    SUPPLIER sits in the customer's own nation — the canonical 6-table
+    star join (two dimension chains into one fact exchange).
+
+    Plan (dimension sides NEVER shuffle — the only sane shape at 100 TB):
+
+    1. region(filtered) ⟶ nation ⟶ customer: two broadcast hash joins
+       collapse the region/nation chain into a (c_custkey, c_nationkey,
+       n_name) dimension of the region's customers;
+    2. orders date-filtered at the read, broadcast-joined against that
+       dimension → (o_orderkey, c_nationkey, n_name);
+    3. lineitem reduced per row to ``rev = floor(l_extendedprice ·
+       (1−l_discount) · 1000)`` (int64-exact, bit-identical to the SQL
+       oracle, same kernel as :func:`shipping_priority`), broadcast-joined
+       against the (s_suppkey, s_nationkey) supplier dimension;
+    4. ONE shuffle hash join on the orderkey — the only exchange, carrying
+       4 narrow columns — then the c==s nationkey filter IN the map stage
+       and a ≤|nations|-row groupby Sum.
+
+    Returns pandas (n_name, revenue_milli) sorted revenue desc, name asc.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    start = pa.scalar(start_us, type=pa.timestamp("us"))
+    end = pa.scalar(end_us, type=pa.timestamp("us"))
+
+    def filter_region(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.equal(t["r_name"], region_name)) \
+                .select(["r_regionkey"])
+
+    nations = broadcast_hash_join(
+        nation, region.map_batches(filter_region, batch_format="pyarrow"),
+        on=["n_regionkey"], right_on=["r_regionkey"], join_type="left semi",
+        project=["n_nationkey", "n_name"])
+
+    cust = broadcast_hash_join(
+        customer.select_columns(["c_custkey", "c_nationkey"]), nations,
+        on=["c_nationkey"], right_on=["n_nationkey"],
+        project=["c_custkey", "c_nationkey", "n_name"])
+
+    def filter_orders(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keep = pc.and_(pc.greater_equal(t["o_orderdate"], start),
+                       pc.less(t["o_orderdate"], end))
+        return t.filter(keep).select(["o_orderkey", "o_custkey"])
+
+    orders_dim = broadcast_hash_join(
+        orders.map_batches(filter_orders, batch_format="pyarrow"), cust,
+        on=["o_custkey"], right_on=["c_custkey"],
+        project=["o_orderkey", "c_nationkey", "n_name"])
+
+    def reduce_lineitem(t: pa.Table) -> pa.Table:
+        price = np.asarray(t["l_extendedprice"].combine_chunks()
+                           if isinstance(t["l_extendedprice"],
+                                         pa.ChunkedArray)
+                           else t["l_extendedprice"], dtype=np.float64)
+        disc = np.asarray(t["l_discount"].combine_chunks()
+                          if isinstance(t["l_discount"], pa.ChunkedArray)
+                          else t["l_discount"], dtype=np.float64)
+        rev = np.floor((price * (1.0 - disc)) * 1000.0).astype(np.int64)
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "l_suppkey": t["l_suppkey"],
+                         "rev": pa.array(rev)})
+
+    li = broadcast_hash_join(
+        lineitem.map_batches(reduce_lineitem, batch_format="pyarrow"),
+        supplier.select_columns(["s_suppkey", "s_nationkey"]),
+        on=["l_suppkey"], right_on=["s_suppkey"],
+        project=["l_orderkey", "rev", "s_nationkey"])
+
+    # sentinel rows (keys -1 vs -2, real keys are ≥0) keep BOTH sides of
+    # the fact join non-empty — this Ray build's hash join crashes on a
+    # fully empty side (e.g. an empty date window) and never invokes a
+    # map UDF on an empty block, so per-batch padding can't cover it;
+    # the inner join drops both sentinels.  Same pattern as
+    # corpus.contamination_flags_distributed.
+    import ray.data as rd
+    li_sentinel = rd.from_arrow(pa.table({
+        "l_orderkey": pa.array([-1], type=pa.int64()),
+        "rev": pa.array([0], type=pa.int64()),
+        "s_nationkey": pa.array([-1], type=pa.int32())}))
+    dim_sentinel = rd.from_arrow(pa.table({
+        "o_orderkey": pa.array([-2], type=pa.int64()),
+        "c_nationkey": pa.array([-1], type=pa.int32()),
+        "n_name": pa.array([""], type=pa.string())}))
+
+    joined = shuffle_hash_join(
+        li.union(li_sentinel), orders_dim.union(dim_sentinel),
+        on="l_orderkey", right_on="o_orderkey",
+        num_partitions=num_partitions,
+        project=["rev", "s_nationkey", "c_nationkey", "n_name"])
+
+    def local_only(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = t.filter(pc.equal(t["s_nationkey"], t["c_nationkey"]))
+        return t.select(["n_name", "rev"])
+
+    grouped = joined.map_batches(local_only, batch_format="pyarrow") \
+        .groupby("n_name").aggregate(Sum("rev", alias_name="revenue_milli"))
+
+    out = grouped.to_pandas()          # ≤ |nations| rows by construction
+    if "n_name" not in out.columns:    # fully-empty input
+        out = pd.DataFrame({"n_name": pd.Series(dtype="object"),
+                            "revenue_milli": pd.Series(dtype="int64")})
+    out = out.sort_values(["revenue_milli", "n_name"],
+                          ascending=[False, True]).reset_index(drop=True)
+    return pd.DataFrame({
+        "n_name": out["n_name"].to_numpy(),
+        "revenue_milli": out["revenue_milli"].to_numpy().astype(np.int64),
+    })
+
+
+def revenue_by_part_type(part, lineitem, start_us=None, end_us=None):
+    """TPC-H-Q14-flavored part-type revenue mix: per part TYPE, the exact
+    milli-integer revenue and item count of one ship-date window — the
+    promo-share building block (share = type_rev / Σ rev, computed by the
+    consumer from the exact numerators; no float division inside).
+
+    Shape: the part table is a DIMENSION — broadcast once, joined into
+    each date-filtered lineitem batch with pyarrow's C++ hash join — and
+    the per-batch partial collapses each batch to ≤ |types| rows BEFORE
+    the groupby, so the only exchange carries combiner output (≤ types ×
+    blocks tiny rows).  Same int64 ``floor(price·(1−disc)·1000)`` revenue
+    kernel as :func:`shipping_priority`, bit-identical to the SQL oracle.
+
+    Returns pandas (p_type, revenue_milli, n_items) sorted revenue desc,
+    type asc.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    start = pa.scalar(start_us, type=pa.timestamp("us"))
+    end = pa.scalar(end_us, type=pa.timestamp("us"))
+
+    def reduce_lineitem(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keep = pc.and_(pc.greater_equal(t["l_shipdate"], start),
+                       pc.less(t["l_shipdate"], end))
+        t = t.filter(keep)
+        price = np.asarray(t["l_extendedprice"].combine_chunks()
+                           if isinstance(t["l_extendedprice"],
+                                         pa.ChunkedArray)
+                           else t["l_extendedprice"], dtype=np.float64)
+        disc = np.asarray(t["l_discount"].combine_chunks()
+                          if isinstance(t["l_discount"], pa.ChunkedArray)
+                          else t["l_discount"], dtype=np.float64)
+        rev = np.floor((price * (1.0 - disc)) * 1000.0).astype(np.int64)
+        return pa.table({"l_partkey": t["l_partkey"],
+                         "rev": pa.array(rev)})
+
+    joined = broadcast_hash_join(
+        lineitem.map_batches(reduce_lineitem, batch_format="pyarrow"),
+        part.select_columns(["p_partkey", "p_type"]),
+        on=["l_partkey"], right_on=["p_partkey"],
+        project=["p_type", "rev"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        types = t["p_type"].combine_chunks() \
+            if isinstance(t["p_type"], pa.ChunkedArray) else t["p_type"]
+        codes = pc.dictionary_encode(types)
+        idx = np.asarray(codes.indices, dtype=np.int64)
+        k = len(codes.dictionary)
+        rev = np.asarray(t["rev"].combine_chunks()
+                         if isinstance(t["rev"], pa.ChunkedArray)
+                         else t["rev"], dtype=np.int64)
+        sums = np.zeros(k, dtype=np.int64)
+        cnts = np.zeros(k, dtype=np.int64)
+        if len(idx):
+            np.add.at(sums, idx, rev)
+            np.add.at(cnts, idx, 1)
+        return pa.table({"p_type": codes.dictionary,
+                         "rev": pa.array(sums),
+                         "n": pa.array(cnts)})
+
+    grouped = (joined.map_batches(partial, batch_format="pyarrow")
+               .groupby("p_type")
+               .aggregate(Sum("rev", alias_name="revenue_milli"),
+                          Sum("n", alias_name="n_items")))
+
+    out = grouped.to_pandas()          # ≤ |types| rows by construction
+    if "p_type" not in out.columns:
+        out = pd.DataFrame({"p_type": pd.Series(dtype="object"),
+                            "revenue_milli": pd.Series(dtype="int64"),
+                            "n_items": pd.Series(dtype="int64")})
+    out = out.sort_values(["revenue_milli", "p_type"],
+                          ascending=[False, True]).reset_index(drop=True)
+    return pd.DataFrame({
+        "p_type": out["p_type"].to_numpy(),
+        "revenue_milli": out["revenue_milli"].to_numpy().astype(np.int64),
+        "n_items": out["n_items"].to_numpy().astype(np.int64),
+    })
+
+
 def shipping_priority(customer, orders, lineitem, segment="BUILDING",
                       cutoff_us=None, k=10, num_partitions=8):
     """TPC-H-Q3-style shipping priority: the ``k`` highest-revenue orders

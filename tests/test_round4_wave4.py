@@ -191,3 +191,118 @@ def test_edit_distance_adjacent_blockcount_invariant():
     pd.testing.assert_frame_equal(a, b)
     assert list(a["edit_next"]) == [
         _levenshtein(texts[i], texts[i + 1]) for i in range(5)]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_local_supplier_revenue_empty_window():
+    """An empty date window must flow through all four joins and the
+    groupby to a typed empty frame (column names + dtypes stable)."""
+    import datetime
+
+    import ray.data
+
+    from pdf2doi_ray.stages.joins import local_supplier_revenue
+
+    sf = "/root/testdata/sf0.001"
+    region = ray.data.read_parquet(f"{sf}/region.parquet")
+    nation = ray.data.read_parquet(f"{sf}/nation.parquet")
+    cust = ray.data.read_parquet(
+        f"{sf}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    supp = ray.data.read_parquet(
+        f"{sf}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    orders = ray.data.read_parquet(
+        f"{sf}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    li = ray.data.read_parquet(
+        f"{sf}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"])
+    out = local_supplier_revenue(
+        region, nation, cust, supp, orders, li, region_name="ASIA",
+        start_us=datetime.datetime(1990, 1, 1),
+        end_us=datetime.datetime(1990, 1, 1))
+    assert list(out.columns) == ["n_name", "revenue_milli"]
+    assert len(out) == 0
+    assert out["revenue_milli"].dtype == "int64"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_seeded_shuffle_permutation_and_block_invariance():
+    """Positions form a dense permutation, are identical across input
+    block counts, and a different seed yields a different order."""
+    import hashlib
+
+    import pandas as pd
+    import ray.data
+
+    from pdf2doi_ray.stages.export import seeded_shuffle
+
+    ids = list(range(0, 40, 3))
+    t = pa.table({"doc_id": pa.array(ids, type=pa.int64())})
+
+    def run(n_blocks, seed="s42"):
+        ds = ray.data.from_arrow(t).repartition(n_blocks)
+        return (seeded_shuffle(ds, seed=seed).to_pandas()
+                .sort_values("doc_id").reset_index(drop=True))
+
+    a, b = run(1), run(5)
+    pd.testing.assert_frame_equal(a, b)
+    assert sorted(a["position"]) == list(range(len(ids)))
+
+    def key(seed, d):
+        return int.from_bytes(
+            hashlib.md5(f"{seed}:{d}".encode()).digest()[:8], "big") >> 1
+
+    want = {d: r for r, d in enumerate(
+        sorted(ids, key=lambda d: (key("s42", d), d)))}
+    assert {d: p for d, p in zip(a["doc_id"], a["position"])} == want
+    c = run(3, seed="s43")
+    assert list(c["position"]) != list(a["position"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_revenue_by_part_type_bruteforce():
+    """Ray op vs a pandas brute force on a synthetic lineitem/part pair,
+    block-count invariant."""
+    import datetime
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from pdf2doi_ray.stages.joins import revenue_by_part_type
+
+    rng = np.random.default_rng(7)
+    n = 400
+    li = pd.DataFrame({
+        "l_partkey": rng.integers(0, 30, n),
+        "l_extendedprice": rng.uniform(10, 5000, n).round(2),
+        "l_discount": rng.choice([0.0, 0.05, 0.1], n),
+        "l_shipdate": pd.to_datetime("1996-03-01")
+        + pd.to_timedelta(rng.integers(-20, 50, n), unit="D"),
+    })
+    part = pd.DataFrame({
+        "p_partkey": np.arange(30),
+        "p_type": [f"T{i % 4}" for i in range(30)],
+    })
+    start, end = datetime.datetime(1996, 3, 1), datetime.datetime(1996, 4, 1)
+
+    sub = li[(li.l_shipdate >= start) & (li.l_shipdate < end)].merge(
+        part, left_on="l_partkey", right_on="p_partkey")
+    sub["rev"] = np.floor(
+        (sub.l_extendedprice.to_numpy()
+         * (1.0 - sub.l_discount.to_numpy())) * 1000.0).astype(np.int64)
+    want = (sub.groupby("p_type")
+            .agg(revenue_milli=("rev", "sum"), n_items=("rev", "size"))
+            .reset_index()
+            .sort_values(["revenue_milli", "p_type"],
+                         ascending=[False, True]).reset_index(drop=True))
+
+    for blocks in (1, 4):
+        got = revenue_by_part_type(
+            ray.data.from_pandas(part),
+            ray.data.from_pandas(li).repartition(blocks),
+            start_us=start, end_us=end)
+        pd.testing.assert_frame_equal(
+            got.astype({"revenue_milli": "int64", "n_items": "int64"}),
+            want.astype({"revenue_milli": "int64", "n_items": "int64"}))
