@@ -1890,6 +1890,15 @@ def _q_dup_ngram_spans(sf_dir: str):
                            num_partitions=4)
 
 
+def _q_merge_dup_spans(sf_dir: str):
+    """Duplicated-span audit view: non-first word-5-gram occurrences
+    coalesced into maximal disjoint token intervals per doc
+    (gaps-and-islands over sorted blocks with a doc-sharded stitch)."""
+    from pdf2doi_ray.stages.corpus import merge_dup_spans
+    return merge_dup_spans(_docs(sf_dir, ("doc_id", "text")),
+                           num_partitions=4)
+
+
 def _q_remove_dup_spans(sf_dir: str):
     """Full Lee-et-al. rewrite: repeated word-5-gram spans removed, first
     occurrence kept."""
@@ -2089,6 +2098,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_supplier_revenue": _q_local_supplier_revenue,
         "seeded_shuffle": _q_seeded_shuffle,
         "revenue_by_part_type": _q_revenue_by_part_type,
+        "merge_dup_spans": _q_merge_dup_spans,
     }
 
 
@@ -3916,5 +3926,47 @@ WHERE l_shipdate >= TIMESTAMP '1996-03-01'
   AND l_shipdate <  TIMESTAMP '1996-04-01'
 GROUP BY p_type
 ORDER BY revenue_milli DESC, p_type
+"""
+    # gaps-and-islands over the dup_ngram_spans flags: spans merge iff
+    # they overlap or touch (gap <= 5 tokens)
+    sql["merge_dup_spans"] = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents
+),
+g AS (
+  SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
+         array_to_string(tk[CAST(t.i+1 AS INT):CAST(t.i+5 AS INT)],
+                         ' ') AS gram
+  FROM toks, unnest(range(0, len(tk) - 4)) AS t(i)
+),
+h AS (
+  SELECT doc_id, pos,
+         ('0x' || substr(md5(gram), 1, 16))::UBIGINT AS gh,
+         doc_id * 1048576 + pos AS enc
+  FROM g
+),
+dupe AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, enc = MIN(enc) OVER (PARTITION BY gh) AS keep
+    FROM h) WHERE NOT keep
+),
+flag AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                        ORDER BY pos) <= 5
+              THEN 0 ELSE 1 END AS brk
+  FROM dupe
+),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM flag
+)
+SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + 5 AS BIGINT) AS span_end,
+       CAST(COUNT(*) AS BIGINT) AS n_grams
+FROM isl GROUP BY doc_id, island
+ORDER BY doc_id, span_start
 """
     return sql

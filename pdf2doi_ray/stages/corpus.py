@@ -2139,3 +2139,98 @@ def remove_dup_spans(docs, n: int = NGRAM_SPAN_N, num_partitions: int = 8):
         })
 
     return joined.map_batches(rebuild, batch_format="pyarrow")
+
+
+def merge_dup_spans(docs, n: int = NGRAM_SPAN_N, num_partitions: int = 8,
+                    stitch_shards: int | None = None):
+    """Maximal duplicated REGIONS per document: the non-first n-gram
+    occurrences from :func:`dup_ngram_spans` coalesced into disjoint
+    token intervals (gaps-and-islands) — the audit view a curation run
+    reports ("this 340-token block is boilerplate") where the rewrite
+    (:func:`remove_dup_spans`) silently drops tokens.  Two equal-length
+    spans merge iff they overlap OR touch (``next_pos − pos ≤ n``), so
+    each island covers a contiguous token range.  Returns
+    (doc_id, span_start, span_end, n_grams) with ``span_end`` exclusive.
+
+    Plan: span flags from :func:`dup_ngram_spans` (its two exchanges),
+    filter to duplicates (narrow (doc_id, pos) int rows), then the
+    sorted-block islands pass of ``windows.session_counts``: sort on
+    (doc_id, pos); each block resolves islands for docs fully interior
+    to it with one numpy break-scan (break = doc change or gap > n) and
+    re-emits only the ≤2 edge docs' rows to a doc-sharded stitch.
+    """
+    from ..arrowutil import one_chunk
+    from .stitch import DEFAULT_STITCH_SHARDS, sharded_stitch
+    if stitch_shards is None:
+        stitch_shards = DEFAULT_STITCH_SHARDS
+
+    flags = dup_ngram_spans(docs, n=n, num_partitions=num_partitions)
+    dups = flags.map_batches(
+        lambda t: t.filter(pc.invert(one_chunk(t["keep"])))
+        .select(["doc_id", "pos"]), batch_format="pyarrow")
+
+    def _islands(ids, pos):
+        """(doc, start, end, count) arrays over sorted (ids, pos)."""
+        if not len(ids):
+            z = np.empty(0, dtype=np.int64)
+            return z, z, z, z
+        brk = np.nonzero((ids[1:] != ids[:-1])
+                         | (pos[1:] - pos[:-1] > n))[0] + 1
+        s = np.concatenate([[0], brk]).astype(np.int64)
+        e = np.concatenate([brk, [len(ids)]]).astype(np.int64)
+        return ids[s], pos[s], pos[e - 1] + n, e - s
+
+    def block_islands(t: pa.Table) -> pa.Table:
+        m = t.num_rows
+        if m == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"doc_id": z, "span_start": z, "span_end": z,
+                             "n_grams": z, "pos": z,
+                             "boundary": pa.array([], type=pa.bool_())})
+        ids = np.asarray(one_chunk(t["doc_id"]), dtype=np.int64)
+        pos = np.asarray(one_chunk(t["pos"]), dtype=np.int64)
+        change = np.nonzero(ids[1:] != ids[:-1])[0] + 1
+        gs = np.concatenate([[0], change]).astype(np.int64)
+        ge = np.concatenate([change, [m]]).astype(np.int64)
+        last = len(gs) - 1
+        lo, hi = ge[0], gs[last]           # interior row range
+        d, ss, se, ng = _islands(ids[lo:hi], pos[lo:hi]) \
+            if hi > lo else _islands(np.empty(0, np.int64),
+                                     np.empty(0, np.int64))
+        edge_idx = np.unique(np.concatenate(
+            [np.arange(0, ge[0]), np.arange(gs[last], m)]))
+        n_i, n_b = len(d), len(edge_idx)
+        neg = np.full(n_b, -1, dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(np.concatenate([d, ids[edge_idx]])),
+            "span_start": pa.array(np.concatenate([ss, neg])),
+            "span_end": pa.array(np.concatenate([se, neg])),
+            "n_grams": pa.array(np.concatenate([ng, neg])),
+            "pos": pa.array(np.concatenate(
+                [np.full(n_i, -1, np.int64), pos[edge_idx]])),
+            "boundary": pa.array([False] * n_i + [True] * n_b),
+        })
+
+    def stitch(t: pa.Table) -> pa.Table:
+        ids = np.asarray(one_chunk(t["doc_id"]), dtype=np.int64)
+        pos = np.asarray(one_chunk(t["pos"]), dtype=np.int64)
+        order = np.lexsort((pos, ids))
+        d, ss, se, ng = _islands(ids[order], pos[order])
+        return pa.table({"doc_id": pa.array(d), "span_start": pa.array(ss),
+                         "span_end": pa.array(se), "n_grams": pa.array(ng)})
+
+    mixed = (dups.sort(["doc_id", "pos"])
+             .map_batches(block_islands, batch_format="pyarrow",
+                          batch_size=None)).materialize()
+    interior = mixed.map_batches(
+        lambda t: t.filter(pc.equal(t["boundary"], False))
+        .select(["doc_id", "span_start", "span_end", "n_grams"]),
+        batch_format="pyarrow")
+    carries = mixed.map_batches(
+        lambda t: t.filter(t["boundary"]).select(["doc_id", "pos"]),
+        batch_format="pyarrow")
+    cross = sharded_stitch(
+        carries,
+        lambda t: np.asarray(one_chunk(t["doc_id"]), dtype=np.int64),
+        stitch, num_shards=stitch_shards)
+    return interior.union(cross)

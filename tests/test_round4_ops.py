@@ -64,6 +64,53 @@ def test_dup_ngram_spans_budget_guards():
         dup_ngram_spans(ds).materialize()
 
 
+def _brute_merge_spans(texts_by_id: dict[int, str], n: int = 5):
+    """Independent islands reference over the brute span flags: coalesce
+    non-first gram positions per doc when the gap is <= n tokens."""
+    dups = [(d, p) for d, p, _h, keep in _brute_dup_spans(texts_by_id, n)
+            if not keep]
+    out, cur = [], None
+    for d, p in sorted(dups):
+        if cur and cur[0] == d and p - cur[2] <= n:
+            cur = (d, cur[1], p, cur[3] + 1)
+        else:
+            if cur:
+                out.append((cur[0], cur[1], cur[2] + n, cur[3]))
+            cur = (d, p, p, 1)
+    if cur:
+        out.append((cur[0], cur[1], cur[2] + n, cur[3]))
+    return sorted(out)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_merge_dup_spans_matches_brute_force():
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import merge_dup_spans
+
+    texts = {
+        0: "a b c d e f g h",                # all first occurrences
+        1: "x a b c d e f y",                # one island of 2 grams
+        2: "a b c d e f g h",                # full-dup: one island, 4 grams
+        3: "q r s",                          # no grams
+        # two SEPARATE islands in one doc: dup grams at pos 1-2, then a
+        # fresh 7-token run, then dup grams again (gap > n)
+        4: "z a b c d e f z0 z1 z2 z3 z4 z5 z6 a b c d e f",
+    }
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(sorted(texts), type=pa.int64()),
+        "text": [texts[k] for k in sorted(texts)],
+    })).repartition(4)
+    for shards in (1, 3):
+        out = merge_dup_spans(ds, num_partitions=2,
+                              stitch_shards=shards).to_pandas()
+        got = sorted(map(tuple, out[["doc_id", "span_start", "span_end",
+                                     "n_grams"]].values.tolist()))
+        assert got == _brute_merge_spans(texts)
+    assert (4, 1, 7, 2) in got and any(r[0] == 4 and r[1] > 7 for r in got), \
+        "doc 4 must produce two disjoint islands"
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_filter_blocked_hosts():
     import ray.data
