@@ -896,6 +896,134 @@ def _q_revenue_by_part_type(sf_dir: str):
         end_us=datetime.datetime(1996, 4, 1))
 
 
+def _q_order_priority_semi(sf_dir: str):
+    """TPC-H-Q4-style EXISTS semi-join: orders of one quarter with at
+    least one returned line item, counted per priority.  Fact-fact
+    left_semi join on per-batch-unique probe keys."""
+    import datetime
+
+    import ray.data
+
+    from pdf2doi_ray.stages.joins import order_priority_semi
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag"])
+    return order_priority_semi(
+        orders, li, start_us=datetime.datetime(1996, 7, 1),
+        end_us=datetime.datetime(1996, 10, 1), num_partitions=4)
+
+
+def _q_order_count_distribution(sf_dir: str):
+    """TPC-H-Q13-style distribution of orders-per-customer (zero bucket
+    recovered from two scalar aggregates, no left-outer shuffle)."""
+    import ray.data
+
+    from pdf2doi_ray.stages.joins import order_count_distribution
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    return order_count_distribution(cust, orders, num_partitions=4)
+
+
+def _q_large_volume_orders(sf_dir: str):
+    """TPC-H-Q18-style GROUP BY + HAVING + join-back: orders whose total
+    quantity exceeds 300, with buyer names, top 100 by price."""
+    import ray.data
+
+    from pdf2doi_ray.stages.joins import large_volume_orders
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_quantity"])
+    return large_volume_orders(cust, orders, li, qty_threshold=300)
+
+
+def _q_returnflag_priority_counts(sf_dir: str):
+    """TPC-H-Q12-style conditional aggregation: per return flag, line
+    items of 1997 shipments split by order priority class."""
+    import datetime
+
+    import ray.data
+
+    from pdf2doi_ray.stages.joins import returnflag_priority_counts
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"])
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_shipdate"])
+    return returnflag_priority_counts(
+        orders, li, start_us=datetime.datetime(1997, 1, 1),
+        end_us=datetime.datetime(1998, 1, 1), num_partitions=4)
+
+
+def _q_idle_rich_customers(sf_dir: str):
+    """TPC-H-Q22-style global-scalar gate + left_anti join: per nation,
+    above-average-balance customers with no order since 1999 (exact
+    integer-cents rational comparison, no float division)."""
+    import datetime
+
+    import ray.data
+
+    from pdf2doi_ray.stages.joins import idle_rich_customers
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"])
+    return idle_rich_customers(
+        cust, orders, since_us=datetime.datetime(1999, 1, 1),
+        num_partitions=4)
+
+
+def _q_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-style pricing summary: ≤6-group full-scan aggregate with
+    exact milli-int sums and floor-integer averages; the only exchange
+    carries ≤6 combiner rows per batch."""
+    import datetime
+
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import pricing_summary
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax", "l_shipdate"])
+    return pricing_summary(li, cutoff_us=datetime.datetime(1998, 9, 2))
+
+
+def _q_forecast_revenue(sf_dir: str):
+    """TPC-H-Q6-style filtered scalar aggregate (one int64 partial per
+    batch, zero exchanges)."""
+    import datetime
+
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import forecast_revenue
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice", "l_discount",
+                 "l_shipdate"])
+    return forecast_revenue(li, start_us=datetime.datetime(1997, 1, 1),
+                            end_us=datetime.datetime(1998, 1, 1))
+
+
+def _q_doc_dup_gram_fraction(sf_dir: str):
+    """Per-doc duplicated-5-gram permille (Lee-et-al. dedup curation
+    signal) — integer-exact floor division after one groupby Sum."""
+    from pdf2doi_ray.stages.corpus import doc_dup_gram_fraction
+    return doc_dup_gram_fraction(_docs(sf_dir, ("doc_id", "text")),
+                                 num_partitions=4)
+
+
 def _q_seeded_shuffle(sf_dir: str):
     """Deterministic seeded global corpus permutation (the pre-packing
     shuffle): position = dense rank in md5('s42:' || doc_id) order.
@@ -2099,6 +2227,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seeded_shuffle": _q_seeded_shuffle,
         "revenue_by_part_type": _q_revenue_by_part_type,
         "merge_dup_spans": _q_merge_dup_spans,
+        "order_priority_semi": _q_order_priority_semi,
+        "order_count_distribution": _q_order_count_distribution,
+        "large_volume_orders": _q_large_volume_orders,
+        "returnflag_priority_counts": _q_returnflag_priority_counts,
+        "idle_rich_customers": _q_idle_rich_customers,
+        "pricing_summary": _q_pricing_summary,
+        "forecast_revenue": _q_forecast_revenue,
+        "doc_dup_gram_fraction": _q_doc_dup_gram_fraction,
     }
 
 
@@ -3968,5 +4104,127 @@ SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
        CAST(COUNT(*) AS BIGINT) AS n_grams
 FROM isl GROUP BY doc_id, island
 ORDER BY doc_id, span_start
+"""
+    # same IEEE association order as the numpy kernel:
+    # price·(1−disc), then ·(1+tax); averages are integer floor divisions
+    sql["pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(floor(l_extendedprice * 1000.0) AS BIGINT))
+            AS BIGINT) AS sum_base_milli,
+       CAST(sum(CAST(floor((l_extendedprice * (1.0 - l_discount))
+                           * 1000.0) AS BIGINT)) AS BIGINT)
+           AS sum_disc_milli,
+       CAST(sum(CAST(floor((l_extendedprice * (1.0 - l_discount))
+                           * (1.0 + l_tax) * 1000.0) AS BIGINT))
+            AS BIGINT) AS sum_charge_milli,
+       CAST(sum(CAST(l_quantity AS BIGINT)) * 1000 // count(*)
+            AS BIGINT) AS avg_qty_permille,
+       CAST(sum(CAST(floor(l_extendedprice * 1000.0) AS BIGINT))
+            // count(*) AS BIGINT) AS avg_base_milli,
+       CAST(sum(CAST(floor(l_discount * 1000.0) AS BIGINT)) // count(*)
+            AS BIGINT) AS avg_disc_permille,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+    sql["forecast_revenue"] = """
+SELECT CAST(coalesce(sum(CAST(floor(l_extendedprice * l_discount
+                                    * 1000.0) AS BIGINT)), 0) AS BIGINT)
+           AS revenue_milli,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+    sql["order_priority_semi"] = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate <  TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+    sql["order_count_distribution"] = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (SELECT c.c_custkey,
+             CAST(count(o.o_custkey) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey)
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+    sql["large_volume_orders"] = """
+WITH big AS (SELECT l_orderkey,
+                    CAST(sum(l_quantity) AS BIGINT) AS total_qty
+             FROM lineitem GROUP BY l_orderkey
+             HAVING sum(l_quantity) > 300)
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+           AS o_date_days,
+       CAST(floor(o_totalprice * 1000.0) AS BIGINT) AS totalprice_milli,
+       total_qty
+FROM big JOIN orders ON o_orderkey = l_orderkey
+         JOIN customer ON c_custkey = o_custkey
+ORDER BY totalprice_milli DESC, o_orderkey LIMIT 100
+"""
+    sql["returnflag_priority_counts"] = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+    # exact integer-cents rational comparison: bal·n_pos > sum_pos avoids
+    # float division on both sides of the hash
+    sql["idle_rich_customers"] = """
+WITH c AS (SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                  CAST(floor(c_acctbal * 100.0) AS BIGINT) AS b
+           FROM customer),
+st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(b) AS BIGINT) AS s
+       FROM c WHERE b > 0)
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+       CAST(sum(b) AS BIGINT) AS total_acctbal_c
+FROM c, st
+WHERE c.b * st.n > st.s
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+    # same md5-first-8-bytes gram hash family as dup_ngram_spans; permille
+    # is integer floor division so the hash is exact
+    sql["doc_dup_gram_fraction"] = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents
+),
+g AS (
+  SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
+         array_to_string(tk[CAST(t.i+1 AS INT):CAST(t.i+5 AS INT)],
+                         ' ') AS gram
+  FROM toks, unnest(range(0, len(tk) - 4)) AS t(i)
+),
+h AS (
+  SELECT doc_id, pos,
+         ('0x' || substr(md5(gram), 1, 16))::UBIGINT AS gh,
+         doc_id * 1048576 + pos AS enc
+  FROM g
+),
+f AS (
+  SELECT doc_id, enc = MIN(enc) OVER (PARTITION BY gh) AS keep
+  FROM h
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) * 1000 // count(*)
+            AS BIGINT) AS dup_permille
+FROM f GROUP BY doc_id ORDER BY doc_id
 """
     return sql

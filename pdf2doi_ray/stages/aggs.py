@@ -804,3 +804,136 @@ def melt_columns(ds, id_col: str, value_cols: list[str],
                          value_col: vals})
 
     return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def pricing_summary(lineitem, cutoff_us=None):
+    """TPC-H-Q1-style pricing summary report: per (returnflag,
+    linestatus), the exact sums and floor-integer averages of the four
+    classic measures over line items shipped on or before the cutoff.
+
+    The single most-scanned aggregate shape there is: a full-table scan
+    with a ≤6-group key, so the per-batch combiner collapses every batch
+    to ≤6 rows and the ONLY exchange carries combiner output.  All money
+    is int64 milli-units via ``floor(x·1000)`` — the per-row IEEE double
+    chain (price·(1−disc), then ·(1+tax)) is evaluated in the same
+    association order as the SQL oracle, so sums are bit-exact — and the
+    averages are integer floor divisions of those sums (qty average in
+    permille).  Returns pandas sorted by (returnflag, linestatus) with
+    columns (l_returnflag, l_linestatus, sum_qty, sum_base_milli,
+    sum_disc_milli, sum_charge_milli, avg_qty_permille, avg_base_milli,
+    avg_disc_permille, n_items).
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from ..arrowutil import one_chunk
+
+    cutoff = pa.scalar(cutoff_us, type=pa.timestamp("us"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
+        key = pc.binary_join_element_wise(
+            one_chunk(t["l_returnflag"]), one_chunk(t["l_linestatus"]), "|")
+        codes = pc.dictionary_encode(key)
+        idx = np.asarray(codes.indices, dtype=np.int64)
+        k = len(codes.dictionary)
+        qty = np.asarray(one_chunk(t["l_quantity"]), dtype=np.float64)
+        price = np.asarray(one_chunk(t["l_extendedprice"]),
+                           dtype=np.float64)
+        disc = np.asarray(one_chunk(t["l_discount"]), dtype=np.float64)
+        tax = np.asarray(one_chunk(t["l_tax"]), dtype=np.float64)
+        qty_i = qty.astype(np.int64)
+        base = np.floor(price * 1000.0).astype(np.int64)
+        dp = price * (1.0 - disc)
+        dmilli = np.floor(dp * 1000.0).astype(np.int64)
+        cmilli = np.floor(dp * (1.0 + tax) * 1000.0).astype(np.int64)
+        dperm = np.floor(disc * 1000.0).astype(np.int64)
+        out = {}
+        for name, vals in (("sum_qty", qty_i), ("sum_base_milli", base),
+                           ("sum_disc_milli", dmilli),
+                           ("sum_charge_milli", cmilli),
+                           ("disc_permille", dperm),
+                           ("n_items", np.ones(len(idx), dtype=np.int64))):
+            acc = np.zeros(k, dtype=np.int64)
+            if len(idx):
+                np.add.at(acc, idx, vals)
+            out[name] = pa.array(acc)
+        return pa.table({"key": codes.dictionary, **out})
+
+    grouped = (lineitem.map_batches(partial, batch_format="pyarrow")
+               .groupby("key")
+               .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                          Sum("sum_base_milli", alias_name="sum_base_milli"),
+                          Sum("sum_disc_milli", alias_name="sum_disc_milli"),
+                          Sum("sum_charge_milli",
+                              alias_name="sum_charge_milli"),
+                          Sum("disc_permille", alias_name="disc_permille"),
+                          Sum("n_items", alias_name="n_items")))
+
+    out = grouped.to_pandas()          # ≤ 6 rows by construction
+    cols = ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_milli",
+            "sum_disc_milli", "sum_charge_milli", "avg_qty_permille",
+            "avg_base_milli", "avg_disc_permille", "n_items"]
+    if "key" not in out.columns or not len(out):
+        return pd.DataFrame({c: pd.Series(
+            dtype="object" if c.startswith("l_") else "int64")
+            for c in cols})
+    flag_status = out["key"].str.split("|", expand=True)
+    n = out["n_items"].astype("int64")
+    res = pd.DataFrame({
+        "l_returnflag": flag_status[0],
+        "l_linestatus": flag_status[1],
+        "sum_qty": out["sum_qty"].astype("int64"),
+        "sum_base_milli": out["sum_base_milli"].astype("int64"),
+        "sum_disc_milli": out["sum_disc_milli"].astype("int64"),
+        "sum_charge_milli": out["sum_charge_milli"].astype("int64"),
+        "avg_qty_permille": (out["sum_qty"] * 1000 // n).astype("int64"),
+        "avg_base_milli": (out["sum_base_milli"] // n).astype("int64"),
+        "avg_disc_permille": (out["disc_permille"] // n).astype("int64"),
+        "n_items": n,
+    })
+    return res.sort_values(["l_returnflag", "l_linestatus"]) \
+              .reset_index(drop=True)
+
+
+def forecast_revenue(lineitem, start_us=None, end_us=None,
+                     disc_lo: float = 0.05, disc_hi: float = 0.07,
+                     max_qty: float = 24.0):
+    """TPC-H-Q6-style what-if revenue: Σ floor(price·discount·1000) over
+    one ship-date year for near-median discounts and small quantities —
+    the canonical filter + scalar-aggregate scan (zero exchanges: every
+    batch emits one int64 partial and the driver sums a scalar).
+    Returns a one-row pandas (revenue_milli, n_items).
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..arrowutil import one_chunk
+
+    start = pa.scalar(start_us, type=pa.timestamp("us"))
+    end = pa.scalar(end_us, type=pa.timestamp("us"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(t["l_shipdate"], start),
+                    pc.less(t["l_shipdate"], end)),
+            pc.and_(
+                pc.and_(pc.greater_equal(t["l_discount"],
+                                         pa.scalar(disc_lo)),
+                        pc.less_equal(t["l_discount"],
+                                      pa.scalar(disc_hi))),
+                pc.less(t["l_quantity"], pa.scalar(max_qty))))
+        t = t.filter(keep)
+        price = np.asarray(one_chunk(t["l_extendedprice"]),
+                           dtype=np.float64)
+        disc = np.asarray(one_chunk(t["l_discount"]), dtype=np.float64)
+        rev = int(np.floor(price * disc * 1000.0).astype(np.int64).sum())
+        return pa.table({"rev": pa.array([rev], type=pa.int64()),
+                         "n": pa.array([t.num_rows], type=pa.int64())})
+
+    s = lineitem.map_batches(partial, batch_format="pyarrow") \
+                .sum(["rev", "n"])
+    return pd.DataFrame({"revenue_milli": [int(s["sum(rev)"])],
+                         "n_items": [int(s["sum(n)"])]})

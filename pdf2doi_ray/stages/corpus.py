@@ -2234,3 +2234,49 @@ def merge_dup_spans(docs, n: int = NGRAM_SPAN_N, num_partitions: int = 8,
         lambda t: np.asarray(one_chunk(t["doc_id"]), dtype=np.int64),
         stitch, num_shards=stitch_shards)
     return interior.union(cross)
+
+
+def doc_dup_gram_fraction(docs, n: int = NGRAM_SPAN_N,
+                          num_partitions: int = 8):
+    """Per-document duplication score: what permille of a document's
+    word n-grams already occurred earlier in the corpus (the Lee-et-al.
+    "fraction of duplicated n-grams" curation signal — the per-doc
+    summary of :func:`dup_ngram_spans`, where :func:`merge_dup_spans` is
+    the positional audit and :func:`remove_dup_spans` the rewrite).
+
+    Plan: the span flags' two exchanges, then each flag batch collapses
+    to (doc_id, n_grams, n_dup) int64 partials (np.unique + add.at) and
+    ONE groupby Sum; the permille is integer floor division after the
+    exchange so the result is hash-exact.  Documents shorter than ``n``
+    tokens have no grams and no row.  Returns
+    (doc_id, n_grams, dup_permille).
+    """
+    from ray.data.aggregate import Sum
+
+    from ..arrowutil import one_chunk
+
+    flags = dup_ngram_spans(docs, n=n, num_partitions=num_partitions)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = np.asarray(one_chunk(t["doc_id"]), dtype=np.int64)
+        dup = ~np.asarray(one_chunk(t["keep"]), dtype=np.bool_)
+        uk, inv = np.unique(ids, return_inverse=True)
+        tot = np.zeros(len(uk), dtype=np.int64)
+        dups = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(tot, inv, 1)
+        np.add.at(dups, inv, dup)
+        return pa.table({"doc_id": pa.array(uk, type=pa.int64()),
+                         "g": pa.array(tot), "d": pa.array(dups)})
+
+    grouped = (flags.map_batches(partial, batch_format="pyarrow")
+               .groupby("doc_id")
+               .aggregate(Sum("g", alias_name="n_grams"),
+                          Sum("d", alias_name="n_dup")))
+
+    def permille(t: pa.Table) -> pa.Table:
+        g = np.asarray(one_chunk(t["n_grams"]), dtype=np.int64)
+        d = np.asarray(one_chunk(t["n_dup"]), dtype=np.int64)
+        return pa.table({"doc_id": t["doc_id"], "n_grams": t["n_grams"],
+                         "dup_permille": pa.array(d * 1000 // g)})
+
+    return grouped.map_batches(permille, batch_format="pyarrow")

@@ -415,3 +415,352 @@ def shipping_priority(customer, orders, lineitem, segment="BUILDING",
         "o_date_days": parts["o_date_days"].to_numpy(),
         "o_orderpriority": parts["o_orderpriority"].to_numpy(),
     })
+
+
+def _i64(col) -> np.ndarray:
+    c = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return np.asarray(c, dtype=np.int64)
+
+
+def order_priority_semi(orders, lineitem, start_us=None, end_us=None,
+                        flag: str = "R", num_partitions: int = 8):
+    """TPC-H-Q4-style EXISTS semi-join: per order priority, how many
+    orders of one date window have at least one line item carrying the
+    given return flag.  This is the big-build-side semi-join shape the
+    dimension-broadcast joins can't cover: BOTH inputs are fact tables,
+    so the probe keys come from the fact scan itself.
+
+    Plan: lineitem is filtered to the flag and collapsed per batch to its
+    UNIQUE order keys (np.unique — one narrow int64 column crosses the
+    exchange); orders is window-filtered and key/priority-projected; ONE
+    native hash-partitioned ``left_semi`` join matches them (duplicate
+    probe keys across batches are harmless — semi joins never multiply
+    rows); the survivors collapse per batch to ≤5 (priority, n) partials
+    before a tiny groupby.  Returns pandas (o_orderpriority, n_orders)
+    sorted by priority.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    start = pa.scalar(start_us, type=pa.timestamp("us"))
+    end = pa.scalar(end_us, type=pa.timestamp("us"))
+
+    def flagged_keys(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keys = np.unique(_i64(
+            t.filter(pc.equal(t["l_returnflag"], flag))["l_orderkey"]))
+        return pa.table({"l_orderkey": pa.array(keys, type=pa.int64())})
+
+    def window_orders(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keep = pc.and_(pc.greater_equal(t["o_orderdate"], start),
+                       pc.less(t["o_orderdate"], end))
+        return t.filter(keep).select(["o_orderkey", "o_orderpriority"])
+
+    matched = shuffle_hash_join(
+        orders.map_batches(window_orders, batch_format="pyarrow"),
+        lineitem.map_batches(flagged_keys, batch_format="pyarrow"),
+        on="o_orderkey", right_on="l_orderkey", join_type="left_semi",
+        num_partitions=num_partitions)
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        codes = pc.dictionary_encode(
+            t["o_orderpriority"].combine_chunks()
+            if isinstance(t["o_orderpriority"], pa.ChunkedArray)
+            else t["o_orderpriority"])
+        cnt = np.zeros(len(codes.dictionary), dtype=np.int64)
+        if t.num_rows:
+            np.add.at(cnt, np.asarray(codes.indices, dtype=np.int64), 1)
+        return pa.table({"o_orderpriority": codes.dictionary,
+                         "n": pa.array(cnt)})
+
+    out = (matched.map_batches(partial, batch_format="pyarrow")
+           .groupby("o_orderpriority")
+           .aggregate(Sum("n", alias_name="n_orders"))).to_pandas()
+    if "o_orderpriority" not in out.columns:
+        out = pd.DataFrame({"o_orderpriority": pd.Series(dtype="object"),
+                            "n_orders": pd.Series(dtype="int64")})
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def order_count_distribution(customer, orders, num_partitions: int = 8):
+    """TPC-H-Q13-style two-level aggregation: the distribution of
+    orders-per-customer, INCLUDING the zero bucket (customers with no
+    orders — the left-outer part of Q13, recovered arithmetically).
+
+    Plan: orders collapses per batch to (custkey, n) partials, one
+    groupby Sum gives per-customer counts; the counts collapse per batch
+    to (c_count, custdist) partials and a second tiny groupby gives the
+    histogram.  The zero bucket never shuffles: it is
+    ``count(customer) − Σ custdist`` — two scalar aggregates — which is
+    exact because every order's custkey references an existing customer
+    (enforced by the synthesizer; same referential assumption Q13's
+    LEFT JOIN encodes).  Returns pandas (c_count, custdist) sorted
+    custdist desc, c_count desc.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def per_cust_partial(t: pa.Table) -> pa.Table:
+        keys, cnt = np.unique(_i64(t["o_custkey"]), return_counts=True)
+        return pa.table({"o_custkey": pa.array(keys, type=pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    counts = (orders.map_batches(per_cust_partial, batch_format="pyarrow")
+              .groupby("o_custkey").aggregate(Sum("n", alias_name="c_count")))
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        vals, cnt = np.unique(_i64(t["c_count"]), return_counts=True)
+        return pa.table({"c_count": pa.array(vals, type=pa.int64()),
+                         "custdist": pa.array(cnt.astype(np.int64))})
+
+    hist = (counts.map_batches(hist_partial, batch_format="pyarrow")
+            .groupby("c_count")
+            .aggregate(Sum("custdist", alias_name="custdist"))).to_pandas()
+    if "c_count" not in hist.columns:
+        hist = pd.DataFrame({"c_count": pd.Series(dtype="int64"),
+                             "custdist": pd.Series(dtype="int64")})
+    n_zero = customer.count() - int(hist["custdist"].sum())
+    if n_zero > 0:
+        hist = pd.concat([hist, pd.DataFrame(
+            {"c_count": [0], "custdist": [n_zero]})], ignore_index=True)
+    return hist.sort_values(["custdist", "c_count"],
+                            ascending=[False, False]).reset_index(drop=True)
+
+
+def large_volume_orders(customer, orders, lineitem, qty_threshold: int,
+                        k: int = 100, num_partitions: int = 8):
+    """TPC-H-Q18-style GROUP BY + HAVING + join-back: the ``k``
+    biggest-ticket orders whose total line-item quantity exceeds the
+    threshold, with the buyer's name attached.
+
+    Plan: lineitem collapses per batch to (orderkey, qty) int64 partials
+    (quantities are integral by data contract; asserted), one groupby Sum
+    + HAVING filter leaves a survivor set that is TINY by construction
+    (the threshold is the selectivity knob — Q18's classic yields
+    a handful of rows per million orders), so the join-back inverts:
+    survivors broadcast into the orders scan, then the customer name
+    lookup is a second broadcast join keyed the other way (survivor side
+    stays the broadcast side both times; the fact tables never shuffle).
+    Returns pandas (c_name, o_custkey, o_orderkey, o_date_days,
+    totalprice_milli, total_qty) sorted totalprice desc, orderkey asc,
+    top ``k``.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        q = np.asarray(t["l_quantity"].combine_chunks()
+                       if isinstance(t["l_quantity"], pa.ChunkedArray)
+                       else t["l_quantity"], dtype=np.float64)
+        qi = q.astype(np.int64)
+        if not np.array_equal(qi, q):
+            raise ValueError("large_volume_orders: non-integral quantity")
+        keys = _i64(t["l_orderkey"])
+        uk, inv = np.unique(keys, return_inverse=True)
+        sums = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(sums, inv, qi)
+        return pa.table({"l_orderkey": pa.array(uk, type=pa.int64()),
+                         "qty": pa.array(sums)})
+
+    def having(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.greater(t["total_qty"],
+                                   pa.scalar(qty_threshold, pa.int64())))
+
+    survivors = (lineitem.map_batches(qty_partial, batch_format="pyarrow")
+                 .groupby("l_orderkey")
+                 .aggregate(Sum("qty", alias_name="total_qty"))
+                 .map_batches(having, batch_format="pyarrow"))
+
+    def order_cols(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        days = pc.divide(t["o_orderdate"].cast(pa.int64()), 86_400_000_000)
+        price = np.asarray(t["o_totalprice"].combine_chunks()
+                           if isinstance(t["o_totalprice"], pa.ChunkedArray)
+                           else t["o_totalprice"], dtype=np.float64)
+        milli = np.floor(price * 1000.0).astype(np.int64)
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_custkey": t["o_custkey"],
+                         "o_date_days": days,
+                         "totalprice_milli": pa.array(milli)})
+
+    hit_orders = broadcast_hash_join(
+        orders.map_batches(order_cols, batch_format="pyarrow"),
+        survivors, on=["o_orderkey"], right_on=["l_orderkey"],
+        join_type="inner")
+
+    named = broadcast_hash_join(
+        customer.select_columns(["c_custkey", "c_name"]),
+        hit_orders, on=["c_custkey"], right_on=["o_custkey"],
+        join_type="inner",
+        project=["c_name", "c_custkey", "o_orderkey", "o_date_days",
+                 "totalprice_milli", "total_qty"])
+
+    out = named.to_pandas()            # ≤ |survivors| rows by construction
+    if "c_name" not in out.columns:
+        out = pd.DataFrame({c: pd.Series(dtype=d) for c, d in [
+            ("c_name", "object"), ("c_custkey", "int64"),
+            ("o_orderkey", "int64"), ("o_date_days", "int64"),
+            ("totalprice_milli", "int64"), ("total_qty", "int64")]})
+    return out.sort_values(["totalprice_milli", "o_orderkey"],
+                           ascending=[False, True]).head(k) \
+              .reset_index(drop=True)
+
+
+def returnflag_priority_counts(orders, lineitem, start_us=None, end_us=None,
+                               num_partitions: int = 8):
+    """TPC-H-Q12-style conditional aggregation over a fact-fact join:
+    per return flag, how many window-shipped line items belong to
+    high-priority orders (1-URGENT / 2-HIGH) vs everything else.
+
+    Plan: orders reduces per batch to (orderkey, is_high) — the CASE
+    collapses the priority string to one bit BEFORE the exchange — and
+    lineitem to (orderkey, returnflag); one shuffle hash join, then a
+    ≤|flags|-row per-batch combiner carrying both conditional counts and
+    a tiny groupby.  Returns pandas (l_returnflag, high_line_count,
+    low_line_count) sorted by flag.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    start = pa.scalar(start_us, type=pa.timestamp("us"))
+    end = pa.scalar(end_us, type=pa.timestamp("us"))
+
+    def order_bit(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        hi = pc.or_(pc.equal(t["o_orderpriority"], "1-URGENT"),
+                    pc.equal(t["o_orderpriority"], "2-HIGH"))
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "is_high": hi.combine_chunks()
+                         if isinstance(hi, pa.ChunkedArray) else hi})
+
+    def li_window(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keep = pc.and_(pc.greater_equal(t["l_shipdate"], start),
+                       pc.less(t["l_shipdate"], end))
+        return t.filter(keep).select(["l_orderkey", "l_returnflag"])
+
+    joined = shuffle_hash_join(
+        lineitem.map_batches(li_window, batch_format="pyarrow"),
+        orders.map_batches(order_bit, batch_format="pyarrow"),
+        on="l_orderkey", right_on="o_orderkey",
+        num_partitions=num_partitions,
+        project=["l_returnflag", "is_high"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        codes = pc.dictionary_encode(
+            t["l_returnflag"].combine_chunks()
+            if isinstance(t["l_returnflag"], pa.ChunkedArray)
+            else t["l_returnflag"])
+        idx = np.asarray(codes.indices, dtype=np.int64)
+        hi = np.asarray(t["is_high"].combine_chunks()
+                        if isinstance(t["is_high"], pa.ChunkedArray)
+                        else t["is_high"], dtype=np.bool_)
+        kk = len(codes.dictionary)
+        h = np.zeros(kk, dtype=np.int64)
+        lo = np.zeros(kk, dtype=np.int64)
+        if len(idx):
+            np.add.at(h, idx[hi], 1)
+            np.add.at(lo, idx[~hi], 1)
+        return pa.table({"l_returnflag": codes.dictionary,
+                         "h": pa.array(h), "l": pa.array(lo)})
+
+    out = (joined.map_batches(partial, batch_format="pyarrow")
+           .groupby("l_returnflag")
+           .aggregate(Sum("h", alias_name="high_line_count"),
+                      Sum("l", alias_name="low_line_count"))).to_pandas()
+    if "l_returnflag" not in out.columns:
+        out = pd.DataFrame({"l_returnflag": pd.Series(dtype="object"),
+                            "high_line_count": pd.Series(dtype="int64"),
+                            "low_line_count": pd.Series(dtype="int64")})
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def idle_rich_customers(customer, orders, since_us=None,
+                        num_partitions: int = 8):
+    """TPC-H-Q22-style anti-join gated by a global scalar: per nation,
+    the count and total balance of customers who (a) hold an
+    above-average account balance — average over positive balances,
+    computed exactly in integer cents and compared as a cross-multiplied
+    rational so no float division enters the hash — and (b) have placed
+    no order since ``since_us`` (the anti-join; ``None`` = never ordered
+    at all, the literal Q22 predicate — this synthesizer gives every
+    customer at least one order, so callers pass a recency cutoff).
+
+    Plan: pass 1 is two scalar combiner sums over the customer scan
+    (n_pos, sum_cents) — broadcast back as plain Python ints; pass 2
+    filters customers by ``cents·n_pos > sum_cents``, anti-joins against
+    per-batch-unique order custkeys with the native hash-partitioned
+    ``left_anti`` join, and collapses to ≤|nations| partials before the
+    tiny groupby.  Returns pandas (c_nationkey, n_cust, total_acctbal_c)
+    sorted by nation.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def cents(t: pa.Table):
+        bal = np.asarray(t["c_acctbal"].combine_chunks()
+                         if isinstance(t["c_acctbal"], pa.ChunkedArray)
+                         else t["c_acctbal"], dtype=np.float64)
+        return np.floor(bal * 100.0).astype(np.int64)
+
+    def pos_partial(t: pa.Table) -> pa.Table:
+        c = cents(t)
+        c = c[c > 0]
+        return pa.table({"n": pa.array([len(c)], type=pa.int64()),
+                         "s": pa.array([int(c.sum())], type=pa.int64())})
+
+    stats = (customer.map_batches(pos_partial, batch_format="pyarrow")
+             .sum(["n", "s"]))
+    n_pos, sum_cents = int(stats["sum(n)"]), int(stats["sum(s)"])
+
+    def rich(t: pa.Table) -> pa.Table:
+        c = cents(t)
+        keep = c * n_pos > sum_cents
+        t = t.select(["c_custkey", "c_nationkey"]).filter(pa.array(keep))
+        return t.append_column(
+            "acctbal_c", pa.array(c[keep], type=pa.int64()))
+
+    since = pa.scalar(since_us, type=pa.timestamp("us"))
+
+    def okeys(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        if since_us is not None:
+            t = t.filter(pc.greater_equal(t["o_orderdate"], since))
+        keys = np.unique(_i64(t["o_custkey"]))
+        return pa.table({"o_custkey": pa.array(keys, type=pa.int64())})
+
+    idle = shuffle_hash_join(
+        customer.map_batches(rich, batch_format="pyarrow"),
+        orders.map_batches(okeys, batch_format="pyarrow"),
+        on="c_custkey", right_on="o_custkey", join_type="left_anti",
+        num_partitions=num_partitions)
+
+    def partial(t: pa.Table) -> pa.Table:
+        nk = _i64(t["c_nationkey"])
+        bal = _i64(t["acctbal_c"])
+        uk, inv = np.unique(nk, return_inverse=True)
+        n = np.zeros(len(uk), dtype=np.int64)
+        s = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(n, inv, 1)
+        np.add.at(s, inv, bal)
+        return pa.table({"c_nationkey": pa.array(uk, type=pa.int64()),
+                         "n": pa.array(n), "s": pa.array(s)})
+
+    out = (idle.map_batches(partial, batch_format="pyarrow")
+           .groupby("c_nationkey")
+           .aggregate(Sum("n", alias_name="n_cust"),
+                      Sum("s", alias_name="total_acctbal_c"))).to_pandas()
+    if "c_nationkey" not in out.columns:
+        out = pd.DataFrame({"c_nationkey": pd.Series(dtype="int64"),
+                            "n_cust": pd.Series(dtype="int64"),
+                            "total_acctbal_c": pd.Series(dtype="int64")})
+    return out.sort_values("c_nationkey").reset_index(drop=True)

@@ -353,3 +353,51 @@ def test_quality_model_scorer_task_and_actor_paths_agree():
             for tok in s.split())
         assert task_out.loc[d, "score"] == want, d
         assert bool(task_out.loc[d, "keep"]) == (want > 0), d
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_large_volume_orders_rejects_fractional_quantities():
+    import ray.data
+
+    from pdf2doi_ray.stages.joins import large_volume_orders
+
+    li = ray.data.from_arrow(pa.table({
+        "l_orderkey": pa.array([1], type=pa.int64()),
+        "l_quantity": pa.array([1.5], type=pa.float64()),
+    }))
+    orders = ray.data.from_arrow(pa.table({
+        "o_orderkey": pa.array([1], type=pa.int64()),
+        "o_custkey": pa.array([1], type=pa.int64()),
+        "o_orderdate": pa.array([0], type=pa.timestamp("us")),
+        "o_totalprice": pa.array([10.0], type=pa.float64()),
+    }))
+    cust = ray.data.from_arrow(pa.table({
+        "c_custkey": pa.array([1], type=pa.int64()),
+        "c_name": ["a"],
+    }))
+    with pytest.raises(Exception, match="non-integral quantity"):
+        large_volume_orders(cust, orders, li, qty_threshold=0)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pricing_summary_empty_window_returns_typed_empty():
+    import datetime
+
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import pricing_summary
+
+    li = ray.data.from_arrow(pa.table({
+        "l_returnflag": ["N"], "l_linestatus": ["O"],
+        "l_quantity": pa.array([3.0]), "l_extendedprice": pa.array([10.0]),
+        "l_discount": pa.array([0.05]), "l_tax": pa.array([0.02]),
+        "l_shipdate": pa.array([datetime.datetime(1998, 1, 1)],
+                               type=pa.timestamp("us")),
+    }))
+    out = pricing_summary(li, cutoff_us=datetime.datetime(1990, 1, 1))
+    assert len(out) == 0
+    assert list(out.columns)[:2] == ["l_returnflag", "l_linestatus"]
+    full = pricing_summary(li, cutoff_us=datetime.datetime(1999, 1, 1))
+    assert len(full) == 1 and int(full["sum_qty"][0]) == 3
+    # charge = 10·0.95·1.02 = 9.69 → 9690 milli, floor-exact
+    assert int(full["sum_charge_milli"][0]) == 9690
