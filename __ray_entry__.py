@@ -984,6 +984,57 @@ def _q_idle_rich_customers(sf_dir: str):
         num_partitions=4)
 
 
+def _q_returned_item_customers(sf_dir: str):
+    """TPC-H-Q10-style returned-item customer ranking: one shuffle join,
+    bounded top-k, survivor-broadcast name lookup."""
+    import datetime
+
+    import ray.data
+
+    from pdf2doi_ray.stages.joins import returned_item_customers
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal"])
+    nation = ray.data.read_parquet(f"{sf_dir}/nation.parquet")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                 "l_discount"])
+    return returned_item_customers(
+        cust, nation, orders, li,
+        start_us=datetime.datetime(1996, 10, 1),
+        end_us=datetime.datetime(1997, 1, 1), k=20, num_partitions=4)
+
+
+def _q_nation_pair_volume(sf_dir: str):
+    """TPC-H-Q7-style bilateral volume between two nations by ship year
+    (both dimension chains collapse before the one fact exchange)."""
+    import datetime
+
+    import ray.data
+
+    from pdf2doi_ray.stages.joins import nation_pair_volume
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    nation = ray.data.read_parquet(f"{sf_dir}/nation.parquet")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount", "l_shipdate"])
+    return nation_pair_volume(
+        cust, supp, nation, orders, li,
+        nation_a="NATION_8", nation_b="NATION_15",
+        start_us=datetime.datetime(1996, 1, 1),
+        end_us=datetime.datetime(1998, 1, 1), num_partitions=4)
+
+
 def _q_pricing_summary(sf_dir: str):
     """TPC-H-Q1-style pricing summary: ≤6-group full-scan aggregate with
     exact milli-int sums and floor-integer averages; the only exchange
@@ -2234,6 +2285,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "idle_rich_customers": _q_idle_rich_customers,
         "pricing_summary": _q_pricing_summary,
         "forecast_revenue": _q_forecast_revenue,
+        "returned_item_customers": _q_returned_item_customers,
+        "nation_pair_volume": _q_nation_pair_volume,
         "doc_dup_gram_fraction": _q_doc_dup_gram_fraction,
     }
 
@@ -4140,6 +4193,45 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01'
   AND l_shipdate <  TIMESTAMP '1998-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07
   AND l_quantity < 24
+"""
+    sql["returned_item_customers"] = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                             * 1000.0) AS BIGINT)) AS BIGINT)
+             AS revenue_milli
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-10-01'
+    AND o_orderdate <  TIMESTAMP '1997-01-01'
+  GROUP BY o_custkey
+)
+SELECT c_custkey, c_name, n_name,
+       CAST(floor(c_acctbal * 100.0) AS BIGINT) AS acctbal_c,
+       revenue_milli
+FROM rev JOIN customer ON c_custkey = o_custkey
+         JOIN nation ON n_nationkey = c_nationkey
+ORDER BY revenue_milli DESC, c_custkey LIMIT 20
+"""
+    sql["nation_pair_volume"] = """
+SELECT n_s.n_name AS supp_nation, n_c.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                           * 1000.0) AS BIGINT)) AS BIGINT)
+           AS revenue_milli
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation n_s ON n_s.n_nationkey = s_nationkey
+JOIN nation n_c ON n_c.n_nationkey = c_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND n_s.n_name IN ('NATION_8', 'NATION_15')
+  AND n_c.n_name IN ('NATION_8', 'NATION_15')
+  AND n_s.n_name <> n_c.n_name
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
 """
     sql["order_priority_semi"] = """
 SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders

@@ -764,3 +764,245 @@ def idle_rich_customers(customer, orders, since_us=None,
                             "n_cust": pd.Series(dtype="int64"),
                             "total_acctbal_c": pd.Series(dtype="int64")})
     return out.sort_values("c_nationkey").reset_index(drop=True)
+
+
+def returned_item_customers(customer, nation, orders, lineitem,
+                            start_us=None, end_us=None, k: int = 20,
+                            num_partitions: int = 8):
+    """TPC-H-Q10-style returned-item ranking: the ``k`` customers who
+    lost the most revenue to returns ('R' line items) against orders of
+    one quarter, with name and nation attached.
+
+    Plan: orders window-reduces to (orderkey, custkey) and lineitem to
+    (orderkey, rev_milli) rows filtered to the flag; ONE shuffle join on
+    the orderkey; per-batch custkey combiner + groupby Sum; then the
+    bounded top-k trick (each batch forwards its ≤k best) makes the
+    survivor set ≤k rows, which flips the name lookup into a broadcast
+    of the SURVIVORS into the customer scan and a driver-side nation
+    map — the customer fact table never shuffles.  Returns pandas
+    (c_custkey, c_name, n_name, acctbal_c, revenue_milli) sorted
+    revenue desc, custkey asc.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    start = pa.scalar(start_us, type=pa.timestamp("us"))
+    end = pa.scalar(end_us, type=pa.timestamp("us"))
+
+    def window_orders(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keep = pc.and_(pc.greater_equal(t["o_orderdate"], start),
+                       pc.less(t["o_orderdate"], end))
+        return t.filter(keep).select(["o_orderkey", "o_custkey"])
+
+    def returned_rev(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        price = np.asarray(t["l_extendedprice"].combine_chunks()
+                           if isinstance(t["l_extendedprice"],
+                                         pa.ChunkedArray)
+                           else t["l_extendedprice"], dtype=np.float64)
+        disc = np.asarray(t["l_discount"].combine_chunks()
+                          if isinstance(t["l_discount"], pa.ChunkedArray)
+                          else t["l_discount"], dtype=np.float64)
+        rev = np.floor(price * (1.0 - disc) * 1000.0).astype(np.int64)
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "rev": pa.array(rev)})
+
+    joined = shuffle_hash_join(
+        lineitem.map_batches(returned_rev, batch_format="pyarrow"),
+        orders.map_batches(window_orders, batch_format="pyarrow"),
+        on="l_orderkey", right_on="o_orderkey",
+        num_partitions=num_partitions, project=["o_custkey", "rev"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = _i64(t["o_custkey"])
+        uk, inv = np.unique(keys, return_inverse=True)
+        s = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(s, inv, _i64(t["rev"]))
+        return pa.table({"o_custkey": pa.array(uk, type=pa.int64()),
+                         "rev": pa.array(s)})
+
+    grouped = (joined.map_batches(partial, batch_format="pyarrow")
+               .groupby("o_custkey")
+               .aggregate(Sum("rev", alias_name="revenue_milli")))
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        rev = _i64(t["revenue_milli"])
+        keys = _i64(t["o_custkey"])
+        order = np.lexsort((keys, -rev))[:k]
+        return t.take(pa.array(order, type=pa.int64()))
+
+    tops = grouped.map_batches(block_topk,
+                               batch_format="pyarrow").to_pandas()
+    if "o_custkey" not in tops.columns:
+        tops = pd.DataFrame({"o_custkey": pd.Series(dtype="int64"),
+                             "revenue_milli": pd.Series(dtype="int64")})
+    tops = tops.sort_values(["revenue_milli", "o_custkey"],
+                            ascending=[False, True]).head(k)
+
+    import ray
+    import ray.data
+    winners = ray.data.from_arrow(pa.table({
+        "w_custkey": pa.array(tops["o_custkey"].to_numpy(),
+                              type=pa.int64()),
+        "revenue_milli": pa.array(tops["revenue_milli"].to_numpy(),
+                                  type=pa.int64())}))
+
+    def cust_cols(t: pa.Table) -> pa.Table:
+        bal = np.asarray(t["c_acctbal"].combine_chunks()
+                         if isinstance(t["c_acctbal"], pa.ChunkedArray)
+                         else t["c_acctbal"], dtype=np.float64)
+        return pa.table({
+            "c_custkey": t["c_custkey"], "c_name": t["c_name"],
+            "c_nationkey": t["c_nationkey"].cast(pa.int64()),
+            "acctbal_c": pa.array(np.floor(bal * 100.0).astype(np.int64)),
+        })
+
+    named = broadcast_hash_join(
+        customer.map_batches(cust_cols, batch_format="pyarrow"),
+        winners, on=["c_custkey"], right_on=["w_custkey"],
+        join_type="inner").to_pandas()
+    if "c_custkey" not in named.columns:
+        named = pd.DataFrame({c: pd.Series(dtype=d) for c, d in [
+            ("c_custkey", "int64"), ("c_name", "object"),
+            ("c_nationkey", "int64"), ("acctbal_c", "int64"),
+            ("revenue_milli", "int64")]})
+    nmap = {int(r["n_nationkey"]): r["n_name"]
+            for r in nation.take_all()}          # ≤ 25-row dimension
+    named["n_name"] = named["c_nationkey"].map(nmap)
+    named = named.drop(columns=["c_nationkey"])
+    return named.sort_values(["revenue_milli", "c_custkey"],
+                             ascending=[False, True]) \
+        [["c_custkey", "c_name", "n_name", "acctbal_c",
+          "revenue_milli"]].reset_index(drop=True)
+
+
+def nation_pair_volume(customer, supplier, nation, orders, lineitem,
+                       nation_a: str, nation_b: str,
+                       start_us=None, end_us=None,
+                       num_partitions: int = 8):
+    """TPC-H-Q7-style bilateral shipping volume: yearly revenue between
+    two nations, in both directions (supplier nation ≠ customer nation),
+    over a ship-date range.
+
+    Plan: the nation filter collapses BOTH dimension chains before any
+    exchange — supplier→nation broadcasts into the window-filtered
+    lineitem scan (keeping only the two nations' suppliers) and
+    customer→nation into the orders scan — so the single shuffle join on
+    the orderkey carries only pre-filtered rows already reduced to
+    (key, supp_nation, rev, year) / (key, cust_nation); a ≤(2·2·years)
+    combiner and tiny groupby finish.  Returns pandas (supp_nation,
+    cust_nation, l_year, revenue_milli) sorted by the three keys.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    start = pa.scalar(start_us, type=pa.timestamp("us"))
+    end = pa.scalar(end_us, type=pa.timestamp("us"))
+
+    nat = {r["n_name"]: int(r["n_nationkey"]) for r in nation.take_all()}
+    keys_ab = {nat[nation_a], nat[nation_b]}
+    names = {v: k for k, v in nat.items()}
+
+    def supp_dim(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        nk = t["s_nationkey"].cast(pa.int64())
+        t = pa.table({"s_suppkey": t["s_suppkey"], "s_nationkey": nk})
+        return t.filter(pc.is_in(t["s_nationkey"],
+                                 value_set=pa.array(sorted(keys_ab),
+                                                    type=pa.int64())))
+
+    def cust_dim(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        nk = t["c_nationkey"].cast(pa.int64())
+        t = pa.table({"c_custkey": t["c_custkey"], "c_nationkey": nk})
+        return t.filter(pc.is_in(t["c_nationkey"],
+                                 value_set=pa.array(sorted(keys_ab),
+                                                    type=pa.int64())))
+
+    def li_window(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keep = pc.and_(pc.greater_equal(t["l_shipdate"], start),
+                       pc.less(t["l_shipdate"], end))
+        t = t.filter(keep)
+        price = np.asarray(t["l_extendedprice"].combine_chunks()
+                           if isinstance(t["l_extendedprice"],
+                                         pa.ChunkedArray)
+                           else t["l_extendedprice"], dtype=np.float64)
+        disc = np.asarray(t["l_discount"].combine_chunks()
+                          if isinstance(t["l_discount"], pa.ChunkedArray)
+                          else t["l_discount"], dtype=np.float64)
+        rev = np.floor(price * (1.0 - disc) * 1000.0).astype(np.int64)
+        year = pc.year(t["l_shipdate"]).cast(pa.int64())
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "l_suppkey": t["l_suppkey"],
+                         "rev": pa.array(rev), "l_year": year})
+
+    li_n = broadcast_hash_join(
+        lineitem.map_batches(li_window, batch_format="pyarrow"),
+        supplier.map_batches(supp_dim, batch_format="pyarrow"),
+        on=["l_suppkey"], right_on=["s_suppkey"], join_type="inner",
+        project=["l_orderkey", "rev", "l_year", "s_nationkey"])
+
+    ord_n = broadcast_hash_join(
+        orders.select_columns(["o_orderkey", "o_custkey"]),
+        customer.map_batches(cust_dim, batch_format="pyarrow"),
+        on=["o_custkey"], right_on=["c_custkey"], join_type="inner",
+        project=["o_orderkey", "c_nationkey"])
+
+    # a nation with zero suppliers (tiny scale factors) leaves li_n FULLY
+    # empty, which this Ray build's hash join cannot partition (schema-less
+    # side); per the engine-wide contract a fully-empty inner-join side
+    # needs a driver-side never-matching sentinel row unioned in (order
+    # keys are non-negative, so -1 vs -2 can never meet)
+    import ray.data
+    li_sentinel = ray.data.from_arrow(pa.table({
+        "l_orderkey": pa.array([-1], type=pa.int64()),
+        "rev": pa.array([0], type=pa.int64()),
+        "l_year": pa.array([0], type=pa.int64()),
+        "s_nationkey": pa.array([-1], type=pa.int64())}))
+    ord_sentinel = ray.data.from_arrow(pa.table({
+        "o_orderkey": pa.array([-2], type=pa.int64()),
+        "c_nationkey": pa.array([-1], type=pa.int64())}))
+
+    joined = shuffle_hash_join(
+        li_n.union(li_sentinel), ord_n.union(ord_sentinel),
+        on="l_orderkey", right_on="o_orderkey",
+        num_partitions=num_partitions,
+        project=["rev", "l_year", "s_nationkey", "c_nationkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        sn = _i64(t["s_nationkey"])
+        cn = _i64(t["c_nationkey"])
+        keep = sn != cn
+        sn, cn = sn[keep], cn[keep]
+        yr = _i64(t["l_year"])[keep]
+        rv = _i64(t["rev"])[keep]
+        enc = (sn * 32 + cn) * 4096 + yr
+        uk, inv = np.unique(enc, return_inverse=True)
+        s = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(s, inv, rv)
+        return pa.table({"enc": pa.array(uk, type=pa.int64()),
+                         "rev": pa.array(s)})
+
+    out = (joined.map_batches(partial, batch_format="pyarrow")
+           .groupby("enc")
+           .aggregate(Sum("rev", alias_name="revenue_milli"))).to_pandas()
+    if "enc" not in out.columns:
+        out = pd.DataFrame({"enc": pd.Series(dtype="int64"),
+                            "revenue_milli": pd.Series(dtype="int64")})
+    enc = out["enc"].to_numpy(dtype="int64", na_value=0) \
+        if len(out) else np.empty(0, dtype=np.int64)
+    res = pd.DataFrame({
+        "supp_nation": [names[int(e)] for e in enc // (32 * 4096)],
+        "cust_nation": [names[int(e)] for e in (enc // 4096) % 32],
+        "l_year": (enc % 4096).astype("int64") if len(out)
+        else pd.Series(dtype="int64"),
+        "revenue_milli": out["revenue_milli"].astype("int64")
+        if len(out) else pd.Series(dtype="int64"),
+    })
+    return res.sort_values(["supp_nation", "cust_nation", "l_year"]) \
+              .reset_index(drop=True)

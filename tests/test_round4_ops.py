@@ -401,3 +401,37 @@ def test_pricing_summary_empty_window_returns_typed_empty():
     assert len(full) == 1 and int(full["sum_qty"][0]) == 3
     # charge = 10·0.95·1.02 = 9.69 → 9690 milli, floor-exact
     assert int(full["sum_charge_milli"][0]) == 9690
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_nation_pair_volume_survives_supplierless_nation():
+    """A nation with zero suppliers leaves the lineitem side of the fact
+    join FULLY empty — the sentinel union must keep the hash join alive
+    and yield an empty result instead of the schema-less-side crash."""
+    import datetime
+
+    import ray.data
+
+    from pdf2doi_ray.stages.joins import nation_pair_volume
+
+    sf = "/root/testdata/sf0.001"
+    cust = ray.data.read_parquet(
+        f"{sf}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    supp = ray.data.read_parquet(
+        f"{sf}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    nation = ray.data.read_parquet(f"{sf}/nation.parquet")
+    orders = ray.data.read_parquet(
+        f"{sf}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    li = ray.data.read_parquet(
+        f"{sf}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount", "l_shipdate"])
+    # sf0.001 has suppliers only in nations {3,8,12,13,15,18,19,20,21,24}
+    out = nation_pair_volume(
+        cust, supp, nation, orders, li,
+        nation_a="NATION_5", nation_b="NATION_17",
+        start_us=datetime.datetime(1996, 1, 1),
+        end_us=datetime.datetime(1998, 1, 1), num_partitions=2)
+    assert len(out) == 0
+    assert list(out.columns) == ["supp_nation", "cust_nation", "l_year",
+                                 "revenue_milli"]
