@@ -984,6 +984,18 @@ def _q_idle_rich_customers(sf_dir: str):
         num_partitions=4)
 
 
+def _q_json_field_stats(sf_dir: str):
+    """Semi-structured extraction: pull the integer "k" field out of the
+    JSON props column with one vectorized RE2 kernel, aggregate per
+    event type (combiner-first, integer-exact)."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import json_field_stats
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"])
+    return json_field_stats(ev, field="k", group_col="event_type")
+
+
 def _q_returned_item_customers(sf_dir: str):
     """TPC-H-Q10-style returned-item customer ranking: one shuffle join,
     bounded top-k, survivor-broadcast name lookup."""
@@ -2287,6 +2299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "forecast_revenue": _q_forecast_revenue,
         "returned_item_customers": _q_returned_item_customers,
         "nation_pair_volume": _q_nation_pair_volume,
+        "json_field_stats": _q_json_field_stats,
         "doc_dup_gram_fraction": _q_doc_dup_gram_fraction,
     }
 
@@ -4193,6 +4206,21 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01'
   AND l_shipdate <  TIMESTAMP '1998-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07
   AND l_quantity < 24
+"""
+    # same RE2-compatible pattern as the engine kernel; '' → NULL → missing
+    sql["json_field_stats"] = r"""
+WITH x AS (
+  SELECT event_type,
+         TRY_CAST(NULLIF(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1),
+                         '') AS BIGINT) AS v
+  FROM events)
+SELECT event_type,
+       CAST(count(v) AS BIGINT) AS n_present,
+       CAST(count(*) - count(v) AS BIGINT) AS n_missing,
+       CAST(coalesce(sum(v), 0) AS BIGINT) AS sum_field,
+       CAST(min(v) AS BIGINT) AS min_field,
+       CAST(max(v) AS BIGINT) AS max_field
+FROM x GROUP BY event_type ORDER BY event_type
 """
     sql["returned_item_customers"] = """
 WITH rev AS (

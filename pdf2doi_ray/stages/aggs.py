@@ -937,3 +937,65 @@ def forecast_revenue(lineitem, start_us=None, end_us=None,
                 .sum(["rev", "n"])
     return pd.DataFrame({"revenue_milli": [int(s["sum(rev)"])],
                          "n_items": [int(s["sum(n)"])]})
+
+
+def json_field_stats(events, field: str = "k",
+                     group_col: str = "event_type"):
+    """Semi-structured extraction + aggregate: pull one integer field out
+    of a JSON-string column with ONE vectorized RE2 kernel
+    (``pc.extract_regex`` — no per-row json.loads in the hot path; the
+    synthetic ``props`` payloads are flat ``{"k": N}`` objects, and the
+    pattern tolerates whitespace and key order) and report per-group
+    (n_present, n_missing, sum, min, max) of the field.
+
+    Combiner-first: each batch collapses to ≤|groups| rows carrying all
+    five partials, so the single exchange is tiny; min/max merge through
+    Ray's Min/Max aggregates.  Integer-exact.  Returns a Dataset with
+    (event_type, n_present, n_missing, sum_field, min_field, max_field)
+    — missing groups' min/max are int64 sentinels dropped by n_present=0
+    consumers (the oracle never produces such rows on this data).
+    """
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ..arrowutil import one_chunk
+
+    pattern = r'"%s"\s*:\s*(?P<v>-?\d+)' % field
+
+    def partial(t: pa.Table) -> pa.Table:
+        props = one_chunk(t["props"])
+        m = pc.extract_regex(props, pattern)
+        vals = pc.struct_field(m, "v")
+        ok = pc.is_valid(vals)
+        v = np.asarray(pc.cast(pc.fill_null(vals, "0"), pa.int64()),
+                       dtype=np.int64)
+        okn = np.asarray(ok, dtype=np.bool_)
+        codes = pc.dictionary_encode(one_chunk(t[group_col]))
+        idx = np.asarray(codes.indices, dtype=np.int64)
+        k = len(codes.dictionary)
+        npresent = np.zeros(k, dtype=np.int64)
+        nmiss = np.zeros(k, dtype=np.int64)
+        s = np.zeros(k, dtype=np.int64)
+        mn = np.full(k, np.iinfo(np.int64).max, dtype=np.int64)
+        mx = np.full(k, np.iinfo(np.int64).min, dtype=np.int64)
+        if len(idx):
+            np.add.at(npresent, idx[okn], 1)
+            np.add.at(nmiss, idx[~okn], 1)
+            np.add.at(s, idx[okn], v[okn])
+            np.minimum.at(mn, idx[okn], v[okn])
+            np.maximum.at(mx, idx[okn], v[okn])
+        return pa.table({group_col: codes.dictionary,
+                         "n_present": pa.array(npresent),
+                         "n_missing": pa.array(nmiss),
+                         "sum_field": pa.array(s),
+                         "min_field": pa.array(mn),
+                         "max_field": pa.array(mx)})
+
+    return (events.map_batches(partial, batch_format="pyarrow")
+            .groupby(group_col)
+            .aggregate(Sum("n_present", alias_name="n_present"),
+                       Sum("n_missing", alias_name="n_missing"),
+                       Sum("sum_field", alias_name="sum_field"),
+                       Min("min_field", alias_name="min_field"),
+                       Max("max_field", alias_name="max_field")))

@@ -435,3 +435,23 @@ def test_nation_pair_volume_survives_supplierless_nation():
     assert len(out) == 0
     assert list(out.columns) == ["supp_nation", "cust_nation", "l_year",
                                  "revenue_milli"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_json_field_stats_counts_missing_and_negative():
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import json_field_stats
+
+    ev = ray.data.from_arrow(pa.table({
+        "event_type": ["a", "a", "a", "b", "b"],
+        "props": ['{"k": 7}', '{"j": 1}', '{ "k" : -3 }',
+                  '{"k": 10}', 'not json'],
+    })).repartition(2)
+    out = json_field_stats(ev).to_pandas() \
+        .sort_values("event_type").reset_index(drop=True)
+    assert out["n_present"].tolist() == [2, 1]
+    assert out["n_missing"].tolist() == [1, 1]
+    assert out["sum_field"].tolist() == [4, 10]
+    assert out["min_field"].tolist() == [-3, 10]
+    assert out["max_field"].tolist() == [7, 10]
