@@ -984,6 +984,39 @@ def _q_idle_rich_customers(sf_dir: str):
         num_partitions=4)
 
 
+def _q_small_quantity_revenue(sf_dir: str):
+    """TPC-H-Q17-style correlated-average threshold (qty < 0.2·part avg,
+    exact cross-multiplied rational), one brand."""
+    import ray.data
+
+    from pdf2doi_ray.stages.joins import small_quantity_revenue
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"])
+    return small_quantity_revenue(part, li, brand="Brand#1")
+
+
+def _q_top_supplier_revenue(sf_dir: str):
+    """TPC-H-Q15-style argmax with ties: best-revenue supplier(s) of one
+    quarter, names via survivor broadcast."""
+    import datetime
+
+    import ray.data
+
+    from pdf2doi_ray.stages.joins import top_supplier_revenue
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"])
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"])
+    return top_supplier_revenue(
+        supp, li, start_us=datetime.datetime(1996, 1, 1),
+        end_us=datetime.datetime(1996, 4, 1))
+
+
 def _q_json_field_stats(sf_dir: str):
     """Semi-structured extraction: pull the integer "k" field out of the
     JSON props column with one vectorized RE2 kernel, aggregate per
@@ -2301,6 +2334,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_pair_volume": _q_nation_pair_volume,
         "json_field_stats": _q_json_field_stats,
         "doc_dup_gram_fraction": _q_doc_dup_gram_fraction,
+        "small_quantity_revenue": _q_small_quantity_revenue,
+        "top_supplier_revenue": _q_top_supplier_revenue,
     }
 
 
@@ -4206,6 +4241,36 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01'
   AND l_shipdate <  TIMESTAMP '1998-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07
   AND l_quantity < 24
+"""
+    # exact rational threshold: qty < sum/(5·cnt) ⟺ qty·5·cnt < sum
+    sql["small_quantity_revenue"] = """
+WITH bl AS (SELECT l_partkey, l_quantity, l_extendedprice
+            FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part
+                                WHERE p_brand = 'Brand#1')),
+st AS (SELECT l_partkey AS k, CAST(sum(l_quantity) AS BIGINT) AS s,
+              CAST(count(*) AS BIGINT) AS c
+       FROM bl GROUP BY l_partkey)
+SELECT CAST(coalesce(sum(CAST(floor(l_extendedprice * 1000.0)
+                              AS BIGINT)), 0) AS BIGINT)
+           AS total_price_milli,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM bl JOIN st ON l_partkey = k
+WHERE CAST(l_quantity AS BIGINT) * 5 * c < s
+"""
+    sql["top_supplier_revenue"] = """
+WITH rev AS (SELECT l_suppkey,
+                    CAST(sum(CAST(floor(l_extendedprice
+                                        * (1.0 - l_discount) * 1000.0)
+                                  AS BIGINT)) AS BIGINT) AS revenue_milli
+             FROM lineitem
+             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+               AND l_shipdate <  TIMESTAMP '1996-04-01'
+             GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, revenue_milli
+FROM rev JOIN supplier ON s_suppkey = l_suppkey
+WHERE revenue_milli = (SELECT max(revenue_milli) FROM rev)
+ORDER BY s_suppkey
 """
     # same RE2-compatible pattern as the engine kernel; '' → NULL → missing
     sql["json_field_stats"] = r"""

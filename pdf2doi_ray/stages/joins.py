@@ -1006,3 +1006,158 @@ def nation_pair_volume(customer, supplier, nation, orders, lineitem,
     })
     return res.sort_values(["supp_nation", "cust_nation", "l_year"]) \
               .reset_index(drop=True)
+
+
+def small_quantity_revenue(part, lineitem, brand: str = "Brand#1",
+                           num_partitions: int = 8):
+    """TPC-H-Q17-style correlated-average threshold: total revenue of
+    line items whose quantity is below 20% of their part's own average
+    quantity, restricted to one brand — the canonical correlated scalar
+    subquery, distributed as two scans plus a broadcast of the per-part
+    statistics.
+
+    The 0.2·avg comparison is exact: ``qty < sum_qty/(5·cnt)`` is
+    evaluated as ``qty·5·cnt < sum_qty`` (quantities are integral by
+    data contract — asserted — and cnt > 0 by construction), so no
+    float division enters the result.
+
+    Plan: brand-filtered part keys broadcast into lineitem scan #1,
+    which collapses per batch to (partkey, sum_qty, cnt) partials → one
+    small groupby (brand-filtered: |stats| ≈ |part|/|brands|) → the
+    stats broadcast into lineitem scan #2, where the rational filter and
+    an int64 revenue sum run per batch (zero further exchanges; the
+    driver receives one scalar pair).  Returns one-row pandas
+    (total_price_milli, n_items) — Q17's avg_yearly = total/7 is left to
+    the consumer to keep the op integer-exact.
+    """
+    import pandas as pd
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def brand_keys(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.equal(t["p_brand"], brand)) \
+                .select(["p_partkey"])
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        q = np.asarray(t["l_quantity"].combine_chunks()
+                       if isinstance(t["l_quantity"], pa.ChunkedArray)
+                       else t["l_quantity"], dtype=np.float64)
+        qi = q.astype(np.int64)
+        if not np.array_equal(qi, q):
+            raise ValueError("small_quantity_revenue: non-integral qty")
+        keys = _i64(t["l_partkey"])
+        uk, inv = np.unique(keys, return_inverse=True)
+        s = np.zeros(len(uk), dtype=np.int64)
+        c = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(s, inv, qi)
+        np.add.at(c, inv, 1)
+        return pa.table({"l_partkey": pa.array(uk, type=pa.int64()),
+                         "sum_qty": pa.array(s), "cnt": pa.array(c)})
+
+    branded_li = broadcast_hash_join(
+        lineitem.select_columns(["l_partkey", "l_quantity",
+                                 "l_extendedprice"]),
+        part.map_batches(brand_keys, batch_format="pyarrow"),
+        on=["l_partkey"], right_on=["p_partkey"], join_type="left semi")
+
+    stats = (branded_li.map_batches(qty_partial, batch_format="pyarrow")
+             .groupby("l_partkey")
+             .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                        Sum("cnt", alias_name="cnt")))
+
+    def below_threshold(t: pa.Table) -> pa.Table:
+        # joined columns: l_quantity, l_extendedprice, sum_qty, cnt
+        q = np.asarray(t["l_quantity"].combine_chunks()
+                       if isinstance(t["l_quantity"], pa.ChunkedArray)
+                       else t["l_quantity"], dtype=np.float64) \
+            .astype(np.int64)
+        sq = _i64(t["sum_qty"])
+        cn = _i64(t["cnt"])
+        keep = q * 5 * cn < sq
+        price = np.asarray(t["l_extendedprice"].combine_chunks()
+                           if isinstance(t["l_extendedprice"],
+                                         pa.ChunkedArray)
+                           else t["l_extendedprice"],
+                           dtype=np.float64)[keep]
+        total = int(np.floor(price * 1000.0).astype(np.int64).sum())
+        return pa.table({"p": pa.array([total], type=pa.int64()),
+                         "n": pa.array([int(keep.sum())],
+                                       type=pa.int64())})
+
+    gated = broadcast_hash_join(
+        branded_li, stats, on=["l_partkey"], right_on=["l_partkey"],
+        join_type="inner")
+    agg = gated.map_batches(below_threshold,
+                            batch_format="pyarrow").sum(["p", "n"])
+    return pd.DataFrame({
+        "total_price_milli": [int(agg["sum(p)"] or 0)],
+        "n_items": [int(agg["sum(n)"] or 0)]})
+
+
+def top_supplier_revenue(supplier, lineitem, start_us=None, end_us=None,
+                         num_partitions: int = 8):
+    """TPC-H-Q15-style argmax with ties: the supplier(s) whose shipped
+    revenue over one window is the global maximum, with names attached.
+
+    Plan: lineitem window-reduces per batch to (suppkey, rev) partials
+    (same floor-milli kernel as the other revenue ops) → ONE groupby Sum
+    → the global max is a scalar ``Dataset.max`` over that small
+    per-supplier table → the tie-set (usually one row) filters out and
+    broadcasts into the supplier scan for the name.  Returns pandas
+    (s_suppkey, s_name, revenue_milli) sorted by suppkey.
+    """
+    import pandas as pd
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    start = pa.scalar(start_us, type=pa.timestamp("us"))
+    end = pa.scalar(end_us, type=pa.timestamp("us"))
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keep = pc.and_(pc.greater_equal(t["l_shipdate"], start),
+                       pc.less(t["l_shipdate"], end))
+        t = t.filter(keep)
+        price = np.asarray(t["l_extendedprice"].combine_chunks()
+                           if isinstance(t["l_extendedprice"],
+                                         pa.ChunkedArray)
+                           else t["l_extendedprice"], dtype=np.float64)
+        disc = np.asarray(t["l_discount"].combine_chunks()
+                          if isinstance(t["l_discount"], pa.ChunkedArray)
+                          else t["l_discount"], dtype=np.float64)
+        rev = np.floor(price * (1.0 - disc) * 1000.0).astype(np.int64)
+        keys = _i64(t["l_suppkey"])
+        uk, inv = np.unique(keys, return_inverse=True)
+        s = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(s, inv, rev)
+        return pa.table({"l_suppkey": pa.array(uk, type=pa.int64()),
+                         "rev": pa.array(s)})
+
+    per_supp = (lineitem.map_batches(rev_partial, batch_format="pyarrow")
+                .groupby("l_suppkey")
+                .aggregate(Sum("rev", alias_name="revenue_milli"))) \
+        .materialize()                 # consumed twice: max + filter
+    best = per_supp.max("revenue_milli")
+    if best is None:
+        return pd.DataFrame({"s_suppkey": pd.Series(dtype="int64"),
+                             "s_name": pd.Series(dtype="object"),
+                             "revenue_milli": pd.Series(dtype="int64")})
+
+    def winners_only(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.equal(t["revenue_milli"],
+                                 pa.scalar(int(best), pa.int64())))
+
+    winners = per_supp.map_batches(winners_only, batch_format="pyarrow")
+    named = broadcast_hash_join(
+        supplier.select_columns(["s_suppkey", "s_name"]), winners,
+        on=["s_suppkey"], right_on=["l_suppkey"], join_type="inner",
+        project=["s_suppkey", "s_name", "revenue_milli"]).to_pandas()
+    if "s_suppkey" not in named.columns:
+        named = pd.DataFrame({"s_suppkey": pd.Series(dtype="int64"),
+                              "s_name": pd.Series(dtype="object"),
+                              "revenue_milli": pd.Series(dtype="int64")})
+    return named.sort_values("s_suppkey").reset_index(drop=True)
