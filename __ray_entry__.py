@@ -984,6 +984,15 @@ def _q_idle_rich_customers(sf_dir: str):
         num_partitions=4)
 
 
+def _q_host_quota_sample(sf_dir: str):
+    """Per-source diversity cap: the 5 smallest-Knuth-hash docs per
+    source (deterministic, parallelism-independent; ≤k·|groups| exchange
+    rows via the grouped_top_k combiner)."""
+    from pdf2doi_ray.stages.corpus import quota_sample_per_group
+    return quota_sample_per_group(_docs(sf_dir, ("doc_id", "source")),
+                                  group_col="source", k=5)
+
+
 def _q_small_quantity_revenue(sf_dir: str):
     """TPC-H-Q17-style correlated-average threshold (qty < 0.2·part avg,
     exact cross-multiplied rational), one brand."""
@@ -2336,6 +2345,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_gram_fraction": _q_doc_dup_gram_fraction,
         "small_quantity_revenue": _q_small_quantity_revenue,
         "top_supplier_revenue": _q_top_supplier_revenue,
+        "host_quota_sample": _q_host_quota_sample,
     }
 
 
@@ -4241,6 +4251,23 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01'
   AND l_shipdate <  TIMESTAMP '1998-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07
   AND l_quantity < 24
+"""
+    # same Knuth-hash arithmetic as the hash_sample oracle (full 32-bit
+    # priority, no permille fold)
+    sql["host_quota_sample"] = """
+WITH h AS (
+  SELECT source, doc_id,
+         CAST((CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761)
+              % 4294967296 AS BIGINT) AS priority
+  FROM documents)
+SELECT source,
+       CAST(row_number() OVER (PARTITION BY source
+                               ORDER BY priority, doc_id) AS BIGINT)
+           AS rank,
+       doc_id, priority
+FROM h
+QUALIFY rank <= 5
+ORDER BY source, rank
 """
     # exact rational threshold: qty < sum/(5·cnt) ⟺ qty·5·cnt < sum
     sql["small_quantity_revenue"] = """

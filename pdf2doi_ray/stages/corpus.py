@@ -2280,3 +2280,37 @@ def doc_dup_gram_fraction(docs, n: int = NGRAM_SPAN_N,
                          "dup_permille": pa.array(d * 1000 // g)})
 
     return grouped.map_batches(permille, batch_format="pyarrow")
+
+
+def quota_sample_per_group(docs, group_col: str = "source", k: int = 5):
+    """Per-group quota sampling — the host-diversity cap every web-corpus
+    curation run needs ("at most k pages per host"): within each group,
+    keep the ``k`` rows with the smallest deterministic Knuth-hash
+    priority (ties by doc_id), so the winners are a uniform, run- and
+    parallelism-independent subset of each group.
+
+    Plan: one map computes ``priority = knuth_hash32(doc_id)`` (full
+    32-bit value, same SQL-mirrorable arithmetic as
+    :func:`hash_sample`) and its negation feeds
+    :func:`..windowfns.grouped_top_k`'s DESC ordering — the ≤k-per-group
+    combiner bounds the exchange at k·|groups| rows regardless of corpus
+    size.  Returns (group, rank, doc_id, priority).
+    """
+    from .windowfns import grouped_top_k
+
+    def prep(t: pa.Table) -> pa.Table:
+        pr = knuth_hash32(t["doc_id"]).astype(np.int64)
+        return pa.table({group_col: t[group_col],
+                         "neg_priority": pa.array(-pr),
+                         "doc_id": t["doc_id"]})
+
+    top = grouped_top_k(docs.map_batches(prep, batch_format="pyarrow"),
+                        group_col, "neg_priority", "doc_id", k=k)
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({group_col: t[group_col], "rank": t["rank"],
+                         "doc_id": t["doc_id"],
+                         "priority": pc.negate(t["neg_priority"])})
+
+    return top.map_batches(finish, batch_format="pyarrow")
