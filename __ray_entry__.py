@@ -926,7 +926,7 @@ def _q_order_count_distribution(sf_dir: str):
         f"{sf_dir}/customer.parquet", columns=["c_custkey"])
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey"])
-    return order_count_distribution(cust, orders, num_partitions=4)
+    return order_count_distribution(cust, orders)
 
 
 def _q_large_volume_orders(sf_dir: str):

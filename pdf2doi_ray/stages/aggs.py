@@ -950,10 +950,11 @@ def json_field_stats(events, field: str = "k",
 
     Combiner-first: each batch collapses to ≤|groups| rows carrying all
     five partials, so the single exchange is tiny; min/max merge through
-    Ray's Min/Max aggregates.  Integer-exact.  Returns a Dataset with
-    (event_type, n_present, n_missing, sum_field, min_field, max_field)
-    — missing groups' min/max are int64 sentinels dropped by n_present=0
-    consumers (the oracle never produces such rows on this data).
+    Ray's Min/Max aggregates (int64 sentinels in flight, nulled in the
+    final projection for groups where the field never appears — SQL
+    min/max-of-nothing semantics).  Integer-exact.  Returns a Dataset
+    with (event_type, n_present, n_missing, sum_field, min_field,
+    max_field).
     """
     import pyarrow.compute as pc
 
@@ -992,10 +993,26 @@ def json_field_stats(events, field: str = "k",
                          "min_field": pa.array(mn),
                          "max_field": pa.array(mx)})
 
+    def null_absent(t: pa.Table) -> pa.Table:
+        # a group whose rows NEVER contain the field carries the int64
+        # merge sentinels in min/max — null them to match SQL semantics
+        import pyarrow.compute as pc
+        absent = pc.equal(t["n_present"], pa.scalar(0, pa.int64()))
+        return pa.table({
+            group_col: t[group_col],
+            "n_present": t["n_present"], "n_missing": t["n_missing"],
+            "sum_field": t["sum_field"],
+            "min_field": pc.if_else(absent, pa.scalar(None, pa.int64()),
+                                    one_chunk(t["min_field"])),
+            "max_field": pc.if_else(absent, pa.scalar(None, pa.int64()),
+                                    one_chunk(t["max_field"])),
+        })
+
     return (events.map_batches(partial, batch_format="pyarrow")
             .groupby(group_col)
             .aggregate(Sum("n_present", alias_name="n_present"),
                        Sum("n_missing", alias_name="n_missing"),
                        Sum("sum_field", alias_name="sum_field"),
                        Min("min_field", alias_name="min_field"),
-                       Max("max_field", alias_name="max_field")))
+                       Max("max_field", alias_name="max_field"))
+            .map_batches(null_absent, batch_format="pyarrow"))

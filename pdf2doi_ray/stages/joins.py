@@ -376,9 +376,18 @@ def shipping_priority(customer, orders, lineitem, segment="BUILDING",
         on=["o_custkey"], right_on=["c_custkey"], join_type="left semi",
         project=["o_orderkey", "o_date_days", "o_orderpriority"])
 
+    # empty-side guard (cutoff outside the data range empties either
+    # side): never-matching sentinels, dropped by the inner join
+    import ray.data as _rd
     joined = shuffle_hash_join(
-        lineitem.map_batches(reduce_lineitem, batch_format="pyarrow"),
-        open_orders, on="l_orderkey", right_on="o_orderkey",
+        lineitem.map_batches(reduce_lineitem, batch_format="pyarrow")
+        .union(_sentinel_rows({"l_orderkey": (-1, pa.int64()),
+                               "rev": (0, pa.int64())})),
+        open_orders.union(_rd.from_arrow(pa.table({
+            "o_orderkey": pa.array([-2], type=pa.int64()),
+            "o_date_days": pa.array([0], type=pa.int64()),
+            "o_orderpriority": pa.array([""], type=pa.string())}))),
+        on="l_orderkey", right_on="o_orderkey",
         num_partitions=num_partitions,
         project=["l_orderkey", "rev", "o_date_days", "o_orderpriority"])
 
@@ -422,6 +431,26 @@ def _i64(col) -> np.ndarray:
     return np.asarray(c, dtype=np.int64)
 
 
+def _f64(col) -> np.ndarray:
+    c = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return np.asarray(c, dtype=np.float64)
+
+
+def _sentinel_rows(schema: dict):
+    """One-row never-matching Dataset that keeps a hash-join side
+    non-empty (this Ray build's join crashes on a fully-empty,
+    schema-less side — see :func:`shuffle_hash_join`).  ``schema`` maps
+    column name → (value, pyarrow type); callers pick key values outside
+    the real domain (all TPC-H keys are non-negative, so -1 on one side
+    vs -2 on the other can never meet) and, for anti joins — where an
+    unmatched LEFT sentinel passes through — filter it back out after.
+    """
+    import ray.data
+    return ray.data.from_arrow(pa.table({
+        name: pa.array([val], type=typ)
+        for name, (val, typ) in schema.items()}))
+
+
 def order_priority_semi(orders, lineitem, start_us=None, end_us=None,
                         flag: str = "R", num_partitions: int = 8):
     """TPC-H-Q4-style EXISTS semi-join: per order priority, how many
@@ -458,11 +487,18 @@ def order_priority_semi(orders, lineitem, start_us=None, end_us=None,
                        pc.less(t["o_orderdate"], end))
         return t.filter(keep).select(["o_orderkey", "o_orderpriority"])
 
+    # sentinels: an out-of-range window empties the orders side and a flag
+    # absent from lineitem empties the probe side — either crashes the
+    # join without them; -1 never matches -2, and the left sentinel is
+    # dropped by left_semi itself (it matches nothing)
+    left = orders.map_batches(window_orders, batch_format="pyarrow") \
+        .union(_sentinel_rows({"o_orderkey": (-1, pa.int64()),
+                               "o_orderpriority": ("", pa.string())}))
+    right = lineitem.map_batches(flagged_keys, batch_format="pyarrow") \
+        .union(_sentinel_rows({"l_orderkey": (-2, pa.int64())}))
     matched = shuffle_hash_join(
-        orders.map_batches(window_orders, batch_format="pyarrow"),
-        lineitem.map_batches(flagged_keys, batch_format="pyarrow"),
-        on="o_orderkey", right_on="l_orderkey", join_type="left_semi",
-        num_partitions=num_partitions)
+        left, right, on="o_orderkey", right_on="l_orderkey",
+        join_type="left_semi", num_partitions=num_partitions)
 
     def partial(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -485,7 +521,7 @@ def order_priority_semi(orders, lineitem, start_us=None, end_us=None,
     return out.sort_values("o_orderpriority").reset_index(drop=True)
 
 
-def order_count_distribution(customer, orders, num_partitions: int = 8):
+def order_count_distribution(customer, orders):
     """TPC-H-Q13-style two-level aggregation: the distribution of
     orders-per-customer, INCLUDING the zero bucket (customers with no
     orders — the left-outer part of Q13, recovered arithmetically).
@@ -532,7 +568,7 @@ def order_count_distribution(customer, orders, num_partitions: int = 8):
 
 
 def large_volume_orders(customer, orders, lineitem, qty_threshold: int,
-                        k: int = 100, num_partitions: int = 8):
+                        k: int = 100):
     """TPC-H-Q18-style GROUP BY + HAVING + join-back: the ``k``
     biggest-ticket orders whose total line-item quantity exceeds the
     threshold, with the buyer's name attached.
@@ -646,9 +682,15 @@ def returnflag_priority_counts(orders, lineitem, start_us=None, end_us=None,
                        pc.less(t["l_shipdate"], end))
         return t.filter(keep).select(["l_orderkey", "l_returnflag"])
 
+    # empty-window guard: -1 vs -2 sentinels never match, inner join
+    # drops them (see _sentinel_rows)
     joined = shuffle_hash_join(
-        lineitem.map_batches(li_window, batch_format="pyarrow"),
-        orders.map_batches(order_bit, batch_format="pyarrow"),
+        lineitem.map_batches(li_window, batch_format="pyarrow")
+        .union(_sentinel_rows({"l_orderkey": (-1, pa.int64()),
+                               "l_returnflag": ("", pa.string())})),
+        orders.map_batches(order_bit, batch_format="pyarrow")
+        .union(_sentinel_rows({"o_orderkey": (-2, pa.int64()),
+                               "is_high": (False, pa.bool_())})),
         on="l_orderkey", right_on="o_orderkey",
         num_partitions=num_partitions,
         project=["l_returnflag", "is_high"])
@@ -725,9 +767,11 @@ def idle_rich_customers(customer, orders, since_us=None,
     def rich(t: pa.Table) -> pa.Table:
         c = cents(t)
         keep = c * n_pos > sum_cents
-        t = t.select(["c_custkey", "c_nationkey"]).filter(pa.array(keep))
-        return t.append_column(
-            "acctbal_c", pa.array(c[keep], type=pa.int64()))
+        t = t.filter(pa.array(keep))
+        return pa.table({
+            "c_custkey": t["c_custkey"],
+            "c_nationkey": t["c_nationkey"].cast(pa.int64()),
+            "acctbal_c": pa.array(c[keep], type=pa.int64())})
 
     since = pa.scalar(since_us, type=pa.timestamp("us"))
 
@@ -738,11 +782,26 @@ def idle_rich_customers(customer, orders, since_us=None,
         keys = np.unique(_i64(t["o_custkey"]))
         return pa.table({"o_custkey": pa.array(keys, type=pa.int64())})
 
+    # empty-side guards: no rich customers (all balances equal) or no
+    # orders past the cutoff each empty a side and crash the join.  The
+    # LEFT sentinel survives a left_anti join by construction (it matches
+    # nothing), so it is filtered back out immediately after.
     idle = shuffle_hash_join(
-        customer.map_batches(rich, batch_format="pyarrow"),
-        orders.map_batches(okeys, batch_format="pyarrow"),
+        customer.map_batches(rich, batch_format="pyarrow")
+        .union(_sentinel_rows({"c_custkey": (-1, pa.int64()),
+                               "c_nationkey": (-1, pa.int64()),
+                               "acctbal_c": (0, pa.int64())})),
+        orders.map_batches(okeys, batch_format="pyarrow")
+        .union(_sentinel_rows({"o_custkey": (-2, pa.int64())})),
         on="c_custkey", right_on="o_custkey", join_type="left_anti",
         num_partitions=num_partitions)
+
+    def drop_sentinel(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.greater_equal(t["c_custkey"],
+                                         pa.scalar(0, pa.int64())))
+
+    idle = idle.map_batches(drop_sentinel, batch_format="pyarrow")
 
     def partial(t: pa.Table) -> pa.Table:
         nk = _i64(t["c_nationkey"])
@@ -810,9 +869,15 @@ def returned_item_customers(customer, nation, orders, lineitem,
         return pa.table({"l_orderkey": t["l_orderkey"],
                          "rev": pa.array(rev)})
 
+    # empty-window / no-returns guard: never-matching sentinels, dropped
+    # by the inner join (see _sentinel_rows)
     joined = shuffle_hash_join(
-        lineitem.map_batches(returned_rev, batch_format="pyarrow"),
-        orders.map_batches(window_orders, batch_format="pyarrow"),
+        lineitem.map_batches(returned_rev, batch_format="pyarrow")
+        .union(_sentinel_rows({"l_orderkey": (-1, pa.int64()),
+                               "rev": (0, pa.int64())})),
+        orders.map_batches(window_orders, batch_format="pyarrow")
+        .union(_sentinel_rows({"o_orderkey": (-2, pa.int64()),
+                               "o_custkey": (-1, pa.int64())})),
         on="l_orderkey", right_on="o_orderkey",
         num_partitions=num_partitions, project=["o_custkey", "rev"])
 
@@ -981,6 +1046,13 @@ def nation_pair_volume(customer, supplier, nation, orders, lineitem,
         sn, cn = sn[keep], cn[keep]
         yr = _i64(t["l_year"])[keep]
         rv = _i64(t["rev"])[keep]
+        # raising encoding-budget guard (repo convention, cf.
+        # dup_ngram_spans): silent overflow would merge distinct triples
+        if len(sn) and (sn.max() >= 32 or cn.max() >= 32
+                        or yr.max() >= 4096):
+            raise ValueError(
+                "nation_pair_volume: encoding budget exceeded "
+                "(nationkey < 32 and year < 4096 required)")
         enc = (sn * 32 + cn) * 4096 + yr
         uk, inv = np.unique(enc, return_inverse=True)
         s = np.zeros(len(uk), dtype=np.int64)
@@ -1008,8 +1080,7 @@ def nation_pair_volume(customer, supplier, nation, orders, lineitem,
               .reset_index(drop=True)
 
 
-def small_quantity_revenue(part, lineitem, brand: str = "Brand#1",
-                           num_partitions: int = 8):
+def small_quantity_revenue(part, lineitem, brand: str = "Brand#1"):
     """TPC-H-Q17-style correlated-average threshold: total revenue of
     line items whose quantity is below 20% of their part's own average
     quantity, restricted to one brand — the canonical correlated scalar
@@ -1096,8 +1167,7 @@ def small_quantity_revenue(part, lineitem, brand: str = "Brand#1",
         "n_items": [int(agg["sum(n)"] or 0)]})
 
 
-def top_supplier_revenue(supplier, lineitem, start_us=None, end_us=None,
-                         num_partitions: int = 8):
+def top_supplier_revenue(supplier, lineitem, start_us=None, end_us=None):
     """TPC-H-Q15-style argmax with ties: the supplier(s) whose shipped
     revenue over one window is the global maximum, with names attached.
 

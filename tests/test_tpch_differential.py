@@ -8,6 +8,7 @@ import datetime
 import duckdb
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 
 SF = "/root/testdata/sf0.001"
@@ -174,3 +175,90 @@ def test_top_supplier_revenue_random_windows_and_empty():
             assert len(got) == 0
         else:
             _same(got, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_empty_window_returns_empty_not_crash():
+    """Windows outside the data range fully empty one join side; the
+    sentinel guards must yield empty results, not the Ray empty-side
+    hash-join crash."""
+    import ray.data
+
+    from pdf2doi_ray.stages.joins import (idle_rich_customers,
+                                          order_priority_semi,
+                                          returned_item_customers,
+                                          returnflag_priority_counts,
+                                          shipping_priority)
+
+    far = datetime.datetime(2010, 1, 1)
+    farther = datetime.datetime(2010, 4, 1)
+    orders = ray.data.read_parquet(
+        f"{SF}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"])
+    li_flag = ray.data.read_parquet(
+        f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"])
+    assert len(order_priority_semi(
+        orders, li_flag, start_us=far, end_us=farther,
+        num_partitions=2)) == 0
+    # flag absent from the data empties the probe side instead
+    assert len(order_priority_semi(
+        orders, li_flag, start_us=datetime.datetime(1996, 1, 1),
+        end_us=datetime.datetime(1997, 1, 1), flag="Z",
+        num_partitions=2)) == 0
+
+    li_ship = ray.data.read_parquet(
+        f"{SF}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_shipdate",
+                 "l_extendedprice", "l_discount"])
+    assert len(returnflag_priority_counts(
+        orders, li_ship, start_us=far, end_us=farther,
+        num_partitions=2)) == 0
+
+    cust = ray.data.read_parquet(
+        f"{SF}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                 "c_mktsegment"])
+    nation = ray.data.read_parquet(f"{SF}/nation.parquet")
+    assert len(returned_item_customers(
+        cust, nation, orders, li_ship, start_us=far, end_us=farther,
+        num_partitions=2)) == 0
+
+    assert len(shipping_priority(
+        cust, orders, li_ship, segment="BUILDING",
+        cutoff_us=datetime.datetime(1901, 1, 1), num_partitions=2)) == 0
+
+    # no orders since 2002 -> every rich customer is idle; compare to SQL
+    got = idle_rich_customers(
+        cust, orders, since_us=datetime.datetime(2002, 1, 1),
+        num_partitions=2)
+    want = _con().execute("""
+        WITH c AS (SELECT c_custkey,
+                          CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                          CAST(floor(c_acctbal * 100.0) AS BIGINT) AS b
+                   FROM customer),
+        st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(b) AS BIGINT) AS s FROM c WHERE b > 0)
+        SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+               CAST(sum(b) AS BIGINT) AS total_acctbal_c
+        FROM c, st WHERE c.b * st.n > st.s
+        GROUP BY c_nationkey""").df()
+    _same(got, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_json_field_stats_all_absent_group_nulls_min_max():
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import json_field_stats
+
+    ev = ray.data.from_arrow(pa.table({
+        "event_type": ["a", "a", "b"],
+        "props": ['{"k": 4}', '{"k": 6}', '{"z": 1}'],
+    })).repartition(2)
+    out = json_field_stats(ev).to_pandas() \
+        .sort_values("event_type").reset_index(drop=True)
+    assert out.loc[1, "n_present"] == 0
+    assert pd.isna(out.loc[1, "min_field"])
+    assert pd.isna(out.loc[1, "max_field"])
+    assert out.loc[0, "min_field"] == 4 and out.loc[0, "max_field"] == 6
