@@ -1520,6 +1520,19 @@ def _q_user_mode_event_type(sf_dir: str):
     return grouped_mode(ev, "user_id", "event_type")
 
 
+def _q_event_transitions(sf_dir: str):
+    """Per-user Markov transition matrix of event types (adjacent-pair
+    counts ordered by ts) — sorted-block pairs + 2-rows-per-block
+    boundary stitch."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import event_transitions
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"])
+    return event_transitions(ev)
+
+
 def _q_rank_user_value(sf_dir: str):
     """RANK() per user over the mod-100 milli value (tie-rich ordering);
     same sorted-block + sharded-stitch engine as the rolling sums."""
@@ -2346,6 +2359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "small_quantity_revenue": _q_small_quantity_revenue,
         "top_supplier_revenue": _q_top_supplier_revenue,
         "host_quota_sample": _q_host_quota_sample,
+        "event_transitions": _q_event_transitions,
     }
 
 
@@ -4438,5 +4452,16 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
        CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) * 1000 // count(*)
             AS BIGINT) AS dup_permille
 FROM f GROUP BY doc_id ORDER BY doc_id
+"""
+    sql["event_transitions"] = """
+WITH s AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events)
+SELECT event_type AS from_type, nxt AS to_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM s WHERE nxt IS NOT NULL
+GROUP BY from_type, nxt
 """
     return sql

@@ -1016,3 +1016,129 @@ def json_field_stats(events, field: str = "k",
                        Min("min_field", alias_name="min_field"),
                        Max("max_field", alias_name="max_field"))
             .map_batches(null_absent, batch_format="pyarrow"))
+
+
+def event_transitions(events, group_col: str = "user_id",
+                      value_col: str = "event_type"):
+    """Per-group ordered bigram (Markov transition) counts —
+    ``count(*) GROUP BY (event_type, LEAD(event_type) OVER (PARTITION BY
+    user_id ORDER BY ts, event_id))`` — the sequence-mining primitive
+    behind next-event prediction and clickstream audits.
+
+    Sorted-block plan, cheaper than the window functions: after the
+    (group, ts, event_id) sort every adjacent same-group row pair is a
+    transition, and the ONLY pairs a block cannot see are the ones that
+    straddle its edges.  So each block emits (a) one within-block partial
+    count table — pairs collapse via Arrow ``group_by`` before the
+    exchange, ≤ T² rows per block for T event types — and (b) exactly its
+    first and last row as carries.  The stitch re-sorts the ≤ 2-per-block
+    carries on the same key and counts a pair only between a row flagged
+    ``is_last`` and an immediately following same-group row flagged
+    ``is_first`` (block boundary adjacency; a one-row block carries both
+    flags on one row and correctly pairs with both neighbors).  Sharding
+    the stitch by group is safe: a straddling pair shares its group, and
+    a group's carries keep their block order within the shard.
+
+    Scale bound: exchange volume is T²-per-block partials plus 2 rows per
+    block — independent of group skew.  Returns (from_type, to_type, n).
+    """
+    from ray.data.aggregate import Sum
+
+    from .stitch import DEFAULT_STITCH_SHARDS, sharded_stitch
+
+    counts_empty = pa.table({
+        "from_type": pa.array([], type=pa.string()),
+        "to_type": pa.array([], type=pa.string()),
+        "n": pa.array([], type=pa.int64())})
+
+    def _pair_counts(frm: pa.Array, to: pa.Array) -> pa.Table:
+        if len(frm) == 0:
+            return counts_empty
+        g = pa.table({"from_type": frm, "to_type": to}) \
+            .group_by(["from_type", "to_type"]) \
+            .aggregate([("from_type", "count")])
+        return pa.table({"from_type": g["from_type"],
+                         "to_type": g["to_type"],
+                         "n": g["from_type_count"].cast(pa.int64())})
+
+    def block_pairs(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        empty = pa.table({
+            "from_type": pa.array([], type=pa.string()),
+            "to_type": pa.array([], type=pa.string()),
+            "n": pa.array([], type=pa.int64()),
+            group_col: pa.array([], type=pa.int64()),
+            "ts_us": pa.array([], type=pa.int64()),
+            "event_id": pa.array([], type=pa.int64()),
+            "is_first": pa.array([], type=pa.bool_()),
+            "is_last": pa.array([], type=pa.bool_()),
+            "boundary": pa.array([], type=pa.bool_())})
+        if n == 0:
+            return empty
+        us = np.asarray(one_chunk(t[group_col])).astype(np.int64)
+        eid = np.asarray(one_chunk(t["event_id"])).astype(np.int64)
+        ts = np.asarray(pc.cast(pc.cast(one_chunk(t["ts"]),
+                                        pa.timestamp("us")), pa.int64()))
+        vals = one_chunk(t[value_col])
+        adj = np.nonzero(us[1:] == us[:-1])[0]
+        counts = _pair_counts(vals.take(pa.array(adj)),
+                              vals.take(pa.array(adj + 1)))
+        k = counts.num_rows
+        edge = np.array([0, n - 1]) if n > 1 else np.array([0])
+        e = len(edge)
+        return pa.table({
+            "from_type": pa.concat_arrays(
+                [one_chunk(counts["from_type"]),
+                 pa.array([""] * e, type=pa.string())]),
+            "to_type": pa.concat_arrays(
+                [one_chunk(counts["to_type"]),
+                 vals.take(pa.array(edge)).cast(pa.string())]),
+            "n": pa.array(np.concatenate(
+                [np.asarray(one_chunk(counts["n"])),
+                 np.zeros(e, dtype=np.int64)])),
+            group_col: pa.array(np.concatenate(
+                [np.full(k, -1, np.int64), us[edge]])),
+            "ts_us": pa.array(np.concatenate(
+                [np.full(k, -1, np.int64), ts[edge]])),
+            "event_id": pa.array(np.concatenate(
+                [np.full(k, -1, np.int64), eid[edge]])),
+            "is_first": pa.array([False] * k
+                                 + [True] + [False] * (e - 1)),
+            "is_last": pa.array([False] * k
+                                + [False] * (e - 1) + [True]),
+            "boundary": pa.array([False] * k + [True] * e)})
+
+    def stitch(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return counts_empty
+        us = np.asarray(one_chunk(t[group_col])).astype(np.int64)
+        ts = np.asarray(one_chunk(t["ts_us"])).astype(np.int64)
+        eid = np.asarray(one_chunk(t["event_id"])).astype(np.int64)
+        isf = np.asarray(one_chunk(t["is_first"]), dtype=bool)
+        isl = np.asarray(one_chunk(t["is_last"]), dtype=bool)
+        order = np.lexsort((eid, ts, us))
+        us, isf, isl = us[order], isf[order], isl[order]
+        vals = one_chunk(t["to_type"]).take(pa.array(order))
+        pair = np.nonzero((us[1:] == us[:-1]) & isl[:-1] & isf[1:])[0]
+        return _pair_counts(vals.take(pa.array(pair)),
+                            vals.take(pa.array(pair + 1)))
+
+    srt = events.sort([group_col, "ts", "event_id"])
+    mixed = srt.map_batches(block_pairs, batch_format="pyarrow",
+                            batch_size=None).materialize()
+    interior = mixed.map_batches(
+        lambda t: t.filter(pc.equal(t["boundary"], False))
+        .select(["from_type", "to_type", "n"]),
+        batch_format="pyarrow")
+    carries = mixed.map_batches(
+        lambda t: t.filter(t["boundary"])
+        .select([group_col, "ts_us", "event_id", "to_type",
+                 "is_first", "is_last"]),
+        batch_format="pyarrow")
+    cross = sharded_stitch(
+        carries,
+        lambda t: np.asarray(one_chunk(t[group_col])).astype(np.int64),
+        stitch, num_shards=DEFAULT_STITCH_SHARDS)
+    return (interior.union(cross)
+            .groupby(["from_type", "to_type"])
+            .aggregate(Sum("n", alias_name="n")))

@@ -731,3 +731,39 @@ def test_contamination_distributed_empty_benchmark():
         .sort_values("doc_id").reset_index(drop=True)
     assert out["doc_id"].tolist() == [1, 2]
     assert out["contaminated"].tolist() == [False, False]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_event_transitions_tiny_blocks_match_pandas():
+    """Boundary stress: 40-way repartition over 200 rows forces nearly
+    every adjacent pair to straddle a block edge; the stitch must
+    reconstruct exactly the single-partition answer and the pandas
+    reference."""
+    import pandas as pd
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import event_transitions
+
+    rng = np.random.default_rng(7)
+    n = 200
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pd.to_datetime(
+            rng.integers(0, 10**6, n), unit="s").astype("datetime64[us]"),
+        "user_id": rng.integers(0, 12, n).astype(np.int64),
+        "event_type": rng.choice(list("abcd"), n),
+    })
+    want = (df.sort_values(["user_id", "ts", "event_id"])
+            .assign(nxt=lambda d: d.groupby("user_id")["event_type"]
+                    .shift(-1))
+            .dropna(subset=["nxt"])
+            .groupby(["event_type", "nxt"]).size().reset_index(name="n")
+            .rename(columns={"event_type": "from_type", "nxt": "to_type"})
+            .sort_values(["from_type", "to_type"]).reset_index(drop=True))
+    for parts in (1, 40):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        got = (event_transitions(ds).to_pandas()
+               .sort_values(["from_type", "to_type"])
+               .reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got.astype({"n": "int64"}), want.astype({"n": "int64"}))
