@@ -1533,6 +1533,18 @@ def _q_event_transitions(sf_dir: str):
     return event_transitions(ev)
 
 
+def _q_event_type_cooccurrence(sf_dir: str):
+    """Market-basket pair support: distinct users with BOTH event types,
+    per unordered type pair — distinct combiner + one sort + vectorized
+    pair kernel."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import event_type_cooccurrence
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+    return event_type_cooccurrence(ev)
+
+
 def _q_rank_user_value(sf_dir: str):
     """RANK() per user over the mod-100 milli value (tie-rich ordering);
     same sorted-block + sharded-stitch engine as the rolling sums."""
@@ -2360,6 +2372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_supplier_revenue": _q_top_supplier_revenue,
         "host_quota_sample": _q_host_quota_sample,
         "event_transitions": _q_event_transitions,
+        "event_type_cooccurrence": _q_event_type_cooccurrence,
     }
 
 
@@ -4463,5 +4476,13 @@ SELECT event_type AS from_type, nxt AS to_type,
        CAST(count(*) AS BIGINT) AS n
 FROM s WHERE nxt IS NOT NULL
 GROUP BY from_type, nxt
+"""
+    sql["event_type_cooccurrence"] = """
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM d a JOIN d b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY type_a, type_b
 """
     return sql

@@ -1142,3 +1142,151 @@ def event_transitions(events, group_col: str = "user_id",
     return (interior.union(cross)
             .groupby(["from_type", "to_type"])
             .aggregate(Sum("n", alias_name="n")))
+
+
+def event_type_cooccurrence(events, group_col: str = "user_id",
+                            value_col: str = "event_type"):
+    """Market-basket pair counts — for every unordered pair of event
+    types, how many distinct users produced BOTH (the co-occurrence /
+    association-rule support primitive).  SQL shape: self-join of
+    ``SELECT DISTINCT user_id, event_type`` on user with ``a.type <
+    b.type``, grouped by the pair.
+
+    Plan: a per-batch Arrow ``group_by`` distinct collapses raw events to
+    (user, type) rows BEFORE the one exchange (a sort on (user, type));
+    in each sorted block, cross-batch duplicates are adjacent and drop
+    with one shifted-compare mask, interior user segments emit their
+    pairs through a fully vectorized repeat/offset kernel (no per-user
+    Python), and each block's first/last segment re-emits its rows to the
+    per-user sharded stitch, which re-dedups and runs the same kernel.
+    Pairs pre-count inside each batch, so the final ``groupby`` only
+    merges ≤ T² partial rows per block.
+
+    Scale bound: pair volume is Σ_user m²/2 for m = the user's distinct
+    types — inherent to the operator, not the plan; carries are ≤ 2
+    segments per block.  Returns (type_a, type_b, n_users).
+    """
+    from ray.data.aggregate import Sum
+
+    from .stitch import DEFAULT_STITCH_SHARDS, sharded_stitch
+
+    counts_empty = pa.table({
+        "type_a": pa.array([], type=pa.string()),
+        "type_b": pa.array([], type=pa.string()),
+        "n_users": pa.array([], type=pa.int64())})
+
+    def distinct_batch(t: pa.Table) -> pa.Table:
+        g = t.select([group_col, value_col]) \
+            .group_by([group_col, value_col]).aggregate([])
+        return g.select([group_col, value_col])
+
+    def _segment_pairs(vals: pa.Array, starts: np.ndarray,
+                       ends: np.ndarray) -> pa.Table:
+        lens = ends - starts
+        per_row = np.repeat(lens, lens) - (
+            np.arange(int(lens.sum())) - np.repeat(starts, lens)) - 1
+        total = int(per_row.sum())
+        if total == 0:
+            return counts_empty
+        a_idx = np.repeat(np.arange(len(per_row)), per_row)
+        run_base = np.cumsum(per_row) - per_row
+        off = np.arange(total) - np.repeat(run_base, per_row) + 1
+        b_idx = a_idx + off
+        g = pa.table({"type_a": vals.take(pa.array(a_idx)),
+                      "type_b": vals.take(pa.array(b_idx))}) \
+            .group_by(["type_a", "type_b"]) \
+            .aggregate([("type_a", "count")])
+        return pa.table({"type_a": g["type_a"], "type_b": g["type_b"],
+                         "n_users": g["type_a_count"].cast(pa.int64())})
+
+    def _dedup_sorted(us: np.ndarray, vals: pa.Array):
+        n = len(us)
+        if n == 0:
+            return us, vals
+        keep = np.ones(n, dtype=bool)
+        if n > 1:
+            same_u = us[1:] == us[:-1]
+            same_v = np.asarray(
+                pc.fill_null(pc.equal(vals.slice(1),
+                                      vals.slice(0, n - 1)), False),
+                dtype=bool)
+            keep[1:] = ~(same_u & same_v)
+        idx = np.nonzero(keep)[0]
+        return us[idx], vals.take(pa.array(idx))
+
+    def block_pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "type_a": pa.array([], type=pa.string()),
+            "type_b": pa.array([], type=pa.string()),
+            "n_users": pa.array([], type=pa.int64()),
+            group_col: pa.array([], type=pa.int64()),
+            "boundary": pa.array([], type=pa.bool_())})
+        if t.num_rows == 0:
+            return empty
+        us = np.asarray(one_chunk(t[group_col])).astype(np.int64)
+        vals = one_chunk(t[value_col])
+        us, vals = _dedup_sorted(us, vals)
+        n = len(us)
+        change = np.nonzero(us[1:] != us[:-1])[0] + 1
+        starts = np.concatenate([[0], change]).astype(np.int64)
+        ends = np.concatenate([change, [n]]).astype(np.int64)
+        last = len(starts) - 1
+        if last >= 1:
+            i0, i1 = ends[0], starts[last]
+            counts = _segment_pairs(
+                vals.slice(i0, i1 - i0),
+                starts[1:last] - i0, ends[1:last] - i0)
+            edge_idx = np.concatenate([np.arange(starts[0], ends[0]),
+                                       np.arange(starts[last], ends[last])])
+        else:
+            counts = counts_empty
+            edge_idx = np.arange(starts[0], ends[0])
+        k, e = counts.num_rows, len(edge_idx)
+        return pa.table({
+            "type_a": pa.concat_arrays(
+                [one_chunk(counts["type_a"]),
+                 vals.take(pa.array(edge_idx)).cast(pa.string())]),
+            "type_b": pa.concat_arrays(
+                [one_chunk(counts["type_b"]),
+                 pa.array([""] * e, type=pa.string())]),
+            "n_users": pa.array(np.concatenate(
+                [np.asarray(one_chunk(counts["n_users"])),
+                 np.zeros(e, dtype=np.int64)])),
+            group_col: pa.array(np.concatenate(
+                [np.full(k, -1, np.int64), us[edge_idx]])),
+            "boundary": pa.array([False] * k + [True] * e)})
+
+    def stitch(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return counts_empty
+        us = np.asarray(one_chunk(t[group_col])).astype(np.int64)
+        vals = one_chunk(t["type_a"])
+        order = np.lexsort(
+            (np.asarray(vals.to_numpy(zero_copy_only=False), dtype=object),
+             us))
+        us = us[order]
+        vals = vals.take(pa.array(order))
+        us, vals = _dedup_sorted(us, vals)
+        change = np.nonzero(us[1:] != us[:-1])[0] + 1
+        starts = np.concatenate([[0], change]).astype(np.int64)
+        ends = np.concatenate([change, [len(us)]]).astype(np.int64)
+        return _segment_pairs(vals, starts, ends)
+
+    srt = events.map_batches(distinct_batch, batch_format="pyarrow") \
+        .sort([group_col, value_col])
+    mixed = srt.map_batches(block_pairs, batch_format="pyarrow",
+                            batch_size=None).materialize()
+    interior = mixed.map_batches(
+        lambda t: t.filter(pc.equal(t["boundary"], False))
+        .select(["type_a", "type_b", "n_users"]),
+        batch_format="pyarrow")
+    carries = mixed.map_batches(
+        lambda t: t.filter(t["boundary"]).select([group_col, "type_a"]),
+        batch_format="pyarrow")
+    cross = sharded_stitch(
+        carries,
+        lambda t: np.asarray(one_chunk(t[group_col])).astype(np.int64),
+        stitch, num_shards=DEFAULT_STITCH_SHARDS)
+    return (interior.union(cross)
+            .groupby(["type_a", "type_b"])
+            .aggregate(Sum("n_users", alias_name="n_users")))

@@ -767,3 +767,36 @@ def test_event_transitions_tiny_blocks_match_pandas():
                .reset_index(drop=True))
         pd.testing.assert_frame_equal(
             got.astype({"n": "int64"}), want.astype({"n": "int64"}))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_event_type_cooccurrence_tiny_blocks_match_pandas():
+    """Boundary + duplicate stress: heavy repartition AND duplicated
+    (user, type) rows across blocks; the sorted-block dedup + edge
+    stitch must reproduce the pandas distinct self-join."""
+    import pandas as pd
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import event_type_cooccurrence
+
+    rng = np.random.default_rng(11)
+    n = 300
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 15, n).astype(np.int64),
+        "event_type": rng.choice(list("abcde"), n),
+    })
+    d = df.drop_duplicates()
+    m = d.merge(d, on="user_id")
+    m = m[m["event_type_x"] < m["event_type_y"]]
+    want = (m.groupby(["event_type_x", "event_type_y"]).size()
+            .reset_index(name="n_users")
+            .rename(columns={"event_type_x": "type_a",
+                             "event_type_y": "type_b"})
+            .sort_values(["type_a", "type_b"]).reset_index(drop=True))
+    for parts in (1, 37):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        got = (event_type_cooccurrence(ds).to_pandas()
+               .sort_values(["type_a", "type_b"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got.astype({"n_users": "int64"}),
+            want.astype({"n_users": "int64"}))
