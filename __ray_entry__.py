@@ -1545,6 +1545,19 @@ def _q_event_type_cooccurrence(sf_dir: str):
     return event_type_cooccurrence(ev)
 
 
+def _q_interval_coverage(sf_dir: str):
+    """Per-user union length of [ts, ts + value-derived duration)
+    intervals (overlaps counted once) — segmented-cummax sweep over
+    sorted blocks, raw edge segments to the sharded stitch."""
+    import ray.data
+
+    from pdf2doi_ray.stages.windows import interval_coverage
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"])
+    return interval_coverage(ev)
+
+
 def _q_rank_user_value(sf_dir: str):
     """RANK() per user over the mod-100 milli value (tie-rich ordering);
     same sorted-block + sharded-stitch engine as the rolling sums."""
@@ -2373,6 +2386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_quota_sample": _q_host_quota_sample,
         "event_transitions": _q_event_transitions,
         "event_type_cooccurrence": _q_event_type_cooccurrence,
+        "interval_coverage": _q_interval_coverage,
     }
 
 
@@ -4484,5 +4498,23 @@ SELECT a.event_type AS type_a, b.event_type AS type_b,
 FROM d a JOIN d b
   ON a.user_id = b.user_id AND a.event_type < b.event_type
 GROUP BY type_a, type_b
+"""
+    sql["interval_coverage"] = """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s,
+         epoch_us(ts)
+           + CAST(floor(value * 1000) AS BIGINT) * 100000 AS e
+  FROM events WHERE CAST(floor(value * 1000) AS BIGINT) > 0),
+w AS (
+  SELECT user_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS pm
+  FROM iv)
+SELECT user_id,
+       CAST(sum(greatest(e - greatest(s, coalesce(pm, s)), 0))
+            AS BIGINT) AS covered_us,
+       CAST(count(*) AS BIGINT) AS n_intervals
+FROM w GROUP BY user_id
 """
     return sql

@@ -20,6 +20,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .stitch import DEFAULT_STITCH_SHARDS, sharded_stitch
+from ..arrowutil import one_chunk
 
 TUMBLE_SECONDS = 3600
 SESSION_GAP_SECONDS = 1800
@@ -187,5 +188,140 @@ def session_counts(events, gap_s: int = SESSION_GAP_SECONDS,
         lambda t: np.asarray(t["user_id"].combine_chunks()
                              if isinstance(t["user_id"], pa.ChunkedArray)
                              else t["user_id"]),
+        stitch, num_shards=stitch_shards)
+    return interior.union(cross)
+
+
+def interval_coverage(events, us_per_milli: int = 100_000,
+                      stitch_shards: int = DEFAULT_STITCH_SHARDS):
+    """Per-user union length of time intervals — each event opens the
+    interval ``[ts, ts + floor(value*1000) * us_per_milli)`` and the
+    operator reports how many microseconds of the timeline each user's
+    intervals COVER, overlaps counted once (the gaps-and-islands sweep:
+    uptime from heartbeats, listener-hours from play events).
+
+    Sorted-block plan: sort (user_id, ts, event_id); within a segment the
+    sweep is ``Σ max(0, end_i − max(start_i, running_max(end)_{<i}))``,
+    exact for start-sorted intervals.  The segmented running max resets
+    per user WITHOUT a Python loop: interval ends rank-compress through
+    ``np.unique`` and ``seg_id * (R+1) + rank`` makes a strictly
+    segment-dominant key whose global ``np.maximum.accumulate`` equals
+    the per-segment cummax after un-keying (int64-safe: segments × ranks
+    both bound by block rows).  Interior segments are final; edge
+    segments re-emit raw (user, start, end) rows to the per-user sharded
+    stitch, which re-sorts and reruns the same kernel — interval union
+    is not mergeable from per-block scalars, so carrying the raw edge
+    rows (≤ 2 segments/block) is the exact and bounded choice.
+
+    Integer-exact end to end: durations derive from the repo's milli
+    convention (``floor(value*1000)``); non-positive durations drop.
+    Returns (user_id, covered_us, n_intervals).
+    """
+    from .windowfns import _milli
+
+    out_empty = pa.table({
+        "user_id": pa.array([], type=pa.int64()),
+        "covered_us": pa.array([], type=pa.int64()),
+        "n_intervals": pa.array([], type=pa.int64())})
+
+    def _sweep(us, s, e, starts, ends):
+        """Per-segment union length; (us, s, e) sorted by (us, s)."""
+        n = len(s)
+        seg_id = np.repeat(np.arange(len(starts)), ends - starts)
+        uniq, rank = np.unique(e, return_inverse=True)
+        key = seg_id * np.int64(len(uniq) + 1) + rank
+        cm_rank = np.maximum.accumulate(key) - seg_id * np.int64(
+            len(uniq) + 1)
+        prev = np.empty(n, dtype=np.int64)
+        prev[0] = 0
+        prev[1:] = uniq[cm_rank[:-1]]
+        prev[starts] = np.iinfo(np.int64).min  # no predecessor in segment
+        lo = np.maximum(s, prev)
+        contrib = np.maximum(e - lo, 0)
+        covered = np.add.reduceat(contrib, starts)
+        counts = ends - starts
+        return pa.table({"user_id": pa.array(us[starts]),
+                         "covered_us": pa.array(covered),
+                         "n_intervals": pa.array(counts)})
+
+    def to_intervals(t: pa.Table):
+        us = np.asarray(one_chunk(t["user_id"])).astype(np.int64)
+        s = np.asarray(pc.cast(pc.cast(one_chunk(t["ts"]),
+                                       pa.timestamp("us")), pa.int64()))
+        dur = _milli(one_chunk(t["value"])) * np.int64(us_per_milli)
+        keep = dur > 0
+        us, s, dur = us[keep], s[keep], dur[keep]
+        return us, s, s + dur
+
+    def block_cover(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "user_id": pa.array([], type=pa.int64()),
+            "covered_us": pa.array([], type=pa.int64()),
+            "n_intervals": pa.array([], type=pa.int64()),
+            "s": pa.array([], type=pa.int64()),
+            "e": pa.array([], type=pa.int64()),
+            "boundary": pa.array([], type=pa.bool_())})
+        if t.num_rows == 0:
+            return empty
+        us, s, e = to_intervals(t)
+        n = len(us)
+        if n == 0:
+            return empty
+        change = np.nonzero(us[1:] != us[:-1])[0] + 1
+        starts = np.concatenate([[0], change]).astype(np.int64)
+        ends = np.concatenate([change, [n]]).astype(np.int64)
+        last = len(starts) - 1
+        if last >= 1:
+            i0, i1 = ends[0], starts[last]
+            cov = _sweep(us[i0:i1], s[i0:i1], e[i0:i1],
+                         starts[1:last] - i0, ends[1:last] - i0) \
+                if i1 > i0 else out_empty
+            edge_idx = np.concatenate([np.arange(0, ends[0]),
+                                       np.arange(starts[last], n)])
+        else:
+            cov = out_empty
+            edge_idx = np.arange(0, n)
+        k, b = cov.num_rows, len(edge_idx)
+        return pa.table({
+            "user_id": pa.array(np.concatenate(
+                [np.asarray(one_chunk(cov["user_id"])), us[edge_idx]])),
+            "covered_us": pa.array(np.concatenate(
+                [np.asarray(one_chunk(cov["covered_us"])),
+                 np.zeros(b, np.int64)])),
+            "n_intervals": pa.array(np.concatenate(
+                [np.asarray(one_chunk(cov["n_intervals"])),
+                 np.zeros(b, np.int64)])),
+            "s": pa.array(np.concatenate(
+                [np.full(k, 0, np.int64), s[edge_idx]])),
+            "e": pa.array(np.concatenate(
+                [np.full(k, 0, np.int64), e[edge_idx]])),
+            "boundary": pa.array([False] * k + [True] * b)})
+
+    def stitch(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_empty
+        us = np.asarray(one_chunk(t["user_id"])).astype(np.int64)
+        s = np.asarray(one_chunk(t["s"])).astype(np.int64)
+        e = np.asarray(one_chunk(t["e"])).astype(np.int64)
+        order = np.lexsort((e, s, us))
+        us, s, e = us[order], s[order], e[order]
+        change = np.nonzero(us[1:] != us[:-1])[0] + 1
+        starts = np.concatenate([[0], change]).astype(np.int64)
+        ends = np.concatenate([change, [len(us)]]).astype(np.int64)
+        return _sweep(us, s, e, starts, ends)
+
+    srt = events.sort(["user_id", "ts", "event_id"])
+    mixed = srt.map_batches(block_cover, batch_format="pyarrow",
+                            batch_size=None).materialize()
+    interior = mixed.map_batches(
+        lambda t: t.filter(pc.equal(t["boundary"], False))
+        .select(["user_id", "covered_us", "n_intervals"]),
+        batch_format="pyarrow")
+    carries = mixed.map_batches(
+        lambda t: t.filter(t["boundary"]).select(["user_id", "s", "e"]),
+        batch_format="pyarrow")
+    cross = sharded_stitch(
+        carries,
+        lambda t: np.asarray(one_chunk(t["user_id"])).astype(np.int64),
         stitch, num_shards=stitch_shards)
     return interior.union(cross)

@@ -800,3 +800,51 @@ def test_event_type_cooccurrence_tiny_blocks_match_pandas():
         pd.testing.assert_frame_equal(
             got.astype({"n_users": "int64"}),
             want.astype({"n_users": "int64"}))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_interval_coverage_tiny_blocks_match_bruteforce():
+    """Heavy overlap + 40-way repartition: the segmented-cummax sweep
+    and the edge stitch must reproduce a brute-force per-user union."""
+    import pandas as pd
+    import ray.data
+
+    from pdf2doi_ray.stages.windows import interval_coverage
+
+    rng = np.random.default_rng(3)
+    n = 250
+    ts = pd.to_datetime(rng.integers(0, 5000, n), unit="s") \
+        .astype("datetime64[us]")
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": ts,
+        "user_id": rng.integers(0, 9, n).astype(np.int64),
+        # mix of zero/negative (dropped) and long (overlapping) spans
+        "value": rng.choice([-1.0, 0.0004, 2.0, 30.0, 900.0], n),
+    })
+
+    def brute(g):
+        s = g["ts"].astype("int64").to_numpy()
+        d = np.floor(g["value"].to_numpy() * 1000).astype(np.int64) * 100000
+        keep = d > 0
+        s, e = s[keep], s[keep] + d[keep]
+        iv = sorted(zip(s, e))
+        covered, hi = 0, -1
+        for a, b in iv:
+            a2 = max(a, hi)
+            covered += max(b - a2, 0)
+            hi = max(hi, b)
+        return pd.Series({"covered_us": covered,
+                          "n_intervals": int(keep.sum())})
+
+    want = (df.groupby("user_id").apply(brute, include_groups=False)
+            .reset_index().astype({"covered_us": "int64",
+                                   "n_intervals": "int64"}))
+    want = want[want["n_intervals"] > 0].reset_index(drop=True)
+    for parts in (1, 40):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        got = (interval_coverage(ds).to_pandas()
+               .sort_values("user_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got.astype({"covered_us": "int64", "n_intervals": "int64"}),
+            want)
