@@ -1558,6 +1558,13 @@ def _q_interval_coverage(sf_dir: str):
     return interval_coverage(ev)
 
 
+def _q_group_split_stats(sf_dir: str):
+    """Leakage-safe split: every doc of a source lands in ONE split
+    (md5(source) permille bucket) — per-(lang, split) counts."""
+    from pdf2doi_ray.stages.corpus import group_split_stats
+    return group_split_stats(_docs(sf_dir, ("lang", "source")))
+
+
 def _q_rank_user_value(sf_dir: str):
     """RANK() per user over the mod-100 milli value (tie-rich ordering);
     same sorted-block + sharded-stitch engine as the rolling sums."""
@@ -2387,6 +2394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": _q_event_transitions,
         "event_type_cooccurrence": _q_event_type_cooccurrence,
         "interval_coverage": _q_interval_coverage,
+        "group_split_stats": _q_group_split_stats,
     }
 
 
@@ -4516,5 +4524,13 @@ SELECT user_id,
             AS BIGINT) AS covered_us,
        CAST(count(*) AS BIGINT) AS n_intervals
 FROM w GROUP BY user_id
+"""
+    sql["group_split_stats"] = """
+SELECT lang,
+       CASE WHEN ('0x' || substr(md5(source), 1, 16))::UBIGINT
+                 % 1000 < 900
+            THEN 'train' ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY lang, split
 """
     return sql

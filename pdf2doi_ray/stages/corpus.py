@@ -29,6 +29,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..arrowutil import one_chunk
+
 # Knuth multiplicative hash constant (2^32 / phi).  The bucket is a pure
 # function of doc_id, so the same sampling/split decision is reproducible
 # across runs, engines, and the SQL oracle:
@@ -80,6 +82,60 @@ def train_test_split_stats(docs, train_permille: int = 900):
 
     def partial(t: pa.Table) -> pa.Table:
         b = hash_bucket(t["doc_id"])
+        split = np.where(b < train_permille, "train", "test")
+        g = pa.table({
+            "lang": t["lang"],
+            "split": pa.array(split, type=pa.string()),
+        }).group_by(["lang", "split"]).aggregate([([], "count_all")])
+        return pa.table({
+            "lang": g["lang"],
+            "split": g["split"],
+            "n_partial": g["count_all"].cast(pa.int64()),
+        })
+
+    return (docs.map_batches(partial, batch_format="pyarrow")
+            .groupby(["lang", "split"])
+            .aggregate(Sum("n_partial", alias_name="n_docs")))
+
+
+def md5_u64(strings) -> np.ndarray:
+    """First 8 md5 digest bytes big-endian as uint64 — the repo's
+    SQL-recomputable string hash (DuckDB: ``('0x' ||
+    substr(md5(x), 1, 16))::UBIGINT``).  Hashes each DISTINCT value
+    once: web keys (hosts, sources) are zipfian, so the per-row Python
+    md5 loop runs on the small unique set, and results scatter back
+    through the ``np.unique`` inverse."""
+    import hashlib
+
+    vals = np.asarray(strings.to_numpy(zero_copy_only=False)
+                      if hasattr(strings, "to_numpy") else strings,
+                      dtype=object)
+    uniq, inv = np.unique(vals, return_inverse=True)
+    hv = np.fromiter(
+        (int.from_bytes(hashlib.md5(u.encode("utf-8")).digest()[:8],
+                        "big") for u in uniq),
+        dtype=np.uint64, count=len(uniq))
+    return hv[inv]
+
+
+def group_split_stats(docs, group_col: str = "source",
+                      train_permille: int = 900):
+    """Leakage-safe train/test split: ALL rows sharing ``group_col``
+    (host, source, domain) land in the same split — the contamination
+    guard a document-level hash split (:func:`train_test_split_stats`)
+    cannot give, since near-identical pages from one site would straddle
+    the boundary.  Split = md5(group) mod 1000 vs ``train_permille``;
+    md5 hashes only the batch's distinct groups (see :func:`md5_u64`).
+
+    Same combiner-first shape as the doc-level split: one arrow
+    ``group_by`` per batch, then a groupby over ≤ 2·|langs| partial rows
+    per batch.  Returns (lang, split, n_docs).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        b = (md5_u64(one_chunk(t[group_col])) % np.uint64(1000)) \
+            .astype(np.int64)
         split = np.where(b < train_permille, "train", "test")
         g = pa.table({
             "lang": t["lang"],

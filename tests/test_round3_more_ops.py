@@ -848,3 +848,34 @@ def test_interval_coverage_tiny_blocks_match_bruteforce():
         pd.testing.assert_frame_equal(
             got.astype({"covered_us": "int64", "n_intervals": "int64"}),
             want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_group_split_is_leakage_free_and_matches_oracle():
+    """Every source maps to exactly one split, and the per-(lang, split)
+    counts match the DuckDB md5 oracle."""
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    got = (entrymod.queries()["group_split_stats"](sf).to_pandas()
+           .sort_values(["lang", "split"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = (con.execute(entrymod.oracle_sql()["group_split_stats"]).df()
+            .sort_values(["lang", "split"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got.astype({"n_docs": "int64"}),
+                                  want.astype({"n_docs": "int64"}))
+    # leakage check: per-source split assignment is a pure function of
+    # the source string, so distinct (source, split) pairs == sources
+    n_src, n_pairs = con.execute("""
+      SELECT count(DISTINCT source),
+             count(DISTINCT (source,
+               CASE WHEN ('0x' || substr(md5(source), 1, 16))::UBIGINT
+                         % 1000 < 900 THEN 'train' ELSE 'test' END))
+      FROM documents""").fetchone()
+    assert n_src == n_pairs
