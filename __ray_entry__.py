@@ -1565,6 +1565,13 @@ def _q_group_split_stats(sf_dir: str):
     return group_split_stats(_docs(sf_dir, ("lang", "source")))
 
 
+def _q_ngram_diversity(sf_dir: str):
+    """Distinct-n corpus diversity per lang: distinct vs total 3-gram
+    shingles (distinctness over SQL-recomputable md5-64 hashes)."""
+    from pdf2doi_ray.stages.corpus import ngram_diversity
+    return ngram_diversity(_docs(sf_dir, ("lang", "text")))
+
+
 def _q_rank_user_value(sf_dir: str):
     """RANK() per user over the mod-100 milli value (tie-rich ordering);
     same sorted-block + sharded-stitch engine as the rolling sums."""
@@ -2395,6 +2402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_cooccurrence": _q_event_type_cooccurrence,
         "interval_coverage": _q_interval_coverage,
         "group_split_stats": _q_group_split_stats,
+        "ngram_diversity": _q_ngram_diversity,
     }
 
 
@@ -4532,5 +4540,23 @@ SELECT lang,
             THEN 'train' ELSE 'test' END AS split,
        CAST(count(*) AS BIGINT) AS n_docs
 FROM documents GROUP BY lang, split
+"""
+    sql["ngram_diversity"] = """
+WITH l AS (SELECT lang,
+                  list_filter(string_split(text, ' '), x -> x <> '')
+                      AS toks
+           FROM documents),
+g AS (SELECT lang,
+             unnest(list_transform(
+                 range(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                 AS gram
+      FROM l WHERE len(toks) >= 3)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(DISTINCT ('0x' || substr(md5(gram), 1, 16))::UBIGINT)
+            AS BIGINT) AS n_distinct,
+       CAST(count(DISTINCT ('0x' || substr(md5(gram), 1, 16))::UBIGINT)
+            * 1000 // count(*) AS BIGINT) AS distinct_permille
+FROM g GROUP BY lang
 """
     return sql

@@ -2370,3 +2370,77 @@ def quota_sample_per_group(docs, group_col: str = "source", k: int = 5):
                          "priority": pc.negate(t["neg_priority"])})
 
     return top.map_batches(finish, batch_format="pyarrow")
+
+
+def ngram_diversity(docs, gram_len: int = 3):
+    """Corpus-level distinct-n diversity per language — how repetitive a
+    slice of the corpus is (distinct ``gram_len``-token shingles vs total
+    occurrences; low ratios flag template/boilerplate farms and mode
+    collapse in synthetic data).
+
+    Distinctness counts DISTINCT 64-bit md5 gram hashes (:func:`md5_u64`
+    idiom): the exchange then moves (lang, int64) rows instead of gram
+    strings, and the SQL oracle recomputes the identical hash, so the
+    contract stays exact at any scale (a 64-bit collision would change
+    both sides equally).  Plan: per batch, shingle (zero-copy slices +
+    one element-wise join, the :func:`_token_grams_with_rows` kernel),
+    hash, dedup (lang, hv) within the batch and pre-count totals; one
+    groupby(lang, hv) distinct + a per-batch second combiner collapse
+    the distinct count; totals ride a separate tiny groupby(lang).
+
+    Returns (lang, n_grams, n_distinct, distinct_permille).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    def partial_pairs(t: pa.Table) -> pa.Table:
+        grams, row_idx = _token_grams_with_rows(t, gram_len)
+        if len(grams) == 0:
+            return pa.table({"lang": pa.array([], type=pa.string()),
+                             "hv": pa.array([], type=pa.int64())})
+        lang = one_chunk(t["lang"]).take(pa.array(row_idx))
+        hv = md5_u64(grams).view(np.int64)
+        g = pa.table({"lang": lang, "hv": pa.array(hv)}) \
+            .group_by(["lang", "hv"]).aggregate([])
+        return g.select(["lang", "hv"])
+
+    def partial_totals(t: pa.Table) -> pa.Table:
+        grams, row_idx = _token_grams_with_rows(t, gram_len)
+        if len(grams) == 0:
+            return pa.table({"lang": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        lang = one_chunk(t["lang"]).take(pa.array(row_idx))
+        g = pa.table({"lang": lang}).group_by(["lang"]) \
+            .aggregate([([], "count_all")])
+        return pa.table({"lang": g["lang"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    def count_distinct(t: pa.Table) -> pa.Table:
+        g = t.group_by(["lang"]).aggregate([([], "count_all")])
+        return pa.table({"lang": g["lang"],
+                         "nd": g["count_all"].cast(pa.int64())})
+
+    distinct = (docs.map_batches(partial_pairs, batch_format="pyarrow")
+                .groupby(["lang", "hv"])
+                .aggregate(Count(alias_name="c"))
+                .map_batches(count_distinct, batch_format="pyarrow")
+                .groupby("lang").aggregate(Sum("nd", alias_name="n_distinct")))
+    totals = (docs.map_batches(partial_totals, batch_format="pyarrow")
+              .groupby("lang").aggregate(Sum("n", alias_name="n_grams")))
+
+    import ray.data
+
+    from ..arrowutil import collect_tables
+
+    t_tbl = collect_tables(totals)
+    d_tbl = collect_tables(distinct)
+    joined = t_tbl.join(d_tbl, keys=["lang"], join_type="inner") \
+        .sort_by("lang")
+    ng = np.asarray(one_chunk(joined["n_grams"]), dtype=np.int64)
+    nd = np.asarray(one_chunk(joined["n_distinct"]), dtype=np.int64)
+    out = pa.table({
+        "lang": joined["lang"],
+        "n_grams": pa.array(ng),
+        "n_distinct": pa.array(nd),
+        "distinct_permille": pa.array(nd * 1000 // np.maximum(ng, 1)),
+    })
+    return ray.data.from_arrow(out)
