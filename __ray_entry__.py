@@ -1572,6 +1572,17 @@ def _q_ngram_diversity(sf_dir: str):
     return ngram_diversity(_docs(sf_dir, ("lang", "text")))
 
 
+def _q_zorder_layout(sf_dir: str):
+    """Morton-curve layout key over (user_id, milli value) + range sort
+    — the multi-dimension block-clustering primitive."""
+    import ray.data
+
+    from pdf2doi_ray.stages.export import zorder_layout
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "value"])
+    return zorder_layout(ev)
+
+
 def _q_rank_user_value(sf_dir: str):
     """RANK() per user over the mod-100 milli value (tie-rich ordering);
     same sorted-block + sharded-stitch engine as the rolling sums."""
@@ -2403,6 +2414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_coverage": _q_interval_coverage,
         "group_split_stats": _q_group_split_stats,
         "ngram_diversity": _q_ngram_diversity,
+        "zorder_layout": _q_zorder_layout,
     }
 
 
@@ -4558,5 +4570,17 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_grams,
        CAST(count(DISTINCT ('0x' || substr(md5(gram), 1, 16))::UBIGINT)
             * 1000 // count(*) AS BIGINT) AS distinct_permille
 FROM g GROUP BY lang
+"""
+    # Morton interleave written out bit-by-bit (x on odd bits, y on even)
+    _zbits = " + ".join(
+        f"(((x >> {k}) & 1) << {2 * k + 1}) + (((y >> {k}) & 1) << {2 * k})"
+        for k in range(16))
+    sql["zorder_layout"] = f"""
+WITH e AS (SELECT event_id, user_id % 65536 AS x,
+                  CAST(floor(value * 1000) AS BIGINT) % 65536 AS y
+           FROM events)
+SELECT event_id, x AS x16, y AS y16,
+       CAST({_zbits} AS BIGINT) AS zkey
+FROM e
 """
     return sql

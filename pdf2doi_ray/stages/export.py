@@ -197,3 +197,68 @@ def export_training_shards(docs, out_dir: str, n_shards: int = 64,
             f.write("ok")
         written.append(s)
     return written
+
+
+def _morton_spread16(v: np.ndarray) -> np.ndarray:
+    """Spread the low 16 bits of each int64 so bit k lands at bit 2k
+    (the classic Morton bit-twiddle, vectorized)."""
+    v = v & np.int64(0xFFFF)
+    v = (v | (v << 8)) & np.int64(0x00FF00FF)
+    v = (v | (v << 4)) & np.int64(0x0F0F0F0F)
+    v = (v | (v << 2)) & np.int64(0x33333333)
+    v = (v | (v << 1)) & np.int64(0x55555555)
+    return v
+
+
+def zorder_key(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """32-bit Morton interleave of two non-negative 16-bit values —
+    ``x`` on odd bits, ``y`` on even."""
+    if (len(x) and x.min() < 0) or (len(y) and y.min() < 0):
+        raise ValueError("zorder_key: inputs must be non-negative "
+                         "(numpy and SQL disagree on negative bit ops)")
+    return (_morton_spread16(x) << 1) | _morton_spread16(y)
+
+
+def zorder_layout(events, x_col: str = "user_id", y_col: str = "value",
+                  x_mod: int = 65536, y_mod: int = 65536):
+    """Z-order (Morton-curve) data layout: interleave the bits of two
+    dimensions into one sort key and range-sort on it, so rows close in
+    BOTH dimensions land in the same output blocks — the multi-column
+    clustering trick behind Delta/Iceberg OPTIMIZE ZORDER, here so a
+    downstream reader filtering on either column prunes most blocks
+    (min/max zone maps stay tight on both dimensions at once).
+
+    One exchange (the range sort on the 32-bit key); the key itself is a
+    pure vectorized map.  ``y_col`` floats enter through the repo's milli
+    convention; both dimensions fold modulo 2^16 (coarse clustering only
+    needs high bits — the fold is part of the contract and the SQL
+    oracle).  Returns (event_id, x16, y16, zkey) sorted by (zkey,
+    event_id).
+    """
+    import pyarrow.compute as pc
+
+    from .windowfns import _milli
+
+    def key_batch(t: pa.Table) -> pa.Table:
+        from ..arrowutil import one_chunk
+
+        x = np.asarray(one_chunk(t[x_col])).astype(np.int64)
+        y = (_milli(one_chunk(t[y_col]))
+             if pa.types.is_floating(t.schema.field(y_col).type)
+             else np.asarray(one_chunk(t[y_col])).astype(np.int64))
+        if (len(x) and x.min() < 0) or (len(y) and y.min() < 0):
+            # numpy % would silently wrap negatives positive while SQL %
+            # keeps the sign — refuse rather than diverge
+            raise ValueError("zorder_layout: dimensions must be "
+                             "non-negative before the 2^16 fold")
+        x = x % np.int64(x_mod)
+        y = y % np.int64(y_mod)
+        return pa.table({
+            "event_id": t["event_id"],
+            "x16": pa.array(x),
+            "y16": pa.array(y),
+            "zkey": pa.array(zorder_key(x, y)),
+        })
+
+    return events.map_batches(key_batch, batch_format="pyarrow") \
+        .sort(["zkey", "event_id"])

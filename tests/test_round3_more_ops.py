@@ -879,3 +879,39 @@ def test_group_split_is_leakage_free_and_matches_oracle():
                          % 1000 < 900 THEN 'train' ELSE 'test' END))
       FROM documents""").fetchone()
     assert n_src == n_pairs
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_zorder_layout_clusters_blocks():
+    """The z-sorted output's per-block zone maps must be tight on BOTH
+    dimensions: with 8 output blocks over a 64x64 grid, the mean
+    per-block x16 range must be far below the unsorted ~full range."""
+    import pandas as pd
+    import ray
+    import ray.data
+
+    from pdf2doi_ray.stages.export import zorder_layout
+
+    rng = np.random.default_rng(5)
+    n = 4096
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 64, n).astype(np.int64),
+        "value": rng.integers(0, 64, n) / 1000.0,
+    })
+    out = zorder_layout(ray.data.from_pandas(df).repartition(8)) \
+        .repartition(8).materialize()
+    spans_x, spans_y = [], []
+    lo_prev = -1
+    for ref in out.to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows == 0:
+            continue
+        z = np.asarray(t["zkey"])
+        assert z.min() >= lo_prev  # blocks are globally range-ordered
+        lo_prev = z.max()
+        spans_x.append(np.ptp(np.asarray(t["x16"])))
+        spans_y.append(np.ptp(np.asarray(t["y16"])))
+    # random data spans ~63 per dim; z-clustered 8-way blocks must be
+    # tighter on average on both dimensions at once
+    assert np.mean(spans_x) <= 40 and np.mean(spans_y) <= 40
