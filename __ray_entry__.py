@@ -1583,6 +1583,20 @@ def _q_zorder_layout(sf_dir: str):
     return zorder_layout(ev)
 
 
+def _q_lang_confusion(sf_dir: str):
+    """Stored-label vs predicted-language confusion matrix — lang_id per
+    batch + combiner counts, one tiny exchange."""
+    from pdf2doi_ray.stages.textstats import lang_confusion
+    return lang_confusion(_docs(sf_dir))
+
+
+def _q_inverted_index(sf_dir: str):
+    """Bounded inverted index (exact df + 8 smallest doc ids per token)
+    — one bucketed exchange, vectorized per-bucket merge."""
+    from pdf2doi_ray.stages.corpus import inverted_index
+    return inverted_index(_docs(sf_dir, ("doc_id", "text")))
+
+
 def _q_rank_user_value(sf_dir: str):
     """RANK() per user over the mod-100 milli value (tie-rich ordering);
     same sorted-block + sharded-stitch engine as the rolling sums."""
@@ -2415,6 +2429,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_split_stats": _q_group_split_stats,
         "ngram_diversity": _q_ngram_diversity,
         "zorder_layout": _q_zorder_layout,
+        "lang_confusion": _q_lang_confusion,
+        "inverted_index": _q_inverted_index,
     }
 
 
@@ -4582,5 +4598,27 @@ WITH e AS (SELECT event_id, user_id % 65536 AS x,
 SELECT event_id, x AS x16, y AS y16,
        CAST({_zbits} AS BIGINT) AS zkey
 FROM e
+"""
+    sql["lang_confusion"] = f"""
+WITH p AS ({sql["lang_id"]})
+SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM p GROUP BY lang, pred_lang
+"""
+    sql["inverted_index"] = """
+WITH tk AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+             AS token
+  FROM documents),
+d AS (SELECT DISTINCT token, doc_id FROM tk),
+r AS (SELECT token, doc_id,
+             row_number() OVER (PARTITION BY token ORDER BY doc_id)
+                 AS rn,
+             count(*) OVER (PARTITION BY token) AS df
+      FROM d)
+SELECT token, CAST(max(df) AS BIGINT) AS df,
+       string_agg(CASE WHEN rn <= 8 THEN CAST(doc_id AS VARCHAR) END,
+                  ',' ORDER BY doc_id) AS postings
+FROM r GROUP BY token
 """
     return sql

@@ -2444,3 +2444,121 @@ def ngram_diversity(docs, gram_len: int = 3):
         "distinct_permille": pa.array(nd * 1000 // np.maximum(ng, 1)),
     })
     return ray.data.from_arrow(out)
+
+
+def inverted_index(docs, k_postings: int = 8, n_buckets: int = 32):
+    """Bounded inverted index: per token, its document frequency and the
+    ``k_postings`` smallest doc ids as a comma-joined posting list — the
+    IR primitive behind keyword lookup over a curated corpus (bounded
+    postings keep hot stopword rows from exploding; df stays exact).
+
+    ONE exchange: each batch emits per token a partial-count row plus at
+    most ``k_postings`` candidate (token, doc_id) rows — (token, doc_id)
+    pairs are globally distinct because a document's text lives in one
+    row, so in-batch dedup is global dedup and counts merge additively.
+    Rows route to ``hash(token) % n_buckets`` groups; each bucket task
+    merges ALL its tokens vectorized (lexsort + segment reduceat +
+    ``binary_join``), never per-token Python — the same
+    bounded-task-count rationale as :mod:`.windowfns`'s top-k.
+
+    Returns (token, df, postings).
+    """
+    from .stitch import hash_shard_str
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, row_idx = _tokens_nonempty(t)
+        empty = pa.table({
+            "bucket": pa.array([], type=pa.int64()),
+            "token": pa.array([], type=pa.string()),
+            "doc_id": pa.array([], type=pa.int64()),
+            "n_partial": pa.array([], type=pa.int64())})
+        if len(flat) == 0:
+            return empty
+        ids = np.asarray(one_chunk(t["doc_id"])).astype(np.int64)[row_idx]
+        d = pa.table({"token": flat, "doc_id": pa.array(ids)}) \
+            .group_by(["token", "doc_id"]).aggregate([([], "count_all")])
+        tok = one_chunk(d["token"])
+        did = np.asarray(one_chunk(d["doc_id"]), dtype=np.int64)
+        # per-token segment views over the (token, doc_id)-sorted pairs
+        order = np.lexsort(
+            (did, np.asarray(tok.to_numpy(zero_copy_only=False),
+                             dtype=object)))
+        tok = tok.take(pa.array(order))
+        did = did[order]
+        n = len(did)
+        new = np.ones(n, dtype=bool)
+        if n > 1:
+            new[1:] = np.asarray(
+                pc.not_equal(tok.slice(1), tok.slice(0, n - 1)), dtype=bool)
+        seg_start = np.maximum.accumulate(np.where(new, np.arange(n), 0))
+        pos = np.arange(n) - seg_start
+        cand = pos < k_postings
+        starts = np.nonzero(new)[0]
+        counts = np.diff(np.concatenate([starts, [n]]))
+        head = pa.table({
+            "token": tok.take(pa.array(starts)),
+            "n_partial": pa.array(counts.astype(np.int64))})
+        return pa.table({
+            "bucket": pa.array(np.concatenate([
+                hash_shard_str(head["token"]) % n_buckets,
+                (hash_shard_str(tok) % n_buckets)[cand]])),
+            "token": pa.concat_arrays(
+                [one_chunk(head["token"]), tok.filter(pa.array(cand))]),
+            "doc_id": pa.array(np.concatenate(
+                [np.full(len(starts), -1, np.int64), did[cand]])),
+            "n_partial": pa.array(np.concatenate(
+                [counts.astype(np.int64),
+                 np.zeros(int(cand.sum()), np.int64)])),
+        })
+
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        out_empty = pa.table({
+            "token": pa.array([], type=pa.string()),
+            "df": pa.array([], type=pa.int64()),
+            "postings": pa.array([], type=pa.string())})
+        if g.num_rows == 0:
+            return out_empty
+        is_count = pc.equal(g["doc_id"], pa.scalar(-1, pa.int64()))
+        cnt = g.filter(is_count).group_by("token") \
+            .aggregate([("n_partial", "sum")])
+        cand = g.filter(pc.invert(is_count))
+        tok = one_chunk(cand["token"])
+        did = np.asarray(one_chunk(cand["doc_id"]), dtype=np.int64)
+        order = np.lexsort(
+            (did, np.asarray(tok.to_numpy(zero_copy_only=False),
+                             dtype=object)))
+        tok = tok.take(pa.array(order))
+        did = did[order]
+        n = len(did)
+        new = np.ones(n, dtype=bool)
+        if n > 1:
+            new[1:] = np.asarray(
+                pc.not_equal(tok.slice(1), tok.slice(0, n - 1)), dtype=bool)
+        seg_start = np.maximum.accumulate(np.where(new, np.arange(n), 0))
+        keep = (np.arange(n) - seg_start) < k_postings
+        idx = np.nonzero(keep)[0]
+        tok_k = tok.take(pa.array(idx))
+        did_k = did[idx]
+        m = len(idx)
+        new_k = np.ones(m, dtype=bool)
+        if m > 1:
+            new_k[1:] = np.asarray(
+                pc.not_equal(tok_k.slice(1), tok_k.slice(0, m - 1)),
+                dtype=bool)
+        starts_k = np.nonzero(new_k)[0]
+        offsets = np.concatenate([starts_k, [m]]).astype(np.int32)
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()),
+            pc.cast(pa.array(did_k), pa.string()))
+        post = pa.table({
+            "token": tok_k.take(pa.array(starts_k)),
+            "postings": pc.binary_join(lists, ",")})
+        joined = pa.table({
+            "token": cnt["token"],
+            "df": cnt["n_partial_sum"].cast(pa.int64()),
+        }).join(post, keys=["token"], join_type="inner")
+        return joined.select(["token", "df", "postings"])
+
+    return (docs.map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(merge_bucket, batch_format="pyarrow"))

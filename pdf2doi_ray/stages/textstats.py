@@ -422,3 +422,24 @@ def token_count_quantiles_by_group(docs, group_col: str = "lang",
     return pd.DataFrame({group_col: pd.Series(out_g, dtype="object"),
                          "q_permille": pd.Series(out_q, dtype="int64"),
                          "value": pd.Series(out_v, dtype="int64")})
+
+
+def lang_confusion(docs):
+    """Label-vs-prediction confusion matrix for the stopword language
+    identifier — the curation health check that catches a mislabeled
+    crawl slice or a degraded classifier in one ≤|langs|² table.
+    Combiner-first: :func:`lang_id` per batch, an in-batch Arrow
+    ``group_by`` collapse, then one tiny groupby merge.  Returns
+    (lang, pred_lang, n_docs)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        p = lang_id(t)
+        g = p.select(["lang", "pred_lang"]) \
+            .group_by(["lang", "pred_lang"]).aggregate([([], "count_all")])
+        return pa.table({"lang": g["lang"], "pred_lang": g["pred_lang"],
+                         "n_partial": g["count_all"].cast(pa.int64())})
+
+    return (docs.map_batches(partial, batch_format="pyarrow")
+            .groupby(["lang", "pred_lang"])
+            .aggregate(Sum("n_partial", alias_name="n_docs")))

@@ -915,3 +915,33 @@ def test_zorder_layout_clusters_blocks():
     # random data spans ~63 per dim; z-clustered 8-way blocks must be
     # tighter on average on both dimensions at once
     assert np.mean(spans_x) <= 40 and np.mean(spans_y) <= 40
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_inverted_index_random_vocab_matches_bruteforce():
+    import pandas as pd
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import inverted_index
+
+    rng = np.random.default_rng(13)
+    vocab = [f"w{i}" for i in range(120)]
+    docs = pd.DataFrame({
+        "doc_id": np.arange(400, dtype=np.int64),
+        "text": [" ".join(rng.choice(vocab, rng.integers(1, 12)))
+                 for _ in range(400)],
+    })
+    rows = {}
+    for did, txt in zip(docs["doc_id"], docs["text"]):
+        for tok in set(txt.split()):
+            rows.setdefault(tok, []).append(int(did))
+    want = pd.DataFrame({
+        "token": list(rows),
+        "df": [len(v) for v in rows.values()],
+        "postings": [",".join(str(x) for x in sorted(v)[:8])
+                     for v in rows.values()],
+    }).sort_values("token").reset_index(drop=True)
+    got = (inverted_index(ray.data.from_pandas(docs).repartition(16))
+           .to_pandas().sort_values("token").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got.astype({"df": "int64"}),
+                                  want.astype({"df": "int64"}))
