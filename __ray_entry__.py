@@ -1597,6 +1597,14 @@ def _q_inverted_index(sf_dir: str):
     return inverted_index(_docs(sf_dir, ("doc_id", "text")))
 
 
+def _q_flesch_readability(sf_dir: str):
+    """Integer-exact Flesch Reading Ease per doc (RE2 vowel-run /
+    sentence-run counts) — pure vectorized map."""
+    from pdf2doi_ray.stages.textstats import flesch_readability
+    return _docs(sf_dir, ("doc_id", "text")).map_batches(
+        flesch_readability, batch_format="pyarrow")
+
+
 def _q_rank_user_value(sf_dir: str):
     """RANK() per user over the mod-100 milli value (tie-rich ordering);
     same sorted-block + sharded-stitch engine as the rolling sums."""
@@ -2431,6 +2439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_layout": _q_zorder_layout,
         "lang_confusion": _q_lang_confusion,
         "inverted_index": _q_inverted_index,
+        "flesch_readability": _q_flesch_readability,
     }
 
 
@@ -4620,5 +4629,21 @@ SELECT token, CAST(max(df) AS BIGINT) AS df,
        string_agg(CASE WHEN rn <= 8 THEN CAST(doc_id AS VARCHAR) END,
                   ',' ORDER BY doc_id) AS postings
 FROM r GROUP BY token
+"""
+    sql["flesch_readability"] = """
+WITH c AS (
+  SELECT doc_id,
+         greatest(len(list_filter(string_split(text, ' '),
+                                  x -> x <> '')), 1) AS w,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syl
+  FROM documents)
+SELECT doc_id, CAST(w AS BIGINT) AS n_words,
+       CAST(s AS BIGINT) AS n_sentences,
+       CAST(syl AS BIGINT) AS n_syllables,
+       CAST(206835 - (1015 * (w * 1000 // s)) // 1000
+                   - (84600 * (syl * 1000 // w)) // 1000
+            AS BIGINT) AS flesch_milli
+FROM c
 """
     return sql

@@ -945,3 +945,37 @@ def test_inverted_index_random_vocab_matches_bruteforce():
            .to_pandas().sort_values("token").reset_index(drop=True))
     pd.testing.assert_frame_equal(got.astype({"df": "int64"}),
                                   want.astype({"df": "int64"}))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_flesch_readability_edge_rows():
+    """Empty / punctuation-only / trailing-empty rows exercise the
+    reduceat clipping; values match a row-by-row Python reference."""
+    import re
+
+    import pandas as pd
+    import ray.data
+
+    from pdf2doi_ray.stages.textstats import flesch_readability
+
+    texts = ["", "Hello world. How are you?", "!!!", "one",
+             "a e i o u y.", "  ", "ends empty", ""]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+
+    def ref(t):
+        w = max(sum(1 for x in t.split(" ") if x != ""), 1)
+        s = max(len(re.findall(r"[.!?]+", t)), 1)
+        syl = len(re.findall(r"[aeiouy]+", t.lower()))
+        return (w, s, syl,
+                206835 - (1015 * (w * 1000 // s)) // 1000
+                - (84600 * (syl * 1000 // w)) // 1000)
+
+    want = pd.DataFrame(
+        [(i,) + ref(t) for i, t in enumerate(texts)],
+        columns=["doc_id", "n_words", "n_sentences", "n_syllables",
+                 "flesch_milli"]).astype("int64")
+    got = (ray.data.from_pandas(df).repartition(3)
+           .map_batches(flesch_readability, batch_format="pyarrow")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got.astype("int64"), want)
