@@ -1605,6 +1605,29 @@ def _q_flesch_readability(sf_dir: str):
         flesch_readability, batch_format="pyarrow")
 
 
+def _q_iqr_outlier_filter(sf_dir: str):
+    """Tukey-fence outlier removal per event type (exact integer q1/q3 +
+    broadcast fences, no join exchange)."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import iqr_outlier_filter
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"])
+    return iqr_outlier_filter(ev)
+
+
+def _q_cooccurrence_lift(sf_dir: str):
+    """Association lift per co-occurring event-type pair (distinct-user
+    probabilities, exact integer permille)."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import cooccurrence_lift
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+    return cooccurrence_lift(ev)
+
+
 def _q_rank_user_value(sf_dir: str):
     """RANK() per user over the mod-100 milli value (tie-rich ordering);
     same sorted-block + sharded-stitch engine as the rolling sums."""
@@ -2440,6 +2463,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_confusion": _q_lang_confusion,
         "inverted_index": _q_inverted_index,
         "flesch_readability": _q_flesch_readability,
+        "iqr_outlier_filter": _q_iqr_outlier_filter,
+        "cooccurrence_lift": _q_cooccurrence_lift,
     }
 
 
@@ -4645,5 +4670,44 @@ SELECT doc_id, CAST(w AS BIGINT) AS n_words,
                    - (84600 * (syl * 1000 // w)) // 1000
             AS BIGINT) AS flesch_milli
 FROM c
+"""
+    # same 1-based ceil-rank quantile rule as winsorize_event_values,
+    # per event_type, then integer Tukey fences
+    sql["iqr_outlier_filter"] = """
+WITH c AS (SELECT event_id, event_type,
+                  CAST(floor(value * 1000) AS BIGINT) AS vm FROM events),
+r AS (SELECT event_type, vm,
+             row_number() OVER (PARTITION BY event_type ORDER BY vm)
+                 AS rn,
+             count(*) OVER (PARTITION BY event_type) AS total FROM c),
+q1 AS (SELECT event_type, min(vm) AS v FROM r
+       WHERE rn >= ceil(250 * total / 1000.0) GROUP BY event_type),
+q3 AS (SELECT event_type, min(vm) AS v FROM r
+       WHERE rn >= ceil(750 * total / 1000.0) GROUP BY event_type),
+b AS (SELECT q1.event_type,
+             q1.v - (1500 * (q3.v - q1.v)) // 1000 AS lo,
+             q3.v + (1500 * (q3.v - q1.v)) // 1000 AS hi
+      FROM q1 JOIN q3 USING (event_type))
+SELECT c.event_id, c.event_type, c.vm AS value_milli
+FROM c JOIN b USING (event_type)
+WHERE c.vm BETWEEN b.lo AND b.hi
+"""
+    sql["cooccurrence_lift"] = """
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+nt AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n
+       FROM d GROUP BY event_type),
+tot AS (SELECT CAST(count(DISTINCT user_id) AS HUGEINT) AS n FROM d),
+p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS HUGEINT) AS n_ab
+      FROM d a JOIN d b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY type_a, type_b)
+SELECT p.type_a, p.type_b,
+       CAST(p.n_ab AS BIGINT) AS n_users_both,
+       CAST((p.n_ab * tot.n * 1000) // (na.n * nb.n) AS BIGINT)
+           AS lift_permille
+FROM p, tot
+JOIN nt na ON na.event_type = p.type_a
+JOIN nt nb ON nb.event_type = p.type_b
 """
     return sql

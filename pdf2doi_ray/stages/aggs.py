@@ -1290,3 +1290,115 @@ def event_type_cooccurrence(events, group_col: str = "user_id",
     return (interior.union(cross)
             .groupby(["type_a", "type_b"])
             .aggregate(Sum("n_users", alias_name="n_users")))
+
+
+def iqr_outlier_filter(events, group_col: str = "event_type",
+                       value_col: str = "value",
+                       k_permille: int = 1500):
+    """Tukey-fence outlier removal per group: keep rows whose milli value
+    lies inside ``[q1 − k·IQR, q3 + k·IQR]`` of their group (k in
+    permille, default the classic 1.5) — the robust-statistics gate for
+    metric streams where a global clamp would mask per-type scale
+    differences.
+
+    Two-phase broadcast plan: exact per-group q250/q750 come from the
+    keyed-histogram machinery (:func:`value_quantiles_milli_by_group` —
+    one combiner-first exchange, driver holds only the tiny histogram),
+    fences derive in integer arithmetic (``k·IQR // 1000``; IQR ≥ 0 so
+    floor == truncation and the SQL oracle agrees), and the fence table —
+    ≤ |groups| rows — ships inside the filter closure, so the second
+    pass is a pure streaming map with NO join exchange.  Returns
+    (event_id, group_col, value_milli) for surviving rows.
+    """
+    q = value_quantiles_milli_by_group(events, group_col, value_col,
+                                       quantiles_permille=(250, 750))
+    fences: dict = {}
+    for key, sub in q.groupby(group_col, sort=False):
+        s = dict(zip(sub["q_permille"], sub["value"]))
+        q1, q3 = int(s[250]), int(s[750])
+        iqr = q3 - q1
+        fences[key] = (q1 - (k_permille * iqr) // 1000,
+                       q3 + (k_permille * iqr) // 1000)
+
+    def keep(t: pa.Table) -> pa.Table:
+        vm = _milli(one_chunk(t[value_col]))
+        keys = one_chunk(t[group_col]).to_numpy(zero_copy_only=False)
+        lo = np.empty(len(vm), dtype=np.int64)
+        hi = np.empty(len(vm), dtype=np.int64)
+        # vectorized fence lookup over the few distinct group values
+        uniq, inv = np.unique(np.asarray(keys, dtype=object),
+                              return_inverse=True)
+        lo_u = np.array([fences.get(u, (np.iinfo(np.int64).min,) * 2)[0]
+                         for u in uniq], dtype=np.int64)
+        hi_u = np.array([fences.get(u, (0, np.iinfo(np.int64).max))[1]
+                         for u in uniq], dtype=np.int64)
+        lo, hi = lo_u[inv], hi_u[inv]
+        mask = pa.array((vm >= lo) & (vm <= hi))
+        return pa.table({
+            "event_id": t["event_id"].filter(mask),
+            group_col: t[group_col].filter(mask),
+            "value_milli": pa.array(vm[np.asarray(mask)]),
+        })
+
+    return events.map_batches(keep, batch_format="pyarrow")
+
+
+def cooccurrence_lift(events, group_col: str = "user_id",
+                      value_col: str = "event_type"):
+    """Association strength (lift) for every co-occurring event-type
+    pair: ``lift = P(a ∧ b) / (P(a)·P(b))`` over distinct users, reported
+    as an exact integer permille — the association-rule mining step on
+    top of :func:`event_type_cooccurrence`.
+
+    Three small exchanges: the pair supports (see
+    :func:`event_type_cooccurrence`), per-type distinct-user counts and
+    the global distinct-user count (both via per-batch distinct
+    combiners; a user's rows collapse before the shuffle).  The final
+    arithmetic runs driver-side over the ≤ T² pair rows with PYTHON ints
+    — ``n_ab·N·1000`` overflows int64 at web scale, and T² is tiny by
+    construction (type vocabularies, not user counts).  Returns (type_a,
+    type_b, n_users_both, lift_permille).
+    """
+    import pandas as pd
+    from ray.data.aggregate import Count, Sum
+
+    from ..arrowutil import collect_tables
+
+    pairs = collect_tables(
+        event_type_cooccurrence(events, group_col, value_col))
+
+    def distinct_batch(t: pa.Table) -> pa.Table:
+        g = t.select([group_col, value_col]) \
+            .group_by([group_col, value_col]).aggregate([])
+        return g.select([group_col, value_col])
+
+    per_type = collect_tables(
+        events.map_batches(distinct_batch, batch_format="pyarrow")
+        .groupby([group_col, value_col]).aggregate(Count(alias_name="c"))
+        .map_batches(
+            lambda t: pa.table({
+                value_col: t[value_col],
+                "one": pa.array(np.ones(t.num_rows, np.int64))}),
+            batch_format="pyarrow")
+        .groupby(value_col).aggregate(Sum("one", alias_name="n_type")))
+
+    def distinct_users(t: pa.Table) -> pa.Table:
+        u = np.unique(np.asarray(one_chunk(t[group_col])).astype(np.int64))
+        return pa.table({group_col: pa.array(u)})
+
+    n_total = (events.map_batches(distinct_users, batch_format="pyarrow")
+               .groupby(group_col).aggregate(Count(alias_name="c"))
+               .count())
+
+    nt = dict(zip(per_type[value_col].to_pylist(),
+                  per_type["n_type"].to_pylist()))
+    ta = pairs["type_a"].to_pylist()
+    tb = pairs["type_b"].to_pylist()
+    nab = pairs["n_users"].to_pylist()
+    lift = [(int(n) * int(n_total) * 1000) // (int(nt[a]) * int(nt[b]))
+            for a, b, n in zip(ta, tb, nab)]
+    return pd.DataFrame({
+        "type_a": ta, "type_b": tb,
+        "n_users_both": pd.Series(nab, dtype="int64"),
+        "lift_permille": pd.Series(lift, dtype="int64"),
+    }).sort_values(["type_a", "type_b"]).reset_index(drop=True)
