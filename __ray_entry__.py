@@ -1628,6 +1628,15 @@ def _q_cooccurrence_lift(sf_dir: str):
     return cooccurrence_lift(ev)
 
 
+def _q_fuzzy_token_pairs(sf_dir: str):
+    """Source-name pairs at Levenshtein distance exactly 1 (typo-squat
+    detection) via deletion-neighborhood blocking + exact verify (no
+    all-pairs scan)."""
+    from pdf2doi_ray.stages.corpus import fuzzy_token_pairs
+    return fuzzy_token_pairs(_docs(sf_dir, ("source",)),
+                             token_col="source")
+
+
 def _q_rank_user_value(sf_dir: str):
     """RANK() per user over the mod-100 milli value (tie-rich ordering);
     same sorted-block + sharded-stitch engine as the rolling sums."""
@@ -2465,6 +2474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flesch_readability": _q_flesch_readability,
         "iqr_outlier_filter": _q_iqr_outlier_filter,
         "cooccurrence_lift": _q_cooccurrence_lift,
+        "fuzzy_token_pairs": _q_fuzzy_token_pairs,
     }
 
 
@@ -4709,5 +4719,11 @@ SELECT p.type_a, p.type_b,
 FROM p, tot
 JOIN nt na ON na.event_type = p.type_a
 JOIN nt nb ON nb.event_type = p.type_b
+"""
+    sql["fuzzy_token_pairs"] = """
+WITH tk AS (SELECT DISTINCT source AS tok FROM documents)
+SELECT a.tok AS token_a, b.tok AS token_b
+FROM tk a JOIN tk b
+  ON a.tok < b.tok AND levenshtein(a.tok, b.tok) = 1
 """
     return sql

@@ -2562,3 +2562,104 @@ def inverted_index(docs, k_postings: int = 8, n_buckets: int = 32):
     return (docs.map_batches(partial, batch_format="pyarrow")
             .groupby("bucket")
             .map_groups(merge_bucket, batch_format="pyarrow"))
+
+
+def fuzzy_token_pairs(docs, max_token_len: int = 64,
+                      token_col: str | None = None):
+    """All distinct token pairs at Levenshtein distance exactly 1 over
+    the corpus vocabulary — typo clustering / vocabulary normalization
+    without the O(V²) all-pairs scan.
+
+    Deletion-neighborhood blocking (the FastSS / SymSpell trick): two
+    tokens with ED ≤ 1 necessarily share a bucket keyed by the token
+    itself or one of its single-character deletions (substitution pairs
+    share the same-position deletion; insertion/deletion pairs meet in
+    the shorter token's own bucket).  The converse is FALSE ("ab"/"ba"
+    share buckets at ED 2), so survivors verify with an exact
+    Levenshtein check — per-row Python, but gated to candidate pairs
+    only (the repo's prefilter convention).
+
+    Plan: distinct vocabulary via one combiner-first groupby (the op is
+    inherently vocab-scale — orders of magnitude below corpus rows);
+    variant generation is a loop over CHARACTER POSITIONS of vectorized
+    slice+join kernels, never over tokens; candidate pairs come from
+    :func:`pdf2doi_ray.stages.aggs.event_type_cooccurrence` reused with
+    (md5-bucket, token) as its (group, value) — its in-batch dedup,
+    single sort and vectorized segment-pair kernel apply unchanged.
+    With ``token_col`` set, each row's value in that column is taken as
+    one vocabulary entry instead of splitting ``text`` — e.g. host /
+    source names, where an ED-1 pair is the typo-squat signal.
+
+    Returns (token_a, token_b).
+    """
+    from ray.data.aggregate import Count
+
+    from .aggs import event_type_cooccurrence
+
+    def distinct_toks(t: pa.Table) -> pa.Table:
+        if token_col is not None:
+            flat = one_chunk(t[token_col])
+        else:
+            flat, _ = _tokens_nonempty(t)
+        g = pa.table({"token": flat}).group_by("token").aggregate([])
+        return g.select(["token"])
+
+    vocab = (docs.map_batches(distinct_toks, batch_format="pyarrow")
+             .groupby("token").aggregate(Count(alias_name="c")))
+
+    def variants(t: pa.Table) -> pa.Table:
+        tok = one_chunk(t["token"])
+        n = len(tok)
+        if n == 0:
+            return pa.table({"hv": pa.array([], type=pa.int64()),
+                             "token": pa.array([], type=pa.string())})
+        lens = np.asarray(pc.utf8_length(tok), dtype=np.int64)
+        outs_h, outs_t = [], []
+        # the token's own bucket
+        outs_h.append(md5_u64(tok).view(np.int64))
+        outs_t.append(tok)
+        for d in range(int(min(lens.max(), max_token_len))):
+            has = lens > d
+            if not has.any():
+                break
+            sub = tok.filter(pa.array(has))
+            var = pc.binary_join_element_wise(
+                pc.utf8_slice_codeunits(sub, 0, d),
+                pc.utf8_slice_codeunits(sub, d + 1, 2**31 - 1), "")
+            outs_h.append(md5_u64(var).view(np.int64))
+            outs_t.append(sub)
+        return pa.table({
+            "hv": pa.array(np.concatenate(outs_h)),
+            "token": pa.concat_arrays(
+                [a.combine_chunks() if isinstance(a, pa.ChunkedArray)
+                 else a for a in outs_t]),
+        })
+
+    cand = event_type_cooccurrence(
+        vocab.map_batches(variants, batch_format="pyarrow"),
+        group_col="hv", value_col="token")
+
+    def verify(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        a = t["type_a"].to_pandas()
+        b = t["type_b"].to_pandas()
+
+        def ed1(x: str, y: str) -> bool:
+            lx, ly = len(x), len(y)
+            if abs(lx - ly) > 1 or x == y:
+                return False
+            if lx == ly:
+                return sum(1 for p, q in zip(x, y) if p != q) == 1
+            if lx > ly:
+                x, y, lx, ly = y, x, ly, lx
+            # x shorter by one: one skip allowed
+            i = 0
+            while i < lx and x[i] == y[i]:
+                i += 1
+            return x[i:] == y[i + 1:]
+
+        keep = pa.array([ed1(x, y) for x, y in zip(a, b)])
+        return pa.table({"token_a": t["type_a"].filter(keep),
+                         "token_b": t["type_b"].filter(keep)})
+
+    return cand.map_batches(verify, batch_format="pyarrow")

@@ -979,3 +979,40 @@ def test_flesch_readability_edge_rows():
            .map_batches(flesch_readability, batch_format="pyarrow")
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(got.astype("int64"), want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fuzzy_token_pairs_blocking_matches_bruteforce():
+    """Synthetic typo vocabulary: blocking + verify must find exactly
+    the brute-force Levenshtein-1 pairs (incl. rejecting the classic
+    shared-bucket ED-2 false candidates like ab/ba)."""
+    import pandas as pd
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import fuzzy_token_pairs
+
+    vocab = ["cat", "cta", "cart", "car", "ca", "act", "dog", "dig",
+             "dg", "dogs", "ab", "ba", "hello", "helo", "hell", "x", ""]
+    vocab = [v for v in vocab if v]
+    rng = np.random.default_rng(2)
+    texts = [" ".join(rng.choice(vocab, 6)) for _ in range(100)]
+    docs = pd.DataFrame({"doc_id": np.arange(100, dtype=np.int64),
+                         "text": texts})
+
+    def lev(a, b):
+        la, lb = len(a), len(b)
+        d = list(range(lb + 1))
+        for i in range(1, la + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, lb + 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1,
+                                       prev + (a[i - 1] != b[j - 1]))
+        return d[lb]
+
+    used = sorted(set(" ".join(texts).split()))
+    want = sorted((a, b) for i, a in enumerate(used)
+                  for b in used[i + 1:] if lev(a, b) == 1)
+    got = fuzzy_token_pairs(
+        ray.data.from_pandas(docs).repartition(7)).to_pandas()
+    got_pairs = sorted(map(tuple, got.values))
+    assert got_pairs == want and len(want) > 5
