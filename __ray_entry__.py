@@ -1637,6 +1637,15 @@ def _q_fuzzy_token_pairs(sf_dir: str):
                              token_col="source")
 
 
+def _q_curate_v3(sf_dir: str):
+    """Curation v3: Gopher gate + Flesch floor + leakage-safe
+    train-split gate, then exact keep-first text dedup — gates before
+    the one exchange."""
+    from pdf2doi_ray.pipelines.curate import curate_training_slice
+    return curate_training_slice(
+        _docs(sf_dir, ("doc_id", "text", "source")))
+
+
 def _q_rank_user_value(sf_dir: str):
     """RANK() per user over the mod-100 milli value (tie-rich ordering);
     same sorted-block + sharded-stitch engine as the rolling sums."""
@@ -2475,6 +2484,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "iqr_outlier_filter": _q_iqr_outlier_filter,
         "cooccurrence_lift": _q_cooccurrence_lift,
         "fuzzy_token_pairs": _q_fuzzy_token_pairs,
+        "curate_v3": _q_curate_v3,
     }
 
 
@@ -4725,5 +4735,61 @@ WITH tk AS (SELECT DISTINCT source AS tok FROM documents)
 SELECT a.tok AS token_a, b.tok AS token_b
 FROM tk a JOIN tk b
   ON a.tok < b.tok AND levenshtein(a.tok, b.tok) = 1
+"""
+    # curate v3: the curate_v2 Gopher keepers fragment on plain
+    # documents + the Flesch floor + the md5(source) train gate, then
+    # keep-first text dedup
+    sql["curate_v3"] = """
+WITH t AS (SELECT doc_id, source, text,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws,
+             string_split(text, chr(10)) AS ls
+      FROM documents),
+m AS (SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             CAST(COALESCE(list_sum(list_transform(ws, x -> length(x))), 0)
+                  AS BIGINT) AS sum_len,
+             CAST(len(list_filter(ws,
+                  x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+             CAST(len(list_filter(ws, x -> x IN ('the','be','to','of','and',
+                  'that','have','with'))) AS BIGINT) AS n_stop,
+             CAST(length(text) - length(replace(text, '#', ''))
+                  AS BIGINT) AS n_hash,
+             CAST((length(text) - length(replace(text, '...', ''))) // 3
+                  AS BIGINT) AS n_ell,
+             CAST(len(ls) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(ls,
+                  x -> regexp_matches(x, '^[-*•]'))) AS BIGINT) AS n_bullet,
+             CAST(len(list_filter(ls,
+                  x -> regexp_matches(x, '\\.\\.\\.$')))
+                  AS BIGINT) AS n_ell_line
+      FROM t),
+fl AS (SELECT doc_id,
+              greatest(len(list_filter(string_split(text, ' '),
+                                       x -> x <> '')), 1) AS w,
+              greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+              len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syl
+       FROM documents),
+keep AS (
+  SELECT t.doc_id, t.text FROM t
+  JOIN m USING (doc_id) JOIN fl USING (doc_id)
+  WHERE m.n_words BETWEEN 50 AND 100000
+    AND (CASE WHEN m.n_words > 0
+              THEN m.sum_len * 1000 // m.n_words ELSE 0 END)
+        BETWEEN 3000 AND 10000
+    AND (CASE WHEN m.n_words > 0
+              THEN (m.n_hash + m.n_ell) * 1000 // m.n_words ELSE 0 END)
+        <= 100
+    AND (CASE WHEN m.n_lines > 0
+              THEN m.n_bullet * 1000 // m.n_lines ELSE 0 END) <= 100
+    AND (CASE WHEN m.n_lines > 0
+              THEN m.n_ell_line * 1000 // m.n_lines ELSE 0 END) <= 300
+    AND (CASE WHEN m.n_words > 0
+              THEN m.n_alpha * 1000 // m.n_words ELSE 0 END) >= 800
+    AND m.n_stop >= 2
+    AND 206835 - (1015 * (fl.w * 1000 // fl.s)) // 1000
+              - (84600 * (fl.syl * 1000 // fl.w)) // 1000 >= 10000
+    AND ('0x' || substr(md5(t.source), 1, 16))::UBIGINT % 1000 < 900)
+SELECT md5(text) AS text_hash, CAST(min(doc_id) AS BIGINT) AS doc_id
+FROM keep GROUP BY md5(text)
 """
     return sql
