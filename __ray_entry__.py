@@ -1646,6 +1646,22 @@ def _q_curate_v3(sf_dir: str):
         _docs(sf_dir, ("doc_id", "text", "source")))
 
 
+def _q_hll_registers_by_lang(sf_dir: str):
+    """Per-language HLL register state for distinct sources (mergeable
+    grouped NDV sketch; register state exactly SQL-recomputable)."""
+    from pdf2doi_ray.stages.sketch import hll_register_rows_by_group
+    return hll_register_rows_by_group(
+        _docs(sf_dir, ("lang", "source")), "lang", "source")
+
+
+def _q_banned_phrase_filter(sf_dir: str):
+    """C4-style banned-content gate: one RE2 alternation, pure streaming
+    filter."""
+    from pdf2doi_ray.stages.textstats import banned_phrase_filter
+    return banned_phrase_filter(
+        _docs(sf_dir, ("doc_id", "text", "n_chars")))
+
+
 def _q_rank_user_value(sf_dir: str):
     """RANK() per user over the mod-100 milli value (tie-rich ordering);
     same sorted-block + sharded-stitch engine as the rolling sums."""
@@ -2485,6 +2501,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cooccurrence_lift": _q_cooccurrence_lift,
         "fuzzy_token_pairs": _q_fuzzy_token_pairs,
         "curate_v3": _q_curate_v3,
+        "hll_registers_by_lang": _q_hll_registers_by_lang,
+        "banned_phrase_filter": _q_banned_phrase_filter,
     }
 
 
@@ -4791,5 +4809,21 @@ keep AS (
     AND ('0x' || substr(md5(t.source), 1, 16))::UBIGINT % 1000 < 900)
 SELECT md5(text) AS text_hash, CAST(min(doc_id) AS BIGINT) AS doc_id
 FROM keep GROUP BY md5(text)
+"""
+    sql["hll_registers_by_lang"] = """
+WITH d AS (SELECT DISTINCT lang, source FROM documents),
+h AS (SELECT lang,
+             ('0x' || substr(md5(source), 1, 16))::UBIGINT AS hv FROM d),
+r AS (SELECT lang, CAST(hv >> 52 AS BIGINT) AS bucket,
+             (hv % 4503599627370496) * 4096 + 4095 AS rest FROM h)
+SELECT lang, bucket,
+       CAST(MAX(65 - length(ltrim(bin(rest), '0'))) AS BIGINT) AS register
+FROM r GROUP BY lang, bucket
+"""
+    sql["banned_phrase_filter"] = """
+SELECT doc_id, n_chars FROM documents
+WHERE NOT (text LIKE '%batch batch batch%'
+        OR text LIKE '%slow slow%'
+        OR text LIKE '%dup dup%')
 """
     return sql

@@ -657,3 +657,56 @@ def heavy_hitters_tree(ds, column: str, m: int = 256, k: int = 20,
         "est_count": counts[order],
         "err_bound": np.full(len(order), err_total, dtype=np.int64),
     })
+
+
+def _hll_bucket_rank(values):
+    """(bucket, rank) per value — the per-row face of
+    :func:`registers_for`, shared by the grouped variant."""
+    hs = np.fromiter((hash64(v) for v in values), dtype=np.uint64,
+                     count=len(values))
+    idx = (hs >> np.uint64(64 - HLL_P)).astype(np.int64)
+    shifted = (hs << np.uint64(HLL_P)) | np.uint64((1 << HLL_P) - 1)
+    rank = np.ones(len(hs), dtype=np.int64)
+    mask = np.uint64(1) << np.uint64(63)
+    live = (shifted & mask) == 0
+    while live.any():
+        rank[live] += 1
+        shifted = shifted << np.uint64(1)
+        live = live & ((shifted & mask) == 0)
+    return idx, rank
+
+
+def hll_register_rows_by_group(ds, group_col: str, column: str):
+    """Per-group HLL register state — the grouped twin of
+    :func:`hll_register_rows` (approximate distinct ``column`` per
+    ``group_col``, e.g. distinct sources per language, mergeable across
+    any partitioning).  Exchange volume is ≤ |groups|·2^P rows per batch
+    after the in-batch (group, bucket) max collapse; the register
+    arithmetic is the md5 convention, so the SQL oracle recomputes the
+    state exactly and the check is value-hash-strict even though the
+    ESTIMATE is approximate.  Returns (group, bucket, register);
+    :func:`estimate` over one group's rows gives its NDV estimate.
+    """
+    from ray.data.aggregate import Max
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals = (t[column].combine_chunks()
+                if isinstance(t[column], pa.ChunkedArray)
+                else t[column]).to_pylist()
+        if not vals:
+            return pa.table({
+                group_col: pa.array([], type=pa.string()),
+                "bucket": pa.array([], type=pa.int64()),
+                "register": pa.array([], type=pa.int64())})
+        idx, rank = _hll_bucket_rank(vals)
+        g = pa.table({
+            group_col: t[group_col],
+            "bucket": pa.array(idx),
+            "register": pa.array(rank),
+        }).group_by([group_col, "bucket"]).aggregate([("register", "max")])
+        return pa.table({group_col: g[group_col], "bucket": g["bucket"],
+                         "register": g["register_max"].cast(pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby([group_col, "bucket"])
+            .aggregate(Max("register", alias_name="register")))

@@ -494,3 +494,33 @@ def flesch_readability(batch: pa.Table) -> pa.Table:
         "n_syllables": pa.array(syl),
         "flesch_milli": pa.array(score),
     })
+
+
+#: default banned phrases for the C4-style content filter — substrings,
+#: chosen to hit the synthetic corpus; real deployments pass their own list
+BANNED_PHRASES = ("batch batch batch", "slow slow", "dup dup")
+
+
+def banned_phrase_filter(docs, phrases=BANNED_PHRASES):
+    """C4-style banned-content gate: drop every document whose text
+    contains ANY of the phrases as a substring.  One compiled RE2
+    alternation over the whole batch (phrases regex-escaped) — a pure
+    streaming filter, no shuffle, no per-row Python.  Returns the
+    surviving (doc_id, n_chars) rows plus the match flag count semantics
+    of the SQL ``NOT (text LIKE ...)`` chain."""
+    import re as _re
+
+    pattern = "|".join(_re.escape(p) for p in phrases)
+
+    def keep(t: pa.Table) -> pa.Table:
+        hit = pc.match_substring_regex(
+            t["text"].combine_chunks()
+            if isinstance(t["text"], pa.ChunkedArray) else t["text"],
+            pattern)
+        mask = pc.invert(hit)
+        return pa.table({
+            "doc_id": t["doc_id"].filter(mask),
+            "n_chars": t["n_chars"].filter(mask),
+        })
+
+    return docs.map_batches(keep, batch_format="pyarrow")
