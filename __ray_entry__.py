@@ -1662,6 +1662,23 @@ def _q_banned_phrase_filter(sf_dir: str):
         _docs(sf_dir, ("doc_id", "text", "n_chars")))
 
 
+def _q_union_by_name(sf_dir: str):
+    """Schema-evolution UNION ALL BY NAME: two snapshot slices with
+    different column sets null-pad into one canonical schema (pure
+    streaming, zero-movement union)."""
+    import pyarrow.compute as pc
+
+    from pdf2doi_ray.stages.setops import union_by_name
+
+    even = _docs(sf_dir, ("doc_id", "lang", "n_chars")).map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0)),
+        batch_format="pyarrow")
+    odd = _docs(sf_dir, ("doc_id", "lang", "source")).map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 1)),
+        batch_format="pyarrow")
+    return union_by_name(even, odd)
+
+
 def _q_rank_user_value(sf_dir: str):
     """RANK() per user over the mod-100 milli value (tie-rich ordering);
     same sorted-block + sharded-stitch engine as the rolling sums."""
@@ -2503,6 +2520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_v3": _q_curate_v3,
         "hll_registers_by_lang": _q_hll_registers_by_lang,
         "banned_phrase_filter": _q_banned_phrase_filter,
+        "union_by_name": _q_union_by_name,
     }
 
 
@@ -4825,5 +4843,10 @@ SELECT doc_id, n_chars FROM documents
 WHERE NOT (text LIKE '%batch batch batch%'
         OR text LIKE '%slow slow%'
         OR text LIKE '%dup dup%')
+"""
+    sql["union_by_name"] = """
+SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 0
+UNION ALL BY NAME
+SELECT doc_id, lang, source FROM documents WHERE doc_id % 2 = 1
 """
     return sql

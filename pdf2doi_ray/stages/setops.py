@@ -75,3 +75,39 @@ def distinct_except(ds_a, ds_b, col: str):
     """Distinct keys present in ``ds_a`` but NOT ``ds_b`` (SQL
     ``EXCEPT``)."""
     return _filtered(_membership(ds_a, ds_b, col), col, keep_b=False)
+
+
+def union_by_name(ds_a, ds_b):
+    """Schema-evolution union: concatenate two Datasets whose schemas
+    share names but not shape (a crawl snapshot that gained columns, a
+    source that dropped one) — missing columns null-fill, like SQL's
+    ``UNION ALL BY NAME``.  Columns order canonically (sorted by name)
+    so downstream schema checks are deterministic; same-name columns
+    must agree on type (a silent cast would corrupt data — refuse
+    instead).
+
+    Pure streaming: one schema peek per side, then a per-batch
+    null-padding map and Ray's zero-movement block-concatenation union.
+    """
+    sa, sb = ds_a.schema(), ds_b.schema()
+    types: dict = {}
+    for sch in (sa, sb):
+        for name, typ in zip(sch.names, sch.types):
+            if name in types and types[name] != typ:
+                raise ValueError(
+                    f"union_by_name: column {name!r} has conflicting "
+                    f"types {types[name]} vs {typ}")
+            types[name] = typ
+    names = sorted(types)
+
+    def pad(t: pa.Table) -> pa.Table:
+        cols = {}
+        for name in names:
+            if name in t.column_names:
+                cols[name] = t[name]
+            else:
+                cols[name] = pa.nulls(t.num_rows, type=types[name])
+        return pa.table(cols)
+
+    return (ds_a.map_batches(pad, batch_format="pyarrow")
+            .union(ds_b.map_batches(pad, batch_format="pyarrow")))

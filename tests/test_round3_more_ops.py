@@ -1016,3 +1016,15 @@ def test_fuzzy_token_pairs_blocking_matches_bruteforce():
         ray.data.from_pandas(docs).repartition(7)).to_pandas()
     got_pairs = sorted(map(tuple, got.values))
     assert got_pairs == want and len(want) > 5
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_union_by_name_rejects_type_conflicts():
+    import ray.data
+
+    from pdf2doi_ray.stages.setops import union_by_name
+
+    a = ray.data.from_arrow(pa.table({"k": pa.array([1], pa.int64())}))
+    b = ray.data.from_arrow(pa.table({"k": pa.array(["x"], pa.string())}))
+    with pytest.raises(ValueError, match="conflicting"):
+        union_by_name(a, b)
