@@ -1679,6 +1679,13 @@ def _q_union_by_name(sf_dir: str):
     return union_by_name(even, odd)
 
 
+def _q_host_crawl_gaps(sf_dir: str):
+    """Per-host fetch-gap politeness audit (min/max seconds between
+    consecutive fetches) — sorted-block gaps + 2-row boundary stitch."""
+    from pdf2doi_ray.stages.skew import host_crawl_gaps
+    return host_crawl_gaps(_pages(sf_dir))
+
+
 def _q_rank_user_value(sf_dir: str):
     """RANK() per user over the mod-100 milli value (tie-rich ordering);
     same sorted-block + sharded-stitch engine as the rolling sums."""
@@ -2521,6 +2528,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_registers_by_lang": _q_hll_registers_by_lang,
         "banned_phrase_filter": _q_banned_phrase_filter,
         "union_by_name": _q_union_by_name,
+        "host_crawl_gaps": _q_host_crawl_gaps,
     }
 
 
@@ -4848,5 +4856,17 @@ WHERE NOT (text LIKE '%batch batch batch%'
 SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 0
 UNION ALL BY NAME
 SELECT doc_id, lang, source FROM documents WHERE doc_id % 2 = 1
+"""
+    # pages recompute: host = site-of-doc, fetch second = k (EPOCH + k s)
+    sql["host_crawl_gaps"] = f"""
+WITH d AS ({_D}),
+p AS (SELECT 'site' || site || '.example.org' AS host, k FROM d),
+g AS (SELECT host,
+             k - lag(k) OVER (PARTITION BY host ORDER BY k) AS gap
+      FROM p)
+SELECT host, CAST(count(*) AS BIGINT) AS n_fetches,
+       CAST(min(gap) AS BIGINT) AS min_gap_s,
+       CAST(max(gap) AS BIGINT) AS max_gap_s
+FROM g GROUP BY host
 """
     return sql

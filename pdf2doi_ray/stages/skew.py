@@ -88,3 +88,161 @@ def filter_blocked_hosts(pages, blocked_hosts, keep_cols=("url", "lang")):
         return out.filter(mask)
 
     return pages.map_batches(keep, batch_format="pyarrow")
+
+
+def host_crawl_gaps(pages):
+    """Per-host fetch-gap audit — n_fetches plus the min/max seconds
+    between consecutive fetches of the same host (the crawl-politeness /
+    rate-limit compliance metric).  NULL min/max for single-fetch hosts
+    (SQL min-of-nothing semantics).
+
+    Sorted-block plan (the :func:`pdf2doi_ray.stages.aggs
+    .event_transitions` shape): sort (host, warc_ts); adjacent same-host
+    rows inside a block yield gaps vectorized, each block carries exactly
+    its first and last row to a host-sharded stitch for the straddling
+    gaps, and per-host (n, min, max) partials merge through one tiny
+    ``groupby(host)`` — int64 sentinels ride the Min/Max aggregates and
+    null out in the final projection.  Exchange volume: ≤ |hosts| partial
+    rows per block + 2 carries per block, independent of fetch skew.
+    Returns (host, n_fetches, min_gap_s, max_gap_s).
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ..arrowutil import one_chunk
+    from .stitch import DEFAULT_STITCH_SHARDS, hash_shard_str, sharded_stitch
+
+    I64MAX = np.iinfo(np.int64).max
+    I64MIN = np.iinfo(np.int64).min
+
+    def to_host_ts(t: pa.Table):
+        urls = one_chunk(t["url"])
+        hosts = _hosts_vec(urls)
+        ts = np.asarray(pc.cast(pc.cast(one_chunk(t["warc_ts"]),
+                                        pa.timestamp("us")), pa.int64()))
+        return hosts, ts
+
+    def project(t: pa.Table) -> pa.Table:
+        hosts, ts = to_host_ts(t)
+        return pa.table({"host": hosts, "ts_us": pa.array(ts)})
+
+    def gap_partials(hosts, ts, adj):
+        """(host, n=0, min, max) rows from adjacent index pairs."""
+        gaps = (ts[adj + 1] - ts[adj]) // np.int64(1_000_000)
+        tbl = pa.table({"host": hosts.take(pa.array(adj)),
+                        "gap": pa.array(gaps)})
+        g = tbl.group_by("host").aggregate([("gap", "min"), ("gap", "max")])
+        z = np.zeros(g.num_rows, dtype=np.int64)
+        return pa.table({
+            "host": g["host"], "n_fetches": pa.array(z),
+            "min_gap_s": g["gap_min"].cast(pa.int64()),
+            "max_gap_s": g["gap_max"].cast(pa.int64())})
+
+    def block_gaps(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "host": pa.array([], type=pa.string()),
+            "n_fetches": pa.array([], type=pa.int64()),
+            "min_gap_s": pa.array([], type=pa.int64()),
+            "max_gap_s": pa.array([], type=pa.int64()),
+            "ts_us": pa.array([], type=pa.int64()),
+            "is_first": pa.array([], type=pa.bool_()),
+            "is_last": pa.array([], type=pa.bool_()),
+            "boundary": pa.array([], type=pa.bool_())})
+        n = t.num_rows
+        if n == 0:
+            return empty
+        hosts = one_chunk(t["host"])
+        ts = np.asarray(one_chunk(t["ts_us"])).astype(np.int64)
+        same = np.asarray(pc.equal(hosts.slice(1), hosts.slice(0, n - 1)),
+                          dtype=bool) if n > 1 else np.empty(0, bool)
+        adj = np.nonzero(same)[0]
+        gp = gap_partials(hosts, ts, adj)
+        # per-host fetch counts (additive)
+        c = pa.table({"host": hosts}).group_by("host") \
+            .aggregate([([], "count_all")])
+        k1, k2 = gp.num_rows, c.num_rows
+        edge = np.array([0, n - 1]) if n > 1 else np.array([0])
+        e = len(edge)
+        return pa.table({
+            "host": pa.concat_arrays([
+                one_chunk(gp["host"]), one_chunk(c["host"]),
+                hosts.take(pa.array(edge)).cast(pa.string())]),
+            "n_fetches": pa.array(np.concatenate([
+                np.zeros(k1, np.int64),
+                np.asarray(c["count_all"], dtype=np.int64),
+                np.zeros(e, np.int64)])),
+            "min_gap_s": pa.array(np.concatenate([
+                np.asarray(one_chunk(gp["min_gap_s"])),
+                np.full(k2, I64MAX, np.int64),
+                np.full(e, I64MAX, np.int64)])),
+            "max_gap_s": pa.array(np.concatenate([
+                np.asarray(one_chunk(gp["max_gap_s"])),
+                np.full(k2, I64MIN, np.int64),
+                np.full(e, I64MIN, np.int64)])),
+            "ts_us": pa.array(np.concatenate([
+                np.full(k1 + k2, -1, np.int64), ts[edge]])),
+            "is_first": pa.array([False] * (k1 + k2)
+                                 + [True] + [False] * (e - 1)),
+            "is_last": pa.array([False] * (k1 + k2)
+                                + [False] * (e - 1) + [True]),
+            "boundary": pa.array([False] * (k1 + k2) + [True] * e)})
+
+    def stitch(t: pa.Table) -> pa.Table:
+        out_empty = pa.table({
+            "host": pa.array([], type=pa.string()),
+            "n_fetches": pa.array([], type=pa.int64()),
+            "min_gap_s": pa.array([], type=pa.int64()),
+            "max_gap_s": pa.array([], type=pa.int64())})
+        if t.num_rows == 0:
+            return out_empty
+        hosts = one_chunk(t["host"])
+        ts = np.asarray(one_chunk(t["ts_us"])).astype(np.int64)
+        isf = np.asarray(one_chunk(t["is_first"]), dtype=bool)
+        isl = np.asarray(one_chunk(t["is_last"]), dtype=bool)
+        # primary key must be the host VALUE (a hash would interleave
+        # colliding hosts and break the is_last→is_first adjacency)
+        order = np.lexsort(
+            (ts, np.asarray(hosts.to_numpy(zero_copy_only=False),
+                            dtype=object)))
+        hosts = hosts.take(pa.array(order))
+        ts, isf, isl = ts[order], isf[order], isl[order]
+        m = len(ts)
+        same = np.asarray(pc.equal(hosts.slice(1), hosts.slice(0, m - 1)),
+                          dtype=bool) if m > 1 else np.empty(0, bool)
+        pair = np.nonzero(same & isl[:-1] & isf[1:])[0]
+        return gap_partials(hosts, ts, pair)
+
+    srt = pages.map_batches(project, batch_format="pyarrow") \
+        .sort(["host", "ts_us"])
+    mixed = srt.map_batches(block_gaps, batch_format="pyarrow",
+                            batch_size=None).materialize()
+    interior = mixed.map_batches(
+        lambda t: t.filter(pc.equal(t["boundary"], False))
+        .select(["host", "n_fetches", "min_gap_s", "max_gap_s"]),
+        batch_format="pyarrow")
+    carries = mixed.map_batches(
+        lambda t: t.filter(t["boundary"])
+        .select(["host", "ts_us", "is_first", "is_last"]),
+        batch_format="pyarrow")
+    cross = sharded_stitch(
+        carries, lambda t: hash_shard_str(one_chunk(t["host"])),
+        stitch, num_shards=DEFAULT_STITCH_SHARDS)
+
+    def finish(t: pa.Table) -> pa.Table:
+        none_seen = pc.equal(one_chunk(t["min_gap_s"]),
+                             pa.scalar(I64MAX, pa.int64()))
+        return pa.table({
+            "host": t["host"],
+            "n_fetches": t["n_fetches"],
+            "min_gap_s": pc.if_else(none_seen, pa.scalar(None, pa.int64()),
+                                    one_chunk(t["min_gap_s"])),
+            "max_gap_s": pc.if_else(none_seen, pa.scalar(None, pa.int64()),
+                                    one_chunk(t["max_gap_s"])),
+        })
+
+    return (interior.union(cross)
+            .groupby("host")
+            .aggregate(Sum("n_fetches", alias_name="n_fetches"),
+                       Min("min_gap_s", alias_name="min_gap_s"),
+                       Max("max_gap_s", alias_name="max_gap_s"))
+            .map_batches(finish, batch_format="pyarrow"))

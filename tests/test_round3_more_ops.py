@@ -1028,3 +1028,38 @@ def test_union_by_name_rejects_type_conflicts():
     b = ray.data.from_arrow(pa.table({"k": pa.array(["x"], pa.string())}))
     with pytest.raises(ValueError, match="conflicting"):
         union_by_name(a, b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_host_crawl_gaps_tiny_blocks_and_single_fetch_null():
+    import pandas as pd
+    import ray.data
+
+    from pdf2doi_ray.stages.skew import host_crawl_gaps
+
+    rng = np.random.default_rng(17)
+    n = 120
+    hosts = rng.choice([f"h{i}.org" for i in range(7)], n).tolist() \
+        + ["lonely.org"]
+    ts = np.concatenate([rng.choice(10**6, n, replace=False),
+                         [999999]]).astype("int64")
+    df = pd.DataFrame({
+        "url": [f"https://{h}/p" for h in hosts],
+        "warc_ts": pd.to_datetime(ts, unit="s").astype("datetime64[us]"),
+    })
+    g = df.assign(host=hosts, s=ts).sort_values(["host", "s"])
+    gaps = g.groupby("host")["s"].diff().dropna()
+    want = (g.groupby("host")
+            .agg(n_fetches=("s", "size"))
+            .join(gaps.groupby(g["host"]).agg(["min", "max"]))
+            .reset_index()
+            .rename(columns={"min": "min_gap_s", "max": "max_gap_s"}))
+    got = (host_crawl_gaps(ray.data.from_pandas(df).repartition(30))
+           .to_pandas().sort_values("host").reset_index(drop=True))
+    assert got.loc[got["host"] == "lonely.org", "min_gap_s"].isna().all()
+    for _, row in want.iterrows():
+        sub = got[got["host"] == row["host"]].iloc[0]
+        assert sub["n_fetches"] == row["n_fetches"]
+        if row["n_fetches"] > 1:
+            assert sub["min_gap_s"] == row["min_gap_s"]
+            assert sub["max_gap_s"] == row["max_gap_s"]
