@@ -1686,6 +1686,35 @@ def _q_host_crawl_gaps(sf_dir: str):
     return host_crawl_gaps(_pages(sf_dir))
 
 
+def _q_dedup_url_daily(sf_dir: str):
+    """Recrawl collapse: one page per (url, UTC day), earliest fetch
+    wins — exercised over a two-visit stream (the crawl + a +86000 s
+    revisit, which straddles the day boundary only for late-day k)."""
+    import pyarrow.compute as pc
+
+    from pdf2doi_ray.arrowutil import one_chunk
+    from pdf2doi_ray.stages.corpus import dedup_url_daily
+
+    pages = _pages(sf_dir)
+
+    def shift(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from pdf2doi_ray.arrowutil import one_chunk
+        return pa.table({
+            "url": t["url"],
+            "warc_ts": pc.add(
+                one_chunk(t["warc_ts"]).cast(pa.timestamp("us")),
+                pa.scalar(86_000_000_000, pa.duration("us"))),
+        })
+
+    revisit = pages.map_batches(shift, batch_format="pyarrow")
+    first = pages.map_batches(
+        lambda t: t.select(["url", "warc_ts"]), batch_format="pyarrow")
+    return dedup_url_daily(first.union(revisit))
+
+
 def _q_rank_user_value(sf_dir: str):
     """RANK() per user over the mod-100 milli value (tie-rich ordering);
     same sorted-block + sharded-stitch engine as the rolling sums."""
@@ -2529,6 +2558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "banned_phrase_filter": _q_banned_phrase_filter,
         "union_by_name": _q_union_by_name,
         "host_crawl_gaps": _q_host_crawl_gaps,
+        "dedup_url_daily": _q_dedup_url_daily,
     }
 
 
@@ -4868,5 +4898,15 @@ SELECT host, CAST(count(*) AS BIGINT) AS n_fetches,
        CAST(min(gap) AS BIGINT) AS min_gap_s,
        CAST(max(gap) AS BIGINT) AS max_gap_s
 FROM g GROUP BY host
+"""
+    sql["dedup_url_daily"] = f"""
+WITH d AS ({_D}),
+v AS (SELECT {_URL} AS url, 1735689600 + k AS s FROM d
+      UNION ALL
+      SELECT {_URL} AS url, 1735689600 + k + 86000 AS s FROM d)
+SELECT url, CAST(s // 86400 AS BIGINT) AS day,
+       CAST(min(s) AS BIGINT) AS first_ts_s,
+       CAST(count(*) AS BIGINT) AS n_visits
+FROM v GROUP BY url, s // 86400
 """
     return sql

@@ -2663,3 +2663,37 @@ def fuzzy_token_pairs(docs, max_token_len: int = 64,
                          "token_b": t["type_b"].filter(keep)})
 
     return cand.map_batches(verify, batch_format="pyarrow")
+
+
+def dedup_url_daily(pages):
+    """Crawl revisit policy: ONE page per (url, UTC day), keeping the
+    earliest fetch — the recrawl-collapse step before any content
+    pipeline, so a hot page fetched hourly contributes one row per day.
+
+    Combiner-first: per batch, an Arrow ``group_by(url, day)`` collapses
+    to (min fetch second, visit count) partials; the one exchange is a
+    ``groupby(["url", "day"])`` merging Min/Sum — shuffle volume is
+    distinct (url, day) pairs per batch, never raw fetches.  Day is
+    ``epoch_s // 86400`` (non-negative timestamps, floor == SQL ``//``).
+    Returns (url, day, first_ts_s, n_visits).
+    """
+    from ray.data.aggregate import Min, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = np.asarray(pc.cast(pc.cast(one_chunk(t["warc_ts"]),
+                                       pa.timestamp("us")), pa.int64())) \
+            // np.int64(1_000_000)
+        day = s // np.int64(86_400)
+        g = pa.table({
+            "url": t["url"], "day": pa.array(day), "s": pa.array(s),
+        }).group_by(["url", "day"]).aggregate([("s", "min"),
+                                               ("s", "count")])
+        return pa.table({
+            "url": g["url"], "day": g["day"],
+            "first_ts_s": g["s_min"].cast(pa.int64()),
+            "n_visits": g["s_count"].cast(pa.int64())})
+
+    return (pages.map_batches(partial, batch_format="pyarrow")
+            .groupby(["url", "day"])
+            .aggregate(Min("first_ts_s", alias_name="first_ts_s"),
+                       Sum("n_visits", alias_name="n_visits")))
