@@ -2369,6 +2369,52 @@ def _q_semantic_dedup(sf_dir: str):
     return semantic_dedup(emb, k=8, iters=5, threshold=0.95)
 
 
+def _q_resolve_redirects(sf_dir: str):
+    """Redirect-chain resolution by path doubling over a deterministic
+    functional graph on doc ids: doc d>0 redirects to
+    ``max(d - 1 - md5_64(d)%7, 0)`` unless ``md5_64(d)%5 == 0`` (a
+    terminal page); expected chain ~5 hops, longest a few dozen — the
+    log2-round doubling loop resolves all of them in ~6 self-joins."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pdf2doi_ray.arrowutil import one_chunk
+    from pdf2doi_ray.stages.corpus import md5_u64
+    from pdf2doi_ray.stages.graph import resolve_redirects
+
+    def edges(t: pa.Table) -> pa.Table:
+        d = np.asarray(one_chunk(t["doc_id"])).astype(np.int64)
+        h = md5_u64(np.array([str(x) for x in d], dtype=object))
+        keep = (d > 0) & (h % np.uint64(5) != 0)
+        d, h = d[keep], h[keep]
+        dst = np.maximum(d - 1 - (h % np.uint64(7)).astype(np.int64), 0)
+        return pa.table({"src": pa.array(d), "dst": pa.array(dst)})
+
+    e = _docs(sf_dir, ("doc_id",)).map_batches(edges, batch_format="pyarrow")
+    return resolve_redirects(e)
+
+
+def _q_rolling_time_sum(sf_dir: str):
+    """RANGE-frame window: per-user sum over the trailing hour of events
+    (order-key-value frame, peers included) — the time-windowed twin of
+    the ROWS-frame rolling sums."""
+    import ray.data
+
+    from pdf2doi_ray.stages.windowfns import rolling_time_user_sum
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"])
+    return rolling_time_user_sum(ev, window_s=3600)
+
+
+def _q_token_budget_head(sf_dir: str):
+    """Cut the corpus to a 100k-token training budget in the seeded md5
+    order — cumulative-window prefix over the deterministic shuffle."""
+    from pdf2doi_ray.stages.corpus import token_budget_head
+    return token_budget_head(_docs(sf_dir, ("doc_id", "text")),
+                             budget_tokens=100_000)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -2385,6 +2431,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": _q_simhash,
         "winnow_fingerprints": _q_winnow,
         "clip_identifiers": _q_clip,
+        "resolve_redirects": _q_resolve_redirects,
+        "rolling_time_sum": _q_rolling_time_sum,
+        "token_budget_head": _q_token_budget_head,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "orders_customer_join": _q_orders_customer_join,
         "lineitem_orders_join": _q_lineitem_orders_join,
@@ -4908,5 +4957,41 @@ SELECT url, CAST(s // 86400 AS BIGINT) AS day,
        CAST(min(s) AS BIGINT) AS first_ts_s,
        CAST(count(*) AS BIGINT) AS n_visits
 FROM v GROUP BY url, s // 86400
+"""
+    sql["resolve_redirects"] = """
+WITH RECURSIVE
+h AS (SELECT doc_id,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 16))::UBIGINT AS hv
+      FROM documents),
+e AS (SELECT doc_id AS src,
+             greatest(doc_id - 1 - CAST(hv % 7 AS BIGINT), 0) AS dst
+      FROM h WHERE doc_id > 0 AND hv % 5 <> 0),
+walk AS (
+    SELECT src, dst AS cur, 1 AS n FROM e
+    UNION ALL
+    SELECT w.src, e.dst, w.n + 1 FROM walk w JOIN e ON w.cur = e.src)
+SELECT src, CAST(cur AS BIGINT) AS final, CAST(n AS BIGINT) AS n_hops
+FROM walk w
+WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = w.cur)
+"""
+    sql["rolling_time_sum"] = """
+WITH e AS (SELECT event_id, user_id, ts,
+                  CAST(floor(value * 1000) AS BIGINT) AS vm FROM events)
+SELECT event_id, user_id,
+       CAST(SUM(vm) OVER (PARTITION BY user_id ORDER BY ts
+            RANGE BETWEEN INTERVAL 3600 SECONDS PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS range_sum
+FROM e
+"""
+    sql["token_budget_head"] = """
+WITH c AS (SELECT doc_id,
+       len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok,
+       ('0x' || substr(md5('budget:' || doc_id::VARCHAR), 1, 16))::UBIGINT
+           >> 1 AS skey
+  FROM documents),
+w AS (SELECT doc_id, n_tok,
+             SUM(n_tok) OVER (ORDER BY skey, doc_id) AS cum FROM c)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, CAST(cum AS BIGINT) AS cum_tok
+FROM w WHERE cum <= 100000
 """
     return sql

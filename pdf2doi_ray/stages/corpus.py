@@ -2697,3 +2697,96 @@ def dedup_url_daily(pages):
             .groupby(["url", "day"])
             .aggregate(Min("first_ts_s", alias_name="first_ts_s"),
                        Sum("n_visits", alias_name="n_visits")))
+
+
+def token_budget_head(docs, budget_tokens: int, seed: str = "budget"):
+    """Deterministic token-budget truncation: keep the prefix of the
+    md5-seeded corpus order whose cumulative whitespace-token count stays
+    within ``budget_tokens`` — the "cut this corpus to N training tokens"
+    step of a data-mix plan, reproducible across runs and engines (the
+    order is ``md5_63(seed ':' doc_id)``, the :func:`.export.seeded_shuffle`
+    permutation, so re-cuts at a bigger budget are strict supersets).
+
+    Same block-carry plan as :func:`pack_sequences` /
+    ``export.seeded_shuffle``: per-doc token counts (vectorized split) →
+    ``sort(skey, doc_id)`` over ~24 B count rows (texts never move) → each
+    sorted block emits LOCAL inclusive cumsums plus ONE carry row (block
+    total); the driver cumsums the ≤ #blocks carries into per-block base
+    offsets, broadcasts the tiny dict, and a vectorized
+    ``base + local ≤ budget`` filter keeps the prefix.  Returns
+    (doc_id, n_tok, cum_tok) of kept docs, ``cum_tok`` inclusive.
+    """
+    import ray
+
+    def key_rows(t: pa.Table) -> pa.Table:
+        ids = np.asarray(one_chunk(t["doc_id"]), dtype=np.int64)
+        flat, row_idx = _tokens_nonempty(t)
+        n = np.zeros(t.num_rows, dtype=np.int64)
+        if len(row_idx):
+            np.add.at(n, row_idx, 1)
+        ks = np.fromiter(
+            (int.from_bytes(
+                hashlib.md5(f"{seed}:{int(d)}".encode()).digest()[:8],
+                "big") >> 1 for d in ids),
+            dtype=np.int64, count=len(ids))
+        return pa.table({"doc_id": pa.array(ids), "skey": pa.array(ks),
+                         "n_tok": pa.array(n)})
+
+    def block_local(t: pa.Table) -> pa.Table:
+        n_rows = t.num_rows
+        if not n_rows:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"doc_id": z, "bkey": z, "bdoc": z,
+                             "n_tok": z, "cum": z,
+                             "is_carry": pa.array([], type=pa.bool_())})
+        ids = np.asarray(one_chunk(t["doc_id"]), dtype=np.int64)
+        ks = np.asarray(one_chunk(t["skey"]), dtype=np.int64)
+        n = np.asarray(one_chunk(t["n_tok"]), dtype=np.int64)
+        cum = np.cumsum(n)                       # inclusive
+        bkey, bdoc = int(ks[0]), int(ids[0])     # block min under the sort
+        return pa.table({
+            "doc_id": pa.array(np.concatenate([ids, [bdoc]])),
+            "bkey": pa.array(np.full(n_rows + 1, bkey, dtype=np.int64)),
+            "bdoc": pa.array(np.full(n_rows + 1, bdoc, dtype=np.int64)),
+            "n_tok": pa.array(np.concatenate([n, [0]])),
+            "cum": pa.array(np.concatenate([cum, [int(cum[-1])]])),
+            "is_carry": pa.array([False] * n_rows + [True]),
+        })
+
+    tagged = (docs.map_batches(key_rows, batch_format="pyarrow")
+              .sort(["skey", "doc_id"])
+              .map_batches(block_local, batch_format="pyarrow",
+                           batch_size=None)).materialize()
+    carries = sorted(
+        ((r["bkey"], r["bdoc"], r["cum"])
+         for r in tagged.map_batches(
+             lambda t: t.filter(one_chunk(t["is_carry"])),
+             batch_format="pyarrow").take_all()))
+    bases, acc = {}, 0
+    for bk, bd, total in carries:
+        bases[(bk, bd)] = acc
+        acc += total
+    bases_ref = ray.put(bases)
+
+    def keep_prefix(t: pa.Table) -> pa.Table:
+        b = ray.get(bases_ref)
+        sub = t.filter(pc.invert(one_chunk(t["is_carry"])))
+        if sub.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"doc_id": z, "n_tok": z, "cum_tok": z})
+        bk = np.asarray(one_chunk(sub["bkey"]), dtype=np.int64)
+        bd = np.asarray(one_chunk(sub["bdoc"]), dtype=np.int64)
+        cum = np.asarray(one_chunk(sub["cum"]), dtype=np.int64)
+        pairs = np.stack([bk, bd], axis=1)
+        uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
+        base = np.array([b[(int(x), int(y))] for x, y in uniq],
+                        dtype=np.int64)[inv]
+        g = base + cum
+        keep = g <= budget_tokens
+        return pa.table({"doc_id": one_chunk(sub["doc_id"]).filter(
+                             pa.array(keep)),
+                         "n_tok": one_chunk(sub["n_tok"]).filter(
+                             pa.array(keep)),
+                         "cum_tok": pa.array(g[keep])})
+
+    return tagged.map_batches(keep_prefix, batch_format="pyarrow")

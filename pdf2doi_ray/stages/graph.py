@@ -523,3 +523,80 @@ def prune_near_dups_distributed(items, pairs, id_col: str = "vec_id",
         return t.filter(pc.is_null(t["_drop"])).drop_columns(["_drop"])
 
     return joined.map_batches(survivors, batch_format="pyarrow")
+
+
+def resolve_redirects(edges, src_col: str = "src", dst_col: str = "dst",
+                      max_rounds: int = 20, num_partitions: int = 8):
+    """Resolve HTTP-redirect chains to their final target by path doubling.
+
+    ``edges`` is a FUNCTIONAL graph: one ``(src, dst)`` int64 row per
+    redirecting url id, at most one outgoing edge per ``src``, and no
+    cycles (a crawler's redirect log after its own loop guard; the
+    reference tool follows ``dx.doi.org`` redirects one url at a time in
+    ``finders.py`` — here the whole crawl's chains resolve at once).
+    Returns ``(src, final, n_hops)`` for EVERY src: the first reachable
+    node with no outgoing edge and the exact hop count to it.
+
+    Path doubling: each round every still-unresolved pointer jumps to its
+    target's CURRENT pointer (``dst ← M[dst]``, ``hops += hops[dst]``), so
+    the resolved prefix of every chain doubles per round — a chain of
+    length L needs ceil(log2 L) rounds, each ONE hash-partitioned
+    left-outer self-join over 3-int64 rows (`shuffle_hash_join`; payload
+    urls never enter the loop — encode to ids first).  A per-round
+    driver-side Sum of the moved-row indicator detects the fixpoint; on a
+    cycle the sum never reaches zero and ``max_rounds`` raises instead of
+    returning wrong finals.  At 10^12 pages redirect rows are a small
+    fraction of the crawl and shrink as chains resolve; ``num_partitions``
+    bounds per-aggregator memory of each round's exchange.
+    """
+    import pyarrow.compute as pc
+
+    from ..arrowutil import one_chunk
+    from .joins import shuffle_hash_join
+
+    def init(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "src": one_chunk(t[src_col]).cast(pa.int64()),
+            "dst": one_chunk(t[dst_col]).cast(pa.int64()),
+            "n_hops": pa.array(np.ones(n, dtype=np.int64)),
+        })
+
+    state = edges.map_batches(init, batch_format="pyarrow").materialize()
+
+    def as_jump(t: pa.Table) -> pa.Table:
+        return pa.table({"j_src": t["src"], "j_dst": t["dst"],
+                         "j_hops": t["n_hops"]})
+
+    for _ in range(max_rounds):
+        jump = state.map_batches(as_jump, batch_format="pyarrow")
+        joined = shuffle_hash_join(
+            state.select_columns(["src", "dst", "n_hops"]), jump,
+            on="dst", right_on="j_src",
+            join_type="left_outer", num_partitions=num_partitions)
+
+        def advance(t: pa.Table) -> pa.Table:
+            hit = pc.is_valid(one_chunk(t["j_dst"]))
+            return pa.table({
+                "src": t["src"],
+                "dst": pc.if_else(hit, t["j_dst"], t["dst"]),
+                "n_hops": pc.add(
+                    t["n_hops"],
+                    pc.if_else(hit, t["j_hops"], pa.scalar(0, pa.int64()))),
+                "moved": pc.cast(hit, pa.int64()),
+            })
+
+        # the moved indicator rides along in the materialized state (every
+        # consumer projects named columns, so it never enters a join) — one
+        # materialize per round, the Sum reads it for free
+        state = joined.map_batches(
+            advance, batch_format="pyarrow").materialize()
+        moved = state.sum("moved")
+        if not moved:
+            return state.map_batches(
+                lambda t: pa.table({"src": t["src"], "final": t["dst"],
+                                    "n_hops": t["n_hops"]}),
+                batch_format="pyarrow")
+    raise RuntimeError(
+        f"resolve_redirects: chains unresolved after {max_rounds} doubling "
+        "rounds — a redirect cycle or a chain longer than 2^rounds")

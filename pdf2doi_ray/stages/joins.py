@@ -1231,3 +1231,59 @@ def top_supplier_revenue(supplier, lineitem, start_us=None, end_us=None):
                               "s_name": pd.Series(dtype="object"),
                               "revenue_milli": pd.Series(dtype="int64")})
     return named.sort_values("s_suppkey").reset_index(drop=True)
+
+
+def write_bucketed(ds, key_col: str, out_dir: str, n_buckets: int = 32):
+    """Write ``ds`` as a hash-bucketed hive layout ``out_dir/bucket=B/`` —
+    ONE streaming ``write_parquet(partition_cols)`` pass, no shuffle, no
+    materialize.  ``bucket = mix64(key) % n_buckets`` (Fibonacci-hash mix,
+    same function on every table) — two tables written with the same
+    ``n_buckets`` are CO-PARTITIONED on the key, which is the storage
+    contract :func:`bucketed_join` exploits.  Pick one partitioning key
+    per subject area and reuse the layout across every downstream join."""
+    from ..arrowutil import one_chunk
+
+    def tag(t: pa.Table) -> pa.Table:
+        k = np.asarray(one_chunk(t[key_col])).astype(np.uint64)
+        h = (k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(1)
+        return t.append_column(
+            "bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64)))
+
+    ds.map_batches(tag, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["bucket"])
+
+
+def bucketed_join(left_dir: str, right_dir: str, on: str, right_on: str,
+                  n_buckets: int, project=None):
+    """Join two CO-BUCKETED hive layouts (written by :func:`write_bucketed`
+    with the same ``n_buckets``) bucket-by-bucket with ZERO exchange: the
+    driving Dataset is just the ``n_buckets`` bucket ids, and each map task
+    reads ONE bucket directory from each side (hive-fragment pruning — no
+    other bucket's bytes move) and runs a local pyarrow hash join.
+
+    This is the storage-layout answer to the repeated-fact-join problem:
+    the hash shuffle is paid ONCE at write time and amortized over every
+    subsequent join / groupby on the same key — at 100 TB, re-bucketing
+    per query is the difference between one exchange per pipeline and
+    none.  Skewed keys cost a big bucket, not a hot aggregator; raise
+    ``n_buckets`` so the largest bucket pair fits a worker's heap.
+    """
+    import ray.data
+
+    def join_one(t: pa.Table) -> pa.Table:
+        import pyarrow.dataset as pads
+        out = []
+        for b in t["id"].to_pylist():
+            lt = pads.dataset(left_dir, partitioning="hive").to_table(
+                filter=(pads.field("bucket") == b))
+            rt = pads.dataset(right_dir, partitioning="hive").to_table(
+                filter=(pads.field("bucket") == b))
+            j = lt.drop_columns(["bucket"]).join(
+                rt.drop_columns(["bucket"]), keys=[on],
+                right_keys=[right_on])
+            out.append(j.select(list(project)) if project is not None
+                       else j)
+        return pa.concat_tables(out)
+
+    return ray.data.range(n_buckets).map_batches(
+        join_one, batch_format="pyarrow", batch_size=1)

@@ -139,6 +139,38 @@ def rolling_user_sum(events, w=3,
     return _windowed_user_op(events, kernel, "roll_sum", stitch_shards)
 
 
+def rolling_time_user_sum(events, window_s: int = 3600,
+                          stitch_shards: int = DEFAULT_STITCH_SHARDS):
+    """Time-RANGE rolling sum — ``SUM(vm) OVER (PARTITION BY user_id
+    ORDER BY ts RANGE BETWEEN window_s PRECEDING AND CURRENT ROW)``.
+
+    Unlike the ROWS frames, the frame is defined by the order-key VALUES:
+    every row in ``[ts-window, ts]`` counts, and rows sharing the current
+    ts are peers (all included, even later-sorted ones) — exactly SQL
+    RANGE semantics.  Kernel: per segment, two ``searchsorted`` probes
+    against the segment's sorted ts array bound the frame and a prefix-sum
+    difference evaluates it; the per-segment loop touches users, not rows,
+    and every row's work stays vectorized.  Same sorted-block +
+    boundary-stitch distribution as the ROWS frames (the stitch re-emits
+    raw boundary rows with their timestamps, so any window length is
+    exact across block edges).  Output: event_id, user_id, range_sum.
+    """
+    win_us = np.int64(window_s) * np.int64(1_000_000)
+
+    def kernel(vm, starts, ends, ts):
+        out = np.empty(len(vm), dtype=np.int64)
+        cc = np.concatenate([[0], np.cumsum(vm)])
+        for s, e in zip(starts, ends):
+            seg = ts[s:e]
+            lo = s + np.searchsorted(seg, seg - win_us, side="left")
+            hi = s + np.searchsorted(seg, seg, side="right")
+            out[s:e] = cc[hi] - cc[lo]
+        return out, None
+
+    return _windowed_user_op(events, kernel, "range_sum", stitch_shards,
+                             needs_ts=True)
+
+
 def lag_user_value(events, stitch_shards: int = DEFAULT_STITCH_SHARDS):
     """``LAG(vm) OVER (PARTITION BY user_id ORDER BY ts, event_id)`` over
     the milli-scaled value — NULL for each user's first event, exactly the
@@ -244,7 +276,8 @@ def row_number_user(events, stitch_shards: int = DEFAULT_STITCH_SHARDS):
 
 
 def _windowed_user_op(events, kernel, out_col: str,
-                      stitch_shards: int = DEFAULT_STITCH_SHARDS):
+                      stitch_shards: int = DEFAULT_STITCH_SHARDS,
+                      needs_ts: bool = False):
     """Shared engine of the per-user ordered window functions.
 
     Sorted-block plan: sort (user_id, ts, event_id); rows of users fully
@@ -253,7 +286,9 @@ def _windowed_user_op(events, kernel, out_col: str,
     segments (first and last user) re-emit raw (user_id, ts, event_id, vm)
     rows to the per-user sharded stitch, which lexsorts and reruns the
     SAME kernel — so any per-segment window function gets the distributed
-    plan for free.
+    plan for free.  ``needs_ts=True`` kernels take a fourth argument, the
+    rows' epoch-µs timestamps in segment order — RANGE (time-windowed)
+    frames need the order-key VALUES, not just positions.
     """
     def block_roll(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -280,8 +315,9 @@ def _windowed_user_op(events, kernel, out_col: str,
             # interior segments are contiguous in a sorted block: one slice
             i_starts, i_ends = starts[interior], ends[interior]
             idx = np.arange(ends[0], starts[last])
+            args = (ts[idx],) if needs_ts else ()
             roll, valid = kernel(vm[idx], i_starts - ends[0],
-                                 i_ends - ends[0])
+                                 i_ends - ends[0], *args)
         else:
             idx = np.empty(0, dtype=np.int64)
             roll = np.empty(0, dtype=np.int64)
@@ -318,11 +354,12 @@ def _windowed_user_op(events, kernel, out_col: str,
         ts = np.asarray(one_chunk(t["ts_us"])).astype(np.int64)
         vm = np.asarray(one_chunk(t["vm"])).astype(np.int64)
         order = np.lexsort((eid, ts, us))
-        us, eid, vm = us[order], eid[order], vm[order]
+        us, eid, vm, ts = us[order], eid[order], vm[order], ts[order]
         change = np.nonzero(us[1:] != us[:-1])[0] + 1
         starts = np.concatenate([[0], change]).astype(np.int64)
         ends = np.concatenate([change, [len(us)]]).astype(np.int64)
-        roll, valid = kernel(vm, starts, ends)
+        roll, valid = kernel(vm, starts, ends,
+                             *((ts,) if needs_ts else ()))
         return pa.table({"event_id": pa.array(eid),
                          "user_id": pa.array(us),
                          out_col: pa.array(

@@ -1,0 +1,128 @@
+"""Round-4 wave-5 operators: redirect resolution, range windows, corpus
+truncation, bucketed joins."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resolve_redirects_handbuilt_chains():
+    import pandas as pd
+    import ray.data
+
+    from pdf2doi_ray.stages.graph import resolve_redirects
+
+    # chains: 5->4->3->0 (terminal), 9->8 (terminal), 7->0, lone 2->1
+    edges = pd.DataFrame({"src": [5, 4, 3, 9, 7, 2],
+                          "dst": [4, 3, 0, 8, 0, 1]})
+    for blocks in (1, 3):
+        got = (resolve_redirects(
+            ray.data.from_pandas(edges).repartition(blocks),
+            num_partitions=2)
+            .to_pandas().sort_values("src").reset_index(drop=True))
+        want = pd.DataFrame({
+            "src": [2, 3, 4, 5, 7, 9],
+            "final": [1, 0, 0, 0, 0, 8],
+            "n_hops": [1, 1, 2, 3, 1, 1]})
+        pd.testing.assert_frame_equal(got.astype("int64"),
+                                      want.astype("int64"))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resolve_redirects_long_chain_log_rounds():
+    import pandas as pd
+    import ray.data
+
+    from pdf2doi_ray.stages.graph import resolve_redirects
+
+    # one chain of 300 hops: 300->299->...->0; doubling must resolve it
+    # within ceil(log2(300)) + 1 = 10 rounds, well under max_rounds
+    n = 300
+    edges = pd.DataFrame({"src": np.arange(1, n + 1),
+                          "dst": np.arange(0, n)})
+    got = (resolve_redirects(ray.data.from_pandas(edges).repartition(4),
+                             max_rounds=12, num_partitions=2)
+           .to_pandas().sort_values("src").reset_index(drop=True))
+    assert (got["final"] == 0).all()
+    assert got["n_hops"].tolist() == list(range(1, n + 1))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resolve_redirects_cycle_raises():
+    import pandas as pd
+    import ray.data
+
+    from pdf2doi_ray.stages.graph import resolve_redirects
+
+    edges = pd.DataFrame({"src": [1, 2, 3], "dst": [2, 3, 1]})
+    with pytest.raises(RuntimeError, match="cycle|unresolved"):
+        resolve_redirects(ray.data.from_pandas(edges),
+                          max_rounds=4, num_partitions=2).to_pandas()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rolling_time_sum_peers_and_blocks():
+    """RANGE frames include ALL peers of the current ts — even rows the
+    (ts, event_id) sort places after the current row — and the frame is
+    value-bounded, not row-bounded.  Brute-force reference per row."""
+    import pandas as pd
+    import ray.data
+
+    from pdf2doi_ray.stages.windowfns import rolling_time_user_sum
+
+    rng = np.random.default_rng(7)
+    n = 400
+    ev = pd.DataFrame({
+        "event_id": np.arange(n),
+        "user_id": rng.integers(0, 5, n),
+        # coarse second grid => many exact-duplicate timestamps (peers)
+        "ts": pd.Timestamp("2025-01-01")
+        + pd.to_timedelta(rng.integers(0, 50, n) * 10, unit="s"),
+        "value": rng.uniform(0, 10, n).round(3),
+    })
+    win_s = 60
+    vm = np.floor(ev.value.to_numpy() * 1000).astype(np.int64)
+    t_us = ev.ts.astype("int64").to_numpy() // 1000   # ns -> µs
+    want = []
+    for i in range(n):
+        in_frame = ((ev.user_id == ev.user_id[i])
+                    & (t_us >= t_us[i] - win_s * 1_000_000)
+                    & (t_us <= t_us[i]))
+        want.append(vm[in_frame].sum())
+    want = pd.DataFrame({"event_id": np.arange(n),
+                         "user_id": ev.user_id,
+                         "range_sum": np.array(want, dtype=np.int64)})
+    for blocks in (1, 7):
+        got = (rolling_time_user_sum(
+            ray.data.from_pandas(ev).repartition(blocks), window_s=win_s)
+            .to_pandas().sort_values("event_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got.astype("int64"),
+                                      want.astype("int64"))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_token_budget_head_prefix_and_superset():
+    import pandas as pd
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import token_budget_head
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(40),
+        "text": [" ".join(f"w{j}" for j in range(3 + i % 7))
+                 for i in range(40)],
+    })
+    ds = ray.data.from_pandas(docs).repartition(5)
+    small = token_budget_head(ds, budget_tokens=50).to_pandas()
+    big = token_budget_head(ds, budget_tokens=120).to_pandas()
+    # budget-monotone: the 50-token cut is a strict prefix of the 120-token
+    # cut in the same seeded order
+    assert set(small.doc_id) < set(big.doc_id)
+    assert small.cum_tok.max() <= 50 and big.cum_tok.max() <= 120
+    # inclusive cumulative sums are consistent with the kept token counts
+    assert small.cum_tok.sort_values().diff().dropna().gt(0).all()
+    assert token_budget_head(ds, budget_tokens=0).to_pandas().empty
+    total = int(docs.text.str.split().str.len().sum())
+    allkept = token_budget_head(ds, budget_tokens=10_000).to_pandas()
+    assert len(allkept) == 40 and allkept.cum_tok.max() == total
