@@ -2415,6 +2415,33 @@ def _q_token_budget_head(sf_dir: str):
                              budget_tokens=100_000)
 
 
+def _q_bucketed_join(sf_dir: str):
+    """Co-bucketed storage join: both fact tables written hash-bucketed
+    by orderkey once (streaming hive writes), then joined bucket-by-bucket
+    with zero exchange — the write-once/join-many storage layout."""
+    import os
+    import shutil
+
+    import ray.data
+
+    from pdf2doi_ray.stages.joins import bucketed_join, write_bucketed
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = f"/tmp/pdf2doi_bucketed_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity"])
+    write_bucketed(orders, "o_orderkey", f"{root}/orders", n_buckets=16)
+    write_bucketed(li, "l_orderkey", f"{root}/lineitem", n_buckets=16)
+    return bucketed_join(
+        f"{root}/lineitem", f"{root}/orders",
+        on="l_orderkey", right_on="o_orderkey", n_buckets=16,
+        project=["l_orderkey", "l_linenumber", "l_quantity", "o_custkey"])
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -2434,6 +2461,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resolve_redirects": _q_resolve_redirects,
         "rolling_time_sum": _q_rolling_time_sum,
         "token_budget_head": _q_token_budget_head,
+        "bucketed_join": _q_bucketed_join,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "orders_customer_join": _q_orders_customer_join,
         "lineitem_orders_join": _q_lineitem_orders_join,
@@ -4993,5 +5021,9 @@ w AS (SELECT doc_id, n_tok,
              SUM(n_tok) OVER (ORDER BY skey, doc_id) AS cum FROM c)
 SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, CAST(cum AS BIGINT) AS cum_tok
 FROM w WHERE cum <= 100000
+"""
+    sql["bucketed_join"] = """
+SELECT l_orderkey, l_linenumber, l_quantity, o_custkey
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 """
     return sql

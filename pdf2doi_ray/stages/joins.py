@@ -1254,7 +1254,7 @@ def write_bucketed(ds, key_col: str, out_dir: str, n_buckets: int = 32):
 
 
 def bucketed_join(left_dir: str, right_dir: str, on: str, right_on: str,
-                  n_buckets: int, project=None):
+                  n_buckets: int, project=None, join_type: str = "inner"):
     """Join two CO-BUCKETED hive layouts (written by :func:`write_bucketed`
     with the same ``n_buckets``) bucket-by-bucket with ZERO exchange: the
     driving Dataset is just the ``n_buckets`` bucket ids, and each map task
@@ -1280,7 +1280,7 @@ def bucketed_join(left_dir: str, right_dir: str, on: str, right_on: str,
                 filter=(pads.field("bucket") == b))
             j = lt.drop_columns(["bucket"]).join(
                 rt.drop_columns(["bucket"]), keys=[on],
-                right_keys=[right_on])
+                right_keys=[right_on], join_type=join_type)
             out.append(j.select(list(project)) if project is not None
                        else j)
         return pa.concat_tables(out)

@@ -126,3 +126,30 @@ def test_token_budget_head_prefix_and_superset():
     total = int(docs.text.str.split().str.len().sum())
     allkept = token_budget_head(ds, budget_tokens=10_000).to_pandas()
     assert len(allkept) == 40 and allkept.cum_tok.max() == total
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bucketed_join_roundtrip_and_one_sided_buckets():
+    import shutil
+
+    import pandas as pd
+    import ray.data
+
+    from pdf2doi_ray.stages.joins import bucketed_join, write_bucketed
+
+    root = "/tmp/pdf2doi_test_bucketed"
+    shutil.rmtree(root, ignore_errors=True)
+    # keys chosen so some buckets hold rows from only one side
+    left = pd.DataFrame({"k": np.arange(0, 60), "lv": np.arange(0, 60) * 2})
+    right = pd.DataFrame({"rk": np.arange(30, 90),
+                          "rv": np.arange(30, 90) * 3})
+    write_bucketed(ray.data.from_pandas(left).repartition(3), "k",
+                   f"{root}/l", n_buckets=8)
+    write_bucketed(ray.data.from_pandas(right).repartition(3), "rk",
+                   f"{root}/r", n_buckets=8)
+    got = (bucketed_join(f"{root}/l", f"{root}/r", on="k", right_on="rk",
+                         n_buckets=8, project=["k", "lv", "rv"])
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    want = (left.merge(right, left_on="k", right_on="rk")
+            [["k", "lv", "rv"]].sort_values("k").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
