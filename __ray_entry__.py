@@ -2442,6 +2442,15 @@ def _q_bucketed_join(sf_dir: str):
         project=["l_orderkey", "l_linenumber", "l_quantity", "o_custkey"])
 
 
+def _q_robots_disallow(sf_dir: str):
+    """Every third site disallows the '/docs/10.' path prefix (the
+    encoded-DOI pdf family): grouped-prefix vectorized filter."""
+    from pdf2doi_ray.stages.skew import filter_robots_disallow
+    rules = {f"site{s}.example.org": ("/docs/10.",) for s in range(0, 50, 3)}
+    return filter_robots_disallow(_pages(sf_dir), rules,
+                                  keep_cols=("url", "lang"))
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -2462,6 +2471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_time_sum": _q_rolling_time_sum,
         "token_budget_head": _q_token_budget_head,
         "bucketed_join": _q_bucketed_join,
+        "robots_disallow_filter": _q_robots_disallow,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "orders_customer_join": _q_orders_customer_join,
         "lineitem_orders_join": _q_lineitem_orders_join,
@@ -5025,5 +5035,14 @@ FROM w WHERE cum <= 100000
     sql["bucketed_join"] = """
 SELECT l_orderkey, l_linenumber, l_quantity, o_custkey
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+"""
+    sql["robots_disallow_filter"] = f"""
+WITH d AS ({_D}),
+p AS (SELECT {_URL} AS url, lang,
+             'site' || site || '.example.org' AS host,
+             CAST(site AS INTEGER) AS site_no FROM d)
+SELECT url, lang, host FROM p
+WHERE NOT (site_no % 3 = 0
+           AND regexp_replace(url, '^https?://[^/]+', '') LIKE '/docs/10.%')
 """
     return sql

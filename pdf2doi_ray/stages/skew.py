@@ -246,3 +246,48 @@ def host_crawl_gaps(pages):
                        Min("min_gap_s", alias_name="min_gap_s"),
                        Max("max_gap_s", alias_name="max_gap_s"))
             .map_batches(finish, batch_format="pyarrow"))
+
+
+def filter_robots_disallow(pages, rules, keep_cols=("url", "lang")):
+    """robots.txt-style disallow filter: drop every page whose host lists
+    a disallow PATH-PREFIX matching the page's url path — the politeness
+    gate a crawler's post-hoc audit (or a takedown pass) applies over an
+    already-fetched corpus.
+
+    ``rules`` is ``{host: (path_prefix, ...)}`` — curated and tiny by
+    definition, so it broadcasts once via ``ray.put``.  Evaluation is
+    grouped by DISTINCT prefix (many hosts share a few canonical rules):
+    one ``is_in(host, hosts-with-this-prefix) AND starts_with(path,
+    prefix)`` pair of vectorized kernels per distinct prefix, never a
+    per-row Python loop and never a shuffle.  Returns kept pages
+    projected to ``keep_cols`` + ``host``.
+    """
+    from collections import defaultdict
+
+    import numpy as np
+    import ray
+
+    by_prefix = defaultdict(list)
+    for h, prefixes in rules.items():
+        for p in prefixes:
+            by_prefix[p].append(h)
+    bp_ref = ray.put({p: pa.array(sorted(hs), type=pa.string())
+                      for p, hs in by_prefix.items()})
+    cols = list(keep_cols)
+
+    def keep(t: pa.Table) -> pa.Table:
+        urls = t["url"].combine_chunks() \
+            if isinstance(t["url"], pa.ChunkedArray) else t["url"]
+        hosts = _hosts_vec(urls)
+        no_scheme = pc.replace_substring_regex(
+            urls, r"^[a-z][a-z0-9+.-]*://", "")
+        paths = pc.replace_substring_regex(no_scheme, r"^[^/]*", "")
+        drop = np.zeros(len(urls), dtype=bool)
+        for p, hs in ray.get(bp_ref).items():
+            m = pc.and_(pc.is_in(hosts, value_set=hs),
+                        pc.starts_with(paths, p))
+            drop |= np.asarray(m)
+        out = t.select(cols).append_column("host", hosts)
+        return out.filter(pa.array(~drop))
+
+    return pages.map_batches(keep, batch_format="pyarrow")

@@ -153,3 +153,28 @@ def test_bucketed_join_roundtrip_and_one_sided_buckets():
     want = (left.merge(right, left_on="k", right_on="rk")
             [["k", "lv", "rv"]].sort_values("k").reset_index(drop=True))
     pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_robots_disallow_handbuilt():
+    import pandas as pd
+    import ray.data
+
+    from pdf2doi_ray.stages.skew import filter_robots_disallow
+
+    pages = pd.DataFrame({
+        "url": ["https://a.org/private/x.html",   # blocked (a.org /private)
+                "https://a.org/public/x.html",    # kept
+                "https://b.org/private/x.html",   # kept (no rule for b)
+                "https://a.org/priv/x.html",      # kept (prefix mismatch)
+                "https://c.org/p/q.html",         # blocked (c.org /p)
+                "https://c.org/q/p.html"],        # kept
+        "lang": ["en"] * 6,
+    })
+    rules = {"a.org": ("/private",), "c.org": ("/p",)}
+    got = (filter_robots_disallow(ray.data.from_pandas(pages), rules)
+           .to_pandas().sort_values("url").reset_index(drop=True))
+    want = pages.iloc[[1, 2, 3, 5]].copy()
+    want["host"] = want.url.str.extract(r"https://([^/]+)/")[0]
+    want = want.sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
