@@ -2451,6 +2451,17 @@ def _q_robots_disallow(sf_dir: str):
                                   keep_cols=("url", "lang"))
 
 
+def _q_equi_depth_hist(sf_dir: str):
+    """Equal-frequency 4-bucket histogram over the events value column
+    (exact ceil-rank edges; ties never straddle buckets)."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import equi_depth_histogram_milli
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["value"])
+    return equi_depth_histogram_milli(ev, "value", k=4)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -2472,6 +2483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_budget_head": _q_token_budget_head,
         "bucketed_join": _q_bucketed_join,
         "robots_disallow_filter": _q_robots_disallow,
+        "equi_depth_histogram": _q_equi_depth_hist,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "orders_customer_join": _q_orders_customer_join,
         "lineitem_orders_join": _q_lineitem_orders_join,
@@ -5044,5 +5056,20 @@ p AS (SELECT {_URL} AS url, lang,
 SELECT url, lang, host FROM p
 WHERE NOT (site_no % 3 = 0
            AND regexp_replace(url, '^https?://[^/]+', '') LIKE '/docs/10.%')
+"""
+    sql["equi_depth_histogram"] = """
+WITH c AS (SELECT CAST(floor(value * 1000) AS BIGINT) AS v FROM events),
+r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM c),
+n AS (SELECT count(*) AS total FROM c),
+i AS (SELECT CAST(unnest([1, 2, 3, 4]) AS BIGINT) AS i),
+e AS (SELECT i.i, (SELECT min(v) FROM r, n
+                   WHERE rn >= ceil(i.i * n.total / 4.0)) AS edge FROM i),
+b AS (SELECT c.v,
+             1 + (SELECT count(*) FROM e WHERE e.edge < c.v) AS bucket
+      FROM c)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(v) AS BIGINT) AS v_min, CAST(max(v) AS BIGINT) AS v_max
+FROM b GROUP BY bucket
 """
     return sql

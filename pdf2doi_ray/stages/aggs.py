@@ -1402,3 +1402,47 @@ def cooccurrence_lift(events, group_col: str = "user_id",
         "n_users_both": pd.Series(nab, dtype="int64"),
         "lift_permille": pd.Series(lift, dtype="int64"),
     }).sort_values(["type_a", "type_b"]).reset_index(drop=True)
+
+
+def equi_depth_histogram_milli(ds, value_col: str, k: int = 4):
+    """Equi-DEPTH (equal-frequency) histogram of a float column on the
+    milli grid — the histogram an optimizer or drift monitor wants when
+    the distribution is long-tailed and equi-WIDTH bins
+    (:func:`value_histogram_milli`) would dump everything in one bin.
+
+    Phase 1 computes the k exact bucket edges (the ceil-rank quantiles at
+    permille ``1000·i/k`` — ``k`` must divide 1000 so the rank rule is
+    bit-identical to the shared quantile oracle); phase 2 re-streams the
+    values through a vectorized ``searchsorted`` bucket assignment
+    (bucket = 1 + #edges strictly below the value, so every bucket is the
+    half-open value interval (edge_{i-1}, edge_i]) with a per-batch
+    (bucket → count/min/max) combiner and ONE ≤k-row groupby.  Ties never
+    straddle buckets — identical values land in identical buckets, unlike
+    SQL ``ntile`` whose row-order tie-splitting is nondeterministic under
+    parallel scan.  Returns (bucket, n_rows, v_min, v_max).
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    if 1000 % k:
+        raise ValueError("equi_depth_histogram_milli: k must divide 1000 "
+                         "(the shared permille rank rule)")
+    q = value_quantiles_milli(ds, value_col,
+                              tuple(1000 * i // k for i in range(1, k + 1)))
+    edges = np.asarray(q["value"].to_numpy(), dtype=np.int64)
+
+    def assign(t: pa.Table) -> pa.Table:
+        vm = _milli(one_chunk(t[value_col]))
+        b = 1 + np.searchsorted(edges, vm, side="left")
+        g = (pa.table({"bucket": pa.array(b.astype(np.int64)),
+                       "v": pa.array(vm)})
+             .group_by("bucket")
+             .aggregate([("v", "count"), ("v", "min"), ("v", "max")]))
+        return pa.table({"bucket": g["bucket"],
+                         "n_rows": g["v_count"].cast(pa.int64()),
+                         "v_min": g["v_min"], "v_max": g["v_max"]})
+
+    return (ds.map_batches(assign, batch_format="pyarrow")
+            .groupby("bucket")
+            .aggregate(Sum("n_rows", alias_name="n_rows"),
+                       Min("v_min", alias_name="v_min"),
+                       Max("v_max", alias_name="v_max")))

@@ -178,3 +178,29 @@ def test_robots_disallow_handbuilt():
     want["host"] = want.url.str.extract(r"https://([^/]+)/")[0]
     want = want.sort_values("url").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_equi_depth_histogram_ties_one_bucket():
+    """Identical values must land in one bucket (never ntile-split), and
+    bucket populations must cover the input exactly."""
+    import pandas as pd
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import equi_depth_histogram_milli
+
+    # 100 copies of 1.0 + 100 spread values: the tie block must stay whole
+    vals = np.concatenate([np.full(100, 1.0),
+                           np.linspace(2, 50, 100)])
+    ds = ray.data.from_pandas(pd.DataFrame({"value": vals})).repartition(4)
+    got = (equi_depth_histogram_milli(ds, "value", k=4)
+           .to_pandas().sort_values("bucket").reset_index(drop=True))
+    assert got.n_rows.sum() == 200
+    # the 100-row tie block is entirely inside the first bucket
+    assert got.loc[0, "n_rows"] >= 100
+    assert got.loc[0, "v_min"] == 1000 and got.v_max.max() == 50000
+    # buckets are value-disjoint and ordered
+    assert (got.v_min <= got.v_max).all()
+    assert (got.v_max.to_numpy()[:-1] < got.v_min.to_numpy()[1:]).all()
+    with pytest.raises(ValueError):
+        equi_depth_histogram_milli(ds, "value", k=3)
