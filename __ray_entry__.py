@@ -2462,6 +2462,16 @@ def _q_equi_depth_hist(sf_dir: str):
     return equi_depth_histogram_milli(ev, "value", k=4)
 
 
+def _q_group_token_budget(sf_dir: str):
+    """Training-mixture enforcement: per-language token budgets (en 5000 /
+    de 2000 binding, es 10000 non-binding, zh 1 near-empty, fr unlisted
+    and dropped) over the per-group seeded md5 order."""
+    from pdf2doi_ray.stages.corpus import group_token_budget
+    budgets = {"en": 5000, "de": 2000, "es": 10000, "zh": 1}
+    return group_token_budget(_docs(sf_dir, ("doc_id", "text", "lang")),
+                              budgets, group_col="lang")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -2484,6 +2494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucketed_join": _q_bucketed_join,
         "robots_disallow_filter": _q_robots_disallow,
         "equi_depth_histogram": _q_equi_depth_hist,
+        "group_token_budget": _q_group_token_budget,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "orders_customer_join": _q_orders_customer_join,
         "lineitem_orders_join": _q_lineitem_orders_join,
@@ -5071,5 +5082,20 @@ SELECT CAST(bucket AS BIGINT) AS bucket,
        CAST(count(*) AS BIGINT) AS n_rows,
        CAST(min(v) AS BIGINT) AS v_min, CAST(max(v) AS BIGINT) AS v_max
 FROM b GROUP BY bucket
+"""
+    sql["group_token_budget"] = """
+WITH c AS (SELECT doc_id, lang AS grp,
+       len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok,
+       ('0x' || substr(md5('budget:' || doc_id::VARCHAR), 1, 16))::UBIGINT
+           >> 1 AS skey
+  FROM documents),
+w AS (SELECT doc_id, grp, n_tok,
+             SUM(n_tok) OVER (PARTITION BY grp
+                              ORDER BY skey, doc_id) AS cum FROM c)
+SELECT doc_id, grp, CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(cum AS BIGINT) AS cum_tok
+FROM w
+WHERE (grp = 'en' AND cum <= 5000) OR (grp = 'de' AND cum <= 2000)
+   OR (grp = 'es' AND cum <= 10000) OR (grp = 'zh' AND cum <= 1)
 """
     return sql

@@ -2790,3 +2790,123 @@ def token_budget_head(docs, budget_tokens: int, seed: str = "budget"):
                          "cum_tok": pa.array(g[keep])})
 
     return tagged.map_batches(keep_prefix, batch_format="pyarrow")
+
+
+def group_token_budget(docs, budgets: dict, group_col: str = "lang",
+                       seed: str = "budget"):
+    """Per-GROUP token-budget truncation — the training-mixture enforcer:
+    each group (language, source, domain) keeps the prefix of ITS seeded
+    md5 order whose cumulative token count stays within ``budgets[group]``;
+    groups without a budget are dropped (they are not in the mix).  The
+    grouped generalization of :func:`token_budget_head`, same
+    reproducibility contract (bigger budgets ⇒ supersets per group).
+
+    Block-carry plan over ``sort(group, skey, doc_id)`` count rows: each
+    sorted block splits into group RUNS, every run emits local inclusive
+    cumsums tagged with the run's first (skey, doc_id) plus ONE carry row
+    (group, first-key, run total); the driver orders each group's ≤
+    #blocks carries and cumsums them into per-run bases — rows at the
+    driver stay ≤ blocks × groups-per-block, texts never move.  The
+    budgets dict is schema-sized and travels in the task closure.
+    Returns (doc_id, group, n_tok, cum_tok) of kept docs.
+    """
+    import ray
+
+    def key_rows(t: pa.Table) -> pa.Table:
+        ids = np.asarray(one_chunk(t["doc_id"]), dtype=np.int64)
+        flat, row_idx = _tokens_nonempty(t)
+        n = np.zeros(t.num_rows, dtype=np.int64)
+        if len(row_idx):
+            np.add.at(n, row_idx, 1)
+        ks = np.fromiter(
+            (int.from_bytes(
+                hashlib.md5(f"{seed}:{int(d)}".encode()).digest()[:8],
+                "big") >> 1 for d in ids),
+            dtype=np.int64, count=len(ids))
+        return pa.table({"doc_id": pa.array(ids),
+                         "grp": one_chunk(t[group_col]),
+                         "skey": pa.array(ks), "n_tok": pa.array(n)})
+
+    def block_local(t: pa.Table) -> pa.Table:
+        n_rows = t.num_rows
+        if not n_rows:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"doc_id": z,
+                             "grp": pa.array([], type=pa.string()),
+                             "rkey": z, "rdoc": z, "n_tok": z, "cum": z,
+                             "is_carry": pa.array([], type=pa.bool_())})
+        ids = np.asarray(one_chunk(t["doc_id"]), dtype=np.int64)
+        grp = np.asarray(one_chunk(t["grp"]))
+        ks = np.asarray(one_chunk(t["skey"]), dtype=np.int64)
+        n = np.asarray(one_chunk(t["n_tok"]), dtype=np.int64)
+        # group runs within the (grp, skey, doc) sorted block
+        change = np.nonzero(grp[1:] != grp[:-1])[0] + 1
+        starts = np.concatenate([[0], change]).astype(np.int64)
+        ends = np.concatenate([change, [n_rows]]).astype(np.int64)
+        cum = np.cumsum(n)
+        base = np.repeat(np.concatenate([[0], cum[ends[:-1] - 1]]),
+                         ends - starts)
+        local = cum - base                       # per-run inclusive cumsum
+        rkey = np.repeat(ks[starts], ends - starts)
+        rdoc = np.repeat(ids[starts], ends - starts)
+        run_tot = local[ends - 1]
+        return pa.table({
+            "doc_id": pa.array(np.concatenate([ids, ids[starts]])),
+            "grp": pa.array(np.concatenate([grp, grp[starts]])),
+            "rkey": pa.array(np.concatenate([rkey, ks[starts]])),
+            "rdoc": pa.array(np.concatenate([rdoc, ids[starts]])),
+            "n_tok": pa.array(np.concatenate(
+                [n, np.zeros(len(starts), dtype=np.int64)])),
+            "cum": pa.array(np.concatenate([local, run_tot])),
+            "is_carry": pa.array([False] * n_rows + [True] * len(starts)),
+        })
+
+    tagged = (docs.map_batches(key_rows, batch_format="pyarrow")
+              .sort(["grp", "skey", "doc_id"])
+              .map_batches(block_local, batch_format="pyarrow",
+                           batch_size=None)).materialize()
+    carries = sorted(
+        ((r["grp"], r["rkey"], r["rdoc"], r["cum"])
+         for r in tagged.map_batches(
+             lambda t: t.filter(one_chunk(t["is_carry"])),
+             batch_format="pyarrow").take_all()))
+    bases, acc_by_grp = {}, {}
+    for g, rk, rd, total in carries:
+        bases[(g, rk, rd)] = acc_by_grp.get(g, 0)
+        acc_by_grp[g] = acc_by_grp.get(g, 0) + total
+    bases_ref = ray.put(bases)
+
+    def keep_prefix(t: pa.Table) -> pa.Table:
+        b = ray.get(bases_ref)
+        sub = t.filter(pc.invert(one_chunk(t["is_carry"])))
+        out_schema = {"doc_id": pa.int64(), "grp": pa.string(),
+                      "n_tok": pa.int64(), "cum_tok": pa.int64()}
+        if sub.num_rows == 0:
+            return pa.table({c: pa.array([], type=ty)
+                             for c, ty in out_schema.items()})
+        grp = np.asarray(one_chunk(sub["grp"]))
+        rk = np.asarray(one_chunk(sub["rkey"]), dtype=np.int64)
+        rd = np.asarray(one_chunk(sub["rdoc"]), dtype=np.int64)
+        cum = np.asarray(one_chunk(sub["cum"]), dtype=np.int64)
+        trip = np.stack([rk, rd], axis=1)
+        uniq, inv = np.unique(trip, axis=0, return_inverse=True)
+        # run identity is (rkey, rdoc) — doc ids are unique, so the pair
+        # cannot alias across groups; resolve per unique run
+        first = np.full(len(uniq), len(inv), dtype=np.int64)
+        np.minimum.at(first, inv, np.arange(len(inv)))
+        base = np.array(
+            [b[(grp[int(f)], int(x), int(y))]
+             for (x, y), f in zip(uniq, first)], dtype=np.int64)[inv] \
+            if len(uniq) else np.empty(0, dtype=np.int64)
+        g_cum = base + cum
+        uniq_g, inv_g = np.unique(grp, return_inverse=True)
+        bud = np.array([budgets.get(str(x), -1) for x in uniq_g],
+                       dtype=np.int64)[inv_g]
+        keep = g_cum <= bud
+        km = pa.array(keep)
+        return pa.table({"doc_id": one_chunk(sub["doc_id"]).filter(km),
+                         "grp": one_chunk(sub["grp"]).filter(km),
+                         "n_tok": one_chunk(sub["n_tok"]).filter(km),
+                         "cum_tok": pa.array(g_cum[keep])})
+
+    return tagged.map_batches(keep_prefix, batch_format="pyarrow")

@@ -204,3 +204,41 @@ def test_equi_depth_histogram_ties_one_bucket():
     assert (got.v_max.to_numpy()[:-1] < got.v_min.to_numpy()[1:]).all()
     with pytest.raises(ValueError):
         equi_depth_histogram_milli(ds, "value", k=3)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_group_token_budget_bruteforce():
+    import hashlib
+
+    import pandas as pd
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import group_token_budget
+
+    rng = np.random.default_rng(11)
+    n = 120
+    docs = pd.DataFrame({
+        "doc_id": np.arange(n),
+        "lang": rng.choice(["aa", "bb", "cc"], n),
+        "text": [" ".join("t" for _ in range(1 + int(x)))
+                 for x in rng.integers(0, 9, n)],
+    })
+    budgets = {"aa": 60, "bb": 5, "cc": 10_000}
+
+    def key(d):
+        return int.from_bytes(
+            hashlib.md5(f"budget:{d}".encode()).digest()[:8], "big") >> 1
+
+    ref = docs.assign(n_tok=docs.text.str.split().str.len(),
+                      skey=docs.doc_id.map(key))
+    ref = ref.sort_values(["lang", "skey", "doc_id"])
+    ref["cum_tok"] = ref.groupby("lang").n_tok.cumsum()
+    want = (ref[ref.cum_tok <= ref.lang.map(budgets)]
+            [["doc_id", "lang", "n_tok", "cum_tok"]]
+            .rename(columns={"lang": "grp"})
+            .sort_values("doc_id").reset_index(drop=True))
+    for blocks in (1, 6):
+        got = (group_token_budget(
+            ray.data.from_pandas(docs).repartition(blocks), budgets)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
