@@ -2472,6 +2472,25 @@ def _q_group_token_budget(sf_dir: str):
                               budgets, group_col="lang")
 
 
+def _q_salted_join(sf_dir: str):
+    """Skew-salted fact join: orderkeys with >=5 line items are treated
+    as hot (salted 4 ways, right rows replicated); result bit-identical
+    to the plain join."""
+    import ray.data
+
+    from pdf2doi_ray.stages.joins import salted_join
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"])
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_totalprice"])
+    return salted_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey",
+        hot_threshold=5, n_salts=4, num_partitions=8,
+        project=["l_orderkey", "l_linenumber", "l_extendedprice",
+                 "o_totalprice"])
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -2495,6 +2514,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_disallow_filter": _q_robots_disallow,
         "equi_depth_histogram": _q_equi_depth_hist,
         "group_token_budget": _q_group_token_budget,
+        "salted_join": _q_salted_join,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "orders_customer_join": _q_orders_customer_join,
         "lineitem_orders_join": _q_lineitem_orders_join,
@@ -5097,5 +5117,9 @@ SELECT doc_id, grp, CAST(n_tok AS BIGINT) AS n_tok,
 FROM w
 WHERE (grp = 'en' AND cum <= 5000) OR (grp = 'de' AND cum <= 2000)
    OR (grp = 'es' AND cum <= 10000) OR (grp = 'zh' AND cum <= 1)
+"""
+    sql["salted_join"] = """
+SELECT l_orderkey, l_linenumber, l_extendedprice, o_totalprice
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 """
     return sql

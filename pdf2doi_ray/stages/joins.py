@@ -1287,3 +1287,83 @@ def bucketed_join(left_dir: str, right_dir: str, on: str, right_on: str,
 
     return ray.data.range(n_buckets).map_batches(
         join_one, batch_format="pyarrow", batch_size=1)
+
+
+def salted_join(left, right, on: str, right_on: str = None,
+                hot_keys=None, hot_threshold: int = 1 << 20,
+                n_salts: int = 8, num_partitions: int = 32, project=None):
+    """Skew-aware large×large equi-join via key SALTING — the standard fix
+    for web-zipfian join keys (hosts, domains, boilerplate hashes) where a
+    plain hash partition lands one aggregator with most of the data.
+
+    Hot keys (detected from a combiner-first left-side key count unless
+    passed explicitly — detection costs one narrow (key, n) exchange over
+    per-batch-distinct rows) get their LEFT rows spread across ``n_salts``
+    composite keys ``(key, salt)`` and their RIGHT rows replicated once
+    per salt; cold keys ride along with salt 0 and no replication.  ONE
+    hash-partitioned join on the composite key replaces the skewed one —
+    the hot key's probe side now occupies ``n_salts`` aggregators, at the
+    price of ``n_salts×`` build-side copies of the (few) hot keys' rows.
+    Result is bit-identical to the unsalted join for ANY salt assignment;
+    with no hot keys it degenerates to the plain join (no extra branch,
+    no empty-side hazards).
+    """
+    import ray
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from ..arrowutil import one_chunk
+
+    right_key = right_on or on
+
+    if hot_keys is None:
+        def kcount(t: pa.Table) -> pa.Table:
+            g = pa.table({"k": one_chunk(t[on])}).group_by("k") \
+                .aggregate([("k", "count")])
+            return pa.table({"k": g["k"],
+                             "n": g["k_count"].cast(pa.int64())})
+
+        counts = (left.map_batches(kcount, batch_format="pyarrow")
+                  .groupby("k").aggregate(Sum("n", alias_name="n")))
+        hot_keys = [r["k"] for r in counts.map_batches(
+            lambda t: t.filter(pc.greater_equal(
+                t["n"], pa.scalar(hot_threshold, pa.int64()))),
+            batch_format="pyarrow").take_all()]
+
+    hot_arr = pa.array(sorted(hot_keys))
+    hot_ref = ray.put(hot_arr)
+
+    def salt_left(t: pa.Table) -> pa.Table:
+        hot = ray.get(hot_ref)
+        m = np.asarray(pc.is_in(one_chunk(t[on]), value_set=hot)) \
+            if len(hot) else np.zeros(t.num_rows, dtype=bool)
+        salt = np.where(m, np.arange(t.num_rows, dtype=np.int64)
+                        % n_salts, 0)
+        return t.append_column("_salt", pa.array(salt))
+
+    def salt_right(t: pa.Table) -> pa.Table:
+        hot = ray.get(hot_ref)
+        m = pc.is_in(one_chunk(t[right_key]), value_set=hot) \
+            if len(hot) else pa.array(np.zeros(t.num_rows, dtype=bool))
+        cold = t.filter(pc.invert(m)).append_column(
+            "_salt", pa.array(np.zeros(
+                t.num_rows - int(pc.sum(pc.cast(m, pa.int8())).as_py()
+                                 or 0), dtype=np.int64)))
+        hot_rows = t.filter(m)
+        copies = [cold] + [
+            hot_rows.append_column(
+                "_salt", pa.array(np.full(hot_rows.num_rows, s,
+                                          dtype=np.int64)))
+            for s in range(n_salts)]
+        return pa.concat_tables(copies)
+
+    out = shuffle_hash_join(
+        left.map_batches(salt_left, batch_format="pyarrow"),
+        right.map_batches(salt_right, batch_format="pyarrow"),
+        on=(on, "_salt"), right_on=(right_key, "_salt"),
+        num_partitions=num_partitions, fold_empty_blocks=True)
+    if project is not None:
+        return out.select_columns(list(project))
+    return out.map_batches(lambda t: t.drop_columns(["_salt"]),
+                           batch_format="pyarrow")

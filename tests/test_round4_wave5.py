@@ -242,3 +242,28 @@ def test_group_token_budget_bruteforce():
             ray.data.from_pandas(docs).repartition(blocks), budgets)
             .to_pandas().sort_values("doc_id").reset_index(drop=True))
         pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_salted_join_hot_cold_and_explicit_keys():
+    import pandas as pd
+    import ray.data
+
+    from pdf2doi_ray.stages.joins import salted_join
+
+    # key 7 is hyper-hot (60 rows); the rest have 1-3
+    lk = np.concatenate([np.full(60, 7), np.repeat(np.arange(8), 3)])
+    left = pd.DataFrame({"k": lk, "lv": np.arange(len(lk))})
+    right = pd.DataFrame({"rk": np.arange(10), "rv": np.arange(10) * 100})
+    want = (left.merge(right, left_on="k", right_on="rk")
+            [["k", "lv", "rv"]]
+            .sort_values(["k", "lv"]).reset_index(drop=True))
+    for hot in (None, [7], []):      # detected / explicit / forced-cold
+        got = (salted_join(
+            ray.data.from_pandas(left).repartition(4),
+            ray.data.from_pandas(right).repartition(2),
+            on="k", right_on="rk", hot_keys=hot, hot_threshold=50,
+            n_salts=3, num_partitions=2, project=["k", "lv", "rv"])
+            .to_pandas().sort_values(["k", "lv"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(got.astype("int64"),
+                                      want.astype("int64"))
