@@ -2491,6 +2491,17 @@ def _q_salted_join(sf_dir: str):
                  "o_totalprice"])
 
 
+def _q_percentile_transform(sf_dir: str):
+    """Exact permille rank transform of event values (ties share ranks)
+    via the broadcast-histogram two-phase plan."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import percentile_transform_milli
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "value"])
+    return percentile_transform_milli(ev, "value")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -2515,6 +2526,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "equi_depth_histogram": _q_equi_depth_hist,
         "group_token_budget": _q_group_token_budget,
         "salted_join": _q_salted_join,
+        "percentile_transform": _q_percentile_transform,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "orders_customer_join": _q_orders_customer_join,
         "lineitem_orders_join": _q_lineitem_orders_join,
@@ -5121,5 +5133,14 @@ WHERE (grp = 'en' AND cum <= 5000) OR (grp = 'de' AND cum <= 2000)
     sql["salted_join"] = """
 SELECT l_orderkey, l_linenumber, l_extendedprice, o_totalprice
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+"""
+    sql["percentile_transform"] = """
+WITH c AS (SELECT event_id,
+                  CAST(floor(value * 1000) AS BIGINT) AS vm FROM events),
+n AS (SELECT count(*) AS total FROM c)
+SELECT event_id, vm AS value_milli,
+       CAST((1000 * count(*) OVER (ORDER BY vm)) // n.total AS BIGINT)
+           AS permille
+FROM c, n
 """
     return sql

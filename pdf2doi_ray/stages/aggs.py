@@ -1446,3 +1446,51 @@ def equi_depth_histogram_milli(ds, value_col: str, k: int = 4):
             .aggregate(Sum("n_rows", alias_name="n_rows"),
                        Min("v_min", alias_name="v_min"),
                        Max("v_max", alias_name="v_max")))
+
+
+def percentile_transform_milli(ds, value_col: str,
+                               carry_cols: tuple = ("event_id",)):
+    """Rank-normalize a float column to exact permilles — the percentile
+    transform quality pipelines apply before mixing heterogeneous scores
+    (raw model scores are incomparable across models; ranks are).
+    ``permille = floor(1000 · |{v' ≤ v}| / n)`` with ties sharing a rank
+    (SQL ``count(*) OVER (ORDER BY v)`` with its default RANGE frame).
+
+    Two-phase broadcast-histogram plan like :func:`winsorize_values_milli`:
+    phase 1 builds the distinct-milli-value histogram (combiner + one tiny
+    groupby — the driver sees distinct VALUES, never rows); the sorted
+    (values, cumulative counts) pair broadcasts once via ``ray.put``;
+    phase 2 re-streams the input through one vectorized ``searchsorted``
+    — no join, no sort of the data itself.  Returns ``carry_cols`` +
+    (value_milli, permille).
+    """
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        vm = _milli(one_chunk(t[value_col]))
+        g = pa.table({"value": pa.array(vm, type=pa.int64())}) \
+            .group_by("value").aggregate([("value", "count")])
+        return g.select(["value", "value_count"]) \
+            .rename_columns(["value", "n"])
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("value").aggregate(Sum("n", alias_name="n"))
+            .to_pandas().sort_values("value"))
+    values = hist["value"].to_numpy(dtype=np.int64)
+    cum = hist["n"].cumsum().to_numpy(dtype=np.int64)
+    total = int(cum[-1]) if len(cum) else 0
+    hist_ref = ray.put((values, cum))
+
+    def transform(t: pa.Table) -> pa.Table:
+        vals, cums = ray.get(hist_ref)
+        vm = _milli(one_chunk(t[value_col]))
+        rank_le = cums[np.searchsorted(vals, vm, side="right") - 1]
+        perm = (1000 * rank_le) // total
+        cols = {c: t[c] for c in carry_cols}
+        cols["value_milli"] = pa.array(vm, type=pa.int64())
+        cols["permille"] = pa.array(perm.astype(np.int64))
+        return pa.table(cols)
+
+    return ds.map_batches(transform, batch_format="pyarrow")
