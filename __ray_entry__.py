@@ -2502,6 +2502,29 @@ def _q_percentile_transform(sf_dir: str):
     return percentile_transform_milli(ev, "value")
 
 
+def _q_compact_roundtrip(sf_dir: str):
+    """Small-file compaction identity: documents scattered into 64 tiny
+    files, compacted to ~2, read back — contents must survive exactly."""
+    import os
+    import shutil
+
+    import ray.data
+
+    from pdf2doi_ray.sources.formats import compact_parquet_dir
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    frag = f"/tmp/pdf2doi_compact_{tag}/frag"
+    out = f"/tmp/pdf2doi_compact_{tag}/out"
+    shutil.rmtree(f"/tmp/pdf2doi_compact_{tag}", ignore_errors=True)
+    ray.data.read_parquet(f"{sf_dir}/documents.parquet")         .repartition(64).write_parquet(frag)
+    total = sum(os.path.getsize(os.path.join(frag, f))
+                for f in os.listdir(frag) if f.endswith(".parquet"))
+    compact_parquet_dir(frag, out, target_bytes=max(1, total // 2 + 1))
+    n_files = sum(f.endswith(".parquet") for f in os.listdir(out))
+    assert n_files <= 4, f"compaction left {n_files} files"
+    return ray.data.read_parquet(out)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -2527,6 +2550,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_token_budget": _q_group_token_budget,
         "salted_join": _q_salted_join,
         "percentile_transform": _q_percentile_transform,
+        "compact_roundtrip": _q_compact_roundtrip,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "orders_customer_join": _q_orders_customer_join,
         "lineitem_orders_join": _q_lineitem_orders_join,
@@ -5143,4 +5167,5 @@ SELECT event_id, vm AS value_milli,
            AS permille
 FROM c, n
 """
+    sql["compact_roundtrip"] = "SELECT * FROM documents"
     return sql

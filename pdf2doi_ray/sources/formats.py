@@ -47,3 +47,33 @@ def read_csv_dir(path: str):
     """CSV source: one read task per file, header-driven schema
     inference per file."""
     return ray.data.read_csv(path)
+
+
+def compact_parquet_dir(in_dir: str, out_dir: str,
+                        target_bytes: int = 128 << 20):
+    """Small-file compaction: rewrite a fragmented parquet directory (the
+    debris of many incremental/streaming writes) as ``ceil(total_bytes /
+    target_bytes)`` right-sized files — the periodic maintenance pass
+    every long-lived 100 TB layout needs, since a reader pays per-file
+    open/footer costs and tiny row groups defeat column-chunk pruning.
+
+    File count is decided from the directory's on-disk bytes (metadata
+    only, no data read); the rewrite is one ``read_parquet →
+    repartition(n) → write_parquet`` pass — ``repartition`` without
+    ``shuffle=True`` is Ray's split/coalesce plan (blocks concatenate,
+    rows never hash-exchange), so compaction moves every byte exactly
+    once.  Row order is NOT preserved (blocks coalesce in arrival order)
+    — the documented contract of every unordered pipeline in this engine.
+    Returns the output file count.
+    """
+    import glob
+    import math
+    import os
+
+    # '**/' matches zero directories too, so this covers flat and nested
+    total = sum(os.path.getsize(p)
+                for p in glob.glob(os.path.join(in_dir, "**", "*.parquet"),
+                                   recursive=True))
+    n_out = max(1, math.ceil(total / target_bytes))
+    ray.data.read_parquet(in_dir).repartition(n_out).write_parquet(out_dir)
+    return n_out
