@@ -2525,6 +2525,34 @@ def _q_compact_roundtrip(sf_dir: str):
     return ray.data.read_parquet(out)
 
 
+def _q_cdc_apply(sf_dir: str):
+    """Upsert/delete log → final state: events as a CDC log keyed by
+    event_id%500 (multiple versions per key), value<20 marks deletes."""
+    import ray.data
+
+    from pdf2doi_ray.arrowutil import one_chunk
+    from pdf2doi_ray.stages.aggs import cdc_apply
+
+    def as_log(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        eid = one_chunk(t["event_id"])
+        return pa.table({
+            "k": pc.subtract(eid, pc.multiply(
+                pc.divide(eid, pa.scalar(500, pa.int64())),
+                pa.scalar(500, pa.int64()))),
+            "seq": eid,
+            "op": pc.if_else(pc.less(one_chunk(t["value"]),
+                                     pa.scalar(20.0)), "D", "U"),
+            "payload": one_chunk(t["event_type"]),
+        })
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "value", "event_type"])
+    return cdc_apply(ev.map_batches(as_log, batch_format="pyarrow"))
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -2551,6 +2579,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "salted_join": _q_salted_join,
         "percentile_transform": _q_percentile_transform,
         "compact_roundtrip": _q_compact_roundtrip,
+        "cdc_apply": _q_cdc_apply,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "orders_customer_join": _q_orders_customer_join,
         "lineitem_orders_join": _q_lineitem_orders_join,
@@ -5168,4 +5197,13 @@ SELECT event_id, vm AS value_milli,
 FROM c, n
 """
     sql["compact_roundtrip"] = "SELECT * FROM documents"
+    sql["cdc_apply"] = """
+WITH l AS (SELECT event_id % 500 AS k, event_id AS seq,
+                  CASE WHEN value < 20 THEN 'D' ELSE 'U' END AS op,
+                  event_type AS payload FROM events),
+r AS (SELECT k, seq, op, payload,
+             row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+      FROM l)
+SELECT k, seq, payload FROM r WHERE rn = 1 AND op <> 'D'
+"""
     return sql

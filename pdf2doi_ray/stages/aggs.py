@@ -1494,3 +1494,57 @@ def percentile_transform_milli(ds, value_col: str,
         return pa.table(cols)
 
     return ds.map_batches(transform, batch_format="pyarrow")
+
+
+_CDC_SEQ_W = 16
+
+
+def cdc_apply(log, key_col: str = "k", seq_col: str = "seq",
+              op_col: str = "op", payload_col: str = "payload",
+              delete_op: str = "D"):
+    """Change-data-capture apply: collapse an upsert/delete log into the
+    final table state — per key the HIGHEST-sequence record wins, and a
+    winning delete erases the key (the maintenance pass that turns an
+    append-only crawl/update log back into one-row-per-url state).
+
+    Combiner-first: each batch keeps its latest record per key (vectorized
+    argsort + first-per-key), so the one exchange carries ≤ one row per
+    distinct key per batch; the global winner is a plain ``Max`` over an
+    order-preserving string encoding ``lpad(seq) | op | payload`` — the
+    ``dedup_keep_best`` trick generalized to carry the winner's WHOLE
+    payload through the aggregate, so no join-back is needed.  ``seq``
+    must be non-negative, < 10^15 and unique per key (a log sequence
+    number); payload bytes never participate in the comparison because
+    the unique seq prefix already decides it.  Deletes are filtered AFTER
+    the aggregate (a delete must be able to beat earlier upserts).
+    Returns (key, seq, payload) of live rows.
+    """
+    from ray.data.aggregate import Max
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = np.asarray(one_chunk(t[key_col]), dtype=np.int64)
+        seq = pc.ascii_lpad(pc.cast(one_chunk(t[seq_col]), pa.string()),
+                            _CDC_SEQ_W, "0")
+        enc = np.asarray(pc.binary_join_element_wise(
+            seq, one_chunk(t[op_col]).cast(pa.string()),
+            one_chunk(t[payload_col]).cast(pa.string()), "").to_pylist(),
+            dtype=object)
+        order = np.argsort(enc, kind="stable")[::-1]
+        _, first = np.unique(keys[order], return_index=True)
+        keep = order[np.sort(first)]
+        return pa.table({"k": pa.array(keys[keep]),
+                         "enc": pa.array(enc[keep], type=pa.string())})
+
+    def decode(t: pa.Table) -> pa.Table:
+        seq = pc.cast(pc.utf8_slice_codeunits(t["enc"], 0, _CDC_SEQ_W),
+                      pa.int64())
+        op = pc.utf8_slice_codeunits(t["enc"], _CDC_SEQ_W, _CDC_SEQ_W + 1)
+        payload = pc.utf8_slice_codeunits(t["enc"], _CDC_SEQ_W + 1,
+                                          2**31 - 1)
+        live = pc.not_equal(op, delete_op)
+        return pa.table({"k": t["k"], "seq": seq,
+                         "payload": payload}).filter(live)
+
+    return (log.map_batches(partial, batch_format="pyarrow")
+            .groupby("k").aggregate(Max("enc", alias_name="enc"))
+            .map_batches(decode, batch_format="pyarrow"))
