@@ -2553,6 +2553,16 @@ def _q_cdc_apply(sf_dir: str):
     return cdc_apply(ev.map_batches(as_log, batch_format="pyarrow"))
 
 
+def _q_tumbling_distinct(sf_dir: str):
+    """Exact unique users per hour window (distinct-pair combiner plan)."""
+    import ray.data
+
+    from pdf2doi_ray.stages.windows import tumbling_distinct_users
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "user_id"])
+    return tumbling_distinct_users(ev)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -2580,6 +2590,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percentile_transform": _q_percentile_transform,
         "compact_roundtrip": _q_compact_roundtrip,
         "cdc_apply": _q_cdc_apply,
+        "tumbling_distinct_users": _q_tumbling_distinct,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "orders_customer_join": _q_orders_customer_join,
         "lineitem_orders_join": _q_lineitem_orders_join,
@@ -5205,5 +5216,10 @@ r AS (SELECT k, seq, op, payload,
              row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
       FROM l)
 SELECT k, seq, payload FROM r WHERE rn = 1 AND op <> 'D'
+"""
+    sql["tumbling_distinct_users"] = """
+SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS window,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1
 """
     return sql

@@ -325,3 +325,43 @@ def interval_coverage(events, us_per_milli: int = 100_000,
         lambda t: np.asarray(one_chunk(t["user_id"])).astype(np.int64),
         stitch, num_shards=stitch_shards)
     return interior.union(cross)
+
+
+def tumbling_distinct_users(events, window_s: int = TUMBLE_SECONDS):
+    """Exact COUNT(DISTINCT user) per tumbling window — the streaming
+    distinct-cardinality shape (unique visitors per hour).  Distinct is
+    not Sum-mergeable, so the plan is the cohort-retention one:
+
+    1. per-batch DISTINCT (window, user) combiner (an Arrow group_by) —
+       the exchange carries each pair once per batch, never events;
+    2. ONE ``groupby(window, user)`` collapses pairs globally (this is
+       the unavoidable exchange; the HLL register sketch is the
+       implemented approximate escape when exactness is negotiable);
+    3. a per-batch (window → pair count) combiner + tiny
+       ``groupby(window)`` Sum — exact because step 2 emits each pair
+       exactly once.
+    Returns (window, n_users).
+    """
+    from ray.data.aggregate import Sum
+
+    def pairs(t: pa.Table) -> pa.Table:
+        us = np.asarray(pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                                pa.int64()))
+        window = pa.array(us // (window_s * 1_000_000), type=pa.int64())
+        return (pa.table({"window": window, "user_id": t["user_id"]})
+                .group_by(["window", "user_id"]).aggregate([]))
+
+    from ray.data.aggregate import Count
+
+    distinct = (events.map_batches(pairs, batch_format="pyarrow")
+                .groupby(["window", "user_id"])
+                .aggregate(Count(alias_name="_n")))
+
+    def wcount(t: pa.Table) -> pa.Table:
+        g = (pa.table({"window": t["window"]})
+             .group_by("window").aggregate([("window", "count")]))
+        return pa.table({"window": g["window"],
+                         "n": g["window_count"].cast(pa.int64())})
+
+    return (distinct.map_batches(wcount, batch_format="pyarrow")
+            .groupby("window").aggregate(Sum("n", alias_name="n_users")))
