@@ -697,6 +697,73 @@ def main() -> None:
     if not headline_only:
         bench_query("curate_pages", q_curate)
 
+    # redirect-chain resolution over ~1M-edge functional graph (avg chain
+    # ~5 hops): the log2-round doubling self-join loop at scale
+    def q_redirects():
+        import pyarrow as pa
+
+        from pdf2doi_ray.stages.graph import resolve_redirects
+
+        def edges(t: pa.Table) -> pa.Table:
+            import numpy as np
+            k = np.asarray(ts_doc_ids(t))
+            h = (k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+            keep = (k > 0) & (h % np.uint64(5) != 0)
+            k, h = k[keep], h[keep]
+            dst = np.maximum(k - 1 - (h % np.uint64(7)).astype(np.int64), 0)
+            return pa.table({"src": pa.array(k), "dst": pa.array(dst)})
+
+        e = read_pages(("warc_ts",), split=True).map_batches(
+            edges, batch_format="pyarrow")
+        n = resolve_redirects(e, num_partitions=16).count()
+        assert n > 0, n
+
+    if not headline_only:
+        bench_query("resolve_redirects_pages", q_redirects)
+
+    # token-budget truncation over all pages: the count-row sort +
+    # block-carry plan with texts never moving
+    def q_token_budget():
+        import pyarrow as pa
+
+        from pdf2doi_ray.stages.corpus import token_budget_head
+
+        def prep(t: pa.Table) -> pa.Table:
+            return pa.table({"doc_id": ts_doc_ids(t), "text": t["text"]})
+
+        docs = read_pages(("warc_ts", "text"), split=True) \
+            .map_batches(prep, batch_format="pyarrow")
+        n = token_budget_head(docs, budget_tokens=10_000_000).count()
+        assert n > 0, n
+
+    if not headline_only:
+        bench_query("token_budget_pages", q_token_budget)
+
+    # CDC apply at pages scale: ~200k keys x ~6 versions, winner payload
+    # carried through the order-preserving Max
+    def q_cdc():
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from pdf2doi_ray.stages.aggs import cdc_apply
+
+        def as_log(t: pa.Table) -> pa.Table:
+            import numpy as np
+            k = np.asarray(ts_doc_ids(t))
+            return pa.table({
+                "k": pa.array(k % 200_000),
+                "seq": pa.array(k),
+                "op": pc.if_else(pa.array(k % 11 == 0), "D", "U"),
+                "payload": t["url"]})
+
+        log = read_pages(("url", "warc_ts"), split=True).map_batches(
+            as_log, batch_format="pyarrow")
+        n = cdc_apply(log).count()
+        assert n > 0, n
+
+    if not headline_only:
+        bench_query("cdc_apply_pages", q_cdc)
+
     headline = queries.get("identify_full")
     print(json.dumps({
         "metric": "identify_full seconds (pages parquet -> identifiers parquet)",
