@@ -2563,6 +2563,55 @@ def _q_tumbling_distinct(sf_dir: str):
     return tumbling_distinct_users(ev)
 
 
+def _q_warc_roundtrip(sf_dir: str):
+    """WARC sink+source roundtrip: pages → .warc files → parsed back.
+    Payload byte-equality is asserted IN the query via an
+    order-independent digest sum over md5(url || html) on both sides (SQL
+    cannot rebuild html bytes); the driver hash-checks (url, secs)."""
+    import hashlib
+    import os
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pdf2doi_ray.arrowutil import one_chunk
+    from pdf2doi_ray.sources.warc import export_warc, read_warc
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = f"/tmp/pdf2doi_warc_{tag}"
+    shutil.rmtree(out, ignore_errors=True)
+    pages = _pages(sf_dir)
+    n_written = export_warc(pages, out).sum("n_records")
+    parsed = read_warc(out)
+
+    def digest(t: pa.Table) -> pa.Table:
+        urls = t["url"].to_pylist()
+        html = one_chunk(t["html"]).cast(pa.binary()).to_pylist()
+        s = sum(int.from_bytes(
+            hashlib.md5(u.encode("utf-8") + p).digest()[:8], "big")
+            for u, p in zip(urls, html))
+        return pa.table({"d": pa.array([s % (1 << 62)], type=pa.int64()),
+                         "n": pa.array([t.num_rows], type=pa.int64())})
+
+    def total(ds):
+        agg = ds.map_batches(digest, batch_format="pyarrow")
+        return agg.sum("d"), agg.sum("n")
+
+    d_src, n_src = total(pages)
+    d_rt, n_rt = total(parsed)
+    assert (d_src, n_src) == (d_rt, n_rt) and n_src == n_written, \
+        (d_src, n_src, d_rt, n_rt, n_written)
+
+    def to_rows(t: pa.Table) -> pa.Table:
+        secs = pc.divide(pc.cast(pc.cast(t["warc_ts"], pa.timestamp("us")),
+                                 pa.int64()), 1_000_000)
+        return pa.table({"url": t["url"], "secs": secs.cast(pa.int64())})
+
+    return parsed.map_batches(to_rows, batch_format="pyarrow")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -2591,6 +2640,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compact_roundtrip": _q_compact_roundtrip,
         "cdc_apply": _q_cdc_apply,
         "tumbling_distinct_users": _q_tumbling_distinct,
+        "warc_roundtrip": _q_warc_roundtrip,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "orders_customer_join": _q_orders_customer_join,
         "lineitem_orders_join": _q_lineitem_orders_join,
@@ -5221,5 +5271,9 @@ SELECT k, seq, payload FROM r WHERE rn = 1 AND op <> 'D'
 SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS window,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY 1
+"""
+    sql["warc_roundtrip"] = f"""
+WITH d AS ({_D})
+SELECT {_URL} AS url, CAST(1735689600 + k AS BIGINT) AS secs FROM d
 """
     return sql

@@ -267,3 +267,36 @@ def test_salted_join_hot_cold_and_explicit_keys():
             .to_pandas().sort_values(["k", "lv"]).reset_index(drop=True))
         pd.testing.assert_frame_equal(got.astype("int64"),
                                       want.astype("int64"))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_warc_roundtrip_binary_payloads():
+    """Payloads containing the record separator and exact-µs timestamps
+    must survive: the parser frames by Content-Length, never by scan."""
+    import shutil
+
+    import pandas as pd
+    import ray.data
+
+    from pdf2doi_ray.sources.warc import export_warc, read_warc
+
+    out = "/tmp/pdf2doi_test_warc"
+    shutil.rmtree(out, ignore_errors=True)
+    payloads = [b"plain", b"embedded\r\n\r\nseparator", b"",
+                bytes(range(256))]
+    pages = pa.table({
+        "url": [f"https://w{i}.org/p" for i in range(4)],
+        "warc_ts": pa.array([1_700_000_000_000_001 + i for i in range(4)],
+                            type=pa.int64()).cast(pa.timestamp("us")),
+        "html": pa.array(payloads, type=pa.binary()),
+    })
+    n = export_warc(ray.data.from_arrow(pages).repartition(2),
+                    out).sum("n_records")
+    assert n == 4
+    got = (read_warc(out).to_pandas()
+           .sort_values("url").reset_index(drop=True))
+    assert got.url.tolist() == [f"https://w{i}.org/p" for i in range(4)]
+    assert [bytes(b) for b in got.html] == payloads
+    us = got.warc_ts.astype("datetime64[us]").astype("int64")
+    assert (us == pd.Series([1_700_000_000_000_001 + i
+                             for i in range(4)])).all()
