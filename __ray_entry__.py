@@ -2612,6 +2612,45 @@ def _q_warc_roundtrip(sf_dir: str):
     return parsed.map_batches(to_rows, batch_format="pyarrow")
 
 
+def _q_moved_pages(sf_dir: str):
+    """Cross-crawl move detection: new crawl renames every 9th url
+    (?moved) and deletes every 13th page outright; only the renamed-and-
+    surviving contents must pair up."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pdf2doi_ray.arrowutil import one_chunk
+    from pdf2doi_ray.stages.corpus import detect_moved_pages
+
+    pages = _pages(sf_dir)
+
+    def k_arr(t):
+        import numpy as np
+        us = np.asarray(pc.cast(pc.cast(one_chunk(t["warc_ts"]),
+                                        pa.timestamp("us")), pa.int64()))
+        return us // 1_000_000 - 1_735_689_600
+
+    def old_side(t: pa.Table) -> pa.Table:
+        return t.select(["url", "text"])
+
+    def new_side(t: pa.Table) -> pa.Table:
+        import numpy as np
+        k = k_arr(t)
+        keep = k % 13 != 0
+        s = t.filter(pa.array(keep))
+        ks = k[keep]
+        url = np.asarray(one_chunk(s["url"]).to_pandas(), dtype=object)
+        url = np.where(ks % 9 == 0, url + "?moved", url)
+        return pa.table({"url": pa.array(url, type=pa.string()),
+                         "text": s["text"]})
+
+    old = pages.map_batches(old_side, batch_format="pyarrow")
+    new = pages.map_batches(new_side, batch_format="pyarrow")
+    return detect_moved_pages(old, new).map_batches(
+        lambda t: t.select(["old_url", "new_url"]),
+        batch_format="pyarrow")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -2641,6 +2680,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_apply": _q_cdc_apply,
         "tumbling_distinct_users": _q_tumbling_distinct,
         "warc_roundtrip": _q_warc_roundtrip,
+        "moved_pages": _q_moved_pages,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "orders_customer_join": _q_orders_customer_join,
         "lineitem_orders_join": _q_lineitem_orders_join,
@@ -5275,5 +5315,10 @@ FROM events GROUP BY 1
     sql["warc_roundtrip"] = f"""
 WITH d AS ({_D})
 SELECT {_URL} AS url, CAST(1735689600 + k AS BIGINT) AS secs FROM d
+"""
+    sql["moved_pages"] = f"""
+WITH d AS ({_D})
+SELECT {_URL} AS old_url, {_URL} || '?moved' AS new_url
+FROM d WHERE k % 9 = 0 AND k % 13 <> 0
 """
     return sql

@@ -2910,3 +2910,91 @@ def group_token_budget(docs, budgets: dict, group_col: str = "lang",
                          "cum_tok": pa.array(g_cum[keep])})
 
     return tagged.map_batches(keep_prefix, batch_format="pyarrow")
+
+
+def detect_moved_pages(old_pages, new_pages, url_col: str = "url",
+                       content_col: str = "text",
+                       num_partitions: int = 8):
+    """Cross-crawl MOVED-content detection: a page whose url disappeared
+    from the old crawl while its exact content reappeared under a url new
+    to the new crawl — the redirect-less site reorganizations a crawl
+    maintainer wants to patch into the url-keyed resume state (otherwise
+    every moved page re-extracts as "new").
+
+    Plan (all exchanges carry ~50 B (url, md5) rows, texts never move):
+
+    1. each side reduces per batch to (url, content md5) + the
+       :func:`crawl_diff` null-key sentinel (this Ray build's join needs
+       non-empty sides);
+    2. ONE full-outer url join classifies urls; removed keep their OLD
+       hash, added their NEW hash;
+    3. per-hash Min(url) on each slice (deterministic pairing when a
+       content blob had several urls);
+    4. ONE inner hash join pairs removed×added on the content hash —
+       each side unioned with a distinct never-matching sentinel row
+       ("\\x00L" / "\\x00R"), so a move-free crawl pair yields an empty
+       result instead of an empty-side join crash.
+    Returns (content_md5, old_url, new_url).
+    """
+    import ray.data as rd
+
+    from .joins import shuffle_hash_join
+
+    def digests(suffix):
+        def fn(t: pa.Table) -> pa.Table:
+            texts = one_chunk(t[content_col]).to_pylist()
+            hs = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in texts]
+            return pa.table({"url": t[url_col],
+                             "h" + suffix: pa.array(hs, type=pa.string())})
+        return fn
+
+    sent_old = rd.from_arrow(pa.table(
+        {"url": pa.array([None], type=pa.string()),
+         "h_old": pa.array(["\x00"], type=pa.string())}))
+    sent_new = rd.from_arrow(pa.table(
+        {"url": pa.array([None], type=pa.string()),
+         "h_new": pa.array(["\x00"], type=pa.string())}))
+    old_d = old_pages.map_batches(digests("_old"),
+                                  batch_format="pyarrow").union(sent_old)
+    new_d = new_pages.map_batches(digests("_new"),
+                                  batch_format="pyarrow").union(sent_new)
+    # Ray's full outer join COALESCES the equal-named key into one "url"
+    # column: a removed row (right miss) carries the old url, an added
+    # row (left miss) the new one — exactly the two urls the classifier
+    # needs
+    joined = shuffle_hash_join(old_d, new_d, on="url",
+                               join_type="full_outer",
+                               num_partitions=num_partitions)
+
+    from ray.data.aggregate import Min
+
+    def removed(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_null(one_chunk(t["h_new"])),
+                       pc.is_valid(one_chunk(t["url"])))
+        s = t.filter(keep)
+        return pa.table({"h": s["h_old"], "old_url": s["url"]})
+
+    def added(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_null(one_chunk(t["h_old"])),
+                       pc.is_valid(one_chunk(t["url"])))
+        s = t.filter(keep)
+        return pa.table({"h2": s["h_new"], "new_url": s["url"]})
+
+    joined = joined.materialize()
+    rem = (joined.map_batches(removed, batch_format="pyarrow")
+           .union(rd.from_arrow(pa.table(
+               {"h": pa.array(["\x00L"]),
+                "old_url": pa.array([""], type=pa.string())})))
+           .groupby("h").aggregate(Min("old_url", alias_name="old_url")))
+    add = (joined.map_batches(added, batch_format="pyarrow")
+           .union(rd.from_arrow(pa.table(
+               {"h2": pa.array(["\x00R"]),
+                "new_url": pa.array([""], type=pa.string())})))
+           .groupby("h2").aggregate(Min("new_url", alias_name="new_url")))
+    pairs = shuffle_hash_join(rem, add, on="h", right_on="h2",
+                              num_partitions=num_partitions)
+    return pairs.map_batches(
+        lambda t: pa.table({"content_md5": t["h"],
+                            "old_url": t["old_url"],
+                            "new_url": t["new_url"]}),
+        batch_format="pyarrow")

@@ -300,3 +300,32 @@ def test_warc_roundtrip_binary_payloads():
     us = got.warc_ts.astype("datetime64[us]").astype("int64")
     assert (us == pd.Series([1_700_000_000_000_001 + i
                              for i in range(4)])).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_detect_moved_pages_and_empty_case():
+    import pandas as pd
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import detect_moved_pages
+
+    old = pd.DataFrame({
+        "url": ["u/a", "u/b", "u/c", "u/d"],
+        "text": ["A", "B", "C", "D"],
+    })
+    # a moved (u/a -> u/a2), b deleted, c unchanged, d changed in place,
+    # e brand-new content
+    new = pd.DataFrame({
+        "url": ["u/a2", "u/c", "u/d", "u/e"],
+        "text": ["A", "C", "D2", "E"],
+    })
+    got = (detect_moved_pages(ray.data.from_pandas(old).repartition(2),
+                              ray.data.from_pandas(new).repartition(2),
+                              num_partitions=2)
+           .to_pandas().sort_values("old_url").reset_index(drop=True))
+    assert got.old_url.tolist() == ["u/a"]
+    assert got.new_url.tolist() == ["u/a2"]
+    # no moves at all: empty result, no empty-side join crash
+    same = ray.data.from_pandas(old)
+    assert detect_moved_pages(same, same,
+                              num_partitions=2).count() == 0
