@@ -2651,6 +2651,41 @@ def _q_moved_pages(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_zscore_outliers(sf_dir: str):
+    """Exact integer 3-sigma gate over event values (isqrt threshold; no
+    float in the keep decision)."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import zscore_outliers_milli
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "value"])
+    return zscore_outliers_milli(ev, "value", k_sigma=2)
+
+
+def _q_bucketed_lookup(sf_dir: str):
+    """Point lookup of 8 orderkeys against a hash-bucketed hive layout:
+    only the buckets the keys land in are read (fragment pruning), not
+    the whole table."""
+    import os
+    import shutil
+
+    import ray.data
+
+    from pdf2doi_ray.stages.joins import bucketed_lookup, write_bucketed
+
+    keys = [3, 17, 42, 99, 256, 511, 777, 1024]
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = f"/tmp/pdf2doi_lookup_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    write_bucketed(orders, "o_orderkey", root, n_buckets=16)
+    return bucketed_lookup(root, "o_orderkey", keys, n_buckets=16,
+                           project=["o_orderkey", "o_custkey",
+                                    "o_totalprice"])
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -2681,6 +2716,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_distinct_users": _q_tumbling_distinct,
         "warc_roundtrip": _q_warc_roundtrip,
         "moved_pages": _q_moved_pages,
+        "zscore_outliers": _q_zscore_outliers,
+        "bucketed_lookup": _q_bucketed_lookup,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "orders_customer_join": _q_orders_customer_join,
         "lineitem_orders_join": _q_lineitem_orders_join,
@@ -5320,5 +5357,18 @@ SELECT {_URL} AS url, CAST(1735689600 + k AS BIGINT) AS secs FROM d
 WITH d AS ({_D})
 SELECT {_URL} AS old_url, {_URL} || '?moved' AS new_url
 FROM d WHERE k % 9 = 0 AND k % 13 <> 0
+"""
+    sql["zscore_outliers"] = """
+WITH c AS (SELECT event_id,
+                  CAST(floor(value * 1000) AS BIGINT) AS vm FROM events),
+m AS (SELECT count(*) AS n, sum(vm) AS s,
+             sum(CAST(vm AS HUGEINT) * vm) AS q FROM c)
+SELECT event_id, vm AS value_milli FROM c, m
+WHERE CAST(n * vm - s AS HUGEINT) * (n * vm - s)
+      > 4 * (CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s)
+"""
+    sql["bucketed_lookup"] = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+WHERE o_orderkey IN (3, 17, 42, 99, 256, 511, 777, 1024)
 """
     return sql

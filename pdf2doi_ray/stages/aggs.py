@@ -1548,3 +1548,55 @@ def cdc_apply(log, key_col: str = "k", seq_col: str = "seq",
     return (log.map_batches(partial, batch_format="pyarrow")
             .groupby("k").aggregate(Max("enc", alias_name="enc"))
             .map_batches(decode, batch_format="pyarrow"))
+
+
+def zscore_outliers_milli(ds, value_col: str, k_sigma: int = 3,
+                          carry_cols: tuple = ("event_id",)):
+    """EXACT integer z-score anomaly gate: keep rows with
+    ``|v − mean| > k·σ`` — evaluated entirely in int64 with NO float in
+    the decision, so the flagged set is bit-identical to the SQL mirror's
+    HUGEINT arithmetic.
+
+    Algebra: with milli values, n rows, S = Σv, Q = Σv², the condition
+    ``(v − S/n)² > k²·(nQ − S²)/n²`` is ``(n·v − S)² > k²·(nQ − S²)``.
+    The right side is ONE global scalar K (Python big-int at the driver,
+    from the shared (n, S, Q) combiner pass); the per-row test
+    ``|n·v − S| > isqrt(K)`` is exact because for T = isqrt(K):
+    |d| > T ⇔ d² > K (monotone squares on non-negative ints).  Per-row
+    work stays in int64 (n·v ≲ 10^14 at any realistic batch), only the
+    driver touches big ints.  Two passes, no shuffle, no join.
+    Returns ``carry_cols`` + (value_milli,) of flagged rows.
+    """
+    import math
+
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    def moments(t: pa.Table) -> pa.Table:
+        vm = _milli(one_chunk(t[value_col]))
+        return pa.table({"n": pa.array([len(vm)], type=pa.int64()),
+                         "s": pa.array([int(vm.sum())], type=pa.int64()),
+                         "q": pa.array([int((vm.astype(object) ** 2).sum())],
+                                       type=pa.int64())})
+
+    agg = ds.map_batches(moments, batch_format="pyarrow")
+    n = agg.sum("n") or 0
+    if not n:
+        return ds.map_batches(
+            lambda t: t.slice(0, 0).select(list(carry_cols)),
+            batch_format="pyarrow")
+    s, q = int(agg.sum("s")), int(agg.sum("q"))
+    big_k = (k_sigma * k_sigma) * (n * q - s * s)
+    thresh = math.isqrt(big_k) if big_k >= 0 else -1
+
+    def flag(t: pa.Table) -> pa.Table:
+        vm = _milli(one_chunk(t[value_col]))
+        d = np.abs(n * vm - s)
+        keep = d > thresh
+        cols = {c: one_chunk(t[c]).filter(pa.array(keep))
+                for c in carry_cols}
+        cols["value_milli"] = pa.array(vm[keep], type=pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(flag, batch_format="pyarrow")

@@ -1367,3 +1367,41 @@ def salted_join(left, right, on: str, right_on: str = None,
         return out.select_columns(list(project))
     return out.map_batches(lambda t: t.drop_columns(["_salt"]),
                            batch_format="pyarrow")
+
+
+def bucketed_lookup(layout_dir: str, on: str, keys, n_buckets: int,
+                    project=None):
+    """Point lookups against a :func:`write_bucketed` layout: hash the
+    requested keys with the layout's bucket function, read ONLY the
+    bucket directories they land in (hive-fragment pruning — untouched
+    buckets cost zero bytes), and filter to the exact keys.  The
+    storage-layout answer to "fetch these 50 urls out of 10^12": a full
+    scan touches every file; the bucketed layout touches
+    ``≤ min(len(keys), n_buckets)`` of them.
+    """
+    import ray
+    import ray.data
+    import pyarrow.compute as pc
+
+    from ..arrowutil import one_chunk
+
+    k = np.asarray(keys, dtype=np.uint64)
+    h = (k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(1)
+    buckets = sorted(set((h % np.uint64(n_buckets)).astype(int).tolist()))
+    keys_ref = ray.put(pa.array(np.asarray(keys, dtype=np.int64)))
+
+    def read_one(t: pa.Table) -> pa.Table:
+        import pyarrow.dataset as pads
+        out = []
+        for b in t["id"].to_pylist():
+            tbl = pads.dataset(layout_dir, partitioning="hive").to_table(
+                filter=(pads.field("bucket") == b))
+            hit = tbl.filter(pc.is_in(one_chunk(tbl[on]),
+                                      value_set=ray.get(keys_ref)))
+            out.append(hit.drop_columns(["bucket"]))
+        res = pa.concat_tables(out)
+        return res.select(list(project)) if project is not None else res
+
+    return ray.data.from_items(
+        [{"id": b} for b in buckets]).map_batches(
+        read_one, batch_format="pyarrow", batch_size=1)

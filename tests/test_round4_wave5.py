@@ -329,3 +329,50 @@ def test_detect_moved_pages_and_empty_case():
     same = ray.data.from_pandas(old)
     assert detect_moved_pages(same, same,
                               num_partitions=2).count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_zscore_outliers_exact_vs_numpy_and_empty():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import zscore_outliers_milli
+
+    rng = np.random.default_rng(7)
+    vals = np.round(rng.normal(100.0, 10.0, 400), 2)
+    vals[5], vals[77] = 900.0, -600.0  # planted outliers
+    df = pd.DataFrame({"event_id": np.arange(400), "value": vals})
+    got = (zscore_outliers_milli(
+        ray.data.from_pandas(df).repartition(4), "value", k_sigma=3)
+        .to_pandas().sort_values("event_id").reset_index(drop=True))
+    # exact integer mirror of the decision
+    vm = np.floor(vals * 1000).astype(object)
+    n, s = len(vm), int(sum(vm))
+    q = int(sum(v * v for v in vm))
+    keep = [i for i in range(n)
+            if (n * int(vm[i]) - s) ** 2 > 9 * (n * q - s * s)]
+    assert got.event_id.tolist() == keep
+    assert {5, 77} <= set(keep)
+    # empty input: empty result with the carry schema, no crash
+    empty = ray.data.from_pandas(df.iloc[:0])
+    assert zscore_outliers_milli(empty, "value").count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bucketed_lookup_prunes_and_matches(tmp_path):
+    import pandas as pd
+    import ray.data
+
+    from pdf2doi_ray.stages.joins import bucketed_lookup, write_bucketed
+
+    df = pd.DataFrame({"k": range(1000), "v": [i * 3 for i in range(1000)]})
+    root = str(tmp_path / "layout")
+    write_bucketed(ray.data.from_pandas(df).repartition(4), "k", root,
+                   n_buckets=32)
+    got = (bucketed_lookup(root, "k", [7, 500, 999], n_buckets=32)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert got.k.tolist() == [7, 500, 999]
+    assert got.v.tolist() == [21, 1500, 2997]
+    # a key absent from the table returns nothing (bucket read, 0 hits)
+    assert bucketed_lookup(root, "k", [100_000], n_buckets=32).count() == 0
