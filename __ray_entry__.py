@@ -1213,6 +1213,22 @@ def _q_csv_roundtrip(sf_dir: str):
         ["doc_id", "text", "lang", "n_chars"])
 
 
+def _q_orc_roundtrip(sf_dir: str):
+    """documents → ORC shards under /tmp (one file per block, streaming
+    sink) → read back (file-parallel).  Same identity-oracle contract as
+    ``jsonl_roundtrip`` — the Hive/Trino-world interchange format."""
+    import shutil
+
+    from pdf2doi_ray.sources.formats import export_orc, read_orc_dir
+
+    out = _fmt_scratch(sf_dir, "orc")
+    shutil.rmtree(out, ignore_errors=True)
+    export_orc(_docs(sf_dir, ("doc_id", "text", "lang", "n_chars")),
+               out).materialize()
+    return read_orc_dir(out).select_columns(
+        ["doc_id", "text", "lang", "n_chars"])
+
+
 def _q_train_test_split(sf_dir: str):
     from pdf2doi_ray.stages.corpus import train_test_split_stats
     return train_test_split_stats(_docs(sf_dir, ("doc_id", "lang")))
@@ -2662,6 +2678,26 @@ def _q_zscore_outliers(sf_dir: str):
     return zscore_outliers_milli(ev, "value", k_sigma=2)
 
 
+def _q_histogram_drift(sf_dir: str):
+    """Exact TVD-numerator drift between the even- and odd-event_id
+    halves of the events value column over 16 shared equi-width buckets."""
+    import ray.data
+    import pyarrow.compute as pc
+
+    from pdf2doi_ray.stages.aggs import histogram_drift_milli
+
+    def side(parity):
+        ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["event_id", "value"])
+        return ev.map_batches(
+            lambda t, p=parity: t.filter(
+                pc.equal(pc.bit_wise_and(t["event_id"], 1), p)).select(
+                ["value"]),
+            batch_format="pyarrow")
+
+    return histogram_drift_milli(side(0), side(1), "value", n_buckets=16)
+
+
 def _q_bucketed_lookup(sf_dir: str):
     """Point lookup of 8 orderkeys against a hash-bucketed hive layout:
     only the buckets the keys land in are read (fragment pruning), not
@@ -2718,6 +2754,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "moved_pages": _q_moved_pages,
         "zscore_outliers": _q_zscore_outliers,
         "bucketed_lookup": _q_bucketed_lookup,
+        "orc_roundtrip": _q_orc_roundtrip,
+        "histogram_drift": _q_histogram_drift,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "orders_customer_join": _q_orders_customer_join,
         "lineitem_orders_join": _q_lineitem_orders_join,
@@ -4422,6 +4460,8 @@ FROM r GROUP BY bucket
         "SELECT doc_id, text, lang, n_chars FROM documents"
     sql["csv_roundtrip"] = \
         "SELECT doc_id, text, lang, n_chars FROM documents"
+    sql["orc_roundtrip"] = \
+        "SELECT doc_id, text, lang, n_chars FROM documents"
     # exact integer moment statistics: the variance division runs through
     # HUGEINT (the n·Σvm² product outgrows BIGINT exactly where the engine
     # switches to Python ints); covariance emits NUMERATORS only, so no
@@ -5370,5 +5410,19 @@ WHERE CAST(n * vm - s AS HUGEINT) * (n * vm - s)
     sql["bucketed_lookup"] = """
 SELECT o_orderkey, o_custkey, o_totalprice FROM orders
 WHERE o_orderkey IN (3, 17, 42, 99, 256, 511, 777, 1024)
+"""
+    sql["histogram_drift"] = """
+WITH v AS (SELECT event_id,
+                  CAST(floor(value * 1000) AS BIGINT) AS vm FROM events),
+e AS (SELECT min(vm) AS lo, max(vm) - min(vm) + 1 AS span FROM v),
+t AS (SELECT event_id % 2 AS side,
+             (vm - lo) * 16 // span AS bucket FROM v, e),
+a AS (SELECT bucket, count(*) AS c FROM t WHERE side = 0 GROUP BY bucket),
+b AS (SELECT bucket, count(*) AS c FROM t WHERE side = 1 GROUP BY bucket),
+n AS (SELECT (SELECT sum(c) FROM a) AS na, (SELECT sum(c) FROM b) AS nb)
+SELECT COALESCE(a.bucket, b.bucket) AS bucket,
+       COALESCE(a.c, 0) AS cnt_a, COALESCE(b.c, 0) AS cnt_b,
+       abs(COALESCE(a.c, 0) * nb - COALESCE(b.c, 0) * na) AS drift_num
+FROM a FULL OUTER JOIN b ON a.bucket = b.bucket, n
 """
     return sql

@@ -77,3 +77,47 @@ def compact_parquet_dir(in_dir: str, out_dir: str,
     n_out = max(1, math.ceil(total / target_bytes))
     ray.data.read_parquet(in_dir).repartition(n_out).write_parquet(out_dir)
     return n_out
+
+
+def export_orc(ds, out_dir: str):
+    """Streaming ORC sink: one ``.orc`` file per block under ``out_dir``
+    — each map task serializes its own Arrow batch with ``pyarrow.orc``
+    and emits one bookkeeping row (path, n_rows), so nothing gathers at
+    the driver.  ORC is the interchange format of the Hive/Trino world;
+    like JSONL/CSV it is an *edge* format here — the working format
+    stays Parquet.  Returns the bookkeeping Dataset (consume it to run
+    the sink)."""
+    import os
+    import uuid
+
+    import pyarrow as pa
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_batch(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"path": pa.array([], type=pa.string()),
+                             "n_rows": pa.array([], type=pa.int64())})
+        from pyarrow import orc
+        path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.orc")
+        orc.write_table(t, path)
+        return pa.table({"path": pa.array([path]),
+                         "n_rows": pa.array([t.num_rows], type=pa.int64())})
+
+    return ds.map_batches(write_batch, batch_format="pyarrow")
+
+
+def read_orc_dir(path: str):
+    """ORC source: ``read_binary_files`` (one task per ``.orc`` file) →
+    ``pyarrow.orc`` decode per blob → Arrow blocks.  File-parallel like
+    the other edge-format readers; no driver involvement."""
+    import pyarrow as pa
+
+    def parse(t: pa.Table) -> pa.Table:
+        from pyarrow import orc
+        tables = [orc.ORCFile(pa.BufferReader(blob)).read()
+                  for blob in t["bytes"].to_pylist()]
+        return pa.concat_tables(tables) if tables else pa.table({})
+
+    return ray.data.read_binary_files(path).map_batches(
+        parse, batch_format="pyarrow")

@@ -1600,3 +1600,62 @@ def zscore_outliers_milli(ds, value_col: str, k_sigma: int = 3,
         return pa.table(cols)
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def histogram_drift_milli(ds_a, ds_b, value_col: str, n_buckets: int = 16):
+    """EXACT distribution-drift audit between two snapshots of a value
+    column (old crawl vs new crawl, train vs eval mix): equi-width
+    buckets over the UNION's milli range, per-side exact counts, and the
+    per-bucket total-variation numerator ``|cnt_a·n_b − cnt_b·n_a|`` —
+    all integers, so the row set is bit-identical to the SQL mirror
+    (TVD itself is ``Σ drift_num / (2·n_a·n_b)``; the division is left
+    to the consumer so no rounding exists to mismatch).
+
+    Plan: one ``(Min, Max)`` aggregate per side fixes the SHARED bucket
+    edges (drift is meaningless on unaligned histograms), then one
+    combiner pass per side (per-batch ``np.bincount`` → one tiny
+    ``groupby(bucket).Sum``).  Driver traffic is ≤ ``n_buckets`` rows
+    per side — scale-safe at any corpus size.  Returns a pandas frame
+    (bucket, cnt_a, cnt_b, drift_num) of buckets hit by either side.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    def to_milli(t: pa.Table) -> pa.Table:
+        vm = _milli(one_chunk(t[value_col]))
+        return pa.table({"vm": pa.array(vm, type=pa.int64())})
+
+    sides = [ds.map_batches(to_milli, batch_format="pyarrow")
+             for ds in (ds_a, ds_b)]
+    mms = [s.aggregate(Min("vm"), Max("vm")) for s in sides]
+    lo = min(m["min(vm)"] for m in mms)
+    hi = max(m["max(vm)"] for m in mms)
+    span = hi - lo + 1
+
+    def bucket_counts(t: pa.Table) -> pa.Table:
+        vm = np.asarray(one_chunk(t["vm"]), dtype=np.int64)
+        b = (vm - lo) * n_buckets // span
+        cnt = np.bincount(b, minlength=n_buckets)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"bucket": pa.array(nz, type=pa.int64()),
+                         "cnt": pa.array(cnt[nz], type=pa.int64())})
+
+    hists = []
+    for s in sides:
+        rows = (s.map_batches(bucket_counts, batch_format="pyarrow")
+                .groupby("bucket").aggregate(Sum("cnt", alias_name="cnt"))
+                .take_all())
+        hists.append({r["bucket"]: r["cnt"] for r in rows})
+    ha, hb = hists
+    na, nb = sum(ha.values()), sum(hb.values())
+    buckets = sorted(set(ha) | set(hb))
+    ca = [ha.get(b, 0) for b in buckets]
+    cb = [hb.get(b, 0) for b in buckets]
+    return pd.DataFrame({
+        "bucket": pd.Series(buckets, dtype="int64"),
+        "cnt_a": pd.Series(ca, dtype="int64"),
+        "cnt_b": pd.Series(cb, dtype="int64"),
+        "drift_num": pd.Series([abs(a * nb - b_ * na)
+                                for a, b_ in zip(ca, cb)], dtype="int64"),
+    })

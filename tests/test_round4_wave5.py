@@ -376,3 +376,49 @@ def test_bucketed_lookup_prunes_and_matches(tmp_path):
     assert got.v.tolist() == [21, 1500, 2997]
     # a key absent from the table returns nothing (bucket read, 0 hits)
     assert bucketed_lookup(root, "k", [100_000], n_buckets=32).count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_orc_roundtrip_lossless(tmp_path):
+    import pandas as pd
+    import ray.data
+
+    from pdf2doi_ray.sources.formats import export_orc, read_orc_dir
+
+    df = pd.DataFrame({"a": range(50), "b": [f"s{i}," for i in range(50)]})
+    out = str(tmp_path / "orc")
+    bk = export_orc(ray.data.from_pandas(df).repartition(4),
+                    out).materialize()
+    assert bk.sum("n_rows") == 50
+    got = (read_orc_dir(out).to_pandas()
+           .sort_values("a").reset_index(drop=True))
+    assert got.astype(df.dtypes.to_dict()).equals(df)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_histogram_drift_exact_counts():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import histogram_drift_milli
+
+    # side A uniform on [0, 10); side B shifted to [5, 15)
+    a = pd.DataFrame({"value": np.arange(0.0, 10.0, 0.5)})    # 20 rows
+    b = pd.DataFrame({"value": np.arange(5.0, 15.0, 0.25)})   # 40 rows
+    got = histogram_drift_milli(
+        ray.data.from_pandas(a).repartition(3),
+        ray.data.from_pandas(b).repartition(3), "value", n_buckets=4)
+    # shared range [0, 14750] milli, span 14751: bucket = vm*4 // 14751
+    vm_a = np.floor(a.value.values * 1000).astype(np.int64)
+    vm_b = np.floor(b.value.values * 1000).astype(np.int64)
+    exp = {}
+    for vm, side in ((vm_a, 0), (vm_b, 1)):
+        for x in vm:
+            k = int(x * 4 // 14751)
+            exp.setdefault(k, [0, 0])[side] += 1
+    assert got.bucket.tolist() == sorted(exp)
+    for _, r in got.iterrows():
+        ca, cb = exp[r.bucket]
+        assert (r.cnt_a, r.cnt_b) == (ca, cb)
+        assert r.drift_num == abs(ca * 40 - cb * 20)
