@@ -2678,6 +2678,42 @@ def _q_zscore_outliers(sf_dir: str):
     return zscore_outliers_milli(ev, "value", k_sigma=2)
 
 
+def _q_source_skew_gini(sf_dir: str):
+    """Exact integer Gini of the documents-per-source distribution —
+    the partition-evenness go/no-go audit for the source key."""
+    from pdf2doi_ray.stages.aggs import gini_skew
+    return gini_skew(_docs(sf_dir, ("doc_id", "source")), "source")
+
+
+def _q_pareto_orders(sf_dir: str):
+    """Pareto frontier of orders: highest price achieved earliest —
+    rows where no other order has price ≥ AND date ≤ (one strict)."""
+    import ray.data
+    import pyarrow.compute as pc
+
+    from pdf2doi_ray.stages.aggs import pareto_frontier
+    from pdf2doi_ray.stages.windowfns import _milli
+    from pdf2doi_ray.arrowutil import one_chunk
+
+    def prep(t):
+        import pyarrow as pa
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "price_milli": pa.array(_milli(one_chunk(t["o_totalprice"])),
+                                    type=pa.int64()),
+            "date_us": pc.cast(pc.cast(t["o_orderdate"],
+                                       pa.timestamp("us")), pa.int64()),
+        })
+
+    import pyarrow as pa
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderdate"])
+    return pareto_frontier(orders.map_batches(prep,
+                                              batch_format="pyarrow"),
+                           "price_milli", "date_us")
+
+
 def _q_histogram_drift(sf_dir: str):
     """Exact TVD-numerator drift between the even- and odd-event_id
     halves of the events value column over 16 shared equi-width buckets."""
@@ -2756,6 +2792,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucketed_lookup": _q_bucketed_lookup,
         "orc_roundtrip": _q_orc_roundtrip,
         "histogram_drift": _q_histogram_drift,
+        "pareto_orders": _q_pareto_orders,
+        "source_skew_gini": _q_source_skew_gini,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "orders_customer_join": _q_orders_customer_join,
         "lineitem_orders_join": _q_lineitem_orders_join,
@@ -5410,6 +5448,26 @@ WHERE CAST(n * vm - s AS HUGEINT) * (n * vm - s)
     sql["bucketed_lookup"] = """
 SELECT o_orderkey, o_custkey, o_totalprice FROM orders
 WHERE o_orderkey IN (3, 17, 42, 99, 256, 511, 777, 1024)
+"""
+    sql["source_skew_gini"] = """
+WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+s AS (SELECT cnt, row_number() OVER (ORDER BY cnt) AS i,
+             count(*) OVER () AS m, sum(cnt) OVER () AS tot FROM c)
+SELECT CAST(max(m) AS BIGINT) AS n_keys,
+       CAST(max(tot) AS BIGINT) AS total,
+       CAST(sum((2 * i - m - 1) * cnt) AS BIGINT) AS gini_num,
+       CAST(max(m) * max(tot) AS BIGINT) AS gini_den
+FROM s
+"""
+    sql["pareto_orders"] = """
+WITH o AS (SELECT o_orderkey,
+                  CAST(floor(o_totalprice * 1000) AS BIGINT) AS price_milli,
+                  epoch_us(o_orderdate) AS date_us FROM orders)
+SELECT o_orderkey, price_milli, date_us FROM o a
+WHERE NOT EXISTS (
+  SELECT 1 FROM o b
+  WHERE b.price_milli >= a.price_milli AND b.date_us <= a.date_us
+    AND (b.price_milli > a.price_milli OR b.date_us < a.date_us))
 """
     sql["histogram_drift"] = """
 WITH v AS (SELECT event_id,

@@ -1659,3 +1659,86 @@ def histogram_drift_milli(ds_a, ds_b, value_col: str, n_buckets: int = 16):
         "drift_num": pd.Series([abs(a * nb - b_ * na)
                                 for a, b_ in zip(ca, cb)], dtype="int64"),
     })
+
+
+def _skyline_kernel(t: pa.Table, p_col: str, d_col: str) -> pa.Table:
+    """Rows of ``t`` not dominated within ``t``: maximize ``p_col``,
+    minimize ``d_col`` (both int64).  j dominates i iff p_j ≥ p_i and
+    d_j ≤ d_i with at least one strict; exact duplicates survive
+    together.  One lexsort + two vectorized scans."""
+    if t.num_rows == 0:
+        return t
+    p = np.asarray(one_chunk(t[p_col]), dtype=np.int64)
+    d = np.asarray(one_chunk(t[d_col]), dtype=np.int64)
+    order = np.lexsort((d, -p))              # p desc, d asc
+    ps, ds_ = p[order], d[order]
+    n = len(ps)
+    new_grp = np.ones(n, dtype=bool)
+    new_grp[1:] = ps[1:] != ps[:-1]
+    # min d of each row's own p-group = d at the group head (d asc in group)
+    idx = np.arange(n)
+    head = np.maximum.accumulate(np.where(new_grp, idx, 0))
+    grp_min = ds_[head]
+    # exclusive cummin of group-head d over STRICTLY greater p groups
+    prev = np.empty(n, dtype=np.int64)
+    prev[0] = np.iinfo(np.int64).max
+    prev[1:] = np.minimum.accumulate(ds_)[:-1]
+    prev_strict = np.where(new_grp, prev, prev[head])
+    keep = (ds_ == grp_min) & (prev_strict > ds_)
+    return t.take(pa.array(order[keep]))
+
+
+def pareto_frontier(ds, p_col: str, d_col: str):
+    """Distributed 2-D Pareto frontier (skyline): rows no other row
+    dominates — maximize ``p_col``, minimize ``d_col``.  Local skyline
+    per batch is a SOUND combiner (a row dominated inside one batch has
+    its dominator in the corpus), so raw rows collapse to per-batch
+    frontiers before the single-block merge (``repartition(1)`` +
+    the same kernel over the whole survivor set).
+
+    Scale bound: survivor volume is Σ per-batch frontier sizes — tiny
+    for correlated data (typical frontier ~log n) but O(n) for a pure
+    anti-chain; the merge is single-node by design and callers with
+    adversarial anti-chain data should pre-bucket by ``p`` range.
+    """
+    part = ds.map_batches(lambda t: _skyline_kernel(t, p_col, d_col),
+                          batch_format="pyarrow")
+    return part.repartition(1).map_batches(
+        lambda t: _skyline_kernel(t, p_col, d_col),
+        batch_format="pyarrow", batch_size=None)
+
+
+def gini_skew(ds, key_col: str):
+    """EXACT key-skew audit: the Gini coefficient of the per-key row
+    distribution, emitted as an integer numerator/denominator pair
+    (``gini = gini_num / gini_den``) so no float rounding exists —
+    with sorted ascending counts x_1..x_m, ``gini_num = Σ(2i−m−1)·x_i``
+    and ``gini_den = m·Σx`` (tie order is irrelevant: coefficient sums
+    over equal values are fixed).  0 = perfectly even, →1 = one key owns
+    everything — the go/no-go number for "will this key partition
+    evenly or do I need salting".
+
+    Plan: per-batch Arrow ``group_by`` count partials → ONE global
+    ``groupby(key).Sum`` → the per-key count table (the canonical small
+    aggregate side: #distinct keys rows, NOT corpus rows) sorts at the
+    driver.  Returns a 1-row frame (n_keys, total, gini_num, gini_den).
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select([key_col]).group_by(key_col).aggregate([([], "count_all")])
+        return g.rename_columns([key_col, "cnt"])
+
+    rows = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(key_col).aggregate(Sum("cnt", alias_name="cnt"))
+            .take_all())
+    x = np.sort(np.array([r["cnt"] for r in rows], dtype=np.int64))
+    m, tot = len(x), int(x.sum())
+    i = np.arange(1, m + 1, dtype=object)
+    num = int(((2 * i - m - 1) * x.astype(object)).sum()) if m else 0
+    return pd.DataFrame({"n_keys": pd.Series([m], dtype="int64"),
+                         "total": pd.Series([tot], dtype="int64"),
+                         "gini_num": pd.Series([num], dtype="int64"),
+                         "gini_den": pd.Series([m * tot], dtype="int64")})

@@ -422,3 +422,58 @@ def test_histogram_drift_exact_counts():
         ca, cb = exp[r.bucket]
         assert (r.cnt_a, r.cnt_b) == (ca, cb)
         assert r.drift_num == abs(ca * 40 - cb * 20)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pareto_frontier_vs_bruteforce():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import pareto_frontier
+
+    rng = np.random.default_rng(11)
+    p = rng.integers(0, 40, 300).astype(np.int64)
+    d = rng.integers(0, 40, 300).astype(np.int64)
+    # force exact-duplicate frontier candidates and a tie on each axis
+    p[0] = p[1] = 39; d[0] = d[1] = 0
+    df = pd.DataFrame({"rid": np.arange(300), "price_milli": p,
+                       "date_us": d})
+    got = (pareto_frontier(ray.data.from_pandas(df).repartition(7),
+                           "price_milli", "date_us")
+           .to_pandas().sort_values("rid").reset_index(drop=True))
+    keep = [i for i in range(300)
+            if not any((p[j] >= p[i]) and (d[j] <= d[i])
+                       and (p[j] > p[i] or d[j] < d[i])
+                       for j in range(300))]
+    assert got.rid.tolist() == keep
+    assert {0, 1} <= set(keep)          # duplicates survive together
+    # pure anti-chain: everything survives
+    ac = pd.DataFrame({"rid": np.arange(20),
+                       "price_milli": np.arange(20, dtype=np.int64),
+                       "date_us": np.arange(20, dtype=np.int64)})
+    assert pareto_frontier(ray.data.from_pandas(ac).repartition(4),
+                           "price_milli", "date_us").count() == 20
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_gini_skew_exact_on_skewed_keys():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import gini_skew
+
+    # keys with counts 1, 2, 4, ..., 64 (heavy skew)
+    counts = [1, 2, 4, 8, 16, 32, 64]
+    keys = sum(([f"h{i}"] * c for i, c in enumerate(counts)), [])
+    df = pd.DataFrame({"k": keys})
+    got = gini_skew(ray.data.from_pandas(df).repartition(5), "k")
+    x = np.sort(np.array(counts))
+    m, tot = len(x), x.sum()
+    num = sum((2 * (i + 1) - m - 1) * int(x[i]) for i in range(m))
+    assert got.iloc[0].tolist() == [m, tot, num, m * tot]
+    # even distribution → gini_num == 0
+    ev = pd.DataFrame({"k": ["a", "b", "c", "d"] * 10})
+    assert gini_skew(ray.data.from_pandas(ev).repartition(3),
+                     "k").gini_num.iloc[0] == 0
