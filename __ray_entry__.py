@@ -2678,6 +2678,54 @@ def _q_zscore_outliers(sf_dir: str):
     return zscore_outliers_milli(ev, "value", k_sigma=2)
 
 
+def _q_bucketed_upsert(sf_dir: str):
+    """Daily-delta maintenance of a bucketed orders layout: keys ≡3
+    (mod 10) get a price bump, a few brand-new keys append; only the
+    dirty buckets are rewritten, the rest copy through.  Result = the
+    merged table read back (latest-per-key semantics)."""
+    import os
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from pdf2doi_ray.stages.joins import bucketed_upsert, write_bucketed
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base_dir = f"/tmp/pdf2doi_upsert_base_{tag}"
+    out_dir = f"/tmp/pdf2doi_upsert_out_{tag}"
+    shutil.rmtree(base_dir, ignore_errors=True)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    write_bucketed(orders, "o_orderkey", base_dir, n_buckets=16)
+
+    def mk_changes(t: pa.Table) -> pa.Table:
+        upd = t.filter(pc.equal(pc.subtract(
+            t["o_orderkey"], pc.multiply(pc.divide(t["o_orderkey"], 10),
+                                         10)), 3))
+        upd = upd.set_column(
+            upd.schema.get_field_index("o_totalprice"), "o_totalprice",
+            pc.add(upd["o_totalprice"], 11111.0))
+        new = t.filter(pc.equal(pc.subtract(
+            t["o_orderkey"], pc.multiply(pc.divide(t["o_orderkey"], 500),
+                                         500)), 0))
+        new = pa.table({
+            "o_orderkey": pc.add(new["o_orderkey"], 1_000_000),
+            "o_custkey": pa.array(np.zeros(new.num_rows, dtype=np.int64)),
+            "o_totalprice": pa.array(np.ones(new.num_rows,
+                                             dtype=np.float64))})
+        return pa.concat_tables([upd, new])
+
+    changes = orders.map_batches(mk_changes, batch_format="pyarrow")
+    bucketed_upsert(base_dir, changes, "o_orderkey", 16,
+                    out_dir).materialize()
+    return ray.data.read_parquet(out_dir).select_columns(
+        ["o_orderkey", "o_custkey", "o_totalprice"])
+
+
 def _q_source_skew_gini(sf_dir: str):
     """Exact integer Gini of the documents-per-source distribution —
     the partition-evenness go/no-go audit for the source key."""
@@ -2794,6 +2842,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "histogram_drift": _q_histogram_drift,
         "pareto_orders": _q_pareto_orders,
         "source_skew_gini": _q_source_skew_gini,
+        "bucketed_upsert": _q_bucketed_upsert,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "orders_customer_join": _q_orders_customer_join,
         "lineitem_orders_join": _q_lineitem_orders_join,
@@ -5448,6 +5497,18 @@ WHERE CAST(n * vm - s AS HUGEINT) * (n * vm - s)
     sql["bucketed_lookup"] = """
 SELECT o_orderkey, o_custkey, o_totalprice FROM orders
 WHERE o_orderkey IN (3, 17, 42, 99, 256, 511, 777, 1024)
+"""
+    sql["bucketed_upsert"] = """
+WITH changes AS (
+  SELECT o_orderkey, o_custkey, o_totalprice + 11111.0 AS o_totalprice
+  FROM orders WHERE o_orderkey % 10 = 3
+  UNION ALL
+  SELECT o_orderkey + 1000000, CAST(0 AS BIGINT), 1.0
+  FROM orders WHERE o_orderkey % 500 = 0)
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changes)
+UNION ALL
+SELECT o_orderkey, o_custkey, o_totalprice FROM changes
 """
     sql["source_skew_gini"] = """
 WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),

@@ -1405,3 +1405,89 @@ def bucketed_lookup(layout_dir: str, on: str, keys, n_buckets: int,
     return ray.data.from_items(
         [{"id": b} for b in buckets]).map_batches(
         read_one, batch_format="pyarrow", batch_size=1)
+
+
+def bucketed_upsert(layout_dir: str, changes, key_col: str, n_buckets: int,
+                    out_dir: str):
+    """Incremental upsert into a :func:`write_bucketed` layout that
+    rewrites ONLY the buckets a changed key hashes into: change rows
+    REPLACE same-key rows, new keys append.  The 100 TB maintenance
+    story — a 0.1 % daily delta touches ~min(|delta|, n_buckets) bucket
+    directories; the other ~99.9 % of bytes move by file COPY (an
+    object-store metadata op at scale), never parsed.
+
+    Plan: the delta is written bucketed once (same mix64 bucket
+    function, so it co-partitions with the base), the dirty-bucket set
+    comes from the delta layout's directory listing (metadata only),
+    and one map task per bucket either merges (anti-join base on the
+    delta's keys + concat delta — both sides are single-bucket reads)
+    or copies the base files through untouched.  Change keys must be
+    unique (run :func:`~pdf2doi_ray.stages.aggs.cdc_apply` first to
+    collapse a CDC log); violated uniqueness raises loudly.
+
+    Returns the bookkeeping Dataset (bucket, n_rows, rewritten) —
+    consume it to run the sink; read the new layout back with
+    ``read_parquet(out_dir)`` (drop the hive ``bucket`` column).
+    """
+    import glob
+    import os
+    import shutil
+
+    import ray
+    import ray.data
+    import pyarrow.compute as pc
+
+    from ..arrowutil import one_chunk
+
+    chg_dir = out_dir.rstrip("/") + "__delta"
+    shutil.rmtree(chg_dir, ignore_errors=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_bucketed(changes, key_col, chg_dir, n_buckets)
+    dirty = {int(os.path.basename(p).split("=")[1])
+             for p in glob.glob(os.path.join(chg_dir, "bucket=*"))}
+    base_buckets = {int(os.path.basename(p).split("=")[1])
+                    for p in glob.glob(os.path.join(layout_dir, "bucket=*"))}
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _read_bucket(root: str, b: int) -> pa.Table:
+        import pyarrow.dataset as pads
+        return pads.dataset(root, partitioning="hive").to_table(
+            filter=(pads.field("bucket") == b)).drop_columns(["bucket"])
+
+    def merge_one(t: pa.Table) -> pa.Table:
+        rows = []
+        for b in t["id"].to_pylist():
+            dst = os.path.join(out_dir, f"bucket={b}")
+            if b not in dirty:
+                os.makedirs(dst, exist_ok=True)
+                n = 0
+                for f in glob.glob(os.path.join(layout_dir,
+                                                f"bucket={b}", "*")):
+                    shutil.copy(f, dst)
+                rows.append((b, -1, False))
+                continue
+            chg = _read_bucket(chg_dir, b)
+            keys = one_chunk(chg[key_col])
+            if len(keys) != len(pc.unique(keys)):
+                raise ValueError(
+                    "bucketed_upsert: duplicate keys in the change set — "
+                    "collapse the CDC log (cdc_apply) first")
+            if b in base_buckets:
+                base = _read_bucket(layout_dir, b)
+                kept = base.filter(pc.invert(pc.is_in(
+                    one_chunk(base[key_col]), value_set=keys)))
+                merged = pa.concat_tables([kept, chg])
+            else:
+                merged = chg
+            os.makedirs(dst, exist_ok=True)
+            import pyarrow.parquet as pq
+            pq.write_table(merged, os.path.join(dst, "part-0.parquet"))
+            rows.append((b, merged.num_rows, True))
+        return pa.table({
+            "bucket": pa.array([r[0] for r in rows], type=pa.int64()),
+            "n_rows": pa.array([r[1] for r in rows], type=pa.int64()),
+            "rewritten": pa.array([r[2] for r in rows], type=pa.bool_())})
+
+    all_b = sorted(base_buckets | dirty)
+    return ray.data.from_items([{"id": b} for b in all_b]).map_batches(
+        merge_one, batch_format="pyarrow", batch_size=1)

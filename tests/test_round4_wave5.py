@@ -477,3 +477,40 @@ def test_gini_skew_exact_on_skewed_keys():
     ev = pd.DataFrame({"k": ["a", "b", "c", "d"] * 10})
     assert gini_skew(ray.data.from_pandas(ev).repartition(3),
                      "k").gini_num.iloc[0] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bucketed_upsert_rewrites_only_dirty_buckets(tmp_path):
+    import glob
+    import os
+
+    import pandas as pd
+    import pytest as _pt
+    import ray.data
+
+    from pdf2doi_ray.stages.joins import bucketed_upsert, write_bucketed
+
+    base = pd.DataFrame({"k": range(200), "v": [i * 2 for i in range(200)]})
+    base_dir, out_dir = str(tmp_path / "base"), str(tmp_path / "out")
+    write_bucketed(ray.data.from_pandas(base).repartition(4), "k",
+                   base_dir, n_buckets=8)
+    # delta: update k=7, insert k=500
+    delta = pd.DataFrame({"k": [7, 500], "v": [999, 1000]})
+    bk = bucketed_upsert(base_dir, ray.data.from_pandas(delta), "k", 8,
+                         out_dir).to_pandas()
+    assert bk.rewritten.sum() <= 2          # ≤ #delta keys buckets dirty
+    # untouched buckets copied byte-identically
+    for b in bk[~bk.rewritten].bucket:
+        for f in glob.glob(os.path.join(base_dir, f"bucket={b}", "*")):
+            g = os.path.join(out_dir, f"bucket={b}", os.path.basename(f))
+            assert open(f, "rb").read() == open(g, "rb").read()
+    got = (ray.data.read_parquet(out_dir).select_columns(["k", "v"])
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    exp = pd.concat([base[base.k != 7],
+                     delta]).sort_values("k").reset_index(drop=True)
+    assert got.equals(exp.astype(got.dtypes.to_dict()))
+    # duplicate keys in the delta must raise
+    dup = pd.DataFrame({"k": [1, 1], "v": [5, 6]})
+    with _pt.raises(Exception, match="duplicate keys"):
+        bucketed_upsert(base_dir, ray.data.from_pandas(dup), "k", 8,
+                        str(tmp_path / "out2")).materialize()
