@@ -2678,6 +2678,15 @@ def _q_zscore_outliers(sf_dir: str):
     return zscore_outliers_milli(ev, "value", k_sigma=2)
 
 
+def _q_jaccard_pairs(sf_dir: str):
+    """Exact all-pairs 3-gram Jaccard ≥ 0.5 self-join over documents —
+    prefix-filtered (no LSH, no recall loss), exact integer
+    (inter, uni) per pair."""
+    from pdf2doi_ray.stages.dedup import jaccard_threshold_pairs
+    return jaccard_threshold_pairs(_docs(sf_dir, ("doc_id", "text")),
+                                   tau_permille=500)
+
+
 def _q_bucketed_upsert(sf_dir: str):
     """Daily-delta maintenance of a bucketed orders layout: keys ≡3
     (mod 10) get a price bump, a few brand-new keys append; only the
@@ -2843,6 +2852,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pareto_orders": _q_pareto_orders,
         "source_skew_gini": _q_source_skew_gini,
         "bucketed_upsert": _q_bucketed_upsert,
+        "jaccard_pairs_exact": _q_jaccard_pairs,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "orders_customer_join": _q_orders_customer_join,
         "lineitem_orders_join": _q_lineitem_orders_join,
@@ -5497,6 +5507,28 @@ WHERE CAST(n * vm - s AS HUGEINT) * (n * vm - s)
     sql["bucketed_lookup"] = """
 SELECT o_orderkey, o_custkey, o_totalprice FROM orders
 WHERE o_orderkey IN (3, 17, 42, 99, 256, 511, 777, 1024)
+"""
+    sql["jaccard_pairs_exact"] = """
+WITH l AS (SELECT doc_id,
+                  list_filter(string_split(text, ' '), x -> x <> '')
+                      AS toks FROM documents),
+g AS (SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(gram), 1, 16))::UBIGINT AS hv
+      FROM (SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' ||
+                            toks[i+2])) AS gram
+            FROM l WHERE len(toks) >= 3)),
+sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+          FROM g a JOIN g b ON a.hv = b.hv AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT da AS doc_a, db AS doc_b, CAST(i AS BIGINT) AS inter,
+       CAST(sa.n + sb.n - i AS BIGINT) AS uni
+FROM inter
+JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+WHERE i * 1000 >= 500 * (sa.n + sb.n - i)
 """
     sql["bucketed_upsert"] = """
 WITH changes AS (

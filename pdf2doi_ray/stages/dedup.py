@@ -1079,3 +1079,115 @@ def simhash_near_dups(docs, max_hamming: int = 3, num_partitions: int = 8):
     return (cand.map_batches(verify, batch_format="pyarrow")
             .groupby(["pair_a", "pair_b"])
             .aggregate(Min("hamming", alias_name="hamming")))
+
+
+def jaccard_threshold_pairs(docs, tau_permille: int = 500,
+                            gram_len: int = 3):
+    """EXACT all-pairs set-similarity self-join: every (doc_a < doc_b)
+    pair whose token-``gram_len``-shingle Jaccard ≥ ``tau_permille``/1000,
+    with exact integer (inter, uni) — no LSH, no misses, so the result
+    has a bit-exact SQL oracle (unlike :func:`minhash_near_dups`, whose
+    recall is probabilistic by design).
+
+    Prefix-filter plan (AllPairs/PPJoin family, Bayardo et al. 2007 —
+    public literature):
+
+    1. per batch: shingle (:func:`~.corpus._token_grams_with_rows`) →
+       :func:`~.corpus.md5_u64` hashes → per-doc DISTINCT SORTED hash
+       sets, all vectorized (one lexsort per batch);
+    2. each doc emits its ``s − ⌈τ·s⌉ + 1`` smallest hashes as prefix
+       keys (the prefix-filter lemma: two sets with J ≥ τ intersect in
+       ≥ ⌈τ·max(sa,sb)⌉ elements, so their prefixes under ANY shared
+       total order must share a key).  The total order here is the
+       HASH order — globally consistent with zero coordination, no df
+       pass, no broadcast (md5 scatters frequency order, so candidate
+       counts are higher than frequency-ordered PPJoin; the trade is
+       no global vocabulary state at 100 TB);
+    3. ONE ``groupby(prefix_hv)`` exchange moves (hash, doc_id, set)
+       rows — sets travel as list<int64>, documents never move — and
+       each group verifies its pairs exactly (``np.intersect1d`` on the
+       carried sorted sets);
+    4. a pair sharing several prefix keys surfaces once per key: one
+       tiny ``groupby(doc_a, doc_b)`` dedups (pair rows carry identical
+       values, Min is arbitrary-but-deterministic).
+
+    Hot-prefix bound: a shingle hash appearing in p docs' prefixes
+    yields a p-row group and O(p²) verifications — the documented skew
+    risk; production mitigation is the df-ascending order (rarest
+    token first, smallest possible groups) at the cost of a global df
+    pass.  Returns (doc_a, doc_b, inter, uni).
+    """
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Min
+
+    from .corpus import _token_grams_with_rows, md5_u64
+
+    def doc_prefix_rows(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "pref": pa.array([], type=pa.int64()),
+            "doc_id": pa.array([], type=pa.int64()),
+            "set": pa.array([], type=pa.list_(pa.int64())),
+            "size": pa.array([], type=pa.int64())})
+        grams, row_idx = _token_grams_with_rows(t, gram_len)
+        if len(grams) == 0:
+            return empty
+        hv = md5_u64(grams).view(np.int64)
+        order = np.lexsort((hv, row_idx))
+        r, h = row_idx[order], hv[order]
+        keep = np.ones(len(r), dtype=bool)          # drop dup (row, hv)
+        keep[1:] = (r[1:] != r[:-1]) | (h[1:] != h[:-1])
+        r, h = r[keep], h[keep]
+        rows, starts = np.unique(r, return_index=True)
+        ends = np.append(starts[1:], len(r))
+        sizes = ends - starts
+        plens = sizes - np.ceil(tau_permille * sizes / 1000).astype(
+            np.int64) + 1
+        doc_ids = np.asarray(one_chunk(t["doc_id"]))[rows]
+        sets = pa.ListArray.from_arrays(
+            pa.array(np.concatenate([[0], np.cumsum(sizes)]),
+                     type=pa.int32()), pa.array(h, type=pa.int64()))
+        # prefix keys: first plens[i] hashes of doc i
+        rep_doc = np.repeat(np.arange(len(rows)), plens)
+        within = np.arange(len(rep_doc)) - np.repeat(
+            np.concatenate([[0], np.cumsum(plens)[:-1]]), plens)
+        pref = h[starts[rep_doc] + within]
+        return pa.table({
+            "pref": pa.array(pref, type=pa.int64()),
+            "doc_id": pa.array(doc_ids[rep_doc], type=pa.int64()),
+            "set": sets.take(pa.array(rep_doc, type=pa.int64())),
+            "size": pa.array(sizes[rep_doc], type=pa.int64())})
+
+    def group_pairs(t: pa.Table) -> pa.Table:
+        ids = np.asarray(one_chunk(t["doc_id"]))
+        sizes = np.asarray(one_chunk(t["size"]))
+        sets = t["set"].to_pylist()
+        out_a, out_b, out_i, out_u = [], [], [], []
+        k = len(ids)
+        for x in range(k):
+            sx = np.asarray(sets[x], dtype=np.int64)
+            for y in range(x + 1, k):
+                if ids[x] == ids[y]:
+                    continue
+                inter = len(np.intersect1d(sx, np.asarray(sets[y],
+                                                          dtype=np.int64),
+                                           assume_unique=True))
+                uni = int(sizes[x] + sizes[y] - inter)
+                if inter * 1000 >= tau_permille * uni:
+                    a, b = sorted((int(ids[x]), int(ids[y])))
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_i.append(inter)
+                    out_u.append(uni)
+        return pa.table({
+            "doc_a": pa.array(out_a, type=pa.int64()),
+            "doc_b": pa.array(out_b, type=pa.int64()),
+            "inter": pa.array(out_i, type=pa.int64()),
+            "uni": pa.array(out_u, type=pa.int64())})
+
+    pref_rows = docs.map_batches(doc_prefix_rows, batch_format="pyarrow")
+    cand = pref_rows.groupby("pref").map_groups(group_pairs,
+                                                batch_format="pyarrow")
+    return (cand.groupby(["doc_a", "doc_b"])
+            .aggregate(Min("inter", alias_name="inter"),
+                       Min("uni", alias_name="uni")))

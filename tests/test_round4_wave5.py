@@ -514,3 +514,46 @@ def test_bucketed_upsert_rewrites_only_dirty_buckets(tmp_path):
     with _pt.raises(Exception, match="duplicate keys"):
         bucketed_upsert(base_dir, ray.data.from_pandas(dup), "k", 8,
                         str(tmp_path / "out2")).materialize()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_jaccard_threshold_pairs_exact_recall():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from pdf2doi_ray.stages.dedup import jaccard_threshold_pairs
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(200)]
+    base = [" ".join(rng.choice(vocab, 30)) for _ in range(40)]
+    texts = list(base)
+    texts.append(base[0])                      # exact dup of doc 0 → J=1
+    toks = base[1].split()
+    toks[5] = "CHANGED"                        # near dup of doc 1
+    texts.append(" ".join(toks))
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+
+    got = (jaccard_threshold_pairs(
+        ray.data.from_pandas(df).repartition(6), tau_permille=500)
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+
+    # brute-force oracle over shingle sets
+    def sset(s):
+        w = s.split()
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+    sets = [sset(s) for s in texts]
+    exp = []
+    for a in range(len(sets)):
+        for b in range(a + 1, len(sets)):
+            i = len(sets[a] & sets[b])
+            u = len(sets[a] | sets[b])
+            if u and i * 1000 >= 500 * u:
+                exp.append((a, b, i, u))
+    assert list(map(tuple, got.values.tolist())) == exp
+    assert (0, 40, 28, 28) in exp              # the exact dup pair
+    # corpus with no similar pairs → empty result, no crash
+    solo = pd.DataFrame({"doc_id": [0, 1],
+                         "text": ["a b c d e f", "q r s t u v"]})
+    assert jaccard_threshold_pairs(
+        ray.data.from_pandas(solo).repartition(2)).count() == 0
