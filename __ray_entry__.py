@@ -2678,6 +2678,30 @@ def _q_zscore_outliers(sf_dir: str):
     return zscore_outliers_milli(ev, "value", k_sigma=2)
 
 
+def _q_market_share(sf_dir: str):
+    """TPC-H-Q8-style market share: NATION_2's share of PROMO revenue
+    to ASIA customers per order year, as exact integer num/den."""
+    import datetime
+
+    import ray.data
+
+    from pdf2doi_ray.stages.joins import market_share_q8
+    rd = lambda t, cols=None: ray.data.read_parquet(  # noqa: E731
+        f"{sf_dir}/{t}.parquet", columns=cols)
+    return market_share_q8(
+        rd("region"), rd("nation"),
+        rd("customer", ["c_custkey", "c_nationkey"]),
+        rd("supplier", ["s_suppkey", "s_nationkey"]),
+        rd("orders", ["o_orderkey", "o_custkey", "o_orderdate"]),
+        rd("lineitem", ["l_orderkey", "l_partkey", "l_suppkey",
+                        "l_extendedprice", "l_discount"]),
+        rd("part", ["p_partkey", "p_type"]),
+        region_name="ASIA", part_type="PROMO",
+        target_nation="NATION_2",
+        start_us=datetime.datetime(1995, 1, 1),
+        end_us=datetime.datetime(1997, 1, 1))
+
+
 def _q_jaccard_pairs(sf_dir: str):
     """Exact all-pairs 3-gram Jaccard ≥ 0.5 self-join over documents —
     prefix-filtered (no LSH, no recall loss), exact integer
@@ -2853,6 +2877,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_skew_gini": _q_source_skew_gini,
         "bucketed_upsert": _q_bucketed_upsert,
         "jaccard_pairs_exact": _q_jaccard_pairs,
+        "market_share": _q_market_share,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "orders_customer_join": _q_orders_customer_join,
         "lineitem_orders_join": _q_lineitem_orders_join,
@@ -5507,6 +5532,27 @@ WHERE CAST(n * vm - s AS HUGEINT) * (n * vm - s)
     sql["bucketed_lookup"] = """
 SELECT o_orderkey, o_custkey, o_totalprice FROM orders
 WHERE o_orderkey IN (3, 17, 42, 99, 256, 511, 777, 1024)
+"""
+    sql["market_share"] = """
+WITH f AS (
+  SELECT year(o.o_orderdate) AS o_year,
+         CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1000)
+              AS BIGINT) AS rev,
+         sn.n_name = 'NATION_2' AS is_t
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+  JOIN region r ON cn.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+  WHERE o.o_orderdate >= DATE '1995-01-01'
+    AND o.o_orderdate < DATE '1997-01-01')
+SELECT o_year, CAST(sum(CASE WHEN is_t THEN rev ELSE 0 END) AS BIGINT)
+           AS mkt_num,
+       CAST(sum(rev) AS BIGINT) AS mkt_den
+FROM f GROUP BY o_year
 """
     sql["jaccard_pairs_exact"] = """
 WITH l AS (SELECT doc_id,

@@ -1491,3 +1491,98 @@ def bucketed_upsert(layout_dir: str, changes, key_col: str, n_buckets: int,
     all_b = sorted(base_buckets | dirty)
     return ray.data.from_items([{"id": b} for b in all_b]).map_batches(
         merge_one, batch_format="pyarrow", batch_size=1)
+
+
+def market_share_q8(region, nation, customer, supplier, orders, lineitem,
+                    part, region_name: str, part_type: str,
+                    target_nation: str, start_us, end_us,
+                    num_partitions: int = 8):
+    """TPC-H-Q8-style national market share: per order-year, the revenue
+    fraction supplied by ``target_nation`` among ``part_type`` line items
+    sold to ``region_name`` customers — emitted as EXACT integer
+    numerator/denominator (``mkt_num / mkt_den``, milli-revenue), so no
+    float division exists to mismatch the SQL mirror.
+
+    Same shape discipline as :func:`local_supplier_revenue`: every
+    dimension chain (region→nation→customer, part, supplier→nation)
+    collapses broadcast-side; the ONE exchange is the lineitem×orders
+    fact join on the orderkey carrying (year, rev, is_target); a
+    ≤|years|-row combiner groupby finishes.
+    """
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from ..arrowutil import one_chunk
+
+    start = pa.scalar(start_us, type=pa.timestamp("us"))
+    end = pa.scalar(end_us, type=pa.timestamp("us"))
+
+    nations_r = broadcast_hash_join(
+        nation,
+        region.map_batches(
+            lambda t: t.filter(pc.equal(t["r_name"], region_name)).select(
+                ["r_regionkey"]), batch_format="pyarrow"),
+        on=["n_regionkey"], right_on=["r_regionkey"], join_type="left semi",
+        project=["n_nationkey"])
+    cust = broadcast_hash_join(
+        customer.select_columns(["c_custkey", "c_nationkey"]), nations_r,
+        on=["c_nationkey"], right_on=["n_nationkey"], join_type="left semi",
+        project=["c_custkey"])
+
+    def filter_orders(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(t["o_orderdate"], start),
+                       pc.less(t["o_orderdate"], end))
+        t = t.filter(keep)
+        yr = pc.year(t["o_orderdate"])
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_custkey": t["o_custkey"],
+                         "o_year": pc.cast(yr, pa.int64())})
+
+    orders_dim = broadcast_hash_join(
+        orders.map_batches(filter_orders, batch_format="pyarrow"), cust,
+        on=["o_custkey"], right_on=["c_custkey"], join_type="left semi",
+        project=["o_orderkey", "o_year"])
+
+    parts = part.map_batches(
+        lambda t: t.filter(pc.equal(t["p_type"], part_type)).select(
+            ["p_partkey"]), batch_format="pyarrow")
+    supp_nat = broadcast_hash_join(
+        supplier.select_columns(["s_suppkey", "s_nationkey"]), nation,
+        on=["s_nationkey"], right_on=["n_nationkey"],
+        project=["s_suppkey", "n_name"])
+
+    def reduce_li(t: pa.Table) -> pa.Table:
+        price = np.asarray(one_chunk(t["l_extendedprice"]),
+                           dtype=np.float64)
+        disc = np.asarray(one_chunk(t["l_discount"]), dtype=np.float64)
+        rev = np.floor((price * (1.0 - disc)) * 1000.0).astype(np.int64)
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "l_suppkey": t["l_suppkey"],
+                         "l_partkey": t["l_partkey"],
+                         "rev": pa.array(rev)})
+
+    li = lineitem.map_batches(reduce_li, batch_format="pyarrow")
+    li = broadcast_hash_join(li, parts, on=["l_partkey"],
+                             right_on=["p_partkey"], join_type="left semi",
+                             project=["l_orderkey", "l_suppkey", "rev"])
+    li = broadcast_hash_join(li, supp_nat, on=["l_suppkey"],
+                             right_on=["s_suppkey"],
+                             project=["l_orderkey", "rev", "n_name"])
+
+    fact = shuffle_hash_join(li, orders_dim, on="l_orderkey",
+                             right_on="o_orderkey",
+                             num_partitions=num_partitions,
+                             fold_empty_blocks=True)
+
+    def partial(t: pa.Table) -> pa.Table:
+        is_t = pc.cast(pc.equal(t["n_name"], target_nation), pa.int64())
+        num = pc.multiply(t["rev"], is_t)
+        g = pa.table({"o_year": t["o_year"], "num": num, "den": t["rev"]}) \
+            .group_by("o_year").aggregate([("num", "sum"), ("den", "sum")])
+        return g.rename_columns(["o_year", "num", "den"])
+
+    return (fact.map_batches(partial, batch_format="pyarrow")
+            .groupby("o_year")
+            .aggregate(Sum("num", alias_name="mkt_num"),
+                       Sum("den", alias_name="mkt_den")))
