@@ -1702,6 +1702,18 @@ def _q_host_crawl_gaps(sf_dir: str):
     return host_crawl_gaps(_pages(sf_dir))
 
 
+def _q_bm25_top_docs(sf_dir: str):
+    from pdf2doi_ray.stages.retrieval import bm25_top_docs
+    return bm25_top_docs(_docs(sf_dir, ("doc_id", "text")),
+                         ("hash", "join", "vector", "slow"), k=20)
+
+
+def _q_rrf_fusion(sf_dir: str):
+    from pdf2doi_ray.stages.retrieval import rrf_fuse_top_docs
+    return rrf_fuse_top_docs(_docs(sf_dir, ("doc_id", "text", "n_chars")),
+                             k=20, depth=50)
+
+
 def _q_dedup_url_daily(sf_dir: str):
     """Recrawl collapse: one page per (url, UTC day), earliest fetch
     wins — exercised over a two-visit stream (the crawl + a +86000 s
@@ -2889,10 +2901,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot": _q_events_pivot,
         "event_value_histogram": _q_event_value_histogram,
         "funnel_conversion": _q_funnel_conversion,
-        "approx_value_quantiles": _q_approx_value_quantiles,
-        "approx_value_quantiles_by_type": _q_approx_value_quantiles_by_type,
         "event_type_freqs_cm": _q_event_type_freqs_cm,
-        "kmeans_clusters": _q_kmeans_clusters,
         "customer_orders_left_join": _q_customer_orders_left_join,
         "normalize_text": _q_normalize_text,
         "pii_redaction": _q_pii_redaction,
@@ -2902,6 +2911,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "new_docs_anti_join": _q_new_docs_anti_join,
         "inverted_index_stats": _q_inverted_index_stats,
         "long_docs_above_p90": _q_long_docs_above_p90,
+        "approx_value_quantiles": _q_approx_value_quantiles,
+        "approx_value_quantiles_by_type": _q_approx_value_quantiles_by_type,
+        "kmeans_clusters": _q_kmeans_clusters,
         "events_sorted_head": _q_events_sorted_head,
         "events_type_summary": _q_events_type_summary,
         "curate_corpus": _q_curate_corpus,
@@ -3052,6 +3064,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_by_name": _q_union_by_name,
         "host_crawl_gaps": _q_host_crawl_gaps,
         "dedup_url_daily": _q_dedup_url_daily,
+        "bm25_top_docs": _q_bm25_top_docs,
+        "rrf_fusion": _q_rrf_fusion,
     }
 
 
@@ -5621,5 +5635,56 @@ SELECT COALESCE(a.bucket, b.bucket) AS bucket,
        COALESCE(a.c, 0) AS cnt_a, COALESCE(b.c, 0) AS cnt_b,
        abs(COALESCE(a.c, 0) * nb - COALESCE(b.c, 0) * na) AS drift_num
 FROM a FULL OUTER JOIN b ON a.bucket = b.bucket, n
+"""
+    # integer-exact BM25 (k1=1.2, b=0.75 folded into 22/10 and 3/4;
+    # AVD = integer average doc length so no factor grows with corpus
+    # size) — mirrors stages/retrieval.bm25_top_docs verbatim
+    sql["bm25_top_docs"] = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents),
+nd AS (SELECT count(*) AS nd FROM documents),
+avd AS (SELECT GREATEST((SELECT count(*) FROM tok) // (SELECT nd FROM nd),
+                        1) AS avd),
+q(term) AS (VALUES ('hash'), ('join'), ('vector'), ('slow')),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN (SELECT term FROM q) GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+c AS (SELECT tf.doc_id,
+             (nd.nd * 1000 // df.df) *
+             (22 * tf.tf * avd.avd * 1000 //
+              (10 * tf.tf * avd.avd + 3 * avd.avd + 9 * dl.dl)) // 1000
+             AS contrib
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id), nd, avd),
+s AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score_scaled
+      FROM c GROUP BY 1 HAVING sum(contrib) > 0),
+r AS (SELECT doc_id, score_scaled,
+             row_number() OVER (ORDER BY score_scaled DESC, doc_id) AS rank
+      FROM s)
+SELECT CAST(rank AS BIGINT) AS rank, doc_id, score_scaled
+FROM r WHERE rank <= 20
+"""
+    # reciprocal-rank fusion of the (n_tokens desc) and (n_chars desc)
+    # top-50 lists; integer reciprocal ranks (1e6 // (60 + rank))
+    sql["rrf_fusion"] = """
+WITH tok AS (SELECT doc_id,
+                    len(list_filter(string_split(text, ' '),
+                                    x -> x <> '')) AS n_tokens
+             FROM documents),
+a AS (SELECT doc_id, row_number() OVER
+        (ORDER BY n_tokens DESC, doc_id) AS r FROM tok QUALIFY r <= 50),
+b AS (SELECT doc_id, row_number() OVER
+        (ORDER BY n_chars DESC, doc_id) AS r FROM documents
+      QUALIFY r <= 50),
+u AS (SELECT doc_id, 1000000 // (60 + r) AS rr FROM a
+      UNION ALL SELECT doc_id, 1000000 // (60 + r) FROM b),
+s AS (SELECT doc_id, CAST(sum(rr) AS BIGINT) AS rrf_scaled
+      FROM u GROUP BY 1),
+r AS (SELECT doc_id, rrf_scaled, row_number() OVER
+        (ORDER BY rrf_scaled DESC, doc_id) AS rank FROM s)
+SELECT CAST(rank AS BIGINT) AS rank, doc_id, rrf_scaled
+FROM r WHERE rank <= 20
 """
     return sql
