@@ -1702,6 +1702,23 @@ def _q_host_crawl_gaps(sf_dir: str):
     return host_crawl_gaps(_pages(sf_dir))
 
 
+def _q_hits_scores(sf_dir: str):
+    """Fixed-iteration (2 rounds) EXACT-integer HITS hubs/authorities over
+    the weighted host link graph — max-normalized integer sweeps, so the
+    scores are bit-identical to the unrolled SQL oracle."""
+    from pdf2doi_ray.stages.graph import hits_fixed
+
+    edges = _q_host_link_graph(sf_dir)
+
+    def rename(t):
+        import pyarrow as pa
+        return pa.table({"src": t["src_host"], "dst": t["dst_host"],
+                         "n_links": t["n_links"]})
+
+    return hits_fixed(edges.map_batches(rename, batch_format="pyarrow"),
+                      n_iters=2)
+
+
 def _q_bm25_top_docs(sf_dir: str):
     from pdf2doi_ray.stages.retrieval import bm25_top_docs
     return bm25_top_docs(_docs(sf_dir, ("doc_id", "text")),
@@ -3066,6 +3083,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_url_daily": _q_dedup_url_daily,
         "bm25_top_docs": _q_bm25_top_docs,
         "rrf_fusion": _q_rrf_fusion,
+        "hits_scores": _q_hits_scores,
     }
 
 
@@ -5686,5 +5704,65 @@ r AS (SELECT doc_id, rrf_scaled, row_number() OVER
         (ORDER BY rrf_scaled DESC, doc_id) AS rank FROM s)
 SELECT CAST(rank AS BIGINT) AS rank, doc_id, rrf_scaled
 FROM r WHERE rank <= 20
+"""
+    # 2 unrolled HITS iterations over the host link graph (the
+    # host_link_graph oracle is the edge CTE); every sweep is a weighted
+    # sum max-normalized in integers — mirrors stages/graph.hits_fixed
+    sql["hits_scores"] = """
+WITH src AS (SELECT doc_id,
+       'https://s' || CAST(doc_id % 5 AS VARCHAR) || '.example.org/d/'
+                   || CAST(doc_id AS VARCHAR) AS url,
+       text || ' <a href="https://s' || CAST(doc_id % 3 AS VARCHAR)
+            || '.example.org/p/' || CAST(doc_id AS VARCHAR) || '">doc</a>'
+            || CASE WHEN doc_id % 4 = 0
+                    THEN ' <a href="https://hub.example.org/'
+                         || CAST(doc_id % 7 AS VARCHAR) || '">hub</a>'
+                    ELSE '' END AS text
+       FROM documents),
+l AS (SELECT url,
+             UNNEST(regexp_extract_all(text,
+                 '<a href="([^"]*)">([^<]*)', 1)) AS href
+      FROM src),
+e AS (SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+      FROM (SELECT regexp_replace(regexp_replace(url,
+                 '^[a-z][a-z0-9+.-]*://', ''), '/.*$', '') AS src_host,
+             regexp_replace(regexp_replace(href,
+                 '^[a-z][a-z0-9+.-]*://', ''), '/.*$', '') AS dst_host
+            FROM l)
+      GROUP BY 1, 2),
+n AS (SELECT DISTINCT node FROM
+        (SELECT src_host AS node FROM e
+         UNION ALL SELECT dst_host FROM e)),
+h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS s FROM n),
+ar1 AS (SELECT e.dst_host AS node,
+               CAST(sum(e.n_links * h0.s) AS BIGINT) AS v
+        FROM e JOIN h0 ON h0.node = e.src_host GROUP BY 1),
+a1 AS (SELECT n.node,
+              CAST(COALESCE(ar1.v, 0) * 1000000 //
+                   (SELECT max(v) FROM ar1) AS BIGINT) AS s
+       FROM n LEFT JOIN ar1 USING (node)),
+hr1 AS (SELECT e.src_host AS node,
+               CAST(sum(e.n_links * a1.s) AS BIGINT) AS v
+        FROM e JOIN a1 ON a1.node = e.dst_host GROUP BY 1),
+h1 AS (SELECT n.node,
+              CAST(COALESCE(hr1.v, 0) * 1000000 //
+                   (SELECT max(v) FROM hr1) AS BIGINT) AS s
+       FROM n LEFT JOIN hr1 USING (node)),
+ar2 AS (SELECT e.dst_host AS node,
+               CAST(sum(e.n_links * h1.s) AS BIGINT) AS v
+        FROM e JOIN h1 ON h1.node = e.src_host GROUP BY 1),
+a2 AS (SELECT n.node,
+              CAST(COALESCE(ar2.v, 0) * 1000000 //
+                   (SELECT max(v) FROM ar2) AS BIGINT) AS s
+       FROM n LEFT JOIN ar2 USING (node)),
+hr2 AS (SELECT e.src_host AS node,
+               CAST(sum(e.n_links * a2.s) AS BIGINT) AS v
+        FROM e JOIN a2 ON a2.node = e.dst_host GROUP BY 1),
+h2 AS (SELECT n.node,
+              CAST(COALESCE(hr2.v, 0) * 1000000 //
+                   (SELECT max(v) FROM hr2) AS BIGINT) AS s
+       FROM n LEFT JOIN hr2 USING (node))
+SELECT h2.node, h2.s AS hub_scaled, a2.s AS auth_scaled
+FROM h2 JOIN a2 ON a2.node = h2.node
 """
     return sql

@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _sym_edges(pairs, col_a: str, col_b: str):
@@ -600,3 +601,121 @@ def resolve_redirects(edges, src_col: str = "src", dst_col: str = "dst",
     raise RuntimeError(
         f"resolve_redirects: chains unresolved after {max_rounds} doubling "
         "rounds — a redirect cycle or a chain longer than 2^rounds")
+
+
+def hits_fixed(edges, n_iters: int = 2, scale: int = 1_000_000):
+    """Fixed-iteration HITS (hubs & authorities) with EXACT integer
+    arithmetic over a weighted edge list ``(src, dst, n_links)`` — the
+    domain-authority counterpart to :func:`pagerank_fixed` (reference
+    ranks candidate identifiers by scan priority,
+    reference/pdf2doi/finders.py:268-318; link-topology ranking is the
+    beyond-reference crawl-curation tier).
+
+    Per iteration (all int64, floor division on non-negative operands, so
+    numpy and DuckDB agree bit-for-bit and block order cannot perturb the
+    integer sums):
+
+    * ``a_raw(v) = sum over in-edges (u,v) of n_links * h(u)``;
+      ``a(v) = a_raw(v) * scale // max(a_raw)`` (max-normalized so scores
+      stay in [0, scale] and iterations cannot overflow);
+    * ``h_raw(u) = sum over out-edges (u,v) of n_links * a(v)``;
+      ``h(u) = h_raw(u) * scale // max(h_raw)``.
+
+    Plan per iteration: two broadcast hash joins of the node-sized score
+    table onto the streaming edge blocks + two ``groupby`` Sums over
+    combiner-bounded (node, partial) rows; the normalizing max is a
+    per-batch partial reduced on the driver.  The score table is
+    node-count-sized — for node sets past broadcast size swap the join to
+    :func:`.joins.shuffle_hash_join` exactly as :func:`pagerank_fixed`
+    mode="shuffle" does (same contract split).
+
+    int64 bound: ``sum(n_links) * scale < 2**63`` — 9.2e12 weighted edges
+    at the default scale; raise ``scale`` down for denser graphs.
+
+    Returns a Dataset of ``(node, hub_scaled, auth_scaled)`` over every
+    node that appears as a src or dst.  Raises on an empty edge set.
+    """
+    from ray.data.aggregate import Max, Sum
+
+    from .joins import broadcast_hash_join
+
+    edges = edges.materialize()
+
+    def node_partial(t: pa.Table) -> pa.Table:
+        s = t["src"].combine_chunks() if isinstance(t["src"],
+                                                    pa.ChunkedArray) \
+            else t["src"]
+        d = t["dst"].combine_chunks() if isinstance(t["dst"],
+                                                    pa.ChunkedArray) \
+            else t["dst"]
+        u = pc.unique(pa.concat_arrays([s, d]))
+        return pa.table({"node": u})
+
+    from ray.data.aggregate import Count
+    nodes = (edges.map_batches(node_partial, batch_format="pyarrow")
+             .groupby("node").aggregate(Count())
+             .map_batches(lambda t: t.select(["node"]),
+                          batch_format="pyarrow").materialize())
+    if nodes.count() == 0:
+        raise ValueError("hits_fixed: empty edge set")
+
+    def init_scores(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t["node"],
+            "s": pa.array(np.full(t.num_rows, scale, dtype=np.int64)),
+        })
+
+    def _arr(col):
+        return np.asarray(col.combine_chunks()
+                          if isinstance(col, pa.ChunkedArray) else col)
+
+    def sweep(scores, key_col: str, emit_col: str):
+        """One half-iteration: scores joined on ``key_col`` of the edges,
+        weighted sums grouped by ``emit_col``, max-normalized against the
+        node list (absent nodes -> 0)."""
+        def emit(t: pa.Table) -> pa.Table:
+            v = _arr(t["s"]) * _arr(t["n_links"])
+            return pa.table({"node": t[emit_col],
+                             "v": pa.array(v, type=pa.int64())})
+
+        raw = (broadcast_hash_join(edges, scores, on=key_col,
+                                   right_on="node",
+                                   project=[emit_col, "n_links", "s"])
+               .map_batches(emit, batch_format="pyarrow")
+               .groupby("node").aggregate(Sum("v", alias_name="v"))
+               .materialize())
+        m = raw.aggregate(Max("v"))["max(v)"]
+        if not m:
+            raise ValueError(
+                "hits_fixed: zero mass sweep (disconnected half)")
+
+        def fold(t: pa.Table) -> pa.Table:
+            v = np.asarray(pc.fill_null(t["v"], 0).combine_chunks()
+                           if isinstance(t["v"], pa.ChunkedArray)
+                           else pc.fill_null(t["v"], 0))
+            return pa.table({
+                "node": t["node"],
+                "s": pa.array(v * scale // m, type=pa.int64()),
+            })
+
+        return (broadcast_hash_join(nodes, raw, on="node",
+                                    join_type="left outer",
+                                    project=["node", "v"])
+                .map_batches(fold, batch_format="pyarrow").materialize())
+
+    hubs = nodes.map_batches(init_scores,
+                             batch_format="pyarrow").materialize()
+    auth = None
+    for _ in range(n_iters):
+        auth = sweep(hubs, "src", "dst")
+        hubs = sweep(auth, "dst", "src")
+
+    joined = broadcast_hash_join(
+        hubs.map_batches(lambda t: pa.table({"node": t["node"],
+                                             "hub_scaled": t["s"]}),
+                         batch_format="pyarrow"),
+        auth.map_batches(lambda t: pa.table({"node": t["node"],
+                                             "auth_scaled": t["s"]}),
+                         batch_format="pyarrow"),
+        on="node", project=["node", "hub_scaled", "auth_scaled"])
+    return joined
