@@ -916,6 +916,26 @@ def _q_order_priority_semi(sf_dir: str):
         end_us=datetime.datetime(1996, 10, 1), num_partitions=4)
 
 
+def _q_waiting_suppliers(sf_dir: str):
+    """TPC-H-Q21-style sole-blame join: suppliers who are the only
+    flagged supplier in multi-supplier F-status orders.  Distinct-triple
+    combiner → orderkey-sharded vectorized reduce → one fact-fact
+    left_semi exchange → dimension broadcast for s_name."""
+    import ray.data
+
+    from pdf2doi_ray.stages.joins import waiting_suppliers
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus"])
+    supplier = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"])
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_returnflag"])
+    return waiting_suppliers(orders, supplier, li, num_partitions=4,
+                             num_shards=8)
+
+
 def _q_order_count_distribution(sf_dir: str):
     """TPC-H-Q13-style distribution of orders-per-customer (zero bucket
     recovered from two scalar aggregates, no left-outer shuffle)."""
@@ -3084,6 +3104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_top_docs": _q_bm25_top_docs,
         "rrf_fusion": _q_rrf_fusion,
         "hits_scores": _q_hits_scores,
+        "waiting_suppliers": _q_waiting_suppliers,
     }
 
 
@@ -5764,5 +5785,23 @@ h2 AS (SELECT n.node,
        FROM n LEFT JOIN hr2 USING (node))
 SELECT h2.node, h2.s AS hub_scaled, a2.s AS auth_scaled
 FROM h2 JOIN a2 ON a2.node = h2.node
+"""
+    # Q21-style sole-blame: sum(suppkey*late) IS the blamed supplier
+    # exactly when n_late = 1 — mirrors stages/joins.waiting_suppliers
+    sql["waiting_suppliers"] = """
+WITH ls AS (SELECT l_orderkey, l_suppkey,
+                   max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                       AS late
+            FROM lineitem GROUP BY 1, 2),
+per_o AS (SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late,
+                 sum(l_suppkey * late) AS late_supp
+          FROM ls GROUP BY 1),
+w AS (SELECT p.late_supp AS s_suppkey, count(*) AS numwait
+      FROM per_o p JOIN orders o ON o.o_orderkey = p.l_orderkey
+      WHERE o.o_orderstatus = 'F' AND p.n_supp >= 2 AND p.n_late = 1
+      GROUP BY 1)
+SELECT s.s_name, CAST(w.numwait AS BIGINT) AS numwait
+FROM w JOIN supplier s ON s.s_suppkey = w.s_suppkey
+ORDER BY numwait DESC, s.s_name
 """
     return sql

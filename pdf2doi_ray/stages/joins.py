@@ -1586,3 +1586,119 @@ def market_share_q8(region, nation, customer, supplier, orders, lineitem,
             .groupby("o_year")
             .aggregate(Sum("num", alias_name="mkt_num"),
                        Sum("den", alias_name="mkt_den")))
+
+
+def waiting_suppliers(orders, supplier, lineitem, flag: str = "R",
+                      status: str = "F", num_partitions: int = 8,
+                      num_shards: int = 32):
+    """TPC-H-Q21-style sole-blame assignment: per supplier, the number of
+    multi-supplier orders of one status where that supplier is the ONLY
+    one whose line items carry the given return flag (EXISTS another
+    supplier in the order + NOT EXISTS another flagged supplier).  The
+    test schema has no commit/receipt dates, so the return flag is the
+    lateness proxy; the semi+anti join SHAPE is Q21's.
+
+    Plan (the heaviest classic TPC-H shape, done in narrow integers):
+    lineitem collapses per batch to DISTINCT ``(orderkey, suppkey,
+    late)`` triples via one lexsort + segment max — only three int64
+    columns cross the exchange, and a hot order costs its distinct
+    suppliers per batch, not its line items.  A sharded stitch keyed by
+    orderkey merges cross-batch duplicates and reduces every order
+    segment vectorized to ``(n_supp, n_late, late_supp)``; ``sum(suppkey
+    * late)`` IS the blamed supplier exactly when ``n_late == 1``, so no
+    per-group Python runs anywhere.  Qualifying orders semi-join the
+    status-filtered order keys in ONE hash-partitioned exchange
+    (both sides are fact tables — no broadcast), per-batch ``(suppkey,
+    n)`` partials feed a tiny groupby Sum, and ``s_name`` arrives via a
+    dimension broadcast.  Returns pandas ``(s_name, numwait)`` sorted by
+    numwait DESC, name ASC.
+
+    Reference parity note: the reference ranks/filters per document in
+    process (finders.py's per-file cascade); multi-table blame joins are
+    beyond-reference relational surface.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from .stitch import sharded_stitch
+
+    def triples(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        ok = _i64(t["l_orderkey"])
+        sk = _i64(t["l_suppkey"])
+        late = np.asarray(
+            pc.cast(pc.equal(t["l_returnflag"], flag), pa.int64()))
+        if len(ok) == 0:
+            return pa.table({"l_orderkey": pa.array([], type=pa.int64()),
+                             "s_suppkey": pa.array([], type=pa.int64()),
+                             "late": pa.array([], type=pa.int64())})
+        order = np.lexsort((sk, ok))
+        o, s, l = ok[order], sk[order], late[order]
+        new = np.ones(len(o), dtype=bool)
+        new[1:] = (o[1:] != o[:-1]) | (s[1:] != s[:-1])
+        starts = np.flatnonzero(new)
+        lmax = np.maximum.reduceat(l, starts)
+        return pa.table({"l_orderkey": pa.array(o[starts]),
+                         "s_suppkey": pa.array(s[starts]),
+                         "late": pa.array(lmax)})
+
+    def per_order(t: pa.Table) -> pa.Table:
+        # merge cross-batch duplicate (orderkey, suppkey) pairs, then
+        # reduce each orderkey segment: all rows of an order share a
+        # shard by construction (sharded by orderkey)
+        ok = _i64(t["l_orderkey"])
+        sk = _i64(t["s_suppkey"])
+        late = _i64(t["late"])
+        order = np.lexsort((sk, ok))
+        o, s, l = ok[order], sk[order], late[order]
+        new_pair = np.ones(len(o), dtype=bool)
+        new_pair[1:] = (o[1:] != o[:-1]) | (s[1:] != s[:-1])
+        ps = np.flatnonzero(new_pair)
+        o, s = o[ps], s[ps]
+        l = np.maximum.reduceat(l, ps)
+        new_o = np.ones(len(o), dtype=bool)
+        new_o[1:] = o[1:] != o[:-1]
+        os_ = np.flatnonzero(new_o)
+        n_supp = np.add.reduceat(np.ones_like(o), os_)
+        n_late = np.add.reduceat(l, os_)
+        late_supp = np.add.reduceat(s * l, os_)
+        keep = (n_supp >= 2) & (n_late == 1)
+        return pa.table({"l_orderkey": pa.array(o[os_][keep]),
+                         "s_suppkey": pa.array(late_supp[keep])})
+
+    blamed = sharded_stitch(
+        lineitem.map_batches(triples, batch_format="pyarrow"),
+        lambda t: _i64(t["l_orderkey"]), per_order, num_shards=num_shards)
+
+    def status_keys(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.equal(t["o_orderstatus"], status)) \
+            .select(["o_orderkey"])
+
+    left = blamed.union(_sentinel_rows(
+        {"l_orderkey": (-1, pa.int64()), "s_suppkey": (-1, pa.int64())}))
+    right = orders.map_batches(status_keys, batch_format="pyarrow") \
+        .union(_sentinel_rows({"o_orderkey": (-2, pa.int64())}))
+    matched = shuffle_hash_join(left, right, on="l_orderkey",
+                                right_on="o_orderkey",
+                                join_type="left_semi",
+                                num_partitions=num_partitions)
+
+    def cnt_partial(t: pa.Table) -> pa.Table:
+        u, c = np.unique(_i64(t["s_suppkey"]), return_counts=True)
+        return pa.table({"s_suppkey": pa.array(u),
+                         "n": pa.array(c.astype(np.int64))})
+
+    agg = (matched.map_batches(cnt_partial, batch_format="pyarrow")
+           .groupby("s_suppkey").aggregate(Sum("n", alias_name="numwait")))
+    out = broadcast_hash_join(
+        agg, supplier.map_batches(
+            lambda t: t.select(["s_suppkey", "s_name"]),
+            batch_format="pyarrow"),
+        on="s_suppkey", project=["s_name", "numwait"]).to_pandas()
+    if "s_name" not in out.columns:
+        out = pd.DataFrame({"s_name": pd.Series(dtype="object"),
+                            "numwait": pd.Series(dtype="int64")})
+    return out.sort_values(["numwait", "s_name"],
+                           ascending=[False, True]).reset_index(drop=True)
