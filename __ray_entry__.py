@@ -916,6 +916,25 @@ def _q_order_priority_semi(sf_dir: str):
         end_us=datetime.datetime(1996, 10, 1), num_partitions=4)
 
 
+def _q_cdc_chunk_stats(sf_dir: str):
+    """Content-defined-chunking storage-dedup audit: rolling-hash chunk
+    boundaries (base-257 5-grams, cut where hash % 16 == 0), zero-copy
+    chunk array straight from Arrow buffers, one groupby(chunk) Sum."""
+    from pdf2doi_ray.stages.dedup import cdc_chunk_stats
+    return cdc_chunk_stats(_docs(sf_dir, ("doc_id", "text")),
+                           k=5, mod=16)
+
+
+def _q_proximity_hash_join(sf_dir: str):
+    """Proximity retrieval: docs where 'hash' and 'join' co-occur within
+    3 token positions, with the exact minimum distance.  One streaming
+    pass — searchsorted nearest-neighbor over composite row*stride+pos
+    keys, scatter-min per row, zero shuffles."""
+    from pdf2doi_ray.stages.retrieval import proximity_cooccurrence
+    return proximity_cooccurrence(_docs(sf_dir, ("doc_id", "text")),
+                                  "hash", "join", window=3)
+
+
 def _q_waiting_suppliers(sf_dir: str):
     """TPC-H-Q21-style sole-blame join: suppliers who are the only
     flagged supplier in multi-supplier F-status orders.  Distinct-triple
@@ -3105,6 +3124,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf_fusion": _q_rrf_fusion,
         "hits_scores": _q_hits_scores,
         "waiting_suppliers": _q_waiting_suppliers,
+        "proximity_hash_join": _q_proximity_hash_join,
+        "cdc_chunk_stats": _q_cdc_chunk_stats,
     }
 
 
@@ -5803,5 +5824,57 @@ w AS (SELECT p.late_supp AS s_suppkey, count(*) AS numwait
 SELECT s.s_name, CAST(w.numwait AS BIGINT) AS numwait
 FROM w JOIN supplier s ON s.s_suppkey = w.s_suppkey
 ORDER BY numwait DESC, s.s_name
+"""
+    # positions are 1-based among NONEMPTY tokens — mirrors
+    # stages/retrieval.proximity_cooccurrence
+    sql["proximity_hash_join"] = """
+WITH toks AS (SELECT doc_id,
+                     unnest(string_split(text, ' ')) AS tok,
+                     unnest(generate_series(1,
+                         len(string_split(text, ' ')))) AS ord
+              FROM documents),
+nz AS (SELECT doc_id, tok,
+              row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS p
+       FROM toks WHERE tok <> ''),
+d AS (SELECT a.doc_id, min(abs(a.p - b.p)) AS md
+      FROM (SELECT doc_id, p FROM nz WHERE tok = 'hash') a
+      JOIN (SELECT doc_id, p FROM nz WHERE tok = 'join') b
+        USING (doc_id)
+      GROUP BY 1)
+SELECT doc_id, CAST(md AS BIGINT) AS min_dist FROM d WHERE md <= 3
+"""
+    # base-257 5-gram rolling hash, cut AFTER the gram where hash%16==0;
+    # document edges are always boundaries — mirrors
+    # stages/dedup.cdc_chunk_stats (texts are pure ASCII, pinned by
+    # tests/test_oracle_parity.py, so substr == byte slice)
+    sql["cdc_chunk_stats"] = """
+WITH pos AS (SELECT doc_id, CAST(t.i AS BIGINT) i, text
+             FROM documents, unnest(range(0, len(text) - 4)) t(i)),
+h AS (SELECT doc_id, i,
+         ascii(substr(text, CAST(i+1 AS INT), 1)) * 4362470401
+       + ascii(substr(text, CAST(i+2 AS INT), 1)) * 16974593
+       + ascii(substr(text, CAST(i+3 AS INT), 1)) * 66049
+       + ascii(substr(text, CAST(i+4 AS INT), 1)) * 257
+       + ascii(substr(text, CAST(i+5 AS INT), 1)) AS hv
+      FROM pos),
+cuts AS (SELECT doc_id, i + 5 AS cut FROM h WHERE hv % 16 = 0),
+bl AS (SELECT doc_id, list_sort(list(cut)) AS cs FROM cuts GROUP BY 1),
+ad AS (SELECT d.doc_id, d.text,
+              list_distinct(list_prepend(CAST(0 AS BIGINT),
+                  list_append(COALESCE(b.cs, []), len(d.text)))) AS raw
+       FROM documents d LEFT JOIN bl b USING (doc_id)),
+bnd AS (SELECT doc_id, text, list_sort(raw) AS b FROM ad),
+ch AS (SELECT unnest(list_transform(range(2, len(b) + 1),
+           j -> substr(text, CAST(b[j-1] + 1 AS INT),
+                       CAST(b[j] - b[j-1] AS INT)))) AS c
+       FROM bnd)
+SELECT CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(DISTINCT c) AS BIGINT) AS n_unique_chunks,
+       CAST(sum(len(c)) AS BIGINT) AS total_bytes,
+       CAST((SELECT sum(len(c))
+             FROM (SELECT DISTINCT c FROM ch)) AS BIGINT) AS unique_bytes,
+       CAST((SELECT sum(len(c)) FROM (SELECT DISTINCT c FROM ch))
+            * 1000 // sum(len(c)) AS BIGINT) AS dedup_ratio_permille
+FROM ch
 """
     return sql

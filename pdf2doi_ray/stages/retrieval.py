@@ -210,3 +210,69 @@ def rrf_fuse_top_docs(docs, k: int = 20, depth: int = 50):
         "doc_id": np.array([d for d, _ in fused], dtype=np.int64),
         "rrf_scaled": np.array([s for _, s in fused], dtype=np.int64),
     })
+
+
+def proximity_cooccurrence(docs, term_a: str, term_b: str,
+                           window: int = 3):
+    """Documents where ``term_a`` and ``term_b`` co-occur within
+    ``window`` token positions, with the exact minimum distance —
+    the phrase/proximity operator of a ranked-retrieval stack
+    (positions are 1-based among NONEMPTY tokens).
+
+    Plan: one streaming pass, zero shuffles.  Per batch the token stream
+    flattens once (shared :func:`.corpus._tokens_nonempty` kernel);
+    within-row positions come from one subtract-the-segment-start
+    vectorized pass; each A-occurrence finds its nearest B-occurrence by
+    binary search over composite ``row * stride + pos`` keys (both hit
+    lists are already row-major sorted, so ``np.searchsorted`` gives the
+    two bracketing candidates), and a scatter-min per row produces the
+    per-document minimum — no per-row Python, no position explosion
+    across the exchange.  Docs are never split across batches (row-based
+    blocks), so each batch's answer is final.
+
+    Returns a Dataset of ``(doc_id, min_dist)`` filtered to
+    ``min_dist <= window``.
+    """
+    from .corpus import _tokens_nonempty
+
+    if term_a == term_b:
+        raise ValueError("proximity_cooccurrence: distinct terms required")
+
+    def batch_hits(t: pa.Table) -> pa.Table:
+        flat, row_idx = _tokens_nonempty(t)
+        n = len(flat)
+        empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                          "min_dist": pa.array([], type=pa.int64())})
+        if n == 0:
+            return empty
+        # 1-based position among nonempty tokens of the same row
+        starts = np.ones(n, dtype=bool)
+        starts[1:] = row_idx[1:] != row_idx[:-1]
+        idx = np.arange(n, dtype=np.int64)
+        seg_start = np.maximum.accumulate(np.where(starts, idx, 0))
+        pos = idx - seg_start + 1
+
+        am = np.asarray(pc.equal(flat, term_a))
+        bm = np.asarray(pc.equal(flat, term_b))
+        if not am.any() or not bm.any():
+            return empty
+        stride = np.int64(int(pos.max()) + 1)
+        a_key = row_idx[am] * stride + pos[am]
+        b_key = row_idx[bm] * stride + pos[bm]
+        ins = np.searchsorted(b_key, a_key)
+        best = np.full(len(a_key), np.iinfo(np.int64).max)
+        for cand in (np.clip(ins - 1, 0, len(b_key) - 1),
+                     np.clip(ins, 0, len(b_key) - 1)):
+            same_row = (b_key[cand] // stride) == (a_key // stride)
+            d = np.abs(a_key - b_key[cand])
+            best = np.where(same_row, np.minimum(best, d), best)
+        a_rows = row_idx[am]
+        row_best = np.full(t.num_rows, np.iinfo(np.int64).max)
+        np.minimum.at(row_best, a_rows, best)
+        hit = row_best <= window
+        ids = _np(t["doc_id"]).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids[hit], type=pa.int64()),
+            "min_dist": pa.array(row_best[hit], type=pa.int64())})
+
+    return docs.map_batches(batch_hits, batch_format="pyarrow")

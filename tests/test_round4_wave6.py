@@ -114,3 +114,90 @@ def test_waiting_suppliers_no_qualifying_orders():
                             num_partitions=2, num_shards=2)
     assert len(got) == 0
     assert list(got.columns) == ["s_name", "numwait"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_proximity_cooccurrence_handbuilt():
+    import pandas as pd
+    import ray.data
+
+    from pdf2doi_ray.stages.retrieval import proximity_cooccurrence
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [
+            "hash join now",             # dist 1
+            "hash x y z join",           # dist 4 > window
+            "join a hash b c join",      # min dist 2 (nearest B wins)
+            "hash only here",            # no join
+            "join only here",            # no hash
+        ]})
+    for blocks in (1, 3):
+        got = (proximity_cooccurrence(
+            ray.data.from_pandas(docs).repartition(blocks),
+            "hash", "join", window=3)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        want = pd.DataFrame({"doc_id": [1, 3],
+                             "min_dist": [1, 2]}).astype("int64")
+        pd.testing.assert_frame_equal(got.astype("int64"), want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_proximity_same_term_raises():
+    import ray.data
+
+    from pdf2doi_ray.stages.retrieval import proximity_cooccurrence
+
+    with pytest.raises(ValueError):
+        proximity_cooccurrence(
+            ray.data.from_items([{"doc_id": 1, "text": "a"}]), "a", "a")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cdc_chunk_stats_invariants_and_dup_detection():
+    """Chunks must partition the corpus bytes exactly; replicating a
+    document must leave unique_bytes unchanged while total_bytes doubles;
+    the result is block-split invariant (per-doc deterministic cuts)."""
+    import pandas as pd
+    import ray.data
+
+    from pdf2doi_ray.stages.dedup import cdc_chunk_stats
+
+    texts = ["the quick brown fox jumps over the lazy dog " * 3,
+             "pack my box with five dozen liquor jugs " * 2,
+             "sphinx of black quartz judge my vow"]
+    base = pd.DataFrame({"doc_id": [1, 2, 3], "text": texts})
+    one = cdc_chunk_stats(ray.data.from_pandas(base), k=5, mod=8)
+    assert int(one.total_bytes[0]) == sum(len(s) for s in texts)
+    assert int(one.unique_bytes[0]) <= int(one.total_bytes[0])
+    assert int(one.n_unique_chunks[0]) <= int(one.n_chunks[0])
+
+    dup = pd.concat([base, base.assign(doc_id=[4, 5, 6])],
+                    ignore_index=True)
+    for blocks in (1, 4):
+        two = cdc_chunk_stats(
+            ray.data.from_pandas(dup).repartition(blocks), k=5, mod=8)
+        assert int(two.total_bytes[0]) == 2 * int(one.total_bytes[0])
+        # every chunk of the copy already exists -> unique set unchanged
+        assert int(two.unique_bytes[0]) == int(one.unique_bytes[0])
+        assert int(two.n_unique_chunks[0]) == int(one.n_unique_chunks[0])
+        assert int(two.dedup_ratio_permille[0]) \
+            == int(one.unique_bytes[0]) * 1000 // int(two.total_bytes[0])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cdc_chunk_stats_short_and_empty_docs():
+    """Docs shorter than the gram size are whole-doc chunks; empty docs
+    contribute nothing (matching the SQL oracle's list-distinct collapse)."""
+    import pandas as pd
+    import ray.data
+
+    from pdf2doi_ray.stages.dedup import cdc_chunk_stats
+
+    docs = pd.DataFrame({"doc_id": [1, 2, 3],
+                         "text": ["abc", "", "abc"]})
+    got = cdc_chunk_stats(ray.data.from_pandas(docs), k=5, mod=8)
+    assert int(got.n_chunks[0]) == 2
+    assert int(got.n_unique_chunks[0]) == 1
+    assert int(got.total_bytes[0]) == 6
+    assert int(got.unique_bytes[0]) == 3
