@@ -916,6 +916,23 @@ def _q_order_priority_semi(sf_dir: str):
         end_us=datetime.datetime(1996, 10, 1), num_partitions=4)
 
 
+def _q_crawl_budget(sf_dir: str):
+    """Largest-remainder recrawl-budget apportionment across hosts —
+    exact integer Hamilton method: salted host counts, O(1) scalar
+    reductions, bounded-partial top-R remainder selection, broadcast
+    bonus membership."""
+    from pdf2doi_ray.stages.skew import crawl_budget_apportion
+    return crawl_budget_apportion(_pages(sf_dir), total_budget=1000)
+
+
+def _q_byte_pair_counts(sf_dir: str):
+    """First BPE merge candidates: top-20 within-token adjacent byte
+    pairs, one np.bincount per batch over the zero-copy text buffer —
+    exchange bounded by 65536 rows per block regardless of corpus size."""
+    from pdf2doi_ray.stages.corpus import byte_pair_counts
+    return byte_pair_counts(_docs(sf_dir, ("doc_id", "text")), k=20)
+
+
 def _q_cdc_chunk_stats(sf_dir: str):
     """Content-defined-chunking storage-dedup audit: rolling-hash chunk
     boundaries (base-257 5-grams, cut where hash % 16 == 0), zero-copy
@@ -3126,6 +3143,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "waiting_suppliers": _q_waiting_suppliers,
         "proximity_hash_join": _q_proximity_hash_join,
         "cdc_chunk_stats": _q_cdc_chunk_stats,
+        "byte_pair_counts": _q_byte_pair_counts,
+        "crawl_budget": _q_crawl_budget,
     }
 
 
@@ -5876,5 +5895,42 @@ SELECT CAST(count(*) AS BIGINT) AS n_chunks,
        CAST((SELECT sum(len(c)) FROM (SELECT DISTINCT c FROM ch))
             * 1000 // sum(len(c)) AS BIGINT) AS dedup_ratio_permille
 FROM ch
+"""
+    # within-token adjacent byte pairs (neither char a space), ties by
+    # pair ascending (binary collation == byte order on ASCII) — mirrors
+    # stages/corpus.byte_pair_counts
+    sql["byte_pair_counts"] = """
+WITH pos AS (SELECT text, CAST(t.i AS BIGINT) i
+             FROM documents, unnest(range(0, len(text) - 1)) t(i)),
+p AS (SELECT substr(text, CAST(i + 1 AS INT), 2) AS pair
+      FROM pos
+      WHERE substr(text, CAST(i + 1 AS INT), 1) <> ' '
+        AND substr(text, CAST(i + 2 AS INT), 1) <> ' '),
+c AS (SELECT pair, CAST(count(*) AS BIGINT) AS n_occurrences
+      FROM p GROUP BY 1)
+SELECT CAST(row_number() OVER
+            (ORDER BY n_occurrences DESC, pair) AS BIGINT) AS rank,
+       pair, n_occurrences
+FROM c ORDER BY rank LIMIT 20
+"""
+    # exact-integer Hamilton apportionment of budget 1000 over the pages
+    # host distribution — mirrors stages/skew.crawl_budget_apportion
+    sql["crawl_budget"] = """
+WITH c AS (SELECT 'site' || CAST(doc_id % 50 AS VARCHAR)
+                  || '.example.org' AS host,
+                  CAST(count(*) AS BIGINT) AS n_pages
+           FROM documents GROUP BY 1),
+t AS (SELECT sum(n_pages) AS n_total FROM c),
+f AS (SELECT host, n_pages,
+             1000 * n_pages // n_total AS fl,
+             (1000 * n_pages) % n_total AS rem
+      FROM c, t),
+rk AS (SELECT host, n_pages, fl,
+              row_number() OVER (ORDER BY rem DESC, host) AS rnk
+       FROM f)
+SELECT host, n_pages,
+       CAST(fl + CASE WHEN rnk <= (SELECT 1000 - sum(fl) FROM f)
+                 THEN 1 ELSE 0 END AS BIGINT) AS budget
+FROM rk
 """
     return sql

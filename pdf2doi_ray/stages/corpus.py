@@ -2998,3 +2998,77 @@ def detect_moved_pages(old_pages, new_pages, url_col: str = "url",
                             "old_url": t["old_url"],
                             "new_url": t["new_url"]}),
         batch_format="pyarrow")
+
+
+def byte_pair_counts(docs, k: int = 20, text_col: str = "text"):
+    """Top-``k`` adjacent byte pairs WITHIN tokens — the candidate table
+    of the first BPE merge step (tokenizer induction over the corpus).
+    A pair counts at every text position where neither byte is a space
+    and the two bytes belong to the same document.
+
+    Fully vectorized over Arrow's own byte layout: each batch's texts are
+    viewed as one contiguous uint8 buffer (no copy), the pair id is
+    ``256*b[i] + b[i+1]``, space-adjacent and document-edge positions are
+    masked, and ONE ``np.bincount`` collapses the batch to ≤65536
+    ``(pair_id, n)`` rows — the exchange is bounded by the alphabet
+    squared, never the corpus.  Global ``groupby(pair_id)`` Sum, then the
+    bounded-partial top-k (≤k rows per block to the driver).  Ties break
+    by pair id ascending == byte-lexicographic pair order (ASCII).
+
+    Returns pandas ``(rank, pair, n_occurrences)`` with ``pair`` as the
+    2-character string.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        arr = pc.cast(
+            t[text_col].combine_chunks()
+            if isinstance(t[text_col], pa.ChunkedArray) else t[text_col],
+            pa.large_utf8())
+        offs = np.frombuffer(arr.buffers()[1], dtype=np.int64,
+                             count=len(arr) + 1, offset=8 * arr.offset)
+        rel = (offs - offs[0]).astype(np.int64)
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8,
+                             count=int(rel[-1]), offset=int(offs[0]))
+        empty = pa.table({"pair_id": pa.array([], type=pa.int64()),
+                          "n_partial": pa.array([], type=pa.int64())})
+        L = int(rel[-1])
+        if L < 2:
+            return empty
+        b1 = data[:-1].astype(np.int64)
+        b2 = data[1:].astype(np.int64)
+        pos = np.arange(L - 1, dtype=np.int64)
+        didx = np.searchsorted(rel, pos, side="right") - 1
+        same_doc = (pos + 2) <= rel[didx + 1]
+        ok = (b1 != 32) & (b2 != 32) & same_doc
+        if not ok.any():
+            return empty
+        cnt = np.bincount((b1[ok] << 8) | b2[ok], minlength=65536)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"pair_id": pa.array(nz, type=pa.int64()),
+                         "n_partial": pa.array(cnt[nz], type=pa.int64())})
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["n_occurrences", "pair_id"], ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = (docs.map_batches(partial, batch_format="pyarrow")
+             .groupby("pair_id")
+             .aggregate(Sum("n_partial", alias_name="n_occurrences"))
+             .map_batches(block_topk, batch_format="pyarrow",
+                          batch_size=None)
+             .to_pandas())
+    if "pair_id" not in parts.columns:
+        parts = pd.DataFrame({"pair_id": pd.Series(dtype="int64"),
+                              "n_occurrences": pd.Series(dtype="int64")})
+    parts = parts.sort_values(["n_occurrences", "pair_id"],
+                              ascending=[False, True]).head(k)
+    ids = parts["pair_id"].to_numpy(dtype=np.int64)
+    return pd.DataFrame({
+        "rank": np.arange(1, len(parts) + 1, dtype=np.int64),
+        "pair": [chr(i >> 8) + chr(i & 255) for i in ids],
+        "n_occurrences": parts["n_occurrences"].to_numpy(),
+    })

@@ -291,3 +291,92 @@ def filter_robots_disallow(pages, rules, keep_cols=("url", "lang")):
         return out.filter(pa.array(~drop))
 
     return pages.map_batches(keep, batch_format="pyarrow")
+
+
+def crawl_budget_apportion(pages, total_budget: int,
+                           n_salts: int = DEFAULT_SALTS,
+                           topk_block: int = 4096):
+    """Largest-remainder (Hamilton) apportionment of a recrawl budget
+    across hosts, proportional to each host's page count — the politeness
+    scheduler's allocation step, exact in integers (no float shares, so
+    every engine and the SQL oracle agree bit-for-bit).
+
+    Math: with ``N`` total pages and host count ``n_h``, each host first
+    gets ``floor(B * n_h / N)``; the ``R = B - sum(floors)`` leftover
+    slots go to the ``R`` hosts with the largest remainders
+    ``(B * n_h) mod N`` (ties: host ascending).  ``R < #hosts`` always.
+
+    Plan: exact per-host counts via the salted two-phase
+    :func:`pages_per_host` (hot hosts cost combiner rows, not
+    occurrences); ``N``, ``sum(floors)`` reduce as O(1) scalars; the
+    bonus set is a bounded-partial global top-``R`` over ``(rem DESC,
+    host ASC)`` — each block of the host table forwards ≤min(R,
+    block_rows) candidate rows, never the full host list — and comes back
+    as ONE broadcast membership array.  int64 bound: ``B * max(n_h) <
+    2**63``.
+
+    Returns a Dataset of ``(host, n_pages, budget)``.
+    """
+    from ray.data.aggregate import Sum
+
+    if total_budget < 0:
+        raise ValueError("crawl_budget_apportion: negative budget")
+    counts = pages_per_host(pages, n_salts=n_salts).materialize()
+    tot = counts.aggregate(Sum("n_pages"))["sum(n_pages)"]
+    if not tot:
+        raise ValueError("crawl_budget_apportion: empty page set")
+    n_total = int(tot)
+    b = int(total_budget)
+
+    def floors_partial(t: pa.Table) -> pa.Table:
+        n = np.asarray(t["n_pages"].combine_chunks()
+                       if isinstance(t["n_pages"], pa.ChunkedArray)
+                       else t["n_pages"], dtype=np.int64)
+        return pa.table({"f": pa.array([int((b * n // n_total).sum())],
+                                       type=pa.int64())})
+
+    sum_floors = int(counts.map_batches(
+        floors_partial, batch_format="pyarrow").aggregate(Sum("f"))["sum(f)"]
+        or 0)
+    r = b - sum_floors
+
+    # bounded-partial top-R: each block emits its own best ≤R remainder
+    # rows; the driver merges ≤R×blocks rows — never the whole host table
+    def block_top(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        n = np.asarray(t["n_pages"].combine_chunks()
+                       if isinstance(t["n_pages"], pa.ChunkedArray)
+                       else t["n_pages"], dtype=np.int64)
+        df = pd.DataFrame({
+            "host": (t["host"].combine_chunks()
+                     if isinstance(t["host"], pa.ChunkedArray)
+                     else t["host"]).to_pandas(),
+            "rem": (b * n) % n_total})
+        df = df.sort_values(["rem", "host"],
+                            ascending=[False, True]).head(r)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    bonus_hosts = set()
+    if r > 0:
+        cand = counts.map_batches(block_top, batch_format="pyarrow",
+                                  batch_size=topk_block).to_pandas()
+        cand = cand.sort_values(["rem", "host"],
+                                ascending=[False, True]).head(r)
+        bonus_hosts = set(cand["host"])
+    import ray
+    bonus_ref = ray.put(pa.array(sorted(bonus_hosts), type=pa.string()))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        hosts = t["host"].combine_chunks() \
+            if isinstance(t["host"], pa.ChunkedArray) else t["host"]
+        n = np.asarray(t["n_pages"].combine_chunks()
+                       if isinstance(t["n_pages"], pa.ChunkedArray)
+                       else t["n_pages"], dtype=np.int64)
+        extra = np.asarray(pc.is_in(hosts, value_set=ray.get(bonus_ref)),
+                           dtype=np.int64)
+        return pa.table({"host": hosts,
+                         "n_pages": pa.array(n, type=pa.int64()),
+                         "budget": pa.array(b * n // n_total + extra,
+                                            type=pa.int64())})
+
+    return counts.map_batches(finalize, batch_format="pyarrow")

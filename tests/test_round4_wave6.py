@@ -201,3 +201,69 @@ def test_cdc_chunk_stats_short_and_empty_docs():
     assert int(got.n_unique_chunks[0]) == 1
     assert int(got.total_bytes[0]) == 6
     assert int(got.unique_bytes[0]) == 3
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_byte_pair_counts_handbuilt():
+    """Pairs crossing a space or a document edge must not count; ties
+    break by byte order; block-split invariant."""
+    import pandas as pd
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import byte_pair_counts
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2],
+        # doc1: 'abab cd'  pairs: ab, ba, ab, cd  (b_space, space_c skip)
+        # doc2: 'dab'      pairs: da, ab   (edge 'd'+'d' must NOT pair)
+        "text": ["abab cd", "dab"]})
+    want = pd.DataFrame({
+        "rank": np.array([1, 2, 3, 4], dtype=np.int64),
+        "pair": ["ab", "ba", "cd", "da"],
+        "n_occurrences": np.array([3, 1, 1, 1], dtype=np.int64)})
+    for blocks in (1, 2):
+        got = byte_pair_counts(
+            ray.data.from_pandas(docs).repartition(blocks), k=10)
+        pd.testing.assert_frame_equal(
+            got.astype({"n_occurrences": "int64"}), want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_crawl_budget_apportion_exact_hamilton():
+    """Budget conserves exactly; largest remainders win the bonus slots;
+    remainder ties break by host ascending."""
+    import pandas as pd
+    import ray.data
+
+    from pdf2doi_ray.stages.skew import crawl_budget_apportion
+
+    # counts 5, 3, 2 over budget 7 and N=10:
+    #   floors 3,2,1 (sum 6); remainders (7n mod 10): 5, 1, 4
+    #   one bonus slot -> host a (rem 5)
+    urls = (["https://a.org/p%d" % i for i in range(5)]
+            + ["https://b.org/p%d" % i for i in range(3)]
+            + ["https://c.org/p%d" % i for i in range(2)])
+    pages = pd.DataFrame({"url": urls})
+    got = (crawl_budget_apportion(ray.data.from_pandas(pages),
+                                  total_budget=7)
+           .to_pandas().sort_values("host").reset_index(drop=True))
+    want = pd.DataFrame({"host": ["a.org", "b.org", "c.org"],
+                         "n_pages": np.array([5, 3, 2], dtype=np.int64),
+                         "budget": np.array([4, 2, 1], dtype=np.int64)})
+    pd.testing.assert_frame_equal(got, want)
+    assert got["budget"].sum() == 7
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_crawl_budget_zero_and_negative():
+    import pandas as pd
+    import ray.data
+
+    from pdf2doi_ray.stages.skew import crawl_budget_apportion
+
+    pages = ray.data.from_pandas(
+        pd.DataFrame({"url": ["https://a.org/1", "https://b.org/1"]}))
+    got = crawl_budget_apportion(pages, total_budget=0).to_pandas()
+    assert got["budget"].sum() == 0
+    with pytest.raises(ValueError):
+        crawl_budget_apportion(pages, total_budget=-1)
