@@ -916,6 +916,52 @@ def _q_order_priority_semi(sf_dir: str):
         end_us=datetime.datetime(1996, 10, 1), num_partitions=4)
 
 
+def _q_host_crawl_overlap(sf_dir: str):
+    """Per-host url-set Jaccard between two crawl snapshots (prev crawl
+    derived deterministically: doc_id%7==0 urls absent, ghost urls at
+    doc_id+1000000 for doc_id%11==0).  Distinct-pair combiner, one
+    groupby(host,url) Max-merge, exact integer permille."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pdf2doi_ray.stages.skew import host_crawl_overlap
+
+    def mk_url(ids: np.ndarray) -> pa.Array:
+        import pandas as pd
+        return pa.array(pd.Series(
+            ["https://site%d.example.org/d/%d" % (i % 50, i)
+             for i in ids], dtype=object))
+
+    def cur_urls(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].combine_chunks()
+                         if isinstance(t["doc_id"], pa.ChunkedArray)
+                         else t["doc_id"], dtype=np.int64)
+        return pa.table({"url": mk_url(ids)})
+
+    def prev_urls(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].combine_chunks()
+                         if isinstance(t["doc_id"], pa.ChunkedArray)
+                         else t["doc_id"], dtype=np.int64)
+        kept = ids[ids % 7 != 0]
+        ghosts = ids[ids % 11 == 0] + 1_000_000
+        return pa.table({"url": mk_url(np.concatenate([kept, ghosts]))})
+
+    docs = _docs(sf_dir, ("doc_id",))
+    return host_crawl_overlap(
+        docs.map_batches(cur_urls, batch_format="pyarrow"),
+        docs.map_batches(prev_urls, batch_format="pyarrow"))
+
+
+def _q_collocation_lift(sf_dir: str):
+    """Top-20 collocations by exact integer lift (PMI argument sans log):
+    vocab-broadcast double join per grouped-bigram block, bounded-partial
+    top-k, min_count=5 noise gate."""
+    from pdf2doi_ray.stages.corpus import collocation_lift
+    return collocation_lift(_docs(sf_dir, ("doc_id", "text")),
+                            k=20, min_count=5)
+
+
 def _q_crawl_budget(sf_dir: str):
     """Largest-remainder recrawl-budget apportionment across hosts —
     exact integer Hamilton method: salted host counts, O(1) scalar
@@ -3145,6 +3191,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_chunk_stats": _q_cdc_chunk_stats,
         "byte_pair_counts": _q_byte_pair_counts,
         "crawl_budget": _q_crawl_budget,
+        "collocation_lift": _q_collocation_lift,
+        "host_crawl_overlap": _q_host_crawl_overlap,
     }
 
 
@@ -5932,5 +5980,60 @@ SELECT host, n_pages,
        CAST(fl + CASE WHEN rnk <= (SELECT 1000 - sum(fl) FROM f)
                  THEN 1 ELSE 0 END AS BIGINT) AS budget
 FROM rk
+"""
+    # exact integer lift n_ab * N * 1000 // (n_a * n_b), min_count 5,
+    # ties by bigram ascending — mirrors stages/corpus.collocation_lift
+    sql["collocation_lift"] = """
+WITH l AS (SELECT list_filter(string_split(text, ' '),
+                              x -> x <> '') AS toks
+           FROM documents),
+uni AS (SELECT unnest(toks) AS tok FROM l),
+uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM uni GROUP BY 1),
+nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM uni),
+bg AS (SELECT unnest(list_transform(range(1, len(toks)),
+                                    i -> toks[i] || ' ' || toks[i+1]))
+           AS bigram
+       FROM l WHERE len(toks) >= 2),
+bc AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n_ab
+       FROM bg GROUP BY 1),
+j AS (SELECT b.bigram, b.n_ab,
+             CAST(b.n_ab * (SELECT n FROM nt) * 1000
+                  // (u1.n * u2.n) AS BIGINT) AS lift_scaled
+      FROM bc b
+      JOIN uc u1 ON u1.tok = string_split(b.bigram, ' ')[1]
+      JOIN uc u2 ON u2.tok = string_split(b.bigram, ' ')[2]
+      WHERE b.n_ab >= 5)
+SELECT CAST(row_number() OVER
+            (ORDER BY lift_scaled DESC, bigram) AS BIGINT) AS rank,
+       bigram, n_ab, lift_scaled
+FROM j ORDER BY rank LIMIT 20
+"""
+    # same deterministic prev-crawl derivation as crawl_diff; host =
+    # site{doc_id%50} — mirrors stages/skew.host_crawl_overlap
+    sql["host_crawl_overlap"] = """
+WITH cur AS (SELECT 'https://site' || CAST(doc_id % 50 AS VARCHAR)
+                    || '.example.org/d/' || CAST(doc_id AS VARCHAR)
+                    AS url
+             FROM documents),
+prev AS (SELECT 'https://site' || CAST(doc_id % 50 AS VARCHAR)
+                || '.example.org/d/' || CAST(doc_id AS VARCHAR) AS url
+         FROM documents WHERE doc_id % 7 <> 0
+         UNION ALL
+         SELECT 'https://site' || CAST((doc_id + 1000000) % 50 AS VARCHAR)
+                || '.example.org/d/' || CAST(doc_id + 1000000 AS VARCHAR)
+         FROM documents WHERE doc_id % 11 = 0),
+u AS (SELECT url,
+             max(a) AS a, max(b) AS b
+      FROM (SELECT url, 1 AS a, 0 AS b FROM cur
+            UNION ALL SELECT url, 0, 1 FROM prev)
+      GROUP BY 1),
+h AS (SELECT regexp_replace(regexp_replace(url,
+             '^[a-z][a-z0-9+.-]*://', ''), '/.*$', '') AS host, a, b
+      FROM u)
+SELECT host,
+       CAST(sum(a * b) AS BIGINT) AS n_both,
+       CAST(count(*) AS BIGINT) AS n_union,
+       CAST(sum(a * b) * 1000 // count(*) AS BIGINT) AS jaccard_permille
+FROM h GROUP BY 1
 """
     return sql

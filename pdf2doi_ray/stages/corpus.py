@@ -3072,3 +3072,109 @@ def byte_pair_counts(docs, k: int = 20, text_col: str = "text"):
         "pair": [chr(i >> 8) + chr(i & 255) for i in ids],
         "n_occurrences": parts["n_occurrences"].to_numpy(),
     })
+
+
+def collocation_lift(docs, k: int = 20, min_count: int = 5,
+                     scale: int = 1000):
+    """Top-``k`` collocations: adjacent-token bigrams ranked by exact
+    integer LIFT — ``n_ab * N * scale // (n_a * n_b)`` where ``N`` is the
+    corpus token count (lift ``scale`` = the pair co-occurs exactly as
+    often as independence predicts; PMI's argument without the log, so
+    integers stay exact).  Bigrams below ``min_count`` occurrences are
+    noise-gated out.
+
+    Plan: three combiner-first aggregations share one tokenize pass
+    shape — (1) scalar ``N``; (2) unigram counts, ONE ``groupby(token)``
+    whose result is vocabulary-sized and broadcasts once via ``ray.put``
+    (the DSIR vocab-broadcast contract: |vocab| ≪ corpus, fits the object
+    store); (3) bigram counts, ONE ``groupby(bigram)``.  Each grouped
+    bigram block then joins the broadcast vocab twice (pyarrow C++ hash
+    join on the split halves), computes lift vectorized, and forwards its
+    own top-``k`` — the bounded-partial global top-k.
+
+    int64 bound: ``n_ab * N * scale < 2**63`` — at web scale gate with a
+    higher ``min_count``/smaller ``scale`` or run the lift step in 128-bit
+    (DuckDB HUGEINT / Python int) over the ≤k×blocks candidate rows.
+
+    Returns pandas ``(rank, bigram, n_ab, lift_scaled)``; ties break by
+    lift desc, bigram asc.
+    """
+    import pandas as pd
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    def uni_partial(t: pa.Table) -> pa.Table:
+        flat, _ = _tokens_nonempty(t)
+        g = pa.table({"tok": flat}).group_by("tok") \
+            .aggregate([([], "count_all")])
+        return pa.table({"tok": g["tok"],
+                         "n_partial": g["count_all"].cast(pa.int64())})
+
+    uc = (docs.map_batches(uni_partial, batch_format="pyarrow")
+          .groupby("tok").aggregate(Sum("n_partial", alias_name="n"))
+          .materialize())
+    n_total = int(uc.aggregate(Sum("n"))["sum(n)"] or 0)
+    if n_total == 0:
+        return pd.DataFrame({"rank": pd.Series(dtype="int64"),
+                             "bigram": pd.Series(dtype=object),
+                             "n_ab": pd.Series(dtype="int64"),
+                             "lift_scaled": pd.Series(dtype="int64")})
+    from ..arrowutil import collect_tables
+    uc_ref = ray.put(collect_tables(uc))
+
+    def bi_partial(t: pa.Table) -> pa.Table:
+        flat, row_idx = _tokens_nonempty(t)
+        if len(flat) < 2:
+            return pa.table({"bigram": pa.array([], type=pa.string()),
+                             "n_partial": pa.array([], type=pa.int64())})
+        same_doc = row_idx[1:] == row_idx[:-1]
+        joined = pc.binary_join_element_wise(
+            flat.slice(0, len(flat) - 1), flat.slice(1), " ")
+        g = pa.table({"bigram": joined.filter(pa.array(same_doc))}) \
+            .group_by("bigram").aggregate([([], "count_all")])
+        return pa.table({"bigram": g["bigram"],
+                         "n_partial": g["count_all"].cast(pa.int64())})
+
+    def block_lift_topk(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["n_ab"], min_count))
+        if t.num_rows == 0:
+            return pa.table({"bigram": pa.array([], type=pa.string()),
+                             "n_ab": pa.array([], type=pa.int64()),
+                             "lift_scaled": pa.array([], type=pa.int64())})
+        halves = pc.split_pattern(one_chunk(t["bigram"]), " ")
+        t = pa.table({"bigram": t["bigram"], "n_ab": t["n_ab"],
+                      "w1": pc.list_element(halves, 0),
+                      "w2": pc.list_element(halves, 1)})
+        vocab = ray.get(uc_ref)
+        t = t.join(vocab.rename_columns(["w1", "n_a"]), keys=["w1"])
+        t = t.join(vocab.rename_columns(["w2", "n_b"]), keys=["w2"])
+        n_ab = np.asarray(one_chunk(t["n_ab"]), dtype=np.int64)
+        n_a = np.asarray(one_chunk(t["n_a"]), dtype=np.int64)
+        n_b = np.asarray(one_chunk(t["n_b"]), dtype=np.int64)
+        lift = n_ab * n_total * scale // (n_a * n_b)
+        df = pd.DataFrame({
+            "bigram": one_chunk(t["bigram"]).to_pandas(),
+            "n_ab": n_ab, "lift_scaled": lift})
+        df = df.sort_values(["lift_scaled", "bigram"],
+                            ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = (docs.map_batches(bi_partial, batch_format="pyarrow")
+             .groupby("bigram").aggregate(Sum("n_partial",
+                                              alias_name="n_ab"))
+             .map_batches(block_lift_topk, batch_format="pyarrow",
+                          batch_size=None)
+             .to_pandas())
+    if "bigram" not in parts.columns:
+        parts = pd.DataFrame({"bigram": pd.Series(dtype=object),
+                              "n_ab": pd.Series(dtype="int64"),
+                              "lift_scaled": pd.Series(dtype="int64")})
+    parts = parts.sort_values(["lift_scaled", "bigram"],
+                              ascending=[False, True]).head(k)
+    return pd.DataFrame({
+        "rank": np.arange(1, len(parts) + 1, dtype=np.int64),
+        "bigram": parts["bigram"].to_numpy(),
+        "n_ab": parts["n_ab"].to_numpy(),
+        "lift_scaled": parts["lift_scaled"].to_numpy(),
+    })

@@ -380,3 +380,71 @@ def crawl_budget_apportion(pages, total_budget: int,
                                             type=pa.int64())})
 
     return counts.map_batches(finalize, batch_format="pyarrow")
+
+
+def host_crawl_overlap(cur, prev, url_col: str = "url"):
+    """Per-host url-set Jaccard between two crawl snapshots — the
+    crawl-freshness audit ("how much of each site did we see last time").
+
+    Plan: each side collapses per batch to DISTINCT ``(host, url)`` rows
+    tagged with a presence flag (one Arrow group_by per batch — a hot
+    host costs its distinct urls per batch, never its row count); ONE
+    ``groupby(host, url)`` Max-merges the flags (the set-ops combiner
+    shape of `stages/setops`); per-batch partials then count
+    intersection and union per host into a tiny ``groupby(host)`` Sum.
+    Jaccard is an exact integer permille: ``n_both * 1000 // n_union``.
+
+    Returns a Dataset of ``(host, n_both, n_union, jaccard_permille)``.
+    """
+    from ray.data.aggregate import Max, Sum
+
+    def tag(flag_a: bool):
+        def partial(t: pa.Table) -> pa.Table:
+            urls = t[url_col].combine_chunks() \
+                if isinstance(t[url_col], pa.ChunkedArray) else t[url_col]
+            g = pa.table({"host": _hosts_vec(urls), "url": urls}) \
+                .group_by(["host", "url"]).aggregate([])
+            one = np.ones(g.num_rows, dtype=np.int64)
+            zero = np.zeros(g.num_rows, dtype=np.int64)
+            return pa.table({
+                "host": g["host"], "url": g["url"],
+                "a": pa.array(one if flag_a else zero),
+                "b": pa.array(zero if flag_a else one)})
+        return partial
+
+    both = (cur.map_batches(tag(True), batch_format="pyarrow")
+            .union(prev.map_batches(tag(False), batch_format="pyarrow"))
+            .groupby(["host", "url"])
+            .aggregate(Max("a", alias_name="a"), Max("b", alias_name="b")))
+
+    def host_partial(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["a"].combine_chunks()
+                       if isinstance(t["a"], pa.ChunkedArray) else t["a"],
+                       dtype=np.int64)
+        b = np.asarray(t["b"].combine_chunks()
+                       if isinstance(t["b"], pa.ChunkedArray) else t["b"],
+                       dtype=np.int64)
+        g = pa.table({"host": t["host"],
+                      "nb": pa.array(a & b),
+                      "nu": pa.array(np.ones(len(a), dtype=np.int64))}) \
+            .group_by("host").aggregate([("nb", "sum"), ("nu", "sum")])
+        return g.rename_columns(["host", "nb", "nu"])
+
+    counts = (both.map_batches(host_partial, batch_format="pyarrow")
+              .groupby("host")
+              .aggregate(Sum("nb", alias_name="n_both"),
+                         Sum("nu", alias_name="n_union")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        nb = np.asarray(t["n_both"].combine_chunks()
+                        if isinstance(t["n_both"], pa.ChunkedArray)
+                        else t["n_both"], dtype=np.int64)
+        nu = np.asarray(t["n_union"].combine_chunks()
+                        if isinstance(t["n_union"], pa.ChunkedArray)
+                        else t["n_union"], dtype=np.int64)
+        return pa.table({"host": t["host"],
+                         "n_both": pa.array(nb),
+                         "n_union": pa.array(nu),
+                         "jaccard_permille": pa.array(nb * 1000 // nu)})
+
+    return counts.map_batches(finalize, batch_format="pyarrow")

@@ -267,3 +267,56 @@ def test_crawl_budget_zero_and_negative():
     assert got["budget"].sum() == 0
     with pytest.raises(ValueError):
         crawl_budget_apportion(pages, total_budget=-1)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_collocation_lift_handbuilt():
+    """Lift ranks a tight pair above a frequent-but-independent pair;
+    min_count gates rare pairs; block-split invariant."""
+    import pandas as pd
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import collocation_lift
+
+    # 'x y' always together (5 times); 'a b' appears but a and b are
+    # everywhere; 'q z' appears once (gated by min_count=2)
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["x y a", "x y b a", "x y a b", "x y b", "x y q z a b"]})
+    for blocks in (1, 3):
+        got = collocation_lift(
+            ray.data.from_pandas(docs).repartition(blocks),
+            k=5, min_count=2)
+        assert list(got["bigram"])[0] == "x y"
+        assert "q z" not in set(got["bigram"])
+        # exact integer check: n_xy=5, n_x=5, n_y=5, N=20
+        # lift = 5*20*1000 // 25 = 4000
+        row = got[got["bigram"] == "x y"].iloc[0]
+        assert int(row["lift_scaled"]) == 5 * 20 * 1000 // 25
+        assert int(row["n_ab"]) == 5
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_host_crawl_overlap_handbuilt():
+    import pandas as pd
+    import ray.data
+
+    from pdf2doi_ray.stages.skew import host_crawl_overlap
+
+    cur = pd.DataFrame({"url": [
+        "https://a.org/1", "https://a.org/2", "https://a.org/2",  # dup row
+        "https://b.org/1"]})
+    prev = pd.DataFrame({"url": [
+        "https://a.org/2", "https://a.org/3",
+        "https://c.org/9"]})
+    for blocks in (1, 2):
+        got = (host_crawl_overlap(
+            ray.data.from_pandas(cur).repartition(blocks),
+            ray.data.from_pandas(prev))
+            .to_pandas().sort_values("host").reset_index(drop=True))
+        want = pd.DataFrame({
+            "host": ["a.org", "b.org", "c.org"],
+            "n_both": np.array([1, 0, 0], dtype=np.int64),
+            "n_union": np.array([3, 1, 1], dtype=np.int64),
+            "jaccard_permille": np.array([333, 0, 0], dtype=np.int64)})
+        pd.testing.assert_frame_equal(got, want)
