@@ -916,6 +916,22 @@ def _q_order_priority_semi(sf_dir: str):
         end_us=datetime.datetime(1996, 10, 1), num_partitions=4)
 
 
+def _q_brand_bracket_revenue(sf_dir: str):
+    """TPC-H-Q19-style disjunctive (brand, quantity-bracket) revenue:
+    pruned dimension broadcast, vectorized OR-of-ANDs, scalar partials,
+    zero shuffles."""
+    import ray.data
+
+    from pdf2doi_ray.stages.joins import brand_bracket_revenue
+    part = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                                 columns=["p_partkey", "p_brand"])
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice",
+                 "l_discount"])
+    return brand_bracket_revenue(part, li)
+
+
 def _q_host_crawl_overlap(sf_dir: str):
     """Per-host url-set Jaccard between two crawl snapshots (prev crawl
     derived deterministically: doc_id%7==0 urls absent, ghost urls at
@@ -3193,6 +3209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_budget": _q_crawl_budget,
         "collocation_lift": _q_collocation_lift,
         "host_crawl_overlap": _q_host_crawl_overlap,
+        "brand_bracket_revenue": _q_brand_bracket_revenue,
     }
 
 
@@ -6035,5 +6052,16 @@ SELECT host,
        CAST(count(*) AS BIGINT) AS n_union,
        CAST(sum(a * b) * 1000 // count(*) AS BIGINT) AS jaccard_permille
 FROM h GROUP BY 1
+"""
+    # per-row floor(price * (1-disc) * 1000) — identical IEEE-754 chain
+    # both engines; mirrors stages/joins.brand_bracket_revenue
+    sql["brand_bracket_revenue"] = """
+SELECT CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000)
+                     AS BIGINT)) AS BIGINT) AS revenue_milli,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30)
 """
     return sql

@@ -1702,3 +1702,63 @@ def waiting_suppliers(orders, supplier, lineitem, flag: str = "R",
                             "numwait": pd.Series(dtype="int64")})
     return out.sort_values(["numwait", "s_name"],
                            ascending=[False, True]).reset_index(drop=True)
+
+
+def brand_bracket_revenue(part, lineitem,
+                          brackets=(("Brand#1", 1, 11),
+                                    ("Brand#2", 10, 20),
+                                    ("Brand#3", 20, 30))):
+    """TPC-H-Q19-style disjunctive-predicate revenue: total discounted
+    revenue of line items whose (part brand, quantity) falls in any of
+    the given brackets — the classic OR-of-ANDs filter that defeats
+    naive predicate pushdown.
+
+    Plan: the part dimension is pruned to bracket brands BEFORE the
+    broadcast (only matching partkeys ship), each lineitem batch joins
+    the broadcast table (pyarrow C++ hash join), the bracket disjunction
+    evaluates as one vectorized boolean reduction, and per-batch scalar
+    partials reduce to ONE row — zero shuffles at any fact-table size.
+
+    Money exactness: per-row ``rev_milli = floor(l_extendedprice * (1 -
+    l_discount) * 1000)`` (single IEEE-754 multiply chain, identical in
+    numpy and DuckDB).  Returns pandas ``(revenue_milli, n_items)``.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    brands = sorted({b for b, _, _ in brackets})
+
+    def prune_parts(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["p_brand"],
+                        value_set=pa.array(brands, type=pa.string()))
+        return t.filter(keep).select(["p_partkey", "p_brand"])
+
+    dim = part.map_batches(prune_parts, batch_format="pyarrow")
+    joined = broadcast_hash_join(
+        lineitem, dim, on="l_partkey", right_on="p_partkey",
+        project=["l_quantity", "l_extendedprice", "l_discount",
+                 "p_brand"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        qty = _f64(t["l_quantity"])
+        brand = t["p_brand"].combine_chunks() \
+            if isinstance(t["p_brand"], pa.ChunkedArray) else t["p_brand"]
+        keep = np.zeros(t.num_rows, dtype=bool)
+        for b, lo, hi in brackets:
+            keep |= (np.asarray(pc.equal(brand, b))
+                     & (qty >= lo) & (qty <= hi))
+        price = _f64(t["l_extendedprice"])[keep]
+        disc = _f64(t["l_discount"])[keep]
+        rev = np.floor((price * (1.0 - disc)) * 1000.0).astype(np.int64)
+        return pa.table({
+            "revenue_milli": pa.array([int(rev.sum())], type=pa.int64()),
+            "n_items": pa.array([int(keep.sum())], type=pa.int64())})
+
+    sums = joined.map_batches(partial, batch_format="pyarrow") \
+        .aggregate(Sum("revenue_milli", alias_name="revenue_milli"),
+                   Sum("n_items", alias_name="n_items"))
+    return pd.DataFrame({
+        "revenue_milli": [int(sums["revenue_milli"] or 0)],
+        "n_items": [int(sums["n_items"] or 0)]}).astype("int64")

@@ -320,3 +320,26 @@ def test_host_crawl_overlap_handbuilt():
             "n_union": np.array([3, 1, 1], dtype=np.int64),
             "jaccard_permille": np.array([333, 0, 0], dtype=np.int64)})
         pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_brand_bracket_revenue_handbuilt():
+    """OR-of-ANDs bracket filter: a row counts only when brand AND
+    quantity agree; revenue is exact integer milli."""
+    import pandas as pd
+    import ray.data
+
+    from pdf2doi_ray.stages.joins import brand_bracket_revenue
+
+    part = pd.DataFrame({"p_partkey": [1, 2, 3],
+                         "p_brand": ["Brand#1", "Brand#2", "Brand#9"]})
+    li = pd.DataFrame({
+        "l_partkey": [1, 1, 2, 3],
+        "l_quantity": [5.0, 50.0, 15.0, 5.0],   # in, out-of-bracket,
+        "l_extendedprice": [100.0, 100.0, 200.0, 999.0],  # in, wrong brand
+        "l_discount": [0.1, 0.1, 0.25, 0.0]})
+    got = brand_bracket_revenue(
+        ray.data.from_pandas(part), ray.data.from_pandas(li))
+    # rows 0 and 2 qualify: floor(100*0.9*1000) + floor(200*0.75*1000)
+    assert int(got.revenue_milli[0]) == 90000 + 150000
+    assert int(got.n_items[0]) == 2
