@@ -916,6 +916,36 @@ def _q_order_priority_semi(sf_dir: str):
         end_us=datetime.datetime(1996, 10, 1), num_partitions=4)
 
 
+def _q_late_events(sf_dir: str):
+    """Watermark / allowed-lateness accounting per (event_type, tumbling
+    window): event time = ts minus a deterministic (event_id % 13) hour
+    jitter so the fixture's in-order stream gains genuine lateness; one
+    sort + two-pass block prefix-max, combiner-first accounting."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from pdf2doi_ray.stages.windows import late_event_accounting
+
+    def prep(t: pa.Table) -> pa.Table:
+        eid = np.asarray(t["event_id"].combine_chunks()
+                         if isinstance(t["event_id"], pa.ChunkedArray)
+                         else t["event_id"], dtype=np.int64)
+        us = np.asarray(pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                                pa.int64()), dtype=np.int64)
+        return pa.table({
+            "event_id": pa.array(eid),
+            "event_type": t["event_type"],
+            "us": pa.array(us - (eid % 13) * 3_600_000_000)})
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "ts"]) \
+        .map_batches(prep, batch_format="pyarrow")
+    return late_event_accounting(ev, window_s=3600, lateness_s=600)
+
+
 def _q_brand_bracket_revenue(sf_dir: str):
     """TPC-H-Q19-style disjunctive (brand, quantity-bracket) revenue:
     pruned dimension broadcast, vectorized OR-of-ANDs, scalar partials,
@@ -3210,6 +3240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collocation_lift": _q_collocation_lift,
         "host_crawl_overlap": _q_host_crawl_overlap,
         "brand_bracket_revenue": _q_brand_bracket_revenue,
+        "late_events": _q_late_events,
     }
 
 
@@ -6063,5 +6094,27 @@ FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11)
    OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20)
    OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30)
+"""
+    # watermark = running max of event time over arrival (event_id) order
+    # minus allowed lateness; first arrival never late — mirrors
+    # stages/windows.late_event_accounting with the same hour jitter
+    sql["late_events"] = """
+WITH e AS (SELECT event_type, event_id,
+                  CAST(epoch_us(ts) AS BIGINT)
+                  - (event_id % 13) * 3600000000 AS us
+           FROM events),
+r AS (SELECT event_type, us,
+             max(us) OVER (ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      FROM e),
+f AS (SELECT event_type, us // 3600000000 AS w,
+             CASE WHEN pm IS NOT NULL AND pm - 600000000
+                       >= (us // 3600000000 + 1) * 3600000000
+                  THEN 1 ELSE 0 END AS late
+      FROM r)
+SELECT event_type, CAST(w AS BIGINT) AS "window",
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(late) AS BIGINT) AS n_late
+FROM f GROUP BY 1, 2
 """
     return sql

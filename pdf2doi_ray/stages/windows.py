@@ -365,3 +365,98 @@ def tumbling_distinct_users(events, window_s: int = TUMBLE_SECONDS):
 
     return (distinct.map_batches(wcount, batch_format="pyarrow")
             .groupby("window").aggregate(Sum("n", alias_name="n_users")))
+
+
+def late_event_accounting(events, window_s: int = TUMBLE_SECONDS,
+                          lateness_s: int = 600):
+    """Watermark accounting: per ``(event_type, tumbling window)``, how
+    many events arrived LATE — after the watermark (the running max of
+    event time over ARRIVAL order, minus the allowed lateness) had
+    already passed their window's end.  This is the Beam/Flink
+    allowed-lateness rule replayed over a batch table: the final state a
+    streaming job would reach at end-of-stream.
+
+    Contract: ``event_id`` is the arrival order (globally unique int64);
+    ``us`` is event-time microseconds.  An event is late iff
+    ``prev_max(us) - lateness >= (window+1) * window_size`` where
+    ``prev_max`` is over all STRICTLY earlier arrivals (the first arrival
+    is never late).
+
+    Plan: one range-partitioned sort by ``event_id`` (the only exchange),
+    then a two-pass prefix-max over the SAME materialized blocks — pass 1
+    forwards ONE ``(block_min_eid, block_max_us)`` row per block to the
+    driver; the exclusive prefix max across block summaries (a
+    #blocks-sized driver array, broadcast back in the task closure) seeds
+    each block's running max, so pass 2 resolves every row block-locally
+    and collapses straight into (type, window) combiner rows.
+
+    Returns a Dataset of ``(event_type, window, n_events, n_late)``.
+    """
+    from ray.data.aggregate import Sum
+
+    w_us = window_s * 1_000_000
+    l_us = lateness_s * 1_000_000
+    s = events.sort("event_id").materialize()
+
+    def block_summary(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"min_eid": pa.array([], type=pa.int64()),
+                             "max_us": pa.array([], type=pa.int64())})
+        eid = np.asarray(one_chunk(t["event_id"]), dtype=np.int64)
+        us = np.asarray(one_chunk(t["us"]), dtype=np.int64)
+        return pa.table({"min_eid": pa.array([int(eid.min())]),
+                         "max_us": pa.array([int(us.max())])})
+
+    summaries = s.map_batches(block_summary, batch_format="pyarrow",
+                              batch_size=None).to_pandas()
+    if len(summaries) == 0:
+        import ray.data
+        return ray.data.from_arrow(pa.table({
+            "event_type": pa.array([], type=pa.string()),
+            "window": pa.array([], type=pa.int64()),
+            "n_events": pa.array([], type=pa.int64()),
+            "n_late": pa.array([], type=pa.int64())}))
+    summaries = summaries.sort_values("min_eid").reset_index(drop=True)
+    boundaries = summaries["min_eid"].to_numpy(dtype=np.int64)
+    block_max = summaries["max_us"].to_numpy(dtype=np.int64)
+    lo = np.iinfo(np.int64).min
+    # exclusive prefix max: base for block j = max over blocks < j
+    bases = np.concatenate([[lo],
+                            np.maximum.accumulate(block_max)[:-1]])
+
+    def classify(t: pa.Table) -> pa.Table:
+        empty = pa.table({"event_type": pa.array([], type=pa.string()),
+                          "window": pa.array([], type=pa.int64()),
+                          "n": pa.array([], type=pa.int64()),
+                          "nl": pa.array([], type=pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        eid = np.asarray(one_chunk(t["event_id"]), dtype=np.int64)
+        us = np.asarray(one_chunk(t["us"]), dtype=np.int64)
+        j = int(np.searchsorted(boundaries, int(eid.min())))
+        if j >= len(boundaries) or boundaries[j] != eid.min():
+            raise AssertionError(
+                "late_event_accounting: block summary mismatch — "
+                "pass 2 saw a block pass 1 did not")
+        base = bases[j]
+        run = np.maximum.accumulate(us)
+        pm = np.empty(len(us), dtype=np.int64)
+        pm[0] = base
+        if len(us) > 1:
+            pm[1:] = np.maximum(base, run[:-1])
+        win = us // w_us
+        # guard the -inf sentinel: lo - l_us would wrap
+        late = (pm != lo) & (pm - l_us >= (win + 1) * w_us)
+        g = pa.table({"event_type": t["event_type"],
+                      "window": pa.array(win),
+                      "one": pa.array(np.ones(len(us), dtype=np.int64)),
+                      "lt": pa.array(late.astype(np.int64))}) \
+            .group_by(["event_type", "window"]) \
+            .aggregate([("one", "sum"), ("lt", "sum")])
+        return g.rename_columns(["event_type", "window", "n", "nl"])
+
+    return (s.map_batches(classify, batch_format="pyarrow",
+                          batch_size=None)
+            .groupby(["event_type", "window"])
+            .aggregate(Sum("n", alias_name="n_events"),
+                       Sum("nl", alias_name="n_late")))

@@ -343,3 +343,41 @@ def test_brand_bracket_revenue_handbuilt():
     # rows 0 and 2 qualify: floor(100*0.9*1000) + floor(200*0.75*1000)
     assert int(got.revenue_milli[0]) == 90000 + 150000
     assert int(got.n_items[0]) == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_late_event_accounting_handbuilt():
+    """Watermark carried across sorted blocks: an event whose window
+    closed before it arrived is late; the first arrival never is.
+    Input arrives pre-shuffled to force the sort to do the work."""
+    import pandas as pd
+    import ray.data
+
+    from pdf2doi_ray.stages.windows import late_event_accounting
+
+    W = 10_000_000   # 10 s windows
+    ev = pd.DataFrame({
+        # arrival order 0..4; event times (us):
+        # e0: 25s  (win 2)           -> first arrival, never late
+        # e1: 31s  (win 3)           -> pm=25s, wm=25-5=20 < 40: on time
+        # e2:  3s  (win 0)           -> pm=31s, wm=26 >= 10: LATE
+        # e3: 19s  (win 1)           -> pm=31s, wm=26 >= 20: LATE
+        # e4: 27s  (win 2)           -> pm=31s, wm=26 < 30: on time
+        "event_id": [0, 1, 2, 3, 4],
+        "event_type": ["a", "a", "a", "b", "a"],
+        "us": [25_000_000, 31_000_000, 3_000_000, 19_000_000,
+               27_000_000]})
+    shuffled = ev.sample(frac=1.0, random_state=7)
+    for blocks in (1, 3):
+        got = (late_event_accounting(
+            ray.data.from_pandas(shuffled).repartition(blocks),
+            window_s=10, lateness_s=5)
+            .to_pandas()
+            .sort_values(["event_type", "window"]).reset_index(drop=True))
+        want = pd.DataFrame({
+            "event_type": ["a", "a", "a", "b"],
+            "window": np.array([0, 2, 3, 1], dtype=np.int64),
+            "n_events": np.array([1, 2, 1, 1], dtype=np.int64),
+            "n_late": np.array([1, 0, 0, 1], dtype=np.int64)}) \
+            .sort_values(["event_type", "window"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
