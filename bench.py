@@ -415,6 +415,62 @@ def main() -> None:
     if not headline_only:
         bench_query("dup_ngram_spans_docs", q_dup_spans)
 
+    # CDC storage-dedup audit over 1.2M pages' html payloads: zero-copy
+    # chunking off the Arrow buffers + one groupby(chunk) Sum — the widest
+    # byte stream any non-flagship row pushes through an exchange
+    def q_cdc_chunks():
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from pdf2doi_ray.stages.dedup import cdc_chunk_stats
+
+        def to_text(t):
+            return pa.table({"text": pc.cast(t["html"], pa.string())})
+
+        pages = read_pages(("html",), split=True).map_batches(
+            to_text, batch_format="pyarrow")
+        out = cdc_chunk_stats(pages, k=5, mod=64)
+        assert int(out.total_bytes[0]) > 0
+
+    if not headline_only:
+        bench_query("cdc_chunk_stats_pages", q_cdc_chunks)
+
+    # BPE merge-candidate pass over 1.2M pages: one np.bincount per batch
+    # over the zero-copy byte buffer; exchange ≤65536 rows per block
+    def q_byte_pairs():
+        from pdf2doi_ray.stages.corpus import byte_pair_counts
+        out = byte_pair_counts(pages_as_docs(), k=20)
+        assert len(out) == 20, len(out)
+
+    if not headline_only:
+        bench_query("byte_pair_counts_pages", q_byte_pairs)
+
+    # watermark accounting over the synthetic arrival stream: one sort by
+    # arrival id + two-pass block prefix-max + (type, window) groupby
+    def q_late_events():
+        import numpy as np
+        import pyarrow as pa
+
+        from pdf2doi_ray.stages.windows import late_event_accounting
+
+        def prep(t):
+            eid = ts_doc_ids(t)
+            us = np.asarray(eid) * 1_000_000
+            jit = (np.asarray(eid) % 13) * 3_600_000_000
+            return pa.table({
+                "event_id": eid,
+                "event_type": t["lang"],
+                "us": pa.array(us - jit, type=pa.int64())})
+
+        ev = read_pages(("warc_ts", "lang"), split=True).map_batches(
+            prep, batch_format="pyarrow")
+        n = late_event_accounting(ev, window_s=3600,
+                                  lateness_s=600).count()
+        assert n > 0, n
+
+    if not headline_only:
+        bench_query("late_events_pages", q_late_events)
+
     # batched model-inference at pages scale: md5-per-unique-token hashed
     # features + integer matvec over 1.2M docs (weights built once per
     # worker, never per batch)
