@@ -916,6 +916,15 @@ def _q_order_priority_semi(sf_dir: str):
         end_us=datetime.datetime(1996, 10, 1), num_partitions=4)
 
 
+def _q_fd_audit_source_lang(sf_dir: str):
+    """Functional-dependency audit source→lang over documents:
+    distinct-pair count combiner, composite-key groupby, per-determinant
+    distinct/row counts + violation flag."""
+    from pdf2doi_ray.stages.aggs import fd_violation_audit
+    return fd_violation_audit(_docs(sf_dir, ("source", "lang")),
+                              "source", "lang")
+
+
 def _q_late_events(sf_dir: str):
     """Watermark / allowed-lateness accounting per (event_type, tumbling
     window): event time = ts minus a deterministic (event_id % 13) hour
@@ -3241,6 +3250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_crawl_overlap": _q_host_crawl_overlap,
         "brand_bracket_revenue": _q_brand_bracket_revenue,
         "late_events": _q_late_events,
+        "fd_audit_source_lang": _q_fd_audit_source_lang,
     }
 
 
@@ -6116,5 +6126,14 @@ SELECT event_type, CAST(w AS BIGINT) AS "window",
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(late) AS BIGINT) AS n_late
 FROM f GROUP BY 1, 2
+"""
+    # mirrors stages/aggs.fd_violation_audit
+    sql["fd_audit_source_lang"] = """
+SELECT source AS det,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_distinct_dep,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(CASE WHEN count(DISTINCT lang) > 1 THEN 1 ELSE 0 END
+            AS BIGINT) AS is_violation
+FROM documents GROUP BY 1
 """
     return sql

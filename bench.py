@@ -435,6 +435,26 @@ def main() -> None:
     if not headline_only:
         bench_query("cdc_chunk_stats_pages", q_cdc_chunks)
 
+    # A/B: the content-addressed-store scale path ships (hash64, len, n)
+    # — 24 B/chunk — instead of the chunk bytes; same audit result
+    # (pytest-asserted equal), far lighter exchange
+    def q_cdc_chunks_hash():
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from pdf2doi_ray.stages.dedup import cdc_chunk_stats
+
+        def to_text(t):
+            return pa.table({"text": pc.cast(t["html"], pa.string())})
+
+        pages = read_pages(("html",), split=True).map_batches(
+            to_text, batch_format="pyarrow")
+        out = cdc_chunk_stats(pages, k=5, mod=64, ship="hash64")
+        assert int(out.total_bytes[0]) > 0
+
+    if not headline_only:
+        bench_query("cdc_chunk_stats_hash64_pages", q_cdc_chunks_hash)
+
     # BPE merge-candidate pass over 1.2M pages: one np.bincount per batch
     # over the zero-copy byte buffer; exchange ≤65536 rows per block
     def q_byte_pairs():

@@ -1742,3 +1742,56 @@ def gini_skew(ds, key_col: str):
                          "total": pd.Series([tot], dtype="int64"),
                          "gini_num": pd.Series([num], dtype="int64"),
                          "gini_den": pd.Series([m * tot], dtype="int64")})
+
+
+def fd_violation_audit(ds, det_col: str, dep_col: str):
+    """Functional-dependency audit: does ``det_col`` determine
+    ``dep_col``?  Per determinant value: how many distinct dependent
+    values it maps to, how many rows it covers, and a violation flag —
+    the schema-inference / data-quality profiling pass (a crawl pipeline
+    runs this to decide whether url→lang, host→charset etc. are stable
+    enough to exploit).
+
+    Plan: per-batch ``(det, dep, n)`` count combiner (one Arrow group_by
+    — a hot determinant costs its distinct dependents per batch, never
+    its rows); ONE ``groupby(det, dep)`` Sum; then per-batch ``(det,
+    nd=1, n)`` partials into a second ``groupby(det)`` Sum.  The
+    composite first key spreads hot determinants over reducers; the
+    second exchange carries one row per (det, batch).
+
+    Returns a Dataset of ``(det, n_distinct_dep, n_rows,
+    is_violation)`` where the flag is int64 0/1.
+    """
+    from ray.data.aggregate import Sum
+
+    def pair_counts(t: pa.Table) -> pa.Table:
+        g = pa.table({"det": t[det_col], "dep": t[dep_col]}) \
+            .group_by(["det", "dep"]).aggregate([([], "count_all")])
+        return pa.table({"det": g["det"], "dep": g["dep"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    pairs = (ds.map_batches(pair_counts, batch_format="pyarrow")
+             .groupby(["det", "dep"]).aggregate(Sum("n", alias_name="n")))
+
+    def det_partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"det": t["det"], "nd": pa.array(
+            np.ones(t.num_rows, dtype=np.int64)), "n": t["n"]}) \
+            .group_by("det").aggregate([("nd", "sum"), ("n", "sum")])
+        return g.rename_columns(["det", "nd", "n"])
+
+    per_det = (pairs.map_batches(det_partial, batch_format="pyarrow")
+               .groupby("det")
+               .aggregate(Sum("nd", alias_name="n_distinct_dep"),
+                          Sum("n", alias_name="n_rows")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        nd = np.asarray(t["n_distinct_dep"].combine_chunks()
+                        if isinstance(t["n_distinct_dep"], pa.ChunkedArray)
+                        else t["n_distinct_dep"], dtype=np.int64)
+        return pa.table({
+            "det": t["det"],
+            "n_distinct_dep": pa.array(nd),
+            "n_rows": t["n_rows"],
+            "is_violation": pa.array((nd > 1).astype(np.int64))})
+
+    return per_det.map_batches(finalize, batch_format="pyarrow")

@@ -381,3 +381,48 @@ def test_late_event_accounting_handbuilt():
             "n_late": np.array([1, 0, 0, 1], dtype=np.int64)}) \
             .sort_values(["event_type", "window"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fd_violation_audit_handbuilt():
+    """A determinant seen with two dependents flags; duplicate pairs
+    across blocks don't inflate the distinct count."""
+    import pandas as pd
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import fd_violation_audit
+
+    df = pd.DataFrame({
+        "host": ["a", "a", "a", "b", "b", "c"],
+        "lang": ["en", "en", "de", "fr", "fr", "es"]})
+    for blocks in (1, 3):
+        got = (fd_violation_audit(
+            ray.data.from_pandas(df).repartition(blocks), "host", "lang")
+            .to_pandas().sort_values("det").reset_index(drop=True))
+        want = pd.DataFrame({
+            "det": ["a", "b", "c"],
+            "n_distinct_dep": np.array([2, 1, 1], dtype=np.int64),
+            "n_rows": np.array([3, 2, 1], dtype=np.int64),
+            "is_violation": np.array([1, 0, 0], dtype=np.int64)})
+        pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cdc_chunk_stats_hash64_matches_bytes_mode():
+    """The hash-shipping scale path reports the identical audit as the
+    byte-shipping exact mode on a duplicate-heavy fixture."""
+    import pandas as pd
+    import ray.data
+
+    from pdf2doi_ray.stages.dedup import cdc_chunk_stats
+
+    texts = (["common boilerplate header row example " * 4] * 5
+             + ["unique document %d body with its own words" % i
+                for i in range(7)])
+    docs = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    ds = ray.data.from_pandas(docs).repartition(3)
+    a = cdc_chunk_stats(ds, k=5, mod=8, ship="bytes")
+    b = cdc_chunk_stats(ds, k=5, mod=8, ship="hash64")
+    pd.testing.assert_frame_equal(a, b)
+    with pytest.raises(ValueError):
+        cdc_chunk_stats(ds, ship="zstd")
