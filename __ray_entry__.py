@@ -983,10 +983,15 @@ def _q_host_crawl_overlap(sf_dir: str):
     from pdf2doi_ray.stages.skew import host_crawl_overlap
 
     def mk_url(ids: np.ndarray) -> pa.Array:
-        import pandas as pd
-        return pa.array(pd.Series(
-            ["https://site%d.example.org/d/%d" % (i % 50, i)
-             for i in ids], dtype=object))
+        # vectorized url synthesis: two int->string casts + one
+        # element-wise join (no per-row Python)
+        site = pc.cast(pa.array(ids % 50), pa.string())
+        tail = pc.cast(pa.array(ids), pa.string())
+        return pc.binary_join_element_wise(
+            pc.binary_join_element_wise(pa.scalar("https://site"), site,
+                                        ""),
+            pc.binary_join_element_wise(pa.scalar(".example.org/d/"),
+                                        tail, ""), "")
 
     def cur_urls(t: pa.Table) -> pa.Table:
         ids = np.asarray(t["doc_id"].combine_chunks()
