@@ -3039,10 +3039,13 @@ def byte_pair_counts(docs, k: int = 20, text_col: str = "text"):
             return empty
         b1 = data[:-1].astype(np.int64)
         b2 = data[1:].astype(np.int64)
-        pos = np.arange(L - 1, dtype=np.int64)
-        didx = np.searchsorted(rel, pos, side="right") - 1
-        same_doc = (pos + 2) <= rel[didx + 1]
-        ok = (b1 != 32) & (b2 != 32) & same_doc
+        ok = (b1 != 32) & (b2 != 32)
+        # a pair at index i spans bytes (i, i+1); it crosses a document
+        # edge exactly when i+1 is an interior doc start — O(#docs)
+        # instead of an O(L log D) per-position searchsorted
+        edge = rel[1:-1]
+        edge = edge[(edge > 0) & (edge < L)]
+        ok[edge - 1] = False
         if not ok.any():
             return empty
         cnt = np.bincount((b1[ok] << 8) | b2[ok], minlength=65536)
