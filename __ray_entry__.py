@@ -916,6 +916,13 @@ def _q_order_priority_semi(sf_dir: str):
         end_us=datetime.datetime(1996, 10, 1), num_partitions=4)
 
 
+def _q_dup_cluster_sizes(sf_dir: str):
+    """Dedup-audit report: size histogram of the embedding near-dup
+    clusters — two combiner-first exchanges over the component labels."""
+    from pdf2doi_ray.stages.graph import component_size_histogram
+    return component_size_histogram(_q_embedding_dup_components(sf_dir))
+
+
 def _q_fd_audit_source_lang(sf_dir: str):
     """Functional-dependency audit source→lang over documents:
     distinct-pair count combiner, composite-key groupby, per-determinant
@@ -3256,6 +3263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_bracket_revenue": _q_brand_bracket_revenue,
         "late_events": _q_late_events,
         "fd_audit_source_lang": _q_fd_audit_source_lang,
+        "dup_cluster_sizes": _q_dup_cluster_sizes,
     }
 
 
@@ -6131,6 +6139,25 @@ SELECT event_type, CAST(w AS BIGINT) AS "window",
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(late) AS BIGINT) AS n_late
 FROM f GROUP BY 1, 2
+"""
+    # histogram over the recursive-CTE component sizes — mirrors
+    # stages/graph.component_size_histogram over embedding_dup_components
+    sql["dup_cluster_sizes"] = """
+WITH RECURSIVE p AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        >= 0.40),
+e AS (SELECT va AS a, vb AS b FROM p UNION SELECT vb, va FROM p),
+reach(node, r) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT e.a, reach.r FROM e JOIN reach ON reach.node = e.b),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+sz AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+       FROM comp GROUP BY 1)
+SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+FROM sz GROUP BY 1
 """
     # mirrors stages/aggs.fd_violation_audit
     sql["fd_audit_source_lang"] = """

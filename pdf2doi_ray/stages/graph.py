@@ -719,3 +719,40 @@ def hits_fixed(edges, n_iters: int = 2, scale: int = 1_000_000):
                          batch_format="pyarrow"),
         on="node", project=["node", "hub_scaled", "auth_scaled"])
     return joined
+
+
+def component_size_histogram(labels, comp_col: str = "component"):
+    """Cluster-size distribution of a component labeling — the standard
+    dedup-audit report ("how big are my duplicate clusters"), and the
+    input to the star-cap / verify-budget decisions the near-dup
+    operators make.
+
+    Two combiner-first exchanges, both over combiner-bounded rows: per
+    batch, counts per component (one Arrow group_by); ONE
+    ``groupby(component)`` Sum gives exact sizes; per batch of sizes, a
+    (size, n) partial; ONE ``groupby(size)`` Sum gives the histogram.
+    The second exchange carries ≤ distinct-sizes-per-batch rows — a
+    power-law cluster distribution collapses to a handful of size keys.
+
+    Returns a Dataset of ``(cluster_size, n_clusters)``.
+    """
+    from ray.data.aggregate import Sum
+
+    def comp_partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"component": t[comp_col]}).group_by("component") \
+            .aggregate([([], "count_all")])
+        return pa.table({"component": g["component"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    sizes = (labels.map_batches(comp_partial, batch_format="pyarrow")
+             .groupby("component").aggregate(Sum("n", alias_name="size")))
+
+    def size_partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"cluster_size": t["size"]}) \
+            .group_by("cluster_size").aggregate([([], "count_all")])
+        return pa.table({"cluster_size": g["cluster_size"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    return (sizes.map_batches(size_partial, batch_format="pyarrow")
+            .groupby("cluster_size")
+            .aggregate(Sum("n", alias_name="n_clusters")))
