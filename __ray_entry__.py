@@ -916,6 +916,48 @@ def _q_order_priority_semi(sf_dir: str):
         end_us=datetime.datetime(1996, 10, 1), num_partitions=4)
 
 
+def _q_bucket_sync_diff(sf_dir: str):
+    """Merkle-style layout anti-entropy: two bucketed layouts (current
+    documents vs a deterministically perturbed replica — doc_id%97 rows
+    missing, doc_id%89 texts stale) compared by order-independent
+    per-bucket checksums; only n_buckets scalar rows move."""
+    import shutil
+
+    from pdf2doi_ray.stages.joins import bucket_sync_diff, write_bucketed
+
+    n_buckets = 32
+    base = "/tmp/pdf2doi_sync_diff"
+    da, db = f"{base}/a", f"{base}/b"
+    shutil.rmtree(base, ignore_errors=True)
+
+    def perturb(t):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        ids = np.asarray(t["doc_id"].combine_chunks()
+                         if isinstance(t["doc_id"], pa.ChunkedArray)
+                         else t["doc_id"], dtype=np.int64)
+        t = t.filter(pa.array(ids % 97 != 0))
+        ids = ids[ids % 97 != 0]
+        stale = pa.array(ids % 89 == 0)
+        txt = pc.if_else(
+            stale,
+            pc.binary_join_element_wise(t["text"].combine_chunks()
+                                        if isinstance(t["text"],
+                                                      pa.ChunkedArray)
+                                        else t["text"],
+                                        pa.scalar(" old"), ""),
+            t["text"])
+        return pa.table({"doc_id": t["doc_id"], "text": txt})
+
+    cur = _docs(sf_dir, ("doc_id", "text"))
+    write_bucketed(cur, "doc_id", da, n_buckets=n_buckets)
+    write_bucketed(cur.map_batches(perturb, batch_format="pyarrow"),
+                   "doc_id", db, n_buckets=n_buckets)
+    return bucket_sync_diff(da, db, "doc_id", n_buckets,
+                            cols=["doc_id", "text"])
+
+
 def _q_dup_cluster_sizes(sf_dir: str):
     """Dedup-audit report: size histogram of the embedding near-dup
     clusters — two combiner-first exchanges over the component labels."""
@@ -3264,6 +3306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_events": _q_late_events,
         "fd_audit_source_lang": _q_fd_audit_source_lang,
         "dup_cluster_sizes": _q_dup_cluster_sizes,
+        "bucket_sync_diff": _q_bucket_sync_diff,
     }
 
 
@@ -6139,6 +6182,46 @@ SELECT event_type, CAST(w AS BIGINT) AS "window",
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(late) AS BIGINT) AS n_late
 FROM f GROUP BY 1, 2
+"""
+    # Fibonacci mix64 reproduced in HUGEINT (wrap mod 2^64), checksum =
+    # wrap-sum of 64-bit md5 row hashes — mirrors
+    # stages/joins.bucket_sync_diff over write_bucketed layouts
+    sql["bucket_sync_diff"] = """
+WITH cur AS (SELECT doc_id, text FROM documents),
+prev AS (SELECT doc_id,
+                CASE WHEN doc_id % 89 = 0 THEN text || ' old'
+                     ELSE text END AS text
+         FROM documents WHERE doc_id % 97 <> 0),
+ca AS (SELECT CAST(((CAST(doc_id AS HUGEINT) * 11400714819323198485)
+                    % 18446744073709551616 // 2) % 32 AS BIGINT)
+              AS bucket,
+              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                    || chr(31) || text), 1, 16))::UBIGINT AS HUGEINT)
+              AS hv
+       FROM cur),
+cb AS (SELECT CAST(((CAST(doc_id AS HUGEINT) * 11400714819323198485)
+                    % 18446744073709551616 // 2) % 32 AS BIGINT)
+              AS bucket,
+              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                    || chr(31) || text), 1, 16))::UBIGINT AS HUGEINT)
+              AS hv
+       FROM prev),
+sa AS (SELECT bucket, sum(hv) % 18446744073709551616 AS c,
+              CAST(count(*) AS BIGINT) AS n FROM ca GROUP BY 1),
+sb AS (SELECT bucket, sum(hv) % 18446744073709551616 AS c,
+              CAST(count(*) AS BIGINT) AS n FROM cb GROUP BY 1),
+bk AS (SELECT CAST(unnest(range(0, 32)) AS BIGINT) AS bucket)
+SELECT bk.bucket,
+       CASE WHEN COALESCE(sa.n, 0) = 0 AND COALESCE(sb.n, 0) = 0
+                 THEN 'empty'
+            WHEN COALESCE(sa.n, 0) = 0 THEN 'only_b'
+            WHEN COALESCE(sb.n, 0) = 0 THEN 'only_a'
+            WHEN sa.c = sb.c AND sa.n = sb.n THEN 'match'
+            ELSE 'mismatch' END AS status,
+       COALESCE(sa.n, 0) AS n_a,
+       COALESCE(sb.n, 0) AS n_b
+FROM bk LEFT JOIN sa ON sa.bucket = bk.bucket
+        LEFT JOIN sb ON sb.bucket = bk.bucket
 """
     # histogram over the recursive-CTE component sizes — mirrors
     # stages/graph.component_size_histogram over embedding_dup_components

@@ -426,3 +426,46 @@ def test_cdc_chunk_stats_hash64_matches_bytes_mode():
     pd.testing.assert_frame_equal(a, b)
     with pytest.raises(ValueError):
         cdc_chunk_stats(ds, ship="zstd")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bucket_sync_diff_statuses(tmp_path):
+    """Handbuilt layouts covering every status: identical bucket →
+    match; changed payload → mismatch; side-only buckets; row order
+    inside a bucket must not matter (order-independent checksum)."""
+    import pandas as pd
+    import ray.data
+
+    from pdf2doi_ray.stages.joins import bucket_sync_diff, write_bucketed
+
+    n_buckets = 4
+    # mix64 buckets for small ids (computed with the same arithmetic)
+    mix = lambda k: int((np.uint64(k) * np.uint64(0x9E3779B97F4A7C15))
+                        >> np.uint64(1)) % n_buckets
+    ids = list(range(24))
+    a = pd.DataFrame({"doc_id": ids,
+                      "text": ["t%d" % i for i in ids]})
+    # b: same rows shuffled, except one id's text changed; plus drop
+    # every id in one particular bucket
+    victim = ids[3]
+    drop_bucket = mix(ids[5])
+    b = a.sample(frac=1.0, random_state=3).copy()
+    b.loc[b.doc_id == victim, "text"] = "CHANGED"
+    b = b[[mix(i) != drop_bucket or i == victim
+           for i in b.doc_id]]
+    if mix(victim) == drop_bucket:   # keep the victim's mismatch visible
+        pytest.skip("fixture degenerate for this n_buckets")
+
+    da, db = str(tmp_path / "a"), str(tmp_path / "b")
+    write_bucketed(ray.data.from_pandas(a), "doc_id", da,
+                   n_buckets=n_buckets)
+    write_bucketed(ray.data.from_pandas(b).repartition(3), "doc_id", db,
+                   n_buckets=n_buckets)
+    got = (bucket_sync_diff(da, db, "doc_id", n_buckets,
+                            cols=["doc_id", "text"])
+           .to_pandas().set_index("bucket").sort_index())
+    assert got.loc[mix(victim), "status"] == "mismatch"
+    assert got.loc[drop_bucket, "status"] == "only_a"
+    others = [bk for bk in range(n_buckets)
+              if bk not in (mix(victim), drop_bucket)]
+    assert all(got.loc[bk, "status"] == "match" for bk in others)
