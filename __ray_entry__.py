@@ -916,6 +916,19 @@ def _q_order_priority_semi(sf_dir: str):
         end_us=datetime.datetime(1996, 10, 1), num_partitions=4)
 
 
+def _q_exact_median_value(sf_dir: str):
+    """Exact lower-median of events.value via distributed radix-select:
+    4 streaming histogram rounds (65536-long partials), no sort, no
+    shuffle of values, unbounded float64 domain."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import exact_kth_value
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["value"])
+    n = ev.count()
+    return exact_kth_value(ev, "value", (n + 1) // 2)
+
+
 def _q_bucket_sync_diff(sf_dir: str):
     """Merkle-style layout anti-entropy: two bucketed layouts (current
     documents vs a deterministically perturbed replica — doc_id%97 rows
@@ -3307,6 +3320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fd_audit_source_lang": _q_fd_audit_source_lang,
         "dup_cluster_sizes": _q_dup_cluster_sizes,
         "bucket_sync_diff": _q_bucket_sync_diff,
+        "exact_median_value": _q_exact_median_value,
     }
 
 
@@ -6182,6 +6196,15 @@ SELECT event_type, CAST(w AS BIGINT) AS "window",
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(late) AS BIGINT) AS n_late
 FROM f GROUP BY 1, 2
+"""
+    # lower median = value at rank ceil(n/2) ascending — mirrors
+    # stages/aggs.exact_kth_value (radix-select)
+    sql["exact_median_value"] = """
+WITH r AS (SELECT value, row_number() OVER (ORDER BY value) AS rn,
+                  count(*) OVER () AS n
+           FROM events)
+SELECT CAST((n + 1) // 2 AS BIGINT) AS rank, value
+FROM r WHERE rn = (n + 1) // 2
 """
     # Fibonacci mix64 reproduced in HUGEINT (wrap mod 2^64), checksum =
     # wrap-sum of 64-bit md5 row hashes — mirrors

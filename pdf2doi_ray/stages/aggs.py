@@ -1795,3 +1795,84 @@ def fd_violation_audit(ds, det_col: str, dep_col: str):
             "is_violation": pa.array((nd > 1).astype(np.int64))})
 
     return per_det.map_batches(finalize, batch_format="pyarrow")
+
+
+def exact_kth_value(ds, value_col: str, k_rank: int):
+    """EXACT k-th smallest value (1-based) of an unbounded float64
+    column — distributed radix-select, the exact-selection twin of the
+    milli-grid quantiles (which need a bounded domain) and the KLL
+    sketch (which is approximate).
+
+    IEEE-754 doubles map order-preservingly to uint64 (sign-flip trick),
+    so selection runs as FOUR fixed rounds of 16-bit digit histograms:
+    each round, every batch bincounts the current digit of the rows
+    matching the prefix so far (a 65536-long int64 partial per batch —
+    alphabet-sized, never data-sized), the driver picks the digit where
+    the cumulative count reaches ``k`` and recurses into it.  No
+    shuffle, no sort, no value ever leaves its batch; 4 streaming passes
+    total regardless of row count.  NaNs/nulls are rejected loudly
+    (same contract as the milli kernels).
+
+    Returns one pandas row ``(rank, value)``.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    if k_rank < 1:
+        raise ValueError("exact_kth_value: rank is 1-based")
+
+    def keys_of(t: pa.Table) -> np.ndarray:
+        v = np.asarray(t[value_col].combine_chunks()
+                       if isinstance(t[value_col], pa.ChunkedArray)
+                       else t[value_col], dtype=np.float64)
+        if np.isnan(v).any():
+            raise ValueError("exact_kth_value: NaN/null values — filter "
+                             "or fill the column first")
+        bits = v.view(np.uint64)
+        neg = (bits >> np.uint64(63)).astype(bool)
+        keys = np.where(neg, ~bits,
+                        bits | np.uint64(0x8000000000000000))
+        return keys.astype(np.uint64)
+
+    prefix = np.uint64(0)
+    k = int(k_rank)
+    for round_no in range(4):
+        shift = np.uint64(48 - 16 * round_no)
+        pmask = (np.uint64(0xFFFFFFFFFFFFFFFF)
+                 << np.uint64(64 - 16 * round_no)) \
+            if round_no else np.uint64(0)
+
+        def hist_partial(t: pa.Table, _shift=shift, _pmask=pmask,
+                         _prefix=prefix) -> pa.Table:
+            keys = keys_of(t)
+            sel = keys[(keys & _pmask) == _prefix] if _pmask \
+                else keys
+            cnt = np.bincount((sel >> _shift).astype(np.int64)
+                              & np.int64(0xFFFF), minlength=65536)
+            nz = np.flatnonzero(cnt)
+            return pa.table({"d": pa.array(nz, type=pa.int64()),
+                             "n": pa.array(cnt[nz], type=pa.int64())})
+
+        hist = (ds.map_batches(hist_partial, batch_format="pyarrow")
+                .groupby("d").aggregate(Sum("n", alias_name="n"))
+                .to_pandas())
+        if hist.empty or "d" not in hist.columns:
+            raise ValueError("exact_kth_value: rank exceeds row count")
+        hist = hist.sort_values("d").reset_index(drop=True)
+        cum = hist["n"].cumsum()
+        pos = int(np.searchsorted(cum.to_numpy(), k))
+        if pos >= len(hist):
+            raise ValueError("exact_kth_value: rank exceeds row count")
+        digit = int(hist["d"][pos])
+        if pos:
+            k -= int(cum[pos - 1])
+        prefix = prefix | (np.uint64(digit) << shift)
+
+    # invert the order-preserving map: top bit set ⇒ original was
+    # non-negative (bits = key ^ sign), else negative (bits = ~key)
+    bits = prefix
+    neg = not bool(bits & np.uint64(0x8000000000000000))
+    raw = ~bits if neg else (bits ^ np.uint64(0x8000000000000000))
+    value = float(np.uint64(raw).view(np.float64))
+    return pd.DataFrame({"rank": [int(k_rank)], "value": [value]})

@@ -469,3 +469,28 @@ def test_bucket_sync_diff_statuses(tmp_path):
     others = [bk for bk in range(n_buckets)
               if bk not in (mix(victim), drop_bucket)]
     assert all(got.loc[bk, "status"] == "match" for bk in others)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_exact_kth_value_radix_select():
+    """Every rank of a small set with negatives, duplicates and
+    extremes matches a straight sort, at multiple block splits."""
+    import pandas as pd
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import exact_kth_value
+
+    vals = np.array([3.5, -2.25, 0.0, 1e300, -1e-308, 3.5, -2.25,
+                     7.125, -0.0, 42.0], dtype=np.float64)
+    want = np.sort(vals)
+    for blocks in (1, 4):
+        ds = ray.data.from_pandas(
+            pd.DataFrame({"value": vals})).repartition(blocks)
+        for r in (1, 2, 5, len(vals)):
+            got = exact_kth_value(ds, "value", r)
+            assert got["value"][0] == want[r - 1], (r, got["value"][0])
+    ds = ray.data.from_pandas(pd.DataFrame({"value": vals}))
+    with pytest.raises(ValueError):
+        exact_kth_value(ds, "value", 0)
+    with pytest.raises(ValueError):
+        exact_kth_value(ds, "value", len(vals) + 1)
