@@ -916,6 +916,22 @@ def _q_order_priority_semi(sf_dir: str):
         end_us=datetime.datetime(1996, 10, 1), num_partitions=4)
 
 
+def _q_bfs_host_distance(sf_dir: str):
+    """Single-source BFS over the host link graph from the hub host:
+    broadcast-frontier rounds, edges never shuffle."""
+    import pyarrow as pa
+
+    from pdf2doi_ray.stages.graph import bfs_depths
+
+    edges = _q_host_link_graph(sf_dir)
+
+    def rename(t):
+        return pa.table({"src": t["src_host"], "dst": t["dst_host"]})
+
+    return bfs_depths(edges.map_batches(rename, batch_format="pyarrow"),
+                      source="s0.example.org", max_depth=4)
+
+
 def _q_exact_median_value(sf_dir: str):
     """Exact lower-median of events.value via distributed radix-select:
     4 streaming histogram rounds (65536-long partials), no sort, no
@@ -3321,6 +3337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_cluster_sizes": _q_dup_cluster_sizes,
         "bucket_sync_diff": _q_bucket_sync_diff,
         "exact_median_value": _q_exact_median_value,
+        "bfs_host_distance": _q_bfs_host_distance,
     }
 
 
@@ -6196,6 +6213,37 @@ SELECT event_type, CAST(w AS BIGINT) AS "window",
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(late) AS BIGINT) AS n_late
 FROM f GROUP BY 1, 2
+"""
+    # recursive BFS over the same host link graph the HITS oracle builds;
+    # min depth per node within max_depth 4 — mirrors stages/graph.bfs_depths
+    sql["bfs_host_distance"] = """
+WITH RECURSIVE src AS (SELECT doc_id,
+       'https://s' || CAST(doc_id % 5 AS VARCHAR) || '.example.org/d/'
+                   || CAST(doc_id AS VARCHAR) AS url,
+       text || ' <a href="https://s' || CAST(doc_id % 3 AS VARCHAR)
+            || '.example.org/p/' || CAST(doc_id AS VARCHAR) || '">doc</a>'
+            || CASE WHEN doc_id % 4 = 0
+                    THEN ' <a href="https://hub.example.org/'
+                         || CAST(doc_id % 7 AS VARCHAR) || '">hub</a>'
+                    ELSE '' END AS text
+       FROM documents),
+l AS (SELECT url,
+             UNNEST(regexp_extract_all(text,
+                 '<a href="([^"]*)">([^<]*)', 1)) AS href
+      FROM src),
+e AS (SELECT DISTINCT
+             regexp_replace(regexp_replace(url,
+                 '^[a-z][a-z0-9+.-]*://', ''), '/.*$', '') AS src_host,
+             regexp_replace(regexp_replace(href,
+                 '^[a-z][a-z0-9+.-]*://', ''), '/.*$', '') AS dst_host
+      FROM l),
+bfs(node, depth) AS (
+  SELECT 's0.example.org', 0
+  UNION
+  SELECT e.dst_host, bfs.depth + 1
+  FROM e JOIN bfs ON bfs.node = e.src_host
+  WHERE bfs.depth < 4)
+SELECT node, CAST(min(depth) AS BIGINT) AS depth FROM bfs GROUP BY 1
 """
     # lower median = value at rank ceil(n/2) ascending — mirrors
     # stages/aggs.exact_kth_value (radix-select)

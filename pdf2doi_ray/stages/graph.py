@@ -756,3 +756,58 @@ def component_size_histogram(labels, comp_col: str = "component"):
     return (sizes.map_batches(size_partial, batch_format="pyarrow")
             .groupby("cluster_size")
             .aggregate(Sum("n", alias_name="n_clusters")))
+
+
+def bfs_depths(edges, source: str, max_depth: int = 8,
+               src_col: str = "src", dst_col: str = "dst"):
+    """Single-source BFS hop distances over an edge list — the crawl
+    frontier / link-distance primitive (how many clicks from the seed).
+    Returns every node reachable within ``max_depth`` hops as
+    ``(node, depth)`` with the MINIMUM hop count (source at depth 0).
+
+    Plan (broadcast-frontier mode, the :func:`pagerank_fixed`
+    ``mode="broadcast"`` contract): per round the current frontier set
+    (node-sized driver state, re-broadcast in the task closure) filters
+    the streaming edge blocks with one vectorized ``pc.is_in``; each
+    batch emits its DISTINCT matching destinations and the driver
+    subtracts the visited set — edges never shuffle, rounds = graph
+    depth.  Node sets past broadcast size swap the frontier filter for a
+    hash join exactly as pagerank's ``mode="shuffle"`` does.
+
+    Rounds run at most ``max_depth``; the loop exits early when a
+    frontier comes back empty.
+    """
+    import pandas as pd
+
+    edges = edges.materialize()
+    visited = {source}
+    frontier = [source]
+    out_nodes = [source]
+    out_depths = [0]
+
+    for depth in range(1, max_depth + 1):
+        fr = pa.array(sorted(frontier), type=pa.string())
+
+        def next_partial(t: pa.Table, _fr=fr) -> pa.Table:
+            hit = pc.is_in(t[src_col].combine_chunks()
+                           if isinstance(t[src_col], pa.ChunkedArray)
+                           else t[src_col], value_set=_fr)
+            d = t.filter(hit)[dst_col]
+            u = pc.unique(d.combine_chunks()
+                          if isinstance(d, pa.ChunkedArray) else d)
+            return pa.table({"node": u})
+
+        cand = edges.map_batches(next_partial,
+                                 batch_format="pyarrow").to_pandas()
+        if "node" not in cand.columns or cand.empty:
+            break
+        fresh = sorted(set(cand["node"]) - visited)
+        if not fresh:
+            break
+        visited.update(fresh)
+        out_nodes.extend(fresh)
+        out_depths.extend([depth] * len(fresh))
+        frontier = fresh
+
+    return pd.DataFrame({"node": out_nodes,
+                         "depth": np.array(out_depths, dtype=np.int64)})

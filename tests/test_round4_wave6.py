@@ -494,3 +494,26 @@ def test_exact_kth_value_radix_select():
         exact_kth_value(ds, "value", 0)
     with pytest.raises(ValueError):
         exact_kth_value(ds, "value", len(vals) + 1)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bfs_depths_handbuilt_chain():
+    """Min-hop semantics on a graph with a shortcut and a cycle; nodes
+    beyond max_depth excluded; early exit on an exhausted frontier."""
+    import pandas as pd
+    import ray.data
+
+    from pdf2doi_ray.stages.graph import bfs_depths
+
+    edges = pd.DataFrame({
+        "src": ["a", "b", "c", "a", "d", "e"],
+        "dst": ["b", "c", "a", "c", "e", "f"]})   # cycle a-b-c, chain d-e-f
+    for blocks in (1, 3):
+        got = (bfs_depths(ray.data.from_pandas(edges).repartition(blocks),
+                          source="a", max_depth=5)
+               .sort_values("node").reset_index(drop=True))
+        want = pd.DataFrame({"node": ["a", "b", "c"],
+                             "depth": np.array([0, 1, 1], dtype=np.int64)})
+        pd.testing.assert_frame_equal(got, want)
+    got = bfs_depths(ray.data.from_pandas(edges), source="d", max_depth=1)
+    assert set(zip(got["node"], got["depth"])) == {("d", 0), ("e", 1)}
