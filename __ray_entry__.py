@@ -916,6 +916,38 @@ def _q_order_priority_semi(sf_dir: str):
         end_us=datetime.datetime(1996, 10, 1), num_partitions=4)
 
 
+def _q_weighted_median_chars(sf_dir: str):
+    """Token-weighted median of document char counts: the value where
+    cumulative token weight crosses half the corpus — weighted
+    radix-select, 4 streaming histogram rounds."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import exact_weighted_kth
+    from ray.data.aggregate import Sum
+
+    def prep(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(
+            t["text"].combine_chunks()
+            if isinstance(t["text"], pa.ChunkedArray) else t["text"], " ")
+        n_tok = np.asarray(pc.list_value_length(toks).cast(pa.int64()))
+        n_chars = np.asarray(pc.utf8_length(
+            t["text"].combine_chunks()
+            if isinstance(t["text"], pa.ChunkedArray) else t["text"])
+            .cast(pa.int64()))
+        keep = n_tok > 0
+        return pa.table({
+            "value": pa.array(n_chars[keep].astype(np.float64)),
+            "weight": pa.array(n_tok[keep])})
+
+    ds = _docs(sf_dir, ("doc_id", "text")) \
+        .map_batches(prep, batch_format="pyarrow").materialize()
+    total = int(ds.aggregate(Sum("weight"))["sum(weight)"])
+    return exact_weighted_kth(ds, "value", "weight", (total + 1) // 2)
+
+
 def _q_bfs_host_distance(sf_dir: str):
     """Single-source BFS over the host link graph from the hub host:
     broadcast-frontier rounds, edges never shuffle."""
@@ -3338,6 +3370,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucket_sync_diff": _q_bucket_sync_diff,
         "exact_median_value": _q_exact_median_value,
         "bfs_host_distance": _q_bfs_host_distance,
+        "weighted_median_chars": _q_weighted_median_chars,
     }
 
 
@@ -6213,6 +6246,22 @@ SELECT event_type, CAST(w AS BIGINT) AS "window",
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(late) AS BIGINT) AS n_late
 FROM f GROUP BY 1, 2
+"""
+    # smallest n_chars whose cumulative token weight reaches
+    # ceil(total/2) — mirrors stages/aggs.exact_weighted_kth
+    sql["weighted_median_chars"] = """
+WITH d AS (SELECT CAST(length(text) AS DOUBLE) AS value,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+           FROM documents
+           WHERE len(string_split(text, ' ')) > 0),
+r AS (SELECT value,
+             sum(w) OVER (ORDER BY value
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cw,
+             (SELECT (sum(w) + 1) // 2 FROM d) AS k
+      FROM d)
+SELECT CAST(min(k) AS BIGINT) AS k_weight, min(value) AS value
+FROM r WHERE cw >= k
 """
     # recursive BFS over the same host link graph the HITS oracle builds;
     # min depth per node within max_depth 4 — mirrors stages/graph.bfs_depths

@@ -1876,3 +1876,89 @@ def exact_kth_value(ds, value_col: str, k_rank: int):
     raw = ~bits if neg else (bits ^ np.uint64(0x8000000000000000))
     value = float(np.uint64(raw).view(np.float64))
     return pd.DataFrame({"rank": [int(k_rank)], "value": [value]})
+
+
+def exact_weighted_kth(ds, value_col: str, weight_col: str,
+                       k_weight: int):
+    """EXACT weighted selection: the smallest value whose cumulative
+    integer weight (ascending value order) reaches ``k_weight`` — the
+    weighted-median primitive (robust center of token-weighted scores,
+    budget cut-lines, etc.).  Same distributed radix-select as
+    :func:`exact_kth_value` — four fixed 16-bit digit rounds, histogram
+    partials carry WEIGHT SUMS instead of counts, values never move.
+
+    Weights must be positive int64 (zero-weight rows can't influence a
+    cut-line; a zero would also make the "smallest value reaching k"
+    ill-defined at boundaries).  Returns one pandas row
+    ``(k_weight, value)``.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    if k_weight < 1:
+        raise ValueError("exact_weighted_kth: k_weight is 1-based")
+
+    def keys_weights(t: pa.Table):
+        v = np.asarray(t[value_col].combine_chunks()
+                       if isinstance(t[value_col], pa.ChunkedArray)
+                       else t[value_col], dtype=np.float64)
+        w = np.asarray(t[weight_col].combine_chunks()
+                       if isinstance(t[weight_col], pa.ChunkedArray)
+                       else t[weight_col], dtype=np.int64)
+        if np.isnan(v).any():
+            raise ValueError("exact_weighted_kth: NaN values")
+        if (w <= 0).any():
+            raise ValueError("exact_weighted_kth: weights must be "
+                             "positive integers")
+        bits = v.view(np.uint64)
+        neg = (bits >> np.uint64(63)).astype(bool)
+        keys = np.where(neg, ~bits,
+                        bits | np.uint64(0x8000000000000000))
+        return keys.astype(np.uint64), w
+
+    prefix = np.uint64(0)
+    k = int(k_weight)
+    for round_no in range(4):
+        shift = np.uint64(48 - 16 * round_no)
+        pmask = (np.uint64(0xFFFFFFFFFFFFFFFF)
+                 << np.uint64(64 - 16 * round_no)) \
+            if round_no else np.uint64(0)
+
+        def hist_partial(t: pa.Table, _shift=shift, _pmask=pmask,
+                         _prefix=prefix) -> pa.Table:
+            keys, w = keys_weights(t)
+            if _pmask:
+                sel = (keys & _pmask) == _prefix
+                keys, w = keys[sel], w[sel]
+            # np.bincount(weights=...) accumulates in float64 — exact
+            # int64 scatter-add instead, so weight sums never round
+            cnt = np.zeros(65536, dtype=np.int64)
+            np.add.at(cnt, (keys >> _shift).astype(np.int64)
+                      & np.int64(0xFFFF), w)
+            nz = np.flatnonzero(cnt)
+            return pa.table({"d": pa.array(nz, type=pa.int64()),
+                             "n": pa.array(cnt[nz], type=pa.int64())})
+
+        hist = (ds.map_batches(hist_partial, batch_format="pyarrow")
+                .groupby("d").aggregate(Sum("n", alias_name="n"))
+                .to_pandas())
+        if hist.empty or "d" not in hist.columns:
+            raise ValueError(
+                "exact_weighted_kth: k_weight exceeds total weight")
+        hist = hist.sort_values("d").reset_index(drop=True)
+        cum = hist["n"].cumsum()
+        pos = int(np.searchsorted(cum.to_numpy(), k))
+        if pos >= len(hist):
+            raise ValueError(
+                "exact_weighted_kth: k_weight exceeds total weight")
+        digit = int(hist["d"][pos])
+        if pos:
+            k -= int(cum[pos - 1])
+        prefix = prefix | (np.uint64(digit) << shift)
+
+    bits = prefix
+    neg = not bool(bits & np.uint64(0x8000000000000000))
+    raw = ~bits if neg else (bits ^ np.uint64(0x8000000000000000))
+    value = float(np.uint64(raw).view(np.float64))
+    return pd.DataFrame({"k_weight": [int(k_weight)], "value": [value]})

@@ -517,3 +517,28 @@ def test_bfs_depths_handbuilt_chain():
         pd.testing.assert_frame_equal(got, want)
     got = bfs_depths(ray.data.from_pandas(edges), source="d", max_depth=1)
     assert set(zip(got["node"], got["depth"])) == {("d", 0), ("e", 1)}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_exact_weighted_kth_handbuilt():
+    import pandas as pd
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import exact_weighted_kth
+
+    df = pd.DataFrame({"value": [10.0, -5.0, 30.0, 10.0],
+                       "weight": [3, 2, 4, 1]})
+    # ascending: -5(w2) 10(w3) 10(w1) 30(w4); cum: 2, 5, 6, 10
+    cases = {1: -5.0, 2: -5.0, 3: 10.0, 6: 10.0, 7: 30.0, 10: 30.0}
+    for blocks in (1, 2):
+        ds = ray.data.from_pandas(df).repartition(blocks)
+        for kw, want in cases.items():
+            got = exact_weighted_kth(ds, "value", "weight", kw)
+            assert got["value"][0] == want, (kw, got["value"][0])
+    ds = ray.data.from_pandas(df)
+    with pytest.raises(ValueError):
+        exact_weighted_kth(ds, "value", "weight", 11)
+    bad = ray.data.from_pandas(
+        pd.DataFrame({"value": [1.0], "weight": [0]}))
+    with pytest.raises(Exception):
+        exact_weighted_kth(bad, "value", "weight", 1)
