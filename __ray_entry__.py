@@ -916,6 +916,14 @@ def _q_order_priority_semi(sf_dir: str):
         end_us=datetime.datetime(1996, 10, 1), num_partitions=4)
 
 
+def _q_continuation_counts(sf_dir: str):
+    """Kneser-Ney continuation counts: top-20 tokens by number of
+    DISTINCT immediate predecessors — distinct-pair combiner, one
+    dedup groupby, one count groupby, bounded-partial top-k."""
+    from pdf2doi_ray.stages.corpus import continuation_counts
+    return continuation_counts(_docs(sf_dir, ("doc_id", "text")), k=20)
+
+
 def _q_weighted_median_chars(sf_dir: str):
     """Token-weighted median of document char counts: the value where
     cumulative token weight crosses half the corpus — weighted
@@ -3371,6 +3379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_median_value": _q_exact_median_value,
         "bfs_host_distance": _q_bfs_host_distance,
         "weighted_median_chars": _q_weighted_median_chars,
+        "continuation_counts": _q_continuation_counts,
     }
 
 
@@ -6246,6 +6255,24 @@ SELECT event_type, CAST(w AS BIGINT) AS "window",
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(late) AS BIGINT) AS n_late
 FROM f GROUP BY 1, 2
+"""
+    # distinct immediate predecessors per token, ties token ascending —
+    # mirrors stages/corpus.continuation_counts
+    sql["continuation_counts"] = """
+WITH l AS (SELECT list_filter(string_split(text, ' '),
+                              x -> x <> '') AS toks
+           FROM documents),
+bg AS (SELECT DISTINCT unnest(list_transform(range(1, len(toks)),
+                              i -> toks[i])) AS prev_t,
+              unnest(list_transform(range(1, len(toks)),
+                              i -> toks[i+1])) AS tok
+       FROM l WHERE len(toks) >= 2),
+c AS (SELECT tok AS token, CAST(count(*) AS BIGINT) AS n_contexts
+      FROM (SELECT DISTINCT prev_t, tok FROM bg) GROUP BY 1)
+SELECT CAST(row_number() OVER
+            (ORDER BY n_contexts DESC, token) AS BIGINT) AS rank,
+       token, n_contexts
+FROM c ORDER BY rank LIMIT 20
 """
     # smallest n_chars whose cumulative token weight reaches
     # ceil(total/2) — mirrors stages/aggs.exact_weighted_kth

@@ -3181,3 +3181,67 @@ def collocation_lift(docs, k: int = 20, min_count: int = 5,
         "n_ab": parts["n_ab"].to_numpy(),
         "lift_scaled": parts["lift_scaled"].to_numpy(),
     })
+
+
+def continuation_counts(docs, k: int = 20):
+    """Kneser-Ney continuation counts: for each token, the number of
+    DISTINCT tokens that immediately precede it anywhere in the corpus —
+    the quantity KN smoothing uses instead of raw frequency (how many
+    contexts a word completes, not how often).  Returns the top-``k``
+    tokens by continuation count (ties: token ascending) as pandas
+    ``(rank, token, n_contexts)``.
+
+    Plan: per batch, DISTINCT adjacent ``(prev, tok)`` pairs (one Arrow
+    group_by over the same zero-copy token stream the bigram ops use —
+    a stop-word costs its distinct predecessors per batch, never its
+    occurrences); ONE ``groupby(prev, tok)`` dedups across batches; per
+    batch of surviving pairs, ``(tok, 1)`` partials feed ONE
+    ``groupby(tok)`` Sum; bounded-partial top-k.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        flat, row_idx = _tokens_nonempty(t)
+        if len(flat) < 2:
+            return pa.table({"prev": pa.array([], type=pa.string()),
+                             "tok": pa.array([], type=pa.string())})
+        same_doc = row_idx[1:] == row_idx[:-1]
+        keep = pa.array(same_doc)
+        g = pa.table({"prev": flat.slice(0, len(flat) - 1).filter(keep),
+                      "tok": flat.slice(1).filter(keep)}) \
+            .group_by(["prev", "tok"]).aggregate([])
+        return g
+
+    from ray.data.aggregate import Count
+    pairs = (docs.map_batches(pair_partial, batch_format="pyarrow")
+             .groupby(["prev", "tok"]).aggregate(Count()))
+
+    def tok_partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"token": t["tok"]}).group_by("token") \
+            .aggregate([([], "count_all")])
+        return pa.table({"token": g["token"],
+                         "n_partial": g["count_all"].cast(pa.int64())})
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["n_contexts", "token"], ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = (pairs.map_batches(tok_partial, batch_format="pyarrow")
+             .groupby("token")
+             .aggregate(Sum("n_partial", alias_name="n_contexts"))
+             .map_batches(block_topk, batch_format="pyarrow",
+                          batch_size=None)
+             .to_pandas())
+    if "token" not in parts.columns:
+        parts = pd.DataFrame({"token": pd.Series(dtype=object),
+                              "n_contexts": pd.Series(dtype="int64")})
+    parts = parts.sort_values(["n_contexts", "token"],
+                              ascending=[False, True]).head(k)
+    return pd.DataFrame({
+        "rank": np.arange(1, len(parts) + 1, dtype=np.int64),
+        "token": parts["token"].to_numpy(),
+        "n_contexts": parts["n_contexts"].to_numpy(),
+    })

@@ -542,3 +542,24 @@ def test_exact_weighted_kth_handbuilt():
         pd.DataFrame({"value": [1.0], "weight": [0]}))
     with pytest.raises(Exception):
         exact_weighted_kth(bad, "value", "weight", 1)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_continuation_counts_distinct_semantics():
+    """A repeated (prev, tok) pair — within a doc or across docs/blocks —
+    counts ONE context; distinct predecessors accumulate."""
+    import pandas as pd
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import continuation_counts
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a b a b", "c b", "a b d b"]})
+    # predecessors of b: {a, c, d} -> 3; of a: {b} -> 1; of d: {b} -> 1
+    for blocks in (1, 3):
+        got = continuation_counts(
+            ray.data.from_pandas(docs).repartition(blocks), k=10)
+        m = dict(zip(got["token"], got["n_contexts"]))
+        assert m["b"] == 3 and m["a"] == 1 and m["d"] == 1
+        assert list(got["token"])[0] == "b"
