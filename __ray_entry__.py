@@ -916,6 +916,34 @@ def _q_order_priority_semi(sf_dir: str):
         end_us=datetime.datetime(1996, 10, 1), num_partitions=4)
 
 
+def _q_impact_index(sf_dir: str):
+    """Impact-ordered postings: top-3 documents per term by tf (ties:
+    doc_id ascending) — per-batch (term, doc, tf) combiner into the
+    bounded-partial grouped_top_k engine; the posting truncation a
+    WAND/impact-ordered retrieval index ships."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pdf2doi_ray.stages.corpus import _tokens_nonempty
+    from pdf2doi_ray.stages.windowfns import grouped_top_k
+
+    def term_counts(t: pa.Table) -> pa.Table:
+        flat, row_idx = _tokens_nonempty(t)
+        ids = np.asarray(t["doc_id"].combine_chunks()
+                         if isinstance(t["doc_id"], pa.ChunkedArray)
+                         else t["doc_id"])
+        g = pa.table({
+            "term": flat,
+            "doc_id": pa.array(ids[row_idx], type=pa.int64()),
+        }).group_by(["term", "doc_id"]).aggregate([([], "count_all")])
+        return pa.table({"term": g["term"], "doc_id": g["doc_id"],
+                         "tf": g["count_all"].cast(pa.int64())})
+
+    rows = _docs(sf_dir, ("doc_id", "text")) \
+        .map_batches(term_counts, batch_format="pyarrow")
+    return grouped_top_k(rows, "term", "tf", "doc_id", k=3)
+
+
 def _q_continuation_counts(sf_dir: str):
     """Kneser-Ney continuation counts: top-20 tokens by number of
     DISTINCT immediate predecessors — distinct-pair combiner, one
@@ -3380,6 +3408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_host_distance": _q_bfs_host_distance,
         "weighted_median_chars": _q_weighted_median_chars,
         "continuation_counts": _q_continuation_counts,
+        "impact_index": _q_impact_index,
     }
 
 
@@ -6255,6 +6284,22 @@ SELECT event_type, CAST(w AS BIGINT) AS "window",
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(late) AS BIGINT) AS n_late
 FROM f GROUP BY 1, 2
+"""
+    # top-3 docs per term by tf, ties doc ascending — mirrors
+    # grouped_top_k over the tfidf term-count combiner
+    sql["impact_index"] = """
+WITH l AS (SELECT doc_id, list_filter(string_split(text, ' '),
+                                      x -> x <> '') AS toks
+           FROM documents),
+tc AS (SELECT doc_id, unnest(toks) AS term FROM l),
+tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+       FROM tc GROUP BY 1, 2),
+r AS (SELECT term, doc_id, tf,
+             row_number() OVER (PARTITION BY term
+                 ORDER BY tf DESC, doc_id) AS rank
+      FROM tf)
+SELECT term, CAST(rank AS BIGINT) AS rank, tf, doc_id
+FROM r WHERE rank <= 3
 """
     # distinct immediate predecessors per token, ties token ascending —
     # mirrors stages/corpus.continuation_counts
