@@ -188,3 +188,54 @@ def test_crawl_budget_random_budgets():
         }).sort_values("host").reset_index(drop=True)
         pd.testing.assert_frame_equal(got, want)
         assert got["budget"].sum() == b
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_exact_kth_value_random_doubles():
+    """Radix-select vs np.sort over adversarial doubles: subnormals,
+    ±inf, huge magnitudes, negative zero, heavy duplicates."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import exact_kth_value
+
+    rng = np.random.RandomState(23)
+    pool = np.array([0.0, -0.0, np.inf, -np.inf, 1e308, -1e308,
+                     5e-324, -5e-324, 1.5, -1.5, 3.0, 3.0, 3.0],
+                    dtype=np.float64)
+    for trial in range(3):
+        vals = np.concatenate([
+            rng.choice(pool, 20),
+            rng.standard_normal(30) * 10 ** rng.randint(-8, 8)])
+        want = np.sort(vals)
+        ds = ray.data.from_pandas(
+            pd.DataFrame({"value": vals})).repartition(3)
+        for r in rng.choice(np.arange(1, len(vals) + 1), 4,
+                            replace=False):
+            got = float(exact_kth_value(ds, "value", int(r))["value"][0])
+            w = float(want[r - 1])
+            assert got == w or (np.isnan(got) and np.isnan(w)), \
+                (trial, r, got, w)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_exact_weighted_kth_random_vs_python():
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import exact_weighted_kth
+
+    rng = np.random.RandomState(29)
+    for _ in range(3):
+        n = int(rng.randint(5, 40))
+        vals = rng.standard_normal(n) * 100
+        w = rng.randint(1, 9, size=n).astype(np.int64)
+        order = np.argsort(vals, kind="stable")
+        sv, sw = vals[order], w[order]
+        cum = np.cumsum(sw)
+        ds = ray.data.from_pandas(
+            pd.DataFrame({"value": vals, "weight": w})).repartition(2)
+        for kw in rng.choice(np.arange(1, int(cum[-1]) + 1),
+                             size=3, replace=False):
+            want = float(sv[int(np.searchsorted(cum, kw))])
+            got = float(exact_weighted_kth(ds, "value", "weight",
+                                           int(kw))["value"][0])
+            assert got == want, (kw, got, want)
