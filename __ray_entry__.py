@@ -2450,14 +2450,13 @@ def _q_extract_links(sf_dir: str):
     return extract_links(docs)
 
 
-def _q_host_link_graph(sf_dir: str):
-    """Host-level link graph over the link-injected docs (src url also
-    synthesized from doc_id): combiner-first (src, dst) edge counts, one
-    groupby Sum."""
+def _linked_pages(sf_dir: str):
+    """Shared link-injected page corpus for the crawl-graph queries
+    (host_link_graph, hits_scores, bfs_host_distance, co_citation):
+    src url and grammar links synthesized deterministically from
+    doc_id — identical derivation in the SQL oracles."""
     import numpy as np
     import pyarrow as pa
-
-    from pdf2doi_ray.stages.corpus import host_link_graph
 
     def inject(t: pa.Table) -> pa.Table:
         ids = np.asarray(t["doc_id"].combine_chunks()
@@ -2484,9 +2483,24 @@ def _q_host_link_graph(sf_dir: str):
             "text": pa.array(txt.tolist(), type=pa.string()),
         })
 
-    pages = _docs(sf_dir, ("doc_id", "text")).map_batches(
+    return _docs(sf_dir, ("doc_id", "text")).map_batches(
         inject, batch_format="pyarrow")
-    return host_link_graph(pages)
+
+
+def _q_host_link_graph(sf_dir: str):
+    """Host-level link graph over the link-injected docs (src url also
+    synthesized from doc_id): combiner-first (src, dst) edge counts, one
+    groupby Sum."""
+    from pdf2doi_ray.stages.corpus import host_link_graph
+    return host_link_graph(_linked_pages(sf_dir))
+
+
+def _q_co_citation(sf_dir: str):
+    """Co-citation projection: top host pairs linked from the same page
+    — per-page distinct dst hosts, vectorized i<j pair fan-out, one
+    groupby(pair) Sum, bounded-partial top-k."""
+    from pdf2doi_ray.stages.corpus import co_citation_counts
+    return co_citation_counts(_linked_pages(sf_dir), k=20)
 
 
 def _q_curate_v2(sf_dir: str):
@@ -3409,6 +3423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_median_chars": _q_weighted_median_chars,
         "continuation_counts": _q_continuation_counts,
         "impact_index": _q_impact_index,
+        "co_citation": _q_co_citation,
     }
 
 
@@ -6284,6 +6299,37 @@ SELECT event_type, CAST(w AS BIGINT) AS "window",
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(late) AS BIGINT) AS n_late
 FROM f GROUP BY 1, 2
+"""
+    # pairs of dst hosts sharing a citing page (distinct per page),
+    # canonical order, count desc / hosts asc — mirrors
+    # stages/corpus.co_citation_counts over the linked-pages derivation
+    sql["co_citation"] = """
+WITH src AS (SELECT doc_id,
+       'https://s' || CAST(doc_id % 5 AS VARCHAR) || '.example.org/d/'
+                   || CAST(doc_id AS VARCHAR) AS url,
+       text || ' <a href="https://s' || CAST(doc_id % 3 AS VARCHAR)
+            || '.example.org/p/' || CAST(doc_id AS VARCHAR) || '">doc</a>'
+            || CASE WHEN doc_id % 4 = 0
+                    THEN ' <a href="https://hub.example.org/'
+                         || CAST(doc_id % 7 AS VARCHAR) || '">hub</a>'
+                    ELSE '' END AS text
+       FROM documents),
+l AS (SELECT url,
+             UNNEST(regexp_extract_all(text,
+                 '<a href="([^"]*)">([^<]*)', 1)) AS href
+      FROM src),
+h AS (SELECT DISTINCT url,
+             regexp_replace(regexp_replace(href,
+                 '^[a-z][a-z0-9+.-]*://', ''), '/.*$', '') AS host
+      FROM l),
+p AS (SELECT a.host AS host_a, b.host AS host_b
+      FROM h a JOIN h b ON a.url = b.url AND a.host < b.host),
+c AS (SELECT host_a, host_b, CAST(count(*) AS BIGINT) AS n_pages
+      FROM p GROUP BY 1, 2)
+SELECT CAST(row_number() OVER
+            (ORDER BY n_pages DESC, host_a, host_b) AS BIGINT) AS rank,
+       host_a, host_b, n_pages
+FROM c ORDER BY rank LIMIT 20
 """
     # top-3 docs per term by tf, ties doc ascending — mirrors
     # grouped_top_k over the tfidf term-count combiner

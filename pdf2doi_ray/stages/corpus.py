@@ -3245,3 +3245,98 @@ def continuation_counts(docs, k: int = 20):
         "token": parts["token"].to_numpy(),
         "n_contexts": parts["n_contexts"].to_numpy(),
     })
+
+
+def co_citation_counts(pages, url_col: str = "url",
+                       text_col: str = "text", k: int = 20):
+    """Co-citation projection of the crawl graph: top-``k`` host PAIRS
+    most often linked from the same page (the bipartite page→host graph
+    projected onto hosts — the classic "related domains" signal).
+    A pair counts once per citing page regardless of link multiplicity;
+    pair order is canonical (lexicographically smaller host first).
+
+    Per batch: the shared link explode + host kernels, then per-page
+    DISTINCT dst hosts via one lexsort, then all within-page pairs
+    emitted with vectorized repeat/arange segment arithmetic (fan-out
+    bounded by links-per-page², a per-PAGE property independent of
+    corpus size), combined with an Arrow group_by before the ONE
+    ``groupby(pair)`` Sum.  Bounded-partial top-k (count desc, hosts
+    asc).  Returns pandas ``(rank, host_a, host_b, n_pages)``.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from ..arrowutil import one_chunk
+    from .skew import _hosts_vec
+
+    empty = pa.table({"host_a": pa.array([], type=pa.string()),
+                      "host_b": pa.array([], type=pa.string()),
+                      "n": pa.array([], type=pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        rows, _, sub = _explode_links(one_chunk(t[text_col]), t.num_rows)
+        if not len(rows):
+            return empty
+        dst = _hosts_vec(pc.struct_field(sub, "href"))
+        d = np.asarray(dst.to_pandas(), dtype=object)
+        r = np.asarray(rows, dtype=np.int64)
+        # distinct (page, host): lexsort + boundary mask
+        order = np.lexsort((d.astype(str), r))
+        r, d = r[order], d[order]
+        keep = np.ones(len(r), dtype=bool)
+        keep[1:] = (r[1:] != r[:-1]) | (d[1:] != d[:-1])
+        r, d = r[keep], d[keep]
+        # within-page pair fan-out: for a page with m hosts emit
+        # m*(m-1)/2 (i<j) pairs via repeat/arange segment arithmetic
+        new_pg = np.ones(len(r), dtype=bool)
+        new_pg[1:] = r[1:] != r[:-1]
+        seg_start = np.flatnonzero(new_pg)
+        seg_len = np.diff(np.append(seg_start, len(r)))
+        m = seg_len
+        n_pairs = (m * (m - 1)) // 2
+        if n_pairs.sum() == 0:
+            return empty
+        # fully vectorized (i, j) i<j fan-out: each row pairs with every
+        # LATER row of its segment — repeat + grouped-arange cumsum trick
+        seg_end = np.repeat(seg_start + m, m)
+        row_idx = np.arange(len(r), dtype=np.int64)
+        cnt = seg_end - row_idx - 1
+        a_idx = np.repeat(row_idx, cnt)
+        grp_start = np.cumsum(cnt) - cnt
+        offs = np.arange(int(cnt.sum()), dtype=np.int64) \
+            - np.repeat(grp_start, cnt)
+        b_idx = a_idx + 1 + offs
+        ha, hb = d[a_idx], d[b_idx]
+        swap = ha > hb
+        ha2 = np.where(swap, hb, ha)
+        hb2 = np.where(swap, ha, hb)
+        g = pa.table({"host_a": pa.array(ha2.astype(str)),
+                      "host_b": pa.array(hb2.astype(str))}) \
+            .group_by(["host_a", "host_b"]).aggregate([([], "count_all")])
+        return pa.table({"host_a": g["host_a"], "host_b": g["host_b"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["n_pages", "host_a", "host_b"],
+            ascending=[False, True, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = (pages.map_batches(partial, batch_format="pyarrow")
+             .groupby(["host_a", "host_b"])
+             .aggregate(Sum("n", alias_name="n_pages"))
+             .map_batches(block_topk, batch_format="pyarrow",
+                          batch_size=None)
+             .to_pandas())
+    if "host_a" not in parts.columns:
+        parts = pd.DataFrame({"host_a": pd.Series(dtype=object),
+                              "host_b": pd.Series(dtype=object),
+                              "n_pages": pd.Series(dtype="int64")})
+    parts = parts.sort_values(["n_pages", "host_a", "host_b"],
+                              ascending=[False, True, True]).head(k)
+    return pd.DataFrame({
+        "rank": np.arange(1, len(parts) + 1, dtype=np.int64),
+        "host_a": parts["host_a"].to_numpy(),
+        "host_b": parts["host_b"].to_numpy(),
+        "n_pages": parts["n_pages"].to_numpy(),
+    })

@@ -563,3 +563,31 @@ def test_continuation_counts_distinct_semantics():
         m = dict(zip(got["token"], got["n_contexts"]))
         assert m["b"] == 3 and m["a"] == 1 and m["d"] == 1
         assert list(got["token"])[0] == "b"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_co_citation_distinct_per_page():
+    """Duplicate links to the same host from one page count the pair
+    once; pairs are canonical-ordered; pages with one host emit none."""
+    import pandas as pd
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import co_citation_counts
+
+    pages = pd.DataFrame({
+        "url": ["https://x.org/1", "https://x.org/2", "https://x.org/3"],
+        "text": [
+            '<a href="https://b.org/p">l</a> <a href="https://a.org/q">l'
+            '</a> <a href="https://b.org/r">dup</a>',
+            '<a href="https://a.org/z">only one host</a>',
+            '<a href="https://a.org/1">x</a> <a href="https://b.org/2">y'
+            '</a> <a href="https://c.org/3">z</a>',
+        ]})
+    for blocks in (1, 3):
+        got = co_citation_counts(
+            ray.data.from_pandas(pages).repartition(blocks), k=10)
+        want = {("a.org", "b.org"): 2, ("a.org", "c.org"): 1,
+                ("b.org", "c.org"): 1}
+        assert dict(zip(zip(got["host_a"], got["host_b"]),
+                        got["n_pages"])) == want
+        assert list(got["rank"]) == [1, 2, 3]
