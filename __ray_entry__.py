@@ -952,6 +952,33 @@ def _q_continuation_counts(sf_dir: str):
     return continuation_counts(_docs(sf_dir, ("doc_id", "text")), k=20)
 
 
+def _q_median_chars_by_lang(sf_dir: str):
+    """Per-language exact lower-median of doc char counts over the
+    unbounded float64 domain — grouped radix-select: one composite
+    group×digit scatter-add per batch per round, |groups|-sized driver
+    state."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pdf2doi_ray.stages.aggs import exact_kth_by_group
+    from ray.data.aggregate import Count
+
+    def prep(t: pa.Table) -> pa.Table:
+        n_chars = pc.utf8_length(
+            t["text"].combine_chunks()
+            if isinstance(t["text"], pa.ChunkedArray) else t["text"])
+        return pa.table({"lang": t["lang"],
+                         "value": pc.cast(n_chars, pa.float64())})
+
+    ds = _docs(sf_dir, ("text", "lang")) \
+        .map_batches(prep, batch_format="pyarrow").materialize()
+    counts = ds.groupby("lang").count().to_pandas()
+    ranks = {str(r["lang"]): (int(r["count()"]) + 1) // 2
+             for _, r in counts.iterrows()}
+    return exact_kth_by_group(ds, "lang", "value", ranks)
+
+
 def _q_weighted_median_chars(sf_dir: str):
     """Token-weighted median of document char counts: the value where
     cumulative token weight crosses half the corpus — weighted
@@ -3424,6 +3451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "continuation_counts": _q_continuation_counts,
         "impact_index": _q_impact_index,
         "co_citation": _q_co_citation,
+        "median_chars_by_lang": _q_median_chars_by_lang,
     }
 
 
@@ -6364,6 +6392,19 @@ SELECT CAST(row_number() OVER
             (ORDER BY n_contexts DESC, token) AS BIGINT) AS rank,
        token, n_contexts
 FROM c ORDER BY rank LIMIT 20
+"""
+    # per-lang lower median over doubles — mirrors
+    # stages/aggs.exact_kth_by_group
+    sql["median_chars_by_lang"] = """
+WITH d AS (SELECT lang, CAST(length(text) AS DOUBLE) AS v
+           FROM documents),
+r AS (SELECT lang, v,
+             row_number() OVER (PARTITION BY lang ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM d)
+SELECT lang AS "group", CAST((n + 1) // 2 AS BIGINT) AS rank,
+       v AS value
+FROM r WHERE rn = (n + 1) // 2
 """
     # smallest n_chars whose cumulative token weight reaches
     # ceil(total/2) — mirrors stages/aggs.exact_weighted_kth

@@ -1962,3 +1962,106 @@ def exact_weighted_kth(ds, value_col: str, weight_col: str,
     raw = ~bits if neg else (bits ^ np.uint64(0x8000000000000000))
     value = float(np.uint64(raw).view(np.float64))
     return pd.DataFrame({"k_weight": [int(k_weight)], "value": [value]})
+
+
+def exact_kth_by_group(ds, group_col: str, value_col: str, ranks: dict):
+    """Per-group EXACT k-th smallest float64 (``ranks`` maps group →
+    1-based rank, e.g. the group's lower-median rank) — the grouped
+    variant of :func:`exact_kth_value` for UNBOUNDED domains (the
+    milli-grid grouped quantiles need a bounded grid; KLL is
+    approximate).
+
+    Same four 16-bit radix rounds; the per-group selection states
+    (prefix, remaining rank) are a |groups|-sized driver dict rebroadcast
+    in the task closure each round (the pagerank-broadcast contract —
+    fine for languages/hosts/sources; for corpus-cardinality groups run
+    the milli-grid or KLL path instead).  Per batch, ONE composite
+    ``group_idx * 65536 + digit`` scatter-add produces every group's
+    digit histogram in a single pass; the exchange carries ≤
+    |groups|×65536 combiner rows per batch in the worst case, in
+    practice the nonzero digits only.
+
+    Returns pandas ``(group, rank, value)`` sorted by group.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    groups = sorted(ranks)
+    gidx = {g: i for i, g in enumerate(groups)}
+    state = {g: [np.uint64(0), int(ranks[g])] for g in groups}
+    if any(v[1] < 1 for v in state.values()):
+        raise ValueError("exact_kth_by_group: ranks are 1-based")
+
+    for round_no in range(4):
+        shift = np.uint64(48 - 16 * round_no)
+        pmask = (np.uint64(0xFFFFFFFFFFFFFFFF)
+                 << np.uint64(64 - 16 * round_no)) \
+            if round_no else np.uint64(0)
+        prefixes = np.array([state[g][0] for g in groups],
+                            dtype=np.uint64)
+
+        def hist_partial(t: pa.Table, _shift=shift, _pmask=pmask,
+                         _prefixes=prefixes) -> pa.Table:
+            import pandas as pd
+            g = (t[group_col].combine_chunks()
+                 if isinstance(t[group_col], pa.ChunkedArray)
+                 else t[group_col]).to_pandas()
+            gi = g.map(gidx)
+            known = gi.notna().to_numpy()
+            gi = gi.to_numpy()
+            v = np.asarray(t[value_col].combine_chunks()
+                           if isinstance(t[value_col], pa.ChunkedArray)
+                           else t[value_col], dtype=np.float64)
+            if np.isnan(v[known]).any():
+                raise ValueError("exact_kth_by_group: NaN values")
+            bits = v.view(np.uint64)
+            neg = (bits >> np.uint64(63)).astype(bool)
+            keys = np.where(neg, ~bits,
+                            bits | np.uint64(0x8000000000000000))
+            gi_i = np.where(known, gi, 0).astype(np.int64)
+            sel = known & ((keys & _pmask) == _prefixes[gi_i]
+                           if _pmask else True)
+            comp = gi_i[sel] * 65536 + ((keys[sel] >> _shift)
+                                        .astype(np.int64)
+                                        & np.int64(0xFFFF))
+            cnt = np.bincount(comp, minlength=len(groups) * 65536)
+            nz = np.flatnonzero(cnt)
+            return pa.table({"cd": pa.array(nz, type=pa.int64()),
+                             "n": pa.array(cnt[nz], type=pa.int64())})
+
+        hist = (ds.map_batches(hist_partial, batch_format="pyarrow")
+                .groupby("cd").aggregate(Sum("n", alias_name="n"))
+                .to_pandas())
+        if hist.empty or "cd" not in hist.columns:
+            raise ValueError("exact_kth_by_group: a rank exceeds its "
+                             "group's row count")
+        hist["gi"] = hist["cd"] // 65536
+        hist["d"] = hist["cd"] % 65536
+        for i, g in enumerate(groups):
+            sub = hist[hist["gi"] == i].sort_values("d") \
+                .reset_index(drop=True)
+            if sub.empty:
+                raise ValueError(
+                    f"exact_kth_by_group: rank exceeds rows for {g!r}")
+            cum = sub["n"].cumsum()
+            k = state[g][1]
+            pos = int(np.searchsorted(cum.to_numpy(), k))
+            if pos >= len(sub):
+                raise ValueError(
+                    f"exact_kth_by_group: rank exceeds rows for {g!r}")
+            digit = int(sub["d"][pos])
+            if pos:
+                k -= int(cum[pos - 1])
+            state[g] = [state[g][0] | (np.uint64(digit) << shift), k]
+
+    out_vals = []
+    for g in groups:
+        bits = state[g][0]
+        neg = not bool(bits & np.uint64(0x8000000000000000))
+        raw = ~bits if neg else (bits ^ np.uint64(0x8000000000000000))
+        out_vals.append(float(np.uint64(raw).view(np.float64)))
+    return pd.DataFrame({"group": groups,
+                         "rank": np.array([ranks[g] for g in groups],
+                                          dtype=np.int64),
+                         "value": out_vals})

@@ -591,3 +591,24 @@ def test_co_citation_distinct_per_page():
         assert dict(zip(zip(got["host_a"], got["host_b"]),
                         got["n_pages"])) == want
         assert list(got["rank"]) == [1, 2, 3]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_exact_kth_by_group_handbuilt():
+    import pandas as pd
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import exact_kth_by_group
+
+    df = pd.DataFrame({
+        "g": ["a"] * 5 + ["b"] * 3,
+        "value": [5.0, -1.0, 3.0, 3.0, 100.0, 0.5, -0.25, 2.0]})
+    # a sorted: -1, 3, 3, 5, 100 ; b sorted: -0.25, 0.5, 2.0
+    for blocks in (1, 3):
+        ds = ray.data.from_pandas(df).repartition(blocks)
+        got = exact_kth_by_group(ds, "g", "value", {"a": 3, "b": 2})
+        m = dict(zip(got["group"], got["value"]))
+        assert m == {"a": 3.0, "b": 0.5}
+    ds = ray.data.from_pandas(df)
+    with pytest.raises(ValueError):
+        exact_kth_by_group(ds, "g", "value", {"a": 6})
