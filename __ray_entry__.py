@@ -952,6 +952,58 @@ def _q_continuation_counts(sf_dir: str):
     return continuation_counts(_docs(sf_dir, ("doc_id", "text")), k=20)
 
 
+def _q_spellfix_vocab(sf_dir: str):
+    """Approximate-string-matching join: the corpus vocabulary is
+    corrupted deterministically (md5-parity picks substitute-last-char-
+    with-q vs append-x), then corrected back against the true vocabulary
+    with the SymSpell ED1 actor stage (deletion-neighborhood index built
+    once per actor).  Correction = lexicographically smallest ED1 dict
+    word; in-vocab tokens pass through."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from pdf2doi_ray.stages.corpus import _tokens_nonempty
+    from pdf2doi_ray.stages.textnorm import ed1_correct
+    from ray.data.aggregate import Sum
+
+    def vocab_partial(t: pa.Table) -> pa.Table:
+        flat, _ = _tokens_nonempty(t)
+        g = pa.table({"token": flat}).group_by("token") \
+            .aggregate([([], "count_all")])
+        return pa.table({"token": g["token"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    vocab = (_docs(sf_dir, ("doc_id", "text"))
+             .map_batches(vocab_partial, batch_format="pyarrow")
+             .groupby("token").aggregate(Sum("n", alias_name="n"))
+             .materialize())
+    # dictionary to the driver: vocab-bounded by contract (oov_rate /
+    # DSIR broadcast contract)
+    dict_words = [r["token"] for r in vocab.take_all()]
+
+    def corrupt(t: pa.Table) -> pa.Table:
+        toks = (t["token"].combine_chunks()
+                if isinstance(t["token"], pa.ChunkedArray)
+                else t["token"]).to_pylist()
+        out = []
+        for tok in toks:     # distinct-vocab loop (md5_u64 precedent)
+            if ord(hashlib.md5(tok.encode()).hexdigest()[0]) % 2 == 0:
+                out.append(tok[:-1] + "q")
+            else:
+                out.append(tok + "x")
+        g = pa.table({"token": pa.array(out, type=pa.string()),
+                      "n": t["n"]}).group_by("token") \
+            .aggregate([("n", "sum")])
+        return pa.table({"token": g["token"],
+                         "n": g["n_sum"].cast(pa.int64())})
+
+    corrupted = (vocab.map_batches(corrupt, batch_format="pyarrow")
+                 .groupby("token").aggregate(Sum("n", alias_name="n")))
+    return ed1_correct(corrupted, dict_words, concurrency=(1, 2))
+
+
 def _q_median_chars_by_lang(sf_dir: str):
     """Per-language exact lower-median of doc char counts over the
     unbounded float64 domain — grouped radix-select: one composite
@@ -3452,6 +3504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "impact_index": _q_impact_index,
         "co_citation": _q_co_citation,
         "median_chars_by_lang": _q_median_chars_by_lang,
+        "spellfix_vocab": _q_spellfix_vocab,
     }
 
 
@@ -6392,6 +6445,43 @@ SELECT CAST(row_number() OVER
             (ORDER BY n_contexts DESC, token) AS BIGINT) AS rank,
        token, n_contexts
 FROM c ORDER BY rank LIMIT 20
+"""
+    # ED1 candidates via deletion neighborhoods (deletion / insertion /
+    # position-matched substitution); correction = min candidate, exact
+    # tokens map to themselves — mirrors stages/textnorm.ed1_correct
+    sql["spellfix_vocab"] = """
+WITH toks AS (SELECT unnest(list_filter(string_split(text, ' '),
+                                        x -> x <> '')) AS tok
+              FROM documents),
+vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS n
+          FROM toks GROUP BY 1),
+dict AS (SELECT DISTINCT tok AS w FROM vocab),
+t AS (SELECT CASE WHEN ascii(substr(md5(tok), 1, 1)) % 2 = 0
+                  THEN substr(tok, 1, CAST(len(tok) - 1 AS INT)) || 'q'
+                  ELSE tok || 'x' END AS token,
+             sum(n) AS n
+      FROM vocab GROUP BY 1),
+tdel AS (SELECT token, CAST(u.i AS BIGINT) AS i,
+                substr(token, 1, CAST(u.i - 1 AS INT))
+                || substr(token, CAST(u.i + 1 AS INT)) AS d
+         FROM t, unnest(generate_series(1, len(token))) u(i)),
+wdel AS (SELECT w, CAST(u.i AS BIGINT) AS i,
+                substr(w, 1, CAST(u.i - 1 AS INT))
+                || substr(w, CAST(u.i + 1 AS INT)) AS d
+         FROM dict, unnest(generate_series(1, len(w))) u(i)),
+cand AS (
+  SELECT td.token, d.w FROM tdel td JOIN dict d ON d.w = td.d
+  UNION ALL
+  SELECT t.token, wd.w FROM t JOIN wdel wd ON wd.d = t.token
+  UNION ALL
+  SELECT td.token, wd.w FROM tdel td JOIN wdel wd
+         ON wd.d = td.d AND wd.i = td.i AND wd.w <> td.token),
+res AS (SELECT t.token, CAST(t.n AS BIGINT) AS n,
+               CASE WHEN t.token IN (SELECT w FROM dict) THEN t.token
+                    ELSE (SELECT min(w) FROM cand c
+                          WHERE c.token = t.token) END AS correction
+        FROM t)
+SELECT token, correction, n FROM res WHERE correction IS NOT NULL
 """
     # per-lang lower median over doubles — mirrors
     # stages/aggs.exact_kth_by_group

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import unicodedata
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -155,3 +156,101 @@ def canonicalize_urls(pages, keep=()):
         return pa.table(cols)
 
     return pages.map_batches(fn, batch_format="pyarrow")
+
+
+class ED1Corrector:
+    """Actor-pool stage: SymSpell-style edit-distance-1 spell correction
+    of a token table against a broadcast dictionary — the
+    approximate-string-matching join (OCR/typo normalization of a web
+    vocabulary before counting/deduping on it).
+
+    The dictionary's DELETION NEIGHBORHOOD index is built ONCE per actor
+    in ``__init__`` (the stateful-stage contract: setup per actor, work
+    per batch): for every dict word ``w`` and position ``i``, the pair
+    ``(w minus char i, i)`` plus the plain deleted string — so a token
+    ``t`` matches ``w`` at edit distance exactly 1 iff one of
+
+    * deletion:     ``t`` minus some char equals ``w``
+    * insertion:    ``t`` equals ``w`` minus some char
+    * substitution: ``t`` minus char ``i`` equals ``w`` minus char ``i``
+
+    The correction is the LEXICOGRAPHICALLY SMALLEST matching dict word
+    (deterministic; the SQL oracle mirrors the same min).  In-dictionary
+    tokens pass through unchanged with ``correction == token``.  Tokens
+    with no ED1 match emit no row.  Per-batch work loops over the
+    DISTINCT tokens of the block (the md5-u64 precedent: unique-value
+    loops are fine where values are vocabulary-bounded); everything
+    around it is a plain streaming map — no shuffle, dictionary
+    broadcast once via ``ray.put``.
+    """
+
+    def __init__(self, dict_ref) -> None:
+        import ray
+
+        words = ray.get(dict_ref) if not isinstance(dict_ref, list) \
+            else dict_ref
+        self.exact = set(words)
+        self.by_del = {}        # deleted-string -> sorted [words]
+        self.by_del_pos = {}    # (deleted, i)   -> sorted [words]
+        for w in sorted(self.exact):
+            for i in range(len(w)):
+                d = w[:i] + w[i + 1:]
+                self.by_del.setdefault(d, []).append(w)
+                self.by_del_pos.setdefault((d, i), []).append(w)
+
+    def _correct_one(self, t: str):
+        if t in self.exact:
+            return t
+        best = None
+        # insertion into t (t == w minus a char): w is t plus one char
+        for w in self.by_del.get(t, ()):
+            if best is None or w < best:
+                best = w
+        for i in range(len(t)):
+            d = t[:i] + t[i + 1:]
+            # deletion from t
+            if d in self.exact and (best is None or d < best):
+                best = d
+            # substitution at i
+            for w in self.by_del_pos.get((d, i), ()):
+                if w != t and (best is None or w < best):
+                    best = w
+        return best
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        toks = (t["token"].combine_chunks()
+                if isinstance(t["token"], pa.ChunkedArray)
+                else t["token"]).to_pylist()
+        n = np.asarray(t["n"].combine_chunks()
+                       if isinstance(t["n"], pa.ChunkedArray)
+                       else t["n"], dtype=np.int64)
+        uniq = {}
+        for tok in toks:
+            if tok not in uniq:
+                uniq[tok] = self._correct_one(tok)
+        keep, corr = [], []
+        for j, tok in enumerate(toks):
+            c = uniq[tok]
+            if c is not None:
+                keep.append(j)
+                corr.append(c)
+        keep = np.asarray(keep, dtype=np.int64)
+        return pa.table({
+            "token": pa.array([toks[j] for j in keep],
+                              type=pa.string()),
+            "correction": pa.array(corr, type=pa.string()),
+            "n": pa.array(n[keep]),
+        })
+
+
+def ed1_correct(tokens, dict_words, concurrency=(1, 4)):
+    """Run :class:`ED1Corrector` over a ``(token, n)`` Dataset with the
+    dictionary broadcast once.  Returns ``(token, correction, n)`` for
+    tokens within edit distance 1 of the dictionary (in-vocab tokens map
+    to themselves); unmatched tokens drop."""
+    import ray
+
+    dict_ref = ray.put(sorted(set(dict_words)))
+    return tokens.map_batches(
+        ED1Corrector, fn_constructor_args=(dict_ref,),
+        batch_format="pyarrow", concurrency=concurrency)

@@ -612,3 +612,32 @@ def test_exact_kth_by_group_handbuilt():
     ds = ray.data.from_pandas(df)
     with pytest.raises(ValueError):
         exact_kth_by_group(ds, "g", "value", {"a": 6})
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ed1_correct_all_edit_types():
+    """Deletion, insertion, substitution matches; smallest-word
+    tie-break; in-vocab passthrough; no-match rows drop."""
+    import pandas as pd
+    import ray.data
+
+    from pdf2doi_ray.stages.textnorm import ed1_correct
+
+    dictionary = ["cat", "cart", "car", "dog", "bat"]
+    toks = pd.DataFrame({
+        "token": ["catx",   # deletion  -> cat
+                  "ca",     # insertion -> car or cat -> min = car
+                  "cak",    # substitution -> car/cat -> min = car
+                  "dog",    # in vocab -> dog
+                  "zzz",    # no match -> dropped
+                  "bat"],   # in vocab
+        "n": [5, 4, 3, 2, 1, 9]})
+    for blocks in (1, 3):
+        got = (ed1_correct(ray.data.from_pandas(toks).repartition(blocks),
+                           dictionary)
+               .to_pandas().sort_values("token").reset_index(drop=True))
+        want = pd.DataFrame({
+            "token": ["bat", "ca", "cak", "catx", "dog"],
+            "correction": ["bat", "car", "car", "cat", "dog"],
+            "n": np.array([9, 4, 3, 5, 2], dtype=np.int64)})
+        pd.testing.assert_frame_equal(got, want)
