@@ -952,6 +952,14 @@ def _q_continuation_counts(sf_dir: str):
     return continuation_counts(_docs(sf_dir, ("doc_id", "text")), k=20)
 
 
+def _q_host_url_lcp(sf_dir: str):
+    """Per-host longest common url prefix via the lexicographic-extremes
+    identity: one groupby(host) Min/Max over combiner rows, then a
+    vectorized position sweep over host-count rows."""
+    from pdf2doi_ray.stages.skew import host_url_lcp
+    return host_url_lcp(_linked_pages(sf_dir))
+
+
 def _q_spellfix_vocab(sf_dir: str):
     """Approximate-string-matching join: the corpus vocabulary is
     corrupted deterministically (md5-parity picks substitute-last-char-
@@ -3505,6 +3513,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "co_citation": _q_co_citation,
         "median_chars_by_lang": _q_median_chars_by_lang,
         "spellfix_vocab": _q_spellfix_vocab,
+        "host_url_lcp": _q_host_url_lcp,
     }
 
 
@@ -6445,6 +6454,28 @@ SELECT CAST(row_number() OVER
             (ORDER BY n_contexts DESC, token) AS BIGINT) AS rank,
        token, n_contexts
 FROM c ORDER BY rank LIMIT 20
+"""
+    # LCP(set) = LCP(lexmin, lexmax); prefix equality is monotone so the
+    # max equal-prefix length IS the LCP — mirrors stages/skew.host_url_lcp
+    sql["host_url_lcp"] = """
+WITH u AS (SELECT 'https://s' || CAST(doc_id % 5 AS VARCHAR)
+                  || '.example.org/d/' || CAST(doc_id AS VARCHAR) AS url
+           FROM documents),
+h AS (SELECT regexp_replace(regexp_replace(url,
+             '^[a-z][a-z0-9+.-]*://', ''), '/.*$', '') AS host,
+             min(url) AS lo, max(url) AS hi
+      FROM u GROUP BY 1),
+l AS (SELECT host, lo,
+             COALESCE((SELECT max(CAST(x.i AS BIGINT))
+                       FROM unnest(generate_series(1,
+                            least(len(lo), len(hi)))) x(i)
+                       WHERE substr(lo, 1, CAST(x.i AS INT))
+                           = substr(hi, 1, CAST(x.i AS INT))),
+                      0) AS lcp_len
+      FROM h)
+SELECT host, CAST(lcp_len AS BIGINT) AS lcp_len,
+       substr(lo, 1, CAST(lcp_len AS INT)) AS lcp
+FROM l
 """
     # ED1 candidates via deletion neighborhoods (deletion / insertion /
     # position-matched substitution); correction = min candidate, exact

@@ -448,3 +448,73 @@ def host_crawl_overlap(cur, prev, url_col: str = "url"):
                          "jaccard_permille": pa.array(nb * 1000 // nu)})
 
     return counts.map_batches(finalize, batch_format="pyarrow")
+
+
+def host_url_lcp(pages, url_col: str = "url"):
+    """Per-host longest common url prefix — the site-structure probe
+    (how deep a shared path root each host's crawled urls have; feeds
+    seed selection and path-based sharding).
+
+    Uses the lexicographic-extremes identity: the common prefix of a SET
+    of strings equals the common prefix of its lexicographic MIN and MAX
+    alone — so the whole reduction is one ``groupby(host)`` with two
+    built-in ``Min``/``Max`` string aggregates over per-batch combiner
+    rows (LCP itself is associative; the extremes make it a two-value
+    problem).  The final LCP of the two survivors is one vectorized
+    byte-position sweep (O(max url length) numpy passes over host-count
+    rows, never page-count).
+
+    Returns a Dataset of ``(host, lcp_len, lcp)``.
+    """
+    from ray.data.aggregate import Max, Min
+
+    def partial(t: pa.Table) -> pa.Table:
+        urls = t[url_col].combine_chunks() \
+            if isinstance(t[url_col], pa.ChunkedArray) else t[url_col]
+        g = pa.table({"host": _hosts_vec(urls), "u": urls}) \
+            .group_by("host").aggregate([("u", "min"), ("u", "max")])
+        return g.rename_columns(["host", "lo", "hi"])
+
+    def stack(t: pa.Table) -> pa.Table:
+        # combiner rows -> (host, u) pairs so ONE groupby handles both
+        # extremes with the built-in aggregates
+        return pa.table({
+            "host": pa.chunked_array([t["host"],
+                                      t["host"]]).combine_chunks(),
+            "u": pa.chunked_array([t["lo"], t["hi"]]).combine_chunks()})
+
+    ext = (pages.map_batches(partial, batch_format="pyarrow")
+           .map_batches(stack, batch_format="pyarrow")
+           .groupby("host").aggregate(Min("u", alias_name="lo"),
+                                      Max("u", alias_name="hi")))
+
+    def lcp(t: pa.Table) -> pa.Table:
+        lo = pc.cast(t["lo"].combine_chunks()
+                     if isinstance(t["lo"], pa.ChunkedArray) else t["lo"],
+                     pa.large_utf8())
+        hi = pc.cast(t["hi"].combine_chunks()
+                     if isinstance(t["hi"], pa.ChunkedArray) else t["hi"],
+                     pa.large_utf8())
+        n = len(lo)
+        lens = np.minimum(np.asarray(pc.binary_length(lo)),
+                          np.asarray(pc.binary_length(hi))).astype(np.int64)
+        out = np.zeros(n, dtype=np.int64)
+        active = lens > 0
+        pos = 0
+        while active.any() and pos < int(lens.max()):
+            a = pc.utf8_slice_codeunits(lo, pos, pos + 1)
+            b = pc.utf8_slice_codeunits(hi, pos, pos + 1)
+            eq = np.asarray(pc.equal(a, b)) & active & (pos < lens)
+            out = np.where(eq, pos + 1, out)
+            active = eq
+            pos += 1
+        # rows here are HOSTS, not pages — a plain comprehension over the
+        # aggregated extremes is in-contract (like the bounded top-k
+        # finalizers)
+        lo_py = lo.to_pylist()
+        res = [s[:int(L)] for s, L in zip(lo_py, out)]
+        return pa.table({"host": t["host"],
+                         "lcp_len": pa.array(out),
+                         "lcp": pa.array(res, type=pa.string())})
+
+    return ext.map_batches(lcp, batch_format="pyarrow")

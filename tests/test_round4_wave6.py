@@ -641,3 +641,31 @@ def test_ed1_correct_all_edit_types():
             "correction": ["bat", "car", "car", "cat", "dog"],
             "n": np.array([9, 4, 3, 5, 2], dtype=np.int64)})
         pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_host_url_lcp_extremes_identity():
+    """LCP computed from lex extremes only must equal the true set LCP,
+    including a host whose extremes diverge at position 0 and a
+    single-url host (LCP = whole url)."""
+    import pandas as pd
+    import ray.data
+
+    from pdf2doi_ray.stages.skew import host_url_lcp
+
+    pages = pd.DataFrame({"url": [
+        "https://a.org/docs/x1", "https://a.org/docs/x2",
+        "https://a.org/docs/y",                         # lcp /docs/
+        "https://b.org/zzz",                            # single url
+        "https://c.org/1", "https://c.org/2",
+    ]})
+    for blocks in (1, 3):
+        got = (host_url_lcp(ray.data.from_pandas(pages)
+                            .repartition(blocks))
+               .to_pandas().sort_values("host").reset_index(drop=True))
+        want = pd.DataFrame({
+            "host": ["a.org", "b.org", "c.org"],
+            "lcp_len": np.array([19, 17, 14], dtype=np.int64),
+            "lcp": ["https://a.org/docs/", "https://b.org/zzz",
+                    "https://c.org/"]})
+        pd.testing.assert_frame_equal(got, want)
