@@ -952,6 +952,14 @@ def _q_continuation_counts(sf_dir: str):
     return continuation_counts(_docs(sf_dir, ("doc_id", "text")), k=20)
 
 
+def _q_lang_vocab_overlap(sf_dir: str):
+    """Cross-lingual vocabulary overlap: exact Jaccard permille between
+    every language pair via the bitmask-histogram trick (no token-level
+    self-join; pair arithmetic over <=2^|langs| scalar rows)."""
+    from pdf2doi_ray.stages.corpus import lang_vocab_overlap
+    return lang_vocab_overlap(_docs(sf_dir, ("text", "lang")))
+
+
 def _q_host_url_lcp(sf_dir: str):
     """Per-host longest common url prefix via the lexicographic-extremes
     identity: one groupby(host) Min/Max over combiner rows, then a
@@ -3514,6 +3522,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_chars_by_lang": _q_median_chars_by_lang,
         "spellfix_vocab": _q_spellfix_vocab,
         "host_url_lcp": _q_host_url_lcp,
+        "lang_vocab_overlap": _q_lang_vocab_overlap,
     }
 
 
@@ -6454,6 +6463,27 @@ SELECT CAST(row_number() OVER
             (ORDER BY n_contexts DESC, token) AS BIGINT) AS rank,
        token, n_contexts
 FROM c ORDER BY rank LIMIT 20
+"""
+    # distinct-(lang, token) self-join per pair — mirrors
+    # stages/corpus.lang_vocab_overlap's bitmask histogram
+    sql["lang_vocab_overlap"] = """
+WITH v AS (SELECT DISTINCT lang,
+                  unnest(list_filter(string_split(text, ' '),
+                                     x -> x <> '')) AS tok
+           FROM documents),
+sz AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
+p AS (SELECT a.lang AS la, b.lang AS lb,
+             CAST(count(*) AS BIGINT) AS shared
+      FROM v a JOIN v b ON a.tok = b.tok AND a.lang < b.lang
+      GROUP BY 1, 2)
+SELECT sa.lang AS lang_a, sb.lang AS lang_b,
+       COALESCE(p.shared, 0) AS n_shared,
+       sa.n + sb.n - COALESCE(p.shared, 0) AS n_union,
+       CAST(COALESCE(p.shared, 0) * 1000
+            // (sa.n + sb.n - COALESCE(p.shared, 0)) AS BIGINT)
+           AS jaccard_permille
+FROM sz sa JOIN sz sb ON sa.lang < sb.lang
+LEFT JOIN p ON p.la = sa.lang AND p.lb = sb.lang
 """
     # LCP(set) = LCP(lexmin, lexmax); prefix equality is monotone so the
     # max equal-prefix length IS the LCP — mirrors stages/skew.host_url_lcp

@@ -3340,3 +3340,91 @@ def co_citation_counts(pages, url_col: str = "url",
         "host_b": parts["host_b"].to_numpy(),
         "n_pages": parts["n_pages"].to_numpy(),
     })
+
+
+def lang_vocab_overlap(docs, lang_col: str = "lang"):
+    """Vocabulary-overlap matrix between language slices: for every
+    language pair, the number of SHARED distinct tokens, the union size,
+    and the exact Jaccard permille — the cross-lingual contamination /
+    script-mix audit (a "French" slice sharing most of its vocabulary
+    with the English slice is mislabeled).
+
+    Plan — the bitmask-histogram trick, so pair counts never require a
+    token-level self-join: (1) per-batch DISTINCT ``(token, lang)``
+    pairs; (2) ONE ``groupby(token, lang)`` dedup — after it every pair
+    exists exactly once, so (3) per-batch ``(token, 2^lang_idx)``
+    partials into ONE ``groupby(token)`` Sum compute each token's exact
+    language BITMASK (sum of distinct powers == bitwise OR); (4) a
+    ≤2^|langs| mask histogram reduces per batch, and every pairwise
+    intersection/union is driver arithmetic over ≤2^|langs| scalar rows.
+    |langs| is schema-small by contract (≤20 for the mask to stay cheap;
+    the histogram is exact at any corpus size).
+
+    Returns pandas ``(lang_a, lang_b, n_shared, n_union,
+    jaccard_permille)`` over all pairs lang_a < lang_b.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Count, Sum
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        flat, row_idx = _tokens_nonempty(t)
+        langs = (t[lang_col].combine_chunks()
+                 if isinstance(t[lang_col], pa.ChunkedArray)
+                 else t[lang_col])
+        lv = np.asarray(langs.to_pandas(), dtype=object)
+        g = pa.table({"token": flat,
+                      "lang": pa.array(lv[row_idx].astype(str))}) \
+            .group_by(["token", "lang"]).aggregate([])
+        return g
+
+    pairs = (docs.map_batches(pair_partial, batch_format="pyarrow")
+             .groupby(["token", "lang"]).aggregate(Count())
+             .materialize())
+    langs = sorted(set(
+        pairs.groupby("lang").count().to_pandas()["lang"]))
+    if len(langs) > 20:
+        raise ValueError("lang_vocab_overlap: too many language slices "
+                         "for the bitmask histogram (max 20)")
+    lidx = {g: i for i, g in enumerate(langs)}
+
+    def bit_partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        lv = (t["lang"].combine_chunks()
+              if isinstance(t["lang"], pa.ChunkedArray)
+              else t["lang"]).to_pandas()
+        bits = lv.map(lidx).to_numpy(dtype=np.int64)
+        return pa.table({"token": t["token"],
+                         "b": pa.array(np.int64(1) << bits)})
+
+    masks = (pairs.map_batches(bit_partial, batch_format="pyarrow")
+             .groupby("token").aggregate(Sum("b", alias_name="mask")))
+
+    def mask_hist(t: pa.Table) -> pa.Table:
+        m = np.asarray(t["mask"].combine_chunks()
+                       if isinstance(t["mask"], pa.ChunkedArray)
+                       else t["mask"], dtype=np.int64)
+        cnt = np.bincount(m, minlength=1 << len(langs))
+        nz = np.flatnonzero(cnt)
+        return pa.table({"mask": pa.array(nz.astype(np.int64)),
+                         "n": pa.array(cnt[nz].astype(np.int64))})
+
+    hist = (masks.map_batches(mask_hist, batch_format="pyarrow")
+            .groupby("mask").aggregate(Sum("n", alias_name="n"))
+            .to_pandas())
+    hm = dict(zip(hist["mask"].astype(int), hist["n"].astype(int))) \
+        if "mask" in hist.columns else {}
+
+    rows = []
+    for i, a in enumerate(langs):
+        for j in range(i + 1, len(langs)):
+            b = langs[j]
+            shared = sum(n for m, n in hm.items()
+                         if (m >> i) & 1 and (m >> j) & 1)
+            union = sum(n for m, n in hm.items()
+                        if (m >> i) & 1 or (m >> j) & 1)
+            rows.append((a, b, shared, union,
+                         shared * 1000 // union if union else 0))
+    return pd.DataFrame(rows, columns=["lang_a", "lang_b", "n_shared",
+                                       "n_union", "jaccard_permille"]) \
+        .astype({"n_shared": "int64", "n_union": "int64",
+                 "jaccard_permille": "int64"})

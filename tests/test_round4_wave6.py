@@ -669,3 +669,29 @@ def test_host_url_lcp_extremes_identity():
             "lcp": ["https://a.org/docs/", "https://b.org/zzz",
                     "https://c.org/"]})
         pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lang_vocab_overlap_handbuilt():
+    """Bitmask histogram vs hand arithmetic on genuinely distinct
+    vocabularies, including an all-pairs-empty language."""
+    import pandas as pd
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import lang_vocab_overlap
+
+    docs = pd.DataFrame({
+        "lang": ["en", "en", "de", "fr"],
+        "text": ["the cat sat", "the dog", "the hund", "chat unique"]})
+    # vocab: en={the,cat,sat,dog} de={the,hund} fr={chat,unique}
+    for blocks in (1, 2):
+        got = (lang_vocab_overlap(
+            ray.data.from_pandas(docs).repartition(blocks))
+            .sort_values(["lang_a", "lang_b"]).reset_index(drop=True))
+        want = pd.DataFrame({
+            "lang_a": ["de", "de", "en"],
+            "lang_b": ["en", "fr", "fr"],
+            "n_shared": np.array([1, 0, 0], dtype=np.int64),
+            "n_union": np.array([5, 4, 6], dtype=np.int64),
+            "jaccard_permille": np.array([200, 0, 0], dtype=np.int64)})
+        pd.testing.assert_frame_equal(got, want)
