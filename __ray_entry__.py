@@ -952,6 +952,15 @@ def _q_continuation_counts(sf_dir: str):
     return continuation_counts(_docs(sf_dir, ("doc_id", "text")), k=20)
 
 
+def _q_image_dedup(sf_dir: str):
+    """Cross-image exact dedup by 4x4-thumbnail signature (decode+resize
+    +hash actor pool, combiner-first groupby(sig)); the synthetic
+    uniform-fill payloads make the signature a pure function of
+    doc_id % 251, which the SQL oracle mirrors."""
+    from pdf2doi_ray.stages.multimodal import image_signature_dedup
+    return image_signature_dedup(sf_dir)
+
+
 def _q_lang_vocab_overlap(sf_dir: str):
     """Cross-lingual vocabulary overlap: exact Jaccard permille between
     every language pair via the bitmask-histogram trick (no token-level
@@ -3523,6 +3532,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spellfix_vocab": _q_spellfix_vocab,
         "host_url_lcp": _q_host_url_lcp,
         "lang_vocab_overlap": _q_lang_vocab_overlap,
+        "image_dedup": _q_image_dedup,
     }
 
 
@@ -6463,6 +6473,13 @@ SELECT CAST(row_number() OVER
             (ORDER BY n_contexts DESC, token) AS BIGINT) AS rank,
        token, n_contexts
 FROM c ORDER BY rank LIMIT 20
+"""
+    # uniform-fill fixture: 4x4 thumbnail bytes == 16 x fill, fill =
+    # doc_id % 251 — mirrors stages/multimodal.image_signature_dedup
+    sql["image_dedup"] = """
+SELECT CAST(min(doc_id) AS BIGINT) AS rep_doc_id,
+       CAST(count(*) AS BIGINT) AS n_images
+FROM documents GROUP BY doc_id % 251
 """
     # distinct-(lang, token) self-join per pair — mirrors
     # stages/corpus.lang_vocab_overlap's bitmask histogram

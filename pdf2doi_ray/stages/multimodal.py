@@ -262,3 +262,71 @@ def frame_sample(sf_dir: str, every: int = 4):
                          "frame_idx": pa.array(frames, type=pa.int64())})
 
     return imgs.map_batches(sample, batch_format="pyarrow")
+
+
+class ImageSignature:
+    """Actor-pool stage: binary image → 64-bit content signature of its
+    4×4 nearest-neighbor thumbnail — the cross-image exact-dup key (the
+    pHash-family slot; with real codecs the decode call changes, the
+    signature plumbing does not)."""
+
+    def __init__(self, side: int = 4) -> None:
+        self._side = side
+        decode_image(synth_image(0))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+        ids, sigs = [], []
+        for doc_id, payload in zip(batch["doc_id"].to_pylist(),
+                                   batch["image"].to_pylist()):
+            try:
+                _, _, pix = decode_image(payload)
+                small = resize_nearest(pix, self._side, self._side)
+                h = hashlib.md5(small.astype(np.uint8).tobytes()).digest()
+                sigs.append(int.from_bytes(h[:8], "big") >> 1)
+                ids.append(doc_id)
+            except Exception:
+                continue        # undecodable rows drop from dedup
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "sig": pa.array(sigs, type=pa.int64())})
+
+
+def image_signature_dedup(sf_dir: str, batch_size: int = 256):
+    """Cross-image exact dedup by thumbnail signature: decode+resize+hash
+    in an actor pool (small batches — payload rows are wide), then the
+    standard combiner-first dedup: per-batch ``(sig, min doc_id, n)``
+    partials into ONE ``groupby(sig)`` — images never cross the
+    exchange, only 16 B/duplicate-group combiner rows do.
+
+    Returns a Dataset of ``(rep_doc_id, n_images)`` — the canonical
+    (min-id) survivor of every signature group and its group size.
+    """
+    from ray.data.aggregate import Min, Sum
+
+    sigs = images_dataset(sf_dir).map_batches(
+        ImageSignature, batch_format="pyarrow",
+        batch_size=batch_size, concurrency=(1, 4), num_cpus=1)
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = np.asarray(t["sig"].combine_chunks()
+                       if isinstance(t["sig"], pa.ChunkedArray)
+                       else t["sig"], dtype=np.int64)
+        d = np.asarray(t["doc_id"].combine_chunks()
+                       if isinstance(t["doc_id"], pa.ChunkedArray)
+                       else t["doc_id"], dtype=np.int64)
+        order = np.lexsort((d, s))
+        s, d = s[order], d[order]
+        new = np.ones(len(s), dtype=bool)
+        new[1:] = s[1:] != s[:-1]
+        starts = np.flatnonzero(new)
+        n = np.diff(np.append(starts, len(s)))
+        return pa.table({"sig": pa.array(s[starts]),
+                         "rep": pa.array(d[starts]),
+                         "n": pa.array(n.astype(np.int64))})
+
+    agg = (sigs.map_batches(partial, batch_format="pyarrow")
+           .groupby("sig").aggregate(Min("rep", alias_name="rep_doc_id"),
+                                     Sum("n", alias_name="n_images")))
+    return agg.map_batches(
+        lambda t: t.select(["rep_doc_id", "n_images"]),
+        batch_format="pyarrow")

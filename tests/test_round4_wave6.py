@@ -695,3 +695,20 @@ def test_lang_vocab_overlap_handbuilt():
             "n_union": np.array([5, 4, 6], dtype=np.int64),
             "jaccard_permille": np.array([200, 0, 0], dtype=np.int64)})
         pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_image_signature_dedup_groups_by_fill():
+    """Images with the same fill byte (after 4x4 downsample) group; the
+    min doc_id wins as representative; group sizes exact."""
+    from pdf2doi_ray.stages.multimodal import image_signature_dedup
+
+    got = (image_signature_dedup("/root/testdata/sf0.001")
+           .to_pandas().sort_values("rep_doc_id").reset_index(drop=True))
+    # 500 docs over fill = doc_id % 251: ids 0..499 -> fills 0..250 with
+    # ids 251..499 wrapping: groups of size 2 for fill 0..248, size 1
+    # for 249, 250
+    assert len(got) == 251
+    assert got["n_images"].sum() == 500
+    sizes = got.set_index("rep_doc_id")["n_images"]
+    assert int(sizes[0]) == 2 and int(sizes[249]) == 1
