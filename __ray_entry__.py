@@ -952,6 +952,19 @@ def _q_continuation_counts(sf_dir: str):
     return continuation_counts(_docs(sf_dir, ("doc_id", "text")), k=20)
 
 
+def _q_profile_events(sf_dir: str):
+    """Column-level data profile of the events table (ints + strings —
+    text-stable renderings): scalar combiners + the two-exchange exact
+    distinct shape per column."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import profile_columns
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type"])
+    return profile_columns(ev, ["event_id", "user_id", "event_type"])
+
+
 def _q_image_dedup(sf_dir: str):
     """Cross-image exact dedup by 4x4-thumbnail signature (decode+resize
     +hash actor pool, combiner-first groupby(sig)); the synthetic
@@ -3533,6 +3546,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_url_lcp": _q_host_url_lcp,
         "lang_vocab_overlap": _q_lang_vocab_overlap,
         "image_dedup": _q_image_dedup,
+        "profile_events": _q_profile_events,
     }
 
 
@@ -6473,6 +6487,22 @@ SELECT CAST(row_number() OVER
             (ORDER BY n_contexts DESC, token) AS BIGINT) AS rank,
        token, n_contexts
 FROM c ORDER BY rank LIMIT 20
+"""
+    # per-column profile, string renderings — mirrors
+    # stages/aggs.profile_columns over the events table
+    sql["profile_events"] = """
+WITH p AS (
+  SELECT 'event_id' AS col, CAST(event_id AS VARCHAR) AS v FROM events
+  UNION ALL
+  SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+  UNION ALL
+  SELECT 'event_type', event_type FROM events)
+SELECT col AS "column",
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(v) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+       min(v) AS min_value, max(v) AS max_value
+FROM p GROUP BY 1
 """
     # uniform-fill fixture: 4x4 thumbnail bytes == 16 x fill, fill =
     # doc_id % 251 — mirrors stages/multimodal.image_signature_dedup

@@ -2065,3 +2065,86 @@ def exact_kth_by_group(ds, group_col: str, value_col: str, ranks: dict):
                          "rank": np.array([ranks[g] for g in groups],
                                           dtype=np.int64),
                          "value": out_vals})
+
+
+def profile_columns(ds, cols):
+    """Column-level data profile — the schema-audit pass every ingest
+    runs first: per column, row count, null count, exact distinct count,
+    and lexicographic min/max of the string rendering.
+
+    Plan: one scalar combiner per batch handles n/n_null/min/max (O(|cols|)
+    rows per batch); exact distincts use the standard two-exchange
+    distinct shape — per-batch DISTINCT ``(column, value)`` pairs, one
+    ``groupby(column, value)`` dedup, then per-batch ``(column, 1)``
+    partials into a tiny ``groupby(column)``.  The composite key spreads
+    a high-cardinality column's values over reducers; per-column
+    distinct-value EXCHANGE volume equals the column's distinct count
+    (the inverted-index shape), never its row count.
+
+    Values render via Arrow's ``cast(string)`` so both engines agree on
+    the text form (ints and strings are stable; floats use Arrow's
+    shortest-roundtrip rendering — give float columns to the radix/milli
+    kernels instead if the SQL oracle must match their min/max TEXT).
+
+    Returns pandas ``(column, n_rows, n_null, n_distinct, min_value,
+    max_value)`` sorted by column.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    cols = list(cols)
+
+    def scalar_partial(t: pa.Table) -> pa.Table:
+        names, n, nn, mn, mx = [], [], [], [], []
+        for c in cols:
+            col = t[c].combine_chunks() \
+                if isinstance(t[c], pa.ChunkedArray) else t[c]
+            s = pc.cast(col, pa.string())
+            nulls = int(pc.count(s, mode="only_null").as_py())
+            names.append(c)
+            n.append(t.num_rows)
+            nn.append(nulls)
+            mn.append(pc.min(s).as_py())
+            mx.append(pc.max(s).as_py())
+        return pa.table({"column": pa.array(names, type=pa.string()),
+                         "n": pa.array(n, type=pa.int64()),
+                         "nn": pa.array(nn, type=pa.int64()),
+                         "mn": pa.array(mn, type=pa.string()),
+                         "mx": pa.array(mx, type=pa.string())})
+
+    scalars = (ds.map_batches(scalar_partial, batch_format="pyarrow")
+               .groupby("column")
+               .aggregate(Sum("n", alias_name="n_rows"),
+                          Sum("nn", alias_name="n_null"),
+                          Min("mn", alias_name="min_value"),
+                          Max("mx", alias_name="max_value"))
+               .to_pandas())
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        parts = []
+        for c in cols:
+            col = t[c].combine_chunks() \
+                if isinstance(t[c], pa.ChunkedArray) else t[c]
+            u = pc.unique(pc.cast(col, pa.string())).drop_null()
+            parts.append(pa.table({
+                "column": pa.array([c] * len(u), type=pa.string()),
+                "value": u}))
+        return pa.concat_tables(parts)
+
+    from ray.data.aggregate import Count
+    distincts = (ds.map_batches(pair_partial, batch_format="pyarrow")
+                 .groupby(["column", "value"]).aggregate(Count())
+                 .map_batches(lambda t: pa.table({
+                     "column": t["column"],
+                     "d": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                 }), batch_format="pyarrow")
+                 .groupby("column")
+                 .aggregate(Sum("d", alias_name="n_distinct"))
+                 .to_pandas())
+
+    out = scalars.merge(distincts, on="column", how="left")
+    out["n_distinct"] = out["n_distinct"].fillna(0).astype("int64")
+    return out[["column", "n_rows", "n_null", "n_distinct",
+                "min_value", "max_value"]] \
+        .sort_values("column").reset_index(drop=True)

@@ -712,3 +712,25 @@ def test_image_signature_dedup_groups_by_fill():
     assert got["n_images"].sum() == 500
     sizes = got.set_index("rep_doc_id")["n_images"]
     assert int(sizes[0]) == 2 and int(sizes[249]) == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_profile_columns_nulls_and_distincts():
+    import pandas as pd
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import profile_columns
+
+    df = pd.DataFrame({
+        "a": [1, 2, 2, None],
+        "b": ["x", None, "x", None]})
+    for blocks in (1, 2):
+        got = profile_columns(
+            ray.data.from_pandas(df).repartition(blocks), ["a", "b"])
+        a = got[got["column"] == "a"].iloc[0]
+        b = got[got["column"] == "b"].iloc[0]
+        assert (int(a.n_rows), int(a.n_null), int(a.n_distinct)) \
+            == (4, 1, 2)
+        assert (int(b.n_rows), int(b.n_null), int(b.n_distinct)) \
+            == (4, 2, 1)
+        assert b.min_value == "x" and b.max_value == "x"
