@@ -952,6 +952,18 @@ def _q_continuation_counts(sf_dir: str):
     return continuation_counts(_docs(sf_dir, ("doc_id", "text")), k=20)
 
 
+def _q_user_value_trends(sf_dir: str):
+    """Per-user OLS trend of milli-scaled event values over rebased
+    seconds — exact integer slope numerator/denominator, one combiner
+    exchange."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import grouped_trend_components
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "value"])
+    return grouped_trend_components(ev, "user_id", "ts", "value")
+
+
 def _q_profile_events(sf_dir: str):
     """Column-level data profile of the events table (ints + strings —
     text-stable renderings): scalar combiners + the two-exchange exact
@@ -3547,6 +3559,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_vocab_overlap": _q_lang_vocab_overlap,
         "image_dedup": _q_image_dedup,
         "profile_events": _q_profile_events,
+        "user_value_trends": _q_user_value_trends,
     }
 
 
@@ -6487,6 +6500,24 @@ SELECT CAST(row_number() OVER
             (ORDER BY n_contexts DESC, token) AS BIGINT) AS rank,
        token, n_contexts
 FROM c ORDER BY rank LIMIT 20
+"""
+    # exact integer OLS components; t rebased to the global min ts —
+    # mirrors stages/aggs.grouped_trend_components
+    sql["user_value_trends"] = """
+WITH t0 AS (SELECT min(epoch_us(ts)) AS u0 FROM events),
+e AS (SELECT user_id AS "group",
+             (CAST(epoch_us(ts) AS BIGINT) - (SELECT u0 FROM t0))
+                 // 1000000 AS t,
+             CAST(floor(value * 1000) AS BIGINT) AS v
+      FROM events),
+s AS (SELECT "group", CAST(count(*) AS BIGINT) AS n,
+             sum(t) AS st, sum(v) AS sv,
+             sum(t * v) AS stv, sum(t * t) AS stt
+      FROM e GROUP BY 1)
+SELECT "group", n,
+       CAST(n * stv - st * sv AS BIGINT) AS slope_num,
+       CAST(n * stt - st * st AS BIGINT) AS slope_den
+FROM s
 """
     # per-column profile, string renderings — mirrors
     # stages/aggs.profile_columns over the events table

@@ -2148,3 +2148,70 @@ def profile_columns(ds, cols):
     return out[["column", "n_rows", "n_null", "n_distinct",
                 "min_value", "max_value"]] \
         .sort_values("column").reset_index(drop=True)
+
+
+def grouped_trend_components(events, group_col: str = "user_id",
+                             ts_col: str = "ts", value_col: str = "value",
+                             t0_us: int = None):
+    """Per-group least-squares trend as EXACT INTEGER components — the
+    activity-drift audit (is a user's / host's metric rising?) without a
+    single float: with ``t`` = seconds since ``t0`` and ``v`` = milli-
+    scaled value, the OLS slope is the rational
+    ``(n·Σtv − Σt·Σv) / (n·Σtt − (Σt)²)`` — numerator and denominator
+    are emitted exactly (callers compare/divide as they wish; the SIGN
+    alone answers "trending up?").
+
+    Plan: one combiner per batch (per-group partial sums via one Arrow
+    group_by — five int64 sums per group per batch) into ONE
+    ``groupby(group)`` Sum.  ``t0`` defaults to one O(1) scalar Min pass
+    and rides the closure (rebasing keeps ``n·Σtv`` inside int64:
+    bound ``n · t_span_s · v_milli_max · n_rows_per_group < 2⁶³`` —
+    document-scale windows of weeks × milli metrics are safe past 10⁹
+    rows per group).
+
+    Returns a Dataset of ``(group, n, slope_num, slope_den)`` where
+    ``slope_den == 0`` marks degenerate groups (single distinct t).
+    """
+    from ray.data.aggregate import Min, Sum
+
+    if t0_us is None:
+        t0_us = events.aggregate(Min(ts_col))[f"min({ts_col})"]
+        t0_us = int(pa.scalar(t0_us, type=pa.timestamp("us")).cast(
+            pa.int64()).as_py())
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = np.asarray(pc.cast(pc.cast(t[ts_col], pa.timestamp("us")),
+                                pa.int64()))
+        tt = (us - t0_us) // 1_000_000
+        v = _milli(t[value_col].combine_chunks()
+                   if isinstance(t[value_col], pa.ChunkedArray)
+                   else t[value_col])
+        g = pa.table({
+            "group": t[group_col],
+            "one": pa.array(np.ones(len(tt), dtype=np.int64)),
+            "st": pa.array(tt), "sv": pa.array(v),
+            "stv": pa.array(tt * v), "stt": pa.array(tt * tt),
+        }).group_by("group").aggregate(
+            [("one", "sum"), ("st", "sum"), ("sv", "sum"),
+             ("stv", "sum"), ("stt", "sum")])
+        return g.rename_columns(["group", "n", "st", "sv", "stv", "stt"])
+
+    sums = (events.map_batches(partial, batch_format="pyarrow")
+            .groupby("group")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("st", alias_name="st"),
+                       Sum("sv", alias_name="sv"),
+                       Sum("stv", alias_name="stv"),
+                       Sum("stt", alias_name="stt")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = np.asarray(one_chunk(t["n"]), dtype=np.int64)
+        st = np.asarray(one_chunk(t["st"]), dtype=np.int64)
+        sv = np.asarray(one_chunk(t["sv"]), dtype=np.int64)
+        stv = np.asarray(one_chunk(t["stv"]), dtype=np.int64)
+        stt = np.asarray(one_chunk(t["stt"]), dtype=np.int64)
+        return pa.table({"group": t["group"], "n": pa.array(n),
+                         "slope_num": pa.array(n * stv - st * sv),
+                         "slope_den": pa.array(n * stt - st * st)})
+
+    return sums.map_batches(finalize, batch_format="pyarrow")

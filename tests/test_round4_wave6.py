@@ -734,3 +734,37 @@ def test_profile_columns_nulls_and_distincts():
         assert (int(b.n_rows), int(b.n_null), int(b.n_distinct)) \
             == (4, 2, 1)
         assert b.min_value == "x" and b.max_value == "x"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_trend_components_exact():
+    """Integer OLS components vs hand arithmetic: rising, falling, and
+    degenerate (single-timestamp) groups; block-split invariant."""
+    import pandas as pd
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import grouped_trend_components
+
+    base = pd.Timestamp("2024-01-01")
+    ev = pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 2, 3],
+        "ts": [base, base + pd.Timedelta(seconds=10),
+               base + pd.Timedelta(seconds=20),
+               base, base + pd.Timedelta(seconds=10),
+               base + pd.Timedelta(seconds=5)],
+        "value": [1.0, 2.0, 3.0,     # rising: slope 0.1/s
+                  5.0, 3.0,          # falling
+                  7.0]})             # single point -> den 0
+    for blocks in (1, 3):
+        got = (grouped_trend_components(
+            ray.data.from_pandas(ev).repartition(blocks))
+            .to_pandas().sort_values("group").reset_index(drop=True))
+        g1 = got[got["group"] == 1].iloc[0]
+        # t = 0,10,20; v = 1000,2000,3000
+        # num = 3*(10*2000+20*3000) - 30*6000 = 3*80000-180000 = 60000
+        # den = 3*(100+400) - 900 = 600 ; slope = 100 milli/s = 0.1/s
+        assert (int(g1.slope_num), int(g1.slope_den)) == (60000, 600)
+        g2 = got[got["group"] == 2].iloc[0]
+        assert int(g2.slope_num) < 0
+        g3 = got[got["group"] == 3].iloc[0]
+        assert int(g3.slope_den) == 0
