@@ -952,6 +952,15 @@ def _q_continuation_counts(sf_dir: str):
     return continuation_counts(_docs(sf_dir, ("doc_id", "text")), k=20)
 
 
+def _q_rebalance_matrix(sf_dir: str):
+    """Bucket-rebalance movement matrix for the documents layout going
+    32 -> 48 buckets: same mix64 as write_bucketed, composite bincount
+    combiner, one tiny groupby."""
+    from pdf2doi_ray.stages.joins import rebalance_matrix
+    return rebalance_matrix(_docs(sf_dir, ("doc_id",)), "doc_id",
+                            old_buckets=32, new_buckets=48)
+
+
 def _q_user_value_trends(sf_dir: str):
     """Per-user OLS trend of milli-scaled event values over rebased
     seconds — exact integer slope numerator/denominator, one combiner
@@ -3560,6 +3569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_dedup": _q_image_dedup,
         "profile_events": _q_profile_events,
         "user_value_trends": _q_user_value_trends,
+        "rebalance_matrix": _q_rebalance_matrix,
     }
 
 
@@ -6500,6 +6510,17 @@ SELECT CAST(row_number() OVER
             (ORDER BY n_contexts DESC, token) AS BIGINT) AS rank,
        token, n_contexts
 FROM c ORDER BY rank LIMIT 20
+"""
+    # mix64 reproduced in HUGEINT like bucket_sync_diff — mirrors
+    # stages/joins.rebalance_matrix
+    sql["rebalance_matrix"] = """
+WITH h AS (SELECT ((CAST(doc_id AS HUGEINT) * 11400714819323198485)
+                   % 18446744073709551616 // 2) AS hv
+           FROM documents)
+SELECT CAST(hv % 32 AS BIGINT) AS old_bucket,
+       CAST(hv % 48 AS BIGINT) AS new_bucket,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM h GROUP BY 1, 2
 """
     # exact integer OLS components; t rebased to the global min ts —
     # mirrors stages/aggs.grouped_trend_components

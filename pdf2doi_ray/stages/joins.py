@@ -1835,3 +1835,40 @@ def bucket_sync_diff(dir_a: str, dir_b: str, key_col: str,
 
     return ray.data.range(n_buckets).map_batches(
         diff_one, batch_format="pyarrow", batch_size=1)
+
+
+def rebalance_matrix(ds, key_col: str, old_buckets: int,
+                     new_buckets: int):
+    """Layout-replanning audit: if a bucketed layout moves from
+    ``old_buckets`` to ``new_buckets``, which (old → new) bucket cells
+    receive how many rows — i.e. exactly how much data a re-bucketing
+    job will move (the diagonal-ish cells that keep their bucket id cost
+    nothing under the same hash).  Uses the same Fibonacci ``mix64`` as
+    :func:`write_bucketed`, so the plan is byte-faithful to what the
+    rewrite would do.
+
+    One combiner per batch (composite ``old * new_buckets + new``
+    bincount) into ONE tiny ``groupby`` — the exchange is bounded by
+    ``old_buckets × new_buckets`` rows per batch.  Returns a Dataset of
+    ``(old_bucket, new_bucket, n_rows)``.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = np.asarray(t[key_col].combine_chunks()
+                       if isinstance(t[key_col], pa.ChunkedArray)
+                       else t[key_col]).astype(np.uint64)
+        h = (k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(1)
+        old = (h % np.uint64(old_buckets)).astype(np.int64)
+        new = (h % np.uint64(new_buckets)).astype(np.int64)
+        cnt = np.bincount(old * new_buckets + new,
+                          minlength=old_buckets * new_buckets)
+        nz = np.flatnonzero(cnt)
+        return pa.table({
+            "old_bucket": pa.array((nz // new_buckets).astype(np.int64)),
+            "new_bucket": pa.array((nz % new_buckets).astype(np.int64)),
+            "n": pa.array(cnt[nz].astype(np.int64))})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["old_bucket", "new_bucket"])
+            .aggregate(Sum("n", alias_name="n_rows")))
