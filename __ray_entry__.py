@@ -952,6 +952,19 @@ def _q_continuation_counts(sf_dir: str):
     return continuation_counts(_docs(sf_dir, ("doc_id", "text")), k=20)
 
 
+def _q_bursty_hours(sf_dir: str):
+    """Integer-exact burst detection: hourly windows > 2 sigma above
+    their event type's own mean window count (cross-multiplied z-test,
+    no sqrt/float); per-key moments broadcast back, counts shuffled
+    once."""
+    import ray.data
+
+    from pdf2doi_ray.stages.windows import bursty_hours
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts"])
+    return bursty_hours(ev, "event_type", window_s=3600, k_sigma=2)
+
+
 def _q_rebalance_matrix(sf_dir: str):
     """Bucket-rebalance movement matrix for the documents layout going
     32 -> 48 buckets: same mix64 as write_bucketed, composite bincount
@@ -3570,6 +3583,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_events": _q_profile_events,
         "user_value_trends": _q_user_value_trends,
         "rebalance_matrix": _q_rebalance_matrix,
+        "bursty_hours": _q_bursty_hours,
     }
 
 
@@ -6510,6 +6524,22 @@ SELECT CAST(row_number() OVER
             (ORDER BY n_contexts DESC, token) AS BIGINT) AS rank,
        token, n_contexts
 FROM c ORDER BY rank LIMIT 20
+"""
+    # cross-multiplied z-test: c*n > S and (c*n-S)^2 > k^2*(n*Q-S^2) —
+    # mirrors stages/windows.bursty_hours
+    sql["bursty_hours"] = """
+WITH c AS (SELECT event_type AS key,
+                  CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS w,
+                  CAST(count(*) AS BIGINT) AS n_events
+           FROM events GROUP BY 1, 2),
+m AS (SELECT key, CAST(count(*) AS BIGINT) AS nw,
+             sum(n_events) AS s, sum(n_events * n_events) AS q
+      FROM c GROUP BY 1)
+SELECT c.key, CAST(c.w AS BIGINT) AS "window", c.n_events
+FROM c JOIN m USING (key)
+WHERE c.n_events * m.nw - m.s > 0
+  AND (c.n_events * m.nw - m.s) * (c.n_events * m.nw - m.s)
+      > 4 * (m.nw * m.q - m.s * m.s)
 """
     # mix64 reproduced in HUGEINT like bucket_sync_diff — mirrors
     # stages/joins.rebalance_matrix

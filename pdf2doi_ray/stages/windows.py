@@ -460,3 +460,79 @@ def late_event_accounting(events, window_s: int = TUMBLE_SECONDS,
             .groupby(["event_type", "window"])
             .aggregate(Sum("n", alias_name="n_events"),
                        Sum("nl", alias_name="n_late")))
+
+
+def bursty_hours(events, key_col: str = "event_type",
+                 window_s: int = TUMBLE_SECONDS, k_sigma: int = 2):
+    """Burst detection per key: tumbling windows whose event count sits
+    more than ``k_sigma`` standard deviations above that key's own mean
+    window count — the traffic-anomaly / crawl-storm audit, EXACT in
+    integers (the z-test is cross-multiplied so no sqrt or float ever
+    appears): with per-key window counts ``c``, ``n`` windows, ``S=Σc``,
+    ``Q=Σc²``, a window is bursty iff
+
+        ``c·n > S``  and  ``(c·n − S)² > k²·(n·Q − S²)``
+
+    (algebra: z = (c−μ)/σ > k with μ=S/n, σ²=(nQ−S²)/n²; both sides
+    scaled by n².)  int64 bound: ``(c·n)² < 2⁶³`` — c·n up to 3·10⁹,
+    e.g. 10⁶-event windows over 3000 windows; shard longer histories.
+
+    Plan: exact (key, window) counts via the tumbling combiner; per-key
+    moments from ONE more combiner pass over the counts; moments are
+    key-count-sized and broadcast back via ``ray.put`` (join the counts
+    stream against them batch-locally — no second shuffle of counts).
+
+    Returns a Dataset of ``(key, window, n_events)`` for bursty windows.
+    """
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from ..arrowutil import collect_tables
+
+    def assign(t: pa.Table) -> pa.Table:
+        us = np.asarray(pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                                pa.int64()))
+        window = pa.array(us // (window_s * 1_000_000), type=pa.int64())
+        g = pa.table({"key": t[key_col], "window": window}) \
+            .group_by(["key", "window"]).aggregate([([], "count_all")])
+        return pa.table({"key": g["key"], "window": g["window"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    counts = (events.map_batches(assign, batch_format="pyarrow")
+              .groupby(["key", "window"])
+              .aggregate(Sum("n", alias_name="n_events"))
+              .materialize())
+
+    def moment_partial(t: pa.Table) -> pa.Table:
+        c = np.asarray(one_chunk(t["n_events"]), dtype=np.int64)
+        g = pa.table({"key": t["key"],
+                      "nw": pa.array(np.ones(len(c), dtype=np.int64)),
+                      "s": pa.array(c), "q": pa.array(c * c)}) \
+            .group_by("key").aggregate([("nw", "sum"), ("s", "sum"),
+                                        ("q", "sum")])
+        return g.rename_columns(["key", "nw", "s", "q"])
+
+    moments = collect_tables(
+        counts.map_batches(moment_partial, batch_format="pyarrow")
+        .groupby("key").aggregate(Sum("nw", alias_name="nw"),
+                                  Sum("s", alias_name="s"),
+                                  Sum("q", alias_name="q")))
+    mom_ref = ray.put(moments)
+    k2 = k_sigma * k_sigma
+
+    def flag(t: pa.Table) -> pa.Table:
+        m = ray.get(mom_ref)
+        j = t.join(m, keys=["key"])
+        c = np.asarray(one_chunk(j["n_events"]), dtype=np.int64)
+        nw = np.asarray(one_chunk(j["nw"]), dtype=np.int64)
+        s = np.asarray(one_chunk(j["s"]), dtype=np.int64)
+        q = np.asarray(one_chunk(j["q"]), dtype=np.int64)
+        lhs = c * nw - s
+        bursty = (lhs > 0) & (lhs * lhs > k2 * (nw * q - s * s))
+        keep = pa.array(bursty)
+        return pa.table({"key": j["key"].filter(keep),
+                         "window": j["window"].filter(keep),
+                         "n_events": j["n_events"].filter(keep)})
+
+    return counts.map_batches(flag, batch_format="pyarrow")

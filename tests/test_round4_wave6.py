@@ -768,3 +768,32 @@ def test_grouped_trend_components_exact():
         assert int(g2.slope_num) < 0
         g3 = got[got["group"] == 3].iloc[0]
         assert int(g3.slope_den) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bursty_hours_handbuilt():
+    """A key with one clearly anomalous window flags exactly that
+    window; a uniform key flags nothing (sigma 0 -> strict > fails)."""
+    import pandas as pd
+    import ray.data
+
+    from pdf2doi_ray.stages.windows import bursty_hours
+
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    # key 'a': 10 windows of 1 event, 1 window of 30 events
+    for w in range(10):
+        rows.append(("a", base + pd.Timedelta(hours=w)))
+    rows += [("a", base + pd.Timedelta(hours=10, minutes=m))
+             for m in range(30)]
+    # key 'b': perfectly uniform — never bursty
+    for w in range(5):
+        rows += [("b", base + pd.Timedelta(hours=w, minutes=j))
+                 for j in range(3)]
+    ev = pd.DataFrame(rows, columns=["event_type", "ts"])
+    for blocks in (1, 3):
+        got = (bursty_hours(ray.data.from_pandas(ev).repartition(blocks),
+                            "event_type", window_s=3600, k_sigma=2)
+               .to_pandas())
+        assert list(got["key"]) == ["a"]
+        assert int(got["n_events"].iloc[0]) == 30
