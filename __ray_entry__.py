@@ -952,6 +952,19 @@ def _q_continuation_counts(sf_dir: str):
     return continuation_counts(_docs(sf_dir, ("doc_id", "text")), k=20)
 
 
+def _q_value_share(sf_dir: str):
+    """RATIO_TO_REPORT parity: each event's exact permille share of its
+    type's total (milli-scaled) — one tiny groupby + broadcast join,
+    rows never shuffle."""
+    import ray.data
+
+    from pdf2doi_ray.stages.windowfns import ratio_to_report
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "event_type",
+                                        "value"])
+    return ratio_to_report(ev, "event_type", "value", "event_id")
+
+
 def _q_bursty_hours(sf_dir: str):
     """Integer-exact burst detection: hourly windows > 2 sigma above
     their event type's own mean window count (cross-multiplied z-test,
@@ -3584,6 +3597,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_trends": _q_user_value_trends,
         "rebalance_matrix": _q_rebalance_matrix,
         "bursty_hours": _q_bursty_hours,
+        "value_share": _q_value_share,
     }
 
 
@@ -6524,6 +6538,18 @@ SELECT CAST(row_number() OVER
             (ORDER BY n_contexts DESC, token) AS BIGINT) AS rank,
        token, n_contexts
 FROM c ORDER BY rank LIMIT 20
+"""
+    # exact permille of milli-scaled group totals — mirrors
+    # stages/windowfns.ratio_to_report
+    sql["value_share"] = """
+WITH e AS (SELECT event_id AS id, event_type AS "group",
+                  CAST(floor(value * 1000) AS BIGINT) AS value_milli
+           FROM events)
+SELECT id, "group", value_milli,
+       CAST(value_milli * 1000
+            // sum(value_milli) OVER (PARTITION BY "group")
+            AS BIGINT) AS share_permille
+FROM e
 """
     # cross-multiplied z-test: c*n > S and (c*n-S)^2 > k^2*(n*Q-S^2) —
     # mirrors stages/windows.bursty_hours

@@ -497,3 +497,53 @@ def cume_dist_user_value(events, mod=100,
     return _windowed_user_op(events,
                              _value_order_stats_kernel(mod, "cume_dist"),
                              "cume_permille", stitch_shards)
+
+
+def ratio_to_report(events, group_col: str = "event_type",
+                    value_col: str = "value",
+                    id_col: str = "event_id"):
+    """RATIO_TO_REPORT window parity: every row's share of its group's
+    total, as exact integer permille over milli-scaled values
+    (`v_milli * 1000 // S_milli`).  Groups with non-positive totals are
+    rejected loudly (a share of a zero/negative total is ill-defined).
+
+    Plan: per-batch (group, sum) combiner → ONE tiny ``groupby`` → the
+    group-total table broadcasts via ``ray.put`` and every batch joins
+    it locally (pyarrow hash join) — rows never shuffle.  Group count is
+    schema-small by contract (event types, langs); corpus-cardinality
+    groups should use a shuffle join instead (same split as elsewhere).
+
+    Returns ``(id, group, value_milli, share_permille)``.
+    """
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from ..arrowutil import collect_tables, one_chunk
+
+    def total_partial(t: pa.Table) -> pa.Table:
+        vm = _milli(one_chunk(t[value_col]))
+        g = pa.table({"group": t[group_col], "s": pa.array(vm)}) \
+            .group_by("group").aggregate([("s", "sum")])
+        return g.rename_columns(["group", "s"])
+
+    totals = collect_tables(
+        events.map_batches(total_partial, batch_format="pyarrow")
+        .groupby("group").aggregate(Sum("s", alias_name="s")))
+    s_np = np.asarray(totals["s"], dtype=np.int64)
+    if (s_np <= 0).any():
+        raise ValueError("ratio_to_report: non-positive group total")
+    tot_ref = ray.put(totals)
+
+    def share(t: pa.Table) -> pa.Table:
+        vm = _milli(one_chunk(t[value_col]))
+        j = pa.table({"id": t[id_col], "group": t[group_col],
+                      "value_milli": pa.array(vm)}) \
+            .join(ray.get(tot_ref), keys=["group"])
+        v = np.asarray(one_chunk(j["value_milli"]), dtype=np.int64)
+        s = np.asarray(one_chunk(j["s"]), dtype=np.int64)
+        return pa.table({"id": j["id"], "group": j["group"],
+                         "value_milli": j["value_milli"],
+                         "share_permille": pa.array(v * 1000 // s)})
+
+    return events.map_batches(share, batch_format="pyarrow")
