@@ -952,6 +952,18 @@ def _q_continuation_counts(sf_dir: str):
     return continuation_counts(_docs(sf_dir, ("doc_id", "text")), k=20)
 
 
+def _q_activation_latency(sf_dir: str):
+    """Exact p50/p90 of first-view -> first-purchase latency (whole
+    seconds) across converting users: per-user double-Min combiner, one
+    groupby, latency histogram walk."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import activation_latency_quantiles
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type", "ts"])
+    return activation_latency_quantiles(ev, "view", "purchase")
+
+
 def _q_value_share(sf_dir: str):
     """RATIO_TO_REPORT parity: each event's exact permille share of its
     type's total (milli-scaled) — one tiny groupby + broadcast join,
@@ -3598,6 +3610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rebalance_matrix": _q_rebalance_matrix,
         "bursty_hours": _q_bursty_hours,
         "value_share": _q_value_share,
+        "activation_latency": _q_activation_latency,
     }
 
 
@@ -6538,6 +6551,27 @@ SELECT CAST(row_number() OVER
             (ORDER BY n_contexts DESC, token) AS BIGINT) AS rank,
        token, n_contexts
 FROM c ORDER BY rank LIMIT 20
+"""
+    # smallest latency with cumulative count >= ceil(q*n/1000) — mirrors
+    # stages/aggs.activation_latency_quantiles
+    sql["activation_latency"] = """
+WITH m AS (SELECT user_id,
+                  min(CASE WHEN event_type = 'view'
+                           THEN epoch_us(ts) END) AS mf,
+                  min(CASE WHEN event_type = 'purchase'
+                           THEN epoch_us(ts) END) AS mt
+           FROM events GROUP BY 1),
+l AS (SELECT (mt - mf) // 1000000 AS latency_s
+      FROM m WHERE mf IS NOT NULL AND mt IS NOT NULL AND mt > mf),
+r AS (SELECT latency_s,
+             row_number() OVER (ORDER BY latency_s) AS rn FROM l),
+n AS (SELECT count(*) AS total FROM l),
+q AS (SELECT CAST(unnest([500, 900]) AS BIGINT) AS q_permille)
+SELECT q.q_permille,
+       CAST((SELECT min(latency_s) FROM r, n
+             WHERE rn >= ceil(q.q_permille * n.total / 1000.0))
+            AS BIGINT) AS latency_s
+FROM q
 """
     # exact permille of milli-scaled group totals — mirrors
     # stages/windowfns.ratio_to_report

@@ -2215,3 +2215,80 @@ def grouped_trend_components(events, group_col: str = "user_id",
                          "slope_den": pa.array(n * stt - st * st)})
 
     return sums.map_batches(finalize, batch_format="pyarrow")
+
+
+def activation_latency_quantiles(events, first_type: str = "view",
+                                 then_type: str = "click",
+                                 quantiles=(500, 900)):
+    """Activation-latency distribution: for every user whose first
+    ``then_type`` event FOLLOWS their first ``first_type`` event, the
+    latency in whole seconds between the two firsts — reported as exact
+    quantiles (the funnel's "how long to convert" counterpart to
+    :func:`funnel_conversion`'s "how many convert").
+
+    Plan: one per-batch combiner emits per-user Min pairs (sentinel
+    int64 max for the missing type) → ONE ``groupby(user)`` double-Min →
+    converted users' latencies collapse per batch into a seconds
+    histogram (the :func:`value_quantiles_milli` walk: exact quantile =
+    smallest value with cumulative count ≥ ceil(q·n/1000)).  Latencies,
+    not users, cross the second exchange — one row per distinct latency
+    per batch.
+
+    Returns pandas ``(q_permille, latency_s)`` (NULL-free; raises if no
+    user converts).
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Min, Sum
+
+    lo = np.iinfo(np.int64).max
+
+    def min_partial(t: pa.Table) -> pa.Table:
+        us = np.asarray(pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                                pa.int64()))
+        et = (t["event_type"].combine_chunks()
+              if isinstance(t["event_type"], pa.ChunkedArray)
+              else t["event_type"])
+        is_f = np.asarray(pc.equal(et, first_type))
+        is_t = np.asarray(pc.equal(et, then_type))
+        keep = is_f | is_t
+        if not keep.any():
+            return pa.table({"user_id": pa.array([], type=pa.int64()),
+                             "mf": pa.array([], type=pa.int64()),
+                             "mt": pa.array([], type=pa.int64())})
+        g = pa.table({
+            "user_id": t["user_id"].filter(pa.array(keep)),
+            "mf": pa.array(np.where(is_f, us, lo)[keep]),
+            "mt": pa.array(np.where(is_t, us, lo)[keep]),
+        }).group_by("user_id").aggregate([("mf", "min"), ("mt", "min")])
+        return g.rename_columns(["user_id", "mf", "mt"])
+
+    mins = (events.map_batches(min_partial, batch_format="pyarrow")
+            .groupby("user_id").aggregate(Min("mf", alias_name="mf"),
+                                          Min("mt", alias_name="mt")))
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        from ..arrowutil import one_chunk
+        mf = np.asarray(one_chunk(t["mf"]), dtype=np.int64)
+        mt = np.asarray(one_chunk(t["mt"]), dtype=np.int64)
+        ok = (mf != lo) & (mt != lo) & (mt > mf)
+        lat = (mt[ok] - mf[ok]) // 1_000_000
+        u, c = np.unique(lat, return_counts=True)
+        return pa.table({"latency_s": pa.array(u),
+                         "n": pa.array(c.astype(np.int64))})
+
+    hist = (mins.map_batches(hist_partial, batch_format="pyarrow")
+            .groupby("latency_s").aggregate(Sum("n", alias_name="n"))
+            .to_pandas())
+    if hist.empty or "latency_s" not in hist.columns:
+        raise ValueError("activation_latency_quantiles: no conversions")
+    hist = hist.sort_values("latency_s").reset_index(drop=True)
+    cum = hist["n"].cumsum().to_numpy()
+    total = int(cum[-1])
+    rows = []
+    for q in quantiles:
+        rank = -(-q * total // 1000)        # ceil(q*n/1000) in ints
+        pos = int(np.searchsorted(cum, rank))
+        rows.append((int(q), int(hist["latency_s"][pos])))
+    return pd.DataFrame(rows, columns=["q_permille", "latency_s"]) \
+        .astype("int64")
