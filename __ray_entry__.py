@@ -952,6 +952,19 @@ def _q_continuation_counts(sf_dir: str):
     return continuation_counts(_docs(sf_dir, ("doc_id", "text")), k=20)
 
 
+def _q_session_conversion(sf_dir: str):
+    """Within-session funnel: sessions whose first 'view' is strictly
+    followed by a 'purchase' in the SAME session — sorted-block kernel
+    with scatter min/max per session, sharded edge-user stitch."""
+    import ray.data
+
+    from pdf2doi_ray.stages.windows import session_conversion
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_type"])
+    return session_conversion(ev, gap_s=1800, first_type="view",
+                              then_type="purchase")
+
+
 def _q_activation_latency(sf_dir: str):
     """Exact p50/p90 of first-view -> first-purchase latency (whole
     seconds) across converting users: per-user double-Min combiner, one
@@ -3611,6 +3624,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bursty_hours": _q_bursty_hours,
         "value_share": _q_value_share,
         "activation_latency": _q_activation_latency,
+        "session_conversion": _q_session_conversion,
     }
 
 
@@ -6551,6 +6565,30 @@ SELECT CAST(row_number() OVER
             (ORDER BY n_contexts DESC, token) AS BIGINT) AS rank,
        token, n_contexts
 FROM c ORDER BY rank LIMIT 20
+"""
+    # gap-cumsum sessions; conversion = strict time comparison within a
+    # session — mirrors stages/windows.session_conversion
+    sql["session_conversion"] = """
+WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+                  event_type
+           FROM events),
+s AS (SELECT user_id, us, event_type,
+             CASE WHEN lag(us) OVER w IS NULL
+                   OR us - lag(us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+sid AS (SELECT user_id, us, event_type,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                   ROWS UNBOUNDED PRECEDING) AS sess
+        FROM s),
+per AS (SELECT user_id, sess,
+               min(CASE WHEN event_type = 'view' THEN us END) AS f,
+               max(CASE WHEN event_type = 'purchase' THEN us END) AS t
+        FROM sid GROUP BY 1, 2)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN f IS NOT NULL AND t > f THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_converted
+FROM per GROUP BY 1
 """
     # smallest latency with cumulative count >= ceil(q*n/1000) — mirrors
     # stages/aggs.activation_latency_quantiles

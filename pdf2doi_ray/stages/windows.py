@@ -536,3 +536,132 @@ def bursty_hours(events, key_col: str = "event_type",
                          "n_events": j["n_events"].filter(keep)})
 
     return counts.map_batches(flag, batch_format="pyarrow")
+
+
+def session_conversion(events, gap_s: int = SESSION_GAP_SECONDS,
+                       first_type: str = "view",
+                       then_type: str = "purchase",
+                       stitch_shards: int = DEFAULT_STITCH_SHARDS):
+    """Within-session conversion: per user, how many of their gap-based
+    sessions contain a ``then_type`` event STRICTLY AFTER the session's
+    first ``first_type`` event — the sequential-pattern funnel scoped to
+    sessions (a purchase in a later visit doesn't credit the first one).
+
+    Same sorted-block + sharded-stitch plan as :func:`session_counts`;
+    the per-segment kernel is fully vectorized: session ids from one gap
+    cumsum, per-session ``min(ts of first_type)`` / ``max(ts of
+    then_type)`` via scatter reductions, conversion = strict time
+    comparison (position-free, so equal-timestamp tie order between
+    engines cannot flip a result; a then-event at the identical
+    microsecond does NOT count).
+
+    Returns a Dataset of ``(user_id, n_sessions, n_converted)``.
+    """
+    gap_us = gap_s * 1_000_000
+    big = np.iinfo(np.int64).max
+
+    def _per_rows(us, ts, et_f, et_t):
+        """Per-user conversion stats over (user,ts)-sorted rows."""
+        n = len(us)
+        new_s = np.ones(n, dtype=bool)
+        if n > 1:
+            new_s[1:] = (us[1:] != us[:-1]) | \
+                ((ts[1:] - ts[:-1]) > gap_us)
+        sid = np.cumsum(new_s) - 1
+        n_sid = int(sid[-1]) + 1 if n else 0
+        first_ts = np.full(n_sid, big, dtype=np.int64)
+        np.minimum.at(first_ts, sid[et_f], ts[et_f])
+        then_ts = np.full(n_sid, -1, dtype=np.int64)
+        np.maximum.at(then_ts, sid[et_t], ts[et_t])
+        conv = (first_ts != big) & (then_ts > first_ts)
+        # per-user rollup over sessions
+        sess_user = us[np.flatnonzero(new_s)]
+        chg = np.ones(n_sid, dtype=bool)
+        if n_sid > 1:
+            chg[1:] = sess_user[1:] != sess_user[:-1]
+        st = np.flatnonzero(chg)
+        n_sessions = np.diff(np.append(st, n_sid))
+        n_conv = np.add.reduceat(conv.astype(np.int64), st) \
+            if n_sid else np.empty(0, np.int64)
+        return sess_user[st], n_sessions.astype(np.int64), n_conv
+
+    def block_kernel(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "user_id": pa.array([], type=pa.int64()),
+            "n_sessions": pa.array([], type=pa.int64()),
+            "n_converted": pa.array([], type=pa.int64()),
+            "ts": pa.array([], type=pa.int64()),
+            "et": pa.array([], type=pa.string()),
+            "boundary": pa.array([], type=pa.bool_())})
+        n = t.num_rows
+        if n == 0:
+            return empty
+        us = np.asarray(one_chunk(t["user_id"]), dtype=np.int64)
+        ts = np.asarray(pc.cast(pc.cast(one_chunk(t["ts"]),
+                                        pa.timestamp("us")), pa.int64()))
+        et = one_chunk(t["event_type"])
+        ef = np.asarray(pc.equal(et, first_type))
+        etn = np.asarray(pc.equal(et, then_type))
+        change = np.nonzero(us[1:] != us[:-1])[0] + 1
+        starts = np.concatenate([[0], change]).astype(np.int64)
+        last = len(starts) - 1
+        lo_end = starts[1] if last >= 1 else n
+        hi_start = starts[last] if last >= 1 else 0
+        if last >= 1 and lo_end < hi_start:
+            iu, ns, nc = _per_rows(us[lo_end:hi_start],
+                                   ts[lo_end:hi_start],
+                                   ef[lo_end:hi_start],
+                                   etn[lo_end:hi_start])
+        else:
+            iu, ns, nc = (np.empty(0, np.int64),) * 3
+        edge_idx = np.unique(np.concatenate(
+            [np.arange(0, lo_end), np.arange(hi_start, n)])) \
+            if last >= 1 else np.arange(n)
+        n_i, n_b = len(iu), len(edge_idx)
+        return pa.table({
+            "user_id": pa.array(np.concatenate([iu, us[edge_idx]])),
+            "n_sessions": pa.array(np.concatenate(
+                [ns, np.full(n_b, -1, np.int64)])),
+            "n_converted": pa.array(np.concatenate(
+                [nc, np.full(n_b, -1, np.int64)])),
+            "ts": pa.array(np.concatenate(
+                [np.full(n_i, -1, np.int64), ts[edge_idx]])),
+            "et": pa.array([""] * n_i + [et[int(j)].as_py()
+                                         for j in edge_idx],
+                           type=pa.string()),
+            "boundary": pa.array([False] * n_i + [True] * n_b)})
+
+    def stitch(t: pa.Table) -> pa.Table:
+        us = np.asarray(one_chunk(t["user_id"]), dtype=np.int64)
+        ts = np.asarray(one_chunk(t["ts"]), dtype=np.int64)
+        et = one_chunk(t["et"])
+        if len(us) == 0:
+            return pa.table({"user_id": pa.array([], type=pa.int64()),
+                             "n_sessions": pa.array([], type=pa.int64()),
+                             "n_converted": pa.array([],
+                                                     type=pa.int64())})
+        order = np.lexsort((ts, us))
+        ef = np.asarray(pc.equal(et, first_type))[order]
+        etn = np.asarray(pc.equal(et, then_type))[order]
+        u, ns, nc = _per_rows(us[order], ts[order], ef, etn)
+        return pa.table({"user_id": pa.array(u),
+                         "n_sessions": pa.array(ns),
+                         "n_converted": pa.array(nc)})
+
+    srt = events.sort(["user_id", "ts"])
+    mixed = srt.map_batches(block_kernel, batch_format="pyarrow",
+                            batch_size=None).materialize()
+    interior = mixed.map_batches(
+        lambda t: t.filter(pc.equal(t["boundary"], False))
+        .select(["user_id", "n_sessions", "n_converted"]),
+        batch_format="pyarrow")
+    carries = mixed.map_batches(
+        lambda t: t.filter(t["boundary"]).select(["user_id", "ts", "et"]),
+        batch_format="pyarrow")
+    cross = sharded_stitch(
+        carries,
+        lambda t: np.asarray(t["user_id"].combine_chunks()
+                             if isinstance(t["user_id"], pa.ChunkedArray)
+                             else t["user_id"]),
+        stitch, num_shards=stitch_shards)
+    return interior.union(cross)

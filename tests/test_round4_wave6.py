@@ -797,3 +797,36 @@ def test_bursty_hours_handbuilt():
                .to_pandas())
         assert list(got["key"]) == ["a"]
         assert int(got["n_events"].iloc[0]) == 30
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_session_conversion_handbuilt():
+    """Within-session ordering: a purchase BEFORE the first view, or in
+    a different session, doesn't convert; one after it does; equal-
+    microsecond then-events don't count (strict time)."""
+    import pandas as pd
+    import ray.data
+
+    from pdf2doi_ray.stages.windows import session_conversion
+
+    base = pd.Timestamp("2024-01-01")
+    mk = lambda mins: base + pd.Timedelta(minutes=mins)
+    ev = pd.DataFrame([
+        # user 1, session 1: purchase, view, purchase -> converted
+        (1, mk(0), "purchase"), (1, mk(1), "view"), (1, mk(2), "purchase"),
+        # user 1, session 2 (gap > 30 min): view only -> not converted
+        (1, mk(60), "view"),
+        # user 2: view in session 1, purchase in session 2 -> neither
+        (2, mk(0), "view"), (2, mk(60), "purchase"),
+        # user 3: view and purchase at the IDENTICAL instant -> strict >
+        (3, mk(0), "view"), (3, mk(0), "purchase"),
+    ], columns=["user_id", "ts", "event_type"])
+    for blocks in (1, 4):
+        got = (session_conversion(
+            ray.data.from_pandas(ev).repartition(blocks), gap_s=1800)
+            .to_pandas().sort_values("user_id").reset_index(drop=True))
+        want = pd.DataFrame({
+            "user_id": [1, 2, 3],
+            "n_sessions": np.array([2, 2, 1], dtype=np.int64),
+            "n_converted": np.array([1, 0, 0], dtype=np.int64)})
+        pd.testing.assert_frame_equal(got, want)
