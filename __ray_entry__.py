@@ -3379,6 +3379,53 @@ def _q_bucketed_lookup(sf_dir: str):
                                     "o_totalprice"])
 
 
+def _q_profit_by_nation_year(sf_dir: str):
+    """TPC-H-Q9-style profit by supplier nation × ship year over 'widget'
+    parts — exact integer milli-profit (revenue kernel minus
+    retail_milli×qty cost term), dims broadcast, one combiner groupby."""
+    import ray.data
+
+    from pdf2doi_ray.stages.joins import profit_by_nation_year
+    rd = lambda t, cols=None: ray.data.read_parquet(  # noqa: E731
+        f"{sf_dir}/{t}.parquet", columns=cols)
+    return profit_by_nation_year(
+        rd("nation", ["n_nationkey", "n_name"]),
+        rd("supplier", ["s_suppkey", "s_nationkey"]),
+        rd("lineitem", ["l_partkey", "l_suppkey", "l_quantity",
+                        "l_extendedprice", "l_discount", "l_shipdate"]),
+        rd("part", ["p_partkey", "p_name", "p_retailprice"]),
+        name_substr="widget")
+
+
+def _q_cheapest_supplier_per_part(sf_dir: str):
+    """TPC-H-Q2-style min-cost supplier per small part — grouped
+    lexicographic argmin via one int64 composite Min, ties to the
+    smallest suppkey."""
+    import ray.data
+
+    from pdf2doi_ray.stages.joins import cheapest_supplier_per_part
+    rd = lambda t, cols=None: ray.data.read_parquet(  # noqa: E731
+        f"{sf_dir}/{t}.parquet", columns=cols)
+    return cheapest_supplier_per_part(
+        rd("lineitem", ["l_partkey", "l_suppkey", "l_extendedprice"]),
+        rd("part", ["p_partkey", "p_size"]), max_size=10)
+
+
+def _q_supplier_counts_by_part_class(sf_dir: str):
+    """TPC-H-Q16-style COUNT(DISTINCT supplier) per (brand, type, size)
+    part class — per-batch pair dedup, one pair groupby, broadcast
+    attrs, tiny class groupby."""
+    import ray.data
+
+    from pdf2doi_ray.stages.joins import supplier_counts_by_part_class
+    rd = lambda t, cols=None: ray.data.read_parquet(  # noqa: E731
+        f"{sf_dir}/{t}.parquet", columns=cols)
+    return supplier_counts_by_part_class(
+        rd("lineitem", ["l_partkey", "l_suppkey"]),
+        rd("part", ["p_partkey", "p_brand", "p_type", "p_size"]),
+        exclude_brand="Brand#1")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -3439,6 +3486,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "new_docs_anti_join": _q_new_docs_anti_join,
         "inverted_index_stats": _q_inverted_index_stats,
         "long_docs_above_p90": _q_long_docs_above_p90,
+        # --- round-4 continuation wave (never driver-checked) ---
+        "profit_by_nation_year": _q_profit_by_nation_year,
+        "cheapest_supplier_per_part": _q_cheapest_supplier_per_part,
+        "supplier_counts_by_part_class": _q_supplier_counts_by_part_class,
         "approx_value_quantiles": _q_approx_value_quantiles,
         "approx_value_quantiles_by_type": _q_approx_value_quantiles_by_type,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -6907,5 +6958,39 @@ SELECT source AS det,
        CAST(CASE WHEN count(DISTINCT lang) > 1 THEN 1 ELSE 0 END
             AS BIGINT) AS is_violation
 FROM documents GROUP BY 1
+"""
+    sql["profit_by_nation_year"] = """
+SELECT sn.n_name AS n_name,
+       CAST(year(l.l_shipdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1000)
+                     AS BIGINT)
+                - CAST(floor(p.p_retailprice * 1000) AS BIGINT)
+                  * CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS profit_milli
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%widget%'
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+GROUP BY 1, 2
+"""
+    sql["cheapest_supplier_per_part"] = """
+WITH c AS (SELECT l_partkey,
+                  CAST(floor(l_extendedprice * 1000) AS BIGINT) AS pm,
+                  l_suppkey
+           FROM lineitem
+           JOIN part ON l_partkey = p_partkey AND p_size <= 10),
+r AS (SELECT l_partkey, pm, l_suppkey,
+             row_number() OVER (PARTITION BY l_partkey
+                                ORDER BY pm, l_suppkey) AS rn
+      FROM c)
+SELECT l_partkey AS p_partkey, pm AS best_price_milli,
+       l_suppkey AS best_suppkey
+FROM r WHERE rn = 1
+"""
+    sql["supplier_counts_by_part_class"] = """
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+GROUP BY 1, 2, 3
 """
     return sql

@@ -1872,3 +1872,179 @@ def rebalance_matrix(ds, key_col: str, old_buckets: int,
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby(["old_bucket", "new_bucket"])
             .aggregate(Sum("n", alias_name="n_rows")))
+
+
+def profit_by_nation_year(nation, supplier, lineitem, part,
+                          name_substr: str = "widget"):
+    """TPC-H-Q9-style product-type profit: per supplier nation × ship
+    year, ``sum(revenue − cost)`` over line items of parts whose name
+    contains ``name_substr`` — revenue is the house milli-revenue kernel
+    (``floor(extendedprice·(1−discount)·1000)``), cost is the Q9
+    ``supplycost·quantity`` term re-based on the part's retail price
+    (this schema has no partsupp table): ``floor(retailprice·1000) ·
+    quantity``.  Both terms are int64-exact and bit-identical to the SQL
+    oracle, so the aggregate carries no float.
+
+    Plan (no fact-fact exchange at all): part (filtered, ≤|part| rows of
+    (key, retail_milli)) and supplier→nation (s_suppkey→n_name) collapse
+    broadcast-side; lineitem streams ONCE through the two pyarrow hash
+    joins and a per-batch (n_name, year) combiner; the only exchange is
+    a ≤|nations·years|-row groupby Sum.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ..arrowutil import one_chunk
+
+    def filter_part(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.match_substring(t["p_name"], name_substr))
+        retail = np.asarray(one_chunk(t["p_retailprice"]), dtype=np.float64)
+        return pa.table({
+            "p_partkey": t["p_partkey"],
+            "retail_milli": pa.array(
+                np.floor(retail * 1000.0).astype(np.int64))})
+
+    parts_f = part.map_batches(filter_part, batch_format="pyarrow")
+    supp_nat = broadcast_hash_join(
+        supplier.select_columns(["s_suppkey", "s_nationkey"]), nation,
+        on=["s_nationkey"], right_on=["n_nationkey"],
+        project=["s_suppkey", "n_name"])
+
+    def reduce_li(t: pa.Table) -> pa.Table:
+        price = np.asarray(one_chunk(t["l_extendedprice"]), dtype=np.float64)
+        disc = np.asarray(one_chunk(t["l_discount"]), dtype=np.float64)
+        qty = np.asarray(one_chunk(t["l_quantity"]),
+                         dtype=np.float64).astype(np.int64)
+        rev = np.floor(price * (1.0 - disc) * 1000.0).astype(np.int64)
+        yr = pc.cast(pc.year(t["l_shipdate"]), pa.int64())
+        return pa.table({"l_partkey": t["l_partkey"],
+                         "l_suppkey": t["l_suppkey"],
+                         "rev": pa.array(rev), "qty": pa.array(qty),
+                         "o_year": yr})
+
+    li = broadcast_hash_join(
+        lineitem.map_batches(reduce_li, batch_format="pyarrow"), parts_f,
+        on=["l_partkey"], right_on=["p_partkey"],
+        project=["l_suppkey", "rev", "qty", "o_year", "retail_milli"])
+    li = broadcast_hash_join(
+        li, supp_nat, on=["l_suppkey"], right_on=["s_suppkey"],
+        project=["rev", "qty", "o_year", "retail_milli", "n_name"])
+
+    def combine(t: pa.Table) -> pa.Table:
+        rev = np.asarray(one_chunk(t["rev"]))
+        cost = (np.asarray(one_chunk(t["retail_milli"]))
+                * np.asarray(one_chunk(t["qty"])))
+        g = pa.table({"n_name": t["n_name"], "o_year": t["o_year"],
+                      "profit": pa.array(rev - cost)}) \
+            .group_by(["n_name", "o_year"]).aggregate([("profit", "sum")])
+        return g.select(["n_name", "o_year", "profit_sum"]) \
+            .rename_columns(["n_name", "o_year", "profit"])
+
+    return (li.map_batches(combine, batch_format="pyarrow")
+            .groupby(["n_name", "o_year"])
+            .aggregate(Sum("profit", alias_name="profit_milli")))
+
+
+def cheapest_supplier_per_part(lineitem, part, max_size: int = 10):
+    """TPC-H-Q2-style minimum-cost supplier: for every part with
+    ``p_size ≤ max_size``, the supplier observed offering it at the
+    lowest line price, ties broken by the smallest supplier key — a
+    grouped lexicographic argmin over the fact table (this schema has no
+    partsupp, so the offer set is the observed lineitem rows).
+
+    The (price, suppkey) pair packs into one int64 composite
+    (``price_milli·2²⁰ + suppkey``; both ranges asserted) so the whole
+    argmin is a single ``groupby(partkey).Min`` after a per-batch
+    ``group_by`` combiner — one exchange carrying ≤|parts| rows per
+    batch, no sort, no window.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min
+
+    from ..arrowutil import one_chunk
+
+    keys = part.map_batches(
+        lambda t: t.filter(pc.less_equal(t["p_size"], max_size)).select(
+            ["p_partkey"]), batch_format="pyarrow")
+
+    li = broadcast_hash_join(
+        lineitem.select_columns(
+            ["l_partkey", "l_suppkey", "l_extendedprice"]), keys,
+        on=["l_partkey"], right_on=["p_partkey"], join_type="left semi")
+
+    def combine(t: pa.Table) -> pa.Table:
+        price = np.asarray(one_chunk(t["l_extendedprice"]),
+                           dtype=np.float64)
+        pm = np.floor(price * 1000.0).astype(np.int64)
+        sk = np.asarray(one_chunk(t["l_suppkey"])).astype(np.int64)
+        if len(sk):
+            assert sk.min() >= 0 and sk.max() < (1 << 20), \
+                "suppkey out of composite range"
+            assert pm.min() >= 0 and pm.max() < (1 << 42), \
+                "price_milli out of composite range"
+        comp = pm * (1 << 20) + sk
+        g = pa.table({"p_partkey": t["l_partkey"],
+                      "comp": pa.array(comp)}) \
+            .group_by("p_partkey").aggregate([("comp", "min")])
+        return g.select(["p_partkey", "comp_min"]) \
+            .rename_columns(["p_partkey", "comp"])
+
+    best = (li.map_batches(combine, batch_format="pyarrow")
+            .groupby("p_partkey").aggregate(Min("comp", alias_name="comp")))
+
+    def decode(t: pa.Table) -> pa.Table:
+        comp = np.asarray(one_chunk(t["comp"]))
+        return pa.table({
+            "p_partkey": t["p_partkey"],
+            "best_price_milli": pa.array(comp >> 20),
+            "best_suppkey": pa.array(comp & ((1 << 20) - 1))})
+
+    return best.map_batches(decode, batch_format="pyarrow")
+
+
+def supplier_counts_by_part_class(lineitem, part,
+                                  exclude_brand: str = "Brand#1"):
+    """TPC-H-Q16-style supplier counts: distinct suppliers observed per
+    (brand, type, size) part class, excluding one brand — the canonical
+    COUNT(DISTINCT) after a dimension join.
+
+    Distinctness is per CLASS, not per part (two parts of one class
+    sharing a supplier count that supplier once), so the part attributes
+    attach broadcast-side FIRST, each batch dedups its (brand, type,
+    size, suppkey) tuples with a pyarrow ``group_by``, and the one real
+    shuffle is a groupby over those combiner-reduced tuples.  The final
+    per-class count is a second, ≤|classes|-row exchange.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def filter_attrs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(pc.equal(t["p_brand"], exclude_brand)))
+        return pa.table({"p_partkey": t["p_partkey"],
+                         "p_brand": t["p_brand"], "p_type": t["p_type"],
+                         "p_size": pc.cast(t["p_size"], pa.int64())})
+
+    attrs = part.map_batches(filter_attrs, batch_format="pyarrow")
+
+    joined = broadcast_hash_join(
+        lineitem.select_columns(["l_partkey", "l_suppkey"]), attrs,
+        on=["l_partkey"], right_on=["p_partkey"],
+        project=["p_brand", "p_type", "p_size", "l_suppkey"])
+
+    def distinct_tuples(t: pa.Table) -> pa.Table:
+        return t.group_by(
+            ["p_brand", "p_type", "p_size", "l_suppkey"]).aggregate([])
+
+    tuples = (joined.map_batches(distinct_tuples, batch_format="pyarrow")
+              .groupby(["p_brand", "p_type", "p_size", "l_suppkey"])
+              .aggregate(Sum("l_suppkey", alias_name="_one")))
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(["p_brand", "p_type", "p_size"]).aggregate(
+            [([], "count_all")])
+        return g.select(["p_brand", "p_type", "p_size", "count_all"]) \
+            .rename_columns(["p_brand", "p_type", "p_size", "n"])
+
+    return (tuples.map_batches(combine, batch_format="pyarrow")
+            .groupby(["p_brand", "p_type", "p_size"])
+            .aggregate(Sum("n", alias_name="supplier_cnt")))

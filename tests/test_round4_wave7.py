@@ -1,0 +1,90 @@
+"""Round-4 wave-7 relational operators: Q9 profit, Q2 argmin, Q16 counts."""
+
+import datetime
+
+import pandas as pd
+import pytest
+
+
+def _rd(df, blocks=3):
+    import ray.data
+    return ray.data.from_pandas(df).repartition(blocks)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cheapest_supplier_tiebreak_smallest_suppkey():
+    """Equal-price offers resolve to the smallest supplier key, at every
+    block split (the composite Min must be split-invariant)."""
+    from pdf2doi_ray.stages.joins import cheapest_supplier_per_part
+
+    li = pd.DataFrame({
+        "l_partkey": [1, 1, 1, 2, 2, 3],
+        "l_suppkey": [9, 4, 7, 5, 6, 8],
+        # part 1: 9 and 4 tie at the min price; part 2: 6 is cheaper
+        "l_extendedprice": [10.0, 10.0, 12.5, 20.0, 19.99, 7.0]})
+    part = pd.DataFrame({"p_partkey": [1, 2, 3], "p_size": [5, 5, 50]})
+
+    for blocks in (1, 4):
+        got = cheapest_supplier_per_part(
+            _rd(li, blocks), _rd(part, 1), max_size=10) \
+            .to_pandas().sort_values("p_partkey").reset_index(drop=True)
+        assert got["p_partkey"].tolist() == [1, 2]  # part 3 too big
+        assert got["best_suppkey"].tolist() == [4, 6]
+        assert got["best_price_milli"].tolist() == [10000, 19990]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_supplier_counts_dedup_across_parts_of_one_class():
+    """A supplier supplying TWO parts of the same (brand, type, size)
+    class counts once — the dedup key is the class, not the part."""
+    from pdf2doi_ray.stages.joins import supplier_counts_by_part_class
+
+    part = pd.DataFrame({
+        "p_partkey": [1, 2, 3],
+        "p_brand": ["B2", "B2", "B1"],
+        "p_type": ["T", "T", "T"],
+        "p_size": pd.array([7, 7, 7], dtype="int32")})
+    li = pd.DataFrame({
+        "l_partkey": [1, 2, 1, 2, 3],
+        "l_suppkey": [100, 100, 101, 102, 100]})
+
+    got = supplier_counts_by_part_class(
+        _rd(li), _rd(part, 1), exclude_brand="B1") \
+        .to_pandas().reset_index(drop=True)
+    assert len(got) == 1
+    assert got.loc[0, "supplier_cnt"] == 3  # 100 once, 101, 102
+    assert str(got["p_size"].dtype) == "int64"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_profit_by_nation_year_handbuilt():
+    """Exact milli-profit on a handbuilt star: revenue kernel minus
+    retail_milli*qty, grouped by supplier nation and ship year."""
+    from pdf2doi_ray.stages.joins import profit_by_nation_year
+
+    nation = pd.DataFrame({"n_nationkey": [0, 1],
+                           "n_name": ["ALPHA", "BETA"],
+                           "n_regionkey": [0, 0]})
+    supplier = pd.DataFrame({"s_suppkey": [10, 11],
+                             "s_nationkey": [0, 1]})
+    part = pd.DataFrame({"p_partkey": [1, 2],
+                         "p_name": ["red widget", "blue bolt"],
+                         "p_retailprice": [5.00, 9.99]})
+    li = pd.DataFrame({
+        "l_partkey": [1, 1, 2],
+        "l_suppkey": [10, 11, 10],
+        "l_quantity": [2.0, 1.0, 3.0],
+        "l_extendedprice": [20.00, 8.00, 30.00],
+        "l_discount": [0.0, 0.5, 0.1],
+        "l_shipdate": [datetime.datetime(1995, 3, 1),
+                       datetime.datetime(1996, 7, 1),
+                       datetime.datetime(1995, 1, 1)]})
+
+    got = profit_by_nation_year(
+        _rd(nation, 1), _rd(supplier, 1), _rd(li), _rd(part, 1),
+        name_substr="widget").to_pandas() \
+        .sort_values(["n_name", "o_year"]).reset_index(drop=True)
+    # part 2 is not a widget; row1: 20000 - 5000*2 = 10000 (ALPHA 1995);
+    # row2: floor(8*0.5*1000)=4000 - 5000*1 = -1000 (BETA 1996)
+    assert got.values.tolist() == [["ALPHA", 1995, 10000],
+                                   ["BETA", 1996, -1000]]
