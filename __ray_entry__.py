@@ -3426,6 +3426,30 @@ def _q_supplier_counts_by_part_class(sf_dir: str):
         exclude_brand="Brand#1")
 
 
+def _q_longest_streak_per_user(sf_dir: str):
+    """Per-user longest same-type run in (ts, event_id) order — the
+    sorted-block gaps-and-islands engine with a per-user sharded stitch
+    for block-edge users."""
+    import ray.data
+
+    from pdf2doi_ray.stages.windows import longest_streak_per_user
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"])
+    return longest_streak_per_user(ev)
+
+
+def _q_peak_hour_by_type(sf_dir: str):
+    """Busiest hour-of-day per event type (ties → earlier hour) —
+    grouped argmax via one int64 composite Max, combiner-first."""
+    import ray.data
+
+    from pdf2doi_ray.stages.windows import peak_hour_by_type
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type"])
+    return peak_hour_by_type(ev)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -3490,6 +3514,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profit_by_nation_year": _q_profit_by_nation_year,
         "cheapest_supplier_per_part": _q_cheapest_supplier_per_part,
         "supplier_counts_by_part_class": _q_supplier_counts_by_part_class,
+        "longest_streak_per_user": _q_longest_streak_per_user,
+        "peak_hour_by_type": _q_peak_hour_by_type,
         "approx_value_quantiles": _q_approx_value_quantiles,
         "approx_value_quantiles_by_type": _q_approx_value_quantiles_by_type,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -6992,5 +7018,26 @@ SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE p_brand <> 'Brand#1'
 GROUP BY 1, 2, 3
+"""
+    sql["longest_streak_per_user"] = """
+WITH e AS (SELECT user_id, event_type,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn,
+                  row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) AS rn2
+           FROM events),
+r AS (SELECT user_id, CAST(count(*) AS BIGINT) AS len
+      FROM e GROUP BY user_id, event_type, rn - rn2)
+SELECT user_id, max(len) AS longest_streak FROM r GROUP BY user_id
+"""
+    sql["peak_hour_by_type"] = """
+WITH c AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS h,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+r AS (SELECT event_type, h, n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY n DESC, h) AS rn
+      FROM c)
+SELECT event_type, h AS peak_hour, n AS n_events FROM r WHERE rn = 1
 """
     return sql

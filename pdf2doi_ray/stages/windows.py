@@ -665,3 +665,156 @@ def session_conversion(events, gap_s: int = SESSION_GAP_SECONDS,
                              else t["user_id"]),
         stitch, num_shards=stitch_shards)
     return interior.union(cross)
+
+
+def longest_streak_per_user(events,
+                            stitch_shards: int = DEFAULT_STITCH_SHARDS):
+    """Per-user longest run of consecutive same-type events in
+    (ts, event_id) order — the gaps-and-islands "max streak" query
+    (longest unbroken click chain, error burst length) without a window
+    function engine.
+
+    Same sorted-block + sharded-stitch plan as :func:`session_counts`:
+    sort (user_id, ts, event_id); inside a block, run boundaries are one
+    vectorized comparison over dictionary-encoded types and the per-user
+    max run length falls out of ``np.maximum.reduceat`` over contiguous
+    runs.  Users interior to a block are provably complete; only the
+    ≤2 edge users per block re-emit raw rows, sharded by
+    ``user_id % P``, where the identical kernel reruns after a lexsort.
+    Returns (user_id, longest_streak), exact int64.
+    """
+    def _per_user_max(us, codes):
+        """(user, max_run) over arrays sorted by (user, ts, id)."""
+        n = len(us)
+        new_run = np.empty(n, dtype=bool)
+        new_run[0] = True
+        new_run[1:] = (us[1:] != us[:-1]) | (codes[1:] != codes[:-1])
+        rs = np.flatnonzero(new_run)
+        rlen = np.concatenate([rs[1:], [n]]) - rs
+        ruser = us[rs]
+        uchange = np.nonzero(ruser[1:] != ruser[:-1])[0] + 1
+        ustarts = np.concatenate([[0], uchange]).astype(np.int64)
+        return ruser[ustarts], np.maximum.reduceat(
+            rlen, ustarts).astype(np.int64)
+
+    def _cols(t):
+        us = np.asarray(one_chunk(t["user_id"])).astype(np.int64)
+        ts = np.asarray(pc.cast(pc.cast(one_chunk(t["ts"]),
+                                        pa.timestamp("us")), pa.int64()))
+        eid = np.asarray(one_chunk(t["event_id"])).astype(np.int64)
+        _, codes = np.unique(np.asarray(one_chunk(t["event_type"])),
+                             return_inverse=True)
+        return us, ts, eid, codes
+
+    def block_streaks(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "user_id": pa.array([], type=pa.int64()),
+            "longest_streak": pa.array([], type=pa.int64()),
+            "ts": pa.array([], type=pa.int64()),
+            "event_id": pa.array([], type=pa.int64()),
+            "event_type": pa.array([], type=pa.string()),
+            "boundary": pa.array([], type=pa.bool_())})
+        n = t.num_rows
+        if n == 0:
+            return empty
+        us, ts, eid, codes = _cols(t)
+        change = np.nonzero(us[1:] != us[:-1])[0] + 1
+        starts = np.concatenate([[0], change]).astype(np.int64)
+        last = len(starts) - 1
+        # interior users: strictly between the block's first and last user
+        lo, hi = starts[1] if last >= 1 else n, starts[last] if last >= 1 \
+            else 0
+        if lo < hi:
+            iu, imax = _per_user_max(us[lo:hi], codes[lo:hi])
+        else:
+            iu = imax = np.empty(0, dtype=np.int64)
+        edge_idx = np.concatenate([np.arange(0, lo),
+                                   np.arange(hi, n)]) if last >= 1 \
+            else np.arange(0, n)
+        n_i, n_b = len(iu), len(edge_idx)
+        types = np.asarray(one_chunk(t["event_type"]))
+        return pa.table({
+            "user_id": pa.array(np.concatenate([iu, us[edge_idx]])),
+            "longest_streak": pa.array(
+                np.concatenate([imax, np.full(n_b, -1, np.int64)])),
+            "ts": pa.array(
+                np.concatenate([np.full(n_i, -1, np.int64), ts[edge_idx]])),
+            "event_id": pa.array(
+                np.concatenate([np.full(n_i, -1, np.int64),
+                                eid[edge_idx]])),
+            "event_type": pa.array(
+                np.concatenate([np.full(n_i, "", dtype=object),
+                                types[edge_idx]]).astype(object)),
+            "boundary": pa.array([False] * n_i + [True] * n_b),
+        })
+
+    def stitch(t: pa.Table) -> pa.Table:
+        out_t = pa.table({"user_id": pa.array([], type=pa.int64()),
+                          "longest_streak": pa.array([], type=pa.int64())})
+        if t.num_rows == 0:
+            return out_t
+        us, ts, eid, codes = _cols(t)
+        order = np.lexsort((eid, ts, us))
+        u, mx = _per_user_max(us[order], codes[order])
+        return pa.table({"user_id": pa.array(u),
+                         "longest_streak": pa.array(mx)})
+
+    srt = events.sort(["user_id", "ts", "event_id"])
+    mixed = srt.map_batches(block_streaks, batch_format="pyarrow",
+                            batch_size=None).materialize()
+    interior = mixed.map_batches(
+        lambda t: t.filter(pc.equal(t["boundary"], False))
+        .select(["user_id", "longest_streak"]),
+        batch_format="pyarrow")
+    carries = mixed.map_batches(
+        lambda t: t.filter(t["boundary"])
+        .select(["user_id", "ts", "event_id", "event_type"]),
+        batch_format="pyarrow")
+    cross = sharded_stitch(
+        carries,
+        lambda t: np.asarray(one_chunk(t["user_id"])),
+        stitch, num_shards=stitch_shards)
+    return interior.union(cross)
+
+
+def peak_hour_by_type(events):
+    """Per event type, the busiest hour of day (0–23) and its event
+    count, ties broken toward the EARLIER hour — the grouped-argmax
+    shape (peak traffic hour per endpoint) as two tiny exchanges.
+
+    Counts pre-aggregate per batch, one ≤|types|·24-row groupby Sum
+    resolves global counts, and the argmax packs (count, 23−hour) into a
+    single int64 composite so a plain ``groupby(type).Max`` IS the
+    lexicographic (max count, min hour) winner — no sort, no window.
+    """
+    from ray.data.aggregate import Max, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = pc.cast(pc.hour(pc.cast(t["ts"], pa.timestamp("us"))),
+                    pa.int64())
+        g = pa.table({"event_type": t["event_type"], "h": h}) \
+            .group_by(["event_type", "h"]).aggregate([([], "count_all")])
+        return g.select(["event_type", "h", "count_all"]) \
+            .rename_columns(["event_type", "h", "n"])
+
+    counts = (events.map_batches(partial, batch_format="pyarrow")
+              .groupby(["event_type", "h"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def pack(t: pa.Table) -> pa.Table:
+        n = np.asarray(one_chunk(t["n"])).astype(np.int64)
+        h = np.asarray(one_chunk(t["h"])).astype(np.int64)
+        return pa.table({"event_type": t["event_type"],
+                         "comp": pa.array(n * 32 + (23 - h))})
+
+    best = (counts.map_batches(pack, batch_format="pyarrow")
+            .groupby("event_type").aggregate(Max("comp",
+                                                 alias_name="comp")))
+
+    def decode(t: pa.Table) -> pa.Table:
+        comp = np.asarray(one_chunk(t["comp"]))
+        return pa.table({"event_type": t["event_type"],
+                         "peak_hour": pa.array(23 - (comp % 32)),
+                         "n_events": pa.array(comp // 32)})
+
+    return best.map_batches(decode, batch_format="pyarrow")

@@ -88,3 +88,56 @@ def test_profit_by_nation_year_handbuilt():
     # row2: floor(8*0.5*1000)=4000 - 5000*1 = -1000 (BETA 1996)
     assert got.values.tolist() == [["ALPHA", 1995, 10000],
                                    ["BETA", 1996, -1000]]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_longest_streak_fuzz_vs_python_oracle():
+    """Sorted-block streak engine == brute-force per-user scan, under
+    many users spanning many blocks (edge-user stitch exercised)."""
+    import numpy as np
+    import ray.data
+
+    from pdf2doi_ray.stages.windows import longest_streak_per_user
+
+    rng = np.random.default_rng(407)
+    n = 3000
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 40, n).astype(np.int64),
+        "ts": pd.to_datetime(
+            rng.integers(0, 86400, n) * 1_000_000, unit="us"),
+        "event_type": rng.choice(["a", "b", "c"], n)})
+
+    want = {}
+    srt = df.sort_values(["user_id", "ts", "event_id"])
+    for uid, g in srt.groupby("user_id"):
+        best = run = 0
+        prev = None
+        for t in g["event_type"]:
+            run = run + 1 if t == prev else 1
+            prev = t
+            best = max(best, run)
+        want[uid] = best
+
+    for blocks in (1, 7):
+        got = longest_streak_per_user(
+            ray.data.from_pandas(df).repartition(blocks)).to_pandas()
+        got = dict(zip(got["user_id"], got["longest_streak"]))
+        assert got == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_peak_hour_tiebreak_earlier_hour():
+    """Equal peak counts resolve to the smaller hour of day."""
+    import ray.data
+
+    from pdf2doi_ray.stages.windows import peak_hour_by_type
+
+    ts = pd.to_datetime([
+        "2024-01-01 03:10", "2024-01-01 03:20",   # hour 3 ×2
+        "2024-01-02 01:00", "2024-01-02 01:30",   # hour 1 ×2 (tie → 1)
+        "2024-01-01 22:00"])
+    df = pd.DataFrame({"ts": ts, "event_type": ["x"] * 5})
+    got = peak_hour_by_type(ray.data.from_pandas(df).repartition(2)) \
+        .to_pandas()
+    assert got.values.tolist() == [["x", 1, 2]]
