@@ -3450,6 +3450,41 @@ def _q_peak_hour_by_type(sf_dir: str):
     return peak_hour_by_type(ev)
 
 
+def _q_hapax_ratio_by_lang(sf_dir: str):
+    """Per-language hapax-legomena stats — (lang, token) combiner
+    groupby, then a |langs|-row partial reduce; no token reaches the
+    driver."""
+    from pdf2doi_ray.stages.corpus import hapax_stats_by_lang
+    return hapax_stats_by_lang(_docs(sf_dir, ("doc_id", "text", "lang")))
+
+
+def _edges_sd(sf_dir: str):
+    """host_link_graph edges renamed to the generic (src, dst, n_links)
+    graph-op input schema."""
+    edges = _q_host_link_graph(sf_dir)
+
+    def rename(t):
+        import pyarrow as pa
+        return pa.table({"src": t["src_host"], "dst": t["dst_host"],
+                         "n_links": t["n_links"]})
+
+    return edges.map_batches(rename, batch_format="pyarrow")
+
+
+def _q_reciprocal_host_pairs(sf_dir: str):
+    """Mutual-link host pairs over the synthetic crawl graph — canonical
+    pair groupby Sum, both-directions filter."""
+    from pdf2doi_ray.stages.graph import reciprocal_pairs
+    return reciprocal_pairs(_edges_sd(sf_dir))
+
+
+def _q_host_out_degree_histogram(sf_dir: str):
+    """Fan-out distribution of the host link graph — degree per src,
+    then a tiny degree histogram groupby."""
+    from pdf2doi_ray.stages.graph import out_degree_histogram
+    return out_degree_histogram(_edges_sd(sf_dir))
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -3516,6 +3551,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_counts_by_part_class": _q_supplier_counts_by_part_class,
         "longest_streak_per_user": _q_longest_streak_per_user,
         "peak_hour_by_type": _q_peak_hour_by_type,
+        "hapax_ratio_by_lang": _q_hapax_ratio_by_lang,
+        "reciprocal_host_pairs": _q_reciprocal_host_pairs,
+        "host_out_degree_histogram": _q_host_out_degree_histogram,
         "approx_value_quantiles": _q_approx_value_quantiles,
         "approx_value_quantiles_by_type": _q_approx_value_quantiles_by_type,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -7039,5 +7077,55 @@ r AS (SELECT event_type, h, n,
                                 ORDER BY n DESC, h) AS rn
       FROM c)
 SELECT event_type, h AS peak_hour, n AS n_events FROM r WHERE rn = 1
+"""
+    sql["hapax_ratio_by_lang"] = """
+WITH l AS (SELECT lang,
+                  unnest(list_filter(string_split(text, ' '),
+                                     x -> x <> '')) AS tok
+           FROM documents),
+c AS (SELECT lang, tok, count(*) AS n FROM l GROUP BY 1, 2)
+SELECT lang,
+       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(count(*) AS BIGINT) AS vocab_size
+FROM c GROUP BY 1
+"""
+    _G_EDGES = """
+WITH src AS (SELECT doc_id,
+       'https://s' || CAST(doc_id % 5 AS VARCHAR) || '.example.org/d/'
+                   || CAST(doc_id AS VARCHAR) AS url,
+       text || ' <a href="https://s' || CAST(doc_id % 3 AS VARCHAR)
+            || '.example.org/p/' || CAST(doc_id AS VARCHAR) || '">doc</a>'
+            || CASE WHEN doc_id % 4 = 0
+                    THEN ' <a href="https://hub.example.org/'
+                         || CAST(doc_id % 7 AS VARCHAR) || '">hub</a>'
+                    ELSE '' END AS text
+       FROM documents),
+l AS (SELECT url,
+             UNNEST(regexp_extract_all(text,
+                 '<a href="([^"]*)">([^<]*)', 1)) AS href
+      FROM src),
+e AS (SELECT regexp_replace(regexp_replace(url,
+                 '^[a-z][a-z0-9+.-]*://', ''), '/.*$', '') AS src_host,
+             regexp_replace(regexp_replace(href,
+                 '^[a-z][a-z0-9+.-]*://', ''), '/.*$', '') AS dst_host
+      FROM l),
+g AS (SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n
+      FROM e GROUP BY 1, 2)
+"""
+    sql["reciprocal_host_pairs"] = _G_EDGES + """
+, p AS (SELECT least(src_host, dst_host) AS host_a,
+               greatest(src_host, dst_host) AS host_b,
+               sum(CASE WHEN src_host < dst_host THEN n ELSE 0 END) AS n_ab,
+               sum(CASE WHEN src_host > dst_host THEN n ELSE 0 END) AS n_ba
+        FROM g WHERE src_host <> dst_host GROUP BY 1, 2)
+SELECT host_a, host_b, CAST(n_ab AS BIGINT) AS n_ab,
+       CAST(n_ba AS BIGINT) AS n_ba
+FROM p WHERE n_ab > 0 AND n_ba > 0
+"""
+    sql["host_out_degree_histogram"] = _G_EDGES + """
+, d AS (SELECT src_host, CAST(count(*) AS BIGINT) AS out_degree
+        FROM g GROUP BY 1)
+SELECT out_degree, CAST(count(*) AS BIGINT) AS n_hosts
+FROM d GROUP BY 1
 """
     return sql

@@ -3428,3 +3428,49 @@ def lang_vocab_overlap(docs, lang_col: str = "lang"):
                                        "n_union", "jaccard_permille"]) \
         .astype({"n_shared": "int64", "n_union": "int64",
                  "jaccard_permille": "int64"})
+
+
+def hapax_stats_by_lang(docs):
+    """Per-language hapax-legomena statistics — how much of each
+    language's vocabulary occurs exactly once in the corpus (the
+    classic lexical-richness / OCR-noise signal: junk tokens are
+    overwhelmingly hapaxes).  Returns (lang, n_hapax, vocab_size),
+    exact int64.
+
+    Combiner-first: each batch collapses its (lang, token) occurrences
+    with an Arrow ``group_by`` before the ONE wide exchange
+    (``groupby(lang, token).Sum``); hapax-ness then needs only the
+    summed count per type, so the second exchange carries exactly
+    |langs| rows of per-batch (n_hapax, vocab) partials.  No token
+    list ever reaches the driver.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..arrowutil import one_chunk
+
+    def pair_counts(t: pa.Table) -> pa.Table:
+        flat, row_idx = _tokens_nonempty(t)
+        langs = np.asarray(one_chunk(t["lang"]))
+        g = pa.table({"lang": pa.array(langs[row_idx].astype(object),
+                                       type=pa.string()),
+                      "token": flat}) \
+            .group_by(["lang", "token"]).aggregate([([], "count_all")])
+        return g.select(["lang", "token", "count_all"]) \
+            .rename_columns(["lang", "token", "n"])
+
+    types = (docs.map_batches(pair_counts, batch_format="pyarrow")
+             .groupby(["lang", "token"]).aggregate(Sum("n", alias_name="n")))
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = np.asarray(one_chunk(t["n"]))
+        g = pa.table({"lang": t["lang"],
+                      "h": pa.array((n == 1).astype(np.int64)),
+                      "v": pa.array(np.ones(len(n), dtype=np.int64))}) \
+            .group_by("lang").aggregate([("h", "sum"), ("v", "sum")])
+        return g.select(["lang", "h_sum", "v_sum"]) \
+            .rename_columns(["lang", "h", "v"])
+
+    return (types.map_batches(partial, batch_format="pyarrow")
+            .groupby("lang")
+            .aggregate(Sum("h", alias_name="n_hapax"),
+                       Sum("v", alias_name="vocab_size")))

@@ -811,3 +811,73 @@ def bfs_depths(edges, source: str, max_depth: int = 8,
 
     return pd.DataFrame({"node": out_nodes,
                          "depth": np.array(out_depths, dtype=np.int64)})
+
+
+def reciprocal_pairs(edges):
+    """Mutual-link host pairs — unordered pairs {a, b} with links in
+    BOTH directions, plus each direction's link count: the reciprocity
+    cut of a crawl graph (mirror detection, link-exchange rings).
+
+    Input is the aggregated (src, dst, n_links) edge list (one row per
+    directed pair, e.g. :func:`.corpus.host_link_graph` output).  Each
+    edge maps to its canonical ``(min, max)`` pair carrying its count on
+    the matching side; ONE ≤|pairs|-row groupby Sum aligns the two
+    directions and a vectorized filter keeps pairs where both are
+    positive.  Self-loops drop.  Returns (host_a, host_b, n_ab, n_ba).
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ..arrowutil import one_chunk
+
+    def canon(t: pa.Table) -> pa.Table:
+        src = one_chunk(t["src"])
+        dst = one_chunk(t["dst"])
+        keep = pc.invert(pc.equal(src, dst))
+        t = pa.table({"src": src, "dst": dst, "n": t["n_links"]}) \
+            .filter(keep)
+        src, dst = one_chunk(t["src"]), one_chunk(t["dst"])
+        fwd = np.asarray(pc.less(src, dst))
+        n = np.asarray(one_chunk(t["n"])).astype(np.int64)
+        a = pc.if_else(pa.array(fwd), src, dst)
+        b = pc.if_else(pa.array(fwd), dst, src)
+        return pa.table({
+            "host_a": a, "host_b": b,
+            "n_ab": pa.array(np.where(fwd, n, 0)),
+            "n_ba": pa.array(np.where(fwd, 0, n))})
+
+    summed = (edges.map_batches(canon, batch_format="pyarrow")
+              .groupby(["host_a", "host_b"])
+              .aggregate(Sum("n_ab", alias_name="n_ab"),
+                         Sum("n_ba", alias_name="n_ba")))
+
+    def both(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater(t["n_ab"], 0), pc.greater(t["n_ba"], 0))
+        return t.filter(keep)
+
+    return summed.map_batches(both, batch_format="pyarrow")
+
+
+def out_degree_histogram(edges):
+    """Out-degree distribution of a distinct directed edge list — how
+    many source nodes have each fan-out (the power-law sanity plot of a
+    crawl graph, as data).  Input rows must be distinct (src, dst)
+    (aggregated edges); degree = rows per src.  Two tiny exchanges:
+    groupby(src).count, then per-batch degree histogramming into a
+    ≤|distinct degrees|-row groupby Sum.  Returns (out_degree, n_hosts).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from ..arrowutil import one_chunk
+
+    deg = edges.groupby("src").aggregate(Count(alias_name="deg"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = np.asarray(one_chunk(t["deg"])).astype(np.int64)
+        uniq, cnt = np.unique(d, return_counts=True)
+        return pa.table({"out_degree": pa.array(uniq),
+                         "n_hosts": pa.array(cnt.astype(np.int64))})
+
+    return (deg.map_batches(partial, batch_format="pyarrow")
+            .groupby("out_degree")
+            .aggregate(Sum("n_hosts", alias_name="n_hosts")))

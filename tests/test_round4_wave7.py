@@ -141,3 +141,57 @@ def test_peak_hour_tiebreak_earlier_hour():
     got = peak_hour_by_type(ray.data.from_pandas(df).repartition(2)) \
         .to_pandas()
     assert got.values.tolist() == [["x", 1, 2]]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_reciprocal_pairs_handbuilt():
+    """Only both-direction pairs survive; self-loops drop; counts land
+    on the canonical (min, max) orientation."""
+    import ray.data
+
+    from pdf2doi_ray.stages.graph import reciprocal_pairs
+
+    edges = pd.DataFrame({
+        "src": ["a", "b", "a", "c", "c"],
+        "dst": ["b", "a", "c", "c", "d"],
+        "n_links": [3, 2, 1, 9, 4]})
+    got = reciprocal_pairs(ray.data.from_pandas(edges).repartition(3)) \
+        .to_pandas().sort_values(["host_a", "host_b"]) \
+        .reset_index(drop=True)
+    # a<->b reciprocal; a->c one-way; c->c self-loop; c->d one-way
+    assert got.values.tolist() == [["a", "b", 3, 2]]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_out_degree_histogram_handbuilt():
+    import ray.data
+
+    from pdf2doi_ray.stages.graph import out_degree_histogram
+
+    edges = pd.DataFrame({
+        "src": ["a", "a", "a", "b", "c", "d"],
+        "dst": ["x", "y", "z", "x", "x", "y"],
+        "n_links": [1] * 6})
+    got = out_degree_histogram(
+        ray.data.from_pandas(edges).repartition(3)).to_pandas() \
+        .sort_values("out_degree").reset_index(drop=True)
+    # a: degree 3; b, c, d: degree 1
+    assert got.values.tolist() == [[1, 3], [3, 1]]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hapax_stats_handbuilt():
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import hapax_stats_by_lang
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "lang": ["en", "en", "de"],
+        "text": ["cat dog  cat", "dog fish", "cat"]})
+    got = hapax_stats_by_lang(
+        ray.data.from_pandas(docs).repartition(3)).to_pandas() \
+        .sort_values("lang").reset_index(drop=True)
+    # de: {cat:1} → 1 hapax / 1 vocab
+    # en: {cat:2, dog:2, fish:1} → 1 hapax / 3 vocab
+    assert got.values.tolist() == [["de", 1, 1], ["en", 1, 3]]
