@@ -3485,6 +3485,27 @@ def _q_host_out_degree_histogram(sf_dir: str):
     return out_degree_histogram(_edges_sd(sf_dir))
 
 
+def _q_scd2_user_state(sf_dir: str):
+    """Type-2 SCD build from the event stream: per-user state rows with
+    validity intervals, consecutive same-type events collapsed —
+    sorted-block kernel + per-user sharded stitch."""
+    import ray.data
+
+    from pdf2doi_ray.stages.windows import scd2_user_state
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"])
+    return scd2_user_state(ev)
+
+
+def _q_bibliographic_coupling(sf_dir: str):
+    """Source-host pairs by shared distinct destinations with exact
+    Jaccard integers (n_common, union_size) — dst-sharded vectorized
+    pair fan-out, degrees broadcast."""
+    from pdf2doi_ray.stages.graph import bibliographic_coupling
+    return bibliographic_coupling(_edges_sd(sf_dir))
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -3554,6 +3575,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hapax_ratio_by_lang": _q_hapax_ratio_by_lang,
         "reciprocal_host_pairs": _q_reciprocal_host_pairs,
         "host_out_degree_histogram": _q_host_out_degree_histogram,
+        "scd2_user_state": _q_scd2_user_state,
+        "bibliographic_coupling": _q_bibliographic_coupling,
         "approx_value_quantiles": _q_approx_value_quantiles,
         "approx_value_quantiles_by_type": _q_approx_value_quantiles_by_type,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -7127,5 +7150,32 @@ FROM p WHERE n_ab > 0 AND n_ba > 0
         FROM g GROUP BY 1)
 SELECT out_degree, CAST(count(*) AS BIGINT) AS n_hosts
 FROM d GROUP BY 1
+"""
+    sql["scd2_user_state"] = """
+WITH e AS (SELECT user_id, event_type,
+                  CAST(epoch_us(ts) AS BIGINT) AS us, event_id,
+                  lag(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev
+           FROM events),
+c AS (SELECT user_id, event_type, us, event_id FROM e
+      WHERE prev IS NULL OR prev <> event_type)
+SELECT user_id, event_type, us AS valid_from_us,
+       lead(us) OVER (PARTITION BY user_id
+                      ORDER BY us, event_id) AS valid_to_us
+FROM c
+"""
+    sql["bibliographic_coupling"] = _G_EDGES + """
+, dd AS (SELECT DISTINCT src_host, dst_host FROM e),
+deg AS (SELECT src_host, CAST(count(*) AS BIGINT) AS deg
+        FROM dd GROUP BY 1),
+p AS (SELECT a.src_host AS host_a, b.src_host AS host_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM dd a JOIN dd b
+        ON a.dst_host = b.dst_host AND a.src_host < b.src_host
+      GROUP BY 1, 2)
+SELECT p.host_a, p.host_b, p.n_common,
+       CAST(da.deg + db.deg - p.n_common AS BIGINT) AS union_size
+FROM p JOIN deg da ON da.src_host = p.host_a
+       JOIN deg db ON db.src_host = p.host_b
 """
     return sql

@@ -881,3 +881,106 @@ def out_degree_histogram(edges):
     return (deg.map_batches(partial, batch_format="pyarrow")
             .groupby("out_degree")
             .aggregate(Sum("n_hosts", alias_name="n_hosts")))
+
+
+def bibliographic_coupling(edges, max_fanout: int = 4096,
+                           num_shards: int = 32):
+    """Bibliographic-coupling projection with exact Jaccard integers:
+    pairs of SOURCE hosts linking to common destinations —
+    (host_a, host_b, n_common, union_size) where ``n_common`` counts
+    shared distinct dst hosts and ``union_size = deg(a)+deg(b)−common``
+    (so callers threshold J = common/union without any float leaving
+    the engine).  The dual of :func:`.corpus.co_citation_counts`
+    (shared dst instead of shared src page).
+
+    Plan: distinct (src, dst) edges shard by dst hash into the
+    sharded-stitch machinery; inside a shard ONE lexsort groups each
+    dst's sources and the i<j pair fan-out is the same repeat/arange
+    segment arithmetic as co-citation — vectorized, never per-group
+    Python.  Hub destinations cited by more than ``max_fanout`` sources
+    RAISE (quadratic blowup is a data problem the caller must cap or
+    pre-filter, the standard stop-pattern rule of similarity joins).
+    Degrees attach broadcast-side to the ≤|pairs| result.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from ..arrowutil import one_chunk
+    from .joins import broadcast_hash_join
+    from .stitch import sharded_stitch
+
+    dedges = (edges.map_batches(
+        lambda t: t.select(["src", "dst"]).group_by(
+            ["src", "dst"]).aggregate([]),
+        batch_format="pyarrow")
+        .groupby(["src", "dst"]).aggregate(Count(alias_name="_c")))
+
+    def shard_of(t: pa.Table) -> np.ndarray:
+        import pandas as pd
+        return pd.util.hash_array(
+            one_chunk(t["dst"]).to_numpy(zero_copy_only=False)) \
+            .astype(np.int64) & np.int64(0x7FFFFFFFFFFFFFFF)
+
+    empty = pa.table({"host_a": pa.array([], type=pa.string()),
+                      "host_b": pa.array([], type=pa.string()),
+                      "n": pa.array([], type=pa.int64())})
+
+    def pairs_in_shard(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        s = np.asarray(one_chunk(t["src"]).to_pandas(), dtype=object)
+        d = np.asarray(one_chunk(t["dst"]).to_pandas(), dtype=object)
+        order = np.lexsort((s.astype(str), d.astype(str)))
+        s, d = s[order], d[order]
+        new_seg = np.ones(len(d), dtype=bool)
+        new_seg[1:] = d[1:] != d[:-1]
+        seg_start = np.flatnonzero(new_seg)
+        m = np.diff(np.append(seg_start, len(d)))
+        if m.max(initial=0) > max_fanout:
+            raise ValueError(
+                f"bibliographic_coupling: a destination has {m.max()} "
+                f"sources (> max_fanout={max_fanout}); cap or pre-filter "
+                "hub destinations")
+        seg_end = np.repeat(seg_start + m, m)
+        row_idx = np.arange(len(d), dtype=np.int64)
+        cnt = seg_end - row_idx - 1
+        a_idx = np.repeat(row_idx, cnt)
+        grp_start = np.cumsum(cnt) - cnt
+        b_idx = (np.arange(cnt.sum(), dtype=np.int64)
+                 - np.repeat(grp_start, cnt)) + a_idx + 1
+        if not len(a_idx):
+            return empty
+        g = pa.table({"host_a": pa.array(s[a_idx].astype(object),
+                                         type=pa.string()),
+                      "host_b": pa.array(s[b_idx].astype(object),
+                                         type=pa.string()),
+                      "n": pa.array(np.ones(len(a_idx), np.int64))}) \
+            .group_by(["host_a", "host_b"]).aggregate([("n", "sum")])
+        return g.select(["host_a", "host_b", "n_sum"]) \
+            .rename_columns(["host_a", "host_b", "n"])
+
+    pair_counts = (sharded_stitch(dedges, shard_of, pairs_in_shard,
+                                  num_shards=num_shards)
+                   .groupby(["host_a", "host_b"])
+                   .aggregate(Sum("n", alias_name="n_common")))
+
+    deg = dedges.groupby("src").aggregate(Count(alias_name="deg"))
+    with_a = broadcast_hash_join(
+        pair_counts, deg, on=["host_a"], right_on=["src"],
+        project=["host_a", "host_b", "n_common", "deg"])
+    with_a = with_a.map_batches(
+        lambda t: t.rename_columns(
+            ["host_a", "host_b", "n_common", "deg_a"]),
+        batch_format="pyarrow")
+    both = broadcast_hash_join(
+        with_a, deg, on=["host_b"], right_on=["src"],
+        project=["host_a", "host_b", "n_common", "deg_a", "deg"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        nc = np.asarray(one_chunk(t["n_common"])).astype(np.int64)
+        da = np.asarray(one_chunk(t["deg_a"])).astype(np.int64)
+        db = np.asarray(one_chunk(t["deg"])).astype(np.int64)
+        return pa.table({"host_a": t["host_a"], "host_b": t["host_b"],
+                         "n_common": pa.array(nc),
+                         "union_size": pa.array(da + db - nc)})
+
+    return both.map_batches(finish, batch_format="pyarrow")

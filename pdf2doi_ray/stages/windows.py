@@ -818,3 +818,139 @@ def peak_hour_by_type(events):
                          "n_events": pa.array(comp // 32)})
 
     return best.map_batches(decode, batch_format="pyarrow")
+
+
+def scd2_user_state(events, stitch_shards: int = DEFAULT_STITCH_SHARDS):
+    """Type-2 slowly-changing-dimension build over an update stream:
+    collapse each user's consecutive same-type events into state rows
+    with validity intervals — (user_id, event_type, valid_from_us,
+    valid_to_us), ``valid_to_us`` NULL for the current state.  The
+    standard warehouse "dimension history from a change stream" op, in
+    (ts, event_id) order.
+
+    Same sorted-block + sharded-stitch plan as
+    :func:`longest_streak_per_user`: state changes are one vectorized
+    mask over dictionary codes; ``valid_to`` is the NEXT change's ts
+    within the user (a shifted gather, no window engine).  Interior
+    users finalize in-block; edge users re-emit raw rows to the per-user
+    stitch where the identical kernel reruns after a lexsort.
+    """
+    def _states(us, ts, eid, codes):
+        """SCD2 rows for arrays sorted by (user, ts, event_id)."""
+        n = len(us)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = (us[1:] != us[:-1]) | (codes[1:] != codes[:-1])
+        ci = np.flatnonzero(change)
+        cu, cf = us[ci], ts[ci]
+        # next change of the SAME user closes the interval
+        nxt = np.empty(len(ci), dtype=np.int64)
+        nxt[:-1] = cf[1:]
+        nxt[-1] = -1
+        same = np.empty(len(ci), dtype=bool)
+        same[:-1] = cu[1:] == cu[:-1]
+        same[-1] = False
+        return cu, ci, cf, np.where(same, nxt, -1)
+
+    def _cols(t):
+        us = np.asarray(one_chunk(t["user_id"])).astype(np.int64)
+        ts = np.asarray(pc.cast(pc.cast(one_chunk(t["ts"]),
+                                        pa.timestamp("us")), pa.int64()))
+        eid = np.asarray(one_chunk(t["event_id"])).astype(np.int64)
+        _, codes = np.unique(np.asarray(one_chunk(t["event_type"])),
+                             return_inverse=True)
+        return us, ts, eid, codes
+
+    def _emit(types, cu, ci, cf, cto):
+        return pa.table({
+            "user_id": pa.array(cu),
+            "event_type": pa.array(types[ci].astype(object),
+                                   type=pa.string()),
+            "valid_from_us": pa.array(cf),
+            "valid_to_us": pa.array(
+                np.ma.masked_array(cto, mask=(cto == -1)),
+                type=pa.int64())})
+
+    def block_states(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "user_id": pa.array([], type=pa.int64()),
+            "event_type": pa.array([], type=pa.string()),
+            "valid_from_us": pa.array([], type=pa.int64()),
+            "valid_to_us": pa.array([], type=pa.int64()),
+            "ts": pa.array([], type=pa.int64()),
+            "event_id": pa.array([], type=pa.int64()),
+            "boundary": pa.array([], type=pa.bool_())})
+        n = t.num_rows
+        if n == 0:
+            return empty
+        us, ts, eid, codes = _cols(t)
+        types = np.asarray(one_chunk(t["event_type"]))
+        change = np.nonzero(us[1:] != us[:-1])[0] + 1
+        starts = np.concatenate([[0], change]).astype(np.int64)
+        last = len(starts) - 1
+        lo = starts[1] if last >= 1 else n
+        hi = starts[last] if last >= 1 else 0
+        if lo < hi:
+            cu, ci, cf, cto = _states(us[lo:hi], ts[lo:hi], eid[lo:hi],
+                                      codes[lo:hi])
+            interior = _emit(types[lo:hi], cu, ci, cf, cto)
+        else:
+            interior = empty.select(["user_id", "event_type",
+                                     "valid_from_us", "valid_to_us"])
+        edge_idx = np.concatenate([np.arange(0, lo),
+                                   np.arange(hi, n)]) if last >= 1 \
+            else np.arange(0, n)
+        n_i, n_b = interior.num_rows, len(edge_idx)
+        return pa.table({
+            "user_id": pa.concat_arrays([
+                one_chunk(interior["user_id"]),
+                pa.array(us[edge_idx], type=pa.int64())]),
+            "event_type": pa.concat_arrays([
+                one_chunk(interior["event_type"]),
+                pa.array(types[edge_idx].astype(object),
+                         type=pa.string())]),
+            "valid_from_us": pa.concat_arrays([
+                one_chunk(interior["valid_from_us"]),
+                pa.array(np.full(n_b, -1, np.int64))]),
+            "valid_to_us": pa.concat_arrays([
+                one_chunk(pc.cast(interior["valid_to_us"], pa.int64())),
+                pa.array(np.full(n_b, -1, np.int64))]),
+            "ts": pa.concat_arrays([
+                pa.array(np.full(n_i, -1, np.int64)),
+                pa.array(ts[edge_idx])]),
+            "event_id": pa.concat_arrays([
+                pa.array(np.full(n_i, -1, np.int64)),
+                pa.array(eid[edge_idx])]),
+            "boundary": pa.array([False] * n_i + [True] * n_b),
+        })
+
+    def stitch(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "user_id": pa.array([], type=pa.int64()),
+                "event_type": pa.array([], type=pa.string()),
+                "valid_from_us": pa.array([], type=pa.int64()),
+                "valid_to_us": pa.array([], type=pa.int64())})
+        us, ts, eid, codes = _cols(t)
+        types = np.asarray(one_chunk(t["event_type"]))
+        order = np.lexsort((eid, ts, us))
+        cu, ci, cf, cto = _states(us[order], ts[order], eid[order],
+                                  codes[order])
+        return _emit(types[order], cu, ci, cf, cto)
+
+    srt = events.sort(["user_id", "ts", "event_id"])
+    mixed = srt.map_batches(block_states, batch_format="pyarrow",
+                            batch_size=None).materialize()
+    interior = mixed.map_batches(
+        lambda t: t.filter(pc.equal(t["boundary"], False))
+        .select(["user_id", "event_type", "valid_from_us", "valid_to_us"]),
+        batch_format="pyarrow")
+    carries = mixed.map_batches(
+        lambda t: t.filter(t["boundary"])
+        .select(["user_id", "ts", "event_id", "event_type"]),
+        batch_format="pyarrow")
+    cross = sharded_stitch(
+        carries,
+        lambda t: np.asarray(one_chunk(t["user_id"])),
+        stitch, num_shards=stitch_shards)
+    return interior.union(cross)

@@ -195,3 +195,65 @@ def test_hapax_stats_handbuilt():
     # de: {cat:1} → 1 hapax / 1 vocab
     # en: {cat:2, dog:2, fish:1} → 1 hapax / 3 vocab
     assert got.values.tolist() == [["de", 1, 1], ["en", 1, 3]]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_scd2_fuzz_vs_python_oracle():
+    """SCD2 intervals == brute-force per-user collapse under many users
+    spanning blocks; open intervals carry NULL valid_to."""
+    import numpy as np
+    import ray.data
+
+    from pdf2doi_ray.stages.windows import scd2_user_state
+
+    rng = np.random.default_rng(1311)
+    n = 2500
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 30, n).astype(np.int64),
+        "ts": pd.to_datetime(
+            rng.integers(0, 86400, n) * 1_000_000, unit="us"),
+        "event_type": rng.choice(["a", "b"], n)})
+
+    want = set()
+    srt = df.sort_values(["user_id", "ts", "event_id"])
+    for uid, g in srt.groupby("user_id"):
+        rows = list(zip(g["event_type"],
+                        g["ts"].astype("int64") // 1000))
+        changes = [(t, us) for i, (t, us) in enumerate(rows)
+                   if i == 0 or rows[i - 1][0] != t]
+        for i, (t, us) in enumerate(changes):
+            to = changes[i + 1][1] if i + 1 < len(changes) else None
+            want.add((uid, t, us, to))
+
+    for blocks in (1, 6):
+        got = scd2_user_state(
+            ray.data.from_pandas(df).repartition(blocks)).to_pandas()
+        gset = set(
+            (r.user_id, r.event_type, r.valid_from_us,
+             None if pd.isna(r.valid_to_us) else int(r.valid_to_us))
+            for r in got.itertuples())
+        assert gset == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bibliographic_coupling_handbuilt_and_fanout_cap():
+    import ray.data
+
+    from pdf2doi_ray.stages.graph import bibliographic_coupling
+
+    edges = pd.DataFrame({
+        "src": ["a", "a", "b", "b", "c", "a"],
+        "dst": ["x", "y", "x", "z", "x", "x"],   # a→x duplicated
+        "n_links": [1, 1, 1, 1, 1, 1]})
+    got = bibliographic_coupling(
+        ray.data.from_pandas(edges).repartition(3)).to_pandas() \
+        .sort_values(["host_a", "host_b"]).reset_index(drop=True)
+    # common dsts: (a,b): {x}; (a,c): {x}; (b,c): {x}
+    # degrees: a=2, b=2, c=1
+    assert got.values.tolist() == [["a", "b", 1, 3], ["a", "c", 1, 2],
+                                   ["b", "c", 1, 2]]
+
+    with pytest.raises(Exception, match="max_fanout"):
+        bibliographic_coupling(
+            ray.data.from_pandas(edges), max_fanout=2).to_pandas()
