@@ -3506,6 +3506,47 @@ def _q_bibliographic_coupling(sf_dir: str):
     return bibliographic_coupling(_edges_sd(sf_dir))
 
 
+def _q_user_gap_histogram(sf_dir: str):
+    """Log2-bucketed inter-event gap histogram (integer bucketing on
+    both engines) — sorted-block per-user gaps, ≤63-row partials, one
+    tiny groupby Sum."""
+    import ray.data
+
+    from pdf2doi_ray.stages.windows import user_gap_histogram
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id"])
+    return user_gap_histogram(ev)
+
+
+def _q_impute_value_by_type_median(sf_dir: str):
+    """Median imputation: values NULLed on a deterministic rule
+    (event_id % 7 == 0) refill with their event type's exact lower
+    median via grouped radix-select; exact milli output."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import impute_with_group_medians
+
+    def inject(t: pa.Table) -> pa.Table:
+        import numpy as np
+        eid = np.asarray(t["event_id"].combine_chunks()
+                         if isinstance(t["event_id"], pa.ChunkedArray)
+                         else t["event_id"]).astype(np.int64)
+        isnull = pa.array(eid % 7 == 0)
+        return pa.table({
+            "event_id": t["event_id"], "event_type": t["event_type"],
+            "value": pc.if_else(isnull, pa.scalar(None, pa.float64()),
+                                t["value"])})
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"]) \
+        .map_batches(inject, batch_format="pyarrow")
+    return impute_with_group_medians(ev, "event_type", "value",
+                                     "event_id")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -3577,6 +3618,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_out_degree_histogram": _q_host_out_degree_histogram,
         "scd2_user_state": _q_scd2_user_state,
         "bibliographic_coupling": _q_bibliographic_coupling,
+        "user_gap_histogram": _q_user_gap_histogram,
+        "impute_value_by_type_median": _q_impute_value_by_type_median,
         "approx_value_quantiles": _q_approx_value_quantiles,
         "approx_value_quantiles_by_type": _q_approx_value_quantiles_by_type,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -7177,5 +7220,32 @@ SELECT p.host_a, p.host_b, p.n_common,
        CAST(da.deg + db.deg - p.n_common AS BIGINT) AS union_size
 FROM p JOIN deg da ON da.src_host = p.host_a
        JOIN deg db ON db.src_host = p.host_b
+"""
+    sql["user_gap_histogram"] = """
+WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us, event_id
+           FROM events),
+g AS (SELECT us - lag(us) OVER (PARTITION BY user_id
+                                ORDER BY us, event_id) AS gap_us
+      FROM e),
+b AS (SELECT CAST(length(printf('%b', gap_us // 1000000 + 1)) - 1
+              AS BIGINT) AS gap_bucket
+      FROM g WHERE gap_us IS NOT NULL)
+SELECT gap_bucket, CAST(count(*) AS BIGINT) AS n_gaps
+FROM b GROUP BY 1
+"""
+    sql["impute_value_by_type_median"] = """
+WITH e AS (SELECT event_id, event_type,
+                  CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+           FROM events),
+nn AS (SELECT event_type, v FROM e WHERE v IS NOT NULL),
+r AS (SELECT event_type, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM nn),
+med AS (SELECT event_type, v AS mv FROM r WHERE rn = (n + 1) // 2)
+SELECT e.event_id, e.event_type,
+       CAST(floor(coalesce(e.v, m.mv) * 1000) AS BIGINT) AS value_milli,
+       e.v IS NULL AS was_imputed
+FROM e JOIN med m USING (event_type)
 """
     return sql

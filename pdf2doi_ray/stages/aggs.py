@@ -2292,3 +2292,50 @@ def activation_latency_quantiles(events, first_type: str = "view",
         rows.append((int(q), int(hist["latency_s"][pos])))
     return pd.DataFrame(rows, columns=["q_permille", "latency_s"]) \
         .astype("int64")
+
+
+def impute_with_group_medians(ds, group_col: str, value_col: str,
+                              id_col: str):
+    """Median imputation — fill each row's NULL ``value_col`` with its
+    group's exact lower median of the non-null values, the standard
+    numeric-feature cleaning step, with the repo's no-float-leaves
+    discipline: output carries ``value_milli = floor(value·1000)``
+    (original or imputed, identical IEEE ops on both engines) plus a
+    ``was_imputed`` flag.
+
+    Medians come from :func:`exact_kth_by_group` (streaming grouped
+    radix-select over the unbounded float64 domain — no sort, no
+    per-group collect); the ≤|groups| medians then ride the task
+    closure into ONE vectorized fill pass.  Two cheap counting passes +
+    four radix rounds + one map; the data never shuffles.
+
+    Returns (id_col, group_col, value_milli, was_imputed).
+    """
+    import pyarrow.compute as pc
+
+    from ..arrowutil import one_chunk
+
+    nn = ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t[value_col])),
+        batch_format="pyarrow").materialize()
+    counts = nn.groupby(group_col).count().to_pandas()
+    ranks = {r[group_col]: (int(r["count()"]) + 1) // 2
+             for _, r in counts.iterrows()}
+    med = exact_kth_by_group(nn, group_col, value_col, ranks)
+    gkeys = np.asarray(med["group"], dtype=str)  # sorted by group
+    gmeds = np.asarray(med["value"], dtype=np.float64)
+
+    def fill(t: pa.Table) -> pa.Table:
+        groups = np.asarray(one_chunk(t[group_col]), dtype=str)
+        vals = one_chunk(t[value_col]).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)   # Arrow nulls surface as NaN
+        isna = np.isnan(vals)
+        vals = vals.copy()
+        vals[isna] = gmeds[np.searchsorted(gkeys, groups[isna])]
+        return pa.table({
+            id_col: t[id_col], group_col: t[group_col],
+            "value_milli": pa.array(
+                np.floor(vals * 1000.0).astype(np.int64)),
+            "was_imputed": pa.array(isna)})
+
+    return ds.map_batches(fill, batch_format="pyarrow")

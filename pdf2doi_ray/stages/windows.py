@@ -954,3 +954,111 @@ def scd2_user_state(events, stitch_shards: int = DEFAULT_STITCH_SHARDS):
         lambda t: np.asarray(one_chunk(t["user_id"])),
         stitch, num_shards=stitch_shards)
     return interior.union(cross)
+
+
+_POW2 = np.concatenate([[0], 2 ** np.arange(63, dtype=np.int64)])
+
+
+def _log2_bucket(v: np.ndarray) -> np.ndarray:
+    """floor(log2(v)) for POSITIVE int64, computed by integer
+    comparisons (searchsorted over the 63 powers of two) — never
+    through float log2, whose rounding flips values near exact powers."""
+    return (np.searchsorted(_POW2, v, side="right") - 2).astype(np.int64)
+
+
+def user_gap_histogram(events,
+                       stitch_shards: int = DEFAULT_STITCH_SHARDS):
+    """Corpus-wide histogram of inter-event gaps, log2-bucketed in
+    seconds: bucket = floor(log2(gap_s + 1)) — the "how bursty is the
+    stream" diagnostic (bucket 0 = sub-second/same-second, 10 ≈ 17 min,
+    16 ≈ 18 h).  Returns (gap_bucket, n_gaps), exact int64: bucketing
+    is pure integer comparison on both the engine and the SQL oracle
+    (``length(printf('%b', g+1)) − 1``).
+
+    Sorted-block plan: gaps between adjacent (ts, event_id)-ordered
+    events of one user; interior users histogram in-block (a ≤63-row
+    partial per block), edge users re-emit raw rows to the per-user
+    stitch; ONE ≤63-row groupby Sum finishes.
+    """
+    def _hist(us, ts):
+        """Bucket counts over per-user adjacent gaps (sorted arrays)."""
+        same = us[1:] == us[:-1]
+        gap_s = (ts[1:] - ts[:-1])[same] // 1_000_000
+        b = _log2_bucket(gap_s + 1)
+        uniq, cnt = np.unique(b, return_counts=True)
+        return uniq, cnt.astype(np.int64)
+
+    def block_gaps(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "gap_bucket": pa.array([], type=pa.int64()),
+            "n_gaps": pa.array([], type=pa.int64()),
+            "user_id": pa.array([], type=pa.int64()),
+            "ts": pa.array([], type=pa.int64()),
+            "event_id": pa.array([], type=pa.int64()),
+            "boundary": pa.array([], type=pa.bool_())})
+        n = t.num_rows
+        if n == 0:
+            return empty
+        us = np.asarray(one_chunk(t["user_id"])).astype(np.int64)
+        ts = np.asarray(pc.cast(pc.cast(one_chunk(t["ts"]),
+                                        pa.timestamp("us")), pa.int64()))
+        eid = np.asarray(one_chunk(t["event_id"])).astype(np.int64)
+        change = np.nonzero(us[1:] != us[:-1])[0] + 1
+        starts = np.concatenate([[0], change]).astype(np.int64)
+        last = len(starts) - 1
+        lo = starts[1] if last >= 1 else n
+        hi = starts[last] if last >= 1 else 0
+        if lo < hi:
+            bk, cnt = _hist(us[lo:hi], ts[lo:hi])
+        else:
+            bk = cnt = np.empty(0, dtype=np.int64)
+        edge_idx = np.concatenate([np.arange(0, lo),
+                                   np.arange(hi, n)]) if last >= 1 \
+            else np.arange(0, n)
+        n_i, n_b = len(bk), len(edge_idx)
+        return pa.table({
+            "gap_bucket": pa.array(np.concatenate(
+                [bk, np.full(n_b, -1, np.int64)])),
+            "n_gaps": pa.array(np.concatenate(
+                [cnt, np.full(n_b, -1, np.int64)])),
+            "user_id": pa.array(np.concatenate(
+                [np.full(n_i, -1, np.int64), us[edge_idx]])),
+            "ts": pa.array(np.concatenate(
+                [np.full(n_i, -1, np.int64), ts[edge_idx]])),
+            "event_id": pa.array(np.concatenate(
+                [np.full(n_i, -1, np.int64), eid[edge_idx]])),
+            "boundary": pa.array([False] * n_i + [True] * n_b),
+        })
+
+    def stitch(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"gap_bucket": pa.array([], type=pa.int64()),
+                             "n_gaps": pa.array([], type=pa.int64())})
+        us = np.asarray(one_chunk(t["user_id"])).astype(np.int64)
+        ts = np.asarray(one_chunk(t["ts"])).astype(np.int64)
+        eid = np.asarray(one_chunk(t["event_id"])).astype(np.int64)
+        order = np.lexsort((eid, ts, us))
+        bk, cnt = _hist(us[order], ts[order])
+        return pa.table({"gap_bucket": pa.array(bk),
+                         "n_gaps": pa.array(cnt)})
+
+    from ray.data.aggregate import Sum
+
+    srt = events.sort(["user_id", "ts", "event_id"])
+    mixed = srt.map_batches(block_gaps, batch_format="pyarrow",
+                            batch_size=None).materialize()
+    interior = mixed.map_batches(
+        lambda t: t.filter(pc.equal(t["boundary"], False))
+        .select(["gap_bucket", "n_gaps"]),
+        batch_format="pyarrow")
+    carries = mixed.map_batches(
+        lambda t: t.filter(t["boundary"])
+        .select(["user_id", "ts", "event_id"]),
+        batch_format="pyarrow")
+    cross = sharded_stitch(
+        carries,
+        lambda t: np.asarray(one_chunk(t["user_id"])),
+        stitch, num_shards=stitch_shards)
+    return (interior.union(cross)
+            .groupby("gap_bucket")
+            .aggregate(Sum("n_gaps", alias_name="n_gaps")))

@@ -257,3 +257,55 @@ def test_bibliographic_coupling_handbuilt_and_fanout_cap():
     with pytest.raises(Exception, match="max_fanout"):
         bibliographic_coupling(
             ray.data.from_pandas(edges), max_fanout=2).to_pandas()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_gap_histogram_fuzz_vs_python_oracle():
+    """Gap buckets == brute-force lag over per-user sorted events,
+    including cross-block user boundaries; bucketing is pure-integer."""
+    import numpy as np
+    import ray.data
+
+    from pdf2doi_ray.stages.windows import user_gap_histogram
+
+    rng = np.random.default_rng(733)
+    n = 2000
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 25, n).astype(np.int64),
+        "ts": pd.to_datetime(
+            rng.integers(0, 10**9, n) * 1_000_000, unit="us")})
+
+    want = {}
+    srt = df.sort_values(["user_id", "ts", "event_id"])
+    for _, g in srt.groupby("user_id"):
+        us = (g["ts"].astype("int64") // 1000).to_numpy()
+        for gap in (us[1:] - us[:-1]):
+            b = (int(gap) // 1_000_000 + 1).bit_length() - 1
+            want[b] = want.get(b, 0) + 1
+
+    for blocks in (1, 5):
+        got = user_gap_histogram(
+            ray.data.from_pandas(df).repartition(blocks)).to_pandas()
+        assert dict(zip(got["gap_bucket"], got["n_gaps"])) == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_impute_group_median_handbuilt():
+    """NULLs fill with the group's exact lower median of non-nulls."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import impute_with_group_medians
+
+    df = pd.DataFrame({
+        "id": [1, 2, 3, 4, 5, 6],
+        "grp": ["a", "a", "a", "a", "b", "b"],
+        "val": [10.0, None, 30.0, 20.0, None, 7.5]})
+    got = impute_with_group_medians(
+        ray.data.from_pandas(df).repartition(3), "grp", "val", "id") \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    # a non-null: [10, 30, 20] → lower median 20; b: [7.5] → 7.5
+    assert got["value_milli"].tolist() == [10000, 20000, 30000, 20000,
+                                           7500, 7500]
+    assert got["was_imputed"].tolist() == [False, True, False, False,
+                                           True, False]
