@@ -3547,6 +3547,14 @@ def _q_impute_value_by_type_median(sf_dir: str):
                                      "event_id")
 
 
+def _q_host_clustering_coefficients(sf_dir: str):
+    """Per-host local clustering coefficient as exact (n_triangles,
+    n_wedges) integers — degree-ordered wedge fan-out, one shuffle hash
+    join to close triangles, degrees broadcast."""
+    from pdf2doi_ray.stages.graph import clustering_coefficients
+    return clustering_coefficients(_edges_sd(sf_dir))
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -3620,6 +3628,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bibliographic_coupling": _q_bibliographic_coupling,
         "user_gap_histogram": _q_user_gap_histogram,
         "impute_value_by_type_median": _q_impute_value_by_type_median,
+        "host_clustering_coefficients": _q_host_clustering_coefficients,
         "approx_value_quantiles": _q_approx_value_quantiles,
         "approx_value_quantiles_by_type": _q_approx_value_quantiles_by_type,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -7247,5 +7256,23 @@ SELECT e.event_id, e.event_type,
        CAST(floor(coalesce(e.v, m.mv) * 1000) AS BIGINT) AS value_milli,
        e.v IS NULL AS was_imputed
 FROM e JOIN med m USING (event_type)
+"""
+    sql["host_clustering_coefficients"] = _G_EDGES + """
+, und AS (SELECT DISTINCT least(src_host, dst_host) AS a,
+                          greatest(src_host, dst_host) AS b
+          FROM g WHERE src_host <> dst_host),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+        FROM (SELECT a AS node FROM und
+              UNION ALL SELECT b AS node FROM und) GROUP BY 1),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1 JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+tcnt AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+         FROM (SELECT x AS node FROM tri
+               UNION ALL SELECT y AS node FROM tri
+               UNION ALL SELECT z AS node FROM tri) GROUP BY 1)
+SELECT deg.node AS host, COALESCE(t.n_triangles, 0) AS n_triangles,
+       CAST(deg.deg * (deg.deg - 1) // 2 AS BIGINT) AS n_wedges
+FROM deg LEFT JOIN tcnt t USING (node)
 """
     return sql

@@ -984,3 +984,167 @@ def bibliographic_coupling(edges, max_fanout: int = 4096,
                          "union_size": pa.array(da + db - nc)})
 
     return both.map_batches(finish, batch_format="pyarrow")
+
+
+def clustering_coefficients(edges, max_fanout: int = 4096,
+                            num_shards: int = 32,
+                            num_partitions: int = 16):
+    """Per-node local clustering coefficient, as exact integers —
+    (host, n_triangles, n_wedges) with coefficient =
+    n_triangles / n_wedges left to the caller (no float leaves the
+    engine).  The standard "how clubby is this host's neighborhood"
+    graph statistic.
+
+    Degree-ordered triangle counting (the MapReduce-classic plan that
+    survives power-law graphs): the directed input symmetrizes to
+    distinct undirected (a<b) edges; each edge orients from its
+    lower-(degree, name) endpoint so every wedge is emitted by its
+    LOWEST-degree vertex — out-fanout is bounded by O(√m) on any graph,
+    hubs never fan out quadratically (``max_fanout`` still guards
+    pathology loudly).  Wedge (v, w | u) closes iff undirected edge
+    (v, w) exists: ONE shuffle hash join against the edge list — no
+    broadcast of the (potentially fact-sized) edge set.  Each found
+    triangle credits all three corners via an explode + ONE groupby
+    Sum; wedge counts are ``deg·(deg−1)/2`` straight off the degree
+    table.  Degrees broadcast (per-host dimension contract shared with
+    the other host-graph ops).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from ..arrowutil import collect_tables, one_chunk
+    from .joins import shuffle_hash_join
+    from .stitch import sharded_stitch
+
+    # distinct undirected edges, self-loops dropped
+    def undirect(t: pa.Table) -> pa.Table:
+        src, dst = one_chunk(t["src"]), one_chunk(t["dst"])
+        keep = pc.invert(pc.equal(src, dst))
+        src, dst = src.filter(keep), dst.filter(keep)
+        lo = pc.if_else(pc.less(src, dst), src, dst)
+        hi = pc.if_else(pc.less(src, dst), dst, src)
+        return pa.table({"a": lo, "b": hi}).group_by(["a", "b"]) \
+            .aggregate([])
+
+    und = (edges.map_batches(undirect, batch_format="pyarrow")
+           .groupby(["a", "b"]).aggregate(Count(alias_name="_c"))
+           .select_columns(["a", "b"]).materialize())
+
+    def explode_ends(t: pa.Table) -> pa.Table:
+        node = pa.concat_arrays([one_chunk(t["a"]), one_chunk(t["b"])])
+        return pa.table({"node": node})
+
+    deg_ds = (und.map_batches(explode_ends, batch_format="pyarrow")
+              .groupby("node").aggregate(Count(alias_name="deg")))
+    deg_tbl = collect_tables(deg_ds)
+    nodes = np.asarray(one_chunk(deg_tbl["node"]).to_pandas(),
+                       dtype=object).astype(str)
+    degs = np.asarray(one_chunk(deg_tbl["deg"])).astype(np.int64)
+    order = np.argsort(nodes)
+    nodes_sorted, degs_sorted = nodes[order], degs[order]
+
+    def _deg_of(names: np.ndarray) -> np.ndarray:
+        return degs_sorted[np.searchsorted(nodes_sorted, names)]
+
+    # orient each edge from the lower-(deg, name) endpoint
+    def orient(t: pa.Table) -> pa.Table:
+        a = np.asarray(one_chunk(t["a"]).to_pandas(), dtype=object)
+        b = np.asarray(one_chunk(t["b"]).to_pandas(), dtype=object)
+        da, db = _deg_of(a.astype(str)), _deg_of(b.astype(str))
+        # a < b by name already, so name breaks degree ties
+        a_first = da <= db
+        u = np.where(a_first, a, b)
+        v = np.where(a_first, b, a)
+        return pa.table({"u": pa.array(u.astype(object),
+                                       type=pa.string()),
+                         "v": pa.array(v.astype(object),
+                                       type=pa.string())})
+
+    oriented = und.map_batches(orient, batch_format="pyarrow")
+
+    empty_w = pa.table({"wa": pa.array([], type=pa.string()),
+                        "wb": pa.array([], type=pa.string()),
+                        "corner": pa.array([], type=pa.string())})
+
+    def wedges_in_shard(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_w
+        u = np.asarray(one_chunk(t["u"]).to_pandas(), dtype=object)
+        v = np.asarray(one_chunk(t["v"]).to_pandas(), dtype=object)
+        order = np.lexsort((v.astype(str), u.astype(str)))
+        u, v = u[order], v[order]
+        new_seg = np.ones(len(u), dtype=bool)
+        new_seg[1:] = u[1:] != u[:-1]
+        seg_start = np.flatnonzero(new_seg)
+        m = np.diff(np.append(seg_start, len(u)))
+        if m.max(initial=0) > max_fanout:
+            raise ValueError(
+                f"clustering_coefficients: oriented out-degree "
+                f"{m.max()} > max_fanout={max_fanout}")
+        seg_end = np.repeat(seg_start + m, m)
+        row_idx = np.arange(len(u), dtype=np.int64)
+        cnt = seg_end - row_idx - 1
+        a_idx = np.repeat(row_idx, cnt)
+        grp_start = np.cumsum(cnt) - cnt
+        b_idx = (np.arange(cnt.sum(), dtype=np.int64)
+                 - np.repeat(grp_start, cnt)) + a_idx + 1
+        if not len(a_idx):
+            return empty_w
+        # out-neighbors are name-sorted within the segment → va < vb
+        return pa.table({
+            "wa": pa.array(v[a_idx].astype(object), type=pa.string()),
+            "wb": pa.array(v[b_idx].astype(object), type=pa.string()),
+            "corner": pa.array(u[a_idx].astype(object),
+                               type=pa.string())})
+
+    def shard_of(t: pa.Table) -> np.ndarray:
+        import pandas as pd
+        return pd.util.hash_array(
+            one_chunk(t["u"]).to_numpy(zero_copy_only=False)) \
+            .astype(np.int64) & np.int64(0x7FFFFFFFFFFFFFFF)
+
+    wedges = sharded_stitch(oriented, shard_of, wedges_in_shard,
+                            num_shards=num_shards)
+
+    tri = shuffle_hash_join(
+        wedges, und, on=["wa", "wb"], right_on=["a", "b"],
+        join_type="inner", num_partitions=num_partitions,
+        project=["wa", "wb", "corner"])
+
+    def credit(t: pa.Table) -> pa.Table:
+        node = pa.concat_arrays([
+            pc.cast(one_chunk(t["wa"]), pa.string()),
+            pc.cast(one_chunk(t["wb"]), pa.string()),
+            pc.cast(one_chunk(t["corner"]), pa.string())])
+        g = pa.table({"node": node}).group_by("node") \
+            .aggregate([([], "count_all")])
+        return g.select(["node", "count_all"]) \
+            .rename_columns(["node", "n"])
+
+    tri_counts = (tri.map_batches(credit, batch_format="pyarrow")
+                  .groupby("node").aggregate(Sum("n", alias_name="n")))
+    tri_tbl = collect_tables(tri_counts)
+    tn = np.asarray(one_chunk(tri_tbl["node"]).to_pandas(),
+                    dtype=object).astype(str) if tri_tbl.num_rows \
+        else np.empty(0, dtype=str)
+    tc = np.asarray(one_chunk(tri_tbl["n"])).astype(np.int64) \
+        if tri_tbl.num_rows else np.empty(0, np.int64)
+    torder = np.argsort(tn)
+    tn, tc = tn[torder], tc[torder]
+
+    def finish(t: pa.Table) -> pa.Table:
+        node = np.asarray(one_chunk(t["node"]).to_pandas(),
+                          dtype=object).astype(str)
+        d = np.asarray(one_chunk(t["deg"])).astype(np.int64)
+        pos = np.searchsorted(tn, node)
+        hit = (pos < len(tn))
+        ntri = np.zeros(len(node), dtype=np.int64)
+        if len(tn):
+            pos = np.minimum(pos, len(tn) - 1)
+            hit = tn[pos] == node
+            ntri[hit] = tc[pos[hit]]
+        return pa.table({"host": pa.array(node.astype(object),
+                                          type=pa.string()),
+                         "n_triangles": pa.array(ntri),
+                         "n_wedges": pa.array(d * (d - 1) // 2)})
+
+    return deg_ds.map_batches(finish, batch_format="pyarrow")

@@ -309,3 +309,42 @@ def test_impute_group_median_handbuilt():
                                            7500, 7500]
     assert got["was_imputed"].tolist() == [False, True, False, False,
                                            True, False]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_clustering_coefficients_handbuilt():
+    """K4 minus one edge: triangle membership and wedge counts exact;
+    degree-ordered orientation never double-counts a triangle."""
+    import ray.data
+
+    from pdf2doi_ray.stages.graph import clustering_coefficients
+
+    # nodes a,b,c,d; edges: ab, ac, bc, bd, cd (two triangles abc, bcd)
+    edges = pd.DataFrame({
+        "src": ["a", "c", "b", "d", "c", "a"],   # directions mixed, one dup
+        "dst": ["b", "a", "c", "b", "d", "b"],
+        "n_links": [1] * 6})
+    got = clustering_coefficients(
+        ray.data.from_pandas(edges).repartition(3)).to_pandas() \
+        .sort_values("host").reset_index(drop=True)
+    # deg: a=2, b=3, c=3, d=2 → wedges 1, 3, 3, 1
+    # triangles per node: a∈{abc}=1, b∈{abc,bcd}=2, c=2, d=1
+    assert got.values.tolist() == [["a", 1, 1], ["b", 2, 3],
+                                   ["c", 2, 3], ["d", 1, 1]]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_clustering_triangle_free_graph_zero():
+    import ray.data
+
+    from pdf2doi_ray.stages.graph import clustering_coefficients
+
+    # 4-cycle: wedges exist, no triangles
+    edges = pd.DataFrame({
+        "src": ["a", "b", "c", "d"],
+        "dst": ["b", "c", "d", "a"],
+        "n_links": [1] * 4})
+    got = clustering_coefficients(
+        ray.data.from_pandas(edges)).to_pandas()
+    assert got["n_triangles"].tolist() == [0, 0, 0, 0]
+    assert got["n_wedges"].tolist() == [1, 1, 1, 1]
