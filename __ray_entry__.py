@@ -3555,6 +3555,55 @@ def _q_host_clustering_coefficients(sf_dir: str):
     return clustering_coefficients(_edges_sd(sf_dir))
 
 
+def _q_extraction_rate_by_chars_decile(sf_dir: str):
+    """End-to-end calibration composition: the staged identify cascade
+    keeps the parsed text, global deciles of extracted-text length come
+    from the exact histogram walk, and the rate per decile is one tiny
+    groupby — does extraction degrade on long pages?"""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pdf2doi_ray.pipelines.identify import identify_pages_staged
+    from pdf2doi_ray.stages.aggs import rate_by_value_decile
+
+    ids = identify_pages_staged(_pages(sf_dir), keep_columns=("text",))
+
+    def reduce(t):
+        return pa.table({
+            "value": pc.utf8_length(t["text"]).cast(pa.int64()),
+            "found": pc.is_valid(t["identifier"]).cast(pa.int64())})
+
+    return rate_by_value_decile(
+        ids.map_batches(reduce, batch_format="pyarrow"))
+
+
+def _q_excess_share_suppliers(sf_dir: str):
+    """TPC-H-Q20-flavored dominant-supplier audit over 'red' parts —
+    cross-multiplied 2·qty > total rule, pair combiner + totals over
+    pair sums, broadcast join back."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import excess_share_suppliers
+    rd = lambda t, cols=None: ray.data.read_parquet(  # noqa: E731
+        f"{sf_dir}/{t}.parquet", columns=cols)
+    return excess_share_suppliers(
+        rd("lineitem", ["l_partkey", "l_suppkey", "l_quantity"]),
+        rd("part", ["p_partkey", "p_name"]), name_substr="red")
+
+
+def _q_minmax_normalize_by_type(sf_dir: str):
+    """Grouped min-max normalization of event values to an exact
+    permille grid — two-aggregate broadcast, one vectorized pass."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import minmax_normalize_by_group
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"])
+    return minmax_normalize_by_group(ev, "event_type", "value",
+                                     "event_id")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -3629,6 +3678,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_gap_histogram": _q_user_gap_histogram,
         "impute_value_by_type_median": _q_impute_value_by_type_median,
         "host_clustering_coefficients": _q_host_clustering_coefficients,
+        "extraction_rate_by_chars_decile": _q_extraction_rate_by_chars_decile,
+        "excess_share_suppliers": _q_excess_share_suppliers,
+        "minmax_normalize_by_type": _q_minmax_normalize_by_type,
         "approx_value_quantiles": _q_approx_value_quantiles,
         "approx_value_quantiles_by_type": _q_approx_value_quantiles_by_type,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -7274,5 +7326,52 @@ tcnt AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
 SELECT deg.node AS host, COALESCE(t.n_triangles, 0) AS n_triangles,
        CAST(deg.deg * (deg.deg - 1) // 2 AS BIGINT) AS n_wedges
 FROM deg LEFT JOIN tcnt t USING (node)
+"""
+    sql["extraction_rate_by_chars_decile"] = f"""
+WITH d AS ({_D}),
+t AS (SELECT length(base_text || {_TEXT_SUFFIX}) AS v,
+             CASE WHEN ({_IDENTIFIER}) IS NOT NULL
+                  THEN 1 ELSE 0 END AS found
+      FROM d),
+r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
+             count(*) OVER () AS n FROM t),
+q AS (SELECT CAST(unnest([100, 200, 300, 400, 500, 600, 700, 800, 900])
+              AS BIGINT) AS qp),
+b AS (SELECT qp, min(v) AS bv FROM r CROSS JOIN q
+      WHERE rn >= ceil(qp * n / 1000.0) GROUP BY qp),
+a AS (SELECT t.v, t.found,
+             (SELECT count(*) FROM b WHERE b.bv <= t.v) AS decile
+      FROM t)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(sum(found) AS BIGINT) AS n_found,
+       CAST(count(*) AS BIGINT) AS n_pages
+FROM a GROUP BY 1
+"""
+    sql["excess_share_suppliers"] = """
+WITH f AS (SELECT l_partkey, l_suppkey,
+                  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+           FROM lineitem
+           JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+           GROUP BY 1, 2),
+t AS (SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS part_total,
+             CAST(count(*) AS BIGINT) AS n_suppliers
+      FROM f GROUP BY 1)
+SELECT f.l_partkey AS p_partkey, f.l_suppkey AS s_suppkey, f.qty,
+       t.part_total, t.n_suppliers
+FROM f JOIN t USING (l_partkey)
+WHERE f.qty * t.n_suppliers > 2 * t.part_total
+"""
+    sql["minmax_normalize_by_type"] = """
+WITH e AS (SELECT event_id, event_type,
+                  CAST(floor(value * 1000) AS BIGINT) AS vm
+           FROM events),
+m AS (SELECT event_id, event_type, vm,
+             min(vm) OVER (PARTITION BY event_type) AS lo,
+             max(vm) OVER (PARTITION BY event_type) AS hi
+      FROM e)
+SELECT event_id, event_type,
+       CASE WHEN hi > lo THEN (vm - lo) * 1000 // (hi - lo)
+            ELSE 0 END AS norm_permille
+FROM m
 """
     return sql

@@ -2339,3 +2339,158 @@ def impute_with_group_medians(ds, group_col: str, value_col: str,
             "was_imputed": pa.array(isna)})
 
     return ds.map_batches(fill, batch_format="pyarrow")
+
+
+def rate_by_value_decile(ds, n_tiles: int = 10):
+    """Success rate per value-n-tile: rows of (value:int64, found:0/1)
+    bucket into ``n_tiles`` tiles of the GLOBAL value distribution and
+    report per-tile (n_found, n_pages) — the "does extraction degrade on
+    long documents?" calibration query, exact end to end.
+
+    Tile boundaries are the exact rank-``ceil(q·n/1000)`` values from
+    the histogram-walk machinery (:func:`..stages.textstats.
+    quantiles_from_histogram` — bounded-cardinality integer statistic
+    contract); tile(v) = #{boundaries ≤ v}, a pure integer searchsorted
+    mirrored by the SQL ``count(*) WHERE v >= b`` rule.  Two passes over
+    a 2-int64-column reduced stream (materialized once); the only
+    exchanges are the tiny (value) histogram groupby and the ≤n_tiles-row
+    final groupby.
+    """
+    from ray.data.aggregate import Sum
+
+    from .textstats import quantiles_from_histogram
+
+    red = ds.materialize()
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = t.select(["value"]).group_by("value") \
+            .aggregate([([], "count_all")])
+        return g.select(["value", "count_all"]) \
+            .rename_columns(["value", "n"])
+
+    hist = (red.map_batches(hist_partial, batch_format="pyarrow")
+            .groupby("value").aggregate(Sum("n", alias_name="n"))
+            .to_pandas())
+    qs = [i * 1000 // n_tiles for i in range(1, n_tiles)]
+    btab = quantiles_from_histogram(hist, qs)
+    bounds = np.sort(np.asarray(btab["value"], dtype=np.int64))
+
+    def assign(t: pa.Table) -> pa.Table:
+        v = np.asarray(one_chunk(t["value"])).astype(np.int64)
+        tile = np.searchsorted(bounds, v, side="right").astype(np.int64)
+        g = pa.table({"decile": pa.array(tile), "found": t["found"]}) \
+            .group_by("decile").aggregate([("found", "sum"),
+                                           ("found", "count")])
+        return g.select(["decile", "found_sum", "found_count"]) \
+            .rename_columns(["decile", "n_found", "n_pages"])
+
+    return (red.map_batches(assign, batch_format="pyarrow")
+            .groupby("decile")
+            .aggregate(Sum("n_found", alias_name="n_found"),
+                       Sum("n_pages", alias_name="n_pages")))
+
+
+def excess_share_suppliers(lineitem, part, name_substr: str = "red",
+                           num_partitions: int = 8):
+    """TPC-H-Q20-flavored dominance query: (part, supplier) pairs whose
+    shipped quantity exceeds TWICE the part's fair share —
+    ``qty · n_suppliers > 2 · total`` — over parts whose name contains
+    ``name_substr``: the "one supplier dominates this SKU" audit,
+    decided by a cross-multiplied integer rule (no ratio ever
+    materializes).
+
+    One real exchange: per-batch (partkey, suppkey) quantity combiner →
+    groupby Sum; part totals AND supplier counts are a second aggregate
+    OVER THE PAIR SUMS (≤ |parts|·|suppliers| rows, not lineitem rows)
+    and come back via a broadcast join.  Returns
+    (p_partkey, s_suppkey, qty, part_total, n_suppliers).
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .joins import broadcast_hash_join
+
+    keys = part.map_batches(
+        lambda t: t.filter(pc.match_substring(t["p_name"], name_substr))
+        .select(["p_partkey"]), batch_format="pyarrow")
+
+    li = broadcast_hash_join(
+        lineitem.select_columns(["l_partkey", "l_suppkey", "l_quantity"]),
+        keys, on=["l_partkey"], right_on=["p_partkey"],
+        join_type="left semi")
+
+    def combine(t: pa.Table) -> pa.Table:
+        q = np.asarray(one_chunk(t["l_quantity"]),
+                       dtype=np.float64).astype(np.int64)
+        g = pa.table({"l_partkey": t["l_partkey"],
+                      "l_suppkey": t["l_suppkey"], "qty": pa.array(q)}) \
+            .group_by(["l_partkey", "l_suppkey"]).aggregate([("qty", "sum")])
+        return g.select(["l_partkey", "l_suppkey", "qty_sum"]) \
+            .rename_columns(["l_partkey", "l_suppkey", "qty"])
+
+    pair = (li.map_batches(combine, batch_format="pyarrow")
+            .groupby(["l_partkey", "l_suppkey"])
+            .aggregate(Sum("qty", alias_name="qty")))
+
+    from ray.data.aggregate import Count
+    totals = pair.groupby("l_partkey").aggregate(
+        Sum("qty", alias_name="part_total"),
+        Count(alias_name="n_suppliers"))
+
+    joined = broadcast_hash_join(
+        pair, totals, on=["l_partkey"],
+        project=["l_partkey", "l_suppkey", "qty", "part_total",
+                 "n_suppliers"])
+
+    def dominant(t: pa.Table) -> pa.Table:
+        keep = pc.greater(
+            pc.multiply(t["qty"], t["n_suppliers"]),
+            pc.multiply(t["part_total"], pa.scalar(2, pa.int64())))
+        t = t.filter(keep)
+        return pa.table({"p_partkey": t["l_partkey"],
+                         "s_suppkey": t["l_suppkey"],
+                         "qty": t["qty"], "part_total": t["part_total"],
+                         "n_suppliers": pc.cast(t["n_suppliers"],
+                                                pa.int64())})
+
+    return joined.map_batches(dominant, batch_format="pyarrow")
+
+
+def minmax_normalize_by_group(ds, group_col: str, value_col: str,
+                              id_col: str):
+    """Grouped min-max normalization to an exact permille grid:
+    ``norm = (vm − min)·1000 // (max − min)`` over milli-scaled values
+    (0 when the group is constant) — the feature-scaling step, with the
+    two-aggregate + broadcast shape: one combiner groupby computes each
+    group's (min, max), the ≤|groups| result rides the closure into a
+    single vectorized pass.  Returns (id, group, norm_permille).
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min
+
+    from .windowfns import _milli
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({id_col: t[id_col], group_col: t[group_col],
+                         "vm": pa.array(_milli(one_chunk(t[value_col])))})
+
+    vm_ds = ds.map_batches(prep, batch_format="pyarrow").materialize()
+    mm = vm_ds.groupby(group_col).aggregate(
+        Min("vm", alias_name="lo"), Max("vm", alias_name="hi")).to_pandas()
+    gkeys = np.asarray(mm[group_col], dtype=str)
+    order = np.argsort(gkeys)
+    gkeys = gkeys[order]
+    los = np.asarray(mm["lo"], dtype=np.int64)[order]
+    his = np.asarray(mm["hi"], dtype=np.int64)[order]
+
+    def norm(t: pa.Table) -> pa.Table:
+        g = np.asarray(one_chunk(t[group_col]), dtype=str)
+        vm = np.asarray(one_chunk(t["vm"])).astype(np.int64)
+        i = np.searchsorted(gkeys, g)
+        span = his[i] - los[i]
+        out = np.where(span > 0, (vm - los[i]) * 1000 // np.maximum(span, 1),
+                       0).astype(np.int64)
+        return pa.table({id_col: t[id_col], group_col: t[group_col],
+                         "norm_permille": pa.array(out)})
+
+    return vm_ds.map_batches(norm, batch_format="pyarrow")

@@ -348,3 +348,61 @@ def test_clustering_triangle_free_graph_zero():
         ray.data.from_pandas(edges)).to_pandas()
     assert got["n_triangles"].tolist() == [0, 0, 0, 0]
     assert got["n_wedges"].tolist() == [1, 1, 1, 1]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rate_by_value_decile_handbuilt():
+    """Tile = #{boundaries <= v} with the exact rank rule; rates per
+    tile are exact integer sums."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import rate_by_value_decile
+
+    # 20 rows, values 1..20, found on evens
+    df = pd.DataFrame({"value": range(1, 21),
+                       "found": [v % 2 == 0 for v in range(1, 21)]})
+    df["found"] = df["found"].astype("int64")
+    got = rate_by_value_decile(
+        ray.data.from_pandas(df).repartition(4), n_tiles=10).to_pandas() \
+        .sort_values("decile").reset_index(drop=True)
+    # boundaries at ranks ceil(q*20/1000) for q=100..900 → values 2,4,..18
+    # decile d covers 2 values; exactly one even in each pair
+    assert got["decile"].tolist() == list(range(10))
+    assert got["n_pages"].tolist() == [1, 2, 2, 2, 2, 2, 2, 2, 2, 3]
+    assert got["n_found"].sum() == 10
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_excess_share_cross_multiplied_rule():
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import excess_share_suppliers
+
+    li = pd.DataFrame({
+        "l_partkey": [1, 1, 1, 2, 2],
+        "l_suppkey": [7, 8, 9, 7, 8],
+        "l_quantity": [10.0, 1.0, 1.0, 5.0, 5.0]})
+    part = pd.DataFrame({"p_partkey": [1, 2],
+                         "p_name": ["red bolt", "red gear"]})
+    got = excess_share_suppliers(
+        ray.data.from_pandas(li).repartition(2),
+        ray.data.from_pandas(part), name_substr="red").to_pandas()
+    # part 1: ns=3 tot=12 → supplier 7: 10*3=30 > 24 → dominant
+    # part 2: ns=2 tot=10 → 5*2=10 not > 20
+    assert got.values.tolist() == [[1, 7, 10, 12, 3]]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minmax_normalize_constant_group_zero():
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import minmax_normalize_by_group
+
+    df = pd.DataFrame({
+        "id": [1, 2, 3, 4],
+        "grp": ["a", "a", "b", "b"],
+        "val": [1.0, 3.0, 5.0, 5.0]})
+    got = minmax_normalize_by_group(
+        ray.data.from_pandas(df).repartition(2), "grp", "val", "id") \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    assert got["norm_permille"].tolist() == [0, 1000, 0, 0]
