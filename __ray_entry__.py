@@ -3604,6 +3604,45 @@ def _q_minmax_normalize_by_type(sf_dir: str):
                                      "event_id")
 
 
+def _q_dense_hourly_counts(sf_dir: str):
+    """Zero-filled (type × hour) counts between the stream's first and
+    last hour — distributed range generation + broadcast left join."""
+    import ray.data
+
+    from pdf2doi_ray.stages.windows import dense_hourly_counts
+    return dense_hourly_counts(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]))
+
+
+def _q_topk_types_per_day(sf_dir: str):
+    """Per-day top-3 event types (count desc, type asc) — combiner
+    counts into the bounded-partial grouped top-k."""
+    import ray.data
+
+    from pdf2doi_ray.stages.windows import topk_types_per_window
+    return topk_types_per_window(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]), k=3)
+
+
+def _q_day_over_day_change(sf_dir: str):
+    """Per-type day-over-day count deltas with NULL first-day prev —
+    small counts self-joined shifted, broadcast."""
+    import ray.data
+
+    from pdf2doi_ray.stages.windows import day_over_day_change
+    return day_over_day_change(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]))
+
+
+def _q_user_ltv_buckets(sf_dir: str):
+    """Log2-bucketed user lifetime milli-value histogram."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import user_ltv_buckets
+    return user_ltv_buckets(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"]))
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -3681,6 +3720,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extraction_rate_by_chars_decile": _q_extraction_rate_by_chars_decile,
         "excess_share_suppliers": _q_excess_share_suppliers,
         "minmax_normalize_by_type": _q_minmax_normalize_by_type,
+        "dense_hourly_counts": _q_dense_hourly_counts,
+        "topk_types_per_day": _q_topk_types_per_day,
+        "day_over_day_change": _q_day_over_day_change,
+        "user_ltv_buckets": _q_user_ltv_buckets,
         "approx_value_quantiles": _q_approx_value_quantiles,
         "approx_value_quantiles_by_type": _q_approx_value_quantiles_by_type,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -7373,5 +7416,48 @@ SELECT event_id, event_type,
        CASE WHEN hi > lo THEN (vm - lo) * 1000 // (hi - lo)
             ELSE 0 END AS norm_permille
 FROM m
+"""
+    sql["dense_hourly_counts"] = """
+WITH c AS (SELECT event_type,
+                  CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS h,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+b AS (SELECT min(h) AS h0, max(h) AS h1 FROM c),
+ty AS (SELECT DISTINCT event_type FROM events),
+d AS (SELECT ty.event_type, b.h0 + g AS hour_bucket
+      FROM ty, b, UNNEST(range(b.h1 - b.h0 + 1)) AS t(g))
+SELECT d.event_type, CAST(d.hour_bucket AS BIGINT) AS hour_bucket,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+FROM d LEFT JOIN c
+  ON c.event_type = d.event_type AND c.h = d.hour_bucket
+"""
+    sql["topk_types_per_day"] = """
+WITH c AS (SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS w,
+                  event_type, CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+r AS (SELECT w, event_type, n,
+             CAST(row_number() OVER (PARTITION BY w
+                  ORDER BY n DESC, event_type) AS BIGINT) AS rank
+      FROM c)
+SELECT w AS window_day, rank, n AS n_events, event_type
+FROM r WHERE rank <= 3
+"""
+    sql["day_over_day_change"] = """
+WITH c AS (SELECT event_type,
+                  CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+                  CAST(count(*) AS BIGINT) AS n_events
+           FROM events GROUP BY 1, 2)
+SELECT c.event_type, c.day, c.n_events, p.n_events AS prev_n_events
+FROM c LEFT JOIN c p
+  ON p.event_type = c.event_type AND p.day = c.day - 1
+"""
+    sql["user_ltv_buckets"] = """
+WITH u AS (SELECT user_id,
+                  CAST(sum(CAST(floor(value * 1000) AS BIGINT))
+                       AS BIGINT) AS vm
+           FROM events GROUP BY 1)
+SELECT CAST(length(printf('%b', vm + 1)) - 1 AS BIGINT) AS ltv_bucket,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM u GROUP BY 1
 """
     return sql

@@ -2494,3 +2494,38 @@ def minmax_normalize_by_group(ds, group_col: str, value_col: str,
                          "norm_permille": pa.array(out)})
 
     return vm_ds.map_batches(norm, batch_format="pyarrow")
+
+
+def user_ltv_buckets(events):
+    """User-lifetime-value histogram, log2-bucketed: per-user exact
+    milli-value totals bucket by ``floor(log2(total_milli + 1))`` (the
+    whale-curve summary) — integer bucketing via the shared searchsorted
+    kernel, ``length(printf('%b', ·))`` on the SQL side.  Combiner sums
+    per batch, ONE groupby(user), a ≤64-row histogram groupby.  Returns
+    (ltv_bucket, n_users).
+    """
+    from ray.data.aggregate import Sum
+
+    from .windows import _log2_bucket
+    from .windowfns import _milli
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"user_id": t["user_id"],
+                      "vm": pa.array(_milli(one_chunk(t["value"])))}) \
+            .group_by("user_id").aggregate([("vm", "sum")])
+        return g.select(["user_id", "vm_sum"]) \
+            .rename_columns(["user_id", "vm"])
+
+    totals = (events.map_batches(partial, batch_format="pyarrow")
+              .groupby("user_id").aggregate(Sum("vm", alias_name="vm")))
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        vm = np.asarray(one_chunk(t["vm"])).astype(np.int64)
+        b = _log2_bucket(vm + 1)
+        uniq, cnt = np.unique(b, return_counts=True)
+        return pa.table({"ltv_bucket": pa.array(uniq),
+                         "n_users": pa.array(cnt.astype(np.int64))})
+
+    return (totals.map_batches(bucketize, batch_format="pyarrow")
+            .groupby("ltv_bucket")
+            .aggregate(Sum("n_users", alias_name="n_users")))

@@ -1062,3 +1062,142 @@ def user_gap_histogram(events,
     return (interior.union(cross)
             .groupby("gap_bucket")
             .aggregate(Sum("n_gaps", alias_name="n_gaps")))
+
+
+def dense_hourly_counts(events):
+    """Calendar-densified hourly counts: every (event_type, absolute
+    hour bucket) between the stream's first and last hour, zero-filled —
+    the gap-filling dimension densification every dashboard / anomaly
+    job needs before differencing (a missing hour must read 0, not be
+    absent).
+
+    Counts combine per batch then ONE small groupby; the dense frame is
+    GENERATED distributed (``ray.data.range`` over hours × types, a
+    divmod map — never a driver loop) and the sparse counts attach via a
+    broadcast left join (|types|·|hours| rows by contract).  Returns
+    (event_type, hour_bucket, n_events).
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..arrowutil import collect_tables
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = np.asarray(pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                                pa.int64()))
+        h = us // 3_600_000_000
+        g = pa.table({"event_type": t["event_type"],
+                      "h": pa.array(h, type=pa.int64())}) \
+            .group_by(["event_type", "h"]).aggregate([([], "count_all")])
+        return g.select(["event_type", "h", "count_all"]) \
+            .rename_columns(["event_type", "h", "n"])
+
+    counts = (events.map_batches(partial, batch_format="pyarrow")
+              .groupby(["event_type", "h"])
+              .aggregate(Sum("n", alias_name="n"))).materialize()
+
+    ctab = collect_tables(counts)   # |types|×|hours| by contract
+    hs = np.asarray(one_chunk(ctab["h"])).astype(np.int64)
+    types = sorted(set(one_chunk(ctab["event_type"]).to_pylist()))
+    h0, h1 = int(hs.min()), int(hs.max())
+    n_hours = h1 - h0 + 1
+
+    def gen(t: pa.Table) -> pa.Table:
+        i = np.asarray(one_chunk(t["id"])).astype(np.int64)
+        ty = np.asarray(types, dtype=object)[i // n_hours]
+        return pa.table({
+            "event_type": pa.array(ty, type=pa.string()),
+            "hour_bucket": pa.array(h0 + (i % n_hours))})
+
+    dense = ray.data.range(n_hours * len(types)) \
+        .map_batches(gen, batch_format="pyarrow")
+
+    from .joins import broadcast_hash_join
+
+    joined = broadcast_hash_join(
+        dense, counts, on=["event_type", "hour_bucket"],
+        right_on=["event_type", "h"], join_type="left outer",
+        project=["event_type", "hour_bucket", "n"])
+
+    def fill(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "hour_bucket": t["hour_bucket"],
+            "n_events": pc.fill_null(pc.cast(t["n"], pa.int64()), 0)})
+
+    return joined.map_batches(fill, batch_format="pyarrow")
+
+
+def topk_types_per_window(events, k: int = 3, window_s: int = 86400):
+    """Top-``k`` event types per tumbling window (count desc, type asc)
+    — the per-window leaderboard, composed from the combiner counts
+    plus the bounded-partial :func:`.windowfns.grouped_top_k` (≤k rows
+    per window per batch ever shuffle).  Returns
+    (window_day, rank, n_events, event_type).
+    """
+    from ray.data.aggregate import Sum
+
+    from .windowfns import grouped_top_k
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = np.asarray(pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                                pa.int64()))
+        w = us // (window_s * 1_000_000)
+        g = pa.table({"w": pa.array(w, type=pa.int64()),
+                      "event_type": t["event_type"]}) \
+            .group_by(["w", "event_type"]).aggregate([([], "count_all")])
+        return g.select(["w", "event_type", "count_all"]) \
+            .rename_columns(["w", "event_type", "n"])
+
+    counts = (events.map_batches(partial, batch_format="pyarrow")
+              .groupby(["w", "event_type"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    top = grouped_top_k(counts, "w", "n", "event_type", k)
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"window_day": t["w"], "rank": t["rank"],
+                         "n_events": t["n"],
+                         "event_type": t["event_type"]})
+
+    return top.map_batches(rename, batch_format="pyarrow")
+
+
+def day_over_day_change(events, window_s: int = 86400):
+    """Per-type day-over-day count deltas: (event_type, day, n_events,
+    prev_n_events) with NULL prev on each type's first day — the
+    differencing step behind trend alerts, kept as exact integers (the
+    caller divides).  Counts combine per batch into ONE small groupby;
+    the lag attaches by joining the (small, |types|·|days|-row by
+    contract) counts against themselves shifted one day, broadcast — no
+    sort, no window engine.
+    """
+    from ray.data.aggregate import Sum
+
+    from .joins import broadcast_hash_join
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = np.asarray(pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                                pa.int64()))
+        d = us // (window_s * 1_000_000)
+        g = pa.table({"event_type": t["event_type"],
+                      "day": pa.array(d, type=pa.int64())}) \
+            .group_by(["event_type", "day"]).aggregate([([], "count_all")])
+        return g.select(["event_type", "day", "count_all"]) \
+            .rename_columns(["event_type", "day", "n"])
+
+    counts = (events.map_batches(partial, batch_format="pyarrow")
+              .groupby(["event_type", "day"])
+              .aggregate(Sum("n", alias_name="n_events"))).materialize()
+
+    shifted = counts.map_batches(
+        lambda t: pa.table({
+            "event_type": t["event_type"],
+            "next_day": pc.add(t["day"], pa.scalar(1, pa.int64())),
+            "prev_n_events": t["n_events"]}),
+        batch_format="pyarrow")
+
+    return broadcast_hash_join(
+        counts, shifted, on=["event_type", "day"],
+        right_on=["event_type", "next_day"], join_type="left outer",
+        project=["event_type", "day", "n_events", "prev_n_events"])

@@ -406,3 +406,55 @@ def test_minmax_normalize_constant_group_zero():
         ray.data.from_pandas(df).repartition(2), "grp", "val", "id") \
         .to_pandas().sort_values("id").reset_index(drop=True)
     assert got["norm_permille"].tolist() == [0, 1000, 0, 0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_day_over_day_calendar_semantics_across_gap():
+    """prev is the previous CALENDAR day: a gap day yields NULL prev,
+    not the last existing day's count."""
+    import ray.data
+
+    from pdf2doi_ray.stages.windows import day_over_day_change
+
+    day = 86400
+    ts = pd.to_datetime([0, 10, day + 5, 3 * day + 1], unit="s")
+    df = pd.DataFrame({"ts": ts, "event_type": ["x"] * 4})
+    got = day_over_day_change(ray.data.from_pandas(df)).to_pandas() \
+        .sort_values("day").reset_index(drop=True)
+    assert got["day"].tolist() == [0, 1, 3]
+    assert got["n_events"].tolist() == [2, 1, 1]
+    prev = got["prev_n_events"].tolist()
+    assert pd.isna(prev[0]) and prev[1] == 2 and pd.isna(prev[2])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dense_hourly_zero_fill():
+    import ray.data
+
+    from pdf2doi_ray.stages.windows import dense_hourly_counts
+
+    ts = pd.to_datetime([0, 3 * 3600, 3 * 3600 + 10], unit="s")
+    df = pd.DataFrame({"ts": ts, "event_type": ["a", "a", "b"]})
+    got = dense_hourly_counts(ray.data.from_pandas(df)).to_pandas() \
+        .sort_values(["event_type", "hour_bucket"]).reset_index(drop=True)
+    # hours 0..3 × types a,b = 8 rows; zeros in the middle
+    assert len(got) == 8
+    assert got[got.event_type == "a"]["n_events"].tolist() == [1, 0, 0, 1]
+    assert got[got.event_type == "b"]["n_events"].tolist() == [0, 0, 0, 1]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_user_ltv_bucket_edges():
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import user_ltv_buckets
+
+    # totals (milli, per-value IEEE floor): u1 = 0 → bucket 0;
+    # u2 = 1 → bucket 1; u3 = floor(1.023·1000) = 1022 (binary 1.023 is
+    # just under) → 1023 → bucket 9; u4 = 1000 + 47 = 1047 → bucket 10
+    df = pd.DataFrame({
+        "user_id": [1, 2, 3, 4, 4],
+        "value": [0.0, 0.001, 1.023, 1.0, 0.047]})
+    got = user_ltv_buckets(ray.data.from_pandas(df).repartition(2)) \
+        .to_pandas().sort_values("ltv_bucket").reset_index(drop=True)
+    assert got.values.tolist() == [[0, 1], [1, 1], [9, 1], [10, 1]]
