@@ -3643,6 +3643,32 @@ def _q_user_ltv_buckets(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["user_id", "value"]))
 
 
+def _q_url_pattern_counts(sf_dir: str):
+    """Crawler-trap detector: digit runs collapse to N, pages count per
+    (host, pattern) — one RE2 replace + combiner groupby."""
+    from pdf2doi_ray.stages.corpus import url_pattern_counts
+    return url_pattern_counts(_pages(sf_dir))
+
+
+def _q_token_budget_allocation(sf_dir: str):
+    """Largest-remainder apportionment of a 1M-token budget across
+    languages, proportional to exact token counts."""
+    from pdf2doi_ray.stages.corpus import token_budget_allocation
+    return token_budget_allocation(
+        _docs(sf_dir, ("text", "lang")), budget=1_000_000,
+        group_col="lang")
+
+
+def _q_user_growth_curve(sf_dir: str):
+    """Daily new-user counts and the cumulative activation curve —
+    first-seen day per user via groupby Min, tiny day-series cumsum."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import user_growth_curve
+    return user_growth_curve(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]))
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -3724,6 +3750,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_types_per_day": _q_topk_types_per_day,
         "day_over_day_change": _q_day_over_day_change,
         "user_ltv_buckets": _q_user_ltv_buckets,
+        "url_pattern_counts": _q_url_pattern_counts,
+        "token_budget_allocation": _q_token_budget_allocation,
+        "user_growth_curve": _q_user_growth_curve,
         "approx_value_quantiles": _q_approx_value_quantiles,
         "approx_value_quantiles_by_type": _q_approx_value_quantiles_by_type,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -7459,5 +7488,46 @@ WITH u AS (SELECT user_id,
 SELECT CAST(length(printf('%b', vm + 1)) - 1 AS BIGINT) AS ltv_bucket,
        CAST(count(*) AS BIGINT) AS n_users
 FROM u GROUP BY 1
+"""
+    sql["url_pattern_counts"] = f"""
+WITH d AS ({_D}),
+u AS (SELECT 'site' || site || '.example.org' AS host,
+             regexp_replace({_URL}, '\\d+', 'N', 'g') AS pattern
+      FROM d)
+SELECT host, pattern, CAST(count(*) AS BIGINT) AS n_pages
+FROM u GROUP BY 1, 2
+"""
+    sql["token_budget_allocation"] = """
+WITH toks AS (SELECT lang,
+                     unnest(list_filter(string_split(text, ' '),
+                                        x -> x <> '')) AS tok
+              FROM documents),
+c AS (SELECT lang AS "group", CAST(count(*) AS BIGINT) AS n_tokens
+      FROM toks GROUP BY 1),
+t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM c),
+b AS (SELECT "group", n_tokens,
+             1000000 * n_tokens // total AS base,
+             1000000 * n_tokens - (1000000 * n_tokens // total) * total
+                 AS rem
+      FROM c, t),
+l AS (SELECT 1000000 - CAST(sum(base) AS BIGINT) AS leftover FROM b),
+r AS (SELECT "group", n_tokens, base,
+             row_number() OVER (ORDER BY rem DESC, "group") AS rk
+      FROM b)
+SELECT "group", n_tokens,
+       CAST(base + CASE WHEN rk <= (SELECT leftover FROM l)
+                        THEN 1 ELSE 0 END AS BIGINT) AS quota
+FROM r
+"""
+    sql["user_growth_curve"] = """
+WITH f AS (SELECT user_id,
+                  min(CAST(epoch_us(ts) AS BIGINT) // 86400000000) AS day
+           FROM events GROUP BY 1),
+d AS (SELECT day, CAST(count(*) AS BIGINT) AS n_new_users
+      FROM f GROUP BY 1)
+SELECT day, n_new_users,
+       CAST(sum(n_new_users) OVER (ORDER BY day
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+FROM d
 """
     return sql

@@ -2529,3 +2529,40 @@ def user_ltv_buckets(events):
     return (totals.map_batches(bucketize, batch_format="pyarrow")
             .groupby("ltv_bucket")
             .aggregate(Sum("n_users", alias_name="n_users")))
+
+
+def user_growth_curve(events, window_s: int = 86400):
+    """Cumulative-distinct-users growth curve: per day, how many users
+    appeared for the FIRST time and the running total — the activation
+    curve, exact without any day-ordered shuffle: first-seen day per
+    user is one ``groupby(user).Min`` over per-batch minima; daily
+    new-user counts are a ≤|days| aggregate whose running sum resolves
+    in one pass over the tiny day series (|days| rows by contract).
+    Returns pandas (day, n_new_users, cum_users).
+    """
+    from ray.data.aggregate import Min, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = np.asarray(pc.cast(pc.cast(one_chunk(t["ts"]),
+                                        pa.timestamp("us")), pa.int64()))
+        d = us // (window_s * 1_000_000)
+        g = pa.table({"user_id": t["user_id"],
+                      "day": pa.array(d, type=pa.int64())}) \
+            .group_by("user_id").aggregate([("day", "min")])
+        return g.select(["user_id", "day_min"]) \
+            .rename_columns(["user_id", "day"])
+
+    first = (events.map_batches(partial, batch_format="pyarrow")
+             .groupby("user_id").aggregate(Min("day", alias_name="day")))
+
+    def day_counts(t: pa.Table) -> pa.Table:
+        d = np.asarray(one_chunk(t["day"])).astype(np.int64)
+        uniq, cnt = np.unique(d, return_counts=True)
+        return pa.table({"day": pa.array(uniq),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    daily = (first.map_batches(day_counts, batch_format="pyarrow")
+             .groupby("day").aggregate(Sum("n", alias_name="n_new_users"))
+             .to_pandas().sort_values("day").reset_index(drop=True))
+    daily["cum_users"] = daily["n_new_users"].cumsum().astype("int64")
+    return daily

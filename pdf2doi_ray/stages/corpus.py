@@ -3474,3 +3474,72 @@ def hapax_stats_by_lang(docs):
             .groupby("lang")
             .aggregate(Sum("h", alias_name="n_hapax"),
                        Sum("v", alias_name="vocab_size")))
+
+
+def url_pattern_counts(pages, url_col: str = "url"):
+    """Crawler-trap detector: collapse every digit run in the URL to
+    ``N`` and count pages per (host, pattern) — a calendar/session-id
+    trap shows up as one pattern with a pathological count while real
+    content spreads over many.  One RE2 ``replace_substring_regex`` +
+    the shared host kernel per batch, per-batch combiner, ONE groupby.
+    Returns (host, pattern, n_pages).
+    """
+    from ray.data.aggregate import Sum
+
+    from ..arrowutil import one_chunk
+    from .skew import _hosts_vec
+
+    def partial(t: pa.Table) -> pa.Table:
+        urls = one_chunk(t[url_col])
+        pat = pc.replace_substring_regex(urls, r"\d+", "N")
+        g = pa.table({"host": _hosts_vec(urls), "pattern": pat}) \
+            .group_by(["host", "pattern"]).aggregate([([], "count_all")])
+        return g.select(["host", "pattern", "count_all"]) \
+            .rename_columns(["host", "pattern", "n"])
+
+    return (pages.map_batches(partial, batch_format="pyarrow")
+            .groupby(["host", "pattern"])
+            .aggregate(Sum("n", alias_name="n_pages")))
+
+
+def token_budget_allocation(docs, budget: int, group_col: str = "lang"):
+    """Largest-remainder budget split: allocate an integer token budget
+    across groups proportionally to their exact token counts —
+    ``base = budget·n//total`` per group, the ``budget − Σbase``
+    leftover units going to the largest remainders (ties to the smaller
+    group name): the standard seat-apportionment rule, used to pin
+    per-source quotas for a mixture before sampling.  Exact integers
+    end to end, deterministic under any block split.
+
+    Per-batch token-count combiner → ONE |groups|-row groupby; the
+    apportionment itself runs on the ≤|groups|-row result (driver-side
+    by contract, like every |groups|-bounded decision in the repo).
+    Returns pandas (group, n_tokens, quota).
+    """
+    from ray.data.aggregate import Sum
+
+    from ..arrowutil import one_chunk
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, row_idx = _tokens_nonempty(t)
+        langs = np.asarray(one_chunk(t[group_col]))
+        g = pa.table({"group": pa.array(langs[row_idx].astype(object),
+                                        type=pa.string())}) \
+            .group_by("group").aggregate([([], "count_all")])
+        return g.select(["group", "count_all"]) \
+            .rename_columns(["group", "n"])
+
+    counts = (docs.map_batches(partial, batch_format="pyarrow")
+              .groupby("group").aggregate(Sum("n", alias_name="n_tokens"))
+              .to_pandas().sort_values("group").reset_index(drop=True))
+    n = counts["n_tokens"].to_numpy().astype(np.int64)
+    total = int(n.sum())
+    base = budget * n // total
+    rem = budget * n - base * total        # remainder numerators
+    leftover = budget - int(base.sum())
+    # rank by (remainder desc, group asc); counts is group-sorted already
+    order = np.lexsort((np.arange(len(n)), -rem))
+    quota = base.copy()
+    quota[order[:leftover]] += 1
+    counts["quota"] = quota
+    return counts

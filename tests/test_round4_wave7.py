@@ -458,3 +458,56 @@ def test_user_ltv_bucket_edges():
     got = user_ltv_buckets(ray.data.from_pandas(df).repartition(2)) \
         .to_pandas().sort_values("ltv_bucket").reset_index(drop=True)
     assert got.values.tolist() == [[0, 1], [1, 1], [9, 1], [10, 1]]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_token_budget_largest_remainder_ties():
+    """Quotas sum exactly to the budget; leftover units go to the
+    largest remainders, ties to the smaller group name."""
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import token_budget_allocation
+
+    docs = pd.DataFrame({
+        "text": ["a b c", "d e", "f g", "h i", "j"],
+        "lang": ["en", "de", "fr", "zh", "es"]})
+    # counts: en 3, de 2, fr 2, zh 2, es 1 (total 10), budget 7:
+    # base = [2,1,1,1,0], rem = [1,4,4,4,7]/10, leftover = 2
+    # rank: es(7), then de/fr/zh tie(4) → de wins name tie → es,de +1
+    got = token_budget_allocation(
+        ray.data.from_pandas(docs).repartition(2), budget=7,
+        group_col="lang").set_index("group")["quota"].to_dict()
+    assert got == {"en": 2, "de": 2, "fr": 1, "zh": 1, "es": 1}
+    assert sum(got.values()) == 7
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_user_growth_curve_handbuilt():
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import user_growth_curve
+
+    day = 86400
+    df = pd.DataFrame({
+        "user_id": [1, 1, 2, 3, 3],
+        "ts": pd.to_datetime([0, 2 * day, 2 * day, day, 3 * day],
+                             unit="s")})
+    got = user_growth_curve(ray.data.from_pandas(df).repartition(2))
+    assert got.values.tolist() == [[0, 1, 1], [1, 1, 2], [2, 1, 3]]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_url_pattern_collapse():
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import url_pattern_counts
+
+    df = pd.DataFrame({"url": [
+        "https://h1.example.org/p/2024/01/a",
+        "https://h1.example.org/p/2023/12/a",
+        "https://h1.example.org/q"]})
+    got = url_pattern_counts(ray.data.from_pandas(df)).to_pandas() \
+        .sort_values("pattern").reset_index(drop=True)
+    assert got.values.tolist() == [
+        ["h1.example.org", "https://hN.example.org/p/N/N/a", 2],
+        ["h1.example.org", "https://hN.example.org/q", 1]]
