@@ -564,6 +564,34 @@ def main() -> None:
     if not headline_only:
         bench_query("rolling_user_sum_1m", q_rolling_large)
 
+    # SCD2 dimension build at 1M events (same 10x replication): the
+    # sorted-block change-collapse + per-user sharded stitch, end to end
+    def q_scd2_large():
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from pdf2doi_ray.stages.windows import scd2_user_state
+
+        def replicate(t: pa.Table) -> pa.Table:
+            parts = []
+            for k in range(10):
+                parts.append(pa.table({
+                    "event_id": pc.add(t["event_id"], k * 10_000_000),
+                    "ts": t["ts"],
+                    "user_id": pc.add(t["user_id"], k * 1_000_000),
+                    "event_type": t["event_type"],
+                }))
+            return pa.concat_tables(parts)
+
+        ev = ray.data.read_parquet(
+            f"{SF_DIR}/events.parquet",
+            columns=["event_id", "ts", "user_id", "event_type"]) \
+            .map_batches(replicate, batch_format="pyarrow")
+        scd2_user_state(ev).count()
+
+    if not headline_only:
+        bench_query("scd2_user_state_1m", q_scd2_large)
+
     # CCNet common-line removal at pages scale: with 240x replication every
     # base line is common, so the row stresses the full path — line-count
     # combiner, groupby over combiner rows, common-set broadcast, and the
