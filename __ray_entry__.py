@@ -3669,6 +3669,25 @@ def _q_user_growth_curve(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["ts", "user_id"]))
 
 
+def _q_session_length_histogram(sf_dir: str):
+    """Events-per-session distribution over gap sessions — sorted-block
+    per-session lengths histogrammed in-block, per-user stitch, one
+    tiny groupby Sum."""
+    import ray.data
+
+    from pdf2doi_ray.stages.windows import session_length_histogram
+    return session_length_histogram(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]))
+
+
+def _q_verbose_docs_vs_lang_median(sf_dir: str):
+    """Docs > 2× their language's exact token-count median —
+    radix-select medians + cross-multiplied integer gate."""
+    from pdf2doi_ray.stages.corpus import verbose_docs_vs_lang_median
+    return verbose_docs_vs_lang_median(
+        _docs(sf_dir, ("doc_id", "text", "lang")))
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -3753,6 +3772,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_pattern_counts": _q_url_pattern_counts,
         "token_budget_allocation": _q_token_budget_allocation,
         "user_growth_curve": _q_user_growth_curve,
+        "session_length_histogram": _q_session_length_histogram,
+        "verbose_docs_vs_lang_median": _q_verbose_docs_vs_lang_median,
         "approx_value_quantiles": _q_approx_value_quantiles,
         "approx_value_quantiles_by_type": _q_approx_value_quantiles_by_type,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -7529,5 +7550,39 @@ SELECT day, n_new_users,
        CAST(sum(n_new_users) OVER (ORDER BY day
             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
 FROM d
+"""
+    sql["session_length_histogram"] = """
+WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us
+           FROM events),
+s AS (SELECT user_id, us,
+             CASE WHEN lag(us) OVER w IS NULL
+                   OR us - lag(us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+sid AS (SELECT user_id,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                   ROWS UNBOUNDED PRECEDING) AS sess
+        FROM s),
+per AS (SELECT CAST(count(*) AS BIGINT) AS session_len
+        FROM sid GROUP BY user_id, sess)
+SELECT session_len, CAST(count(*) AS BIGINT) AS n_sessions
+FROM per GROUP BY 1
+"""
+    sql["verbose_docs_vs_lang_median"] = """
+WITH c AS (SELECT doc_id, lang,
+                  CAST(len(list_filter(string_split(text, ' '),
+                                       x -> x <> '')) AS BIGINT)
+                      AS n_tokens
+           FROM documents),
+r AS (SELECT lang, n_tokens AS v,
+             row_number() OVER (PARTITION BY lang ORDER BY n_tokens)
+                 AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM c),
+med AS (SELECT lang, CAST(v AS BIGINT) AS lang_median
+        FROM r WHERE rn = (n + 1) // 2)
+SELECT c.doc_id, c.lang, c.n_tokens, m.lang_median
+FROM c JOIN med m USING (lang)
+WHERE 2 * c.n_tokens > 3 * m.lang_median
 """
     return sql

@@ -3543,3 +3543,46 @@ def token_budget_allocation(docs, budget: int, group_col: str = "lang"):
     quota[order[:leftover]] += 1
     counts["quota"] = quota
     return counts
+
+
+def verbose_docs_vs_lang_median(docs):
+    """Docs more than 1.5× as long (in tokens) as their language's
+    exact median — the "suspiciously verbose for its language" outlier
+    gate, a cross-multiplied integer comparison (``2·n_tokens >
+    3·median``) against medians from the streaming grouped radix-select
+    (:func:`..stages.aggs.exact_kth_by_group`; no sort, no per-group
+    collect).  Two passes over a 3-column reduced stream; medians ride
+    the closure.  Returns (doc_id, lang, n_tokens, lang_median).
+    """
+    from ray.data.aggregate import Count
+
+    from ..arrowutil import one_chunk
+    from .aggs import exact_kth_by_group
+
+    def reduce(t: pa.Table) -> pa.Table:
+        flat, row_idx = _tokens_nonempty(t)
+        n = np.bincount(row_idx, minlength=t.num_rows).astype(np.int64)
+        return pa.table({"doc_id": t["doc_id"], "lang": t["lang"],
+                         "value": pa.array(n.astype(np.float64))})
+
+    red = docs.map_batches(reduce, batch_format="pyarrow").materialize()
+    counts = red.groupby("lang").count().to_pandas()
+    ranks = {str(r["lang"]): (int(r["count()"]) + 1) // 2
+             for _, r in counts.iterrows()}
+    med = exact_kth_by_group(red, "lang", "value", ranks)
+    gkeys = np.asarray(med["group"], dtype=str)
+    gmeds = np.asarray(med["value"], dtype=np.float64).astype(np.int64)
+
+    def flag(t: pa.Table) -> pa.Table:
+        langs = np.asarray(one_chunk(t["lang"]), dtype=str)
+        v = np.asarray(one_chunk(t["value"])).astype(np.int64)
+        m = gmeds[np.searchsorted(gkeys, langs)]
+        keep = 2 * v > 3 * m
+        return pa.table({"doc_id": one_chunk(t["doc_id"]).filter(
+                             pa.array(keep)),
+                         "lang": one_chunk(t["lang"]).filter(
+                             pa.array(keep)),
+                         "n_tokens": pa.array(v[keep]),
+                         "lang_median": pa.array(m[keep])})
+
+    return red.map_batches(flag, batch_format="pyarrow")

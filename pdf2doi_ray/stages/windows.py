@@ -1201,3 +1201,100 @@ def day_over_day_change(events, window_s: int = 86400):
         counts, shifted, on=["event_type", "day"],
         right_on=["event_type", "next_day"], join_type="left outer",
         project=["event_type", "day", "n_events", "prev_n_events"])
+
+
+def session_length_histogram(events, gap_s: int = SESSION_GAP_SECONDS,
+                             stitch_shards: int = DEFAULT_STITCH_SHARDS):
+    """Distribution of session lengths (events per gap-delimited
+    session) across all users — the engagement-shape summary behind
+    "how many one-event bounces?".  Returns (session_len, n_sessions),
+    exact int64; cardinality is bounded by the longest session.
+
+    Same sorted-block + sharded-stitch plan as :func:`session_counts`,
+    but the in-block kernel emits each interior user's per-session
+    lengths (segmented cumsum over gap flags + reduceat) already
+    histogrammed to ≤|distinct lengths| rows per block; edge users
+    re-emit raw rows to the per-user stitch.  ONE tiny groupby Sum
+    finishes.
+    """
+    gap_us = gap_s * 1_000_000
+
+    def _hist(us, ts):
+        """Histogram of session lengths over (user, ts)-sorted arrays."""
+        n = len(us)
+        new_sess = np.empty(n, dtype=bool)
+        new_sess[0] = True
+        new_sess[1:] = (us[1:] != us[:-1]) | ((ts[1:] - ts[:-1]) > gap_us)
+        ss = np.flatnonzero(new_sess)
+        slen = np.concatenate([ss[1:], [n]]) - ss
+        uniq, cnt = np.unique(slen, return_counts=True)
+        return uniq.astype(np.int64), cnt.astype(np.int64)
+
+    def block_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "session_len": pa.array([], type=pa.int64()),
+            "n_sessions": pa.array([], type=pa.int64()),
+            "user_id": pa.array([], type=pa.int64()),
+            "ts": pa.array([], type=pa.int64()),
+            "boundary": pa.array([], type=pa.bool_())})
+        n = t.num_rows
+        if n == 0:
+            return empty
+        us = np.asarray(one_chunk(t["user_id"])).astype(np.int64)
+        ts = np.asarray(pc.cast(pc.cast(one_chunk(t["ts"]),
+                                        pa.timestamp("us")), pa.int64()))
+        change = np.nonzero(us[1:] != us[:-1])[0] + 1
+        starts = np.concatenate([[0], change]).astype(np.int64)
+        last = len(starts) - 1
+        lo = starts[1] if last >= 1 else n
+        hi = starts[last] if last >= 1 else 0
+        if lo < hi:
+            ln, cnt = _hist(us[lo:hi], ts[lo:hi])
+        else:
+            ln = cnt = np.empty(0, dtype=np.int64)
+        edge_idx = np.concatenate([np.arange(0, lo),
+                                   np.arange(hi, n)]) if last >= 1 \
+            else np.arange(0, n)
+        n_i, n_b = len(ln), len(edge_idx)
+        return pa.table({
+            "session_len": pa.array(np.concatenate(
+                [ln, np.full(n_b, -1, np.int64)])),
+            "n_sessions": pa.array(np.concatenate(
+                [cnt, np.full(n_b, -1, np.int64)])),
+            "user_id": pa.array(np.concatenate(
+                [np.full(n_i, -1, np.int64), us[edge_idx]])),
+            "ts": pa.array(np.concatenate(
+                [np.full(n_i, -1, np.int64), ts[edge_idx]])),
+            "boundary": pa.array([False] * n_i + [True] * n_b),
+        })
+
+    def stitch(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"session_len": pa.array([], type=pa.int64()),
+                             "n_sessions": pa.array([], type=pa.int64())})
+        us = np.asarray(one_chunk(t["user_id"])).astype(np.int64)
+        ts = np.asarray(one_chunk(t["ts"])).astype(np.int64)
+        order = np.lexsort((ts, us))
+        ln, cnt = _hist(us[order], ts[order])
+        return pa.table({"session_len": pa.array(ln),
+                         "n_sessions": pa.array(cnt)})
+
+    from ray.data.aggregate import Sum
+
+    srt = events.sort(["user_id", "ts"])
+    mixed = srt.map_batches(block_fn, batch_format="pyarrow",
+                            batch_size=None).materialize()
+    interior = mixed.map_batches(
+        lambda t: t.filter(pc.equal(t["boundary"], False))
+        .select(["session_len", "n_sessions"]),
+        batch_format="pyarrow")
+    carries = mixed.map_batches(
+        lambda t: t.filter(t["boundary"]).select(["user_id", "ts"]),
+        batch_format="pyarrow")
+    cross = sharded_stitch(
+        carries,
+        lambda t: np.asarray(one_chunk(t["user_id"])),
+        stitch, num_shards=stitch_shards)
+    return (interior.union(cross)
+            .groupby("session_len")
+            .aggregate(Sum("n_sessions", alias_name="n_sessions")))

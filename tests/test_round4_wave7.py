@@ -511,3 +511,54 @@ def test_url_pattern_collapse():
     assert got.values.tolist() == [
         ["h1.example.org", "https://hN.example.org/p/N/N/a", 2],
         ["h1.example.org", "https://hN.example.org/q", 1]]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_session_length_histogram_fuzz():
+    """Session-length histogram == brute-force gap-cumsum per user,
+    across block splits."""
+    import numpy as np
+    import ray.data
+
+    from pdf2doi_ray.stages.windows import session_length_histogram
+
+    rng = np.random.default_rng(99)
+    n = 1500
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 20, n).astype(np.int64),
+        "ts": pd.to_datetime(
+            rng.integers(0, 5 * 86400, n) * 1_000_000, unit="us")})
+
+    want = {}
+    gap_us = 1800 * 1_000_000
+    for _, g in df.sort_values(["user_id", "ts"]).groupby("user_id"):
+        us = (g["ts"].astype("int64") // 1000).to_numpy()
+        ln = 0
+        for i in range(len(us)):
+            if i == 0 or us[i] - us[i - 1] > gap_us:
+                if ln:
+                    want[ln] = want.get(ln, 0) + 1
+                ln = 0
+            ln += 1
+        want[ln] = want.get(ln, 0) + 1
+
+    for blocks in (1, 6):
+        got = session_length_histogram(
+            ray.data.from_pandas(df).repartition(blocks)).to_pandas()
+        assert dict(zip(got["session_len"], got["n_sessions"])) == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_verbose_docs_gate_handbuilt():
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import verbose_docs_vs_lang_median
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "lang": ["en"] * 4,
+        # token counts 2, 2, 4, 2 → median 2; only 4 > 1.5×2 = 3
+        "text": ["a b", "c d", "e f g h", "i j"]})
+    got = verbose_docs_vs_lang_median(
+        ray.data.from_pandas(docs).repartition(2)).to_pandas()
+    assert got.values.tolist() == [[3, "en", 4, 2]]
