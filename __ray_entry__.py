@@ -3688,6 +3688,26 @@ def _q_verbose_docs_vs_lang_median(sf_dir: str):
         _docs(sf_dir, ("doc_id", "text", "lang")))
 
 
+def _q_global_value_rank(sf_dir: str):
+    """Distributed zipWithIndex: global ROW_NUMBER by (value_milli,
+    event_id) via sorted blocks + driver block-offset prefix."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import global_value_rank
+    return global_value_rank(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]))
+
+
+def _q_ks_value_click_vs_purchase(sf_dir: str):
+    """Exact integer two-sample KS distance between click and purchase
+    value distributions — histogram groupby + driver walk."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import ks_statistic_value
+    return ks_statistic_value(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]))
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -3774,6 +3794,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_growth_curve": _q_user_growth_curve,
         "session_length_histogram": _q_session_length_histogram,
         "verbose_docs_vs_lang_median": _q_verbose_docs_vs_lang_median,
+        "global_value_rank": _q_global_value_rank,
+        "ks_value_click_vs_purchase": _q_ks_value_click_vs_purchase,
         "approx_value_quantiles": _q_approx_value_quantiles,
         "approx_value_quantiles_by_type": _q_approx_value_quantiles_by_type,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -7584,5 +7606,36 @@ med AS (SELECT lang, CAST(v AS BIGINT) AS lang_median
 SELECT c.doc_id, c.lang, c.n_tokens, m.lang_median
 FROM c JOIN med m USING (lang)
 WHERE 2 * c.n_tokens > 3 * m.lang_median
+"""
+    sql["global_value_rank"] = """
+WITH e AS (SELECT event_id,
+                  CAST(floor(value * 1000) AS BIGINT) AS vm
+           FROM events)
+SELECT event_id,
+       CAST(row_number() OVER (ORDER BY vm, event_id) AS BIGINT) AS rank
+FROM e
+"""
+    sql["ks_value_click_vs_purchase"] = """
+WITH a AS (SELECT CAST(floor(value * 1000) AS BIGINT) AS vm,
+                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ca,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                      AS cb
+           FROM events WHERE event_type IN ('click', 'purchase')),
+h AS (SELECT vm, CAST(sum(ca) AS BIGINT) AS na,
+             CAST(sum(cb) AS BIGINT) AS nb
+      FROM a GROUP BY 1),
+t AS (SELECT CAST(sum(na) AS BIGINT) AS ta,
+             CAST(sum(nb) AS BIGINT) AS tb FROM h),
+c AS (SELECT vm,
+             sum(na) OVER (ORDER BY vm ROWS UNBOUNDED PRECEDING) AS cna,
+             sum(nb) OVER (ORDER BY vm ROWS UNBOUNDED PRECEDING) AS cnb
+      FROM h),
+d AS (SELECT c.vm, abs(c.cna * t.tb - c.cnb * t.ta) AS diff FROM c, t)
+SELECT CAST((SELECT max(diff) FROM d) AS BIGINT) AS ks_num,
+       CAST((SELECT min(vm) FROM d
+             WHERE diff = (SELECT max(diff) FROM d))
+            AS BIGINT) AS at_value_milli,
+       t.ta AS n_a, t.tb AS n_b
+FROM t
 """
     return sql

@@ -2566,3 +2566,107 @@ def user_growth_curve(events, window_s: int = 86400):
              .to_pandas().sort_values("day").reset_index(drop=True))
     daily["cum_users"] = daily["n_new_users"].cumsum().astype("int64")
     return daily
+
+
+def global_value_rank(events):
+    """``ROW_NUMBER() OVER (ORDER BY value_milli, event_id)`` — a GLOBAL
+    rank with no partition key: the distributed zipWithIndex.  After the
+    range-partitioned sort, blocks hold disjoint contiguous key ranges,
+    so one cheap pass collects each block's (first key, row count), the
+    driver prefix-sums the block offsets in key order (|blocks| rows —
+    driver-bounded by block count, never row count), and a second pass
+    adds ``offset + arange(n)`` per block.  Two passes over a
+    2-int64-column stream, no stitch: ranks never cross blocks.
+    Returns (event_id, rank).
+    """
+    from .windowfns import _milli
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t["event_id"],
+                         "vm": pa.array(_milli(one_chunk(t["value"])))})
+
+    srt = events.map_batches(prep, batch_format="pyarrow") \
+        .sort(["vm", "event_id"]).materialize()
+
+    def block_meta(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"k_vm": pa.array([], type=pa.int64()),
+                             "k_id": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        return pa.table({
+            "k_vm": pa.array([one_chunk(t["vm"])[0].as_py()],
+                             type=pa.int64()),
+            "k_id": pa.array([one_chunk(t["event_id"])[0].as_py()],
+                             type=pa.int64()),
+            "n": pa.array([t.num_rows], type=pa.int64())})
+
+    meta = srt.map_batches(block_meta, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    meta = meta.sort_values(["k_vm", "k_id"]).reset_index(drop=True)
+    offsets = np.concatenate([[0], meta["n"].cumsum().to_numpy()[:-1]]) \
+        .astype(np.int64)
+    key_vm = meta["k_vm"].to_numpy().astype(np.int64)
+    key_id = meta["k_id"].to_numpy().astype(np.int64)
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"event_id": pa.array([], type=pa.int64()),
+                             "rank": pa.array([], type=pa.int64())})
+        vm0 = one_chunk(t["vm"])[0].as_py()
+        id0 = one_chunk(t["event_id"])[0].as_py()
+        i = np.searchsorted(key_vm, vm0)
+        while key_vm[i] != vm0 or key_id[i] != id0:
+            i += 1
+        rank = offsets[i] + np.arange(1, t.num_rows + 1, dtype=np.int64)
+        return pa.table({"event_id": t["event_id"],
+                         "rank": pa.array(rank)})
+
+    return srt.map_batches(assign, batch_format="pyarrow",
+                           batch_size=None)
+
+
+def ks_statistic_value(events, type_a: str = "click",
+                       type_b: str = "purchase"):
+    """Exact two-sample Kolmogorov–Smirnov distance between the value
+    distributions of two event types, as INTEGERS: the statistic is
+    ``max |cumA·nB − cumB·nA|`` over the merged milli-value support
+    (divide by nA·nB for the usual D) plus the smallest value attaining
+    it — distribution-drift detection with no float comparison anywhere.
+
+    One (vm → nA, nB) histogram groupby with per-batch combiners; the
+    driver walks the merged histogram (bounded-distinct-values contract
+    shared with every histogram-walk operator).  Returns pandas one row
+    (ks_num, at_value_milli, n_a, n_b).
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .windowfns import _milli
+
+    def partial(t: pa.Table) -> pa.Table:
+        ty = one_chunk(t["event_type"])
+        keep = pc.or_(pc.equal(ty, type_a), pc.equal(ty, type_b))
+        t = pa.table({"event_type": ty,
+                      "value": one_chunk(t["value"])}).filter(keep)
+        vm = _milli(one_chunk(t["value"]))
+        isa = np.asarray(pc.equal(t["event_type"], type_a))
+        g = pa.table({"vm": pa.array(vm),
+                      "na": pa.array(isa.astype(np.int64)),
+                      "nb": pa.array((~isa).astype(np.int64))}) \
+            .group_by("vm").aggregate([("na", "sum"), ("nb", "sum")])
+        return g.select(["vm", "na_sum", "nb_sum"]) \
+            .rename_columns(["vm", "na", "nb"])
+
+    hist = (events.map_batches(partial, batch_format="pyarrow")
+            .groupby("vm").aggregate(Sum("na", alias_name="na"),
+                                     Sum("nb", alias_name="nb"))
+            .to_pandas().sort_values("vm").reset_index(drop=True))
+    na = hist["na"].to_numpy().astype(np.int64)
+    nb = hist["nb"].to_numpy().astype(np.int64)
+    ta, tb = int(na.sum()), int(nb.sum())
+    diff = np.abs(np.cumsum(na) * tb - np.cumsum(nb) * ta)
+    ks = int(diff.max()) if len(diff) else 0
+    at = int(hist["vm"].to_numpy()[diff == ks].min()) if len(diff) else 0
+    return pd.DataFrame({"ks_num": [ks], "at_value_milli": [at],
+                         "n_a": [ta], "n_b": [tb]}).astype("int64")

@@ -562,3 +562,45 @@ def test_verbose_docs_gate_handbuilt():
     got = verbose_docs_vs_lang_median(
         ray.data.from_pandas(docs).repartition(2)).to_pandas()
     assert got.values.tolist() == [[3, "en", 4, 2]]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_global_rank_fuzz_across_blocks():
+    """Global zipWithIndex == argsort rank, at several block splits,
+    including duplicate values (event_id breaks ties)."""
+    import numpy as np
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import global_value_rank
+
+    rng = np.random.default_rng(17)
+    n = 2000
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "value": rng.integers(0, 50, n) / 10.0})   # heavy ties
+
+    vm = np.floor(df["value"].to_numpy() * 1000).astype(np.int64)
+    order = np.lexsort((df["event_id"].to_numpy(), vm))
+    want = np.empty(n, dtype=np.int64)
+    want[order] = np.arange(1, n + 1)
+
+    for blocks in (1, 8):
+        got = global_value_rank(
+            ray.data.from_pandas(df).repartition(blocks)).to_pandas()
+        got = got.set_index("event_id")["rank"]
+        assert (got.loc[df["event_id"]].to_numpy() == want).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ks_statistic_handbuilt():
+    """KS numerator on a handbuilt pair: A = {1,2}, B = {2,3} →
+    max |cumA*nB - cumB*nA| = 2 at vm=1000."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import ks_statistic_value
+
+    df = pd.DataFrame({
+        "event_type": ["click", "click", "purchase", "purchase", "view"],
+        "value": [1.0, 2.0, 2.0, 3.0, 9.0]})
+    got = ks_statistic_value(ray.data.from_pandas(df).repartition(2))
+    assert got.values.tolist() == [[2, 1000, 2, 2]]
