@@ -3708,6 +3708,17 @@ def _q_ks_value_click_vs_purchase(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["event_type", "value"]))
 
 
+def _q_funnel_steps(sf_dir: str):
+    """3-step strictly-ordered funnel (view → click → purchase):
+    iterated min-frontier with shuffle hash joins on user_id."""
+    import ray.data
+
+    from pdf2doi_ray.stages.windows import funnel_steps
+    return funnel_steps(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "user_id", "event_type"]))
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -3796,6 +3807,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "verbose_docs_vs_lang_median": _q_verbose_docs_vs_lang_median,
         "global_value_rank": _q_global_value_rank,
         "ks_value_click_vs_purchase": _q_ks_value_click_vs_purchase,
+        "funnel_steps": _q_funnel_steps,
         "approx_value_quantiles": _q_approx_value_quantiles,
         "approx_value_quantiles_by_type": _q_approx_value_quantiles_by_type,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -7637,5 +7649,23 @@ SELECT CAST((SELECT max(diff) FROM d) AS BIGINT) AS ks_num,
             AS BIGINT) AS at_value_milli,
        t.ta AS n_a, t.tb AS n_b
 FROM t
+"""
+    sql["funnel_steps"] = """
+WITH e AS (SELECT user_id, event_type,
+                  CAST(epoch_us(ts) AS BIGINT) AS us FROM events),
+m1 AS (SELECT user_id, min(us) AS t FROM e
+       WHERE event_type = 'view' GROUP BY 1),
+m2 AS (SELECT e.user_id, min(e.us) AS t
+       FROM e JOIN m1 ON m1.user_id = e.user_id
+       WHERE e.event_type = 'click' AND e.us > m1.t GROUP BY 1),
+m3 AS (SELECT e.user_id, min(e.us) AS t
+       FROM e JOIN m2 ON m2.user_id = e.user_id
+       WHERE e.event_type = 'purchase' AND e.us > m2.t GROUP BY 1)
+SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_type,
+       CAST((SELECT count(*) FROM m1) AS BIGINT) AS n_users
+UNION ALL
+SELECT 2, 'click', CAST((SELECT count(*) FROM m2) AS BIGINT)
+UNION ALL
+SELECT 3, 'purchase', CAST((SELECT count(*) FROM m3) AS BIGINT)
 """
     return sql

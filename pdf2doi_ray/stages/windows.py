@@ -1298,3 +1298,66 @@ def session_length_histogram(events, gap_s: int = SESSION_GAP_SECONDS,
     return (interior.union(cross)
             .groupby("session_len")
             .aggregate(Sum("n_sessions", alias_name="n_sessions")))
+
+
+def funnel_steps(events, steps=("view", "click", "purchase"),
+                 num_partitions: int = 8):
+    """Multi-step ordered funnel: how many users reach each step, where
+    step k counts only events STRICTLY AFTER the user's step-(k−1) time
+    (the product-analytics funnel, generalized past the 2-step
+    conversion op).  Returns pandas (step, step_type, n_users) — one
+    row per step.
+
+    Iterated-aggregate plan (k−1 rounds, no per-user Python, no
+    broadcast of user-cardinality state): round k filters the stream to
+    the step's type, shuffle-hash-joins it against the previous round's
+    (user, t) frontier on user_id — both sides fact-sized, so the
+    exchange is the hash join, not a broadcast — and reduces to the
+    per-user min time with a per-batch combiner.  Each frontier is
+    strictly smaller than the last.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc2
+    from ray.data.aggregate import Min
+
+    from .joins import shuffle_hash_join
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = np.asarray(pc.cast(pc.cast(one_chunk(t["ts"]),
+                                        pa.timestamp("us")), pa.int64()))
+        return pa.table({"user_id": t["user_id"],
+                         "event_type": t["event_type"],
+                         "us": pa.array(us)})
+
+    ev = events.map_batches(prep, batch_format="pyarrow").materialize()
+
+    def of_type(ty):
+        return ev.map_batches(
+            lambda t, ty=ty: t.filter(pc2.equal(t["event_type"], ty))
+            .select(["user_id", "us"]), batch_format="pyarrow")
+
+    def min_per_user(ds):
+        def combine(t: pa.Table) -> pa.Table:
+            g = t.group_by("user_id").aggregate([("us", "min")])
+            return g.select(["user_id", "us_min"]) \
+                .rename_columns(["user_id", "us"])
+        return (ds.map_batches(combine, batch_format="pyarrow")
+                .groupby("user_id").aggregate(Min("us", alias_name="t")))
+
+    frontier = min_per_user(of_type(steps[0]))
+    counts = [frontier.count()]
+    for ty in steps[1:]:
+        cand = shuffle_hash_join(
+            of_type(ty), frontier, on=["user_id"],
+            num_partitions=num_partitions,
+            project=["user_id", "us", "t"])
+        after = cand.map_batches(
+            lambda t: t.filter(pc.greater(t["us"], t["t"]))
+            .select(["user_id", "us"]), batch_format="pyarrow")
+        frontier = min_per_user(after).materialize()
+        counts.append(frontier.count())
+
+    return pd.DataFrame({
+        "step": np.arange(1, len(steps) + 1, dtype=np.int64),
+        "step_type": list(steps),
+        "n_users": np.asarray(counts, dtype=np.int64)})

@@ -604,3 +604,22 @@ def test_ks_statistic_handbuilt():
         "value": [1.0, 2.0, 2.0, 3.0, 9.0]})
     got = ks_statistic_value(ray.data.from_pandas(df).repartition(2))
     assert got.values.tolist() == [[2, 1000, 2, 2]]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_funnel_steps_strict_order():
+    """A purchase BEFORE the first click must not count; equal
+    timestamps do not advance the funnel (strictly-after rule)."""
+    import ray.data
+
+    from pdf2doi_ray.stages.windows import funnel_steps
+
+    ts = pd.to_datetime([10, 20, 30, 10, 15, 5, 20, 20], unit="s")
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 2, 3, 3, 3],
+        "event_type": ["view", "click", "purchase",   # u1 full funnel
+                       "purchase", "view",            # u2 buys BEFORE view
+                       "view", "click", "purchase"],  # u3 purchase ties click
+        "ts": ts})
+    got = funnel_steps(ray.data.from_pandas(df).repartition(3))
+    assert got["n_users"].tolist() == [3, 2, 1]
