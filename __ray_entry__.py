@@ -3719,6 +3719,34 @@ def _q_funnel_steps(sf_dir: str):
         columns=["ts", "user_id", "event_type"]))
 
 
+def _q_benford_digit_counts(sf_dir: str):
+    """Benford first-digit screen over milli values — integer leading
+    digit via powers-of-ten searchsorted, ≤9-row groupby."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import benford_first_digit_counts
+    return benford_first_digit_counts(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["value"]))
+
+
+def _q_k_anonymity_audit(sf_dir: str):
+    """(lang, source) equivalence classes smaller than k=10 — the
+    pre-release privacy screen."""
+    from pdf2doi_ray.stages.aggs import k_anonymity_audit
+    return k_anonymity_audit(_docs(sf_dir, ("lang", "source")), k=10)
+
+
+def _q_value_moving_range(sf_dir: str):
+    """XmR moving-range accumulator per event type — sorted-block
+    adjacent |diff| sums with per-type stitch, exact int64 milli."""
+    import ray.data
+
+    from pdf2doi_ray.stages.windows import value_moving_range_by_type
+    return value_moving_range_by_type(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "event_type", "value"]))
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -3808,6 +3836,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_value_rank": _q_global_value_rank,
         "ks_value_click_vs_purchase": _q_ks_value_click_vs_purchase,
         "funnel_steps": _q_funnel_steps,
+        "benford_digit_counts": _q_benford_digit_counts,
+        "k_anonymity_audit": _q_k_anonymity_audit,
+        "value_moving_range": _q_value_moving_range,
         "approx_value_quantiles": _q_approx_value_quantiles,
         "approx_value_quantiles_by_type": _q_approx_value_quantiles_by_type,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -7667,5 +7698,29 @@ UNION ALL
 SELECT 2, 'click', CAST((SELECT count(*) FROM m2) AS BIGINT)
 UNION ALL
 SELECT 3, 'purchase', CAST((SELECT count(*) FROM m3) AS BIGINT)
+"""
+    sql["benford_digit_counts"] = """
+WITH v AS (SELECT CAST(floor(value * 1000) AS BIGINT) AS vm FROM events),
+d AS (SELECT CAST(substr(CAST(vm AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM v WHERE vm > 0)
+SELECT digit, CAST(count(*) AS BIGINT) AS n_values
+FROM d GROUP BY 1
+"""
+    sql["k_anonymity_audit"] = """
+SELECT lang, source, CAST(count(*) AS BIGINT) AS class_size
+FROM documents GROUP BY 1, 2 HAVING count(*) < 10
+"""
+    sql["value_moving_range"] = """
+WITH e AS (SELECT event_type,
+                  CAST(epoch_us(ts) AS BIGINT) AS us, event_id,
+                  CAST(floor(value * 1000) AS BIGINT) AS vm
+           FROM events),
+d AS (SELECT event_type,
+             abs(vm - lag(vm) OVER (PARTITION BY event_type
+                                    ORDER BY us, event_id)) AS ad
+      FROM e)
+SELECT event_type, CAST(sum(ad) AS BIGINT) AS sum_abs_diff,
+       CAST(count(ad) AS BIGINT) AS n_diffs
+FROM d WHERE ad IS NOT NULL GROUP BY 1
 """
     return sql

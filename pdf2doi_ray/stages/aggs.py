@@ -2670,3 +2670,58 @@ def ks_statistic_value(events, type_a: str = "click",
     at = int(hist["vm"].to_numpy()[diff == ks].min()) if len(diff) else 0
     return pd.DataFrame({"ks_num": [ks], "at_value_milli": [at],
                          "n_a": [ta], "n_b": [tb]}).astype("int64")
+
+
+_POW10 = np.array([10 ** k for k in range(19)], dtype=np.int64)
+
+
+def benford_first_digit_counts(events):
+    """First-significant-digit distribution of the milli-scaled values —
+    the Benford's-law fraud/QA screen, exact: the leading digit comes
+    from integer comparisons (``searchsorted`` over the 19 powers of
+    ten, then one integer divide), never float log10, and the SQL
+    mirror reads the first character of the integer's decimal string.
+    Zero values are excluded (no leading digit).  One ≤9-row groupby
+    over per-batch digit counts.  Returns (digit, n_values).
+    """
+    from ray.data.aggregate import Sum
+
+    from .windowfns import _milli
+
+    def partial(t: pa.Table) -> pa.Table:
+        vm = _milli(one_chunk(t["value"]))
+        vm = vm[vm > 0]
+        mag = np.searchsorted(_POW10, vm, side="right") - 1
+        digit = vm // _POW10[mag]
+        uniq, cnt = np.unique(digit, return_counts=True)
+        return pa.table({"digit": pa.array(uniq.astype(np.int64)),
+                         "n_values": pa.array(cnt.astype(np.int64))})
+
+    return (events.map_batches(partial, batch_format="pyarrow")
+            .groupby("digit").aggregate(Sum("n_values",
+                                            alias_name="n_values")))
+
+
+def k_anonymity_audit(docs, quasi_cols=("lang", "source"), k: int = 10):
+    """k-anonymity audit over quasi-identifier columns: the equivalence
+    classes with fewer than ``k`` members — rows in such classes are
+    re-identifiable by the quasi-identifier combination alone (the
+    pre-release privacy screen).  One combiner groupby over the class
+    tuple; the < k filter is a vectorized map.  Returns the violating
+    classes as (quasi columns..., class_size).
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    cols = list(quasi_cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select(cols).group_by(cols).aggregate([([], "count_all")])
+        return g.select(cols + ["count_all"]) \
+            .rename_columns(cols + ["n"])
+
+    sized = (docs.map_batches(partial, batch_format="pyarrow")
+             .groupby(cols).aggregate(Sum("n", alias_name="class_size")))
+    return sized.map_batches(
+        lambda t: t.filter(pc.less(t["class_size"], k)),
+        batch_format="pyarrow")

@@ -1361,3 +1361,120 @@ def funnel_steps(events, steps=("view", "click", "purchase"),
         "step": np.arange(1, len(steps) + 1, dtype=np.int64),
         "step_type": list(steps),
         "n_users": np.asarray(counts, dtype=np.int64)})
+
+
+def value_moving_range_by_type(events,
+                               stitch_shards: int = DEFAULT_STITCH_SHARDS):
+    """Moving-range accumulator per event type — Σ|vmᵢ − vmᵢ₋₁| and the
+    diff count over each type's (ts, event_id)-ordered value stream: the
+    XmR control-chart statistic (mean moving range = sum/n, left to the
+    caller), exact int64 milli.
+
+    Sorted-block plan keyed by event_type (few groups, so most blocks
+    hold one interior run): interior types reduce in-block to ONE
+    (type, sum, n) partial; edge types re-emit raw rows to the per-type
+    stitch.  Final exchange is a ≤|types|-row groupby Sum.
+    """
+    from ray.data.aggregate import Sum
+
+    from .windowfns import _milli
+
+    def _ranges(ty, ts, vm):
+        same = ty[1:] == ty[:-1]
+        d = np.abs(vm[1:] - vm[:-1])[same]
+        tkeys = ty[1:][same]
+        uniq, inv = np.unique(tkeys, return_inverse=True)
+        # int64 scatter-add (np.bincount weights are float64 — inexact
+        # past 2^53, which a fleet-scale milli sum can reach)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv, d)
+        cnts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return uniq, sums, cnts
+
+    def block_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "event_type": pa.array([], type=pa.string()),
+            "sum_abs_diff": pa.array([], type=pa.int64()),
+            "n_diffs": pa.array([], type=pa.int64()),
+            "ts": pa.array([], type=pa.int64()),
+            "event_id": pa.array([], type=pa.int64()),
+            "vm": pa.array([], type=pa.int64()),
+            "boundary": pa.array([], type=pa.bool_())})
+        n = t.num_rows
+        if n == 0:
+            return empty
+        ty = np.asarray(one_chunk(t["event_type"]))
+        ts = np.asarray(pc.cast(pc.cast(one_chunk(t["ts"]),
+                                        pa.timestamp("us")), pa.int64()))
+        eid = np.asarray(one_chunk(t["event_id"])).astype(np.int64)
+        vm = _milli(one_chunk(t["value"]))
+        change = np.nonzero(ty[1:] != ty[:-1])[0] + 1
+        starts = np.concatenate([[0], change]).astype(np.int64)
+        last = len(starts) - 1
+        lo = starts[1] if last >= 1 else n
+        hi = starts[last] if last >= 1 else 0
+        if lo < hi:
+            u, s, c = _ranges(ty[lo:hi], ts[lo:hi], vm[lo:hi])
+        else:
+            u = np.empty(0, dtype=object)
+            s = c = np.empty(0, dtype=np.int64)
+        edge_idx = np.concatenate([np.arange(0, lo),
+                                   np.arange(hi, n)]) if last >= 1 \
+            else np.arange(0, n)
+        n_i, n_b = len(u), len(edge_idx)
+        return pa.table({
+            "event_type": pa.array(
+                np.concatenate([u, ty[edge_idx]]).astype(object),
+                type=pa.string()),
+            "sum_abs_diff": pa.array(np.concatenate(
+                [s, np.full(n_b, -1, np.int64)])),
+            "n_diffs": pa.array(np.concatenate(
+                [c, np.full(n_b, -1, np.int64)])),
+            "ts": pa.array(np.concatenate(
+                [np.full(n_i, -1, np.int64), ts[edge_idx]])),
+            "event_id": pa.array(np.concatenate(
+                [np.full(n_i, -1, np.int64), eid[edge_idx]])),
+            "vm": pa.array(np.concatenate(
+                [np.full(n_i, -1, np.int64), vm[edge_idx]])),
+            "boundary": pa.array([False] * n_i + [True] * n_b),
+        })
+
+    def stitch(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "event_type": pa.array([], type=pa.string()),
+                "sum_abs_diff": pa.array([], type=pa.int64()),
+                "n_diffs": pa.array([], type=pa.int64())})
+        ty = np.asarray(one_chunk(t["event_type"]))
+        ts = np.asarray(one_chunk(t["ts"])).astype(np.int64)
+        eid = np.asarray(one_chunk(t["event_id"])).astype(np.int64)
+        vm = np.asarray(one_chunk(t["vm"])).astype(np.int64)
+        order = np.lexsort((eid, ts, ty.astype(str)))
+        u, s, c = _ranges(ty[order], ts[order], vm[order])
+        return pa.table({
+            "event_type": pa.array(u.astype(object), type=pa.string()),
+            "sum_abs_diff": pa.array(s), "n_diffs": pa.array(c)})
+
+    def shard_of(t: pa.Table) -> np.ndarray:
+        import pandas as pd
+        return pd.util.hash_array(
+            one_chunk(t["event_type"]).to_numpy(zero_copy_only=False)) \
+            .astype(np.int64) & np.int64(0x7FFFFFFFFFFFFFFF)
+
+    srt = events.sort(["event_type", "ts", "event_id"])
+    mixed = srt.map_batches(block_fn, batch_format="pyarrow",
+                            batch_size=None).materialize()
+    interior = mixed.map_batches(
+        lambda t: t.filter(pc.equal(t["boundary"], False))
+        .select(["event_type", "sum_abs_diff", "n_diffs"]),
+        batch_format="pyarrow")
+    carries = mixed.map_batches(
+        lambda t: t.filter(t["boundary"])
+        .select(["event_type", "ts", "event_id", "vm"]),
+        batch_format="pyarrow")
+    cross = sharded_stitch(carries, shard_of, stitch,
+                           num_shards=stitch_shards)
+    return (interior.union(cross)
+            .groupby("event_type")
+            .aggregate(Sum("sum_abs_diff", alias_name="sum_abs_diff"),
+                       Sum("n_diffs", alias_name="n_diffs")))

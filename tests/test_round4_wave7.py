@@ -623,3 +623,49 @@ def test_funnel_steps_strict_order():
         "ts": ts})
     got = funnel_steps(ray.data.from_pandas(df).repartition(3))
     assert got["n_users"].tolist() == [3, 2, 1]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_benford_leading_digit_exact_at_power_boundaries():
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import benford_first_digit_counts
+
+    # milli values: 1, 9, 10, 99, 100, 999, 1000 (+ a zero, excluded)
+    df = pd.DataFrame({"value": [0.001, 0.009, 0.010, 0.099, 0.1,
+                                 0.999, 1.0, 0.0]})
+    got = benford_first_digit_counts(
+        ray.data.from_pandas(df).repartition(3)).to_pandas() \
+        .sort_values("digit").reset_index(drop=True)
+    assert got.values.tolist() == [[1, 4], [9, 3]]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_moving_range_fuzz_vs_python():
+    import numpy as np
+    import ray.data
+
+    from pdf2doi_ray.stages.windows import value_moving_range_by_type
+
+    rng = np.random.default_rng(55)
+    n = 1200
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "event_type": rng.choice(["a", "b", "c"], n),
+        "ts": pd.to_datetime(rng.integers(0, 10**6, n) * 1_000_000,
+                             unit="us"),
+        "value": rng.integers(0, 10000, n) / 10.0})
+
+    want = {}
+    srt = df.sort_values(["event_type", "ts", "event_id"])
+    for ty, g in srt.groupby("event_type"):
+        vm = np.floor(g["value"].to_numpy() * 1000).astype(np.int64)
+        d = np.abs(np.diff(vm))
+        want[ty] = (int(d.sum()), len(d))
+
+    for blocks in (1, 5):
+        got = value_moving_range_by_type(
+            ray.data.from_pandas(df).repartition(blocks)).to_pandas()
+        gmap = {r.event_type: (r.sum_abs_diff, r.n_diffs)
+                for r in got.itertuples()}
+        assert gmap == want
