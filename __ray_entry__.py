@@ -3747,6 +3747,17 @@ def _q_value_moving_range(sf_dir: str):
         columns=["event_id", "ts", "event_type", "value"]))
 
 
+def _q_event_type_user_overlap(sf_dir: str):
+    """Audience overlap matrix: |users(A)∩users(B)| and min sizes per
+    type pair — distinct-pair bitmask OR, ≤32-row histogram, no
+    pairwise self-join."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import event_type_user_overlap
+    return event_type_user_overlap(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]))
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -3839,6 +3850,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benford_digit_counts": _q_benford_digit_counts,
         "k_anonymity_audit": _q_k_anonymity_audit,
         "value_moving_range": _q_value_moving_range,
+        "event_type_user_overlap": _q_event_type_user_overlap,
         "approx_value_quantiles": _q_approx_value_quantiles,
         "approx_value_quantiles_by_type": _q_approx_value_quantiles_by_type,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -7722,5 +7734,32 @@ d AS (SELECT event_type,
 SELECT event_type, CAST(sum(ad) AS BIGINT) AS sum_abs_diff,
        CAST(count(ad) AS BIGINT) AS n_diffs
 FROM d WHERE ad IS NOT NULL GROUP BY 1
+"""
+    sql["event_type_user_overlap"] = """
+WITH p AS (SELECT DISTINCT user_id, event_type FROM events
+           WHERE event_type IN ('click','error','purchase','signup',
+                                'view')),
+m AS (SELECT user_id,
+             CAST(sum(CASE event_type
+                      WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                      WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+                      WHEN 'view' THEN 16 END) AS BIGINT) AS mask
+      FROM p GROUP BY 1),
+ty AS (SELECT * FROM (VALUES ('click', 1), ('error', 2),
+                             ('purchase', 4), ('signup', 8),
+                             ('view', 16)) AS t(name, bit)),
+pr AS (SELECT a.name AS type_a, b.name AS type_b,
+              a.bit AS ba, b.bit AS bb
+       FROM ty a JOIN ty b ON a.name < b.name),
+c AS (SELECT pr.type_a, pr.type_b,
+             CAST(sum(CASE WHEN (m.mask & (pr.ba | pr.bb))
+                                 = (pr.ba | pr.bb)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+             CAST(sum(CASE WHEN m.mask & pr.ba = pr.ba
+                           THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(sum(CASE WHEN m.mask & pr.bb = pr.bb
+                           THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      FROM pr CROSS JOIN m GROUP BY 1, 2)
+SELECT type_a, type_b, n_common, least(na, nb) AS min_size FROM c
 """
     return sql

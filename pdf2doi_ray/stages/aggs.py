@@ -2725,3 +2725,71 @@ def k_anonymity_audit(docs, quasi_cols=("lang", "source"), k: int = 10):
     return sized.map_batches(
         lambda t: t.filter(pc.less(t["class_size"], k)),
         batch_format="pyarrow")
+
+
+def event_type_user_overlap(events, types=("click", "error", "purchase",
+                                           "signup", "view")):
+    """Exact user-set overlap matrix between event types — for every
+    type pair, |users(A) ∩ users(B)| and min(|A|, |B|) (the overlap
+    coefficient's exact numerator/denominator): audience-overlap
+    analysis without any pairwise self-join.
+
+    Bitmask plan: distinct (user, type) pairs reduce to ONE int per
+    user (``groupby(user).Sum`` over per-type bits — distinctness makes
+    Sum ≡ OR), the ≤2^|types|-row mask histogram reduces again, and
+    every pairwise intersection reads off the ≤32-row histogram on the
+    driver.  Two small exchanges; users never pair with users.
+    Returns pandas (type_a, type_b, n_common, min_size).
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    tlist = sorted(types)
+    bit_of = {t: 1 << i for i, t in enumerate(tlist)}
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ty = one_chunk(t["event_type"])
+        keep = pc.is_in(ty, value_set=pa.array(tlist))
+        t = pa.table({"user_id": one_chunk(t["user_id"]),
+                      "event_type": ty}).filter(keep)
+        tys = np.asarray(one_chunk(t["event_type"]), dtype=object)
+        bits = np.array([bit_of[x] for x in tlist], dtype=np.int64)[
+            np.searchsorted(np.array(tlist, dtype=object).astype(str),
+                            tys.astype(str))]
+        g = pa.table({"user_id": t["user_id"],
+                      "bit": pa.array(bits)}) \
+            .group_by(["user_id", "bit"]).aggregate([])
+        return g
+
+    masks = (events.map_batches(pairs, batch_format="pyarrow")
+             .groupby(["user_id", "bit"]).aggregate(
+                 Sum("bit", alias_name="_s"))
+             .map_batches(lambda t: t.select(["user_id", "bit"]),
+                          batch_format="pyarrow")
+             .groupby("user_id").aggregate(Sum("bit", alias_name="mask")))
+
+    def hist(t: pa.Table) -> pa.Table:
+        m = np.asarray(one_chunk(t["mask"])).astype(np.int64)
+        uniq, cnt = np.unique(m, return_counts=True)
+        return pa.table({"mask": pa.array(uniq),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    mh = (masks.map_batches(hist, batch_format="pyarrow")
+          .groupby("mask").aggregate(Sum("n", alias_name="n"))
+          .to_pandas())
+    mvals = mh["mask"].to_numpy().astype(np.int64)
+    mcnts = mh["n"].to_numpy().astype(np.int64)
+
+    def count_with(bits: int) -> int:
+        return int(mcnts[(mvals & bits) == bits].sum())
+
+    rows = []
+    for i, a in enumerate(tlist):
+        for b in tlist[i + 1:]:
+            na, nb = count_with(bit_of[a]), count_with(bit_of[b])
+            rows.append((a, b, count_with(bit_of[a] | bit_of[b]),
+                         min(na, nb)))
+    return pd.DataFrame(rows, columns=["type_a", "type_b", "n_common",
+                                       "min_size"]) \
+        .astype({"n_common": "int64", "min_size": "int64"})

@@ -669,3 +669,24 @@ def test_moving_range_fuzz_vs_python():
         gmap = {r.event_type: (r.sum_abs_diff, r.n_diffs)
                 for r in got.itertuples()}
         assert gmap == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_event_type_overlap_bitmask_handbuilt():
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import event_type_user_overlap
+
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 2, 3, 3],
+        "event_type": ["click", "view", "click",   # u1: click+view
+                       "view", "purchase",          # u2: view+purchase
+                       "click", "view"]})           # u3: click+view
+    got = event_type_user_overlap(
+        ray.data.from_pandas(df).repartition(3),
+        types=("click", "purchase", "view"))
+    m = {(r.type_a, r.type_b): (r.n_common, r.min_size)
+         for r in got.itertuples()}
+    assert m[("click", "view")] == (2, 2)      # u1, u3
+    assert m[("purchase", "view")] == (1, 1)   # u2
+    assert m[("click", "purchase")] == (0, 1)
