@@ -3758,6 +3758,18 @@ def _q_event_type_user_overlap(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]))
 
 
+def _q_max_burst_per_user(sf_dir: str):
+    """Peak events in any trailing 6-hour window per user — RANGE-frame
+    count on the shared window engine, per-user Max."""
+    import ray.data
+
+    from pdf2doi_ray.stages.windowfns import max_burst_per_user
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"])
+    return max_burst_per_user(ev, window_s=21600)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -3851,6 +3863,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_anonymity_audit": _q_k_anonymity_audit,
         "value_moving_range": _q_value_moving_range,
         "event_type_user_overlap": _q_event_type_user_overlap,
+        "max_burst_per_user": _q_max_burst_per_user,
         "approx_value_quantiles": _q_approx_value_quantiles,
         "approx_value_quantiles_by_type": _q_approx_value_quantiles_by_type,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -7761,5 +7774,15 @@ c AS (SELECT pr.type_a, pr.type_b,
                            THEN 1 ELSE 0 END) AS BIGINT) AS nb
       FROM pr CROSS JOIN m GROUP BY 1, 2)
 SELECT type_a, type_b, n_common, least(na, nb) AS min_size FROM c
+"""
+    sql["max_burst_per_user"] = """
+WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us
+           FROM events),
+c AS (SELECT user_id,
+             CAST(count(*) OVER (PARTITION BY user_id ORDER BY us
+                  RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS burst
+      FROM e)
+SELECT user_id, max(burst) AS max_burst FROM c GROUP BY 1
 """
     return sql

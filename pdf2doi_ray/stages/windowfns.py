@@ -547,3 +547,43 @@ def ratio_to_report(events, group_col: str = "event_type",
                          "share_permille": pa.array(v * 1000 // s)})
 
     return events.map_batches(share, batch_format="pyarrow")
+
+
+def max_burst_per_user(events, window_s: int = 60,
+                       stitch_shards: int = DEFAULT_STITCH_SHARDS):
+    """Peak request burst per user: the maximum number of a user's
+    events inside any trailing ``window_s`` time window — the
+    rate-limit / abuse-detection statistic, with exact SQL RANGE-frame
+    semantics (``COUNT(*) OVER (... RANGE window PRECEDING)`` then a
+    per-user MAX).
+
+    The per-row frame count is two ``searchsorted`` probes per user
+    segment on the shared :func:`_windowed_user_op` engine (frames are
+    exact across block edges via the boundary stitch); the per-user max
+    is one combiner groupby.  Output: (user_id, max_burst).
+    """
+    from ray.data.aggregate import Max
+
+    win_us = np.int64(window_s) * np.int64(1_000_000)
+
+    def kernel(vm, starts, ends, ts):
+        out = np.empty(len(vm), dtype=np.int64)
+        for s, e in zip(starts, ends):
+            seg = ts[s:e]
+            lo = np.searchsorted(seg, seg - win_us, side="left")
+            hi = np.searchsorted(seg, seg, side="right")
+            out[s:e] = hi - lo
+        return out, None
+
+    per_row = _windowed_user_op(events, kernel, "burst", stitch_shards,
+                                needs_ts=True)
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.select(["user_id", "burst"]).group_by("user_id") \
+            .aggregate([("burst", "max")])
+        return g.select(["user_id", "burst_max"]) \
+            .rename_columns(["user_id", "burst"])
+
+    return (per_row.map_batches(combine, batch_format="pyarrow")
+            .groupby("user_id").aggregate(Max("burst",
+                                              alias_name="max_burst")))

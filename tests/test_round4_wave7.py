@@ -690,3 +690,37 @@ def test_event_type_overlap_bitmask_handbuilt():
     assert m[("click", "view")] == (2, 2)      # u1, u3
     assert m[("purchase", "view")] == (1, 1)   # u2
     assert m[("click", "purchase")] == (0, 1)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_max_burst_fuzz_vs_python():
+    """Burst max == brute-force trailing-window count per user, across
+    block splits (RANGE semantics: peers at equal ts all count)."""
+    import numpy as np
+    import ray.data
+
+    from pdf2doi_ray.stages.windowfns import max_burst_per_user
+
+    rng = np.random.default_rng(21)
+    n = 1500
+    W = 60 * 1_000_000
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 15, n).astype(np.int64),
+        "ts": pd.to_datetime(
+            rng.integers(0, 3600, n) * 1_000_000, unit="us"),
+        "value": np.ones(n)})
+
+    want = {}
+    for uid, g in df.sort_values(["user_id", "ts"]).groupby("user_id"):
+        us = (g["ts"].astype("int64") // 1000).to_numpy()
+        best = 0
+        for t in us:
+            best = max(best, int(((us >= t - W) & (us <= t)).sum()))
+        want[uid] = best
+
+    for blocks in (1, 5):
+        got = max_burst_per_user(
+            ray.data.from_pandas(df).repartition(blocks),
+            window_s=60).to_pandas()
+        assert dict(zip(got["user_id"], got["max_burst"])) == want
