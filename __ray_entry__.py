@@ -3770,6 +3770,16 @@ def _q_max_burst_per_user(sf_dir: str):
     return max_burst_per_user(ev, window_s=21600)
 
 
+def _q_embedding_gram_matrix(sf_dir: str):
+    """Exact integer Gram matrix of milli-quantized embeddings — one
+    int64 matmul per batch, d(d+1)/2-row partials, tiny groupby Sum."""
+    import ray.data
+
+    from pdf2doi_ray.stages.similarity import embedding_gram_matrix
+    return embedding_gram_matrix(ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]))
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -3864,6 +3874,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_moving_range": _q_value_moving_range,
         "event_type_user_overlap": _q_event_type_user_overlap,
         "max_burst_per_user": _q_max_burst_per_user,
+        "embedding_gram_matrix": _q_embedding_gram_matrix,
         "approx_value_quantiles": _q_approx_value_quantiles,
         "approx_value_quantiles_by_type": _q_approx_value_quantiles_by_type,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -7784,5 +7795,16 @@ c AS (SELECT user_id,
                   AS BIGINT) AS burst
       FROM e)
 SELECT user_id, max(burst) AS max_burst FROM c GROUP BY 1
+"""
+    sql["embedding_gram_matrix"] = """
+WITH u AS (SELECT vec_id, g AS i,
+                  CAST(floor(embedding[g + 1]::DOUBLE * 1000)
+                       AS BIGINT) AS vi
+           FROM embeddings, UNNEST(range(64)) AS t(g)),
+p AS (SELECT a.i AS i, b.i AS j, a.vi * b.vi AS prod
+      FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i)
+SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+       CAST(sum(prod) AS BIGINT) AS gram
+FROM p GROUP BY 1, 2
 """
     return sql

@@ -605,3 +605,31 @@ def semantic_dedup(embeddings, k: int = 8, iters: int = 5,
     ids_only = embeddings.map_batches(lambda t: t.select(["vec_id"]),
                                       batch_format="pyarrow")
     return prune_near_dups(ids_only, pairs)
+
+
+def embedding_gram_matrix(embs, dim: int = 64):
+    """Exact integer Gram matrix of the milli-quantized embedding
+    corpus — ``G = Qᵀ Q`` with ``Q = floor(emb·1000)`` — the PCA /
+    whitening prep step as a pure combiner reduction: each batch emits
+    one d(d+1)/2-row upper-triangle partial from a single int64 matmul,
+    and ONE tiny groupby Sum merges them.  Embeddings never shuffle;
+    no float ever crosses the exchange (quantization is one exact
+    float32→float64 widening + multiply + floor, bit-identical to the
+    SQL mirror).  Returns (i, j, gram) for i ≤ j.
+    """
+    from ray.data.aggregate import Sum
+
+    iu = np.triu_indices(dim)
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _stack(t["embedding"])
+        assert m.shape[1] == dim, f"expected dim {dim}, got {m.shape[1]}"
+        q = np.floor(m * 1000.0).astype(np.int64)
+        g = q.T @ q
+        return pa.table({"i": pa.array(iu[0].astype(np.int64)),
+                         "j": pa.array(iu[1].astype(np.int64)),
+                         "gram": pa.array(g[iu])})
+
+    return (embs.map_batches(partial, batch_format="pyarrow")
+            .groupby(["i", "j"]).aggregate(Sum("gram",
+                                               alias_name="gram")))

@@ -724,3 +724,27 @@ def test_max_burst_fuzz_vs_python():
             ray.data.from_pandas(df).repartition(blocks),
             window_s=60).to_pandas()
         assert dict(zip(got["user_id"], got["max_burst"])) == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_gram_matrix_split_invariant():
+    """Gram partials sum identically under any block split; values
+    match a single-matrix numpy reference."""
+    import numpy as np
+    import ray.data
+
+    from pdf2doi_ray.stages.similarity import embedding_gram_matrix
+
+    rng = np.random.default_rng(3)
+    m = rng.normal(size=(40, 8)).astype(np.float32)
+    df = pd.DataFrame({"embedding": [row.tolist() for row in m]})
+    q = np.floor(m.astype(np.float64) * 1000.0).astype(np.int64)
+    want = q.T @ q
+
+    for blocks in (1, 4):
+        got = embedding_gram_matrix(
+            ray.data.from_pandas(df).repartition(blocks), dim=8) \
+            .to_pandas()
+        for r in got.itertuples():
+            assert want[r.i, r.j] == r.gram
+        assert len(got) == 36
