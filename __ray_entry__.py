@@ -3780,6 +3780,21 @@ def _q_embedding_gram_matrix(sf_dir: str):
         f"{sf_dir}/embeddings.parquet", columns=["embedding"]))
 
 
+def _q_weighted_sssp_host(sf_dir: str):
+    """Weighted shortest paths from s0.example.org over the host link
+    graph — distributed Bellman-Ford, distance map broadcast per round,
+    edges never shuffle."""
+    from pdf2doi_ray.stages.graph import weighted_sssp
+    return weighted_sssp(_edges_sd(sf_dir), source="s0.example.org")
+
+
+def _q_degree_assortativity(sf_dir: str):
+    """Exact integer degree-assortativity cross-sums (m·2, Σx, Σx²,
+    Σxy symmetrized) over the undirected host graph."""
+    from pdf2doi_ray.stages.graph import degree_assortativity_sums
+    return degree_assortativity_sums(_edges_sd(sf_dir))
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -3875,6 +3890,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_user_overlap": _q_event_type_user_overlap,
         "max_burst_per_user": _q_max_burst_per_user,
         "embedding_gram_matrix": _q_embedding_gram_matrix,
+        "weighted_sssp_host": _q_weighted_sssp_host,
+        "degree_assortativity": _q_degree_assortativity,
         "approx_value_quantiles": _q_approx_value_quantiles,
         "approx_value_quantiles_by_type": _q_approx_value_quantiles_by_type,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -7806,5 +7823,52 @@ p AS (SELECT a.i AS i, b.i AS j, a.vi * b.vi AS prod
 SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
        CAST(sum(prod) AS BIGINT) AS gram
 FROM p GROUP BY 1, 2
+"""
+    sql["weighted_sssp_host"] = """
+WITH RECURSIVE src AS (SELECT doc_id,
+       'https://s' || CAST(doc_id % 5 AS VARCHAR) || '.example.org/d/'
+                   || CAST(doc_id AS VARCHAR) AS url,
+       text || ' <a href="https://s' || CAST(doc_id % 3 AS VARCHAR)
+            || '.example.org/p/' || CAST(doc_id AS VARCHAR) || '">doc</a>'
+            || CASE WHEN doc_id % 4 = 0
+                    THEN ' <a href="https://hub.example.org/'
+                         || CAST(doc_id % 7 AS VARCHAR) || '">hub</a>'
+                    ELSE '' END AS text
+       FROM documents),
+l AS (SELECT url,
+             UNNEST(regexp_extract_all(text,
+                 '<a href="([^"]*)">([^<]*)', 1)) AS href
+      FROM src),
+e AS (SELECT regexp_replace(regexp_replace(url,
+                 '^[a-z][a-z0-9+.-]*://', ''), '/.*$', '') AS src_host,
+             regexp_replace(regexp_replace(href,
+                 '^[a-z][a-z0-9+.-]*://', ''), '/.*$', '') AS dst_host
+      FROM l),
+g AS (SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n
+      FROM e GROUP BY 1, 2),
+w AS (SELECT src_host AS s, dst_host AS d, n AS wt
+      FROM g WHERE src_host <> dst_host),
+p AS (SELECT 's0.example.org' AS node, CAST(0 AS BIGINT) AS dist,
+             0 AS hops
+      UNION ALL
+      SELECT w.d, p.dist + w.wt, p.hops + 1
+      FROM p JOIN w ON w.s = p.node WHERE p.hops < 6)
+SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM p GROUP BY 1
+"""
+    sql["degree_assortativity"] = _G_EDGES + """
+, und AS (SELECT DISTINCT least(src_host, dst_host) AS a,
+                          greatest(src_host, dst_host) AS b
+          FROM g WHERE src_host <> dst_host),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+        FROM (SELECT a AS node FROM und
+              UNION ALL SELECT b AS node FROM und) GROUP BY 1),
+e2 AS (SELECT da.deg AS x, db.deg AS y
+       FROM und JOIN deg da ON da.node = und.a
+                JOIN deg db ON db.node = und.b)
+SELECT CAST(2 * count(*) AS BIGINT) AS m_twice,
+       CAST(sum(x + y) AS BIGINT) AS sum_x,
+       CAST(sum(x * x + y * y) AS BIGINT) AS sum_xx,
+       CAST(sum(2 * x * y) AS BIGINT) AS sum_xy
+FROM e2
 """
     return sql

@@ -1148,3 +1148,137 @@ def clustering_coefficients(edges, max_fanout: int = 4096,
                          "n_wedges": pa.array(d * (d - 1) // 2)})
 
     return deg_ds.map_batches(finish, batch_format="pyarrow")
+
+
+def weighted_sssp(edges, source: str, max_rounds: int = 16,
+                  src_col: str = "src", dst_col: str = "dst",
+                  w_col: str = "n_links"):
+    """Single-source shortest paths with positive integer edge weights —
+    distributed Bellman-Ford over streaming edge blocks: per round the
+    current distance map (node-sized driver state, re-broadcast in the
+    task closure — the :func:`bfs_depths` / pagerank-broadcast contract)
+    relaxes every edge vectorized, each batch emits its per-destination
+    MINIMUM candidate (an Arrow group_by combiner), and the driver keeps
+    improvements.  Edges never shuffle; rounds needed = longest shortest
+    path in hops, with an early exit when a round improves nothing and a
+    loud raise at ``max_rounds`` (negative weights are rejected, so
+    convergence is guaranteed).  Returns (node, dist) for reachable
+    nodes, exact int64.
+    """
+    import pandas as pd
+
+    from ..arrowutil import one_chunk
+
+    edges = edges.materialize()
+    dist: dict = {source: 0}
+
+    for _ in range(max_rounds):
+        keys = pa.array(sorted(dist), type=pa.string())
+        vals = np.array([dist[k] for k in sorted(dist)], dtype=np.int64)
+
+        def relax(t: pa.Table, _k=keys, _v=vals) -> pa.Table:
+            s = one_chunk(t[src_col])
+            idx = pc.index_in(s, value_set=_k)
+            hit = pc.is_valid(idx)
+            t2 = pa.table({"dst": one_chunk(t[dst_col]),
+                           "w": one_chunk(t[w_col]),
+                           "i": idx}).filter(hit)
+            if t2.num_rows == 0:
+                return pa.table({"node": pa.array([], type=pa.string()),
+                                 "cand": pa.array([], type=pa.int64())})
+            w = np.asarray(one_chunk(t2["w"])).astype(np.int64)
+            if len(w) and w.min() <= 0:
+                raise ValueError("weighted_sssp: weights must be "
+                                 "positive integers")
+            cand = _v[np.asarray(one_chunk(t2["i"]))] + w
+            g = pa.table({"node": t2["dst"], "cand": pa.array(cand)}) \
+                .group_by("node").aggregate([("cand", "min")])
+            return g.select(["node", "cand_min"]) \
+                .rename_columns(["node", "cand"])
+
+        cand = edges.map_batches(relax, batch_format="pyarrow") \
+            .to_pandas()
+        improved = False
+        if "node" in cand.columns and len(cand):
+            best = cand.groupby("node")["cand"].min()
+            for node, c in best.items():
+                if c < dist.get(node, np.iinfo(np.int64).max):
+                    dist[node] = int(c)
+                    improved = True
+        if not improved:
+            break
+    else:
+        raise RuntimeError(
+            f"weighted_sssp: no convergence in {max_rounds} rounds")
+
+    nodes = sorted(dist)
+    return pd.DataFrame({"node": nodes,
+                         "dist": np.array([dist[n] for n in nodes],
+                                          dtype=np.int64)})
+
+
+def degree_assortativity_sums(edges):
+    """Degree-assortativity cross-sums over the distinct undirected
+    edge list — the exact integer ingredients of the Pearson degree
+    correlation (``r = (m·Σxy − Σx·Σy) / …``): callers compare the
+    cross-multiplied numerator/denominator without any float.  Per
+    edge {a, b}: x = deg(a), y = deg(b) counted BOTH ways (the standard
+    symmetrized definition), so Σx ≡ Σy and Σx² ≡ Σy².  Returns one row
+    (m_twice, sum_x, sum_xx, sum_xy).
+
+    Degrees broadcast (host-dimension contract); the reduction is a
+    per-batch int64 combiner into a sentinel-key groupby Sum.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from ..arrowutil import collect_tables, one_chunk
+
+    def undirect(t: pa.Table) -> pa.Table:
+        src, dst = one_chunk(t["src"]), one_chunk(t["dst"])
+        keep = pc.invert(pc.equal(src, dst))
+        src, dst = src.filter(keep), dst.filter(keep)
+        lo = pc.if_else(pc.less(src, dst), src, dst)
+        hi = pc.if_else(pc.less(src, dst), dst, src)
+        return pa.table({"a": lo, "b": hi}).group_by(["a", "b"]) \
+            .aggregate([])
+
+    und = (edges.map_batches(undirect, batch_format="pyarrow")
+           .groupby(["a", "b"]).aggregate(Count(alias_name="_c"))
+           .select_columns(["a", "b"]).materialize())
+
+    deg_tbl = collect_tables(
+        und.map_batches(
+            lambda t: pa.table({"node": pa.concat_arrays(
+                [one_chunk(t["a"]), one_chunk(t["b"])])}),
+            batch_format="pyarrow")
+        .groupby("node").aggregate(Count(alias_name="deg")))
+    nodes = np.asarray(one_chunk(deg_tbl["node"]).to_pandas(),
+                       dtype=object).astype(str)
+    degs = np.asarray(one_chunk(deg_tbl["deg"])).astype(np.int64)
+    order = np.argsort(nodes)
+    nodes, degs = nodes[order], degs[order]
+
+    def partial(t: pa.Table) -> pa.Table:
+        a = np.asarray(one_chunk(t["a"]).to_pandas(),
+                       dtype=object).astype(str)
+        b = np.asarray(one_chunk(t["b"]).to_pandas(),
+                       dtype=object).astype(str)
+        da = degs[np.searchsorted(nodes, a)]
+        db = degs[np.searchsorted(nodes, b)]
+        return pa.table({
+            "k": pa.array([0], type=pa.int64()),
+            "m_twice": pa.array([2 * len(a)], type=pa.int64()),
+            "sum_x": pa.array([int((da + db).sum())], type=pa.int64()),
+            "sum_xx": pa.array([int((da * da + db * db).sum())],
+                               type=pa.int64()),
+            "sum_xy": pa.array([int(2 * (da * db).sum())],
+                               type=pa.int64())})
+
+    out = (und.map_batches(partial, batch_format="pyarrow")
+           .groupby("k")
+           .aggregate(Sum("m_twice", alias_name="m_twice"),
+                      Sum("sum_x", alias_name="sum_x"),
+                      Sum("sum_xx", alias_name="sum_xx"),
+                      Sum("sum_xy", alias_name="sum_xy")))
+    return out.map_batches(lambda t: t.drop_columns(["k"]),
+                           batch_format="pyarrow")

@@ -748,3 +748,37 @@ def test_gram_matrix_split_invariant():
         for r in got.itertuples():
             assert want[r.i, r.j] == r.gram
         assert len(got) == 36
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_weighted_sssp_prefers_cheap_multihop():
+    """A 2-hop path of weight 3 beats a direct edge of weight 10."""
+    import ray.data
+
+    from pdf2doi_ray.stages.graph import weighted_sssp
+
+    edges = pd.DataFrame({
+        "src": ["s", "s", "m", "x"],
+        "dst": ["t", "m", "t", "y"],    # x→y unreachable from s
+        "n_links": [10, 1, 2, 5]})
+    got = weighted_sssp(ray.data.from_pandas(edges).repartition(2),
+                        source="s")
+    assert dict(zip(got["node"], got["dist"])) == {"s": 0, "m": 1,
+                                                   "t": 3}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_assortativity_sums_path_graph():
+    """Path a-b-c: degrees 1,2,1; edges (a,b) and (b,c) each count both
+    orientations."""
+    import ray.data
+
+    from pdf2doi_ray.stages.graph import degree_assortativity_sums
+
+    edges = pd.DataFrame({
+        "src": ["a", "c"], "dst": ["b", "b"], "n_links": [1, 1]})
+    got = degree_assortativity_sums(ray.data.from_pandas(edges)) \
+        .to_pandas()
+    # pairs (x,y): (1,2) and (2,1) twice → m2=4, Σx = 2*(1+2)=6,
+    # Σx² = 2*(1+4)=10, Σxy = 2*(2+2)=8
+    assert got.values.tolist() == [[4, 6, 10, 8]]
