@@ -3795,6 +3795,13 @@ def _q_degree_assortativity(sf_dir: str):
     return degree_assortativity_sums(_edges_sd(sf_dir))
 
 
+def _q_stratified_kfold(sf_dir: str):
+    """Stratified 5-fold split: per-language md5-hash rank mod k on the
+    shared window engine — reproducible from doc_id alone."""
+    from pdf2doi_ray.stages.export import stratified_kfold
+    return stratified_kfold(_docs(sf_dir, ("doc_id", "lang")), k=5)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -3892,6 +3899,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_gram_matrix": _q_embedding_gram_matrix,
         "weighted_sssp_host": _q_weighted_sssp_host,
         "degree_assortativity": _q_degree_assortativity,
+        "stratified_kfold": _q_stratified_kfold,
         "approx_value_quantiles": _q_approx_value_quantiles,
         "approx_value_quantiles_by_type": _q_approx_value_quantiles_by_type,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -7870,5 +7878,17 @@ SELECT CAST(2 * count(*) AS BIGINT) AS m_twice,
        CAST(sum(x * x + y * y) AS BIGINT) AS sum_xx,
        CAST(sum(2 * x * y) AS BIGINT) AS sum_xy
 FROM e2
+"""
+    sql["stratified_kfold"] = """
+WITH h AS (SELECT doc_id, lang,
+                  CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                        1, 16))::UBIGINT >> 1)
+                       AS BIGINT) AS hv
+           FROM documents)
+SELECT doc_id, lang,
+       CAST((row_number() OVER (PARTITION BY lang
+                                ORDER BY hv, doc_id) - 1) % 5
+            AS BIGINT) AS fold
+FROM h
 """
     return sql

@@ -262,3 +262,52 @@ def zorder_layout(events, x_col: str = "user_id", y_col: str = "value",
 
     return events.map_batches(key_batch, batch_format="pyarrow") \
         .sort(["zkey", "event_id"])
+
+
+def stratified_kfold(docs, k: int = 5):
+    """Deterministic stratified k-fold assignment: within each language
+    stratum, docs order by their 63-bit md5 hash (the repo's shard-hash
+    convention) and take fold = (rank − 1) mod k — every fold gets an
+    equal-±1 share of EVERY stratum, reproducible from doc_id alone
+    (the eval-split builder).  Returns (doc_id, lang, fold).
+
+    Rides the shared per-group window engine
+    (:func:`..stages.windowfns.row_number_user`): langs encode to int
+    codes (tiny broadcast), the hash plays the order key, and the
+    engine's sorted-block + stitch plan delivers the per-stratum rank
+    distributed; fold is one vectorized mod.
+    """
+    import pyarrow.compute as pc
+
+    from ..arrowutil import one_chunk
+    from .corpus import md5_u64
+    from .windowfns import row_number_user
+
+    langs = sorted(set(
+        docs.groupby("lang").count().to_pandas()["lang"]))
+    lcode = np.array(langs, dtype=object).astype(str)
+
+    def prep(t: pa.Table) -> pa.Table:
+        ids = np.asarray(one_chunk(t["doc_id"])).astype(np.int64)
+        hv = (md5_u64(np.char.mod("%d", ids)) >> np.uint64(1)) \
+            .astype(np.int64)
+        lg = np.asarray(one_chunk(t["lang"]), dtype=str)
+        code = np.searchsorted(lcode, lg).astype(np.int64)
+        return pa.table({
+            "event_id": pa.array(ids),
+            "user_id": pa.array(code),
+            "ts": pa.array(hv),
+            "value": pa.array(np.zeros(len(ids), dtype=np.float64))})
+
+    rn = row_number_user(docs.map_batches(prep, batch_format="pyarrow"))
+
+    def decode(t: pa.Table) -> pa.Table:
+        code = np.asarray(one_chunk(t["user_id"])).astype(np.int64)
+        r = np.asarray(one_chunk(t["rn"])).astype(np.int64)
+        return pa.table({
+            "doc_id": t["event_id"],
+            "lang": pa.array(lcode[code].astype(object),
+                             type=pa.string()),
+            "fold": pa.array((r - 1) % k)})
+
+    return rn.map_batches(decode, batch_format="pyarrow")

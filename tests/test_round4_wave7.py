@@ -782,3 +782,27 @@ def test_assortativity_sums_path_graph():
     # pairs (x,y): (1,2) and (2,1) twice → m2=4, Σx = 2*(1+2)=6,
     # Σx² = 2*(1+4)=10, Σxy = 2*(2+2)=8
     assert got.values.tolist() == [[4, 6, 10, 8]]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_stratified_kfold_balance_and_determinism():
+    """Fold sizes within each stratum differ by at most 1; assignment is
+    identical across block splits."""
+    import ray.data
+
+    from pdf2doi_ray.stages.export import stratified_kfold
+
+    docs = pd.DataFrame({
+        "doc_id": range(100),
+        "lang": ["en"] * 60 + ["de"] * 40})
+    outs = []
+    for blocks in (1, 4):
+        got = stratified_kfold(
+            ray.data.from_pandas(docs).repartition(blocks), k=5) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        outs.append(got)
+        for lang, g in got.groupby("lang"):
+            sizes = g["fold"].value_counts()
+            assert sizes.max() - sizes.min() <= 1
+            assert set(g["fold"]) <= set(range(5))
+    assert outs[0].equals(outs[1])
