@@ -3802,6 +3802,24 @@ def _q_stratified_kfold(sf_dir: str):
     return stratified_kfold(_docs(sf_dir, ("doc_id", "lang")), k=5)
 
 
+def _q_heavy_tokens_exact(sf_dir: str):
+    """EXACT counts of every token above 5 permille corpus share — the
+    two-pass MG-candidates-then-verify scale pattern; threshold applies
+    to true counts."""
+    import pyarrow as pa
+
+    from pdf2doi_ray.stages.corpus import _tokens_nonempty
+    from pdf2doi_ray.stages.sketch import heavy_hitters_exact_2pass
+
+    def flat(t: pa.Table) -> pa.Table:
+        toks, _ = _tokens_nonempty(t)
+        return pa.table({"token": toks})
+
+    ds = _docs(sf_dir, ("doc_id", "text")).map_batches(
+        flat, batch_format="pyarrow")
+    return heavy_hitters_exact_2pass(ds, "token", threshold_permille=5)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -3900,6 +3918,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sssp_host": _q_weighted_sssp_host,
         "degree_assortativity": _q_degree_assortativity,
         "stratified_kfold": _q_stratified_kfold,
+        "heavy_tokens_exact": _q_heavy_tokens_exact,
         "approx_value_quantiles": _q_approx_value_quantiles,
         "approx_value_quantiles_by_type": _q_approx_value_quantiles_by_type,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -7890,5 +7909,15 @@ SELECT doc_id, lang,
                                 ORDER BY hv, doc_id) - 1) % 5
             AS BIGINT) AS fold
 FROM h
+"""
+    sql["heavy_tokens_exact"] = """
+WITH toks AS (SELECT unnest(list_filter(string_split(text, ' '),
+                                        x -> x <> '')) AS token
+              FROM documents),
+t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM toks),
+c AS (SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences
+      FROM toks GROUP BY 1)
+SELECT c.token AS value, c.n_occurrences
+FROM c, t WHERE c.n_occurrences * 1000 > t.total * 5
 """
     return sql

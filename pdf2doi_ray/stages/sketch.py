@@ -710,3 +710,52 @@ def hll_register_rows_by_group(ds, group_col: str, column: str):
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby([group_col, "bucket"])
             .aggregate(Max("register", alias_name="register")))
+
+
+def heavy_hitters_exact_2pass(ds, column: str,
+                              threshold_permille: int = 5,
+                              m: int = 1024):
+    """EXACT frequency of every value whose share exceeds
+    ``threshold_permille``/1000 — the canonical two-pass scale pattern:
+    a Misra-Gries pass proposes a ≤``m``-entry candidate superset (the
+    MG no-loss guarantee: any key with true count > n/m survives, so
+    with m > 1000/threshold no qualifying key is missed), then a second
+    streaming pass counts ONLY the candidates exactly (one vectorized
+    ``is_in`` filter + a ≤m-key groupby) and the threshold applies to
+    true counts.  Neither pass shuffles the vocabulary.  Returns
+    (value, n_occurrences), exact.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    if m * threshold_permille <= 1000:
+        raise ValueError("heavy_hitters_exact_2pass: need "
+                         "m > 1000/threshold_permille for the "
+                         "no-loss candidate guarantee")
+    red = ds.materialize()
+    total = red.count()
+    cands = heavy_hitters(red, column, m=m, k=m)
+    cand_set = pa.array(sorted(cands["value"].astype(str)),
+                        type=pa.string())
+
+    def exact_partial(t: pa.Table) -> pa.Table:
+        col = t[column].combine_chunks() \
+            if isinstance(t[column], pa.ChunkedArray) else t[column]
+        keep = pc.is_in(col, value_set=cand_set)
+        g = pa.table({"value": col.filter(keep)}).group_by("value") \
+            .aggregate([([], "count_all")])
+        return g.select(["value", "count_all"]) \
+            .rename_columns(["value", "n"])
+
+    counts = (red.map_batches(exact_partial, batch_format="pyarrow")
+              .groupby("value")
+              .aggregate(Sum("n", alias_name="n_occurrences")))
+
+    def gate(t: pa.Table) -> pa.Table:
+        n = t["n_occurrences"]
+        keep = pc.greater(pc.multiply(n, pa.scalar(1000, pa.int64())),
+                          pa.scalar(total * threshold_permille,
+                                    pa.int64()))
+        return t.filter(keep)
+
+    return counts.map_batches(gate, batch_format="pyarrow")

@@ -806,3 +806,33 @@ def test_stratified_kfold_balance_and_determinism():
             assert sizes.max() - sizes.min() <= 1
             assert set(g["fold"]) <= set(range(5))
     assert outs[0].equals(outs[1])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_heavy_hitters_exact_2pass_compression_regime():
+    """With a vocabulary far above m, the MG candidate pass compresses
+    yet every above-threshold value still comes back with its EXACT
+    count (the no-loss superset guarantee feeding the verify pass)."""
+    import numpy as np
+    import ray.data
+
+    from pdf2doi_ray.stages.sketch import heavy_hitters_exact_2pass
+
+    rng = np.random.default_rng(8)
+    # 3000 distinct rare values + two genuinely heavy ones
+    vals = list(rng.integers(10**6, 10**9, 3000).astype(str))
+    vals += ["hot"] * 400 + ["warm"] * 200
+    rng.shuffle(vals)
+    df = pd.DataFrame({"v": vals})
+    total = len(vals)
+    got = heavy_hitters_exact_2pass(
+        ray.data.from_pandas(df).repartition(4), "v",
+        threshold_permille=50, m=64).to_pandas() \
+        .sort_values("value").reset_index(drop=True)
+    # threshold = 5% of 3600 = 180 → hot (400) and warm (200) qualify
+    assert got["value"].tolist() == ["hot", "warm"]
+    assert got["n_occurrences"].tolist() == [400, 200]
+
+    with pytest.raises(ValueError, match="no-loss"):
+        heavy_hitters_exact_2pass(
+            ray.data.from_pandas(df), "v", threshold_permille=5, m=64)
