@@ -3820,6 +3820,25 @@ def _q_heavy_tokens_exact(sf_dir: str):
     return heavy_hitters_exact_2pass(ds, "token", threshold_permille=5)
 
 
+def _q_validation_report(sf_dir: str):
+    """Ingest data-quality gate: per-rule violation counts (null key,
+    value range, ts window, enum membership), zero-filled."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import validation_report
+    return validation_report(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type", "value"]),
+        value_hi=300.0)
+
+
+def _q_dangling_link_rate(sf_dir: str):
+    """Per-source dangling-outlink integers (links to never-crawled
+    hosts vs total) — frontier-coverage crawl health."""
+    from pdf2doi_ray.stages.graph import dangling_link_rate
+    return dangling_link_rate(_edges_sd(sf_dir))
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -3919,6 +3938,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_assortativity": _q_degree_assortativity,
         "stratified_kfold": _q_stratified_kfold,
         "heavy_tokens_exact": _q_heavy_tokens_exact,
+        "validation_report": _q_validation_report,
+        "dangling_link_rate": _q_dangling_link_rate,
         "approx_value_quantiles": _q_approx_value_quantiles,
         "approx_value_quantiles_by_type": _q_approx_value_quantiles_by_type,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -7919,5 +7940,32 @@ c AS (SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences
       FROM toks GROUP BY 1)
 SELECT c.token AS value, c.n_occurrences
 FROM c, t WHERE c.n_occurrences * 1000 > t.total * 5
+"""
+    sql["validation_report"] = """
+WITH m AS (SELECT
+    CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS null_user_id,
+    CAST(sum(CASE WHEN value < 0.0 OR value > 300.0
+             THEN 1 ELSE 0 END) AS BIGINT) AS value_out_of_range,
+    CAST(sum(CASE WHEN ts < TIMESTAMP '2023-01-01'
+                    OR ts >= TIMESTAMP '2027-01-01'
+             THEN 1 ELSE 0 END) AS BIGINT) AS ts_out_of_window,
+    CAST(sum(CASE WHEN event_type NOT IN
+                  ('click','error','purchase','signup','view')
+             THEN 1 ELSE 0 END) AS BIGINT) AS unknown_event_type
+  FROM events)
+SELECT 'null_user_id' AS rule, null_user_id AS n_violations FROM m
+UNION ALL SELECT 'value_out_of_range', value_out_of_range FROM m
+UNION ALL SELECT 'ts_out_of_window', ts_out_of_window FROM m
+UNION ALL SELECT 'unknown_event_type', unknown_event_type FROM m
+"""
+    sql["dangling_link_rate"] = _G_EDGES + """
+, crawled AS (SELECT DISTINCT src_host AS h FROM g)
+SELECT g.src_host,
+       CAST(sum(CASE WHEN c.h IS NULL THEN g.n ELSE 0 END) AS BIGINT)
+           AS n_dangling,
+       CAST(sum(g.n) AS BIGINT) AS n_total
+FROM g LEFT JOIN crawled c ON c.h = g.dst_host
+GROUP BY 1
 """
     return sql

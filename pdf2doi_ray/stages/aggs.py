@@ -2793,3 +2793,45 @@ def event_type_user_overlap(events, types=("click", "error", "purchase",
     return pd.DataFrame(rows, columns=["type_a", "type_b", "n_common",
                                        "min_size"]) \
         .astype({"n_common": "int64", "min_size": "int64"})
+
+
+def validation_report(events, value_lo: float = 0.0,
+                      value_hi: float = 500.0,
+                      ts_lo: str = "2023-01-01",
+                      ts_hi: str = "2027-01-01",
+                      known_types=("click", "error", "purchase",
+                                   "signup", "view")):
+    """Schema/content validation report: per rule, how many rows
+    violate it — the ingest data-quality gate (null keys, out-of-range
+    values, out-of-window timestamps, unknown enum codes), as one
+    vectorized pass emitting a ≤|rules|-row partial per batch and ONE
+    tiny groupby Sum.  Returns (rule, n_violations) with every rule
+    present (zero-filled).
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    rules = ["null_user_id", "value_out_of_range", "ts_out_of_window",
+             "unknown_event_type"]
+    lo_us = np.datetime64(ts_lo).astype("datetime64[us]").astype(np.int64)
+    hi_us = np.datetime64(ts_hi).astype("datetime64[us]").astype(np.int64)
+    types = pa.array(sorted(known_types))
+
+    def partial(t: pa.Table) -> pa.Table:
+        n_null = t.num_rows - pc.count(t["user_id"]).as_py()
+        v = one_chunk(t["value"]).to_numpy(zero_copy_only=False)
+        n_range = int(((v < value_lo) | (v > value_hi)).sum())
+        us = np.asarray(pc.cast(pc.cast(one_chunk(t["ts"]),
+                                        pa.timestamp("us")), pa.int64()))
+        n_ts = int(((us < lo_us) | (us >= hi_us)).sum())
+        n_enum = int(np.asarray(
+            pc.invert(pc.is_in(one_chunk(t["event_type"]),
+                               value_set=types))).sum())
+        return pa.table({
+            "rule": pa.array(rules, type=pa.string()),
+            "n": pa.array([n_null, n_range, n_ts, n_enum],
+                          type=pa.int64())})
+
+    return (events.map_batches(partial, batch_format="pyarrow")
+            .groupby("rule").aggregate(Sum("n",
+                                           alias_name="n_violations")))

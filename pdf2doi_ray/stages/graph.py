@@ -1282,3 +1282,42 @@ def degree_assortativity_sums(edges):
                       Sum("sum_xy", alias_name="sum_xy")))
     return out.map_batches(lambda t: t.drop_columns(["k"]),
                            batch_format="pyarrow")
+
+
+def dangling_link_rate(edges):
+    """Per-source dangling-outlink rate: how many of a host's outbound
+    links point at hosts that were never crawled as sources — the
+    frontier-coverage / dead-link crawl-health metric, as exact
+    integers (n_dangling, n_total per src).
+
+    The crawled-host set is the distinct src column (a host-dimension
+    broadcast, same contract as the other host-graph ops); each
+    aggregated edge row tests membership with one vectorized ``is_in``
+    and a ≤|hosts|-row groupby Sum finishes.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from ..arrowutil import collect_tables, one_chunk
+
+    edges = edges.materialize()
+    srcs = collect_tables(
+        edges.groupby("src").aggregate(Count(alias_name="_c")))
+    src_set = pa.array(sorted(set(
+        one_chunk(srcs["src"]).to_pylist())), type=pa.string())
+
+    def partial(t: pa.Table) -> pa.Table:
+        dangling = pc.invert(pc.is_in(one_chunk(t["dst"]),
+                                      value_set=src_set))
+        n = np.asarray(one_chunk(t["n_links"])).astype(np.int64)
+        d = np.where(np.asarray(dangling), n, 0)
+        g = pa.table({"src_host": t["src"], "nd": pa.array(d),
+                      "nt": pa.array(n)}) \
+            .group_by("src_host").aggregate([("nd", "sum"),
+                                             ("nt", "sum")])
+        return g.select(["src_host", "nd_sum", "nt_sum"]) \
+            .rename_columns(["src_host", "nd", "nt"])
+
+    return (edges.map_batches(partial, batch_format="pyarrow")
+            .groupby("src_host")
+            .aggregate(Sum("nd", alias_name="n_dangling"),
+                       Sum("nt", alias_name="n_total")))

@@ -836,3 +836,37 @@ def test_heavy_hitters_exact_2pass_compression_regime():
     with pytest.raises(ValueError, match="no-loss"):
         heavy_hitters_exact_2pass(
             ray.data.from_pandas(df), "v", threshold_permille=5, m=64)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_validation_report_rules_handbuilt():
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import validation_report
+
+    df = pd.DataFrame({
+        "user_id": pd.array([1, None, 3, 4], dtype="Int64"),
+        "ts": pd.to_datetime(["2024-01-01", "2024-01-02",
+                              "1999-01-01", "2024-01-04"]),
+        "event_type": ["click", "bogus", "view", "view"],
+        "value": [1.0, -5.0, 2.0, 600.0]})
+    got = validation_report(
+        ray.data.from_pandas(df).repartition(2)).to_pandas() \
+        .set_index("rule")["n_violations"].to_dict()
+    assert got == {"null_user_id": 1, "value_out_of_range": 2,
+                   "ts_out_of_window": 1, "unknown_event_type": 1}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dangling_link_rate_handbuilt():
+    import ray.data
+
+    from pdf2doi_ray.stages.graph import dangling_link_rate
+
+    edges = pd.DataFrame({
+        "src": ["a", "a", "b"],
+        "dst": ["b", "x", "a"],   # x never crawled as a source
+        "n_links": [3, 2, 1]})
+    got = dangling_link_rate(ray.data.from_pandas(edges).repartition(2)) \
+        .to_pandas().sort_values("src_host").reset_index(drop=True)
+    assert got.values.tolist() == [["a", 2, 5], ["b", 0, 1]]
