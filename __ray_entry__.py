@@ -3839,6 +3839,17 @@ def _q_dangling_link_rate(sf_dir: str):
     return dangling_link_rate(_edges_sd(sf_dir))
 
 
+def _q_max_concurrent_events(sf_dir: str):
+    """Peak interval concurrency (capacity planning): boundary sweep on
+    the zipWithIndex block-offset pattern, ends-before-starts at ties."""
+    import ray.data
+
+    from pdf2doi_ray.stages.windows import max_concurrent_events
+    return max_concurrent_events(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "value"]))
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -3940,6 +3951,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_tokens_exact": _q_heavy_tokens_exact,
         "validation_report": _q_validation_report,
         "dangling_link_rate": _q_dangling_link_rate,
+        "max_concurrent_events": _q_max_concurrent_events,
         "approx_value_quantiles": _q_approx_value_quantiles,
         "approx_value_quantiles_by_type": _q_approx_value_quantiles_by_type,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -7967,5 +7979,22 @@ SELECT g.src_host,
        CAST(sum(g.n) AS BIGINT) AS n_total
 FROM g LEFT JOIN crawled c ON c.h = g.dst_host
 GROUP BY 1
+"""
+    sql["max_concurrent_events"] = """
+WITH e AS (SELECT CAST(epoch_us(ts) AS BIGINT) AS us,
+                  CAST(floor(value * 1000) AS BIGINT) * 1000 AS dur
+           FROM events),
+b AS (SELECT us, 1 AS delta FROM e WHERE dur > 0
+      UNION ALL
+      SELECT us + dur, -1 FROM e WHERE dur > 0),
+r AS (SELECT us,
+             sum(delta) OVER (ORDER BY us, delta
+                 ROWS UNBOUNDED PRECEDING) AS run
+      FROM b),
+m AS (SELECT max(run) AS mx FROM r)
+SELECT CAST(m.mx AS BIGINT) AS max_concurrent,
+       CAST((SELECT min(us) FROM r WHERE r.run = m.mx) AS BIGINT)
+           AS at_us
+FROM m
 """
     return sql

@@ -1478,3 +1478,96 @@ def value_moving_range_by_type(events,
             .groupby("event_type")
             .aggregate(Sum("sum_abs_diff", alias_name="sum_abs_diff"),
                        Sum("n_diffs", alias_name="n_diffs")))
+
+
+def max_concurrent_events(events, us_per_milli: int = 1_000):
+    """Peak concurrency of event intervals — each event occupies
+    ``[ts, ts + floor(value·1000)·us_per_milli)`` and the operator
+    reports the maximum number of simultaneously-open intervals plus
+    the EARLIEST microsecond it is reached (capacity planning /
+    "meeting rooms", the canonical boundary sweep).  Exact integers;
+    non-positive durations drop.
+
+    Distributed sweep on the zipWithIndex pattern: ±1 boundary rows
+    sort globally on (us, delta) (ends apply before starts at a tie, so
+    touching intervals never over-count); each sorted block reports
+    (first key, Σdelta, running-max-relative, argmax position data),
+    the driver prefix-sums the |blocks|-row metadata to place every
+    block's absolute offset, and a second pass over only the blocks
+    attaining the global max finds the earliest attaining boundary.
+    Returns pandas one row (max_concurrent, at_us).
+    """
+    import pandas as pd
+
+    def boundaries(t: pa.Table) -> pa.Table:
+        us = np.asarray(pc.cast(pc.cast(one_chunk(t["ts"]),
+                                        pa.timestamp("us")), pa.int64()))
+        eid = np.asarray(one_chunk(t["event_id"])).astype(np.int64)
+        dur = np.floor(one_chunk(t["value"]).to_numpy(
+            zero_copy_only=False).astype(np.float64) * 1000.0) \
+            .astype(np.int64) * us_per_milli
+        keep = dur > 0
+        us, dur, eid = us[keep], dur[keep], eid[keep]
+        # uid makes every boundary row unique so block metadata keys
+        # are unambiguous even under duplicate (us, delta) boundaries
+        return pa.table({
+            "us": pa.array(np.concatenate([us, us + dur])),
+            "delta": pa.array(np.concatenate(
+                [np.ones(len(us), np.int64),
+                 np.full(len(us), -1, np.int64)])),
+            "uid": pa.array(np.concatenate(
+                [eid * 2, eid * 2 + 1]))})
+
+    srt = events.map_batches(boundaries, batch_format="pyarrow") \
+        .sort(["us", "delta", "uid"]).materialize()
+
+    def block_meta(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({k: pa.array([], type=pa.int64())
+                             for k in ("k_us", "k_delta", "k_uid",
+                                       "dsum", "rmax")})
+        d = np.asarray(one_chunk(t["delta"])).astype(np.int64)
+        cs = np.cumsum(d)
+        return pa.table({
+            "k_us": pa.array([one_chunk(t["us"])[0].as_py()],
+                             type=pa.int64()),
+            "k_delta": pa.array([int(d[0])], type=pa.int64()),
+            "k_uid": pa.array([one_chunk(t["uid"])[0].as_py()],
+                              type=pa.int64()),
+            "dsum": pa.array([int(cs[-1])], type=pa.int64()),
+            "rmax": pa.array([int(cs.max())], type=pa.int64())})
+
+    meta = srt.map_batches(block_meta, batch_format="pyarrow",
+                           batch_size=None).to_pandas() \
+        .sort_values(["k_us", "k_delta", "k_uid"]).reset_index(drop=True)
+    if meta.empty:
+        return pd.DataFrame({"max_concurrent": [0], "at_us": [0]}) \
+            .astype("int64")
+    offs = np.concatenate([[0], meta["dsum"].cumsum().to_numpy()[:-1]]) \
+        .astype(np.int64)
+    gmax = int((offs + meta["rmax"].to_numpy()).max())
+    winners = set(map(tuple, meta.loc[
+        offs + meta["rmax"].to_numpy() == gmax,
+        ["k_us", "k_delta", "k_uid"]].to_numpy()))
+    off_of = {(int(r.k_us), int(r.k_delta), int(r.k_uid)): int(o)
+              for r, o in zip(meta.itertuples(), offs)}
+
+    def first_attain(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"at_us": pa.array([], type=pa.int64())})
+        key = (one_chunk(t["us"])[0].as_py(),
+               one_chunk(t["delta"])[0].as_py(),
+               one_chunk(t["uid"])[0].as_py())
+        if key not in winners:
+            return pa.table({"at_us": pa.array([], type=pa.int64())})
+        d = np.asarray(one_chunk(t["delta"])).astype(np.int64)
+        run = off_of[key] + np.cumsum(d)
+        pos = int(np.flatnonzero(run == gmax)[0])
+        return pa.table({"at_us": pa.array(
+            [one_chunk(t["us"])[pos].as_py()], type=pa.int64())})
+
+    at = srt.map_batches(first_attain, batch_format="pyarrow",
+                         batch_size=None).to_pandas()
+    return pd.DataFrame({"max_concurrent": [gmax],
+                         "at_us": [int(at["at_us"].min())]}) \
+        .astype("int64")

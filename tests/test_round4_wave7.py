@@ -870,3 +870,30 @@ def test_dangling_link_rate_handbuilt():
     got = dangling_link_rate(ray.data.from_pandas(edges).repartition(2)) \
         .to_pandas().sort_values("src_host").reset_index(drop=True)
     assert got.values.tolist() == [["a", 2, 5], ["b", 0, 1]]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_max_concurrent_touching_intervals_dont_overcount():
+    """An interval ending exactly when another starts never counts as
+    overlap (ends apply before starts at a tie); earliest attaining
+    time reported."""
+    import ray.data
+
+    from pdf2doi_ray.stages.windows import max_concurrent_events
+
+    # i1 [0, 10s); i2 [10s, 20s) — touching, max 1 at us=0
+    df = pd.DataFrame({
+        "event_id": [1, 2],
+        "ts": pd.to_datetime([0, 10], unit="s"),
+        "value": [10.0, 10.0]})
+    got = max_concurrent_events(ray.data.from_pandas(df))
+    assert got.values.tolist() == [[1, 0]]
+
+    # three overlapping at [5s, 8s)
+    df2 = pd.DataFrame({
+        "event_id": [1, 2, 3],
+        "ts": pd.to_datetime([0, 5, 6], unit="s"),
+        "value": [10.0, 10.0, 1.0]})
+    got2 = max_concurrent_events(
+        ray.data.from_pandas(df2).repartition(3))
+    assert got2.values.tolist() == [[3, 6_000_000]]
