@@ -3850,6 +3850,29 @@ def _q_max_concurrent_events(sf_dir: str):
         columns=["event_id", "ts", "value"]))
 
 
+def _q_host_rate_outliers(sf_dir: str):
+    """Hosts whose extraction-FAILURE rate deviates from the corpus by
+    a cross-multiplied binomial z-test (|z| > 2, no float): the full
+    identify cascade feeds per-host (found, total) combiner sums; the
+    ≤|hosts|-row decision runs in exact Python bigints (the squared
+    term overflows int64 at fleet scale — the SQL mirror uses HUGEINT).
+    Returns (host, n_failed, n_pages) for flagged hosts."""
+    import pandas as pd
+
+    rates = _q_rate_by_host(sf_dir).to_pandas()
+    n = rates["n_pages"].astype("int64")
+    f = (rates["n_pages"] - rates["n_found"]).astype("int64")
+    N = int(n.sum())
+    F = int(f.sum())
+    keep = [
+        (int(fi) * N - int(ni) * F) ** 2 * N
+        > 4 * int(ni) * F * (N - F)
+        for fi, ni in zip(f, n)]
+    out = pd.DataFrame({"host": rates["host"], "n_failed": f,
+                        "n_pages": n})[pd.Series(keep).values]
+    return out.sort_values("host").reset_index(drop=True)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -3952,6 +3975,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "validation_report": _q_validation_report,
         "dangling_link_rate": _q_dangling_link_rate,
         "max_concurrent_events": _q_max_concurrent_events,
+        "host_rate_outliers": _q_host_rate_outliers,
         "approx_value_quantiles": _q_approx_value_quantiles,
         "approx_value_quantiles_by_type": _q_approx_value_quantiles_by_type,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -7996,5 +8020,20 @@ SELECT CAST(m.mx AS BIGINT) AS max_concurrent,
        CAST((SELECT min(us) FROM r WHERE r.run = m.mx) AS BIGINT)
            AS at_us
 FROM m
+"""
+    sql["host_rate_outliers"] = f"""
+WITH d AS ({_D}),
+r AS (SELECT 'site' || site || '.example.org' AS host,
+             CAST(SUM(CASE WHEN ({_IDENTIFIER}) IS NULL
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
+             COUNT(*) AS n_pages
+      FROM d GROUP BY 1),
+t AS (SELECT CAST(sum(n_failed) AS BIGINT) AS F,
+             CAST(sum(n_pages) AS BIGINT) AS N FROM r)
+SELECT r.host, r.n_failed, r.n_pages
+FROM r, t
+WHERE CAST(r.n_failed * t.N - r.n_pages * t.F AS HUGEINT)
+      * (r.n_failed * t.N - r.n_pages * t.F) * t.N
+      > CAST(4 AS HUGEINT) * r.n_pages * t.F * (t.N - t.F)
 """
     return sql

@@ -897,3 +897,22 @@ def test_max_concurrent_touching_intervals_dont_overcount():
     got2 = max_concurrent_events(
         ray.data.from_pandas(df2).repartition(3))
     assert got2.values.tolist() == [[3, 6_000_000]]
+
+
+def test_host_rate_outlier_rule_discriminates():
+    """The cross-multiplied binomial z-rule flags far-off hosts and
+    passes a host at the global rate (pure-python check of the same
+    arithmetic the query and its HUGEINT oracle use)."""
+    # global: F=30 failures of N=300; host at exactly 10% passes,
+    # host at 50% on 60 pages is ~10 sigma out
+    hosts = [("ok", 10, 100), ("bad", 30, 60), ("tiny", 1, 10)]
+    rest_f = 30 - sum(f for _, f, _ in hosts)
+    rest_n = 300 - sum(n for _, _, n in hosts)
+    hosts.append(("rest", rest_f, rest_n))
+    N = 300
+    F = 30
+    flags = {h: (f * N - n * F) ** 2 * N > 4 * n * F * (N - F)
+             for h, f, n in hosts}
+    assert flags["bad"] is True
+    assert flags["ok"] is False
+    assert flags["tiny"] is False   # small n: wide interval, not flagged
