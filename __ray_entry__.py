@@ -3873,6 +3873,37 @@ def _q_host_rate_outliers(sf_dir: str):
     return out.sort_values("host").reset_index(drop=True)
 
 
+def _q_gopher_impact_by_lang(sf_dir: str):
+    """Curation observability: per language, how many docs the full
+    Gopher gate keeps vs drops — the gate flags and the lang column
+    come from the SAME batch (one pass, no join), then a |langs|-row
+    combiner groupby."""
+    import pyarrow as pa
+
+    from pdf2doi_ray.stages.textstats import gopher_quality
+
+    def partial(t: pa.Table) -> pa.Table:
+        import numpy as np
+        g = gopher_quality(t)
+        keep = np.asarray(g["keep"].combine_chunks()
+                          if isinstance(g["keep"], pa.ChunkedArray)
+                          else g["keep"]).astype(np.int64)
+        tbl = pa.table({"lang": t["lang"],
+                        "p": pa.array(keep),
+                        "f": pa.array(1 - keep)})
+        gg = tbl.group_by("lang").aggregate([("p", "sum"), ("f", "sum")])
+        return gg.select(["lang", "p_sum", "f_sum"]) \
+            .rename_columns(["lang", "p", "f"])
+
+    from ray.data.aggregate import Sum
+
+    return (_docs(sf_dir, ("doc_id", "text", "lang"))
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("lang")
+            .aggregate(Sum("p", alias_name="n_pass"),
+                       Sum("f", alias_name="n_fail")))
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -3976,6 +4007,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dangling_link_rate": _q_dangling_link_rate,
         "max_concurrent_events": _q_max_concurrent_events,
         "host_rate_outliers": _q_host_rate_outliers,
+        "gopher_impact_by_lang": _q_gopher_impact_by_lang,
         "approx_value_quantiles": _q_approx_value_quantiles,
         "approx_value_quantiles_by_type": _q_approx_value_quantiles_by_type,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -8035,5 +8067,15 @@ FROM r, t
 WHERE CAST(r.n_failed * t.N - r.n_pages * t.F AS HUGEINT)
       * (r.n_failed * t.N - r.n_pages * t.F) * t.N
       > CAST(4 AS HUGEINT) * r.n_pages * t.F * (t.N - t.F)
+"""
+    sql["gopher_impact_by_lang"] = """
+WITH g AS (SELECT * FROM (""" + sql["gopher_quality"] + """) q)
+SELECT d.lang,
+       CAST(sum(CASE WHEN g.keep THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pass,
+       CAST(sum(CASE WHEN g.keep THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_fail
+FROM documents d JOIN g ON g.doc_id = d.doc_id
+GROUP BY 1
 """
     return sql
