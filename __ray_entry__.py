@@ -3904,6 +3904,40 @@ def _q_gopher_impact_by_lang(sf_dir: str):
                        Sum("f", alias_name="n_fail")))
 
 
+def _q_partitioned_prune_roundtrip(sf_dir: str):
+    """Hive-partitioned write (one dir per lang) + pruned single-
+    partition read-back with column projection."""
+    import shutil
+    import tempfile
+
+    from pdf2doi_ray.stages.export import partitioned_write_prune_read
+    root = tempfile.mkdtemp(prefix="part_prune_", dir="/tmp")
+    try:
+        return partitioned_write_prune_read(
+            _docs(sf_dir, ("doc_id", "text", "lang")), root,
+            lang="de").to_pandas()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _q_hashed_features(sf_dir: str):
+    """Hashing-trick sparse features: md5(token) % 1024 counts per doc
+    — vocabulary-free vectorizer, one combiner groupby."""
+    from pdf2doi_ray.stages.export import hashed_features
+    return hashed_features(_docs(sf_dir, ("doc_id", "text")))
+
+
+def _q_target_encode_loo(sf_dir: str):
+    """Leave-one-out target encoding as exact integer (num, den) —
+    category aggregates broadcast into one vectorized pass."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import target_encode_loo
+    return target_encode_loo(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"]))
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -4008,6 +4042,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "max_concurrent_events": _q_max_concurrent_events,
         "host_rate_outliers": _q_host_rate_outliers,
         "gopher_impact_by_lang": _q_gopher_impact_by_lang,
+        "partitioned_prune_roundtrip": _q_partitioned_prune_roundtrip,
+        "hashed_features": _q_hashed_features,
+        "target_encode_loo": _q_target_encode_loo,
         "approx_value_quantiles": _q_approx_value_quantiles,
         "approx_value_quantiles_by_type": _q_approx_value_quantiles_by_type,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -8077,5 +8114,32 @@ SELECT d.lang,
            AS n_fail
 FROM documents d JOIN g ON g.doc_id = d.doc_id
 GROUP BY 1
+"""
+    sql["partitioned_prune_roundtrip"] = """
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+FROM documents WHERE lang = 'de'
+"""
+    sql["hashed_features"] = """
+WITH toks AS (SELECT doc_id,
+                     unnest(list_filter(string_split(text, ' '),
+                                        x -> x <> '')) AS tok
+              FROM documents)
+SELECT doc_id,
+       CAST((('0x' || substr(md5(tok), 1, 16))::UBIGINT >> 1) % 1024
+            AS BIGINT) AS feature_idx,
+       CAST(count(*) AS BIGINT) AS n
+FROM toks GROUP BY 1, 2
+"""
+    sql["target_encode_loo"] = """
+WITH e AS (SELECT event_id, event_type,
+                  CAST(floor(value * 1000) AS BIGINT) AS vm
+           FROM events),
+g AS (SELECT event_type, CAST(sum(vm) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM e GROUP BY 1)
+SELECT e.event_id, e.event_type,
+       CAST(g.s - e.vm AS BIGINT) AS loo_num,
+       CAST(g.n - 1 AS BIGINT) AS loo_den
+FROM e JOIN g USING (event_type)
 """
     return sql

@@ -2835,3 +2835,42 @@ def validation_report(events, value_lo: float = 0.0,
     return (events.map_batches(partial, batch_format="pyarrow")
             .groupby("rule").aggregate(Sum("n",
                                            alias_name="n_violations")))
+
+
+def target_encode_loo(events):
+    """Leakage-safe target encoding: each row's category feature is the
+    mean target of OTHER rows in its category — emitted as the exact
+    integer pair (loo_num = group_sum − own, loo_den = group_n − 1), so
+    the caller divides and no float crosses the engine (singleton
+    categories yield den 0 → the caller falls back to the global mean).
+    One |categories|-row aggregate broadcast into one vectorized pass.
+    Returns (event_id, event_type, loo_num, loo_den).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from .windowfns import _milli
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t["event_id"],
+                         "event_type": t["event_type"],
+                         "vm": pa.array(_milli(one_chunk(t["value"])))})
+
+    vm_ds = events.map_batches(prep, batch_format="pyarrow").materialize()
+    g = vm_ds.groupby("event_type").aggregate(
+        Sum("vm", alias_name="s"), Count(alias_name="n")).to_pandas()
+    keys = np.asarray(g["event_type"], dtype=str)
+    order = np.argsort(keys)
+    keys = keys[order]
+    sums = np.asarray(g["s"], dtype=np.int64)[order]
+    cnts = np.asarray(g["n"], dtype=np.int64)[order]
+
+    def encode(t: pa.Table) -> pa.Table:
+        ty = np.asarray(one_chunk(t["event_type"]), dtype=str)
+        vm = np.asarray(one_chunk(t["vm"])).astype(np.int64)
+        i = np.searchsorted(keys, ty)
+        return pa.table({
+            "event_id": t["event_id"], "event_type": t["event_type"],
+            "loo_num": pa.array(sums[i] - vm),
+            "loo_den": pa.array(cnts[i] - 1)})
+
+    return vm_ds.map_batches(encode, batch_format="pyarrow")

@@ -311,3 +311,76 @@ def stratified_kfold(docs, k: int = 5):
             "fold": pa.array((r - 1) % k)})
 
     return rn.map_batches(decode, batch_format="pyarrow")
+
+
+def partitioned_write_prune_read(docs, root: str, lang: str = "de"):
+    """Hive-partitioned sink + pruned source, round-tripped: write the
+    docs partitioned by ``lang`` (one directory per language — the
+    resumable layout contract: a re-run skips finished partitions), then
+    read back ONLY the requested partition directory with a column
+    projection — the read never touches the other partitions' files
+    (partition pruning by path, the cheapest predicate there is).
+    Returns the partition's rows (doc_id, n_chars) for oracle compare.
+    """
+    import os
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ..arrowutil import one_chunk
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t
+
+    # one write per partition value, driver-discovered from a tiny
+    # distinct pass (|langs| by contract); each write streams its
+    # filtered view — rows of one lang land in exactly one directory
+    langs = sorted(set(
+        docs.groupby("lang").count().to_pandas()["lang"]))
+    for lg in langs:
+        sub = docs.map_batches(
+            lambda t, lg=lg: t.filter(pc.equal(t["lang"], lg)),
+            batch_format="pyarrow")
+        sub.write_parquet(os.path.join(root, f"lang={lg}"))
+
+    part = ray.data.read_parquet(os.path.join(root, f"lang={lang}"),
+                                 columns=["doc_id", "text"])
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_chars": pc.cast(pc.utf8_length(one_chunk(t["text"])),
+                               pa.int64())})
+
+    return part.map_batches(project, batch_format="pyarrow")
+
+
+def hashed_features(docs, n_features: int = 1024):
+    """The hashing trick: every token maps to ``md5(token) % D`` and
+    each document emits its sparse (doc_id, feature_idx, n) counts —
+    the vocabulary-free vectorizer feeding linear quality models at any
+    scale (no vocabulary shuffle, no driver state).  Pure map with a
+    per-batch combiner; hashing reuses the repo's 63-bit md5 kernel so
+    the SQL oracle recomputes it verbatim.
+    """
+    from ..arrowutil import one_chunk
+    from .corpus import _tokens_nonempty, md5_u64
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, row_idx = _tokens_nonempty(t)
+        ids = np.asarray(one_chunk(t["doc_id"])).astype(np.int64)
+        toks = np.asarray(flat, dtype=object).astype(str)
+        hv = (md5_u64(toks) >> np.uint64(1)).astype(np.int64)
+        feat = hv % n_features
+        g = pa.table({"doc_id": pa.array(ids[row_idx]),
+                      "feature_idx": pa.array(feat)}) \
+            .group_by(["doc_id", "feature_idx"]).aggregate(
+                [([], "count_all")])
+        return g.select(["doc_id", "feature_idx", "count_all"]) \
+            .rename_columns(["doc_id", "feature_idx", "n"])
+
+    from ray.data.aggregate import Sum
+
+    return (docs.map_batches(partial, batch_format="pyarrow")
+            .groupby(["doc_id", "feature_idx"])
+            .aggregate(Sum("n", alias_name="n")))

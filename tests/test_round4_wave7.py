@@ -916,3 +916,42 @@ def test_host_rate_outlier_rule_discriminates():
     assert flags["bad"] is True
     assert flags["ok"] is False
     assert flags["tiny"] is False   # small n: wide interval, not flagged
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_partitioned_prune_reads_only_target_dir(tmp_path):
+    """The pruned read touches only the requested partition directory;
+    other partitions' files exist but stay unread (path-level prune)."""
+    import os
+
+    import ray.data
+
+    from pdf2doi_ray.stages.export import partitioned_write_prune_read
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "lang": ["de", "en", "de", "fr"],
+        "text": ["aa", "bbb", "c", "dddd"]})
+    root = str(tmp_path / "part")
+    got = partitioned_write_prune_read(
+        ray.data.from_pandas(docs).repartition(2), root, lang="de") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert got.values.tolist() == [[1, 2], [3, 1]]
+    assert sorted(os.listdir(root)) == ["lang=de", "lang=en", "lang=fr"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_target_encode_loo_singleton_and_exactness():
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import target_encode_loo
+
+    df = pd.DataFrame({
+        "event_id": [1, 2, 3],
+        "event_type": ["a", "a", "b"],
+        "value": [1.0, 3.0, 9.0]})
+    got = target_encode_loo(ray.data.from_pandas(df).repartition(2)) \
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    # a: sums 4000; row1 → (3000, 1); row2 → (1000, 1); b singleton → den 0
+    assert got[["loo_num", "loo_den"]].values.tolist() == \
+        [[3000, 1], [1000, 1], [0, 0]]
