@@ -3938,6 +3938,27 @@ def _q_target_encode_loo(sf_dir: str):
         columns=["event_id", "event_type", "value"]))
 
 
+def _q_rfm_scores(sf_dir: str):
+    """RFM segmentation with exact rank-rule quintiles — per-customer
+    combiner groupby + three tiny histogram walks."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import rfm_scores
+    return rfm_scores(ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"]))
+
+
+def _q_churned_users(sf_dir: str):
+    """Churn flags: last-seen day per user vs the stream end minus 7
+    days."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import churned_users
+    return churned_users(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]))
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -4045,6 +4066,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "partitioned_prune_roundtrip": _q_partitioned_prune_roundtrip,
         "hashed_features": _q_hashed_features,
         "target_encode_loo": _q_target_encode_loo,
+        "rfm_scores": _q_rfm_scores,
+        "churned_users": _q_churned_users,
         "approx_value_quantiles": _q_approx_value_quantiles,
         "approx_value_quantiles_by_type": _q_approx_value_quantiles_by_type,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -8141,5 +8164,49 @@ SELECT e.event_id, e.event_type,
        CAST(g.s - e.vm AS BIGINT) AS loo_num,
        CAST(g.n - 1 AS BIGINT) AS loo_den
 FROM e JOIN g USING (event_type)
+"""
+    sql["rfm_scores"] = """
+WITH pc_ AS (SELECT o_custkey AS c,
+                    max(CAST(epoch_us(o_orderdate) AS BIGINT)
+                        // 86400000000) AS recency_day,
+                    CAST(count(*) AS BIGINT) AS frequency,
+                    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                         AS BIGINT) AS cents
+             FROM orders GROUP BY 1),
+qs AS (SELECT CAST(unnest([200, 400, 600, 800]) AS BIGINT) AS qp),
+br AS (SELECT qp, min(v) AS bv FROM (
+         SELECT recency_day AS v,
+                row_number() OVER (ORDER BY recency_day) AS rn,
+                count(*) OVER () AS n FROM pc_) r CROSS JOIN qs
+       WHERE rn >= ceil(qp * n / 1000.0) GROUP BY qp),
+bf AS (SELECT qp, min(v) AS bv FROM (
+         SELECT frequency AS v,
+                row_number() OVER (ORDER BY frequency) AS rn,
+                count(*) OVER () AS n FROM pc_) r CROSS JOIN qs
+       WHERE rn >= ceil(qp * n / 1000.0) GROUP BY qp),
+bm AS (SELECT qp, min(v) AS bv FROM (
+         SELECT cents // 100000 AS v,
+                row_number() OVER (ORDER BY cents // 100000) AS rn,
+                count(*) OVER () AS n FROM pc_) r CROSS JOIN qs
+       WHERE rn >= ceil(qp * n / 1000.0) GROUP BY qp)
+SELECT pc_.c AS c_custkey,
+       CAST(1 + (SELECT count(*) FROM br
+                 WHERE br.bv <= pc_.recency_day) AS BIGINT) AS r_score,
+       CAST(1 + (SELECT count(*) FROM bf
+                 WHERE bf.bv <= pc_.frequency) AS BIGINT) AS f_score,
+       CAST(1 + (SELECT count(*) FROM bm
+                 WHERE bm.bv <= pc_.cents // 100000) AS BIGINT)
+           AS m_score
+FROM pc_
+"""
+    sql["churned_users"] = """
+WITH l AS (SELECT user_id,
+                  max(CAST(epoch_us(ts) AS BIGINT) // 86400000000)
+                      AS last_seen_day
+           FROM events GROUP BY 1),
+m AS (SELECT max(last_seen_day) AS gmax FROM l)
+SELECT l.user_id, l.last_seen_day,
+       l.last_seen_day < m.gmax - 7 AS churned
+FROM l, m
 """
     return sql

@@ -2874,3 +2874,107 @@ def target_encode_loo(events):
             "loo_den": pa.array(cnts[i] - 1)})
 
     return vm_ds.map_batches(encode, batch_format="pyarrow")
+
+
+def rfm_scores(orders, n_tiles: int = 5):
+    """RFM customer scoring — recency (last order day), frequency
+    (order count), monetary (total dollars) each quintiled with the
+    repo's exact rank rule (boundary b_q = value at ascending rank
+    ``ceil(q·n/1000)``; score = 1 + #{boundaries ≤ v}) — the classic
+    segmentation, no ntile engine and no float.
+
+    One per-customer combiner groupby, then THREE tiny histogram walks
+    (recency is day-resolution, frequency a small count, monetary
+    truncated to dollars — all bounded-distinct by construction, the
+    histogram-walk contract); the ≤3·(n_tiles−1) boundaries ride the
+    closure into one scoring pass.  Returns
+    (c_custkey, r_score, f_score, m_score).
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Max, Sum
+
+    from .textstats import quantiles_from_histogram
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = np.asarray(pc.cast(pc.cast(one_chunk(t["o_orderdate"]),
+                                         pa.timestamp("us")),
+                                 pa.int64())) // 86_400_000_000
+        cents = np.floor(one_chunk(t["o_totalprice"]).to_numpy(
+            zero_copy_only=False).astype(np.float64) * 100.0) \
+            .astype(np.int64)
+        return pa.table({"c": t["o_custkey"], "day": pa.array(day),
+                         "cents": pa.array(cents)})
+
+    per_cust = (orders.map_batches(prep, batch_format="pyarrow")
+                .groupby("c")
+                .aggregate(Max("day", alias_name="recency_day"),
+                           Count(alias_name="frequency"),
+                           Sum("cents", alias_name="cents"))
+                ).materialize()
+
+    qs = [i * 1000 // n_tiles for i in range(1, n_tiles)]
+
+    def _bounds(col_expr):
+        def hist(t: pa.Table) -> pa.Table:
+            v = col_expr(t)
+            uniq, cnt = np.unique(v, return_counts=True)
+            return pa.table({"value": pa.array(uniq.astype(np.int64)),
+                             "n": pa.array(cnt.astype(np.int64))})
+        from ray.data.aggregate import Sum as _S
+        h = (per_cust.map_batches(hist, batch_format="pyarrow")
+             .groupby("value").aggregate(_S("n", alias_name="n"))
+             .to_pandas())
+        return np.sort(np.asarray(
+            quantiles_from_histogram(h, qs)["value"], dtype=np.int64))
+
+    b_r = _bounds(lambda t: np.asarray(one_chunk(t["recency_day"])))
+    b_f = _bounds(lambda t: np.asarray(one_chunk(t["frequency"])))
+    b_m = _bounds(lambda t: np.asarray(one_chunk(t["cents"]))
+                  // 100_000)
+
+    def score(t: pa.Table) -> pa.Table:
+        r = np.asarray(one_chunk(t["recency_day"])).astype(np.int64)
+        f = np.asarray(one_chunk(t["frequency"])).astype(np.int64)
+        m = np.asarray(one_chunk(t["cents"])).astype(np.int64) // 100_000
+        return pa.table({
+            "c_custkey": t["c"],
+            "r_score": pa.array(
+                1 + np.searchsorted(b_r, r, side="right")),
+            "f_score": pa.array(
+                1 + np.searchsorted(b_f, f, side="right")),
+            "m_score": pa.array(
+                1 + np.searchsorted(b_m, m, side="right"))})
+
+    return per_cust.map_batches(score, batch_format="pyarrow")
+
+
+def churned_users(events, horizon_days: int = 7):
+    """Churn flags: users whose LAST event is more than ``horizon_days``
+    before the stream's end — per-user Max via combiner groupby, the
+    global max as one tiny aggregate broadcast into the flag pass.
+    Returns (user_id, last_seen_day, churned).
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = np.asarray(pc.cast(pc.cast(one_chunk(t["ts"]),
+                                         pa.timestamp("us")),
+                                 pa.int64())) // 86_400_000_000
+        g = pa.table({"user_id": t["user_id"], "day": pa.array(day)}) \
+            .group_by("user_id").aggregate([("day", "max")])
+        return g.select(["user_id", "day_max"]) \
+            .rename_columns(["user_id", "day"])
+
+    last = (events.map_batches(prep, batch_format="pyarrow")
+            .groupby("user_id").aggregate(
+                Max("day", alias_name="last_seen_day"))).materialize()
+    gmax = int(last.max("last_seen_day"))
+
+    def flag(t: pa.Table) -> pa.Table:
+        d = np.asarray(one_chunk(t["last_seen_day"])).astype(np.int64)
+        return pa.table({"user_id": t["user_id"],
+                         "last_seen_day": t["last_seen_day"],
+                         "churned": pa.array(d < gmax - horizon_days)})
+
+    return last.map_batches(flag, batch_format="pyarrow")

@@ -955,3 +955,71 @@ def test_target_encode_loo_singleton_and_exactness():
     # a: sums 4000; row1 → (3000, 1); row2 → (1000, 1); b singleton → den 0
     assert got[["loo_num", "loo_den"]].values.tolist() == \
         [[3000, 1], [1000, 1], [0, 0]]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rfm_scores_handbuilt_quintiles():
+    """10 customers, one order each, values 1..10 → quintile boundaries
+    at ranks 2,4,6,8 (values 2,4,6,8); score = 1 + #{boundaries ≤ v} →
+    1,2,2,3,3,4,4,5,5,5 for monetary and recency; frequency all-equal →
+    everyone lands in the top band."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import rfm_scores
+
+    df = pd.DataFrame({
+        "o_custkey": list(range(1, 11)),
+        "o_orderdate": pd.to_datetime(
+            [f"1995-01-{d:02d}" for d in range(1, 11)]),
+        "o_totalprice": [float(1000 * d) for d in range(1, 11)]})
+    got = rfm_scores(ray.data.from_pandas(df).repartition(3)) \
+        .to_pandas().sort_values("c_custkey").reset_index(drop=True)
+    assert got["r_score"].tolist() == [1, 2, 2, 3, 3, 4, 4, 5, 5, 5]
+    assert got["m_score"].tolist() == [1, 2, 2, 3, 3, 4, 4, 5, 5, 5]
+    # every frequency == 1 → single distinct value at every boundary →
+    # score = 1 + 4 boundaries ≤ v = 5 for everyone
+    assert got["f_score"].tolist() == [5] * 10
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rfm_scores_aggregates_multi_order_customers():
+    """Two orders for one customer fold: recency = later day, frequency
+    2, monetary the sum — verified against a hand computation."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import rfm_scores
+
+    df = pd.DataFrame({
+        "o_custkey": [1, 1, 2],
+        "o_orderdate": pd.to_datetime(
+            ["1995-01-01", "1995-03-01", "1995-02-01"]),
+        "o_totalprice": [100000.0, 200000.0, 50000.0]})
+    got = rfm_scores(ray.data.from_pandas(df).repartition(2)) \
+        .to_pandas().sort_values("c_custkey").reset_index(drop=True)
+    # cust 1: recency 1995-03-01 > cust 2's 1995-02-01, freq 2 > 1,
+    # monetary $300k > $50k (distinct $1k buckets) → cust 1 strictly
+    # above cust 2 on every axis
+    assert (got.loc[0, "r_score"] > got.loc[1, "r_score"]
+            and got.loc[0, "f_score"] > got.loc[1, "f_score"]
+            and got.loc[0, "m_score"] > got.loc[1, "m_score"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_churned_users_boundary_is_strict():
+    """churned ⇔ last_seen_day < gmax − 7: a user last seen exactly 7
+    days before the end is NOT churned; 8 days is."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import churned_users
+
+    df = pd.DataFrame({
+        "user_id": [1, 1, 2, 3],
+        "ts": pd.to_datetime([
+            "2020-01-01", "2020-01-20",   # u1 active at stream end
+            "2020-01-13",                 # u2: gmax-7 exactly → kept
+            "2020-01-12"])})              # u3: gmax-8 → churned
+    got = churned_users(ray.data.from_pandas(df).repartition(2)) \
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    assert got["churned"].tolist() == [False, False, True]
+    # and last_seen aggregates the per-user max, not min
+    assert got.loc[0, "last_seen_day"] == got["last_seen_day"].max()
