@@ -3959,6 +3959,56 @@ def _q_churned_users(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["user_id", "ts"]))
 
 
+def _q_value_ohlc_hourly(sf_dir: str):
+    """OHLC candles per (event_type, hour): packed-int argmin/argmax
+    open/close, one combiner groupby, no window sort."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import value_ohlc_hourly
+    return value_ohlc_hourly(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "event_type", "value"]))
+
+
+def _q_orders_vs_ship_days(sf_dir: str):
+    """Full-outer day reconciliation of two independent count streams
+    via the tagged-union encoding — one groupby, zero joins."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import orders_vs_ship_days
+    return orders_vs_ship_days(
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_orderdate"]),
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_shipdate"]))
+
+
+def _q_kcore_users_props(sf_dir: str):
+    """Truncated k-core peel (k=9, ≤12 rounds) of the bipartite
+    user–prop graph from events: broadcast survivor set, edges never
+    shuffle, early exit at fixpoint."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from pdf2doi_ray.arrowutil import one_chunk
+    from pdf2doi_ray.stages.graph import kcore_nodes
+
+    def pairs(t: pa.Table) -> pa.Table:
+        u = pc.binary_join_element_wise(
+            "u", pc.cast(one_chunk(t["user_id"]), pa.string()), "")
+        kv = pc.struct_field(
+            pc.extract_regex(one_chunk(t["props"]), '"k": (?P<k>\\d+)'),
+            "k")
+        return pa.table({"a": u, "b": pc.binary_join_element_wise(
+            "k", kv, "")})
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "props"])
+    return kcore_nodes(ev.map_batches(pairs, batch_format="pyarrow"),
+                       k=9, max_rounds=12)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -4068,6 +4118,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "target_encode_loo": _q_target_encode_loo,
         "rfm_scores": _q_rfm_scores,
         "churned_users": _q_churned_users,
+        "value_ohlc_hourly": _q_value_ohlc_hourly,
+        "orders_vs_ship_days": _q_orders_vs_ship_days,
+        "kcore_users_props": _q_kcore_users_props,
         "approx_value_quantiles": _q_approx_value_quantiles,
         "approx_value_quantiles_by_type": _q_approx_value_quantiles_by_type,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -8198,6 +8251,49 @@ SELECT pc_.c AS c_custkey,
                  WHERE bm.bv <= pc_.cents // 100000) AS BIGINT)
            AS m_score
 FROM pc_
+"""
+    sql["value_ohlc_hourly"] = """
+WITH e AS (SELECT event_type,
+                  CAST(epoch_us(ts) AS BIGINT) // 1000 AS ms,
+                  CAST(floor(value * 1000) AS BIGINT) AS vm
+           FROM events),
+p AS (SELECT event_type, ms // 3600000 AS hour,
+             ms * 1048576 + vm AS packed, vm FROM e)
+SELECT event_type, hour,
+       CAST(min(packed) % 1048576 AS BIGINT) AS open_milli,
+       CAST(max(vm) AS BIGINT) AS high_milli,
+       CAST(min(vm) AS BIGINT) AS low_milli,
+       CAST(max(packed) % 1048576 AS BIGINT) AS close_milli,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM p GROUP BY 1, 2
+"""
+    sql["orders_vs_ship_days"] = """
+WITH a AS (SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000
+                      AS day, count(*) AS n FROM orders GROUP BY 1),
+b AS (SELECT CAST(epoch_us(l_shipdate) AS BIGINT) // 86400000000
+                 AS day, count(*) AS n FROM lineitem GROUP BY 1)
+SELECT COALESCE(a.day, b.day) AS day,
+       CAST(COALESCE(a.n, 0) AS BIGINT) AS n_orders,
+       CAST(COALESCE(b.n, 0) AS BIGINT) AS n_shipped
+FROM a FULL OUTER JOIN b ON a.day = b.day
+"""
+    sql["kcore_users_props"] = """
+WITH RECURSIVE
+e0 AS (SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS a,
+              'k' || regexp_extract(props, '"k": (\\d+)', 1) AS b
+       FROM events),
+ee AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+surv(round, node) AS (
+  SELECT 0, a FROM ee GROUP BY a
+  UNION ALL
+  SELECT s.round + 1, ee.a
+  FROM surv s JOIN ee ON ee.a = s.node
+       JOIN surv s2 ON s2.node = ee.b
+  WHERE s.round < 12
+  GROUP BY s.round, ee.a
+  HAVING count(*) >= 9
+)
+SELECT DISTINCT node FROM surv WHERE round = 12
 """
     sql["churned_users"] = """
 WITH l AS (SELECT user_id,

@@ -2978,3 +2978,87 @@ def churned_users(events, horizon_days: int = 7):
                          "churned": pa.array(d < gmax - horizon_days)})
 
     return last.map_batches(flag, batch_format="pyarrow")
+
+
+def value_ohlc_hourly(events):
+    """Per (event_type, epoch-hour) OHLC candle of milli-scaled values —
+    the market-bar / metrics-rollup primitive.  open = value of the
+    EARLIEST event, close = of the LATEST; ties within one millisecond
+    resolve to the smaller (open) / larger (close) milli-value, the
+    documented deterministic rule both engines share.
+
+    One combiner-first groupby: each batch packs ``epoch_ms << 20 |
+    value_milli`` into one int64 (asserting 0 ≤ vm < 2^20 — values up to
+    ~1048.575, the events domain) so open/close are a plain Min/Max over
+    the packed key and high/low over vm — four mergeable aggregates, one
+    exchange, no window sort anywhere.
+    """
+    from ray.data.aggregate import Count, Max, Min
+
+    def prep(t: pa.Table) -> pa.Table:
+        ms = np.asarray(pc.cast(pc.cast(one_chunk(t["ts"]),
+                                        pa.timestamp("us")),
+                                pa.int64())) // 1000
+        vm = _milli(one_chunk(t["value"]).to_numpy(zero_copy_only=False))
+        if len(vm) and (vm.min() < 0 or vm.max() >= (1 << 20)):
+            raise ValueError("value_ohlc_hourly: value_milli outside "
+                             "[0, 2^20) — packing contract violated")
+        packed = (ms << 20) | vm
+        return pa.table({"event_type": t["event_type"],
+                         "hour": pa.array(ms // 3_600_000),
+                         "packed": pa.array(packed),
+                         "vm": pa.array(vm)})
+
+    agg = (events.map_batches(prep, batch_format="pyarrow")
+           .groupby(["event_type", "hour"])
+           .aggregate(Min("packed", alias_name="open_packed"),
+                      Max("packed", alias_name="close_packed"),
+                      Max("vm", alias_name="high_milli"),
+                      Min("vm", alias_name="low_milli"),
+                      Count(alias_name="n_events")))
+
+    def unpack(t: pa.Table) -> pa.Table:
+        mask = (1 << 20) - 1
+        op = np.asarray(one_chunk(t["open_packed"])) & mask
+        cl = np.asarray(one_chunk(t["close_packed"])) & mask
+        return pa.table({
+            "event_type": t["event_type"], "hour": t["hour"],
+            "open_milli": pa.array(op), "high_milli": t["high_milli"],
+            "low_milli": t["low_milli"], "close_milli": pa.array(cl),
+            "n_events": t["n_events"]})
+
+    return agg.map_batches(unpack, batch_format="pyarrow")
+
+
+def orders_vs_ship_days(orders, lineitem):
+    """Calendar reconciliation of two independent day streams — orders
+    placed per day vs line items shipped per day, FULL OUTER on the day
+    with zeros where one side is absent.
+
+    No join at all: each side maps to (day, n_orders, n_shipped)
+    combiner partials with the other column zeroed, the union of
+    partials merges in ONE groupby Sum — the tagged-union encoding of a
+    full outer join over aggregates (one exchange, null-free output).
+    """
+    from ray.data.aggregate import Sum
+
+    def _days(col, a_side: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            day = np.asarray(pc.cast(pc.cast(one_chunk(t[col]),
+                                             pa.timestamp("us")),
+                                     pa.int64())) // 86_400_000_000
+            uniq, cnt = np.unique(day, return_counts=True)
+            z = np.zeros_like(cnt)
+            return pa.table({
+                "day": pa.array(uniq),
+                "n_orders": pa.array(cnt if a_side else z),
+                "n_shipped": pa.array(z if a_side else cnt)})
+        return fn
+
+    parts = (orders.map_batches(_days("o_orderdate", True),
+                                batch_format="pyarrow")
+             .union(lineitem.map_batches(_days("l_shipdate", False),
+                                         batch_format="pyarrow")))
+    return (parts.groupby("day")
+            .aggregate(Sum("n_orders", alias_name="n_orders"),
+                       Sum("n_shipped", alias_name="n_shipped")))

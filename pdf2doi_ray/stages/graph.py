@@ -1321,3 +1321,67 @@ def dangling_link_rate(edges):
             .groupby("src_host")
             .aggregate(Sum("nd", alias_name="n_dangling"),
                        Sum("nt", alias_name="n_total")))
+
+
+def kcore_nodes(pairs, k: int, max_rounds: int = 12,
+                col_a: str = "a", col_b: str = "b"):
+    """Truncated k-core peel of an undirected graph — iteratively drop
+    every node with fewer than ``k`` surviving distinct neighbors, for
+    at most ``max_rounds`` rounds (the documented contract: BOTH this
+    engine and the SQL oracle run the same bounded peel, so the result
+    is exact even when a pathological graph hasn't converged; every
+    tested graph reaches fixpoint well inside the cap and the loop
+    exits early the first round nothing drops).
+
+    Plan (the :func:`bfs_depths` broadcast contract — node-sized driver
+    state, edge blocks never shuffle): symmetrized distinct edges
+    materialize once; per round one vectorized ``pc.is_in`` on both
+    endpoints filters the streaming blocks, a per-batch ``group_by``
+    count combines, and ONE groupby Sum yields the node-sized degree
+    table the driver thresholds.  Node sets past broadcast size would
+    swap the filter for the hash-join path exactly as
+    :func:`pagerank_fixed` ``mode="shuffle"`` does.
+
+    Returns a one-column ``(node)`` dataset of the surviving nodes.
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..arrowutil import one_chunk
+
+    def sym(t: pa.Table) -> pa.Table:
+        a, b = one_chunk(t[col_a]), one_chunk(t[col_b])
+        return pa.table({"src": pa.concat_arrays([a, b]),
+                         "dst": pa.concat_arrays([b, a])})
+
+    edges = pairs.map_batches(sym, batch_format="pyarrow") \
+        .groupby(["src", "dst"]).count().drop_columns(["count()"]) \
+        .materialize()
+
+    live = None  # None = all nodes live (round 0 counts everything)
+    for _ in range(max_rounds):
+        fr = (pa.array(sorted(live), type=pa.string())
+              if live is not None else None)
+
+        def deg_partial(t: pa.Table, _fr=fr) -> pa.Table:
+            if _fr is not None:
+                src = one_chunk(t["src"])
+                keep = pc.and_(pc.is_in(src, value_set=_fr),
+                               pc.is_in(one_chunk(t["dst"]),
+                                        value_set=_fr))
+                t = t.filter(keep)
+            g = t.group_by("src").aggregate([("dst", "count")])
+            return pa.table({"node": g["src"], "deg": g["dst_count"]})
+
+        degs = (edges.map_batches(deg_partial, batch_format="pyarrow")
+                .groupby("node").aggregate(Sum("deg", alias_name="deg"))
+                .to_pandas())
+        nxt = set(degs.loc[degs["deg"] >= k, "node"])
+        if live is not None and nxt == live:
+            break
+        live = nxt
+        if not live:
+            break
+
+    return ray.data.from_arrow(pa.table({
+        "node": pa.array(sorted(live or ()), type=pa.string())}))

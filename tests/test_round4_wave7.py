@@ -1023,3 +1023,82 @@ def test_churned_users_boundary_is_strict():
     assert got["churned"].tolist() == [False, False, True]
     # and last_seen aggregates the per-user max, not min
     assert got.loc[0, "last_seen_day"] == got["last_seen_day"].max()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kcore_cascade_peels_in_rounds():
+    """Path a-b-c-d plus a 3-clique {x,y,z}: 2-core peeling must cascade
+    (a drops, then b, then c, then d) leaving exactly the clique — a
+    single-round degree filter would wrongly keep b and c."""
+    import ray.data
+
+    from pdf2doi_ray.stages.graph import kcore_nodes
+
+    df = pd.DataFrame({
+        "a": ["a", "b", "c", "x", "y", "z"],
+        "b": ["b", "c", "d", "y", "z", "x"]})
+    got = kcore_nodes(ray.data.from_pandas(df).repartition(2), k=2) \
+        .to_pandas()
+    assert sorted(got["node"]) == ["x", "y", "z"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kcore_round_cap_truncates():
+    """With max_rounds=1 the same graph stops after ONE peel: only the
+    endpoints a and d drop (the truncated-peel contract the SQL oracle
+    shares)."""
+    import ray.data
+
+    from pdf2doi_ray.stages.graph import kcore_nodes
+
+    df = pd.DataFrame({
+        "a": ["a", "b", "c", "x", "y", "z"],
+        "b": ["b", "c", "d", "y", "z", "x"]})
+    got = kcore_nodes(ray.data.from_pandas(df).repartition(2), k=2,
+                      max_rounds=1).to_pandas()
+    assert sorted(got["node"]) == ["b", "c", "x", "y", "z"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ohlc_open_close_tie_rules():
+    """Open = value at earliest ms (ties → smaller value); close = at
+    latest ms (ties → larger value); high/low independent."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import value_ohlc_hourly
+
+    base = pd.Timestamp("2024-01-01 05:00:00")
+    df = pd.DataFrame({
+        "ts": [base, base,                       # tie at open: 5.0 wins
+               base + pd.Timedelta("10min"),     # high 9.0
+               base + pd.Timedelta("59min"),
+               base + pd.Timedelta("59min")],    # tie at close: 7.0 wins
+        "event_type": ["click"] * 5,
+        "value": [5.0, 8.0, 9.0, 1.0, 7.0]})
+    got = value_ohlc_hourly(ray.data.from_pandas(df).repartition(3)) \
+        .to_pandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert (r["open_milli"], r["high_milli"], r["low_milli"],
+            r["close_milli"], r["n_events"]) == (5000, 9000, 1000,
+                                                 7000, 5)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_orders_vs_ship_days_full_outer_zeros():
+    """Days present on only one side appear with an exact zero on the
+    other — the tagged-union merge must not drop or null them."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import orders_vs_ship_days
+
+    orders = pd.DataFrame({"o_orderdate": pd.to_datetime(
+        ["1995-01-01", "1995-01-01", "1995-01-03"])})
+    li = pd.DataFrame({"l_shipdate": pd.to_datetime(
+        ["1995-01-03", "1995-01-07"])})
+    got = orders_vs_ship_days(
+        ray.data.from_pandas(orders).repartition(2),
+        ray.data.from_pandas(li).repartition(2)) \
+        .to_pandas().sort_values("day").reset_index(drop=True)
+    assert got["n_orders"].tolist() == [2, 1, 0]
+    assert got["n_shipped"].tolist() == [0, 1, 1]
