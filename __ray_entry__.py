@@ -4009,6 +4009,40 @@ def _q_kcore_users_props(sf_dir: str):
                        k=9, max_rounds=12)
 
 
+def _q_ship_latency_histogram(sf_dir: str):
+    """Order-to-ship latency histogram: projected hash join, per-batch
+    distinct-latency partials, one tiny groupby Sum."""
+    import ray.data
+
+    from pdf2doi_ray.stages.joins import ship_latency_histogram
+    return ship_latency_histogram(
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_orderkey", "o_orderdate"]),
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_orderkey", "l_shipdate"]))
+
+
+def _q_time_weighted_value(sf_dir: str):
+    """Per-user step-function integral of value over time: sorted-block
+    adjacent gaps, edge-user stitch, one user-keyed merge."""
+    import ray.data
+
+    from pdf2doi_ray.stages.windows import time_weighted_value_sum
+    return time_weighted_value_sum(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"]))
+
+
+def _q_type_weekday_contingency(sf_dir: str):
+    """event_type × weekday contingency cells with margins and grand
+    total in exact integers (chi-square prep)."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import type_weekday_contingency
+    return type_weekday_contingency(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]))
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -4121,6 +4155,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_ohlc_hourly": _q_value_ohlc_hourly,
         "orders_vs_ship_days": _q_orders_vs_ship_days,
         "kcore_users_props": _q_kcore_users_props,
+        "ship_latency_histogram": _q_ship_latency_histogram,
+        "time_weighted_value": _q_time_weighted_value,
+        "type_weekday_contingency": _q_type_weekday_contingency,
         "approx_value_quantiles": _q_approx_value_quantiles,
         "approx_value_quantiles_by_type": _q_approx_value_quantiles_by_type,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -8276,6 +8313,46 @@ SELECT COALESCE(a.day, b.day) AS day,
        CAST(COALESCE(a.n, 0) AS BIGINT) AS n_orders,
        CAST(COALESCE(b.n, 0) AS BIGINT) AS n_shipped
 FROM a FULL OUTER JOIN b ON a.day = b.day
+"""
+    sql["ship_latency_histogram"] = """
+WITH o AS (SELECT o_orderkey,
+                  CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000
+                      AS oday FROM orders),
+l AS (SELECT l_orderkey,
+             CAST(epoch_us(l_shipdate) AS BIGINT) // 86400000000
+                 AS sday FROM lineitem)
+SELECT sday - oday AS latency_days,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM l JOIN o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+"""
+    sql["time_weighted_value"] = """
+WITH e AS (SELECT user_id, event_id,
+                  CAST(epoch_us(ts) AS BIGINT) AS us,
+                  CAST(floor(value * 1000) AS BIGINT) AS vm
+           FROM events),
+w AS (SELECT user_id, vm, us,
+             lead(us) OVER (PARTITION BY user_id
+                            ORDER BY us, event_id) AS nxt
+      FROM e)
+SELECT user_id,
+       CAST(COALESCE(sum(vm * ((nxt - us) // 1000000)), 0) AS BIGINT)
+           AS tw_value_sum,
+       CAST(count(nxt) AS BIGINT) AS n_gaps
+FROM w GROUP BY 1
+"""
+    sql["type_weekday_contingency"] = """
+WITH c AS (SELECT event_type,
+                  (CAST(epoch_us(ts) AS BIGINT) // 86400000000) % 7
+                      AS dow7,
+                  CAST(count(*) AS BIGINT) AS o
+           FROM events GROUP BY 1, 2)
+SELECT event_type, dow7, o,
+       CAST(sum(o) OVER (PARTITION BY event_type) AS BIGINT)
+           AS row_total,
+       CAST(sum(o) OVER (PARTITION BY dow7) AS BIGINT) AS col_total,
+       CAST(sum(o) OVER () AS BIGINT) AS n
+FROM c
 """
     sql["kcore_users_props"] = """
 WITH RECURSIVE

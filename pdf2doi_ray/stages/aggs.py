@@ -3062,3 +3062,46 @@ def orders_vs_ship_days(orders, lineitem):
     return (parts.groupby("day")
             .aggregate(Sum("n_orders", alias_name="n_orders"),
                        Sum("n_shipped", alias_name="n_shipped")))
+
+
+def type_weekday_contingency(events):
+    """Observed-count contingency table of event_type × weekday with
+    both margins and the grand total riding every cell — the
+    independence-test (chi-square / G-test) preparation, kept in exact
+    integers; consumers derive the statistic as
+    (n·O − R·C)² / (n·R·C) per cell.
+
+    ``dow7 = epoch_day % 7`` (0 = Thursday, the 1970-01-01 anchor —
+    pure integer arithmetic both engines share, no locale calendar).
+    One combiner-first groupby builds the cell counts; the cell table
+    is ≤ |types|×7 rows BY CONSTRUCTION, so margins fold in one pass
+    over the aggregated cells on the driver — bounded state however
+    large the event stream is.
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = np.asarray(pc.cast(pc.cast(one_chunk(t["ts"]),
+                                         pa.timestamp("us")),
+                                 pa.int64())) // 86_400_000_000
+        g = pa.table({"event_type": t["event_type"],
+                      "dow7": pa.array(day % 7)}) \
+            .group_by(["event_type", "dow7"]).aggregate([([], "count_all")])
+        return pa.table({"event_type": g["event_type"], "dow7": g["dow7"],
+                         "o": g["count_all"]})
+
+    cells = (events.map_batches(prep, batch_format="pyarrow")
+             .groupby(["event_type", "dow7"])
+             .aggregate(Sum("o", alias_name="o"))
+             .to_pandas())
+    row = cells.groupby("event_type")["o"].transform("sum")
+    col = cells.groupby("dow7")["o"].transform("sum")
+    n = int(cells["o"].sum())
+    return pa.table({
+        "event_type": pa.array(cells["event_type"], type=pa.string()),
+        "dow7": pa.array(cells["dow7"].to_numpy().astype(np.int64)),
+        "o": pa.array(cells["o"].to_numpy().astype(np.int64)),
+        "row_total": pa.array(row.to_numpy().astype(np.int64)),
+        "col_total": pa.array(col.to_numpy().astype(np.int64)),
+        "n": pa.array(np.full(len(cells), n, dtype=np.int64))})

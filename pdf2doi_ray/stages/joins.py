@@ -2048,3 +2048,45 @@ def supplier_counts_by_part_class(lineitem, part,
     return (tuples.map_batches(combine, batch_format="pyarrow")
             .groupby(["p_brand", "p_type", "p_size"])
             .aggregate(Sum("n", alias_name="supplier_cnt")))
+
+
+def ship_latency_histogram(orders, lineitem, num_partitions: int = 32):
+    """Order→ship latency distribution — (latency_days, n_items) where
+    latency = epoch-day(l_shipdate) − epoch-day(o_orderdate) for every
+    line item: the fulfillment-SLA histogram.
+
+    Both sides project to (key, day) int64 pairs BEFORE the hash join
+    (the only exchange that carries data); the joined stream collapses
+    per batch to distinct-latency partials and ONE tiny groupby Sum —
+    the histogram is latency-bounded, not row-bounded.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ..arrowutil import one_chunk
+
+    def _days(col, key, out):
+        def fn(t: pa.Table) -> pa.Table:
+            d = _i64(pc.cast(pc.cast(one_chunk(t[col]),
+                                     pa.timestamp("us")), pa.int64())) \
+                // 86_400_000_000
+            return pa.table({key: t[key], out: pa.array(d)})
+        return fn
+
+    o = orders.map_batches(_days("o_orderdate", "o_orderkey", "oday"),
+                           batch_format="pyarrow")
+    l = lineitem.map_batches(_days("l_shipdate", "l_orderkey", "sday"),
+                             batch_format="pyarrow")
+    j = shuffle_hash_join(l, o, on="l_orderkey", right_on="o_orderkey",
+                          num_partitions=num_partitions,
+                          project=("oday", "sday"))
+
+    def hist(t: pa.Table) -> pa.Table:
+        lat = _i64(one_chunk(t["sday"])) - _i64(one_chunk(t["oday"]))
+        uniq, cnt = np.unique(lat, return_counts=True)
+        return pa.table({"latency_days": pa.array(uniq),
+                         "n_items": pa.array(cnt.astype(np.int64))})
+
+    return (j.map_batches(hist, batch_format="pyarrow")
+            .groupby("latency_days")
+            .aggregate(Sum("n_items", alias_name="n_items")))

@@ -1571,3 +1571,121 @@ def max_concurrent_events(events, us_per_milli: int = 1_000):
     return pd.DataFrame({"max_concurrent": [gmax],
                          "at_us": [int(at["at_us"].min())]}) \
         .astype("int64")
+
+
+def time_weighted_value_sum(events,
+                            stitch_shards: int = DEFAULT_STITCH_SHARDS):
+    """Per-user time-weighted exposure — Σ value_milli × gap_seconds
+    over adjacent (ts, event_id)-ordered events, each value held until
+    the NEXT event (the step-function integral; the last event holds
+    nothing).  gap_seconds = (next_us − us) // 1_000_000, floored on
+    the DIFFERENCE so both engines agree on sub-second gaps.  Returns
+    (user_id, tw_value_sum, n_gaps); single-event users appear with
+    (0, 0).
+
+    Sorted-block plan (the :func:`user_gap_histogram` skeleton): users
+    fully interior to a block reduce to one (user, sum, gaps) partial
+    in-block; the block's edge users re-emit raw rows to the per-user
+    stitch shards; ONE user-keyed groupby Sum merges — each user's sum
+    comes entirely from one path, so the merge is a disjoint union.
+    Overflow bound: vm < 2^20 and month-scale gaps < 2^22 s keep each
+    term < 2^42; callers integrating years of per-user history should
+    rescale to minutes first.
+    """
+    from ray.data.aggregate import Sum
+
+    from .windowfns import _milli as _milli_vals
+
+    def _per_user(us, ts, vm):
+        """(users, tw_sums, n_gaps) over arrays sorted by (user, ts)."""
+        uniq, inv = np.unique(us, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        gaps = np.zeros(len(uniq), dtype=np.int64)
+        if len(us) > 1:
+            same = us[1:] == us[:-1]
+            g = (ts[1:] - ts[:-1])[same] // 1_000_000
+            w = vm[:-1][same] * g
+            idx = inv[:-1][same]
+            np.add.at(sums, idx, w)
+            np.add.at(gaps, idx, 1)
+        return uniq, sums, gaps
+
+    def block_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "user_id": pa.array([], type=pa.int64()),
+            "tw_value_sum": pa.array([], type=pa.int64()),
+            "n_gaps": pa.array([], type=pa.int64()),
+            "ts": pa.array([], type=pa.int64()),
+            "event_id": pa.array([], type=pa.int64()),
+            "vm": pa.array([], type=pa.int64()),
+            "boundary": pa.array([], type=pa.bool_())})
+        n = t.num_rows
+        if n == 0:
+            return empty
+        us = np.asarray(one_chunk(t["user_id"])).astype(np.int64)
+        ts = np.asarray(pc.cast(pc.cast(one_chunk(t["ts"]),
+                                        pa.timestamp("us")), pa.int64()))
+        eid = np.asarray(one_chunk(t["event_id"])).astype(np.int64)
+        vm = _milli_vals(one_chunk(t["value"]))
+        change = np.nonzero(us[1:] != us[:-1])[0] + 1
+        starts = np.concatenate([[0], change]).astype(np.int64)
+        last = len(starts) - 1
+        lo = starts[1] if last >= 1 else n
+        hi = starts[last] if last >= 1 else 0
+        if lo < hi:
+            iu, isum, igap = _per_user(us[lo:hi], ts[lo:hi], vm[lo:hi])
+        else:
+            iu = isum = igap = np.empty(0, dtype=np.int64)
+        edge_idx = np.concatenate([np.arange(0, lo),
+                                   np.arange(hi, n)]) if last >= 1 \
+            else np.arange(0, n)
+        n_i, n_b = len(iu), len(edge_idx)
+        return pa.table({
+            "user_id": pa.array(np.concatenate([iu, us[edge_idx]])),
+            "tw_value_sum": pa.array(np.concatenate(
+                [isum, np.zeros(n_b, np.int64)])),
+            "n_gaps": pa.array(np.concatenate(
+                [igap, np.zeros(n_b, np.int64)])),
+            "ts": pa.array(np.concatenate(
+                [np.full(n_i, -1, np.int64), ts[edge_idx]])),
+            "event_id": pa.array(np.concatenate(
+                [np.full(n_i, -1, np.int64), eid[edge_idx]])),
+            "vm": pa.array(np.concatenate(
+                [np.full(n_i, -1, np.int64), vm[edge_idx]])),
+            "boundary": pa.array([False] * n_i + [True] * n_b)})
+
+    def stitch(t: pa.Table) -> pa.Table:
+        out = pa.table({"user_id": pa.array([], type=pa.int64()),
+                        "tw_value_sum": pa.array([], type=pa.int64()),
+                        "n_gaps": pa.array([], type=pa.int64())})
+        if t.num_rows == 0:
+            return out
+        us = np.asarray(one_chunk(t["user_id"])).astype(np.int64)
+        ts = np.asarray(one_chunk(t["ts"])).astype(np.int64)
+        eid = np.asarray(one_chunk(t["event_id"])).astype(np.int64)
+        vm = np.asarray(one_chunk(t["vm"])).astype(np.int64)
+        order = np.lexsort((eid, ts, us))
+        uu, ss, gg = _per_user(us[order], ts[order], vm[order])
+        return pa.table({"user_id": pa.array(uu),
+                         "tw_value_sum": pa.array(ss),
+                         "n_gaps": pa.array(gg)})
+
+    srt = events.sort(["user_id", "ts", "event_id"])
+    mixed = srt.map_batches(block_partial, batch_format="pyarrow",
+                            batch_size=None).materialize()
+    interior = mixed.map_batches(
+        lambda t: t.filter(pc.equal(t["boundary"], False))
+        .select(["user_id", "tw_value_sum", "n_gaps"]),
+        batch_format="pyarrow")
+    carries = mixed.map_batches(
+        lambda t: t.filter(t["boundary"])
+        .select(["user_id", "ts", "event_id", "vm"]),
+        batch_format="pyarrow")
+    cross = sharded_stitch(
+        carries,
+        lambda t: np.asarray(one_chunk(t["user_id"])),
+        stitch, num_shards=stitch_shards)
+    return (interior.union(cross)
+            .groupby("user_id")
+            .aggregate(Sum("tw_value_sum", alias_name="tw_value_sum"),
+                       Sum("n_gaps", alias_name="n_gaps")))

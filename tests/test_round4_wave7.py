@@ -1102,3 +1102,102 @@ def test_orders_vs_ship_days_full_outer_zeros():
         .to_pandas().sort_values("day").reset_index(drop=True)
     assert got["n_orders"].tolist() == [2, 1, 0]
     assert got["n_shipped"].tolist() == [0, 1, 1]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_time_weighted_value_floor_and_singletons():
+    """Gap floors on the microsecond DIFFERENCE (1.9 s → 1); single-
+    event users appear with (0, 0); the last event holds nothing."""
+    import ray.data
+
+    from pdf2doi_ray.stages.windows import time_weighted_value_sum
+
+    base = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 2],
+        "event_id": [1, 2, 3, 4],
+        "ts": [base, base + pd.Timedelta(microseconds=1_900_000),
+               base + pd.Timedelta(seconds=10), base],
+        "value": [2.0, 5.0, 9.0, 3.0]})
+    got = time_weighted_value_sum(
+        ray.data.from_pandas(df).repartition(2)) \
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    # u1: 2000×floor(1.9)=2000×1, then 5000×floor(8.1)=5000×8 → 42000
+    assert got.values.tolist() == [[1, 42000, 2], [2, 0, 0]]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_time_weighted_value_split_invariant():
+    """A user spanning many sorted blocks stitches to the same sums as
+    the single-block run (fuzz vs a per-user python scan)."""
+    import numpy as np
+    import ray.data
+
+    from pdf2doi_ray.stages.windows import time_weighted_value_sum
+
+    rng = np.random.default_rng(2808)
+    n = 2000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 25, n).astype(np.int64),
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pd.to_datetime(rng.integers(0, 10**7, n) * 1000, unit="us"),
+        "value": rng.uniform(0, 100, n).round(2)})
+
+    want = {}
+    srt = df.sort_values(["user_id", "ts", "event_id"])
+    for uid, g in srt.groupby("user_id"):
+        us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        vm = np.floor(g["value"].to_numpy() * 1000).astype(np.int64)
+        gaps = (us[1:] - us[:-1]) // 1_000_000
+        want[uid] = (int((vm[:-1] * gaps).sum()), len(us) - 1)
+
+    for blocks in (1, 9):
+        got = time_weighted_value_sum(
+            ray.data.from_pandas(df).repartition(blocks)).to_pandas()
+        assert {r.user_id: (r.tw_value_sum, r.n_gaps)
+                for r in got.itertuples()} == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ship_latency_histogram_handbuilt():
+    import ray.data
+
+    from pdf2doi_ray.stages.joins import ship_latency_histogram
+
+    orders = pd.DataFrame({
+        "o_orderkey": [1, 2],
+        "o_orderdate": pd.to_datetime(["1995-01-01", "1995-01-05"])})
+    li = pd.DataFrame({
+        "l_orderkey": [1, 1, 2, 2],
+        "l_shipdate": pd.to_datetime(
+            ["1995-01-03", "1995-01-08", "1995-01-07", "1995-01-05"])})
+    got = ship_latency_histogram(
+        ray.data.from_pandas(orders).repartition(2),
+        ray.data.from_pandas(li).repartition(2), num_partitions=4) \
+        .to_pandas().sort_values("latency_days").reset_index(drop=True)
+    # latencies: 2, 7, 2, 0
+    assert got.values.tolist() == [[0, 1], [2, 2], [7, 1]]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_contingency_margins_cross_foot():
+    """Row and column margins cross-foot to the grand total and to the
+    cell sums — on a handbuilt two-type, two-day stream."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import type_weekday_contingency
+
+    ts = pd.to_datetime(
+        ["1970-01-01 05:00", "1970-01-01 09:00",   # dow7 0 (Thursday)
+         "1970-01-02 05:00", "1970-01-02 06:00",   # dow7 1
+         "1970-01-02 07:00"])
+    df = pd.DataFrame({"ts": ts,
+                       "event_type": ["a", "b", "a", "a", "b"]})
+    got = type_weekday_contingency(
+        ray.data.from_pandas(df).repartition(3)).to_pandas() \
+        .sort_values(["event_type", "dow7"]).reset_index(drop=True)
+    assert got.values.tolist() == [
+        ["a", 0, 1, 3, 2, 5],
+        ["a", 1, 2, 3, 3, 5],
+        ["b", 0, 1, 2, 2, 5],
+        ["b", 1, 1, 2, 3, 5]]
