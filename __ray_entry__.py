@@ -4043,6 +4043,40 @@ def _q_type_weekday_contingency(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["ts", "event_type"]))
 
 
+def _q_zonemap_prune_scan(sf_dir: str):
+    """Zone-map data skipping: vm-sorted parquet, files pruned by their
+    footer column statistics, residual filter inside kept files."""
+    import shutil
+    import tempfile
+
+    import ray.data
+
+    from pdf2doi_ray.stages.export import zonemap_prune_scan
+    root = tempfile.mkdtemp(prefix="zonemap_", dir="/tmp")
+    try:
+        return zonemap_prune_scan(
+            ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                  columns=["event_id", "value"]),
+            root, lo_milli=100_000, hi_milli=150_000).to_pandas()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _q_video_scene_cuts(sf_dir: str):
+    """Scene-cut detection plumbing: per-doc fake frame lumas, cut when
+    the adjacent-frame delta exceeds the threshold."""
+    from pdf2doi_ray.stages.multimodal import video_scene_cuts
+    return video_scene_cuts(sf_dir)
+
+
+def _q_vocab_coverage_curve(sf_dir: str):
+    """Coverage of the token stream by the top-2^i vocabulary types:
+    distributed zipWithIndex over the rank-sorted vocab, log-sized
+    per-block partials, one tiny groupby."""
+    from pdf2doi_ray.stages.corpus import vocab_coverage_curve
+    return vocab_coverage_curve(_docs(sf_dir, ("doc_id", "text")))
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -4158,6 +4192,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ship_latency_histogram": _q_ship_latency_histogram,
         "time_weighted_value": _q_time_weighted_value,
         "type_weekday_contingency": _q_type_weekday_contingency,
+        "zonemap_prune_scan": _q_zonemap_prune_scan,
+        "video_scene_cuts": _q_video_scene_cuts,
+        "vocab_coverage_curve": _q_vocab_coverage_curve,
         "approx_value_quantiles": _q_approx_value_quantiles,
         "approx_value_quantiles_by_type": _q_approx_value_quantiles_by_type,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -8313,6 +8350,42 @@ SELECT COALESCE(a.day, b.day) AS day,
        CAST(COALESCE(a.n, 0) AS BIGINT) AS n_orders,
        CAST(COALESCE(b.n, 0) AS BIGINT) AS n_shipped
 FROM a FULL OUTER JOIN b ON a.day = b.day
+"""
+    sql["zonemap_prune_scan"] = """
+SELECT event_id, CAST(floor(value * 1000) AS BIGINT) AS vm
+FROM events
+WHERE CAST(floor(value * 1000) AS BIGINT) BETWEEN 100000 AND 150000
+"""
+    sql["video_scene_cuts"] = """
+WITH f AS (SELECT doc_id,
+                  UNNEST(range(1, 8 + doc_id % 8)) AS fi
+           FROM documents),
+d AS (SELECT doc_id, fi,
+             abs(((doc_id * 37 + fi * fi * 11) % 251)
+                 - ((doc_id * 37 + (fi-1) * (fi-1) * 11) % 251)) AS dl
+      FROM f)
+SELECT doc_id, fi AS frame_idx FROM d WHERE dl > 60
+"""
+    sql["vocab_coverage_curve"] = """
+WITH tok AS (SELECT unnest(list_filter(string_split(text, ' '),
+                                       x -> x <> '')) AS token
+             FROM documents),
+cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS n
+        FROM tok GROUP BY token),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot,
+               CAST(count(*) AS BIGINT) AS v FROM cnt),
+r AS (SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rnk
+      FROM cnt),
+cuts AS (SELECT CAST(unnest([1, 2, 4, 8, 16, 32, 64, 128, 256, 512,
+                             1024, 2048, 4096, 8192, 16384, 32768,
+                             65536, 131072, 262144, 524288, 1048576])
+                     AS BIGINT) AS rank_cut)
+SELECT c.rank_cut,
+       CAST(sum(r.n) AS BIGINT) AS cum_occurrences,
+       CAST(sum(r.n) * 1000 // max(tot.tot) AS BIGINT) AS cum_permille
+FROM cuts c JOIN r ON r.rnk <= c.rank_cut CROSS JOIN tot
+WHERE c.rank_cut = 1 OR c.rank_cut // 2 < tot.v
+GROUP BY c.rank_cut
 """
     sql["ship_latency_histogram"] = """
 WITH o AS (SELECT o_orderkey,

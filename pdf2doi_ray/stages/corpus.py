@@ -3586,3 +3586,96 @@ def verbose_docs_vs_lang_median(docs):
                          "lang_median": pa.array(m[keep])})
 
     return red.map_batches(flag, batch_format="pyarrow")
+
+
+def vocab_coverage_curve(docs, max_log2: int = 30):
+    """Vocabulary coverage curve — how much of the token stream the top
+    2^i most-frequent types cover, for every power-of-two rank up to
+    just past the vocabulary size: the tokenizer-budget planning signal
+    (rank order: count DESC, token ASC).  Returns
+    (rank_cut, cum_occurrences, cum_permille), permille by integer
+    floor division.
+
+    Fully distributed — the vocabulary is never materialized anywhere:
+    combiner token counts, ONE (n desc, token) range sort, the
+    :func:`..stages.aggs.global_value_rank` block-offset zipWithIndex
+    (driver state = |blocks| rows), then each block collapses to at
+    most |cuts| ≈ log₂(V) partial rows (cut, Σ n over ranks ≤ cut) and
+    one tiny groupby Sum finishes.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, _ = _tokens_nonempty(t)
+        g = pa.table({"token": flat}).group_by("token") \
+            .aggregate([([], "count_all")])
+        return pa.table({"token": g["token"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    counts = (docs.map_batches(partial, batch_format="pyarrow")
+              .groupby("token").aggregate(Sum("n", alias_name="n")))
+
+    srt = counts.map_batches(
+        lambda t: pa.table({"token": t["token"], "n": t["n"]}),
+        batch_format="pyarrow") \
+        .sort(["n", "token"], descending=[True, False]).materialize()
+
+    def block_meta(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"k_n": pa.array([], type=pa.int64()),
+                             "k_tok": pa.array([], type=pa.string()),
+                             "rows": pa.array([], type=pa.int64())})
+        return pa.table({
+            "k_n": pa.array([one_chunk(t["n"])[0].as_py()],
+                            type=pa.int64()),
+            "k_tok": pa.array([one_chunk(t["token"])[0].as_py()],
+                              type=pa.string()),
+            "rows": pa.array([t.num_rows], type=pa.int64())})
+
+    meta = srt.map_batches(block_meta, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    meta = meta.sort_values(["k_n", "k_tok"],
+                            ascending=[False, True]).reset_index(drop=True)
+    offsets = np.concatenate([[0], meta["rows"].cumsum().to_numpy()[:-1]]) \
+        .astype(np.int64)
+    key_n = meta["k_n"].to_numpy().astype(np.int64)
+    key_t = meta["k_tok"].to_numpy()
+    vocab_size = int(meta["rows"].sum())
+    cuts = np.array([1 << i for i in range(max_log2 + 1)
+                     if i == 0 or (1 << (i - 1)) < vocab_size],
+                    dtype=np.int64)
+
+    def cut_partials(t: pa.Table) -> pa.Table:
+        empty = pa.table({"rank_cut": pa.array([], type=pa.int64()),
+                          "cum_occurrences": pa.array([], type=pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        n0 = one_chunk(t["n"])[0].as_py()
+        t0 = one_chunk(t["token"])[0].as_py()
+        i = 0
+        while key_n[i] != n0 or key_t[i] != t0:
+            i += 1
+        ranks = offsets[i] + np.arange(1, t.num_rows + 1, dtype=np.int64)
+        nv = np.asarray(one_chunk(t["n"])).astype(np.int64)
+        csum = np.cumsum(nv)
+        pos = np.searchsorted(ranks, cuts, side="right")
+        live = pos > 0
+        return pa.table({"rank_cut": pa.array(cuts[live]),
+                         "cum_occurrences": pa.array(csum[pos[live] - 1])})
+
+    curve = (srt.map_batches(cut_partials, batch_format="pyarrow",
+                             batch_size=None)
+             .groupby("rank_cut")
+             .aggregate(Sum("cum_occurrences",
+                            alias_name="cum_occurrences")))
+    def finish(t: pa.Table, _tot: int) -> pa.Table:
+        cum = np.asarray(one_chunk(t["cum_occurrences"])).astype(np.int64)
+        return pa.table({
+            "rank_cut": t["rank_cut"],
+            "cum_occurrences": t["cum_occurrences"],
+            "cum_permille": pa.array(cum * 1000 // _tot)})
+
+    grand = int(srt.sum("n"))
+    import functools
+    return curve.map_batches(functools.partial(finish, _tot=grand),
+                             batch_format="pyarrow")

@@ -384,3 +384,65 @@ def hashed_features(docs, n_features: int = 1024):
     return (docs.map_batches(partial, batch_format="pyarrow")
             .groupby(["doc_id", "feature_idx"])
             .aggregate(Sum("n", alias_name="n")))
+
+
+def zonemap_prune_scan(events, root: str, lo_milli: int, hi_milli: int,
+                       return_stats: bool = False):
+    """Zone-map-pruned range scan — the Delta/Iceberg data-skipping
+    mechanism end to end: the milli-projected events range-sort on the
+    value and land as parquet (the sort makes every file's [min, max]
+    tight and disjoint), then the scan consults ONLY the parquet footer
+    column statistics to drop whole files before any row is read, and a
+    vectorized residual filter finishes inside the kept files.
+
+    The footer stats are the real zone maps parquet always writes — no
+    side table to maintain, and a selective predicate reads
+    O(matching files), not O(dataset).  Returns the matching
+    (event_id, vm) rows; with ``return_stats`` also
+    (n_files, n_kept) so callers/tests can audit the skipping.
+    """
+    import glob
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from .windowfns import _milli
+    from ..arrowutil import one_chunk
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t["event_id"],
+                         "vm": pa.array(_milli(one_chunk(t["value"])))})
+
+    events.map_batches(prep, batch_format="pyarrow") \
+        .sort("vm").write_parquet(root)
+
+    files = sorted(glob.glob(os.path.join(root, "*.parquet")))
+    keep = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        vm_idx = md.schema.names.index("vm")
+        fmin, fmax = None, None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(vm_idx).statistics
+            if st is None or not st.has_min_max:
+                fmin, fmax = None, None
+                break  # stats missing → cannot skip this file
+            fmin = st.min if fmin is None else min(fmin, st.min)
+            fmax = st.max if fmax is None else max(fmax, st.max)
+        if fmin is None or (fmin <= hi_milli and fmax >= lo_milli):
+            keep.append(f)
+
+    if keep:
+        def residual(t: pa.Table) -> pa.Table:
+            vm = one_chunk(t["vm"])
+            return t.filter(pc.and_(pc.greater_equal(vm, lo_milli),
+                                    pc.less_equal(vm, hi_milli)))
+        out = ray.data.read_parquet(keep).map_batches(
+            residual, batch_format="pyarrow")
+    else:
+        out = ray.data.from_arrow(pa.table({
+            "event_id": pa.array([], type=pa.int64()),
+            "vm": pa.array([], type=pa.int64())}))
+    return (out, len(files), len(keep)) if return_stats else out

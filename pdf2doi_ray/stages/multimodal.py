@@ -330,3 +330,45 @@ def image_signature_dedup(sf_dir: str, batch_size: int = 256):
     return agg.map_batches(
         lambda t: t.select(["rep_doc_id", "n_images"]),
         batch_format="pyarrow")
+
+
+def synth_frame_luma(doc_id: int, n_frames: int) -> np.ndarray:
+    """Deterministic fake per-frame mean luma for the IMG1 'video'
+    family (SQL-reproducible arithmetic, the :func:`synth_image`
+    convention): luma(f) = (doc_id * 37 + f * f * 11) % 251."""
+    f = np.arange(n_frames, dtype=np.int64)
+    return (doc_id * 37 + f * f * 11) % 251
+
+
+def video_scene_cuts(sf_dir: str, threshold: int = 60,
+                     batch_size: int = 256):
+    """Scene-cut detection plumbing over the fake frame sequences —
+    a cut lands at frame f (≥1) when |luma(f) − luma(f−1)| > threshold
+    (the classic mean-intensity-delta detector; a real decoder slots in
+    behind :func:`decode_image` exactly as the other stubbed stages
+    document).  Returns (doc_id, frame_idx) per cut.
+
+    Actor-pool stage like :class:`ImageFeatures`: frame count and lumas
+    derive per doc, diffs vectorize per batch — the Ray-side plumbing
+    (batching, schema, fan-out of variable-length frame sequences) is
+    the real deliverable; the luma arithmetic is the sandbox stand-in.
+    """
+    import ray.data  # noqa: F401
+
+    imgs = images_dataset(sf_dir)
+
+    def cuts(t: pa.Table) -> pa.Table:
+        ids_out, frames_out = [], []
+        for doc_id in t["doc_id"].to_pylist():
+            n_frames = 8 + doc_id % 8
+            luma = synth_frame_luma(doc_id, n_frames)
+            d = np.abs(np.diff(luma))
+            hits = np.nonzero(d > threshold)[0] + 1
+            ids_out.extend([doc_id] * len(hits))
+            frames_out.extend(hits.tolist())
+        return pa.table({"doc_id": pa.array(ids_out, type=pa.int64()),
+                         "frame_idx": pa.array(frames_out,
+                                               type=pa.int64())})
+
+    return imgs.map_batches(cuts, batch_format="pyarrow",
+                            batch_size=batch_size)

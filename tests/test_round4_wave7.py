@@ -1201,3 +1201,86 @@ def test_contingency_margins_cross_foot():
         ["a", 1, 2, 3, 3, 5],
         ["b", 0, 1, 2, 2, 5],
         ["b", 1, 1, 2, 3, 5]]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_zonemap_scan_skips_files_and_matches_brute(tmp_path):
+    """The footer-stats pruning must actually skip non-overlapping
+    files AND return exactly the brute-force filter result."""
+    import numpy as np
+    import ray.data
+
+    from pdf2doi_ray.stages.export import zonemap_prune_scan
+
+    rng = np.random.default_rng(2901)
+    df = pd.DataFrame({
+        "event_id": np.arange(5000, dtype=np.int64),
+        "value": rng.uniform(0, 500, 5000).round(3)})
+    ds = ray.data.from_pandas(df).repartition(8)
+    out, n_files, n_kept = zonemap_prune_scan(
+        ds, str(tmp_path / "zm"), lo_milli=100_000, hi_milli=120_000,
+        return_stats=True)
+    got = out.to_pandas().sort_values("event_id").reset_index(drop=True)
+    vm = np.floor(df["value"].to_numpy() * 1000).astype(np.int64)
+    want = df.loc[(vm >= 100_000) & (vm <= 120_000), ["event_id"]]
+    assert got["event_id"].tolist() == sorted(want["event_id"])
+    # ~4% selectivity over 8 range-sorted files → most files skipped
+    assert n_files >= 4 and n_kept < n_files
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_zonemap_scan_empty_band(tmp_path):
+    """A predicate band outside every zone map reads zero files and
+    returns a typed empty table."""
+    import ray.data
+
+    from pdf2doi_ray.stages.export import zonemap_prune_scan
+
+    df = pd.DataFrame({"event_id": [1, 2], "value": [1.0, 2.0]})
+    out, n_files, n_kept = zonemap_prune_scan(
+        ray.data.from_pandas(df), str(tmp_path / "zm2"),
+        lo_milli=9_000_000, hi_milli=9_999_999, return_stats=True)
+    got = out.to_pandas()
+    assert len(got) == 0 and n_kept == 0 and n_files >= 1
+    # ray's to_pandas drops columns on 0-row datasets; the dataset
+    # schema itself must stay typed
+    assert out.schema().names == ["event_id", "vm"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_scene_cuts_match_luma_walk():
+    """Cuts from the pipeline equal a per-doc python walk of the fake
+    luma sequence (threshold strict >)."""
+    import numpy as np
+
+    from pdf2doi_ray.stages.multimodal import (synth_frame_luma,
+                                               video_scene_cuts)
+
+    got = video_scene_cuts("/root/testdata/sf0.001", threshold=60) \
+        .to_pandas()
+    by_doc = {k: sorted(g["frame_idx"]) for k, g in
+              got.groupby("doc_id")}
+    for doc_id in (0, 7, 123, 499):
+        luma = synth_frame_luma(doc_id, 8 + doc_id % 8)
+        want = [i for i in range(1, len(luma))
+                if abs(int(luma[i]) - int(luma[i - 1])) > 60]
+        assert by_doc.get(doc_id, []) == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_vocab_coverage_curve_handbuilt_and_split_invariant():
+    """Four types with counts 5,3,1,1 → cuts 1,2,4 cover 5,8,10 of 10
+    occurrences (500‰, 800‰, 1000‰); invariant across block splits."""
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import vocab_coverage_curve
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a a a b", "a b c", "a b d"]})
+    for blocks in (1, 3):
+        got = vocab_coverage_curve(
+            ray.data.from_pandas(docs).repartition(blocks)) \
+            .to_pandas().sort_values("rank_cut").reset_index(drop=True)
+        assert got.values.tolist() == [
+            [1, 5, 500], [2, 8, 800], [4, 10, 1000]]
