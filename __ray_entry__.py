@@ -4077,6 +4077,28 @@ def _q_vocab_coverage_curve(sf_dir: str):
     return vocab_coverage_curve(_docs(sf_dir, ("doc_id", "text")))
 
 
+def _q_clamped_running_balance(sf_dir: str):
+    """Per-user zero-clamped running balance via the prefix-minus-
+    running-min closed form — no sequential recursion on the wire."""
+    import ray.data
+
+    from pdf2doi_ray.stages.windows import clamped_running_balance
+    return clamped_running_balance(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"]))
+
+
+def _q_first_touch_attribution(sf_dir: str):
+    """First-touch attribution: per-user range join executed as two
+    searchsorted probes per conversion (no pairwise expansion)."""
+    import ray.data
+
+    from pdf2doi_ray.stages.windows import first_touch_attribution
+    return first_touch_attribution(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"]))
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -4195,6 +4217,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonemap_prune_scan": _q_zonemap_prune_scan,
         "video_scene_cuts": _q_video_scene_cuts,
         "vocab_coverage_curve": _q_vocab_coverage_curve,
+        "clamped_running_balance": _q_clamped_running_balance,
+        "first_touch_attribution": _q_first_touch_attribution,
         "approx_value_quantiles": _q_approx_value_quantiles,
         "approx_value_quantiles_by_type": _q_approx_value_quantiles_by_type,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -8350,6 +8374,37 @@ SELECT COALESCE(a.day, b.day) AS day,
        CAST(COALESCE(a.n, 0) AS BIGINT) AS n_orders,
        CAST(COALESCE(b.n, 0) AS BIGINT) AS n_shipped
 FROM a FULL OUTER JOIN b ON a.day = b.day
+"""
+    sql["clamped_running_balance"] = """
+WITH e AS (SELECT event_id, user_id,
+                  CAST(epoch_us(ts) AS BIGINT) AS us,
+                  CASE WHEN event_type = 'purchase'
+                       THEN CAST(floor(value * 1000) AS BIGINT)
+                       ELSE -CAST(floor(value * 1000) AS BIGINT)
+                  END AS d
+           FROM events WHERE event_type IN ('purchase', 'click')),
+p AS (SELECT event_id, user_id, us,
+             sum(d) OVER (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS pre
+      FROM e)
+SELECT event_id, user_id,
+       CAST(pre - least(0, min(pre) OVER (PARTITION BY user_id
+                                          ORDER BY us, event_id
+                                          ROWS UNBOUNDED PRECEDING))
+            AS BIGINT) AS balance_milli
+FROM p
+"""
+    sql["first_touch_attribution"] = """
+WITH c AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us
+           FROM events WHERE event_type = 'click'),
+p AS (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS us
+      FROM events WHERE event_type = 'purchase')
+SELECT p.event_id AS purchase_id, p.user_id,
+       CAST(min(c.us) AS BIGINT) AS first_click_us,
+       CAST(count(*) AS BIGINT) AS n_clicks_window
+FROM p JOIN c ON c.user_id = p.user_id
+     AND c.us >= p.us - 86400000000 AND c.us < p.us
+GROUP BY 1, 2
 """
     sql["zonemap_prune_scan"] = """
 SELECT event_id, CAST(floor(value * 1000) AS BIGINT) AS vm

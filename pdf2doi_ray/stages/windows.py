@@ -1689,3 +1689,268 @@ def time_weighted_value_sum(events,
             .groupby("user_id")
             .aggregate(Sum("tw_value_sum", alias_name="tw_value_sum"),
                        Sum("n_gaps", alias_name="n_gaps")))
+
+
+def clamped_running_balance(events, pos_type: str = "purchase",
+                            neg_type: str = "click",
+                            stitch_shards: int = DEFAULT_STITCH_SHARDS):
+    """Per-user running balance clamped below at zero — inventory /
+    wallet semantics: +value_milli on ``pos_type``, −value_milli on
+    ``neg_type`` (other types ignored), and the balance never goes
+    negative: ``s_i = max(s_{i-1} + d_i, 0)``.
+
+    The clamp makes the scan nonlinear, but it has the closed form
+    ``s_i = pre_i − min(0, min_{j≤i} pre_j)`` (prefix sum minus the
+    running minimum of the prefix, floored at 0) — both engines compute
+    THAT, so no sequential recursion crosses the wire.  (Equivalently:
+    the per-segment maps ``f(x) = max(x+A, M)`` compose in closed form,
+    the escape hatch if one user ever outgrows a stitch shard.)
+    Returns (event_id, user_id, balance_milli) for the typed rows.
+
+    Sorted-block plan: interior users scan fully in-block (entry state
+    is 0 at each user's first event); edge users re-emit raw rows to
+    the per-user stitch shards.  Each row resolves on exactly one path.
+    """
+    from ray.data.aggregate import Sum  # noqa: F401 (engine symmetry)
+
+    from .windowfns import _milli as _mv
+
+    def _scan(us, d):
+        pre = np.cumsum(d)
+        starts = np.concatenate([[0], np.nonzero(us[1:] != us[:-1])[0] + 1])
+        seg = np.repeat(np.arange(len(starts)), np.diff(
+            np.concatenate([starts, [len(us)]])))
+        base = pre[starts] - d[starts]          # prefix before each user
+        pre_u = pre - base[seg]                  # per-user prefix
+        # per-segment running min, floored at 0 (loop is per USER
+        # segment with numpy bodies, not per row)
+        rm_u = np.empty_like(pre_u)
+        for s, e in zip(starts, np.concatenate([starts[1:], [len(us)]])):
+            rm_u[s:e] = np.minimum(np.minimum.accumulate(pre_u[s:e]), 0)
+        return pre_u - rm_u
+
+    def block_rows(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "event_id": pa.array([], type=pa.int64()),
+            "user_id": pa.array([], type=pa.int64()),
+            "balance_milli": pa.array([], type=pa.int64()),
+            "ts": pa.array([], type=pa.int64()),
+            "d": pa.array([], type=pa.int64()),
+            "boundary": pa.array([], type=pa.bool_())})
+        n = t.num_rows
+        if n == 0:
+            return empty
+        us = np.asarray(one_chunk(t["user_id"])).astype(np.int64)
+        ts = np.asarray(pc.cast(pc.cast(one_chunk(t["ts"]),
+                                        pa.timestamp("us")), pa.int64()))
+        eid = np.asarray(one_chunk(t["event_id"])).astype(np.int64)
+        d = np.asarray(one_chunk(t["d"])).astype(np.int64)
+        change = np.nonzero(us[1:] != us[:-1])[0] + 1
+        starts = np.concatenate([[0], change]).astype(np.int64)
+        last = len(starts) - 1
+        lo = starts[1] if last >= 1 else n
+        hi = starts[last] if last >= 1 else 0
+        if lo < hi:
+            bal = _scan(us[lo:hi], d[lo:hi])
+            iu, ie, ib = us[lo:hi], eid[lo:hi], bal
+        else:
+            iu = ie = ib = np.empty(0, dtype=np.int64)
+        edge_idx = np.concatenate([np.arange(0, lo),
+                                   np.arange(hi, n)]) if last >= 1 \
+            else np.arange(0, n)
+        n_i, n_b = len(iu), len(edge_idx)
+        return pa.table({
+            "event_id": pa.array(np.concatenate([ie, eid[edge_idx]])),
+            "user_id": pa.array(np.concatenate([iu, us[edge_idx]])),
+            "balance_milli": pa.array(np.concatenate(
+                [ib, np.zeros(n_b, np.int64)])),
+            "ts": pa.array(np.concatenate(
+                [np.full(n_i, -1, np.int64), ts[edge_idx]])),
+            "d": pa.array(np.concatenate(
+                [np.full(n_i, -1, np.int64), d[edge_idx]])),
+            "boundary": pa.array([False] * n_i + [True] * n_b)})
+
+    def stitch(t: pa.Table) -> pa.Table:
+        out = pa.table({"event_id": pa.array([], type=pa.int64()),
+                        "user_id": pa.array([], type=pa.int64()),
+                        "balance_milli": pa.array([], type=pa.int64())})
+        if t.num_rows == 0:
+            return out
+        us = np.asarray(one_chunk(t["user_id"])).astype(np.int64)
+        ts = np.asarray(one_chunk(t["ts"])).astype(np.int64)
+        eid = np.asarray(one_chunk(t["event_id"])).astype(np.int64)
+        d = np.asarray(one_chunk(t["d"])).astype(np.int64)
+        order = np.lexsort((eid, ts, us))
+        bal = _scan(us[order], d[order])
+        return pa.table({"event_id": pa.array(eid[order]),
+                         "user_id": pa.array(us[order]),
+                         "balance_milli": pa.array(bal)})
+
+    def prep(t: pa.Table) -> pa.Table:
+        et = one_chunk(t["event_type"])
+        keep = pc.or_(pc.equal(et, pos_type), pc.equal(et, neg_type))
+        t = t.filter(keep)
+        vm = _mv(one_chunk(t["value"]))
+        sign = np.where(np.asarray(pc.equal(one_chunk(t["event_type"]),
+                                            pos_type)), 1, -1)
+        return pa.table({"event_id": t["event_id"],
+                         "user_id": t["user_id"], "ts": t["ts"],
+                         "d": pa.array(vm * sign)})
+
+    srt = events.map_batches(prep, batch_format="pyarrow") \
+        .sort(["user_id", "ts", "event_id"])
+    mixed = srt.map_batches(block_rows, batch_format="pyarrow",
+                            batch_size=None).materialize()
+    interior = mixed.map_batches(
+        lambda t: t.filter(pc.equal(t["boundary"], False))
+        .select(["event_id", "user_id", "balance_milli"]),
+        batch_format="pyarrow")
+    carries = mixed.map_batches(
+        lambda t: t.filter(t["boundary"])
+        .select(["event_id", "user_id", "ts", "d"]),
+        batch_format="pyarrow")
+    cross = sharded_stitch(
+        carries,
+        lambda t: np.asarray(one_chunk(t["user_id"])),
+        stitch, num_shards=stitch_shards)
+    return interior.union(cross)
+
+
+def first_touch_attribution(events, window_s: int = 86_400,
+                            touch_type: str = "click",
+                            conv_type: str = "purchase",
+                            stitch_shards: int = DEFAULT_STITCH_SHARDS):
+    """First-touch attribution — for every conversion, the EARLIEST
+    touch event of the same user inside the lookback window
+    ``conv_ts − window_s ≤ touch_ts < conv_ts`` (strictly before the
+    conversion), plus how many touches competed.  Conversions with no
+    in-window touch are dropped (unattributed).  Returns
+    (purchase_id, user_id, first_click_us, n_clicks_window).
+
+    This is a per-user RANGE join, executed as two ``searchsorted``
+    probes per conversion against the user's sorted touch timestamps —
+    never a pairwise expansion, so a zipfian power-user costs
+    O(touches + conversions·log touches), not O(touches × conversions).
+    Same sorted-block + edge-user stitch plan as the other window ops.
+    """
+    w_us = window_s * 1_000_000
+
+    def _attr(us, ts, eid, is_conv):
+        """Per sorted slice: attribution rows (arrays)."""
+        out_pid, out_uid, out_first, out_n = [], [], [], []
+        starts = np.concatenate(
+            [[0], np.nonzero(us[1:] != us[:-1])[0] + 1, [len(us)]])
+        for s, e in zip(starts[:-1], starts[1:]):
+            conv = is_conv[s:e]
+            cts = ts[s:e][~conv]
+            if not conv.any() or len(cts) == 0:
+                continue
+            pts = ts[s:e][conv]
+            pids = eid[s:e][conv]
+            lo = np.searchsorted(cts, pts - w_us, side="left")
+            hi = np.searchsorted(cts, pts, side="left")
+            n = hi - lo
+            hit = n > 0
+            out_pid.append(pids[hit])
+            out_uid.append(np.full(int(hit.sum()), us[s], np.int64))
+            out_first.append(cts[lo[hit]])
+            out_n.append(n[hit])
+        if not out_pid:
+            z = np.empty(0, dtype=np.int64)
+            return z, z, z, z
+        return (np.concatenate(out_pid), np.concatenate(out_uid),
+                np.concatenate(out_first),
+                np.concatenate(out_n).astype(np.int64))
+
+    def block_rows(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "purchase_id": pa.array([], type=pa.int64()),
+            "user_id": pa.array([], type=pa.int64()),
+            "first_click_us": pa.array([], type=pa.int64()),
+            "n_clicks_window": pa.array([], type=pa.int64()),
+            "ts": pa.array([], type=pa.int64()),
+            "is_conv": pa.array([], type=pa.bool_()),
+            "boundary": pa.array([], type=pa.bool_())})
+        n = t.num_rows
+        if n == 0:
+            return empty
+        us = np.asarray(one_chunk(t["user_id"])).astype(np.int64)
+        ts = np.asarray(one_chunk(t["us"])).astype(np.int64)
+        eid = np.asarray(one_chunk(t["event_id"])).astype(np.int64)
+        cv = np.asarray(one_chunk(t["is_conv"]))
+        change = np.nonzero(us[1:] != us[:-1])[0] + 1
+        starts = np.concatenate([[0], change]).astype(np.int64)
+        last = len(starts) - 1
+        lo = starts[1] if last >= 1 else n
+        hi = starts[last] if last >= 1 else 0
+        if lo < hi:
+            pid, uid, first, cnt = _attr(us[lo:hi], ts[lo:hi],
+                                         eid[lo:hi], cv[lo:hi])
+        else:
+            pid = uid = first = cnt = np.empty(0, dtype=np.int64)
+        edge_idx = np.concatenate([np.arange(0, lo),
+                                   np.arange(hi, n)]) if last >= 1 \
+            else np.arange(0, n)
+        n_i, n_b = len(pid), len(edge_idx)
+        return pa.table({
+            "purchase_id": pa.array(np.concatenate([pid, eid[edge_idx]])),
+            "user_id": pa.array(np.concatenate([uid, us[edge_idx]])),
+            "first_click_us": pa.array(np.concatenate(
+                [first, np.zeros(n_b, np.int64)])),
+            "n_clicks_window": pa.array(np.concatenate(
+                [cnt, np.zeros(n_b, np.int64)])),
+            "ts": pa.array(np.concatenate(
+                [np.full(n_i, -1, np.int64), ts[edge_idx]])),
+            "is_conv": pa.array(np.concatenate(
+                [np.zeros(n_i, bool), cv[edge_idx]])),
+            "boundary": pa.array([False] * n_i + [True] * n_b)})
+
+    def stitch(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "purchase_id": pa.array([], type=pa.int64()),
+            "user_id": pa.array([], type=pa.int64()),
+            "first_click_us": pa.array([], type=pa.int64()),
+            "n_clicks_window": pa.array([], type=pa.int64())})
+        if t.num_rows == 0:
+            return out
+        us = np.asarray(one_chunk(t["user_id"])).astype(np.int64)
+        ts = np.asarray(one_chunk(t["ts"])).astype(np.int64)
+        eid = np.asarray(one_chunk(t["purchase_id"])).astype(np.int64)
+        cv = np.asarray(one_chunk(t["is_conv"]))
+        order = np.lexsort((eid, ts, us))
+        pid, uid, first, cnt = _attr(us[order], ts[order], eid[order],
+                                     cv[order])
+        return pa.table({"purchase_id": pa.array(pid),
+                         "user_id": pa.array(uid),
+                         "first_click_us": pa.array(first),
+                         "n_clicks_window": pa.array(cnt)})
+
+    def prep(t: pa.Table) -> pa.Table:
+        et = one_chunk(t["event_type"])
+        keep = pc.or_(pc.equal(et, touch_type), pc.equal(et, conv_type))
+        t = t.filter(keep)
+        ts = pc.cast(pc.cast(one_chunk(t["ts"]), pa.timestamp("us")),
+                     pa.int64())
+        return pa.table({
+            "event_id": t["event_id"], "user_id": t["user_id"],
+            "us": ts,
+            "is_conv": pc.equal(one_chunk(t["event_type"]), conv_type)})
+
+    srt = events.map_batches(prep, batch_format="pyarrow") \
+        .sort(["user_id", "us", "event_id"])
+    mixed = srt.map_batches(block_rows, batch_format="pyarrow",
+                            batch_size=None).materialize()
+    interior = mixed.map_batches(
+        lambda t: t.filter(pc.equal(t["boundary"], False))
+        .select(["purchase_id", "user_id", "first_click_us",
+                 "n_clicks_window"]),
+        batch_format="pyarrow")
+    carries = mixed.map_batches(
+        lambda t: t.filter(t["boundary"])
+        .select(["purchase_id", "user_id", "ts", "is_conv"]),
+        batch_format="pyarrow")
+    cross = sharded_stitch(
+        carries,
+        lambda t: np.asarray(one_chunk(t["user_id"])),
+        stitch, num_shards=stitch_shards)
+    return interior.union(cross)

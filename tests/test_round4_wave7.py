@@ -1284,3 +1284,90 @@ def test_vocab_coverage_curve_handbuilt_and_split_invariant():
             .to_pandas().sort_values("rank_cut").reset_index(drop=True)
         assert got.values.tolist() == [
             [1, 5, 500], [2, 8, 800], [4, 10, 1000]]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_clamped_balance_never_negative_and_exact():
+    """Handbuilt wallet: the clamp engages mid-stream and the closed
+    form reproduces the sequential scan exactly."""
+    import ray.data
+
+    from pdf2doi_ray.stages.windows import clamped_running_balance
+
+    base = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame({
+        "event_id": [1, 2, 3, 4, 5],
+        "user_id": [7, 7, 7, 7, 8],
+        "ts": [base + pd.Timedelta(seconds=s) for s in (0, 1, 2, 3, 0)],
+        "event_type": ["purchase", "click", "click", "purchase",
+                       "click"],
+        "value": [5.0, 3.0, 9.0, 2.0, 4.0]})
+    got = clamped_running_balance(
+        ray.data.from_pandas(df).repartition(2)) \
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    # u7: +5000→5000; −3000→2000; −9000→clamp 0; +2000→2000
+    # u8: −4000→clamp 0
+    assert got["balance_milli"].tolist() == [5000, 2000, 0, 2000, 0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_clamped_balance_split_invariant_fuzz():
+    """Closed-form distributed scan == python sequential scan across
+    block splits."""
+    import numpy as np
+    import ray.data
+
+    from pdf2doi_ray.stages.windows import clamped_running_balance
+
+    rng = np.random.default_rng(3003)
+    n = 1500
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 20, n).astype(np.int64),
+        "ts": pd.to_datetime(rng.integers(0, 10**6, n) * 1000,
+                             unit="us"),
+        "event_type": rng.choice(["purchase", "click", "view"], n),
+        "value": rng.uniform(0, 50, n).round(2)})
+
+    sub = df[df["event_type"].isin(["purchase", "click"])]
+    srt = sub.sort_values(["user_id", "ts", "event_id"])
+    want = {}
+    state = {}
+    for r in srt.itertuples():
+        vm = int(np.floor(r.value * 1000))
+        d = vm if r.event_type == "purchase" else -vm
+        s = max(state.get(r.user_id, 0) + d, 0)
+        state[r.user_id] = s
+        want[r.event_id] = s
+
+    for blocks in (1, 8):
+        got = clamped_running_balance(
+            ray.data.from_pandas(df).repartition(blocks)).to_pandas()
+        assert dict(zip(got["event_id"], got["balance_milli"])) == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_first_touch_window_boundaries_strict():
+    """A click exactly at conv_ts − W attributes; a click AT conv_ts
+    does not; unattributed conversions drop."""
+    import ray.data
+
+    from pdf2doi_ray.stages.windows import first_touch_attribution
+
+    base = pd.Timestamp("2024-01-05")
+    W = pd.Timedelta(seconds=86_400)
+    df = pd.DataFrame({
+        "event_id": [1, 2, 3, 4, 5, 6],
+        "user_id": [1, 1, 1, 2, 2, 3],
+        "ts": [base - W, base, base,            # u1: click at −W, click@conv
+               base - 2 * W, base,              # u2: click too old
+               base],                           # u3: purchase, no click
+        "event_type": ["click", "click", "purchase",
+                       "click", "purchase", "purchase"]})
+    got = first_touch_attribution(
+        ray.data.from_pandas(df).repartition(2)) \
+        .to_pandas().sort_values("purchase_id").reset_index(drop=True)
+    # only u1's purchase attributes, to the −W click (the @conv click
+    # is excluded by the strict upper bound), 1 click in window
+    assert got.values.tolist() == [
+        [3, 1, int((base - W).value // 1000), 1]]
