@@ -592,6 +592,65 @@ def main() -> None:
     if not headline_only:
         bench_query("scd2_user_state_1m", q_scd2_large)
 
+    # zero-clamped running balance at 1M events (same 10x replication):
+    # the closed-form scan (prefix − running min) over sorted blocks +
+    # per-user sharded stitch — the nonlinear-scan pattern end to end
+    def q_clamped_large():
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from pdf2doi_ray.stages.windows import clamped_running_balance
+
+        def replicate(t: pa.Table) -> pa.Table:
+            parts = []
+            for k in range(10):
+                parts.append(pa.table({
+                    "event_id": pc.add(t["event_id"], k * 10_000_000),
+                    "ts": t["ts"],
+                    "user_id": pc.add(t["user_id"], k * 1_000_000),
+                    "event_type": t["event_type"],
+                    "value": t["value"],
+                }))
+            return pa.concat_tables(parts)
+
+        ev = ray.data.read_parquet(
+            f"{SF_DIR}/events.parquet",
+            columns=["event_id", "ts", "user_id", "event_type",
+                     "value"]) \
+            .map_batches(replicate, batch_format="pyarrow")
+        clamped_running_balance(ev).count()
+
+    if not headline_only:
+        bench_query("clamped_balance_1m", q_clamped_large)
+
+    # per-user time-weighted value integral at 1M events: adjacent-gap
+    # weighted sums, interior users fold in-block to one combiner row
+    def q_twa_large():
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from pdf2doi_ray.stages.windows import time_weighted_value_sum
+
+        def replicate(t: pa.Table) -> pa.Table:
+            parts = []
+            for k in range(10):
+                parts.append(pa.table({
+                    "event_id": pc.add(t["event_id"], k * 10_000_000),
+                    "ts": t["ts"],
+                    "user_id": pc.add(t["user_id"], k * 1_000_000),
+                    "value": t["value"],
+                }))
+            return pa.concat_tables(parts)
+
+        ev = ray.data.read_parquet(
+            f"{SF_DIR}/events.parquet",
+            columns=["event_id", "ts", "user_id", "value"]) \
+            .map_batches(replicate, batch_format="pyarrow")
+        time_weighted_value_sum(ev).count()
+
+    if not headline_only:
+        bench_query("time_weighted_value_1m", q_twa_large)
+
     # CCNet common-line removal at pages scale: with 240x replication every
     # base line is common, so the row stresses the full path — line-count
     # combiner, groupby over combiner rows, common-set broadcast, and the
