@@ -4099,6 +4099,23 @@ def _q_first_touch_attribution(sf_dir: str):
         columns=["event_id", "user_id", "ts", "event_type"]))
 
 
+def _q_cusum_changepoint(sf_dir: str):
+    """CUSUM drift detector per type over dense hourly counts — exact
+    cross-multiplied integers, calendar-bounded driver walk."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import cusum_changepoint_by_type
+    return cusum_changepoint_by_type(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]))
+
+
+def _q_kmv_vocab_sample(sf_dir: str):
+    """Bottom-64 md5 distinct-token sample (KMV sketch): per-batch
+    distinct top-k partials, one tiny sort-limit merge."""
+    from pdf2doi_ray.stages.corpus import kmv_vocab_sample
+    return kmv_vocab_sample(_docs(sf_dir, ("doc_id", "text")))
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -4219,6 +4236,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_coverage_curve": _q_vocab_coverage_curve,
         "clamped_running_balance": _q_clamped_running_balance,
         "first_touch_attribution": _q_first_touch_attribution,
+        "cusum_changepoint": _q_cusum_changepoint,
+        "kmv_vocab_sample": _q_kmv_vocab_sample,
         "approx_value_quantiles": _q_approx_value_quantiles,
         "approx_value_quantiles_by_type": _q_approx_value_quantiles_by_type,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -8374,6 +8393,45 @@ SELECT COALESCE(a.day, b.day) AS day,
        CAST(COALESCE(a.n, 0) AS BIGINT) AS n_orders,
        CAST(COALESCE(b.n, 0) AS BIGINT) AS n_shipped
 FROM a FULL OUTER JOIN b ON a.day = b.day
+"""
+    sql["cusum_changepoint"] = """
+WITH e AS (SELECT event_type,
+                  CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS h
+           FROM events),
+b AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
+hours AS (SELECT t.event_type, b.h0 + g.g AS h
+          FROM (SELECT DISTINCT event_type FROM e) t, b,
+               (SELECT UNNEST(range(0, (SELECT h1 - h0 + 1 FROM b)))
+                       AS g) g),
+c AS (SELECT hours.event_type, hours.h,
+             CAST(count(e.h) AS BIGINT) AS c
+      FROM hours LEFT JOIN e
+           ON e.event_type = hours.event_type AND e.h = hours.h
+      GROUP BY 1, 2),
+w AS (SELECT event_type, h,
+             sum(c) OVER (PARTITION BY event_type ORDER BY h) AS pre,
+             sum(c) OVER (PARTITION BY event_type) AS tot,
+             count(*) OVER (PARTITION BY event_type) AS n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY h) AS i
+      FROM c),
+s AS (SELECT event_type, h, abs(n * pre - i * tot) AS a, n, tot
+      FROM w)
+SELECT event_type, h AS change_hour, CAST(a AS BIGINT) AS cusum_abs,
+       CAST(n AS BIGINT) AS n_hours, CAST(tot AS BIGINT) AS total
+FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY a DESC, h) AS rn FROM s)
+WHERE rn = 1
+"""
+    sql["kmv_vocab_sample"] = """
+WITH tok AS (SELECT DISTINCT
+                    unnest(list_filter(string_split(text, ' '),
+                                       x -> x <> '')) AS token
+             FROM documents)
+SELECT CAST((('0x' || substr(md5(token), 1, 16))::UBIGINT >> 1)
+            AS BIGINT) AS hash63,
+       token
+FROM tok ORDER BY hash63 LIMIT 64
 """
     sql["clamped_running_balance"] = """
 WITH e AS (SELECT event_id, user_id,

@@ -3105,3 +3105,53 @@ def type_weekday_contingency(events):
         "row_total": pa.array(row.to_numpy().astype(np.int64)),
         "col_total": pa.array(col.to_numpy().astype(np.int64)),
         "n": pa.array(np.full(len(cells), n, dtype=np.int64))})
+
+
+def cusum_changepoint_by_type(events):
+    """CUSUM change-point per event type over its DENSE hourly count
+    series (zeros filled over the global [min, max] hour range) — the
+    drift detector: the hour h maximizing |n·prefix_h − i_h·total|
+    (the mean-deviation cumulative sum cross-multiplied by n so it
+    stays in exact integers; ties → the earliest hour).  Returns
+    (event_type, change_hour, cusum_abs, n_hours, total).
+
+    One (type, hour) combiner groupby; the series table is
+    |types| × |hours| BY CONSTRUCTION (calendar-bounded, the
+    :func:`..stages.windows.dense_hourly_counts` contract), so the
+    densify + prefix walk runs on the driver over the aggregated
+    cells — bounded state regardless of event volume.
+    """
+    from ray.data.aggregate import Count
+
+    def prep(t: pa.Table) -> pa.Table:
+        h = np.asarray(pc.cast(pc.cast(one_chunk(t["ts"]),
+                                       pa.timestamp("us")),
+                               pa.int64())) // 3_600_000_000
+        return pa.table({"event_type": t["event_type"],
+                         "h": pa.array(h)})
+
+    cells = (events.map_batches(prep, batch_format="pyarrow")
+             .groupby(["event_type", "h"])
+             .aggregate(Count(alias_name="c"))
+             .to_pandas())
+    h0, h1 = int(cells["h"].min()), int(cells["h"].max())
+    n = h1 - h0 + 1
+    out_t, out_h, out_a, out_tot = [], [], [], []
+    for et, g in cells.groupby("event_type"):
+        dense = np.zeros(n, dtype=np.int64)
+        dense[g["h"].to_numpy() - h0] = g["c"].to_numpy()
+        tot = int(dense.sum())
+        pre = np.cumsum(dense)
+        i = np.arange(1, n + 1, dtype=np.int64)
+        a = np.abs(n * pre - i * tot)
+        best = int(np.argmax(a))  # argmax takes the FIRST maximum
+        out_t.append(et)
+        out_h.append(h0 + best)
+        out_a.append(int(a[best]))
+        out_tot.append(tot)
+    return pa.table({
+        "event_type": pa.array(out_t, type=pa.string()),
+        "change_hour": pa.array(out_h, type=pa.int64()),
+        "cusum_abs": pa.array(out_a, type=pa.int64()),
+        "n_hours": pa.array([n] * len(out_t), type=pa.int64()),
+        "total": pa.array(out_tot, type=pa.int64())})

@@ -3679,3 +3679,34 @@ def vocab_coverage_curve(docs, max_log2: int = 30):
     import functools
     return curve.map_batches(functools.partial(finish, _tot=grand),
                              batch_format="pyarrow")
+
+
+def kmv_vocab_sample(docs, k: int = 64):
+    """KMV (k-minimum-values) distinct sample of the corpus vocabulary
+    — the k DISTINCT tokens with the smallest 63-bit md5 hashes: a
+    deterministic, mergeable, SQL-recomputable sketch whose k-th value
+    also estimates the vocabulary NDV (the classic bottom-k
+    estimator).  Returns (hash63, token), the k smallest.
+
+    Combiner-first: per batch, distinct tokens hash once
+    (:func:`md5_u64` — the unique-set loop) and only the batch's k
+    smallest survive; the global merge is one ≤ k·blocks-row
+    ``sort().limit(k)``.  No vocabulary ever materializes.
+    """
+    def partial(t: pa.Table) -> pa.Table:
+        flat, _ = _tokens_nonempty(t)
+        toks = np.unique(np.asarray(flat, dtype=object).astype(str))
+        if len(toks) == 0:
+            return pa.table({"hash63": pa.array([], type=pa.int64()),
+                             "token": pa.array([], type=pa.string())})
+        hv = (md5_u64(toks) >> np.uint64(1)).astype(np.int64)
+        order = np.argsort(hv)[:k]
+        return pa.table({
+            "hash63": pa.array(hv[order]),
+            "token": pa.array(toks[order].astype(object),
+                              type=pa.string())})
+
+    merged = docs.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["hash63", "token"]).count() \
+        .drop_columns(["count()"])
+    return merged.sort("hash63").limit(k)

@@ -1371,3 +1371,64 @@ def test_first_touch_window_boundaries_strict():
     # is excluded by the strict upper bound), 1 click in window
     assert got.values.tolist() == [
         [3, 1, int((base - W).value // 1000), 1]]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cusum_changepoint_step_series():
+    """A clean level shift: type 'a' runs 1/hour for 6 hours then
+    5/hour for 6 hours → |CUSUM| peaks exactly at the shift hour
+    (the last low hour); zeros densify for a type missing hours."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import cusum_changepoint_by_type
+
+    rows = []
+    for h in range(12):
+        per = 1 if h < 6 else 5
+        for i in range(per):
+            rows.append(("a", pd.Timestamp("2024-01-01")
+                         + pd.Timedelta(hours=h, minutes=i)))
+    rows.append(("b", pd.Timestamp("2024-01-01")))  # 1 event, hour 0
+    df = pd.DataFrame(rows, columns=["event_type", "ts"])
+    df = df[["ts", "event_type"]]
+    got = cusum_changepoint_by_type(
+        ray.data.from_pandas(df).repartition(3)).to_pandas() \
+        .sort_values("event_type").reset_index(drop=True)
+    a = got[got.event_type == "a"].iloc[0]
+    h0 = int(pd.Timestamp("2024-01-01").value // (3600 * 10**9))
+    # prefix at hour 5 (1-indexed i=6): 6 → |12*6 − 6*36| = 144, the max
+    assert (a["change_hour"], a["cusum_abs"], a["n_hours"],
+            a["total"]) == (h0 + 5, 144, 12, 36)
+    b = got[got.event_type == "b"].iloc[0]
+    # b: all 1 event at hour 0 → |12·1 − i·1| grows with i → max at
+    # the LAST hour... no: a=|12·1−i| max at i=1 → hour 0? i=1 gives 11;
+    # i=12 gives 0 → max 11 at the first hour
+    assert (b["change_hour"], b["cusum_abs"]) == (h0, 11)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kmv_sample_matches_brute_bottom_k():
+    """The distributed KMV equals the brute bottom-k of the full
+    distinct vocabulary, at any block split."""
+    import hashlib
+
+    import numpy as np
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import kmv_vocab_sample
+
+    rng = np.random.default_rng(3101)
+    vocab = [f"tok{i}" for i in range(500)]
+    texts = [" ".join(rng.choice(vocab, 30)) for _ in range(60)]
+    docs = pd.DataFrame({"doc_id": range(60), "text": texts})
+
+    seen = sorted({t for txt in texts for t in txt.split()})
+    hv = {t: int.from_bytes(hashlib.md5(t.encode()).digest()[:8],
+                            "big") >> 1 for t in seen}
+    want = sorted(((hv[t], t) for t in seen))[:64]
+
+    for blocks in (1, 5):
+        got = kmv_vocab_sample(
+            ray.data.from_pandas(docs).repartition(blocks), k=64) \
+            .to_pandas()
+        assert list(zip(got["hash63"], got["token"])) == want
