@@ -4116,6 +4116,24 @@ def _q_kmv_vocab_sample(sf_dir: str):
     return kmv_vocab_sample(_docs(sf_dir, ("doc_id", "text")))
 
 
+def _q_template_clusters(sf_dir: str):
+    """Boilerplate-template detection: structure hash (alnum runs →
+    '#') counted combiner-first, clusters with ≥2 pages."""
+    from pdf2doi_ray.stages.corpus import template_clusters
+    return template_clusters(_docs(sf_dir, ("doc_id", "text")))
+
+
+def _q_embedding_int8_quantize(sf_dir: str):
+    """Per-vector int8 quantization in exact integer arithmetic —
+    pure map over the list column, long-format output."""
+    import ray.data
+
+    from pdf2doi_ray.stages.similarity import embedding_int8_quantize
+    return embedding_int8_quantize(ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"]))
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -4238,6 +4256,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "first_touch_attribution": _q_first_touch_attribution,
         "cusum_changepoint": _q_cusum_changepoint,
         "kmv_vocab_sample": _q_kmv_vocab_sample,
+        "template_clusters": _q_template_clusters,
+        "embedding_int8_quantize": _q_embedding_int8_quantize,
         "approx_value_quantiles": _q_approx_value_quantiles,
         "approx_value_quantiles_by_type": _q_approx_value_quantiles_by_type,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -8393,6 +8413,29 @@ SELECT COALESCE(a.day, b.day) AS day,
        CAST(COALESCE(a.n, 0) AS BIGINT) AS n_orders,
        CAST(COALESCE(b.n, 0) AS BIGINT) AS n_shipped
 FROM a FULL OUTER JOIN b ON a.day = b.day
+"""
+    sql["template_clusters"] = """
+WITH n AS (SELECT regexp_replace(text, '[a-zA-Z0-9]+', '#', 'g')
+               AS norm FROM documents),
+c AS (SELECT CAST((('0x' || substr(md5(norm), 1, 16))::UBIGINT >> 1)
+                  AS BIGINT) AS template_hash63,
+             CAST(count(*) AS BIGINT) AS n_pages
+      FROM n GROUP BY 1)
+SELECT template_hash63, n_pages FROM c WHERE n_pages >= 2
+"""
+    sql["embedding_int8_quantize"] = """
+WITH u AS (SELECT vec_id, g AS i,
+                  CAST(floor(embedding[g + 1]::DOUBLE * 1000)
+                       AS BIGINT) AS vm
+           FROM embeddings, UNNEST(range(64)) AS t(g)),
+s AS (SELECT vec_id, min(vm) AS mn, max(vm) - min(vm) AS rng
+      FROM u GROUP BY 1)
+SELECT u.vec_id, CAST(u.i AS BIGINT) AS i,
+       CAST(CASE WHEN s.rng = 0 THEN 0
+                 ELSE (u.vm - s.mn) * 255 // s.rng END AS BIGINT) AS q,
+       CAST(s.mn AS BIGINT) AS min_milli,
+       CAST(s.rng AS BIGINT) AS range_milli
+FROM u JOIN s USING (vec_id)
 """
     sql["cusum_changepoint"] = """
 WITH e AS (SELECT event_type,

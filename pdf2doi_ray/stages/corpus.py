@@ -3710,3 +3710,38 @@ def kmv_vocab_sample(docs, k: int = 64):
         .groupby(["hash63", "token"]).count() \
         .drop_columns(["count()"])
     return merged.sort("hash63").limit(k)
+
+
+def template_clusters(docs, min_pages: int = 2):
+    """Templated-page detection — pages whose TEXT STRUCTURE is
+    identical after every alphanumeric run collapses to ``#`` (the
+    boilerplate-mill signature: nav shells, listing pages, galleries
+    differ only in the filled-in words).  Returns one row per template
+    with at least ``min_pages`` members: (template_hash63, n_pages).
+
+    Pure combiner pipeline: the normalization is ONE RE2
+    ``replace_substring_regex`` per batch, the hash is
+    :func:`md5_u64` over the batch's DISTINCT normalized forms, and
+    the exchange carries (hash, count) partials — one tiny groupby
+    Sum, then a vectorized threshold filter.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        norm = pc.replace_substring_regex(one_chunk(t["text"]),
+                                          pattern="[a-zA-Z0-9]+",
+                                          replacement="#")
+        arr = np.asarray(norm, dtype=object).astype(str)
+        uniq, cnt = np.unique(arr, return_counts=True)
+        hv = (md5_u64(uniq) >> np.uint64(1)).astype(np.int64)
+        return pa.table({"template_hash63": pa.array(hv),
+                         "n_pages": pa.array(cnt.astype(np.int64))})
+
+    agg = (docs.map_batches(partial, batch_format="pyarrow")
+           .groupby("template_hash63")
+           .aggregate(Sum("n_pages", alias_name="n_pages")))
+
+    def gate(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["n_pages"], min_pages))
+
+    return agg.map_batches(gate, batch_format="pyarrow")

@@ -633,3 +633,43 @@ def embedding_gram_matrix(embs, dim: int = 64):
     return (embs.map_batches(partial, batch_format="pyarrow")
             .groupby(["i", "j"]).aggregate(Sum("gram",
                                                alias_name="gram")))
+
+
+def embedding_int8_quantize(embeddings, levels: int = 255):
+    """Per-vector int8 quantization of milli-scaled embeddings — the
+    storage/bandwidth compressor in every large ANN deployment, kept
+    exact end to end: v_milli = floor(v·1000) (the repo convention),
+    q = (v_milli − min_milli) · levels // range_milli (0 when the
+    vector is constant).  Long-format output so SQL can recompute it
+    value for value: (vec_id, i, q, min_milli, range_milli).
+
+    Pure map — no shuffle anywhere; each batch unpacks the list column
+    to one (n × dim) matrix, row-reduces min/max, and emits the
+    quantized grid via vectorized repeat/tile.
+    """
+    from ..arrowutil import one_chunk
+
+    def fn(t: pa.Table) -> pa.Table:
+        col = one_chunk(t["embedding"])
+        n = len(col)
+        if n == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"vec_id": z, "i": z, "q": z,
+                             "min_milli": z, "range_milli": z})
+        dim = len(col[0])
+        vm = np.floor(np.asarray(col.flatten(), dtype=np.float64)
+                      * 1000.0).astype(np.int64).reshape(n, dim)
+        mn = vm.min(axis=1)
+        rng = vm.max(axis=1) - mn
+        safe = np.where(rng == 0, 1, rng)
+        q = (vm - mn[:, None]) * levels // safe[:, None]
+        q[rng == 0] = 0
+        ids = np.asarray(one_chunk(t["vec_id"])).astype(np.int64)
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids, dim)),
+            "i": pa.array(np.tile(np.arange(dim, dtype=np.int64), n)),
+            "q": pa.array(q.ravel()),
+            "min_milli": pa.array(np.repeat(mn, dim)),
+            "range_milli": pa.array(np.repeat(rng, dim))})
+
+    return embeddings.map_batches(fn, batch_format="pyarrow")

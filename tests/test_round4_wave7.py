@@ -1432,3 +1432,49 @@ def test_kmv_sample_matches_brute_bottom_k():
             ray.data.from_pandas(docs).repartition(blocks), k=64) \
             .to_pandas()
         assert list(zip(got["hash63"], got["token"])) == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_template_clusters_structure_not_words():
+    """Pages with different words but identical structure cluster;
+    different punctuation structure separates; singletons drop."""
+    import hashlib
+
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import template_clusters
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["nav: home | shop", "nav: cats | dogs",  # same shape
+                 "nav: a | b | c",                        # extra cell
+                 "totally different."]})
+    got = template_clusters(
+        ray.data.from_pandas(docs).repartition(2), min_pages=2) \
+        .to_pandas()
+    norm = "#: # | #"
+    want_hash = int.from_bytes(
+        hashlib.md5(norm.encode()).digest()[:8], "big") >> 1
+    assert got.values.tolist() == [[want_hash, 2]]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_int8_quantize_endpoints_and_constant_vec():
+    """Min maps to 0, max to 255, a constant vector to all-zeros with
+    range 0 — exact integer arithmetic."""
+    import pyarrow as pa
+    import ray.data
+
+    from pdf2doi_ray.stages.similarity import embedding_int8_quantize
+
+    t = pa.table({
+        "vec_id": pa.array([1, 2], type=pa.int64()),
+        "embedding": pa.array([[0.0, 0.5, 1.0], [0.25, 0.25, 0.25]],
+                              type=pa.list_(pa.float32()))})
+    got = embedding_int8_quantize(ray.data.from_arrow(t)) \
+        .to_pandas().sort_values(["vec_id", "i"]).reset_index(drop=True)
+    assert got[got.vec_id == 1]["q"].tolist() == [0, 127, 255]
+    assert got[got.vec_id == 1]["min_milli"].tolist() == [0, 0, 0]
+    assert got[got.vec_id == 1]["range_milli"].tolist() == [1000] * 3
+    assert got[got.vec_id == 2]["q"].tolist() == [0, 0, 0]
+    assert got[got.vec_id == 2]["range_milli"].tolist() == [0] * 3
