@@ -4134,6 +4134,30 @@ def _q_embedding_int8_quantize(sf_dir: str):
         columns=["vec_id", "embedding"]))
 
 
+def _q_day_bitmap_index(sf_dir: str):
+    """Per-type day-presence bitmap packed 32 days/word — distinct
+    bits shuffle (calendar-sized), OR finishes as a Sum of powers."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import day_bitmap_index
+    return day_bitmap_index(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]))
+
+
+def _q_supplier_fill_rate(sf_dir: str):
+    """Per-supplier on-time-ship scorecard as exact integer
+    (n_on_time, n_items) pairs — projected join + combiner."""
+    import ray.data
+
+    from pdf2doi_ray.stages.joins import supplier_fill_rate
+    return supplier_fill_rate(
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_orderkey", "o_orderdate"]),
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_orderkey", "l_suppkey",
+                                       "l_shipdate"]))
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -4258,6 +4282,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_vocab_sample": _q_kmv_vocab_sample,
         "template_clusters": _q_template_clusters,
         "embedding_int8_quantize": _q_embedding_int8_quantize,
+        "day_bitmap_index": _q_day_bitmap_index,
+        "supplier_fill_rate": _q_supplier_fill_rate,
         "approx_value_quantiles": _q_approx_value_quantiles,
         "approx_value_quantiles_by_type": _q_approx_value_quantiles_by_type,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -8413,6 +8439,29 @@ SELECT COALESCE(a.day, b.day) AS day,
        CAST(COALESCE(a.n, 0) AS BIGINT) AS n_orders,
        CAST(COALESCE(b.n, 0) AS BIGINT) AS n_shipped
 FROM a FULL OUTER JOIN b ON a.day = b.day
+"""
+    sql["day_bitmap_index"] = """
+WITH d AS (SELECT event_type,
+                  CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+           FROM events)
+SELECT event_type, day // 32 AS word_idx,
+       CAST(sum(DISTINCT (1::BIGINT << CAST(day % 32 AS INT)))
+            AS BIGINT) AS bits
+FROM d GROUP BY 1, 2
+"""
+    sql["supplier_fill_rate"] = """
+WITH o AS (SELECT o_orderkey,
+                  CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000
+                      AS oday FROM orders),
+l AS (SELECT l_orderkey, l_suppkey,
+             CAST(epoch_us(l_shipdate) AS BIGINT) // 86400000000
+                 AS sday FROM lineitem)
+SELECT l.l_suppkey,
+       CAST(sum(CASE WHEN l.sday - o.oday <= 30 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_on_time,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM l JOIN o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
 """
     sql["template_clusters"] = """
 WITH n AS (SELECT regexp_replace(text, '[a-zA-Z0-9]+', '#', 'g')

@@ -3155,3 +3155,45 @@ def cusum_changepoint_by_type(events):
         "cusum_abs": pa.array(out_a, type=pa.int64()),
         "n_hours": pa.array([n] * len(out_t), type=pa.int64()),
         "total": pa.array(out_tot, type=pa.int64())})
+
+
+def day_bitmap_index(events):
+    """Bitmap presence index — per event type, which epoch-days carry
+    at least one event, packed 32 days to an int64 word (the bitmap
+    side-index behind fast date-range pruning and COUNT(DISTINCT day)
+    acceleration; word arithmetic keeps every value SQL-exact).
+    Returns (event_type, word_idx, bits) with
+    ``bits = OR over present days of 1 << (day % 32)``.
+
+    OR does not Sum-merge, so the exchange ships distinct BITS, not
+    masks: each batch emits its distinct (type, word, bit) triples
+    (day-bounded, not row-bounded), one groupby makes them globally
+    distinct, and the final word OR is then a plain Sum of distinct
+    powers — two tiny exchanges, both calendar-sized.
+    """
+    from ray.data.aggregate import Sum
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = np.asarray(pc.cast(pc.cast(one_chunk(t["ts"]),
+                                         pa.timestamp("us")),
+                                 pa.int64())) // 86_400_000_000
+        g = pa.table({"event_type": t["event_type"],
+                      "word_idx": pa.array(day // 32),
+                      "bit": pa.array(day % 32)}) \
+            .group_by(["event_type", "word_idx", "bit"]) \
+            .aggregate([([], "count_all")])
+        return g.select(["event_type", "word_idx", "bit"])
+
+    distinct = (events.map_batches(prep, batch_format="pyarrow")
+                .groupby(["event_type", "word_idx", "bit"]).count()
+                .drop_columns(["count()"]))
+
+    def to_pow(t: pa.Table) -> pa.Table:
+        b = np.asarray(one_chunk(t["bit"])).astype(np.int64)
+        return pa.table({"event_type": t["event_type"],
+                         "word_idx": t["word_idx"],
+                         "bits": pa.array(np.int64(1) << b)})
+
+    return (distinct.map_batches(to_pow, batch_format="pyarrow")
+            .groupby(["event_type", "word_idx"])
+            .aggregate(Sum("bits", alias_name="bits")))

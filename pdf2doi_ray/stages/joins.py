@@ -2090,3 +2090,62 @@ def ship_latency_histogram(orders, lineitem, num_partitions: int = 32):
     return (j.map_batches(hist, batch_format="pyarrow")
             .groupby("latency_days")
             .aggregate(Sum("n_items", alias_name="n_items")))
+
+
+def supplier_fill_rate(orders, lineitem, sla_days: int = 30,
+                       num_partitions: int = 32):
+    """Supplier fulfillment scorecard — per supplier, how many line
+    items shipped within ``sla_days`` of the order date, as the exact
+    (n_on_time, n_items) integer pair (consumers divide; no float rate
+    crosses the wire).  Returns (l_suppkey, n_on_time, n_items).
+
+    The projected hash join from :func:`ship_latency_histogram`, then
+    a per-batch supplier combiner and ONE groupby Sum — the exchange
+    carries two int64 counters per distinct supplier per batch.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ..arrowutil import one_chunk
+
+    def _days(col, keep):
+        def fn(t: pa.Table) -> pa.Table:
+            d = _i64(pc.cast(pc.cast(one_chunk(t[col]),
+                                     pa.timestamp("us")), pa.int64())) \
+                // 86_400_000_000
+            out = {k: t[k] for k in keep}
+            out["day"] = pa.array(d)
+            return pa.table(out)
+        return fn
+
+    o = orders.map_batches(_days("o_orderdate", ["o_orderkey"]),
+                           batch_format="pyarrow") \
+        .map_batches(lambda t: t.rename_columns(["o_orderkey", "oday"]),
+                     batch_format="pyarrow")
+    l = lineitem.map_batches(_days("l_shipdate",
+                                   ["l_orderkey", "l_suppkey"]),
+                             batch_format="pyarrow") \
+        .map_batches(lambda t: t.rename_columns(
+            ["l_orderkey", "l_suppkey", "sday"]),
+            batch_format="pyarrow")
+    j = shuffle_hash_join(l, o, on="l_orderkey", right_on="o_orderkey",
+                          num_partitions=num_partitions,
+                          project=("l_suppkey", "oday", "sday"))
+
+    def rate_partial(t: pa.Table) -> pa.Table:
+        sk = np.asarray(one_chunk(t["l_suppkey"])).astype(np.int64)
+        lat = _i64(one_chunk(t["sday"])) - _i64(one_chunk(t["oday"]))
+        ok = (lat <= sla_days).astype(np.int64)
+        uniq, inv = np.unique(sk, return_inverse=True)
+        on_time = np.zeros(len(uniq), dtype=np.int64)
+        n = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(on_time, inv, ok)
+        np.add.at(n, inv, 1)
+        return pa.table({"l_suppkey": pa.array(uniq),
+                         "n_on_time": pa.array(on_time),
+                         "n_items": pa.array(n)})
+
+    return (j.map_batches(rate_partial, batch_format="pyarrow")
+            .groupby("l_suppkey")
+            .aggregate(Sum("n_on_time", alias_name="n_on_time"),
+                       Sum("n_items", alias_name="n_items")))

@@ -1478,3 +1478,46 @@ def test_int8_quantize_endpoints_and_constant_vec():
     assert got[got.vec_id == 1]["range_milli"].tolist() == [1000] * 3
     assert got[got.vec_id == 2]["q"].tolist() == [0, 0, 0]
     assert got[got.vec_id == 2]["range_milli"].tolist() == [0] * 3
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_day_bitmap_repeated_days_set_one_bit():
+    """Three events on one day set exactly one bit; days 31/32 land in
+    adjacent words; duplicate days across blocks never double-sum."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import day_bitmap_index
+
+    day0 = pd.Timestamp("1970-01-01")
+    ts = [day0, day0, day0,                       # day 0 ×3
+          day0 + pd.Timedelta(days=31),           # word 0, bit 31
+          day0 + pd.Timedelta(days=32)]           # word 1, bit 0
+    df = pd.DataFrame({"ts": ts, "event_type": ["a"] * 5})
+    got = day_bitmap_index(ray.data.from_pandas(df).repartition(3)) \
+        .to_pandas().sort_values("word_idx").reset_index(drop=True)
+    assert got.values.tolist() == [["a", 0, 1 + (1 << 31)],
+                                   ["a", 1, 1]]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_supplier_fill_rate_sla_boundary():
+    """Exactly-30-days counts on-time; 31 does not; counts are per
+    supplier across orders."""
+    import ray.data
+
+    from pdf2doi_ray.stages.joins import supplier_fill_rate
+
+    orders = pd.DataFrame({
+        "o_orderkey": [1, 2],
+        "o_orderdate": pd.to_datetime(["1995-01-01", "1995-02-01"])})
+    li = pd.DataFrame({
+        "l_orderkey": [1, 1, 2],
+        "l_suppkey": [7, 7, 7],
+        "l_shipdate": pd.to_datetime(
+            ["1995-01-31", "1995-02-01", "1995-02-10"])})
+    got = supplier_fill_rate(
+        ray.data.from_pandas(orders).repartition(2),
+        ray.data.from_pandas(li).repartition(2),
+        num_partitions=4).to_pandas()
+    # latencies 30 (on time), 31 (late), 9 (on time)
+    assert got.values.tolist() == [[7, 2, 3]]
