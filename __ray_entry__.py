@@ -4158,6 +4158,28 @@ def _q_supplier_fill_rate(sf_dir: str):
                                        "l_shipdate"]))
 
 
+def _q_part_copurchase_pairs(sf_dir: str):
+    """Market-basket part pairs per order (basket-quadratic only),
+    sorted-block + orderkey-sharded stitch, thresholded at 2."""
+    import ray.data
+
+    from pdf2doi_ray.stages.joins import part_copurchase_pairs
+    return part_copurchase_pairs(ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey"]))
+
+
+def _q_kmv_repeat_customers(sf_dir: str):
+    """KMV bottom-128 overlap sketch of the 1995 vs 1996 customer
+    cohorts with exact membership flags."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import kmv_repeat_customers
+    return kmv_repeat_customers(ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate"]))
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -4284,6 +4306,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_int8_quantize": _q_embedding_int8_quantize,
         "day_bitmap_index": _q_day_bitmap_index,
         "supplier_fill_rate": _q_supplier_fill_rate,
+        "part_copurchase_pairs": _q_part_copurchase_pairs,
+        "kmv_repeat_customers": _q_kmv_repeat_customers,
         "approx_value_quantiles": _q_approx_value_quantiles,
         "approx_value_quantiles_by_type": _q_approx_value_quantiles_by_type,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -8439,6 +8463,33 @@ SELECT COALESCE(a.day, b.day) AS day,
        CAST(COALESCE(a.n, 0) AS BIGINT) AS n_orders,
        CAST(COALESCE(b.n, 0) AS BIGINT) AS n_shipped
 FROM a FULL OUTER JOIN b ON a.day = b.day
+"""
+    sql["part_copurchase_pairs"] = """
+WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM p a JOIN p b ON a.l_orderkey = b.l_orderkey
+     AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+    sql["kmv_repeat_customers"] = """
+WITH a0 AS (SELECT DISTINCT o_custkey AS c FROM orders
+            WHERE year(o_orderdate) = 1995),
+b0 AS (SELECT DISTINCT o_custkey AS c FROM orders
+       WHERE year(o_orderdate) = 1996),
+ah AS (SELECT c, CAST((('0x' || substr(md5(CAST(c AS VARCHAR)), 1, 16))
+                       ::UBIGINT >> 1) AS BIGINT) AS h
+       FROM a0 ORDER BY h LIMIT 128),
+bh AS (SELECT c, CAST((('0x' || substr(md5(CAST(c AS VARCHAR)), 1, 16))
+                       ::UBIGINT >> 1) AS BIGINT) AS h
+       FROM b0 ORDER BY h LIMIT 128),
+u AS (SELECT COALESCE(ah.h, bh.h) AS hash63,
+             COALESCE(ah.c, bh.c) AS c_custkey,
+             ah.h IS NOT NULL AS in_a,
+             bh.h IS NOT NULL AS in_b
+      FROM ah FULL OUTER JOIN bh ON ah.h = bh.h AND ah.c = bh.c)
+SELECT hash63, c_custkey, in_a, in_b FROM u
+ORDER BY hash63 LIMIT 128
 """
     sql["day_bitmap_index"] = """
 WITH d AS (SELECT event_type,

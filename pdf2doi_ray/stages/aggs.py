@@ -3197,3 +3197,59 @@ def day_bitmap_index(events):
     return (distinct.map_batches(to_pow, batch_format="pyarrow")
             .groupby(["event_type", "word_idx"])
             .aggregate(Sum("bits", alias_name="bits")))
+
+
+def kmv_repeat_customers(orders, year_a: int = 1995,
+                         year_b: int = 1996, k: int = 128):
+    """KMV set-overlap sketch between two customer cohorts (custkeys
+    ordering in ``year_a`` vs ``year_b``) — the mergeable bottom-k
+    construction whose union-bottom-k carries EXACT membership flags:
+    an element of the union's k smallest hashes that belongs to A is
+    necessarily in A's own bottom-k, so the flags need no second pass
+    over the data.  |A∩B|/|A∪B| over the flags estimates the cohort
+    Jaccard.  Returns the union's k smallest rows
+    (hash63, c_custkey, in_a, in_b).
+
+    Per cohort: per-batch distinct custkeys hash (:func:`md5_u64`) and
+    only the batch's k smallest survive; one ≤ k·blocks sort-limit
+    merge per side; the driver joins 2·k rows.  Nothing
+    corpus-sized ever leaves the workers.
+    """
+    from .corpus import md5_u64
+
+    def bottom_k(year: int):
+        def partial(t: pa.Table) -> pa.Table:
+            ts = np.asarray(one_chunk(t["o_orderdate"])) \
+                .astype("datetime64[us]")
+            yr = ts.astype("datetime64[Y]").astype(np.int64) + 1970
+            cust = np.unique(np.asarray(one_chunk(t["o_custkey"]))
+                             .astype(np.int64)[yr == year])
+            if len(cust) == 0:
+                return pa.table({
+                    "hash63": pa.array([], type=pa.int64()),
+                    "c_custkey": pa.array([], type=pa.int64())})
+            hv = (md5_u64(np.char.mod("%d", cust))
+                  >> np.uint64(1)).astype(np.int64)
+            order = np.argsort(hv)[:k]
+            return pa.table({"hash63": pa.array(hv[order]),
+                             "c_custkey": pa.array(cust[order])})
+
+        return (orders.map_batches(partial, batch_format="pyarrow")
+                .groupby(["hash63", "c_custkey"]).count()
+                .drop_columns(["count()"])
+                .sort("hash63").limit(k).to_pandas())
+
+    import pandas as pd
+
+    a, b = bottom_k(year_a), bottom_k(year_b)
+    u = pd.merge(a.assign(in_a=True), b.assign(in_b=True),
+                 on=["hash63", "c_custkey"], how="outer")
+    u["in_a"] = u["in_a"].fillna(False).astype(bool)
+    u["in_b"] = u["in_b"].fillna(False).astype(bool)
+    u = u.sort_values("hash63").head(k).reset_index(drop=True)
+    return pa.table({
+        "hash63": pa.array(u["hash63"].to_numpy().astype(np.int64)),
+        "c_custkey": pa.array(
+            u["c_custkey"].to_numpy().astype(np.int64)),
+        "in_a": pa.array(u["in_a"].to_numpy()),
+        "in_b": pa.array(u["in_b"].to_numpy())})

@@ -2149,3 +2149,118 @@ def supplier_fill_rate(orders, lineitem, sla_days: int = 30,
             .groupby("l_suppkey")
             .aggregate(Sum("n_on_time", alias_name="n_on_time"),
                        Sum("n_items", alias_name="n_items")))
+
+
+def part_copurchase_pairs(lineitem, min_orders: int = 2,
+                          stitch_shards: int = 32):
+    """Market-basket pair mining — distinct part pairs bought together
+    in one order, counted across orders, thresholded at ``min_orders``
+    (the co-purchase lift numerator).  Returns
+    (part_a, part_b, n_orders) with part_a < part_b.
+
+    Baskets are tiny (a handful of line items per order), so the pair
+    fan-out is quadratic only in BASKET size, never corpus size.
+    Sorted-block plan: one sort on (orderkey, partkey); orders interior
+    to a block expand to per-batch (pair → count) combiner partials,
+    edge orders re-emit raw rows to orderkey-sharded stitch shards, and
+    ONE pair-keyed groupby Sum merges.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ..arrowutil import one_chunk
+    from .stitch import sharded_stitch
+
+    def _pairs(ok, pk):
+        """Pair partial counts over arrays sorted by (order, part)."""
+        starts = np.concatenate(
+            [[0], np.nonzero(ok[1:] != ok[:-1])[0] + 1, [len(ok)]])
+        pas, pbs = [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            parts = np.unique(pk[s:e])
+            m = len(parts)
+            if m < 2:
+                continue
+            ia, ib = np.triu_indices(m, k=1)
+            pas.append(parts[ia])
+            pbs.append(parts[ib])
+        if not pas:
+            z = np.empty(0, dtype=np.int64)
+            return z, z, z
+        pa_all = np.concatenate(pas)
+        pb_all = np.concatenate(pbs)
+        key = pa_all << np.int64(32) | pb_all
+        uniq, cnt = np.unique(key, return_counts=True)
+        return (uniq >> np.int64(32), uniq & ((1 << 32) - 1),
+                cnt.astype(np.int64))
+
+    def block_rows(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "part_a": pa.array([], type=pa.int64()),
+            "part_b": pa.array([], type=pa.int64()),
+            "n_orders": pa.array([], type=pa.int64()),
+            "okey": pa.array([], type=pa.int64()),
+            "boundary": pa.array([], type=pa.bool_())})
+        n = t.num_rows
+        if n == 0:
+            return empty
+        ok = np.asarray(one_chunk(t["l_orderkey"])).astype(np.int64)
+        pk = np.asarray(one_chunk(t["l_partkey"])).astype(np.int64)
+        change = np.nonzero(ok[1:] != ok[:-1])[0] + 1
+        starts = np.concatenate([[0], change]).astype(np.int64)
+        last = len(starts) - 1
+        lo = starts[1] if last >= 1 else n
+        hi = starts[last] if last >= 1 else 0
+        if lo < hi:
+            a, b, c = _pairs(ok[lo:hi], pk[lo:hi])
+        else:
+            a = b = c = np.empty(0, dtype=np.int64)
+        edge_idx = np.concatenate([np.arange(0, lo),
+                                   np.arange(hi, n)]) if last >= 1 \
+            else np.arange(0, n)
+        n_i, n_b = len(a), len(edge_idx)
+        return pa.table({
+            "part_a": pa.array(np.concatenate([a, pk[edge_idx]])),
+            "part_b": pa.array(np.concatenate(
+                [b, np.zeros(n_b, np.int64)])),
+            "n_orders": pa.array(np.concatenate(
+                [c, np.zeros(n_b, np.int64)])),
+            "okey": pa.array(np.concatenate(
+                [np.full(n_i, -1, np.int64), ok[edge_idx]])),
+            "boundary": pa.array([False] * n_i + [True] * n_b)})
+
+    def stitch(t: pa.Table) -> pa.Table:
+        out = pa.table({"part_a": pa.array([], type=pa.int64()),
+                        "part_b": pa.array([], type=pa.int64()),
+                        "n_orders": pa.array([], type=pa.int64())})
+        if t.num_rows == 0:
+            return out
+        ok = np.asarray(one_chunk(t["okey"])).astype(np.int64)
+        pk = np.asarray(one_chunk(t["part_a"])).astype(np.int64)
+        order = np.lexsort((pk, ok))
+        a, b, c = _pairs(ok[order], pk[order])
+        return pa.table({"part_a": pa.array(a), "part_b": pa.array(b),
+                         "n_orders": pa.array(c)})
+
+    srt = lineitem.map_batches(
+        lambda t: t.select(["l_orderkey", "l_partkey"]),
+        batch_format="pyarrow").sort(["l_orderkey", "l_partkey"])
+    mixed = srt.map_batches(block_rows, batch_format="pyarrow",
+                            batch_size=None).materialize()
+    interior = mixed.map_batches(
+        lambda t: t.filter(pc.equal(t["boundary"], False))
+        .select(["part_a", "part_b", "n_orders"]),
+        batch_format="pyarrow")
+    carries = mixed.map_batches(
+        lambda t: t.filter(t["boundary"]).select(["part_a", "okey"]),
+        batch_format="pyarrow")
+    cross = sharded_stitch(
+        carries,
+        lambda t: np.asarray(one_chunk(t["okey"])),
+        stitch, num_shards=stitch_shards)
+    agg = (interior.union(cross)
+           .groupby(["part_a", "part_b"])
+           .aggregate(Sum("n_orders", alias_name="n_orders")))
+    return agg.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_orders"], min_orders)),
+        batch_format="pyarrow")

@@ -1521,3 +1521,75 @@ def test_supplier_fill_rate_sla_boundary():
         num_partitions=4).to_pandas()
     # latencies 30 (on time), 31 (late), 9 (on time)
     assert got.values.tolist() == [[7, 2, 3]]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_copurchase_pairs_distinct_within_order():
+    """A part appearing TWICE in one order pairs once; pairs are
+    canonical (a<b); threshold prunes singleton pairs."""
+    import ray.data
+
+    from pdf2doi_ray.stages.joins import part_copurchase_pairs
+
+    li = pd.DataFrame({
+        "l_orderkey": [1, 1, 1, 2, 2, 3, 3],
+        "l_partkey": [10, 20, 10, 20, 10, 10, 30]})
+    got = part_copurchase_pairs(
+        ray.data.from_pandas(li).repartition(3), min_orders=2) \
+        .to_pandas()
+    # order1: {10,20} → (10,20); order2: {10,20} → (10,20);
+    # order3: {10,30} → (10,30) but count 1 < 2 → dropped
+    assert got.values.tolist() == [[10, 20, 2]]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_copurchase_split_invariant_fuzz():
+    """Pair counts identical at every block split (edge-order stitch
+    exercised) and equal to a pandas brute force."""
+    import itertools
+
+    import numpy as np
+    import ray.data
+
+    from pdf2doi_ray.stages.joins import part_copurchase_pairs
+
+    rng = np.random.default_rng(3404)
+    n = 2000
+    li = pd.DataFrame({
+        "l_orderkey": np.sort(rng.integers(0, 400, n)).astype(np.int64),
+        "l_partkey": rng.integers(0, 40, n).astype(np.int64)})
+    want = {}
+    for _, g in li.groupby("l_orderkey"):
+        for a, b in itertools.combinations(sorted(set(g["l_partkey"])),
+                                           2):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    want = {p: c for p, c in want.items() if c >= 2}
+
+    for blocks in (1, 7):
+        got = part_copurchase_pairs(
+            ray.data.from_pandas(li).repartition(blocks)).to_pandas()
+        assert {(r.part_a, r.part_b): r.n_orders
+                for r in got.itertuples()} == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kmv_overlap_flags_consistent():
+    """Union bottom-k flags: every row flagged in_a must hash among
+    A's own bottom-k (the KMV closure property), and A∩B rows carry
+    both flags."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import kmv_repeat_customers
+
+    orders = pd.DataFrame({
+        "o_custkey": list(range(1, 31)) + list(range(20, 51)),
+        "o_orderdate": (
+            [pd.Timestamp("1995-06-01")] * 30
+            + [pd.Timestamp("1996-06-01")] * 31)})
+    got = kmv_repeat_customers(
+        ray.data.from_pandas(orders).repartition(3), k=16).to_pandas()
+    assert len(got) == 16
+    assert got["hash63"].is_monotonic_increasing
+    both = got[got.in_a & got.in_b]["c_custkey"]
+    assert set(both) <= set(range(20, 31))
+    assert (got.in_a | got.in_b).all()
