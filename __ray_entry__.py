@@ -4180,6 +4180,32 @@ def _q_kmv_repeat_customers(sf_dir: str):
         columns=["o_custkey", "o_orderdate"]))
 
 
+def _q_two_hop_neighborhood(sf_dir: str):
+    """Friends-of-friends audience per host: one edge-edge hash join,
+    distinct-pair partials, two tiny groupbys."""
+    import pyarrow as pa
+
+    from pdf2doi_ray.stages.graph import two_hop_neighborhood
+
+    edges = _q_host_link_graph(sf_dir)
+
+    def rename(t):
+        return pa.table({"src": t["src_host"], "dst": t["dst_host"]})
+
+    return two_hop_neighborhood(
+        edges.map_batches(rename, batch_format="pyarrow"))
+
+
+def _q_daily_periodicity(sf_dir: str):
+    """Lag-24h autocorrelation components per type over dense hourly
+    counts — exact integer dot products, calendar-bounded walk."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import daily_periodicity_by_type
+    return daily_periodicity_by_type(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]))
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -4308,6 +4334,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_fill_rate": _q_supplier_fill_rate,
         "part_copurchase_pairs": _q_part_copurchase_pairs,
         "kmv_repeat_customers": _q_kmv_repeat_customers,
+        "two_hop_neighborhood": _q_two_hop_neighborhood,
+        "daily_periodicity": _q_daily_periodicity,
         "approx_value_quantiles": _q_approx_value_quantiles,
         "approx_value_quantiles_by_type": _q_approx_value_quantiles_by_type,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -7866,6 +7894,13 @@ e AS (SELECT regexp_replace(regexp_replace(url,
 g AS (SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n
       FROM e GROUP BY 1, 2)
 """
+    sql["two_hop_neighborhood"] = _G_EDGES + """
+, d AS (SELECT DISTINCT src_host AS s, dst_host AS t FROM g)
+SELECT a.s AS node, CAST(count(DISTINCT b.t) AS BIGINT) AS n_two_hop
+FROM d a JOIN d b ON b.s = a.t
+WHERE b.t <> a.s
+GROUP BY 1
+"""
     sql["reciprocal_host_pairs"] = _G_EDGES + """
 , p AS (SELECT least(src_host, dst_host) AS host_a,
                greatest(src_host, dst_host) AS host_b,
@@ -8463,6 +8498,30 @@ SELECT COALESCE(a.day, b.day) AS day,
        CAST(COALESCE(a.n, 0) AS BIGINT) AS n_orders,
        CAST(COALESCE(b.n, 0) AS BIGINT) AS n_shipped
 FROM a FULL OUTER JOIN b ON a.day = b.day
+"""
+    sql["daily_periodicity"] = """
+WITH e AS (SELECT event_type,
+                  CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS h
+           FROM events),
+b AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
+hours AS (SELECT t.event_type, b.h0 + g.g AS h
+          FROM (SELECT DISTINCT event_type FROM e) t, b,
+               (SELECT UNNEST(range(0, (SELECT h1 - h0 + 1 FROM b)))
+                       AS g) g),
+c AS (SELECT hours.event_type, hours.h,
+             CAST(count(e.h) AS BIGINT) AS c
+      FROM hours LEFT JOIN e
+           ON e.event_type = hours.event_type AND e.h = hours.h
+      GROUP BY 1, 2),
+j AS (SELECT c1.event_type, c1.c AS ch, c2.c AS cl
+      FROM c c1 JOIN c c2 ON c2.event_type = c1.event_type
+           AND c2.h = c1.h + 24
+      WHERE c1.h <= (SELECT h1 - 24 FROM b))
+SELECT event_type, CAST(sum(ch * cl) AS BIGINT) AS lag_dot,
+       CAST(sum(ch * ch) AS BIGINT) AS head_dot,
+       CAST(sum(cl * cl) AS BIGINT) AS tail_dot,
+       CAST(count(*) AS BIGINT) AS n_terms
+FROM j GROUP BY 1
 """
     sql["part_copurchase_pairs"] = """
 WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)

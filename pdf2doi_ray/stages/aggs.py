@@ -3253,3 +3253,50 @@ def kmv_repeat_customers(orders, year_a: int = 1995,
             u["c_custkey"].to_numpy().astype(np.int64)),
         "in_a": pa.array(u["in_a"].to_numpy()),
         "in_b": pa.array(u["in_b"].to_numpy())})
+
+
+def daily_periodicity_by_type(events, lag_hours: int = 24):
+    """Daily-rhythm detector — the lag-24h autocorrelation components
+    of each type's DENSE hourly count series, in exact integers:
+    ``lag_dot = Σ c_h·c_{h+lag}`` with the two matching self-energies
+    ``head_dot = Σ c_h²`` (h ∈ [h0, h1−lag]) and ``tail_dot`` (the
+    shifted window); consumers form r = lag_dot/√(head·tail).
+    Returns (event_type, lag_dot, head_dot, tail_dot, n_terms).
+
+    Same plan as :func:`cusum_changepoint_by_type`: one (type, hour)
+    combiner groupby, then a calendar-bounded driver walk over the
+    |types| × |hours| cells.
+    """
+    from ray.data.aggregate import Count
+
+    def prep(t: pa.Table) -> pa.Table:
+        h = np.asarray(pc.cast(pc.cast(one_chunk(t["ts"]),
+                                       pa.timestamp("us")),
+                               pa.int64())) // 3_600_000_000
+        return pa.table({"event_type": t["event_type"],
+                         "h": pa.array(h)})
+
+    cells = (events.map_batches(prep, batch_format="pyarrow")
+             .groupby(["event_type", "h"])
+             .aggregate(Count(alias_name="c"))
+             .to_pandas())
+    h0, h1 = int(cells["h"].min()), int(cells["h"].max())
+    n = h1 - h0 + 1
+    m = max(n - lag_hours, 0)
+    out = {"event_type": [], "lag_dot": [], "head_dot": [],
+           "tail_dot": [], "n_terms": []}
+    for et, g in cells.groupby("event_type"):
+        dense = np.zeros(n, dtype=np.int64)
+        dense[g["h"].to_numpy() - h0] = g["c"].to_numpy()
+        head, tail = dense[:m], dense[lag_hours:lag_hours + m]
+        out["event_type"].append(et)
+        out["lag_dot"].append(int((head * tail).sum()))
+        out["head_dot"].append(int((head * head).sum()))
+        out["tail_dot"].append(int((tail * tail).sum()))
+        out["n_terms"].append(m)
+    return pa.table({
+        "event_type": pa.array(out["event_type"], type=pa.string()),
+        "lag_dot": pa.array(out["lag_dot"], type=pa.int64()),
+        "head_dot": pa.array(out["head_dot"], type=pa.int64()),
+        "tail_dot": pa.array(out["tail_dot"], type=pa.int64()),
+        "n_terms": pa.array(out["n_terms"], type=pa.int64())})

@@ -1385,3 +1385,65 @@ def kcore_nodes(pairs, k: int, max_rounds: int = 12,
 
     return ray.data.from_arrow(pa.table({
         "node": pa.array(sorted(live or ()), type=pa.string())}))
+
+
+def two_hop_neighborhood(edges, num_partitions: int = 32,
+                         src_col: str = "src", dst_col: str = "dst"):
+    """Two-hop reach per node — |{w ≠ u : u→v→w}| distinct, the
+    friends-of-friends audience size (directed; one-hop neighbors
+    count only if also reachable in two).  Returns (node, n_two_hop).
+
+    ONE edge–edge hash join on the middle node (both sides projected
+    to the two key columns first), per-batch DISTINCT (u, w) partials,
+    a distinct-pair groupby, then a count groupby — hub middles fan
+    out quadratically, which is the honest cost of the metric; cap
+    upstream with a degree filter when a web-scale hub graph needs it.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..arrowutil import one_chunk
+    from .joins import shuffle_hash_join
+
+    e = edges.map_batches(
+        lambda t: pa.table({"src": t[src_col], "dst": t[dst_col]}),
+        batch_format="pyarrow") \
+        .groupby(["src", "dst"]).count().drop_columns(["count()"]) \
+        .materialize()
+    e2 = e.map_batches(
+        lambda t: pa.table({"mid": t["src"], "w": t["dst"]}),
+        batch_format="pyarrow")
+    j = shuffle_hash_join(e, e2, on="dst", right_on="mid",
+                          num_partitions=num_partitions,
+                          project=("src", "w"))
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        u = np.asarray(one_chunk(t["src"]), dtype=object)
+        w = np.asarray(one_chunk(t["w"]), dtype=object)
+        keep = u != w
+        u, w = u[keep], w[keep]
+        if len(u) == 0:
+            return pa.table({"node": pa.array([], type=pa.string()),
+                             "w": pa.array([], type=pa.string())})
+        cu, iu = np.unique(u.astype(str), return_inverse=True)
+        cw, iw = np.unique(w.astype(str), return_inverse=True)
+        key = np.unique(iu.astype(np.int64) << 32
+                        | iw.astype(np.int64))
+        return pa.table({
+            "node": pa.array(cu[key >> 32].astype(object),
+                             type=pa.string()),
+            "w": pa.array(cw[key & ((1 << 32) - 1)].astype(object),
+                          type=pa.string())})
+
+    distinct = (j.map_batches(pair_partial, batch_format="pyarrow")
+                .groupby(["node", "w"]).count()
+                .drop_columns(["count()"]))
+
+    def cnt(t: pa.Table) -> pa.Table:
+        g = t.group_by("node").aggregate([([], "count_all")])
+        return pa.table({"node": g["node"],
+                         "n_two_hop": pc.cast(g["count_all"],
+                                              pa.int64())})
+
+    return (distinct.map_batches(cnt, batch_format="pyarrow")
+            .groupby("node").aggregate(Sum("n_two_hop",
+                                           alias_name="n_two_hop")))

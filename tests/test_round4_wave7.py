@@ -1593,3 +1593,48 @@ def test_kmv_overlap_flags_consistent():
     both = got[got.in_a & got.in_b]["c_custkey"]
     assert set(both) <= set(range(20, 31))
     assert (got.in_a | got.in_b).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_two_hop_excludes_self_counts_distinct():
+    """a→b→{c,d}, a→c→d: two-hop of a = {c,d} distinct (d via two
+    middles counts once); b→a→... excludes b itself."""
+    import ray.data
+
+    from pdf2doi_ray.stages.graph import two_hop_neighborhood
+
+    edges = pd.DataFrame({
+        "src": ["a", "a", "b", "b", "c", "b"],
+        "dst": ["b", "c", "c", "d", "d", "a"]})
+    got = two_hop_neighborhood(
+        ray.data.from_pandas(edges).repartition(3), num_partitions=4) \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    # a: via b → {c,d}, via c → {d} → {c,d} = 2
+    # b: via c → {d}, via a → {b,c} minus self → {c} → {c,d} = 2
+    # c: via d → {} ; b→a→b self-excluded handled above
+    assert dict(zip(got["node"], got["n_two_hop"])) == {"a": 2, "b": 2}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_daily_periodicity_perfect_cycle():
+    """A perfectly 24h-periodic series has lag_dot² = head_dot ·
+    tail_dot (r = 1); the window arithmetic is exact."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import daily_periodicity_by_type
+
+    rows = []
+    for day in range(3):
+        for h, per in [(9, 2), (12, 5)]:   # same shape every day
+            for i in range(per):
+                rows.append(pd.Timestamp("2024-01-01")
+                            + pd.Timedelta(days=day, hours=h,
+                                           minutes=i))
+    df = pd.DataFrame({"ts": rows, "event_type": ["a"] * len(rows)})
+    got = daily_periodicity_by_type(
+        ray.data.from_pandas(df).repartition(3)).to_pandas()
+    r = got.iloc[0]
+    assert r["lag_dot"] ** 2 == r["head_dot"] * r["tail_dot"]
+    assert r["lag_dot"] > 0
+    # dense range: hours 9..60 → n=52, m=28
+    assert r["n_terms"] == 28
