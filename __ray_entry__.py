@@ -4206,6 +4206,27 @@ def _q_daily_periodicity(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["ts", "event_type"]))
 
 
+def _q_max_drawdown(sf_dir: str):
+    """Per-user max peak-to-trough drawdown of the signed balance —
+    closed-form runmax−prefix, sorted blocks + stitch."""
+    import ray.data
+
+    from pdf2doi_ray.stages.windows import max_drawdown_by_user
+    return max_drawdown_by_user(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"]))
+
+
+def _q_sliding_distinct_users(sf_dir: str):
+    """Rolling 24h distinct-user curve via the sweep-line interval
+    trick — interval endpoints shuffle, never user sets."""
+    import ray.data
+
+    from pdf2doi_ray.stages.windows import sliding_distinct_users
+    return sliding_distinct_users(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]))
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -4336,6 +4357,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_repeat_customers": _q_kmv_repeat_customers,
         "two_hop_neighborhood": _q_two_hop_neighborhood,
         "daily_periodicity": _q_daily_periodicity,
+        "max_drawdown": _q_max_drawdown,
+        "sliding_distinct_users": _q_sliding_distinct_users,
         "approx_value_quantiles": _q_approx_value_quantiles,
         "approx_value_quantiles_by_type": _q_approx_value_quantiles_by_type,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -8498,6 +8521,38 @@ SELECT COALESCE(a.day, b.day) AS day,
        CAST(COALESCE(a.n, 0) AS BIGINT) AS n_orders,
        CAST(COALESCE(b.n, 0) AS BIGINT) AS n_shipped
 FROM a FULL OUTER JOIN b ON a.day = b.day
+"""
+    sql["max_drawdown"] = """
+WITH e AS (SELECT event_id, user_id,
+                  CAST(epoch_us(ts) AS BIGINT) AS us,
+                  CASE WHEN event_type = 'purchase'
+                       THEN CAST(floor(value * 1000) AS BIGINT)
+                       ELSE -CAST(floor(value * 1000) AS BIGINT)
+                  END AS d
+           FROM events WHERE event_type IN ('purchase', 'click')),
+p AS (SELECT event_id, user_id, us,
+             sum(d) OVER (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS pre
+      FROM e),
+dd AS (SELECT user_id,
+              greatest(max(pre) OVER (PARTITION BY user_id
+                                      ORDER BY us, event_id
+                                      ROWS UNBOUNDED PRECEDING), 0)
+                  - pre AS v
+       FROM p)
+SELECT user_id, CAST(max(v) AS BIGINT) AS max_drawdown_milli,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM dd GROUP BY 1
+"""
+    sql["sliding_distinct_users"] = """
+WITH d AS (SELECT DISTINCT user_id,
+                  CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS h
+           FROM events)
+SELECT w AS window_hour,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM (SELECT user_id, h - g.g AS w
+      FROM d, (SELECT UNNEST(range(24)) AS g) g)
+GROUP BY 1
 """
     sql["daily_periodicity"] = """
 WITH e AS (SELECT event_type,

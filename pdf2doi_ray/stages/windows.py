@@ -1954,3 +1954,268 @@ def first_touch_attribution(events, window_s: int = 86_400,
         lambda t: np.asarray(one_chunk(t["user_id"])),
         stitch, num_shards=stitch_shards)
     return interior.union(cross)
+
+
+def max_drawdown_by_user(events, pos_type: str = "purchase",
+                         neg_type: str = "click",
+                         stitch_shards: int = DEFAULT_STITCH_SHARDS):
+    """Maximum drawdown of each user's running balance — the largest
+    peak-to-trough drop ``max_i (runmax(pre)_i − pre_i)`` over the
+    (ts, event_id)-ordered signed prefix (+value on ``pos_type``,
+    −value on ``neg_type``): the risk statistic whose scan, like the
+    clamp, has a closed form both engines share (running max minus
+    prefix, no recursion on the wire).  Returns
+    (user_id, max_drawdown_milli, n_events); single-event users report
+    max(0, −d₁).
+
+    Sorted-block + edge-user stitch; each user collapses to ONE output
+    row on exactly one path, so the merge groupby is a disjoint union.
+    """
+    from ray.data.aggregate import Max, Sum
+
+    from .windowfns import _milli as _mv
+
+    def _dd(us, d):
+        pre = np.cumsum(d)
+        starts = np.concatenate(
+            [[0], np.nonzero(us[1:] != us[:-1])[0] + 1])
+        ends = np.concatenate([starts[1:], [len(us)]])
+        uu = us[starts]
+        out = np.empty(len(starts), dtype=np.int64)
+        cnt = (ends - starts).astype(np.int64)
+        for i, (s, e) in enumerate(zip(starts, ends)):
+            seg = pre[s:e] - (pre[s] - d[s])
+            rm = np.maximum.accumulate(np.maximum(seg, 0))
+            out[i] = int((rm - seg).max())
+        return uu, out, cnt
+
+    def block_rows(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "user_id": pa.array([], type=pa.int64()),
+            "max_drawdown_milli": pa.array([], type=pa.int64()),
+            "n_events": pa.array([], type=pa.int64()),
+            "ts": pa.array([], type=pa.int64()),
+            "event_id": pa.array([], type=pa.int64()),
+            "d": pa.array([], type=pa.int64()),
+            "boundary": pa.array([], type=pa.bool_())})
+        n = t.num_rows
+        if n == 0:
+            return empty
+        us = np.asarray(one_chunk(t["user_id"])).astype(np.int64)
+        ts = np.asarray(pc.cast(pc.cast(one_chunk(t["ts"]),
+                                        pa.timestamp("us")), pa.int64()))
+        eid = np.asarray(one_chunk(t["event_id"])).astype(np.int64)
+        d = np.asarray(one_chunk(t["d"])).astype(np.int64)
+        change = np.nonzero(us[1:] != us[:-1])[0] + 1
+        starts = np.concatenate([[0], change]).astype(np.int64)
+        last = len(starts) - 1
+        lo = starts[1] if last >= 1 else n
+        hi = starts[last] if last >= 1 else 0
+        if lo < hi:
+            iu, idd, icnt = _dd(us[lo:hi], d[lo:hi])
+        else:
+            iu = idd = icnt = np.empty(0, dtype=np.int64)
+        edge_idx = np.concatenate([np.arange(0, lo),
+                                   np.arange(hi, n)]) if last >= 1 \
+            else np.arange(0, n)
+        n_i, n_b = len(iu), len(edge_idx)
+        return pa.table({
+            "user_id": pa.array(np.concatenate([iu, us[edge_idx]])),
+            "max_drawdown_milli": pa.array(np.concatenate(
+                [idd, np.zeros(n_b, np.int64)])),
+            "n_events": pa.array(np.concatenate(
+                [icnt, np.zeros(n_b, np.int64)])),
+            "ts": pa.array(np.concatenate(
+                [np.full(n_i, -1, np.int64), ts[edge_idx]])),
+            "event_id": pa.array(np.concatenate(
+                [np.full(n_i, -1, np.int64), eid[edge_idx]])),
+            "d": pa.array(np.concatenate(
+                [np.full(n_i, -1, np.int64), d[edge_idx]])),
+            "boundary": pa.array([False] * n_i + [True] * n_b)})
+
+    def stitch(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "user_id": pa.array([], type=pa.int64()),
+            "max_drawdown_milli": pa.array([], type=pa.int64()),
+            "n_events": pa.array([], type=pa.int64())})
+        if t.num_rows == 0:
+            return out
+        us = np.asarray(one_chunk(t["user_id"])).astype(np.int64)
+        ts = np.asarray(one_chunk(t["ts"])).astype(np.int64)
+        eid = np.asarray(one_chunk(t["event_id"])).astype(np.int64)
+        d = np.asarray(one_chunk(t["d"])).astype(np.int64)
+        order = np.lexsort((eid, ts, us))
+        uu, dd, cnt = _dd(us[order], d[order])
+        return pa.table({"user_id": pa.array(uu),
+                         "max_drawdown_milli": pa.array(dd),
+                         "n_events": pa.array(cnt)})
+
+    def prep(t: pa.Table) -> pa.Table:
+        et = one_chunk(t["event_type"])
+        keep = pc.or_(pc.equal(et, pos_type), pc.equal(et, neg_type))
+        t = t.filter(keep)
+        vm = _mv(one_chunk(t["value"]))
+        sign = np.where(np.asarray(pc.equal(one_chunk(t["event_type"]),
+                                            pos_type)), 1, -1)
+        return pa.table({"event_id": t["event_id"],
+                         "user_id": t["user_id"], "ts": t["ts"],
+                         "d": pa.array(vm * sign)})
+
+    srt = events.map_batches(prep, batch_format="pyarrow") \
+        .sort(["user_id", "ts", "event_id"])
+    mixed = srt.map_batches(block_rows, batch_format="pyarrow",
+                            batch_size=None).materialize()
+    interior = mixed.map_batches(
+        lambda t: t.filter(pc.equal(t["boundary"], False))
+        .select(["user_id", "max_drawdown_milli", "n_events"]),
+        batch_format="pyarrow")
+    carries = mixed.map_batches(
+        lambda t: t.filter(t["boundary"])
+        .select(["user_id", "ts", "event_id", "d"]),
+        batch_format="pyarrow")
+    cross = sharded_stitch(
+        carries,
+        lambda t: np.asarray(one_chunk(t["user_id"])),
+        stitch, num_shards=stitch_shards)
+    return (interior.union(cross)
+            .groupby("user_id")
+            .aggregate(Max("max_drawdown_milli",
+                           alias_name="max_drawdown_milli"),
+                       Sum("n_events", alias_name="n_events")))
+
+
+def sliding_distinct_users(events, window_h: int = 24,
+                           stitch_shards: int = DEFAULT_STITCH_SHARDS):
+    """Sliding-window distinct users — for every window START hour w,
+    how many distinct users have ≥1 event in [w, w+window_h−1] (the
+    rolling-DAU curve).  Distinct counts don't merge across buckets,
+    so the engine never tries: each user's active-hour set becomes a
+    union of COVERAGE INTERVALS ``[h−W+1, h]`` (gaps < W merge), every
+    interval becomes a ±1 delta pair, one tiny groupby sums deltas per
+    window, and a calendar-bounded prefix walk on the driver turns
+    deltas into counts — the sweep-line trick: per-user work is
+    O(active hours), the exchange carries interval endpoints only.
+    Returns (window_hour, n_distinct) for windows with ≥1 user.
+
+    Plan: distinct (user, hour) combiner groupby → sort(user, hour) →
+    sorted-block interval merge with edge-user stitch → delta groupby
+    → driver prefix over ≤ |calendar hours| rows.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    def _deltas(us, hs):
+        """Delta rows from per-user sorted hour runs."""
+        w_starts, w_deltas = [], []
+        starts = np.concatenate(
+            [[0], np.nonzero(us[1:] != us[:-1])[0] + 1, [len(us)]])
+        for s, e in zip(starts[:-1], starts[1:]):
+            h = hs[s:e]
+            # split where the gap between consecutive active hours ≥ W
+            brk = np.nonzero(h[1:] - h[:-1] >= window_h)[0] + 1
+            seg_lo = np.concatenate([[0], brk])
+            seg_hi = np.concatenate([brk, [len(h)]])
+            lo_w = h[seg_lo] - (window_h - 1)
+            hi_w = h[seg_hi - 1]
+            w_starts.append(lo_w)
+            w_deltas.append(np.ones(len(lo_w), dtype=np.int64))
+            w_starts.append(hi_w + 1)
+            w_deltas.append(np.full(len(hi_w), -1, dtype=np.int64))
+        if not w_starts:
+            z = np.empty(0, dtype=np.int64)
+            return z, z
+        return np.concatenate(w_starts), np.concatenate(w_deltas)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        h = np.asarray(pc.cast(pc.cast(one_chunk(t["ts"]),
+                                       pa.timestamp("us")),
+                               pa.int64())) // 3_600_000_000
+        g = pa.table({"user_id": t["user_id"], "h": pa.array(h)}) \
+            .group_by(["user_id", "h"]).aggregate([([], "count_all")])
+        return g.select(["user_id", "h"])
+
+    distinct = (events.map_batches(pairs, batch_format="pyarrow")
+                .groupby(["user_id", "h"])
+                .aggregate(Count(alias_name="_c"))
+                .drop_columns(["_c"]))
+
+    srt = distinct.sort(["user_id", "h"])
+
+    def block_rows(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "w": pa.array([], type=pa.int64()),
+            "delta": pa.array([], type=pa.int64()),
+            "user_id": pa.array([], type=pa.int64()),
+            "h": pa.array([], type=pa.int64()),
+            "boundary": pa.array([], type=pa.bool_())})
+        n = t.num_rows
+        if n == 0:
+            return empty
+        us = np.asarray(one_chunk(t["user_id"])).astype(np.int64)
+        hs = np.asarray(one_chunk(t["h"])).astype(np.int64)
+        change = np.nonzero(us[1:] != us[:-1])[0] + 1
+        starts = np.concatenate([[0], change]).astype(np.int64)
+        last = len(starts) - 1
+        lo = starts[1] if last >= 1 else n
+        hi = starts[last] if last >= 1 else 0
+        if lo < hi:
+            w, d = _deltas(us[lo:hi], hs[lo:hi])
+        else:
+            w = d = np.empty(0, dtype=np.int64)
+        edge_idx = np.concatenate([np.arange(0, lo),
+                                   np.arange(hi, n)]) if last >= 1 \
+            else np.arange(0, n)
+        n_i, n_b = len(w), len(edge_idx)
+        return pa.table({
+            "w": pa.array(np.concatenate(
+                [w, np.zeros(n_b, np.int64)])),
+            "delta": pa.array(np.concatenate(
+                [d, np.zeros(n_b, np.int64)])),
+            "user_id": pa.array(np.concatenate(
+                [np.full(n_i, -1, np.int64), us[edge_idx]])),
+            "h": pa.array(np.concatenate(
+                [np.full(n_i, -1, np.int64), hs[edge_idx]])),
+            "boundary": pa.array([False] * n_i + [True] * n_b)})
+
+    def stitch(t: pa.Table) -> pa.Table:
+        out = pa.table({"w": pa.array([], type=pa.int64()),
+                        "delta": pa.array([], type=pa.int64())})
+        if t.num_rows == 0:
+            return out
+        us = np.asarray(one_chunk(t["user_id"])).astype(np.int64)
+        hs = np.asarray(one_chunk(t["h"])).astype(np.int64)
+        order = np.lexsort((hs, us))
+        w, d = _deltas(us[order], hs[order])
+        return pa.table({"w": pa.array(w), "delta": pa.array(d)})
+
+    mixed = srt.map_batches(block_rows, batch_format="pyarrow",
+                            batch_size=None).materialize()
+    interior = mixed.map_batches(
+        lambda t: t.filter(pc.equal(t["boundary"], False))
+        .select(["w", "delta"]), batch_format="pyarrow")
+    carries = mixed.map_batches(
+        lambda t: t.filter(t["boundary"]).select(["user_id", "h"]),
+        batch_format="pyarrow")
+    cross = sharded_stitch(
+        carries,
+        lambda t: np.asarray(one_chunk(t["user_id"])),
+        stitch, num_shards=stitch_shards)
+    deltas = (interior.union(cross)
+              .groupby("w").aggregate(Sum("delta", alias_name="delta"))
+              .to_pandas().sort_values("w").reset_index(drop=True))
+    # calendar-bounded prefix walk (≤ |hours| + 2 aggregated rows)
+    ws = deltas["w"].to_numpy().astype(np.int64)
+    cum = deltas["delta"].to_numpy().astype(np.int64).cumsum()
+    out_w, out_n = [], []
+    for i in range(len(ws)):
+        lo = ws[i]
+        hi = ws[i + 1] if i + 1 < len(ws) else lo + 1
+        if cum[i] > 0:
+            rng = np.arange(lo, hi, dtype=np.int64)
+            out_w.append(rng)
+            out_n.append(np.full(len(rng), cum[i], dtype=np.int64))
+    if out_w:
+        return pa.table({
+            "window_hour": pa.array(np.concatenate(out_w)),
+            "n_distinct": pa.array(np.concatenate(out_n))})
+    return pa.table({"window_hour": pa.array([], type=pa.int64()),
+                     "n_distinct": pa.array([], type=pa.int64())})

@@ -1638,3 +1638,55 @@ def test_daily_periodicity_perfect_cycle():
     assert r["lag_dot"] > 0
     # dense range: hours 9..60 → n=52, m=28
     assert r["n_terms"] == 28
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_max_drawdown_includes_zero_baseline():
+    """The peak includes the initial empty balance: a user whose first
+    move is a drop of 4000 has drawdown 4000 even with no prior peak;
+    a later recovery then deeper trough tracks the running max."""
+    import ray.data
+
+    from pdf2doi_ray.stages.windows import max_drawdown_by_user
+
+    base = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame({
+        "event_id": [1, 2, 3, 4],
+        "user_id": [1, 1, 1, 2],
+        "ts": [base + pd.Timedelta(seconds=s) for s in (0, 1, 2, 0)],
+        "event_type": ["purchase", "click", "purchase", "click"],
+        "value": [10.0, 7.0, 2.0, 4.0]})
+    got = max_drawdown_by_user(
+        ray.data.from_pandas(df).repartition(2)) \
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    # u1: pre = 10000, 3000, 5000 → peak 10000 → dd max = 7000
+    # u2: pre = −4000 → peak max(0) → dd 4000
+    assert got.values.tolist() == [[1, 7000, 3], [2, 4000, 1]]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sliding_distinct_interval_merge():
+    """Two users: u1 active hours {0, 30}, u2 at {10} → windows around
+    each activity carry the right distinct counts, with the u1 gap
+    (30−0 ≥ 24) split into two intervals."""
+    import ray.data
+
+    from pdf2doi_ray.stages.windows import sliding_distinct_users
+
+    def at(h):
+        return pd.Timestamp("1970-01-01") + pd.Timedelta(hours=h)
+
+    df = pd.DataFrame({
+        "user_id": [1, 1, 2],
+        "ts": [at(0), at(30), at(10)]})
+    got = sliding_distinct_users(
+        ray.data.from_pandas(df).repartition(2)).to_pandas()
+    m = dict(zip(got["window_hour"], got["n_distinct"]))
+    # window 0 covers [0..23] → u1(h0) AND u2(h10) → 2; window 10
+    # covers [10..33] → u1(h30) and u2(h10) → 2; window 30 → u1 only
+    assert m[0] == 2 and m[10] == 2 and m[30] == 1
+    # u1's two activity hours are ≥24 apart: window 5 ([5..28]) sees
+    # only h0?? no: 5..28 misses 0 and 30 → covered only by u2 via h10
+    assert m[5] == 1
+    # every window in [−23, 30] is present, none outside
+    assert set(m) == set(range(-23, 31))
