@@ -4227,6 +4227,21 @@ def _q_sliding_distinct_users(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["user_id", "ts"]))
 
 
+def _q_internal_link_ratio(sf_dir: str):
+    """Site-insularity split of outlinks per source host, riding the
+    combiner edge counts."""
+    from pdf2doi_ray.stages.corpus import internal_link_ratio
+    return internal_link_ratio(_linked_pages(sf_dir))
+
+
+def _q_source_minhash_signatures(sf_dir: str):
+    """Exactly-oracled MinHash signatures per source over distinct
+    token sets — one groupby Min over per-batch candidate minima."""
+    from pdf2doi_ray.stages.corpus import source_minhash_signatures
+    return source_minhash_signatures(
+        _docs(sf_dir, ("doc_id", "text", "source")))
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -4359,6 +4374,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_periodicity": _q_daily_periodicity,
         "max_drawdown": _q_max_drawdown,
         "sliding_distinct_users": _q_sliding_distinct_users,
+        "internal_link_ratio": _q_internal_link_ratio,
+        "source_minhash_signatures": _q_source_minhash_signatures,
         "approx_value_quantiles": _q_approx_value_quantiles,
         "approx_value_quantiles_by_type": _q_approx_value_quantiles_by_type,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -7917,6 +7934,14 @@ e AS (SELECT regexp_replace(regexp_replace(url,
 g AS (SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n
       FROM e GROUP BY 1, 2)
 """
+    sql["internal_link_ratio"] = _G_EDGES + """
+SELECT src_host,
+       CAST(sum(CASE WHEN src_host = dst_host THEN n ELSE 0 END)
+            AS BIGINT) AS n_internal,
+       CAST(sum(CASE WHEN src_host <> dst_host THEN n ELSE 0 END)
+            AS BIGINT) AS n_external
+FROM g GROUP BY 1
+"""
     sql["two_hop_neighborhood"] = _G_EDGES + """
 , d AS (SELECT DISTINCT src_host AS s, dst_host AS t FROM g)
 SELECT a.s AS node, CAST(count(DISTINCT b.t) AS BIGINT) AS n_two_hop
@@ -8521,6 +8546,19 @@ SELECT COALESCE(a.day, b.day) AS day,
        CAST(COALESCE(a.n, 0) AS BIGINT) AS n_orders,
        CAST(COALESCE(b.n, 0) AS BIGINT) AS n_shipped
 FROM a FULL OUTER JOIN b ON a.day = b.day
+"""
+    sql["source_minhash_signatures"] = """
+WITH tok AS (SELECT DISTINCT source,
+                    unnest(list_filter(string_split(text, ' '),
+                                       x -> x <> '')) AS token
+             FROM documents),
+s AS (SELECT source, g AS slot, token
+      FROM tok, UNNEST(range(16)) t(g))
+SELECT source, CAST(slot AS BIGINT) AS slot,
+       CAST(min((('0x' || substr(md5(CAST(slot AS VARCHAR) || ':'
+                                     || token), 1, 16))::UBIGINT >> 1))
+            AS BIGINT) AS sig63
+FROM s GROUP BY 1, 2
 """
     sql["max_drawdown"] = """
 WITH e AS (SELECT event_id, user_id,

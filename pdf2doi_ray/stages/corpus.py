@@ -3745,3 +3745,80 @@ def template_clusters(docs, min_pages: int = 2):
         return t.filter(pc.greater_equal(t["n_pages"], min_pages))
 
     return agg.map_batches(gate, batch_format="pyarrow")
+
+
+def internal_link_ratio(pages, url_col: str = "url",
+                        text_col: str = "text"):
+    """Internal-vs-external outlink split per source host — the
+    site-insularity metric crawl schedulers use (a host that mostly
+    links to itself gets budget differently from a hub).  Returns
+    (src_host, n_internal, n_external).
+
+    Rides :func:`host_link_graph`'s combiner edges: the flag is one
+    vectorized equality on the (src, dst) pair, the exchange carries
+    the two counters per host per batch.
+    """
+    from ray.data.aggregate import Sum
+
+    edges = host_link_graph(pages, url_col=url_col, text_col=text_col)
+
+    def split(t: pa.Table) -> pa.Table:
+        same = np.asarray(pc.equal(one_chunk(t["src_host"]),
+                                   one_chunk(t["dst_host"])))
+        n = np.asarray(one_chunk(t["n_links"])).astype(np.int64)
+        return pa.table({
+            "src_host": t["src_host"],
+            "n_internal": pa.array(np.where(same, n, 0)),
+            "n_external": pa.array(np.where(same, 0, n))})
+
+    return (edges.map_batches(split, batch_format="pyarrow")
+            .groupby("src_host")
+            .aggregate(Sum("n_internal", alias_name="n_internal"),
+                       Sum("n_external", alias_name="n_external")))
+
+
+def source_minhash_signatures(docs, n_slots: int = 16):
+    """Per-source MinHash signature over the source's DISTINCT token
+    set — sig(source, slot) = min over tokens of
+    ``md5_u64(slot || ':' || token) >> 1``: the set-similarity sketch
+    (P[sig_a = sig_b] = Jaccard(A, B)) in the repo's SQL-recomputable
+    hash, so unlike the banded doc-level LSH this one is EXACTLY
+    oracle-checkable.  Returns (source, slot, sig63).
+
+    Combiner-first: each batch hashes its distinct (slot, token)
+    strings once (:func:`md5_u64`'s unique-set loop) and emits one
+    candidate min per (source, slot); ONE groupby Min finishes —
+    |sources| × n_slots rows total.
+    """
+    from ray.data.aggregate import Min
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, row_idx = _tokens_nonempty(t)
+        src = np.asarray(one_chunk(t["source"]),
+                         dtype=object)[row_idx].astype(str)
+        toks = np.asarray(flat, dtype=object).astype(str)
+        pair = np.char.add(np.char.add(src, "\x01"), toks)
+        uniq = np.unique(pair)
+        i = np.char.find(uniq, "\x01")
+        srcs = np.array([u[:k] for u, k in zip(uniq, i)], dtype=object)
+        tks = np.array([u[k + 1:] for u, k in zip(uniq, i)],
+                       dtype=object)
+        out_s, out_slot, out_sig = [], [], []
+        for slot in range(n_slots):
+            hv = (md5_u64(np.char.add(f"{slot}:", tks.astype(str)))
+                  >> np.uint64(1)).astype(np.int64)
+            su, inv = np.unique(srcs.astype(str), return_inverse=True)
+            mins = np.full(len(su), np.iinfo(np.int64).max, np.int64)
+            np.minimum.at(mins, inv, hv)
+            out_s.append(su.astype(object))
+            out_slot.append(np.full(len(su), slot, np.int64))
+            out_sig.append(mins)
+        return pa.table({
+            "source": pa.array(np.concatenate(out_s),
+                               type=pa.string()),
+            "slot": pa.array(np.concatenate(out_slot)),
+            "sig63": pa.array(np.concatenate(out_sig))})
+
+    return (docs.map_batches(partial, batch_format="pyarrow")
+            .groupby(["source", "slot"])
+            .aggregate(Min("sig63", alias_name="sig63")))

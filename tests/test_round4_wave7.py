@@ -1690,3 +1690,52 @@ def test_sliding_distinct_interval_merge():
     assert m[5] == 1
     # every window in [−23, 30] is present, none outside
     assert set(m) == set(range(-23, 31))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_signature_jaccard_property():
+    """Identical token sets ⇒ identical signatures in every slot;
+    disjoint sets share (almost surely) none; the sig is the true min
+    over the union of a source's tokens across docs and blocks."""
+    import hashlib
+
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import source_minhash_signatures
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "source": ["a", "a", "b", "c"],
+        "text": ["x y", "z", "x y z", "p q r"]})
+    got = source_minhash_signatures(
+        ray.data.from_pandas(docs).repartition(4), n_slots=8) \
+        .to_pandas()
+    sig = {(r.source, r.slot): r.sig63 for r in got.itertuples()}
+    # a = {x,y,z} (unioned across 2 docs/blocks) == b exactly
+    for s in range(8):
+        assert sig[("a", s)] == sig[("b", s)]
+        want = min(int.from_bytes(hashlib.md5(
+            f"{s}:{t}".encode()).digest()[:8], "big") >> 1
+            for t in ("x", "y", "z"))
+        assert sig[("a", s)] == want
+    # c is disjoint → different with overwhelming probability
+    assert any(sig[("c", s)] != sig[("a", s)] for s in range(8))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_internal_link_ratio_handbuilt():
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import internal_link_ratio
+
+    pages = pd.DataFrame({
+        "url": ["https://h1.org/a", "https://h1.org/b",
+                "https://h2.org/x"],
+        "text": ['<a href="https://h1.org/c">i</a> '
+                 '<a href="https://h2.org/d">e</a>',
+                 '<a href="https://h1.org/e">i</a>',
+                 '<a href="https://h1.org/f">e</a>']})
+    got = internal_link_ratio(
+        ray.data.from_pandas(pages).repartition(2)) \
+        .to_pandas().sort_values("src_host").reset_index(drop=True)
+    assert got.values.tolist() == [["h1.org", 2, 1], ["h2.org", 0, 1]]
