@@ -4242,6 +4242,21 @@ def _q_source_minhash_signatures(sf_dir: str):
         _docs(sf_dir, ("doc_id", "text", "source")))
 
 
+def _q_consistent_hash_moves(sf_dir: str):
+    """Ring-sharding audit under N→N+1 workers: ring in the closure,
+    vectorized argmin assignment, distinct sources only."""
+    from pdf2doi_ray.stages.export import consistent_hash_moves
+    return consistent_hash_moves(_docs(sf_dir, ("doc_id", "source")))
+
+
+def _q_source_similarity_pairs(sf_dir: str):
+    """Pairwise source Jaccard estimates from the exactly-oracled
+    MinHash signatures — pairing folds over the sketch table."""
+    from pdf2doi_ray.stages.corpus import source_similarity_pairs
+    return source_similarity_pairs(
+        _docs(sf_dir, ("doc_id", "text", "source")))
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -4376,6 +4391,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_distinct_users": _q_sliding_distinct_users,
         "internal_link_ratio": _q_internal_link_ratio,
         "source_minhash_signatures": _q_source_minhash_signatures,
+        "consistent_hash_moves": _q_consistent_hash_moves,
+        "source_similarity_pairs": _q_source_similarity_pairs,
         "approx_value_quantiles": _q_approx_value_quantiles,
         "approx_value_quantiles_by_type": _q_approx_value_quantiles_by_type,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -8546,6 +8563,56 @@ SELECT COALESCE(a.day, b.day) AS day,
        CAST(COALESCE(a.n, 0) AS BIGINT) AS n_orders,
        CAST(COALESCE(b.n, 0) AS BIGINT) AS n_shipped
 FROM a FULL OUTER JOIN b ON a.day = b.day
+"""
+    sql["consistent_hash_moves"] = """
+WITH s AS (SELECT DISTINCT source FROM documents),
+h AS (SELECT source,
+             CAST((('0x' || substr(md5(source), 1, 16))::UBIGINT >> 3)
+                  AS BIGINT) AS hh FROM s),
+wn AS (SELECT g AS wid,
+              CAST((('0x' || substr(md5('w' || CAST(g AS VARCHAR)), 1,
+                                    16))::UBIGINT >> 3) AS BIGINT)
+                  AS pos
+       FROM (SELECT UNNEST(range(8)) AS g)),
+wn1 AS (SELECT g AS wid,
+               CAST((('0x' || substr(md5('w' || CAST(g AS VARCHAR)), 1,
+                                     16))::UBIGINT >> 3) AS BIGINT)
+                   AS pos
+        FROM (SELECT UNNEST(range(9)) AS g)),
+an AS (SELECT source, wid FROM (
+         SELECT h.source, wn.wid,
+                row_number() OVER (PARTITION BY h.source ORDER BY
+                    (((wn.pos - h.hh) % 2305843009213693952) + 2305843009213693952) % 2305843009213693952, wn.wid)
+                    AS rn
+         FROM h, wn) WHERE rn = 1),
+an1 AS (SELECT source, wid FROM (
+          SELECT h.source, wn1.wid,
+                 row_number() OVER (PARTITION BY h.source ORDER BY
+                     (((wn1.pos - h.hh) % 2305843009213693952) + 2305843009213693952) % 2305843009213693952, wn1.wid)
+                     AS rn
+          FROM h, wn1) WHERE rn = 1)
+SELECT a.source, CAST(a.wid AS BIGINT) AS worker_n,
+       CAST(b.wid AS BIGINT) AS worker_n1,
+       a.wid <> b.wid AS moved
+FROM an a JOIN an1 b USING (source)
+"""
+    sql["source_similarity_pairs"] = """
+WITH tok AS (SELECT DISTINCT source,
+                    unnest(list_filter(string_split(text, ' '),
+                                       x -> x <> '')) AS token
+             FROM documents),
+sl AS (SELECT source, g AS slot, token
+       FROM tok, UNNEST(range(16)) t(g)),
+sig AS (SELECT source, slot,
+               min((('0x' || substr(md5(CAST(slot AS VARCHAR) || ':'
+                                        || token), 1, 16))::UBIGINT
+                    >> 1)) AS sig63
+        FROM sl GROUP BY 1, 2)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS n_equal_slots
+FROM sig a JOIN sig b ON a.slot = b.slot AND a.sig63 = b.sig63
+     AND a.source < b.source
+GROUP BY 1, 2
 """
     sql["source_minhash_signatures"] = """
 WITH tok AS (SELECT DISTINCT source,

@@ -3822,3 +3822,32 @@ def source_minhash_signatures(docs, n_slots: int = 16):
     return (docs.map_batches(partial, batch_format="pyarrow")
             .groupby(["source", "slot"])
             .aggregate(Min("sig63", alias_name="sig63")))
+
+
+def source_similarity_pairs(docs, n_slots: int = 16):
+    """Estimated Jaccard between every source pair from the MinHash
+    signatures — ``n_equal_slots / n_slots`` is the unbiased
+    set-similarity estimate (:func:`source_minhash_signatures`
+    provides the exactly-oracled signatures; this is the pairing
+    pass).  Returns (source_a, source_b, n_equal_slots) for pairs
+    agreeing on ≥ 1 slot, a < b.
+
+    The signature table is |sources| × n_slots BY CONSTRUCTION, so
+    the pairing folds driver-side over the aggregated sketch — at web
+    scale the signatures (not the corpora) are what pairwise work
+    touches, which is the entire point of sketching first.
+    """
+    import pandas as pd
+
+    sig = source_minhash_signatures(docs, n_slots=n_slots).to_pandas()
+    j = sig.merge(sig, on=["slot", "sig63"], suffixes=("_a", "_b"))
+    j = j[j["source_a"] < j["source_b"]]
+    out = (j.groupby(["source_a", "source_b"]).size()
+           .reset_index(name="n_equal_slots")
+           .sort_values(["source_a", "source_b"])
+           .reset_index(drop=True))
+    return pa.table({
+        "source_a": pa.array(out["source_a"], type=pa.string()),
+        "source_b": pa.array(out["source_b"], type=pa.string()),
+        "n_equal_slots": pa.array(
+            out["n_equal_slots"].to_numpy().astype(np.int64))})

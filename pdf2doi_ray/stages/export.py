@@ -446,3 +446,61 @@ def zonemap_prune_scan(events, root: str, lo_milli: int, hi_milli: int,
             "event_id": pa.array([], type=pa.int64()),
             "vm": pa.array([], type=pa.int64())}))
     return (out, len(files), len(keep)) if return_stats else out
+
+
+def consistent_hash_moves(docs, n_workers: int = 8):
+    """Consistent-hashing shard audit — every source host maps to its
+    clockwise-first worker on an md5 ring, under N and N+1 workers,
+    with the ``moved`` flag exposing the minimal-reshuffle property
+    that makes ring sharding the right crawl-frontier partitioner
+    (adding a worker moves only the hosts that land on it — ~1/(N+1)
+    of the keyspace — where modulo sharding moves almost everything).
+    Returns (source, worker_n, worker_n1, moved).
+
+    Hashes are the repo's :func:`..stages.corpus.md5_u64` folded to 61
+    bits so ring distances stay in int64 on both engines; the ring
+    (N+1 positions) rides the task closure, the distinct-source set
+    comes from one combiner groupby, and the assignment is a
+    vectorized hosts × workers argmin (first min ⇒ smallest worker id
+    on a tie — the SQL ``ORDER BY dist, wid`` mirror).
+    """
+    import pyarrow.compute as pc
+    import ray.data  # noqa: F401
+
+    from ..arrowutil import one_chunk
+    from .corpus import md5_u64
+
+    M = np.int64(1) << np.int64(61)
+
+    def ring(n):
+        return np.array(
+            [int(md5_u64(np.array([f"w{i}"], dtype=object))[0]
+                 >> np.uint64(3)) for i in range(n)], dtype=np.int64)
+
+    r_n, r_n1 = ring(n_workers), ring(n_workers + 1)
+
+    distinct = docs.map_batches(
+        lambda t: pa.table({"source": pc.unique(one_chunk(t["source"]))}),
+        batch_format="pyarrow") \
+        .groupby("source").count().drop_columns(["count()"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        src = np.asarray(one_chunk(t["source"]), dtype=object)
+        if len(src) == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"source": pa.array([], type=pa.string()),
+                             "worker_n": z, "worker_n1": z,
+                             "moved": pa.array([], type=pa.bool_())})
+        hh = (md5_u64(src.astype(str)) >> np.uint64(3)).astype(np.int64)
+
+        def first_clockwise(ringpos):
+            d = (ringpos[None, :] - hh[:, None]) % M
+            return np.argmin(d, axis=1).astype(np.int64)
+
+        a, b = first_clockwise(r_n), first_clockwise(r_n1)
+        return pa.table({"source": pa.array(src, type=pa.string()),
+                         "worker_n": pa.array(a),
+                         "worker_n1": pa.array(b),
+                         "moved": pa.array(a != b)})
+
+    return distinct.map_batches(assign, batch_format="pyarrow")

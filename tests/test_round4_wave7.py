@@ -1739,3 +1739,49 @@ def test_internal_link_ratio_handbuilt():
         ray.data.from_pandas(pages).repartition(2)) \
         .to_pandas().sort_values("src_host").reset_index(drop=True)
     assert got.values.tolist() == [["h1.org", 2, 1], ["h2.org", 0, 1]]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_consistent_hash_minimal_moves():
+    """Ring property: hosts that stay must keep the SAME worker id —
+    every move lands on the NEW worker (id n_workers), never a
+    reshuffle between old workers."""
+    import ray.data
+
+    from pdf2doi_ray.stages.export import consistent_hash_moves
+
+    docs = pd.DataFrame({
+        "doc_id": range(200),
+        "source": [f"host{i}" for i in range(200)]})
+    got = consistent_hash_moves(
+        ray.data.from_pandas(docs).repartition(3), n_workers=8) \
+        .to_pandas()
+    assert len(got) == 200
+    moved = got[got.moved]
+    # the ONLY legal move target is the newly added worker 8
+    assert (moved["worker_n1"] == 8).all()
+    stay = got[~got.moved]
+    assert (stay["worker_n"] == stay["worker_n1"]).all()
+    # and some but not all hosts moved (~1/9 of keyspace)
+    assert 0 < len(moved) < 80
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_similarity_pairs_identical_sources_all_slots():
+    """Two sources with the same token set agree on EVERY slot; a
+    disjoint third never reaches full agreement."""
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import source_similarity_pairs
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "source": ["a", "b", "c"],
+        "text": ["x y z", "z y x", "p q r"]})
+    got = source_similarity_pairs(
+        ray.data.from_pandas(docs).repartition(3), n_slots=8) \
+        .to_pandas()
+    m = {(r.source_a, r.source_b): r.n_equal_slots
+         for r in got.itertuples()}
+    assert m[("a", "b")] == 8
+    assert m.get(("a", "c"), 0) < 8 and m.get(("b", "c"), 0) < 8
