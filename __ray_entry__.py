@@ -4257,6 +4257,27 @@ def _q_source_similarity_pairs(sf_dir: str):
         _docs(sf_dir, ("doc_id", "text", "source")))
 
 
+def _q_label_scatter(sf_dir: str):
+    """Per-(label, dim) exact scatter moments (n, Σv, Σv²) of milli
+    embeddings — Fisher-scatter prep, one combiner groupby."""
+    import ray.data
+
+    from pdf2doi_ray.stages.similarity import label_scatter_components
+    return label_scatter_components(ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["label", "embedding"]))
+
+
+def _q_contrastive_negatives(sf_dir: str):
+    """Deterministic md5-stream negative sampling, self skipped by
+    arithmetic — pure map after one count."""
+    import ray.data
+
+    from pdf2doi_ray.stages.similarity import contrastive_negatives
+    return contrastive_negatives(ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id"]))
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -4393,6 +4414,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_minhash_signatures": _q_source_minhash_signatures,
         "consistent_hash_moves": _q_consistent_hash_moves,
         "source_similarity_pairs": _q_source_similarity_pairs,
+        "label_scatter": _q_label_scatter,
+        "contrastive_negatives": _q_contrastive_negatives,
         "approx_value_quantiles": _q_approx_value_quantiles,
         "approx_value_quantiles_by_type": _q_approx_value_quantiles_by_type,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -8563,6 +8586,29 @@ SELECT COALESCE(a.day, b.day) AS day,
        CAST(COALESCE(a.n, 0) AS BIGINT) AS n_orders,
        CAST(COALESCE(b.n, 0) AS BIGINT) AS n_shipped
 FROM a FULL OUTER JOIN b ON a.day = b.day
+"""
+    sql["label_scatter"] = """
+WITH u AS (SELECT CAST(label AS BIGINT) AS label, g AS i,
+                  CAST(floor(embedding[g + 1]::DOUBLE * 1000)
+                       AS BIGINT) AS vm
+           FROM embeddings, UNNEST(range(64)) AS t(g))
+SELECT label, CAST(i AS BIGINT) AS i,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(vm) AS BIGINT) AS s,
+       CAST(sum(vm * vm) AS BIGINT) AS ss
+FROM u GROUP BY 1, 2
+"""
+    sql["contrastive_negatives"] = """
+WITH n AS (SELECT count(*) AS n FROM embeddings),
+r AS (SELECT vec_id, g AS neg_rank,
+             CAST((('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':'
+                                      || CAST(g AS VARCHAR)), 1, 16))
+                   ::UBIGINT % (SELECT n - 1 FROM n)) AS BIGINT)
+                 AS raw
+      FROM embeddings, UNNEST(range(4)) t(g))
+SELECT vec_id, CAST(neg_rank AS BIGINT) AS neg_rank,
+       raw + CASE WHEN raw >= vec_id THEN 1 ELSE 0 END AS neg_id
+FROM r
 """
     sql["consistent_hash_moves"] = """
 WITH s AS (SELECT DISTINCT source FROM documents),

@@ -673,3 +673,87 @@ def embedding_int8_quantize(embeddings, levels: int = 255):
             "range_milli": pa.array(np.repeat(rng, dim))})
 
     return embeddings.map_batches(fn, batch_format="pyarrow")
+
+
+def label_scatter_components(embeddings):
+    """Per-(label, dimension) scatter moments of the milli-quantized
+    embeddings — (n, s = Σv, ss = Σv²) exact int64: the sufficient
+    statistics for within/between-class scatter (Fisher discriminant,
+    silhouette baselines, per-class whitening) without a single float
+    crossing the wire.  Returns (label, i, n, s, ss).
+
+    Per batch the list column unpacks once and collapses to one moment
+    row per (label, dim) — the exchange is |labels| × dim rows per
+    batch, ONE groupby Sum merges.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..arrowutil import one_chunk
+
+    def fn(t: pa.Table) -> pa.Table:
+        col = one_chunk(t["embedding"])
+        n = len(col)
+        z = pa.array([], type=pa.int64())
+        if n == 0:
+            return pa.table({"label": z, "i": z, "n": z, "s": z,
+                             "ss": z})
+        dim = len(col[0])
+        vm = np.floor(np.asarray(col.flatten(), dtype=np.float64)
+                      * 1000.0).astype(np.int64).reshape(n, dim)
+        lab = np.asarray(one_chunk(t["label"])).astype(np.int64)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        k = len(uniq)
+        cnt = np.bincount(inv, minlength=k).astype(np.int64)
+        s = np.zeros((k, dim), dtype=np.int64)
+        ss = np.zeros((k, dim), dtype=np.int64)
+        np.add.at(s, inv, vm)
+        np.add.at(ss, inv, vm * vm)
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, dim)),
+            "i": pa.array(np.tile(np.arange(dim, dtype=np.int64), k)),
+            "n": pa.array(np.repeat(cnt, dim)),
+            "s": pa.array(s.ravel()),
+            "ss": pa.array(ss.ravel())})
+
+    return (embeddings.map_batches(fn, batch_format="pyarrow")
+            .groupby(["label", "i"])
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("s", alias_name="s"),
+                       Sum("ss", alias_name="ss")))
+
+
+def contrastive_negatives(embeddings, k: int = 4):
+    """Deterministic negative sampling for contrastive training — for
+    every vector, ``k`` pseudo-random partner ids drawn by the repo's
+    SQL-recomputable md5 stream, skipping self by arithmetic (not
+    rejection, so both engines agree without a loop):
+    ``raw = md5_u64(id:j) % (N−1)``, ``neg = raw + (raw ≥ id)``.
+    Returns (vec_id, neg_rank, neg_id).
+
+    N comes from one count; the sampling is a pure map after that —
+    negatives at corpus scale are exactly this cheap when the id space
+    is dense (re-index through :mod:`..stages.export` sharding first
+    when it isn't).
+    """
+    from .corpus import md5_u64
+    from ..arrowutil import one_chunk
+
+    n_total = embeddings.count()
+    if n_total < 2:
+        raise ValueError("contrastive_negatives: need ≥ 2 vectors")
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = np.asarray(one_chunk(t["vec_id"])).astype(np.int64)
+        m = len(ids)
+        out_id = np.repeat(ids, k)
+        ranks = np.tile(np.arange(k, dtype=np.int64), m)
+        keys = np.char.add(np.char.add(
+            out_id.astype(str), ":"), ranks.astype(str))
+        raw = (md5_u64(keys.astype(object))
+               % np.uint64(n_total - 1)).astype(np.int64)
+        neg = raw + (raw >= out_id)
+        return pa.table({"vec_id": pa.array(out_id),
+                         "neg_rank": pa.array(ranks),
+                         "neg_id": pa.array(neg)})
+
+    return embeddings.map_batches(fn, batch_format="pyarrow")

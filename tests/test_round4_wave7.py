@@ -1785,3 +1785,45 @@ def test_similarity_pairs_identical_sources_all_slots():
          for r in got.itertuples()}
     assert m[("a", "b")] == 8
     assert m.get(("a", "c"), 0) < 8 and m.get(("b", "c"), 0) < 8
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_label_scatter_handbuilt_moments():
+    import pyarrow as pa
+    import ray.data
+
+    from pdf2doi_ray.stages.similarity import label_scatter_components
+
+    t = pa.table({
+        "label": pa.array([1, 1, 2], type=pa.int32()),
+        "embedding": pa.array([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]],
+                              type=pa.list_(pa.float32()))})
+    got = label_scatter_components(
+        ray.data.from_arrow(t).repartition(3)) \
+        .to_pandas().sort_values(["label", "i"]).reset_index(drop=True)
+    # label 1 dim 0: n=2, s=4000, ss=1e6+9e6
+    assert got.values.tolist() == [
+        [1, 0, 2, 4000, 10_000_000],
+        [1, 1, 2, 6000, 20_000_000],
+        [2, 0, 1, 5000, 25_000_000],
+        [2, 1, 1, 6000, 36_000_000]]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_contrastive_negatives_never_self_in_range():
+    import ray.data
+
+    from pdf2doi_ray.stages.similarity import contrastive_negatives
+
+    df = pd.DataFrame({"vec_id": range(50)})
+    got = contrastive_negatives(
+        ray.data.from_pandas(df).repartition(4), k=6).to_pandas()
+    assert len(got) == 300
+    assert (got["neg_id"] != got["vec_id"]).all()
+    assert got["neg_id"].between(0, 49).all()
+    # deterministic: same call twice is identical
+    got2 = contrastive_negatives(
+        ray.data.from_pandas(df).repartition(2), k=6).to_pandas()
+    key = ["vec_id", "neg_rank"]
+    assert got.sort_values(key).reset_index(drop=True).equals(
+        got2.sort_values(key).reset_index(drop=True))
