@@ -4278,6 +4278,32 @@ def _q_contrastive_negatives(sf_dir: str):
         f"{sf_dir}/embeddings.parquet", columns=["vec_id"]))
 
 
+def _q_scc_of_s0(sf_dir: str):
+    """Strongly connected component of s0 via forward ∩ backward BFS
+    (two broadcast-frontier sweeps over the same edge blocks)."""
+    import pyarrow as pa
+
+    from pdf2doi_ray.stages.graph import scc_members
+
+    edges = _q_host_link_graph(sf_dir)
+
+    def rename(t):
+        return pa.table({"src": t["src_host"], "dst": t["dst_host"]})
+
+    return scc_members(edges.map_batches(rename, batch_format="pyarrow"),
+                       source="s0.example.org")
+
+
+def _q_theil_sen_trend(sf_dir: str):
+    """Theil–Sen robust daily trend per type — exact median-pair
+    fraction, calendar-quadratic driver walk."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import theil_sen_trend_by_type
+    return theil_sen_trend_by_type(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]))
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -4416,6 +4442,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_similarity_pairs": _q_source_similarity_pairs,
         "label_scatter": _q_label_scatter,
         "contrastive_negatives": _q_contrastive_negatives,
+        "scc_of_s0": _q_scc_of_s0,
+        "theil_sen_trend": _q_theil_sen_trend,
         "approx_value_quantiles": _q_approx_value_quantiles,
         "approx_value_quantiles_by_type": _q_approx_value_quantiles_by_type,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -7974,6 +8002,17 @@ e AS (SELECT regexp_replace(regexp_replace(url,
 g AS (SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n
       FROM e GROUP BY 1, 2)
 """
+    sql["scc_of_s0"] = _G_EDGES.replace(
+        "WITH ", "WITH RECURSIVE ", 1) + """
+, d AS (SELECT DISTINCT src_host AS s, dst_host AS t FROM g),
+f AS (SELECT 's0.example.org' AS node
+      UNION
+      SELECT d.t FROM d JOIN f ON d.s = f.node),
+bk AS (SELECT 's0.example.org' AS node
+       UNION
+       SELECT d.s FROM d JOIN bk ON d.t = bk.node)
+SELECT node FROM f INTERSECT SELECT node FROM bk
+"""
     sql["internal_link_ratio"] = _G_EDGES + """
 SELECT src_host,
        CAST(sum(CASE WHEN src_host = dst_host THEN n ELSE 0 END)
@@ -8586,6 +8625,25 @@ SELECT COALESCE(a.day, b.day) AS day,
        CAST(COALESCE(a.n, 0) AS BIGINT) AS n_orders,
        CAST(COALESCE(b.n, 0) AS BIGINT) AS n_shipped
 FROM a FULL OUTER JOIN b ON a.day = b.day
+"""
+    sql["theil_sen_trend"] = """
+WITH e AS (SELECT event_type,
+                  CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+           FROM events),
+c AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS c
+      FROM e GROUP BY 1, 2),
+p AS (SELECT a.event_type, b.c - a.c AS num, b.day - a.day AS den
+      FROM c a JOIN c b ON a.event_type = b.event_type
+           AND b.day > a.day),
+r AS (SELECT event_type, num, den,
+             row_number() OVER (PARTITION BY event_type
+                 ORDER BY num * 1.0 / den, num, den) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS np
+      FROM p)
+SELECT event_type, CAST(num AS BIGINT) AS slope_num,
+       CAST(den AS BIGINT) AS slope_den,
+       CAST(np AS BIGINT) AS n_pairs
+FROM r WHERE rn = (np - 1) // 2 + 1
 """
     sql["label_scatter"] = """
 WITH u AS (SELECT CAST(label AS BIGINT) AS label, g AS i,

@@ -3300,3 +3300,51 @@ def daily_periodicity_by_type(events, lag_hours: int = 24):
         "head_dot": pa.array(out["head_dot"], type=pa.int64()),
         "tail_dot": pa.array(out["tail_dot"], type=pa.int64()),
         "n_terms": pa.array(out["n_terms"], type=pa.int64())})
+
+
+def theil_sen_trend_by_type(events):
+    """Theil–Sen robust trend per event type over DAILY counts — the
+    lower median of all pairwise slopes (Δcount/Δday), reported as the
+    exact fraction (slope_num, slope_den) of the winning pair: the
+    outlier-proof drift estimate a mean-based fit can't give.  Returns
+    (event_type, slope_num, slope_den, n_pairs).
+
+    One (type, day) combiner groupby; pairwise slopes are quadratic in
+    CALENDAR DAYS, never rows (30 days → 435 pairs), so the walk runs
+    on the driver over the aggregated cells.  Slope ordering uses the
+    IEEE double num/den (identical in numpy and SQL), ties broken by
+    (num, den) so both engines pick the same median pair.
+    """
+    from ray.data.aggregate import Count
+
+    def prep(t: pa.Table) -> pa.Table:
+        d = np.asarray(pc.cast(pc.cast(one_chunk(t["ts"]),
+                                       pa.timestamp("us")),
+                               pa.int64())) // 86_400_000_000
+        return pa.table({"event_type": t["event_type"],
+                         "day": pa.array(d)})
+
+    cells = (events.map_batches(prep, batch_format="pyarrow")
+             .groupby(["event_type", "day"])
+             .aggregate(Count(alias_name="c"))
+             .to_pandas())
+    out = {"event_type": [], "slope_num": [], "slope_den": [],
+           "n_pairs": []}
+    for et, g in cells.groupby("event_type"):
+        g = g.sort_values("day")
+        d = g["day"].to_numpy().astype(np.int64)
+        c = g["c"].to_numpy().astype(np.int64)
+        i, j = np.triu_indices(len(d), k=1)
+        num = c[j] - c[i]
+        den = d[j] - d[i]
+        order = np.lexsort((den, num, num.astype(np.float64) / den))
+        mid = order[(len(order) - 1) // 2]
+        out["event_type"].append(et)
+        out["slope_num"].append(int(num[mid]))
+        out["slope_den"].append(int(den[mid]))
+        out["n_pairs"].append(len(order))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], type=pa.string()),
+        "slope_num": pa.array(out["slope_num"], type=pa.int64()),
+        "slope_den": pa.array(out["slope_den"], type=pa.int64()),
+        "n_pairs": pa.array(out["n_pairs"], type=pa.int64())})

@@ -1447,3 +1447,33 @@ def two_hop_neighborhood(edges, num_partitions: int = 32,
     return (distinct.map_batches(cnt, batch_format="pyarrow")
             .groupby("node").aggregate(Sum("n_two_hop",
                                            alias_name="n_two_hop")))
+
+
+def scc_members(edges, source: str, max_depth: int = 8,
+                src_col: str = "src", dst_col: str = "dst"):
+    """The strongly connected component containing ``source`` — the
+    forward-backward trick: SCC(source) = nodes reachable FROM source
+    ∩ nodes that REACH source, each side one :func:`bfs_depths` pass
+    (the second on reversed edges; no Tarjan recursion, no global SCC
+    labeling — the practical question at crawl scale is almost always
+    "what cycles through THIS hub").  Returns (node) rows, source
+    included.
+
+    Cost: two broadcast-frontier BFS sweeps over the same materialized
+    edge blocks; the intersection happens on the two node-sized depth
+    tables (driver-bounded by the bfs contract).
+    """
+    import ray.data
+
+    fwd = bfs_depths(edges, source, max_depth=max_depth,
+                     src_col=src_col, dst_col=dst_col)
+
+    def rev(t: pa.Table) -> pa.Table:
+        return pa.table({src_col: t[dst_col], dst_col: t[src_col]})
+
+    bwd = bfs_depths(edges.map_batches(rev, batch_format="pyarrow"),
+                     source, max_depth=max_depth,
+                     src_col=src_col, dst_col=dst_col)
+    members = sorted(set(fwd["node"]) & set(bwd["node"]))
+    return ray.data.from_arrow(pa.table({
+        "node": pa.array(members, type=pa.string())}))

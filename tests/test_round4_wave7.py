@@ -1827,3 +1827,43 @@ def test_contrastive_negatives_never_self_in_range():
     key = ["vec_id", "neg_rank"]
     assert got.sort_values(key).reset_index(drop=True).equals(
         got2.sort_values(key).reset_index(drop=True))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_scc_forward_backward_intersection():
+    """Cycle a→b→c→a plus dead-end c→d and feeder e→a: SCC(a) is
+    exactly {a, b, c} — d is reachable-only, e is reaching-only."""
+    import ray.data
+
+    from pdf2doi_ray.stages.graph import scc_members
+
+    edges = pd.DataFrame({
+        "src": ["a", "b", "c", "c", "e"],
+        "dst": ["b", "c", "a", "d", "a"]})
+    got = scc_members(ray.data.from_pandas(edges).repartition(2),
+                      source="a").to_pandas()
+    assert got["node"].tolist() == ["a", "b", "c"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_theil_sen_robust_to_outlier_day():
+    """A perfect +2/day trend with ONE wild outlier day still reports
+    slope 2 — the median pair ignores the outlier where a least-
+    squares fit would not."""
+    import ray.data
+
+    from pdf2doi_ray.stages.windows import DEFAULT_STITCH_SHARDS  # noqa
+    from pdf2doi_ray.stages.aggs import theil_sen_trend_by_type
+
+    rows = []
+    for day in range(9):
+        per = 1000 if day == 4 else 2 * day + 1   # outlier at day 4
+        for i in range(per):
+            rows.append(pd.Timestamp("2024-01-01")
+                        + pd.Timedelta(days=day, minutes=i % 600))
+    df = pd.DataFrame({"ts": rows, "event_type": ["a"] * len(rows)})
+    got = theil_sen_trend_by_type(
+        ray.data.from_pandas(df).repartition(3)).to_pandas()
+    r = got.iloc[0]
+    assert r["slope_num"] / r["slope_den"] == 2.0
+    assert r["n_pairs"] == 36
