@@ -4304,6 +4304,28 @@ def _q_theil_sen_trend(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["ts", "event_type"]))
 
 
+def _q_reorder_interval_median(sf_dir: str):
+    """Per-customer lower-median reorder gap on the factored
+    per-group sorted-block engine."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import reorder_interval_median
+    return reorder_interval_median(ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate"]))
+
+
+def _q_duplicate_order_flags(sf_dir: str):
+    """Double-submission audit: >1 order by one customer on one day
+    — adjacency check after one sort, no self-join."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import duplicate_order_flags
+    return duplicate_order_flags(ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate"]))
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -4444,6 +4466,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contrastive_negatives": _q_contrastive_negatives,
         "scc_of_s0": _q_scc_of_s0,
         "theil_sen_trend": _q_theil_sen_trend,
+        "reorder_interval_median": _q_reorder_interval_median,
+        "duplicate_order_flags": _q_duplicate_order_flags,
         "approx_value_quantiles": _q_approx_value_quantiles,
         "approx_value_quantiles_by_type": _q_approx_value_quantiles_by_type,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -8625,6 +8649,31 @@ SELECT COALESCE(a.day, b.day) AS day,
        CAST(COALESCE(a.n, 0) AS BIGINT) AS n_orders,
        CAST(COALESCE(b.n, 0) AS BIGINT) AS n_shipped
 FROM a FULL OUTER JOIN b ON a.day = b.day
+"""
+    sql["reorder_interval_median"] = """
+WITH o AS (SELECT o_custkey,
+                  CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000
+                      AS day, o_orderkey FROM orders),
+w AS (SELECT o_custkey,
+             day - lag(day) OVER (PARTITION BY o_custkey
+                                  ORDER BY day, o_orderkey) AS gap
+      FROM o),
+g AS (SELECT o_custkey, gap,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY gap) AS rn,
+             count(*) OVER (PARTITION BY o_custkey) AS n
+      FROM w WHERE gap IS NOT NULL)
+SELECT o_custkey, CAST(gap AS BIGINT) AS median_gap_days,
+       CAST(n AS BIGINT) AS n_gaps
+FROM g WHERE rn = (n - 1) // 2 + 1
+"""
+    sql["duplicate_order_flags"] = """
+WITH o AS (SELECT o_orderkey, o_custkey,
+                  CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000
+                      AS day FROM orders)
+SELECT DISTINCT a.o_orderkey
+FROM o a JOIN o b ON a.o_custkey = b.o_custkey
+     AND a.day = b.day AND a.o_orderkey <> b.o_orderkey
 """
     sql["theil_sen_trend"] = """
 WITH e AS (SELECT event_type,

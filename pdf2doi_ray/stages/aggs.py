@@ -3348,3 +3348,90 @@ def theil_sen_trend_by_type(events):
         "slope_num": pa.array(out["slope_num"], type=pa.int64()),
         "slope_den": pa.array(out["slope_den"], type=pa.int64()),
         "n_pairs": pa.array(out["n_pairs"], type=pa.int64())})
+
+
+def reorder_interval_median(orders):
+    """Per-customer reorder cadence — the LOWER MEDIAN of day gaps
+    between consecutive orders (ties/order by (day, orderkey)), the
+    repeat-purchase statistic replenishment models start from.
+    Customers with one order have no gap and drop.  Returns
+    (o_custkey, median_gap_days, n_gaps).
+
+    First consumer of the factored :mod:`.pergroup` engine: the sort
+    is the one exchange, the kernel is a vectorized per-customer gap
+    walk (lower median = sorted gaps[(n−1)//2]).
+    """
+    from .pergroup import per_group_apply
+
+    out_schema = pa.schema([("o_custkey", pa.int64()),
+                            ("median_gap_days", pa.int64()),
+                            ("n_gaps", pa.int64())])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        c = np.asarray(one_chunk(t["o_custkey"])).astype(np.int64)
+        d = np.asarray(one_chunk(t["day"])).astype(np.int64)
+        ck, med, cnt = [], [], []
+        starts = np.concatenate(
+            [[0], np.nonzero(c[1:] != c[:-1])[0] + 1, [len(c)]])
+        for s, e in zip(starts[:-1], starts[1:]):
+            if e - s < 2:
+                continue
+            gaps = np.sort(np.diff(d[s:e]))
+            ck.append(c[s])
+            med.append(int(gaps[(len(gaps) - 1) // 2]))
+            cnt.append(len(gaps))
+        return pa.table({
+            "o_custkey": pa.array(np.array(ck, dtype=np.int64)),
+            "median_gap_days": pa.array(np.array(med, dtype=np.int64)),
+            "n_gaps": pa.array(np.array(cnt, dtype=np.int64))})
+
+    def prep(t: pa.Table) -> pa.Table:
+        d = np.asarray(pc.cast(pc.cast(one_chunk(t["o_orderdate"]),
+                                       pa.timestamp("us")),
+                               pa.int64())) // 86_400_000_000
+        return pa.table({"o_custkey": t["o_custkey"],
+                         "day": pa.array(d),
+                         "o_orderkey": t["o_orderkey"]})
+
+    return per_group_apply(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        "o_custkey", ["day", "o_orderkey"], kernel, out_schema)
+
+
+def duplicate_order_flags(orders):
+    """Possible-duplicate transactions — more than one order by the
+    SAME customer on the SAME day (the double-submission audit; cent
+    amounts in this domain are near-unique, so the day collision IS
+    the anomaly).  Returns the flagged (o_orderkey) rows.
+
+    :mod:`.pergroup` engine, sorted by (custkey, day, orderkey):
+    within a customer the nearest same-day order is the ADJACENT row,
+    so the exists test is one vectorized neighbor check — no
+    self-join ever materializes.
+    """
+    from .pergroup import per_group_apply
+
+    out_schema = pa.schema([("o_orderkey", pa.int64())])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        c = np.asarray(one_chunk(t["o_custkey"])).astype(np.int64)
+        d = np.asarray(one_chunk(t["day"])).astype(np.int64)
+        ok = np.asarray(one_chunk(t["o_orderkey"])).astype(np.int64)
+        n = len(c)
+        same_prev = np.zeros(n, dtype=bool)
+        same_prev[1:] = (c[1:] == c[:-1]) & (d[1:] == d[:-1])
+        flag = same_prev.copy()
+        flag[:-1] |= same_prev[1:]
+        return pa.table({"o_orderkey": pa.array(np.sort(ok[flag]))})
+
+    def prep(t: pa.Table) -> pa.Table:
+        d = np.asarray(pc.cast(pc.cast(one_chunk(t["o_orderdate"]),
+                                       pa.timestamp("us")),
+                               pa.int64())) // 86_400_000_000
+        return pa.table({"o_custkey": t["o_custkey"],
+                         "day": pa.array(d),
+                         "o_orderkey": t["o_orderkey"]})
+
+    return per_group_apply(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        "o_custkey", ["day", "o_orderkey"], kernel, out_schema)

@@ -1867,3 +1867,56 @@ def test_theil_sen_robust_to_outlier_day():
     r = got.iloc[0]
     assert r["slope_num"] / r["slope_den"] == 2.0
     assert r["n_pairs"] == 36
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pergroup_engine_split_invariance_via_median():
+    """The factored per-group engine gives identical medians at every
+    block split, vs a pandas oracle (edge-group stitch exercised)."""
+    import numpy as np
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import reorder_interval_median
+
+    rng = np.random.default_rng(4101)
+    n = 1200
+    df = pd.DataFrame({
+        "o_custkey": rng.integers(0, 60, n).astype(np.int64),
+        "o_orderkey": np.arange(n, dtype=np.int64),
+        "o_orderdate": pd.to_datetime(
+            rng.integers(0, 400, n), unit="D", origin="1995-01-01")})
+
+    want = {}
+    for ck, g in df.sort_values(
+            ["o_custkey", "o_orderdate", "o_orderkey"]) \
+            .groupby("o_custkey"):
+        days = (g["o_orderdate"].astype("int64")
+                // (86_400 * 10**9)).to_numpy()
+        if len(days) < 2:
+            continue
+        gaps = np.sort(np.diff(days))
+        want[ck] = (int(gaps[(len(gaps) - 1) // 2]), len(gaps))
+
+    for blocks in (1, 9):
+        got = reorder_interval_median(
+            ray.data.from_pandas(df).repartition(blocks)).to_pandas()
+        assert {r.o_custkey: (r.median_gap_days, r.n_gaps)
+                for r in got.itertuples()} == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_duplicate_order_flags_same_day_only():
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import duplicate_order_flags
+
+    df = pd.DataFrame({
+        "o_custkey": [1, 1, 1, 2, 2],
+        "o_orderkey": [10, 11, 12, 13, 14],
+        "o_orderdate": pd.to_datetime(
+            ["1995-01-01", "1995-01-01", "1995-01-02",
+             "1995-03-01", "1995-03-02"])})
+    got = duplicate_order_flags(
+        ray.data.from_pandas(df).repartition(2)).to_pandas()
+    # only cust 1's two same-day orders flag; next-day does not
+    assert sorted(got["o_orderkey"]) == [10, 11]
