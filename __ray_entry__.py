@@ -4326,6 +4326,30 @@ def _q_duplicate_order_flags(sf_dir: str):
         columns=["o_custkey", "o_orderkey", "o_orderdate"]))
 
 
+def _q_active_day_streaks(sf_dir: str):
+    """Gaps-and-islands: longest consecutive-active-day run per user
+    on the per-group engine over distinct (user, day) pairs."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import active_day_streaks
+    return active_day_streaks(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]))
+
+
+def _q_revenue_hhi(sf_dir: str):
+    """Supplier-revenue Herfindahl concentration per nation, exact
+    permille via bigint fold over the supplier-bounded aggregate."""
+    import ray.data
+
+    from pdf2doi_ray.stages.joins import revenue_hhi_by_nation
+    return revenue_hhi_by_nation(
+        ray.data.read_parquet(f"{sf_dir}/nation.parquet"),
+        ray.data.read_parquet(f"{sf_dir}/supplier.parquet"),
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_suppkey", "l_extendedprice", "l_discount"]))
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -4468,6 +4492,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "theil_sen_trend": _q_theil_sen_trend,
         "reorder_interval_median": _q_reorder_interval_median,
         "duplicate_order_flags": _q_duplicate_order_flags,
+        "active_day_streaks": _q_active_day_streaks,
+        "revenue_hhi": _q_revenue_hhi,
         "approx_value_quantiles": _q_approx_value_quantiles,
         "approx_value_quantiles_by_type": _q_approx_value_quantiles_by_type,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -8649,6 +8675,37 @@ SELECT COALESCE(a.day, b.day) AS day,
        CAST(COALESCE(a.n, 0) AS BIGINT) AS n_orders,
        CAST(COALESCE(b.n, 0) AS BIGINT) AS n_shipped
 FROM a FULL OUTER JOIN b ON a.day = b.day
+"""
+    sql["active_day_streaks"] = """
+WITH d AS (SELECT DISTINCT user_id,
+                  CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+           FROM events),
+i AS (SELECT user_id, day,
+             day - row_number() OVER (PARTITION BY user_id
+                                      ORDER BY day) AS island
+      FROM d),
+r AS (SELECT user_id, island, CAST(count(*) AS BIGINT) AS run
+      FROM i GROUP BY 1, 2)
+SELECT user_id, CAST(max(run) AS BIGINT) AS longest_run_days,
+       CAST(sum(run) AS BIGINT) AS n_active_days
+FROM r GROUP BY 1
+"""
+    sql["revenue_hhi"] = """
+WITH r AS (SELECT l_suppkey,
+                  CAST(sum(CAST(floor(l_extendedprice
+                                      * (1 - l_discount) * 1000)
+                                AS BIGINT)) AS HUGEINT) AS rev
+           FROM lineitem GROUP BY 1),
+j AS (SELECT n.n_name, r.rev
+      FROM r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+             JOIN nation n ON s.s_nationkey = n.n_nationkey)
+SELECT n_name,
+       CAST(CASE WHEN sum(rev) = 0 THEN 0
+                 ELSE 1000 * sum(rev * rev)
+                      // (sum(rev) * sum(rev)) END AS BIGINT)
+           AS hhi_permille,
+       CAST(count(*) AS BIGINT) AS n_suppliers
+FROM j GROUP BY 1
 """
     sql["reorder_interval_median"] = """
 WITH o AS (SELECT o_custkey,

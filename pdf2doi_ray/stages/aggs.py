@@ -3435,3 +3435,54 @@ def duplicate_order_flags(orders):
     return per_group_apply(
         orders.map_batches(prep, batch_format="pyarrow"),
         "o_custkey", ["day", "o_orderkey"], kernel, out_schema)
+
+
+def active_day_streaks(events):
+    """Longest run of CONSECUTIVE active days per user (and how many
+    distinct active days total) — the engagement-streak metric, the
+    classic gaps-and-islands problem.  Returns
+    (user_id, longest_run_days, n_active_days).
+
+    Distinct (user, day) pairs come from one combiner groupby, then
+    the :mod:`.pergroup` engine hands each user's sorted day list to a
+    vectorized run-length kernel — islands are exactly the places
+    where ``diff(days) > 1``.
+    """
+    from ray.data.aggregate import Count
+    from .pergroup import per_group_apply
+
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("longest_run_days", pa.int64()),
+                            ("n_active_days", pa.int64())])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        u = np.asarray(one_chunk(t["user_id"])).astype(np.int64)
+        d = np.asarray(one_chunk(t["day"])).astype(np.int64)
+        uid, run, tot = [], [], []
+        starts = np.concatenate(
+            [[0], np.nonzero(u[1:] != u[:-1])[0] + 1, [len(u)]])
+        for s, e in zip(starts[:-1], starts[1:]):
+            days = d[s:e]
+            brk = np.nonzero(np.diff(days) > 1)[0] + 1
+            bounds = np.concatenate([[0], brk, [len(days)]])
+            uid.append(u[s])
+            run.append(int(np.diff(bounds).max()))
+            tot.append(len(days))
+        return pa.table({
+            "user_id": pa.array(np.array(uid, dtype=np.int64)),
+            "longest_run_days": pa.array(np.array(run, dtype=np.int64)),
+            "n_active_days": pa.array(np.array(tot, dtype=np.int64))})
+
+    def prep(t: pa.Table) -> pa.Table:
+        d = np.asarray(pc.cast(pc.cast(one_chunk(t["ts"]),
+                                       pa.timestamp("us")),
+                               pa.int64())) // 86_400_000_000
+        g = pa.table({"user_id": t["user_id"], "day": pa.array(d)}) \
+            .group_by(["user_id", "day"]).aggregate([([], "count_all")])
+        return g.select(["user_id", "day"])
+
+    distinct = (events.map_batches(prep, batch_format="pyarrow")
+                .groupby(["user_id", "day"])
+                .aggregate(Count(alias_name="_c")).drop_columns(["_c"]))
+    return per_group_apply(distinct, "user_id", ["day"], kernel,
+                           out_schema)

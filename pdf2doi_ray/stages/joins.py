@@ -2264,3 +2264,60 @@ def part_copurchase_pairs(lineitem, min_orders: int = 2,
     return agg.map_batches(
         lambda t: t.filter(pc.greater_equal(t["n_orders"], min_orders)),
         batch_format="pyarrow")
+
+
+def revenue_hhi_by_nation(nation, supplier, lineitem,
+                          num_partitions: int = 32):
+    """Supplier-concentration HHI per nation — the Herfindahl index of
+    each nation's supplier revenue shares, in permille and EXACT:
+    hhi‰ = ⌊1000 · Σrᵢ² / (Σrᵢ)²⌋ over milli-revenues, computed in
+    Python big integers on the |suppliers|-bounded aggregate (the SQL
+    mirror rides DuckDB HUGEINT — the :func:`host_rate_outliers`
+    precedent for sums that outgrow int64).  Returns
+    (n_name, hhi_permille, n_suppliers).
+
+    Revenue kernel: floor(extendedprice·(1−discount)·1000), the repo
+    convention.  One combiner groupby to (suppkey, revenue), a
+    broadcast of the small supplier→nation dimension, then the
+    bounded driver fold.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ..arrowutil import one_chunk
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        ep = one_chunk(t["l_extendedprice"]).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        dc = one_chunk(t["l_discount"]).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        r = np.floor(ep * (1.0 - dc) * 1000.0).astype(np.int64)
+        sk = np.asarray(one_chunk(t["l_suppkey"])).astype(np.int64)
+        uniq, inv = np.unique(sk, return_inverse=True)
+        s = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(s, inv, r)
+        return pa.table({"l_suppkey": pa.array(uniq),
+                         "rev": pa.array(s)})
+
+    per_supp = (lineitem.map_batches(rev_partial,
+                                     batch_format="pyarrow")
+                .groupby("l_suppkey")
+                .aggregate(Sum("rev", alias_name="rev"))
+                .to_pandas())
+    sup = supplier.select_columns(
+        ["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = nation.select_columns(["n_nationkey", "n_name"]).to_pandas()
+    j = per_supp.merge(sup, left_on="l_suppkey", right_on="s_suppkey") \
+        .merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+    out_n, out_h, out_c = [], [], []
+    for name, g in j.groupby("n_name"):
+        revs = [int(v) for v in g["rev"]]
+        tot = sum(revs)
+        num = sum(v * v for v in revs)
+        out_n.append(name)
+        out_h.append(0 if tot == 0 else 1000 * num // (tot * tot))
+        out_c.append(len(revs))
+    return pa.table({
+        "n_name": pa.array(out_n, type=pa.string()),
+        "hhi_permille": pa.array(out_h, type=pa.int64()),
+        "n_suppliers": pa.array(out_c, type=pa.int64())})

@@ -1920,3 +1920,42 @@ def test_duplicate_order_flags_same_day_only():
         ray.data.from_pandas(df).repartition(2)).to_pandas()
     # only cust 1's two same-day orders flag; next-day does not
     assert sorted(got["o_orderkey"]) == [10, 11]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_active_day_streaks_islands():
+    """Days {1,2,3, 7, 9,10} → longest run 3, total 6; repeated events
+    on one day count once."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import active_day_streaks
+
+    days = [1, 2, 2, 3, 7, 9, 10]
+    df = pd.DataFrame({
+        "user_id": [5] * len(days),
+        "ts": pd.to_datetime(days, unit="D", origin="1970-01-01")})
+    got = active_day_streaks(
+        ray.data.from_pandas(df).repartition(3)).to_pandas()
+    assert got.values.tolist() == [[5, 3, 6]]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_revenue_hhi_monopoly_vs_even():
+    """One-supplier nation scores 1000‰; two equal suppliers 500‰."""
+    import ray.data
+
+    from pdf2doi_ray.stages.joins import revenue_hhi_by_nation
+
+    nation = pd.DataFrame({"n_nationkey": [0, 1],
+                           "n_name": ["MONO", "DUO"]})
+    supplier = pd.DataFrame({"s_suppkey": [1, 2, 3],
+                             "s_nationkey": [0, 1, 1]})
+    li = pd.DataFrame({
+        "l_suppkey": [1, 2, 3],
+        "l_extendedprice": [50.0, 10.0, 10.0],
+        "l_discount": [0.0, 0.0, 0.0]})
+    got = revenue_hhi_by_nation(
+        ray.data.from_pandas(nation), ray.data.from_pandas(supplier),
+        ray.data.from_pandas(li).repartition(2)) \
+        .to_pandas().sort_values("n_name").reset_index(drop=True)
+    assert got.values.tolist() == [["DUO", 500, 2], ["MONO", 1000, 1]]
