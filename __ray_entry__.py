@@ -4350,6 +4350,58 @@ def _q_revenue_hhi(sf_dir: str):
             columns=["l_suppkey", "l_extendedprice", "l_discount"]))
 
 
+def _q_char_class_profile(sf_dir: str):
+    """Per-doc character-class census (digit/upper/lower/space/other)
+    — one lookup-table pass over the raw UTF-8 buffer, zero-copy."""
+    import ray.data
+
+    from pdf2doi_ray.stages.textstats import char_class_profile
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]) \
+        .map_batches(char_class_profile, batch_format="pyarrow")
+
+
+def _q_char_simpson(sf_dir: str):
+    """Per-doc byte-collision (Simpson) index via one batched bincount
+    — the cheap repetitive-text gate before dedup."""
+    import ray.data
+
+    from pdf2doi_ray.stages.textstats import char_simpson
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]) \
+        .map_batches(char_simpson, batch_format="pyarrow")
+
+
+def _q_word_len_histogram(sf_dir: str):
+    """Corpus word-length histogram, combiner-first (per-batch bincount
+    partials, one tiny groupby merge)."""
+    import ray.data
+
+    from pdf2doi_ray.stages.textstats import word_len_histogram
+    return word_len_histogram(ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]))
+
+
+def _q_user_gap_moments(sf_dir: str):
+    """Per-user inter-event-gap moments (bot/burstiness signature) on
+    the per-group sorted-block engine — exact minute-grid integers."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import user_gap_moments
+    return user_gap_moments(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]))
+
+
+def _q_dau_wau(sf_dir: str):
+    """DAU / trailing-7-day WAU / stickiness permille per day — fan-out
+    dedup instead of per-day distinct rescans; two exchanges."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import dau_wau_stickiness
+    return dau_wau_stickiness(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]))
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -4365,6 +4417,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "simhash": _q_simhash,
         "winnow_fingerprints": _q_winnow,
+        # round-4 continuation wave 8 (never driver-checked → front)
+        "char_class_profile": _q_char_class_profile,
+        "char_simpson": _q_char_simpson,
+        "word_len_histogram": _q_word_len_histogram,
+        "user_gap_moments": _q_user_gap_moments,
+        "dau_wau_stickiness": _q_dau_wau,
         "clip_identifiers": _q_clip,
         "resolve_redirects": _q_resolve_redirects,
         "rolling_time_sum": _q_rolling_time_sum,
@@ -9139,5 +9197,72 @@ m AS (SELECT max(last_seen_day) AS gmax FROM l)
 SELECT l.user_id, l.last_seen_day,
        l.last_seen_day < m.gmax - 7 AS churned
 FROM l, m
+"""
+    sql["char_class_profile"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+         length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper,
+         length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_lower,
+         length(regexp_replace(text, '[^\t\n\f\r ]', '', 'g')) AS n_space,
+         length(text) AS n
+  FROM documents)
+SELECT doc_id,
+       CAST(n_digit AS BIGINT) AS n_digit,
+       CAST(n_upper AS BIGINT) AS n_upper,
+       CAST(n_lower AS BIGINT) AS n_lower,
+       CAST(n_space AS BIGINT) AS n_space,
+       CAST(n - n_digit - n_upper - n_lower - n_space AS BIGINT) AS n_other
+FROM t
+"""
+    sql["char_simpson"] = """
+WITH c AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+           FROM documents),
+h AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS n
+      FROM c GROUP BY 1, 2),
+a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(sum(n * n) AS BIGINT) AS ss,
+             CAST(sum(n) AS BIGINT) AS n
+      FROM h GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(a.n, 0) AS n_chars,
+       coalesce(a.n_distinct, 0) AS n_distinct_chars,
+       CAST(CASE WHEN coalesce(a.n, 0) > 0
+                 THEN 1000 * a.ss // (a.n * a.n) ELSE 0 END AS BIGINT)
+           AS simpson_permille
+FROM documents d LEFT JOIN a USING (doc_id)
+"""
+    sql["word_len_histogram"] = """
+WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+SELECT CAST(length(w) AS BIGINT) AS word_len,
+       CAST(count(*) AS BIGINT) AS n_words
+FROM w WHERE w <> '' GROUP BY 1
+"""
+    sql["user_gap_moments"] = """
+WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us
+           FROM events),
+g AS (SELECT user_id,
+             (us - lag(us) OVER (PARTITION BY user_id ORDER BY us))
+                 // 60000000 AS gap_min
+      FROM e)
+SELECT user_id,
+       CAST(count(gap_min) AS BIGINT) AS n_gaps,
+       CAST(sum(gap_min) AS BIGINT) AS sum_gap_min,
+       CAST(sum(gap_min * gap_min) AS BIGINT) AS sum_gap_sq_min,
+       CAST(max(gap_min) AS BIGINT) AS max_gap_min
+FROM g WHERE gap_min IS NOT NULL GROUP BY 1
+"""
+    sql["dau_wau_stickiness"] = """
+WITH u AS (SELECT DISTINCT user_id,
+                  CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+           FROM events),
+d AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM u GROUP BY 1),
+w AS (SELECT t.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+      FROM (SELECT DISTINCT day FROM u) t
+      JOIN u ON u.day BETWEEN t.day - 6 AND t.day
+      GROUP BY 1)
+SELECT d.day, d.dau, w.wau,
+       CAST(1000 * d.dau // w.wau AS BIGINT) AS stickiness_permille
+FROM d JOIN w USING (day)
 """
     return sql

@@ -3486,3 +3486,126 @@ def active_day_streaks(events):
                 .aggregate(Count(alias_name="_c")).drop_columns(["_c"]))
     return per_group_apply(distinct, "user_id", ["day"], kernel,
                            out_schema)
+
+
+def user_gap_moments(events):
+    """Per-user inter-event-gap moments — the standard bot/burstiness
+    signature: ``(user_id, n_gaps, sum_gap_min, sum_gap_sq_min,
+    max_gap_min)`` with gaps floored to whole minutes so every moment
+    is an exact integer (sum of squares stays far inside int64 on the
+    minute grid; the caller derives mean/CV from the sums).
+
+    One sort exchange via the :mod:`.pergroup` engine; the kernel is a
+    pure ``diff`` + ``reduceat`` pass — no per-group Python loop.  Users
+    with fewer than two events emit no row (they have no gaps), matching
+    the SQL ``WHERE gap IS NOT NULL`` semantics.
+    """
+    from .pergroup import per_group_apply
+
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("n_gaps", pa.int64()),
+                            ("sum_gap_min", pa.int64()),
+                            ("sum_gap_sq_min", pa.int64()),
+                            ("max_gap_min", pa.int64())])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        u = np.asarray(one_chunk(t["user_id"])).astype(np.int64)
+        us = np.asarray(one_chunk(t["us"])).astype(np.int64)
+        n = len(u)
+        starts = np.concatenate(
+            [[0], np.nonzero(u[1:] != u[:-1])[0] + 1]).astype(np.int64)
+        sizes = np.diff(np.concatenate([starts, [n]]))
+        keep = sizes >= 2                       # groups with ≥1 gap
+        if not keep.any():
+            return pa.table({f.name: pa.array([], type=f.type)
+                             for f in out_schema})
+        # gap at position i belongs to u[i] when u didn't change there
+        gap_min = (us[1:] - us[:-1]) // 60_000_000
+        same = u[1:] == u[:-1]
+        # reduceat over gap positions per group: group g owns gaps
+        # [starts[g], starts[g]+sizes[g]-1)
+        g_starts = starts[keep]
+        g_sizes = sizes[keep] - 1
+        idx = g_starts                          # into gap_min (len n-1)
+        sums = np.add.reduceat(np.where(same, gap_min, 0), idx)
+        sqs = np.add.reduceat(np.where(same, gap_min * gap_min, 0), idx)
+        maxs = np.maximum.reduceat(np.where(same, gap_min, -1), idx)
+        # reduceat over-runs into the next group only when a group's gap
+        # window is empty — impossible here since g_sizes >= 1 and the
+        # windows [idx, idx+g_sizes) are disjoint by construction; but
+        # reduceat spans to the NEXT idx, which may include the boundary
+        # gap between groups — masked to 0 / -1 by `same` above.
+        return pa.table({
+            "user_id": pa.array(u[g_starts]),
+            "n_gaps": pa.array(g_sizes.astype(np.int64)),
+            "sum_gap_min": pa.array(sums.astype(np.int64)),
+            "sum_gap_sq_min": pa.array(sqs.astype(np.int64)),
+            "max_gap_min": pa.array(maxs.astype(np.int64))})
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(one_chunk(t["ts"]), pa.timestamp("us")),
+                     pa.int64())
+        return pa.table({"user_id": t["user_id"], "us": us})
+
+    return per_group_apply(events.map_batches(prep,
+                                              batch_format="pyarrow"),
+                           "user_id", ["us"], kernel, out_schema)
+
+
+def dau_wau_stickiness(events):
+    """Per-day DAU / trailing-7-day WAU / stickiness permille — the
+    engagement ratio every consumer analytics stack reports, computed
+    with TWO exchanges and no per-day distinct-count rescan:
+
+    1. per-batch partial dedup of (user, day), then each pair fans out
+       to the 7 target days it keeps the user "weekly active" for,
+       carrying ``first = (target == day)``;
+    2. ``groupby(user, target).max(first)`` — the global dedup — then
+       ``groupby(target)``: WAU = row count, DAU = Σ first.
+
+    Days with DAU = 0 (targets only reachable by fan-out, no activity
+    that day) are dropped, matching the oracle's join to observed days.
+    Exact integers throughout; stickiness = ``1000*dau // wau``.
+    """
+    from ray.data.aggregate import Count, Max, Sum
+
+    def expand(t: pa.Table) -> pa.Table:
+        d = np.asarray(pc.cast(pc.cast(one_chunk(t["ts"]),
+                                       pa.timestamp("us")),
+                               pa.int64())) // 86_400_000_000
+        u = np.asarray(one_chunk(t["user_id"])).astype(np.int64)
+        pairs = np.unique(np.stack([u, d], axis=1), axis=0)
+        uu = np.repeat(pairs[:, 0], 7)
+        dd = np.repeat(pairs[:, 1], 7)
+        off = np.tile(np.arange(7, dtype=np.int64), len(pairs))
+        tgt = dd + off
+        first = (off == 0).astype(np.int64)
+        part = pa.table({"user_id": pa.array(uu),
+                         "target_day": pa.array(tgt),
+                         "first_p": pa.array(first)}) \
+            .group_by(["user_id", "target_day"]) \
+            .aggregate([("first_p", "max")])
+        return pa.table({"user_id": part["user_id"],
+                         "target_day": part["target_day"],
+                         "first_p": part["first_p_max"]})
+
+    def finalize(t: pa.Table) -> pa.Table:
+        dau = np.asarray(one_chunk(t["dau"])).astype(np.int64)
+        wau = np.asarray(one_chunk(t["wau"])).astype(np.int64)
+        mask = dau > 0
+        out = pa.table({
+            "day": one_chunk(t["target_day"]),
+            "dau": pa.array(dau),
+            "wau": pa.array(wau),
+            "stickiness_permille": pa.array(
+                1000 * dau // np.maximum(wau, 1)),
+        })
+        return out.filter(pa.array(mask))
+
+    active = (events.map_batches(expand, batch_format="pyarrow")
+              .groupby(["user_id", "target_day"])
+              .aggregate(Max("first_p", alias_name="active_today")))
+    return (active.groupby("target_day")
+            .aggregate(Count(alias_name="wau"),
+                       Sum("active_today", alias_name="dau"))
+            .map_batches(finalize, batch_format="pyarrow"))

@@ -524,3 +524,128 @@ def banned_phrase_filter(docs, phrases=BANNED_PHRASES):
         })
 
     return docs.map_batches(keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# char-class forensics (gibberish / markup detection signals)
+
+#: byte → class id lookup (ASCII): 0 digit, 1 upper, 2 lower, 3 space, 4 other.
+#: The space class is RE2's ``\s`` set ({\t \n \f \r ' '}) so the SQL oracle
+#: can recompute it with a plain character class.
+_CHAR_CLASS = np.full(256, 4, dtype=np.int64)
+_CHAR_CLASS[ord("0"):ord("9") + 1] = 0
+_CHAR_CLASS[ord("A"):ord("Z") + 1] = 1
+_CHAR_CLASS[ord("a"):ord("z") + 1] = 2
+for _b in (9, 10, 12, 13, 32):
+    _CHAR_CLASS[_b] = 3
+
+
+def _text_bytes(col) -> tuple[np.ndarray, np.ndarray]:
+    """(flat byte array, row offsets) for an Arrow string column —
+    zero-copy views of the column's buffers."""
+    from ..arrowutil import one_chunk
+
+    arr = one_chunk(col)
+    # normalise away any non-zero offset so buffer views line up
+    if arr.offset != 0:
+        arr = pa.concat_arrays([arr])
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    offsets = np.frombuffer(arr.buffers()[1], dtype=off_dtype,
+                            count=len(arr) + 1)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8,
+                         count=int(offsets[-1]))
+    return data, offsets.astype(np.int64)
+
+
+def char_class_profile(batch: pa.Table) -> pa.Table:
+    """Per-document character-class census: digits / uppercase /
+    lowercase / whitespace / other, exact integer counts.
+
+    One pass over the batch's raw UTF-8 buffer: a 256-entry lookup
+    classifies every byte at once, ``np.add.at`` scatters into a
+    (rows × 5) count matrix — no per-row Python, no copies of the text.
+    Corpus texts are ASCII (pinned by tests); non-ASCII bytes would
+    land in "other", matching byte (not codepoint) semantics.
+
+    The analog signal in the reference is its ascii scrub before title
+    search (reference ``finders.py`` text cleanup); at corpus scale the
+    class mix is the standard gibberish / markup-residue detector.
+    """
+    data, offsets = _text_bytes(batch["text"])
+    n = batch.num_rows
+    counts = np.zeros((n, 5), dtype=np.int64)
+    if len(data):
+        row_of = np.repeat(np.arange(n, dtype=np.int64),
+                           np.diff(offsets))
+        np.add.at(counts, (row_of, _CHAR_CLASS[data]), 1)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_digit": pa.array(counts[:, 0]),
+        "n_upper": pa.array(counts[:, 1]),
+        "n_lower": pa.array(counts[:, 2]),
+        "n_space": pa.array(counts[:, 3]),
+        "n_other": pa.array(counts[:, 4]),
+    })
+
+
+def char_simpson(batch: pa.Table) -> pa.Table:
+    """Per-document character collision index (Simpson / repeat
+    probability): ``1000 * Σ c_i² // n²`` over byte frequencies, plus
+    the distinct-byte count.  High values flag degenerate/repetitive
+    text (a classic cheap quality gate before expensive dedup).
+
+    Vectorized per batch: one ``bincount`` over ``row_id*256 + byte``
+    builds every document's byte histogram at once.  Integers only —
+    exact against the SQL oracle's char-unnest recomputation.
+    """
+    data, offsets = _text_bytes(batch["text"])
+    n = batch.num_rows
+    lens = np.diff(offsets)
+    if len(data):
+        row_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+        hist = np.bincount(row_of * 256 + data,
+                           minlength=n * 256).reshape(n, 256)
+    else:
+        hist = np.zeros((n, 256), dtype=np.int64)
+    ss = (hist.astype(np.int64) ** 2).sum(axis=1)
+    distinct = np.count_nonzero(hist, axis=1).astype(np.int64)
+    denom = np.maximum(lens, 1).astype(np.int64)
+    permille = np.where(lens > 0, 1000 * ss // (denom * denom), 0)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_chars": pa.array(lens.astype(np.int64)),
+        "n_distinct_chars": pa.array(distinct),
+        "simpson_permille": pa.array(permille.astype(np.int64)),
+    })
+
+
+def word_len_histogram(docs):
+    """Corpus-wide word-length histogram: ``(word_len, n_words)``.
+
+    Combiner-first: each batch tokenizes (single-space split, the
+    repo-wide tokenizer contract), takes ``utf8_length`` of the
+    flattened word values, and collapses to one partial histogram row
+    per length via ``bincount`` — the global ``groupby`` merges only
+    ~tens of partial rows per block, never words.  Empty tokens (from
+    leading/adjacent delimiters) are excluded on both engines.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = _tokens(t["text"])
+        flat = toks.flatten()
+        lens = pc.utf8_length(flat).cast(pa.int64())
+        lens_np = np.asarray(lens.combine_chunks()
+                             if isinstance(lens, pa.ChunkedArray) else lens)
+        lens_np = lens_np[lens_np > 0]
+        if len(lens_np) == 0:
+            return pa.table({"word_len": pa.array([], type=pa.int64()),
+                             "n_p": pa.array([], type=pa.int64())})
+        h = np.bincount(lens_np)
+        nz = np.nonzero(h)[0]
+        return pa.table({"word_len": pa.array(nz.astype(np.int64)),
+                         "n_p": pa.array(h[nz].astype(np.int64))})
+
+    return (docs.map_batches(partial, batch_format="pyarrow")
+            .groupby("word_len")
+            .aggregate(Sum("n_p", alias_name="n_words")))
