@@ -4402,6 +4402,74 @@ def _q_dau_wau(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["user_id", "ts"]))
 
 
+def _q_bloom_semi_revenue(sf_dir: str):
+    """Bloom-prefiltered semi-join pushdown: lineitem revenue stats for
+    high-value orders; FP-exact via the recovery hash join."""
+    import ray.data
+
+    from pdf2doi_ray.stages.joins import bloom_semi_revenue
+    return bloom_semi_revenue(
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_orderkey", "o_totalprice"]),
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_returnflag", "l_quantity",
+                     "l_extendedprice", "l_discount"]),
+        price_threshold=200_000.0, num_partitions=8)
+
+
+def _q_supplier_lead_quantiles(sf_dir: str):
+    """Per-supplier exact p50/p90 order→ship latency via one big×big
+    hash join + the grouped histogram-quantile engine."""
+    import ray.data
+
+    from pdf2doi_ray.stages.joins import supplier_lead_quantiles
+    return supplier_lead_quantiles(
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_orderkey", "o_orderdate"]),
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_suppkey", "l_shipdate"]),
+        num_partitions=8)
+
+
+def _q_promo_revenue_share(sf_dir: str):
+    """TPC-H Q14 shape per month: promo revenue share in exact
+    permille over the pruned lineitem⋈part join."""
+    import ray.data
+
+    from pdf2doi_ray.stages.joins import promo_revenue_share
+    return promo_revenue_share(
+        ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                              columns=["p_partkey", "p_type"]),
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_shipdate", "l_extendedprice",
+                     "l_discount"]),
+        num_partitions=8)
+
+
+def _q_source_mix_plan(sf_dir: str):
+    """Capped-proportional LLM data-mixing allocator per source —
+    one combiner groupby + a |sources|-row normalisation fold."""
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import source_mix_plan
+    return source_mix_plan(ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]),
+        cap_tokens=3_000)
+
+
+def _q_dup_rate_by_source(sf_dir: str):
+    """Within-source duplicate (boilerplate) rate via one
+    (source, md5) exchange of combiner rows."""
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import dup_rate_by_source
+    return dup_rate_by_source(ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]))
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -4423,6 +4491,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_len_histogram": _q_word_len_histogram,
         "user_gap_moments": _q_user_gap_moments,
         "dau_wau_stickiness": _q_dau_wau,
+        # round-4 continuation wave 9
+        "bloom_semi_revenue": _q_bloom_semi_revenue,
+        "supplier_lead_quantiles": _q_supplier_lead_quantiles,
+        "promo_revenue_share": _q_promo_revenue_share,
+        "source_mix_plan": _q_source_mix_plan,
+        "dup_rate_by_source": _q_dup_rate_by_source,
         "clip_identifiers": _q_clip,
         "resolve_redirects": _q_resolve_redirects,
         "rolling_time_sum": _q_rolling_time_sum,
@@ -9251,6 +9325,73 @@ SELECT user_id,
        CAST(sum(gap_min * gap_min) AS BIGINT) AS sum_gap_sq_min,
        CAST(max(gap_min) AS BIGINT) AS max_gap_min
 FROM g WHERE gap_min IS NOT NULL GROUP BY 1
+"""
+    sql["bloom_semi_revenue"] = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(floor(l_quantity * 1000) AS BIGINT)) AS BIGINT)
+           AS sum_qty_milli,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000)
+                     AS BIGINT)) AS BIGINT) AS revenue_milli
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_totalprice >= 200000.0)
+GROUP BY 1
+"""
+    sql["supplier_lead_quantiles"] = """
+WITH j AS (SELECT l_suppkey,
+                  1000 * (CAST(epoch_us(l_shipdate) AS BIGINT)
+                              // 86400000000
+                          - CAST(epoch_us(o_orderdate) AS BIGINT)
+                              // 86400000000) AS v
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+r AS (SELECT l_suppkey, v,
+             row_number() OVER (PARTITION BY l_suppkey ORDER BY v) AS rn
+      FROM j),
+n AS (SELECT l_suppkey, count(*) AS total FROM j GROUP BY 1),
+q AS (SELECT CAST(unnest([500, 900]) AS BIGINT) AS q_permille)
+SELECT n.l_suppkey, q.q_permille,
+       (SELECT min(v) FROM r
+        WHERE r.l_suppkey = n.l_suppkey
+          AND rn >= ceil(q.q_permille * n.total / 1000.0)) AS value
+FROM n, q
+"""
+    sql["promo_revenue_share"] = """
+WITH j AS (SELECT CAST(date_diff('month', DATE '1970-01-01',
+                                 CAST(l_shipdate AS DATE)) AS BIGINT)
+               AS month,
+           CAST(floor(l_extendedprice * (1 - l_discount) * 1000)
+                AS BIGINT) AS rev,
+           CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END AS is_promo
+           FROM lineitem JOIN part ON l_partkey = p_partkey)
+SELECT month,
+       CAST(sum(rev * is_promo) AS BIGINT) AS promo_rev_milli,
+       CAST(sum(rev) AS BIGINT) AS total_rev_milli,
+       CAST(1000 * sum(rev * is_promo)
+            // greatest(sum(rev), 1) AS BIGINT) AS promo_permille
+FROM j GROUP BY 1
+"""
+    sql["source_mix_plan"] = """
+WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                      AS n_tokens
+           FROM documents GROUP BY 1),
+c AS (SELECT *, least(n_tokens, 3000) AS capped_tokens FROM s)
+SELECT source, n_docs, n_tokens,
+       CAST(capped_tokens AS BIGINT) AS capped_tokens,
+       CAST(1000 * capped_tokens
+            // greatest((SELECT sum(capped_tokens) FROM c), 1)
+            AS BIGINT) AS mix_permille
+FROM c
+"""
+    sql["dup_rate_by_source"] = """
+WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(count(DISTINCT text) AS BIGINT) AS n_distinct
+           FROM documents GROUP BY 1)
+SELECT source, n_distinct, n_docs,
+       CAST(1000 * (n_docs - n_distinct)
+            // greatest(n_docs, 1) AS BIGINT) AS dup_permille
+FROM s
 """
     sql["dau_wau_stickiness"] = """
 WITH u AS (SELECT DISTINCT user_id,

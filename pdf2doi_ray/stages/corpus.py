@@ -3851,3 +3851,95 @@ def source_similarity_pairs(docs, n_slots: int = 16):
         "source_b": pa.array(out["source_b"], type=pa.string()),
         "n_equal_slots": pa.array(
             out["n_equal_slots"].to_numpy().astype(np.int64))})
+
+
+def source_mix_plan(docs, cap_tokens: int = 100_000):
+    """Capped-proportional data-mixing allocator: per source, the token
+    inventory and the mixing weight an LLM training run would sample it
+    at — ``weight = min(n_tokens, cap)`` (source capping prevents one
+    crawl from dominating the mix; the standard alternative to
+    temperature sampling, exact in integers).  Returns
+    (source, n_docs, n_tokens, capped_tokens, mix_permille).
+
+    One combiner groupby(source) carries (n_docs, n_tokens) partials;
+    the permille normalisation folds over the |sources|-row result in a
+    single block (sources ≪ docs by corpus contract — the same
+    margins-over-cells bound as ``type_weekday_contingency``).
+    Tokenizer contract: single-space split INCLUDING empty tokens,
+    matching ``token_stats``.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.list_value_length(
+            pc.split_pattern(one_chunk(t["text"]), " ")).cast(pa.int64())
+        g = pa.table({"source": t["source"], "n_tok": toks}) \
+            .group_by("source").aggregate(
+                [([], "count_all"), ("n_tok", "sum")])
+        return pa.table({"source": g["source"],
+                         "d_p": g["count_all"].cast(pa.int64()),
+                         "t_p": g["n_tok_sum"].cast(pa.int64())})
+
+    def finalize(t: pa.Table) -> pa.Table:
+        tok = np.asarray(one_chunk(t["n_tokens"])).astype(np.int64)
+        capped = np.minimum(tok, cap_tokens)
+        total = int(capped.sum())
+        mix = 1000 * capped // max(total, 1)
+        return pa.table({
+            "source": one_chunk(t["source"]),
+            "n_docs": one_chunk(t["n_docs"]),
+            "n_tokens": pa.array(tok),
+            "capped_tokens": pa.array(capped),
+            "mix_permille": pa.array(mix)})
+
+    return (docs.map_batches(partial, batch_format="pyarrow")
+            .groupby("source")
+            .aggregate(Sum("d_p", alias_name="n_docs"),
+                       Sum("t_p", alias_name="n_tokens"))
+            .repartition(1)
+            .map_batches(finalize, batch_format="pyarrow",
+                         batch_size=None))
+
+
+def dup_rate_by_source(docs):
+    """Within-source duplicate rate: per source the document count, the
+    distinct-text count (md5 identity, the repo dedup key) and the
+    duplicate fraction in permille — the boilerplate health metric a
+    crawl operator watches per feed.
+
+    ONE exchange: per-batch ``group_by(source, hash)`` collapses
+    repeats, the global ``groupby`` merges (source, hash) partials, and
+    a second per-batch combiner + tiny groupby(source) folds distinct
+    counts — duplicates never travel.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = md5_u64(one_chunk(t["text"])).astype(np.int64)
+        g = pa.table({"source": t["source"], "h": pa.array(h)}) \
+            .group_by(["source", "h"]).aggregate([([], "count_all")])
+        return pa.table({"source": g["source"], "h": g["h"],
+                         "n_p": g["count_all"].cast(pa.int64())})
+
+    def per_source(t: pa.Table) -> pa.Table:
+        g = t.group_by("source").aggregate(
+            [([], "count_all"), ("n", "sum")])
+        return pa.table({"source": g["source"],
+                         "u_p": g["count_all"].cast(pa.int64()),
+                         "d_p": g["n_sum"].cast(pa.int64())})
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = np.asarray(one_chunk(t["n_docs"])).astype(np.int64)
+        u = np.asarray(one_chunk(t["n_distinct"])).astype(np.int64)
+        return t.append_column(
+            "dup_permille",
+            pa.array(1000 * (n - u) // np.maximum(n, 1)))
+
+    return (docs.map_batches(partial, batch_format="pyarrow")
+            .groupby(["source", "h"])
+            .aggregate(Sum("n_p", alias_name="n"))
+            .map_batches(per_source, batch_format="pyarrow")
+            .groupby("source")
+            .aggregate(Sum("u_p", alias_name="n_distinct"),
+                       Sum("d_p", alias_name="n_docs"))
+            .map_batches(finalize, batch_format="pyarrow"))

@@ -2321,3 +2321,193 @@ def revenue_hhi_by_nation(nation, supplier, lineitem,
         "n_name": pa.array(out_n, type=pa.string()),
         "hhi_permille": pa.array(out_h, type=pa.int64()),
         "n_suppliers": pa.array(out_c, type=pa.int64())})
+
+
+def bloom_semi_revenue(orders, lineitem, price_threshold: float = 200_000.0,
+                       fpp: float = 0.01, num_partitions: int = 32):
+    """Semi-join pushdown with a Bloom prefilter: revenue statistics of
+    lineitems belonging to high-value orders (``o_totalprice ≥ T``),
+    exact despite the approximate filter.
+
+    The scale pattern: the filtered order-key set is hashed into a
+    distributed :class:`~pdf2doi_ray.state.bloom.IntBloomFilter` (bit
+    positions travel, never keys), broadcast once via ``ray.put``, and
+    every lineitem batch drops bloom-negatives BEFORE the exchange —
+    at selective thresholds that eliminates most of the big side's
+    shuffle volume.  Bloom false positives are recovered by an exact
+    hash join against the (unique-key) order side, so ANY fpp yields
+    byte-identical results.  Returns
+    (l_returnflag, n_items, sum_qty_milli, revenue_milli).
+    """
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from ..state.bloom import build_int_bloom_distributed
+
+    def hi_orders(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        mask = pc.greater_equal(t["o_totalprice"],
+                                pa.scalar(price_threshold))
+        return pa.table({"o_orderkey": t["o_orderkey"].filter(mask)})
+
+    keys = orders.map_batches(hi_orders, batch_format="pyarrow") \
+        .materialize()
+    n_keys = max(1, keys.count())
+    bloom_ref = ray.put(build_int_bloom_distributed(
+        keys, "o_orderkey", n_items=n_keys, fpp=fpp))
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        bf = ray.get(bloom_ref)
+        ok = t["l_orderkey"].combine_chunks() if isinstance(
+            t["l_orderkey"], pa.ChunkedArray) else t["l_orderkey"]
+        mask = bf.contains_many(np.asarray(ok))
+        kept = t.filter(pa.array(mask))
+        qm = pc.cast(pc.floor(pc.multiply(kept["l_quantity"],
+                                          pa.scalar(1000.0))), pa.int64())
+        rm = pc.cast(pc.floor(pc.multiply(
+            pc.multiply(kept["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), kept["l_discount"])),
+            pa.scalar(1000.0))), pa.int64())
+        return pa.table({"l_orderkey": kept["l_orderkey"],
+                         "l_returnflag": kept["l_returnflag"],
+                         "qty_milli": qm, "rev_milli": rm})
+
+    survivors = lineitem.map_batches(prefilter, batch_format="pyarrow")
+    # exact recovery join: o_orderkey is unique → inner ≡ left-semi
+    verified = shuffle_hash_join(
+        survivors, keys, on="l_orderkey", right_on="o_orderkey",
+        num_partitions=num_partitions,
+        project=["l_returnflag", "qty_milli", "rev_milli"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("l_returnflag").aggregate(
+            [([], "count_all"), ("qty_milli", "sum"),
+             ("rev_milli", "sum")])
+        return pa.table({
+            "l_returnflag": g["l_returnflag"],
+            "n_p": g["count_all"].cast(pa.int64()),
+            "q_p": g["qty_milli_sum"].cast(pa.int64()),
+            "r_p": g["rev_milli_sum"].cast(pa.int64())})
+
+    return (verified.map_batches(partial, batch_format="pyarrow")
+            .groupby("l_returnflag")
+            .aggregate(Sum("n_p", alias_name="n_items"),
+                       Sum("q_p", alias_name="sum_qty_milli"),
+                       Sum("r_p", alias_name="revenue_milli")))
+
+
+def supplier_lead_quantiles(orders, lineitem,
+                            quantiles_permille=(500, 900),
+                            num_partitions: int = 32):
+    """Per-supplier exact p50/p90 order→ship latency in days — the
+    fulfilment-SLA scorecard.  One big×big hash join on the order key
+    (both sides pre-projected to two int64 columns), then the grouped
+    exact-quantile engine: latency's bounded day domain means the
+    (supplier, latency) histogram exchange carries combiner rows, never
+    line items.  Returns (l_suppkey, q_permille, value) with value in
+    milli-days (day × 1000, the repo-wide milli grid).
+    """
+    from .aggs import value_quantiles_milli_by_group
+
+    def li_proj(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "l_suppkey": t["l_suppkey"],
+            "ship_day": pc.divide(pc.cast(pc.cast(
+                t["l_shipdate"], pa.timestamp("us")), pa.int64()),
+                pa.scalar(86_400_000_000))})
+
+    def o_proj(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "order_day": pc.divide(pc.cast(pc.cast(
+                t["o_orderdate"], pa.timestamp("us")), pa.int64()),
+                pa.scalar(86_400_000_000))})
+
+    joined = shuffle_hash_join(
+        lineitem.map_batches(li_proj, batch_format="pyarrow"),
+        orders.map_batches(o_proj, batch_format="pyarrow"),
+        on="l_orderkey", right_on="o_orderkey",
+        num_partitions=num_partitions)
+
+    def latency(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "l_suppkey": t["l_suppkey"],
+            "lat_days": pc.subtract(t["ship_day"], t["order_day"])})
+
+    return value_quantiles_milli_by_group(
+        joined.map_batches(latency, batch_format="pyarrow"),
+        "l_suppkey", "lat_days", quantiles_permille)
+
+
+def promo_revenue_share(part, lineitem, num_partitions: int = 32):
+    """TPC-H Q14 shape over every month: the promo-type revenue share,
+    ``(month, promo_rev_milli, total_rev_milli, promo_permille)``.
+
+    Both join sides pre-project to the minimum columns (part to a 0/1
+    promo flag); revenue milli-scales at the edge so the monthly sums
+    and the permille share are exact integers.  The month-key groupby
+    moves one combiner row per (month, batch).
+    """
+    from ray.data.aggregate import Sum
+
+    def part_proj(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "p_partkey": t["p_partkey"],
+            "is_promo": pc.cast(pc.equal(t["p_type"],
+                                         pa.scalar("PROMO")),
+                                pa.int64())})
+
+    def li_proj(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        us = pc.cast(pc.cast(t["l_shipdate"], pa.timestamp("us")),
+                     pa.int64())
+        us_np = np.asarray(us.combine_chunks()
+                           if isinstance(us, pa.ChunkedArray) else us)
+        secs = us_np // 1_000_000
+        days = secs // 86_400
+        # month id = year*12 + (month-1), from the day index via numpy
+        # datetime64 (exact calendar arithmetic, no float)
+        months = (np.datetime64("1970-01-01") + days.astype(
+            "timedelta64[D]")).astype("datetime64[M]").astype(np.int64)
+        rm = pc.cast(pc.floor(pc.multiply(
+            pc.multiply(t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            pa.scalar(1000.0))), pa.int64())
+        return pa.table({"l_partkey": t["l_partkey"],
+                         "month": pa.array(months),
+                         "rev_milli": rm})
+
+    joined = shuffle_hash_join(
+        lineitem.map_batches(li_proj, batch_format="pyarrow"),
+        part.map_batches(part_proj, batch_format="pyarrow"),
+        on="l_partkey", right_on="p_partkey",
+        num_partitions=num_partitions)
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        promo = pc.multiply(t["rev_milli"], t["is_promo"])
+        g = pa.table({"month": t["month"], "p": promo,
+                      "r": t["rev_milli"]}) \
+            .group_by("month").aggregate([("p", "sum"), ("r", "sum")])
+        return pa.table({"month": g["month"],
+                         "p_p": g["p_sum"].cast(pa.int64()),
+                         "r_p": g["r_sum"].cast(pa.int64())})
+
+    def finalize(t: pa.Table) -> pa.Table:
+        from ..arrowutil import one_chunk
+        p = np.asarray(one_chunk(t["promo_rev_milli"]))
+        r = np.asarray(one_chunk(t["total_rev_milli"]))
+        share = 1000 * p // np.maximum(r, 1)
+        return t.append_column("promo_permille", pa.array(share))
+
+    return (joined.map_batches(partial, batch_format="pyarrow")
+            .groupby("month")
+            .aggregate(Sum("p_p", alias_name="promo_rev_milli"),
+                       Sum("r_p", alias_name="total_rev_milli"))
+            .map_batches(finalize, batch_format="pyarrow"))
