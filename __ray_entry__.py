@@ -4470,6 +4470,38 @@ def _q_dup_rate_by_source(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["source", "text"]))
 
 
+def _q_prefix_dup_flags(sf_dir: str):
+    """Truncation-duplicate flags via ONE lexicographic sort +
+    vectorized successor byte-compare (sorted-adjacency engine)."""
+    import ray.data
+
+    from pdf2doi_ray.stages.dedup import prefix_dup_flags
+    return prefix_dup_flags(ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
+
+
+def _q_out_of_order_rate(sf_dir: str):
+    """Per-user late-arrival (out-of-order timestamp) audit on the
+    per-group sorted-block engine, arrival order = event_id."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import out_of_order_rate
+    return out_of_order_rate(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts"]))
+
+
+def _q_interleave_order(sf_dir: str):
+    """Deterministic stride-interleaved training order over the capped
+    source mix: two zipWithIndex passes + a broadcast weight table."""
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import interleave_order
+    return interleave_order(ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "text"]), cap_tokens=3_000)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -4497,6 +4529,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue_share": _q_promo_revenue_share,
         "source_mix_plan": _q_source_mix_plan,
         "dup_rate_by_source": _q_dup_rate_by_source,
+        # round-4 continuation wave 10
+        "prefix_dup_flags": _q_prefix_dup_flags,
+        "out_of_order_rate": _q_out_of_order_rate,
+        "interleave_order": _q_interleave_order,
         "clip_identifiers": _q_clip,
         "resolve_redirects": _q_resolve_redirects,
         "rolling_time_sum": _q_rolling_time_sum,
@@ -9392,6 +9428,48 @@ SELECT source, n_distinct, n_docs,
        CAST(1000 * (n_docs - n_distinct)
             // greatest(n_docs, 1) AS BIGINT) AS dup_permille
 FROM s
+"""
+    sql["prefix_dup_flags"] = """
+WITH s AS (SELECT doc_id, text,
+                  lead(text) OVER (ORDER BY text, doc_id) AS nxt
+           FROM documents)
+SELECT doc_id,
+       CAST(CASE WHEN nxt IS NOT NULL AND starts_with(nxt, text)
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_prefix_dup
+FROM s
+"""
+    sql["out_of_order_rate"] = """
+WITH w AS (SELECT user_id,
+                  CAST(epoch_us(ts) AS BIGINT) AS us,
+                  max(CAST(epoch_us(ts) AS BIGINT)) OVER (
+                      PARTITION BY user_id ORDER BY event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS prev_max
+           FROM events),
+a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CASE WHEN us < prev_max THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_out_of_order
+      FROM w GROUP BY 1)
+SELECT user_id, n_events, n_out_of_order,
+       CAST(1000 * n_out_of_order // n_events AS BIGINT) AS ooo_permille
+FROM a
+"""
+    sql["interleave_order"] = """
+WITH s AS (SELECT source,
+                  least(greatest(sum(len(string_split(text, ' '))),
+                                 1), 3000) AS w
+           FROM documents GROUP BY 1),
+r AS (SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY doc_id) AS rk
+      FROM documents),
+v AS (SELECT r.doc_id, r.source, r.rk,
+             CAST(r.rk * 1048576 // s.w AS BIGINT) AS vtime
+      FROM r JOIN s USING (source))
+SELECT doc_id, source, vtime,
+       CAST(row_number() OVER (ORDER BY vtime, source, rk) AS BIGINT)
+           AS global_pos
+FROM v
 """
     sql["dau_wau_stickiness"] = """
 WITH u AS (SELECT DISTINCT user_id,

@@ -3609,3 +3609,115 @@ def dau_wau_stickiness(events):
             .aggregate(Count(alias_name="wau"),
                        Sum("active_today", alias_name="dau"))
             .map_batches(finalize, batch_format="pyarrow"))
+
+
+def grouped_zip_index(ds, group_col: str, order_col: str,
+                      out_col: str = "rk"):
+    """``ROW_NUMBER() OVER (PARTITION BY group ORDER BY order_col)``
+    for groups too large for the stitch engine (a whole group never
+    lands in one task): the grouped generalisation of
+    :func:`global_value_rank`'s block-offset zipWithIndex.
+
+    After the range-partitioned sort on (group, order), each block
+    reports one (group, segment-first-order, n) row per group SEGMENT
+    it holds; the driver prefix-sums segment offsets per group
+    (|blocks|·|groups-per-block| rows — block-bounded, never
+    row-bounded) and a second pass adds ``offset + arange`` per
+    segment.  ``order_col`` must be unique within a group (it seeds
+    the segment identity); ranks are 1-based.
+    """
+    srt = ds.sort([group_col, order_col]).materialize()
+    g_field = dict(zip(srt.schema().names, srt.schema().types))[group_col]
+
+    def seg_bounds(t: pa.Table):
+        g = one_chunk(t[group_col])
+        gv = g.to_numpy(zero_copy_only=False)
+        change = np.nonzero(gv[1:] != gv[:-1])[0] + 1
+        return gv, np.concatenate([[0], change]).astype(np.int64)
+
+    def block_meta(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "g": pa.array([], type=g_field),
+                "k0": pa.array([], type=pa.int64()),
+                "n": pa.array([], type=pa.int64())})
+        gv, starts = seg_bounds(t)
+        o = np.asarray(one_chunk(t[order_col])).astype(np.int64)
+        sizes = np.diff(np.concatenate([starts, [t.num_rows]]))
+        return pa.table({"g": pa.array(gv[starts]),
+                         "k0": pa.array(o[starts]),
+                         "n": pa.array(sizes.astype(np.int64))})
+
+    meta = srt.map_batches(block_meta, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    meta = meta.sort_values(["g", "k0"]).reset_index(drop=True)
+    offs = meta.groupby("g", sort=False)["n"].cumsum() - meta["n"]
+    seg_offset = {(g, int(k)): int(o) for g, k, o in
+                  zip(meta["g"], meta["k0"], offs)}
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(out_col,
+                                   pa.array([], type=pa.int64()))
+        gv, starts = seg_bounds(t)
+        o = np.asarray(one_chunk(t[order_col])).astype(np.int64)
+        sizes = np.diff(np.concatenate([starts, [t.num_rows]]))
+        rk = np.arange(t.num_rows, dtype=np.int64)
+        rk -= np.repeat(starts, sizes)          # 0-based within segment
+        base = np.repeat(
+            np.fromiter((seg_offset[(g, int(k))] for g, k in
+                         zip(gv[starts], o[starts])),
+                        dtype=np.int64, count=len(starts)),
+            sizes)
+        return t.append_column(out_col, pa.array(rk + base + 1))
+
+    return srt.map_batches(assign, batch_format="pyarrow",
+                           batch_size=None)
+
+
+def out_of_order_rate(events):
+    """Streaming-health audit: per user, how many events ARRIVED (by
+    ``event_id``, the ingest sequence) with a timestamp older than the
+    running maximum — the late/out-of-order fraction a watermarking
+    stage would fight.  Returns
+    (user_id, n_events, n_out_of_order, ooo_permille).
+
+    One sort exchange via the :mod:`.pergroup` engine; the kernel runs
+    a per-group segmented cummax (accumulate per slice — group count
+    bounds the Python loop, rows stay vectorized).
+    """
+    from .pergroup import per_group_apply
+
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("n_events", pa.int64()),
+                            ("n_out_of_order", pa.int64()),
+                            ("ooo_permille", pa.int64())])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        u = np.asarray(one_chunk(t["user_id"])).astype(np.int64)
+        ts = np.asarray(one_chunk(t["us"])).astype(np.int64)
+        starts = np.concatenate(
+            [[0], np.nonzero(u[1:] != u[:-1])[0] + 1, [len(u)]])
+        uid, nev, nooo = [], [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            seg = ts[s:e]
+            cmax = np.maximum.accumulate(seg)
+            ooo = int((seg[1:] < cmax[:-1]).sum())
+            uid.append(u[s]); nev.append(e - s); nooo.append(ooo)
+        nev = np.array(nev, dtype=np.int64)
+        nooo = np.array(nooo, dtype=np.int64)
+        return pa.table({
+            "user_id": pa.array(np.array(uid, dtype=np.int64)),
+            "n_events": pa.array(nev),
+            "n_out_of_order": pa.array(nooo),
+            "ooo_permille": pa.array(1000 * nooo // nev)})
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(one_chunk(t["ts"]), pa.timestamp("us")),
+                     pa.int64())
+        return pa.table({"user_id": t["user_id"],
+                         "event_id": t["event_id"], "us": us})
+
+    return per_group_apply(events.map_batches(prep,
+                                              batch_format="pyarrow"),
+                           "user_id", ["event_id"], kernel, out_schema)

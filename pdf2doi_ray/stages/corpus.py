@@ -3943,3 +3943,96 @@ def dup_rate_by_source(docs):
             .aggregate(Sum("u_p", alias_name="n_distinct"),
                        Sum("d_p", alias_name="n_docs"))
             .map_batches(finalize, batch_format="pyarrow"))
+
+
+def interleave_order(docs, cap_tokens: int = 100_000,
+                     scale: int = 1_048_576):
+    """Deterministic stride-interleaved TRAINING ORDER over the capped
+    source mix (:func:`source_mix_plan`'s weights made into a schedule):
+    document ``i`` of source ``s`` trains at virtual time
+    ``i·scale // w_s``, so heavier sources appear proportionally more
+    often and every run replays the identical order.  Returns
+    (doc_id, source, vtime, global_pos).
+
+    Three exchanges, all block-bounded at the driver: a grouped
+    zipWithIndex (rank within source, by doc_id), a vectorized vtime
+    projection against the broadcast |sources|-row weight table, and a
+    global zipWithIndex over the unique (vtime, source, rk) total
+    order.  Integer bound: ``rank·scale`` must stay inside int64 —
+    ranks to ~8.8e12 at the default scale.
+    """
+    from ray.data.aggregate import Sum
+
+    from .aggs import grouped_zip_index
+
+    def tok_partial(t: pa.Table) -> pa.Table:
+        toks = pc.list_value_length(
+            pc.split_pattern(one_chunk(t["text"]), " ")).cast(pa.int64())
+        g = pa.table({"source": t["source"], "n_tok": toks}) \
+            .group_by("source").aggregate([("n_tok", "sum")])
+        return pa.table({"source": g["source"],
+                         "t_p": g["n_tok_sum"].cast(pa.int64())})
+
+    weights = (docs.map_batches(tok_partial, batch_format="pyarrow")
+               .groupby("source")
+               .aggregate(Sum("t_p", alias_name="n_tokens"))
+               .to_pandas())
+    w_of = {s: max(1, min(int(n), cap_tokens))
+            for s, n in zip(weights["source"], weights["n_tokens"])}
+
+    ranked = grouped_zip_index(
+        docs.select_columns(["doc_id", "source"]), "source", "doc_id")
+
+    def vtime(t: pa.Table) -> pa.Table:
+        src = one_chunk(t["source"]).to_numpy(zero_copy_only=False)
+        rk = np.asarray(one_chunk(t["rk"])).astype(np.int64)
+        uniq, inv = np.unique(src, return_inverse=True)
+        w = np.fromiter((w_of[s] for s in uniq), dtype=np.int64,
+                        count=len(uniq))[inv]
+        return pa.table({"doc_id": t["doc_id"], "source": t["source"],
+                         "rk": t["rk"],
+                         "vtime": pa.array(rk * scale // w)})
+
+    vt = ranked.map_batches(vtime, batch_format="pyarrow") \
+        .sort(["vtime", "source", "rk"]).materialize()
+
+    def block_meta(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"k_v": pa.array([], type=pa.int64()),
+                             "k_s": pa.array([], type=pa.string()),
+                             "k_r": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        return pa.table({
+            "k_v": pa.array([one_chunk(t["vtime"])[0].as_py()],
+                            type=pa.int64()),
+            "k_s": pa.array([one_chunk(t["source"])[0].as_py()],
+                            type=pa.string()),
+            "k_r": pa.array([one_chunk(t["rk"])[0].as_py()],
+                            type=pa.int64()),
+            "n": pa.array([t.num_rows], type=pa.int64())})
+
+    meta = vt.map_batches(block_meta, batch_format="pyarrow",
+                          batch_size=None).to_pandas()
+    meta = meta.sort_values(["k_v", "k_s", "k_r"]).reset_index(drop=True)
+    offsets = {(int(v), s, int(r)): int(o) for v, s, r, o in zip(
+        meta["k_v"], meta["k_s"], meta["k_r"],
+        np.concatenate([[0], meta["n"].cumsum().to_numpy()[:-1]]))}
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "source": pa.array([], type=pa.string()),
+                             "vtime": pa.array([], type=pa.int64()),
+                             "global_pos": pa.array([], type=pa.int64())})
+        key = (one_chunk(t["vtime"])[0].as_py(),
+               one_chunk(t["source"])[0].as_py(),
+               one_chunk(t["rk"])[0].as_py())
+        base = offsets[key]
+        return pa.table({
+            "doc_id": t["doc_id"], "source": t["source"],
+            "vtime": t["vtime"],
+            "global_pos": pa.array(
+                base + np.arange(1, t.num_rows + 1, dtype=np.int64))})
+
+    return vt.map_batches(assign, batch_format="pyarrow",
+                          batch_size=None)

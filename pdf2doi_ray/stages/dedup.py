@@ -1342,3 +1342,118 @@ def cdc_chunk_stats(docs, k: int = 5, mod: int = 16,
         "unique_bytes": [uniq],
         "dedup_ratio_permille": [uniq * 1000 // total if total else 0],
     }).astype("int64")
+
+
+def _prefix_of_next(txt: pa.Array) -> np.ndarray:
+    """Vectorized ``txt[i] is a prefix of txt[i+1]`` flags (length
+    n−1) from the column's raw UTF-8 buffers: a ragged-arange gather
+    compares each row's bytes against the head of its successor — one
+    pass over the buffer, no per-row Python."""
+    from .textstats import _text_bytes  # shared zero-copy buffer view
+
+    data, off = _text_bytes(txt)
+    lens = np.diff(off)
+    n = len(lens)
+    if n <= 1:
+        return np.zeros(0, dtype=bool)
+    lb, la = lens[:-1], lens[1:]
+    fits = lb <= la
+    m = np.where(fits, lb, 0)              # bytes to compare per pair
+    total = int(m.sum())
+    if total == 0:
+        return fits & (lb == 0)
+    # ragged arange: j = 0..m[i] for each pair i
+    reps = np.repeat(np.arange(n - 1, dtype=np.int64), m)
+    ends = np.cumsum(m)
+    j = np.arange(total, dtype=np.int64) - np.repeat(ends - m, m)
+    eq = data[off[:-1][reps] + j] == data[off[1:][reps] + j]
+    neq_count = np.zeros(n - 1, dtype=np.int64)
+    np.add.at(neq_count, reps, (~eq).astype(np.int64))
+    return fits & (neq_count == 0)
+
+
+def prefix_dup_flags(docs):
+    """Truncation-duplicate detector: flag every document whose text is
+    a PREFIX of (or equal to) another document's text — the classic
+    partially-fetched-page artifact that exact-hash dedup misses.
+    Returns (doc_id, is_prefix_dup).
+
+    Key fact: after a lexicographic sort, "some other row extends me"
+    ⟺ "my immediate successor extends me" (if a ≤ b ≤ c and a is a
+    prefix of c, it is a prefix of b).  So ONE range sort answers it:
+    interior rows check their in-block successor via a vectorized
+    byte compare; each block's first and last rows (real dataset rows,
+    so any match among them is valid evidence) re-sort in a single
+    stitch block where a boundary row's next carry IS its global
+    successor or an equal-text twin — either way the flag is exact.
+    Stitch holds ≤ 2 rows per block (the 2×#blocks contract shared
+    with ``wordset_jaccard_adjacent``; recurse the operator if that
+    outgrows one block).
+    """
+    import pyarrow.compute as pc
+
+    srt = docs.select_columns(["doc_id", "text"]).sort("text") \
+        .materialize()
+
+    def block_flags(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table({
+                "doc_id": pa.array([], type=pa.int64()),
+                "is_prefix_dup": pa.array([], type=pa.int64()),
+                "_carry": pa.array([], type=pa.int64()),
+                "_text": pa.array([], type=pa.string())})
+        txt = one_chunk(t["text"])
+        flags = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            flags[:-1] = _prefix_of_next(txt).astype(np.int64)
+        # carry roles: 0 = interior (flag final), 1 = last row (needs
+        # stitch), 2 = first row (context only)
+        carry = np.zeros(n, dtype=np.int64)
+        carry[-1] = 1
+        if n > 1:
+            carry[0] = 2
+        texts = pa.nulls(n, pa.string()).to_pylist()
+        texts[-1] = txt[n - 1].as_py()
+        if n > 1:
+            texts[0] = txt[0].as_py()
+        return pa.table({"doc_id": t["doc_id"],
+                         "is_prefix_dup": pa.array(flags),
+                         "_carry": pa.array(carry),
+                         "_text": pa.array(texts, type=pa.string())})
+
+    mixed = srt.map_batches(block_flags, batch_format="pyarrow",
+                            batch_size=None).materialize()
+    interior = mixed.map_batches(
+        lambda t: t.filter(pc.equal(t["_carry"], 0))
+        .select(["doc_id", "is_prefix_dup"]),
+        batch_format="pyarrow")
+
+    def stitch(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "doc_id": pa.array([], type=pa.int64()),
+                "is_prefix_dup": pa.array([], type=pa.int64())})
+        txt = t["_text"].to_pandas().to_numpy()
+        carry = np.asarray(one_chunk(t["_carry"]))
+        doc = np.asarray(one_chunk(t["doc_id"]))
+        flags = np.asarray(one_chunk(t["is_prefix_dup"])).copy()
+        # needs-flag rows sort BEFORE context rows on equal text so an
+        # equal-text twin (a distinct real row) is seen as successor
+        order = np.lexsort((carry, txt))
+        txt, carry, doc, flags = (txt[order], carry[order],
+                                  doc[order], flags[order])
+        for i in np.nonzero(carry == 1)[0]:     # ≤ #blocks rows
+            flags[i] = int(i + 1 < len(txt)
+                           and txt[i + 1].startswith(txt[i]))
+        # carry-2 (block-first) rows keep their in-block flag — they are
+        # emitted HERE, not on the interior path, to keep the union disjoint
+        return pa.table({"doc_id": pa.array(doc),
+                         "is_prefix_dup": pa.array(flags)})
+
+    carries = mixed.map_batches(
+        lambda t: t.filter(pc.greater(t["_carry"], 0)),
+        batch_format="pyarrow").repartition(1)
+    return interior.union(
+        carries.map_batches(stitch, batch_format="pyarrow",
+                            batch_size=None))
