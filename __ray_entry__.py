@@ -4502,6 +4502,54 @@ def _q_interleave_order(sf_dir: str):
         columns=["doc_id", "source", "text"]), cap_tokens=3_000)
 
 
+def _q_join_cardinality(sf_dir: str):
+    """Exact join-size profile from per-key counts only — the join
+    output never materializes."""
+    import ray.data
+
+    from pdf2doi_ray.stages.joins import join_cardinality
+    return join_cardinality(
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_orderkey"]),
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_orderkey"]),
+        "l_orderkey", "o_orderkey")
+
+
+def _q_open_order_backlog(sf_dir: str):
+    """Daily open-order backlog via delta-encoded interval stabbing +
+    one dense prefix sum over the bounded day domain."""
+    import ray.data
+
+    from pdf2doi_ray.stages.joins import open_order_backlog
+    return open_order_backlog(
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_orderkey", "o_orderdate"]),
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_orderkey", "l_shipdate"]))
+
+
+def _q_padding_waste(sf_dir: str):
+    """Length-bucketed batching waste per bucket — one combiner
+    groupby over the bounded bucket domain."""
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import padding_waste_report
+    return padding_waste_report(ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]), bucket=64)
+
+
+def _q_event_type_trigrams(sf_dir: str):
+    """Per-user event-type trigram mining on the per-group engine +
+    one count merge."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import event_type_trigrams
+    return event_type_trigrams(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type"]))
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -4533,6 +4581,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_dup_flags": _q_prefix_dup_flags,
         "out_of_order_rate": _q_out_of_order_rate,
         "interleave_order": _q_interleave_order,
+        # round-4 continuation wave 11
+        "join_cardinality": _q_join_cardinality,
+        "open_order_backlog": _q_open_order_backlog,
+        "padding_waste": _q_padding_waste,
+        "event_type_trigrams": _q_event_type_trigrams,
         "clip_identifiers": _q_clip,
         "resolve_redirects": _q_resolve_redirects,
         "rolling_time_sum": _q_rolling_time_sum,
@@ -9470,6 +9523,57 @@ SELECT doc_id, source, vtime,
        CAST(row_number() OVER (ORDER BY vtime, source, rk) AS BIGINT)
            AS global_pos
 FROM v
+"""
+    sql["join_cardinality"] = """
+WITH l AS (SELECT l_orderkey AS k, count(*) AS c
+           FROM lineitem GROUP BY 1),
+r AS (SELECT o_orderkey AS k, count(*) AS c FROM orders GROUP BY 1),
+j AS (SELECT l.c * r.c AS p FROM l JOIN r USING (k))
+SELECT CAST(sum(p) AS BIGINT) AS join_rows,
+       CAST(count(*) AS BIGINT) AS n_matched_keys,
+       CAST(max(p) AS BIGINT) AS max_fanout
+FROM j
+"""
+    sql["open_order_backlog"] = """
+WITH sp AS (SELECT o.o_orderkey,
+                   CAST(epoch_us(o.o_orderdate) AS BIGINT)
+                       // 86400000000 AS od,
+                   max(CAST(epoch_us(l.l_shipdate) AS BIGINT)
+                       // 86400000000) AS ed
+            FROM orders o JOIN lineitem l
+                 ON o.o_orderkey = l.l_orderkey
+            GROUP BY 1, 2),
+d AS (SELECT unnest(range((SELECT min(od) FROM sp),
+                          (SELECT max(ed) FROM sp) + 1)) AS day)
+SELECT d.day, CAST(count(*) AS BIGINT) AS n_open
+FROM d JOIN sp ON d.day BETWEEN sp.od AND sp.ed
+GROUP BY 1
+"""
+    sql["padding_waste"] = """
+WITH t AS (SELECT greatest((len(string_split(text, ' ')) + 63) // 64,
+                           1) * 64 AS bucket_len,
+                  len(string_split(text, ' ')) AS nt
+           FROM documents),
+a AS (SELECT CAST(bucket_len AS BIGINT) AS bucket_len,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(nt) AS BIGINT) AS sum_tokens,
+             CAST(sum(bucket_len - nt) AS BIGINT) AS sum_padding
+      FROM t GROUP BY 1)
+SELECT bucket_len, n_docs, sum_tokens, sum_padding,
+       CAST(1000 * sum_padding
+            // greatest(sum_tokens + sum_padding, 1) AS BIGINT)
+           AS waste_permille
+FROM a
+"""
+    sql["event_type_trigrams"] = """
+WITH s AS (SELECT user_id, event_type,
+                  lead(event_type, 1) OVER w AS t2,
+                  lead(event_type, 2) OVER w AS t3
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT event_type AS t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+FROM s WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+GROUP BY 1, 2, 3
 """
     sql["dau_wau_stickiness"] = """
 WITH u AS (SELECT DISTINCT user_id,

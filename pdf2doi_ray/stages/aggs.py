@@ -3721,3 +3721,54 @@ def out_of_order_rate(events):
     return per_group_apply(events.map_batches(prep,
                                               batch_format="pyarrow"),
                            "user_id", ["event_id"], kernel, out_schema)
+
+
+def event_type_trigrams(events):
+    """Corpus-wide event-type TRIGRAM counts over each user's arrival
+    sequence (ordered by ts, event_id) — the 3-step funnel-discovery
+    mine extending :func:`event_transitions`' bigrams.  Returns
+    (t1, t2, t3, n).
+
+    The :mod:`.pergroup` engine hands whole ordered user sequences to a
+    vectorized triple kernel (three shifted views + a same-user mask →
+    per-block Arrow group_by partials); a final groupby merges partial
+    counts.  A power user contributes ≤ one partial row per distinct
+    trigram per block — sequences never concatenate anywhere.
+    """
+    from ray.data.aggregate import Sum
+    from .pergroup import per_group_apply
+
+    out_schema = pa.schema([("t1", pa.string()), ("t2", pa.string()),
+                            ("t3", pa.string()), ("n_p", pa.int64())])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        u = np.asarray(one_chunk(t["user_id"])).astype(np.int64)
+        et = one_chunk(t["event_type"])
+        n = len(u)
+        if n < 3:
+            return pa.table({f.name: pa.array([], type=f.type)
+                             for f in out_schema})
+        same = (u[:-2] == u[1:-1]) & (u[1:-1] == u[2:])
+        idx = np.nonzero(same)[0]
+        if len(idx) == 0:
+            return pa.table({f.name: pa.array([], type=f.type)
+                             for f in out_schema})
+        g = pa.table({"t1": et.take(pa.array(idx)),
+                      "t2": et.take(pa.array(idx + 1)),
+                      "t3": et.take(pa.array(idx + 2))}) \
+            .group_by(["t1", "t2", "t3"]).aggregate([([], "count_all")])
+        return pa.table({"t1": g["t1"], "t2": g["t2"], "t3": g["t3"],
+                         "n_p": g["count_all"].cast(pa.int64())})
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(one_chunk(t["ts"]), pa.timestamp("us")),
+                     pa.int64())
+        return pa.table({"user_id": t["user_id"], "us": us,
+                         "event_id": t["event_id"],
+                         "event_type": t["event_type"]})
+
+    partials = per_group_apply(
+        events.map_batches(prep, batch_format="pyarrow"),
+        "user_id", ["us", "event_id"], kernel, out_schema)
+    return partials.groupby(["t1", "t2", "t3"]) \
+        .aggregate(Sum("n_p", alias_name="n"))

@@ -4036,3 +4036,48 @@ def interleave_order(docs, cap_tokens: int = 100_000,
 
     return vt.map_batches(assign, batch_format="pyarrow",
                           batch_size=None)
+
+
+def padding_waste_report(docs, bucket: int = 64):
+    """Length-bucketed batching efficiency: if each document pads up to
+    the next multiple of ``bucket`` tokens (the standard bucketed-
+    batching compromise between packing and truncation), how much
+    compute is wasted per bucket?  Returns
+    (bucket_len, n_docs, sum_tokens, sum_padding, waste_permille).
+
+    One combiner groupby over the bounded bucket domain (≤ max-doc-len
+    / bucket rows); tokenizer contract shared with ``token_stats``
+    (single-space split, empties counted).  Empty docs land in the
+    first bucket (bucket_len = ``bucket``), padding entirely.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        n_tok = pc.list_value_length(
+            pc.split_pattern(one_chunk(t["text"]), " ")) \
+            .cast(pa.int64())
+        nt = np.asarray(n_tok)
+        blen = np.maximum((nt + bucket - 1) // bucket, 1) * bucket
+        g = pa.table({"bucket_len": pa.array(blen),
+                      "nt": pa.array(nt),
+                      "pad": pa.array(blen - nt)}) \
+            .group_by("bucket_len").aggregate(
+                [([], "count_all"), ("nt", "sum"), ("pad", "sum")])
+        return pa.table({"bucket_len": g["bucket_len"],
+                         "d_p": g["count_all"].cast(pa.int64()),
+                         "t_p": g["nt_sum"].cast(pa.int64()),
+                         "p_p": g["pad_sum"].cast(pa.int64())})
+
+    def finalize(t: pa.Table) -> pa.Table:
+        tok = np.asarray(one_chunk(t["sum_tokens"])).astype(np.int64)
+        pad = np.asarray(one_chunk(t["sum_padding"])).astype(np.int64)
+        return t.append_column(
+            "waste_permille",
+            pa.array(1000 * pad // np.maximum(tok + pad, 1)))
+
+    return (docs.map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket_len")
+            .aggregate(Sum("d_p", alias_name="n_docs"),
+                       Sum("t_p", alias_name="sum_tokens"),
+                       Sum("p_p", alias_name="sum_padding"))
+            .map_batches(finalize, batch_format="pyarrow"))

@@ -2511,3 +2511,136 @@ def promo_revenue_share(part, lineitem, num_partitions: int = 32):
             .aggregate(Sum("p_p", alias_name="promo_rev_milli"),
                        Sum("r_p", alias_name="total_rev_milli"))
             .map_batches(finalize, batch_format="pyarrow"))
+
+
+def join_cardinality(left, right, left_key: str, right_key: str):
+    """Optimizer-style EXACT join-size profile WITHOUT materializing
+    the join: ``|A ⋈ B| = Σ_k c_A(k)·c_B(k)`` over per-key counts.
+    Returns one row (join_rows, n_matched_keys, max_fanout).
+
+    Both sides collapse to (key, count) with per-batch combiners, so
+    the only exchange is a counts×counts hash join — the join's OUTPUT
+    never exists anywhere, which is the point: sizing a 10^12-row join
+    before paying for it.  ``max_fanout`` is the skew headline (the
+    hot key's output contribution).
+    """
+    from ray.data.aggregate import Count, Max, Sum
+
+    def counted(ds, key):
+        def partial(t: pa.Table) -> pa.Table:
+            g = t.select([key]).group_by(key).aggregate(
+                [([], "count_all")])
+            return pa.table({key: g[key],
+                             "c_p": g["count_all"].cast(pa.int64())})
+        return (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby(key).aggregate(Sum("c_p", alias_name="c")))
+
+    joined = shuffle_hash_join(
+        counted(left, left_key).map_batches(
+            lambda t: t.rename_columns([left_key, "c_l"]),
+            batch_format="pyarrow"),
+        counted(right, right_key).map_batches(
+            lambda t: t.rename_columns([right_key, "c_r"]),
+            batch_format="pyarrow"),
+        on=left_key, right_on=right_key, num_partitions=8)
+
+    def product(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        p = pc.multiply(t["c_l"], t["c_r"])
+        return pa.table({"p": p})
+
+    out = joined.map_batches(product, batch_format="pyarrow") \
+        .aggregate(Sum("p", alias_name="join_rows"),
+                   Count(alias_name="n_matched_keys"),
+                   Max("p", alias_name="max_fanout"))
+    import pandas as pd
+    return pd.DataFrame([{
+        "join_rows": int(out["join_rows"]),
+        "n_matched_keys": int(out["n_matched_keys"]),
+        "max_fanout": int(out["max_fanout"])}])
+
+
+def open_order_backlog(orders, lineitem, num_partitions: int = 8):
+    """Daily open-order backlog series: for every day, how many orders
+    have been placed but not yet fully shipped (open interval =
+    order day → LAST lineitem ship day).  Interval stabbing via delta
+    encoding: each order contributes (+1 at open, −1 after close), one
+    tiny groupby(day) sums deltas, and the prefix sum over the dense
+    bounded day domain (≈10³ days — the histogram-walk contract) runs
+    in one block.  Days with zero open orders are omitted (inner-join
+    semantics).  Returns (day, n_open).
+
+    Exchanges: per-order Max(ship_day) combiner groupby + one
+    counts-sized hash join orders⋈spans — line items collapse to one
+    row per order BEFORE the join.
+    """
+    from ray.data.aggregate import Max, Sum
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        day = pc.divide(pc.cast(pc.cast(t["l_shipdate"],
+                                        pa.timestamp("us")), pa.int64()),
+                        pa.scalar(86_400_000_000))
+        g = pa.table({"l_orderkey": t["l_orderkey"], "d": day}) \
+            .group_by("l_orderkey").aggregate([("d", "max")])
+        return pa.table({"l_orderkey": g["l_orderkey"],
+                         "d_p": g["d_max"].cast(pa.int64())})
+
+    last_ship = (lineitem.map_batches(li_partial, batch_format="pyarrow")
+                 .groupby("l_orderkey")
+                 .aggregate(Max("d_p", alias_name="end_day")))
+
+    def o_proj(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "open_day": pc.divide(pc.cast(pc.cast(
+                t["o_orderdate"], pa.timestamp("us")), pa.int64()),
+                pa.scalar(86_400_000_000))})
+
+    spans = shuffle_hash_join(
+        orders.map_batches(o_proj, batch_format="pyarrow"), last_ship,
+        on="o_orderkey", right_on="l_orderkey",
+        num_partitions=num_partitions)
+
+    def deltas(t: pa.Table) -> pa.Table:
+        from ..arrowutil import one_chunk
+        od = np.asarray(one_chunk(t["open_day"])).astype(np.int64)
+        ed = np.asarray(one_chunk(t["end_day"])).astype(np.int64)
+        # degenerate spans (shipped "before" ordered — dirty data) are
+        # empty intervals: they must contribute nothing, not a negative
+        # run over [ed+1, od)
+        ok = od <= ed
+        od, ed = od[ok], ed[ok]
+        day = np.concatenate([od, ed + 1])
+        dl = np.concatenate([np.ones(len(od), dtype=np.int64),
+                             -np.ones(len(ed), dtype=np.int64)])
+        g = pa.table({"day": pa.array(day), "dl": pa.array(dl)}) \
+            .group_by("day").aggregate([("dl", "sum")])
+        return pa.table({"day": g["day"],
+                         "d_p": g["dl_sum"].cast(pa.int64())})
+
+    def cumsum(t: pa.Table) -> pa.Table:
+        from ..arrowutil import one_chunk
+        if t.num_rows == 0:
+            return pa.table({"day": pa.array([], type=pa.int64()),
+                             "n_open": pa.array([], type=pa.int64())})
+        day = np.asarray(one_chunk(t["day"]))
+        dl = np.asarray(one_chunk(t["delta"]))
+        order = np.argsort(day, kind="stable")
+        day, dl = day[order], dl[order]
+        # expand sparse delta days to the dense series
+        lo, hi = int(day[0]), int(day[-1])
+        dense = np.zeros(hi - lo + 1, dtype=np.int64)
+        dense[day - lo] = dl
+        run = np.cumsum(dense)
+        keep = run > 0
+        days = np.arange(lo, hi + 1, dtype=np.int64)[keep]
+        return pa.table({"day": pa.array(days),
+                         "n_open": pa.array(run[keep])})
+
+    return (spans.map_batches(deltas, batch_format="pyarrow")
+            .groupby("day").aggregate(Sum("d_p", alias_name="delta"))
+            .repartition(1)
+            .map_batches(cumsum, batch_format="pyarrow",
+                         batch_size=None))
