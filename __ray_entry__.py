@@ -4550,6 +4550,33 @@ def _q_event_type_trigrams(sf_dir: str):
         columns=["user_id", "event_id", "ts", "event_type"]))
 
 
+def _q_gate_grid(sf_dir: str):
+    """Six curation-gate configs evaluated in ONE scan (base stats
+    computed once per batch, |grid| partial rows to a tiny groupby)."""
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import gate_grid_report
+    return gate_grid_report(ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]))
+
+
+def _q_shard_skew(sf_dir: str):
+    """One-row balance audit of the hash-shard layout (shares
+    shard_assignment's hash)."""
+    import ray.data
+
+    from pdf2doi_ray.stages.export import shard_skew_report
+    return shard_skew_report(ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]), n_shards=16)
+
+
+def _q_crawl_frontier(sf_dir: str):
+    """Politeness-priority frontier head: k urls preferring
+    least-crawled hosts; bounded top-k partials per block."""
+    from pdf2doi_ray.stages.corpus import crawl_frontier_topk
+    return crawl_frontier_topk(_pages(sf_dir), k=100)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -4586,6 +4613,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "open_order_backlog": _q_open_order_backlog,
         "padding_waste": _q_padding_waste,
         "event_type_trigrams": _q_event_type_trigrams,
+        # round-4 continuation wave 12
+        "gate_grid_report": _q_gate_grid,
+        "shard_skew_report": _q_shard_skew,
+        "crawl_frontier_topk": _q_crawl_frontier,
         "clip_identifiers": _q_clip,
         "resolve_redirects": _q_resolve_redirects,
         "rolling_time_sum": _q_rolling_time_sum,
@@ -9574,6 +9605,55 @@ WITH s AS (SELECT user_id, event_type,
 SELECT event_type AS t1, t2, t3, CAST(count(*) AS BIGINT) AS n
 FROM s WHERE t2 IS NOT NULL AND t3 IS NOT NULL
 GROUP BY 1, 2, 3
+"""
+    sql["gate_grid_report"] = """
+WITH t AS (SELECT len(string_split(text, ' ')) AS n_tok,
+                  len(list_filter(string_split(text, ' '),
+                      x -> x IN ('the','and','of','to','is','it')))
+                      AS n_stop
+           FROM documents),
+g AS (SELECT * FROM (VALUES (10, 25), (10, 50), (20, 25), (20, 50),
+                            (40, 25), (40, 50))
+      AS v(min_tokens, stop_permille_min)),
+a AS (SELECT CAST(g.min_tokens AS BIGINT) AS min_tokens,
+             CAST(g.stop_permille_min AS BIGINT) AS stop_permille_min,
+             CAST(sum(CASE WHEN t.n_tok >= g.min_tokens
+                            AND t.n_stop * 1000
+                                >= g.stop_permille_min * t.n_tok
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM t CROSS JOIN g GROUP BY 1, 2)
+SELECT min_tokens, stop_permille_min, n_pass, n_docs,
+       CAST(1000 * n_pass // greatest(n_docs, 1) AS BIGINT)
+           AS pass_permille
+FROM a
+"""
+    sql["shard_skew_report"] = """
+WITH h AS (SELECT CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                        1, 16))::UBIGINT >> 1)
+                       % 16 AS BIGINT) AS shard
+           FROM documents),
+c AS (SELECT shard, CAST(count(*) AS BIGINT) AS n FROM h GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS n_shards_used,
+       CAST(min(n) AS BIGINT) AS min_rows,
+       CAST(max(n) AS BIGINT) AS max_rows,
+       CAST(sum(n) AS BIGINT) AS total_rows,
+       CAST(1000000 * max(n)
+            // greatest(1000 * sum(n) // count(*), 1) AS BIGINT)
+           AS imbalance_permille
+FROM c
+"""
+    sql["crawl_frontier_topk"] = f"""
+WITH d AS ({_D}),
+u AS (SELECT 'site' || site || '.example.org' AS host, {_URL} AS url
+      FROM d),
+c AS (SELECT host, CAST(count(*) AS BIGINT) AS n FROM u GROUP BY 1),
+r AS (SELECT u.url, u.host, c.n AS host_pages
+      FROM u JOIN c USING (host))
+SELECT CAST(row_number() OVER (ORDER BY host_pages, url) AS BIGINT)
+           AS rank,
+       url, host, host_pages
+FROM r ORDER BY rank LIMIT 100
 """
     sql["dau_wau_stickiness"] = """
 WITH u AS (SELECT DISTINCT user_id,

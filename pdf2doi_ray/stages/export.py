@@ -504,3 +504,46 @@ def consistent_hash_moves(docs, n_workers: int = 8):
                          "moved": pa.array(a != b)})
 
     return distinct.map_batches(assign, batch_format="pyarrow")
+
+
+def shard_skew_report(docs, n_shards: int = 16):
+    """Balance audit for the hash sharding: per-run one-row report
+    (n_shards_used, min_rows, max_rows, total_rows,
+    imbalance_permille = 1000·max/mean) — the number a 256-node fleet
+    operator checks before trusting a partitioned write.
+
+    One combiner groupby over shard ids (≤ n_shards rows per batch),
+    then a one-block fold.  Shares :func:`shard_assignment`'s hash so
+    the report describes the REAL layout.
+    """
+    from ray.data.aggregate import Sum
+    from ..arrowutil import one_chunk
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = np.asarray(one_chunk(t["doc_id"]), dtype=np.int64)
+        h = _shard_hash_vec(ids) % n_shards
+        cnt = np.bincount(h, minlength=n_shards)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({"shard": pa.array(nz.astype(np.int64)),
+                         "n_p": pa.array(cnt[nz].astype(np.int64))})
+
+    def fold(t: pa.Table) -> pa.Table:
+        n = np.asarray(one_chunk(t["n_rows"])).astype(np.int64)
+        total = int(n.sum())
+        used = len(n)
+        mean_milli = 1000 * total // max(used, 1)
+        return pa.table({
+            "n_shards_used": pa.array([used], type=pa.int64()),
+            "min_rows": pa.array([int(n.min()) if used else 0],
+                                 type=pa.int64()),
+            "max_rows": pa.array([int(n.max()) if used else 0],
+                                 type=pa.int64()),
+            "total_rows": pa.array([total], type=pa.int64()),
+            "imbalance_permille": pa.array(
+                [1000 * 1000 * int(n.max()) // max(mean_milli, 1)
+                 if used else 0], type=pa.int64())})
+
+    return (docs.map_batches(partial, batch_format="pyarrow")
+            .groupby("shard").aggregate(Sum("n_p", alias_name="n_rows"))
+            .repartition(1)
+            .map_batches(fold, batch_format="pyarrow", batch_size=None))
