@@ -4577,6 +4577,26 @@ def _q_crawl_frontier(sf_dir: str):
     return crawl_frontier_topk(_pages(sf_dir), k=100)
 
 
+def _q_adjacent_vec_hist(sf_dir: str):
+    """Quantized L2² histogram between key-consecutive vectors — one
+    vec_id sort + in-block diffs + role-tagged boundary stitch."""
+    import ray.data
+
+    from pdf2doi_ray.stages.similarity import \
+        adjacent_vec_distance_histogram
+    return adjacent_vec_distance_histogram(ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]))
+
+
+def _q_label_norm_stats(sf_dir: str):
+    """Per-label quantized-norm² scorecard, one combiner groupby."""
+    import ray.data
+
+    from pdf2doi_ray.stages.similarity import label_norm_stats
+    return label_norm_stats(ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]))
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -4617,6 +4637,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gate_grid_report": _q_gate_grid,
         "shard_skew_report": _q_shard_skew,
         "crawl_frontier_topk": _q_crawl_frontier,
+        # round-4 continuation wave 13
+        "adjacent_vec_distance_histogram": _q_adjacent_vec_hist,
+        "label_norm_stats": _q_label_norm_stats,
         "clip_identifiers": _q_clip,
         "resolve_redirects": _q_resolve_redirects,
         "rolling_time_sum": _q_rolling_time_sum,
@@ -9654,6 +9677,31 @@ SELECT CAST(row_number() OVER (ORDER BY host_pages, url) AS BIGINT)
            AS rank,
        url, host, host_pages
 FROM r ORDER BY rank LIMIT 100
+"""
+    sql["adjacent_vec_distance_histogram"] = """
+WITH p AS (
+  SELECT CAST(list_sum(list_transform(
+             list_zip(a.embedding, b.embedding),
+             x -> (CAST(floor(x[1]::DOUBLE * 1000) AS BIGINT)
+                   - CAST(floor(x[2]::DOUBLE * 1000) AS BIGINT)) ** 2))
+         AS BIGINT) AS d2
+  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1)
+SELECT CAST(length(printf('%b', d2 + 1)) - 1 AS BIGINT) AS d2_bucket,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM p GROUP BY 1
+"""
+    sql["label_norm_stats"] = """
+WITH n AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         CAST(list_sum(list_transform(embedding,
+             x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT) ** 2))
+         AS BIGINT) AS n2
+  FROM embeddings)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(min(n2) AS BIGINT) AS min_norm2,
+       CAST(max(n2) AS BIGINT) AS max_norm2,
+       CAST(sum(n2) AS BIGINT) AS sum_norm2
+FROM n GROUP BY 1
 """
     sql["dau_wau_stickiness"] = """
 WITH u AS (SELECT DISTINCT user_id,

@@ -927,6 +927,68 @@ def main() -> None:
     if not headline_only:
         bench_query("cdc_apply_pages", q_cdc)
 
+    # prefix-duplicate detection over all page texts: ONE lexicographic
+    # sort of the text column + vectorized successor byte-compares
+    def q_prefix_dup():
+        import pyarrow as pa
+
+        from pdf2doi_ray.stages.dedup import prefix_dup_flags
+
+        def prep(t: pa.Table) -> pa.Table:
+            return pa.table({"doc_id": ts_doc_ids(t), "text": t["text"]})
+
+        docs = read_pages(("warc_ts", "text"), split=True) \
+            .map_batches(prep, batch_format="pyarrow")
+        n = prefix_dup_flags(docs).count()
+        assert n > 0, n
+
+    if not headline_only:
+        bench_query("prefix_dup_pages", q_prefix_dup)
+
+    # stride-interleaved training order: token-count pass + grouped
+    # zipWithIndex + global zipWithIndex (two narrow sorts)
+    def q_interleave():
+        import numpy as np
+        import pyarrow as pa
+
+        from pdf2doi_ray.stages.corpus import interleave_order
+
+        def prep(t: pa.Table) -> pa.Table:
+            k = np.asarray(ts_doc_ids(t))
+            src = np.char.add("src", (k % 20).astype(str))
+            return pa.table({"doc_id": pa.array(k),
+                             "source": pa.array(src),
+                             "text": t["text"]})
+
+        docs = read_pages(("warc_ts", "text"), split=True) \
+            .map_batches(prep, batch_format="pyarrow")
+        n = interleave_order(docs, cap_tokens=1_000_000).count()
+        assert n > 0, n
+
+    if not headline_only:
+        bench_query("interleave_order_pages", q_interleave)
+
+    # DAU/WAU stickiness over pages-derived events (user = ts-key mod
+    # 50k): per-batch dedup + x7 fan-out + two groupbys
+    def q_dau_wau():
+        import numpy as np
+        import pyarrow as pa
+
+        from pdf2doi_ray.stages.aggs import dau_wau_stickiness
+
+        def as_events(t: pa.Table) -> pa.Table:
+            k = np.asarray(ts_doc_ids(t))
+            return pa.table({"user_id": pa.array(k % 50_000),
+                             "ts": t["warc_ts"]})
+
+        ev = read_pages(("warc_ts",), split=True).map_batches(
+            as_events, batch_format="pyarrow")
+        n = dau_wau_stickiness(ev).count()
+        assert n > 0, n
+
+    if not headline_only:
+        bench_query("dau_wau_pages", q_dau_wau)
+
     headline = queries.get("identify_full")
     print(json.dumps({
         "metric": "identify_full seconds (pages parquet -> identifiers parquet)",

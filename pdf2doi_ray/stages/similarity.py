@@ -757,3 +757,163 @@ def contrastive_negatives(embeddings, k: int = 4):
                          "neg_id": pa.array(neg)})
 
     return embeddings.map_batches(fn, batch_format="pyarrow")
+
+
+def _quant_milli(col) -> np.ndarray:
+    """(n, dim) int64 matrix: ``floor(x·1000)`` on the float64 grid —
+    the repo's embedding quantization contract (SQL:
+    ``CAST(floor(x::DOUBLE * 1000) AS BIGINT)``)."""
+    m = _stack(col).astype(np.float64)
+    return np.floor(m * 1000.0).astype(np.int64)
+
+
+def _log2_buckets(d2: np.ndarray) -> pa.Table:
+    """(d2_bucket, n_p) partial histogram with the exact integer bucket
+    ``bit_length(1 + d2) − 1`` (matches SQL ``length(printf('%b', d2
+    + 1)) - 1``) — bit-exact, no float log anywhere."""
+    if len(d2) == 0:
+        return pa.table({"d2_bucket": pa.array([], type=pa.int64()),
+                         "n_p": pa.array([], type=pa.int64())})
+    buckets = np.frompyfunc(lambda v: int(v + 1).bit_length() - 1,
+                            1, 1)(d2).astype(np.int64)
+    vals, counts = np.unique(buckets, return_counts=True)
+    return pa.table({"d2_bucket": pa.array(vals.astype(np.int64)),
+                     "n_p": pa.array(counts.astype(np.int64))})
+
+
+def adjacent_vec_distance_histogram(embeddings):
+    """Log₂-bucketed histogram of quantized L2² distances between
+    KEY-consecutive vectors (vec_id, vec_id+1) — the cheap drift probe
+    over an embedding column (consecutive ids come from the same
+    producer batch; a distance-regime change flags an encoder or
+    upstream-order incident).  Returns (d2_bucket, n_pairs).
+
+    ONE range sort on vec_id; interior pairs resolve in-block with a
+    vectorized (n−1, dim) diff; each block ships its first and last
+    (id, quantized vector, role) rows to a single stitch block — the
+    2×#blocks sorted-adjacency contract.  Role tags (first vs last)
+    make the stitch pair ONLY cross-block neighbors (a 2-row block's
+    own first/last pair was already counted in-block).  Ids that are
+    not consecutive pair with nothing (join semantics).
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ..arrowutil import one_chunk
+
+    srt = embeddings.select_columns(["vec_id", "embedding"]) \
+        .sort("vec_id").materialize()
+
+    def block_pairs(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table({
+                "d2_bucket": pa.array([], type=pa.int64()),
+                "n_p": pa.array([], type=pa.int64()),
+                "_edge": pa.array([], type=pa.bool_()),
+                "_role": pa.array([], type=pa.int64()),
+                "_id": pa.array([], type=pa.int64()),
+                "_q": pa.array([], type=pa.list_(pa.int64()))})
+        ids = np.asarray(one_chunk(t["vec_id"])).astype(np.int64)
+        q = _quant_milli(t["embedding"])
+        if n > 1:
+            consec = ids[1:] - ids[:-1] == 1
+            diffs = q[1:] - q[:-1]
+            d2 = (diffs * diffs).sum(axis=1)[consec]
+        else:
+            d2 = np.zeros(0, dtype=np.int64)
+        hist = _log2_buckets(d2)
+        m = hist.num_rows
+        out = pa.table({
+            "d2_bucket": hist["d2_bucket"],
+            "n_p": hist["n_p"],
+            "_edge": pa.array(np.zeros(m, bool)),
+            "_role": pa.nulls(m, pa.int64()),
+            "_id": pa.nulls(m, pa.int64()),
+            "_q": pa.nulls(m, pa.list_(pa.int64()))})
+        # carries: first row faces the previous block (role 0), last row
+        # faces the next (role 1); a 1-row block emits both roles
+        e_idx = np.array([0, n - 1], dtype=np.int64)
+        e_role = np.array([0, 1], dtype=np.int64)
+        edge = pa.table({
+            "d2_bucket": pa.nulls(2, pa.int64()),
+            "n_p": pa.nulls(2, pa.int64()),
+            "_edge": pa.array(np.ones(2, bool)),
+            "_role": pa.array(e_role),
+            "_id": pa.array(ids[e_idx]),
+            "_q": pa.array(list(q[e_idx]), type=pa.list_(pa.int64()))})
+        return pa.concat_tables([out, edge])
+
+    mixed = srt.map_batches(block_pairs, batch_format="pyarrow",
+                            batch_size=None).materialize()
+    interior = mixed.map_batches(
+        lambda t: t.filter(pc.equal(t["_edge"], False))
+        .select(["d2_bucket", "n_p"]), batch_format="pyarrow")
+
+    def stitch(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"d2_bucket": pa.array([], type=pa.int64()),
+                             "n_p": pa.array([], type=pa.int64())})
+        ids = np.asarray(one_chunk(t["_id"])).astype(np.int64)
+        roles = np.asarray(one_chunk(t["_role"])).astype(np.int64)
+        qs = _stack(t["_q"]).astype(np.int64)
+        order = np.lexsort((roles, ids))
+        ids, roles, qs = ids[order], roles[order], qs[order]
+        # a cross-block neighbor pair is (block-LAST, next block-FIRST):
+        # left role 1, right role 0, ids consecutive
+        left = (ids[1:] - ids[:-1] == 1) & (roles[:-1] == 1) \
+            & (roles[1:] == 0)
+        diffs = qs[1:][left] - qs[:-1][left]
+        d2 = (diffs * diffs).sum(axis=1) if diffs.size else \
+            np.zeros(0, dtype=np.int64)
+        return _log2_buckets(d2)
+
+    carries = mixed.map_batches(
+        lambda t: t.filter(t["_edge"]).select(["_id", "_role", "_q"]),
+        batch_format="pyarrow").repartition(1)
+    return (interior.union(
+        carries.map_batches(stitch, batch_format="pyarrow",
+                            batch_size=None))
+        .groupby("d2_bucket")
+        .aggregate(Sum("n_p", alias_name="n_pairs")))
+
+
+def label_norm_stats(embeddings):
+    """Per-label quantized-norm² statistics
+    (label, n_vecs, min_norm2, max_norm2, sum_norm2) — the embedding
+    health scorecard (collapsed or exploding norms per class are the
+    first sign of a bad encoder checkpoint).  One combiner groupby on
+    the milli grid; integers end to end.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ..arrowutil import one_chunk
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = _quant_milli(t["embedding"])
+        n2 = (q * q).sum(axis=1)
+        g = pa.table({
+            "label": pc_cast_label(one_chunk(t["label"])),
+            "n2": pa.array(n2)}) \
+            .group_by("label").aggregate(
+                [([], "count_all"), ("n2", "min"), ("n2", "max"),
+                 ("n2", "sum")])
+        return pa.table({"label": g["label"],
+                         "c_p": g["count_all"].cast(pa.int64()),
+                         "mn_p": g["n2_min"],
+                         "mx_p": g["n2_max"],
+                         "s_p": g["n2_sum"].cast(pa.int64())})
+
+    return (embeddings.select_columns(["label", "embedding"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("label")
+            .aggregate(Sum("c_p", alias_name="n_vecs"),
+                       Min("mn_p", alias_name="min_norm2"),
+                       Max("mx_p", alias_name="max_norm2"),
+                       Sum("s_p", alias_name="sum_norm2")))
+
+
+def pc_cast_label(col: pa.Array) -> pa.Array:
+    """label column as int64 regardless of stored width."""
+    import pyarrow.compute as pc
+    return pc.cast(col, pa.int64())
