@@ -4597,6 +4597,36 @@ def _q_label_norm_stats(sf_dir: str):
         f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]))
 
 
+def _q_median_user_value(sf_dir: str):
+    """Nested percentile (the typical user's typical value): per-user
+    mean combiner + exact histogram-walk quantiles."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import median_user_value
+    return median_user_value(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"]))
+
+
+def _q_encoding_advisor(sf_dir: str):
+    """Write-time dictionary-encoding planner: exact per-column NDV in
+    one melt pass."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import encoding_advisor
+    return encoding_advisor(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]))
+
+
+def _q_weekly_retention(sf_dir: str):
+    """Week-over-week retention via sorted per-user week adjacency —
+    no self-join."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import weekly_retention
+    return weekly_retention(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]))
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -4640,6 +4670,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 continuation wave 13
         "adjacent_vec_distance_histogram": _q_adjacent_vec_hist,
         "label_norm_stats": _q_label_norm_stats,
+        # round-4 continuation wave 14
+        "median_user_value": _q_median_user_value,
+        "encoding_advisor": _q_encoding_advisor,
+        "weekly_retention": _q_weekly_retention,
         "clip_identifiers": _q_clip,
         "resolve_redirects": _q_resolve_redirects,
         "rolling_time_sum": _q_rolling_time_sum,
@@ -9702,6 +9736,53 @@ SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
        CAST(max(n2) AS BIGINT) AS max_norm2,
        CAST(sum(n2) AS BIGINT) AS sum_norm2
 FROM n GROUP BY 1
+"""
+    sql["median_user_value"] = """
+WITH u AS (SELECT user_id,
+                  sum(CAST(floor(value * 1000) AS BIGINT)) AS s,
+                  count(*) AS n
+           FROM events GROUP BY 1),
+m AS (SELECT CAST(1000 * s // n AS BIGINT) AS v FROM u),
+r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM m),
+t AS (SELECT count(*) AS total FROM m),
+q AS (SELECT CAST(unnest([500, 900]) AS BIGINT) AS q_permille)
+SELECT q.q_permille,
+       (SELECT min(v) FROM r
+        WHERE rn >= ceil(q.q_permille * t.total / 1000.0)) AS value
+FROM t, q
+"""
+    sql["encoding_advisor"] = """
+WITH m AS (
+  SELECT 'event_type' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(DISTINCT CAST(event_type AS VARCHAR)) AS BIGINT)
+             AS n_distinct
+  FROM events
+  UNION ALL
+  SELECT 'user_id', CAST(count(*) AS BIGINT),
+         CAST(count(DISTINCT CAST(user_id AS VARCHAR)) AS BIGINT)
+  FROM events)
+SELECT "column", n_rows, n_distinct,
+       CAST(1000 * n_distinct // n_rows AS BIGINT) AS ndv_permille,
+       CAST(CASE WHEN 1000 * n_distinct // n_rows <= 100
+                 THEN 1 ELSE 0 END AS BIGINT) AS use_dictionary
+FROM m
+"""
+    sql["weekly_retention"] = """
+WITH u AS (SELECT DISTINCT user_id,
+                  CAST(epoch_us(ts) AS BIGINT) // 86400000000 // 7
+                      AS week
+           FROM events),
+j AS (SELECT a.week,
+             CASE WHEN b.user_id IS NULL THEN 0 ELSE 1 END AS ret
+      FROM u a LEFT JOIN u b
+           ON b.user_id = a.user_id AND b.week = a.week + 1),
+a AS (SELECT week, CAST(count(*) AS BIGINT) AS n_active,
+             CAST(sum(ret) AS BIGINT) AS n_retained
+      FROM j GROUP BY 1)
+SELECT week, n_active, n_retained,
+       CAST(1000 * n_retained // n_active AS BIGINT)
+           AS retention_permille
+FROM a WHERE week < (SELECT max(week) FROM u)
 """
     sql["dau_wau_stickiness"] = """
 WITH u AS (SELECT DISTINCT user_id,

@@ -3772,3 +3772,160 @@ def event_type_trigrams(events):
         "user_id", ["us", "event_id"], kernel, out_schema)
     return partials.groupby(["t1", "t2", "t3"]) \
         .aggregate(Sum("n_p", alias_name="n"))
+
+
+def median_user_value(events, quantiles_permille=(500, 900)):
+    """Nested percentile — "the typical user's typical value": each
+    user collapses to ``1000·Σvm // n`` (their mean value, exact
+    permille-of-milli integer), then the exact quantile engine walks
+    the per-user distribution.  Two exchanges: a per-user (sum, n)
+    combiner groupby, then a (value → count) histogram groupby whose
+    domain is per-user means (≤ |users| distinct).  Returns
+    (q_permille, value).
+
+    Population means over raw rows hide skew (one whale user drags the
+    global mean); this is the metric that doesn't.
+    """
+    from ray.data.aggregate import Sum
+
+    from .textstats import quantiles_from_histogram
+    from .windowfns import _milli
+
+    def partial(t: pa.Table) -> pa.Table:
+        vm = _milli(one_chunk(t["value"]))
+        g = pa.table({"user_id": t["user_id"],
+                      "vm": pa.array(vm, type=pa.int64())}) \
+            .group_by("user_id").aggregate(
+                [("vm", "sum"), ([], "count_all")])
+        return pa.table({"user_id": g["user_id"],
+                         "s_p": g["vm_sum"].cast(pa.int64()),
+                         "n_p": g["count_all"].cast(pa.int64())})
+
+    def mean_hist(t: pa.Table) -> pa.Table:
+        s = np.asarray(one_chunk(t["s"])).astype(np.int64)
+        n = np.asarray(one_chunk(t["n"])).astype(np.int64)
+        mean = 1000 * s // np.maximum(n, 1)
+        vals, counts = np.unique(mean, return_counts=True)
+        return pa.table({"value": pa.array(vals),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    hist = (events.map_batches(partial, batch_format="pyarrow")
+            .groupby("user_id")
+            .aggregate(Sum("s_p", alias_name="s"),
+                       Sum("n_p", alias_name="n"))
+            .map_batches(mean_hist, batch_format="pyarrow")
+            .groupby("value").aggregate(Sum("n", alias_name="n"))
+            .to_pandas())
+    return quantiles_from_histogram(hist, quantiles_permille)
+
+
+def encoding_advisor(events, columns=("event_type", "user_id"),
+                     dict_max_permille: int = 100):
+    """Write-time encoding planner: per column the exact row and
+    distinct-value counts plus a dictionary-encoding verdict
+    (NDV ≤ 10% of rows by default) — the decision a columnar writer
+    makes before laying out 100 TB.  Returns
+    (column, n_rows, n_distinct, ndv_permille, use_dictionary).
+
+    One melt pass (column, value-as-string) with per-batch distinct
+    combiners, a (column, value) groupby, then a |columns|-row fold —
+    the ``exact_ndv_by_group`` shape with the column name as the group.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    def melt(t: pa.Table) -> pa.Table:
+        outs = []
+        for c in columns:
+            vals = pc.cast(one_chunk(t[c]), pa.string())
+            g = pa.table({"value": vals}).group_by("value").aggregate(
+                [([], "count_all")])
+            outs.append(pa.table({
+                "column": pa.array([c] * g.num_rows, type=pa.string()),
+                "value": g["value"],
+                "n_p": g["count_all"].cast(pa.int64())}))
+        return pa.concat_tables(outs)
+
+    def fold(t: pa.Table) -> pa.Table:
+        n = np.asarray(one_chunk(t["n_rows"])).astype(np.int64)
+        d = np.asarray(one_chunk(t["n_distinct"])).astype(np.int64)
+        permille = 1000 * d // np.maximum(n, 1)
+        return pa.table({
+            "column": one_chunk(t["column"]),
+            "n_rows": pa.array(n),
+            "n_distinct": pa.array(d),
+            "ndv_permille": pa.array(permille),
+            "use_dictionary": pa.array(
+                (permille <= dict_max_permille).astype(np.int64))})
+
+    return (events.map_batches(melt, batch_format="pyarrow")
+            .groupby(["column", "value"])
+            .aggregate(Sum("n_p", alias_name="n"))
+            .groupby("column")
+            .aggregate(Count(alias_name="n_distinct"),
+                       Sum("n", alias_name="n_rows"))
+            .map_batches(fold, batch_format="pyarrow"))
+
+
+def weekly_retention(events):
+    """Week-over-week retention: per ISO-ish week (epoch-day // 7),
+    the active-user count and how many of them are ALSO active the
+    next week.  Returns (week, n_active, n_retained,
+    retention_permille) — rows only for weeks with a successor week
+    observed in the data (the last week has no retention denominator
+    semantics and is omitted).
+
+    Distinct (user, week) pairs via one combiner groupby, then the
+    :mod:`.pergroup` engine scans each user's sorted week list for
+    week+1 adjacencies — no self-join.
+    """
+    from ray.data.aggregate import Count, Sum
+    from .pergroup import per_group_apply
+
+    out_schema = pa.schema([("week", pa.int64()),
+                            ("active_p", pa.int64()),
+                            ("retained_p", pa.int64())])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        u = np.asarray(one_chunk(t["user_id"])).astype(np.int64)
+        w = np.asarray(one_chunk(t["week"])).astype(np.int64)
+        same = u[1:] == u[:-1]
+        nxt = np.zeros(len(u), dtype=np.int64)
+        nxt[:-1] = (same & (w[1:] - w[:-1] == 1)).astype(np.int64)
+        return pa.table({"week": pa.array(w),
+                         "active_p": pa.array(
+                             np.ones(len(u), dtype=np.int64)),
+                         "retained_p": pa.array(nxt)})
+
+    def prep(t: pa.Table) -> pa.Table:
+        wk = np.asarray(pc.cast(pc.cast(one_chunk(t["ts"]),
+                                        pa.timestamp("us")),
+                                pa.int64())) // 86_400_000_000 // 7
+        g = pa.table({"user_id": t["user_id"], "week": pa.array(wk)}) \
+            .group_by(["user_id", "week"]).aggregate([([], "count_all")])
+        return g.select(["user_id", "week"])
+
+    distinct = (events.map_batches(prep, batch_format="pyarrow")
+                .groupby(["user_id", "week"])
+                .aggregate(Count(alias_name="_c")).drop_columns(["_c"]))
+    per_week = per_group_apply(distinct, "user_id", ["week"], kernel,
+                               out_schema) \
+        .groupby("week") \
+        .aggregate(Sum("active_p", alias_name="n_active"),
+                   Sum("retained_p", alias_name="n_retained"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        a = np.asarray(one_chunk(t["n_active"])).astype(np.int64)
+        r = np.asarray(one_chunk(t["n_retained"])).astype(np.int64)
+        wk = np.asarray(one_chunk(t["week"])).astype(np.int64)
+        # drop the final observed week: no week+1 data exists, so its
+        # retention would read as a spurious 0
+        keep = wk < wk.max() if len(wk) else np.zeros(0, bool)
+        out = pa.table({"week": pa.array(wk),
+                        "n_active": pa.array(a),
+                        "n_retained": pa.array(r),
+                        "retention_permille": pa.array(
+                            1000 * r // np.maximum(a, 1))})
+        return out.filter(pa.array(keep))
+
+    return per_week.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
