@@ -4627,6 +4627,42 @@ def _q_weekly_retention(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["user_id", "ts"]))
 
 
+def _q_revenue_yoy(sf_dir: str):
+    """Per-nation YoY revenue growth: Q9 broadcast shape + per-nation
+    sorted adjacency over the tiny aggregate (no window shuffle)."""
+    import ray.data
+
+    from pdf2doi_ray.stages.joins import revenue_yoy_growth
+    return revenue_yoy_growth(
+        ray.data.read_parquet(f"{sf_dir}/nation.parquet"),
+        ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                              columns=["s_suppkey", "s_nationkey"]),
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_suppkey", "l_shipdate", "l_extendedprice",
+                     "l_discount"]))
+
+
+def _q_dim_stats(sf_dir: str):
+    """Dimension-wise quantized moment scorecard (dead-dim detector)
+    — vectors never shuffle."""
+    import ray.data
+
+    from pdf2doi_ray.stages.similarity import dim_stats
+    return dim_stats(ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]))
+
+
+def _q_source_lang_concentration(sf_dir: str):
+    """Per-source language-mix Simpson concentration over the
+    (source, lang) cell table."""
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import source_lang_concentration
+    return source_lang_concentration(ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "lang"]))
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -4674,6 +4710,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_user_value": _q_median_user_value,
         "encoding_advisor": _q_encoding_advisor,
         "weekly_retention": _q_weekly_retention,
+        # round-4 continuation wave 15
+        "revenue_yoy_growth": _q_revenue_yoy,
+        "dim_stats": _q_dim_stats,
+        "source_lang_concentration": _q_source_lang_concentration,
         "clip_identifiers": _q_clip,
         "resolve_redirects": _q_resolve_redirects,
         "rolling_time_sum": _q_rolling_time_sum,
@@ -9783,6 +9823,56 @@ SELECT week, n_active, n_retained,
        CAST(1000 * n_retained // n_active AS BIGINT)
            AS retention_permille
 FROM a WHERE week < (SELECT max(week) FROM u)
+"""
+    sql["revenue_yoy_growth"] = """
+WITH r AS (SELECT n_name, CAST(year(l_shipdate) AS BIGINT) AS year,
+                  CAST(sum(CAST(floor(l_extendedprice
+                                      * (1 - l_discount) * 1000)
+                                AS BIGINT)) AS BIGINT) AS revenue_milli
+           FROM lineitem
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           GROUP BY 1, 2),
+w AS (SELECT *,
+             lag(revenue_milli) OVER (PARTITION BY n_name
+                                      ORDER BY year) AS prev,
+             lag(year) OVER (PARTITION BY n_name
+                             ORDER BY year) AS py
+      FROM r)
+SELECT n_name, year, revenue_milli,
+       CAST(prev AS BIGINT) AS prev_revenue_milli,
+       CAST(1000 * (revenue_milli - prev)
+            // greatest(prev, 1) AS BIGINT) AS growth_permille
+FROM w WHERE year - py = 1
+"""
+    sql["dim_stats"] = """
+WITH u AS (SELECT g AS dim,
+                  CAST(floor(embedding[g + 1]::DOUBLE * 1000)
+                       AS BIGINT) AS vm
+           FROM embeddings, UNNEST(range(64)) AS t(g)),
+a AS (SELECT CAST(dim AS BIGINT) AS dim,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(vm) AS BIGINT) AS sum_milli,
+             CAST(sum(vm * vm) AS BIGINT) AS sumsq_millisq,
+             CAST(min(vm) AS BIGINT) AS min_milli,
+             CAST(max(vm) AS BIGINT) AS max_milli
+      FROM u GROUP BY 1)
+SELECT dim, n, sum_milli, sumsq_millisq, min_milli, max_milli,
+       CAST(CASE WHEN min_milli = max_milli THEN 1 ELSE 0 END
+            AS BIGINT) AS is_dead
+FROM a
+"""
+    sql["source_lang_concentration"] = """
+WITH c AS (SELECT source, lang, count(*) AS n
+           FROM documents GROUP BY 1, 2),
+a AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_langs,
+             CAST(sum(n * n) AS BIGINT) AS ss
+      FROM c GROUP BY 1)
+SELECT source, n_docs, n_langs,
+       CAST(1000 * ss // greatest(n_docs * n_docs, 1) AS BIGINT)
+           AS lang_simpson_permille
+FROM a
 """
     sql["dau_wau_stickiness"] = """
 WITH u AS (SELECT DISTINCT user_id,

@@ -4202,3 +4202,43 @@ def crawl_frontier_topk(pages, k: int = 100):
             .repartition(1)
             .map_batches(merge, batch_format="pyarrow",
                          batch_size=None))
+
+
+def source_lang_concentration(docs):
+    """Per-source language-mix concentration: (source, n_docs, n_langs,
+    lang_simpson_permille) where the Simpson index is
+    ``1000·Σ c_l² // n²`` over the source's per-language doc counts —
+    1000 = monolingual feed, low = even mix.  The multilingual-balance
+    audit over crawl feeds.
+
+    One (source, lang) combiner groupby, then a per-source fold over
+    the ≤|sources|·|langs| cell table (margins-over-cells contract).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select(["source", "lang"]) \
+            .group_by(["source", "lang"]).aggregate([([], "count_all")])
+        return pa.table({"source": g["source"], "lang": g["lang"],
+                         "n_p": g["count_all"].cast(pa.int64())})
+
+    def fold(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = t.to_pandas()
+        rows = []
+        for src, sub in df.groupby("source", sort=True):
+            c = sub["n"].to_numpy().astype(np.int64)
+            n = int(c.sum())
+            rows.append({"source": src, "n_docs": n,
+                         "n_langs": len(c),
+                         "lang_simpson_permille":
+                             int(1000 * (c * c).sum() // max(n * n, 1))})
+        out = pd.DataFrame(rows, columns=["source", "n_docs", "n_langs",
+                                          "lang_simpson_permille"])
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (docs.map_batches(partial, batch_format="pyarrow")
+            .groupby(["source", "lang"])
+            .aggregate(Sum("n_p", alias_name="n"))
+            .repartition(1)
+            .map_batches(fold, batch_format="pyarrow", batch_size=None))

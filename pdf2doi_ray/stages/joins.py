@@ -2644,3 +2644,77 @@ def open_order_backlog(orders, lineitem, num_partitions: int = 8):
             .repartition(1)
             .map_batches(cumsum, batch_format="pyarrow",
                          batch_size=None))
+
+
+def revenue_yoy_growth(nation, supplier, lineitem):
+    """Year-over-year revenue growth per supplier nation:
+    (n_name, year, revenue_milli, prev_revenue_milli, growth_permille)
+    for every year with an observed predecessor year — the board-slide
+    analytic, growth as exact permille of the prior year.
+
+    Same broadcast shape as Q9 (supplier→nation map rides the task
+    closure; lineitem streams once, combiner per (nation, year)); the
+    YoY delta is a per-nation sorted adjacency over the tiny
+    |nations·years| aggregate — no window shuffle, no self-join.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ..arrowutil import one_chunk
+
+    sup = supplier.select_columns(["s_suppkey", "s_nationkey"]) \
+        .to_pandas()
+    nat = nation.select_columns(["n_nationkey", "n_name"]).to_pandas()
+    s2n = dict(zip(
+        sup["s_suppkey"],
+        sup["s_nationkey"].map(
+            dict(zip(nat["n_nationkey"], nat["n_name"])))))
+
+    def partial(t: pa.Table) -> pa.Table:
+        sk = np.asarray(one_chunk(t["l_suppkey"]))
+        names = np.array([s2n.get(int(k), "") for k in
+                          np.unique(sk)], dtype=object)
+        uniq, inv = np.unique(sk, return_inverse=True)
+        nm = names[inv]
+        us = np.asarray(pc.cast(pc.cast(one_chunk(t["l_shipdate"]),
+                                        pa.timestamp("us")),
+                                pa.int64()))
+        yr = 1970 + (us // 86_400_000_000).astype("timedelta64[D]") \
+            .astype("datetime64[D]").astype("datetime64[Y]") \
+            .astype(np.int64)
+        rm = np.asarray(pc.cast(pc.floor(pc.multiply(
+            pc.multiply(one_chunk(t["l_extendedprice"]),
+                        pc.subtract(pa.scalar(1.0),
+                                    one_chunk(t["l_discount"]))),
+            pa.scalar(1000.0))), pa.int64()))
+        g = pa.table({"n_name": pa.array(nm, type=pa.string()),
+                      "year": pa.array(yr),
+                      "rm": pa.array(rm)}) \
+            .group_by(["n_name", "year"]).aggregate([("rm", "sum")])
+        return pa.table({"n_name": g["n_name"], "year": g["year"],
+                         "r_p": g["rm_sum"].cast(pa.int64())})
+
+    def yoy(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = t.to_pandas().sort_values(["n_name", "year"]) \
+            .reset_index(drop=True)
+        prev = df.groupby("n_name")["revenue_milli"].shift(1)
+        prev_year = df.groupby("n_name")["year"].shift(1)
+        keep = (df["year"] - prev_year) == 1
+        out = df[keep].copy()
+        out["prev_revenue_milli"] = prev[keep].astype("int64")
+        num = (1000 * (out["revenue_milli"]
+                       - out["prev_revenue_milli"])).to_numpy()
+        den = out["prev_revenue_milli"].clip(lower=1).to_numpy()
+        # TRUNCATING division (SQL // truncates; Python // floors —
+        # they differ on negative growth)
+        out["growth_permille"] = np.where(
+            num >= 0, num // den, -((-num) // den)).astype("int64")
+        return pa.Table.from_pandas(out.reset_index(drop=True),
+                                    preserve_index=False)
+
+    return (lineitem.map_batches(partial, batch_format="pyarrow")
+            .groupby(["n_name", "year"])
+            .aggregate(Sum("r_p", alias_name="revenue_milli"))
+            .repartition(1)
+            .map_batches(yoy, batch_format="pyarrow", batch_size=None))

@@ -917,3 +917,51 @@ def pc_cast_label(col: pa.Array) -> pa.Array:
     """label column as int64 regardless of stored width."""
     import pyarrow.compute as pc
     return pc.cast(col, pa.int64())
+
+
+def dim_stats(embeddings):
+    """Dimension-wise scorecard on the quantized grid: per dimension
+    (dim, n, sum_milli, sumsq_millisq, is_dead) — dead (zero-variance)
+    dimensions are the first diagnostic on an encoder checkpoint.
+    Variance derives from the exact (n, Σ, Σ²) integers caller-side.
+
+    Per batch one (n×dim) quantized matrix folds to ≤ dim partial
+    rows; one groupby(dim) merges.  Vectors never shuffle.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = _quant_milli(t["embedding"])
+        n, d = q.shape if q.size else (0, 0)
+        if n == 0:
+            return pa.table({
+                "dim": pa.array([], type=pa.int64()),
+                "n_p": pa.array([], type=pa.int64()),
+                "s_p": pa.array([], type=pa.int64()),
+                "ss_p": pa.array([], type=pa.int64()),
+                "mn_p": pa.array([], type=pa.int64()),
+                "mx_p": pa.array([], type=pa.int64())})
+        return pa.table({
+            "dim": pa.array(np.arange(d, dtype=np.int64)),
+            "n_p": pa.array(np.full(d, n, dtype=np.int64)),
+            "s_p": pa.array(q.sum(axis=0).astype(np.int64)),
+            "ss_p": pa.array((q * q).sum(axis=0).astype(np.int64)),
+            "mn_p": pa.array(q.min(axis=0).astype(np.int64)),
+            "mx_p": pa.array(q.max(axis=0).astype(np.int64))})
+
+    def finalize(t: pa.Table) -> pa.Table:
+        from ..arrowutil import one_chunk
+        mn = np.asarray(one_chunk(t["min_milli"]))
+        mx = np.asarray(one_chunk(t["max_milli"]))
+        return t.append_column(
+            "is_dead", pa.array((mn == mx).astype(np.int64)))
+
+    return (embeddings.select_columns(["embedding"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("dim")
+            .aggregate(Sum("n_p", alias_name="n"),
+                       Sum("s_p", alias_name="sum_milli"),
+                       Sum("ss_p", alias_name="sumsq_millisq"),
+                       Min("mn_p", alias_name="min_milli"),
+                       Max("mx_p", alias_name="max_milli"))
+            .map_batches(finalize, batch_format="pyarrow"))
