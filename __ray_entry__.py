@@ -4663,6 +4663,37 @@ def _q_source_lang_concentration(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["source", "lang"]))
 
 
+def _q_conversion_latency(sf_dir: str):
+    """Click→purchase latency histogram: window-engine sort +
+    reset-free vectorized last-click scan."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import conversion_latency_histogram
+    return conversion_latency_histogram(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type"]))
+
+
+def _q_lorenz_deciles(sf_dir: str):
+    """Customer-revenue Lorenz points via per-customer totals + one
+    histogram walk."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import lorenz_revenue_deciles
+    return lorenz_revenue_deciles(ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_totalprice"]))
+
+
+def _q_rowgroup_advisor(sf_dir: str):
+    """Parquet row-group sizing from exact corpus byte stats."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import rowgroup_advisor
+    return rowgroup_advisor(ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]))
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -4714,6 +4745,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_yoy_growth": _q_revenue_yoy,
         "dim_stats": _q_dim_stats,
         "source_lang_concentration": _q_source_lang_concentration,
+        # round-4 continuation wave 16
+        "conversion_latency_histogram": _q_conversion_latency,
+        "lorenz_revenue_deciles": _q_lorenz_deciles,
+        "rowgroup_advisor": _q_rowgroup_advisor,
         "clip_identifiers": _q_clip,
         "resolve_redirects": _q_resolve_redirects,
         "rolling_time_sum": _q_rolling_time_sum,
@@ -9872,6 +9907,49 @@ a AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
 SELECT source, n_docs, n_langs,
        CAST(1000 * ss // greatest(n_docs * n_docs, 1) AS BIGINT)
            AS lang_simpson_permille
+FROM a
+"""
+    sql["conversion_latency_histogram"] = """
+WITH e AS (SELECT user_id, event_type,
+                  CAST(epoch_us(ts) AS BIGINT) AS us, event_id
+           FROM events),
+w AS (SELECT user_id, event_type, us,
+             max(CASE WHEN event_type = 'click' THEN us END)
+                 OVER (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS lc
+      FROM e),
+g AS (SELECT (us - lc) // 60000000 AS gap_min
+      FROM w WHERE event_type = 'purchase' AND lc IS NOT NULL)
+SELECT CAST(length(printf('%b', gap_min + 1)) - 1 AS BIGINT)
+           AS latency_bucket,
+       CAST(count(*) AS BIGINT) AS n_conversions
+FROM g GROUP BY 1
+"""
+    sql["lorenz_revenue_deciles"] = """
+WITH c AS (SELECT o_custkey,
+                  sum(CAST(floor(o_totalprice * 1000) AS BIGINT))
+                      AS total
+           FROM orders GROUP BY 1),
+r AS (SELECT total, row_number() OVER (ORDER BY total) AS rn FROM c),
+t AS (SELECT count(*) AS n, sum(total) AS v FROM c),
+d AS (SELECT CAST(unnest(range(1, 11)) AS BIGINT) AS decile)
+SELECT d.decile,
+       CAST(ceil(d.decile * t.n / 10.0) AS BIGINT) AS n_customers_cum,
+       CAST(1000 * (SELECT sum(total) FROM r
+                    WHERE rn <= ceil(d.decile * t.n / 10.0))
+            // t.v AS BIGINT) AS value_share_permille
+FROM d, t
+"""
+    sql["rowgroup_advisor"] = """
+WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                  CAST(sum(length(text)) AS BIGINT) AS sum_text_bytes
+           FROM documents)
+SELECT n_rows, sum_text_bytes,
+       CAST(1000 * sum_text_bytes // greatest(n_rows, 1) AS BIGINT)
+           AS avg_row_bytes_milli,
+       CAST(134217728 * n_rows // greatest(sum_text_bytes, 1)
+            AS BIGINT) AS rows_per_target
 FROM a
 """
     sql["dau_wau_stickiness"] = """

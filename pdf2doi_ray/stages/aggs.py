@@ -3929,3 +3929,151 @@ def weekly_retention(events):
 
     return per_week.repartition(1).map_batches(
         finalize, batch_format="pyarrow", batch_size=None)
+
+
+def conversion_latency_histogram(events, from_type: str = "click",
+                                 to_type: str = "purchase"):
+    """Log₂-bucketed histogram of click→purchase latency: for every
+    ``to_type`` event with a PRIOR ``from_type`` event by the same
+    user (arrival order = ts, then event_id), the gap in whole
+    minutes, bucketed — the funnel-latency distribution.  Returns
+    (latency_bucket, n_conversions).
+
+    One window-engine sort; the kernel is fully vectorized with no
+    per-group reset: a global ``maximum.accumulate`` over
+    click-position indices, then a per-row "is that click inside MY
+    group" guard (prior-click index ≥ group start) — boundary
+    contamination is impossible by construction.
+    """
+    from ray.data.aggregate import Sum
+    from .pergroup import per_group_apply
+
+    out_schema = pa.schema([("latency_bucket", pa.int64()),
+                            ("n_p", pa.int64())])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        u = np.asarray(one_chunk(t["user_id"])).astype(np.int64)
+        us = np.asarray(one_chunk(t["us"])).astype(np.int64)
+        et = one_chunk(t["event_type"])
+        n = len(u)
+        is_from = np.asarray(pc.equal(et, from_type)).astype(bool)
+        is_to = np.asarray(pc.equal(et, to_type)).astype(bool)
+        starts = np.concatenate(
+            [[0], np.nonzero(u[1:] != u[:-1])[0] + 1]).astype(np.int64)
+        sizes = np.diff(np.concatenate([starts, [n]]))
+        row_start = np.repeat(starts, sizes)
+        # index of the latest from_type event at or before each row
+        click_idx = np.where(is_from, np.arange(n, dtype=np.int64), -1)
+        last_click = np.maximum.accumulate(click_idx)
+        # "prior" = strictly before this row
+        prior = np.empty(n, dtype=np.int64)
+        prior[0] = -1
+        prior[1:] = last_click[:-1]
+        ok = is_to & (prior >= row_start)
+        if not ok.any():
+            return pa.table({f.name: pa.array([], type=f.type)
+                             for f in out_schema})
+        gap_min = (us[ok] - us[prior[ok]]) // 60_000_000
+        buckets = np.frompyfunc(
+            lambda v: int(v + 1).bit_length() - 1, 1, 1)(gap_min) \
+            .astype(np.int64)
+        vals, counts = np.unique(buckets, return_counts=True)
+        return pa.table({"latency_bucket": pa.array(vals),
+                         "n_p": pa.array(counts.astype(np.int64))})
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(one_chunk(t["ts"]), pa.timestamp("us")),
+                     pa.int64())
+        return pa.table({"user_id": t["user_id"], "us": us,
+                         "event_id": t["event_id"],
+                         "event_type": t["event_type"]})
+
+    partials = per_group_apply(
+        events.map_batches(prep, batch_format="pyarrow"),
+        "user_id", ["us", "event_id"], kernel, out_schema)
+    return partials.groupby("latency_bucket") \
+        .aggregate(Sum("n_p", alias_name="n_conversions"))
+
+
+def lorenz_revenue_deciles(orders):
+    """Lorenz-curve points of customer revenue concentration: for each
+    customer-count decile (customers sorted by total spend ascending),
+    the cumulative revenue share in permille — the "bottom 80% of
+    customers hold X% of revenue" table.  Returns
+    (decile, n_customers_cum, value_share_permille).
+
+    Per-customer totals via one combiner groupby; the cumulative walk
+    runs over the (total_milli → customer count) histogram — driver
+    memory bounded by distinct totals (milli grid), never customers
+    with distinct spend ≫ memory (same histogram-walk contract as
+    every exact-quantile operator here).  Ties split deterministically
+    (each tied customer contributes the same total).
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        vm = pc.cast(pc.floor(pc.multiply(
+            one_chunk(t["o_totalprice"]), pa.scalar(1000.0))),
+            pa.int64())
+        g = pa.table({"o_custkey": t["o_custkey"], "vm": vm}) \
+            .group_by("o_custkey").aggregate([("vm", "sum")])
+        return pa.table({"o_custkey": g["o_custkey"],
+                         "t_p": g["vm_sum"].cast(pa.int64())})
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        tot = np.asarray(one_chunk(t["total"])).astype(np.int64)
+        vals, counts = np.unique(tot, return_counts=True)
+        return pa.table({"vm": pa.array(vals),
+                         "c_p": pa.array(counts.astype(np.int64))})
+
+    hist = (orders.map_batches(partial, batch_format="pyarrow")
+            .groupby("o_custkey").aggregate(Sum("t_p", alias_name="total"))
+            .map_batches(hist_partial, batch_format="pyarrow")
+            .groupby("vm").aggregate(Sum("c_p", alias_name="c"))
+            .to_pandas())
+    hist = hist.sort_values("vm").reset_index(drop=True)
+    vm = hist["vm"].to_numpy().astype(np.int64)
+    c = hist["c"].to_numpy().astype(np.int64)
+    cum_n = np.concatenate([[0], np.cumsum(c)])
+    cum_v = np.concatenate([[0], np.cumsum(vm * c)])
+    n_total = int(cum_n[-1])
+    v_total = int(cum_v[-1])
+    rows = []
+    for d in range(1, 11):
+        rank = -(-d * n_total // 10)            # ceil
+        i = int(np.searchsorted(cum_n, rank, side="left"))
+        # cumulative value of the first `rank` customers: whole tie
+        # groups below i, plus (rank − customers below) × value at i
+        share_v = int(cum_v[i - 1] + (rank - cum_n[i - 1]) * vm[i - 1]) \
+            if rank else 0
+        rows.append({"decile": d, "n_customers_cum": int(rank),
+                     "value_share_permille":
+                         1000 * share_v // max(v_total, 1)})
+    return pd.DataFrame(rows, columns=["decile", "n_customers_cum",
+                                       "value_share_permille"]) \
+        .astype("int64")
+
+
+def rowgroup_advisor(docs, target_bytes: int = 134_217_728):
+    """Write-layout advisor: from the corpus's exact row count and
+    text-byte total, the rows-per-row-group that hits the 128 MiB
+    parquet target — one aggregate, one output row
+    (n_rows, sum_text_bytes, avg_row_bytes_milli, rows_per_target).
+    """
+    import pandas as pd
+    from ray.data.aggregate import Count, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({"b": pc.utf8_length(
+            one_chunk(t["text"])).cast(pa.int64())})
+
+    agg = docs.map_batches(partial, batch_format="pyarrow") \
+        .aggregate(Count(alias_name="n"), Sum("b", alias_name="s"))
+    n, s = int(agg["n"]), int(agg["s"])
+    return pd.DataFrame([{
+        "n_rows": n,
+        "sum_text_bytes": s,
+        "avg_row_bytes_milli": 1000 * s // max(n, 1),
+        "rows_per_target": target_bytes * n // max(s, 1)}]) \
+        .astype("int64")
