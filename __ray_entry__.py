@@ -4694,6 +4694,26 @@ def _q_rowgroup_advisor(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["text"]))
 
 
+def _q_neardup_eval(sf_dir: str):
+    """Precision/recall of banded simhash vs exact trigram-Jaccard
+    truth on the adjacent-pair probe set."""
+    import ray.data
+
+    from pdf2doi_ray.stages.dedup import neardup_eval
+    return neardup_eval(ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
+
+
+def _q_char_bigram_familiarity(sf_dir: str):
+    """Fluency proxy: per-doc mean corpus char-bigram frequency —
+    census groupby + 512 KB broadcast table + vectorized gather."""
+    import ray.data
+
+    from pdf2doi_ray.stages.textstats import char_bigram_familiarity
+    return char_bigram_familiarity(ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -4749,6 +4769,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversion_latency_histogram": _q_conversion_latency,
         "lorenz_revenue_deciles": _q_lorenz_deciles,
         "rowgroup_advisor": _q_rowgroup_advisor,
+        # round-4 continuation wave 17
+        "neardup_eval": _q_neardup_eval,
+        "char_bigram_familiarity": _q_char_bigram_familiarity,
         "clip_identifiers": _q_clip,
         "resolve_redirects": _q_resolve_redirects,
         "rolling_time_sum": _q_rolling_time_sum,
@@ -9951,6 +9974,48 @@ SELECT n_rows, sum_text_bytes,
        CAST(134217728 * n_rows // greatest(sum_text_bytes, 1)
             AS BIGINT) AS rows_per_target
 FROM a
+"""
+    # evaluation harness: the approximate detector's SQL and the exact
+    # truth's SQL compose as subqueries — the confusion matrix is then
+    # recomputable end-to-end by the oracle engine
+    sql["neardup_eval"] = f"""
+WITH pred AS (SELECT p.pair_a AS doc_id
+              FROM ({sql['simhash_near_dups']}) p
+              WHERE p.pair_b = p.pair_a + 1),
+truth AS ({sql['ngram_jaccard']}),
+j AS (SELECT t.doc_id,
+             (t.jaccard_next_permille >= 500) AS pos,
+             (pred.doc_id IS NOT NULL) AS pr
+      FROM truth t LEFT JOIN pred USING (doc_id)),
+c AS (SELECT
+        CAST(sum(CASE WHEN pr AND pos THEN 1 ELSE 0 END) AS BIGINT)
+            AS tp,
+        CAST(sum(CASE WHEN pr AND NOT pos THEN 1 ELSE 0 END) AS BIGINT)
+            AS fp,
+        CAST(sum(CASE WHEN NOT pr AND pos THEN 1 ELSE 0 END) AS BIGINT)
+            AS fn,
+        CAST(sum(CASE WHEN NOT pr AND NOT pos THEN 1 ELSE 0 END)
+             AS BIGINT) AS tn
+      FROM j)
+SELECT tp, fp, fn, tn,
+       CAST(1000 * tp // greatest(tp + fp, 1) AS BIGINT)
+           AS precision_permille,
+       CAST(1000 * tp // greatest(tp + fn, 1) AS BIGINT)
+           AS recall_permille
+FROM c
+"""
+    sql["char_bigram_familiarity"] = """
+WITH bg AS (SELECT doc_id, substr(text, i, 2) AS b
+            FROM documents,
+                 UNNEST(range(1, length(text))) AS t(i)),
+c AS (SELECT b, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY 1),
+s AS (SELECT bg.doc_id, CAST(sum(c.n) AS BIGINT) AS fam_sum,
+             CAST(count(*) AS BIGINT) AS nb
+      FROM bg JOIN c USING (b) GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(s.nb, 0) AS n_bigrams,
+       CAST(coalesce(s.fam_sum // s.nb, 0) AS BIGINT) AS familiarity
+FROM documents d LEFT JOIN s USING (doc_id)
 """
     sql["dau_wau_stickiness"] = """
 WITH u AS (SELECT DISTINCT user_id,

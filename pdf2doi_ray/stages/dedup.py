@@ -1457,3 +1457,60 @@ def prefix_dup_flags(docs):
     return interior.union(
         carries.map_batches(stitch, batch_format="pyarrow",
                             batch_size=None))
+
+
+def neardup_eval(docs, jaccard_threshold_permille: int = 500,
+                 max_hamming: int = 3, num_partitions: int = 8):
+    """Dedup-quality evaluation harness: score the APPROXIMATE
+    near-dup detector (banded simhash, Hamming ≤ h) against the EXACT
+    trigram-Jaccard ground truth on the adjacent-pair probe set
+    (doc_id, doc_id+1).  Returns one row
+    (tp, fp, fn, tn, precision_permille, recall_permille) — the
+    precision/recall a curation run quotes before trusting the cheap
+    detector at 100 TB.
+
+    The simhash pair list is the SMALL side by contract (near-dups are
+    rare): its adjacent pairs broadcast as a set; the corpus-sized
+    exact-Jaccard stream folds per batch into four counters — no
+    corpus-sized driver collection, one scalar aggregate.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    pairs = simhash_near_dups(docs, max_hamming=max_hamming,
+                              num_partitions=num_partitions) \
+        .to_pandas()
+    adj = set(int(a) for a, b in zip(pairs["pair_a"], pairs["pair_b"])
+              if int(b) == int(a) + 1)
+    adj_ref = ray.put(adj)
+
+    truth = ngram_jaccard_adjacent(docs)
+
+    def fold(t: pa.Table) -> pa.Table:
+        flagged = ray.get(adj_ref)
+        ids = np.asarray(one_chunk(t["doc_id"])).astype(np.int64)
+        jac = np.asarray(
+            one_chunk(t["jaccard_next_permille"])).astype(np.int64)
+        pred = np.fromiter((int(i) in flagged for i in ids),
+                           dtype=bool, count=len(ids))
+        pos = jac >= jaccard_threshold_permille
+        return pa.table({
+            "tp": pa.array([int((pred & pos).sum())], type=pa.int64()),
+            "fp": pa.array([int((pred & ~pos).sum())], type=pa.int64()),
+            "fn": pa.array([int((~pred & pos).sum())], type=pa.int64()),
+            "tn": pa.array([int((~pred & ~pos).sum())],
+                           type=pa.int64())})
+
+    agg = truth.map_batches(fold, batch_format="pyarrow") \
+        .aggregate(Sum("tp", alias_name="tp"),
+                   Sum("fp", alias_name="fp"),
+                   Sum("fn", alias_name="fn"),
+                   Sum("tn", alias_name="tn"))
+    tp, fp, fn, tn = (int(agg[k]) for k in ("tp", "fp", "fn", "tn"))
+    return pd.DataFrame([{
+        "tp": tp, "fp": fp, "fn": fn, "tn": tn,
+        "precision_permille": 1000 * tp // max(tp + fp, 1),
+        "recall_permille": 1000 * tp // max(tp + fn, 1)}]) \
+        .astype("int64")

@@ -649,3 +649,72 @@ def word_len_histogram(docs):
     return (docs.map_batches(partial, batch_format="pyarrow")
             .groupby("word_len")
             .aggregate(Sum("n_p", alias_name="n_words")))
+
+
+def char_bigram_familiarity(docs):
+    """Language-model-free fluency proxy: per document, the average
+    CORPUS frequency of its character bigrams — gibberish and
+    wrong-charset text score low because its bigrams are rare.
+    Returns (doc_id, n_bigrams, familiarity) with
+    ``familiarity = Σ corpus_count(bigram) // n_bigrams`` (exact ints).
+
+    Two passes: (1) corpus bigram census — per-batch ``bincount`` over
+    byte-pair codes, nonzero (bigram, n) combiner rows, ONE groupby
+    whose key domain is ≤ 65 536; (2) the ≤ 512 KB dense count table
+    broadcasts via ``ray.put`` and every document scores in a
+    vectorized gather + ``reduceat``.  Cross-row byte pairs are
+    masked; documents shorter than 2 bytes score 0.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def codes_of(batch: pa.Table):
+        data, offsets = _text_bytes(batch["text"])
+        if len(data) < 1:
+            return (np.zeros(0, dtype=np.int64),
+                    np.zeros(0, dtype=np.int64), offsets)
+        pair = data[:-1].astype(np.int64) * 256 + data[1:]
+        # position j pairs bytes (j, j+1); invalid where j+1 starts a row
+        valid = np.ones(len(pair), dtype=bool)
+        pos = offsets[1:-1] - 1               # row starts after the first
+        # empty leading/trailing rows yield positions outside the pair
+        # array — no pair exists there to invalidate
+        pos = pos[(pos >= 0) & (pos < len(pair))]
+        valid[pos] = False
+        return pair, valid, offsets
+
+    def census(t: pa.Table) -> pa.Table:
+        pair, valid, _ = codes_of(t)
+        if len(pair) == 0:
+            return pa.table({"bigram": pa.array([], type=pa.int64()),
+                             "n_p": pa.array([], type=pa.int64())})
+        counts = np.bincount(pair[valid], minlength=65536)
+        nz = np.nonzero(counts)[0]
+        return pa.table({"bigram": pa.array(nz.astype(np.int64)),
+                         "n_p": pa.array(counts[nz].astype(np.int64))})
+
+    freq = (docs.map_batches(census, batch_format="pyarrow")
+            .groupby("bigram").aggregate(Sum("n_p", alias_name="n"))
+            .to_pandas())
+    table = np.zeros(65536, dtype=np.int64)
+    table[freq["bigram"].to_numpy()] = freq["n"].to_numpy()
+    table_ref = ray.put(table)
+
+    def score(t: pa.Table) -> pa.Table:
+        tab = ray.get(table_ref)
+        pair, valid, offsets = codes_of(t)
+        vals = np.where(valid, tab[pair], 0) if len(pair) else \
+            np.zeros(0, dtype=np.int64)
+        # per-row sums over the pair positions [off[i], off[i+1]-1)
+        cum = np.concatenate([[0], np.cumsum(vals)])
+        lo = np.minimum(offsets[:-1], len(vals))
+        hi = np.minimum(np.maximum(offsets[1:] - 1, lo), len(vals))
+        sums = cum[hi] - cum[lo]
+        nb = np.maximum(np.diff(offsets) - 1, 0)
+        fam = np.where(nb > 0, sums // np.maximum(nb, 1), 0)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_bigrams": pa.array(nb.astype(np.int64)),
+            "familiarity": pa.array(fam.astype(np.int64))})
+
+    return docs.map_batches(score, batch_format="pyarrow")
