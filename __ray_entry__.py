@@ -4714,6 +4714,25 @@ def _q_char_bigram_familiarity(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
 
 
+def _q_basket_size_histogram(sf_dir: str):
+    """Line items per order distribution, two combiner exchanges."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import basket_size_histogram
+    return basket_size_histogram(ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]))
+
+
+def _q_lang_run_stats(sf_dir: str):
+    """Per-lang run-length audit over doc order via the island =
+    global-rank − per-lang-rank identity (two zipWithIndexes)."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import lang_run_stats
+    return lang_run_stats(ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]))
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -4772,6 +4791,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 continuation wave 17
         "neardup_eval": _q_neardup_eval,
         "char_bigram_familiarity": _q_char_bigram_familiarity,
+        # round-4 continuation wave 18
+        "basket_size_histogram": _q_basket_size_histogram,
+        "lang_run_stats": _q_lang_run_stats,
         "clip_identifiers": _q_clip,
         "resolve_redirects": _q_resolve_redirects,
         "rolling_time_sum": _q_rolling_time_sum,
@@ -10016,6 +10038,25 @@ SELECT d.doc_id,
        coalesce(s.nb, 0) AS n_bigrams,
        CAST(coalesce(s.fam_sum // s.nb, 0) AS BIGINT) AS familiarity
 FROM documents d LEFT JOIN s USING (doc_id)
+"""
+    sql["basket_size_histogram"] = """
+WITH o AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n
+           FROM lineitem GROUP BY 1)
+SELECT n AS basket_size, CAST(count(*) AS BIGINT) AS n_orders
+FROM o GROUP BY 1
+"""
+    sql["lang_run_stats"] = """
+WITH s AS (SELECT doc_id, lang,
+                  row_number() OVER (ORDER BY doc_id) AS rn,
+                  row_number() OVER (PARTITION BY lang
+                                     ORDER BY doc_id) AS rl
+           FROM documents),
+r AS (SELECT lang, rn - rl AS isl, CAST(count(*) AS BIGINT) AS run
+      FROM s GROUP BY 1, 2)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_runs,
+       CAST(max(run) AS BIGINT) AS max_run,
+       CAST(sum(run) AS BIGINT) AS n_docs
+FROM r GROUP BY 1
 """
     sql["dau_wau_stickiness"] = """
 WITH u AS (SELECT DISTINCT user_id,

@@ -4077,3 +4077,91 @@ def rowgroup_advisor(docs, target_bytes: int = 134_217_728):
         "avg_row_bytes_milli": 1000 * s // max(n, 1),
         "rows_per_target": target_bytes * n // max(s, 1)}]) \
         .astype("int64")
+
+
+def basket_size_histogram(lineitem):
+    """Order-basket-size distribution: (basket_size, n_orders) where
+    basket size = line items per order — the Q13-shaped histogram on
+    the fact table.  Two combiner exchanges, both tiny on arrival:
+    per-order counts collapse per batch, then per-size counts collapse
+    per batch.
+    """
+    from ray.data.aggregate import Sum
+
+    def per_order(t: pa.Table) -> pa.Table:
+        g = t.select(["l_orderkey"]).group_by("l_orderkey") \
+            .aggregate([([], "count_all")])
+        return pa.table({"l_orderkey": g["l_orderkey"],
+                         "n_p": g["count_all"].cast(pa.int64())})
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        n = np.asarray(one_chunk(t["n_items"])).astype(np.int64)
+        vals, counts = np.unique(n, return_counts=True)
+        return pa.table({"basket_size": pa.array(vals),
+                         "c_p": pa.array(counts.astype(np.int64))})
+
+    return (lineitem.map_batches(per_order, batch_format="pyarrow")
+            .groupby("l_orderkey")
+            .aggregate(Sum("n_p", alias_name="n_items"))
+            .map_batches(hist_partial, batch_format="pyarrow")
+            .groupby("basket_size")
+            .aggregate(Sum("c_p", alias_name="n_orders")))
+
+
+def lang_run_stats(docs):
+    """Storage-clustering audit: run-length statistics of the ``lang``
+    column over doc_id order — (lang, n_runs, max_run, n_docs).  Long
+    runs mean a lang-partitioned rewrite is nearly free; run count ≈
+    doc count means it would shuffle everything.
+
+    Pure composition of the two zipWithIndex engines: the classic
+    gaps-and-islands identity ``island = global_rank − per-lang rank``
+    (constant within a run, distinct across runs) turns run detection
+    into two narrow sorts + a (lang, island) groupby — no boundary
+    stitch machinery at all.
+    """
+    from ray.data.aggregate import Count, Max, Sum
+
+    from .corpus import md5_u64  # noqa: F401 (module link for readers)
+
+    base = docs.select_columns(["doc_id", "lang"])
+    per_lang = grouped_zip_index(base, "lang", "doc_id", out_col="rl")
+
+    # global rank via the block-offset zipWithIndex over doc_id order
+    srt = per_lang.sort("doc_id").materialize()
+
+    def block_meta(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"k0": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        return pa.table({
+            "k0": pa.array([one_chunk(t["doc_id"])[0].as_py()],
+                           type=pa.int64()),
+            "n": pa.array([t.num_rows], type=pa.int64())})
+
+    meta = srt.map_batches(block_meta, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    meta = meta.sort_values("k0").reset_index(drop=True)
+    offsets = dict(zip(
+        meta["k0"].astype(int),
+        np.concatenate([[0], meta["n"].cumsum().to_numpy()[:-1]])
+        .astype(int)))
+
+    def islands(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"lang": pa.array([], type=pa.string()),
+                             "island": pa.array([], type=pa.int64())})
+        base_off = offsets[int(one_chunk(t["doc_id"])[0].as_py())]
+        rn = base_off + np.arange(1, t.num_rows + 1, dtype=np.int64)
+        rl = np.asarray(one_chunk(t["rl"])).astype(np.int64)
+        return pa.table({"lang": t["lang"],
+                         "island": pa.array(rn - rl)})
+
+    runs = (srt.map_batches(islands, batch_format="pyarrow",
+                            batch_size=None)
+            .groupby(["lang", "island"])
+            .aggregate(Count(alias_name="run")))
+    return (runs.groupby("lang")
+            .aggregate(Count(alias_name="n_runs"),
+                       Max("run", alias_name="max_run"),
+                       Sum("run", alias_name="n_docs")))
