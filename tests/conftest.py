@@ -12,6 +12,11 @@ def ray_session():
         from ray.data import DataContext
         ctx = DataContext.get_current()
         ctx.enable_progress_bars = False
+        # hash-join aggregator actors cost 0.125 CPU EACH; uncapped
+        # (min_parallelism) pools reserve all 4 CPUs of this fixture and
+        # deadlock the upstream map tasks — cap to half the cluster
+        # (see stages/joins._cap_shuffle_aggregators)
+        ctx.max_hash_shuffle_aggregators = 8
     except Exception:
         pass
     yield
