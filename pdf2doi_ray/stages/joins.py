@@ -66,31 +66,32 @@ def broadcast_hash_join(big, small, on, right_on=None, join_type="inner",
     return big.map_batches(join_batch, batch_format="pyarrow")
 
 
-def _cap_shuffle_aggregators() -> None:
-    """Bound the hash-shuffle aggregator pool to HALF the cluster's
-    CPUs when the user hasn't set a cap.
+def _clamp_join_partitions(requested: int) -> int:
+    """Clamp a hash-join's partition count so its aggregator pool can
+    never reserve more than ~a quarter of the cluster's CPUs.
 
-    Ray's hash join spawns ``min(num_partitions,
-    max_hash_shuffle_aggregators)`` aggregator ACTORS at 0.125 CPU
-    each; with the defaults (P=32 → 32 actors = 4.0 CPUs) a 4-CPU
-    cluster is fully reserved by the pool and the upstream map tasks
-    can never run — a hard deadlock, observed in the 4-CPU test
-    fixture.  Capping actors at ``2 × CPUs`` keeps the pool at ≤ half
-    the cores (0.125 × 2·C = C/4) and is a no-op on big clusters where
-    the cap exceeds ``num_partitions``.
+    Ray's hash join reserves ``0.125 CPU × num_partitions`` of
+    aggregator-ACTOR cpu for the whole shuffle: partitions are packed
+    onto ``min(P, max_hash_shuffle_aggregators)`` actors, but each
+    actor requests ``0.125 × its partition share``, so the pool's SUM
+    is always P/8 CPUs no matter how few actors run.  Capping the
+    actor COUNT therefore cannot help (measured on this build: P=32
+    with an 8-actor cap → 8 actors × 0.5 CPU = 4.0 CPUs — the entire
+    4-CPU test cluster — with upstream map tasks stuck forever at
+    ``num_waiting_for_remote_node_resources``).  Clamping P ≤ 2×CPUs
+    bounds the reservation at CPUs/4 and is a no-op on any cluster
+    with ≥ P/2 cores, so production-scale joins keep their requested
+    partitioning.
     """
     import ray
-    from ray.data.context import DataContext
 
-    ctx = DataContext.get_current()
-    if getattr(ctx, "max_hash_shuffle_aggregators", None):
-        return                                  # user already chose
     try:
         cpus = int(ray.cluster_resources().get("CPU", 0))
     except Exception:  # noqa: BLE001 — not initialised yet
-        return
-    if cpus:
-        ctx.max_hash_shuffle_aggregators = max(2, 2 * cpus)
+        return requested
+    if not cpus:
+        return requested
+    return max(2, min(requested, 2 * cpus))
 
 
 def shuffle_hash_join(left, right, on, right_on=None, join_type="inner",
@@ -108,7 +109,7 @@ def shuffle_hash_join(left, right, on, right_on=None, join_type="inner",
     on = (on,) if isinstance(on, str) else tuple(on)
     right_on = ((right_on,) if isinstance(right_on, str)
                 else tuple(right_on)) if right_on is not None else None
-    _cap_shuffle_aggregators()
+    num_partitions = _clamp_join_partitions(num_partitions)
     # this Ray build's hash join crashes ("No match ... for key field
     # reference") when ANY input block is empty, even schema-typed ones
     # (verified on a minimal [empty, full] from_arrow_refs fixture); a

@@ -12,10 +12,10 @@ def ray_session():
         from ray.data import DataContext
         ctx = DataContext.get_current()
         ctx.enable_progress_bars = False
-        # hash-join aggregator actors cost 0.125 CPU EACH; uncapped
-        # (min_parallelism) pools reserve all 4 CPUs of this fixture and
-        # deadlock the upstream map tasks — cap to half the cluster
-        # (see stages/joins._cap_shuffle_aggregators)
+        # hash-join aggregator pools reserve 0.125 CPU × num_partitions
+        # REGARDLESS of actor count — joins.shuffle_hash_join clamps P to
+        # 2×CPUs (see stages/joins._clamp_join_partitions); the actor-count
+        # cap here is belt-and-braces against pathological actor spread.
         ctx.max_hash_shuffle_aggregators = 8
     except Exception:
         pass

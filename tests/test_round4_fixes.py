@@ -186,3 +186,31 @@ def test_collect_tables_single_execution_and_empty():
     out_empty = collect_tables(
         empty.map_batches(lambda b: b, batch_format="pyarrow"))
     assert out_empty.num_rows == 0
+
+
+def test_clamp_join_partitions_small_cluster(ray_session):
+    """Hash-join aggregator pools reserve 0.125 CPU x num_partitions no
+    matter how few actors host them, so P=32 reserves 4.0 CPUs — the whole
+    4-CPU test cluster — and upstream maps deadlock (observed live:
+    dispatch queue stuck at num_waiting_for_remote_node_resources=2 with
+    8 aggregators x 0.5 CPU).  shuffle_hash_join must clamp P <= 2xCPUs
+    on small clusters and keep the caller's P on big ones."""
+    from pdf2doi_ray.stages.joins import (_clamp_join_partitions,
+                                          shuffle_hash_join)
+    import ray
+    import ray.data as rd
+
+    cpus = int(ray.cluster_resources()["CPU"])  # 4 in the fixture
+    assert _clamp_join_partitions(32) == min(32, 2 * cpus)
+    assert _clamp_join_partitions(2 * cpus + 5) == 2 * cpus
+    assert _clamp_join_partitions(2) == 2          # floor survives
+    assert _clamp_join_partitions(cpus) == cpus    # small P untouched
+
+    # end-to-end: the exact shape that deadlocked — P=32 on the 4-CPU
+    # fixture — must now complete
+    l = rd.range(20000).map_batches(
+        lambda t: t.rename_columns(["k"]), batch_format="pyarrow")
+    r = rd.range(5000).map_batches(
+        lambda t: t.rename_columns(["k"]), batch_format="pyarrow")
+    out = shuffle_hash_join(l, r, on="k", num_partitions=32)
+    assert out.count() == 5000
