@@ -4733,6 +4733,58 @@ def _q_lang_run_stats(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]))
 
 
+def _q_event_debounce(sf_dir: str):
+    """Per-(user,event_type) streaming throttle: keep an event iff it is
+    first for its key or >60 s after the key's previous event — the
+    sorted-block per-group engine with a one-predecessor keep mask."""
+    import ray.data
+
+    from pdf2doi_ray.stages.windows import event_debounce
+    return event_debounce(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "ts"]))
+
+
+def _q_batch_padding_plan(sf_dir: str):
+    """Pad-to-longest collator audit over longest-first fixed-size batches:
+    one 2-int64 sort + block-offset zipWithIndex + per-batch partials."""
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import batch_padding_plan
+    return batch_padding_plan(ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        batch_docs=64)
+
+
+def _q_personalized_pagerank(sf_dir: str):
+    """Seeded (label-0) personalized PageRank over the symmetric embedding
+    near-dup graph, 3 rounds of exact scaled-integer mass passing —
+    bit-identical to the unrolled SQL oracle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from pdf2doi_ray.stages.graph import personalized_pagerank
+
+    pairs = _q_embedding_near_dups(sf_dir)
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t["vec_a"].combine_chunks().cast(pa.int64())
+        b = t["vec_b"].combine_chunks().cast(pa.int64())
+        return pa.table({"src": pa.concat_arrays([a, b]),
+                         "dst": pa.concat_arrays([b, a])})
+
+    edges = pairs.map_batches(sym, batch_format="pyarrow")
+    nodes = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "label"]).map_batches(
+        lambda t: pa.table({
+            "node": t["vec_id"].cast(pa.int64()),
+            "seed": pc.cast(pc.equal(t["label"], 0), pa.int64())}),
+        batch_format="pyarrow")
+    return personalized_pagerank(edges, nodes, n_iters=3)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -4794,6 +4846,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 continuation wave 18
         "basket_size_histogram": _q_basket_size_histogram,
         "lang_run_stats": _q_lang_run_stats,
+        # round-4 continuation wave 19
+        "event_debounce": _q_event_debounce,
+        "batch_padding_plan": _q_batch_padding_plan,
+        "personalized_pagerank": _q_personalized_pagerank,
         "clip_identifiers": _q_clip,
         "resolve_redirects": _q_resolve_redirects,
         "rolling_time_sum": _q_rolling_time_sum,
@@ -10070,5 +10126,62 @@ w AS (SELECT t.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
 SELECT d.day, d.dau, w.wau,
        CAST(1000 * d.dau // w.wau AS BIGINT) AS stickiness_permille
 FROM d JOIN w USING (day)
+"""
+    sql["event_debounce"] = """
+WITH x AS (SELECT event_id, user_id, event_type, ts,
+                  lag(ts) OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS pts
+           FROM events)
+SELECT event_id, user_id, event_type FROM x
+WHERE pts IS NULL OR ts - pts > INTERVAL 60 SECOND
+"""
+    sql["batch_padding_plan"] = """
+WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok
+           FROM documents),
+r AS (SELECT doc_id, n_tok,
+             row_number() OVER (ORDER BY n_tok DESC, doc_id) - 1 AS rn
+      FROM t)
+SELECT CAST(rn // 64 AS BIGINT) AS batch_id,
+       count(*) AS n_docs,
+       CAST(max(n_tok) AS BIGINT) AS max_tokens,
+       CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+       CAST(count(*) * max(n_tok) - sum(n_tok) AS BIGINT) AS pad_waste
+FROM r GROUP BY 1
+"""
+    sql["personalized_pagerank"] = """
+WITH p AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        >= 0.40),
+e AS (SELECT va AS src, vb AS dst FROM p
+      UNION ALL SELECT vb AS src, va AS dst FROM p),
+n AS (SELECT vec_id AS node,
+             CASE WHEN label = 0 THEN 1 ELSE 0 END AS seed
+      FROM embeddings),
+d AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+r0 AS (SELECT node, CAST(seed * 1000000 AS BIGINT) AS r FROM n),
+s1 AS (SELECT e.dst AS node,
+              CAST(sum((r0.r * 85) // (100 * d.outdeg)) AS BIGINT) AS s
+       FROM e JOIN d ON d.src = e.src JOIN r0 ON r0.node = e.src
+       GROUP BY e.dst),
+r1 AS (SELECT n.node, CAST(n.seed * 150000 + COALESCE(s1.s, 0) AS BIGINT)
+               AS r
+       FROM n LEFT JOIN s1 ON s1.node = n.node),
+s2 AS (SELECT e.dst AS node,
+              CAST(sum((r1.r * 85) // (100 * d.outdeg)) AS BIGINT) AS s
+       FROM e JOIN d ON d.src = e.src JOIN r1 ON r1.node = e.src
+       GROUP BY e.dst),
+r2 AS (SELECT n.node, CAST(n.seed * 150000 + COALESCE(s2.s, 0) AS BIGINT)
+               AS r
+       FROM n LEFT JOIN s2 ON s2.node = n.node),
+s3 AS (SELECT e.dst AS node,
+              CAST(sum((r2.r * 85) // (100 * d.outdeg)) AS BIGINT) AS s
+       FROM e JOIN d ON d.src = e.src JOIN r2 ON r2.node = e.src
+       GROUP BY e.dst),
+r3 AS (SELECT n.node, CAST(n.seed * 150000 + COALESCE(s3.s, 0) AS BIGINT)
+               AS r
+       FROM n LEFT JOIN s3 ON s3.node = n.node)
+SELECT node, r AS rank_micro FROM r3
 """
     return sql

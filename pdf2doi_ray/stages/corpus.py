@@ -4242,3 +4242,109 @@ def source_lang_concentration(docs):
             .aggregate(Sum("n_p", alias_name="n"))
             .repartition(1)
             .map_batches(fold, batch_format="pyarrow", batch_size=None))
+
+
+def batch_padding_plan(docs, batch_docs: int = 64):
+    """Dynamic-batching audit: sort docs by whitespace-token count
+    DESCENDING (longest-first — the standard padding-minimizing collation
+    order), cut the stream into fixed-size batches of ``batch_docs`` docs,
+    and report what a pad-to-longest collator spends per batch:
+    ``pad_waste = n_docs·max_tokens − sum_tokens``.
+
+    Plan (two narrow exchanges, driver bounded by block count):
+
+    * one range-partitioned sort on ``(−n_tokens, doc_id)`` over a
+      2-int64-column projection (text never crosses the exchange);
+    * the block-offset zipWithIndex (same mechanism as
+      ``aggs.global_value_rank``): one metadata pass collects each block's
+      (first key, row count), the driver prefix-sums |blocks| offsets,
+      a second pass derives each row's global rank and thus its
+      ``batch_id = rank // batch_docs`` without any per-row shuffle;
+    * per-block PARTIAL per-batch aggregates (contiguous ranks mean a
+      batch spans at most two blocks) merged by one groupby(batch_id)
+      whose input is ≤ #batches + #blocks partial rows — never the doc
+      stream.
+
+    Returns (batch_id, n_docs, max_tokens, sum_tokens, pad_waste).
+    """
+    from ray.data.aggregate import Max, Sum
+
+    from .textstats import _tokens
+
+    def prep(t: pa.Table) -> pa.Table:
+        nt = np.asarray(
+            pc.list_value_length(_tokens(one_chunk(t["text"])))
+        ).astype(np.int64)
+        return pa.table({
+            "neg": pa.array(-nt),
+            "doc_id": one_chunk(t["doc_id"]).cast(pa.int64()),
+        })
+
+    srt = docs.map_batches(prep, batch_format="pyarrow") \
+        .sort(["neg", "doc_id"]).materialize()
+
+    def block_meta(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"k_neg": pa.array([], type=pa.int64()),
+                             "k_id": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        return pa.table({
+            "k_neg": pa.array([one_chunk(t["neg"])[0].as_py()],
+                              type=pa.int64()),
+            "k_id": pa.array([one_chunk(t["doc_id"])[0].as_py()],
+                             type=pa.int64()),
+            "n": pa.array([t.num_rows], type=pa.int64())})
+
+    meta = srt.map_batches(block_meta, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    meta = meta.sort_values(["k_neg", "k_id"]).reset_index(drop=True)
+    offsets = np.concatenate([[0], meta["n"].cumsum().to_numpy()[:-1]]) \
+        .astype(np.int64)
+    key_neg = meta["k_neg"].to_numpy().astype(np.int64)
+    key_id = meta["k_id"].to_numpy().astype(np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols = {"batch_id": pa.array([], type=pa.int64()),
+                "nd_p": pa.array([], type=pa.int64()),
+                "mt_p": pa.array([], type=pa.int64()),
+                "st_p": pa.array([], type=pa.int64())}
+        if t.num_rows == 0:
+            return pa.table(cols)
+        neg = np.asarray(one_chunk(t["neg"]))
+        i = int(np.searchsorted(key_neg, neg[0]))
+        id0 = one_chunk(t["doc_id"])[0].as_py()
+        while key_neg[i] != neg[0] or key_id[i] != id0:
+            i += 1
+        rank = offsets[i] + np.arange(t.num_rows, dtype=np.int64)
+        bid = rank // batch_docs
+        nt = -neg
+        # segment-reduce per batch id (contiguous within the sorted block)
+        change = np.nonzero(bid[1:] != bid[:-1])[0] + 1
+        starts = np.concatenate([[0], change]).astype(np.int64)
+        ends = np.concatenate([change, [t.num_rows]]).astype(np.int64)
+        csum = np.concatenate([[0], np.cumsum(nt)])
+        return pa.table({
+            "batch_id": pa.array(bid[starts]),
+            "nd_p": pa.array(ends - starts),
+            # longest-first sort ⇒ per-batch max is the first row's count
+            "mt_p": pa.array(nt[starts]),
+            "st_p": pa.array(csum[ends] - csum[starts]),
+        })
+
+    def finish(t: pa.Table) -> pa.Table:
+        nd = one_chunk(t["n_docs"]).cast(pa.int64())
+        mt = one_chunk(t["max_tokens"]).cast(pa.int64())
+        st = one_chunk(t["sum_tokens"]).cast(pa.int64())
+        return pa.table({
+            "batch_id": one_chunk(t["batch_id"]),
+            "n_docs": nd, "max_tokens": mt, "sum_tokens": st,
+            "pad_waste": pc.subtract(pc.multiply(nd, mt), st),
+        })
+
+    return (srt.map_batches(partial, batch_format="pyarrow",
+                            batch_size=None)
+            .groupby("batch_id")
+            .aggregate(Sum("nd_p", alias_name="n_docs"),
+                       Max("mt_p", alias_name="max_tokens"),
+                       Sum("st_p", alias_name="sum_tokens"))
+            .map_batches(finish, batch_format="pyarrow"))

@@ -1477,3 +1477,97 @@ def scc_members(edges, source: str, max_depth: int = 8,
     members = sorted(set(fwd["node"]) & set(bwd["node"]))
     return ray.data.from_arrow(pa.table({
         "node": pa.array(members, type=pa.string())}))
+
+
+def personalized_pagerank(edges, nodes, n_iters: int = 3,
+                          damping_pct: int = 85,
+                          scale: int = 1_000_000):
+    """Personalized PageRank with EXACT integer arithmetic: identical
+    round structure to :func:`pagerank_fixed` (shuffle mode) but all
+    initial mass AND all teleport mass concentrates on a seed set —
+    the topic-sensitive authority primitive (seed = trusted hosts →
+    TrustRank; seed = one user's nodes → recommendation affinity).
+
+    ``nodes`` must carry ``(node:int64, seed:int64 0/1)``.  Per round
+    ``r' = seed·(scale·(100−damping))//100 + Σ (r[src]·damping) //
+    (100·outdeg[src])`` — non-negative integer ops, so numpy floor
+    division and DuckDB ``//`` agree bit-for-bit and the unrolled SQL
+    oracle reproduces every rank.  Non-seed sinks decay to 0 unless
+    reachable from a seed; dangling mass drops identically on both
+    sides.
+
+    Scale shape: one broadcast hash join of ranks onto edges per round
+    (swap to ``shuffle_hash_join`` past broadcast size), one
+    ``groupby(dst)`` Sum, one broadcast left-outer back onto the node
+    list — two narrow exchanges per round over (int64,int64) rows; the
+    seed column rides the node list so no extra join is ever needed.
+
+    Returns (node, rank_micro).
+    """
+    from ray.data.aggregate import Sum
+
+    from .joins import broadcast_hash_join
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        g = t.select(["src"]).group_by("src").aggregate([([], "count_all")])
+        return pa.table({"src": g["src"],
+                         "d_p": g["count_all"].cast(pa.int64())})
+
+    outdeg = (edges.map_batches(deg_partial, batch_format="pyarrow")
+              .groupby("src").aggregate(Sum("d_p", alias_name="outdeg")))
+    edges_d = broadcast_hash_join(
+        edges, outdeg, on="src",
+        project=["src", "dst", "outdeg"]).materialize()
+
+    base_seed = (scale * (100 - damping_pct)) // 100
+
+    def init_ranks(t: pa.Table) -> pa.Table:
+        seed = t["seed"].combine_chunks().cast(pa.int64()) \
+            if isinstance(t["seed"], pa.ChunkedArray) else t["seed"]
+        return pa.table({
+            "node": t["node"],
+            "seed": seed,
+            "r": pc.multiply(seed, pa.scalar(scale, type=pa.int64())),
+        })
+
+    nodes = nodes.materialize()
+    ranks = nodes.map_batches(init_ranks,
+                              batch_format="pyarrow").materialize()
+
+    def emit(t: pa.Table) -> pa.Table:
+        r = np.asarray(t["r"].combine_chunks()
+                       if isinstance(t["r"], pa.ChunkedArray) else t["r"])
+        od = np.asarray(t["outdeg"].combine_chunks()
+                        if isinstance(t["outdeg"], pa.ChunkedArray)
+                        else t["outdeg"])
+        c = (r * damping_pct) // (100 * od)
+        return pa.table({"node": t["dst"], "c": pa.array(c)})
+
+    def fold(t: pa.Table) -> pa.Table:
+        s = pc.fill_null(t["s"], 0)
+        seed = t["seed"].combine_chunks().cast(pa.int64()) \
+            if isinstance(t["seed"], pa.ChunkedArray) else t["seed"]
+        return pa.table({
+            "node": t["node"],
+            "seed": seed,
+            "r": pc.add(pc.multiply(seed,
+                                    pa.scalar(base_seed, type=pa.int64())),
+                        s.cast(pa.int64())),
+        })
+
+    for _ in range(n_iters):
+        sums = (broadcast_hash_join(edges_d, ranks, on="src",
+                                    right_on="node",
+                                    project=["dst", "outdeg", "r"])
+                .map_batches(emit, batch_format="pyarrow")
+                .groupby("node").aggregate(Sum("c", alias_name="s")))
+        ranks = (broadcast_hash_join(ranks.drop_columns(["r"]), sums,
+                                     on="node",
+                                     join_type="left outer",
+                                     project=["node", "seed", "s"])
+                 .map_batches(fold, batch_format="pyarrow")
+                 .materialize())
+
+    return ranks.map_batches(
+        lambda t: pa.table({"node": t["node"], "rank_micro": t["r"]}),
+        batch_format="pyarrow")

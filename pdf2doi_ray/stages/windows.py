@@ -2219,3 +2219,60 @@ def sliding_distinct_users(events, window_h: int = 24,
             "n_distinct": pa.array(np.concatenate(out_n))})
     return pa.table({"window_hour": pa.array([], type=pa.int64()),
                      "n_distinct": pa.array([], type=pa.int64())})
+
+
+def event_debounce(events, min_gap_s: int = 60,
+                   stitch_shards: int = DEFAULT_STITCH_SHARDS):
+    """Streaming throttle / debounce: keep an event iff it is the FIRST of
+    its ``(user_id, event_type)`` key or arrived strictly more than
+    ``min_gap_s`` after the immediately preceding event of the same key —
+    the per-key rate-limit every event-ingest pipeline runs before fan-out
+    (dedup-within-window with a sliding predecessor, not a fixed grid).
+
+    Built on :func:`..stages.pergroup.per_group_apply` (sort on
+    ``(user_id, event_type, ts, event_id)``, vectorized keep-mask per
+    block, block-edge user groups re-resolved in key-sharded stitch
+    tasks), so the only exchange is the sort; the keep decision needs one
+    predecessor row, which per_group_apply's whole-group contract
+    guarantees is co-resident.  Ties (equal ts within a key, broken by
+    event_id) have gap 0 and are suppressed — identical to the SQL
+    ``lag()`` oracle's arithmetic.
+
+    Returns the kept rows as (event_id, user_id, event_type).
+    """
+    from .pergroup import per_group_apply
+
+    gap_us = min_gap_s * 1_000_000
+
+    def kernel(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        us = np.asarray(one_chunk(t["user_id"])).astype(np.int64)
+        et = one_chunk(t["event_type"])
+        ts = np.asarray(pc.cast(pc.cast(one_chunk(t["ts"]),
+                                        pa.timestamp("us")), pa.int64()))
+        newkey = np.ones(n, dtype=bool)
+        if n > 1:
+            same_user = us[1:] == us[:-1]
+            same_type = np.asarray(
+                pc.fill_null(pc.equal(et.slice(1), et.slice(0, n - 1)),
+                             False), dtype=bool)
+            newkey[1:] = ~(same_user & same_type)
+        gap = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            gap[1:] = ts[1:] - ts[:-1]
+        keep = pa.array(newkey | (gap > gap_us))
+        return pa.table({
+            "event_id": one_chunk(t["event_id"]).cast(pa.int64()),
+            "user_id": pa.array(us),
+            "event_type": et,
+        }).filter(keep)
+
+    out_schema = pa.schema([("event_id", pa.int64()),
+                            ("user_id", pa.int64()),
+                            ("event_type", pa.string())])
+    proj = events.select_columns(["event_id", "user_id", "event_type",
+                                  "ts"])
+    return per_group_apply(proj, "user_id", ["event_type", "ts",
+                                             "event_id"],
+                           kernel, out_schema,
+                           stitch_shards=stitch_shards)
