@@ -4785,6 +4785,31 @@ def _q_personalized_pagerank(sf_dir: str):
     return personalized_pagerank(edges, nodes, n_iters=3)
 
 
+def _q_tag_census(sf_dir: str):
+    """DOM markup census per page (meta-tag count, text-to-markup ratio):
+    one vectorized map over the html binary, no shuffle; the oracle
+    rebuilds the html string in SQL and counts independently."""
+    from pdf2doi_ray.stages.skew import tag_census
+    return tag_census(_pages(sf_dir))
+
+
+def _q_crawl_recency(sf_dir: str):
+    """Per-host crawl-freshness buckets against the frontier max warc_ts:
+    scalar max pass + per-batch bucket combiner + tiny groupby(host)."""
+    from pdf2doi_ray.stages.skew import crawl_recency_report
+    return crawl_recency_report(_pages(sf_dir))
+
+
+def _q_recency_weighted_value(sf_dir: str):
+    """Per-user half-life-decayed engagement score with exact power-of-two
+    integer decay (value_milli >> age_days)."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import recency_weighted_value
+    return recency_weighted_value(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]))
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -4850,6 +4875,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_debounce": _q_event_debounce,
         "batch_padding_plan": _q_batch_padding_plan,
         "personalized_pagerank": _q_personalized_pagerank,
+        # round-4 continuation wave 20
+        "tag_census": _q_tag_census,
+        "crawl_recency_report": _q_crawl_recency,
+        "recency_weighted_value": _q_recency_weighted_value,
         "clip_identifiers": _q_clip,
         "resolve_redirects": _q_resolve_redirects,
         "rolling_time_sum": _q_rolling_time_sum,
@@ -10183,5 +10212,66 @@ r3 AS (SELECT n.node, CAST(n.seed * 150000 + COALESCE(s3.s, 0) AS BIGINT)
                AS r
        FROM n LEFT JOIN s3 ON s3.node = n.node)
 SELECT node, r AS rank_micro FROM r3
+"""
+    sql["tag_census"] = f"""
+WITH d AS ({_D}),
+x AS (SELECT {_URL} AS url,
+       base_text || {_TEXT_SUFFIX} AS text,
+       '<!DOCTYPE html><html lang="' || lang
+       || '"><head><meta charset="utf-8">'
+       || '<meta name="generator" content="engine/2.1">'
+       || CASE WHEN slot IN (0,1)
+               THEN '<meta name="citation_doi" content="10.' || reg
+                    || '/meta.' || ks || '">'
+               WHEN slot = 2
+               THEN '<meta name="wps-journaldoi" content="10.' || reg
+                    || '/blocked.' || ks || '">'
+               WHEN slot = 12
+               THEN '<meta name="citation_doi" content="10.' || reg
+                    || '/mc.' || ks || '">'
+               WHEN slot = 16
+               THEN '<meta name="author" content="nobody">'
+                    || '<meta name="identifier" content="10.' || reg
+                    || ':ns.' || ks || '">'
+               ELSE '' END
+       || '<title>Document ' || ks || ' from site' || site
+       || '.example.org</title></head><body><header><nav>Home | About | '
+       || 'site' || site || '.example.org</nav></header><h1>Study ' || ks
+       || ' of stream processing</h1><main>'
+       || replace(replace(replace(base_text || {_TEXT_SUFFIX},
+                                  '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+       || '</main><footer>&copy; site' || site
+       || '.example.org archive</footer></body></html>' AS html
+      FROM d)
+SELECT url,
+       CAST(len(string_split(html, '<meta ')) - 1 AS BIGINT) AS n_meta,
+       CAST(length(html) AS BIGINT) AS html_chars,
+       CAST(length(text) AS BIGINT) AS text_chars,
+       CAST(1000 * length(text) // length(html) AS BIGINT)
+           AS markup_permille
+FROM x
+"""
+    sql["crawl_recency_report"] = f"""
+WITH d AS ({_D}),
+m AS (SELECT max(k) AS mk FROM d)
+SELECT 'site' || site || '.example.org' AS host,
+       CAST(sum(CASE WHEN mk - k <= 21600 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_fresh,
+       CAST(sum(CASE WHEN mk - k > 21600 AND mk - k <= 86400
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_day,
+       CAST(sum(CASE WHEN mk - k > 86400 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_old,
+       CAST(min(mk - k) AS BIGINT) AS latest_age_s
+FROM d, m GROUP BY 1
+"""
+    sql["recency_weighted_value"] = """
+WITH e AS (SELECT user_id, CAST(floor(value * 1000) AS BIGINT) AS vm,
+                  CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+           FROM events),
+m AS (SELECT max(day) AS md FROM e)
+SELECT user_id,
+       CAST(sum(vm // CAST(power(2, md - day) AS BIGINT)) AS BIGINT)
+           AS recency_score_milli
+FROM e, m GROUP BY 1
 """
     return sql

@@ -4165,3 +4165,51 @@ def lang_run_stats(docs):
             .aggregate(Count(alias_name="n_runs"),
                        Max("run", alias_name="max_run"),
                        Sum("run", alias_name="n_docs")))
+
+
+def recency_weighted_value(events):
+    """Per-user recency-weighted engagement with EXACT integer halving
+    decay: each event contributes ``value_milli // 2^age_days`` where
+    ``age_days`` counts whole days back from the corpus-wide latest event
+    day — the feature-store "recent activity" score, kept bit-exact by
+    using a power-of-two half-life instead of float exponentials.
+
+    Requires non-negative values (numpy floor division and DuckDB ``//``
+    agree only there; event values are > 0 by schema contract — enforced
+    loudly).  Two passes: one scalar global-max-day aggregate, then a
+    per-batch combiner (groupby user inside the block) into one tiny
+    groupby(user_id) Sum.  Returns (user_id, recency_score_milli).
+    """
+    from ray.data.aggregate import Sum
+
+    from .windowfns import _milli
+
+    def day_of(t: pa.Table) -> np.ndarray:
+        ts = np.asarray(pc.cast(pc.cast(one_chunk(t["ts"]),
+                                        pa.timestamp("us")), pa.int64()))
+        return ts // 86_400_000_000
+
+    max_day = events.map_batches(
+        lambda t: pa.table({"m": pa.array([int(day_of(t).max())]
+                                          if t.num_rows else [],
+                                          type=pa.int64())}),
+        batch_format="pyarrow", batch_size=None).max("m")
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"user_id": pa.array([], type=pa.int64()),
+                             "s_p": pa.array([], type=pa.int64())})
+        vm = _milli(one_chunk(t["value"]))
+        if (vm < 0).any():
+            raise ValueError("recency_weighted_value: negative values "
+                             "break //-vs-floor parity with the oracle")
+        age = (max_day - day_of(t)).astype(np.int64)
+        g = pa.table({
+            "user_id": one_chunk(t["user_id"]).cast(pa.int64()),
+            "s_p": pa.array(vm >> age),
+        }).group_by("user_id").aggregate([("s_p", "sum")])
+        return g.rename_columns(["user_id", "s_p"])
+
+    return (events.map_batches(partial, batch_format="pyarrow")
+            .groupby("user_id")
+            .aggregate(Sum("s_p", alias_name="recency_score_milli")))

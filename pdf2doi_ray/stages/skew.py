@@ -518,3 +518,110 @@ def host_url_lcp(pages, url_col: str = "url"):
                          "lcp": pa.array(res, type=pa.string())})
 
     return ext.map_batches(lcp, batch_format="pyarrow")
+
+
+def tag_census(pages):
+    """DOM-heuristic markup census per page: ``<meta >`` tag count, html
+    vs extracted-text sizes and the text-to-markup ratio — the signal a
+    main-content extractor thresholds to drop chrome-heavy pages before
+    parsing (north-star "DOM heuristics" tier).
+
+    Pure vectorized map over zero-copy Arrow batches: one binary→utf8
+    cast, one ``count_substring`` kernel, two length kernels, one integer
+    permille — no shuffle, html never leaves the stage.  The SQL oracle
+    independently REBUILDS the full html string from the base table and
+    counts in DuckDB, so the check pins the pages synthesizer and the
+    engine kernels against each other byte-for-byte.
+    """
+    from ..arrowutil import one_chunk
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        h = one_chunk(t["html"]).cast(pa.string())
+        tx = one_chunk(t["text"])
+        hl = pc.utf8_length(h).cast(pa.int64())
+        tl = pc.utf8_length(tx).cast(pa.int64())
+        ratio = np.asarray(tl) * 1000 // np.asarray(hl)
+        return pa.table({
+            "url": one_chunk(t["url"]),
+            "n_meta": pc.count_substring(h, "<meta ").cast(pa.int64()),
+            "html_chars": hl,
+            "text_chars": tl,
+            "markup_permille": pa.array(ratio, type=pa.int64()),
+        })
+
+    return pages.map_batches(per_batch, batch_format="pyarrow")
+
+
+def crawl_recency_report(pages, fresh_s: int = 6 * 3600,
+                         day_s: int = 86400):
+    """Crawl-freshness scorecard per host: how many of a host's pages were
+    fetched within ``fresh_s`` of the crawl frontier (the corpus-wide max
+    ``warc_ts``), within a day, or earlier — the staleness report a
+    recrawl scheduler consumes.
+
+    Two passes, both combiner-first: a one-scalar global max (tree
+    aggregate, no shuffle of page rows), broadcast into a per-batch
+    bucket-count partial, then one tiny groupby(host) merge over ≤
+    3·|hosts| partial rows.  Returns (host, n_fresh, n_day, n_old,
+    latest_age_s).
+    """
+    from ray.data.aggregate import Min, Sum
+
+    from ..arrowutil import one_chunk
+
+    def ts_us(t: pa.Table) -> np.ndarray:
+        return np.asarray(pc.cast(pc.cast(one_chunk(t["warc_ts"]),
+                                          pa.timestamp("us")), pa.int64()))
+
+    max_ts = pages.map_batches(
+        lambda t: pa.table({"m": pa.array([int(ts_us(t).max())]
+                                          if t.num_rows else [],
+                                          type=pa.int64())}),
+        batch_format="pyarrow", batch_size=None).max("m")
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"host": pa.array([], type=pa.string()),
+                             "f_p": pa.array([], type=pa.int64()),
+                             "d_p": pa.array([], type=pa.int64()),
+                             "o_p": pa.array([], type=pa.int64()),
+                             "age_p": pa.array([], type=pa.int64())})
+        age = (max_ts - ts_us(t)) // 1_000_000
+        host = pc.replace_substring_regex(
+            one_chunk(t["url"]), r"^https://([^/]*)/.*$", r"\1")
+        g = pa.table({
+            "host": host,
+            "f_p": pa.array((age <= fresh_s).astype(np.int64)),
+            "d_p": pa.array(((age > fresh_s)
+                             & (age <= day_s)).astype(np.int64)),
+            "o_p": pa.array((age > day_s).astype(np.int64)),
+            "age_p": pa.array(age),
+        }).group_by("host").aggregate([("f_p", "sum"), ("d_p", "sum"),
+                                       ("o_p", "sum"), ("age_p", "min")])
+        return g.rename_columns(["host", "f_p", "d_p", "o_p", "age_p"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "host": t["host"],
+            "n_fresh": t["n_fresh"].combine_chunks().cast(pa.int64())
+            if isinstance(t["n_fresh"], pa.ChunkedArray)
+            else t["n_fresh"].cast(pa.int64()),
+            "n_day": t["n_day"].combine_chunks().cast(pa.int64())
+            if isinstance(t["n_day"], pa.ChunkedArray)
+            else t["n_day"].cast(pa.int64()),
+            "n_old": t["n_old"].combine_chunks().cast(pa.int64())
+            if isinstance(t["n_old"], pa.ChunkedArray)
+            else t["n_old"].cast(pa.int64()),
+            "latest_age_s": t["latest_age_s"].combine_chunks()
+            .cast(pa.int64())
+            if isinstance(t["latest_age_s"], pa.ChunkedArray)
+            else t["latest_age_s"].cast(pa.int64()),
+        })
+
+    return (pages.map_batches(partial, batch_format="pyarrow")
+            .groupby("host")
+            .aggregate(Sum("f_p", alias_name="n_fresh"),
+                       Sum("d_p", alias_name="n_day"),
+                       Sum("o_p", alias_name="n_old"),
+                       Min("age_p", alias_name="latest_age_s"))
+            .map_batches(finish, batch_format="pyarrow"))
