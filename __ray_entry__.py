@@ -4810,6 +4810,27 @@ def _q_recency_weighted_value(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]))
 
 
+def _q_doc_freq_spectrum(sf_dir: str):
+    """Good–Turing frequency-of-frequencies over the corpus vocabulary:
+    two combiner-first exchanges (term rows once, df rows once)."""
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import doc_frequency_spectrum
+    return doc_frequency_spectrum(ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
+
+
+def _q_vocab_growth(sf_dir: str):
+    """Heaps-law vocabulary growth per source at doc-rank probes — term
+    first-occurrence groupby + grouped-top-k cutoffs, no text-wide sort."""
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import vocab_growth_curve
+    return vocab_growth_curve(ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "source"]))
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -4879,6 +4900,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tag_census": _q_tag_census,
         "crawl_recency_report": _q_crawl_recency,
         "recency_weighted_value": _q_recency_weighted_value,
+        # round-4 continuation wave 21
+        "doc_frequency_spectrum": _q_doc_freq_spectrum,
+        "vocab_growth_curve": _q_vocab_growth,
         "clip_identifiers": _q_clip,
         "resolve_redirects": _q_resolve_redirects,
         "rolling_time_sum": _q_rolling_time_sum,
@@ -10273,5 +10297,27 @@ SELECT user_id,
        CAST(sum(vm // CAST(power(2, md - day) AS BIGINT)) AS BIGINT)
            AS recency_score_milli
 FROM e, m GROUP BY 1
+"""
+    sql["doc_frequency_spectrum"] = """
+WITH x AS (SELECT DISTINCT doc_id, term
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                 FROM documents)),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS d FROM x GROUP BY 1)
+SELECT d AS doc_freq, CAST(count(*) AS BIGINT) AS n_terms
+FROM df GROUP BY 1
+"""
+    sql["vocab_growth_curve"] = """
+WITH r AS (SELECT doc_id, source, text,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY doc_id) AS rn
+           FROM documents),
+t AS (SELECT DISTINCT source, rn, term
+      FROM (SELECT source, rn, unnest(string_split(text, ' ')) AS term
+            FROM r)),
+f AS (SELECT source, term, min(rn) AS fr FROM t GROUP BY 1, 2),
+p AS (SELECT unnest([8, 32, 128, 512]) AS probe)
+SELECT f.source, CAST(p.probe AS BIGINT) AS probe,
+       CAST(count(*) AS BIGINT) AS vocab_size
+FROM f, p WHERE f.fr <= p.probe GROUP BY 1, 2
 """
     return sql

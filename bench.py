@@ -989,6 +989,46 @@ def main() -> None:
     if not headline_only:
         bench_query("dau_wau_pages", q_dau_wau)
 
+    # DOM markup census: count_substring + length kernels over the full
+    # html payload column (the widest column in the table) — measures the
+    # binary→utf8 + substring-count path at page scale, no shuffle
+    def q_tag_census():
+        from pdf2doi_ray.stages.skew import tag_census
+
+        n = tag_census(read_pages(("url", "html", "text"), split=True)) \
+            .map_batches(lambda t: t.select(["n_meta"]),
+                         batch_format="pyarrow").count()
+        assert n == n_pages, n
+
+    if not headline_only:
+        bench_query("tag_census_pages", q_tag_census)
+
+    # per-key streaming throttle over pages-derived events: one sort +
+    # sorted-block keep mask + sharded stitch of block-edge key groups
+    def q_debounce():
+        import numpy as np
+        import pyarrow as pa
+
+        from pdf2doi_ray.stages.windows import event_debounce
+
+        def as_events(t: pa.Table) -> pa.Table:
+            k = np.asarray(ts_doc_ids(t))
+            return pa.table({
+                "event_id": pa.array(k),
+                "user_id": pa.array(k % 50_000),
+                "event_type": pa.array(
+                    np.where(k % 3 == 0, "view", "click")),
+                "ts": t["warc_ts"],
+            })
+
+        ev = read_pages(("warc_ts",), split=True).map_batches(
+            as_events, batch_format="pyarrow")
+        n = event_debounce(ev, min_gap_s=3600).count()
+        assert n > 0, n
+
+    if not headline_only:
+        bench_query("event_debounce_pages", q_debounce)
+
     headline = queries.get("identify_full")
     print(json.dumps({
         "metric": "identify_full seconds (pages parquet -> identifiers parquet)",

@@ -4348,3 +4348,125 @@ def batch_padding_plan(docs, batch_docs: int = 64):
                        Max("mt_p", alias_name="max_tokens"),
                        Sum("st_p", alias_name="sum_tokens"))
             .map_batches(finish, batch_format="pyarrow"))
+
+
+def doc_frequency_spectrum(docs):
+    """Good–Turing "frequency of frequencies" over the corpus vocabulary:
+    for every document-frequency ``d``, how many distinct terms appear in
+    exactly ``d`` documents — the smoothing table every count-based LM /
+    quality model starts from, and the fastest corpus-health fingerprint
+    (a fat head = boilerplate, a thin tail = dedup damage).
+
+    Combiner-first second-order aggregation: per batch, terms dedup
+    per-doc (one ``list_parent_indices`` explode + in-batch groupby) and
+    pre-count docs per term, so the ``groupby(term)`` exchange moves one
+    row per (term, batch); the df→count step pre-histograms per batch
+    again, so the second exchange moves one row per (df, batch).  Term
+    strings cross the wire once; text never does.  Returns
+    (doc_freq, n_terms).
+    """
+    from ray.data.aggregate import Sum
+
+    from .textstats import _tokens
+
+    def term_doc_partial(t: pa.Table) -> pa.Table:
+        toks = _tokens(one_chunk(t["text"]))
+        flat = toks.flatten()
+        parent = pc.list_parent_indices(toks)
+        pairs = pa.table({"d": parent, "term": flat}) \
+            .group_by(["d", "term"]).aggregate([])
+        g = pairs.group_by("term").aggregate([([], "count_all")])
+        return pa.table({"term": g["term"],
+                         "c_p": g["count_all"].cast(pa.int64())})
+
+    df = (docs.map_batches(term_doc_partial, batch_format="pyarrow")
+          .groupby("term").aggregate(Sum("c_p", alias_name="df")))
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = t.select(["df"]).group_by("df").aggregate([([], "count_all")])
+        return pa.table({"doc_freq": g["df"].cast(pa.int64()),
+                         "n_p": g["count_all"].cast(pa.int64())})
+
+    return (df.map_batches(hist_partial, batch_format="pyarrow")
+            .groupby("doc_freq").aggregate(Sum("n_p",
+                                               alias_name="n_terms")))
+
+
+def vocab_growth_curve(docs, probes=(8, 32, 128, 512)):
+    """Heaps-law vocabulary-growth probe per source: how many distinct
+    terms the first ``N`` documents (by doc_id order) of each source
+    contain, for each probe ``N`` — the curve that says whether a source
+    is still contributing new vocabulary or just repeating itself.
+
+    No text-wide sort: the doc rank never materializes per row.
+    Instead (1) one explode+combiner ``groupby(source, term).Min(doc_id)``
+    finds each term's FIRST document; (2) the per-source probe CUTOFF
+    doc_ids (the N-th smallest doc_id) come from the grouped-top-k
+    combiner over a 2-int column (≤ max(probes) rows per source per
+    batch cross the exchange); (3) the |sources|×|probes| cutoff table
+    broadcasts into a per-batch counting partial.  A source with fewer
+    than N docs counts its whole vocabulary at that probe, matching the
+    SQL ``first_rank <= N`` semantics.  Returns (source, probe,
+    vocab_size).
+    """
+    from ray.data.aggregate import Min, Sum
+
+    from .textstats import _tokens
+    from .windowfns import grouped_top_k
+
+    kmax = max(probes)
+
+    def first_doc_partial(t: pa.Table) -> pa.Table:
+        toks = _tokens(one_chunk(t["text"]))
+        flat = toks.flatten()
+        parent = np.asarray(pc.list_parent_indices(toks))
+        did = np.asarray(one_chunk(t["doc_id"]).cast(pa.int64()))[parent]
+        src = one_chunk(t["source"]).take(pa.array(parent))
+        g = pa.table({"source": src, "term": flat,
+                      "m_p": pa.array(did)}) \
+            .group_by(["source", "term"]).aggregate([("m_p", "min")])
+        return g.rename_columns(["source", "term", "m_p"])
+
+    first_doc = (docs.map_batches(first_doc_partial,
+                                  batch_format="pyarrow")
+                 .groupby(["source", "term"])
+                 .aggregate(Min("m_p", alias_name="first_doc")))
+
+    def neg_ids(t: pa.Table) -> pa.Table:
+        did = np.asarray(one_chunk(t["doc_id"]).cast(pa.int64()))
+        return pa.table({"source": one_chunk(t["source"]),
+                         "neg": pa.array(-did),
+                         "doc_id": pa.array(did)})
+
+    ranked = grouped_top_k(
+        docs.map_batches(neg_ids, batch_format="pyarrow"),
+        "source", "neg", "doc_id", k=kmax).materialize()
+    # rank r == r-th smallest doc_id of the source (neg sorts descending)
+    cut_tbl = ranked.to_pandas()
+    cutoffs = {}
+    per_source_n = cut_tbl.groupby("source")["rank"].max().to_dict()
+    for r in cut_tbl.itertuples():
+        for p in probes:
+            if r.rank == min(p, per_source_n[r.source]):
+                cutoffs[(r.source, p)] = int(r.doc_id)
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        src = one_chunk(t["source"])
+        fd = np.asarray(one_chunk(t["first_doc"]).cast(pa.int64()))
+        out_s, out_p, out_c = [], [], []
+        import pandas as pd
+        sv = src.to_numpy(zero_copy_only=False)
+        for s in pd.unique(sv):
+            m = sv == s
+            for p in probes:
+                cut = cutoffs.get((s, p))
+                c = int((fd[m] <= cut).sum()) if cut is not None \
+                    else int(m.sum())
+                out_s.append(s); out_p.append(p); out_c.append(c)
+        return pa.table({"source": pa.array(out_s, type=pa.string()),
+                         "probe": pa.array(out_p, type=pa.int64()),
+                         "c_p": pa.array(out_c, type=pa.int64())})
+
+    return (first_doc.map_batches(count_partial, batch_format="pyarrow")
+            .groupby(["source", "probe"])
+            .aggregate(Sum("c_p", alias_name="vocab_size")))
