@@ -4831,6 +4831,23 @@ def _q_vocab_growth(sf_dir: str):
         columns=["doc_id", "text", "source"]))
 
 
+def _q_method_agreement(sf_dir: str):
+    """Finder-method agreement matrix: one fused parse + three
+    single-method extract kernels in-worker, 3-row groupby merge."""
+    from pdf2doi_ray.pipelines.identify import method_agreement
+    return method_agreement(_pages(sf_dir))
+
+
+def _q_skipgram(sf_dir: str):
+    """Top-20 window-3 ordered skip-gram co-occurrences (word2vec-style
+    window counts), bounded-partial top-k — no global sort."""
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import skipgram_cooccurrence
+    return skipgram_cooccurrence(ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -4903,6 +4920,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 continuation wave 21
         "doc_frequency_spectrum": _q_doc_freq_spectrum,
         "vocab_growth_curve": _q_vocab_growth,
+        # round-4 continuation wave 22
+        "method_agreement": _q_method_agreement,
+        "skipgram_cooccurrence": _q_skipgram,
         "clip_identifiers": _q_clip,
         "resolve_redirects": _q_resolve_redirects,
         "rolling_time_sum": _q_rolling_time_sum,
@@ -10319,5 +10339,63 @@ p AS (SELECT unnest([8, 32, 128, 512]) AS probe)
 SELECT f.source, CAST(p.probe AS BIGINT) AS probe,
        CAST(count(*) AS BIGINT) AS vocab_size
 FROM f, p WHERE f.fr <= p.probe GROUP BY 1, 2
+"""
+    sql["method_agreement"] = f"""
+WITH d AS ({_D}),
+x AS (SELECT
+  CASE WHEN slot IN (0,1) THEN '10.' || reg || '/meta.' || ks
+       WHEN slot = 12 THEN '10.' || reg || '/mc.' || ks
+       WHEN slot = 16 THEN '10.' || reg || '/ns.' || ks END AS meta_id,
+  CASE WHEN slot IN (3,4,13)
+       THEN '10.' || reg || '/u' || ks || '.pdf' END AS file_id,
+  CASE WHEN slot = 2  THEN '10.' || reg || '/tx.' || ks
+       WHEN slot = 6  THEN '10.' || reg || '/tm.' || ks
+       WHEN slot IN (7,8) THEN '10.' || reg || '/tb.' || ks
+       WHEN slot = 9  THEN '10.' || reg || '/v.' || ks
+       WHEN slot = 10 THEN '10.' || reg || '/uf.' || ks
+       WHEN slot IN (12,13) THEN '10.' || reg || '/tc.' || ks
+       WHEN slot = 14 THEN '10.' || reg || '/dd.' || ks
+       WHEN slot = 15 THEN '10.' || reg || '/m1.' || ks
+       WHEN slot = 17 THEN '10.' || reg || '/td.' || ks END AS text_id
+  FROM d)
+SELECT 'document_infos' AS method_a, 'filename' AS method_b,
+       CAST(sum(CASE WHEN meta_id IS NOT NULL AND file_id IS NOT NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+       CAST(sum(CASE WHEN meta_id = file_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_agree
+FROM x
+UNION ALL
+SELECT 'document_infos', 'document_text',
+       CAST(sum(CASE WHEN meta_id IS NOT NULL AND text_id IS NOT NULL
+                THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN meta_id = text_id THEN 1 ELSE 0 END) AS BIGINT)
+FROM x
+UNION ALL
+SELECT 'filename', 'document_text',
+       CAST(sum(CASE WHEN file_id IS NOT NULL AND text_id IS NOT NULL
+                THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN file_id = text_id THEN 1 ELSE 0 END) AS BIGINT)
+FROM x
+"""
+    sql["skipgram_cooccurrence"] = """
+WITH l AS (SELECT list_filter(string_split(text, ' '), x -> x <> '')
+               AS toks
+           FROM documents),
+sg AS (
+  SELECT unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i+1])) AS pair
+  FROM l WHERE len(toks) >= 2
+  UNION ALL
+  SELECT unnest(list_transform(range(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i+2]))
+  FROM l WHERE len(toks) >= 3
+  UNION ALL
+  SELECT unnest(list_transform(range(1, len(toks) - 2),
+                               i -> toks[i] || ' ' || toks[i+3]))
+  FROM l WHERE len(toks) >= 4)
+SELECT CAST(row_number() OVER (ORDER BY count(*) DESC, pair) AS BIGINT)
+           AS rank,
+       pair, count(*) AS n_occurrences
+FROM sg GROUP BY pair ORDER BY n_occurrences DESC, pair LIMIT 20
 """
     return sql

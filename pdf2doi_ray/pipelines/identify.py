@@ -382,3 +382,70 @@ def identify_incremental(curr_pages, prev_pages, prev_results_dir: str,
         return identify_pages(curr_pages, cfg)
     return with_previous_results_dataset(
         curr_pages, valid_prev, lambda rem: identify_pages(rem, cfg))
+
+
+def method_agreement(pages, cfg: EngineConfig = DEFAULT_CONFIG):
+    """Finder-method agreement matrix: for every unordered pair of finder
+    methods, how many pages BOTH methods resolve and on how many they
+    agree — the audit that exposes metadata drift vs body text (the
+    reference resolves the conflict silently by priority,
+    ``/root/reference/pdf2doi/finders.py`` cascade order; this surfaces
+    it corpus-wide).
+
+    One fused stage parses each page ONCE and runs the three
+    single-method extract kernels on the same parsed batch in-worker
+    (no reparse, no join — the three results never leave the task);
+    per-batch pair counts combine into a 3-row groupby.  Returns
+    (method_a, method_b, n_both, n_agree).
+    """
+    import itertools
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ..stages.extract import make_extract_fn
+    from ..stages.parse import HtmlParse
+
+    methods = ("document_infos", "filename", "document_text")
+
+    class _Agree:
+        def __init__(self) -> None:
+            self._parse = HtmlParse()
+            self._ex = {m: make_extract_fn(cfg.with_(methods=(m,)))
+                        for m in methods}
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            parsed = self._parse(batch) if cfg.use_html else batch
+            ids = {}
+            for m in methods:
+                col = self._ex[m](parsed)["identifier"]
+                ids[m] = col.combine_chunks() \
+                    if isinstance(col, pa.ChunkedArray) else col
+            ma, mb, nb, na = [], [], [], []
+            for a, b in itertools.combinations(methods, 2):
+                both = pc.and_(pc.is_valid(ids[a]), pc.is_valid(ids[b]))
+                agree = pc.fill_null(
+                    pc.and_kleene(both, pc.equal(ids[a], ids[b])), False)
+                ma.append(a)
+                mb.append(b)
+                nb.append(int(np.asarray(both).sum()))
+                na.append(int(np.asarray(agree).sum()))
+            return pa.table({
+                "method_a": pa.array(ma, type=pa.string()),
+                "method_b": pa.array(mb, type=pa.string()),
+                "b_p": pa.array(nb, type=pa.int64()),
+                "a_p": pa.array(na, type=pa.int64()),
+            })
+
+    counted = pages.map_batches(
+        _Agree,
+        batch_format="pyarrow",
+        batch_size=cfg.parse_batch_size,
+        concurrency=cfg.parse_concurrency or (1, 8),
+        num_cpus=1,
+    )
+    return (counted.groupby(["method_a", "method_b"])
+            .aggregate(Sum("b_p", alias_name="n_both"),
+                       Sum("a_p", alias_name="n_agree")))

@@ -4470,3 +4470,65 @@ def vocab_growth_curve(docs, probes=(8, 32, 128, 512)):
     return (first_doc.map_batches(count_partial, batch_format="pyarrow")
             .groupby(["source", "probe"])
             .aggregate(Sum("c_p", alias_name="vocab_size")))
+
+
+def skipgram_cooccurrence(docs, window: int = 3, k: int = 20):
+    """Corpus-level top-k ORDERED skip-gram co-occurrences: pairs
+    ``(term_i, term_j)`` with ``0 < j − i ≤ window`` inside a document —
+    the window-co-occurrence counts word2vec/GloVe-style embedding
+    trainers and collocation miners consume (generalizes
+    :func:`top_bigrams`'s adjacent-only window).
+
+    Vectorization: tokens flatten once; for each offset ``1..window`` one
+    zero-copy slice pair + one same-doc mask + one element-wise join
+    emits that offset's pairs; an in-batch group_by combines before the
+    single ``groupby(pair)`` exchange, and the final top-k uses the
+    bounded-partial pattern (≤k rows per block to the driver).  Returns
+    pandas (rank, pair, n_occurrences).
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, row_idx = _tokens_nonempty(t)
+        chunks = []
+        n = len(flat)
+        for off in range(1, window + 1):
+            if n <= off:
+                break
+            same_doc = row_idx[off:] == row_idx[:-off]
+            joined = pc.binary_join_element_wise(
+                flat.slice(0, n - off), flat.slice(off), " ")
+            chunks.append(joined.filter(pa.array(same_doc)))
+        if not chunks:
+            return pa.table({"pair": pa.array([], type=pa.string()),
+                             "n_partial": pa.array([], type=pa.int64())})
+        g = pa.table({"pair": pa.concat_arrays(
+            [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+             for c in chunks])}).group_by("pair").aggregate(
+            [([], "count_all")])
+        return pa.table({"pair": g["pair"],
+                         "n_partial": g["count_all"].cast(pa.int64())})
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.sort_values(["n_occurrences", "pair"],
+                            ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = (docs.map_batches(partial, batch_format="pyarrow")
+             .groupby("pair").aggregate(Sum("n_partial",
+                                            alias_name="n_occurrences"))
+             .map_batches(block_topk, batch_format="pyarrow",
+                          batch_size=None)
+             .to_pandas())
+    if "pair" not in parts.columns:
+        parts = pd.DataFrame({"pair": pd.Series(dtype=object),
+                              "n_occurrences": pd.Series(dtype="int64")})
+    parts = parts.sort_values(["n_occurrences", "pair"],
+                              ascending=[False, True]).head(k)
+    return pd.DataFrame({
+        "rank": np.arange(1, len(parts) + 1, dtype=np.int64),
+        "pair": parts["pair"].to_numpy(),
+        "n_occurrences": parts["n_occurrences"].to_numpy(),
+    })
