@@ -4848,6 +4848,29 @@ def _q_skipgram(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
 
 
+def _q_edge_support(sf_dir: str):
+    """Per-edge triangle support over the 0.30-threshold embedding
+    near-dup graph (k-truss building block): two hash-partitioned joins
+    with the middle vertex riding through, explode + one groupby."""
+    import ray.data
+
+    from pdf2doi_ray.stages.graph import edge_triangle_support
+    from pdf2doi_ray.stages.similarity import embedding_near_dups
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    return edge_triangle_support(embedding_near_dups(emb, threshold=0.30))
+
+
+def _q_doc_novelty(sf_dir: str):
+    """Per-doc new-vocabulary share (first-occurrence terms / distinct
+    terms): two tagged partial streams over one groupby(doc_id)."""
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import doc_novelty
+    return doc_novelty(ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -4923,6 +4946,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 continuation wave 22
         "method_agreement": _q_method_agreement,
         "skipgram_cooccurrence": _q_skipgram,
+        # round-4 continuation wave 23
+        "edge_triangle_support": _q_edge_support,
+        "doc_novelty": _q_doc_novelty,
         "clip_identifiers": _q_clip,
         "resolve_redirects": _q_resolve_redirects,
         "rolling_time_sum": _q_rolling_time_sum,
@@ -10397,5 +10423,35 @@ SELECT CAST(row_number() OVER (ORDER BY count(*) DESC, pair) AS BIGINT)
            AS rank,
        pair, count(*) AS n_occurrences
 FROM sg GROUP BY pair ORDER BY n_occurrences DESC, pair LIMIT 20
+"""
+    sql["edge_triangle_support"] = """
+WITH p AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        >= 0.30),
+t AS (SELECT e1.va AS x, e1.vb AS y, e2.vb AS z
+      FROM p e1 JOIN p e2 ON e1.vb = e2.va
+      JOIN p e3 ON e3.va = e1.va AND e3.vb = e2.vb),
+u AS (SELECT x AS a, y AS b FROM t
+      UNION ALL SELECT x, z FROM t
+      UNION ALL SELECT y, z FROM t),
+s AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY 1, 2)
+SELECT p.va AS vec_a, p.vb AS vec_b,
+       CAST(COALESCE(s.c, 0) AS BIGINT) AS support
+FROM p LEFT JOIN s ON s.a = p.va AND s.b = p.vb
+"""
+    sql["doc_novelty"] = """
+WITH x AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           FROM documents),
+dx AS (SELECT DISTINCT doc_id, term FROM x),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM dx GROUP BY 1),
+fd AS (SELECT term, min(doc_id) AS d0 FROM dx GROUP BY 1),
+nw AS (SELECT d0 AS doc_id, CAST(count(*) AS BIGINT) AS n FROM fd
+       GROUP BY 1)
+SELECT t.doc_id, t.n AS n_terms,
+       CAST(COALESCE(w.n, 0) AS BIGINT) AS n_new_terms,
+       CAST(1000 * COALESCE(w.n, 0) // t.n AS BIGINT) AS novelty_permille
+FROM tot t LEFT JOIN nw w USING (doc_id)
 """
     return sql

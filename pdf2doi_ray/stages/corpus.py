@@ -4532,3 +4532,82 @@ def skipgram_cooccurrence(docs, window: int = 3, k: int = 20):
         "pair": parts["pair"].to_numpy(),
         "n_occurrences": parts["n_occurrences"].to_numpy(),
     })
+
+
+def doc_novelty(docs):
+    """Per-document vocabulary novelty: how many of a document's distinct
+    terms appear for the FIRST time in the corpus in this document
+    (first = smallest doc_id), as count and permille of the doc's
+    distinct vocabulary — the "is this crawl slice still contributing
+    new content" gate a curation pipeline applies before paying for
+    dedup/quality models on stale slices.
+
+    Two tagged partial streams share one ``groupby(doc_id)`` exchange:
+    the per-doc distinct-term count resolves fully in-batch (a doc's
+    tokens live in its own row), and the new-term counts come off the
+    ``groupby(term).Min(doc_id)`` first-occurrence table via a per-batch
+    count combiner.  Term strings cross the wire once.  Returns
+    (doc_id, n_terms, n_new_terms, novelty_permille).
+    """
+    from ray.data.aggregate import Min, Sum
+
+    from .textstats import _tokens
+
+    def tot_partial(t: pa.Table) -> pa.Table:
+        toks = _tokens(one_chunk(t["text"]))
+        pairs = pa.table({
+            "d": pc.list_parent_indices(toks),
+            "term": toks.flatten(),
+        }).group_by(["d", "term"]).aggregate([])
+        g = pairs.group_by("d").aggregate([([], "count_all")])
+        did = np.asarray(one_chunk(t["doc_id"]).cast(pa.int64()))
+        return pa.table({
+            "doc_id": pa.array(did[np.asarray(g["d"])]),
+            "tot_p": g["count_all"].cast(pa.int64()),
+            "new_p": pa.array(np.zeros(len(g), dtype=np.int64)),
+        })
+
+    def term_min_partial(t: pa.Table) -> pa.Table:
+        toks = _tokens(one_chunk(t["text"]))
+        parent = np.asarray(pc.list_parent_indices(toks))
+        did = np.asarray(one_chunk(t["doc_id"]).cast(pa.int64()))[parent]
+        g = pa.table({"term": toks.flatten(), "m_p": pa.array(did)}) \
+            .group_by("term").aggregate([("m_p", "min")])
+        return g.rename_columns(["term", "m_p"])
+
+    first_doc = (docs.map_batches(term_min_partial,
+                                  batch_format="pyarrow")
+                 .groupby("term").aggregate(Min("m_p",
+                                                alias_name="d0")))
+
+    def new_partial(t: pa.Table) -> pa.Table:
+        g = t.select(["d0"]).group_by("d0").aggregate([([], "count_all")])
+        n = len(g)
+        return pa.table({
+            "doc_id": g["d0"].cast(pa.int64()),
+            "tot_p": pa.array(np.zeros(n, dtype=np.int64)),
+            "new_p": g["count_all"].cast(pa.int64()),
+        })
+
+    tot = docs.map_batches(tot_partial, batch_format="pyarrow")
+    new = first_doc.map_batches(new_partial, batch_format="pyarrow")
+
+    def finish(t: pa.Table) -> pa.Table:
+        nt = np.asarray(t["n_terms"].combine_chunks()
+                        if isinstance(t["n_terms"], pa.ChunkedArray)
+                        else t["n_terms"]).astype(np.int64)
+        nn = np.asarray(t["n_new_terms"].combine_chunks()
+                        if isinstance(t["n_new_terms"], pa.ChunkedArray)
+                        else t["n_new_terms"]).astype(np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_terms": pa.array(nt),
+            "n_new_terms": pa.array(nn),
+            "novelty_permille": pa.array(1000 * nn // nt),
+        })
+
+    return (tot.union(new)
+            .groupby("doc_id")
+            .aggregate(Sum("tot_p", alias_name="n_terms"),
+                       Sum("new_p", alias_name="n_new_terms"))
+            .map_batches(finish, batch_format="pyarrow"))
