@@ -4871,6 +4871,23 @@ def _q_doc_novelty(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
 
 
+def _q_delta_oov(sf_dir: str):
+    """Incremental-ingest OOV audit (even doc_ids = old corpus, odd =
+    delta): old-vocab groupby + large×large term hash join, no broadcast."""
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import delta_oov_rate
+    return delta_oov_rate(ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
+
+
+def _q_aspect_buckets(sf_dir: str):
+    """SDXL-style aspect-ratio bucketing plan: actor-pool decode →
+    nearest-bucket assignment → combiner groupby."""
+    from pdf2doi_ray.stages.multimodal import aspect_bucket_plan
+    return aspect_bucket_plan(sf_dir)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -4949,6 +4966,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 continuation wave 23
         "edge_triangle_support": _q_edge_support,
         "doc_novelty": _q_doc_novelty,
+        # round-4 continuation wave 24
+        "delta_oov_rate": _q_delta_oov,
+        "aspect_bucket_plan": _q_aspect_buckets,
         "clip_identifiers": _q_clip,
         "resolve_redirects": _q_resolve_redirects,
         "rolling_time_sum": _q_rolling_time_sum,
@@ -10453,5 +10473,34 @@ SELECT t.doc_id, t.n AS n_terms,
        CAST(COALESCE(w.n, 0) AS BIGINT) AS n_new_terms,
        CAST(1000 * COALESCE(w.n, 0) // t.n AS BIGINT) AS novelty_permille
 FROM tot t LEFT JOIN nw w USING (doc_id)
+"""
+    sql["delta_oov_rate"] = """
+WITH ov AS (SELECT DISTINCT term
+            FROM (SELECT unnest(string_split(text, ' ')) AS term
+                  FROM documents WHERE doc_id % 2 = 0)),
+np AS (SELECT DISTINCT doc_id, term
+       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents WHERE doc_id % 2 = 1)),
+agg AS (SELECT np.doc_id,
+               CAST(count(*) AS BIGINT) AS n_terms,
+               CAST(sum(CASE WHEN ov.term IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_oov
+        FROM np LEFT JOIN ov ON np.term = ov.term
+        GROUP BY 1)
+SELECT doc_id, n_terms, n_oov,
+       CAST(1000 * n_oov // n_terms AS BIGINT) AS oov_permille
+FROM agg
+"""
+    sql["aspect_bucket_plan"] = """
+WITH i AS (SELECT 8 + doc_id % 32 AS w, 8 + doc_id % 16 AS h
+           FROM documents),
+r AS (SELECT 1000 * w // h AS rp FROM i)
+SELECT CAST(CASE WHEN rp <= 625 THEN 500
+                 WHEN rp <= 875 THEN 750
+                 WHEN rp <= 1167 THEN 1000
+                 WHEN rp <= 1667 THEN 1333
+                 ELSE 2000 END AS BIGINT) AS bucket_permille,
+       count(*) AS n_images
+FROM r GROUP BY 1
 """
     return sql

@@ -4611,3 +4611,99 @@ def doc_novelty(docs):
             .aggregate(Sum("tot_p", alias_name="n_terms"),
                        Sum("new_p", alias_name="n_new_terms"))
             .map_batches(finish, batch_format="pyarrow"))
+
+
+def delta_oov_rate(docs):
+    """Incremental-ingest vocabulary audit: treating even doc_ids as the
+    ALREADY-INGESTED corpus and odd doc_ids as the incoming delta, report
+    per new document how many of its distinct terms are out-of-vocabulary
+    vs the old corpus (count + permille) — the "is this slice new
+    content or re-crawl" gate an incremental pipeline applies before
+    paying for full dedup (complements :func:`doc_novelty`, which ranks
+    within one corpus by doc_id).
+
+    Shape: old-side distinct vocabulary via one combiner
+    ``groupby(term)``; new-side (doc, term) distinct pairs hash-join the
+    vocabulary ON TERM (large×large, hash-partitioned — the vocabulary
+    does NOT broadcast); matched counts and in-batch totals merge in one
+    final ``groupby(doc_id)``.  Returns (doc_id, n_terms, n_oov,
+    oov_permille).
+    """
+    from ray.data.aggregate import Sum
+
+    from .textstats import _tokens
+    from .joins import shuffle_hash_join
+
+    def split(parity):
+        def f(t: pa.Table) -> pa.Table:
+            did = one_chunk(t["doc_id"]).cast(pa.int64())
+            keep = pc.equal(pc.bit_wise_and(did, 1), parity)
+            return pa.table({"doc_id": did,
+                             "text": one_chunk(t["text"])}).filter(keep)
+        return f
+
+    old = docs.map_batches(split(0), batch_format="pyarrow")
+    new = docs.map_batches(split(1), batch_format="pyarrow")
+
+    def old_vocab_partial(t: pa.Table) -> pa.Table:
+        toks = _tokens(one_chunk(t["text"]))
+        g = pa.table({"term": toks.flatten()}).group_by("term") \
+            .aggregate([])
+        return g.append_column("one", pa.array(
+            np.ones(len(g), dtype=np.int64)))
+
+    vocab = (old.map_batches(old_vocab_partial, batch_format="pyarrow")
+             .groupby("term").aggregate(Sum("one", alias_name="seen")))
+
+    def new_pairs(t: pa.Table) -> pa.Table:
+        toks = _tokens(one_chunk(t["text"]))
+        parent = np.asarray(pc.list_parent_indices(toks))
+        did = np.asarray(one_chunk(t["doc_id"]))[parent]
+        return pa.table({"doc_id": pa.array(did),
+                         "term": toks.flatten()}) \
+            .group_by(["doc_id", "term"]).aggregate([]) \
+            .rename_columns(["doc_id", "term"])
+
+    pairs = new.map_batches(new_pairs, batch_format="pyarrow")
+
+    def tot_partial(t: pa.Table) -> pa.Table:
+        g = t.select(["doc_id"]).group_by("doc_id") \
+            .aggregate([([], "count_all")])
+        n = len(g)
+        return pa.table({
+            "doc_id": g["doc_id"].cast(pa.int64()),
+            "tot_p": g["count_all"].cast(pa.int64()),
+            "in_p": pa.array(np.zeros(n, dtype=np.int64))})
+
+    totals = pairs.map_batches(tot_partial, batch_format="pyarrow")
+
+    matched = shuffle_hash_join(pairs, vocab, on="term",
+                                project=["doc_id"])
+
+    def in_partial(t: pa.Table) -> pa.Table:
+        g = t.select(["doc_id"]).group_by("doc_id") \
+            .aggregate([([], "count_all")])
+        n = len(g)
+        return pa.table({
+            "doc_id": g["doc_id"].cast(pa.int64()),
+            "tot_p": pa.array(np.zeros(n, dtype=np.int64)),
+            "in_p": g["count_all"].cast(pa.int64())})
+
+    in_vocab = matched.map_batches(in_partial, batch_format="pyarrow")
+
+    def finish(t: pa.Table) -> pa.Table:
+        tot = np.asarray(one_chunk(t["n_terms"])).astype(np.int64)
+        inn = np.asarray(one_chunk(t["n_in"])).astype(np.int64)
+        oov = tot - inn
+        return pa.table({
+            "doc_id": one_chunk(t["doc_id"]),
+            "n_terms": pa.array(tot),
+            "n_oov": pa.array(oov),
+            "oov_permille": pa.array(1000 * oov // tot),
+        })
+
+    return (totals.union(in_vocab)
+            .groupby("doc_id")
+            .aggregate(Sum("tot_p", alias_name="n_terms"),
+                       Sum("in_p", alias_name="n_in"))
+            .map_batches(finish, batch_format="pyarrow"))

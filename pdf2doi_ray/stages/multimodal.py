@@ -372,3 +372,53 @@ def video_scene_cuts(sf_dir: str, threshold: int = 60,
 
     return imgs.map_batches(cuts, batch_format="pyarrow",
                             batch_size=batch_size)
+
+
+#: aspect-ratio bucket boundaries (permille of width/height): midpoints
+#: between the standard training buckets 1:2, 3:4, 1:1, 4:3, 2:1
+ASPECT_BUCKETS = ((625, 500), (875, 750), (1167, 1000), (1667, 1333))
+
+
+def aspect_bucket(ratio_permille: np.ndarray) -> np.ndarray:
+    """Vectorized bucket assignment: nearest standard aspect bucket by
+    threshold (SDXL-style aspect-ratio bucketing for batch collation)."""
+    out = np.full(len(ratio_permille), 2000, dtype=np.int64)
+    for cut, bucket in reversed(ASPECT_BUCKETS):
+        out = np.where(ratio_permille <= cut, bucket, out)
+    return out
+
+
+def aspect_bucket_plan(sf_dir: str, batch_size: int = 256):
+    """Aspect-ratio bucketing plan over the image corpus: decode each
+    payload's (width, height) in the actor-pool stage, assign the nearest
+    standard aspect bucket (images in one bucket batch together with
+    minimal crop/pad), and report bucket populations — the collation
+    plan an image-training loader consumes.
+
+    Same scale shape as :func:`image_features` (small batches, early
+    payload projection) plus one combiner groupby over ≤ |buckets|
+    rows per block.  Returns (bucket_permille, n_images).
+    """
+    from ray.data.aggregate import Sum
+
+    feats = images_dataset(sf_dir).map_batches(
+        ImageFeatures, batch_format="pyarrow",
+        batch_size=batch_size, concurrency=(1, 4), num_cpus=1)
+
+    def partial(t: pa.Table) -> pa.Table:
+        w = np.asarray(t["width"].combine_chunks()
+                       if isinstance(t["width"], pa.ChunkedArray)
+                       else t["width"]).astype(np.int64)
+        h = np.asarray(t["height"].combine_chunks()
+                       if isinstance(t["height"], pa.ChunkedArray)
+                       else t["height"]).astype(np.int64)
+        b = aspect_bucket(1000 * w // h)
+        g = pa.table({"bucket_permille": pa.array(b)}) \
+            .group_by("bucket_permille").aggregate([([], "count_all")])
+        return pa.table({
+            "bucket_permille": g["bucket_permille"],
+            "n_p": g["count_all"].cast(pa.int64())})
+
+    return (feats.map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket_permille")
+            .aggregate(Sum("n_p", alias_name="n_images")))
