@@ -41,5 +41,7 @@ def test_aspect_bucket_plan_over_synth_corpus():
 
     got = aspect_bucket_plan("/root/testdata/sf0.001").to_pandas() \
         .set_index("bucket_permille")["n_images"].to_dict()
-    # synth dims: w=8+d%32, h=8+d%16 → square for d%32<16, wide otherwise
-    assert got == {1000: 250, 2000: 250}
+    # synth dims: w=8+d%32, h=8+d%16 → square for d%32<16, wide otherwise;
+    # ids 0..499 = 15 full 32-cycles (240 square) + remainder 0..19
+    # (16 square + 4 wide) → 256 / 244
+    assert got == {1000: 256, 2000: 244}
