@@ -4888,6 +4888,40 @@ def _q_aspect_buckets(sf_dir: str):
     return aspect_bucket_plan(sf_dir)
 
 
+def _q_manifest_reconcile(sf_dir: str):
+    """Training-manifest reconciliation: FULL OUTER hash join of the
+    long-docs text manifest vs the non-label-2 embedding manifest,
+    emitting only one-sided ids."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from pdf2doi_ray.stages.joins import manifest_reconcile
+
+    left = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "n_chars"]).map_batches(
+        lambda t: pa.table({"id": t["doc_id"].cast(pa.int64())}).filter(
+            pc.greater_equal(t["n_chars"], 100)),
+        batch_format="pyarrow")
+    right = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "label"]).map_batches(
+        lambda t: pa.table({"id": t["vec_id"].cast(pa.int64())}).filter(
+            pc.not_equal(t["label"], 2)),
+        batch_format="pyarrow")
+    return manifest_reconcile(left, right, on="id",
+                              left_flag="has_text",
+                              right_flag="has_embedding")
+
+
+def _q_lineage_stamps(sf_dir: str):
+    """Per-partition lineage + metrics stamps (north-rule checkpoint
+    contract): shard row/found counts + order-independent md5 min/max."""
+    from pdf2doi_ray.pipelines.identify import lineage_stamps
+    return lineage_stamps(_pages(sf_dir))
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -4969,6 +5003,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 continuation wave 24
         "delta_oov_rate": _q_delta_oov,
         "aspect_bucket_plan": _q_aspect_buckets,
+        # round-4 continuation wave 25
+        "manifest_reconcile": _q_manifest_reconcile,
+        "lineage_stamps": _q_lineage_stamps,
         "clip_identifiers": _q_clip,
         "resolve_redirects": _q_resolve_redirects,
         "rolling_time_sum": _q_rolling_time_sum,
@@ -10502,5 +10539,29 @@ SELECT CAST(CASE WHEN rp <= 625 THEN 500
                  ELSE 2000 END AS BIGINT) AS bucket_permille,
        count(*) AS n_images
 FROM r GROUP BY 1
+"""
+    sql["manifest_reconcile"] = """
+WITH l AS (SELECT doc_id AS id FROM documents WHERE n_chars >= 100),
+r AS (SELECT vec_id AS id FROM embeddings WHERE label <> 2)
+SELECT COALESCE(l.id, r.id) AS id,
+       CAST(CASE WHEN l.id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+           AS has_text,
+       CAST(CASE WHEN r.id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+           AS has_embedding
+FROM l FULL OUTER JOIN r ON l.id = r.id
+WHERE l.id IS NULL OR r.id IS NULL
+"""
+    sql["lineage_stamps"] = f"""
+WITH d AS ({_D}),
+x AS (SELECT k % 16 AS shard,
+             md5({_URL} || '|' || COALESCE({_IDENTIFIER}, '')) AS stamp,
+             CASE WHEN {_IDENTIFIER} IS NOT NULL THEN 1 ELSE 0 END AS f
+      FROM d)
+SELECT CAST(shard AS BIGINT) AS shard,
+       count(*) AS n_rows,
+       CAST(sum(f) AS BIGINT) AS n_found,
+       min(stamp) AS min_stamp,
+       max(stamp) AS max_stamp
+FROM x GROUP BY 1
 """
     return sql

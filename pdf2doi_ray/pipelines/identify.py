@@ -449,3 +449,55 @@ def method_agreement(pages, cfg: EngineConfig = DEFAULT_CONFIG):
     return (counted.groupby(["method_a", "method_b"])
             .aggregate(Sum("b_p", alias_name="n_both"),
                        Sum("a_p", alias_name="n_agree")))
+
+
+def lineage_stamps(pages, cfg: EngineConfig = DEFAULT_CONFIG,
+                   n_shards: int = 16):
+    """Per-partition lineage + metrics stamps for a resumable extraction
+    run (the north-rule checkpoint contract): every page maps to a shard
+    (its crawl-key second mod ``n_shards`` — a stable partition id), and
+    each shard reports row count, identifier-found count, and an
+    order-independent content stamp (the min and max of a per-row md5
+    over ``url|identifier``), so a re-run of any shard can be verified
+    byte-for-byte against the manifest without re-reading other shards.
+
+    Combiner-first: the per-batch kernel reduces to ≤ ``n_shards`` rows
+    (count/found sums + md5 min/max) before one tiny groupby merge.  The
+    md5 is per-row Python over short strings — the same cost class as the
+    ``fingerprint`` stage, negligible next to the parse.  Returns
+    (shard, n_rows, n_found, min_stamp, max_stamp).
+    """
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min, Sum
+
+    ids = identify_pages(pages, cfg, keep_columns=("warc_ts",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = np.asarray(pc.cast(pc.cast(t["warc_ts"], pa.timestamp("us")),
+                                pa.int64()))
+        shard = pa.array((ts // 1_000_000) % n_shards, type=pa.int64())
+        url = t["url"].to_pylist()
+        ident = t["identifier"].to_pylist()
+        stamps = [hashlib.md5(
+            (u + "|" + (i or "")).encode()).hexdigest()
+            for u, i in zip(url, ident)]
+        g = pa.table({
+            "shard": shard,
+            "n_p": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "f_p": pa.array(
+                np.asarray(pc.is_valid(t["identifier"])).astype(np.int64)),
+            "s": pa.array(stamps, type=pa.string()),
+        }).group_by("shard").aggregate([("n_p", "sum"), ("f_p", "sum"),
+                                        ("s", "min"), ("s", "max")])
+        return g.rename_columns(["shard", "n_p", "f_p", "mn_p", "mx_p"])
+
+    return (ids.map_batches(partial, batch_format="pyarrow")
+            .groupby("shard")
+            .aggregate(Sum("n_p", alias_name="n_rows"),
+                       Sum("f_p", alias_name="n_found"),
+                       Min("mn_p", alias_name="min_stamp"),
+                       Max("mx_p", alias_name="max_stamp")))

@@ -2747,3 +2747,46 @@ def revenue_yoy_growth(nation, supplier, lineitem):
             .aggregate(Sum("r_p", alias_name="revenue_milli"))
             .repartition(1)
             .map_batches(yoy, batch_format="pyarrow", batch_size=None))
+
+
+def manifest_reconcile(left, right, on: str = "id",
+                       left_flag: str = "has_left",
+                       right_flag: str = "has_right",
+                       num_partitions: int = 32):
+    """Training-manifest reconciliation: FULL OUTER join two id manifests
+    and report every id missing from either side — the pre-flight check
+    a multi-artifact pipeline (text + embeddings, frames + captions)
+    runs before training so one-sided rows fail loudly instead of
+    silently dropping in an inner join downstream.
+
+    One hash-partitioned full-outer exchange over (id, marker) rows —
+    payloads never join; callers project to the key upstream.  Returns
+    (id, has_left, has_right) for the NON-complete ids only (complete
+    ids would dominate the output and carry no information).
+    """
+    import numpy as np
+
+    def mark(col):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t[on].combine_chunks().cast(pa.int64()) \
+                if isinstance(t[on], pa.ChunkedArray) else t[on].cast(pa.int64())
+            return pa.table({on: ids, col: pa.array(
+                np.ones(t.num_rows, dtype=np.int64))})
+        return f
+
+    l = left.map_batches(mark("_l"), batch_format="pyarrow")
+    r = right.map_batches(mark("_r"), batch_format="pyarrow")
+    joined = shuffle_hash_join(l, r, on=on, join_type="full_outer",
+                               num_partitions=num_partitions)
+
+    def emit(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        lv = pc.fill_null(t["_l"], 0)
+        rv = pc.fill_null(t["_r"], 0)
+        keep = pc.or_(pc.equal(lv, 0), pc.equal(rv, 0))
+        out = pa.table({on: t[on],
+                        left_flag: lv.cast(pa.int64()),
+                        right_flag: rv.cast(pa.int64())})
+        return out.filter(keep)
+
+    return joined.map_batches(emit, batch_format="pyarrow")
