@@ -4922,6 +4922,23 @@ def _q_lineage_stamps(sf_dir: str):
     return lineage_stamps(_pages(sf_dir))
 
 
+def _q_title_h1(sf_dir: str):
+    """Title-vs-h1 token agreement per page: exploded (row, term) pairs +
+    one in-batch C++ hash join — no per-row Python, no shuffle."""
+    from pdf2doi_ray.stages.skew import title_h1_consistency
+    return title_h1_consistency(_pages(sf_dir))
+
+
+def _q_decile_transition(sf_dir: str):
+    """Week-1 → week-2 spend-decile migration matrix with exact rank
+    deciles (block-offset zipWithIndex over the user stream)."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import value_decile_transition
+    return value_decile_transition(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]))
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -5006,6 +5023,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 continuation wave 25
         "manifest_reconcile": _q_manifest_reconcile,
         "lineage_stamps": _q_lineage_stamps,
+        # round-4 continuation wave 26
+        "title_h1_consistency": _q_title_h1,
+        "value_decile_transition": _q_decile_transition,
         "clip_identifiers": _q_clip,
         "resolve_redirects": _q_resolve_redirects,
         "rolling_time_sum": _q_rolling_time_sum,
@@ -10563,5 +10583,45 @@ SELECT CAST(shard AS BIGINT) AS shard,
        min(stamp) AS min_stamp,
        max(stamp) AS max_stamp
 FROM x GROUP BY 1
+"""
+    sql["title_h1_consistency"] = f"""
+WITH d AS ({_D}),
+x AS (SELECT {_URL} AS url,
+       list_distinct(string_split(
+           'Document ' || ks || ' from site' || site || '.example.org',
+           ' ')) AS tt,
+       list_distinct(string_split(
+           'Study ' || ks || ' of stream processing', ' ')) AS th
+      FROM d),
+y AS (SELECT url, len(tt) AS nt, len(th) AS nh,
+             len(list_intersect(tt, th)) AS nc
+      FROM x)
+SELECT url, CAST(nt AS BIGINT) AS n_title_terms,
+       CAST(nh AS BIGINT) AS n_h1_terms,
+       CAST(nc AS BIGINT) AS n_common,
+       CAST(1000 * nc // (nt + nh - nc) AS BIGINT) AS jaccard_permille
+FROM y
+"""
+    sql["value_decile_transition"] = """
+WITH e AS (SELECT user_id, CAST(floor(value * 1000) AS BIGINT) AS vm,
+                  CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+           FROM events),
+m AS (SELECT min(day) AS d0 FROM e),
+w AS (SELECT user_id, (day - d0) // 7 AS wk, vm FROM e, m
+      WHERE (day - d0) // 7 IN (0, 1)),
+s AS (SELECT user_id, wk, CAST(sum(vm) AS BIGINT) AS sv
+      FROM w GROUP BY 1, 2),
+r AS (SELECT user_id, wk,
+             row_number() OVER (PARTITION BY wk
+                                ORDER BY sv, user_id) - 1 AS rk,
+             count(*) OVER (PARTITION BY wk) AS n
+      FROM s),
+d AS (SELECT user_id, wk, rk * 10 // n AS dec FROM r)
+SELECT CAST(d1.dec AS BIGINT) AS dec_w1,
+       CAST(d2.dec AS BIGINT) AS dec_w2,
+       count(*) AS n_users
+FROM (SELECT * FROM d WHERE wk = 0) d1
+JOIN (SELECT * FROM d WHERE wk = 1) d2 USING (user_id)
+GROUP BY 1, 2
 """
     return sql

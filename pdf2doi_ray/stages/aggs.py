@@ -4213,3 +4213,127 @@ def recency_weighted_value(events):
     return (events.map_batches(partial, batch_format="pyarrow")
             .groupby("user_id")
             .aggregate(Sum("s_p", alias_name="recency_score_milli")))
+
+
+def value_decile_transition(events):
+    """Cohort-migration matrix: each user's spend decile in the corpus's
+    FIRST week vs its SECOND week, counted per (decile_w1, decile_w2)
+    cell — the retention/upsell movement report every engagement team
+    tracks.  Deciles are EXACT rank deciles (``rank·10 // n`` over
+    ``(sum, user_id)`` order), so the result is integer-stable.
+
+    Shape: one scalar min-day pass; per-batch combiner sums into one
+    ``groupby(user, week)``; the per-week global rank uses the
+    block-offset zipWithIndex over the (sum, user) sorted USER stream
+    (one row per user-week — orders of magnitude below the event
+    stream); the week-0/week-1 decile join folds through one
+    ``groupby(user)`` with tagged partials (no hash join).  Returns
+    (dec_w1, dec_w2, n_users).
+    """
+    from ray.data.aggregate import Max, Sum
+
+    from .windowfns import _milli
+
+    def day_of(t: pa.Table) -> np.ndarray:
+        ts = np.asarray(pc.cast(pc.cast(one_chunk(t["ts"]),
+                                        pa.timestamp("us")), pa.int64()))
+        return ts // 86_400_000_000
+
+    min_day = events.map_batches(
+        lambda t: pa.table({"m": pa.array([int(day_of(t).min())]
+                                          if t.num_rows else [],
+                                          type=pa.int64())}),
+        batch_format="pyarrow", batch_size=None).min("m")
+
+    def sum_partial(t: pa.Table) -> pa.Table:
+        wk = (day_of(t) - min_day) // 7
+        keep = (wk == 0) | (wk == 1)
+        vm = _milli(one_chunk(t["value"]))
+        g = pa.table({
+            "user_id": one_chunk(t["user_id"]).cast(pa.int64())
+            .filter(pa.array(keep)),
+            "wk": pa.array(wk[keep]),
+            "v_p": pa.array(vm[keep]),
+        }).group_by(["user_id", "wk"]).aggregate([("v_p", "sum")])
+        return g.rename_columns(["user_id", "wk", "v_p"])
+
+    sums = (events.map_batches(sum_partial, batch_format="pyarrow")
+            .groupby(["user_id", "wk"])
+            .aggregate(Sum("v_p", alias_name="sv"))).materialize()
+
+    def decile_of_week(week: int):
+        wk_rows = sums.map_batches(
+            lambda t: t.filter(pc.equal(t["wk"], week))
+            .select(["user_id", "sv"]),
+            batch_format="pyarrow")
+        srt = wk_rows.sort(["sv", "user_id"]).materialize()
+
+        def meta(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"k_sv": pa.array([], type=pa.int64()),
+                                 "k_u": pa.array([], type=pa.int64()),
+                                 "n": pa.array([], type=pa.int64())})
+            return pa.table({
+                "k_sv": pa.array([one_chunk(t["sv"])[0].as_py()],
+                                 type=pa.int64()),
+                "k_u": pa.array([one_chunk(t["user_id"])[0].as_py()],
+                                type=pa.int64()),
+                "n": pa.array([t.num_rows], type=pa.int64())})
+
+        m = srt.map_batches(meta, batch_format="pyarrow",
+                            batch_size=None).to_pandas()
+        m = m.sort_values(["k_sv", "k_u"]).reset_index(drop=True)
+        offs = np.concatenate([[0], m["n"].cumsum().to_numpy()[:-1]]) \
+            .astype(np.int64)
+        total = int(m["n"].sum())
+        k_sv = m["k_sv"].to_numpy().astype(np.int64)
+        k_u = m["k_u"].to_numpy().astype(np.int64)
+
+        def assign(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"user_id": pa.array([], type=pa.int64()),
+                                 "dec": pa.array([], type=pa.int64())})
+            sv0 = one_chunk(t["sv"])[0].as_py()
+            u0 = one_chunk(t["user_id"])[0].as_py()
+            i = int(np.searchsorted(k_sv, sv0))
+            while k_sv[i] != sv0 or k_u[i] != u0:
+                i += 1
+            rk = offs[i] + np.arange(t.num_rows, dtype=np.int64)
+            return pa.table({"user_id": one_chunk(t["user_id"]),
+                             "dec": pa.array(rk * 10 // total)})
+
+        return srt.map_batches(assign, batch_format="pyarrow",
+                               batch_size=None)
+
+    def tag(week_col):
+        def f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            dec = np.asarray(one_chunk(t["dec"]))
+            none = np.full(n, -1, dtype=np.int64)
+            return pa.table({
+                "user_id": one_chunk(t["user_id"]),
+                "d1_p": pa.array(dec if week_col == 0 else none),
+                "d2_p": pa.array(dec if week_col == 1 else none),
+            })
+        return f
+
+    tagged = (decile_of_week(0).map_batches(tag(0),
+                                            batch_format="pyarrow")
+              .union(decile_of_week(1).map_batches(
+                  tag(1), batch_format="pyarrow")))
+    both = tagged.groupby("user_id").aggregate(
+        Max("d1_p", alias_name="dec_w1"),
+        Max("d2_p", alias_name="dec_w2"))
+
+    def cell_partial(t: pa.Table) -> pa.Table:
+        d1 = one_chunk(t["dec_w1"]).cast(pa.int64())
+        d2 = one_chunk(t["dec_w2"]).cast(pa.int64())
+        keep = pc.and_(pc.greater_equal(d1, 0), pc.greater_equal(d2, 0))
+        g = pa.table({"dec_w1": d1, "dec_w2": d2}).filter(keep) \
+            .group_by(["dec_w1", "dec_w2"]).aggregate([([], "count_all")])
+        return pa.table({"dec_w1": g["dec_w1"], "dec_w2": g["dec_w2"],
+                         "n_p": g["count_all"].cast(pa.int64())})
+
+    return (both.map_batches(cell_partial, batch_format="pyarrow")
+            .groupby(["dec_w1", "dec_w2"])
+            .aggregate(Sum("n_p", alias_name="n_users")))

@@ -625,3 +625,62 @@ def crawl_recency_report(pages, fresh_s: int = 6 * 3600,
                        Sum("o_p", alias_name="n_old"),
                        Min("age_p", alias_name="latest_age_s"))
             .map_batches(finish, batch_format="pyarrow"))
+
+
+def title_h1_consistency(pages, cfg=None):
+    """DOM-extraction quality signal: token-set agreement between a page's
+    ``<title>`` and its ``<h1>`` — low agreement flags templated or
+    misextracted headlines before a title-based identifier lookup spends
+    network budget on them (reference title sources 1–3 feed the google
+    methods).
+
+    Row-wise set intersection WITHOUT per-row Python: both columns
+    tokenize once, explode to (row, term) pairs, in-batch arrow
+    ``group_by`` dedups each side, and one in-batch C++ hash join counts
+    the common terms per row — payloads stay in the parse actor, the
+    output is five narrow columns, no cluster-wide shuffle.  Returns
+    (url, n_title_terms, n_h1_terms, n_common, jaccard_permille).
+    """
+    from ..config import DEFAULT_CONFIG
+    from ..arrowutil import one_chunk
+    from .parse import HtmlParse
+    from .textstats import _tokens
+
+    cfg = cfg or DEFAULT_CONFIG
+
+    def pairs_of(col, n_rows):
+        toks = _tokens(one_chunk(col))
+        t = pa.table({"r": pc.list_parent_indices(toks),
+                      "term": toks.flatten()})
+        d = t.group_by(["r", "term"]).aggregate([])
+        cnt = d.group_by("r").aggregate([([], "count_all")])
+        sizes = np.zeros(n_rows, dtype=np.int64)
+        sizes[np.asarray(cnt["r"])] = np.asarray(
+            cnt["count_all"], dtype=np.int64)
+        return d, sizes
+
+    def kernel(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        dt, n_title = pairs_of(t["title"], n)
+        dh, n_h1 = pairs_of(t["h1"], n)
+        j = dt.join(dh, keys=["r", "term"], join_type="inner")
+        common = np.zeros(n, dtype=np.int64)
+        if j.num_rows:
+            cc = j.group_by("r").aggregate([([], "count_all")])
+            common[np.asarray(cc["r"])] = np.asarray(
+                cc["count_all"], dtype=np.int64)
+        union = n_title + n_h1 - common
+        jac = np.where(union > 0, 1000 * common // np.maximum(union, 1), 0)
+        return pa.table({
+            "url": one_chunk(t["url"]),
+            "n_title_terms": pa.array(n_title),
+            "n_h1_terms": pa.array(n_h1),
+            "n_common": pa.array(common),
+            "jaccard_permille": pa.array(jac.astype(np.int64)),
+        })
+
+    parsed = pages.map_batches(
+        HtmlParse, batch_format="pyarrow",
+        batch_size=cfg.parse_batch_size,
+        concurrency=cfg.parse_concurrency or (1, 8), num_cpus=1)
+    return parsed.map_batches(kernel, batch_format="pyarrow")
