@@ -4939,6 +4939,16 @@ def _q_decile_transition(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]))
 
 
+def _q_byte_inventory(sf_dir: str):
+    """Per-lang byte inventory for tokenizer design: one bincount over
+    code*256+byte per batch, ≤ langs*256 combiner rows per block."""
+    import ray.data
+
+    from pdf2doi_ray.stages.textstats import byte_inventory_by_lang
+    return byte_inventory_by_lang(ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "lang"]))
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -5026,6 +5036,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 continuation wave 26
         "title_h1_consistency": _q_title_h1,
         "value_decile_transition": _q_decile_transition,
+        # round-4 continuation wave 27
+        "byte_inventory_by_lang": _q_byte_inventory,
         "clip_identifiers": _q_clip,
         "resolve_redirects": _q_resolve_redirects,
         "rolling_time_sum": _q_rolling_time_sum,
@@ -10623,5 +10635,23 @@ SELECT CAST(d1.dec AS BIGINT) AS dec_w1,
 FROM (SELECT * FROM d WHERE wk = 0) d1
 JOIN (SELECT * FROM d WHERE wk = 1) d2 USING (user_id)
 GROUP BY 1, 2
+"""
+    sql["byte_inventory_by_lang"] = """
+WITH d AS (SELECT lang, text, length(text) AS n FROM documents),
+c AS (SELECT lang, ascii(substr(text, CAST(i AS INT), 1)) AS b
+      FROM d, unnest(range(1, n + 1)) AS g(i)),
+h AS (SELECT lang, b, CAST(count(*) AS BIGINT) AS cnt
+      FROM c GROUP BY 1, 2),
+t AS (SELECT lang, b, cnt,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY cnt DESC, b) AS rk
+      FROM h)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_distinct_bytes,
+       CAST(sum(cnt) AS BIGINT) AS n_bytes,
+       CAST(max(CASE WHEN rk = 1 THEN b END) AS BIGINT) AS top_byte,
+       CAST(max(CASE WHEN rk = 1 THEN cnt END) AS BIGINT)
+           AS top_byte_count
+FROM t GROUP BY 1
 """
     return sql
