@@ -4956,88 +4956,140 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
-        # --- driver CORRECTNESS window (first 50 entries): flagship
-        # sentinels + this round's oracle upgrades, then the operators
-        # with no prior driver row (VERDICT r3 #2 rotation) ---
+        # --- driver CORRECTNESS window: flagship sentinels, then
+        # the r3-driver-unchecked operators (VERDICT r3 #2: never-
+        # checked first), then this round's new waves, then the
+        # operators with prior driver rows ---
+        # sentinels
         "extract_identifiers": _q_extract,
         "extract_text_parity": _q_text_parity,
         "dedup_exact": _q_dedup_exact,
         "simhash": _q_simhash,
         "winnow_fingerprints": _q_winnow,
-        # round-4 continuation wave 8 (never driver-checked → front)
+        # r3-unchecked rotation (67)
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "orders_customer_join": _q_orders_customer_join,
+        "lineitem_orders_join": _q_lineitem_orders_join,
+        "top_docs_per_lang": _q_top_docs_per_lang,
+        "rolling_user_sum": _q_rolling_user_sum,
+        "running_user_sum": _q_running_user_sum,
+        "distinct_users_per_type": _q_distinct_users_per_type,
+        "token_quantiles_by_lang": _q_token_quantiles_by_lang,
+        "events_pivot": _q_events_pivot,
+        "event_value_histogram": _q_event_value_histogram,
+        "funnel_conversion": _q_funnel_conversion,
+        "approx_value_quantiles": _q_approx_value_quantiles,
+        "approx_value_quantiles_by_type": _q_approx_value_quantiles_by_type,
+        "event_type_freqs_cm": _q_event_type_freqs_cm,
+        "kmeans_clusters": _q_kmeans_clusters,
+        "customer_orders_left_join": _q_customer_orders_left_join,
+        "normalize_text": _q_normalize_text,
+        "pii_redaction": _q_pii_redaction,
+        "line_dedup_keep_first": _q_line_dedup_keep_first,
+        "canonical_urls": _q_canonical_urls,
+        "dedup_canonical_urls": _q_dedup_canonical_urls,
+        "new_docs_anti_join": _q_new_docs_anti_join,
+        "inverted_index_stats": _q_inverted_index_stats,
+        "long_docs_above_p90": _q_long_docs_above_p90,
+        "events_sorted_head": _q_events_sorted_head,
+        "events_type_summary": _q_events_type_summary,
+        "curate_corpus": _q_curate_corpus,
+        "event_value_quantiles": _q_event_value_quantiles,
+        "uniform_sample": _q_uniform_sample,
+        "weighted_sample": _q_weighted_sample,
+        "repetition_filter": _q_repetition_filter,
+        "contamination": _q_contamination,
+        "contamination_distributed": _q_contamination_distributed,
+        "host_quality_filter": _q_host_quality_filter,
+        "gopher_quality": _q_gopher_quality,
+        "crawl_diff": _q_crawl_diff,
+        "curate_v2": _q_curate_v2,
+        "dsir_scores": _q_dsir_scores,
+        "pack_sequences": _q_pack_sequences,
+        "extract_links": _q_extract_links,
+        "host_link_graph": _q_host_link_graph,
+        "remove_boilerplate_lines": _q_remove_boilerplate_lines,
+        "remove_boilerplate_distributed": _q_boilerplate_distributed,
+        "oov_rate": _q_oov_rate,
+        "passage_windows": _q_passage_windows,
+        "sample_intersect": _q_sample_intersect,
+        "sample_except": _q_sample_except,
+        "extraction_rate_by_host": _q_rate_by_host,
+        "embedding_centroids": _q_embedding_centroids,
+        "heavy_hitter_tokens": _q_heavy_hitter_tokens,
+        "heavy_hitter_tokens_tree": _q_heavy_hitter_tokens_tree,
+        "stratified_sample_by_lang": _q_stratified_sample_by_lang,
+        "events_rollup": _q_docs_rollup,
+        "lag_user_value": _q_lag_user_value,
+        "ntile_user": _q_ntile_user,
+        "percent_rank_user_value": _q_percent_rank_user_value,
+        "cume_dist_user_value": _q_cume_dist_user_value,
+        "first_value_user": _q_first_value_user,
+        "last_value_user": _q_last_value_user,
+        "lead_user_value": _q_lead_user_value,
+        "rank_user_value": _q_rank_user_value,
+        "dense_rank_user_value": _q_dense_rank_user_value,
+        "row_number_user": _q_row_number_user,
+        "user_mode_event_type": _q_user_mode_event_type,
+        "user_event_paths": _q_user_event_paths,
+        "events_cube": _q_events_cube,
+        "value_quantiles_by_type": _q_value_quantiles_by_type,
+        # round-4 third-session waves 19-27
+        "event_debounce": _q_event_debounce,
+        "batch_padding_plan": _q_batch_padding_plan,
+        "personalized_pagerank": _q_personalized_pagerank,
+        "tag_census": _q_tag_census,
+        "crawl_recency_report": _q_crawl_recency,
+        "recency_weighted_value": _q_recency_weighted_value,
+        "doc_frequency_spectrum": _q_doc_freq_spectrum,
+        "vocab_growth_curve": _q_vocab_growth,
+        "method_agreement": _q_method_agreement,
+        "skipgram_cooccurrence": _q_skipgram,
+        "edge_triangle_support": _q_edge_support,
+        "doc_novelty": _q_doc_novelty,
+        "delta_oov_rate": _q_delta_oov,
+        "aspect_bucket_plan": _q_aspect_buckets,
+        "manifest_reconcile": _q_manifest_reconcile,
+        "lineage_stamps": _q_lineage_stamps,
+        "title_h1_consistency": _q_title_h1,
+        "value_decile_transition": _q_decile_transition,
+        "byte_inventory_by_lang": _q_byte_inventory,
+        # round-4 earlier waves and prior-round operators
         "char_class_profile": _q_char_class_profile,
         "char_simpson": _q_char_simpson,
         "word_len_histogram": _q_word_len_histogram,
         "user_gap_moments": _q_user_gap_moments,
         "dau_wau_stickiness": _q_dau_wau,
-        # round-4 continuation wave 9
         "bloom_semi_revenue": _q_bloom_semi_revenue,
         "supplier_lead_quantiles": _q_supplier_lead_quantiles,
         "promo_revenue_share": _q_promo_revenue_share,
         "source_mix_plan": _q_source_mix_plan,
         "dup_rate_by_source": _q_dup_rate_by_source,
-        # round-4 continuation wave 10
         "prefix_dup_flags": _q_prefix_dup_flags,
         "out_of_order_rate": _q_out_of_order_rate,
         "interleave_order": _q_interleave_order,
-        # round-4 continuation wave 11
         "join_cardinality": _q_join_cardinality,
         "open_order_backlog": _q_open_order_backlog,
         "padding_waste": _q_padding_waste,
         "event_type_trigrams": _q_event_type_trigrams,
-        # round-4 continuation wave 12
         "gate_grid_report": _q_gate_grid,
         "shard_skew_report": _q_shard_skew,
         "crawl_frontier_topk": _q_crawl_frontier,
-        # round-4 continuation wave 13
         "adjacent_vec_distance_histogram": _q_adjacent_vec_hist,
         "label_norm_stats": _q_label_norm_stats,
-        # round-4 continuation wave 14
         "median_user_value": _q_median_user_value,
         "encoding_advisor": _q_encoding_advisor,
         "weekly_retention": _q_weekly_retention,
-        # round-4 continuation wave 15
         "revenue_yoy_growth": _q_revenue_yoy,
         "dim_stats": _q_dim_stats,
         "source_lang_concentration": _q_source_lang_concentration,
-        # round-4 continuation wave 16
         "conversion_latency_histogram": _q_conversion_latency,
         "lorenz_revenue_deciles": _q_lorenz_deciles,
         "rowgroup_advisor": _q_rowgroup_advisor,
-        # round-4 continuation wave 17
         "neardup_eval": _q_neardup_eval,
         "char_bigram_familiarity": _q_char_bigram_familiarity,
-        # round-4 continuation wave 18
         "basket_size_histogram": _q_basket_size_histogram,
         "lang_run_stats": _q_lang_run_stats,
-        # round-4 continuation wave 19
-        "event_debounce": _q_event_debounce,
-        "batch_padding_plan": _q_batch_padding_plan,
-        "personalized_pagerank": _q_personalized_pagerank,
-        # round-4 continuation wave 20
-        "tag_census": _q_tag_census,
-        "crawl_recency_report": _q_crawl_recency,
-        "recency_weighted_value": _q_recency_weighted_value,
-        # round-4 continuation wave 21
-        "doc_frequency_spectrum": _q_doc_freq_spectrum,
-        "vocab_growth_curve": _q_vocab_growth,
-        # round-4 continuation wave 22
-        "method_agreement": _q_method_agreement,
-        "skipgram_cooccurrence": _q_skipgram,
-        # round-4 continuation wave 23
-        "edge_triangle_support": _q_edge_support,
-        "doc_novelty": _q_doc_novelty,
-        # round-4 continuation wave 24
-        "delta_oov_rate": _q_delta_oov,
-        "aspect_bucket_plan": _q_aspect_buckets,
-        # round-4 continuation wave 25
-        "manifest_reconcile": _q_manifest_reconcile,
-        "lineage_stamps": _q_lineage_stamps,
-        # round-4 continuation wave 26
-        "title_h1_consistency": _q_title_h1,
-        "value_decile_transition": _q_decile_transition,
-        # round-4 continuation wave 27
-        "byte_inventory_by_lang": _q_byte_inventory,
         "clip_identifiers": _q_clip,
         "resolve_redirects": _q_resolve_redirects,
         "rolling_time_sum": _q_rolling_time_sum,
@@ -5062,28 +5114,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucketed_upsert": _q_bucketed_upsert,
         "jaccard_pairs_exact": _q_jaccard_pairs,
         "market_share": _q_market_share,
-        "tfidf_top_terms": _q_tfidf_top_terms,
-        "orders_customer_join": _q_orders_customer_join,
-        "lineitem_orders_join": _q_lineitem_orders_join,
-        "top_docs_per_lang": _q_top_docs_per_lang,
-        "rolling_user_sum": _q_rolling_user_sum,
-        "running_user_sum": _q_running_user_sum,
-        "distinct_users_per_type": _q_distinct_users_per_type,
-        "token_quantiles_by_lang": _q_token_quantiles_by_lang,
-        "events_pivot": _q_events_pivot,
-        "event_value_histogram": _q_event_value_histogram,
-        "funnel_conversion": _q_funnel_conversion,
-        "event_type_freqs_cm": _q_event_type_freqs_cm,
-        "customer_orders_left_join": _q_customer_orders_left_join,
-        "normalize_text": _q_normalize_text,
-        "pii_redaction": _q_pii_redaction,
-        "line_dedup_keep_first": _q_line_dedup_keep_first,
-        "canonical_urls": _q_canonical_urls,
-        "dedup_canonical_urls": _q_dedup_canonical_urls,
-        "new_docs_anti_join": _q_new_docs_anti_join,
-        "inverted_index_stats": _q_inverted_index_stats,
-        "long_docs_above_p90": _q_long_docs_above_p90,
-        # --- round-4 continuation wave (never driver-checked) ---
         "profit_by_nation_year": _q_profit_by_nation_year,
         "cheapest_supplier_per_part": _q_cheapest_supplier_per_part,
         "supplier_counts_by_part_class": _q_supplier_counts_by_part_class,
@@ -5167,60 +5197,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_order_flags": _q_duplicate_order_flags,
         "active_day_streaks": _q_active_day_streaks,
         "revenue_hhi": _q_revenue_hhi,
-        "approx_value_quantiles": _q_approx_value_quantiles,
-        "approx_value_quantiles_by_type": _q_approx_value_quantiles_by_type,
-        "kmeans_clusters": _q_kmeans_clusters,
-        "events_sorted_head": _q_events_sorted_head,
-        "events_type_summary": _q_events_type_summary,
-        "curate_corpus": _q_curate_corpus,
-        "event_value_quantiles": _q_event_value_quantiles,
-        "uniform_sample": _q_uniform_sample,
-        "weighted_sample": _q_weighted_sample,
-        "repetition_filter": _q_repetition_filter,
-        "contamination": _q_contamination,
-        "contamination_distributed": _q_contamination_distributed,
-        "host_quality_filter": _q_host_quality_filter,
-        "gopher_quality": _q_gopher_quality,
-        "crawl_diff": _q_crawl_diff,
-        "curate_v2": _q_curate_v2,
-        "dsir_scores": _q_dsir_scores,
-        "pack_sequences": _q_pack_sequences,
-        "extract_links": _q_extract_links,
-        "host_link_graph": _q_host_link_graph,
-        "remove_boilerplate_lines": _q_remove_boilerplate_lines,
-        "remove_boilerplate_distributed": _q_boilerplate_distributed,
-        "oov_rate": _q_oov_rate,
-        "passage_windows": _q_passage_windows,
-        # --- round-5 rotation candidates (never driver-checked) ---
         "dup_ngram_spans": _q_dup_ngram_spans,
         "remove_dup_spans": _q_remove_dup_spans,
         "host_blocklist_filter": _q_host_blocklist,
         "shard_assignment": _q_shard_assignment,
         "quality_model_scores": _q_quality_model,
         "semantic_dedup": _q_semantic_dedup,
-        "sample_intersect": _q_sample_intersect,
-        "sample_except": _q_sample_except,
-        "extraction_rate_by_host": _q_rate_by_host,
-        "embedding_centroids": _q_embedding_centroids,
-        "heavy_hitter_tokens": _q_heavy_hitter_tokens,
-        "heavy_hitter_tokens_tree": _q_heavy_hitter_tokens_tree,
-        "stratified_sample_by_lang": _q_stratified_sample_by_lang,
-        "events_rollup": _q_docs_rollup,
-        "lag_user_value": _q_lag_user_value,
-        "ntile_user": _q_ntile_user,
-        "percent_rank_user_value": _q_percent_rank_user_value,
-        "cume_dist_user_value": _q_cume_dist_user_value,
-        "first_value_user": _q_first_value_user,
-        "last_value_user": _q_last_value_user,
-        "lead_user_value": _q_lead_user_value,
-        "rank_user_value": _q_rank_user_value,
-        "dense_rank_user_value": _q_dense_rank_user_value,
-        "row_number_user": _q_row_number_user,
-        "user_mode_event_type": _q_user_mode_event_type,
-        "user_event_paths": _q_user_event_paths,
-        "events_cube": _q_events_cube,
-        "value_quantiles_by_type": _q_value_quantiles_by_type,
-        # --- previously green in CORRECTNESS_r01..r03 ---
         "extract_identifiers_segmented": _q_extract_segmented,
         "extract_identifiers_keep_arxiv": _q_extract_keep_arxiv,
         "title_candidates": _q_titles,
@@ -5241,8 +5223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups_lsh": _q_embedding_near_dups_lsh,
         "embedding_dup_components": _q_embedding_dup_components,
         "embedding_dedup_prune": _q_embedding_dedup_prune,
-        "embedding_dedup_prune_distributed":
-            _q_embedding_dedup_prune_distributed,
+        "embedding_dedup_prune_distributed": _q_embedding_dedup_prune_distributed,
         "pagerank": _q_pagerank,
         "near_dup_triangles": _q_near_dup_triangles,
         "top_docs_by_tokens": _q_top_docs_by_tokens,
