@@ -4949,6 +4949,40 @@ def _q_byte_inventory(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["text", "lang"]))
 
 
+def _q_top_docs_ties(sf_dir: str):
+    """RANK()-semantics top-5 token counts per lang (ties keep all):
+    combiner keeps ≤ k distinct values per group per batch."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from pdf2doi_ray.stages.textstats import _tokens
+    from pdf2doi_ray.stages.windowfns import grouped_top_k_ties
+
+    def prep(t: pa.Table) -> pa.Table:
+        toks = _tokens(t["text"].combine_chunks()
+                       if isinstance(t["text"], pa.ChunkedArray)
+                       else t["text"])
+        return pa.table({
+            "lang": t["lang"],
+            "n_tokens": pc.list_value_length(toks).cast(pa.int64())})
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "lang"]) \
+        .map_batches(prep, batch_format="pyarrow")
+    return grouped_top_k_ties(docs, "lang", "n_tokens", k=5)
+
+
+def _q_token_weighted_quantiles(sf_dir: str):
+    """Token-weighted doc-length quantiles (the packing planner's cut):
+    one length→token-sum groupby + a bounded histogram walk."""
+    import ray.data
+
+    from pdf2doi_ray.stages.textstats import token_weighted_char_quantiles
+    return token_weighted_char_quantiles(ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]))
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -5054,6 +5088,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "title_h1_consistency": _q_title_h1,
         "value_decile_transition": _q_decile_transition,
         "byte_inventory_by_lang": _q_byte_inventory,
+        # round-4 third-session wave 28
+        "top_docs_per_lang_ties": _q_top_docs_ties,
+        "token_weighted_char_quantiles": _q_token_weighted_quantiles,
         # round-4 earlier waves and prior-round operators
         "char_class_profile": _q_char_class_profile,
         "char_simpson": _q_char_simpson,
@@ -10634,5 +10671,34 @@ SELECT lang,
        CAST(max(CASE WHEN rk = 1 THEN cnt END) AS BIGINT)
            AS top_byte_count
 FROM t GROUP BY 1
+"""
+    sql["top_docs_per_lang_ties"] = """
+WITH t AS (SELECT lang, len(string_split(text, ' ')) AS n_tokens
+           FROM documents),
+r AS (SELECT lang, n_tokens,
+             rank() OVER (PARTITION BY lang
+                          ORDER BY n_tokens DESC) AS rk
+      FROM t)
+SELECT lang, CAST(rk AS BIGINT) AS rank,
+       CAST(n_tokens AS BIGINT) AS n_tokens
+FROM r WHERE rk <= 5
+"""
+    sql["token_weighted_char_quantiles"] = """
+WITH t AS (SELECT length(text) AS n_chars,
+                  len(string_split(text, ' ')) AS tok
+           FROM documents),
+h AS (SELECT n_chars, CAST(sum(tok) AS BIGINT) AS toks
+      FROM t GROUP BY 1),
+c AS (SELECT n_chars,
+             CAST(sum(toks) OVER (ORDER BY n_chars) AS BIGINT) AS cum,
+             CAST((SELECT sum(toks) FROM h) AS BIGINT) AS total
+      FROM h),
+p AS (SELECT unnest([250, 500, 750, 900]) AS q),
+sel AS (SELECT p.q, min(c.n_chars) AS nc
+        FROM p JOIN c ON c.cum * 1000 >= p.q * c.total GROUP BY 1)
+SELECT CAST(sel.q AS BIGINT) AS quantile_permille,
+       CAST(sel.nc AS BIGINT) AS n_chars,
+       c.cum AS cum_tokens, c.total AS total_tokens
+FROM sel JOIN c ON c.n_chars = sel.nc
 """
     return sql

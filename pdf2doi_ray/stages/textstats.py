@@ -787,3 +787,49 @@ def byte_inventory_by_lang(docs):
     # |langs|·256 rows max — one driver-bounded fold task
     return cells.repartition(1).map_batches(fold, batch_format="pyarrow",
                                             batch_size=None)
+
+
+def token_weighted_char_quantiles(docs,
+                                  quantiles_permille=(250, 500, 750, 900)):
+    """TOKEN-weighted document-length quantiles: for each probe p‰, the
+    smallest ``n_chars`` value such that documents of that length or
+    shorter hold at least p‰ of ALL corpus tokens — the cut a packing
+    planner uses ("docs up to X chars cover half the token budget"),
+    which the unweighted length quantiles cannot answer.
+
+    One ``groupby(n_chars)`` over per-batch (length → token-sum)
+    combiners, then a driver walk over the ≤ |distinct lengths| histogram
+    rows (the bounded-distinct contract shared with every histogram-walk
+    operator).  Integer-exact: the comparison is ``cum_tokens * 1000 >=
+    p * total_tokens``.  Returns pandas (quantile_permille, n_chars,
+    cum_tokens, total_tokens).
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from ..arrowutil import one_chunk
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = _tokens(one_chunk(t["text"]))
+        g = pa.table({
+            "n_chars": pc.utf8_length(one_chunk(t["text"])).cast(pa.int64()),
+            "t_p": pc.list_value_length(toks).cast(pa.int64()),
+        }).group_by("n_chars").aggregate([("t_p", "sum")])
+        return g.rename_columns(["n_chars", "t_p"])
+
+    hist = (docs.map_batches(partial, batch_format="pyarrow")
+            .groupby("n_chars").aggregate(Sum("t_p", alias_name="toks"))
+            .to_pandas().sort_values("n_chars").reset_index(drop=True))
+    cum = hist["toks"].cumsum().to_numpy().astype(np.int64)
+    total = int(cum[-1]) if len(cum) else 0
+    rows = []
+    for p in quantiles_permille:
+        idx = int(np.searchsorted(cum * 1000, p * total))
+        rows.append({
+            "quantile_permille": p,
+            "n_chars": int(hist["n_chars"].iloc[idx]) if len(hist) else 0,
+            "cum_tokens": int(cum[idx]) if len(cum) else 0,
+            "total_tokens": total,
+        })
+    return pd.DataFrame(rows, columns=["quantile_permille", "n_chars",
+                                       "cum_tokens", "total_tokens"])

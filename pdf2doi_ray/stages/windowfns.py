@@ -587,3 +587,70 @@ def max_burst_per_user(events, window_s: int = 60,
     return (per_row.map_batches(combine, batch_format="pyarrow")
             .groupby("user_id").aggregate(Max("burst",
                                               alias_name="max_burst")))
+
+
+def grouped_top_k_ties(ds, group_col: str, order_col: str, k: int,
+                       n_buckets: int = TOPK_BUCKETS):
+    """``RANK() OVER (PARTITION BY group ORDER BY order DESC) <= k`` —
+    the ties-keep-all variant of :func:`grouped_top_k` (row_number
+    semantics): every row whose ORDER VALUE ties a kept value survives,
+    so the output per group can exceed ``k`` exactly when SQL's RANK
+    does.
+
+    Same combiner-first plan: the per-batch partial keeps each group's
+    rows with rank ≤ k (rank = 1 + count of DISTINCT greater values,
+    computed vectorized from the sorted block's value-change mask), so a
+    batch forwards at most k distinct values per group (ties included);
+    the bucketed merge re-ranks whole groups.  Returns (group, rank,
+    order) with rank the SQL RANK value.
+    """
+
+    def _sorted_rank(t: pa.Table):
+        st = t.sort_by([(group_col, "ascending"),
+                        (order_col, "descending")])
+        g = one_chunk(st[group_col])
+        v = one_chunk(st[order_col])
+        m = len(g)
+        new_grp = np.ones(m, dtype=bool)
+        new_val = np.ones(m, dtype=bool)
+        if m > 1:
+            ne_g = pc.fill_null(pc.not_equal(g.slice(1), g.slice(0, m - 1)),
+                                True)
+            ne_v = pc.fill_null(pc.not_equal(v.slice(1), v.slice(0, m - 1)),
+                                True)
+            new_grp[1:] = np.asarray(ne_g, dtype=bool)
+            new_val[1:] = np.asarray(ne_v, dtype=bool) | new_grp[1:]
+        idx = np.arange(m, dtype=np.int64)
+        seg_start = np.maximum.accumulate(np.where(new_grp, idx, 0))
+        # SQL RANK: 1 + number of group rows STRICTLY ABOVE this row's
+        # value = position of this value-segment's first row within the
+        # group (dense_rank would count distinct values instead)
+        val_start = np.maximum.accumulate(np.where(new_val, idx, 0))
+        rank = val_start - seg_start + 1
+        return st, rank
+
+    def partial(t: pa.Table) -> pa.Table:
+        st, rank = _sorted_rank(t.select([group_col, order_col]))
+        return st.filter(pa.array(rank <= k))
+
+    def bucket_of(t: pa.Table) -> np.ndarray:
+        import pandas as pd
+
+        col = one_chunk(t[group_col])
+        if pa.types.is_integer(col.type):
+            return np.asarray(col).astype(np.int64)
+        return pd.util.hash_array(
+            col.to_numpy(zero_copy_only=False)).astype(np.int64) \
+            & np.int64(0x7FFFFFFFFFFFFFFF)
+
+    def merge_bucket(t: pa.Table) -> pa.Table:
+        st, rank = _sorted_rank(t)
+        keep = rank <= k
+        st = st.filter(pa.array(keep))
+        return st.append_column(
+            "rank", pa.array(rank[keep], type=pa.int64())) \
+            .select([group_col, "rank", order_col])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return sharded_stitch(partials, bucket_of, merge_bucket,
+                          num_shards=n_buckets)
