@@ -4983,6 +4983,13 @@ def _q_token_weighted_quantiles(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["text"]))
 
 
+def _q_strip_tags(sf_dir: str):
+    """Strip-all-tags baseline extractor vs DOM-aware main content: one
+    RE2 kernel over html, per-page chrome share."""
+    from pdf2doi_ray.stages.skew import strip_tags_baseline
+    return strip_tags_baseline(_pages(sf_dir))
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -5091,6 +5098,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 third-session wave 28
         "top_docs_per_lang_ties": _q_top_docs_ties,
         "token_weighted_char_quantiles": _q_token_weighted_quantiles,
+        # round-4 third-session wave 29
+        "strip_tags_baseline": _q_strip_tags,
         # round-4 earlier waves and prior-round operators
         "char_class_profile": _q_char_class_profile,
         "char_simpson": _q_char_simpson,
@@ -10700,5 +10709,45 @@ SELECT CAST(sel.q AS BIGINT) AS quantile_permille,
        CAST(sel.nc AS BIGINT) AS n_chars,
        c.cum AS cum_tokens, c.total AS total_tokens
 FROM sel JOIN c ON c.n_chars = sel.nc
+"""
+    sql["strip_tags_baseline"] = f"""
+WITH d AS ({_D}),
+x AS (SELECT {_URL} AS url,
+       replace(replace(replace(base_text || {_TEXT_SUFFIX},
+                               '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+           AS esc,
+       '<!DOCTYPE html><html lang="' || lang
+       || '"><head><meta charset="utf-8">'
+       || '<meta name="generator" content="engine/2.1">'
+       || CASE WHEN slot IN (0,1)
+               THEN '<meta name="citation_doi" content="10.' || reg
+                    || '/meta.' || ks || '">'
+               WHEN slot = 2
+               THEN '<meta name="wps-journaldoi" content="10.' || reg
+                    || '/blocked.' || ks || '">'
+               WHEN slot = 12
+               THEN '<meta name="citation_doi" content="10.' || reg
+                    || '/mc.' || ks || '">'
+               WHEN slot = 16
+               THEN '<meta name="author" content="nobody">'
+                    || '<meta name="identifier" content="10.' || reg
+                    || ':ns.' || ks || '">'
+               ELSE '' END
+       || '<title>Document ' || ks || ' from site' || site
+       || '.example.org</title></head><body><header><nav>Home | About | '
+       || 'site' || site || '.example.org</nav></header><h1>Study ' || ks
+       || ' of stream processing</h1><main>' AS head,
+       '</main><footer>&copy; site' || site
+       || '.example.org archive</footer></body></html>' AS tail
+      FROM d),
+y AS (SELECT url,
+             length(regexp_replace(head || esc || tail,
+                                   '<[^>]*>', '', 'g')) AS sl,
+             length(esc) AS ml
+      FROM x)
+SELECT url, CAST(sl AS BIGINT) AS n_stripped_chars,
+       CAST(ml AS BIGINT) AS n_main_chars,
+       CAST(1000 * (sl - ml) // sl AS BIGINT) AS chrome_permille
+FROM y
 """
     return sql

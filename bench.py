@@ -1029,6 +1029,41 @@ def main() -> None:
     if not headline_only:
         bench_query("event_debounce_pages", q_debounce)
 
+    # vocabulary frequency-of-frequencies over page texts: the heaviest
+    # text shuffle shape (groupby(term) over per-batch combiner rows)
+    def q_doc_freq():
+        import pyarrow as pa
+
+        from pdf2doi_ray.stages.corpus import doc_frequency_spectrum
+
+        def prep(t: pa.Table) -> pa.Table:
+            return pa.table({"doc_id": ts_doc_ids(t), "text": t["text"]})
+
+        docs = read_pages(("warc_ts", "text"), split=True).map_batches(
+            prep, batch_format="pyarrow")
+        n = doc_frequency_spectrum(docs).count()
+        assert n > 0, n
+
+    if not headline_only:
+        bench_query("doc_freq_spectrum_pages", q_doc_freq)
+
+    # longest-first batching audit: 2-int64 range sort + zipWithIndex
+    def q_padding_plan():
+        import pyarrow as pa
+
+        from pdf2doi_ray.stages.corpus import batch_padding_plan
+
+        def prep(t: pa.Table) -> pa.Table:
+            return pa.table({"doc_id": ts_doc_ids(t), "text": t["text"]})
+
+        docs = read_pages(("warc_ts", "text"), split=True).map_batches(
+            prep, batch_format="pyarrow")
+        n = batch_padding_plan(docs, batch_docs=256).count()
+        assert n > 0, n
+
+    if not headline_only:
+        bench_query("batch_padding_plan_pages", q_padding_plan)
+
     headline = queries.get("identify_full")
     print(json.dumps({
         "metric": "identify_full seconds (pages parquet -> identifiers parquet)",

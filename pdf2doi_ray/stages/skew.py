@@ -684,3 +684,41 @@ def title_h1_consistency(pages, cfg=None):
         batch_size=cfg.parse_batch_size,
         concurrency=cfg.parse_concurrency or (1, 8), num_cpus=1)
     return parsed.map_batches(kernel, batch_format="pyarrow")
+
+
+def strip_tags_baseline(pages):
+    """Baseline main-content extraction (the strip-all-tags fallback every
+    boilerplate-removal evaluation compares against, à la jusText /
+    trafilatura baselines) and its per-page delta vs the DOM-aware
+    extractor: the tag-stripped html retains chrome (title, nav, h1,
+    footer) that the ``text`` column — the engine's DOM extraction,
+    byte-parity-proven elsewhere — excludes, so ``chrome_permille``
+    measures template weight per page.
+
+    One RE2 ``replace_substring_regex`` over the html column (entities
+    stay escaped on BOTH sides — the metric is raw stripped bytes, so
+    the SQL oracle reproduces it exactly); no shuffle; payloads never
+    leave the stage.  Returns (url, n_stripped_chars, n_main_chars,
+    chrome_permille).
+    """
+    from ..arrowutil import one_chunk
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        h = one_chunk(t["html"]).cast(pa.string())
+        stripped = pc.replace_substring_regex(h, "<[^>]*>", "")
+        sl = np.asarray(pc.utf8_length(stripped).cast(pa.int64()))
+        # main text as the DOM extractor will emit it — but ESCAPED, to
+        # stay comparable with the raw stripped bytes
+        ml = np.asarray(pc.utf8_length(pc.replace_substring(
+            pc.replace_substring(pc.replace_substring(
+                one_chunk(t["text"]), "&", "&amp;"), "<", "&lt;"),
+            ">", "&gt;")).cast(pa.int64()))
+        chrome = sl - ml
+        return pa.table({
+            "url": one_chunk(t["url"]),
+            "n_stripped_chars": pa.array(sl),
+            "n_main_chars": pa.array(ml),
+            "chrome_permille": pa.array(1000 * chrome // sl),
+        })
+
+    return pages.map_batches(per_batch, batch_format="pyarrow")
