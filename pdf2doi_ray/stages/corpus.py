@@ -4297,6 +4297,14 @@ def batch_padding_plan(docs, batch_docs: int = 64):
 
     meta = srt.map_batches(block_meta, batch_format="pyarrow",
                            batch_size=None).to_pandas()
+    if meta.empty:            # fully-empty input: no batch emitted a meta
+        import ray.data
+        return ray.data.from_arrow(pa.table({
+            "batch_id": pa.array([], type=pa.int64()),
+            "n_docs": pa.array([], type=pa.int64()),
+            "max_tokens": pa.array([], type=pa.int64()),
+            "sum_tokens": pa.array([], type=pa.int64()),
+            "pad_waste": pa.array([], type=pa.int64())}))
     meta = meta.sort_values(["k_neg", "k_id"]).reset_index(drop=True)
     offsets = np.concatenate([[0], meta["n"].cumsum().to_numpy()[:-1]]) \
         .astype(np.int64)
@@ -4677,8 +4685,24 @@ def delta_oov_rate(docs):
 
     totals = pairs.map_batches(tot_partial, batch_format="pyarrow")
 
-    matched = shuffle_hash_join(pairs, vocab, on="term",
-                                project=["doc_id"])
+    # the hash join cannot take a zero-block side: an empty delta yields
+    # an empty report; an empty old corpus makes every term OOV
+    pairs = pairs.materialize()
+    vocab = vocab.materialize()
+    if pairs.count() == 0:
+        import ray.data
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], type=pa.int64()),
+            "n_terms": pa.array([], type=pa.int64()),
+            "n_oov": pa.array([], type=pa.int64()),
+            "oov_permille": pa.array([], type=pa.int64())}))
+    if vocab.count() == 0:
+        import ray.data
+        matched = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], type=pa.int64())}))
+    else:
+        matched = shuffle_hash_join(pairs, vocab, on="term",
+                                    project=["doc_id"])
 
     def in_partial(t: pa.Table) -> pa.Table:
         g = t.select(["doc_id"]).group_by("doc_id") \

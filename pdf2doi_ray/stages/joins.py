@@ -2774,8 +2774,33 @@ def manifest_reconcile(left, right, on: str = "id",
                 np.ones(t.num_rows, dtype=np.int64))})
         return f
 
-    l = left.map_batches(mark("_l"), batch_format="pyarrow")
-    r = right.map_batches(mark("_r"), batch_format="pyarrow")
+    l = left.map_batches(mark("_l"), batch_format="pyarrow").materialize()
+    r = right.map_batches(mark("_r"), batch_format="pyarrow").materialize()
+    # this Ray build's hash join cannot take a zero-block side at all
+    # (empty-block folding can't help when NO block exists): a one-sided
+    # manifest degenerates to "every row of the other side is incomplete"
+    if l.count() == 0 or r.count() == 0:
+        def solo(flag_present, flag_absent):
+            def f(t: pa.Table) -> pa.Table:
+                import numpy as np
+                return pa.table({
+                    on: t[on],
+                    left_flag: pa.array(np.full(
+                        t.num_rows, 1 if flag_present == "_l" else 0,
+                        dtype=np.int64)),
+                    right_flag: pa.array(np.full(
+                        t.num_rows, 1 if flag_present == "_r" else 0,
+                        dtype=np.int64)),
+                })
+            return f
+        if l.count() == 0 and r.count() == 0:
+            import ray.data
+            return ray.data.from_arrow(pa.table({
+                on: pa.array([], type=pa.int64()),
+                left_flag: pa.array([], type=pa.int64()),
+                right_flag: pa.array([], type=pa.int64())}))
+        side, flag = (r, "_r") if l.count() == 0 else (l, "_l")
+        return side.map_batches(solo(flag, None), batch_format="pyarrow")
     joined = shuffle_hash_join(l, r, on=on, join_type="full_outer",
                                num_partitions=num_partitions)
 

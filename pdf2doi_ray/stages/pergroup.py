@@ -97,8 +97,11 @@ def per_group_apply(ds, group_col: str, order_cols, kernel,
         .select(out_names),
         batch_format="pyarrow")
 
-    src_names = [n for n in mixed.schema().names
-                 if n.startswith("_c_")]
+    sch = mixed.schema()
+    if sch is None:          # fully-empty input: no blocks survive the sort
+        import ray.data
+        return ray.data.from_arrow(empty_out())
+    src_names = [n for n in sch.names if n.startswith("_c_")]
 
     def stitch(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:

@@ -767,6 +767,13 @@ def byte_inventory_by_lang(docs):
              .aggregate(Sum("n_p", alias_name="n")))
 
     def fold(t: pa.Table) -> pa.Table:
+        if "lang" not in t.column_names:   # schemaless empty groupby output
+            return pa.table({
+                "lang": pa.array([], type=pa.string()),
+                "n_distinct_bytes": pa.array([], type=pa.int64()),
+                "n_bytes": pa.array([], type=pa.int64()),
+                "top_byte": pa.array([], type=pa.int64()),
+                "top_byte_count": pa.array([], type=pa.int64())})
         df = t.to_pandas()
         rows = []
         for lang, sub in df.groupby("lang", sort=True):
@@ -819,7 +826,11 @@ def token_weighted_char_quantiles(docs,
 
     hist = (docs.map_batches(partial, batch_format="pyarrow")
             .groupby("n_chars").aggregate(Sum("t_p", alias_name="toks"))
-            .to_pandas().sort_values("n_chars").reset_index(drop=True))
+            .to_pandas())
+    if "n_chars" not in hist.columns:      # schemaless empty groupby
+        hist = pd.DataFrame({"n_chars": pd.Series(dtype="int64"),
+                             "toks": pd.Series(dtype="int64")})
+    hist = hist.sort_values("n_chars").reset_index(drop=True)
     cum = hist["toks"].cumsum().to_numpy().astype(np.int64)
     total = int(cum[-1]) if len(cum) else 0
     rows = []
