@@ -4683,12 +4683,12 @@ def delta_oov_rate(docs):
             "tot_p": g["count_all"].cast(pa.int64()),
             "in_p": pa.array(np.zeros(n, dtype=np.int64))})
 
-    totals = pairs.map_batches(tot_partial, batch_format="pyarrow")
-
     # the hash join cannot take a zero-block side: an empty delta yields
-    # an empty report; an empty old corpus makes every term OOV
+    # an empty report; an empty old corpus makes every term OOV.
+    # Materialize pairs BEFORE deriving totals so the explode runs once.
     pairs = pairs.materialize()
     vocab = vocab.materialize()
+    totals = pairs.map_batches(tot_partial, batch_format="pyarrow")
     if pairs.count() == 0:
         import ray.data
         return ray.data.from_arrow(pa.table({
