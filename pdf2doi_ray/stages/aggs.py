@@ -3552,42 +3552,68 @@ def user_gap_moments(events):
                            "user_id", ["us"], kernel, out_schema)
 
 
-def dau_wau_stickiness(events):
+def dau_wau_stickiness(events, n_shards: int = 32):
     """Per-day DAU / trailing-7-day WAU / stickiness permille — the
-    engagement ratio every consumer analytics stack reports, computed
-    with TWO exchanges and no per-day distinct-count rescan:
+    engagement ratio every consumer analytics stack reports.
 
-    1. per-batch partial dedup of (user, day), then each pair fans out
-       to the 7 target days it keeps the user "weekly active" for,
-       carrying ``first = (target == day)``;
-    2. ``groupby(user, target).max(first)`` — the global dedup — then
-       ``groupby(target)``: WAU = row count, DAU = Σ first.
+    Round-4 rewrite: the original plan fanned every (user, day) pair out
+    to its 7 target days BEFORE the exchange and deduped with a
+    composite-key ``groupby(user, target).Max`` — Ray's sort-based
+    aggregate ground through 7x the pair volume at ~0.5M rows/s (31 s of
+    a 33 s bench row).  The fan-out is now INSIDE a user-sharded kernel:
 
-    Days with DAU = 0 (targets only reachable by fan-out, no activity
-    that day) are dropped, matching the oracle's join to observed days.
-    Exact integers throughout; stickiness = ``1000*dau // wau``.
+    1. per-batch distinct (user, day) pairs tag ``shard = user % P`` —
+       a user's pairs all co-locate, so per-shard dedup is global dedup
+       and per-shard distinct-user counts are disjoint (they SUM);
+    2. one ``groupby(shard).map_groups`` (P tiny int keys — the
+       repo's proven cheap-exchange shape) runs a pure numpy kernel:
+       unique pairs, x7 target fan-out, lexsort boundary-dedup, per-day
+       partial (dau_p, wau_p) rows;
+    3. a P·|days|-row ``groupby(day)`` Sum + finalize.
+
+    Days with DAU = 0 are dropped, matching the oracle's join to
+    observed days.  Exact integers; stickiness = ``1000*dau // wau``.
     """
-    from ray.data.aggregate import Count, Max, Sum
+    from ray.data.aggregate import Sum
 
-    def expand(t: pa.Table) -> pa.Table:
+    def pairs_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"_shard": pa.array([], type=pa.int64()),
+                             "u": pa.array([], type=pa.int64()),
+                             "d": pa.array([], type=pa.int64())})
         d = np.asarray(pc.cast(pc.cast(one_chunk(t["ts"]),
                                        pa.timestamp("us")),
                                pa.int64())) // 86_400_000_000
         u = np.asarray(one_chunk(t["user_id"])).astype(np.int64)
         pairs = np.unique(np.stack([u, d], axis=1), axis=0)
-        uu = np.repeat(pairs[:, 0], 7)
-        dd = np.repeat(pairs[:, 1], 7)
-        off = np.tile(np.arange(7, dtype=np.int64), len(pairs))
-        tgt = dd + off
-        first = (off == 0).astype(np.int64)
-        part = pa.table({"user_id": pa.array(uu),
-                         "target_day": pa.array(tgt),
-                         "first_p": pa.array(first)}) \
-            .group_by(["user_id", "target_day"]) \
-            .aggregate([("first_p", "max")])
-        return pa.table({"user_id": part["user_id"],
-                         "target_day": part["target_day"],
-                         "first_p": part["first_p_max"]})
+        return pa.table({
+            "_shard": pa.array(pairs[:, 0] % n_shards),
+            "u": pa.array(pairs[:, 0]),
+            "d": pa.array(pairs[:, 1]),
+        })
+
+    def per_shard(g: pa.Table) -> pa.Table:
+        u = np.asarray(g["u"].combine_chunks()
+                       if isinstance(g["u"], pa.ChunkedArray) else g["u"])
+        d = np.asarray(g["d"].combine_chunks()
+                       if isinstance(g["d"], pa.ChunkedArray) else g["d"])
+        pairs = np.unique(np.stack([u, d], axis=1), axis=0)
+        pu, pd_ = pairs[:, 0], pairs[:, 1]
+        # DAU partial: distinct users per observed day (pairs are unique)
+        days, dau_p = np.unique(pd_, return_counts=True)
+        # WAU partial: fan out to 7 target days, dedup (user, target)
+        tgt = (pd_[:, None] + np.arange(7, dtype=np.int64)).ravel()
+        uu = np.repeat(pu, 7)
+        ut = np.unique(np.stack([uu, tgt], axis=1), axis=0)
+        tdays, wau_p = np.unique(ut[:, 1], return_counts=True)
+        out_d = np.concatenate([days, tdays])
+        out_dau = np.concatenate([dau_p.astype(np.int64),
+                                  np.zeros(len(tdays), np.int64)])
+        out_wau = np.concatenate([np.zeros(len(days), np.int64),
+                                  wau_p.astype(np.int64)])
+        return pa.table({"target_day": pa.array(out_d),
+                         "dau_p": pa.array(out_dau),
+                         "wau_p": pa.array(out_wau)})
 
     def finalize(t: pa.Table) -> pa.Table:
         dau = np.asarray(one_chunk(t["dau"])).astype(np.int64)
@@ -3602,12 +3628,12 @@ def dau_wau_stickiness(events):
         })
         return out.filter(pa.array(mask))
 
-    active = (events.map_batches(expand, batch_format="pyarrow")
-              .groupby(["user_id", "target_day"])
-              .aggregate(Max("first_p", alias_name="active_today")))
-    return (active.groupby("target_day")
-            .aggregate(Count(alias_name="wau"),
-                       Sum("active_today", alias_name="dau"))
+    partials = (events.map_batches(pairs_partial, batch_format="pyarrow")
+                .groupby("_shard")
+                .map_groups(per_shard, batch_format="pyarrow"))
+    return (partials.groupby("target_day")
+            .aggregate(Sum("dau_p", alias_name="dau"),
+                       Sum("wau_p", alias_name="wau"))
             .map_batches(finalize, batch_format="pyarrow"))
 
 
