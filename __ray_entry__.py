@@ -4990,6 +4990,27 @@ def _q_strip_tags(sf_dir: str):
     return strip_tags_baseline(_pages(sf_dir))
 
 
+def _q_dup_canonical(sf_dir: str):
+    """Keep-best canonical map for embedding near-dup clusters (quality =
+    label, ties to smaller id): components + quality join + top-1."""
+    import pyarrow as pa
+    import ray.data
+
+    from pdf2doi_ray.stages.graph import dup_canonical_map
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    from pdf2doi_ray.stages.similarity import embedding_near_dups
+    pairs = embedding_near_dups(emb, threshold=0.40)
+    quality = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "label"]).map_batches(
+        lambda t: pa.table({"node": t["vec_id"].cast(pa.int64()),
+                            "q": t["label"].cast(pa.int64())}),
+        batch_format="pyarrow")
+    return dup_canonical_map(pairs, quality)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -5100,6 +5121,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_weighted_char_quantiles": _q_token_weighted_quantiles,
         # round-4 third-session wave 29
         "strip_tags_baseline": _q_strip_tags,
+        # round-4 third-session wave 30
+        "dup_canonical_map": _q_dup_canonical,
         # round-4 earlier waves and prior-round operators
         "char_class_profile": _q_char_class_profile,
         "char_simpson": _q_char_simpson,
@@ -10749,5 +10772,28 @@ SELECT url, CAST(sl AS BIGINT) AS n_stripped_chars,
        CAST(ml AS BIGINT) AS n_main_chars,
        CAST(1000 * (sl - ml) // sl AS BIGINT) AS chrome_permille
 FROM y
+"""
+    sql["dup_canonical_map"] = """
+WITH RECURSIVE p AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        >= 0.40),
+e AS (SELECT va AS a, vb AS b FROM p UNION SELECT vb, va FROM p),
+reach(node, r) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT e.a, reach.r FROM e JOIN reach ON reach.node = e.b),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+q AS (SELECT c.node, c.component, m.label AS ql
+      FROM comp c JOIN embeddings m ON m.vec_id = c.node),
+champ AS (SELECT component, node AS canonical,
+                 row_number() OVER (PARTITION BY component
+                                    ORDER BY ql DESC, node) AS rk
+          FROM q)
+SELECT q.node, ch.canonical
+FROM q JOIN (SELECT component, canonical FROM champ WHERE rk = 1) ch
+USING (component)
+WHERE q.node <> ch.canonical
 """
     return sql

@@ -1654,3 +1654,47 @@ def edge_triangle_support(pairs, col_a: str = "vec_a",
             .map_batches(lambda t: pa.table({
                 col_a: t["a"], col_b: t["b"], "support": t["support"]}),
                 batch_format="pyarrow"))
+
+
+def dup_canonical_map(pairs, quality, col_a: str = "vec_a",
+                      col_b: str = "vec_b", id_col: str = "node",
+                      quality_col: str = "q",
+                      num_partitions: int = 8):
+    """Canonical-representative selection for near-dup clusters: every
+    non-canonical member maps to its cluster's BEST row (max quality,
+    ties to the smaller id) — the redirect table a training mix applies
+    so each dup family contributes exactly its best exemplar (the
+    keep-best generalization of min-id components; e.g. keep the
+    longest/cleanest page of a mirror set, not the lowest-numbered).
+
+    Composition of three existing primitives: label-propagation
+    :func:`connected_components` over the pair list, one large×large
+    hash join attaching ``quality`` to members, a ``grouped_top_k``
+    (k=1) picking each component's champion, and one final hash join
+    emitting (member → canonical) rows for non-champions.  ``quality``
+    is a Dataset of (id_col, quality_col).  Returns (node, canonical).
+    """
+    from .joins import shuffle_hash_join
+    from .windowfns import grouped_top_k
+
+    comps = connected_components(pairs, col_a=col_a, col_b=col_b)
+    members = shuffle_hash_join(
+        comps, quality, on="node", right_on=id_col,
+        num_partitions=num_partitions,
+        project=["node", "component", quality_col]).materialize()
+
+    champs = grouped_top_k(members, "component", quality_col, "node",
+                           k=1).materialize()
+
+    # grouped_top_k emits (group, rank, order, tie) = (component, rank,
+    # quality, node); the k=1 row's tie column IS the champion id
+    canon_tbl = champs.map_batches(
+        lambda t: pa.table({"component": t["component"],
+                            "canonical": t["node"]}),
+        batch_format="pyarrow")
+    joined = shuffle_hash_join(members, canon_tbl, on="component",
+                               num_partitions=num_partitions,
+                               project=["node", "canonical"])
+    return joined.map_batches(
+        lambda t: t.filter(pc.not_equal(t["node"], t["canonical"])),
+        batch_format="pyarrow")
