@@ -5011,6 +5011,17 @@ def _q_dup_canonical(sf_dir: str):
     return dup_canonical_map(pairs, quality)
 
 
+def _q_datacard(sf_dir: str):
+    """Corpus data card (long-format metric/value rows): one additive
+    pass + two distinct-count combiner exchanges."""
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import corpus_datacard
+    return corpus_datacard(ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang"]))
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -5123,6 +5134,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "strip_tags_baseline": _q_strip_tags,
         # round-4 third-session wave 30
         "dup_canonical_map": _q_dup_canonical,
+        # round-4 third-session wave 31
+        "corpus_datacard": _q_datacard,
         # round-4 earlier waves and prior-round operators
         "char_class_profile": _q_char_class_profile,
         "char_simpson": _q_char_simpson,
@@ -10795,5 +10808,31 @@ SELECT q.node, ch.canonical
 FROM q JOIN (SELECT component, canonical FROM champ WHERE rk = 1) ch
 USING (component)
 WHERE q.node <> ch.canonical
+"""
+    sql["corpus_datacard"] = """
+WITH q AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_filter(string_split(text, ' '),
+             x -> x IN ('the','and','of','to','is','it'))) AS n_stop
+  FROM documents)
+SELECT 'n_docs' AS metric, CAST(count(*) AS BIGINT) AS value
+FROM documents
+UNION ALL
+SELECT 'n_tokens', CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'n_chars', CAST(sum(length(text)) AS BIGINT) FROM documents
+UNION ALL
+SELECT 'n_quality',
+       CAST(sum(CASE WHEN n_tokens >= 20
+                      AND n_stop * 1000 >= 50 * n_tokens
+                THEN 1 ELSE 0 END) AS BIGINT)
+FROM q
+UNION ALL
+SELECT 'n_langs', CAST(count(DISTINCT lang) AS BIGINT) FROM documents
+UNION ALL
+SELECT 'n_distinct_texts', CAST(count(DISTINCT text) AS BIGINT)
+FROM documents
 """
     return sql

@@ -4731,3 +4731,67 @@ def delta_oov_rate(docs):
             .aggregate(Sum("tot_p", alias_name="n_terms"),
                        Sum("in_p", alias_name="n_in"))
             .map_batches(finish, batch_format="pyarrow"))
+
+
+def corpus_datacard(docs):
+    """The corpus data card: the one-screen summary (doc/token/char
+    volume, language spread, exact-dup rate, quality-gate pass rate)
+    every released training set ships with — long-format (metric, value)
+    rows so downstream dashboards join on the metric name.
+
+    One streaming pass computes the additive metrics per batch (docs,
+    tokens, chars, quality passes) as O(1) partial rows; the two
+    distinct-counts each use their own combiner exchange: languages
+    through a ≤|langs|-per-batch groupby, exact-dup texts through the
+    md5 ``groupby(hash)`` (the dedup_exact exchange).  Returns pandas
+    (metric, value) with metrics: n_docs, n_tokens, n_chars, n_quality,
+    n_langs, n_distinct_texts.
+    """
+    import hashlib
+
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from .textstats import _tokens, quality_flags
+
+    def adds(t: pa.Table) -> pa.Table:
+        toks = _tokens(one_chunk(t["text"]))
+        q = quality_flags(t.select(["doc_id", "text"]))
+        return pa.table({
+            "n_docs_p": pa.array([t.num_rows], type=pa.int64()),
+            "n_tokens_p": pa.array(
+                [int(np.asarray(pc.list_value_length(toks))
+                     .astype(np.int64).sum())], type=pa.int64()),
+            "n_chars_p": pa.array(
+                [int(np.asarray(pc.utf8_length(one_chunk(t["text"])))
+                     .astype(np.int64).sum())], type=pa.int64()),
+            "n_quality_p": pa.array(
+                [int(np.asarray(q["is_quality"]).sum())],
+                type=pa.int64()),
+        })
+
+    sums = docs.map_batches(adds, batch_format="pyarrow") \
+        .sum(["n_docs_p", "n_tokens_p", "n_chars_p", "n_quality_p"])
+
+    def lang_partial(t: pa.Table) -> pa.Table:
+        return t.select(["lang"]).group_by("lang").aggregate([])
+
+    n_langs = docs.map_batches(lang_partial, batch_format="pyarrow") \
+        .groupby("lang").count().count()
+
+    def hash_partial(t: pa.Table) -> pa.Table:
+        hs = [hashlib.md5(x.encode()).hexdigest()
+              for x in one_chunk(t["text"]).to_pylist()]
+        return pa.table({"h": pa.array(hs, type=pa.string())}) \
+            .group_by("h").aggregate([])
+
+    n_distinct = docs.map_batches(hash_partial, batch_format="pyarrow") \
+        .groupby("h").count().count()
+
+    rows = [("n_docs", int(sums["sum(n_docs_p)"])),
+            ("n_tokens", int(sums["sum(n_tokens_p)"])),
+            ("n_chars", int(sums["sum(n_chars_p)"])),
+            ("n_quality", int(sums["sum(n_quality_p)"])),
+            ("n_langs", int(n_langs)),
+            ("n_distinct_texts", int(n_distinct))]
+    return pd.DataFrame(rows, columns=["metric", "value"])
