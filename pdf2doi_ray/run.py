@@ -101,6 +101,32 @@ def resolve_config(base, args):
     )
 
 
+def _check_pages_schema(path: str, cols) -> None:
+    """Fail fast with a readable message when --input is not a pages
+    table (the raw KeyError from the parquet reader names the column but
+    not the fix: testdata sf dirs go through --synth-sf-dir)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    probe = path
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "**", "*.parquet"),
+                                 recursive=True))
+        if not files:
+            raise SystemExit(f"--input {path}: no parquet files found")
+        probe = files[0]
+    names = set(pq.read_schema(probe).names)
+    missing = [c for c in cols if c not in names]
+    if missing:
+        raise SystemExit(
+            f"--input {path}: parquet schema lacks column(s) {missing} "
+            f"(has {sorted(names)}); expected a pages table "
+            "(url, warc_ts, html, text, lang). For a testdata sf dir "
+            "use --synth-sf-dir instead.")
+
+
 def main(argv=None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
@@ -188,12 +214,14 @@ def main(argv=None) -> int:
 
         cols = ["url", "text", "lang"] if args.text_only \
             else ["url", "html", "lang"]
+        _check_pages_schema(args.input, cols)
         pages = ray.data.read_parquet(args.input, columns=cols)
         build_single(pages).write_parquet(args.output)
         summary = {"rows_out": "written", "mode": "single-write"}
     else:
         cols = ["url", "text", "lang"] if args.text_only \
             else ["url", "html", "lang"]
+        _check_pages_schema(args.input, cols)
         summary = checkpointed_run(args.input, args.output, build_shard,
                                    columns=cols)
         summary["mode"] = "checkpointed"
