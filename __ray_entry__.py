@@ -5022,6 +5022,52 @@ def _q_datacard(sf_dir: str):
         columns=["doc_id", "text", "lang"]))
 
 
+def _q_components_incremental(sf_dir: str):
+    """Incremental CC maintenance: yesterday = components of the
+    even-even 0.40 edges, today's delta = the remaining edges; the
+    star-augmented recompute must equal the full-graph components
+    (the oracle is the full-graph reach CTE)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from pdf2doi_ray.stages.graph import (components_incremental,
+                                          connected_components)
+    from pdf2doi_ray.stages.similarity import embedding_near_dups
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    pairs = embedding_near_dups(emb, threshold=0.40).materialize()
+
+    def both_even(t: pa.Table) -> pa.Table:
+        a = t["vec_a"].combine_chunks().cast(pa.int64())
+        b = t["vec_b"].combine_chunks().cast(pa.int64())
+        even = pc.and_(pc.equal(pc.bit_wise_and(a, 1), 0),
+                       pc.equal(pc.bit_wise_and(b, 1), 0))
+        return pa.table({"vec_a": a, "vec_b": b,
+                         "_keep": even})
+
+    tagged = pairs.map_batches(both_even, batch_format="pyarrow") \
+        .materialize()
+    old_pairs = tagged.map_batches(
+        lambda t: t.filter(t["_keep"]).drop_columns(["_keep"]),
+        batch_format="pyarrow")
+    delta = tagged.map_batches(
+        lambda t: t.filter(pc.invert(t["_keep"])).drop_columns(["_keep"]),
+        batch_format="pyarrow")
+    old = connected_components(old_pairs, col_a="vec_a", col_b="vec_b")
+    return components_incremental(old, delta,
+                                  col_a="vec_a", col_b="vec_b")
+
+
+def _q_template_diversity(sf_dir: str):
+    """Per-host title-template diversity (digit runs collapsed): the
+    fixture serves ONE template per host by construction — the oracle
+    pins that; the pytest exercises mixed-template hosts."""
+    from pdf2doi_ray.stages.skew import title_template_diversity
+    return title_template_diversity(_pages(sf_dir))
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -5136,6 +5182,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_canonical_map": _q_dup_canonical,
         # round-4 third-session wave 31
         "corpus_datacard": _q_datacard,
+        # round-4 third-session wave 32
+        "components_incremental": _q_components_incremental,
+        "title_template_diversity": _q_template_diversity,
         # round-4 earlier waves and prior-round operators
         "char_class_profile": _q_char_class_profile,
         "char_simpson": _q_char_simpson,
@@ -10834,5 +10883,22 @@ SELECT 'n_langs', CAST(count(DISTINCT lang) AS BIGINT) FROM documents
 UNION ALL
 SELECT 'n_distinct_texts', CAST(count(DISTINCT text) AS BIGINT)
 FROM documents
+"""
+    # incremental maintenance must be transparent: oracle IS the
+    # full-graph recompute
+    sql["components_incremental"] = sql["embedding_dup_components"]
+    sql["title_template_diversity"] = f"""
+WITH d AS ({_D}),
+x AS (SELECT 'site' || site || '.example.org' AS host,
+             regexp_replace('Document ' || ks || ' from site' || site
+                            || '.example.org', '[0-9]+', '#', 'g')
+                 AS template
+      FROM d),
+t AS (SELECT host, template, CAST(count(*) AS BIGINT) AS n
+      FROM x GROUP BY 1, 2)
+SELECT host, CAST(sum(n) AS BIGINT) AS n_pages,
+       CAST(count(*) AS BIGINT) AS n_templates,
+       CAST(sum(n) // count(*) AS BIGINT) AS pages_per_template
+FROM t GROUP BY 1
 """
     return sql

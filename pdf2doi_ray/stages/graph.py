@@ -1698,3 +1698,34 @@ def dup_canonical_map(pairs, quality, col_a: str = "vec_a",
     return joined.map_batches(
         lambda t: t.filter(pc.not_equal(t["node"], t["canonical"])),
         batch_format="pyarrow")
+
+
+def components_incremental(old_components, new_pairs,
+                           col_a: str = "doc_a", col_b: str = "doc_b"):
+    """Incremental connected-components maintenance: merge yesterday's
+    (node, component) labels with today's NEW edge delta without ever
+    re-reading yesterday's raw pair list — the daily near-dup-cluster
+    update a rolling crawl runs (full recompute touches every historical
+    pair; this touches |old nodes| + |delta|).
+
+    Each old cluster collapses to a STAR (node ↔ its component label),
+    which is connectivity-equivalent to the original cluster but has
+    diameter 2 regardless of how stringy the historical graph was — so
+    the min-label propagation restarts from depth-1 structures and
+    converges in rounds bounded by the DELTA's diameter, not history's.
+    Output ids remain the minimum node id per merged cluster (the same
+    contract as :func:`connected_components`, which this reuses on the
+    augmented edge list).  Returns (node, component).
+    """
+    def star(t: pa.Table) -> pa.Table:
+        return pa.table({col_a: t["node"].combine_chunks().cast(pa.int64())
+                         if isinstance(t["node"], pa.ChunkedArray)
+                         else t["node"].cast(pa.int64()),
+                         col_b: t["component"].combine_chunks()
+                         .cast(pa.int64())
+                         if isinstance(t["component"], pa.ChunkedArray)
+                         else t["component"].cast(pa.int64())})
+
+    star_edges = old_components.map_batches(star, batch_format="pyarrow")
+    return connected_components(star_edges.union(new_pairs),
+                                col_a=col_a, col_b=col_b)

@@ -722,3 +722,62 @@ def strip_tags_baseline(pages):
         })
 
     return pages.map_batches(per_batch, batch_format="pyarrow")
+
+
+def title_template_diversity(pages):
+    """Template-mining signal per host: how many DISTINCT title templates
+    (title with digit runs collapsed to ``#``) a host serves, vs its page
+    count — a host whose thousands of pages share one template is a
+    calendar/listing trap; one with rich templates is content.
+
+    One vectorized digit-collapse regex + a per-batch (host, template)
+    dedup combiner, one ``groupby(host, template)`` exchange carrying
+    template strings once, then a ≤-templates-per-host count.  Returns
+    (host, n_pages, n_templates, pages_per_template).
+    """
+    from ray.data.aggregate import Sum
+
+    from ..arrowutil import one_chunk
+
+    def partial(t: pa.Table) -> pa.Table:
+        host = pc.replace_substring_regex(
+            one_chunk(t["url"]), r"^https://([^/]*)/.*$", r"\1")
+        # title lives in the html <title>; collapse digit runs
+        h = one_chunk(t["html"]).cast(pa.string())
+        title = pc.replace_substring_regex(
+            h, r"^.*<title>([^<]*)</title>.*$", r"\1")
+        tmpl = pc.replace_substring_regex(title, r"[0-9]+", "#")
+        g = pa.table({"host": host, "template": tmpl,
+                      "n_p": pa.array(np.ones(t.num_rows,
+                                              dtype=np.int64))}) \
+            .group_by(["host", "template"]).aggregate([("n_p", "sum")])
+        return g.rename_columns(["host", "template", "n_p"])
+
+    per_tmpl = (pages.map_batches(partial, batch_format="pyarrow")
+                .groupby(["host", "template"])
+                .aggregate(Sum("n_p", alias_name="n")))
+
+    def fold_partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"host": one_chunk(t["host"]),
+                      "np_p": one_chunk(t["n"]).cast(pa.int64()),
+                      "nt_p": pa.array(np.ones(t.num_rows,
+                                               dtype=np.int64))}) \
+            .group_by("host").aggregate([("np_p", "sum"), ("nt_p", "sum")])
+        return g.rename_columns(["host", "np_p", "nt_p"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        np_ = np.asarray(one_chunk(t["n_pages"])).astype(np.int64)
+        nt = np.asarray(one_chunk(t["n_templates"])).astype(np.int64)
+        return pa.table({
+            "host": one_chunk(t["host"]),
+            "n_pages": pa.array(np_),
+            "n_templates": pa.array(nt),
+            "pages_per_template": pa.array(np_ // nt),
+        })
+
+    from ray.data.aggregate import Sum as _Sum
+    return (per_tmpl.map_batches(fold_partial, batch_format="pyarrow")
+            .groupby("host")
+            .aggregate(_Sum("np_p", alias_name="n_pages"),
+                       _Sum("nt_p", alias_name="n_templates"))
+            .map_batches(finish, batch_format="pyarrow"))
