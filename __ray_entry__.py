@@ -5068,6 +5068,35 @@ def _q_template_diversity(sf_dir: str):
     return title_template_diversity(_pages(sf_dir))
 
 
+def _q_cluster_churn(sf_dir: str):
+    """Cluster-churn audit: yesterday = even-even 0.40 components, today
+    = full-graph components; split/merge/appear/drop tallies."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from pdf2doi_ray.stages.graph import (cluster_churn_report,
+                                          connected_components)
+    from pdf2doi_ray.stages.similarity import embedding_near_dups
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    pairs = embedding_near_dups(emb, threshold=0.40).materialize()
+
+    def even_only(t: pa.Table) -> pa.Table:
+        a = t["vec_a"].combine_chunks().cast(pa.int64())
+        b = t["vec_b"].combine_chunks().cast(pa.int64())
+        even = pc.and_(pc.equal(pc.bit_wise_and(a, 1), 0),
+                       pc.equal(pc.bit_wise_and(b, 1), 0))
+        return pa.table({"vec_a": a, "vec_b": b}).filter(even)
+
+    old = connected_components(
+        pairs.map_batches(even_only, batch_format="pyarrow"),
+        col_a="vec_a", col_b="vec_b")
+    new = connected_components(pairs, col_a="vec_a", col_b="vec_b")
+    return cluster_churn_report(old, new)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -5185,6 +5214,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 third-session wave 32
         "components_incremental": _q_components_incremental,
         "title_template_diversity": _q_template_diversity,
+        # round-4 third-session wave 33
+        "cluster_churn_report": _q_cluster_churn,
         # round-4 earlier waves and prior-round operators
         "char_class_profile": _q_char_class_profile,
         "char_simpson": _q_char_simpson,
@@ -10900,5 +10931,47 @@ SELECT host, CAST(sum(n) AS BIGINT) AS n_pages,
        CAST(count(*) AS BIGINT) AS n_templates,
        CAST(sum(n) // count(*) AS BIGINT) AS pages_per_template
 FROM t GROUP BY 1
+"""
+    sql["cluster_churn_report"] = """
+WITH RECURSIVE p AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        >= 0.40),
+pe AS (SELECT va, vb FROM p WHERE va % 2 = 0 AND vb % 2 = 0),
+e1 AS (SELECT va AS a, vb AS b FROM pe UNION SELECT vb, va FROM pe),
+r1(node, r) AS (
+  SELECT a, a FROM e1
+  UNION
+  SELECT e1.a, r1.r FROM e1 JOIN r1 ON r1.node = e1.b),
+c1 AS (SELECT node, min(r) AS oc FROM r1 GROUP BY node),
+e2 AS (SELECT va AS a, vb AS b FROM p UNION SELECT vb, va FROM p),
+r2(node, r) AS (
+  SELECT a, a FROM e2
+  UNION
+  SELECT e2.a, r2.r FROM e2 JOIN r2 ON r2.node = e2.b),
+c2 AS (SELECT node, min(r) AS nc FROM r2 GROUP BY node),
+j AS (SELECT c1.oc, c2.nc
+      FROM c1 FULL OUTER JOIN c2 ON c1.node = c2.node),
+ed AS (SELECT DISTINCT oc, nc FROM j
+       WHERE oc IS NOT NULL AND nc IS NOT NULL),
+so AS (SELECT oc, count(*) AS c FROM ed GROUP BY 1),
+sn AS (SELECT nc, count(*) AS c FROM ed GROUP BY 1)
+SELECT 'n_old_clusters' AS metric,
+       CAST(count(DISTINCT oc) AS BIGINT) AS value FROM c1
+UNION ALL
+SELECT 'n_new_clusters', CAST(count(DISTINCT nc) AS BIGINT) FROM c2
+UNION ALL
+SELECT 'n_shared_nodes', CAST(count(*) AS BIGINT) FROM j
+WHERE oc IS NOT NULL AND nc IS NOT NULL
+UNION ALL
+SELECT 'n_new_nodes', CAST(count(*) AS BIGINT) FROM j WHERE oc IS NULL
+UNION ALL
+SELECT 'n_dropped_nodes', CAST(count(*) AS BIGINT) FROM j
+WHERE nc IS NULL
+UNION ALL
+SELECT 'n_split_old', CAST(count(*) AS BIGINT) FROM so WHERE c > 1
+UNION ALL
+SELECT 'n_merged_new', CAST(count(*) AS BIGINT) FROM sn WHERE c > 1
 """
     return sql

@@ -1729,3 +1729,93 @@ def components_incremental(old_components, new_pairs,
     star_edges = old_components.map_batches(star, batch_format="pyarrow")
     return connected_components(star_edges.union(new_pairs),
                                 col_a=col_a, col_b=col_b)
+
+
+def cluster_churn_report(old_components, new_components):
+    """Cluster-stability audit between two labelings of (a superset of)
+    the same nodes — the churn report a rolling dedup pipeline watches:
+    how many of yesterday's clusters SPLIT (their nodes now span several
+    new clusters), how many of today's clusters are MERGES (absorbing
+    several old ones), and how many nodes are new to the graph.
+
+    One hash join on node (full outer, so appearing/disappearing nodes
+    count instead of vanishing), a distinct (old_c, new_c) edge groupby,
+    and two tiny per-side fan-out counts.  Returns long-format
+    (metric, value): n_old_clusters, n_new_clusters, n_shared_nodes,
+    n_new_nodes, n_dropped_nodes, n_split_old, n_merged_new.
+    """
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .joins import shuffle_hash_join
+
+    old = old_components.map_batches(
+        lambda t: pa.table({"node": t["node"], "oc": t["component"]}),
+        batch_format="pyarrow").materialize()
+    new = new_components.map_batches(
+        lambda t: pa.table({"node": t["node"], "nc": t["component"]}),
+        batch_format="pyarrow").materialize()
+    if old.count() == 0 or new.count() == 0:
+        rows = [("n_old_clusters", _ndistinct(old, "oc")),
+                ("n_new_clusters", _ndistinct(new, "nc")),
+                ("n_shared_nodes", 0),
+                ("n_new_nodes", new.count()),
+                ("n_dropped_nodes", old.count()),
+                ("n_split_old", 0), ("n_merged_new", 0)]
+        return pd.DataFrame(rows, columns=["metric", "value"])
+
+    j = shuffle_hash_join(old, new, on="node",
+                          join_type="full_outer").materialize()
+
+    def edge_partial(t: pa.Table) -> pa.Table:
+        return t.select(["oc", "nc"]).group_by(["oc", "nc"]).aggregate([])
+
+    edges = (j.map_batches(edge_partial, batch_format="pyarrow")
+             .groupby(["oc", "nc"]).count()).materialize()
+
+    def side_counts(t: pa.Table, col):
+        import pyarrow.compute as pc
+        v = t.filter(pc.is_valid(t[col]))
+        g = v.select([col]).group_by(col).aggregate([([], "count_all")])
+        deg = np.asarray(g["count_all"], dtype=np.int64)
+        return len(g), int((deg > 1).sum())
+
+    et = pa.concat_tables([pa.table({
+        "oc": b["oc"], "nc": b["nc"]})
+        for b in edges.iter_batches(batch_format="pyarrow")]) \
+        if edges.count() else pa.table({"oc": pa.array([], pa.int64()),
+                                        "nc": pa.array([], pa.int64())})
+    # drop null-side edges for the split/merge fan-outs
+    import pyarrow.compute as pc
+    both = et.filter(pc.and_(pc.is_valid(et["oc"]), pc.is_valid(et["nc"])))
+    n_old, n_split = side_counts(both, "oc")
+    n_new, n_merge = side_counts(pa.table({"oc": both["nc"],
+                                           "nc": both["oc"]}), "oc")
+    # node-level tallies off the join
+    def tally(t: pa.Table) -> pa.Table:
+        shared = pc.and_(pc.is_valid(t["oc"]), pc.is_valid(t["nc"]))
+        newn = pc.and_(pc.is_null(t["oc"]), pc.is_valid(t["nc"]))
+        drop = pc.and_(pc.is_valid(t["oc"]), pc.is_null(t["nc"]))
+        return pa.table({
+            "s_p": pa.array([int(np.asarray(shared).sum())], pa.int64()),
+            "n_p": pa.array([int(np.asarray(newn).sum())], pa.int64()),
+            "d_p": pa.array([int(np.asarray(drop).sum())], pa.int64())})
+
+    tt = j.map_batches(tally, batch_format="pyarrow") \
+        .sum(["s_p", "n_p", "d_p"])
+    rows = [("n_old_clusters", _ndistinct(old, "oc")),
+            ("n_new_clusters", _ndistinct(new, "nc")),
+            ("n_shared_nodes", int(tt["sum(s_p)"])),
+            ("n_new_nodes", int(tt["sum(n_p)"])),
+            ("n_dropped_nodes", int(tt["sum(d_p)"])),
+            ("n_split_old", n_split),
+            ("n_merged_new", n_merge)]
+    return pd.DataFrame(rows, columns=["metric", "value"])
+
+
+def _ndistinct(ds, col: str) -> int:
+    def partial(t: pa.Table) -> pa.Table:
+        return t.select([col]).group_by(col).aggregate([])
+    return int(ds.map_batches(partial, batch_format="pyarrow")
+               .groupby(col).count().count())
