@@ -5097,6 +5097,17 @@ def _q_cluster_churn(sf_dir: str):
     return cluster_churn_report(old, new)
 
 
+def _q_pps_sample(sf_dir: str):
+    """Deterministic token-mass-proportional systematic sample: weighted
+    block-offset cumsum, integer boundary-crossing test, zero RNG."""
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import pps_systematic_sample
+    return pps_systematic_sample(ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        n_target=100)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return _q_extract("/root/testdata/sf0.001")
@@ -5216,6 +5227,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "title_template_diversity": _q_template_diversity,
         # round-4 third-session wave 33
         "cluster_churn_report": _q_cluster_churn,
+        # round-4 third-session wave 34
+        "pps_systematic_sample": _q_pps_sample,
         # round-4 earlier waves and prior-round operators
         "char_class_profile": _q_char_class_profile,
         "char_simpson": _q_char_simpson,
@@ -10973,5 +10986,18 @@ UNION ALL
 SELECT 'n_split_old', CAST(count(*) AS BIGINT) FROM so WHERE c > 1
 UNION ALL
 SELECT 'n_merged_new', CAST(count(*) AS BIGINT) FROM sn WHERE c > 1
+"""
+    sql["pps_systematic_sample"] = """
+WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS tok
+           FROM documents),
+c AS (SELECT doc_id, tok,
+             CAST(sum(tok) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS ca,
+             CAST((SELECT sum(tok) FROM t) AS BIGINT) AS total
+      FROM t)
+SELECT doc_id, CAST(tok AS BIGINT) AS n_tokens
+FROM c
+WHERE (ca * 100) // total > ((ca - tok) * 100) // total
 """
     return sql

@@ -4795,3 +4795,74 @@ def corpus_datacard(docs):
             ("n_langs", int(n_langs)),
             ("n_distinct_texts", int(n_distinct))]
     return pd.DataFrame(rows, columns=["metric", "value"])
+
+
+def pps_systematic_sample(docs, n_target: int = 100):
+    """Probability-proportional-to-size SYSTEMATIC sample: walking the
+    corpus in doc_id order with a token-count cumsum, keep every document
+    whose token interval crosses one of ``n_target`` evenly spaced
+    boundaries of the total token mass — the deterministic
+    weighted-without-replacement subsample (long docs proportionally
+    likely, short ones never over-picked twice) a corpus audit draws,
+    with zero RNG so the SQL oracle reproduces it bit-for-bit.
+
+    The crossing test is pure integer: keep iff ``(cum_after·n)//total >
+    (cum_before·n)//total``.  Plan: one 2-int64 sort on doc_id, then the
+    WEIGHTED block-offset pattern (the zipWithIndex machinery with
+    per-block TOKEN SUMS instead of row counts — the driver prefix-sums
+    |blocks| metas and each block resolves its rows' global cumsum
+    locally).  Returns (doc_id, n_tokens) of the selected docs (≤
+    n_target + 1 rows).
+    """
+    from .textstats import _tokens
+
+    def prep(t: pa.Table) -> pa.Table:
+        nt = np.asarray(
+            pc.list_value_length(_tokens(one_chunk(t["text"])))
+        ).astype(np.int64)
+        return pa.table({
+            "doc_id": one_chunk(t["doc_id"]).cast(pa.int64()),
+            "tok": pa.array(nt)})
+
+    srt = docs.map_batches(prep, batch_format="pyarrow") \
+        .sort("doc_id").materialize()
+
+    def block_meta(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"k_id": pa.array([], type=pa.int64()),
+                             "s": pa.array([], type=pa.int64())})
+        return pa.table({
+            "k_id": pa.array([one_chunk(t["doc_id"])[0].as_py()],
+                             type=pa.int64()),
+            "s": pa.array([int(np.asarray(one_chunk(t["tok"])).sum())],
+                          type=pa.int64())})
+
+    meta = srt.map_batches(block_meta, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    if meta.empty:
+        import ray.data
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], type=pa.int64()),
+            "n_tokens": pa.array([], type=pa.int64())}))
+    meta = meta.sort_values("k_id").reset_index(drop=True)
+    offsets = np.concatenate([[0], meta["s"].cumsum().to_numpy()[:-1]]) \
+        .astype(np.int64)
+    total = int(meta["s"].sum())
+    key_id = meta["k_id"].to_numpy().astype(np.int64)
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or total == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "n_tokens": pa.array([], type=pa.int64())})
+        id0 = one_chunk(t["doc_id"])[0].as_py()
+        i = int(np.searchsorted(key_id, id0))
+        tok = np.asarray(one_chunk(t["tok"]))
+        ca = offsets[i] + np.cumsum(tok)
+        cb = ca - tok
+        keep = (ca * n_target) // total > (cb * n_target) // total
+        return pa.table({"doc_id": one_chunk(t["doc_id"]),
+                         "n_tokens": pa.array(tok)}).filter(
+            pa.array(keep))
+
+    return srt.map_batches(assign, batch_format="pyarrow",
+                           batch_size=None)
