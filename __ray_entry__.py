@@ -10585,8 +10585,9 @@ WITH e AS (SELECT user_id, CAST(floor(value * 1000) AS BIGINT) AS vm,
            FROM events),
 m AS (SELECT max(day) AS md FROM e)
 SELECT user_id,
-       CAST(sum(vm // CAST(power(2, md - day) AS BIGINT)) AS BIGINT)
-           AS recency_score_milli
+       CAST(sum(CASE WHEN md - day >= 63 THEN 0
+                ELSE vm // CAST(power(2, md - day) AS BIGINT) END)
+            AS BIGINT) AS recency_score_milli
 FROM e, m GROUP BY 1
 """
     sql["doc_frequency_spectrum"] = """
@@ -10792,12 +10793,34 @@ FROM (SELECT * FROM d WHERE wk = 0) d1
 JOIN (SELECT * FROM d WHERE wk = 1) d2 USING (user_id)
 GROUP BY 1, 2
 """
+    # ADVICE r4 fix: the engine counts UTF-8 BYTES; the oracle now
+    # derives each codepoint's UTF-8 byte sequence arithmetically
+    # (1-4 bytes per cp) instead of counting codepoints, so non-ASCII
+    # corpora stay byte-exact.
     sql["byte_inventory_by_lang"] = """
 WITH d AS (SELECT lang, text, length(text) AS n FROM documents),
-c AS (SELECT lang, ascii(substr(text, CAST(i AS INT), 1)) AS b
+c AS (SELECT lang, unicode(substr(text, CAST(i AS INT), 1)) AS cp
       FROM d, unnest(range(1, n + 1)) AS g(i)),
+bb AS (SELECT lang, CASE
+          WHEN cp < 128 THEN cp
+          WHEN cp < 2048 THEN
+            CASE j WHEN 1 THEN 192 + cp // 64 ELSE 128 + cp % 64 END
+          WHEN cp < 65536 THEN
+            CASE j WHEN 1 THEN 224 + cp // 4096
+                   WHEN 2 THEN 128 + (cp // 64) % 64
+                   ELSE 128 + cp % 64 END
+          ELSE
+            CASE j WHEN 1 THEN 240 + cp // 262144
+                   WHEN 2 THEN 128 + (cp // 4096) % 64
+                   WHEN 3 THEN 128 + (cp // 64) % 64
+                   ELSE 128 + cp % 64 END
+        END AS b
+      FROM c, unnest(range(1, CASE WHEN cp < 128 THEN 2
+                                   WHEN cp < 2048 THEN 3
+                                   WHEN cp < 65536 THEN 4
+                                   ELSE 5 END)) AS gj(j)),
 h AS (SELECT lang, b, CAST(count(*) AS BIGINT) AS cnt
-      FROM c GROUP BY 1, 2),
+      FROM bb GROUP BY 1, 2),
 t AS (SELECT lang, b, cnt,
              row_number() OVER (PARTITION BY lang
                                 ORDER BY cnt DESC, b) AS rk

@@ -4230,9 +4230,15 @@ def recency_weighted_value(events):
             raise ValueError("recency_weighted_value: negative values "
                              "break //-vs-floor parity with the oracle")
         age = (max_day - day_of(t)).astype(np.int64)
+        # clamp: shifts >= the 64-bit width are undefined in C (numpy
+        # happens to yield 0 on this platform, DuckDB's 2^age overflows
+        # BIGINT) — contributions beyond 62 days are exactly 0 anyway
+        # since vm < 2^63, so clamp in the kernel and cap the exponent
+        # identically in the SQL oracle (ADVICE r4)
+        contrib = np.where(age >= 63, 0, vm >> np.minimum(age, 62))
         g = pa.table({
             "user_id": one_chunk(t["user_id"]).cast(pa.int64()),
-            "s_p": pa.array(vm >> age),
+            "s_p": pa.array(contrib),
         }).group_by("user_id").aggregate([("s_p", "sum")])
         return g.rename_columns(["user_id", "s_p"])
 

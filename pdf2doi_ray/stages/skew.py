@@ -742,10 +742,15 @@ def title_template_diversity(pages):
     def partial(t: pa.Table) -> pa.Table:
         host = pc.replace_substring_regex(
             one_chunk(t["url"]), r"^https://([^/]*)/.*$", r"\1")
-        # title lives in the html <title>; collapse digit runs
+        # title lives in the html <title>; collapse digit runs.
+        # extract_regex (not a whole-string replace) so multi-line HTML
+        # and pages with NO <title> behave: non-matching rows map to an
+        # explicit empty template instead of the whole document.
         h = one_chunk(t["html"]).cast(pa.string())
-        title = pc.replace_substring_regex(
-            h, r"^.*<title>([^<]*)</title>.*$", r"\1")
+        title = pc.coalesce(
+            pc.struct_field(
+                pc.extract_regex(h, r"<title>(?P<t>[^<]*)</title>"), "t"),
+            "")
         tmpl = pc.replace_substring_regex(title, r"[0-9]+", "#")
         g = pa.table({"host": host, "template": tmpl,
                       "n_p": pa.array(np.ones(t.num_rows,
