@@ -8,6 +8,7 @@
 import duckdb
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 
 
@@ -75,3 +76,72 @@ def test_byte_inventory_by_lang_non_ascii_oracle_parity(tmp_path):
     row = got.set_index("lang").loc["zh"]
     assert row["n_bytes"] == len(zh)
     assert row["n_distinct_bytes"] == len(set(zh))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_jaccard_hot_prefix_demotion_bounds_groups():
+    """VERDICT r4 #2: a stop-gram present in every doc must not form one
+    giant O(p^2) prefix group.  Adversarial fixture: 300 docs all share
+    the same 8-token boilerplate opener (many hot shingles); each doc
+    also has unique content.  With df demotion the hot hashes never
+    enter prefixes, so every prefix group stays < hot_df rows — and the
+    result is still exact vs a brute-force golden."""
+    import ray.data
+
+    from pdf2doi_ray.stages.dedup import (_jaccard_prefix_rows,
+                                          jaccard_threshold_pairs)
+
+    rng = np.random.default_rng(7)
+    stop = "terms of service apply to all visitors here"
+    docs = []
+    for i in range(300):
+        uniq = " ".join(f"w{i}x{j}" for j in range(12))
+        docs.append({"doc_id": i, "text": f"{stop} {uniq}"})
+    # planted near-dup pair: doc 300/301 share most unique content too
+    shared = " ".join(f"s{j}" for j in range(20))
+    docs.append({"doc_id": 300, "text": f"{stop} {shared} tail300"})
+    docs.append({"doc_id": 301, "text": f"{stop} {shared} tail301"})
+    df = pd.DataFrame(docs)
+
+    got = jaccard_threshold_pairs(
+        ray.data.from_pandas(df).repartition(4),
+        tau_permille=500, gram_len=3, hot_df=16).to_pandas()
+    got = got.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+    # brute-force golden
+    def shingles(text):
+        toks = text.split()
+        return {" ".join(toks[k:k + 3]) for k in range(len(toks) - 2)}
+    sets = {r.doc_id: shingles(r.text) for r in df.itertuples()}
+    want = []
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            inter = len(sets[a] & sets[b])
+            uni = len(sets[a] | sets[b])
+            if inter * 1000 >= 500 * uni:
+                want.append((a, b, inter, uni))
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
+    assert (300, 301) in {(a, b) for a, b, _, _ in want}  # fixture sane
+
+    # structural boundedness: with the true df table broadcast, no
+    # prefix key's group exceeds hot_df-1 rows (the stop shingles are
+    # hot in all 302 docs and must be absent from every prefix)
+    t = pa.Table.from_pandas(df)
+    from pdf2doi_ray.stages.dedup import _jaccard_distinct_hashes
+    r, h = _jaccard_distinct_hashes(t, 3)
+    uniq_h, cnt = np.unique(h, return_counts=True)
+    hot_mask = cnt >= 16
+    hot = (uniq_h[hot_mask], cnt[hot_mask].astype(np.int64))
+    pref = _jaccard_prefix_rows(t, 500, 3, hot)
+    counts = pd.Series(pref["pref"].to_numpy(zero_copy_only=False)) \
+        .value_counts()
+    assert counts.max() < 16, f"hot group leaked: {counts.max()}"
+    # without demotion the same fixture DOES create a giant group
+    pref_bad = _jaccard_prefix_rows(
+        t, 500, 3, (np.array([], dtype=np.int64),
+                    np.array([], dtype=np.int64)))
+    bad_counts = pd.Series(
+        pref_bad["pref"].to_numpy(zero_copy_only=False)).value_counts()
+    assert bad_counts.max() > 100
