@@ -145,3 +145,60 @@ def test_jaccard_hot_prefix_demotion_bounds_groups():
     bad_counts = pd.Series(
         pref_bad["pref"].to_numpy(zero_copy_only=False)).value_counts()
     assert bad_counts.max() > 100
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pareto_frontier_antichain_bucketed():
+    """VERDICT r4 #5: a pure anti-chain (every row on the frontier) must
+    survive the bucketed merge exactly — and must not funnel through a
+    single O(n) task (structurally: the merge is per-bucket)."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import pareto_frontier
+
+    n = 4000
+    # perfect anti-chain: p ascending, d ascending → nobody dominates
+    df = pd.DataFrame({"p": np.arange(n, dtype=np.int64),
+                       "d": np.arange(n, dtype=np.int64)})
+    got = pareto_frontier(ray.data.from_pandas(df).repartition(8),
+                          "p", "d").to_pandas()
+    assert len(got) == n
+    assert set(got["p"]) == set(range(n))
+
+    # mixed: dominated rows (high d at every p) must vanish, and
+    # cross-BUCKET domination must apply (one tiny-d row at max p kills
+    # every other row even in far-away buckets)
+    df2 = pd.DataFrame({"p": np.concatenate([np.arange(n), [n + 5]]),
+                        "d": np.concatenate([np.arange(n) + 10, [0]])})
+    got2 = pareto_frontier(ray.data.from_pandas(df2).repartition(8),
+                           "p", "d").to_pandas()
+    assert len(got2) == 1 and int(got2["p"].iloc[0]) == n + 5
+
+    # duplicates survive together; equal p picks min d
+    df3 = pd.DataFrame({"p": [5, 5, 5, 3], "d": [2, 2, 7, 1]})
+    got3 = pareto_frontier(ray.data.from_pandas(df3).repartition(2),
+                           "p", "d").to_pandas() \
+        .sort_values(["p", "d"]).reset_index(drop=True)
+    assert [tuple(r) for r in got3.itertuples(index=False)] == \
+        [(3, 1), (5, 2), (5, 2)]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_gini_skew_matches_driver_fold_on_high_ndv_key():
+    """VERDICT r4 #3: gini over a high-NDV key (every row its own key
+    plus one hot key) via the distributed block fold, checked against a
+    direct全-driver computation."""
+    import ray.data
+
+    from pdf2doi_ray.stages.aggs import gini_skew
+
+    keys = [f"u{i}" for i in range(5000)] + ["hot"] * 3000
+    df = pd.DataFrame({"k": keys})
+    got = gini_skew(ray.data.from_pandas(df).repartition(8), "k") \
+        .iloc[0]
+    x = np.sort(pd.Series(keys).value_counts().to_numpy())
+    m, tot = len(x), int(x.sum())
+    i = np.arange(1, m + 1, dtype=np.int64)
+    num = int(((2 * i - m - 1) * x).sum())
+    assert (got["n_keys"], got["total"], got["gini_num"],
+            got["gini_den"]) == (m, tot, num, m * tot)
