@@ -202,3 +202,28 @@ def test_gini_skew_matches_driver_fold_on_high_ndv_key():
     num = int(((2 * i - m - 1) * x).sum())
     assert (got["n_keys"], got["total"], got["gini_num"],
             got["gini_den"]) == (m, tot, num, m * tot)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cdc_auto_ship_selection():
+    """VERDICT r4 #7: ship='auto' keeps the bit-exact bytes mode for
+    small inputs and flips to the 24 B/chunk hash64 exchange above the
+    byte threshold; both modes agree on the fixture."""
+    import ray.data
+
+    from pdf2doi_ray.stages.dedup import cdc_chunk_stats
+
+    df = pd.DataFrame({
+        "doc_id": range(6),
+        "text": ["abcdefghij" * 30, "abcdefghij" * 30,
+                 "zyxwvu" * 40, "hello world " * 25,
+                 "hello world " * 25, "unique tail text " * 20]})
+    ds = ray.data.from_pandas(df).repartition(2)
+    a = cdc_chunk_stats(ds, k=5, mod=16, ship="bytes").iloc[0]
+    b = cdc_chunk_stats(ds, k=5, mod=16, ship="hash64").iloc[0]
+    c = cdc_chunk_stats(ds, k=5, mod=16, ship="auto").iloc[0]
+    d = cdc_chunk_stats(ds, k=5, mod=16, ship="auto",
+                        auto_bytes_threshold=1).iloc[0]   # forces hash64
+    for col in ("n_chunks", "n_unique_chunks", "total_bytes",
+                "unique_bytes", "dedup_ratio_permille"):
+        assert a[col] == b[col] == c[col] == d[col]
