@@ -1,0 +1,148 @@
+"""Real-HTTP loopback e2e for the online transports (VERDICT-r4 #6).
+
+The production transports (`transports.make_requests_fetch`) were wired but
+never executed in this no-network sandbox.  A loopback ThreadingHTTPServer
+turns them into a real end-to-end: the actual requests.Session drives the
+WebValidate x10 retry loop, the 404 -> None path, redirect following, the
+connection-error -> 599 mapping, and the full identify_pages_online splice.
+"""
+import threading
+from collections import defaultdict
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pyarrow as pa
+import pytest
+
+
+class _Handler(BaseHTTPRequestHandler):
+    hits = defaultdict(int)
+
+    def log_message(self, *a):                     # quiet
+        pass
+
+    def do_GET(self):
+        path = self.path
+        _Handler.hits[path] += 1
+        if path.startswith("/doi/ok/"):
+            body = "@article{VALID:" + path[len("/doi/ok/"):] + "}"
+            self._send(200, body)
+        elif path.startswith("/doi/missing/"):
+            self._send(404, "not found")
+        elif path.startswith("/doi/flaky/"):
+            # 500 twice, then 200 — exercises the bounded retry loop
+            if _Handler.hits[path] <= 2:
+                self._send(500, "upstream error")
+            else:
+                self._send(200, "@article{VALID-after-retries}")
+        elif path.startswith("/doi/alwaysbad/"):
+            self._send(500, "permanent upstream error")
+        elif path.startswith("/redirect/"):
+            target = "/doi/ok/" + path[len("/redirect/"):]
+            self.send_response(302)
+            self.send_header("Location", target)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+        elif path == "/page/with-doi":
+            self._send(200, "a page citing doi: 10.5555/loopback.hit here")
+        else:
+            self._send(404, "no route")
+
+    def _send(self, status, body):
+        data = body.encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "text/plain")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+
+@pytest.fixture(scope="module")
+def loopback_server():
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    yield base
+    srv.shutdown()
+    thread.join(timeout=5)
+
+
+def test_requests_fetch_statuses_and_redirects(loopback_server):
+    from pdf2doi_ray.transports import make_requests_fetch
+
+    fetch = make_requests_fetch(timeout_s=5)
+    status, body = fetch(loopback_server + "/doi/ok/10.1/x")
+    assert status == 200 and "VALID:10.1/x" in body
+    status, _ = fetch(loopback_server + "/doi/missing/10.2/y")
+    assert status == 404
+    # the session must FOLLOW redirects (WebValidate contract)
+    status, body = fetch(loopback_server + "/redirect/10.3/z")
+    assert status == 200 and "VALID:10.3/z" in body
+    # connection-level failure maps to 599, never raises
+    status, body = fetch("http://127.0.0.1:9/unroutable")
+    assert status == 599 and body == ""
+
+
+def test_webvalidate_retry_and_404_over_real_http(loopback_server):
+    from pdf2doi_ray.stages.web import MAX_RETRIES, WebValidate
+    from pdf2doi_ray.transports import make_requests_fetch
+
+    _Handler.hits.clear()
+    v = WebValidate(fetch=make_requests_fetch(timeout_s=5),
+                    endpoint=loopback_server + "/doi/flaky/")
+    # 500, 500, then 200 — the x10 loop must land on the body
+    assert v._validate_one("10.9/retry.me") == "@article{VALID-after-retries}"
+    assert _Handler.hits["/doi/flaky/10.9/retry.me"] == 3
+
+    v404 = WebValidate(fetch=make_requests_fetch(timeout_s=5),
+                       endpoint=loopback_server + "/doi/missing/")
+    assert v404._validate_one("10.9/gone") is None
+
+    vbad = WebValidate(fetch=make_requests_fetch(timeout_s=5),
+                       endpoint=loopback_server + "/doi/alwaysbad/")
+    _Handler.hits.clear()
+    assert vbad._validate_one("10.9/dead") is None
+    assert _Handler.hits["/doi/alwaysbad/10.9/dead"] == MAX_RETRIES
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_identify_pages_online_over_loopback_http(loopback_server):
+    """Full --online splice with the REAL requests transport: websearch
+    resolves the exhausted row by fetching a real local page; then
+    webvalidation stamps both rows through real HTTP."""
+    import ray.data
+
+    from pdf2doi_ray.config import DEFAULT_CONFIG
+    from pdf2doi_ray.pipelines.identify import identify_pages_online
+    from pdf2doi_ray.transports import make_requests_fetch, online_splices
+
+    base_fetch = make_requests_fetch(timeout_s=5)
+
+    def fetch_factory():
+        def fetch(url):
+            # production endpoint -> loopback route; transport stays real
+            if url.startswith("https://doi.org/"):
+                url = loopback_server + "/doi/ok/" + \
+                    url[len("https://doi.org/"):]
+            return base_fetch(url)
+        return fetch
+
+    def search_factory():
+        return lambda q, stop: [loopback_server + "/page/with-doi"]
+
+    cfg = DEFAULT_CONFIG.with_(websearch=True, webvalidation=True,
+                               use_html=False)
+    splices = dict(online_splices(cfg, fetch_factory, search_factory))
+    pages = ray.data.from_arrow(pa.table({
+        "url": ["https://a.org/one.html", "https://b.org/two.html"],
+        "text": ["cite as doi: 10.1234/offline.hit thanks",
+                 "Document Title Words Only, no identifiers anywhere"],
+        "lang": ["en", "en"],
+    }))
+    out = identify_pages_online(pages, cfg, splices).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    assert list(out["identifier"]) == ["10.1234/offline.hit",
+                                       "10.5555/loopback.hit"]
+    assert out["method"][1] == "first_N_characters_google"
+    assert all(v and v.startswith("@article{VALID:")
+               for v in out["validation_info"])
