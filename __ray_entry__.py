@@ -5114,7 +5114,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    return {
+    q = {
         # --- driver CORRECTNESS window: flagship sentinels, then
         # the r3-driver-unchecked operators (VERDICT r3 #2: never-
         # checked first), then this round's new waves, then the
@@ -5510,6 +5510,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "activation_latency": _q_activation_latency,
         "session_conversion": _q_session_conversion,
     }
+    # --- Round-5 driver CORRECTNESS window (VERDICT r4 #1): 5 flagship
+    # sentinels, then 45 queries with NO driver row in the r1-r4 union —
+    # the r4 exact-oracle upgrades (clip/minhash/simhash/hll), this
+    # round's fixed operators, the wave-19-34 additions, and a top-up
+    # from the never-checked continuation pool.  Everything else keeps
+    # its prior order after the window.
+    _R5_WINDOW = [
+        # sentinels (3 — the VERDICT-r4 minimum, freeing 2 slots for
+        # never-checked queries; simhash/winnow keep coverage via their
+        # r4 driver rows and the pytest suite)
+        "extract_identifiers", "extract_text_parity", "dedup_exact",
+        # r4 oracle upgrades never driver-validated
+        "clip_identifiers", "minhash_near_dups", "simhash_near_dups",
+        "minhash_dedup_prune", "hll_registers_hosts",
+        # operators fixed/rebuilt this round
+        "title_template_diversity", "byte_inventory_by_lang",
+        "recency_weighted_value", "jaccard_pairs_exact",
+        "source_skew_gini", "pareto_orders", "prefix_dup_flags",
+        "cdc_chunk_stats",
+        # wave-19-34, never driver-checked
+        "event_debounce", "batch_padding_plan", "personalized_pagerank",
+        "tag_census", "crawl_recency_report", "doc_frequency_spectrum",
+        "vocab_growth_curve", "method_agreement", "skipgram_cooccurrence",
+        "edge_triangle_support", "doc_novelty", "delta_oov_rate",
+        "aspect_bucket_plan", "manifest_reconcile", "lineage_stamps",
+        "title_h1_consistency", "value_decile_transition",
+        "top_docs_per_lang_ties", "token_weighted_char_quantiles",
+        "strip_tags_baseline", "dup_canonical_map", "corpus_datacard",
+        "components_incremental", "cluster_churn_report",
+        "pps_systematic_sample",
+        # never-checked continuation pool top-up
+        "char_class_profile", "char_simpson", "word_len_histogram",
+        "user_gap_moments", "dau_wau_stickiness", "bloom_semi_revenue",
+        "supplier_lead_quantiles", "promo_revenue_share",
+        "source_mix_plan",
+    ]
+    assert len(_R5_WINDOW) == 50, len(_R5_WINDOW)
+    out = {k: q[k] for k in _R5_WINDOW}
+    out.update({k: v for k, v in q.items() if k not in out})
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
