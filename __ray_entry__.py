@@ -5113,6 +5113,65 @@ def entry() -> Any:
     return _q_extract("/root/testdata/sf0.001")
 
 
+
+def _q_langid_trigram(sf_dir: str):
+    """Corpus-trained char-trigram language ID (Cavnar-Trenkle style):
+    top-20 trigram profile per lang (one groupby + bucketed top-k),
+    profiles broadcast, per-doc distinct-trigram overlap argmax with
+    alphabetical tie-break, confusion-matrix combiner groupby."""
+    from pdf2doi_ray.stages.textstats import langid_trigram_confusion
+    return langid_trigram_confusion(_docs(sf_dir))
+
+
+def _q_tokenizer_fertility(sf_dir: str):
+    """Tokenizer fertility census per lang: whitespace words vs RE2
+    word/number/punct subtokens (both engines run the SAME RE2 pattern),
+    exact integer permille ratios; pure combiner + |langs|-row groupby."""
+    from pdf2doi_ray.stages.textstats import tokenizer_fertility
+    return tokenizer_fertility(_docs(sf_dir, ("doc_id", "text", "lang")))
+
+
+
+def _q_temperature_mixture(sf_dir: str):
+    """Temperature-smoothed (tau=1/2) data-mixing plan: per-source token
+    inventory -> isqrt-weighted sampling permilles + expected-epoch
+    duplication factors, exact big-int arithmetic; one combiner groupby."""
+    from pdf2doi_ray.stages.corpus import temperature_mixture_plan
+    return temperature_mixture_plan(
+        _docs(sf_dir, ("doc_id", "text", "source")))
+
+
+def _q_bitext_candidates(sf_dir: str):
+    """Bitext-mining prefilter: same-source cross-lingual doc pairs
+    within 200 chars of each other via ONE band hash join (bucket b-1/b/
+    b+1 replication, 16-byte rows; texts never travel)."""
+    from pdf2doi_ray.stages.joins import bitext_candidates
+    return bitext_candidates(
+        _docs(sf_dir, ("doc_id", "text", "lang", "source")),
+        key_col="source", tol=200)
+
+
+def _q_url_tree_rollup(sf_dir: str):
+    """Crawl-frontier subtree census: page counts per (host, path
+    prefix) at depths 1-3 over deterministically synthesized urls —
+    vectorized prefix explosion (list_slice + binary_join) + combiner
+    groupby."""
+    import ray.data
+
+    from pdf2doi_ray.stages.skew import url_tree_rollup
+
+    def gen(t):
+        import pyarrow as pa
+        urls = [f"https://s{i % 5}.example.org/a{i % 7}"
+                + (f"/b{i % 3}" if i % 3 else "") + f"/p{i}"
+                for i in t["doc_id"].to_pylist()]
+        return pa.table({"url": pa.array(urls, type=pa.string())})
+
+    pages = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                  columns=["doc_id"])         .map_batches(gen, batch_format="pyarrow")
+    return url_tree_rollup(pages, max_depth=3)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q = {
         # --- driver CORRECTNESS window: flagship sentinels, then
@@ -5509,6 +5568,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_share": _q_value_share,
         "activation_latency": _q_activation_latency,
         "session_conversion": _q_session_conversion,
+        # --- round-5 wave 35 ---
+        "langid_trigram": _q_langid_trigram,
+        "tokenizer_fertility": _q_tokenizer_fertility,
+        "temperature_mixture_plan": _q_temperature_mixture,
+        "bitext_candidates": _q_bitext_candidates,
+        "url_tree_rollup": _q_url_tree_rollup,
     }
     # --- Round-5 driver CORRECTNESS window (VERDICT r4 #1): 5 flagship
     # sentinels, then 45 queries with NO driver row in the r1-r4 union —
@@ -11062,5 +11127,89 @@ c AS (SELECT doc_id, tok,
 SELECT doc_id, CAST(tok AS BIGINT) AS n_tokens
 FROM c
 WHERE (ca * 100) // total > ((ca - tok) * 100) // total
+"""
+
+    sql["langid_trigram"] = """
+WITH d AS (SELECT doc_id, lang, text, length(text) AS n FROM documents),
+tg AS (SELECT doc_id, lang, substr(text, CAST(i AS INT), 3) AS g
+       FROM d, unnest(range(1, n - 1)) AS u(i)),
+cnt AS (SELECT lang, g, count(*) AS c FROM tg GROUP BY 1, 2),
+prof AS (SELECT lang AS plang, g FROM
+           (SELECT lang, g,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY c DESC, g) AS rk
+            FROM cnt) WHERE rk <= 20),
+dt AS (SELECT DISTINCT doc_id, g FROM tg),
+langs AS (SELECT DISTINCT plang FROM prof),
+ovr AS (SELECT dt.doc_id, prof.plang, count(*) AS o
+        FROM dt JOIN prof ON dt.g = prof.g GROUP BY 1, 2),
+grid AS (SELECT d.doc_id, d.lang, l.plang, coalesce(ovr.o, 0) AS o
+         FROM d CROSS JOIN langs l
+         LEFT JOIN ovr ON ovr.doc_id = d.doc_id AND ovr.plang = l.plang),
+pick AS (SELECT doc_id, lang, plang,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY o DESC, plang) AS rk
+         FROM grid)
+SELECT lang, plang AS pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM pick WHERE rk = 1 GROUP BY 1, 2
+"""
+    sql["tokenizer_fertility"] = r"""
+WITH t AS (SELECT lang,
+                  len(string_split(text, ' ')) AS w,
+                  len(regexp_extract_all(text,
+                      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS s,
+                  length(text) AS c
+           FROM documents),
+a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(w) AS BIGINT) AS n_words,
+             CAST(sum(s) AS BIGINT) AS n_subtokens,
+             CAST(sum(c) AS BIGINT) AS nc
+      FROM t GROUP BY 1)
+SELECT lang, n_docs, n_words, n_subtokens,
+       CAST(CASE WHEN n_words > 0 THEN 1000 * n_subtokens // n_words
+            ELSE 0 END AS BIGINT) AS fertility_permille,
+       CAST(CASE WHEN n_subtokens > 0 THEN 1000 * nc // n_subtokens
+            ELSE 0 END AS BIGINT) AS chars_per_subtoken_permille
+FROM a
+"""
+
+    sql["temperature_mixture_plan"] = """
+WITH a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                      AS n_tokens
+           FROM documents GROUP BY 1),
+w AS (SELECT *, CAST(floor(sqrt(n_tokens)) AS BIGINT) AS wgt FROM a),
+tot AS (SELECT sum(n_tokens) AS tt, sum(wgt) AS tw FROM w)
+SELECT source, n_docs, n_tokens,
+       CAST(1000 * wgt // tw AS BIGINT) AS weight_permille,
+       CAST(CAST(1000 AS HUGEINT) * tt * wgt // (tw * n_tokens)
+            AS BIGINT) AS epochs_permille
+FROM w, tot
+"""
+    sql["bitext_candidates"] = """
+SELECT a.source AS key, a.doc_id AS doc_a, b.doc_id AS doc_b,
+       a.lang AS lang_a, b.lang AS lang_b,
+       CAST(abs(length(a.text) - length(b.text)) AS BIGINT) AS len_diff
+FROM documents a JOIN documents b
+  ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE a.lang <> b.lang
+  AND abs(length(a.text) - length(b.text)) <= 200
+"""
+    sql["url_tree_rollup"] = """
+WITH u AS (SELECT 's' || CAST(doc_id % 5 AS VARCHAR) || '.example.org'
+                      AS host,
+                  '/a' || CAST(doc_id % 7 AS VARCHAR)
+                  || CASE WHEN doc_id % 3 > 0
+                          THEN '/b' || CAST(doc_id % 3 AS VARCHAR)
+                          ELSE '' END
+                  || '/p' || CAST(doc_id AS VARCHAR) AS path
+           FROM documents),
+s AS (SELECT host, string_split(path, '/') AS segs FROM u),
+p AS (SELECT host, CAST(r.d AS BIGINT) AS depth,
+             '/' || array_to_string(segs[2:CAST(r.d AS INT) + 1], '/')
+                 AS prefix
+      FROM s, unnest(range(1, len(segs))) AS r(d))
+SELECT host, depth, prefix, CAST(count(*) AS BIGINT) AS n_pages
+FROM p GROUP BY 1, 2, 3
 """
     return sql

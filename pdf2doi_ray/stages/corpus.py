@@ -4866,3 +4866,60 @@ def pps_systematic_sample(docs, n_target: int = 100):
 
     return srt.map_batches(assign, batch_format="pyarrow",
                            batch_size=None)
+
+
+def temperature_mixture_plan(docs, source_col: str = "source"):
+    """Temperature-smoothed data-mixing allocator (the multilingual-
+    pretraining counterpart of :func:`source_mix_plan`'s cap rule):
+    per-source sampling weight ∝ ``p_s^(1/2)``, computed EXACTLY with
+    integer square roots (``math.isqrt`` in the engine, ``floor(sqrt)``
+    in the oracle — identical for token counts < 2^52, i.e. far past
+    100 TB).  Smoothing lifts low-resource sources; ``epochs_permille``
+    is the expected duplication factor each source incurs under the
+    smoothed draw (``>1000`` = that source repeats — the overfitting
+    signal mixture designers watch).
+
+    One combiner ``groupby(source)`` carrying (n_docs, n_tokens)
+    partials; the |sources|-row finalize folds in a single block with
+    Python big-int arithmetic (the Σtok·w product overflows int64 at
+    corpus scale; the RESULT permilles are small).  Returns (source,
+    n_docs, n_tokens, weight_permille, epochs_permille).
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.list_value_length(
+            pc.split_pattern(one_chunk(t["text"]), " ")).cast(pa.int64())
+        g = pa.table({"source": t[source_col], "n_tok": toks}) \
+            .group_by("source").aggregate(
+                [([], "count_all"), ("n_tok", "sum")])
+        return pa.table({"source": g["source"],
+                         "d_p": g["count_all"].cast(pa.int64()),
+                         "t_p": g["n_tok_sum"].cast(pa.int64())})
+
+    def finalize(t: pa.Table) -> pa.Table:
+        tok = [int(x) for x in one_chunk(t["n_tokens"]).to_pylist()]
+        w = [math.isqrt(x) for x in tok]
+        tot_tok, tot_w = sum(tok), sum(w)
+        weight = [1000 * x // tot_w if tot_w else 0 for x in w]
+        epochs = [1000 * tot_tok * x // (tot_w * ts)
+                  if tot_w and ts else 0 for x, ts in zip(w, tok)]
+        return pa.table({
+            "source": one_chunk(t["source"]),
+            "n_docs": one_chunk(t["n_docs"]).cast(pa.int64()),
+            "n_tokens": pa.array(tok, type=pa.int64()),
+            "weight_permille": pa.array(weight, type=pa.int64()),
+            "epochs_permille": pa.array(epochs, type=pa.int64()),
+        })
+
+    # |sources|-row result: one block so the normalisation sees every
+    # source (same margins-over-cells bound as source_mix_plan)
+    return (docs.map_batches(partial, batch_format="pyarrow")
+            .groupby("source")
+            .aggregate(Sum("d_p", alias_name="n_docs"),
+                       Sum("t_p", alias_name="n_tokens"))
+            .repartition(1)
+            .map_batches(finalize, batch_format="pyarrow",
+                         batch_size=None))

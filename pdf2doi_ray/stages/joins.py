@@ -2815,3 +2815,73 @@ def manifest_reconcile(left, right, on: str = "id",
         return out.filter(keep)
 
     return joined.map_batches(emit, batch_format="pyarrow")
+
+
+def bitext_candidates(docs, key_col: str = "source", tol: int = 200,
+                      num_partitions: int = 32):
+    """Bitext-mining candidate pairs: documents under the SAME key
+    (host/source) in DIFFERENT languages whose lengths differ by at most
+    ``tol`` characters — the cheap structural prefilter every
+    translation-pair miner (ccMatrix/WikiMatrix style) runs before
+    paying for alignment scoring.  Returns (key, doc_a, doc_b, lang_a,
+    lang_b, len_diff) with ``doc_a < doc_b``.
+
+    Band-join plan: rows bucket by ``n_chars // tol``; the probe side
+    replicates each row at buckets ``b−1, b, b+1`` (3× fan-out of
+    16-byte key rows — texts never travel), so every pair within
+    ``tol`` meets in EXACTLY one (key, bucket) partition of ONE
+    :func:`shuffle_hash_join`; the ``doc_a < doc_b`` filter keeps one
+    orientation, so no dedup pass is needed.  A hot key spreads over
+    its length buckets instead of one reducer; within one (key, bucket)
+    cell the join is the C++ hash join, not a Python pair loop.
+    """
+    import pyarrow.compute as pc
+
+    from ..arrowutil import one_chunk
+
+    def sides(t: pa.Table):
+        n = pc.utf8_length(one_chunk(t["text"])).cast(pa.int64())
+        b = pc.divide(n, tol)
+        return pa.table({"key": t[key_col], "b": b,
+                         "doc": one_chunk(t["doc_id"]).cast(pa.int64()),
+                         "lg": t["lang"], "n": n})
+
+    def probe_explode(t: pa.Table) -> pa.Table:
+        base = sides(t)
+        out = []
+        for d in (-1, 0, 1):
+            out.append(base.set_column(
+                base.column_names.index("b"), "b",
+                pc.add(base["b"], d)))
+        return pa.concat_tables(out)
+
+    left = docs.map_batches(
+        lambda t: sides(t).rename_columns(
+            ["key", "b", "doc_a", "lang_a", "n_a"]),
+        batch_format="pyarrow")
+    right = docs.map_batches(
+        lambda t: probe_explode(t).rename_columns(
+            ["key", "b", "doc_b", "lang_b", "n_b"]),
+        batch_format="pyarrow")
+    joined = shuffle_hash_join(left, right, on=("key", "b"),
+                               num_partitions=num_partitions)
+
+    def finish(t: pa.Table) -> pa.Table:
+        da = np.asarray(one_chunk(t["doc_a"]))
+        db = np.asarray(one_chunk(t["doc_b"]))
+        na = np.asarray(one_chunk(t["n_a"]))
+        nb = np.asarray(one_chunk(t["n_b"]))
+        la = one_chunk(t["lang_a"]).to_numpy(zero_copy_only=False)
+        lb = one_chunk(t["lang_b"]).to_numpy(zero_copy_only=False)
+        keep = (da < db) & (la != lb) & (np.abs(na - nb) <= tol)
+        sel = t.filter(pa.array(keep))
+        return pa.table({
+            "key": sel["key"],
+            "doc_a": sel["doc_a"],
+            "doc_b": sel["doc_b"],
+            "lang_a": sel["lang_a"],
+            "lang_b": sel["lang_b"],
+            "len_diff": pc.abs(pc.subtract(sel["n_a"], sel["n_b"])),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")

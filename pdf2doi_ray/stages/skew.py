@@ -786,3 +786,64 @@ def title_template_diversity(pages):
             .aggregate(_Sum("np_p", alias_name="n_pages"),
                        _Sum("nt_p", alias_name="n_templates"))
             .map_batches(finish, batch_format="pyarrow"))
+
+
+def url_tree_rollup(pages, max_depth: int = 3):
+    """Crawl-frontier shape census: page counts per (host, URL path
+    prefix) for every prefix depth ≤ ``max_depth`` — the hierarchical
+    rollup a crawl scheduler reads to see which directory subtrees
+    dominate a host (one ``/calendar/`` subtree owning 95% of a host's
+    pages is a trap signal).
+
+    Vectorized prefix explosion per batch (split once, join back
+    per-depth with Arrow kernels), then a per-batch (host, depth,
+    prefix) combiner so the single ``groupby`` exchange carries
+    combiner rows, never pages.  Returns (host, depth, prefix,
+    n_pages).
+    """
+    from ray.data.aggregate import Sum
+
+    from ..arrowutil import one_chunk
+
+    def partial(t: pa.Table) -> pa.Table:
+        url = one_chunk(t["url"])
+        rest = pc.replace_substring_regex(url, r"^[a-z][a-z0-9+.-]*://",
+                                          "")
+        host = pc.replace_substring_regex(rest, r"/.*$", "")
+        path = pc.replace_substring_regex(rest, r"^[^/]*", "")
+        # drop query/fragment, then split path segments
+        path = pc.replace_substring_regex(path, r"[?#].*$", "")
+        segs = pc.split_pattern(path, "/")       # ['', seg1, seg2, ...]
+        n_segs = np.asarray(pc.list_value_length(segs).cast(pa.int64()))
+        hosts, depths, prefixes = [], [], []
+        hv = host.to_numpy(zero_copy_only=False)
+        # depth d prefix exists when the path has > d segments after the
+        # leading '' (a page at /a/b has prefixes /a at d1, /a/b at d2);
+        # prefix strings build vectorized: list_slice + binary_join
+        for d in range(1, max_depth + 1):
+            has = n_segs > d
+            if not has.any():
+                break
+            idx = np.nonzero(has)[0]
+            sub = segs.take(pa.array(idx))
+            joined = pc.binary_join(pc.list_slice(sub, 1, 1 + d), "/")
+            pre = pc.binary_join_element_wise("/", joined, "")
+            hosts.append(hv[idx])
+            depths.append(np.full(len(idx), d, dtype=np.int64))
+            prefixes.append(pre.to_numpy(zero_copy_only=False))
+        if not hosts:
+            return pa.table({"host": pa.array([], type=pa.string()),
+                             "depth": pa.array([], type=pa.int64()),
+                             "prefix": pa.array([], type=pa.string()),
+                             "n_p": pa.array([], type=pa.int64())})
+        import pandas as pd
+        g = pd.DataFrame({
+            "host": np.concatenate(hosts),
+            "depth": np.concatenate(depths),
+            "prefix": np.concatenate(prefixes),
+        }).value_counts().reset_index(name="n_p")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (pages.map_batches(partial, batch_format="pyarrow")
+            .groupby(["host", "depth", "prefix"])
+            .aggregate(Sum("n_p", alias_name="n_pages")))

@@ -844,3 +844,169 @@ def token_weighted_char_quantiles(docs,
         })
     return pd.DataFrame(rows, columns=["quantile_permille", "n_chars",
                                        "cum_tokens", "total_tokens"])
+
+
+def _row_trigram_ints(t: pa.Table, text_col: str = "text"):
+    """(row_idx, trigram_int) for every char trigram of every row —
+    trigram encoded ``b0·65536 + b1·256 + b2`` over the zero-copy flat
+    byte view, so numeric order == lexicographic order (ASCII corpus
+    contract, pinned by ``test_documents_text_is_ascii``)."""
+    data, offsets = _text_bytes(t[text_col])
+    n_rows = t.num_rows
+    lens = np.diff(offsets)
+    n_tg = np.maximum(lens - 2, 0)
+    if int(n_tg.sum()) == 0:
+        return (np.array([], dtype=np.int64),
+                np.array([], dtype=np.int64))
+    row_idx = np.repeat(np.arange(n_rows, dtype=np.int64), n_tg)
+    within = np.arange(len(row_idx), dtype=np.int64) - np.repeat(
+        np.concatenate([[0], np.cumsum(n_tg)[:-1]]), n_tg)
+    starts = np.repeat(offsets[:-1], n_tg) + within
+    d = data.astype(np.int64)
+    tg = d[starts] * 65536 + d[starts + 1] * 256 + d[starts + 2]
+    return row_idx, tg
+
+
+def langid_trigram_confusion(docs, k_profile: int = 20):
+    """Corpus-trained character-trigram language identifier, evaluated
+    against the stored labels as a confusion matrix — the classic
+    n-gram-profile language-ID heuristic (Cavnar & Trenkle style)
+    trained ON the corpus itself, fully distributed and integer-exact.
+
+    Train: per-(lang, trigram) counts (per-batch combiner → ONE
+    ``groupby``), then the top ``k_profile`` trigrams per lang by
+    (count DESC, trigram ASC) via the bucketed
+    :func:`~.windowfns.grouped_top_k` merge.  The |langs|·k profile
+    table broadcasts via ``ray.put``.
+
+    Score: per batch, each doc's DISTINCT trigrams overlap-count against
+    every lang profile (one ``searchsorted`` membership + ``add.at``
+    scatter per lang — langs are a handful); predicted lang = argmax
+    with alphabetical tie-break (the numpy ``argmax`` first-hit over the
+    lang-sorted stack).  Docs too short for any trigram predict the
+    alphabetically first profiled lang — same rule in the SQL oracle.
+
+    Returns (lang, pred_lang, n_docs).  Exchange: the trigram-count
+    groupby + the tiny confusion groupby; texts never move.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..arrowutil import one_chunk
+    from .windowfns import grouped_top_k
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        row_idx, tg = _row_trigram_ints(t)
+        if not len(tg):
+            return pa.table({"lang": pa.array([], type=pa.string()),
+                             "tg": pa.array([], type=pa.int64()),
+                             "n_p": pa.array([], type=pa.int64())})
+        langs = one_chunk(t["lang"]).to_numpy(zero_copy_only=False)
+        import pandas as pd
+        codes, uniq = pd.factorize(langs, sort=False)
+        key = codes[row_idx].astype(np.int64) * (1 << 24) + tg
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "lang": pa.array(uniq[uk >> 24], type=pa.string()),
+            "tg": pa.array(uk & ((1 << 24) - 1)),
+            "n_p": pa.array(cnt.astype(np.int64))})
+
+    counts = (docs.map_batches(count_partial, batch_format="pyarrow")
+              .groupby(["lang", "tg"]).aggregate(Sum("n_p",
+                                                     alias_name="n")))
+    prof = grouped_top_k(counts, "lang", "n", "tg", k_profile) \
+        .to_pandas()                     # |langs|·k rows — tiny
+    plangs = sorted(prof["lang"].unique())
+    prof_sets = [np.sort(prof.loc[prof["lang"] == lg, "tg"]
+                         .to_numpy().astype(np.int64))
+                 for lg in plangs]
+    prof_ref = ray.put((plangs, prof_sets))
+
+    def score_partial(t: pa.Table) -> pa.Table:
+        langs_p, sets_p = ray.get(prof_ref)
+        n_rows = t.num_rows
+        if n_rows == 0 or not langs_p:
+            return pa.table({"lang": pa.array([], type=pa.string()),
+                             "pred_lang": pa.array([], type=pa.string()),
+                             "n_p": pa.array([], type=pa.int64())})
+        row_idx, tg = _row_trigram_ints(t)
+        # per-row DISTINCT trigrams
+        if len(tg):
+            order = np.lexsort((tg, row_idx))
+            r, g = row_idx[order], tg[order]
+            keep = np.ones(len(r), dtype=bool)
+            keep[1:] = (r[1:] != r[:-1]) | (g[1:] != g[:-1])
+            r, g = r[keep], g[keep]
+        else:
+            r = g = np.array([], dtype=np.int64)
+        ov = np.zeros((len(langs_p), n_rows), dtype=np.int64)
+        for li, ps in enumerate(sets_p):
+            if len(ps) and len(g):
+                pos = np.searchsorted(ps, g)
+                pos_c = np.minimum(pos, len(ps) - 1)
+                hit = ps[pos_c] == g
+                np.add.at(ov[li], r[hit], 1)
+        pred = np.array(langs_p, dtype=object)[ov.argmax(axis=0)]
+        import pandas as pd
+        gdf = pd.DataFrame({
+            "lang": one_chunk(t["lang"]).to_numpy(zero_copy_only=False),
+            "pred_lang": pred}).value_counts().reset_index(name="n_p")
+        return pa.Table.from_pandas(gdf, preserve_index=False)
+
+    return (docs.map_batches(score_partial, batch_format="pyarrow")
+            .groupby(["lang", "pred_lang"])
+            .aggregate(Sum("n_p", alias_name="n_docs")))
+
+
+def tokenizer_fertility(docs):
+    """Tokenizer-design fertility census per language: whitespace words
+    vs BPE-style subtokens (RE2 word/number/punct split — the
+    GPT-2-pretokenizer shape) and the exact integer permille ratios a
+    tokenizer team tracks per language (high fertility = the tokenizer
+    fragments that language).  Both the engine and the DuckDB oracle
+    run the SAME RE2 pattern, so counts are bit-exact.
+
+    Pure per-batch combiner → one |langs|-row groupby; zero text moves.
+    Returns (lang, n_docs, n_words, n_subtokens, fertility_permille,
+    chars_per_subtoken_permille).
+    """
+    from ray.data.aggregate import Sum
+
+    from ..arrowutil import one_chunk
+
+    pattern = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+    def partial(t: pa.Table) -> pa.Table:
+        txt = one_chunk(t["text"])
+        words = pc.list_value_length(
+            pc.split_pattern(txt, " ")).cast(pa.int64())
+        sub = pc.count_substring_regex(txt, pattern).cast(pa.int64())
+        chars = pc.utf8_length(txt).cast(pa.int64())
+        g = pa.table({"lang": t["lang"], "w": words, "s": sub,
+                      "c": chars}) \
+            .group_by("lang").aggregate([([], "count_all"), ("w", "sum"),
+                                         ("s", "sum"), ("c", "sum")])
+        return g.rename_columns(["lang", "d_p", "w_p", "s_p", "c_p"])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        w = np.asarray(one_chunk(t["n_words"])).astype(np.int64)
+        s = np.asarray(one_chunk(t["n_subtokens"])).astype(np.int64)
+        c = np.asarray(one_chunk(t["c"])).astype(np.int64)
+        return pa.table({
+            "lang": one_chunk(t["lang"]),
+            "n_docs": one_chunk(t["n_docs"]).cast(pa.int64()),
+            "n_words": pa.array(w),
+            "n_subtokens": pa.array(s),
+            "fertility_permille": pa.array(
+                np.where(w > 0, 1000 * s // np.maximum(w, 1), 0)),
+            "chars_per_subtoken_permille": pa.array(
+                np.where(s > 0, 1000 * c // np.maximum(s, 1), 0)),
+        })
+
+    return (docs.map_batches(partial, batch_format="pyarrow")
+            .groupby("lang")
+            .aggregate(Sum("d_p", alias_name="n_docs"),
+                       Sum("w_p", alias_name="n_words"),
+                       Sum("s_p", alias_name="n_subtokens"),
+                       Sum("c_p", alias_name="c"))
+            .map_batches(finalize, batch_format="pyarrow"))
