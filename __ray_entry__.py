@@ -5172,6 +5172,62 @@ def _q_url_tree_rollup(sf_dir: str):
     return url_tree_rollup(pages, max_depth=3)
 
 
+
+def _q_near_dup_delta(sf_dir: str):
+    """Incremental bipartite near-dup: new docs (upper half of doc_id)
+    near-duplicating the standing corpus (lower half) — banded LSH over
+    the union, cross-side candidate filter BEFORE the shared exact
+    verification engine."""
+    import ray.data
+
+    from pdf2doi_ray.stages.dedup import near_dup_delta
+
+    docs = _docs(sf_dir, ("doc_id", "text"))
+    split = (int(docs.max("doc_id")) + 1) // 2
+    return near_dup_delta(docs, split)
+
+
+
+def _q_bigram_collision(sf_dir: str):
+    """Renyi-2 char-bigram collision probability per lang, exact ppm
+    (squares after global aggregation, big-int fold over the
+    alphabet-bounded count table)."""
+    from pdf2doi_ray.stages.textstats import bigram_collision_homogeneity
+    return bigram_collision_homogeneity(_docs(sf_dir, ("text", "lang")))
+
+
+def _q_suffix_prefix_overlap(sf_dir: str):
+    """Document-reassembly stitch points over a deterministic
+    continuation-record stream (each >=24-token doc splits into two
+    crawl records sharing an 8-token boundary): tail-k == head-k via
+    ONE string hash join, no verify step needed."""
+    import ray.data
+
+    from pdf2doi_ray.stages.joins import suffix_prefix_overlap
+
+    def gen(t):
+        import pyarrow as pa
+        ids, texts = [], []
+        for i, tx in zip(t["doc_id"].to_pylist(),
+                         t["text"].to_pylist()):
+            tk = tx.split(" ")
+            n = len(tk)
+            if n >= 24:
+                h = n // 2
+                ids.append(2 * i)
+                texts.append(" ".join(tk[:h + 8]))
+                ids.append(2 * i + 1)
+                texts.append(" ".join(tk[h:]))
+            else:
+                ids.append(2 * i)
+                texts.append(tx)
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "text": pa.array(texts, type=pa.string())})
+
+    stream = _docs(sf_dir, ("doc_id", "text"))         .map_batches(gen, batch_format="pyarrow")
+    return suffix_prefix_overlap(stream, k=8)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q = {
         # --- driver CORRECTNESS window: flagship sentinels, then
@@ -5574,6 +5630,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temperature_mixture_plan": _q_temperature_mixture,
         "bitext_candidates": _q_bitext_candidates,
         "url_tree_rollup": _q_url_tree_rollup,
+        "near_dup_delta": _q_near_dup_delta,
+        "bigram_collision": _q_bigram_collision,
+        "suffix_prefix_overlap": _q_suffix_prefix_overlap,
     }
     # --- Round-5 driver CORRECTNESS window (VERDICT r4 #1): 5 flagship
     # sentinels, then 45 queries with NO driver row in the r1-r4 union —
@@ -11211,5 +11270,51 @@ p AS (SELECT host, CAST(r.d AS BIGINT) AS depth,
       FROM s, unnest(range(1, len(segs))) AS r(d))
 SELECT host, depth, prefix, CAST(count(*) AS BIGINT) AS n_pages
 FROM p GROUP BY 1, 2, 3
+"""
+
+    sql["near_dup_delta"] = f"""
+WITH split AS (SELECT (max(doc_id) + 1) // 2 AS sp FROM documents),
+fp AS ({sql["minhash_near_dups"]})
+SELECT CASE WHEN fp.doc_a < split.sp THEN fp.doc_a ELSE fp.doc_b END
+           AS doc_old,
+       CASE WHEN fp.doc_a < split.sp THEN fp.doc_b ELSE fp.doc_a END
+           AS doc_new,
+       fp.jaccard_permille
+FROM fp, split
+WHERE (fp.doc_a < split.sp) <> (fp.doc_b < split.sp)
+"""
+
+    sql["bigram_collision"] = """
+WITH d AS (SELECT lang, text, length(text) AS n FROM documents),
+b AS (SELECT lang, substr(text, CAST(i AS INT), 2) AS bg
+      FROM d, unnest(range(1, n)) AS u(i)),
+c AS (SELECT lang, bg, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2)
+SELECT lang, CAST(sum(c) AS BIGINT) AS n_bigrams,
+       CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+       CAST(CAST(1000000 AS HUGEINT) * sum(CAST(c AS HUGEINT) * c)
+            // (CAST(sum(c) AS HUGEINT) * sum(c)) AS BIGINT)
+           AS collision_ppm
+FROM c GROUP BY 1
+"""
+    sql["suffix_prefix_overlap"] = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+s AS (
+  SELECT doc_id * 2 AS doc_id,
+         array_to_string(tk[1:len(tk) // 2 + 8], ' ') AS text
+  FROM t WHERE len(tk) >= 24
+  UNION ALL
+  SELECT doc_id * 2 + 1,
+         array_to_string(tk[len(tk) // 2 + 1:len(tk)], ' ')
+  FROM t WHERE len(tk) >= 24
+  UNION ALL
+  SELECT doc_id * 2, array_to_string(tk, ' ')
+  FROM t WHERE len(tk) < 24),
+e AS (SELECT doc_id, string_split(text, ' ') AS k2 FROM s),
+f AS (SELECT doc_id,
+             array_to_string(k2[1:8], ' ') AS head,
+             array_to_string(k2[len(k2) - 7:len(k2)], ' ') AS tail
+      FROM e WHERE len(k2) >= 8)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.tail AS boundary_gram
+FROM f a JOIN f b ON a.tail = b.head AND a.doc_id <> b.doc_id
 """
     return sql

@@ -413,6 +413,9 @@ def minhash_near_dups(docs, threshold_permille: int = 800, n_shingle: int = 3,
                       id_filter_fpp: float = 0.01):
     """Verified near-duplicate pairs: candidates whose EXACT n-gram Jaccard
     (recomputed on the real shingle sets) clears ``threshold_permille``.
+    Candidate generation + the shared exact-verification engine
+    (:func:`minhash_verify_pairs`, also consumed by
+    :func:`near_dup_delta`).
 
     Fully distributed verification (no driver-side texts, ids, or per-pair
     loop):
@@ -449,13 +452,27 @@ def minhash_near_dups(docs, threshold_permille: int = 800, n_shingle: int = 3,
     bitmap (~1.2 GB per 10^9 candidate ids at 1% fpp).
     Output is integer-only (jaccard in permille) for hash-stable comparison.
     """
+    cand = minhash_candidate_pairs(docs, n_shingle)
+    return minhash_verify_pairs(docs, cand, threshold_permille, n_shingle,
+                                id_filter_fpp)
+
+
+def minhash_verify_pairs(docs, cand, threshold_permille: int = 800,
+                         n_shingle: int = 3, id_filter_fpp: float = 0.01):
+    """The exact-verification back half of :func:`minhash_near_dups`,
+    factored out (round 5) so bipartite variants can pre-filter the
+    candidate set before paying for verification: takes any
+    ``(doc_a, doc_b)`` candidate Dataset, attaches both members' real
+    shingle sets via the Bloom-gated sorted-block plan (steps 2-4 of the
+    ``minhash_near_dups`` docstring), and returns the pairs whose EXACT
+    Jaccard clears ``threshold_permille``."""
     import pyarrow.compute as pc
     import ray
     import ray.data
 
     from ..state.bloom import build_int_bloom_distributed
 
-    cand = minhash_candidate_pairs(docs, n_shingle).materialize()
+    cand = cand.materialize()
     n_pairs = cand.count()
     if n_pairs == 0:
         return ray.data.from_arrow(_empty_verified_table())
@@ -1617,3 +1634,56 @@ def neardup_eval(docs, jaccard_threshold_permille: int = 500,
         "precision_permille": 1000 * tp // max(tp + fp, 1),
         "recall_permille": 1000 * tp // max(tp + fn, 1)}]) \
         .astype("int64")
+
+
+def near_dup_delta(docs, split_doc_id: int, threshold_permille: int = 800,
+                   n_shingle: int = 3, id_filter_fpp: float = 0.01):
+    """Incremental near-duplicate detection: which NEW documents
+    (``doc_id >= split_doc_id``, today's crawl) near-duplicate an OLD
+    document (``doc_id < split_doc_id``, the standing corpus) — the
+    bipartite variant of :func:`minhash_near_dups` every daily-ingest
+    pipeline runs before admitting a crawl increment.
+
+    Same banded-LSH candidate generation over the union (band buckets
+    are side-blind, so cross-side collisions surface exactly like
+    any others), but candidate pairs are filtered to CROSS-SIDE pairs
+    BEFORE the expensive exact-verification engine runs — same-side
+    pairs (old-old dups were handled when old was ingested; new-new
+    dups are intra-batch dedup's job) never cost a shingle attach or a
+    verify sort.  Verification itself is the shared
+    :func:`minhash_verify_pairs` plan, so the emitted
+    (doc_old, doc_new, jaccard_permille) rows are exactly the
+    cross-side subset of what the full self-join would emit —
+    the property the SQL oracle checks.
+    """
+    import pyarrow.compute as pc
+
+    cand = minhash_candidate_pairs(docs, n_shingle)
+
+    def cross_side(t: pa.Table) -> pa.Table:
+        a = np.asarray(one_chunk(t["doc_a"]))
+        b = np.asarray(one_chunk(t["doc_b"]))
+        keep = (a < split_doc_id) != (b < split_doc_id)
+        return t.filter(pa.array(keep))
+
+    verified = minhash_verify_pairs(
+        docs, cand.map_batches(cross_side, batch_format="pyarrow"),
+        threshold_permille, n_shingle, id_filter_fpp)
+
+    def orient(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_a" not in t.column_names:
+            return pa.table({
+                "doc_old": pa.array([], type=pa.int64()),
+                "doc_new": pa.array([], type=pa.int64()),
+                "jaccard_permille": pa.array([], type=pa.int64())})
+        a = np.asarray(one_chunk(t["doc_a"]))
+        b = np.asarray(one_chunk(t["doc_b"]))
+        old = np.where(a < split_doc_id, a, b)
+        new = np.where(a < split_doc_id, b, a)
+        return pa.table({
+            "doc_old": pa.array(old, type=pa.int64()),
+            "doc_new": pa.array(new, type=pa.int64()),
+            "jaccard_permille": t["jaccard_permille"],
+        })
+
+    return verified.map_batches(orient, batch_format="pyarrow")

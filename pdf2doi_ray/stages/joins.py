@@ -2885,3 +2885,63 @@ def bitext_candidates(docs, key_col: str = "source", tol: int = 200,
         })
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def suffix_prefix_overlap(docs, k: int = 8):
+    """Document-reassembly detector: pairs where doc A's LAST ``k``
+    tokens equal doc B's FIRST ``k`` tokens — the signature of one
+    logical document split across crawl records (pagination,
+    length-truncated fetches re-crawled with offset).  A near-dup pass
+    misses these (the overlap is a sliver of either doc); this finds
+    exactly the stitch points.
+
+    One vectorized projection per batch (split → ``list_slice`` head /
+    tail → ``binary_join``), then ONE hash join of tail-keys against
+    head-keys on the token string itself (exact by construction — no
+    hash-verify step needed); ``doc_a != doc_b`` drops self-loops.
+    Docs shorter than ``k`` tokens emit nothing.  Returns
+    (doc_a, doc_b, boundary_gram) where A's tail == B's head.
+    """
+    import pyarrow.compute as pc
+
+    from ..arrowutil import one_chunk
+
+    def ends(t: pa.Table, which: str) -> pa.Table:
+        toks = pc.split_pattern(one_chunk(t["text"]), " ")
+        n = np.asarray(pc.list_value_length(toks).cast(pa.int64()))
+        ok = n >= k
+        toks = toks.filter(pa.array(ok))
+        ids = one_chunk(t["doc_id"]).filter(pa.array(ok))
+        if toks.offset != 0:
+            toks = pa.concat_arrays([toks])
+        m = len(toks)
+        if m == 0:
+            return pa.table({"doc": pa.array([], type=pa.int64()),
+                             "gram": pa.array([], type=pa.string())})
+        offs = np.asarray(toks.offsets).astype(np.int64)
+        # per-row slice start (list_slice can't take per-row starts):
+        # gather the k head/tail token indices with one repeat+arange
+        starts = offs[:-1] if which == "head" else offs[1:] - k
+        idx = np.repeat(starts, k) + np.tile(np.arange(k), m)
+        vals = toks.values.take(pa.array(idx))
+        lists = pa.ListArray.from_arrays(
+            pa.array(np.arange(m + 1, dtype=np.int64) * k,
+                     type=pa.int32()), vals)
+        return pa.table({"doc": ids.cast(pa.int64()),
+                         "gram": pc.binary_join(lists, " ")})
+
+    tails = docs.map_batches(
+        lambda t: ends(t, "tail").rename_columns(["doc_a", "gram"]),
+        batch_format="pyarrow")
+    heads = docs.map_batches(
+        lambda t: ends(t, "head").rename_columns(["doc_b", "gram"]),
+        batch_format="pyarrow")
+    joined = shuffle_hash_join(tails, heads, on=("gram",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(t["doc_a"], t["doc_b"])
+        sel = t.filter(keep)
+        return pa.table({"doc_a": sel["doc_a"], "doc_b": sel["doc_b"],
+                         "boundary_gram": sel["gram"]})
+
+    return joined.map_batches(finish, batch_format="pyarrow")

@@ -1010,3 +1010,77 @@ def tokenizer_fertility(docs):
                        Sum("s_p", alias_name="n_subtokens"),
                        Sum("c_p", alias_name="c"))
             .map_batches(finalize, batch_format="pyarrow"))
+
+
+def bigram_collision_homogeneity(docs):
+    """Corpus-homogeneity audit per language: the EXACT Rényi-2
+    collision probability of the char-bigram distribution (the chance
+    two random bigrams coincide, in parts-per-million) — a
+    template-spam / mojibake tripwire: natural language sits in a
+    band, machine-generated or single-template corpora spike, encoding
+    noise craters it.  Integer-exact: ``ppm = 10⁶·Σc² // N²`` with the
+    squares taken AFTER global aggregation, folded in Python big ints
+    (Σc² overflows int64 at corpus scale; the resulting ppm is small).
+
+    The global (lang, bigram) count table is bounded by
+    |langs|·alphabet² rows — independent of corpus size — so the final
+    fold is one block by construction (same bound as
+    :func:`byte_inventory_by_lang`).  Returns (lang, n_bigrams,
+    n_distinct_bigrams, collision_ppm).
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from ..arrowutil import one_chunk
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"lang": pa.array([], type=pa.string()),
+                          "bg": pa.array([], type=pa.int64()),
+                          "n_p": pa.array([], type=pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        data, offsets = _text_bytes(t["text"])
+        lens = np.diff(offsets)
+        n_bg = np.maximum(lens - 1, 0)
+        if int(n_bg.sum()) == 0:
+            return empty
+        langs = one_chunk(t["lang"]).to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(langs, sort=False)
+        row_idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), n_bg)
+        within = np.arange(len(row_idx), dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(n_bg)[:-1]]), n_bg)
+        starts = np.repeat(offsets[:-1], n_bg) + within
+        d = data.astype(np.int64)
+        bg = d[starts] * 256 + d[starts + 1]
+        key = codes[row_idx].astype(np.int64) * 65536 + bg
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "lang": pa.array(uniq[uk >> 16], type=pa.string()),
+            "bg": pa.array(uk & 65535),
+            "n_p": pa.array(cnt.astype(np.int64))})
+
+    cells = (docs.map_batches(partial, batch_format="pyarrow")
+             .groupby(["lang", "bg"])
+             .aggregate(Sum("n_p", alias_name="n")))
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ["lang", "n_bigrams", "n_distinct_bigrams",
+                "collision_ppm"]
+        if "lang" not in t.column_names or t.num_rows == 0:
+            return pa.table({c: pa.array(
+                [], type=pa.string() if c == "lang" else pa.int64())
+                for c in cols})
+        df = t.to_pandas()
+        rows = []
+        for lang, sub in df.groupby("lang", sort=True):
+            c = [int(x) for x in sub["n"]]
+            n = sum(c)
+            rows.append({"lang": lang, "n_bigrams": n,
+                         "n_distinct_bigrams": len(c),
+                         "collision_ppm":
+                             10**6 * sum(x * x for x in c) // (n * n)})
+        return pa.Table.from_pandas(pd.DataFrame(rows, columns=cols),
+                                    preserve_index=False)
+
+    return cells.repartition(1).map_batches(fold, batch_format="pyarrow",
+                                            batch_size=None)
