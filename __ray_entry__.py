@@ -5228,6 +5228,33 @@ def _q_suffix_prefix_overlap(sf_dir: str):
     return suffix_prefix_overlap(stream, k=8)
 
 
+
+def _q_containment_pairs(sf_dir: str):
+    """Asymmetric quote/inclusion detection: pairs whose shingle overlap
+    covers >= 50% of the smaller doc's set — df-demoted prefix probes
+    against a full element index (one hash join), then the shared
+    Bloom-gated exact-verification engine scoring inter/min."""
+    from pdf2doi_ray.stages.dedup import containment_pairs
+    return containment_pairs(_docs(sf_dir, ("doc_id", "text")),
+                             tau_permille=500)
+
+
+
+def _q_kcore(sf_dir: str):
+    """2-core of the embedding near-dup graph by broadcast peeling:
+    removed-set broadcast per round, edges never shuffle, one degree
+    groupby per round; oracle = 12 unrolled peel rounds in SQL."""
+    import ray.data
+
+    from pdf2doi_ray.stages.graph import kcore_decomposition
+    from pdf2doi_ray.stages.similarity import embedding_near_dups
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    return kcore_decomposition(embedding_near_dups(emb, threshold=0.30),
+                               k=2)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q = {
         # --- driver CORRECTNESS window: flagship sentinels, then
@@ -5633,6 +5660,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_delta": _q_near_dup_delta,
         "bigram_collision": _q_bigram_collision,
         "suffix_prefix_overlap": _q_suffix_prefix_overlap,
+        "containment_pairs": _q_containment_pairs,
+        "kcore_embedding_graph": _q_kcore,
     }
     # --- Round-5 driver CORRECTNESS window (VERDICT r4 #1): 5 flagship
     # sentinels, then 45 queries with NO driver row in the r1-r4 union —
@@ -11317,4 +11346,126 @@ f AS (SELECT doc_id,
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.tail AS boundary_gram
 FROM f a JOIN f b ON a.tail = b.head AND a.doc_id <> b.doc_id
 """
+
+    sql["containment_pairs"] = """
+WITH toks AS (SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '')
+                         AS tk
+              FROM documents),
+g AS (SELECT doc_id,
+             array_to_string(tk[CAST(i + 1 AS INT):CAST(i + 3 AS INT)],
+                             ' ') AS gr
+      FROM toks, unnest(range(0, len(tk) - 2)) AS t(i)
+      WHERE len(tk) >= 3),
+sh AS (SELECT DISTINCT doc_id,
+              CAST((('0x' || substr(md5(gr), 1, 16))::UBIGINT >> 1)
+                   AS BIGINT) AS h
+       FROM g),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS s FROM sh GROUP BY 1),
+ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              CAST(count(*) AS BIGINT) AS inter
+       FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+       GROUP BY 1, 2)
+SELECT ov.doc_a, ov.doc_b,
+       CAST(1000 * inter // least(sa.s, sb.s) AS BIGINT)
+           AS containment_permille
+FROM ov JOIN sz sa ON sa.doc_id = ov.doc_a
+        JOIN sz sb ON sb.doc_id = ov.doc_b
+WHERE 1000 * inter >= 500 * least(sa.s, sb.s)
+"""
+    sql["kcore_embedding_graph"] = """
+WITH p AS MATERIALIZED (SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                               b.embedding::DOUBLE[]) >= 0.30),
+e AS MATERIALIZED (SELECT va AS s, vb AS d FROM p
+                   UNION ALL SELECT vb, va FROM p),
+nodes AS MATERIALIZED (SELECT DISTINCT s AS n FROM e),
+rm0(v) AS MATERIALIZED (SELECT CAST(NULL AS BIGINT) WHERE false),
+dg0 AS MATERIALIZED (SELECT e.s AS n, CAST(count(*) AS BIGINT) AS c
+  FROM e WHERE e.s NOT IN (SELECT v FROM rm0)
+          AND e.d NOT IN (SELECT v FROM rm0)
+  GROUP BY 1),
+rm1(v) AS MATERIALIZED (SELECT v FROM rm0 UNION
+  SELECT n FROM nodes WHERE n NOT IN (SELECT v FROM rm0)
+    AND coalesce((SELECT c FROM dg0 WHERE dg0.n = nodes.n), 0) < 2),
+dg1 AS MATERIALIZED (SELECT e.s AS n, CAST(count(*) AS BIGINT) AS c
+  FROM e WHERE e.s NOT IN (SELECT v FROM rm1)
+          AND e.d NOT IN (SELECT v FROM rm1)
+  GROUP BY 1),
+rm2(v) AS MATERIALIZED (SELECT v FROM rm1 UNION
+  SELECT n FROM nodes WHERE n NOT IN (SELECT v FROM rm1)
+    AND coalesce((SELECT c FROM dg1 WHERE dg1.n = nodes.n), 0) < 2),
+dg2 AS MATERIALIZED (SELECT e.s AS n, CAST(count(*) AS BIGINT) AS c
+  FROM e WHERE e.s NOT IN (SELECT v FROM rm2)
+          AND e.d NOT IN (SELECT v FROM rm2)
+  GROUP BY 1),
+rm3(v) AS MATERIALIZED (SELECT v FROM rm2 UNION
+  SELECT n FROM nodes WHERE n NOT IN (SELECT v FROM rm2)
+    AND coalesce((SELECT c FROM dg2 WHERE dg2.n = nodes.n), 0) < 2),
+dg3 AS MATERIALIZED (SELECT e.s AS n, CAST(count(*) AS BIGINT) AS c
+  FROM e WHERE e.s NOT IN (SELECT v FROM rm3)
+          AND e.d NOT IN (SELECT v FROM rm3)
+  GROUP BY 1),
+rm4(v) AS MATERIALIZED (SELECT v FROM rm3 UNION
+  SELECT n FROM nodes WHERE n NOT IN (SELECT v FROM rm3)
+    AND coalesce((SELECT c FROM dg3 WHERE dg3.n = nodes.n), 0) < 2),
+dg4 AS MATERIALIZED (SELECT e.s AS n, CAST(count(*) AS BIGINT) AS c
+  FROM e WHERE e.s NOT IN (SELECT v FROM rm4)
+          AND e.d NOT IN (SELECT v FROM rm4)
+  GROUP BY 1),
+rm5(v) AS MATERIALIZED (SELECT v FROM rm4 UNION
+  SELECT n FROM nodes WHERE n NOT IN (SELECT v FROM rm4)
+    AND coalesce((SELECT c FROM dg4 WHERE dg4.n = nodes.n), 0) < 2),
+dg5 AS MATERIALIZED (SELECT e.s AS n, CAST(count(*) AS BIGINT) AS c
+  FROM e WHERE e.s NOT IN (SELECT v FROM rm5)
+          AND e.d NOT IN (SELECT v FROM rm5)
+  GROUP BY 1),
+rm6(v) AS MATERIALIZED (SELECT v FROM rm5 UNION
+  SELECT n FROM nodes WHERE n NOT IN (SELECT v FROM rm5)
+    AND coalesce((SELECT c FROM dg5 WHERE dg5.n = nodes.n), 0) < 2),
+dg6 AS MATERIALIZED (SELECT e.s AS n, CAST(count(*) AS BIGINT) AS c
+  FROM e WHERE e.s NOT IN (SELECT v FROM rm6)
+          AND e.d NOT IN (SELECT v FROM rm6)
+  GROUP BY 1),
+rm7(v) AS MATERIALIZED (SELECT v FROM rm6 UNION
+  SELECT n FROM nodes WHERE n NOT IN (SELECT v FROM rm6)
+    AND coalesce((SELECT c FROM dg6 WHERE dg6.n = nodes.n), 0) < 2),
+dg7 AS MATERIALIZED (SELECT e.s AS n, CAST(count(*) AS BIGINT) AS c
+  FROM e WHERE e.s NOT IN (SELECT v FROM rm7)
+          AND e.d NOT IN (SELECT v FROM rm7)
+  GROUP BY 1),
+rm8(v) AS MATERIALIZED (SELECT v FROM rm7 UNION
+  SELECT n FROM nodes WHERE n NOT IN (SELECT v FROM rm7)
+    AND coalesce((SELECT c FROM dg7 WHERE dg7.n = nodes.n), 0) < 2),
+dg8 AS MATERIALIZED (SELECT e.s AS n, CAST(count(*) AS BIGINT) AS c
+  FROM e WHERE e.s NOT IN (SELECT v FROM rm8)
+          AND e.d NOT IN (SELECT v FROM rm8)
+  GROUP BY 1),
+rm9(v) AS MATERIALIZED (SELECT v FROM rm8 UNION
+  SELECT n FROM nodes WHERE n NOT IN (SELECT v FROM rm8)
+    AND coalesce((SELECT c FROM dg8 WHERE dg8.n = nodes.n), 0) < 2),
+dg9 AS MATERIALIZED (SELECT e.s AS n, CAST(count(*) AS BIGINT) AS c
+  FROM e WHERE e.s NOT IN (SELECT v FROM rm9)
+          AND e.d NOT IN (SELECT v FROM rm9)
+  GROUP BY 1),
+rm10(v) AS MATERIALIZED (SELECT v FROM rm9 UNION
+  SELECT n FROM nodes WHERE n NOT IN (SELECT v FROM rm9)
+    AND coalesce((SELECT c FROM dg9 WHERE dg9.n = nodes.n), 0) < 2),
+dg10 AS MATERIALIZED (SELECT e.s AS n, CAST(count(*) AS BIGINT) AS c
+  FROM e WHERE e.s NOT IN (SELECT v FROM rm10)
+          AND e.d NOT IN (SELECT v FROM rm10)
+  GROUP BY 1),
+rm11(v) AS MATERIALIZED (SELECT v FROM rm10 UNION
+  SELECT n FROM nodes WHERE n NOT IN (SELECT v FROM rm10)
+    AND coalesce((SELECT c FROM dg10 WHERE dg10.n = nodes.n), 0) < 2),
+dg11 AS MATERIALIZED (SELECT e.s AS n, CAST(count(*) AS BIGINT) AS c
+  FROM e WHERE e.s NOT IN (SELECT v FROM rm11)
+          AND e.d NOT IN (SELECT v FROM rm11)
+  GROUP BY 1),
+rm12(v) AS MATERIALIZED (SELECT v FROM rm11 UNION
+  SELECT n FROM nodes WHERE n NOT IN (SELECT v FROM rm11)
+    AND coalesce((SELECT c FROM dg11 WHERE dg11.n = nodes.n), 0) < 2)
+SELECT n AS node, c AS core_degree FROM dg11
+WHERE n NOT IN (SELECT v FROM rm12)"""
     return sql

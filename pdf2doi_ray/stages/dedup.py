@@ -458,14 +458,20 @@ def minhash_near_dups(docs, threshold_permille: int = 800, n_shingle: int = 3,
 
 
 def minhash_verify_pairs(docs, cand, threshold_permille: int = 800,
-                         n_shingle: int = 3, id_filter_fpp: float = 0.01):
+                         n_shingle: int = 3, id_filter_fpp: float = 0.01,
+                         metric: str = "jaccard"):
     """The exact-verification back half of :func:`minhash_near_dups`,
     factored out (round 5) so bipartite variants can pre-filter the
     candidate set before paying for verification: takes any
     ``(doc_a, doc_b)`` candidate Dataset, attaches both members' real
     shingle sets via the Bloom-gated sorted-block plan (steps 2-4 of the
     ``minhash_near_dups`` docstring), and returns the pairs whose EXACT
-    Jaccard clears ``threshold_permille``."""
+    Jaccard clears ``threshold_permille``.  ``metric="containment"``
+    scores ``1000·|A∩B| // min(|A|,|B|)`` instead (max-containment: the
+    quote/inclusion detector :func:`containment_pairs` builds on) —
+    same plan, different final permille."""
+    if metric not in ("jaccard", "containment"):
+        raise ValueError("metric must be jaccard|containment")
     import pyarrow.compute as pc
     import ray
     import ray.data
@@ -646,8 +652,9 @@ def minhash_verify_pairs(docs, cand, threshold_permille: int = 800,
         # integer-floor permille, same as _set_jaccard_permille — exact in
         # SQL as (1000*inter) // union (round 4: was float round-half-even,
         # which DuckDB's round() can't mirror at .5 boundaries)
-        jp = np.where(union > 0,
-                      (1000 * inter) // np.maximum(union, 1),
+        denom = union if metric == "jaccard" else np.minimum(len_a, len_b)
+        jp = np.where(denom > 0,
+                      (1000 * inter) // np.maximum(denom, 1),
                       1000).astype(np.int64)
         keep = jp >= threshold_permille
         return pa.table({
@@ -1687,3 +1694,98 @@ def near_dup_delta(docs, split_doc_id: int, threshold_permille: int = 800,
         })
 
     return verified.map_batches(orient, batch_format="pyarrow")
+
+
+def containment_pairs(docs, tau_permille: int = 500, gram_len: int = 3,
+                      hot_df: int = 64, id_filter_fpp: float = 0.01):
+    """EXACT max-containment pairs: every (doc_a < doc_b) whose shingle
+    overlap covers ≥ ``tau_permille``/1000 of the SMALLER doc's set —
+    the asymmetric quote/inclusion detector Jaccard misses (a paragraph
+    wholesale-quoted inside a long article has tiny Jaccard but
+    containment ≈ 1).  Docs shorter than ``gram_len`` tokens are out of
+    scope (no shingle).  Returns (doc_a, doc_b, containment_permille).
+
+    Asymmetric prefix-filter plan: the SMALLER side of any qualifying
+    pair must overlap the other in ≥ ⌈τ·s⌉ elements, so (prefix-filter
+    lemma, exactly as :func:`jaccard_threshold_pairs`) one of its
+    ``s − ⌈τ·s⌉ + 1`` first hashes under the global df-demoted order
+    hits the other doc — which indexes ALL its elements.  So: A-side =
+    df-demoted prefix keys (stop-grams never probe, same
+    :func:`_jaccard_prefix_rows` + global df broadcast); B-side = the
+    full (hash, doc_id) element stream (linear — the price of
+    asymmetry); ONE hash join + a pair-dedup groupby yields candidates;
+    the shared :func:`minhash_verify_pairs` engine (metric=
+    ``containment``) attaches real sets via the Bloom-gated sorted
+    plan and scores ``1000·inter // min(|a|,|b|)`` exactly.  Every doc
+    plays both roles, so each qualifying pair is found through its
+    smaller member.
+    """
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from ..arrowutil import collect_tables
+    from .joins import shuffle_hash_join
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        _, h = _jaccard_distinct_hashes(t, gram_len)
+        uniq, cnt = np.unique(h, return_counts=True)
+        return pa.table({"hv": pa.array(uniq, type=pa.int64()),
+                         "n_p": pa.array(cnt.astype(np.int64))})
+
+    hot_tab = collect_tables(
+        docs.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("hv").aggregate(Sum("n_p", alias_name="df"))
+        .map_batches(lambda t: t.filter(
+            pc.greater_equal(t["df"], hot_df)), batch_format="pyarrow"))
+    if hot_tab.num_rows:
+        o = np.argsort(np.asarray(hot_tab["hv"].to_numpy(
+            zero_copy_only=False), dtype=np.int64))
+        hot = (np.asarray(hot_tab["hv"].to_numpy(
+            zero_copy_only=False), dtype=np.int64)[o],
+            np.asarray(hot_tab["df"].to_numpy(
+                zero_copy_only=False), dtype=np.int64)[o])
+    else:
+        hot = (np.array([], dtype=np.int64),
+               np.array([], dtype=np.int64))
+    hot_ref = ray.put(hot)
+
+    probes = docs.map_batches(
+        lambda t: _jaccard_prefix_rows(t, tau_permille, gram_len,
+                                       ray.get(hot_ref))
+        .select(["pref", "doc_id"])
+        .rename_columns(["hv", "doc_p"]),
+        batch_format="pyarrow")
+
+    def elements(t: pa.Table) -> pa.Table:
+        r, h = _jaccard_distinct_hashes(t, gram_len)
+        ids = np.asarray(one_chunk(t["doc_id"]))[r] if len(r) else \
+            np.array([], dtype=np.int64)
+        return pa.table({"hv": pa.array(h, type=pa.int64()),
+                         "doc_e": pa.array(ids, type=pa.int64())})
+
+    hits = shuffle_hash_join(probes,
+                             docs.map_batches(elements,
+                                              batch_format="pyarrow"),
+                             on=("hv",))
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = np.asarray(one_chunk(t["doc_p"]))
+        b = np.asarray(one_chunk(t["doc_e"]))
+        keep = a != b
+        a, b = a[keep], b[keep]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        g = pa.table({"doc_a": pa.array(lo), "doc_b": pa.array(hi)}) \
+            .group_by(["doc_a", "doc_b"]).aggregate([([], "count_all")])
+        return g.select(["doc_a", "doc_b"])
+
+    cand = (hits.map_batches(canon, batch_format="pyarrow")
+            .groupby(["doc_a", "doc_b"]).aggregate(Count()))
+
+    out = minhash_verify_pairs(docs, cand.select_columns(
+        ["doc_a", "doc_b"]), tau_permille, gram_len, id_filter_fpp,
+        metric="containment")
+    return out.map_batches(
+        lambda t: t.rename_columns(
+            ["doc_a", "doc_b", "containment_permille"]),
+        batch_format="pyarrow")

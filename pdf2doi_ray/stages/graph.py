@@ -1819,3 +1819,85 @@ def _ndistinct(ds, col: str) -> int:
         return t.select([col]).group_by(col).aggregate([])
     return int(ds.map_batches(partial, batch_format="pyarrow")
                .groupby(col).count().count())
+
+
+def kcore_decomposition(pairs, k: int = 2, col_a: str = "vec_a",
+                        col_b: str = "vec_b", max_rounds: int = 64):
+    """k-core decomposition by iterative peeling: repeatedly remove
+    nodes with degree < ``k`` (over the surviving subgraph) until a
+    fixpoint — the community-mining / spam-farm-detection primitive
+    (a link farm survives peeling; pendant chains and tree fuzz do
+    not).  Returns the surviving nodes as (node, core_degree) where
+    ``core_degree`` counts neighbours INSIDE the core.
+
+    Broadcast-peel mode (the :func:`pagerank_fixed` ``broadcast`` /
+    :func:`bfs_depths` frontier contract — node-sized driver state,
+    edges NEVER shuffle): the removed-node set broadcasts in the task
+    closure each round; every edge batch drops edges touching it and
+    emits per-batch degree partials into ONE ``groupby(node)``; the
+    sub-``k`` survivors join the removed set.  Rounds = peel depth
+    (≤ graph diameter in practice); at node counts past driver memory,
+    swap the membership set for the int64 Bloom + distributed anti-join
+    used by ``connected_components``'s prune variants (``graph.py``
+    documents the same escape for BFS/PageRank).
+    """
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..arrowutil import one_chunk
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        a = one_chunk(t[col_a]).cast(pa.int64())
+        b = one_chunk(t[col_b]).cast(pa.int64())
+        return pa.table({"src": pa.concat_arrays([a, b]),
+                         "dst": pa.concat_arrays([b, a])})
+
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow") \
+        .materialize()
+    nodes = np.unique(np.asarray(
+        edges.unique("src"), dtype=np.int64)) \
+        if edges.count() else np.array([], dtype=np.int64)
+
+    removed: set[int] = set()
+    deg_tab = None
+    for _ in range(max_rounds):
+        rm = np.array(sorted(removed), dtype=np.int64)
+        rm_ref = ray.put(rm)
+
+        def deg_partial(t: pa.Table) -> pa.Table:
+            r = ray.get(rm_ref)
+            s = np.asarray(one_chunk(t["src"]))
+            d = np.asarray(one_chunk(t["dst"]))
+            if len(r):
+                alive = ~np.isin(s, r) & ~np.isin(d, r)
+                s = s[alive]
+            u, c = np.unique(s, return_counts=True)
+            return pa.table({"node": pa.array(u, type=pa.int64()),
+                             "c_p": pa.array(c.astype(np.int64))})
+
+        deg_tab = (edges.map_batches(deg_partial, batch_format="pyarrow")
+                   .groupby("node").aggregate(Sum("c_p",
+                                                  alias_name="deg"))
+                   .to_pandas())
+        alive_nodes = nodes[~np.isin(nodes, rm)]
+        degs = dict(zip(deg_tab["node"], deg_tab["deg"])) \
+            if "node" in deg_tab.columns else {}
+        victims = {int(n) for n in alive_nodes
+                   if degs.get(int(n), 0) < k}
+        if not victims:
+            break
+        removed |= victims
+
+    import pandas as pd
+
+    # node-sized result already lives on the driver; return a typed
+    # pandas frame so an EMPTY core keeps its schema (an empty Ray
+    # dataset drops column metadata through to_pandas)
+    if deg_tab is None or deg_tab.empty or "node" not in deg_tab.columns:
+        return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                             "core_degree": pd.Series([], dtype="int64")})
+    out = deg_tab[~deg_tab["node"].isin(removed)].rename(
+        columns={"deg": "core_degree"})
+    return out.reset_index(drop=True).astype({"node": "int64",
+                                              "core_degree": "int64"})
