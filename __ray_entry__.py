@@ -5255,6 +5255,15 @@ def _q_kcore(sf_dir: str):
                                k=2)
 
 
+
+def _q_curate_v4(sf_dir: str):
+    """Round-5 curation composition: trigram-langid agreement gate ->
+    exact containment dedup (drop higher id of each >=90% pair) ->
+    temperature-smoothed mixture plan over survivors."""
+    from pdf2doi_ray.stages.corpus import curate_v4
+    return curate_v4(_docs(sf_dir, ("doc_id", "text", "lang", "source")))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q = {
         # --- driver CORRECTNESS window: flagship sentinels, then
@@ -5662,6 +5671,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suffix_prefix_overlap": _q_suffix_prefix_overlap,
         "containment_pairs": _q_containment_pairs,
         "kcore_embedding_graph": _q_kcore,
+        "curate_v4": _q_curate_v4,
     }
     # --- Round-5 driver CORRECTNESS window (VERDICT r4 #1): 5 flagship
     # sentinels, then 45 queries with NO driver row in the r1-r4 union —
@@ -8269,7 +8279,8 @@ b AS (SELECT bucket, count(*) AS c FROM t WHERE side = 1 GROUP BY bucket),
 n AS (SELECT (SELECT sum(c) FROM a) AS na, (SELECT sum(c) FROM b) AS nb)
 SELECT COALESCE(a.bucket, b.bucket) AS bucket,
        COALESCE(a.c, 0) AS cnt_a, COALESCE(b.c, 0) AS cnt_b,
-       abs(COALESCE(a.c, 0) * nb - COALESCE(b.c, 0) * na) AS drift_num
+       CAST(abs(COALESCE(a.c, 0) * nb - COALESCE(b.c, 0) * na)
+            AS BIGINT) AS drift_num
 FROM a FULL OUTER JOIN b ON a.bucket = b.bucket, n
 """
     # integer-exact BM25 (k1=1.2, b=0.75 folded into 22/10 and 3/4;
@@ -11468,4 +11479,66 @@ rm12(v) AS MATERIALIZED (SELECT v FROM rm11 UNION
     AND coalesce((SELECT c FROM dg11 WHERE dg11.n = nodes.n), 0) < 2)
 SELECT n AS node, c AS core_degree FROM dg11
 WHERE n NOT IN (SELECT v FROM rm12)"""
+
+    sql["curate_v4"] = """
+WITH d0 AS (SELECT doc_id, text, lang, source, length(text) AS n
+            FROM documents),
+tg AS (SELECT doc_id, lang, substr(text, CAST(i AS INT), 3) AS g
+       FROM d0, unnest(range(1, n - 1)) AS u(i)),
+cnt AS (SELECT lang, g, count(*) AS c FROM tg GROUP BY 1, 2),
+prof AS (SELECT lang AS plang, g FROM
+           (SELECT lang, g,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY c DESC, g) AS rk
+            FROM cnt) WHERE rk <= 20),
+dt AS (SELECT DISTINCT doc_id, g FROM tg),
+langs AS (SELECT DISTINCT plang FROM prof),
+ovr AS (SELECT dt.doc_id, prof.plang, count(*) AS o
+        FROM dt JOIN prof ON dt.g = prof.g GROUP BY 1, 2),
+grid AS (SELECT d0.doc_id, d0.lang, l.plang, coalesce(ovr.o, 0) AS o
+         FROM d0 CROSS JOIN langs l
+         LEFT JOIN ovr ON ovr.doc_id = d0.doc_id
+                      AND ovr.plang = l.plang),
+pick AS (SELECT doc_id, lang, plang,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY o DESC, plang) AS rk
+         FROM grid),
+surv1 AS (SELECT d0.* FROM d0
+          JOIN pick ON pick.doc_id = d0.doc_id AND pick.rk = 1
+                   AND pick.plang = d0.lang),
+toks AS (SELECT doc_id,
+                list_filter(string_split(text, ' '), x -> x <> '') AS tk
+         FROM surv1),
+gr AS (SELECT doc_id,
+              array_to_string(tk[CAST(i + 1 AS INT):CAST(i + 3 AS INT)],
+                              ' ') AS gtxt
+       FROM toks, unnest(range(0, len(tk) - 2)) AS t(i)
+       WHERE len(tk) >= 3),
+sh AS (SELECT DISTINCT doc_id,
+              CAST((('0x' || substr(md5(gtxt), 1, 16))::UBIGINT >> 1)
+                   AS BIGINT) AS h
+       FROM gr),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS s FROM sh GROUP BY 1),
+ov2 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS inter
+        FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+drops AS (SELECT DISTINCT ov2.doc_b FROM ov2
+          JOIN sz sa ON sa.doc_id = ov2.doc_a
+          JOIN sz sb ON sb.doc_id = ov2.doc_b
+          WHERE 1000 * inter >= 900 * least(sa.s, sb.s)),
+surv2 AS (SELECT * FROM surv1
+          WHERE doc_id NOT IN (SELECT doc_b FROM drops)),
+a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                 AS n_tokens
+      FROM surv2 GROUP BY 1),
+w AS (SELECT *, CAST(floor(sqrt(n_tokens)) AS BIGINT) AS wgt FROM a),
+tot AS (SELECT sum(n_tokens) AS tt, sum(wgt) AS tw FROM w)
+SELECT source, n_docs, n_tokens,
+       CAST(1000 * wgt // tw AS BIGINT) AS weight_permille,
+       CAST(CAST(1000 AS HUGEINT) * tt * wgt // (tw * n_tokens)
+            AS BIGINT) AS epochs_permille
+FROM w, tot
+"""
     return sql

@@ -4923,3 +4923,55 @@ def temperature_mixture_plan(docs, source_col: str = "source"):
             .repartition(1)
             .map_batches(finalize, batch_format="pyarrow",
                          batch_size=None))
+
+
+def curate_v4(docs, containment_tau_permille: int = 900,
+              k_profile: int = 20):
+    """End-to-end curation v4 — the round-5 composition exercising the
+    new operator tier as ONE pipeline: (1) drop documents whose
+    corpus-trained trigram language prediction disagrees with their
+    label (mislabel/mojibake gate); (2) drop the higher-id member of
+    every exact max-containment pair ≥ τ (quote/inclusion dedup);
+    (3) report the temperature-smoothed (τ=1/2) mixing plan over the
+    survivors.  Returns (source, n_docs, n_tokens, weight_permille,
+    epochs_permille).
+
+    Composition stays streaming: the language gate is the profile
+    broadcast + an in-batch filter (no join — text passes through);
+    the containment drop list is O(contained duplicates) and
+    broadcasts once (the ``embedding_dedup_prune`` contract); the
+    mixture fold is the |sources|-row block.
+    """
+    import ray
+
+    from ..arrowutil import one_chunk
+    from .dedup import containment_pairs
+    from .textstats import langid_trigram_predictions
+
+    preds = langid_trigram_predictions(
+        docs, k_profile, keep_cols=("lang", "source", "text"))
+    # containment's candidate machinery reads its input several times
+    # (df pass, probes, elements, verify) — materialize the gated corpus
+    # once rather than re-running profile scoring per consumer (the
+    # object store spills past memory; same trade as minhash's cand)
+    surv1 = preds.map_batches(
+        lambda t: t.filter(pc.equal(t["pred_lang"], t["lang"]))
+        .select(["doc_id", "text", "lang", "source"]),
+        batch_format="pyarrow").materialize()
+
+    pairs = containment_pairs(surv1.select_columns(["doc_id", "text"]),
+                              tau_permille=containment_tau_permille)
+    drop_tab = pairs.select_columns(["doc_b"]).to_pandas()
+    drop_ref = ray.put(np.unique(drop_tab["doc_b"].to_numpy()
+                                 .astype(np.int64))
+                       if len(drop_tab) else np.array([], dtype=np.int64))
+
+    def anti(t: pa.Table) -> pa.Table:
+        dl = ray.get(drop_ref)
+        if not len(dl):
+            return t
+        ids = np.asarray(one_chunk(t["doc_id"]))
+        return t.filter(pa.array(~np.isin(ids, dl)))
+
+    surv2 = surv1.map_batches(anti, batch_format="pyarrow")
+    return temperature_mixture_plan(surv2)

@@ -889,6 +889,28 @@ def langid_trigram_confusion(docs, k_profile: int = 20):
     Returns (lang, pred_lang, n_docs).  Exchange: the trigram-count
     groupby + the tiny confusion groupby; texts never move.
     """
+    from ray.data.aggregate import Sum
+
+    per_doc = langid_trigram_predictions(docs, k_profile,
+                                         keep_cols=("lang",))
+
+    def conf_partial(t: pa.Table) -> pa.Table:
+        g = t.select(["lang", "pred_lang"]) \
+            .group_by(["lang", "pred_lang"]).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "pred_lang", "n_p"])
+
+    return (per_doc.map_batches(conf_partial, batch_format="pyarrow")
+            .groupby(["lang", "pred_lang"])
+            .aggregate(Sum("n_p", alias_name="n_docs")))
+
+
+def langid_trigram_predictions(docs, k_profile: int = 20,
+                               keep_cols=("lang",)):
+    """Per-document trigram language predictions — the reusable core of
+    :func:`langid_trigram_confusion` (train profiles, broadcast, score)
+    exposed so curation pipelines can FILTER on label agreement instead
+    of only auditing it.  Returns (doc_id, *keep_cols, pred_lang).
+    """
     import ray
     from ray.data.aggregate import Sum
 
@@ -926,9 +948,11 @@ def langid_trigram_confusion(docs, k_profile: int = 20):
         langs_p, sets_p = ray.get(prof_ref)
         n_rows = t.num_rows
         if n_rows == 0 or not langs_p:
-            return pa.table({"lang": pa.array([], type=pa.string()),
-                             "pred_lang": pa.array([], type=pa.string()),
-                             "n_p": pa.array([], type=pa.int64())})
+            out = {"doc_id": pa.array([], type=pa.int64())}
+            for c in keep_cols:
+                out[c] = pa.array([], type=pa.string())
+            out["pred_lang"] = pa.array([], type=pa.string())
+            return pa.table(out)
         row_idx, tg = _row_trigram_ints(t)
         # per-row DISTINCT trigrams
         if len(tg):
@@ -947,15 +971,13 @@ def langid_trigram_confusion(docs, k_profile: int = 20):
                 hit = ps[pos_c] == g
                 np.add.at(ov[li], r[hit], 1)
         pred = np.array(langs_p, dtype=object)[ov.argmax(axis=0)]
-        import pandas as pd
-        gdf = pd.DataFrame({
-            "lang": one_chunk(t["lang"]).to_numpy(zero_copy_only=False),
-            "pred_lang": pred}).value_counts().reset_index(name="n_p")
-        return pa.Table.from_pandas(gdf, preserve_index=False)
+        out = {"doc_id": one_chunk(t["doc_id"]).cast(pa.int64())}
+        for c in keep_cols:
+            out[c] = t[c]
+        out["pred_lang"] = pa.array(list(pred), type=pa.string())
+        return pa.table(out)
 
-    return (docs.map_batches(score_partial, batch_format="pyarrow")
-            .groupby(["lang", "pred_lang"])
-            .aggregate(Sum("n_p", alias_name="n_docs")))
+    return docs.map_batches(score_partial, batch_format="pyarrow")
 
 
 def tokenizer_fertility(docs):

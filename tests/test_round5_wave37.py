@@ -93,3 +93,32 @@ def test_kcore_decomposition_peels_trees_keeps_cycles():
     gotc = gotc if isinstance(gotc, pd.DataFrame) else gotc.to_pandas()
     assert dict(zip(gotc["node"], gotc["core_degree"])) == \
         {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_curate_v4_composition():
+    """Language-gate drops the mislabeled doc; containment dedup drops
+    the quoted copy; mixture reports over the survivors only."""
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import curate_v4
+
+    en = "the cat sat on the mat and the dog ran in the park all day"
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [en,
+                 en + " extra tail words",      # contains doc 0 -> dropped
+                 "der hund lief im park den ganzen tag und die katze sass",
+                 en.replace("cat", "bird")],    # en text labeled de:
+        "lang": ["en", "en", "de", "de"],       # mislabel -> gated out
+        "source": ["s1", "s1", "s2", "s2"],
+    })
+    got = curate_v4(ray.data.from_pandas(docs).repartition(2),
+                    containment_tau_permille=900)
+    got = got if isinstance(got, pd.DataFrame) else got.to_pandas()
+    got = got.set_index("source")
+    # s1 survivors: doc 0 only (doc 1 contains doc 0's whole set ->
+    # higher id dropped); s2 survivors: doc 2 only (doc 3 mislabeled)
+    assert got.loc["s1", "n_docs"] == 1
+    assert got.loc["s2", "n_docs"] == 1
+    assert got.loc["s1", "n_tokens"] == len(en.split(" "))
