@@ -429,7 +429,7 @@ def main() -> None:
 
         pages = read_pages(("html",), split=True).map_batches(
             to_text, batch_format="pyarrow")
-        out = cdc_chunk_stats(pages, k=5, mod=64)
+        out = cdc_chunk_stats(pages, k=5, mod=64, ship="bytes")
         assert int(out.total_bytes[0]) > 0
 
     if not headline_only:
@@ -1063,6 +1063,70 @@ def main() -> None:
 
     if not headline_only:
         bench_query("batch_padding_plan_pages", q_padding_plan)
+
+    # Round-5 operator rows over the documents table (the corpus the
+    # driver queries use): language-ID training+scoring, the exact
+    # containment self-join, and the incremental bipartite near-dup
+    def q_langid_docs():
+        import ray.data
+
+        from pdf2doi_ray.stages.textstats import langid_trigram_confusion
+        docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet",
+                                     columns=["doc_id", "text", "lang"])
+        assert len(langid_trigram_confusion(docs).to_pandas()) > 0
+
+    if not headline_only:
+        bench_query("langid_trigram_docs", q_langid_docs)
+
+    def q_containment_docs():
+        import ray.data
+
+        from pdf2doi_ray.stages.dedup import containment_pairs
+        docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet",
+                                     columns=["doc_id", "text"])
+        assert len(containment_pairs(docs).to_pandas()) >= 0
+
+    if not headline_only:
+        bench_query("containment_pairs_docs", q_containment_docs)
+
+    def q_near_dup_delta_docs():
+        import ray.data
+
+        from pdf2doi_ray.stages.dedup import near_dup_delta
+        docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet",
+                                     columns=["doc_id", "text"])
+        split = (int(docs.max("doc_id")) + 1) // 2
+        assert len(near_dup_delta(docs, split).to_pandas()) >= 0
+
+    if not headline_only:
+        bench_query("near_dup_delta_docs", q_near_dup_delta_docs)
+
+    def q_bitext_docs():
+        import ray.data
+
+        from pdf2doi_ray.stages.joins import bitext_candidates
+        docs = ray.data.read_parquet(
+            f"{SF_DIR}/documents.parquet",
+            columns=["doc_id", "text", "lang", "source"])
+        assert bitext_candidates(docs).count() >= 0
+
+    if not headline_only:
+        bench_query("bitext_candidates_docs", q_bitext_docs)
+
+    def q_curate_v4_docs():
+        import ray.data
+
+        from pdf2doi_ray.stages.corpus import curate_v4
+        docs = ray.data.read_parquet(
+            f"{SF_DIR}/documents.parquet",
+            columns=["doc_id", "text", "lang", "source"])
+        import pandas as pd
+        out = curate_v4(docs)
+        out = out if isinstance(out, pd.DataFrame) else out.to_pandas()
+        assert len(out) > 0
+
+    if not headline_only:
+        bench_query("curate_v4_docs", q_curate_v4_docs)
 
     headline = queries.get("identify_full")
     print(json.dumps({

@@ -1347,6 +1347,10 @@ def cdc_chunk_stats(docs, k: int = 5, mod: int = 16,
     if ship not in ("auto", "bytes", "hash64"):
         raise ValueError("cdc_chunk_stats: ship must be auto|bytes|hash64")
     if ship == "auto":
+        # size_bytes() is a metadata estimate for direct reads and None
+        # for un-executed lazy pipelines — unknown sizes keep the
+        # bit-exact bytes mode; scale callers on derived streams should
+        # pass ship="hash64" explicitly (bench A/B shows the trade)
         est = docs.size_bytes()
         ship = "hash64" if (est is not None
                             and est >= auto_bytes_threshold) else "bytes"
