@@ -1850,11 +1850,20 @@ def kcore_decomposition(pairs, k: int = 2, col_a: str = "vec_a",
     def to_edges(t: pa.Table) -> pa.Table:
         a = one_chunk(t[col_a]).cast(pa.int64())
         b = one_chunk(t[col_b]).cast(pa.int64())
-        return pa.table({"src": pa.concat_arrays([a, b]),
-                         "dst": pa.concat_arrays([b, a])})
+        # per-batch distinct of both orientations; the groupby below
+        # finishes the global dedup so reversed / repeated input pairs
+        # cannot double-count degrees
+        g = pa.table({"src": pa.concat_arrays([a, b]),
+                      "dst": pa.concat_arrays([b, a])}) \
+            .group_by(["src", "dst"]).aggregate([([], "count_all")])
+        return g.select(["src", "dst"])
 
-    edges = pairs.map_batches(to_edges, batch_format="pyarrow") \
-        .materialize()
+    from ray.data.aggregate import Count as _Count
+
+    edges = (pairs.map_batches(to_edges, batch_format="pyarrow")
+             .groupby(["src", "dst"]).aggregate(_Count())
+             .select_columns(["src", "dst"])
+             .materialize())
     nodes = np.unique(np.asarray(
         edges.unique("src"), dtype=np.int64)) \
         if edges.count() else np.array([], dtype=np.int64)
