@@ -5264,6 +5264,23 @@ def _q_curate_v4(sf_dir: str):
     return curate_v4(_docs(sf_dir, ("doc_id", "text", "lang", "source")))
 
 
+
+def _q_feather_roundtrip(sf_dir: str):
+    """documents → Arrow-IPC (Feather v2, zstd) shards under /tmp → read
+    back.  Same identity-oracle contract as ``jsonl_roundtrip`` — the
+    zero-parse interchange for Arrow-native consumers."""
+    import shutil
+
+    from pdf2doi_ray.sources.formats import export_feather, read_feather_dir
+
+    out = _fmt_scratch(sf_dir, "feather")
+    shutil.rmtree(out, ignore_errors=True)
+    export_feather(_docs(sf_dir, ("doc_id", "text", "lang", "n_chars")),
+                   out).materialize()
+    return read_feather_dir(out).select_columns(
+        ["doc_id", "text", "lang", "n_chars"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q = {
         # --- driver CORRECTNESS window: flagship sentinels, then
@@ -5672,6 +5689,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_pairs": _q_containment_pairs,
         "kcore_embedding_graph": _q_kcore,
         "curate_v4": _q_curate_v4,
+        "feather_roundtrip": _q_feather_roundtrip,
     }
     # --- Round-5 driver CORRECTNESS window (VERDICT r4 #1): 5 flagship
     # sentinels, then 45 queries with NO driver row in the r1-r4 union —
@@ -11540,5 +11558,9 @@ SELECT source, n_docs, n_tokens,
        CAST(CAST(1000 AS HUGEINT) * tt * wgt // (tw * n_tokens)
             AS BIGINT) AS epochs_permille
 FROM w, tot
+"""
+
+    sql["feather_roundtrip"] = """
+SELECT doc_id, text, lang, n_chars FROM documents
 """
     return sql

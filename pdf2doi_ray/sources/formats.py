@@ -121,3 +121,44 @@ def read_orc_dir(path: str):
 
     return ray.data.read_binary_files(path).map_batches(
         parse, batch_format="pyarrow")
+
+
+def export_feather(ds, out_dir: str):
+    """Streaming Arrow-IPC (Feather v2) sink: one ``.arrow`` file per
+    block, same per-task bookkeeping contract as :func:`export_orc`.
+    IPC is the zero-parse interchange for Arrow-native consumers (the
+    format a downstream Ray/Polars/DuckDB stage can mmap directly)."""
+    import os
+    import uuid
+
+    import pyarrow as pa
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_batch(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"path": pa.array([], type=pa.string()),
+                             "n_rows": pa.array([], type=pa.int64())})
+        from pyarrow import feather
+        path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.arrow")
+        feather.write_feather(t, path, compression="zstd")
+        return pa.table({"path": pa.array([path]),
+                         "n_rows": pa.array([t.num_rows], type=pa.int64())})
+
+    return ds.map_batches(write_batch, batch_format="pyarrow")
+
+
+def read_feather_dir(path: str):
+    """Feather/Arrow-IPC source: file-parallel ``read_binary_files`` →
+    ``pyarrow.feather`` decode per blob (zero-copy after the zstd
+    frame)."""
+    import pyarrow as pa
+
+    def parse(t: pa.Table) -> pa.Table:
+        from pyarrow import feather
+        tables = [feather.read_table(pa.BufferReader(blob))
+                  for blob in t["bytes"].to_pylist()]
+        return pa.concat_tables(tables) if tables else pa.table({})
+
+    return ray.data.read_binary_files(path).map_batches(
+        parse, batch_format="pyarrow")

@@ -143,3 +143,20 @@ def test_url_tree_rollup_prefix_counts():
     assert d[("a.org", 1, "/p4")] == 1
     assert d[("b.org", 3, "/z/w/v")] == 1
     assert ("b.org", 4, "/z/w/v/deep") not in d     # max_depth honored
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_feather_roundtrip_identity(tmp_path):
+    import ray.data
+
+    from pdf2doi_ray.sources.formats import export_feather, read_feather_dir
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": ["a,b", 'quote "x"', "plain"],
+                       "n": [10, 20, 30]})
+    out = str(tmp_path / "feather")
+    export_feather(ray.data.from_pandas(df).repartition(2),
+                   out).materialize()
+    back = read_feather_dir(out).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back, df)
