@@ -5721,11 +5721,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "strip_tags_baseline", "dup_canonical_map", "corpus_datacard",
         "components_incremental", "cluster_churn_report",
         "pps_systematic_sample",
-        # never-checked continuation pool top-up
-        "char_class_profile", "char_simpson", "word_len_histogram",
-        "user_gap_moments", "dau_wau_stickiness", "bloom_semi_revenue",
-        "supplier_lead_quantiles", "promo_revenue_share",
-        "source_mix_plan",
+        # round-5 new operators (this round's freshest code gets the
+        # external driver validation; the continuation pool is covered
+        # by FULLGATE_r05.json)
+        "langid_trigram", "tokenizer_fertility",
+        "temperature_mixture_plan", "bitext_candidates",
+        "url_tree_rollup", "near_dup_delta", "containment_pairs",
+        "kcore_embedding_graph", "curate_v4",
     ]
     assert len(_R5_WINDOW) == 50, len(_R5_WINDOW)
     out = {k: q[k] for k in _R5_WINDOW}
