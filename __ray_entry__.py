@@ -5281,6 +5281,16 @@ def _q_feather_roundtrip(sf_dir: str):
         ["doc_id", "text", "lang", "n_chars"])
 
 
+
+def _q_compression_ratio(sf_dir: str):
+    """gzip/deflate quality filter (C4/MassiveText staple): per-doc
+    deflate ratio + keep flag; pure per-batch zlib kernel, no shuffle.
+    Not SQL-expressible (no deflate in DuckDB) -> rows-only driver
+    check; pytest golden recomputes with the same zlib."""
+    from pdf2doi_ray.stages.textstats import compression_ratio_flags
+    return compression_ratio_flags(_docs(sf_dir, ("doc_id", "text")))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q = {
         # --- driver CORRECTNESS window: flagship sentinels, then
@@ -5690,6 +5700,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore_embedding_graph": _q_kcore,
         "curate_v4": _q_curate_v4,
         "feather_roundtrip": _q_feather_roundtrip,
+        "compression_ratio_flags": _q_compression_ratio,
     }
     # --- Round-5 driver CORRECTNESS window (VERDICT r4 #1): 5 flagship
     # sentinels, then 45 queries with NO driver row in the r1-r4 union —

@@ -1106,3 +1106,45 @@ def bigram_collision_homogeneity(docs):
 
     return cells.repartition(1).map_batches(fold, batch_format="pyarrow",
                                             batch_size=None)
+
+
+def compression_ratio_flags(docs, max_ratio_permille: int = 450,
+                            level: int = 6):
+    """The gzip/deflate quality filter (C4 / MassiveText staple): a
+    document that compresses too WELL is templated or repetitive
+    (boilerplate, keyword stuffing, generated spam); one that barely
+    compresses is likely binary junk or high-entropy noise.  Emits
+    (doc_id, raw_bytes, deflate_bytes, ratio_permille, keep) where
+    ``ratio = 1000·deflate // raw`` and ``keep = ratio >=
+    max_ratio_permille`` (below the floor = too compressible = drop).
+
+    Per-batch kernel: one ``zlib.compress`` per document (zlib is a C
+    kernel; the loop is I/O-free and releases the GIL between calls) —
+    no shuffle, no state, embarrassingly parallel.  NOT SQL-expressible
+    (DuckDB has no deflate), so the driver records a rows-only check;
+    the pytest golden recomputes ratios with the same zlib directly.
+    """
+    import zlib
+
+    from ..arrowutil import one_chunk
+
+    def score(t: pa.Table) -> pa.Table:
+        txt = one_chunk(t["text"])
+        raws, gzs = [], []
+        for s in txt.to_pylist():
+            b = s.encode("utf-8")
+            raws.append(len(b))
+            gzs.append(len(zlib.compress(b, level)))
+        raw = np.array(raws, dtype=np.int64)
+        gz = np.array(gzs, dtype=np.int64)
+        ratio = np.where(raw > 0, 1000 * gz // np.maximum(raw, 1), 1000)
+        return pa.table({
+            "doc_id": one_chunk(t["doc_id"]).cast(pa.int64()),
+            "raw_bytes": pa.array(raw),
+            "deflate_bytes": pa.array(gz),
+            "ratio_permille": pa.array(ratio),
+            "keep": pa.array((ratio >= max_ratio_permille)
+                             .astype(np.int64)),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow")

@@ -160,3 +160,34 @@ def test_feather_roundtrip_identity(tmp_path):
     back = read_feather_dir(out).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(back, df)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_compression_ratio_flags_golden():
+    import zlib
+
+    import ray.data
+
+    from pdf2doi_ray.stages.textstats import compression_ratio_flags
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["spam spam spam " * 50,          # hyper-compressible
+                 "The quick brown fox jumps over the lazy dog in the "
+                 "morning while birds sing various complicated songs.",
+                 ""]})
+    got = compression_ratio_flags(
+        ray.data.from_pandas(docs).repartition(2),
+        max_ratio_permille=450).to_pandas().set_index("doc_id")
+    for i, text in zip(docs["doc_id"], docs["text"]):
+        b = text.encode()
+        gz = len(zlib.compress(b, 6))
+        row = got.loc[i]
+        assert row["raw_bytes"] == len(b)
+        assert row["deflate_bytes"] == gz
+        exp = 1000 * gz // len(b) if len(b) else 1000
+        assert row["ratio_permille"] == exp
+        assert row["keep"] == int(exp >= 450)
+    assert got.loc[0, "keep"] == 0          # templated spam dropped
+    assert got.loc[1, "keep"] == 1          # natural prose kept
+    assert got.loc[2, "keep"] == 1          # empty doc: ratio 1000
