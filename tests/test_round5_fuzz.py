@@ -193,3 +193,76 @@ def test_fuzz_bitext_vs_brute_force(seed):
                 want.add((i, j))
     assert got_set == want
     assert len(got) == len(got_set)      # no duplicate pair rows
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("seed", [14, 15])
+def test_fuzz_suffix_prefix_vs_brute_force(seed):
+    import ray.data
+
+    from pdf2doi_ray.stages.joins import suffix_prefix_overlap
+
+    rng = np.random.default_rng(seed)
+    vocab = np.array([f"v{i}" for i in range(6)])   # tiny vocab → matches
+    k = 4
+    texts = _random_docs(rng, 40, vocab, 12)
+    df = pd.DataFrame({"doc_id": range(40), "text": texts})
+    got = suffix_prefix_overlap(
+        ray.data.from_pandas(df).repartition(4), k=k).to_pandas()
+    got_set = {(a, b) for a, b in zip(got["doc_a"], got["doc_b"])} \
+        if len(got) else set()
+    want = set()
+    for a in range(40):
+        ta = texts[a].split(" ")
+        if len(ta) < k:
+            continue
+        for b in range(40):
+            tb = texts[b].split(" ")
+            if a == b or len(tb) < k:
+                continue
+            if ta[-k:] == tb[:k]:
+                want.add((a, b))
+    assert got_set == want
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("seed", [16])
+def test_fuzz_langid_vs_brute_force(seed):
+    import ray.data
+
+    from pdf2doi_ray.stages.textstats import langid_trigram_confusion
+
+    rng = np.random.default_rng(seed)
+    alph = {"aa": "abcde", "bb": "fghij", "cc": "abfgk"}
+    docs = []
+    for i in range(60):
+        lang = ["aa", "bb", "cc"][i % 3]
+        chars = rng.choice(list(alph[lang] + " "), size=rng.integers(2, 40))
+        docs.append({"doc_id": i, "text": "".join(chars), "lang": lang})
+    df = pd.DataFrame(docs)
+    k = 8
+    got = langid_trigram_confusion(
+        ray.data.from_pandas(df).repartition(3), k_profile=k) \
+        .to_pandas()
+    got_map = {(l, p): n for l, p, n in zip(
+        got["lang"], got["pred_lang"], got["n_docs"])}
+
+    # brute force: profiles = top-k trigrams per lang by (count desc, tg)
+    from collections import Counter
+    cnt = {}
+    for r in docs:
+        t = r["text"]
+        for i in range(len(t) - 2):
+            cnt.setdefault(r["lang"], Counter())[t[i:i + 3]] += 1
+    profs = {lg: {g for g, _ in sorted(c.items(),
+                                       key=lambda kv: (-kv[1], kv[0]))[:k]}
+             for lg, c in cnt.items()}
+    langs = sorted(profs)
+    want = {}
+    for r in docs:
+        t = r["text"]
+        tgs = {t[i:i + 3] for i in range(len(t) - 2)}
+        best = max(langs, key=lambda lg: (len(tgs & profs[lg]),
+                                          [-ord(c) for c in lg]))
+        want[(r["lang"], best)] = want.get((r["lang"], best), 0) + 1
+    assert got_map == want
