@@ -5291,6 +5291,15 @@ def _q_compression_ratio(sf_dir: str):
     return compression_ratio_flags(_docs(sf_dir, ("doc_id", "text")))
 
 
+
+def _q_t5_span_corruption(sf_dir: str):
+    """T5 denoising-objective data prep: deterministic ~12.5% token
+    spans collapse to <X_k> sentinels in the input and re-emit in the
+    target — pure per-batch vectorized map, zero shuffles."""
+    from pdf2doi_ray.stages.corpus import t5_span_corruption
+    return t5_span_corruption(_docs(sf_dir, ("doc_id", "text")))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q = {
         # --- driver CORRECTNESS window: flagship sentinels, then
@@ -5701,6 +5710,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_v4": _q_curate_v4,
         "feather_roundtrip": _q_feather_roundtrip,
         "compression_ratio_flags": _q_compression_ratio,
+        "t5_span_corruption": _q_t5_span_corruption,
     }
     # --- Round-5 driver CORRECTNESS window (VERDICT r4 #1): 5 flagship
     # sentinels, then 45 queries with NO driver row in the r1-r4 union —
@@ -11575,5 +11585,43 @@ FROM w, tot
 
     sql["feather_roundtrip"] = """
 SELECT doc_id, text, lang, n_chars FROM documents
+"""
+
+    sql["t5_span_corruption"] = """
+WITH t AS (SELECT doc_id,
+                  list_filter(string_split(text, ' '), y -> y <> '') AS tk
+           FROM documents),
+x AS (SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+             tk[CAST(u.i AS INT) + 1] AS tok
+      FROM t, unnest(range(0, len(tk))) AS u(i)),
+m AS (SELECT *, CASE WHEN (pos * 31 + doc_id * 17) % 8 = 0
+                     THEN 1 ELSE 0 END AS msk FROM x),
+r AS (SELECT *, CASE WHEN msk = 1 AND coalesce(
+                       lag(msk) OVER (PARTITION BY doc_id ORDER BY pos),
+                       0) = 0 THEN 1 ELSE 0 END AS run_start FROM m),
+r2 AS (SELECT *, sum(run_start) OVER (PARTITION BY doc_id
+                                      ORDER BY pos) - 1 AS rid FROM r),
+inp AS (SELECT doc_id,
+               2 * pos + CASE WHEN msk = 0 THEN 1 ELSE 0 END AS k,
+               CASE WHEN msk = 0 THEN tok
+                    ELSE '<X_' || rid || '>' END AS v
+        FROM r2 WHERE msk = 0 OR run_start = 1),
+tgt AS (SELECT doc_id, 2 * pos AS k, '<X_' || rid || '>' AS v
+        FROM r2 WHERE run_start = 1
+        UNION ALL
+        SELECT doc_id, 2 * pos + 1, tok FROM r2 WHERE msk = 1),
+agg_i AS (SELECT doc_id, string_agg(v, ' ' ORDER BY k) AS input_text
+          FROM inp GROUP BY 1),
+agg_t AS (SELECT doc_id, string_agg(v, ' ' ORDER BY k) AS target_text
+          FROM tgt GROUP BY 1),
+nm AS (SELECT doc_id, CAST(sum(msk) AS BIGINT) AS n_masked
+       FROM m GROUP BY 1)
+SELECT d.doc_id, coalesce(agg_i.input_text, '') AS input_text,
+       coalesce(agg_t.target_text, '') AS target_text,
+       CAST(coalesce(nm.n_masked, 0) AS BIGINT) AS n_masked
+FROM documents d
+LEFT JOIN agg_i USING (doc_id)
+LEFT JOIN agg_t USING (doc_id)
+LEFT JOIN nm USING (doc_id)
 """
     return sql

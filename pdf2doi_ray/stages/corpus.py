@@ -4975,3 +4975,92 @@ def curate_v4(docs, containment_tau_permille: int = 900,
 
     surv2 = surv1.map_batches(anti, batch_format="pyarrow")
     return temperature_mixture_plan(surv2)
+
+
+def t5_span_corruption(docs, mask_mod: int = 8):
+    """T5-style span-corruption pair generation (Raffel et al. 2020 —
+    public literature): deterministic ~1/``mask_mod`` of each document's
+    tokens mask out; CONTIGUOUS masked runs collapse to one sentinel
+    ``<X_k>`` in the input and re-emit as ``<X_k> tok tok …`` in the
+    target — the denoising-objective data prep every encoder-decoder
+    pretraining run needs, kept seedless-deterministic
+    (``(pos·31 + doc_id·17) % mask_mod == 0``) so the DuckDB oracle
+    replays it exactly.  Returns (doc_id, input_text, target_text,
+    n_masked).
+
+    Pure per-batch map — ZERO shuffles, no state: one flat-token view,
+    one vectorized mask + run-start detection, and two lexsort-ordered
+    rebuilds (input = unmasked tokens + run-start sentinels; target =
+    sentinels + masked tokens) re-joined per row via Arrow offsets.
+    """
+    from ..arrowutil import one_chunk
+
+    def corrupt(t: pa.Table) -> pa.Table:
+        n_rows = t.num_rows
+        empty = pa.table({
+            "doc_id": pa.array([], type=pa.int64()),
+            "input_text": pa.array([], type=pa.string()),
+            "target_text": pa.array([], type=pa.string()),
+            "n_masked": pa.array([], type=pa.int64())})
+        if n_rows == 0:
+            return empty
+        ids = np.asarray(one_chunk(t["doc_id"]), dtype=np.int64)
+        flat, row_idx = _tokens_nonempty(t)
+        if len(flat) == 0:
+            return pa.table({
+                "doc_id": pa.array(ids),
+                "input_text": pa.array([""] * n_rows),
+                "target_text": pa.array([""] * n_rows),
+                "n_masked": pa.array(np.zeros(n_rows, dtype=np.int64))})
+        # within-row positions
+        starts = np.searchsorted(row_idx, np.arange(n_rows))
+        pos = np.arange(len(row_idx), dtype=np.int64) - starts[row_idx]
+        mask = ((pos * 31 + ids[row_idx] * 17) % mask_mod) == 0
+        prev_mask = np.concatenate([[False], mask[:-1]])
+        same_row = np.concatenate([[False], row_idx[1:] == row_idx[:-1]])
+        run_start = mask & ~(prev_mask & same_row)
+        # run id within row (0-based): global cumsum of run starts,
+        # rebased by the cumsum value just before each row's first token
+        g_run = np.cumsum(run_start)
+        base = np.zeros(n_rows, dtype=np.int64)
+        nz = starts > 0
+        base[nz] = g_run[starts[nz] - 1]
+        rid = g_run - 1 - base[row_idx]
+        sent = np.array([f"<X_{k}>" for k in range(int(rid.max()) + 1 if
+                                                   mask.any() else 1)],
+                        dtype=object)
+        toks = flat.to_numpy(zero_copy_only=False)
+
+        def rebuild(el_rows, el_keys, el_vals):
+            """join el_vals (object tokens) per row ordered by el_keys."""
+            order = np.lexsort((el_keys, el_rows))
+            r, v = el_rows[order], el_vals[order]
+            counts = np.bincount(r, minlength=n_rows)
+            offs = np.concatenate([[0], np.cumsum(counts)])
+            lists = pa.ListArray.from_arrays(
+                pa.array(offs, type=pa.int32()),
+                pa.array(v, type=pa.string()))
+            return pc.binary_join(lists, " ")
+
+        # input: unmasked tokens (key 2*pos+1) + sentinels at run starts
+        # (key 2*pos) — sentinel sits where its run began
+        um = ~mask
+        in_rows = np.concatenate([row_idx[um], row_idx[run_start]])
+        in_keys = np.concatenate([2 * pos[um] + 1, 2 * pos[run_start]])
+        in_vals = np.concatenate([toks[um], sent[rid[run_start]]])
+        input_text = rebuild(in_rows, in_keys, in_vals)
+        # target: sentinels at run starts (key 2*pos) + masked tokens
+        # (key 2*pos+1)
+        tg_rows = np.concatenate([row_idx[run_start], row_idx[mask]])
+        tg_keys = np.concatenate([2 * pos[run_start], 2 * pos[mask] + 1])
+        tg_vals = np.concatenate([sent[rid[run_start]], toks[mask]])
+        target_text = rebuild(tg_rows, tg_keys, tg_vals)
+        n_masked = np.bincount(row_idx[mask], minlength=n_rows) \
+            .astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "input_text": input_text,
+            "target_text": target_text,
+            "n_masked": pa.array(n_masked)})
+
+    return docs.map_batches(corrupt, batch_format="pyarrow")

@@ -83,3 +83,39 @@ def test_suffix_prefix_overlap_detects_stitch_points():
     assert row["boundary_gram"] == " ".join(words[10:18])
     # doc 2's tail (w17..w24) matches nobody's head
     assert not any(a == 2 for a, _ in pairs)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_t5_span_corruption_runs_and_sentinels():
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import t5_span_corruption
+
+    # doc_id 0, mask_mod 4 -> positions 0,4,8,12 masked; craft a doc
+    # where 4 and 5 are BOTH masked under mod 2 to test run merging
+    docs = pd.DataFrame({
+        "doc_id": [0, 3],
+        "text": ["a b c d e f g h i j k l m n o p", "q r s"]})
+    out = t5_span_corruption(ray.data.from_pandas(docs).repartition(2),
+                             mask_mod=4).to_pandas() \
+        .set_index("doc_id")
+    r0 = out.loc[0]
+    assert r0["input_text"] == \
+        "<X_0> b c d <X_1> f g h <X_2> j k l <X_3> n o p"
+    assert r0["target_text"] == "<X_0> a <X_1> e <X_2> i <X_3> m"
+    assert r0["n_masked"] == 4
+    r3 = out.loc[3]
+    assert (r3["input_text"], r3["target_text"], r3["n_masked"]) == \
+        ("q r s", "", 0)
+
+    # contiguous run: mod 2 with doc_id 0 masks every even pos ->
+    # runs are singletons; doc_id 2 (2*17=34 even) same parity; use a
+    # doc where consecutive positions mask: mod 1 masks EVERYTHING ->
+    # one run, one sentinel
+    one = t5_span_corruption(
+        ray.data.from_pandas(pd.DataFrame(
+            {"doc_id": [5], "text": ["x y z"]})), mask_mod=1) \
+        .to_pandas().iloc[0]
+    assert one["input_text"] == "<X_0>"
+    assert one["target_text"] == "<X_0> x y z"
+    assert one["n_masked"] == 3
