@@ -5300,6 +5300,15 @@ def _q_t5_span_corruption(sf_dir: str):
     return t5_span_corruption(_docs(sf_dir, ("doc_id", "text")))
 
 
+
+def _q_mlm_masking(sf_dir: str):
+    """BERT-style MLM data prep with the deterministic 80/10/10 rule
+    (in-document arithmetic replacement, no vocab broadcast) — pure
+    per-batch vectorized map, zero shuffles."""
+    from pdf2doi_ray.stages.corpus import mlm_masking_pairs
+    return mlm_masking_pairs(_docs(sf_dir, ("doc_id", "text")))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q = {
         # --- driver CORRECTNESS window: flagship sentinels, then
@@ -5711,6 +5720,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "feather_roundtrip": _q_feather_roundtrip,
         "compression_ratio_flags": _q_compression_ratio,
         "t5_span_corruption": _q_t5_span_corruption,
+        "mlm_masking_pairs": _q_mlm_masking,
     }
     # --- Round-5 driver CORRECTNESS window (VERDICT r4 #1): 5 flagship
     # sentinels, then 45 queries with NO driver row in the r1-r4 union —
@@ -11623,5 +11633,38 @@ FROM documents d
 LEFT JOIN agg_i USING (doc_id)
 LEFT JOIN agg_t USING (doc_id)
 LEFT JOIN nm USING (doc_id)
+"""
+
+    sql["mlm_masking_pairs"] = """
+WITH t AS (SELECT doc_id,
+                  list_filter(string_split(text, ' '), y -> y <> '') AS tk
+           FROM documents),
+x AS (SELECT doc_id, len(tk) AS n, CAST(u.i AS BIGINT) AS pos,
+             tk[CAST(u.i AS INT) + 1] AS tok, tk
+      FROM t, unnest(range(0, len(tk))) AS u(i)),
+m AS (SELECT doc_id, pos,
+             CASE WHEN (pos * 31 + doc_id * 17) % 7 = 0 THEN
+               CASE WHEN (pos + doc_id) % 10 < 8 THEN '[MASK]'
+                    WHEN (pos + doc_id) % 10 = 8
+                    THEN tk[CAST((pos * 13 + 7) % n AS INT) + 1]
+                    ELSE tok END
+             ELSE tok END AS otok,
+             CASE WHEN (pos * 31 + doc_id * 17) % 7 = 0
+                  THEN 1 ELSE 0 END AS sel,
+             CASE WHEN (pos * 31 + doc_id * 17) % 7 = 0
+                   AND (pos + doc_id) % 10 < 8 THEN 1 ELSE 0 END AS msk,
+             CASE WHEN (pos * 31 + doc_id * 17) % 7 = 0
+                   AND (pos + doc_id) % 10 = 8 THEN 1 ELSE 0 END AS rnd
+      FROM x),
+agg AS (SELECT doc_id, string_agg(otok, ' ' ORDER BY pos) AS masked_text,
+               CAST(sum(sel) AS BIGINT) AS n_selected,
+               CAST(sum(msk) AS BIGINT) AS n_masked,
+               CAST(sum(rnd) AS BIGINT) AS n_random
+        FROM m GROUP BY 1)
+SELECT d.doc_id, coalesce(agg.masked_text, '') AS masked_text,
+       CAST(coalesce(n_selected, 0) AS BIGINT) AS n_selected,
+       CAST(coalesce(n_masked, 0) AS BIGINT) AS n_masked,
+       CAST(coalesce(n_random, 0) AS BIGINT) AS n_random
+FROM documents d LEFT JOIN agg USING (doc_id)
 """
     return sql

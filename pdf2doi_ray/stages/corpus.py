@@ -5064,3 +5064,72 @@ def t5_span_corruption(docs, mask_mod: int = 8):
             "n_masked": pa.array(n_masked)})
 
     return docs.map_batches(corrupt, batch_format="pyarrow")
+
+
+def mlm_masking_pairs(docs, mask_mod: int = 7):
+    """BERT-style masked-LM data prep (Devlin et al. 2018 — public
+    literature), seedless-deterministic so the SQL oracle replays it
+    bit-exact: token ``pos`` of doc ``d`` is selected when
+    ``(pos·31 + d·17) % mask_mod == 0`` (~1/mod of tokens); selected
+    tokens follow the 80/10/10 rule via ``r = (pos + d) % 10``:
+    r < 8 → ``[MASK]``, r == 8 → a deterministic in-document
+    "random" replacement (the token at ``(pos·13 + 7) % n_tokens`` —
+    self-contained, no vocab broadcast), r == 9 → kept unchanged.
+    Returns (doc_id, masked_text, n_selected, n_masked, n_random) —
+    ``masked_text`` is the model input; the label positions are the
+    selected ones by construction.
+
+    Pure per-batch vectorized map, ZERO shuffles: one flat-token view,
+    arithmetic selection, one gather for the random replacements, one
+    Arrow list rebuild.
+    """
+    from ..arrowutil import one_chunk
+
+    def mask_batch(t: pa.Table) -> pa.Table:
+        n_rows = t.num_rows
+        if n_rows == 0:
+            return pa.table({
+                "doc_id": pa.array([], type=pa.int64()),
+                "masked_text": pa.array([], type=pa.string()),
+                "n_selected": pa.array([], type=pa.int64()),
+                "n_masked": pa.array([], type=pa.int64()),
+                "n_random": pa.array([], type=pa.int64())})
+        ids = np.asarray(one_chunk(t["doc_id"]), dtype=np.int64)
+        flat, row_idx = _tokens_nonempty(t)
+        if len(flat) == 0:
+            return pa.table({
+                "doc_id": pa.array(ids),
+                "masked_text": pa.array([""] * n_rows),
+                "n_selected": pa.array(np.zeros(n_rows, dtype=np.int64)),
+                "n_masked": pa.array(np.zeros(n_rows, dtype=np.int64)),
+                "n_random": pa.array(np.zeros(n_rows, dtype=np.int64))})
+        starts = np.searchsorted(row_idx, np.arange(n_rows))
+        lens = np.diff(np.concatenate([starts, [len(row_idx)]]))
+        pos = np.arange(len(row_idx), dtype=np.int64) - starts[row_idx]
+        d = ids[row_idx]
+        sel = ((pos * 31 + d * 17) % mask_mod) == 0
+        r = (pos + d) % 10
+        toks = flat.to_numpy(zero_copy_only=False).copy()
+        to_mask = sel & (r < 8)
+        to_rand = sel & (r == 8)
+        toks[to_mask] = "[MASK]"
+        if to_rand.any():
+            n_tok = lens[row_idx[to_rand]]
+            src = starts[row_idx[to_rand]] + (pos[to_rand] * 13 + 7) % n_tok
+            toks[to_rand] = flat.to_numpy(zero_copy_only=False)[src]
+        lists = pa.ListArray.from_arrays(
+            pa.array(np.concatenate([starts, [len(row_idx)]]),
+                     type=pa.int32()),
+            pa.array(toks, type=pa.string()))
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "masked_text": pc.binary_join(lists, " "),
+            "n_selected": pa.array(np.bincount(
+                row_idx[sel], minlength=n_rows).astype(np.int64)),
+            "n_masked": pa.array(np.bincount(
+                row_idx[to_mask], minlength=n_rows).astype(np.int64)),
+            "n_random": pa.array(np.bincount(
+                row_idx[to_rand], minlength=n_rows).astype(np.int64)),
+        })
+
+    return docs.map_batches(mask_batch, batch_format="pyarrow")

@@ -119,3 +119,49 @@ def test_t5_span_corruption_runs_and_sentinels():
     assert one["input_text"] == "<X_0>"
     assert one["target_text"] == "<X_0> x y z"
     assert one["n_masked"] == 3
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_mlm_masking_golden():
+    import ray.data
+
+    from pdf2doi_ray.stages.corpus import mlm_masking_pairs
+
+    # doc_id chosen so all three 80/10/10 branches fire: selection at
+    # (pos*31 + d*17) % 7 == 0; branch by (pos + d) % 10
+    # doc_id 1 with >= 28 tokens hits the random branch at pos 27
+    # ((27*31 + 17) % 7 == 0 and (27 + 1) % 10 == 8)
+    docs = pd.DataFrame({
+        "doc_id": [0, 8, 1],
+        "text": ["a b c d e f g h i j k l m n", "p q r s t u v w x y",
+                 " ".join(f"tok{i}" for i in range(30))]})
+    got = mlm_masking_pairs(ray.data.from_pandas(docs).repartition(2)) \
+        .to_pandas().set_index("doc_id")
+
+    def golden(d, text):
+        tk = text.split()
+        out, sel, msk, rnd = [], 0, 0, 0
+        for p, tok in enumerate(tk):
+            if (p * 31 + d * 17) % 7 == 0:
+                sel += 1
+                r = (p + d) % 10
+                if r < 8:
+                    out.append("[MASK]")
+                    msk += 1
+                elif r == 8:
+                    out.append(tk[(p * 13 + 7) % len(tk)])
+                    rnd += 1
+                else:
+                    out.append(tok)
+            else:
+                out.append(tok)
+        return " ".join(out), sel, msk, rnd
+
+    for d, text in zip(docs["doc_id"], docs["text"]):
+        mt, sel, msk, rnd = golden(d, text)
+        row = got.loc[d]
+        assert row["masked_text"] == mt
+        assert (row["n_selected"], row["n_masked"],
+                row["n_random"]) == (sel, msk, rnd)
+    # the fixture actually exercises the random-replacement branch
+    assert got["n_random"].sum() > 0
