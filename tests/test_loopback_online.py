@@ -146,3 +146,49 @@ def test_identify_pages_online_over_loopback_http(loopback_server):
     assert out["method"][1] == "first_N_characters_google"
     assert all(v and v.startswith("@article{VALID:")
                for v in out["validation_info"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_title_google_method_over_loopback_http(loopback_server):
+    """Method 4 (title_google) through the REAL requests transport: the
+    parsed title drives the search; the result page fetch (real HTTP)
+    yields the identifier from the page BODY (the url itself carries
+    none), exercising the reference's per-result scan order."""
+    import ray.data
+
+    from pdf2doi_ray.config import DEFAULT_CONFIG
+    from pdf2doi_ray.pipelines.identify import identify_pages_online
+    from pdf2doi_ray.transports import make_requests_fetch, online_splices
+
+    base_fetch = make_requests_fetch(timeout_s=5)
+
+    def fetch_factory():
+        def fetch(url):
+            if url.startswith("https://doi.org/"):
+                url = loopback_server + "/doi/ok/" + \
+                    url[len("https://doi.org/"):]
+            return base_fetch(url)
+        return fetch
+
+    def search_factory():
+        return lambda q, stop: [loopback_server + "/page/with-doi"]
+
+    cfg = DEFAULT_CONFIG.with_(websearch=True, webvalidation=True,
+                               use_html=True)
+    splices = dict(online_splices(cfg, fetch_factory, search_factory))
+    html = ("<html><head><title>A Sufficiently Long Document Title For "
+            "Method Four</title></head><body><h1>A Sufficiently Long "
+            "Document Title For Method Four</h1><main>no identifiers in "
+            "the body text at all</main></body></html>")
+    pages = ray.data.from_arrow(pa.table({
+        "url": ["https://a.org/titled.html"],
+        "html": pa.array([html.encode()], type=pa.binary()),
+        "text": ["no identifiers in the body text at all"],
+        "lang": ["en"],
+    }))
+    out = identify_pages_online(pages, cfg, splices).to_pandas()
+    assert list(out["identifier"]) == ["10.5555/loopback.hit"]
+    # method attribution proves the TITLE (not the first-N snippet)
+    # drove the winning search
+    assert out["method"][0] == "title_google"
+    assert out["validation_info"][0].startswith("@article{VALID:")
